@@ -1,13 +1,38 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Gts
+import graft.operators.GtsFrame
+import graft.operators.GtsFrame._
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the oracle-gated operator inventory: every entry has a
+  * matching DuckDB SQL in `oracleSql` (or is rows-only checked when not
+  * SQL-expressible). Query packs live in [[graft.queries]].
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001: FETCH a selector, then
+    * BUCKETIZE(mean) per day, then REDUCE(sum) by user — the reference's
+    * canonical fetch→bucketize→reduce pipeline (SURVEY.md §7 step 2).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val f = GtsFrame(Gts.fromEvents(spark, "/root/testdata/sf0.001"))
+      .select("~events\\..*")
+      .bucketize(Mean, GtsQueries.LB, GtsQueries.DAY)
+    f.reduce(Sum, Seq("user"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    GtsQueries.queries ++ RelationalQueries.queries ++ TextQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    GtsQueries.oracleSql ++ RelationalQueries.oracleSql ++ TextQueries.oracleSql
 }

@@ -1,0 +1,386 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.Gts
+
+/** The GTS frame-operator algebra over the canonical long table —
+  * Spark-first re-expression of the reference's frame operators
+  * (reference: warp10/src/main/java/io/warp10/continuum/gts/GTSHelper.java,
+  * the 12.7 kLoC "execution engine").
+  *
+  * Every operator is a declarative DataFrame transform so Catalyst gets
+  * to push filters/prune columns/pick join strategies; nothing here
+  * collects to the driver. Operators that need per-series sequential
+  * logic live in [[graft.kernels]] as flatMapGroups kernels instead.
+  */
+final case class GtsFrame(df: DataFrame) {
+  import GtsFrame._
+
+  def toDF: DataFrame = df
+
+  // ---------------------------------------------------------------------
+  // FETCH / selector pruning (reference fn/FETCH.java; selector matching
+  // continuum/gts/MetadataSelectorMatcher.java:42-110)
+  // ---------------------------------------------------------------------
+
+  /** Series selection: exact class or regex (`~`-prefixed), plus per-label
+    * exact/regex predicates. This is the series-pruning path — the
+    * predicate is a plain Column so it reaches the scan (class equality
+    * is even pushed into parquet row-group stats).
+    */
+  def select(classSel: String, labelSels: Map[String, String] = Map.empty): GtsFrame = {
+    val classPred =
+      if (classSel == "~.*") lit(true) // match-all fast path (matcher :73)
+      else if (classSel.startsWith("~")) col("class").rlike("^(?:" + classSel.drop(1) + ")$")
+      else col("class") === classSel
+    val labelPred = labelSels.foldLeft(lit(true)) { case (acc, (k, v)) =>
+      val p =
+        if (v.startsWith("~")) col("labels").getItem(k).rlike("^(?:" + v.drop(1) + ")$")
+        else col("labels").getItem(k) === v
+      acc && p
+    }
+    GtsFrame(df.filter(classPred && labelPred))
+  }
+
+  /** TIMECLIP — crop to [start, end] inclusive ticks (fn/TIMECLIP.java).
+    * Plain range filter → parquet partition pruning at scale. */
+  def timeclip(startTs: Long, endTs: Long): GtsFrame =
+    GtsFrame(df.filter(col("ts") >= startTs && col("ts") <= endTs))
+
+  /** FETCH count semantics: keep the most recent `count` points per
+    * series (fn/FETCH.java count param; storage streams newest-first,
+    * StandaloneStoreClient.java:180-581). Window row_number post-scan;
+    * at scale always pair with a ts-range narrowing. */
+  def lastN(count: Int): GtsFrame = {
+    val w = Window.partitionBy(col("gtsid")).orderBy(col("ts").desc, col("vtype"))
+    GtsFrame(df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= count).drop("__rn"))
+  }
+
+  // ---------------------------------------------------------------------
+  // BUCKETIZE (GTSHelper.java:2261-2358; fn/BUCKETIZE.java)
+  // ---------------------------------------------------------------------
+
+  /** End-anchored bucket index: bucket k covers the LEFT-OPEN RIGHT-CLOSED
+    * interval (lastbucket-(k+1)·span, lastbucket-k·span]; the bucket's
+    * identity tick is its END. Spark's `window()` is start-anchored
+    * left-closed — deliberately not used; explicit integer arithmetic
+    * matches the reference exactly (GTSHelper.java:2261).
+    */
+  def bucketize(agg: ValueAgg, lastbucket: Long, bucketspan: Long,
+                bucketcount: Long = 0L): GtsFrame = {
+    require(bucketspan > 0, "bucketize with auto-params: use bucketizeAuto")
+    val inWindow =
+      if (bucketcount > 0)
+        col("ts") > lastbucket - bucketcount * bucketspan && col("ts") <= lastbucket
+      else col("ts") <= lastbucket
+    val bucketEnd = lit(lastbucket) -
+      floor((lit(lastbucket) - col("ts")) / bucketspan).cast(LongType) * bucketspan
+    val grouped = df.filter(inWindow)
+      .withColumn("__bucket", bucketEnd)
+      .groupBy(col("gtsid"), col("__bucket"))
+      .agg(
+        first(col("class")).as("class"),
+        first(col("labels")).as("labels"),
+        agg.column(col("vdouble"), col("ts")).as("vdouble"),
+        // loc/elev of the most recent tick in the bucket (reference
+        // aggregator/Sum.java:64-69 propagation semantics)
+        max_by(col("lat"), col("ts")).as("lat"),
+        max_by(col("lon"), col("ts")).as("lon"),
+        max_by(col("elev"), col("ts")).as("elev"))
+      .withColumnRenamed("__bucket", "ts")
+    GtsFrame(Gts.canonical(grouped
+      .withColumn("vtype", lit(graft.model.GtsType.DOUBLE).cast(ByteType))
+      .withColumn("vlong", lit(null).cast(LongType))
+      .withColumn("vbool", lit(null).cast(BooleanType))
+      .withColumn("vstring", lit(null).cast(StringType))
+      .withColumn("vbinary", lit(null).cast(BinaryType))))
+  }
+
+  /** Auto-parameter resolution per GTSHelper.java:2261-2358: when 0,
+    * lastbucket ← last tick, span ← ⌈(lastbucket−firsttick+1)/count⌉,
+    * count ← 1+(lastbucket−firsttick)/span. Computed per the GLOBAL tick
+    * extent of the frame (one tiny agg, broadcast back as literals).
+    */
+  def bucketizeAuto(agg: ValueAgg, lastbucket: Long, bucketspan: Long,
+                    bucketcount: Long): GtsFrame = {
+    if (bucketspan > 0 && lastbucket != 0) return bucketize(agg, lastbucket, bucketspan, bucketcount)
+    val r = df.agg(min(col("ts")), max(col("ts"))).head()
+    val (firsttick, lasttick) = (r.getLong(0), r.getLong(1))
+    val lb = if (lastbucket != 0) lastbucket else lasttick
+    val span =
+      if (bucketspan > 0) bucketspan
+      else if (bucketcount > 0) Math.ceil((lb - firsttick + 1).toDouble / bucketcount).toLong
+      else throw new IllegalArgumentException("bucketspan and bucketcount both 0")
+    val cnt = if (bucketcount > 0) bucketcount else 1 + (lb - firsttick) / span
+    bucketize(agg, lb, span, cnt)
+  }
+
+  // ---------------------------------------------------------------------
+  // MAP — sliding-window transform (GTSHelper.java:6262-6678; fn/MAP.java)
+  // ---------------------------------------------------------------------
+
+  /** Sliding window per output tick. Reference window convention
+    * (GTSHelper.java:6440-6500): NEGATIVE pre/post = time span, POSITIVE
+    * = count of ticks. Time windows → rangeBetween on the µs tick;
+    * count windows → rowsBetween. `step` strides output ticks,
+    * `occurrences` caps them (GTSHelper.java:6389-6432).
+    */
+  def mapWindow(agg: ValueAgg, pre: Long, post: Long,
+                step: Int = 1, occurrences: Long = 0): GtsFrame = {
+    val base = Window.partitionBy(col("gtsid")).orderBy(col("ts"))
+    val w =
+      if (pre <= 0 && post <= 0) base.rangeBetween(pre, -post)
+      else if (pre >= 0 && post >= 0) base.rowsBetween(-pre, post)
+      else throw new IllegalArgumentException("mixed time/count windows unsupported")
+    var out = df.withColumn("vdouble", agg.over(col("vdouble"), col("ts"), w))
+    if (step > 1 || occurrences > 0) {
+      val rn = row_number().over(Window.partitionBy(col("gtsid")).orderBy(col("ts")))
+      out = out.withColumn("__rn", rn)
+        .filter((col("__rn") - 1) % step === 0)
+      if (occurrences > 0) out = out.filter(col("__rn") <= occurrences * step)
+      out = out.drop("__rn")
+    }
+    GtsFrame(out)
+  }
+
+  // ---------------------------------------------------------------------
+  // REDUCE — n-way align on tick within label-equivalence classes
+  // (GTSHelper.java:8147-8480; fn/REDUCE.java)
+  // ---------------------------------------------------------------------
+
+  /** Partition all series by the values of `byLabels`, then for every
+    * tick present in ANY member series call the reducer over the
+    * member values. Spark's hash aggregation over (labels-subset, ts)
+    * does the align-on-tick implicitly — absent members are simply not
+    * in the group, which matches `.exclude-nulls` semantics; use
+    * `forbidNulls` to drop groups where some member is missing.
+    */
+  def reduce(agg: ValueAgg, byLabels: Seq[String],
+             forbidNulls: Boolean = false): DataFrame = {
+    val keys = byLabels.map(l => col("labels").getItem(l).as(l))
+    val nSeries = df.select(col("gtsid") +: keys: _*).distinct()
+      .groupBy(byLabels.map(col): _*).agg(count(lit(1)).as("__nseries"))
+    val grouped = df
+      .select(col("gtsid") +: col("ts") +: col("vdouble") +: col("lat") +:
+        col("lon") +: col("elev") +: keys: _*)
+      .groupBy(byLabels.map(col) :+ col("ts"): _*)
+      .agg(
+        agg.column(col("vdouble"), col("ts")).as("vdouble"),
+        count(col("gtsid")).as("__nmembers"))
+    val out =
+      if (forbidNulls)
+        grouped.join(nSeries, byLabels, "inner")
+          .filter(col("__nmembers") === col("__nseries"))
+      else grouped
+    out.drop("__nmembers", "__nseries")
+  }
+
+  // ---------------------------------------------------------------------
+  // APPLY — tick-aligned binary op across two GTS sets
+  // (GTSHelper.java:7846-7895; fn/APPLY.java; script/op/Op*.java)
+  // ---------------------------------------------------------------------
+
+  /** Binary op between this frame and `other`, partitioned by `byLabels`
+    * and full-outer aligned on tick. When one side has a single series
+    * per partition it broadcasts against the other (1-to-many,
+    * GTSHelper.java:7846-7895) — Spark's planner picks broadcast-hash
+    * automatically when the single side is small.
+    */
+  def applyOp(other: GtsFrame, op: (Column, Column) => Column,
+              byLabels: Seq[String], joinType: String = "full_outer"): DataFrame = {
+    def side(d: DataFrame, v: String) =
+      d.select(byLabels.map(l => col("labels").getItem(l).as(l)) :+
+        col("ts") :+ col("vdouble").as(v): _*)
+    val l = side(df, "__vl")
+    val r = side(other.df, "__vr")
+    l.join(r, byLabels :+ "ts", joinType)
+      .withColumn("vdouble", op(col("__vl"), col("__vr")))
+      .drop("__vl", "__vr")
+  }
+
+  /** op.mask / op.negmask (script/op/OpMask.java): emit the value of this
+    * frame where the mask frame's value is truthy (resp. falsy). */
+  def mask(maskFrame: GtsFrame, byLabels: Seq[String], negate: Boolean = false): DataFrame = {
+    val cond0 = (m: Column) => m.isNotNull && m =!= 0.0
+    val cond = if (negate) (m: Column) => !cond0(m) else cond0
+    applyOp(maskFrame, (v, m) => when(cond(m), v), byLabels, "inner")
+      .filter(col("vdouble").isNotNull)
+  }
+
+  // ---------------------------------------------------------------------
+  // FILTER — whole-series predicates (fn/FILTER.java; script/filter/*)
+  // ---------------------------------------------------------------------
+
+  /** filter.last.* / filter.any.* / filter.all.* family: evaluate a
+    * per-series aggregate predicate then semi-join the survivors back.
+    * The aggregate table is tiny (one row per series) → broadcast
+    * semi-join at scale.
+    */
+  def filterSeries(pred: Column): GtsFrame = {
+    val keep = df.groupBy(col("gtsid")).agg(
+      max_by(col("vdouble"), col("ts")).as("last_v"),
+      min(col("vdouble")).as("min_v"),
+      max(col("vdouble")).as("max_v"),
+      count(lit(1)).as("size_v"))
+      .filter(pred).select(col("gtsid"))
+    GtsFrame(df.join(broadcast(keep), Seq("gtsid"), "left_semi"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Structural ops
+  // ---------------------------------------------------------------------
+
+  /** DEDUP — drop consecutive points with identical value
+    * (GTSHelper.java:7198). */
+  def dedup(): GtsFrame = {
+    val w = Window.partitionBy(col("gtsid")).orderBy(col("ts"))
+    GtsFrame(df.withColumn("__prev", lag(col("vdouble"), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col("vdouble") ||
+        col("vdouble").isNull && col("__prev").isNotNull)
+      .drop("__prev"))
+  }
+
+  /** COMPACT (fn/COMPACT.java) — remove interior ticks of constant-value
+    * runs, keeping each run's first and last tick. */
+  def compact(): GtsFrame = {
+    val w = Window.partitionBy(col("gtsid")).orderBy(col("ts"))
+    GtsFrame(df
+      .withColumn("__prev", lag(col("vdouble"), 1).over(w))
+      .withColumn("__next", lead(col("vdouble"), 1).over(w))
+      .filter(col("__prev").isNull || col("__next").isNull ||
+        col("__prev") =!= col("vdouble") || col("__next") =!= col("vdouble"))
+      .drop("__prev", "__next"))
+  }
+
+  /** CHUNK (fn/CHUNK.java) — split each series into fixed-width chunks
+    * ending at `lastchunk`; adds a `chunkid` label-like column (the
+    * chunk's end tick). */
+  def chunk(lastchunk: Long, width: Long): DataFrame = {
+    val chunkEnd = lit(lastchunk) -
+      floor((lit(lastchunk) - col("ts")) / width).cast(LongType) * width
+    df.filter(col("ts") <= lastchunk).withColumn("chunkid", chunkEnd)
+  }
+
+  /** TIMESPLIT (fn/TIMESPLIT.java) — split a series on quiet periods
+    * longer than `quiet` µs; emits a session id per sub-series via the
+    * classic gap-cumsum. */
+  def timesplit(quiet: Long): DataFrame = {
+    val w = Window.partitionBy(col("gtsid")).orderBy(col("ts"))
+    val gap = col("ts") - lag(col("ts"), 1).over(w)
+    df.withColumn("__newsess",
+        when(gap.isNull || gap > quiet, 1L).otherwise(0L))
+      .withColumn("sessionid", sum(col("__newsess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__newsess")
+  }
+
+  /** TIMESCALE / TIMESHIFT / TIMEMODULO — affine tick transforms. */
+  def timeshift(delta: Long): GtsFrame = GtsFrame(df.withColumn("ts", col("ts") + delta))
+  def timescale(k: Double): GtsFrame =
+    GtsFrame(df.withColumn("ts", (col("ts") * k).cast(LongType)))
+
+  /** QUANTIZE (fn/QUANTIZE.java) — snap values to level boundaries. */
+  def quantize(step: Double): GtsFrame =
+    GtsFrame(df.withColumn("vdouble", floor(col("vdouble") / step) * step))
+
+  /** NORMALIZE — per-series min-max scale to [0,1] (fn/NORMALIZE.java). */
+  def normalize(): GtsFrame = {
+    val w = Window.partitionBy(col("gtsid"))
+    val mn = min(col("vdouble")).over(w)
+    val mx = max(col("vdouble")).over(w)
+    GtsFrame(df.withColumn("vdouble",
+      when(mx === mn, lit(0.0)).otherwise((col("vdouble") - mn) / (mx - mn))))
+  }
+
+  /** STANDARDIZE — per-series z-score (fn/STANDARDIZE.java; population
+    * sddev like the reference's musigma w/ bessel=false). */
+  def standardize(): GtsFrame = {
+    val w = Window.partitionBy(col("gtsid"))
+    val mu = avg(col("vdouble")).over(w)
+    val sd = stddev_pop(col("vdouble")).over(w)
+    GtsFrame(df.withColumn("vdouble",
+      when(sd === 0.0, lit(0.0)).otherwise((col("vdouble") - mu) / sd)))
+  }
+
+  /** INTEGRATE — running sum per series (fn/INTEGRATE.java). */
+  def integrate(): GtsFrame = {
+    val w = Window.partitionBy(col("gtsid")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    GtsFrame(df.withColumn("vdouble", sum(col("vdouble")).over(w)))
+  }
+
+  /** FILLPREVIOUS over a bucket grid: generate the full bucket tick grid
+    * per series (sequence + explode — distributed, no driver loop), left
+    * join the data, then carry the last non-null value forward
+    * (GTSHelper.java:4893 FILLPREVIOUS / 4996 FILLNEXT).
+    */
+  def fillPrevious(lastbucket: Long, span: Long, count: Long): DataFrame = {
+    // (groupBy, not distinct: Spark forbids set ops on MAP columns)
+    val series = df.groupBy(col("gtsid"))
+      .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
+    val grid = series.withColumn("ts",
+      explode(sequence(lit(lastbucket - (count - 1) * span), lit(lastbucket), lit(span))))
+    val filled = grid.join(df.select(col("gtsid"), col("ts"), col("vdouble")),
+        Seq("gtsid", "ts"), "left")
+    val w = Window.partitionBy(col("gtsid")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    filled.withColumn("vdouble",
+      last(col("vdouble"), ignoreNulls = true).over(w))
+  }
+
+  /** MERGE — union of frames; identical-class concat (fn/MERGE.java). */
+  def merge(other: GtsFrame): GtsFrame = GtsFrame(df.unionByName(other.df))
+}
+
+object GtsFrame {
+
+  /** A named value aggregation usable as bucketizer (§2.3), windowed
+    * mapper (§2.4) or reducer (§2.5) — the three families share
+    * implementations in the reference too (script/aggregator classes).
+    */
+  sealed trait ValueAgg {
+    def column(v: Column, ts: Column): Column
+    def over(v: Column, ts: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+      column(v, ts).over(w)
+  }
+
+  private def simple(f: Column => Column): ValueAgg = new ValueAgg {
+    def column(v: Column, ts: Column): Column = f(v)
+  }
+
+  val Sum: ValueAgg     = simple(sum)
+  val Mean: ValueAgg    = simple(avg)
+  val Min: ValueAgg     = simple(min)
+  val Max: ValueAgg     = simple(max)
+  val CountAgg: ValueAgg = simple(c => count(c))
+  val Sd: ValueAgg      = simple(stddev_samp) // bessel=true default (aggregator/Variance.java)
+  val SdPop: ValueAgg   = simple(stddev_pop)
+  val Var: ValueAgg     = simple(var_samp)
+  val VarPop: ValueAgg  = simple(var_pop)
+  val Median: ValueAgg  = simple(c => median(c))
+  val Rms: ValueAgg     = simple(c => sqrt(avg(c * c)))
+  val First: ValueAgg = new ValueAgg { // value at earliest tick (aggregator/First.java)
+    def column(v: Column, ts: Column): Column = min_by(v, ts)
+  }
+  val Last: ValueAgg = new ValueAgg { // value at latest tick (aggregator/Last.java)
+    def column(v: Column, ts: Column): Column = max_by(v, ts)
+  }
+  val Delta: ValueAgg = new ValueAgg { // last - first (aggregator/Delta.java)
+    def column(v: Column, ts: Column): Column = max_by(v, ts) - min_by(v, ts)
+  }
+  val Rate: ValueAgg = new ValueAgg { // delta / Δt-seconds (aggregator/Rate.java)
+    def column(v: Column, ts: Column): Column =
+      when(max(ts) > min(ts),
+        (max_by(v, ts) - min_by(v, ts)) / ((max(ts) - min(ts)) / lit(1000000.0)))
+  }
+  def Percentile(p: Double): ValueAgg = simple(c => percentile_approx(c, lit(p / 100.0), lit(10000)))
+  def PercentileExact(p: Double): ValueAgg = simple(c => percentile(c, lit(p / 100.0)))
+  /** reducer.join — concatenate values (aggregator/Join.java). */
+  def JoinAgg(sep: String): ValueAgg = simple(c =>
+    array_join(array_sort(collect_list(c.cast(StringType))), sep))
+}
