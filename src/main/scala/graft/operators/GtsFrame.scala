@@ -335,6 +335,119 @@ final case class GtsFrame(df: DataFrame) {
 
   /** MERGE — union of frames; identical-class concat (fn/MERGE.java). */
   def merge(other: GtsFrame): GtsFrame = GtsFrame(df.unionByName(other.df))
+
+  /** FILLNEXT — like fillPrevious but carries the next value backward
+    * (GTSHelper.java:4996). */
+  def fillNext(lastbucket: Long, span: Long, count: Long): DataFrame = {
+    val grid = bucketGrid(lastbucket, span, count)
+    val w = Window.partitionBy(col("gtsid")).orderBy(col("ts"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    grid.withColumn("vdouble", first(col("vdouble"), ignoreNulls = true).over(w))
+  }
+
+  /** FILLVALUE — fill empty buckets with a constant (GTSHelper.java:5106). */
+  def fillValue(lastbucket: Long, span: Long, count: Long, value: Double): DataFrame =
+    bucketGrid(lastbucket, span, count)
+      .withColumn("vdouble", coalesce(col("vdouble"), lit(value)))
+
+  /** FILL w/ filler.interpolate — linear interpolation between the
+    * previous and next present buckets (script/filler/FillerInterpolate,
+    * GTSHelper.fill:5229). Boundary buckets (no prev or no next) stay
+    * empty, like the reference filler.
+    */
+  def fillLinear(lastbucket: Long, span: Long, count: Long): DataFrame = {
+    val grid = bucketGrid(lastbucket, span, count)
+    val wPrev = Window.partitionBy(col("gtsid")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy(col("gtsid")).orderBy(col("ts"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val pv = last(when(col("vdouble").isNotNull, col("vdouble")), ignoreNulls = true).over(wPrev)
+    val pt = last(when(col("vdouble").isNotNull, col("ts")), ignoreNulls = true).over(wPrev)
+    val nv = first(when(col("vdouble").isNotNull, col("vdouble")), ignoreNulls = true).over(wNext)
+    val nt = first(when(col("vdouble").isNotNull, col("ts")), ignoreNulls = true).over(wNext)
+    grid.withColumn("vdouble",
+      when(col("vdouble").isNotNull, col("vdouble"))
+        .when(pv.isNotNull && nv.isNotNull,
+          pv + (nv - pv) * (col("ts") - pt) / (nt - pt)))
+  }
+
+  /** Shared bucket-grid generation: all `count` bucket-end ticks per
+    * series left-joined with present values — distributed via
+    * sequence+explode, never a driver loop. */
+  private def bucketGrid(lastbucket: Long, span: Long, count: Long): DataFrame = {
+    val series = df.groupBy(col("gtsid"))
+      .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
+    val grid = series.withColumn("ts",
+      explode(sequence(lit(lastbucket - (count - 1) * span), lit(lastbucket), lit(span))))
+    grid.join(df.select(col("gtsid"), col("ts"), col("vdouble")),
+      Seq("gtsid", "ts"), "left")
+  }
+
+  // ---------------------------------------------------------------------
+  // Advanced per-bucket aggregations needing two passes
+  // ---------------------------------------------------------------------
+
+  /** bucketizer.mad — median absolute deviation per 1-series bucket
+    * (script/aggregator/MAD.java): median(|x - median(x)|). Two hash
+    * aggregations; both shuffles are on the same key so AQE coalesces.
+    */
+  def bucketizeMad(lastbucket: Long, span: Long): DataFrame = {
+    val b = withBucket(lastbucket, span)
+    val med = b.groupBy(col("gtsid"), col("__bucket"))
+      .agg(percentile(col("vdouble"), lit(0.5)).as("__med"))
+    b.join(med, Seq("gtsid", "__bucket"))
+      .groupBy(col("gtsid"), col("__bucket"))
+      .agg(percentile(abs(col("vdouble") - col("__med")), lit(0.5)).as("mad"))
+      .withColumnRenamed("__bucket", "ts")
+  }
+
+  /** reducer.shannonentropy.0 (script/aggregator/ShannonEntropy.java):
+    * entropy of the per-bucket value distribution, −Σ p·ln p. */
+  def bucketizeEntropy(lastbucket: Long, span: Long): DataFrame = {
+    val b = withBucket(lastbucket, span)
+    val counts = b.groupBy(col("gtsid"), col("__bucket"), col("vdouble"))
+      .agg(count(lit(1)).as("__c"))
+    val totals = Window.partitionBy(col("gtsid"), col("__bucket"))
+    counts.withColumn("__n", sum(col("__c")).over(totals))
+      .groupBy(col("gtsid"), col("__bucket"))
+      .agg((-sum((col("__c") / col("__n")) * log(col("__c") / col("__n"))))
+        .as("entropy"))
+      .withColumnRenamed("__bucket", "ts")
+  }
+
+  /** bucketizer.mean.circular (script/aggregator/CircularMean.java):
+    * atan2 of mean sin / mean cos of the value seen as an angle within
+    * `period` (the reference takes the period as a parameter). */
+  def bucketizeCircularMean(lastbucket: Long, span: Long, period: Double): DataFrame = {
+    val b = withBucket(lastbucket, span)
+    val ang = col("vdouble") * (2.0 * math.Pi / period)
+    b.groupBy(col("gtsid"), col("__bucket"))
+      .agg(atan2(avg(sin(ang)), avg(cos(ang))).as("circmean"))
+      .withColumnRenamed("__bucket", "ts")
+  }
+
+  /** COUNTERDELTA/RESETS compensation (fn/COUNTERDELTA.java,
+    * fn/RESETS.java): rebuild a monotonic counter from a gauge that
+    * resets — compensated[i] = compensated[i−1] + (Δ ≥ 0 ? Δ : v[i]).
+    */
+  def compensateResets(): GtsFrame = {
+    val w = Window.partitionBy(col("gtsid")).orderBy(col("ts"))
+    val delta = col("vdouble") - lag(col("vdouble"), 1).over(w)
+    val inc = when(delta.isNull, col("vdouble"))
+      .when(delta >= 0, delta).otherwise(col("vdouble"))
+    GtsFrame(df.withColumn("vdouble",
+      sum(inc).over(w.rowsBetween(Window.unboundedPreceding, 0))))
+  }
+
+  /** Annotate each point with its end-anchored bucket tick (`__bucket`)
+    * without aggregating — building block for bucket-then-custom-agg
+    * pipelines. */
+  def withBucketCol(lastbucket: Long, span: Long): DataFrame =
+    withBucket(lastbucket, span)
+
+  private def withBucket(lastbucket: Long, span: Long): DataFrame =
+    df.filter(col("ts") <= lastbucket).withColumn("__bucket",
+      lit(lastbucket) - floor((lit(lastbucket) - col("ts")) / span).cast(LongType) * span)
 }
 
 object GtsFrame {
