@@ -1,0 +1,138 @@
+package graft.kernels
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import SeriesKernels._
+
+/** Spark wrappers for the per-series sequential kernels: parallel across
+  * series (`groupByKey(gtsid).flatMapGroups`), sequential within one —
+  * the reference's own parallelism shape (one thread per GTS, SURVEY §4.2).
+  *
+  * Each method returns a compact result frame keyed by `gtsid`; callers
+  * join [[graft.model.Gts.metaTable]] back when class/labels are needed.
+  * At 100 TB the only state held is ONE series per task at a time, and
+  * series are assumed to fit an executor (same contract as the
+  * reference, which materializes each GTS in RAM).
+  */
+final class KernelOps(df: DataFrame) {
+
+  private val spark = df.sparkSession
+  import spark.implicits._
+
+  private def series: Dataset[(Long, Long, Double)] =
+    df.select(col("gtsid"), col("ts"), col("vdouble")).as[(Long, Long, Double)]
+
+  private def perSeries[T: org.apache.spark.sql.Encoder](
+      f: (Long, IndexedSeq[Pt]) => IterableOnce[T]): Dataset[T] =
+    series.groupByKey(_._1).flatMapGroups { (id, it) =>
+      val pts = it.map(t => Pt(t._2, t._3)).toIndexedSeq.sortBy(_.ts)
+      f(id, pts).iterator
+    }
+
+  /** LTTB downsampling to ≤ threshold points per series (fn/LTTB.java). */
+  def lttb(threshold: Int): DataFrame =
+    perSeries((id, pts) => SeriesKernels.lttb(pts, threshold).map(p => (id, p.ts, p.v)))
+      .toDF("gtsid", "ts", "vdouble")
+
+  /** Single (beta=None) or Holt double exponential smoothing. */
+  def expSmooth(alpha: Double, beta: Option[Double] = None): DataFrame =
+    perSeries { (id, pts) =>
+      val out = beta match {
+        case Some(b) => doubleExpSmoothing(pts, alpha, b)
+        case None    => singleExpSmoothing(pts, alpha)
+      }
+      out.map(p => (id, p.ts, p.v))
+    }.toDF("gtsid", "ts", "vdouble")
+
+  /** FFT magnitude spectrum per series (continuum/gts/FFT.java). */
+  def fftMag(): DataFrame =
+    perSeries((id, pts) =>
+      fftMagnitude(pts.map(_.v).toArray).map { case (k, m) => (id, k, m) })
+      .toDF("gtsid", "freq", "magnitude")
+
+  /** LOWESS smoothing (fn/LOWESS.java). */
+  def lowessSmooth(bandwidth: Double): DataFrame =
+    perSeries((id, pts) => lowess(pts, bandwidth).map(p => (id, p.ts, p.v)))
+      .toDF("gtsid", "ts", "vdouble")
+
+  /** STL-style decomposition (fn/STL.java): trend/seasonal/residual. */
+  def decomposeSeasonal(period: Int): DataFrame =
+    perSeries((id, pts) => decompose(pts, period).map { case (p, t, s, r) =>
+      (id, p.ts, p.v, t, s, r)
+    }).toDF("gtsid", "ts", "vdouble", "trend", "seasonal", "resid")
+
+  /** ZSCORETEST / modified-z (MAD) outliers (GTSOutliersHelper:148-639). */
+  def zscoreOutliers(threshold: Double, useMad: Boolean = false): DataFrame =
+    perSeries((id, pts) =>
+      SeriesKernels.zscoreOutliers(pts, threshold, useMad).map(p => (id, p.ts, p.v)))
+      .toDF("gtsid", "ts", "vdouble")
+
+  /** ESDTEST — up to k outliers per series. */
+  def esdOutliers(k: Int, alpha: Double = 0.05): DataFrame =
+    perSeries((id, pts) => esd(pts, k, alpha).map(p => (id, p.ts, p.v)))
+      .toDF("gtsid", "ts", "vdouble")
+
+  /** SAX words per fixed-count window (script/SAXUtils.java; PATTERNS). */
+  def saxWords(window: Int, wordLen: Int, alphabet: Int): DataFrame =
+    perSeries { (id, pts) =>
+      pts.grouped(window).filter(_.length == window).map { chunk =>
+        (id, chunk.head.ts, saxWord(chunk.map(_.v), wordLen, alphabet))
+      }
+    }.toDF("gtsid", "window_start", "sax_word")
+
+  /** Spline/Akima interpolation of the empty buckets of a bucketized
+    * series (script/filler/FillerSpline|FillerAkima). */
+  def fillInterpolated(lastbucket: Long, span: Long, count: Long,
+                       akima: Boolean): DataFrame = {
+    val grid = (0L until count).map(k => lastbucket - k * span).sorted
+    perSeries { (id, pts) =>
+      val have = pts.map(_.ts).toSet
+      val missing = grid.filterNot(have.contains)
+      val interp = interpolateAt(pts, missing, akima).map(p => (id, p.ts, p.v, true))
+      pts.map(p => (id, p.ts, p.v, false)) ++ interp
+    }.toDF("gtsid", "ts", "vdouble", "interpolated")
+  }
+}
+
+object KernelOps {
+  def apply(df: DataFrame): KernelOps = new KernelOps(df)
+
+  /** DTW distance between the two sides' series matched on `byLabel`
+    * (fn/DTW.java): inputs are two canonical frames; output one distance
+    * per matched label value. Series are collected per key (same
+    * memory contract as the reference's in-RAM GTS pairs).
+    */
+  def dtwPairs(a: DataFrame, b: DataFrame, byLabel: String): DataFrame = {
+    def side(d: DataFrame, out: String) =
+      d.select(col("labels").getItem(byLabel).as(byLabel),
+          col("ts"), col("vdouble"))
+        .groupBy(col(byLabel))
+        .agg(sort_array(collect_list(struct(col("ts"), col("vdouble"))))
+          .as(out))
+    val dtwUdf = udf((x: Seq[org.apache.spark.sql.Row], y: Seq[org.apache.spark.sql.Row]) =>
+      dtw(x.map(_.getDouble(1)).toIndexedSeq, y.map(_.getDouble(1)).toIndexedSeq))
+    side(a, "va").join(side(b, "vb"), byLabel)
+      .select(col(byLabel), dtwUdf(col("va"), col("vb")).as("dtw_dist"))
+  }
+
+  /** CORRELATE two sides at integer lags (continuum/gts/CORRELATE.java). */
+  def correlatePairs(a: DataFrame, b: DataFrame, byLabel: String,
+                     lags: Seq[Int]): DataFrame = {
+    def side(d: DataFrame, out: String) =
+      d.select(col("labels").getItem(byLabel).as(byLabel),
+          col("ts"), col("vdouble"))
+        .groupBy(col(byLabel))
+        .agg(sort_array(collect_list(struct(col("ts"), col("vdouble"))))
+          .as(out))
+    val corrUdf = udf((x: Seq[org.apache.spark.sql.Row], y: Seq[org.apache.spark.sql.Row]) =>
+      correlateAtLags(x.map(_.getDouble(1)).toIndexedSeq,
+        y.map(_.getDouble(1)).toIndexedSeq, lags))
+    side(a, "va").join(side(b, "vb"), byLabel)
+      .select(col(byLabel),
+        explode(corrUdf(col("va"), col("vb"))).as("lag_corr"))
+      .select(col(byLabel), col("lag_corr._1").as("lag"),
+        col("lag_corr._2").as("corr"))
+  }
+}

@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.text.TextOps
+import graft.text.TextOps._
+
+/** MinHash / LSH / SimHash dedup pack — oracle-verified end-to-end
+  * because every hash is engine-portable (md5-derived 60-bit ints,
+  * affine perms mod 2^31−1). Sampled doc_id bounds keep the pairwise
+  * oracle baselines linear-ish at larger SF; the LSH path is the scale
+  * path (no pairwise blowup).
+  */
+object TextQueries2 {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MinHash signatures (8 perms over word-3-gram shingles)
+    "t09_minhash_signature" -> ((s, dir) =>
+      minhashSignatures(docs(s, dir), "text", 3)),
+
+    // Top-20 estimated-Jaccard pairs (exact all-pairs baseline, sampled)
+    "t10_minhash_toppairs" -> ((s, dir) =>
+      minhashTopPairs(docs(s, dir).filter(col("doc_id") < 1000), "text", 3, 20)),
+
+    // 32-bit SimHash per doc
+    "t11_simhash" -> ((s, dir) => simhash(docs(s, dir), "text")),
+
+    // Exact n-gram Jaccard verification pairs (≥2 shared shingles)
+    "t12_ngram_jaccard" -> ((s, dir) =>
+      ngramJaccardPairs(docs(s, dir).filter(col("doc_id") < 1000), "text", 3, 2L)
+        .select(col("ida"), col("idb"), col("inter"),
+          round(col("jaccard"), 9).as("jaccard"))),
+
+    // LSH banding candidates (4 bands × 2 rows)
+    "t13_lsh_candidates" -> ((s, dir) =>
+      lshCandidates(docs(s, dir).filter(col("doc_id") < 1000), "text", 3)),
+
+    // SimHash near-dup pairs by hamming distance (sampled left side)
+    "t14_simhash_neardup" -> ((s, dir) => {
+      val sig = simhash(docs(s, dir), "text")
+      val a = sig.select(col("doc_id").as("ida"), col("simhash").as("ha"))
+        .filter(col("ida") < 500)
+      val b = sig.select(col("doc_id").as("idb"), col("simhash").as("hb"))
+      a.join(b, col("ida") < col("idb"))
+        .withColumn("hdist", TextOps.hamming(col("ha"), col("hb")).cast(IntegerType))
+        .filter(col("hdist") <= 8)
+        .select(col("ida"), col("idb"), col("hdist"))
+    })
+  )
+
+  // ---- oracle SQL (shared CTE prefix for shingle hashing) ----
+
+  private val SH =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |gr AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words) - 2),
+      |         i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS grams
+      |       FROM w WHERE len(words) >= 3),
+      |sh AS (SELECT doc_id, unnest(grams) AS shingle FROM gr),
+      |hh AS (SELECT doc_id, ('0x' || substring(md5(shingle),1,15))::BIGINT AS h60 FROM sh)""".stripMargin
+
+  private def mhSelect: String = (0 until NumPerms).map { i =>
+    s"min((((h60 % $P) * ${permA(i)}) + ${permB(i)}) % $P) AS mh$i"
+  }.mkString(", ")
+
+  private val SIG = s"sig AS (SELECT doc_id, $mhSelect FROM hh GROUP BY 1)"
+
+  private def simhashVotes: String = (0 until SimhashBits).map { j =>
+    s"sum(CASE WHEN ((h60 >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS s$j"
+  }.mkString(", ")
+
+  private def simhashAssemble: String = (0 until SimhashBits).map { j =>
+    s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)"
+  }.mkString(" + ")
+
+  val oracleSql: Map[String, String] = Map(
+    "t09_minhash_signature" ->
+      s"""WITH $SH
+         |SELECT doc_id, $mhSelect FROM hh GROUP BY 1""".stripMargin,
+
+    "t10_minhash_toppairs" -> {
+      val est = (0 until NumPerms)
+        .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+         |           FROM documents WHERE doc_id < 1000),
+         |gr AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words) - 2),
+         |         i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS grams
+         |       FROM w WHERE len(words) >= 3),
+         |sh AS (SELECT doc_id, unnest(grams) AS shingle FROM gr),
+         |hh AS (SELECT doc_id, ('0x' || substring(md5(shingle),1,15))::BIGINT AS h60 FROM sh),
+         |$SIG,
+         |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |        CAST($est AS DOUBLE) / $NumPerms AS est_jaccard
+         |      FROM sig a JOIN sig b ON a.doc_id < b.doc_id),
+         |r AS (SELECT ida, idb, est_jaccard,
+         |        row_number() OVER (ORDER BY est_jaccard DESC, ida, idb) AS rk FROM p)
+         |SELECT ida, idb, est_jaccard, CAST(rk AS INT) AS rk FROM r WHERE rk <= 20""".stripMargin
+    },
+
+    "t11_simhash" ->
+      s"""WITH wd AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+         |            FROM documents),
+         |hh AS (SELECT doc_id, ('0x' || substring(md5(w),1,15))::BIGINT AS h60 FROM wd),
+         |v AS (SELECT doc_id, $simhashVotes FROM hh GROUP BY 1)
+         |SELECT doc_id, CAST($simhashAssemble AS BIGINT) AS simhash FROM v""".stripMargin,
+
+    "t12_ngram_jaccard" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+         |           FROM documents WHERE doc_id < 1000),
+         |gr AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words) - 2),
+         |         i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS grams
+         |       FROM w WHERE len(words) >= 3),
+         |sh AS (SELECT doc_id, unnest(grams) AS shingle FROM gr),
+         |hh AS (SELECT doc_id, ('0x' || substring(md5(shingle),1,15))::BIGINT AS h60 FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS nsh FROM hh GROUP BY 1),
+         |io AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter
+         |       FROM hh a JOIN hh b ON a.h60 = b.h60 AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT io.ida, io.idb, io.inter,
+         |       round(CAST(io.inter AS DOUBLE) / (sa.nsh + sb.nsh - io.inter), 9) AS jaccard
+         |FROM io JOIN sz sa ON io.ida = sa.doc_id
+         |        JOIN sz sb ON io.idb = sb.doc_id""".stripMargin,
+
+    "t13_lsh_candidates" -> {
+      val bandSelects = (0 until NumPerms / 2).map { b =>
+        s"SELECT doc_id, $b AS bi, mh${2 * b} || '_' || mh${2 * b + 1} AS bk FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+         |           FROM documents WHERE doc_id < 1000),
+         |gr AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words) - 2),
+         |         i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS grams
+         |       FROM w WHERE len(words) >= 3),
+         |sh AS (SELECT doc_id, unnest(grams) AS shingle FROM gr),
+         |hh AS (SELECT doc_id, ('0x' || substring(md5(shingle),1,15))::BIGINT AS h60 FROM sh),
+         |$SIG,
+         |e AS ($bandSelects)
+         |SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         |FROM e a JOIN e b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id""".stripMargin
+    },
+
+    "t14_simhash_neardup" ->
+      s"""WITH wd AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+         |            FROM documents),
+         |hh AS (SELECT doc_id, ('0x' || substring(md5(w),1,15))::BIGINT AS h60 FROM wd),
+         |v AS (SELECT doc_id, $simhashVotes FROM hh GROUP BY 1),
+         |sg AS (SELECT doc_id, CAST($simhashAssemble AS BIGINT) AS simhash FROM v)
+         |SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hdist
+         |FROM sg a JOIN sg b ON a.doc_id < b.doc_id AND a.doc_id < 500
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin
+  )
+}

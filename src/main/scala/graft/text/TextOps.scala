@@ -1,0 +1,129 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Large-scale text dedup & fingerprinting for LLM-training pipelines:
+  * word-shingles, MinHash signatures, LSH banding, SimHash, exact
+  * n-gram Jaccard. First-class engine components (BASELINE.json north
+  * star), built shuffle-consciously: everything groups/joins on compact
+  * integer keys (never raw text) so the 100 TB plan moves hashes, not
+  * documents.
+  *
+  * Hashing is engine-portable by construction (md5 → 15 hex digits →
+  * 60-bit int; affine permutations mod a 31-bit prime) so results are
+  * bit-reproducible anywhere — including the DuckDB oracle.
+  */
+object TextOps {
+
+  /** 31-bit Mersenne prime for the affine MinHash permutations. */
+  val P: Long = 2147483647L
+  val NumPerms = 8
+
+  def permA(i: Int): Long = (2654435761L * (i + 1)) % P
+  def permB(i: Int): Long = (40503L * (i + 1) + 7) % P
+
+  /** Portable 60-bit content hash: first 15 hex digits of md5. */
+  def hexHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Distinct word n-gram shingles per doc: (doc_id, shingle). Docs with
+    * fewer than n words are dropped (no shingle exists). */
+  def shingles(docs: DataFrame, textCol: String, n: Int): DataFrame = {
+    val words = split(col(textCol), " ")
+    val cnt = size(words)
+    val grams = transform(sequence(lit(0), cnt - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(words, i + k + 1)): _*))
+    docs.filter(cnt >= n)
+      .select(col("doc_id"), explode(array_distinct(grams)).as("shingle"))
+  }
+
+  /** MinHash signature per doc: NumPerms affine permutations of the
+    * shingle hash, min-aggregated — one shuffle on doc_id. */
+  def minhashSignatures(docs: DataFrame, textCol: String, n: Int): DataFrame = {
+    val sh = shingles(docs, textCol, n)
+    val hm = hexHash60(col("shingle")) % P
+    sh.groupBy(col("doc_id"))
+      .agg(min((hm * permA(0) + permB(0)) % P).as("mh0"),
+        (1 until NumPerms).map(i =>
+          min((hm * permA(i) + permB(i)) % P).as(s"mh$i")): _*)
+  }
+
+  /** Candidate near-dup pairs via LSH banding (bands of 2 rows over the
+    * 8-perm signature): docs sharing ANY band collide. The self-join is
+    * on (band index, band key) — tiny keys, massively selective. */
+  def lshCandidates(docs: DataFrame, textCol: String, n: Int): DataFrame = {
+    val sig = minhashSignatures(docs, textCol, n)
+    val bands = array((0 until NumPerms / 2).map(b =>
+      struct(lit(b).as("bi"),
+        concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bk"))): _*)
+    val e = sig.select(col("doc_id"), explode(bands).as("band"))
+      .select(col("doc_id"), col("band.bi").as("bi"), col("band.bk").as("bk"))
+    val l = e.select(col("doc_id").as("ida"), col("bi"), col("bk"))
+    val r = e.select(col("doc_id").as("idb"), col("bi"), col("bk"))
+    l.join(r, Seq("bi", "bk")).filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb")).distinct()
+  }
+
+  /** Estimated-Jaccard top-k similar pairs from MinHash signatures
+    * (all-pairs over signatures — use [[lshCandidates]] at scale;
+    * this exact variant is the small-data oracle baseline). */
+  def minhashTopPairs(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
+    val sig = minhashSignatures(docs, textCol, n)
+    val a = sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+    val b = sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+    val matches = (0 until NumPerms)
+      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("est_jaccard").desc, col("ida"), col("idb"))
+    a.crossJoin(b).filter(col("a_doc_id") < col("b_doc_id"))
+      .select(col("a_doc_id").as("ida"), col("b_doc_id").as("idb"),
+        (matches.cast(DoubleType) / NumPerms).as("est_jaccard"))
+      .withColumn("rk", row_number().over(w).cast(IntegerType))
+      .filter(col("rk") <= k)
+  }
+
+  /** Exact n-gram Jaccard for pairs sharing ≥ minIntersect shingles:
+    * the verification stage after LSH candidates. Joins on the shingle
+    * HASH, not the shingle text. */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String, n: Int,
+                        minIntersect: Long): DataFrame = {
+    val sh = shingles(docs, textCol, n)
+      .select(col("doc_id"), hexHash60(col("shingle")).as("h"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val inter = sh.select(col("doc_id").as("ida"), col("h"))
+      .join(sh.select(col("doc_id").as("idb"), col("h")), "h")
+      .filter(col("ida") < col("idb"))
+      .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("inter"))
+      .filter(col("inter") >= minIntersect)
+    inter
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "ida", "nsh" -> "na")), "ida")
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "idb", "nsh" -> "nb")), "idb")
+      .select(col("ida"), col("idb"), col("inter"),
+        (col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+  }
+
+  val SimhashBits = 32
+
+  /** 32-bit SimHash over distinct words (Charikar 2002): per bit, sum
+    * ±1 votes of each word-hash's bit, take the sign. One groupBy with
+    * 32 conditional sums — fully codegen'd, no UDF. */
+  def simhash(docs: DataFrame, textCol: String): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(array_distinct(split(col(textCol), " "))).as("w"))
+    val h = hexHash60(col("w"))
+    val votes = (0 until SimhashBits).map(j =>
+      sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j"))
+    val agg = words.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val sig = (0 until SimhashBits)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Hamming distance between two simhash values. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}
