@@ -1,0 +1,112 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for training-data pipelines: image/audio/video
+  * payloads ride as opaque `binary` columns with typed metadata, and
+  * decode / feature-extraction / resize / frame-sampling run as
+  * partition-batched transforms over those bytes.
+  *
+  * The Spark-side plumbing here is REAL — schema, partition batching,
+  * deterministic output contract — while the codec itself is a clearly
+  * marked STUB (`stubDecode`): this container ships no image/audio
+  * libraries, so the stub derives deterministic pseudo-metadata from
+  * the bytes (md5-based). Swapping `stubDecode` for a JNI/javacv codec
+  * changes no query shape.
+  */
+object MultimodalOps {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media", BinaryType, nullable = false),
+    StructField("mime", StringType, nullable = false),
+    StructField("meta", MapType(StringType, StringType), nullable = false)))
+
+  /** Build a deterministic media table from the documents table (each
+    * text's UTF-8 bytes stand in for an encoded image payload). */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      lit("application/x-graft-stub").as("mime"),
+      map(lit("origin"), col("source")).as("meta"))
+
+  /** ==== STUB ==== pretend-decode of a media payload: deterministic
+    * pseudo width/height/channels/duration derived from the content
+    * hash. Replace with a real codec at deployment; the signature
+    * (bytes → fixed-schema features) is the real contract. */
+  def stubDecode(bytes: Array[Byte]): (Int, Int, Int, Long) = {
+    val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    def u(i: Int): Long = java.lang.Byte.toUnsignedLong(md(i))
+    val h60 = (0 until 8).map(i => u(i) << (8 * (7 - i))).sum >>> 4 // 60 bits
+    val width = (h60 % 640).toInt
+    val height = ((h60 / 640) % 480).toInt
+    val channels = 1 + (h60 % 3).toInt
+    (width, height, channels, bytes.length.toLong)
+  }
+
+  /** Feature extraction over media batches: one partition = one batch
+    * of payloads through the (stub) codec — the Scala analogue of a
+    * pandas-batch UDF, with codegen-friendly surroundings. */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false)))
+    val rows = media.select(col("media_id"), col("media")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val (w, h, c, n) = stubDecode(r.getAs[Array[Byte]]("media"))
+        Row(r.getLong(0), w, h, c, n)
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Resize plumbing: emits the target geometry + a (stub) payload of
+    * the right byte budget; batch shape identical to a real resampler. */
+  def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("media", BinaryType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false)))
+    val rows = media.select(col("media_id"), col("media")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]]("media")
+        // ==== STUB ==== a real resampler produces targetW*targetH*c
+        // pixels; the stub truncates/pads the payload to that budget
+        val budget = math.max(1, math.min(bytes.length, targetW * targetH))
+        Row(r.getLong(0), java.util.Arrays.copyOf(bytes, budget), targetW, targetH)
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Frame sampling plumbing for video-like payloads: every `stride`-th
+    * fixed-size chunk of the payload becomes a "frame" row (explode
+    * shape — one input row → many frame rows). */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = false)))
+    val rows = media.select(col("media_id"), col("media")).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]]("media")
+        val nFrames = math.max(bytes.length / frameBytes, 0)
+        (0 until nFrames by stride).map { f =>
+          Row(r.getLong(0), f,
+            java.util.Arrays.copyOfRange(bytes, f * frameBytes,
+              math.min((f + 1) * frameBytes, bytes.length)))
+        }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+}

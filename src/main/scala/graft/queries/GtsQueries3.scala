@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+import graft.model.Gts
+import graft.operators.GtsFrame
+import graft.operators.GtsFrame._
+
+/** Third GTS pack: calendar bucketize, kernel-weighted smoothing,
+  * FETCH count semantics, boolean aggregators, approx distinct. */
+object GtsQueries3 {
+  import GtsQueries.{EV, LB}
+
+  private def gts(s: SparkSession, dir: String) = GtsFrame(Gts.fromEvents(s, dir))
+  private def cents(s: SparkSession, dir: String) = GtsFrame(Gts.fromEventsCents(s, dir))
+  private val userid = col("labels").getItem("user").as("userid")
+
+  /** Binomial kernel weights [1,4,6,4,1]/16 for the ±2 tick window —
+    * the classic dyadic approximation of the gaussian kernel. Dyadic
+    * rationals keep every product/sum exactly representable, so the
+    * result is bit-identical across engines regardless of the
+    * optimizer's addition reassociation. */
+  val KW: Seq[Double] = Seq(0.0625, 0.25, 0.375, 0.25, 0.0625)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BUCKETIZECALENDAR (fn/BUCKETIZECALENDAR.java): calendar-aligned
+    // month buckets, UTC; bucket tick = month start (calendar identity)
+    "g41_bucketize_calendar" -> ((s, dir) =>
+      cents(s, dir).df
+        .groupBy(col("class"), userid,
+          unix_micros(to_timestamp(date_trunc("month", timestamp_micros(col("ts")))))
+            .as("ts"))
+        .agg(sum(col("vdouble")).as("sum_v"), count(lit(1)).as("n"))),
+
+    // mapper.kernel.gaussian (script/mapper/MapperKernel*.java):
+    // kernel-weighted smoothing over a ±2 tick window, renormalized at
+    // series edges — windowed dot product with literal weights
+    "g42_kernel_smooth" -> ((s, dir) => {
+      val w = Window.partitionBy(col("gtsid")).orderBy(col("ts"))
+      val terms = KW.zipWithIndex.map { case (wk, i) =>
+        val off = i - 2
+        val v = if (off < 0) lag(col("vdouble"), -off).over(w)
+                else if (off > 0) lead(col("vdouble"), off).over(w)
+                else col("vdouble")
+        (when(v.isNotNull, v * wk).otherwise(0.0),
+          when(v.isNotNull, lit(wk)).otherwise(0.0))
+      }
+      val num = terms.map(_._1).reduce(_ + _)
+      val den = terms.map(_._2).reduce(_ + _)
+      // no round(): pre-round doubles are bit-identical across engines
+      // (same literal weights, same left-assoc sum order), while Spark
+      // and DuckDB round() tie-break differently on near-.5 reprs
+      cents(s, dir).df
+        .select(col("class"), userid, col("ts"),
+          (num / den).as("smooth_v"))
+    }),
+
+    // FETCH count semantics: most recent 5 points per series
+    // (fn/FETCH.java count param; newest-first storage scan)
+    "g43_fetch_lastn" -> ((s, dir) =>
+      gts(s, dir).lastN(5)
+        .df.select(col("class"), userid, col("ts"), col("vdouble"))),
+
+    // bucketizer.and / bucketizer.or over a derived boolean GTS
+    // (script/aggregator — bool_and/bool_or)
+    "g44_bool_aggs" -> ((s, dir) =>
+      gts(s, dir).df
+        .withColumn("b", col("vdouble") > 50.0)
+        .groupBy(col("class"), userid)
+        .agg(bool_and(col("b")).as("all_gt"), bool_or(col("b")).as("any_gt"),
+          count(when(col("b"), 1)).as("n_true"))),
+
+    // HLL++ approximate distinct (script/HyperLogLogPlus.java →
+    // approx_count_distinct). Rows-only check: sketch estimates are
+    // engine-specific by nature; the exact companion is r07.
+    "h01_approx_distinct" -> ((s, dir) =>
+      gts(s, dir).df.groupBy(col("class"))
+        .agg(approx_count_distinct(col("labels").getItem("user")).as("approx_users"),
+          countDistinct(col("labels").getItem("user")).as("exact_users")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "g41_bucketize_calendar" ->
+      s"""WITH g AS ($EV)
+         |SELECT class, userid,
+         |       epoch_us(date_trunc('month', make_timestamp(ts))) AS ts,
+         |       sum(cents) AS sum_v, count(*) AS n
+         |FROM g GROUP BY 1, 2, 3""".stripMargin,
+
+    "g42_kernel_smooth" -> {
+      val terms = KW.zipWithIndex.map { case (wk, i) =>
+        val off = i - 2
+        val v = if (off < 0) s"lag(cents, ${-off}) OVER w"
+                else if (off > 0) s"lead(cents, $off) OVER w"
+                else "cents"
+        (s"(CASE WHEN $v IS NOT NULL THEN $v * $wk ELSE 0.0 END)",
+          s"(CASE WHEN $v IS NOT NULL THEN $wk ELSE 0.0 END)")
+      }
+      val num = terms.map(_._1).mkString(" + ")
+      val den = terms.map(_._2).mkString(" + ")
+      s"""WITH g AS ($EV)
+         |SELECT class, userid, ts, ($num) / ($den) AS smooth_v
+         |FROM g
+         |WINDOW w AS (PARTITION BY class, userid ORDER BY ts)""".stripMargin
+    },
+
+    "g43_fetch_lastn" ->
+      s"""WITH g AS ($EV),
+         |r AS (SELECT class, userid, ts, vdouble,
+         |        row_number() OVER (PARTITION BY class, userid
+         |          ORDER BY ts DESC) AS rk FROM g)
+         |SELECT class, userid, ts, vdouble FROM r WHERE rk <= 5""".stripMargin,
+
+    "g44_bool_aggs" ->
+      s"""WITH g AS ($EV)
+         |SELECT class, userid, bool_and(vdouble > 50.0) AS all_gt,
+         |       bool_or(vdouble > 50.0) AS any_gt,
+         |       count(CASE WHEN vdouble > 50.0 THEN 1 END) AS n_true
+         |FROM g GROUP BY 1, 2""".stripMargin
+  )
+}

@@ -72,18 +72,20 @@ object TextQueries {
     // baseline for ANN. Dot/norms computed on scaled integers (exact in
     // double at any summation order) so ranking is engine-deterministic.
     "t06_knn_cosine" -> ((s, dir) => {
+      // norms are precomputed per vector BEFORE the pair join — the
+      // O(n²) stage only does one dot product per pair
       val e = embs(s, dir).select(col("vec_id"),
         transform(col("embedding"), x => round(x.cast(DoubleType) * 1000)).as("v"))
-      val a = e.filter(col("vec_id") < 100).select(col("vec_id").as("qid"), col("v").as("va"))
-      val b = e.select(col("vec_id").as("nid"), col("v").as("vb"))
+        .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x),
+          lit(0.0), (acc, x) => acc + x)))
+      val a = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("nid"), col("v").as("vb"), col("nrm").as("nb"))
       val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
         lit(0.0), (acc, x) => acc + x)
-      val na = aggregate(transform(col("va"), x => x * x), lit(0.0), (acc, x) => acc + x)
-      val nb = aggregate(transform(col("vb"), x => x * x), lit(0.0), (acc, x) => acc + x)
-      val sim = dot / (sqrt(na) * sqrt(nb))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-      a.crossJoin(b).filter(col("qid") =!= col("nid"))
-        .withColumn("cos", sim)
+      broadcast(a).crossJoin(b).filter(col("qid") =!= col("nid"))
+        .withColumn("cos", dot / (col("na") * col("nb")))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .select(col("qid"), col("nid"), round(col("cos"), 9).as("cos_sim"),
@@ -95,14 +97,15 @@ object TextQueries {
     "t07_embedding_neardup" -> ((s, dir) => {
       val e = embs(s, dir).select(col("vec_id"),
         transform(col("embedding"), x => round(x.cast(DoubleType) * 1000)).as("v"))
-      val a = e.filter(col("vec_id") < 500).select(col("vec_id").as("ida"), col("v").as("va"))
-      val b = e.select(col("vec_id").as("idb"), col("v").as("vb"))
+        .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x),
+          lit(0.0), (acc, x) => acc + x)))
+      val a = e.filter(col("vec_id") < 500)
+        .select(col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("idb"), col("v").as("vb"), col("nrm").as("nb"))
       val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
         lit(0.0), (acc, x) => acc + x)
-      val na = aggregate(transform(col("va"), x => x * x), lit(0.0), (acc, x) => acc + x)
-      val nb = aggregate(transform(col("vb"), x => x * x), lit(0.0), (acc, x) => acc + x)
-      a.crossJoin(b).filter(col("ida") < col("idb"))
-        .withColumn("cos", dot / (sqrt(na) * sqrt(nb)))
+      broadcast(a).crossJoin(b).filter(col("ida") < col("idb"))
+        .withColumn("cos", dot / (col("na") * col("nb")))
         .filter(col("cos") > 0.95)
         .select(col("ida"), col("idb"), round(col("cos"), 9).as("cos_sim"))
     }),

@@ -42,12 +42,14 @@ object TextOps {
   /** MinHash signature per doc: NumPerms affine permutations of the
     * shingle hash, min-aggregated — one shuffle on doc_id. */
   def minhashSignatures(docs: DataFrame, textCol: String, n: Int): DataFrame = {
+    // materialize the md5-derived hash ONCE per shingle — the 8 min
+    // aggregates then run on a cheap long column (md5 is the hot cost)
     val sh = shingles(docs, textCol, n)
-    val hm = hexHash60(col("shingle")) % P
+      .select(col("doc_id"), (hexHash60(col("shingle")) % P).as("hm"))
     sh.groupBy(col("doc_id"))
-      .agg(min((hm * permA(0) + permB(0)) % P).as("mh0"),
+      .agg(min((col("hm") * permA(0) + permB(0)) % P).as("mh0"),
         (1 until NumPerms).map(i =>
-          min((hm * permA(i) + permB(i)) % P).as(s"mh$i")): _*)
+          min((col("hm") * permA(i) + permB(i)) % P).as(s"mh$i")): _*)
   }
 
   /** Candidate near-dup pairs via LSH banding (bands of 2 rows over the
@@ -114,7 +116,8 @@ object TextOps {
   def simhash(docs: DataFrame, textCol: String): DataFrame = {
     val words = docs.select(col("doc_id"),
       explode(array_distinct(split(col(textCol), " "))).as("w"))
-    val h = hexHash60(col("w"))
+      .select(col("doc_id"), hexHash60(col("w")).as("h60"))
+    val h = col("h60")
     val votes = (0 until SimhashBits).map(j =>
       sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j"))
     val agg = words.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)

@@ -64,8 +64,9 @@ class StructuralOpsSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has an oracle") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(missing.isEmpty, s"rows-only queries (intentional?): $missing")
+  test("every query has an oracle or is declared rows-only") {
+    val rowsOnly = Set("h01_approx_distinct") // sketch values are engine-specific
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+    assert(missing.isEmpty, s"undeclared rows-only queries: $missing")
   }
 }
