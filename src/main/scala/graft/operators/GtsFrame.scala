@@ -78,8 +78,9 @@ final case class GtsFrame(df: DataFrame) {
       if (bucketcount > 0)
         col("ts") > lastbucket - bucketcount * bucketspan && col("ts") <= lastbucket
       else col("ts") <= lastbucket
-    val bucketEnd = lit(lastbucket) -
-      floor((lit(lastbucket) - col("ts")) / bucketspan).cast(LongType) * bucketspan
+    // native codegen'd expression; exact long arithmetic (plans/BucketEnd)
+    val bucketEnd = graft.plans.BucketEnd.bucketEnd(df.sparkSession,
+      col("ts"), lit(lastbucket), lit(bucketspan))
     val grouped = df.filter(inWindow)
       .withColumn("__bucket", bucketEnd)
       .groupBy(col("gtsid"), col("__bucket"))
@@ -261,8 +262,8 @@ final case class GtsFrame(df: DataFrame) {
     * ending at `lastchunk`; adds a `chunkid` label-like column (the
     * chunk's end tick). */
   def chunk(lastchunk: Long, width: Long): DataFrame = {
-    val chunkEnd = lit(lastchunk) -
-      floor((lit(lastchunk) - col("ts")) / width).cast(LongType) * width
+    val chunkEnd = graft.plans.BucketEnd.bucketEnd(df.sparkSession,
+      col("ts"), lit(lastchunk), lit(width))
     df.filter(col("ts") <= lastchunk).withColumn("chunkid", chunkEnd)
   }
 
@@ -447,7 +448,7 @@ final case class GtsFrame(df: DataFrame) {
 
   private def withBucket(lastbucket: Long, span: Long): DataFrame =
     df.filter(col("ts") <= lastbucket).withColumn("__bucket",
-      lit(lastbucket) - floor((lit(lastbucket) - col("ts")) / span).cast(LongType) * span)
+      graft.plans.BucketEnd.bucketEnd(df.sparkSession, col("ts"), lit(lastbucket), lit(span)))
 }
 
 object GtsFrame {
