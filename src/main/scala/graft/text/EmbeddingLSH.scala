@@ -1,0 +1,67 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** LSH-bucketed approximate nearest neighbors over an embedding column —
+  * the SCALE path for similarity search (brute-force cosine is the
+  * oracle baseline, TextQueries t06): random-hyperplane signatures
+  * (Charikar 2002 SimHash for cosine), bucket join, exact re-rank of
+  * candidates only.
+  *
+  * Hyperplanes are deterministic ±1 matrices derived from an affine
+  * hash (engine-portable, so DuckDB can replicate bit-for-bit). At
+  * 100 TB the pairwise stage touches only bucket-colliding pairs —
+  * the blowup of all-pairs cosine never happens.
+  */
+object EmbeddingLSH {
+
+  val Bits = 12
+  val Dims = 64
+
+  /** Deterministic ±1 hyperplane weights. */
+  def weight(bit: Int, dim: Int): Int = {
+    val h = (2654435761L * (bit * Dims + dim + 1) + 40503L) % 2147483647L
+    if (h % 2 == 0) 1 else -1
+  }
+
+  /** Signature bucket id: bit j = sign of v · hyperplane_j. Input is
+    * the scaled-integer embedding array (see TextQueries). */
+  def bucketCol(v: Column): Column = {
+    val bits = (0 until Bits).map { j =>
+      val dot = (0 until Dims).map { d =>
+        element_at(v, d + 1) * weight(j, d)
+      }.reduce(_ + _)
+      when(dot > 0, lit(1L << j)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Scaled exact-integer embedding (bit-reproducible sums). */
+  def scaled(embedding: Column): Column =
+    transform(embedding, x => round(x.cast(DoubleType) * 1000))
+
+  /** Per-vector LSH bucket assignment. */
+  def buckets(embs: DataFrame): DataFrame =
+    embs.select(col("vec_id"), scaled(col("embedding")).as("v"))
+      .withColumn("bucket", bucketCol(col("v")))
+
+  /** ANN candidate pairs: same bucket → exact cosine re-rank. The join
+    * key is a 12-bit integer — tiny shuffle, no all-pairs stage. */
+  def annPairs(embs: DataFrame, minCos: Double): DataFrame = {
+    val b = buckets(embs)
+      .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x),
+        lit(0.0), (acc, x) => acc + x)))
+    val l = b.select(col("vec_id").as("ida"), col("bucket"),
+      col("v").as("va"), col("nrm").as("na"))
+    val r = b.select(col("vec_id").as("idb"), col("bucket"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    l.join(r, Seq("bucket")).filter(col("ida") < col("idb"))
+      .withColumn("cos", dot / (col("na") * col("nb")))
+      .filter(col("cos") > minCos)
+      .select(col("ida"), col("idb"), col("cos"))
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.{Gts, GtsType}
+import graft.sources.GtsCodec
+import graft.sources.GtsCodec.Point
+import graft.streaming.{StreamingIngest, StreamingState}
+
+class StatefulStreamSpec extends SparkSpec {
+
+  test("stateful streaming counter compensation carries state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val pts = StreamingIngest.parseStream(mem.toDF(), 0L)
+      .withColumn("vdouble", coalesce(col("vdouble"), col("vlong").cast("double")))
+    val q = StreamingState.compensateResets(pts)
+      .writeStream.format("memory").queryName("ctr_out")
+      .outputMode("append").start()
+    // sawtooth: 5, 8 | reset to 2, 6 — compensated: 5, 8, 10, 14
+    mem.addData("1// c{u=a} 5.0", "2// c{u=a} 8.0")
+    q.processAllAvailable()
+    mem.addData("3// c{u=a} 2.0", "4// c{u=a} 6.0") // state crosses batches
+    q.processAllAvailable()
+    val got = spark.sql("SELECT ts, vdouble FROM ctr_out ORDER BY ts")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    q.stop()
+    assert(got === Seq((1L, 5.0), (2L, 8.0), (3L, 10.0), (4L, 14.0)))
+  }
+
+  test("mvSplit explodes encoder-valued points (fn/MVSPLIT.java)") {
+    // a carrier point whose BINARY value is an encoded sub-stream
+    val sub = GtsCodec.encode(Seq(
+      Point(10L, None, None, None, GtsType.DOUBLE, None, Some(1.5), None, None, None),
+      Point(11L, None, None, None, GtsType.DOUBLE, None, Some(2.5), None, None, None)))
+    val carrier = gtsOf(("mv", "u", 100L, 99.0)) // plain point
+    import org.apache.spark.sql.Row
+    val binRow = spark.createDataFrame(
+      java.util.List.of(Row("mv", Map("user" -> "u"), 0L, 200L, null, null, null,
+        GtsType.BINARY, null, null, null, null, sub)),
+      Gts.pointSchema)
+    val points = carrier.unionByName(Gts.canonicalRehash(binRow))
+    val out = GtsCodec.mvSplit(points)
+    assert(out.count() === 3) // 1 plain + 2 exploded
+    assert(out.filter(col("ts") === 10L && col("vdouble") === 1.5).count() === 1)
+    assert(out.filter(col("vtype") === GtsType.BINARY).count() === 0)
+  }
+}
