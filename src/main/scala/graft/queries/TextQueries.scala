@@ -40,6 +40,9 @@ object TextQueries {
     // Text quality scoring: length, token count, mean token length,
     // stopword ratio ('the'/'a' as the synthetic corpus stopwords).
     "t03_text_quality" -> ((s, dir) => {
+      val toks = size(split(col("text"), " ")).cast(LongType)
+      val stops = (size(split(concat(lit(" "), col("text"), lit(" ")), " the | a ")) - 1)
+        .cast(LongType)
       docs(s, dir).select(
         col("doc_id"), col("n_chars"), tokCount.as("n_tokens"),
         round((col("n_chars") - (tokCount - 1)).cast(DoubleType) / tokCount, 9)
@@ -78,10 +81,8 @@ object TextQueries {
       val a = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
       val b = e.select(col("vec_id").as("nid"), col("v").as("vb"), col("nrm").as("nb"))
-      // expanded 64-term dot product stays inside whole-stage codegen
-      // (array HOFs don't); operands are exact ints so order is free
-      val dot = (0 until 64).map(i =>
-        element_at(col("va"), i + 1) * element_at(col("vb"), i + 1)).reduce(_ + _)
+      val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
       broadcast(a).crossJoin(b).filter(col("qid") =!= col("nid"))
         .withColumn("cos", dot / (col("na") * col("nb")))
@@ -101,8 +102,8 @@ object TextQueries {
       val a = e.filter(col("vec_id") < 500)
         .select(col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("na"))
       val b = e.select(col("vec_id").as("idb"), col("v").as("vb"), col("nrm").as("nb"))
-      val dot = (0 until 64).map(i =>
-        element_at(col("va"), i + 1) * element_at(col("vb"), i + 1)).reduce(_ + _)
+      val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
       broadcast(a).crossJoin(b).filter(col("ida") < col("idb"))
         .withColumn("cos", dot / (col("na") * col("nb")))
         .filter(col("cos") > 0.95)
