@@ -72,21 +72,13 @@ object TextQueries {
     // baseline for ANN. Dot/norms computed on scaled integers (exact in
     // double at any summation order) so ranking is engine-deterministic.
     "t06_knn_cosine" -> ((s, dir) => {
-      // norms are precomputed per vector BEFORE the pair join — the
-      // O(n²) stage only does one dot product per pair
-      val e = embs(s, dir).select(col("vec_id"),
-        transform(col("embedding"), x => round(x.cast(DoubleType) * 1000)).as("v"))
-        .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x),
-          lit(0.0), (acc, x) => acc + x)))
-      val a = e.filter(col("vec_id") < 100)
-        .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("nid"), col("v").as("vb"), col("nrm").as("nb"))
-      val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
+      // dense pair stage runs as a primitive-array kernel
+      // (graft.text.BruteForceKnn — mapPartitions, SURVEY §4.2 case d);
+      // exact scaled-int sums keep it bit-identical to the oracle
+      val pairs = graft.text.BruteForceKnn.cosinePairs(
+        embs(s, dir), col("vec_id") < 100, -1.1)
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-      broadcast(a).crossJoin(b).filter(col("qid") =!= col("nid"))
-        .withColumn("cos", dot / (col("na") * col("nb")))
-        .withColumn("rk", row_number().over(w))
+      pairs.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .select(col("qid"), col("nid"), round(col("cos"), 9).as("cos_sim"),
           col("rk").cast(IntegerType).as("rk"))
@@ -94,21 +86,12 @@ object TextQueries {
 
     // Embedding-cosine near-duplicate pairs above a threshold (near-dup
     // dedup building block; symmetric pairs reported once).
-    "t07_embedding_neardup" -> ((s, dir) => {
-      val e = embs(s, dir).select(col("vec_id"),
-        transform(col("embedding"), x => round(x.cast(DoubleType) * 1000)).as("v"))
-        .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x),
-          lit(0.0), (acc, x) => acc + x)))
-      val a = e.filter(col("vec_id") < 500)
-        .select(col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("idb"), col("v").as("vb"), col("nrm").as("nb"))
-      val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
-      broadcast(a).crossJoin(b).filter(col("ida") < col("idb"))
-        .withColumn("cos", dot / (col("na") * col("nb")))
-        .filter(col("cos") > 0.95)
-        .select(col("ida"), col("idb"), round(col("cos"), 9).as("cos_sim"))
-    }),
+    "t07_embedding_neardup" -> ((s, dir) =>
+      graft.text.BruteForceKnn.cosinePairs(
+          embs(s, dir), col("vec_id") < 500, 0.95)
+        .filter(col("qid") < col("nid"))
+        .select(col("qid").as("ida"), col("nid").as("idb"),
+          round(col("cos"), 9).as("cos_sim"))),
 
     // Per-label centroid norms — embedding aggregation shape (mean vector
     // per group), reported as rounded scalar so it hash-compares.
