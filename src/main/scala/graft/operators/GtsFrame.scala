@@ -271,7 +271,10 @@ final case class GtsFrame(df: DataFrame) {
     * longer than `quiet` µs; emits a session id per sub-series via the
     * classic gap-cumsum. */
   def timesplit(quiet: Long): DataFrame = {
-    val w = Window.partitionBy(col("gtsid")).orderBy(col("ts"))
+    // vdouble tiebreaker: duplicate ticks otherwise make lag()/cumsum
+    // order engine-dependent (the reference's sorted GTS has a stable
+    // duplicate-tick order, GTSHelper.java:139-341)
+    val w = Window.partitionBy(col("gtsid")).orderBy(col("ts"), col("vdouble"))
     val gap = col("ts") - lag(col("ts"), 1).over(w)
     df.withColumn("__newsess",
         when(gap.isNull || gap > quiet, 1L).otherwise(0L))

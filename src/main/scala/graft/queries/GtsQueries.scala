@@ -264,15 +264,18 @@ object GtsQueries {
          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumsum
          |FROM g""".stripMargin,
 
+    // sessionid CAST to BIGINT: DuckDB's sum(INTEGER) yields HUGEINT,
+    // which the driver's hasher does not normalize to int64 (the round-1
+    // red row); vdouble tiebreaker makes duplicate-tick order total.
     "g15_timesplit" ->
       s"""WITH g AS ($EV),
          |l AS (SELECT class, userid, ts,
-         |        ts - lag(ts) OVER (PARTITION BY class, userid ORDER BY ts) AS gap
+         |        ts - lag(ts) OVER (PARTITION BY class, userid ORDER BY ts, vdouble) AS gap
          |      FROM g)
          |SELECT class, userid, ts,
-         |       sum(CASE WHEN gap IS NULL OR gap > $HOUR THEN 1 ELSE 0 END)
+         |       CAST(sum(CASE WHEN gap IS NULL OR gap > $HOUR THEN 1 ELSE 0 END)
          |         OVER (PARTITION BY class, userid ORDER BY ts
-         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sessionid
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sessionid
          |FROM l""".stripMargin,
 
     "g16_chunk" ->

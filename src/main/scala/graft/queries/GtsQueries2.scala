@@ -93,8 +93,8 @@ object GtsQueries2 {
     "g29_calendar_profile" -> ((s, dir) =>
       cents(s, dir).df
         .select(col("class"),
-          hour(timestamp_micros(col("ts"))).as("hh"),
-          (weekday(timestamp_micros(col("ts"))) + 1).as("isodow"),
+          hour(timestamp_micros(col("ts"))).cast(LongType).as("hh"),
+          (weekday(timestamp_micros(col("ts"))) + 1).cast(LongType).as("isodow"),
           col("vdouble"))
         .groupBy(col("class"), col("hh"), col("isodow"))
         .agg(count(lit(1)).as("n"), sum(col("vdouble")).as("sum_v"))),
@@ -140,12 +140,13 @@ object GtsQueries2 {
           min_by(col("vdouble"), col("ts")).as("first_v"),
           max_by(col("vdouble"), col("ts")).as("last_v"))),
 
-    // VALUESORT/SORTBY (fn/VALUESORT.java): rank series by total value
+    // VALUESORT/SORTBY (fn/VALUESORT.java): rank series by total value —
+    // full distributed ranking (range partition + offset), no global window
     "g34_valuesort" -> ((s, dir) => {
       val sums = cents(s, dir).df.groupBy(col("class"), userid)
         .agg(sum(col("vdouble")).as("total_v"))
-      val w = Window.orderBy(col("total_v").desc, col("class"), col("userid"))
-      sums.withColumn("rank", row_number().over(w).cast(IntegerType))
+      graft.operators.RankOps.globalRank(sums,
+        Seq(col("total_v").desc, col("class"), col("userid")), "rank")
     }),
 
     // op.mul / op.div (.ignore-nulls style inner alignment): click/view

@@ -52,9 +52,9 @@ object GtsQueries4 {
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderpriority"))
         .agg(rev)
-      val w = Window.orderBy(col("rev_c4").desc, col("l_orderkey"))
-      j.withColumn("rk", row_number().over(w).cast(IntegerType))
-        .filter(col("rk") <= 10)
+      // distributed top-k (TakeOrderedAndProject), not a global window
+      graft.operators.RankOps.topK(j,
+        Seq(col("rev_c4").desc, col("l_orderkey")), 10, "rk")
     })
   )
 

@@ -78,13 +78,13 @@ object TextOps {
     val matches = (0 until NumPerms)
       .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
       .reduce(_ + _)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("est_jaccard").desc, col("ida"), col("idb"))
-    a.crossJoin(b).filter(col("a_doc_id") < col("b_doc_id"))
+    val pairs = a.crossJoin(b).filter(col("a_doc_id") < col("b_doc_id"))
       .select(col("a_doc_id").as("ida"), col("b_doc_id").as("idb"),
         (matches.cast(DoubleType) / NumPerms).as("est_jaccard"))
-      .withColumn("rk", row_number().over(w).cast(IntegerType))
-      .filter(col("rk") <= k)
+    // top-k via TakeOrderedAndProject — the pair stream never funnels
+    // through a single-partition window
+    graft.operators.RankOps.topK(pairs,
+      Seq(col("est_jaccard").desc, col("ida"), col("idb")), k, "rk")
   }
 
   /** Exact n-gram Jaccard for pairs sharing ≥ minIntersect shingles:
