@@ -19,8 +19,18 @@ object AnnQueries {
 
     "a02_lsh_ann_pairs" -> ((s, dir) =>
       EmbeddingLSH.annPairs(embs(s, dir), 0.0)
+        .select(col("ida"), col("idb"), round(col("cos"), 9).as("cos_sim"))),
+
+    // multi-band OR-amplification (4 independent 8-bit signatures):
+    // candidate → dedup → gather → exact-cosine verify; bits scale with
+    // corpus (≈2·log₂N), bands buy recall
+    "a03_lsh_multiband" -> ((s, dir) =>
+      EmbeddingLSH.annPairsMulti(embs(s, dir), 0.0, MbBands, MbBits)
         .select(col("ida"), col("idb"), round(col("cos"), 9).as("cos_sim")))
   )
+
+  val MbBands = 4
+  val MbBits = 8
 
   /** 12 hyperplanes as DuckDB double-list literals. */
   private def planeList(j: Int): String =
@@ -28,6 +38,11 @@ object AnnQueries {
 
   private val bucketExpr: String = (0 until Bits).map { j =>
     s"(CASE WHEN list_dot_product(v, ${planeList(j)}) > 0 THEN ${1L << j} ELSE 0 END)"
+  }.mkString(" + ")
+
+  /** Band `b`'s bucket over planes [b·MbBits, (b+1)·MbBits). */
+  private def bandBucketExpr(b: Int): String = (0 until MbBits).map { j =>
+    s"(CASE WHEN list_dot_product(v, ${planeList(b * MbBits + j)}) > 0 THEN ${1L << j} ELSE 0 END)"
   }.mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
@@ -47,6 +62,26 @@ object AnnQueries {
          |SELECT a.vec_id AS ida, b2.vec_id AS idb,
          |  round(list_dot_product(a.v, b2.v) / (a.nrm * b2.nrm), 9) AS cos_sim
          |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-         |WHERE list_dot_product(a.v, b2.v) / (a.nrm * b2.nrm) > 0.0""".stripMargin
+         |WHERE list_dot_product(a.v, b2.v) / (a.nrm * b2.nrm) > 0.0""".stripMargin,
+
+    "a03_lsh_multiband" -> {
+      val bandCols = (0 until MbBands)
+        .map(b => s"CAST(${bandBucketExpr(b)} AS BIGINT) AS bucket$b").mkString(", ")
+      val unions = (0 until MbBands)
+        .map(b => s"SELECT vec_id, $b AS band, bucket$b AS bucket FROM b")
+        .mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, $bandCols FROM e),
+         |k AS ($unions),
+         |c AS (SELECT DISTINCT a.vec_id AS ida, b2.vec_id AS idb
+         |      FROM k a JOIN k b2 ON a.band = b2.band AND a.bucket = b2.bucket
+         |        AND a.vec_id < b2.vec_id)
+         |SELECT c.ida, c.idb,
+         |  round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 9) AS cos_sim
+         |FROM c JOIN b x ON c.ida = x.vec_id JOIN b y ON c.idb = y.vec_id
+         |WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) > 0.0""".stripMargin
+    }
   )
 }

@@ -50,6 +50,14 @@ object TextQueries2 {
         .withColumn("hdist", TextOps.hamming(col("ha"), col("hb")).cast(IntegerType))
         .filter(col("hdist") <= 8)
         .select(col("ida"), col("idb"), col("hdist"))
+    }),
+
+    // Same answer as t14 via the EXACT banded index (pigeonhole on k+1
+    // bit-blocks + hamming verify) — the 100 TB plan: equality joins on
+    // block keys, no nested-loop all-pairs
+    "t15_simhash_neardup_banded" -> ((s, dir) => {
+      val sig = simhash(docs(s, dir), "text")
+      TextOps.simhashNearDupBanded(sig, SimhashBits, 8, col("doc_id") < 500)
     })
   )
 
@@ -143,6 +151,19 @@ object TextQueries2 {
     },
 
     "t14_simhash_neardup" ->
+      s"""WITH wd AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+         |            FROM documents),
+         |hh AS (SELECT doc_id, ('0x' || substring(md5(w),1,15))::BIGINT AS h60 FROM wd),
+         |v AS (SELECT doc_id, $simhashVotes FROM hh GROUP BY 1),
+         |sg AS (SELECT doc_id, CAST($simhashAssemble AS BIGINT) AS simhash FROM v)
+         |SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hdist
+         |FROM sg a JOIN sg b ON a.doc_id < b.doc_id AND a.doc_id < 500
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin,
+
+    // identical ground truth: the banded index is exact, so the oracle is
+    // the same brute-force SQL as t14
+    "t15_simhash_neardup_banded" ->
       s"""WITH wd AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
          |            FROM documents),
          |hh AS (SELECT doc_id, ('0x' || substring(md5(w),1,15))::BIGINT AS h60 FROM wd),

@@ -64,4 +64,58 @@ object EmbeddingLSH {
       .filter(col("cos") > minCos)
       .select(col("ida"), col("idb"), col("cos"))
   }
+
+  // ---------------------------------------------------------------------
+  // Scale-parameterized multi-band variant (OR-amplification)
+  // ---------------------------------------------------------------------
+
+  /** Signature over `bits` hyperplanes starting at global plane index
+    * `planeOffset` — bands draw disjoint plane ranges so their
+    * signatures are independent. */
+  def bucketColAt(v: Column, planeOffset: Int, bits: Int): Column =
+    (0 until bits).map { j =>
+      val dot = (0 until Dims).map { d =>
+        element_at(v, d + 1) * weight(planeOffset + j, d)
+      }.reduce(_ + _)
+      when(dot > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** One row per (vector, band): the vector's bucket in each of `bands`
+    * independent `bits`-bit signatures. */
+  def multiBuckets(embs: DataFrame, bands: Int, bits: Int): DataFrame = {
+    val bb = array((0 until bands).map(b =>
+      struct(lit(b).as("band"), bucketColAt(col("v"), b * bits, bits).as("bucket"))): _*)
+    embs.select(col("vec_id"), scaled(col("embedding")).as("v"))
+      .select(col("vec_id"), explode(bb).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Multi-band ANN: candidates collide in ANY band (OR-amplification —
+    * recall ≈ 1−(1−p^bits)^bands per Charikar/LSH theory), deduped on
+    * (ida, idb), then gathered against the vector table for the exact
+    * cosine verify. Expected candidate volume for near-orthogonal noise
+    * is bands·N²/2^(bits+1): size `bits ≈ 2·log₂N` to keep the verify
+    * stage ~O(bands·N), and raise `bands` for recall. The three joins
+    * are all equality-key shuffles — nothing quadratic at any N.
+    */
+  def annPairsMulti(embs: DataFrame, minCos: Double,
+                    bands: Int, bits: Int): DataFrame = {
+    val k = multiBuckets(embs, bands, bits)
+    val cand = k.select(col("vec_id").as("ida"), col("band"), col("bucket"))
+      .join(k.select(col("vec_id").as("idb"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb")).distinct()
+    val vecs = embs.select(col("vec_id"), scaled(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x),
+        lit(0.0), (acc, x) => acc + x)))
+    val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    cand
+      .join(vecs.select(col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("na")), "ida")
+      .join(vecs.select(col("vec_id").as("idb"), col("v").as("vb"), col("nrm").as("nb")), "idb")
+      .withColumn("cos", dot / (col("na") * col("nb")))
+      .filter(col("cos") > minCos)
+      .select(col("ida"), col("idb"), col("cos"))
+  }
 }

@@ -129,4 +129,43 @@ object TextOps {
 
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Split a `bits`-wide fingerprint into `blocks` contiguous bit-blocks
+    * of near-equal width (Manku et al., WWW'07 multi-block indexing). */
+  def simhashBlocks(sig: Column, bits: Int, blocks: Int): Seq[Column] =
+    (0 until blocks).map { j =>
+      val lo = j * bits / blocks
+      val hi = (j + 1) * bits / blocks
+      shiftright(sig, lo).bitwiseAND(lit((1L << (hi - lo)) - 1))
+    }
+
+  /** EXACT near-dup pairs (hamming ≤ k) without an all-pairs join: band
+    * the fingerprint into k+1 blocks — by pigeonhole, any pair within
+    * hamming k agrees on at least one whole block — equality-join on
+    * (block index, block value), then verify true hamming on candidates
+    * only. Candidate volume per block is N²/2^(bits/(k+1)) per bucket
+    * family: selectivity scales with fingerprint width, so at corpus
+    * scale pair a wider simhash with a smaller radius (the classic
+    * Manku config is 64-bit prints, k=3 → 16-bit blocks).
+    *
+    * `sig` must have (doc_id, simhash). `leftPred` restricts the query
+    * side (e.g. a sampled subset) while still searching the full corpus.
+    */
+  def simhashNearDupBanded(sig: DataFrame, bits: Int, k: Int,
+                           leftPred: Column = lit(true)): DataFrame = {
+    val blocks = k + 1
+    val blkArr = array(simhashBlocks(col("simhash"), bits, blocks).zipWithIndex.map {
+      case (c, i) => struct(lit(i).as("bi"), c.as("bv"))
+    }: _*)
+    val e = sig.select(col("doc_id"), col("simhash"), explode(blkArr).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+    val l = e.filter(leftPred)
+      .select(col("doc_id").as("ida"), col("simhash").as("ha"), col("bi"), col("bv"))
+    val r = e.select(col("doc_id").as("idb"), col("simhash").as("hb"), col("bi"), col("bv"))
+    l.join(r, Seq("bi", "bv")).filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        hamming(col("ha"), col("hb")).cast(IntegerType).as("hdist"))
+      .filter(col("hdist") <= k)
+      .distinct()
+  }
 }

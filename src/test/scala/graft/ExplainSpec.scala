@@ -41,6 +41,23 @@ class ExplainSpec extends SparkSpec {
     assert(got == truth)
   }
 
+  test("banded simhash near-dup: equality-key joins, no nested-loop; exact vs brute force") {
+    import spark.implicits._
+    // doc 1/2 differ in 3 bits, doc 3 is far from both
+    val sig = Seq((1L, 0x0F0F0F0FL), (2L, 0x0F0F0F08L), (3L, 0x70F0F0F0L))
+      .toDF("doc_id", "simhash")
+    val banded = graft.text.TextOps.simhashNearDupBanded(sig, 32, 8)
+    val p = plan(banded)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    val got = banded.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val rows = sig.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val truth = (for {
+      (ia, ha) <- rows; (ib, hb) <- rows if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 8
+    } yield (ia, ib, d)).toSet
+    assert(got == truth)
+  }
+
   test("globalRank with fewer rows than partitions still ranks densely") {
     import spark.implicits._
     val tiny = Seq((1L, 2.0), (2L, 9.0), (3L, 4.0)).toDF("id", "v")
