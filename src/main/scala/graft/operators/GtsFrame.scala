@@ -443,6 +443,15 @@ final case class GtsFrame(df: DataFrame) {
       sum(inc).over(w.rowsBetween(Window.unboundedPreceding, 0))))
   }
 
+  /** mapper.geo.within (script/mapper/MapperGeoWithin.java): keep only
+    * points inside the shape — codegen'd ray-cast predicate, no UDF. */
+  def geoWithin(shape: graft.functions.GeoShape): GtsFrame =
+    GtsFrame(df.filter(shape.containsCol(col("lat"), col("lon"))))
+
+  /** mapper.geo.outside (MapperGeoOutside). */
+  def geoOutside(shape: graft.functions.GeoShape): GtsFrame =
+    GtsFrame(df.filter(!shape.containsCol(col("lat"), col("lon"))))
+
   /** Annotate each point with its end-anchored bucket tick (`__bucket`)
     * without aggregating — building block for bucket-then-custom-agg
     * pipelines. */
