@@ -149,6 +149,60 @@ final case class GtsFrame(df: DataFrame) {
     GtsFrame(out)
   }
 
+  /** MAP with the `ticks` override (GTSHelper.java:6389-6432): evaluate
+    * the windowed aggregate at an explicit output tick list instead of
+    * the data ticks. Implemented by unioning a null-valued tick grid per
+    * series with the data and running the same range window — the grid
+    * rows see exactly the data points in [tick+pre, tick] (aggs ignore
+    * the null grid values), then only grid rows are kept. `dedup`
+    * collapses duplicate output ticks (GTSHelper dedup param).
+    */
+  def mapWindowAtTicks(agg: ValueAgg, pre: Long, ticks: Seq[Long],
+                       dedup: Boolean = false): DataFrame = {
+    require(pre <= 0, "ticks override implemented for time windows (pre <= 0)")
+    val series = df.groupBy(col("gtsid"))
+      .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
+    val grid = series
+      .withColumn("ts", explode(typedlit(ticks.toArray)))
+      .withColumn("vdouble", lit(null).cast(DoubleType))
+      .withColumn("__grid", lit(1))
+    val data = df.select(col("gtsid"), col("class"), col("labels"),
+        col("ts"), col("vdouble"))
+      .withColumn("__grid", lit(0))
+    val w = Window.partitionBy(col("gtsid")).orderBy(col("ts"))
+      .rangeBetween(pre, 0)
+    val mapped = data.unionByName(grid)
+      .withColumn("__mapped", agg.over(col("vdouble"), col("ts"), w))
+      .filter(col("__grid") === 1)
+      .drop("__grid", "vdouble")
+      .withColumnRenamed("__mapped", "vdouble")
+    if (dedup) mapped.dropDuplicates("gtsid", "ts") else mapped
+  }
+
+  /** filter.latencies (script/filter/LatencyFilter.java): treat values
+    * as packet-payload hashes; match each uplink point to downlink
+    * points with the SAME value within [minLat, maxLat] µs after it,
+    * emitting per-uplink-tick match count and min/max latency. A
+    * value-equality band join — equality keys (labels, value) carry the
+    * shuffle; the latency band is a residual predicate. */
+  def latencyMatch(downlink: GtsFrame, byLabels: Seq[String],
+                   minLat: Long, maxLat: Long): DataFrame = {
+    def side(d: DataFrame, t: String, v: String) =
+      d.select(byLabels.map(l => col("labels").getItem(l).as(l)) :+
+        col("ts").as(t) :+ col("vdouble").as(v): _*)
+    val u = side(df, "uts", "uv")
+    val d = side(downlink.df, "dts", "dv")
+      .withColumnsRenamed(byLabels.map(l => l -> s"__d_$l").toMap)
+    val cond = byLabels.map(l => col(l) === col(s"__d_$l")).reduce(_ && _) &&
+      col("uv") === col("dv") &&
+      col("dts") - col("uts") >= minLat && col("dts") - col("uts") <= maxLat
+    u.join(d, cond)
+      .groupBy(byLabels.map(col) :+ col("uts").as("ts"): _*)
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("dts") - col("uts")).as("min_latency"),
+        max(col("dts") - col("uts")).as("max_latency"))
+  }
+
   // ---------------------------------------------------------------------
   // REDUCE — n-way align on tick within label-equivalence classes
   // (GTSHelper.java:8147-8480; fn/REDUCE.java)
@@ -193,15 +247,26 @@ final case class GtsFrame(df: DataFrame) {
     * automatically when the single side is small.
     */
   def applyOp(other: GtsFrame, op: (Column, Column) => Column,
-              byLabels: Seq[String], joinType: String = "full_outer"): DataFrame = {
+              byLabels: Seq[String], joinType: String = "full_outer"): DataFrame =
+    applyOps(other, Seq("vdouble" -> op), byLabels, joinType)
+
+  /** Multi-output APPLY: evaluate several ops over one tick alignment
+    * (the reference evaluates op lists in one pass too). Comparison ops
+    * op.eq/ne/gt/ge/lt/le emit null when an operand is absent
+    * (script/op/OpGT.java null handling); `.ignore-nulls` variants
+    * substitute the op's identity — both are just Column functions here.
+    */
+  def applyOps(other: GtsFrame, ops: Seq[(String, (Column, Column) => Column)],
+               byLabels: Seq[String], joinType: String = "full_outer"): DataFrame = {
     def side(d: DataFrame, v: String) =
       d.select(byLabels.map(l => col("labels").getItem(l).as(l)) :+
         col("ts") :+ col("vdouble").as(v): _*)
     val l = side(df, "__vl")
     val r = side(other.df, "__vr")
-    l.join(r, byLabels :+ "ts", joinType)
-      .withColumn("vdouble", op(col("__vl"), col("__vr")))
-      .drop("__vl", "__vr")
+    val joined = l.join(r, byLabels :+ "ts", joinType)
+    ops.foldLeft(joined) { case (d, (name, op)) =>
+      d.withColumn(name, op(col("__vl"), col("__vr")))
+    }.drop("__vl", "__vr")
   }
 
   /** op.mask / op.negmask (script/op/OpMask.java): emit the value of this
@@ -283,10 +348,21 @@ final case class GtsFrame(df: DataFrame) {
       .drop("__newsess")
   }
 
-  /** TIMESCALE / TIMESHIFT / TIMEMODULO — affine tick transforms. */
+  /** TIMESCALE / TIMESHIFT — affine tick transforms. */
   def timeshift(delta: Long): GtsFrame = GtsFrame(df.withColumn("ts", col("ts") + delta))
   def timescale(k: Double): GtsFrame =
     GtsFrame(df.withColumn("ts", (col("ts") * k).cast(LongType)))
+
+  /** TIMEMODULO (fn/TIMEMODULO.java): fold ticks to ts % modulo and
+    * carry ts div modulo in a quotient label — splits each series into
+    * one sub-series per quotient, all sharing a common phase axis. */
+  def timemodulo(modulo: Long, quotientLabel: String): GtsFrame =
+    GtsFrame(df
+      .withColumn("labels", map_concat(col("labels"),
+        map(lit(quotientLabel), (col("ts") / modulo).cast(LongType).cast(StringType))))
+      .withColumn("ts", col("ts") % modulo)
+      // label change ⇒ new series identity
+      .withColumn("gtsid", Gts.gtsIdCol(col("class"), col("labels"))))
 
   /** QUANTIZE (fn/QUANTIZE.java) — snap values to level boundaries. */
   def quantize(step: Double): GtsFrame =

@@ -35,6 +35,22 @@ object GtsQueries3 {
             .as("ts"))
         .agg(sum(col("vdouble")).as("sum_v"), count(lit(1)).as("n"))),
 
+    // BUCKETIZECALENDAR with an explicit timezone (fn/BUCKETIZECALENDAR
+    // .java bucketizecalendar.timezone param): LOCAL calendar days whose
+    // µs width varies with DST — orders dates span 1992-98, crossing
+    // every Europe/Paris March/October transition, so the local-midnight
+    // bucket tick alternates between 23:00 and 22:00 UTC of the prior day
+    "g50_bucketize_calendar_tz" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val tick = unix_micros(col("o_orderdate").cast(TimestampType))
+      val dayTz = unix_micros(to_utc_timestamp(
+        date_trunc("DAY", from_utc_timestamp(timestamp_micros(tick), "Europe/Paris")),
+        "Europe/Paris"))
+      o.groupBy(col("o_orderpriority").as("prio"), dayTz.as("ts"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast(LongType)).as("cents"))
+    }),
+
     // mapper.kernel.gaussian (script/mapper/MapperKernel*.java):
     // kernel-weighted smoothing over a ±2 tick window, renormalized at
     // series edges — windowed dot product with literal weights
@@ -89,6 +105,15 @@ object GtsQueries3 {
          |       epoch_us(date_trunc('month', make_timestamp(ts))) AS ts,
          |       sum(cents) AS sum_v, count(*) AS n
          |FROM g GROUP BY 1, 2, 3""".stripMargin,
+
+    "g50_bucketize_calendar_tz" ->
+      """SELECT o_orderpriority AS prio,
+        |  epoch_us(timezone('Europe/Paris', date_trunc('day',
+        |    timezone('Europe/Paris',
+        |      make_timestamptz(epoch_us(CAST(o_orderdate AS TIMESTAMP))))))) AS ts,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY 1, 2""".stripMargin,
 
     "g42_kernel_smooth" -> {
       val terms = KW.zipWithIndex.map { case (wk, i) =>

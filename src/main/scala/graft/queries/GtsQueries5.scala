@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.Gts
+import graft.operators.GtsFrame
+import graft.operators.GtsFrame._
+
+/** Fifth pack: op comparison family (+negmask, +ignore-nulls), MAP with
+  * ticks override + dedup, TIMEMODULO, filter.latencies. */
+object GtsQueries5 {
+  import GtsQueries.{EV, LB, T0, T7, HOUR, DAY}
+
+  private def gts(s: SparkSession, dir: String) = GtsFrame(Gts.fromEvents(s, dir))
+  private def cents(s: SparkSession, dir: String) = GtsFrame(Gts.fromEventsCents(s, dir))
+  private val userid = col("labels").getItem("user").as("userid")
+
+  private def daily(s: SparkSession, dir: String, cls: String): GtsFrame =
+    GtsFrame(cents(s, dir).df.filter(col("class") === cls)).bucketize(Sum, LB, DAY)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // op.gt / op.eq (script/op/OpGT.java, OpEQ) + op.add.ignore-nulls:
+    // daily click vs view cents per user, full-outer tick align;
+    // comparisons null out when an operand is absent, ignore-nulls
+    // substitutes the identity
+    "g51_op_compare" -> ((s, dir) =>
+      daily(s, dir, "events.click").applyOps(daily(s, dir, "events.view"),
+        Seq(
+          "gt" -> ((l, r) => when(l.isNotNull && r.isNotNull, (l > r).cast(LongType))),
+          "eq" -> ((l, r) => when(l.isNotNull && r.isNotNull, (l === r).cast(LongType))),
+          "add_in" -> ((l, r) => coalesce(l, lit(0.0)) + coalesce(r, lit(0.0)))),
+        Seq("user"))
+        .select(col("user").as("userid"), col("ts"),
+          col("gt"), col("eq"), col("add_in"))),
+
+    // op.negmask (script/op/OpMask.java negate): daily error sum kept
+    // where the mask (daily click count > 2, as 1/0) is FALSY
+    "g52_negmask" -> ((s, dir) => {
+      val errs = daily(s, dir, "events.error")
+      val flag = GtsFrame(
+        GtsFrame(cents(s, dir).df.filter(col("class") === "events.click"))
+          .bucketize(CountAgg, LB, DAY).df
+          .withColumn("vdouble", when(col("vdouble") > 2.0, 1.0).otherwise(0.0)))
+      errs.mask(flag, Seq("user"), negate = true)
+        .select(col("user").as("userid"), col("ts"), col("vdouble").as("masked_sum"))
+    }),
+
+    // MAP w/ ticks override + dedup (GTSHelper.java:6389-6432): hourly
+    // sums evaluated at an explicit 6-hourly tick grid over the first
+    // week; the grid list deliberately repeats a tick — dedup collapses it
+    "g53_map_ticks" -> ((s, dir) => {
+      val grid = (T0 + 6 * HOUR) to T7 by (6 * HOUR)
+      val withDup = grid :+ (T0 + 12 * HOUR) // duplicate entry
+      cents(s, dir).mapWindowAtTicks(Sum, -HOUR, withDup, dedup = true)
+        .select(col("class"), userid, col("ts"), col("vdouble").as("wsum"))
+    }),
+
+    // TIMEMODULO (fn/TIMEMODULO.java): fold ticks to day phase with the
+    // quotient (day index) carried as a label
+    "g54_timemodulo" -> ((s, dir) =>
+      gts(s, dir).timemodulo(DAY, "day").df
+        .select(col("class"), userid,
+          col("labels").getItem("day").cast(LongType).as("day"),
+          col("ts"), col("vdouble"))),
+
+    // filter.latencies (script/filter/LatencyFilter.java): clicks as
+    // uplink, views as downlink, quantized value as payload hash; match
+    // within (0, 1h]
+    "g55_latency_match" -> ((s, dir) => {
+      val q = gts(s, dir).quantize(25.0)
+      val up = GtsFrame(q.df.filter(col("class") === "events.click"))
+      val down = GtsFrame(q.df.filter(col("class") === "events.view"))
+      up.latencyMatch(down, Seq("user"), 1L, HOUR)
+        .select(col("user").as("userid"), col("ts"), col("n_matches"),
+          col("min_latency"), col("max_latency"))
+    })
+  )
+
+  private def dailySql(cls: String, agg: String) =
+    s"""SELECT userid, $LB - (($LB - ts) // $DAY) * $DAY AS ts, $agg AS v
+       |FROM g WHERE class = '$cls' AND ts <= $LB GROUP BY 1, 2""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "g51_op_compare" ->
+      s"""WITH g AS ($EV),
+         |c AS (${dailySql("events.click", "sum(cents)")}),
+         |v AS (${dailySql("events.view", "sum(cents)")})
+         |SELECT coalesce(c.userid, v.userid) AS userid,
+         |       coalesce(c.ts, v.ts) AS ts,
+         |       CASE WHEN c.v IS NOT NULL AND v.v IS NOT NULL
+         |            THEN CAST(c.v > v.v AS BIGINT) END AS gt,
+         |       CASE WHEN c.v IS NOT NULL AND v.v IS NOT NULL
+         |            THEN CAST(c.v = v.v AS BIGINT) END AS eq,
+         |       coalesce(c.v, 0.0) + coalesce(v.v, 0.0) AS add_in
+         |FROM c FULL OUTER JOIN v ON c.userid = v.userid AND c.ts = v.ts""".stripMargin,
+
+    "g52_negmask" ->
+      s"""WITH g AS ($EV),
+         |e AS (${dailySql("events.error", "sum(cents)")}),
+         |f AS (SELECT userid, ts, CASE WHEN v > 2 THEN 1.0 ELSE 0.0 END AS v
+         |      FROM (${dailySql("events.click", "CAST(count(*) AS DOUBLE)")}))
+         |SELECT e.userid, e.ts, e.v AS masked_sum
+         |FROM e JOIN f ON e.userid = f.userid AND e.ts = f.ts
+         |WHERE NOT (f.v IS NOT NULL AND f.v <> 0)""".stripMargin,
+
+    "g53_map_ticks" ->
+      s"""WITH g AS ($EV),
+         |series AS (SELECT DISTINCT class, userid FROM g),
+         |ticks AS (SELECT unnest(generate_series(${T0 + 6 * HOUR}, $T7, ${6 * HOUR})) AS tick),
+         |grid AS (SELECT class, userid, tick FROM series CROSS JOIN ticks)
+         |SELECT grid.class, grid.userid, grid.tick AS ts, sum(g.cents) AS wsum
+         |FROM grid LEFT JOIN g ON g.class = grid.class AND g.userid = grid.userid
+         |  AND g.ts >= grid.tick - $HOUR AND g.ts <= grid.tick
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "g54_timemodulo" ->
+      s"""WITH g AS ($EV)
+         |SELECT class, userid, ts // $DAY AS day, ts % $DAY AS ts, vdouble
+         |FROM g""".stripMargin,
+
+    "g55_latency_match" ->
+      s"""WITH g AS ($EV),
+         |q AS (SELECT class, userid, ts, floor(vdouble/25.0)*25.0 AS qv FROM g),
+         |u AS (SELECT userid, ts, qv FROM q WHERE class = 'events.click'),
+         |d AS (SELECT userid, ts, qv FROM q WHERE class = 'events.view')
+         |SELECT u.userid, u.ts,
+         |       count(*) AS n_matches,
+         |       min(d.ts - u.ts) AS min_latency,
+         |       max(d.ts - u.ts) AS max_latency
+         |FROM u JOIN d ON u.userid = d.userid AND u.qv = d.qv
+         |  AND d.ts - u.ts >= 1 AND d.ts - u.ts <= $HOUR
+         |GROUP BY 1, 2""".stripMargin
+  )
+}
