@@ -46,6 +46,79 @@ object MultimodalOps {
     (width, height, channels, bytes.length.toLong)
   }
 
+  // ---------------------------------------------------------------------
+  // REAL image path — javax.imageio (JDK built-in, no external deps)
+  // ---------------------------------------------------------------------
+
+  /** Deterministic REAL PNG per document: geometry derives from doc_id
+    * (width 16 + id%32, height 16 + (7·id)%32), pixels from a cheap
+    * id-seeded pattern. This is a genuine encoder — the bytes are valid
+    * PNG streams — so the decode below exercises a real codec, not the
+    * stub. Runs partition-batched like any media transform. */
+  def pngMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rows = docs.select(col("doc_id")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = 16 + (id % 32).toInt
+        val h = 16 + ((7 * id) % 32).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, (id * 2654435761L + x * 31 + y).toInt & 0xFFFFFF)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, bos.toByteArray, "image/png",
+          Map("origin" -> "synthetic-png"))
+      }
+    }
+    spark.createDataFrame(rows, mediaSchema)
+  }
+
+  /** REAL image decode via ImageIO: width/height from the decoded
+    * raster, channels = raster bands. Supports PNG/JPEG/BMP/GIF out of
+    * the JDK. Returns null geometry for undecodable payloads (callers
+    * route those to the stub). */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) None
+    else Some((img.getWidth, img.getHeight, img.getRaster.getNumBands))
+  }
+
+  /** Image feature extraction with the real codec: image mimes decode
+    * through ImageIO; anything else falls back to the (marked) stub. */
+  def extractImageFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false)))
+    val rows = media.select(col("media_id"), col("media"), col("mime"))
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val bytes = r.getAs[Array[Byte]]("media")
+          val viaCodec =
+            if (r.getString(2).startsWith("image/")) decodeImage(bytes) else None
+          viaCodec match {
+            case Some((w, h, c)) => Row(r.getLong(0), w, h, c, true)
+            case None =>
+              val (w, h, c, _) = stubDecode(bytes)
+              Row(r.getLong(0), w, h, c, false)
+          }
+        }
+      }
+    spark.createDataFrame(rows, outSchema)
+  }
+
   /** Feature extraction over media batches: one partition = one batch
     * of payloads through the (stub) codec — the Scala analogue of a
     * pandas-batch UDF, with codegen-friendly surroundings. */

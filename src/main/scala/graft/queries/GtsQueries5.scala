@@ -65,6 +65,20 @@ object GtsQueries5 {
           col("labels").getItem("day").cast(LongType).as("day"),
           col("ts"), col("vdouble"))),
 
+    // per-name kernel registry (script/mapper/MapperKernel*.java): three
+    // kernels from the 10-name registry over a ±2 tick window, edge-
+    // renormalized; kernel weights are driver-computed literals shared
+    // with the oracle SQL
+    "g56_kernel_registry" -> ((s, dir) => {
+      val f = cents(s, dir).df
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("gtsid")).orderBy(col("ts"))
+      f.select(col("class"), userid, col("ts"),
+        graft.kernels.KernelRegistry.smoothCol("gaussian", 2, col("vdouble"), w).as("s_gaussian"),
+        graft.kernels.KernelRegistry.smoothCol("epanechnikov", 2, col("vdouble"), w).as("s_epan"),
+        graft.kernels.KernelRegistry.smoothCol("tricube", 2, col("vdouble"), w).as("s_tricube"))
+    }),
+
     // filter.latencies (script/filter/LatencyFilter.java): clicks as
     // uplink, views as downlink, quantized value as payload hash; match
     // within (0, 1h]
@@ -119,6 +133,17 @@ object GtsQueries5 {
       s"""WITH g AS ($EV)
          |SELECT class, userid, ts // $DAY AS day, ts % $DAY AS ts, vdouble
          |FROM g""".stripMargin,
+
+    "g56_kernel_registry" -> {
+      import graft.kernels.KernelRegistry.smoothSql
+      s"""WITH g AS ($EV)
+         |SELECT class, userid, ts,
+         |       ${smoothSql("gaussian", 2, "cents", "w")} AS s_gaussian,
+         |       ${smoothSql("epanechnikov", 2, "cents", "w")} AS s_epan,
+         |       ${smoothSql("tricube", 2, "cents", "w")} AS s_tricube
+         |FROM g
+         |WINDOW w AS (PARTITION BY class, userid ORDER BY ts)""".stripMargin
+    },
 
     "g55_latency_match" ->
       s"""WITH g AS ($EV),

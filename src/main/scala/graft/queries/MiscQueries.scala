@@ -37,6 +37,16 @@ object MiscQueries {
       val media = MultimodalOps.mediaFromDocuments(
         s.read.parquet(s"$dir/documents.parquet"))
       MultimodalOps.extractFeatures(media)
+    }),
+
+    // multimodal REAL codec roundtrip: synthesize genuine PNG payloads
+    // (geometry a function of doc_id), decode via javax.imageio; the
+    // oracle predicts the geometry from doc_id arithmetic, so a match
+    // proves real bytes went through a real decoder
+    "m04_image_decode" -> ((s, dir) => {
+      val media = MultimodalOps.pngMediaFromDocuments(
+        s.read.parquet(s"$dir/documents.parquet"))
+      MultimodalOps.extractImageFeatures(media)
     })
   )
 
@@ -63,6 +73,14 @@ object MiscQueries {
         |  CAST((h60 // 640) % 480 AS INT) AS height,
         |  CAST(1 + (h60 % 3) AS INT) AS channels,
         |  CAST(n AS BIGINT) AS n_bytes
-        |FROM h""".stripMargin
+        |FROM h""".stripMargin,
+
+    "m04_image_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(16 + doc_id % 32 AS INT) AS width,
+        |  CAST(16 + (7 * doc_id) % 32 AS INT) AS height,
+        |  CAST(3 AS INT) AS channels,
+        |  true AS decoded
+        |FROM documents""".stripMargin
   )
 }

@@ -188,17 +188,20 @@ object LineProtocol {
 
   /** Distributed ingest: a DataFrame with a `value` STRING column (the
     * output of spark.read.text / readStream.text) → canonical GTS long
-    * table. `=` continuations resolve WITHIN an ordered batch: by
-    * default the input is coalesced to one partition (the reference
-    * parses one request stream serially, StandaloneIngressHandler:615);
-    * pass `singleBatch = false` at scale to parse each file split as
-    * its own batch — continuations then must not cross splits, which
-    * ingest producers guarantee by starting each file with a full line.
+    * table. By DEFAULT each file split parses as its own batch — the
+    * scale path: splits proceed in parallel, and `=` continuations
+    * resolve within a split (producers guarantee every split starts
+    * with a full line, the same contract file-based ingest formats rely
+    * on). Pass `singleBatch = true` to parse the whole input as ONE
+    * ordered request stream — the reference's serial-request semantics
+    * (StandaloneIngressHandler:615), where continuations may span the
+    * entire payload; that path coalesces to one task, so reserve it for
+    * single-request-sized inputs.
     */
   def ingest(linesDf: DataFrame, now: Long,
              maxpast: Option[Long] = None,
              maxfuture: Option[Long] = None,
-             singleBatch: Boolean = true): DataFrame = {
+             singleBatch: Boolean = false): DataFrame = {
     val spark = linesDf.sparkSession
     val schema = Gts.pointSchema
     val in = if (singleBatch) linesDf.coalesce(1) else linesDf

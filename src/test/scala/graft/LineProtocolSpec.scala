@@ -97,16 +97,34 @@ class LineProtocolSpec extends SparkSpec {
     assert(math.abs(p.lat.get - 48.0) < 1e-7)
   }
 
-  test("distributed ingest produces canonical rows") {
+  test("single-request ingest resolves continuations across the payload") {
     import spark.implicits._
     val lines = Seq(
       "1440000000000000// temp.sensor{room=kitchen} 22.5",
       "=1440000001000000// 23.0",
       "1440000002000000// temp.sensor{room=lab} 20.0").toDF("value")
-    val out = LineProtocol.ingest(lines, NOW)
+    val out = LineProtocol.ingest(lines, NOW, singleBatch = true)
     assert(out.count() === 3)
     assert(out.select("gtsid").distinct().count() === 2)
     assert(out.schema.fieldNames.toSeq === graft.model.Gts.columns)
+  }
+
+  test("default ingest parses splits in parallel under the full-line-per-split contract") {
+    import spark.implicits._
+    // two splits, each starting with a full line; continuations stay
+    // within their split
+    val split1 = Seq(
+      "1440000000000000// temp.sensor{room=kitchen} 22.5",
+      "=1440000001000000// 23.0")
+    val split2 = Seq(
+      "1440000002000000// temp.sensor{room=lab} 20.0",
+      "=1440000003000000// 21.0")
+    val lines = spark.sparkContext.makeRDD(Seq(split1, split2), 2)
+      .flatMap(identity).toDF("value")
+    assert(lines.rdd.getNumPartitions === 2)
+    val out = LineProtocol.ingest(lines, NOW) // default: per-split batches
+    assert(out.count() === 4)
+    assert(out.select("gtsid").distinct().count() === 2)
   }
 
   // ---- selector fixtures (FIXTURES.md §3) ----
