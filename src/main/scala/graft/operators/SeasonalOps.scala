@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classical additive seasonal decomposition — the SQL-expressible core
+  * of the reference's STL surface (fn/STL.java; our LOWESS-based STL
+  * lives in [[graft.kernels.SeriesKernels]]): trend = centered moving
+  * average, seasonal = per-phase mean of the detrended series, residual
+  * = value − trend − seasonal.
+  *
+  * Exactness discipline: with integer-valued input on a regular grid,
+  * the detrended value is kept as the EXACT integer `win·v − Σwin v`
+  * (never the inexact `v − Σ/win`), so every aggregation is exact and
+  * the final divisions are single identically-structured roundings —
+  * bit-reproducible across engines with no tolerance rounding.
+  */
+object SeasonalOps {
+
+  /** Decompose a regular-grid series table (one point per `span` tick).
+    * `period` = ticks per season cycle; trend window = ±halfTrend rows
+    * (edge rows with incomplete windows are dropped, as in classical
+    * decomposition). */
+  def classicalDecompose(points: DataFrame, span: Long, period: Int,
+                         halfTrend: Int): DataFrame = {
+    val win = 2 * halfTrend + 1
+    val w = Window.partitionBy(col("gtsid")).orderBy(col("ts"))
+      .rowsBetween(-halfTrend, halfTrend)
+    val t = points
+      .withColumn("__tsum", sum(col("vdouble")).over(w))
+      .withColumn("__tn", count(lit(1)).over(w))
+      .filter(col("__tn") === win)
+      .withColumn("__detr", lit(win) * col("vdouble") - col("__tsum"))
+      .withColumn("__phase",
+        ((col("ts") % (span * period)) / span).cast(org.apache.spark.sql.types.LongType))
+    val seas = t.groupBy(col("gtsid"), col("__phase"))
+      .agg(sum(col("__detr")).as("__ssum"), count(lit(1)).as("__scnt"))
+    t.join(seas, Seq("gtsid", "__phase"))
+      .withColumn("trend", col("__tsum") / win.toDouble)
+      .withColumn("seasonal", col("__ssum") / (lit(win.toDouble) * col("__scnt")))
+      .withColumn("resid", col("vdouble") - col("trend") - col("seasonal"))
+      .drop("__tsum", "__tn", "__detr", "__phase", "__ssum", "__scnt")
+  }
+}

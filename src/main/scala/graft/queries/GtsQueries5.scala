@@ -79,6 +79,19 @@ object GtsQueries5 {
         graft.kernels.KernelRegistry.smoothCol("tricube", 2, col("vdouble"), w).as("s_tricube"))
     }),
 
+    // classical seasonal decomposition (SQL-expressible core of the STL
+    // surface, fn/STL.java): hourly grid (zero-filled), ±12h centered
+    // MA trend, hour-of-day seasonal means of the EXACT 25v−Σ detrended
+    // integers, residual — bit-reproducible with no tolerance rounding
+    "g57_stl_classical" -> ((s, dir) => {
+      val dense = cents(s, dir).bucketize(Sum, LB, HOUR, 720)
+        .fillValue(LB, HOUR, 720, 0.0)
+      graft.operators.SeasonalOps.classicalDecompose(dense, HOUR, 24, 12)
+        .select(col("class"), col("labels").getItem("user").as("userid"),
+          col("ts"), col("vdouble").as("v"),
+          col("trend"), col("seasonal"), col("resid"))
+    }),
+
     // filter.latencies (script/filter/LatencyFilter.java): clicks as
     // uplink, views as downlink, quantized value as payload hash; match
     // within (0, 1h]
@@ -133,6 +146,35 @@ object GtsQueries5 {
       s"""WITH g AS ($EV)
          |SELECT class, userid, ts // $DAY AS day, ts % $DAY AS ts, vdouble
          |FROM g""".stripMargin,
+
+    "g57_stl_classical" ->
+      s"""WITH g AS ($EV),
+         |b AS (SELECT class, userid, $LB - (($LB - ts) // $HOUR) * $HOUR AS ts,
+         |             sum(cents) AS v
+         |      FROM g WHERE ts > ${LB - 720 * HOUR} AND ts <= $LB GROUP BY 1, 2, 3),
+         |series AS (SELECT DISTINCT class, userid FROM b),
+         |grid AS (SELECT s.class, s.userid, t.ts
+         |         FROM series s CROSS JOIN
+         |           (SELECT unnest(generate_series(${LB - 719 * HOUR}, $LB, $HOUR)) AS ts) t),
+         |d AS (SELECT grid.class, grid.userid, grid.ts, coalesce(b.v, 0.0) AS v
+         |      FROM grid LEFT JOIN b ON grid.class = b.class
+         |        AND grid.userid = b.userid AND grid.ts = b.ts),
+         |t AS (SELECT class, userid, ts, v,
+         |        sum(v) OVER w AS tsum, count(*) OVER w AS tn
+         |      FROM d
+         |      WINDOW w AS (PARTITION BY class, userid ORDER BY ts
+         |        ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+         |f AS (SELECT class, userid, ts, v, tsum,
+         |        25 * v - tsum AS detr, (ts % ${24 * HOUR}) // $HOUR AS phase
+         |      FROM t WHERE tn = 25),
+         |se AS (SELECT class, userid, phase, sum(detr) AS ssum, count(*) AS scnt
+         |       FROM f GROUP BY 1, 2, 3)
+         |SELECT f.class, f.userid, f.ts, f.v,
+         |       f.tsum / 25.0 AS trend,
+         |       se.ssum / (25.0 * se.scnt) AS seasonal,
+         |       f.v - f.tsum / 25.0 - se.ssum / (25.0 * se.scnt) AS resid
+         |FROM f JOIN se ON f.class = se.class AND f.userid = se.userid
+         |  AND f.phase = se.phase""".stripMargin,
 
     "g56_kernel_registry" -> {
       import graft.kernels.KernelRegistry.smoothSql
