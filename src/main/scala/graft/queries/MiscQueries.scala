@@ -39,6 +39,37 @@ object MiscQueries {
       MultimodalOps.extractFeatures(media)
     }),
 
+    // quaternion suite (fn/TOQUATERNION.java family): per-row unit
+    // quaternion packed to the reference's 4x16-bit long, conjugate, and
+    // Hamilton product with a constant rotation — all packing arithmetic
+    // is IEEE-exact/correctly-rounded so packed longs hash-match DuckDB
+    "q01_quaternion_ops" -> ((s, dir) => {
+      import graft.functions.Quaternions._
+      val f = Gts.fromEvents(s, dir)
+      val uid = col("labels").getItem("user").cast(LongType)
+      val (w, x, y, z) = (lit(1.0), col("vdouble") / 100.0,
+        uid / 20.0, (col("ts") % 360) / 360.0)
+      val q = packQCol(w, x, y, z)
+      f.select(col("class"), col("labels").getItem("user").as("userid"),
+          col("ts"), q.as("q"))
+        .withColumn("qc", conjugateCol(col("q")))
+        .withColumn("qm", multiplyCol(col("q"), lit(RotQ)))
+    }),
+
+    // BigDecimal suite (§2.9): exact DECIMAL pipeline — prices at
+    // DECIMAL(18,2), discount complement, group sums, all exact decimal
+    // arithmetic (no doubles anywhere)
+    "r10_decimal_revenue" -> ((s, dir) => {
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+      l.select(col("l_returnflag"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1).cast(DecimalType(18, 2)) -
+              col("l_discount").cast(DecimalType(18, 2)))).as("rev"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("rev")).cast(DecimalType(38, 4)).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
     // multimodal REAL codec roundtrip: synthesize genuine PNG payloads
     // (geometry a function of doc_id), decode via javax.imageio; the
     // oracle predicts the geometry from doc_id arithmetic, so a match
@@ -74,6 +105,29 @@ object MiscQueries {
         |  CAST(1 + (h60 % 3) AS INT) AS channels,
         |  CAST(n AS BIGINT) AS n_bytes
         |FROM h""".stripMargin,
+
+    "q01_quaternion_ops" -> {
+      import graft.functions.Quaternions._
+      val q = (0 to 3).map(i => componentSql("q", i))
+      val r = (0 to 3).map(i => componentSql(RotQ.toString, i))
+      s"""WITH g AS ($EV),
+         |c AS (SELECT class, userid, ts, 1.0 AS w, vdouble/100.0 AS x,
+         |        CAST(userid AS BIGINT)/20.0 AS y, (ts % 360)/360.0 AS z FROM g),
+         |p AS (SELECT class, userid, ts,
+         |        ${packQSql("w", "x", "y", "z")} AS q FROM c)
+         |SELECT class, userid, ts, q,
+         |       ${packQSql(q(0), s"-${q(1)}", s"-${q(2)}", s"-${q(3)}")} AS qc,
+         |       ${multiplySql(q, r)} AS qm
+         |FROM p""".stripMargin
+    },
+
+    "r10_decimal_revenue" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DECIMAL(38,4)) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     "m04_image_decode" ->
       """SELECT doc_id AS media_id,
