@@ -39,6 +39,29 @@ object MiscQueries {
       MultimodalOps.extractFeatures(media)
     }),
 
+    // vector/matrix suite (fn/TOMAT.java, TRANSPOSE.java, TR.java,
+    // binary MUL matrix overload): per-user 2x2 integer matrix of
+    // (click, view) x (cents-sum, count), multiplied by a constant,
+    // transposed, traced — dimension-generic higher-order-function
+    // algebra, flattened to scalars for the oracle
+    "v01_matrix_ops" -> ((s, dir) => {
+      import graft.functions.MatrixOps._
+      val c = Gts.fromEventsCents(s, dir)
+      val agg = c.groupBy(col("labels").getItem("user").as("userid"))
+        .agg(
+          coalesce(sum(when(col("class") === "events.click", col("vdouble"))), lit(0.0)).as("cs"),
+          count(when(col("class") === "events.click", 1)).cast(DoubleType).as("cn"),
+          coalesce(sum(when(col("class") === "events.view", col("vdouble"))), lit(0.0)).as("vs"),
+          count(when(col("class") === "events.view", 1)).cast(DoubleType).as("vn"))
+      val a = array(array(col("cs"), col("cn")), array(col("vs"), col("vn")))
+      val b = array(array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0)))
+      val m = matmul(a, b)
+      agg.select(col("userid"),
+        at(m, 1, 1).as("c11"), at(m, 1, 2).as("c12"),
+        at(m, 2, 1).as("c21"), at(m, 2, 2).as("c22"),
+        trace(a).as("tr"), at(transposeM(a), 1, 2).as("ta12"))
+    }),
+
     // quaternion suite (fn/TOQUATERNION.java family): per-row unit
     // quaternion packed to the reference's 4x16-bit long, conjugate, and
     // Hamilton product with a constant rotation — all packing arithmetic
@@ -105,6 +128,20 @@ object MiscQueries {
         |  CAST(1 + (h60 % 3) AS INT) AS channels,
         |  CAST(n AS BIGINT) AS n_bytes
         |FROM h""".stripMargin,
+
+    "v01_matrix_ops" ->
+      s"""WITH g AS ($EV),
+         |a AS (SELECT userid,
+         |  coalesce(sum(CASE WHEN class='events.click' THEN cents END), 0.0) AS cs,
+         |  CAST(count(CASE WHEN class='events.click' THEN 1 END) AS DOUBLE) AS cn,
+         |  coalesce(sum(CASE WHEN class='events.view' THEN cents END), 0.0) AS vs,
+         |  CAST(count(CASE WHEN class='events.view' THEN 1 END) AS DOUBLE) AS vn
+         |  FROM g GROUP BY 1)
+         |SELECT userid,
+         |  cs*1.0 + cn*3.0 AS c11, cs*2.0 + cn*4.0 AS c12,
+         |  vs*1.0 + vn*3.0 AS c21, vs*2.0 + vn*4.0 AS c22,
+         |  cs + vn AS tr, vs AS ta12
+         |FROM a""".stripMargin,
 
     "q01_quaternion_ops" -> {
       import graft.functions.Quaternions._
