@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.Gts
+
+/** Sixth pack: the remaining §2.4 mapper families — unary math/cast
+  * mappers, the full calendar field set, regexp/string mappers.
+  *
+  * Determinism notes: round() only on EXACT dyadic halves (v/8 — both
+  * engines round ties away from zero on exact .5); transcendental
+  * mappers (exp/log/tanh/sigmoid/npdf) run on O(1)-normalized inputs
+  * and round to 9 digits (libm-vs-JVM noise is ~1e-16 relative, eight
+  * orders below the boundary); ToString only renders integers (double
+  * formatting is engine-specific).
+  */
+object GtsQueries6 {
+  import GtsQueries.EV
+
+  private val userid = col("labels").getItem("user").as("userid")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // unary mappers mapper.abs/ceil/floor/round/mod/exp/log/sigmoid/
+    // tanh/npdf/finite + casts (script/mapper/MapperAbs.java ...)
+    "g58_unary_mappers" -> ((s, dir) => {
+      val f = Gts.fromEventsCents(s, dir)
+      val v = col("vdouble")
+      val u = v / 10000.0
+      f.select(col("class"), userid, col("ts"),
+        abs(v - 5000.0).as("m_abs"),
+        ceil(v / 7.0).cast(LongType).as("m_ceil"),
+        floor(v / 7.0).cast(LongType).as("m_floor"),
+        round(v / 8.0).cast(LongType).as("m_round"),
+        pmod(v.cast(LongType), lit(7L)).as("m_mod"),
+        round(exp(u), 9).as("m_exp"),
+        round(log(lit(1.0) + u), 9).as("m_log"),
+        round(lit(1.0) / (lit(1.0) + exp(-u)), 9).as("m_sigmoid"),
+        // exp-based tanh: DuckDB 1.0 has no tanh(); same formula both sides
+        round((exp(u * 2.0) - 1.0) / (exp(u * 2.0) + 1.0), 9).as("m_tanh"),
+        round(exp(-u * u / 2.0) / math.sqrt(2.0 * math.Pi), 9).as("m_npdf"),
+        (!isnan(v) && !v.isNull).as("m_finite"),
+        v.cast(LongType).as("m_tolong"),
+        v.cast(LongType).cast(StringType).as("m_tostring"))
+    }),
+
+    // calendar mappers mapper.year/month/day/weekday/hour/minute/second
+    // + mapper.tick (script/mapper/MapperYear.java ... MapperTick.java)
+    "g59_calendar_fields" -> ((s, dir) => {
+      val f = Gts.fromEvents(s, dir)
+      val t = timestamp_micros(col("ts"))
+      f.select(col("class"), userid, col("ts"),
+        year(t).cast(LongType).as("m_year"),
+        month(t).cast(LongType).as("m_month"),
+        dayofmonth(t).cast(LongType).as("m_day"),
+        (weekday(t) + 1).cast(LongType).as("m_isodow"),
+        hour(t).cast(LongType).as("m_hour"),
+        minute(t).cast(LongType).as("m_minute"),
+        second(t).cast(LongType).as("m_second"),
+        col("ts").as("m_tick"))
+    }),
+
+    // regexp/string mappers mapper.regexp.match/replace, Replace
+    // (script/mapper/MapperRegExpMatch.java, MapperRegExpReplace.java)
+    "g60_regex_mappers" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      ev.select(col("event_type"),
+        expr("ts div 1000").as("ts"),
+        regexp_replace(col("props"), "[0-9]", "#").as("m_re_replace"),
+        regexp_replace(col("props"), "a", "@").as("m_replace"),
+        col("props").rlike("[0-9]{2,}").as("m_re_match"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "g58_unary_mappers" ->
+      s"""WITH g AS ($EV)
+         |SELECT class, userid, ts,
+         |  abs(cents - 5000.0) AS m_abs,
+         |  CAST(ceil(cents / 7.0) AS BIGINT) AS m_ceil,
+         |  CAST(floor(cents / 7.0) AS BIGINT) AS m_floor,
+         |  CAST(round(cents / 8.0) AS BIGINT) AS m_round,
+         |  CAST(cents AS BIGINT) % 7 AS m_mod,
+         |  round(exp(cents / 10000.0), 9) AS m_exp,
+         |  round(ln(1.0 + cents / 10000.0), 9) AS m_log,
+         |  round(1.0 / (1.0 + exp(-(cents / 10000.0))), 9) AS m_sigmoid,
+         |  round((exp((cents / 10000.0) * 2.0) - 1.0)
+         |    / (exp((cents / 10000.0) * 2.0) + 1.0), 9) AS m_tanh,
+         |  round(exp(-(cents / 10000.0) * (cents / 10000.0) / 2.0)
+         |    / ${math.sqrt(2.0 * math.Pi)}, 9) AS m_npdf,
+         |  (NOT isnan(cents) AND cents IS NOT NULL) AS m_finite,
+         |  CAST(cents AS BIGINT) AS m_tolong,
+         |  CAST(CAST(cents AS BIGINT) AS VARCHAR) AS m_tostring
+         |FROM g""".stripMargin,
+
+    "g59_calendar_fields" ->
+      s"""WITH g AS ($EV)
+         |SELECT class, userid, ts,
+         |  CAST(year(make_timestamp(ts)) AS BIGINT) AS m_year,
+         |  CAST(month(make_timestamp(ts)) AS BIGINT) AS m_month,
+         |  CAST(day(make_timestamp(ts)) AS BIGINT) AS m_day,
+         |  CAST(isodow(make_timestamp(ts)) AS BIGINT) AS m_isodow,
+         |  CAST(hour(make_timestamp(ts)) AS BIGINT) AS m_hour,
+         |  CAST(minute(make_timestamp(ts)) AS BIGINT) AS m_minute,
+         |  CAST(second(make_timestamp(ts)) AS BIGINT) AS m_second,
+         |  ts AS m_tick
+         |FROM g""".stripMargin,
+
+    "g60_regex_mappers" ->
+      """SELECT event_type, epoch_us(ts) AS ts,
+        |  regexp_replace(props, '[0-9]', '#', 'g') AS m_re_replace,
+        |  regexp_replace(props, 'a', '@', 'g') AS m_replace,
+        |  regexp_matches(props, '[0-9]{2,}') AS m_re_match
+        |FROM events""".stripMargin
+  )
+}
