@@ -21,6 +21,9 @@ object GtsQueries6 {
 
   private val userid = col("labels").getItem("user").as("userid")
 
+  /** 2π/100 — one shared double literal in both engines. */
+  val CircK: Double = 2.0 * math.Pi / 100.0
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // unary mappers mapper.abs/ceil/floor/round/mod/exp/log/sigmoid/
     // tanh/npdf/finite + casts (script/mapper/MapperAbs.java ...)
@@ -59,6 +62,17 @@ object GtsQueries6 {
         minute(t).cast(LongType).as("m_minute"),
         second(t).cast(LongType).as("m_second"),
         col("ts").as("m_tick"))
+    }),
+
+    // bucketizer.mean.circular (script/aggregator/CircularMean.java):
+    // per-series circular mean of the value seen as an angle of period
+    // 100 — atan2 of mean sin / mean cos, rounded 6 (trig ulp noise is
+    // ~1e-15, nine orders below the boundary)
+    "g61_circular_mean" -> ((s, dir) => {
+      val f = Gts.fromEvents(s, dir)
+      val ang = col("vdouble") * CircK
+      f.groupBy(col("class"), userid)
+        .agg(round(atan2(avg(sin(ang)), avg(cos(ang))), 6).as("circ_mean"))
     }),
 
     // regexp/string mappers mapper.regexp.match/replace, Replace
@@ -107,6 +121,13 @@ object GtsQueries6 {
          |  CAST(second(make_timestamp(ts)) AS BIGINT) AS m_second,
          |  ts AS m_tick
          |FROM g""".stripMargin,
+
+    "g61_circular_mean" ->
+      s"""WITH g AS ($EV)
+         |SELECT class, userid,
+         |  round(atan2(avg(sin(vdouble * $CircK)), avg(cos(vdouble * $CircK))), 6)
+         |    AS circ_mean
+         |FROM g GROUP BY 1, 2""".stripMargin,
 
     "g60_regex_mappers" ->
       """SELECT event_type, epoch_us(ts) AS ts,

@@ -61,6 +61,20 @@ object StreamingIngest {
   def subscribe(points: DataFrame, selector: String): DataFrame =
     points.filter(Selector.parse(selector).predicate)
 
+  /** Mobius-style periodic query push (reference
+    * StandaloneMobiusHandler: a WarpScript macro re-executed on a fixed
+    * period, results pushed to the subscriber): the frame query
+    * re-evaluates against each micro-batch on a processing-time
+    * trigger and the result is pushed through `push` — foreachBatch is
+    * the Spark-native push surface (WebSocket/Kafka/etc. live inside
+    * the callback). */
+  def mobius(points: DataFrame, period: String,
+             query: DataFrame => DataFrame)
+            (push: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    points.writeStream
+      .trigger(Trigger.ProcessingTime(period))
+      .foreachBatch { (batch: DataFrame, id: Long) => push(query(batch), id) }
+
   /** Windowed streaming bucketize: tumbling event-time buckets with a
     * watermark bounding state (SURVEY §2.10 'windows in streaming').
     * Bucket identity = window END, matching batch BUCKETIZE's

@@ -33,6 +33,28 @@ class StreamingSpec extends SparkSpec {
     assert(res.select("gtsid").distinct().count() === 2)
   }
 
+  test("mobius periodic push re-evaluates the query per trigger") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val points = StreamingIngest.parseStream(mem.toDF(), NOW)
+    val pushed = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = StreamingIngest.mobius(points, "1 second",
+      b => b.groupBy(col("class")).agg(count(lit(1)).as("n"))) {
+      (res, id) => res.collect().foreach(r => pushed.synchronized {
+        pushed += ((id, r.getLong(1))) })
+    }.start()
+    mem.addData("1440000000000000// temp.a{room=x} 1.0",
+      "1440000001000000// temp.a{room=x} 2.0")
+    q.processAllAvailable()
+    mem.addData("1440000002000000// temp.a{room=x} 3.0")
+    q.processAllAvailable()
+    q.stop()
+    val counts = pushed.synchronized(pushed.toList)
+    assert(counts.map(_._2) == List(2L, 1L)) // one push per micro-batch
+    assert(counts.map(_._1).distinct.size == 2) // distinct batch ids
+  }
+
   test("plasma subscription delivers only selector-matching points") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
