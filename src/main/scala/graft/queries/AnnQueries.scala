@@ -26,11 +26,18 @@ object AnnQueries {
     // corpus (≈2·log₂N), bands buy recall
     "a03_lsh_multiband" -> ((s, dir) =>
       EmbeddingLSH.annPairsMulti(embs(s, dir), 0.0, MbBands, MbBits)
-        .select(col("ida"), col("idb"), round(col("cos"), 9).as("cos_sim")))
+        .select(col("ida"), col("idb"), round(col("cos"), 9).as("cos_sim"))),
+
+    // IVF (k-means cells, 2 deterministic Lloyd iterations with dyadic
+    // centroid quantization) — probe 2 cells, exact top-3 per query;
+    // oracle replays the identical training in SQL
+    "i01_ivf_topk" -> ((s, dir) =>
+      graft.text.IvfIndex.topK(embs(s, dir), col("vec_id") < 20, 2, 3))
   )
 
   val MbBands = 4
   val MbBits = 8
+  private val IvfDims = graft.text.IvfIndex.Dims
 
   /** 12 hyperplanes as DuckDB double-list literals. */
   private def planeList(j: Int): String =
@@ -82,6 +89,44 @@ object AnnQueries {
          |  round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 9) AS cos_sim
          |FROM c JOIN b x ON c.ida = x.vec_id JOIN b y ON c.idb = y.vec_id
          |WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) > 0.0""".stripMargin
+    },
+
+    "i01_ivf_topk" -> {
+      def assignSql(cin: String, aout: String) =
+        s"""$aout AS (SELECT vec_id, v, cid FROM (
+           |  SELECT e.vec_id, e.v, c.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |      -2*list_dot_product(e.v, c.c) + list_dot_product(c.c, c.c), c.cid) AS rn
+           |  FROM e CROSS JOIN $cin c) WHERE rn = 1)""".stripMargin
+      def meanSql(ain: String, cout: String) =
+        s"""$cout AS (SELECT cid, list(m ORDER BY i) AS c FROM (
+           |  SELECT cid, i, floor(avg(v[i]) * 1024.0 + 0.5) / 1024.0 AS m
+           |  FROM $ain CROSS JOIN generate_series(1, ${IvfDims}) t(i)
+           |  GROUP BY cid, i) GROUP BY cid)""".stripMargin
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+         |  FROM embeddings),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM e WHERE vec_id < 8),
+         |${assignSql("c0", "a1")},
+         |${meanSql("a1", "c1")},
+         |${assignSql("c1", "a2")},
+         |${meanSql("a2", "c2")},
+         |${assignSql("c2", "af")},
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+         |probe AS (SELECT qid, qv, cid FROM (
+         |  SELECT q.qid, q.qv, c.cid,
+         |    row_number() OVER (PARTITION BY q.qid ORDER BY
+         |      -2*list_dot_product(q.qv, c.c) + list_dot_product(c.c, c.c), c.cid) AS rn
+         |  FROM q CROSS JOIN c2 c) WHERE rn <= 2),
+         |d AS (SELECT p.qid, a.vec_id,
+         |    list_dot_product(p.qv, p.qv) - 2*list_dot_product(p.qv, e2.v)
+         |      + list_dot_product(e2.v, e2.v) AS dist
+         |  FROM probe p JOIN af a ON p.cid = a.cid AND a.vec_id <> p.qid
+         |  JOIN e e2 ON e2.vec_id = a.vec_id)
+         |SELECT qid, vec_id AS cand_id, CAST(rn AS INT) AS rk, dist FROM (
+         |  SELECT qid, vec_id, dist,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+         |  FROM d) WHERE rn <= 3""".stripMargin
     }
   )
 }

@@ -1,0 +1,94 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** IVF (inverted-file) approximate nearest neighbors — the k-means
+  * alternative to [[EmbeddingLSH]]'s hyperplane buckets: Lloyd's
+  * iterations train centroid cells, vectors assign to their nearest
+  * cell, queries probe the `probes` nearest cells and exact-rank only
+  * those cells' members. At corpus scale the train/assign stages are
+  * plain broadcast joins + shuffles on (cid, pos); the probe stage
+  * touches N·probes/K of the corpus instead of all of it.
+  *
+  * DETERMINISM: centroids quantize to the dyadic 1/1024 grid after
+  * every mean step, so every dot product and distance thereafter is
+  * exactly representable — training is reproducible under any
+  * partitioning/AQE plan (no floating-point drift between executors),
+  * and the whole index is oracle-verifiable bit-for-bit. Init is the
+  * K smallest vec_ids (deterministic, like the reference's seeded
+  * samplers). Empty cells drop out of the mean step identically in
+  * both engines.
+  */
+object IvfIndex {
+
+  val K = 8
+  val Iters = 2
+  val Dims: Int = EmbeddingLSH.Dims
+  val Quant = 1024.0
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def vecs(embs: DataFrame): DataFrame =
+    embs.select(col("vec_id"), EmbeddingLSH.scaled(col("embedding")).as("v"))
+
+  /** Nearest-centroid assignment; ties break on cid (total order). The
+    * per-vector ranking window is over K rows. */
+  def assign(vs: DataFrame, cents: DataFrame): DataFrame = {
+    val dist = lit(-2.0) * dot(col("v"), col("c")) + dot(col("c"), col("c"))
+    vs.crossJoin(broadcast(cents))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(dist.asc, col("cid").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+  }
+
+  /** Mean step with dyadic quantization: per-dimension averages via
+    * posexplode → (cid, pos) shuffle → re-assembled in pos order. */
+  def means(assigned: DataFrame): DataFrame =
+    assigned.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos"))
+      .agg((floor(avg(col("x")) * Quant + 0.5) / Quant).as("m"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("c"))
+
+  def centroids(embs: DataFrame): DataFrame = {
+    val vs = vecs(embs)
+    var cents = vs.filter(col("vec_id") < K)
+      .select(col("vec_id").cast(IntegerType).as("cid"), col("v").as("c"))
+    for (_ <- 1 to Iters) cents = means(assign(vs, cents))
+    cents
+  }
+
+  /** Probe-and-rank: `probes` nearest cells per query, exact L2²
+    * ranking of those cells' members only. Ranking windows partition
+    * by query id — bounded by cell population, never global. */
+  def topK(embs: DataFrame, queryPred: Column, probes: Int, k: Int): DataFrame = {
+    val vs = vecs(embs)
+    val cents = centroids(embs)
+    val assigned = assign(vs, cents).select(col("vec_id"), col("cid"))
+    val queries = vs.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val pdist = lit(-2.0) * dot(col("qv"), col("c")) + dot(col("c"), col("c"))
+    val probed = queries.crossJoin(broadcast(cents))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(pdist.asc, col("cid").asc)))
+      .filter(col("__rn") <= probes)
+      .select(col("qid"), col("qv"), col("cid"))
+    val cand = probed.join(assigned, "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .join(vs.select(col("vec_id"), col("v").as("cv")), "vec_id")
+    val cdist = dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), col("cv")) +
+      dot(col("cv"), col("cv"))
+    cand.withColumn("dist", cdist)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("vec_id").asc))
+        .cast(IntegerType))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id").as("cand_id"), col("rk"), col("dist"))
+  }
+}
