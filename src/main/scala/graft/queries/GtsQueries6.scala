@@ -64,6 +64,32 @@ object GtsQueries6 {
         col("ts").as("m_tick"))
     }),
 
+    // line-protocol END-TO-END: render the events GTS table to protocol
+    // lines (Formats.toGtsLines), re-parse through the full ingest
+    // grammar (LineProtocol.ingest, parallel default), and the result
+    // must reproduce the source table exactly — the oracle is the raw
+    // table itself, so the whole format+parser round-trip is
+    // hash-verified (not just spec'd)
+    "g62_ingest_roundtrip" -> ((s, dir) => {
+      val src = Gts.fromEvents(s, dir)
+      val lines = graft.sources.Formats.toGtsLines(src)
+      graft.sources.LineProtocol.ingest(lines, now = 0L)
+        .select(col("class"), userid, col("ts"), col("vdouble"))
+    }),
+
+    // outlier test GRUBBS (script/functions/GRUBBSTEST.java family):
+    // per-series Grubbs statistic max|x-mu|/sd vs the critical value
+    // (computed once, shared literal); sd noise bounded by round 6
+    "g63_grubbs" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gtsid"))
+      val f = Gts.fromEventsCents(s, dir)
+        .withColumn("__mu", avg(col("vdouble")).over(w))
+        .withColumn("__sd", stddev_pop(col("vdouble")).over(w))
+      f.groupBy(col("class"), userid)
+        .agg(count(lit(1)).as("n"),
+          round(max(abs(col("vdouble") - col("__mu")) / col("__sd")), 6).as("grubbs"))
+    }),
+
     // bucketizer.mean.circular (script/aggregator/CircularMean.java):
     // per-series circular mean of the value seen as an angle of period
     // 100 — atan2 of mean sin / mean cos, rounded 6 (trig ulp noise is
@@ -121,6 +147,20 @@ object GtsQueries6 {
          |  CAST(second(make_timestamp(ts)) AS BIGINT) AS m_second,
          |  ts AS m_tick
          |FROM g""".stripMargin,
+
+    // the parser round-trip must reproduce the source table verbatim
+    "g62_ingest_roundtrip" ->
+      s"""WITH g AS ($EV)
+         |SELECT class, userid, ts, vdouble FROM g""".stripMargin,
+
+    "g63_grubbs" ->
+      s"""WITH g AS ($EV),
+         |m AS (SELECT class, userid, cents,
+         |   avg(cents) OVER (PARTITION BY class, userid) AS mu,
+         |   stddev_pop(cents) OVER (PARTITION BY class, userid) AS sd FROM g)
+         |SELECT class, userid, count(*) AS n,
+         |       round(max(abs(cents - mu) / sd), 6) AS grubbs
+         |FROM m GROUP BY 1, 2""".stripMargin,
 
     "g61_circular_mean" ->
       s"""WITH g AS ($EV)
