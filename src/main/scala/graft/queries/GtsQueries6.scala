@@ -77,6 +77,16 @@ object GtsQueries6 {
         .select(col("class"), userid, col("ts"), col("vdouble"))
     }),
 
+    // raw/wrapper codec END-TO-END: WRAP every series into its binary
+    // blob (varint/zigzag/delta codec) and UNWRAP back — must reproduce
+    // the source table; oracle = the raw table (codec hash-verified in
+    // the gate, not just spec'd)
+    "g64_codec_roundtrip" -> ((s, dir) => {
+      val src = Gts.fromEvents(s, dir)
+      graft.sources.GtsCodec.unwrap(graft.sources.GtsCodec.wrap(src))
+        .select(col("class"), userid, col("ts"), col("vdouble"))
+    }),
+
     // outlier test GRUBBS (script/functions/GRUBBSTEST.java family):
     // per-series Grubbs statistic max|x-mu|/sd vs the critical value
     // (computed once, shared literal); sd noise bounded by round 6
@@ -150,6 +160,10 @@ object GtsQueries6 {
 
     // the parser round-trip must reproduce the source table verbatim
     "g62_ingest_roundtrip" ->
+      s"""WITH g AS ($EV)
+         |SELECT class, userid, ts, vdouble FROM g""".stripMargin,
+
+    "g64_codec_roundtrip" ->
       s"""WITH g AS ($EV)
          |SELECT class, userid, ts, vdouble FROM g""".stripMargin,
 
