@@ -87,6 +87,41 @@ object GtsQueries6 {
         .select(col("class"), userid, col("ts"), col("vdouble"))
     }),
 
+    // MVSPLIT END-TO-END (fn/MVSPLIT.java): pack every series into a
+    // BINARY-valued carrier point holding its encoded sub-stream, then
+    // MVSPLIT explodes the carriers back into constituent points — must
+    // reproduce the source table (oracle = raw table)
+    "g65_mvsplit_roundtrip" -> ((s, dir) => {
+      val src = Gts.fromEvents(s, dir)
+      val carriers = graft.model.Gts.canonical(
+        graft.sources.GtsCodec.wrap(src).select(
+          col("class"), col("labels"),
+          lit(0L).as("ts"),
+          lit(null).cast(DoubleType).as("lat"),
+          lit(null).cast(DoubleType).as("lon"),
+          lit(null).cast(LongType).as("elev"),
+          lit(graft.model.GtsType.BINARY).cast(ByteType).as("vtype"),
+          lit(null).cast(LongType).as("vlong"),
+          lit(null).cast(DoubleType).as("vdouble"),
+          lit(null).cast(BooleanType).as("vbool"),
+          lit(null).cast(StringType).as("vstring"),
+          col("blob").as("vbinary")))
+      graft.sources.GtsCodec.mvSplit(carriers)
+        .select(col("class"), userid, col("ts"), col("vdouble"))
+    }),
+
+    // JSON format END-TO-END: render points to JSON rows and parse back
+    // with from_json — schema/format hash-verified against the raw table
+    "g66_json_roundtrip" -> ((s, dir) => {
+      val src = Gts.fromEvents(s, dir)
+      val json = graft.sources.Formats.toJsonRows(src)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "c STRING, l MAP<STRING,STRING>, t BIGINT, v DOUBLE")
+      json.select(from_json(col("value"), schema).as("p"))
+        .select(col("p.c").as("class"), col("p.l").getItem("user").as("userid"),
+          col("p.t").as("ts"), col("p.v").as("vdouble"))
+    }),
+
     // outlier test GRUBBS (script/functions/GRUBBSTEST.java family):
     // per-series Grubbs statistic max|x-mu|/sd vs the critical value
     // (computed once, shared literal); sd noise bounded by round 6
@@ -164,6 +199,14 @@ object GtsQueries6 {
          |SELECT class, userid, ts, vdouble FROM g""".stripMargin,
 
     "g64_codec_roundtrip" ->
+      s"""WITH g AS ($EV)
+         |SELECT class, userid, ts, vdouble FROM g""".stripMargin,
+
+    "g65_mvsplit_roundtrip" ->
+      s"""WITH g AS ($EV)
+         |SELECT class, userid, ts, vdouble FROM g""".stripMargin,
+
+    "g66_json_roundtrip" ->
       s"""WITH g AS ($EV)
          |SELECT class, userid, ts, vdouble FROM g""".stripMargin,
 
