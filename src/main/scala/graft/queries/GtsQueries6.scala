@@ -135,6 +135,21 @@ object GtsQueries6 {
           round(max(abs(col("vdouble") - col("__mu")) / col("__sd")), 6).as("grubbs"))
     }),
 
+    // SINGLEEXPONENTIALSMOOTHING with general α (fn/
+    // SINGLEEXPONENTIALSMOOTHING.java): the per-series sequential
+    // kernel runs the exact recursion s←αx+(1−α)s; the oracle replays
+    // the SAME recursion with a DuckDB recursive CTE (iterations =
+    // max points per series). round 6 absorbs FMA-contraction ulps.
+    "g67_ses_general" -> ((s, dir) => {
+      val f = Gts.fromEventsCents(s, dir)
+      val sm = new graft.kernels.KernelOps(f).expSmooth(0.25)
+      val meta = f.groupBy(col("gtsid"))
+        .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
+      sm.join(meta, "gtsid")
+        .select(col("class"), col("labels").getItem("user").as("userid"),
+          col("ts"), round(col("vdouble"), 6).as("ses"))
+    }),
+
     // bucketizer.mean.circular (script/aggregator/CircularMean.java):
     // per-series circular mean of the value seen as an angle of period
     // 100 — atan2 of mean sin / mean cos, rounded 6 (trig ulp noise is
@@ -218,6 +233,21 @@ object GtsQueries6 {
          |SELECT class, userid, count(*) AS n,
          |       round(max(abs(cents - mu) / sd), 6) AS grubbs
          |FROM m GROUP BY 1, 2""".stripMargin,
+
+    "g67_ses_general" ->
+      s"""WITH RECURSIVE g AS ($EV),
+         |o AS (SELECT class, userid, ts, cents,
+         |    row_number() OVER (PARTITION BY class, userid ORDER BY ts) AS rn
+         |  FROM g),
+         |r AS (
+         |  SELECT class, userid, ts, rn, CAST(cents AS DOUBLE) AS s
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.class, o.userid, o.ts, o.rn, 0.25 * o.cents + 0.75 * r.s
+         |  FROM o JOIN r ON o.class = r.class AND o.userid = r.userid
+         |    AND o.rn = r.rn + 1
+         |)
+         |SELECT class, userid, ts, round(s, 6) AS ses FROM r""".stripMargin,
 
     "g61_circular_mean" ->
       s"""WITH g AS ($EV)
