@@ -150,6 +150,19 @@ object GtsQueries6 {
           col("ts"), round(col("vdouble"), 6).as("ses"))
     }),
 
+    // DOUBLEEXPONENTIALSMOOTHING (Holt, fn/DOUBLEEXPONENTIALSMOOTHING
+    // .java): coupled level+trend recursion via the same kernel /
+    // recursive-CTE-replay pairing (two state columns in the CTE)
+    "g68_holt_general" -> ((s, dir) => {
+      val f = Gts.fromEventsCents(s, dir)
+      val sm = new graft.kernels.KernelOps(f).expSmooth(0.25, Some(0.5))
+      val meta = f.groupBy(col("gtsid"))
+        .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
+      sm.join(meta, "gtsid")
+        .select(col("class"), col("labels").getItem("user").as("userid"),
+          col("ts"), round(col("vdouble"), 6).as("holt"))
+    }),
+
     // bucketizer.mean.circular (script/aggregator/CircularMean.java):
     // per-series circular mean of the value seen as an angle of period
     // 100 — atan2 of mean sin / mean cos, rounded 6 (trig ulp noise is
@@ -248,6 +261,27 @@ object GtsQueries6 {
          |    AND o.rn = r.rn + 1
          |)
          |SELECT class, userid, ts, round(s, 6) AS ses FROM r""".stripMargin,
+
+    "g68_holt_general" ->
+      s"""WITH RECURSIVE g AS ($EV),
+         |o AS (SELECT class, userid, ts, cents,
+         |    row_number() OVER (PARTITION BY class, userid ORDER BY ts) AS rn
+         |  FROM g),
+         |r AS (
+         |  SELECT o1.class, o1.userid, o1.ts, o1.rn,
+         |    CAST(o1.cents AS DOUBLE) AS s,
+         |    coalesce(o2.cents - o1.cents, 0.0) AS b
+         |  FROM o o1 LEFT JOIN o o2 ON o1.class = o2.class
+         |    AND o1.userid = o2.userid AND o2.rn = 2
+         |  WHERE o1.rn = 1
+         |  UNION ALL
+         |  SELECT o.class, o.userid, o.ts, o.rn,
+         |    0.25 * o.cents + 0.75 * (r.s + r.b) AS s,
+         |    0.5 * ((0.25 * o.cents + 0.75 * (r.s + r.b)) - r.s) + 0.5 * r.b AS b
+         |  FROM o JOIN r ON o.class = r.class AND o.userid = r.userid
+         |    AND o.rn = r.rn + 1
+         |)
+         |SELECT class, userid, ts, round(s, 6) AS holt FROM r""".stripMargin,
 
     "g61_circular_mean" ->
       s"""WITH g AS ($EV)
