@@ -34,9 +34,12 @@ object SeasonalOps {
       .withColumn("__detr", lit(win) * col("vdouble") - col("__tsum"))
       .withColumn("__phase",
         ((col("ts") % (span * period)) / span).cast(org.apache.spark.sql.types.LongType))
-    val seas = t.groupBy(col("gtsid"), col("__phase"))
-      .agg(sum(col("__detr")).as("__ssum"), count(lit(1)).as("__scnt"))
-    t.join(seas, Seq("gtsid", "__phase"))
+    // per-phase seasonal means via a phase-partitioned window — one
+    // shuffle on (gtsid, phase) instead of groupBy + join-back (sums
+    // are exact integers, so the aggregation route is value-neutral)
+    val wp = Window.partitionBy(col("gtsid"), col("__phase"))
+    t.withColumn("__ssum", sum(col("__detr")).over(wp))
+      .withColumn("__scnt", count(lit(1)).over(wp))
       .withColumn("trend", col("__tsum") / win.toDouble)
       .withColumn("seasonal", col("__ssum") / (lit(win.toDouble) * col("__scnt")))
       .withColumn("resid", col("vdouble") - col("trend") - col("seasonal"))
