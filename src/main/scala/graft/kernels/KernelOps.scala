@@ -27,7 +27,9 @@ final class KernelOps(df: DataFrame) {
   private def perSeries[T: org.apache.spark.sql.Encoder](
       f: (Long, IndexedSeq[Pt]) => IterableOnce[T]): Dataset[T] =
     series.groupByKey(_._1).flatMapGroups { (id, it) =>
-      val pts = it.map(t => Pt(t._2, t._3)).toIndexedSeq.sortBy(_.ts)
+      // (ts, v) total order: duplicate ticks would otherwise make every
+      // sequential kernel (SES/Holt/LTTB/LOWESS...) engine-dependent
+      val pts = it.map(t => Pt(t._2, t._3)).toIndexedSeq.sortBy(p => (p.ts, p.v))
       f(id, pts).iterator
     }
 

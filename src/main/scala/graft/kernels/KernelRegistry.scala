@@ -70,7 +70,8 @@ object KernelRegistry {
 
   /** Per-series smoothing over the canonical long table. */
   def smooth(df: DataFrame, name: String, halfWidth: Int): DataFrame = {
-    val w = Window.partitionBy(col("gtsid")).orderBy(col("ts"))
+    // vdouble tiebreaker keeps lag/lead deterministic on duplicate ticks
+    val w = Window.partitionBy(col("gtsid")).orderBy(col("ts"), col("vdouble"))
     df.withColumn("vdouble", smoothCol(name, halfWidth, col("vdouble"), w))
   }
 

@@ -33,9 +33,15 @@ object RankOps {
     * key range, ranges ascending by partition id), rank locally within
     * each partition, then add the broadcast per-partition row-count
     * prefix offsets. Three narrow passes; the only global window runs
-    * over numPartitions rows. Spark's exchange reuse makes the two
-    * consumers of the ranged shuffle share one physical exchange, so
-    * partition ids are consistent between the local ranks and offsets.
+    * over numPartitions rows.
+    *
+    * The ranged frame is persisted (disk-spillable) before fan-out: both
+    * consumers (local ranks and offsets) must observe IDENTICAL
+    * `spark_partition_id()` assignments. Physical exchange reuse usually
+    * guarantees that, but it is an optimizer behavior, not a contract —
+    * the persist makes it one (the same two-passes-over-a-snapshot shape
+    * as `RDD.zipWithIndex`). The cache entry is one range-shuffle of the
+    * input, spilled to disk beyond memory.
     */
   def globalRank(df: DataFrame, order: Seq[Column], rankCol: String = "rank",
                  numParts: Int = 0): DataFrame = {
@@ -44,6 +50,7 @@ object RankOps {
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(parts, order: _*)
       .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val local = ranged.withColumn("__lrn",
       row_number().over(Window.partitionBy(col("__pid")).orderBy(order: _*)))
     val offs = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))

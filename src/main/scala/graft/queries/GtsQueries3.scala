@@ -55,7 +55,7 @@ object GtsQueries3 {
     // kernel-weighted smoothing over a ±2 tick window, renormalized at
     // series edges — windowed dot product with literal weights
     "g42_kernel_smooth" -> ((s, dir) => {
-      val w = Window.partitionBy(col("gtsid")).orderBy(col("ts"))
+      val w = Window.partitionBy(col("gtsid")).orderBy(col("ts"), col("vdouble"))
       val terms = KW.zipWithIndex.map { case (wk, i) =>
         val off = i - 2
         val v = if (off < 0) lag(col("vdouble"), -off).over(w)
@@ -129,7 +129,7 @@ object GtsQueries3 {
       s"""WITH g AS ($EV)
          |SELECT class, userid, ts, ($num) / ($den) AS smooth_v
          |FROM g
-         |WINDOW w AS (PARTITION BY class, userid ORDER BY ts)""".stripMargin
+         |WINDOW w AS (PARTITION BY class, userid ORDER BY ts, cents)""".stripMargin
     },
 
     "g43_fetch_lastn" ->

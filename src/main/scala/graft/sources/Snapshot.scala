@@ -28,8 +28,15 @@ object Snapshot {
     case Some(x) => render(x)
     case s: String => s"'${enc(s)}' "
     case b: Boolean => if (b) "true " else "false "
+    // non-finite doubles: `NaN` is a registered WarpScript word
+    // (WarpScriptLib.java:1226) so it re-evaluates; `Infinity` is NOT a
+    // word — Scala's toString would emit a non-parsing token, so reject
+    // it like any other unsupported value
+    case d: Double if d.isNaN => "NaN "
+    case d: Double if d.isInfinite => throw new IllegalArgumentException(
+      "SNAPSHOT: Infinity has no WarpScript literal form")
     case d: Double => s"$d "
-    case f: Float => s"${f.toDouble} "
+    case f: Float => render(f.toDouble)
     case n: Number => s"$n "
     case m: scala.collection.Map[_, _] =>
       m.map { case (k, v) => render(k) + render(v) }.mkString("{ ", "", "} ")
