@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.Gts
+import graft.operators.GtsFrame
+import graft.script.WarpScriptEngine
+
+/** WarpScript FRONT-END queries: each runs an actual WarpScript program
+  * text through [[WarpScriptEngine]] and must reproduce — bit for bit —
+  * the answer of the equivalent hand-built GtsFrame query, so the
+  * oracle SQL is REUSED from the corresponding g-row. A hash match
+  * proves tokenizer + stack semantics + word compilation end-to-end:
+  * the program compiles to the same Catalyst plan family a native
+  * caller gets (the front end adds zero execution-time cost).
+  */
+object WsQueries {
+  import GtsQueries.{T0, T7, LB, HOUR, DAY, EV}
+
+  private val userid = col("labels").getItem("user").as("userid")
+
+  /** FETCH over the events table: selector + label selectors + range,
+    * exactly GtsFrame.select∘timeclip (the engine's storage hook). */
+  private def engine(s: SparkSession, dir: String, cents: Boolean) = {
+    val base = if (cents) Gts.fromEventsCents(s, dir) else Gts.fromEvents(s, dir)
+    new WarpScriptEngine(
+      fetch = (cls, labels, start, stop) =>
+        GtsFrame(base).select(cls, labels).timeclip(start, stop),
+      nowTs = LB)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // FETCH word (fn/FETCH.java list form, token ignored) ≡ g01
+    "w01_ws_fetch" -> ((s, dir) => {
+      val program =
+        s"""// fetch one week of clicks and views
+           |[ 'TOKEN' '~events\\.(click|view)' { } $T0 ${T7 - 1} ] FETCH""".stripMargin
+      engine(s, dir, cents = false).runToFrame(program)
+        .select(col("class"), userid, col("ts"), col("vdouble"))
+    }),
+
+    // BUCKETIZE word with a duration literal (1 h) ≡ g02
+    "w02_ws_bucketize" -> ((s, dir) => {
+      val program =
+        s"""[ [ '' '~events\\..*' { } 0 $LB ] FETCH
+           |  bucketizer.sum $LB 1 h 0 ] BUCKETIZE""".stripMargin
+      engine(s, dir, cents = true).runToFrame(program)
+        .select(col("class"), userid, col("ts"), col("vdouble").as("sum_cents"))
+    }),
+
+    // MAP word, negative pre = 1h time window ≡ g06; the window width
+    // is computed ON STACK (0 1 h -) to exercise scalar arithmetic
+    "w03_ws_map" -> ((s, dir) => {
+      val program =
+        s"""[ [ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+           |  mapper.sum 0 1 h - 0 0 ] MAP""".stripMargin
+      engine(s, dir, cents = true).runToFrame(program)
+        .select(col("class"), userid, col("ts"), col("vdouble").as("wsum"))
+    }),
+
+    // REDUCE word with label equivalence ≡ g08; macros + STORE exercise
+    // the symbol table on the series list
+    "w04_ws_reduce" -> ((s, dir) => {
+      val program =
+        s"""<% [ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH %> 'fetchall' STORE
+           |[ @fetchall [ 'user' ] reducer.sum ] REDUCE""".stripMargin
+      // @name sugar is not in the subset: expand via $ + EVAL
+      val expanded = program.replace("@fetchall", "$fetchall EVAL")
+      engine(s, dir, cents = true).runToFrame(expanded)
+        .select(col("user").as("userid"), col("ts"), col("vdouble").as("rsum"))
+    }),
+
+    // FILTER word with a parametric threshold filter ≡ g11
+    "w05_ws_filter" -> ((s, dir) => {
+      val program =
+        s"""[ [ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+           |  [ ] 90.0 filter.last.gt ] FILTER""".stripMargin
+      engine(s, dir, cents = false).runToFrame(program)
+        .select(col("class"), userid, col("ts"), col("vdouble"))
+    }),
+
+    // APPLY word with op.sub on bucketized operands ≡ g09
+    "w06_ws_apply" -> ((s, dir) => {
+      val program =
+        s"""[ [ '' 'events.click' { } 0 $LB ] FETCH
+           |    bucketizer.sum $LB 1 d 0 ] BUCKETIZE 'clicks' STORE
+           |[ [ '' 'events.view' { } 0 $LB ] FETCH
+           |    bucketizer.sum $LB 1 d 0 ] BUCKETIZE 'views' STORE
+           |[ [ $$clicks ] [ $$views ] [ 'user' ] op.sub ] APPLY""".stripMargin
+      engine(s, dir, cents = true).runToFrame(program)
+        .select(col("user").as("userid"), col("ts"), col("vdouble").as("diff"))
+    }),
+
+    // driver-side scalar words: arithmetic, comparisons, macros, IFTE,
+    // FOREACH accumulation — the answer is assembled on the stack and
+    // becomes a one-row frame; oracle computes the same expression
+    "w07_ws_scalars" -> ((s, dir) => {
+      val program =
+        """<% DUP * %> 'sq' STORE
+          |0 'acc' STORE
+          |[ 1 2 3 4 5 ] <% $sq EVAL $acc + 'acc' STORE %> FOREACH
+          |$acc                       // 55
+          |7 2 /                      // long division: 3
+          |+                          // 58
+          |DUP 50 > <% 100 + %> <% 0 %> IFTE  // 158
+          |2.5 1 h TODOUBLE * 0.5 ROUND MAX   // 9e9
+          |""".stripMargin
+      val st = engine(s, dir, cents = false).run(program)
+      val top = st.head.asInstanceOf[Double]
+      val next = st(1).asInstanceOf[Long]
+      s.range(1).select(lit(top).as("v_double"), lit(next).as("v_long"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // byte-for-byte the oracles of the equivalent native queries
+    "w01_ws_fetch" -> GtsQueries.oracleSql("g01_fetch_selector"),
+    "w02_ws_bucketize" -> GtsQueries.oracleSql("g02_bucketize_sum"),
+    "w03_ws_map" -> GtsQueries.oracleSql("g06_map_timewindow_sum"),
+    "w04_ws_reduce" -> GtsQueries.oracleSql("g08_reduce_sum"),
+    "w05_ws_filter" -> GtsQueries.oracleSql("g11_filter_last_gt"),
+    "w06_ws_apply" -> GtsQueries.oracleSql("g09_apply_sub"),
+    "w07_ws_scalars" ->
+      "SELECT CAST(2.5 * 3600000000 AS DOUBLE) AS v_double, CAST(158 AS BIGINT) AS v_long"
+  )
+}

@@ -1,0 +1,486 @@
+package graft.script
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.GtsFrame
+import graft.operators.GtsFrame._
+
+/** WarpScript text front end: an RPN stack evaluator that COMPILES
+  * programs onto the [[GtsFrame]] operator algebra — the frame words
+  * (FETCH/BUCKETIZE/MAP/REDUCE/APPLY/FILTER/...) build lazy DataFrames,
+  * so a WarpScript program becomes one Catalyst plan with zero
+  * interpretation cost at execution time; only scalar words run on the
+  * driver. This is the reference's user-facing language
+  * (WarpScriptLib.java registry; fn/&#42;.java words) re-expressed over
+  * Spark: a Warp 10 user can paste the core of their scripts.
+  *
+  * Word semantics re-derived from the reference (cited per word below);
+  * the GTS object model differs by design: a [[GtsFrame]] IS a set of
+  * series (gtsid-keyed long table), so a "list of GTS" and a frame are
+  * interchangeable here — frame words accept both and merge lists.
+  *
+  * @param fetch  storage access for FETCH: (classSelector, labelSelectors,
+  *               startTs, endTs) => frame. Supplied by the host (a
+  *               LongTable scan, a parquet dir, a test fixture...).
+  * @param nowTs  the tick NOW pushes (fn/NOW.java) — injected for
+  *               determinism.
+  */
+final class WarpScriptEngine(
+    fetch: (String, Map[String, String], Long, Long) => GtsFrame,
+    nowTs: Long = 0L) {
+
+  import WsToken._
+  import WarpScriptEngine._
+
+  /** Run a program over an initially empty stack; returns the final
+    * stack, top first. */
+  def run(program: String): List[Any] = {
+    val st = new State
+    exec(WarpScriptTokenizer.tokenize(program), st)
+    st.stack.toList
+  }
+
+  /** Run a program whose result (top of stack) is a GTS frame (or a
+    * list of frames — merged). */
+  def runToFrame(program: String): DataFrame =
+    toFrame(run(program).headOption.getOrElse(
+      throw new IllegalStateException("empty stack after program"))).df
+
+  // ---------------------------------------------------------------- core
+
+  private final class State {
+    val stack = new mutable.ArrayDeque[Any] // head = top of stack
+    val symbols = mutable.Map.empty[String, Any]
+    def push(v: Any): Unit = stack.prepend(v)
+    def pop(): Any =
+      if (stack.isEmpty) throw new IllegalStateException("stack underflow")
+      else stack.removeHead()
+    def popLong(): Long = pop() match {
+      case l: Long => l
+      case d: Double if d == d.toLong => d.toLong
+      case other => throw new IllegalArgumentException(s"expected LONG, got $other")
+    }
+    def popNum(): Double = pop() match {
+      case l: Long => l.toDouble
+      case d: Double => d
+      case other => throw new IllegalArgumentException(s"expected number, got $other")
+    }
+    def popStr(): String = pop() match {
+      case s: String => s
+      case other => throw new IllegalArgumentException(s"expected STRING, got $other")
+    }
+  }
+
+  private def exec(tokens: Vector[WsToken], st: State): Unit = {
+    var i = 0
+    var macroDepth = 0
+    var macroBuf: mutable.ArrayBuffer[WsToken] = null
+    while (i < tokens.length) {
+      val t = tokens(i)
+      if (macroDepth > 0) {
+        t match {
+          case WsWord("<%") => macroDepth += 1; macroBuf += t
+          case WsWord("%>") =>
+            macroDepth -= 1
+            if (macroDepth == 0) st.push(WsMacro(macroBuf.toVector))
+            else macroBuf += t
+          case other => macroBuf += other
+        }
+      } else t match {
+        case WsWord("<%") => macroDepth = 1; macroBuf = mutable.ArrayBuffer.empty
+        case WsWord("%>") => throw new IllegalStateException("%> outside macro")
+        case WsStr(s) => st.push(s)
+        case WsLong(l) => st.push(l)
+        case WsDouble(d) => st.push(d)
+        case WsBool(b) => st.push(b)
+        case WsWord(w) => evalWord(w, st)
+      }
+      i += 1
+    }
+    if (macroDepth > 0) throw new IllegalStateException("unterminated macro")
+  }
+
+  private def evalMacro(m: WsMacro, st: State): Unit = exec(m.tokens, st)
+
+  // ---------------------------------------------------------------- words
+
+  private def evalWord(w: String, st: State): Unit = w match {
+    // ---- structure: lists and maps (MemoryWarpScriptStack MARK/ENDLIST)
+    case "[" => st.push(ListMark)
+    case "]" =>
+      val items = mutable.ArrayBuffer.empty[Any]
+      var v = st.pop()
+      while (v != ListMark) { items.prepend(v); v = st.pop() }
+      st.push(items.toVector)
+    case "{" => st.push(MapMark)
+    case "}" =>
+      val pairs = mutable.ArrayBuffer.empty[(Any, Any)]
+      var v = st.pop()
+      while (v != MapMark) {
+        val k = st.pop()
+        if (k == MapMark) throw new IllegalStateException("odd map entries")
+        pairs.prepend((k, v)); v = st.pop()
+      }
+      st.push(pairs.toMap)
+
+    // ---- variables (fn/STORE.java, $deref MemoryWarpScriptStack.java:973)
+    case "STORE" => val name = st.popStr(); st.symbols(name) = st.pop()
+    case "LOAD" => st.push(st.symbols.getOrElse(st.popStr(),
+      throw new IllegalArgumentException("unknown symbol")))
+    case v if v.startsWith("!$") => st.push(st.symbols.getOrElse(v.substring(2),
+      throw new IllegalArgumentException(s"unknown symbol '${v.substring(2)}'")))
+    case v if v.startsWith("$") && v.length > 1 => st.push(st.symbols.getOrElse(v.substring(1),
+      throw new IllegalArgumentException(s"unknown symbol '${v.substring(1)}'")))
+
+    // ---- stack words (fn/DUP.java, SWAP, DROP, CLEAR, DEPTH, PICK, ROT)
+    case "DUP" => val v = st.pop(); st.push(v); st.push(v)
+    case "SWAP" => val a = st.pop(); val b = st.pop(); st.push(a); st.push(b)
+    case "DROP" => st.pop()
+    case "CLEAR" => st.stack.clear()
+    case "DEPTH" => st.push(st.stack.length.toLong)
+    case "PICK" => val n = st.popLong().toInt; st.push(st.stack(n - 1))
+    case "ROT" =>
+      val a = st.pop(); val b = st.pop(); val c = st.pop()
+      st.push(b); st.push(a); st.push(c)
+
+    // ---- scalar arithmetic (fn/ADD.java promotion: long+long stays long)
+    case "+" => binNum(st, _ + _, _ + _, Some(_ + _))
+    case "-" => binNum(st, _ - _, _ - _)
+    case "*" => binNum(st, _ * _, _ * _)
+    case "/" => binNum(st, _ / _, _ / _) // long/long stays long (binary/DIV.java:71)
+    case "%" => val b = st.pop(); val a = st.pop(); (a, b) match {
+      case (x: Long, y: Long) => st.push(x % y)
+      case _ => throw new IllegalArgumentException("% expects longs")
+    }
+    case "**" => val b = st.popNum(); val a = st.popNum(); st.push(math.pow(a, b))
+    case "ABS" => st.pop() match {
+      case l: Long => st.push(math.abs(l))
+      case d: Double => st.push(math.abs(d))
+      case o => throw new IllegalArgumentException(s"ABS on $o")
+    }
+    case "SQRT" => st.push(math.sqrt(st.popNum()))
+    case "EXP" => st.push(math.exp(st.popNum()))
+    case "LN" => st.push(math.log(st.popNum()))
+    case "FLOOR" => st.push(math.floor(st.popNum()).toLong)
+    case "CEIL" => st.push(math.ceil(st.popNum()).toLong)
+    case "ROUND" => st.push(math.rint(st.popNum()).toLong)
+    case "MIN" => binNum(st, math.min, math.min)
+    case "MAX" => binNum(st, math.max, math.max)
+    case "TODOUBLE" => st.push(st.popNum())
+    case "TOLONG" => st.push(st.popNum().toLong)
+    case "TOSTRING" => st.push(String.valueOf(st.pop()))
+
+    // ---- comparison / boolean (fn/EQ.java family)
+    case "==" => val b = st.pop(); val a = st.pop(); st.push(numEq(a, b))
+    case "!=" => val b = st.pop(); val a = st.pop(); st.push(!numEq(a, b))
+    case "<" => cmp(st, _ < 0)
+    case ">" => cmp(st, _ > 0)
+    case "<=" => cmp(st, _ <= 0)
+    case ">=" => cmp(st, _ >= 0)
+    case "AND" | "&&" => val b = st.pop(); val a = st.pop(); st.push(bool(a) && bool(b))
+    case "OR" | "||" => val b = st.pop(); val a = st.pop(); st.push(bool(a) || bool(b))
+    case "NOT" | "!" => st.push(!bool(st.pop()))
+    case "ISNULL" => st.push(st.pop() == null)
+    case "NULL" => st.push(null)
+
+    // ---- time (fn/NOW.java; duration words fn/TOTIMESTAMP-adjacent:
+    // the reference registers w/d/h/m/s/ms/us µs-multiplier words)
+    case "NOW" => st.push(nowTs)
+    case "w" => st.push(st.popLong() * 7L * 86400000000L)
+    case "d" => st.push(st.popLong() * 86400000000L)
+    case "h" => st.push(st.popLong() * 3600000000L)
+    case "m" => st.push(st.popLong() * 60000000L)
+    case "s" => st.push(st.popLong() * 1000000L)
+    case "ms" => st.push(st.popLong() * 1000L)
+    case "us" => st.push(st.popLong())
+
+    // ---- collections
+    case "SIZE" => st.pop() match {
+      case v: Vector[_] => st.push(v.size.toLong)
+      case m: Map[_, _] => st.push(m.size.toLong)
+      case s: String => st.push(s.length.toLong)
+      case f: GtsFrame => st.push(f.df.count())
+      case o => throw new IllegalArgumentException(s"SIZE on $o")
+    }
+    case "GET" => val k = st.pop(); st.pop() match {
+      case v: Vector[_] => st.push(v(k.asInstanceOf[Long].toInt))
+      case m: Map[Any @unchecked, _] => st.push(m.getOrElse(k, null))
+      case o => throw new IllegalArgumentException(s"GET on $o")
+    }
+    case "REVERSE" => st.push(st.pop().asInstanceOf[Vector[Any]].reverse)
+    case "FLATTEN" => st.push(flatten(st.pop().asInstanceOf[Vector[Any]]))
+
+    // ---- control (fn/EVAL.java, IFT, IFTE, FOREACH)
+    case "EVAL" => st.pop() match {
+      case m: WsMacro => evalMacro(m, st)
+      case s: String => exec(WarpScriptTokenizer.tokenize(s), st)
+      case o => throw new IllegalArgumentException(s"EVAL on $o")
+    }
+    case "IFT" =>
+      val m = st.pop().asInstanceOf[WsMacro]
+      if (bool(st.pop())) evalMacro(m, st)
+    case "IFTE" =>
+      val mf = st.pop().asInstanceOf[WsMacro]
+      val mt = st.pop().asInstanceOf[WsMacro]
+      if (bool(st.pop())) evalMacro(mt, st) else evalMacro(mf, st)
+    case "FOREACH" =>
+      val m = st.pop().asInstanceOf[WsMacro]
+      st.pop().asInstanceOf[Vector[Any]].foreach { v => st.push(v); evalMacro(m, st) }
+
+    // ---- GTS frame words ------------------------------------------------
+    // FETCH (fn/FETCH.java list form [ token class labels start stop ];
+    // the auth token is accepted and ignored — storage ACLs are the
+    // host's concern, not the algebra's)
+    case "FETCH" =>
+      val args = st.pop().asInstanceOf[Vector[Any]]
+      val (cls, labels, start, stop) = args match {
+        case Vector(_: String, c: String, l: Map[_, _], a: Long, b: Long) =>
+          (c, l.asInstanceOf[Map[String, String]], a, b)
+        case Vector(c: String, l: Map[_, _], a: Long, b: Long) =>
+          (c, l.asInstanceOf[Map[String, String]], a, b)
+        case other => throw new IllegalArgumentException(s"FETCH args: $other")
+      }
+      st.push(fetch(cls, labels, start, stop))
+
+    // BUCKETIZE (fn/BUCKETIZE.java): [ gts bucketizer lastbucket span count ]
+    case "BUCKETIZE" =>
+      val args = st.pop().asInstanceOf[Vector[Any]]
+      val n = args.length
+      val (count, span, lb) = (asLong(args(n - 1)), asLong(args(n - 2)), asLong(args(n - 3)))
+      val agg = args(n - 4) match {
+        case AggVal(_, a) => a
+        case o => throw new IllegalArgumentException(s"not a bucketizer: $o")
+      }
+      st.push(framesOf(args.take(n - 4)).bucketizeAuto(agg, lb, span, count))
+
+    // MAP (fn/MAP.java): [ gts mapper pre post occurrences ]; negative
+    // pre/post = time span, positive = tick count (GTSHelper.java:6440)
+    case "MAP" =>
+      val args = st.pop().asInstanceOf[Vector[Any]]
+      val n = args.length
+      val (occ, post, pre) = (asLong(args(n - 1)), asLong(args(n - 2)), asLong(args(n - 3)))
+      args(n - 4) match {
+        case AggVal(_, a) =>
+          st.push(framesOf(args.take(n - 4)).mapWindow(a, pre, post, occurrences = occ))
+        case MapperCol(_, f) =>
+          val fr = framesOf(args.take(n - 4))
+          st.push(GtsFrame(fr.df.withColumn("vdouble", f(col("vdouble")))))
+        case o => throw new IllegalArgumentException(s"not a mapper: $o")
+      }
+
+    // REDUCE (fn/REDUCE.java): [ gts... [labels] reducer ]
+    case "REDUCE" =>
+      val args = st.pop().asInstanceOf[Vector[Any]]
+      val agg = args.last match {
+        case AggVal(_, a) => a
+        case o => throw new IllegalArgumentException(s"not a reducer: $o")
+      }
+      val labels = args(args.length - 2).asInstanceOf[Vector[Any]].map(_.toString)
+      // REDUCE emits the flattened shape (labels..., ts, vdouble)
+      st.push(GtsFrame(framesOf(args.take(args.length - 2)).reduce(agg, labels.toSeq)))
+
+    // FILTER (fn/FILTER.java): [ gts... [labels] filter ]
+    case "FILTER" =>
+      val args = st.pop().asInstanceOf[Vector[Any]]
+      val f = args.last match {
+        case FilterVal(_, pred) => pred
+        case o => throw new IllegalArgumentException(s"not a filter: $o")
+      }
+      st.push(framesOf(args.take(args.length - 2)).filterSeries(f))
+
+    // APPLY (fn/APPLY.java): [ [gts-a] [gts-b] [labels] op ]
+    case "APPLY" =>
+      val args = st.pop().asInstanceOf[Vector[Any]]
+      val opv = args.last match {
+        case o: OpVal => o
+        case o => throw new IllegalArgumentException(s"not an op: $o")
+      }
+      val labels = args(args.length - 2).asInstanceOf[Vector[Any]].map(_.toString).toSeq
+      val b = toFrame(args(args.length - 3))
+      val a = toFrame(args(args.length - 4))
+      val out = opv.name match {
+        case "op.mask" => a.mask(b, labels)
+        case "op.negmask" => a.mask(b, labels, negate = true)
+        case _ => a.applyOp(b, opv.f, labels)
+      }
+      // APPLY emits the flattened shape (labels..., ts, vdouble)
+      st.push(GtsFrame(out))
+
+    // structural frame words — direct GtsFrame methods
+    case "DEDUP" => st.push(toFrame(st.pop()).dedup())
+    case "COMPACT" => st.push(toFrame(st.pop()).compact())
+    case "QUANTIZE" => // our quantize(step): [ gts step ] form
+      val step = st.popNum(); st.push(toFrame(st.pop()).quantize(step))
+    case "TIMECLIP" => // fn/TIMECLIP.java: gts end span | gts start end here
+      val b = st.popLong(); val a = st.popLong()
+      st.push(toFrame(st.pop()).timeclip(a, b))
+    case "TIMESHIFT" => val d = st.popLong(); st.push(toFrame(st.pop()).timeshift(d))
+    case "TIMESCALE" => val k = st.popNum(); st.push(toFrame(st.pop()).timescale(k))
+    case "TIMEMODULO" =>
+      val lbl = st.popStr(); val mod = st.popLong()
+      st.push(toFrame(st.pop()).timemodulo(mod, lbl))
+    case "TIMESPLIT" =>
+      val quiet = st.popLong(); st.push(GtsFrame(toFrame(st.pop()).timesplit(quiet)))
+    case "CHUNK" =>
+      val width = st.popLong(); val lastchunk = st.popLong()
+      st.push(GtsFrame(toFrame(st.pop()).chunk(lastchunk, width)))
+    case "NORMALIZE" => st.push(toFrame(st.pop()).normalize())
+    case "STANDARDIZE" => st.push(toFrame(st.pop()).standardize())
+    case "INTEGRATE" => st.push(toFrame(st.pop()).integrate())
+    case "MERGE" => st.pop() match {
+      case v: Vector[_] => st.push(framesOf(v))
+      case f: GtsFrame => val g = toFrame(st.pop()); st.push(g.merge(f))
+      case o => throw new IllegalArgumentException(s"MERGE on $o")
+    }
+
+    // ---- function-value words -------------------------------------------
+    case BucketizerName(a) => st.push(a)
+    case MapperName(m) => st.push(m)
+    case ReducerName(a) => st.push(a)
+    case OpName(o) => st.push(o)
+    // parametric filters pop their threshold NOW (value words compose:
+    // `90.0 filter.last.gt` — script/filter/FilterLastGT-style)
+    case "filter.last.gt" => st.push(FilterVal(w, col("last_v") > st.popNum()))
+    case "filter.last.ge" => st.push(FilterVal(w, col("last_v") >= st.popNum()))
+    case "filter.last.lt" => st.push(FilterVal(w, col("last_v") < st.popNum()))
+    case "filter.last.le" => st.push(FilterVal(w, col("last_v") <= st.popNum()))
+    case "filter.last.eq" => st.push(FilterVal(w, col("last_v") === st.popNum()))
+    case "filter.bysize.gt" => st.push(FilterVal(w, col("size_v") > st.popLong()))
+    case "filter.any.gt" => st.push(FilterVal(w, col("max_v") > st.popNum()))
+    case "filter.all.gt" => st.push(FilterVal(w, col("min_v") > st.popNum()))
+
+    case other => throw new IllegalArgumentException(s"unknown function '$other'")
+  }
+
+  // ---------------------------------------------------------------- helpers
+
+  private def binNum(st: State, fl: (Long, Long) => Long, fd: (Double, Double) => Double,
+                     fs: Option[(String, String) => String] = None): Unit = {
+    val b = st.pop(); val a = st.pop()
+    (a, b) match {
+      case (x: Long, y: Long) => st.push(fl(x, y))
+      case (x: Long, y: Double) => st.push(fd(x.toDouble, y))
+      case (x: Double, y: Long) => st.push(fd(x, y.toDouble))
+      case (x: Double, y: Double) => st.push(fd(x, y))
+      case (x: String, y: String) if fs.isDefined => st.push(fs.get(x, y))
+      case _ => throw new IllegalArgumentException(s"type error: $a ? $b")
+    }
+  }
+
+  private def numEq(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Long, y: Double) => x.toDouble == y
+    case (x: Double, y: Long) => x == y.toDouble
+    case _ => a == b
+  }
+
+  private def cmp(st: State, ok: Int => Boolean): Unit = {
+    val b = st.pop(); val a = st.pop()
+    val c = (a, b) match {
+      case (x: String, y: String) => x.compareTo(y)
+      case _ => java.lang.Double.compare(
+        a.asInstanceOf[Number].doubleValue(), b.asInstanceOf[Number].doubleValue())
+    }
+    st.push(ok(c))
+  }
+
+  private def bool(v: Any): Boolean = v match {
+    case b: Boolean => b
+    case o => throw new IllegalArgumentException(s"expected BOOLEAN, got $o")
+  }
+
+  private def asLong(v: Any): Long = v match {
+    case l: Long => l
+    case d: Double if d == d.toLong => d.toLong
+    case o => throw new IllegalArgumentException(s"expected LONG, got $o")
+  }
+
+  private def flatten(v: Vector[Any]): Vector[Any] = v.flatMap {
+    case inner: Vector[_] => flatten(inner.asInstanceOf[Vector[Any]])
+    case x => Vector(x)
+  }
+
+  private def toFrame(v: Any): GtsFrame = v match {
+    case f: GtsFrame => f
+    case l: Vector[_] => framesOf(l)
+    case o => throw new IllegalArgumentException(s"not a GTS frame: $o")
+  }
+
+  /** Merge any frames found in a (possibly nested) list into one frame. */
+  private def framesOf(items: Seq[Any]): GtsFrame = {
+    val frames = items.flatMap {
+      case f: GtsFrame => Seq(f)
+      case l: Vector[_] => Seq(framesOf(l))
+      case o => throw new IllegalArgumentException(s"not a GTS frame: $o")
+    }
+    if (frames.isEmpty) throw new IllegalArgumentException("no GTS on stack")
+    frames.reduce(_ merge _)
+  }
+}
+
+object WarpScriptEngine {
+
+  /** List/map builder marks (reference MARK object). */
+  private object ListMark
+  private object MapMark
+
+  /** A captured `<% %>` macro (reference Macro). */
+  final case class WsMacro(tokens: Vector[WsToken])
+
+  /** Named aggregator usable as bucketizer/windowed-mapper/reducer —
+    * the three families share implementations, as in the reference
+    * (script/aggregator classes). */
+  final case class AggVal(name: String, agg: ValueAgg)
+  /** Pointwise value mapper (mapper.abs etc.). */
+  final case class MapperCol(name: String, f: Column => Column)
+  /** Tick-aligned binary op for APPLY (script/op/Op*.java). */
+  final case class OpVal(name: String, f: (Column, Column) => Column)
+  /** Whole-series filter predicate over the per-series aggregate row
+    * (last_v/min_v/max_v/size_v — see GtsFrame.filterSeries). */
+  final case class FilterVal(name: String, pred: Column)
+
+  private val aggByName: Map[String, ValueAgg] = Map(
+    "sum" -> Sum, "mean" -> Mean, "min" -> Min, "max" -> Max,
+    "count" -> CountAgg, "sd" -> Sd, "sd.pop" -> SdPop, "var" -> Var,
+    "var.pop" -> VarPop, "median" -> Median, "rms" -> Rms,
+    "first" -> First, "last" -> Last, "delta" -> Delta, "rate" -> Rate)
+
+  object BucketizerName {
+    def unapply(w: String): Option[AggVal] =
+      if (w.startsWith("bucketizer.")) aggByName.get(w.stripPrefix("bucketizer."))
+        .map(AggVal(w, _))
+      else None
+  }
+  object ReducerName {
+    def unapply(w: String): Option[AggVal] =
+      if (w.startsWith("reducer.")) aggByName.get(w.stripPrefix("reducer."))
+        .map(AggVal(w, _))
+      else None
+  }
+  object MapperName {
+    private val pointwise: Map[String, Column => Column] = Map(
+      "abs" -> abs, "ceil" -> (v => ceil(v)), "floor" -> (v => floor(v)),
+      "round" -> (v => round(v)), "sqrt" -> sqrt, "exp" -> exp, "ln" -> log,
+      "tolong" -> (_.cast(org.apache.spark.sql.types.LongType)),
+      "todouble" -> (_.cast(org.apache.spark.sql.types.DoubleType)))
+    def unapply(w: String): Option[Any] =
+      if (!w.startsWith("mapper.")) None
+      else {
+        val n = w.stripPrefix("mapper.")
+        aggByName.get(n).map(AggVal(w, _))
+          .orElse(pointwise.get(n).map(MapperCol(w, _)))
+      }
+  }
+  object OpName {
+    private val ops: Map[String, (Column, Column) => Column] = Map(
+      "add" -> (_ + _), "sub" -> (_ - _), "mul" -> (_ * _), "div" -> (_ / _),
+      "eq" -> (_ === _), "ne" -> (_ =!= _), "gt" -> (_ > _), "ge" -> (_ >= _),
+      "lt" -> (_ < _), "le" -> (_ <= _),
+      "mask" -> ((v, _) => v), "negmask" -> ((v, _) => v))
+    def unapply(w: String): Option[OpVal] =
+      if (w.startsWith("op.")) ops.get(w.stripPrefix("op.")).map(OpVal(w, _))
+      else None
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Gts
+import graft.operators.GtsFrame
+import graft.script.{WarpScriptEngine, WarpScriptTokenizer}
+import graft.script.WsToken._
+
+/** WarpScript front-end semantics: tokenizer grammar
+  * (MemoryWarpScriptStack.java:700-1010 re-derivation) and stack
+  * evaluator words. Frame words are covered end-to-end by the oracle
+  * rows w01-w07; here we pin the grammar and scalar semantics. */
+class WarpScriptSpec extends SparkSpec {
+
+  private def eng = new WarpScriptEngine(
+    fetch = (_, _, _, _) => throw new UnsupportedOperationException("no storage"),
+    nowTs = 42L)
+
+  private def top(program: String): Any = eng.run(program).head
+
+  // ----------------------------------------------------------- tokenizer
+
+  test("tokenizer: numbers, booleans, strings, words") {
+    assert(WarpScriptTokenizer.tokenize("1 -2 3.5 .5 1e3 0x2a 0b101 T false 'a b' \"c\" FOO") ==
+      Vector(WsLong(1), WsLong(-2), WsDouble(3.5), WsDouble(0.5), WsDouble(1000.0),
+        WsLong(42), WsLong(5), WsBool(true), WsBool(false), WsStr("a b"),
+        WsStr("c"), WsWord("FOO")))
+  }
+
+  test("tokenizer: strings percent-decode and may contain quotes") {
+    // closing quote must be followed by whitespace/EOL (reference :729)
+    assert(WarpScriptTokenizer.tokenize("'it's fine'") == Vector(WsStr("it's fine")))
+    assert(WarpScriptTokenizer.tokenize("'a%20b%C3%A9'") == Vector(WsStr("a bé")))
+  }
+
+  test("tokenizer: comments — line, hash, block") {
+    assert(WarpScriptTokenizer.tokenize("1 // two\n2 # three\n/* 4\n5 */ 6") ==
+      Vector(WsLong(1), WsLong(2), WsLong(6)))
+  }
+
+  test("tokenizer: multiline string") {
+    assert(WarpScriptTokenizer.tokenize("<'\nline1\nline2 'quoted'\n'>") ==
+      Vector(WsStr("line1\nline2 'quoted'")))
+  }
+
+  // ----------------------------------------------------------- scalar words
+
+  test("arithmetic promotion: long+long stays long, long/long truncates") {
+    assert(top("2 3 +") == 5L)
+    assert(top("2 3.0 +") == 5.0)
+    assert(top("7 2 /") == 3L)
+    assert(top("7.0 2 /") == 3.5)
+    assert(top("'a' 'b' +") == "ab")
+  }
+
+  test("stack words") {
+    assert(eng.run("1 2 3 ROT") == List(1L, 3L, 2L))
+    assert(eng.run("1 2 SWAP DROP") == List(2L))
+    assert(top("1 2 3 DEPTH") == 3L)
+    assert(top("9 8 2 PICK") == 9L)
+  }
+
+  test("lists, maps, GET, SIZE, FLATTEN") {
+    assert(top("[ 1 2 [ 3 4 ] ] FLATTEN") == Vector(1L, 2L, 3L, 4L))
+    assert(top("[ 10 20 30 ] 1 GET") == 20L)
+    assert(top("{ 'a' 1 'b' 2 } 'b' GET") == 2L)
+    assert(top("{ 'a' 1 } SIZE") == 1L)
+  }
+
+  test("macros: STORE/$deref/EVAL, IFTE, FOREACH") {
+    assert(top("<% DUP * %> 'sq' STORE 7 $sq EVAL") == 49L)
+    assert(top("3 4 > <% 'yes' %> <% 'no' %> IFTE") == "no")
+    assert(top("0 'acc' STORE [ 1 2 3 ] <% $acc + 'acc' STORE %> FOREACH $acc") == 6L)
+  }
+
+  test("NOW is injected; duration words scale to µs") {
+    assert(top("NOW") == 42L)
+    assert(top("2 h") == 7200000000L)
+    assert(top("1 w") == 604800000000L)
+  }
+
+  test("unknown word and stack underflow raise") {
+    intercept[IllegalArgumentException](eng.run("NOT_A_WORD_XYZ"))
+    intercept[IllegalStateException](eng.run("DROP"))
+    intercept[IllegalArgumentException](eng.run("$nope"))
+  }
+
+  // ----------------------------------------------------------- frame words
+
+  test("frame pipeline compiles onto GtsFrame (FETCH→BUCKETIZE→REDUCE)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val pts = Seq(
+      ("m.cpu", Map("user" -> "1"), 1000000L, 1.0),
+      ("m.cpu", Map("user" -> "1"), 2000000L, 2.0),
+      ("m.cpu", Map("user" -> "2"), 2000000L, 10.0))
+      .toDF("class", "labels", "ts", "vdouble")
+      .withColumn("lat", lit(null).cast(DoubleType))
+      .withColumn("lon", lit(null).cast(DoubleType))
+      .withColumn("elev", lit(null).cast(LongType))
+      .withColumn("vtype", lit(graft.model.GtsType.DOUBLE).cast(ByteType))
+      .withColumn("vlong", lit(null).cast(LongType))
+      .withColumn("vbool", lit(null).cast(BooleanType))
+      .withColumn("vstring", lit(null).cast(StringType))
+      .withColumn("vbinary", lit(null).cast(BinaryType))
+    val frame = GtsFrame(Gts.canonical(pts))
+    val e = new WarpScriptEngine(
+      fetch = (cls, ls, a, b) => frame.select(cls, ls).timeclip(a, b))
+    val df = e.runToFrame(
+      "[ [ '' '~m\\..*' { } 0 9000000 ] FETCH [ 'user' ] reducer.sum ] REDUCE")
+    val got = df.select(col("user"), col("ts"), col("vdouble")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(("1", 1000000L, 1.0), ("1", 2000000L, 2.0), ("2", 2000000L, 10.0)))
+  }
+}
