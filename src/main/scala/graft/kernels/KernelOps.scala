@@ -38,6 +38,12 @@ final class KernelOps(df: DataFrame) {
     perSeries((id, pts) => SeriesKernels.lttb(pts, threshold).map(p => (id, p.ts, p.v)))
       .toDF("gtsid", "ts", "vdouble")
 
+  /** Oracle-replayable LTTB (exact Long area arithmetic) — see
+    * [[SeriesKernels.lttbExact]] for the quantization contract. */
+  def lttbExact(threshold: Int): DataFrame =
+    perSeries((id, pts) => SeriesKernels.lttbExact(pts, threshold).map(p => (id, p.ts, p.v)))
+      .toDF("gtsid", "ts", "vdouble")
+
   /** Single (beta=None) or Holt double exponential smoothing. */
   def expSmooth(alpha: Double, beta: Option[Double] = None): DataFrame =
     perSeries { (id, pts) =>

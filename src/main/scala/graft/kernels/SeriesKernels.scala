@@ -22,6 +22,56 @@ object SeriesKernels {
 
   final case class Pt(ts: Long, v: Double)
 
+  /** LTTB over INTEGER-valued (ts, v) with span-scaled exact Long area
+    * arithmetic: the triangle-area argmax per bucket compares
+    * |(aTs·span − Σts)·(vk − aV) − (aTs − tsk)·(Σv − aV·span)| — the
+    * bucket-average divisions of classic LTTB multiplied through by the
+    * (positive) span, which preserves the argmax but keeps every
+    * quantity an exact integer. This makes the selected point set
+    * REPLAYABLE bit-for-bit by any engine (the g71 oracle re-runs it as
+    * a DuckDB recursive CTE); ties pick the earliest point, like the
+    * strict `>` of [[lttb]]. Bucket boundaries follow [[lttb]]
+    * (`threshold-2` must be a power of two for `every` to stay exact).
+    * Callers must pre-quantize ts/v so products stay < 2^63.
+    */
+  def lttbExact(pts: IndexedSeq[Pt], threshold: Int): IndexedSeq[Pt] = {
+    val n = pts.length
+    if (threshold >= n || threshold < 3) return pts
+    val ts = pts.map(_.ts)
+    val vs = pts.map(p => { require(p.v == p.v.toLong, "lttbExact: non-integral v"); p.v.toLong })
+    val out = IndexedSeq.newBuilder[Pt]
+    out += pts.head
+    val every = (n - 2).toDouble / (threshold - 2)
+    var a = 0
+    var i = 0
+    while (i < threshold - 2) {
+      val r0 = (i * every).toInt + 1
+      val r1 = math.min(((i + 1) * every).toInt + 1, n)
+      val n0 = r1
+      val n1 = math.min(((i + 2) * every).toInt + 1, n)
+      var span = 1L; var sTs = ts(n - 1); var sV = vs(n - 1)
+      if (n1 > n0) {
+        span = (n1 - n0).toLong; sTs = 0L; sV = 0L
+        var j = n0
+        while (j < n1) { sTs += ts(j); sV += vs(j); j += 1 }
+      }
+      var best = -1L; var bestIdx = r0
+      var k = r0
+      while (k < r1) {
+        val area = math.abs(
+          (ts(a) * span - sTs) * (vs(k) - vs(a)) -
+            (ts(a) - ts(k)) * (sV - vs(a) * span))
+        if (area > best) { best = area; bestIdx = k }
+        k += 1
+      }
+      out += pts(bestIdx)
+      a = bestIdx
+      i += 1
+    }
+    out += pts(n - 1)
+    out.result()
+  }
+
   /** Largest-Triangle-Three-Buckets downsampling to `threshold` points
     * (Steinarsson 2013, the public algorithm behind fn/LTTB.java). */
   def lttb(pts: IndexedSeq[Pt], threshold: Int): IndexedSeq[Pt] = {

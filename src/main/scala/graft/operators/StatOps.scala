@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Whole-series statistics as DECLARATIVE aggregates over exact integer
+  * sums — the 100 TB shapes for the reference's per-GTS statistical
+  * words. Where the reference materializes each GTS in RAM and loops
+  * (fn/CORRELATE.java, GTSOutliersHelper zscoretest, SAXUtils), these
+  * run as one hash aggregation per series plus a broadcast join back —
+  * no per-series materialization, no kernel state.
+  *
+  * Determinism contract (what makes these oracle-verifiable bit-for-bit
+  * against DuckDB): inputs are exact integers in doubles ("cents"), so
+  * every SUM is exactly representable regardless of aggregation order;
+  * variance terms use the closed form n·Σx²−(Σx)² on those exact sums
+  * (NOT Welford / sequential Σ(x−μ)², whose rounding is
+  * order-dependent); the only rounded steps are final sqrt/divisions,
+  * which are IEEE-correctly-rounded and therefore identical across
+  * engines given identical expression trees.
+  */
+object StatOps {
+
+  /** CORRELATE (fn/CORRELATE.java semantics): Pearson correlation of two
+    * frames aligned on tick within `byLabels` equivalence classes.
+    * One shuffle per side for the join, one aggregation — n, Σx, Σy,
+    * Σxy, Σx², Σy² are exact for integer-valued inputs.
+    * Returns (byLabels..., n, corr); corr is NULL for degenerate series.
+    */
+  def correlate(a: GtsFrame, b: GtsFrame, byLabels: Seq[String]): DataFrame = {
+    def side(d: DataFrame, v: String) =
+      d.select(byLabels.map(l => col("labels").getItem(l).as(l)) :+
+        col("ts") :+ col("vdouble").as(v): _*)
+    val joined = side(a.df, "__x").join(side(b.df, "__y"), byLabels :+ "ts")
+    val g = joined.groupBy(byLabels.map(col): _*).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+      sum(col("__x") * col("__y")).as("sxy"),
+      sum(col("__x") * col("__x")).as("sxx"),
+      sum(col("__y") * col("__y")).as("syy"))
+    val dx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dy = col("n") * col("syy") - col("sy") * col("sy")
+    g.select(byLabels.map(col) :+ col("n").cast("long").as("n") :+
+      when(dx > 0 && dy > 0,
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(dx) * sqrt(dy))).as("corr"): _*)
+  }
+
+  /** ZSCORETEST (GTSOutliersHelper zscoretest semantics): flag points
+    * with |z| > threshold per series. z = (n·x − Σx)/√(n·Σx²−(Σx)²) —
+    * the numerator is an exact integer, the denominator one sqrt of an
+    * exact integer, so the flagged set is engine-independent. The
+    * per-series aggregate is one tiny row; Spark broadcasts it back.
+    */
+  def zscoreFlag(frame: GtsFrame, threshold: Double): DataFrame = {
+    val stats = frame.df.groupBy(col("gtsid").as("__g")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("vdouble")).as("sx"),
+      sum(col("vdouble") * col("vdouble")).as("sxx"))
+    val d = col("n") * col("sxx") - col("sx") * col("sx")
+    frame.df.join(broadcast(stats), col("gtsid") === col("__g"))
+      .withColumn("z", when(d > 0,
+        (col("n") * col("vdouble") - col("sx")) / sqrt(d))) // NULL if sd=0
+      .filter(col("z").isNotNull && abs(col("z")) > threshold)
+      .drop("__g", "n", "sx", "sxx")
+  }
+
+  /** N(0,1) equiprobable SAX breakpoints (Lin et al. 2003 table —
+    * SAXUtils.java uses the same published constants). Shared literals
+    * with the oracle SQL. */
+  def saxBreakpoints(alphabet: Int): Seq[Double] = alphabet match {
+    case 2 => Seq(0.0)
+    case 3 => Seq(-0.43, 0.43)
+    case 4 => Seq(-0.67, 0.0, 0.67)
+    case 5 => Seq(-0.84, -0.25, 0.25, 0.84)
+    case a => throw new IllegalArgumentException(s"alphabet $a not tabled here")
+  }
+
+  /** mapper.sax (script/SAXUtils.java semantics): z-normalize each
+    * series, PAA to `wordLen` segments, quantize by the breakpoint
+    * table into letters, concatenate. Declarative twin of
+    * SeriesKernels.saxWord with closed-form sd: segment w covers
+    * 0-based ranks [w·n/wordLen, max((w+1)·n/wordLen, from+1)) in
+    * (ts, value) order; PAA_w = Σ_seg(n·x−Σx) / (len·√(n·Σx²−(Σx)²)),
+    * exact-integer numerator. Returns (class, labels-id columns..,
+    * word). Degenerate sd ⇒ all-zero z (kernel branch) ⇒ middle letter.
+    */
+  def saxWords(frame: GtsFrame, wordLen: Int, alphabet: Int): DataFrame = {
+    val bps = saxBreakpoints(alphabet)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gtsid")).orderBy(col("ts"), col("vdouble"))
+    val ranked = frame.df
+      .withColumn("__j", row_number().over(w) - 1) // 0-based rank
+    val stats = frame.df.groupBy(col("gtsid").as("__g")).agg(
+      first(col("class")).as("class"),
+      first(col("labels")).as("labels"),
+      count(lit(1)).as("n"),
+      sum(col("vdouble")).as("sx"),
+      sum(col("vdouble") * col("vdouble")).as("sxx"))
+    val segs = stats.withColumn("w", explode(sequence(lit(0), lit(wordLen - 1))))
+      .withColumn("__from",                       // integer division (w·n/L)
+        floor(col("w") * col("n") / lit(wordLen)).cast("long"))
+      .withColumn("__to", greatest(
+        floor((col("w") + 1) * col("n") / lit(wordLen)).cast("long"),
+        col("__from") + 1))
+    // group keys exclude the MAP-typed labels (not groupable): gtsid
+    // is the series identity, labels re-attached via first()
+    val joined = segs.join(ranked.select(col("gtsid"), col("__j"), col("vdouble")),
+        col("gtsid") === col("__g") &&
+          col("__j") >= col("__from") && col("__j") < col("__to"))
+      .groupBy(col("__g"), col("w"))
+      .agg(first(col("class")).as("class"), first(col("labels")).as("labels"),
+        first(col("n")).as("n"), first(col("sx")).as("sx"),
+        first(col("sxx")).as("sxx"),
+        sum(col("n") * col("vdouble") - col("sx")).as("znum"),
+        count(lit(1)).as("len"))
+    val det = col("n").cast("double") * col("sxx") - col("sx") * col("sx")
+    val paa = when(det === 0.0, 0.0)
+      .otherwise(col("znum") / (col("len") * sqrt(det)))
+    // letter = first i with paa <= bps(i), else the last letter; fold
+    // DESCENDING so the smallest breakpoint is the outermost test
+    val letter = bps.zipWithIndex.reverse.foldLeft(
+      lit(('a' + bps.length).toChar.toString)) {
+      case (acc, (bp, i)) => when(paa <= bp, lit(('a' + i).toChar.toString)).otherwise(acc)
+    }
+    joined.withColumn("__letter", letter)
+      .groupBy(col("__g"))
+      .agg(first(col("class")).as("class"), first(col("labels")).as("labels"),
+        array_join(transform(array_sort(collect_list(struct(col("w"), col("__letter")))),
+          e => e.getField("__letter")), "").as("word"))
+      .drop("__g")
+  }
+}

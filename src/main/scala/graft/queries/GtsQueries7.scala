@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.Gts
+import graft.operators.{GtsFrame, StatOps}
+import graft.operators.GtsFrame._
+
+/** Seventh pack: oracle rows for the statistical long tail that was
+  * spec-gated until now — CORRELATE, ZSCORETEST, mapper.sax — via the
+  * declarative exact-sum twins in [[StatOps]] (closed-form variance on
+  * exact integer sums; see StatOps scaladoc for the determinism
+  * contract).
+  */
+object GtsQueries7 {
+  import GtsQueries.{T0, LB, DAY, EV}
+
+  private def cents(s: SparkSession, dir: String) = GtsFrame(Gts.fromEventsCents(s, dir))
+  private val userid = col("labels").getItem("user").as("userid")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CORRELATE (fn/CORRELATE.java): Pearson correlation of click vs
+    // view daily-bucket sums per user — tick-aligned inner join, exact
+    // integer moment sums, one final (÷, √·√) rounded identically in
+    // both engines
+    "g69_correlate" -> ((s, dir) => {
+      val c = cents(s, dir)
+      val clicks = GtsFrame(c.df.filter(col("class") === "events.click"))
+        .bucketize(Sum, LB, DAY)
+      val views = GtsFrame(c.df.filter(col("class") === "events.view"))
+        .bucketize(Sum, LB, DAY)
+      StatOps.correlate(clicks, views, Seq("user"))
+        .select(col("user").as("userid"), col("n"), col("corr"))
+    }),
+
+    // ZSCORETEST (GTSOutliersHelper zscoretest): flag |z| > 1.5 per
+    // series; z's numerator n·x−Σx is an exact integer, the denominator
+    // one sqrt of an exact integer — no rounding anywhere in the output
+    "g70_zscore_outliers" -> ((s, dir) =>
+      StatOps.zscoreFlag(cents(s, dir), 1.5)
+        .select(col("class"), userid, col("ts"),
+          col("vdouble").as("cents"), col("z"))),
+
+    // mapper.sax (script/SAXUtils.java): 4-letter word over a 4-symbol
+    // alphabet per series, z-normalized via closed-form sd, PAA slicing
+    // by integer rank arithmetic, published breakpoint literals
+    "g72_sax" -> ((s, dir) =>
+      StatOps.saxWords(cents(s, dir), wordLen = 4, alphabet = 4)
+        .select(col("class"), userid, col("word"))),
+
+    // LTTB (fn/LTTB.java / Steinarsson 2013) to 6 points per series,
+    // exact-integer span-scaled areas (SeriesKernels.lttbExact) on
+    // second-quantized ticks and cents — the DuckDB oracle replays the
+    // sequential bucket-argmax recursion as a recursive CTE; series at
+    // or under the threshold pass through (kernel's n<=threshold branch)
+    "g71_lttb" -> ((s, dir) => {
+      val f = cents(s, dir).df
+        .withColumn("ts", expr(s"(ts - $T0) div 1000000")) // exact: ts >= T0
+      val sel = new graft.kernels.KernelOps(f).lttbExact(6)
+      val meta = f.groupBy(col("gtsid"))
+        .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
+      sel.join(meta, "gtsid")
+        .select(col("class"), userid, col("ts"), col("vdouble").as("cents"))
+    })
+  )
+
+  /** Shared breakpoint literals for the g72 oracle. */
+  private val BPS = StatOps.saxBreakpoints(4)
+
+  val oracleSql: Map[String, String] = Map(
+    "g69_correlate" ->
+      s"""WITH g AS ($EV),
+         |c AS (SELECT userid, $LB - (($LB - ts) // $DAY) * $DAY AS ts, sum(cents) AS x
+         |      FROM g WHERE class = 'events.click' AND ts <= $LB GROUP BY 1, 2),
+         |v AS (SELECT userid, $LB - (($LB - ts) // $DAY) * $DAY AS ts, sum(cents) AS y
+         |      FROM g WHERE class = 'events.view' AND ts <= $LB GROUP BY 1, 2),
+         |j AS (SELECT c.userid, c.x, v.y FROM c JOIN v USING (userid, ts)),
+         |m AS (SELECT userid, CAST(count(*) AS DOUBLE) AS n,
+         |        sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+         |        sum(x*x) AS sxx, sum(y*y) AS syy
+         |      FROM j GROUP BY 1)
+         |SELECT userid, CAST(n AS BIGINT) AS n,
+         |  CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+         |    (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+         |  END AS corr
+         |FROM m""".stripMargin,
+
+    "g70_zscore_outliers" ->
+      s"""WITH g AS ($EV),
+         |m AS (SELECT class, userid, CAST(count(*) AS DOUBLE) AS n,
+         |        sum(cents) AS sx, sum(cents*cents) AS sxx
+         |      FROM g GROUP BY 1, 2)
+         |SELECT g.class, g.userid, g.ts, g.cents,
+         |       (m.n * g.cents - m.sx) / sqrt(m.n * m.sxx - m.sx * m.sx) AS z
+         |FROM g JOIN m ON g.class = m.class AND g.userid = m.userid
+         |WHERE m.n * m.sxx - m.sx * m.sx > 0
+         |  AND abs((m.n * g.cents - m.sx) / sqrt(m.n * m.sxx - m.sx * m.sx)) > 1.5""".stripMargin,
+
+    // the bucket-boundary arithmetic is exact because every=(n-2)/4 is a
+    // dyadic rational; areas are exact integers (< 2^53) in DOUBLE
+    "g71_lttb" ->
+      s"""WITH RECURSIVE g AS ($EV),
+         |q AS (SELECT class, userid, (ts - $T0) // 1000000 AS tsec, cents FROM g),
+         |r AS (SELECT class, userid, tsec, cents,
+         |        row_number() OVER (PARTITION BY class, userid
+         |                           ORDER BY tsec, cents) - 1 AS j,
+         |        count(*) OVER (PARTITION BY class, userid) AS n
+         |      FROM q),
+         |big AS (SELECT class, userid, any_value(n) AS n FROM r
+         |        WHERE n > 6 GROUP BY 1, 2),
+         |bnd AS (SELECT b.class, b.userid, b.n, ii.i,
+         |          CAST(floor(ii.i * (CAST(b.n - 2 AS DOUBLE) / 4)) AS BIGINT) + 1 AS r0,
+         |          least(CAST(floor((ii.i + 1) * (CAST(b.n - 2 AS DOUBLE) / 4)) AS BIGINT) + 1, b.n) AS r1,
+         |          least(CAST(floor((ii.i + 2) * (CAST(b.n - 2 AS DOUBLE) / 4)) AS BIGINT) + 1, b.n) AS n1
+         |        FROM big b, (SELECT unnest(generate_series(0, 3)) AS i) ii),
+         |sums AS (SELECT d.class, d.userid, d.i,
+         |           sum(c.tsec) AS ssts, sum(c.cents) AS ssv
+         |         FROM bnd d JOIN r c ON c.class = d.class AND c.userid = d.userid
+         |           AND c.j >= d.r1 AND c.j < d.n1
+         |         GROUP BY 1, 2, 3),
+         |lastp AS (SELECT class, userid, tsec AS lts, cents AS lv
+         |          FROM r WHERE j = n - 1),
+         |bk AS (SELECT d.class, d.userid, d.i, d.r0, d.r1,
+         |         CASE WHEN d.n1 > d.r1 THEN CAST(d.n1 - d.r1 AS BIGINT)
+         |              ELSE 1 END AS span,
+         |         CASE WHEN d.n1 > d.r1 THEN s.ssts ELSE l.lts END AS sts,
+         |         CASE WHEN d.n1 > d.r1 THEN s.ssv ELSE l.lv END AS sv
+         |       FROM bnd d
+         |       LEFT JOIN sums s ON s.class = d.class AND s.userid = d.userid
+         |         AND s.i = d.i
+         |       JOIN lastp l ON l.class = d.class AND l.userid = d.userid),
+         |sel AS (
+         |  SELECT class, userid, 0 AS i, j AS aj, tsec AS ats, cents AS av
+         |  FROM r WHERE n > 6 AND j = 0
+         |  UNION ALL
+         |  SELECT class, userid, i, kj AS aj, kts AS ats, kv AS av FROM (
+         |    SELECT s.class, s.userid, s.i + 1 AS i, c.j AS kj,
+         |      c.tsec AS kts, c.cents AS kv,
+         |      row_number() OVER (PARTITION BY s.class, s.userid ORDER BY
+         |        abs( (s.ats * b.span - b.sts) * (c.cents - s.av)
+         |           - (s.ats - c.tsec) * (b.sv - s.av * b.span) ) DESC,
+         |        c.j ASC) AS rk
+         |    FROM sel s
+         |    JOIN bk b ON b.class = s.class AND b.userid = s.userid AND b.i = s.i
+         |    JOIN r c ON c.class = s.class AND c.userid = s.userid
+         |      AND c.j >= b.r0 AND c.j < b.r1
+         |    WHERE s.i < 4
+         |  ) WHERE rk = 1
+         |)
+         |SELECT class, userid, tsec AS ts, cents FROM r WHERE n <= 6
+         |UNION ALL
+         |SELECT class, userid, ats AS ts, av AS cents FROM sel
+         |UNION ALL
+         |SELECT l.class, l.userid, l.lts AS ts, l.lv AS cents
+         |FROM lastp l JOIN big b ON b.class = l.class AND b.userid = l.userid""".stripMargin,
+
+    "g72_sax" ->
+      s"""WITH g AS ($EV),
+         |r AS (SELECT class, userid, cents,
+         |        row_number() OVER (PARTITION BY class, userid
+         |                           ORDER BY ts, cents) - 1 AS j
+         |      FROM g),
+         |m AS (SELECT class, userid, count(*) AS n, sum(cents) AS sx,
+         |        sum(cents*cents) AS sxx
+         |      FROM g GROUP BY 1, 2),
+         |seg AS (SELECT m.*, w.w,
+         |          (w.w * m.n) // 4 AS f,
+         |          greatest(((w.w + 1) * m.n) // 4, (w.w * m.n) // 4 + 1) AS t
+         |        FROM m, (SELECT unnest(generate_series(0, 3)) AS w) w),
+         |p AS (SELECT seg.class, seg.userid, seg.w,
+         |        sum(seg.n * r.cents - seg.sx) AS znum, count(*) AS len,
+         |        any_value(CAST(seg.n AS DOUBLE) * seg.sxx - seg.sx * seg.sx) AS det
+         |      FROM seg JOIN r ON r.class = seg.class AND r.userid = seg.userid
+         |        AND r.j >= seg.f AND r.j < seg.t
+         |      GROUP BY 1, 2, 3),
+         |l AS (SELECT class, userid, w,
+         |        CASE WHEN det = 0 THEN 0.0
+         |             ELSE znum / (len * sqrt(det)) END AS paa
+         |      FROM p)
+         |SELECT class, userid,
+         |  string_agg(CASE WHEN paa <= ${BPS(0)} THEN 'a'
+         |                  WHEN paa <= ${BPS(1)} THEN 'b'
+         |                  WHEN paa <= ${BPS(2)} THEN 'c'
+         |                  ELSE 'd' END, '' ORDER BY w) AS word
+         |FROM l GROUP BY 1, 2""".stripMargin
+  )
+}

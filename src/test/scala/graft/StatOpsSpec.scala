@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.kernels.SeriesKernels
+import graft.kernels.SeriesKernels.Pt
+import graft.model.Gts
+import graft.operators.{GtsFrame, StatOps}
+
+/** Hand-derived goldens for the declarative stat operators (g69/g70/g72
+  * oracle rows cover them end-to-end vs DuckDB; these pin the semantics
+  * on values computed by hand) and the exact-area LTTB variant. */
+class StatOpsSpec extends SparkSpec {
+
+  private def frame(rows: Seq[(String, String, Long, Double)]) = {
+    import spark.implicits._
+    GtsFrame(Gts.canonical(rows
+      .map { case (c, u, t, v) => (c, Map("user" -> u), t, v) }
+      .toDF("class", "labels", "ts", "vdouble")
+      .withColumn("lat", lit(null).cast(DoubleType))
+      .withColumn("lon", lit(null).cast(DoubleType))
+      .withColumn("elev", lit(null).cast(LongType))
+      .withColumn("vtype", lit(graft.model.GtsType.DOUBLE).cast(ByteType))
+      .withColumn("vlong", lit(null).cast(LongType))
+      .withColumn("vbool", lit(null).cast(BooleanType))
+      .withColumn("vstring", lit(null).cast(StringType))
+      .withColumn("vbinary", lit(null).cast(BinaryType))))
+  }
+
+  test("correlate: perfect positive and negative correlation; degenerate NULL") {
+    val a = frame(Seq(("x", "1", 1L, 1.0), ("x", "1", 2L, 2.0), ("x", "1", 3L, 3.0),
+      ("x", "2", 1L, 5.0), ("x", "2", 2L, 5.0)))
+    val b = frame(Seq(("y", "1", 1L, 2.0), ("y", "1", 2L, 4.0), ("y", "1", 3L, 6.0),
+      ("y", "2", 1L, 1.0), ("y", "2", 2L, 9.0)))
+    val got = StatOps.correlate(a, b, Seq("user")).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // sqrt(dx)·sqrt(dy) rounds twice — ±ulps around ±1 are correct
+    // (the oracle contract is determinism, not exactness)
+    assert(math.abs(got("1").get - 1.0) < 1e-12)
+    assert(got("2").isEmpty) // constant x side → NULL, not NaN
+    val neg = StatOps.correlate(a, frame(Seq(("y", "1", 1L, 3.0),
+      ("y", "1", 2L, 2.0), ("y", "1", 3L, 1.0))), Seq("user")).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(neg("1") + 1.0) < 1e-12)
+  }
+
+  test("zscoreFlag: flags exactly the |z| > threshold points; constant series silent") {
+    // series 1: values 0,0,0,0,100 → outlier is the 100
+    val f = frame(Seq(("x", "1", 1L, 0.0), ("x", "1", 2L, 0.0), ("x", "1", 3L, 0.0),
+      ("x", "1", 4L, 0.0), ("x", "1", 5L, 100.0),
+      ("x", "2", 1L, 7.0), ("x", "2", 2L, 7.0)))
+    val got = StatOps.zscoreFlag(f, 1.5).collect()
+      .map(r => (r.getAs[String]("class"), r.getAs[Long]("ts")))
+    assert(got.toSeq == Seq(("x", 5L)))
+  }
+
+  test("saxWords: monotone ramp maps to ascending letters") {
+    // 8 points 0..7, wordLen 4 → PAA means of z over pairs are strictly
+    // increasing and symmetric → word 'abcd' for alphabet 4
+    val f = frame((0 until 8).map(i => ("x", "1", i.toLong, i.toDouble)))
+    val got = StatOps.saxWords(f, 4, 4).select("word").collect().map(_.getString(0))
+    assert(got.toSeq == Seq("abcd"))
+  }
+
+  test("lttbExact: endpoints kept, threshold respected, spike selected") {
+    val pts = (0 until 100).map(i => Pt(i.toLong, if (i == 37) 1000.0 else (i % 5).toDouble))
+    val out = SeriesKernels.lttbExact(pts, 6)
+    assert(out.length == 6)
+    assert(out.head == pts.head && out.last == pts.last)
+    assert(out.exists(_.ts == 37L)) // the spike dominates its bucket
+    // passthrough branch
+    assert(SeriesKernels.lttbExact(pts.take(4), 6) == pts.take(4))
+  }
+
+  test("lttbExact tie-break picks the earliest point, like lttb's strict >") {
+    // all-equal values → every area is 0 → first candidate of each bucket
+    val pts = (0 until 20).map(i => Pt(i.toLong, 5.0))
+    val exact = SeriesKernels.lttbExact(pts, 5)
+    val float = SeriesKernels.lttb(pts, 5)
+    assert(exact == float)
+  }
+}
