@@ -57,7 +57,11 @@ object MultimodalOps {
     * stub. Runs partition-batched like any media transform. */
   def pngMediaFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val rows = docs.select(col("doc_id")).rdd.mapPartitions { it =>
+    // codec work is CPU-bound per row; the id list arrives in however
+    // few partitions the (small) parquet scan produced — spread it
+    // across the cluster before encoding (the shuffle moves only ids)
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val rows = docs.select(col("doc_id")).repartition(parts).rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val w = 16 + (id % 32).toInt

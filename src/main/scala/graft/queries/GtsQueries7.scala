@@ -63,6 +63,37 @@ object GtsQueries7 {
         .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
       sel.join(meta, "gtsid")
         .select(col("class"), userid, col("ts"), col("vdouble").as("cents"))
+    }),
+
+    // SNAPSHOT END-TO-END (fn/SNAPSHOT.java): render every series to its
+    // `'<b64 wrap blob>' UNWRAP ` statement, then re-parse the statement
+    // text (regex + unbase64, distributed) and UNWRAP — must reproduce
+    // the source table (oracle = raw table, the g62/g64 pattern)
+    "g73_snapshot_roundtrip" -> ((s, dir) => {
+      val src = Gts.fromEvents(s, dir)
+      val snaps = graft.sources.Snapshot.gtsSnapshots(src)
+      // base64 renderings may be MIME-chunked (CR/LF every 76 chars) —
+      // accept and strip whitespace before decoding
+      val parsed = snaps.select(col("class"), col("labels"),
+        unbase64(translate(regexp_extract(col("snapshot"),
+          "(?s)^'([A-Za-z0-9+/=\\s]*)' UNWRAP $", 1), "\r\n", "")).as("blob"))
+      graft.sources.GtsCodec.unwrap(parsed)
+        .select(col("class"), userid, col("ts"), col("vdouble"))
+    }),
+
+    // InfluxDB line protocol END-TO-END (reference ILP plugin): render
+    // events as `measurement,tag=v field=v ns` lines, re-parse through
+    // IlpConverter.ingest (class = measurement.field, ns→µs, shortest-
+    // repr double round-trip) — oracle = raw table
+    "g74_ilp_roundtrip" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val lines = ev.select(concat(
+        lit("events,user="), col("user_id"),
+        lit(" "), col("event_type"), lit("="), col("value").cast(StringType),
+        lit(" "), expr("ts div 1000") * 1000L).as("value"))
+      graft.sources.IlpConverter.ingest(lines, nowMicros = 0L)
+        .select(col("class"), userid, col("ts"), col("vdouble"))
     })
   )
 
@@ -97,6 +128,14 @@ object GtsQueries7 {
          |FROM g JOIN m ON g.class = m.class AND g.userid = m.userid
          |WHERE m.n * m.sxx - m.sx * m.sx > 0
          |  AND abs((m.n * g.cents - m.sx) / sqrt(m.n * m.sxx - m.sx * m.sx)) > 1.5""".stripMargin,
+
+    "g73_snapshot_roundtrip" ->
+      s"""WITH g AS ($EV)
+         |SELECT class, userid, ts, vdouble FROM g""".stripMargin,
+
+    "g74_ilp_roundtrip" ->
+      s"""WITH g AS ($EV)
+         |SELECT class, userid, ts, vdouble FROM g""".stripMargin,
 
     // the bucket-boundary arithmetic is exact because every=(n-2)/4 is a
     // dyadic rational; areas are exact integers (< 2^53) in DOUBLE

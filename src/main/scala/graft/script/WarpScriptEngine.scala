@@ -312,6 +312,35 @@ final class WarpScriptEngine(
     // structural frame words — direct GtsFrame methods
     case "DEDUP" => st.push(toFrame(st.pop()).dedup())
     case "COMPACT" => st.push(toFrame(st.pop()).compact())
+    case "NORMALIZE0" | "ISONORMALIZE" => st.push(toFrame(st.pop()).normalize())
+    // accessor words (fn/FIRSTTICK.java, LASTTICK, TICKS, VALUES, NAME,
+    // LABELS, SIZE-for-GTS handled under SIZE): driver-side scalars over
+    // the frame — tiny aggs, same contract as GtsFrame auto-params
+    case "FIRSTTICK" =>
+      st.push(toFrame(st.pop()).df.agg(min(col("ts"))).head().getLong(0))
+    case "LASTTICK" =>
+      st.push(toFrame(st.pop()).df.agg(max(col("ts"))).head().getLong(0))
+    case "NAME" =>
+      st.push(toFrame(st.pop()).df.select(col("class")).distinct()
+        .collect().map(_.getString(0)).sorted.toVector)
+    case "TICKLIST" =>
+      st.push(toFrame(st.pop()).df.select(col("ts")).distinct()
+        .collect().map(_.getLong(0)).sorted.toVector)
+    // CORRELATE (fn/CORRELATE.java): [ [gts-a] [gts-b] [labels] ] CORRELATE
+    case "CORRELATE" =>
+      val args = st.pop().asInstanceOf[Vector[Any]]
+      val labels = args(args.length - 1).asInstanceOf[Vector[Any]].map(_.toString).toSeq
+      val b = toFrame(args(args.length - 2))
+      val a = toFrame(args(args.length - 3))
+      st.push(GtsFrame(graft.operators.StatOps.correlate(a, b, labels)))
+    // LTTB (fn/LTTB.java): gts threshold LTTB — exact-area variant
+    case "LTTB" =>
+      val thr = st.popLong().toInt
+      val f = toFrame(st.pop())
+      val sel = new graft.kernels.KernelOps(f.df).lttbExact(thr)
+      val meta = f.df.groupBy(col("gtsid"))
+        .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
+      st.push(GtsFrame(sel.join(meta, "gtsid")))
     case "QUANTIZE" => // our quantize(step): [ gts step ] form
       val step = st.popNum(); st.push(toFrame(st.pop()).quantize(step))
     case "TIMECLIP" => // fn/TIMECLIP.java: gts end span | gts start end here

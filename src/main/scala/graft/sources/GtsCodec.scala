@@ -49,10 +49,14 @@ object GtsCodec {
     var shift = 0; var result = 0L
     var b = in.read()
     while ((b & 0x80) != 0) {
+      // EOF reads -1 forever, whose bit 7 is set — fail fast instead of
+      // spinning on truncated/garbage input
+      if (b < 0) throw new IllegalArgumentException("truncated varint")
       result |= (b & 0x7fL) << shift
       shift += 7
       b = in.read()
     }
+    if (b < 0) throw new IllegalArgumentException("truncated varint")
     result | (b.toLong << shift)
   }
 

@@ -33,6 +33,24 @@ class SnapshotSpec extends SparkSpec {
       Seq((10L, 1.5), (20L, 2.5)))
   }
 
+  test("long-series snapshot re-parses through the distributed g73 path") {
+    // 500 points → multi-KB blob, forcing any MIME chunking of base64
+    val pts = gtsOf((0 until 500).map(i => ("m", "u", i * 10L, i * 1.5)): _*)
+    val snaps = Snapshot.gtsSnapshots(pts)
+    val parsed = snaps.select(col("class"), col("labels"),
+      unbase64(translate(regexp_extract(col("snapshot"),
+        "(?s)^'([A-Za-z0-9+/=\\s]*)' UNWRAP $", 1), "\r\n", "")).as("blob"))
+    val back = GtsCodec.unwrap(parsed).select("ts", "vdouble").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(back.toSeq == (0 until 500).map(i => (i * 10L, i * 1.5)))
+  }
+
+  test("codec decode fails fast on truncated or garbage blobs") {
+    intercept[IllegalArgumentException](GtsCodec.decode(Array[Byte]()))
+    intercept[IllegalArgumentException](
+      GtsCodec.decode(Array.fill[Byte](8)(0x80.toByte)))
+  }
+
   test("classical decomposition: linear ramp has zero seasonal and residual") {
     val pts = (0 until 40).map(i => ("m", "u", i * 10L, i.toDouble))
     val out = SeasonalOps.classicalDecompose(gtsOf(pts: _*), 10L, 4, 2)

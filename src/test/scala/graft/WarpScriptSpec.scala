@@ -112,5 +112,9 @@ class WarpScriptSpec extends SparkSpec {
     val got = df.select(col("user"), col("ts"), col("vdouble")).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == Set(("1", 1000000L, 1.0), ("1", 2000000L, 2.0), ("2", 2000000L, 10.0)))
+
+    // accessor words are driver-side scalars
+    assert(e.run("[ '' '~m\\..*' { } 0 9000000 ] FETCH FIRSTTICK") == List(1000000L))
+    assert(e.run("[ '' '~m\\..*' { } 0 9000000 ] FETCH NAME") == List(Vector("m.cpu")))
   }
 }
