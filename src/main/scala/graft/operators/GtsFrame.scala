@@ -348,6 +348,34 @@ final case class GtsFrame(df: DataFrame) {
       .drop("__newsess")
   }
 
+  /** RENAME (fn/RENAME.java): set the class name; a `+`-prefixed name
+    * appends its remainder to the current class (reference suffix
+    * form). Identity changes ⇒ gtsid rehash. */
+  def rename(name: String): GtsFrame = {
+    val cls =
+      if (name.startsWith("+")) concat(col("class"), lit(name.substring(1)))
+      else lit(name)
+    GtsFrame(df.withColumn("class", cls)
+      .withColumn("gtsid", Gts.gtsIdCol(col("class"), col("labels"))))
+  }
+
+  /** RELABEL (fn/RELABEL.java): merge the given labels over the current
+    * ones; an empty-string value REMOVES that label. Identity changes ⇒
+    * gtsid rehash. */
+  def relabel(labels: Map[String, String]): GtsFrame = {
+    val (removes, sets) = labels.partition(_._2.isEmpty)
+    val merged =
+      if (sets.isEmpty) col("labels")
+      else map_concat(
+        map_filter(col("labels"), (k, _) => !k.isin(sets.keys.toSeq.map(lit): _*)),
+        typedlit(sets))
+    val cleaned =
+      if (removes.isEmpty) merged
+      else map_filter(merged, (k, _) => !k.isin(removes.keys.toSeq.map(lit): _*))
+    GtsFrame(df.withColumn("labels", cleaned)
+      .withColumn("gtsid", Gts.gtsIdCol(col("class"), col("labels"))))
+  }
+
   /** TIMESCALE / TIMESHIFT — affine tick transforms. */
   def timeshift(delta: Long): GtsFrame = GtsFrame(df.withColumn("ts", col("ts") + delta))
   def timescale(k: Double): GtsFrame =

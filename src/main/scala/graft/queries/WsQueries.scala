@@ -93,6 +93,18 @@ object WsQueries {
         .select(col("user").as("userid"), col("ts"), col("vdouble").as("diff"))
     }),
 
+    // RENAME (+suffix form) and RELABEL (set one label, remove none):
+    // identity-rewrite words with gtsid rehash ≡ plain SQL renames
+    "w08_ws_rename" -> ((s, dir) => {
+      val program =
+        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+           |'+.renamed' RENAME
+           |{ 'env' 'prod' } RELABEL""".stripMargin
+      engine(s, dir, cents = false).runToFrame(program)
+        .select(col("class"), userid,
+          col("labels").getItem("env").as("env"), col("ts"), col("vdouble"))
+    }),
+
     // driver-side scalar words: arithmetic, comparisons, macros, IFTE,
     // FOREACH accumulation — the answer is assembled on the stack and
     // becomes a one-row frame; oracle computes the same expression
@@ -123,6 +135,10 @@ object WsQueries {
     "w05_ws_filter" -> GtsQueries.oracleSql("g11_filter_last_gt"),
     "w06_ws_apply" -> GtsQueries.oracleSql("g09_apply_sub"),
     "w07_ws_scalars" ->
-      "SELECT CAST(2.5 * 3600000000 AS DOUBLE) AS v_double, CAST(158 AS BIGINT) AS v_long"
+      "SELECT CAST(2.5 * 3600000000 AS DOUBLE) AS v_double, CAST(158 AS BIGINT) AS v_long",
+    "w08_ws_rename" ->
+      s"""WITH g AS ($EV)
+         |SELECT class || '.renamed' AS class, userid, 'prod' AS env,
+         |       ts, vdouble FROM g""".stripMargin
   )
 }

@@ -313,6 +313,12 @@ final class WarpScriptEngine(
     case "DEDUP" => st.push(toFrame(st.pop()).dedup())
     case "COMPACT" => st.push(toFrame(st.pop()).compact())
     case "NORMALIZE0" | "ISONORMALIZE" => st.push(toFrame(st.pop()).normalize())
+    // RENAME / RELABEL (fn/RENAME.java, fn/RELABEL.java)
+    case "RENAME" => val n = st.popStr(); st.push(toFrame(st.pop()).rename(n))
+    case "RELABEL" =>
+      val m = st.pop().asInstanceOf[Map[Any, Any]]
+        .map { case (k, v) => k.toString -> (if (v == null) "" else v.toString) }
+      st.push(toFrame(st.pop()).relabel(m))
     // accessor words (fn/FIRSTTICK.java, LASTTICK, TICKS, VALUES, NAME,
     // LABELS, SIZE-for-GTS handled under SIZE): driver-side scalars over
     // the frame — tiny aggs, same contract as GtsFrame auto-params
