@@ -81,6 +81,16 @@ object GtsQueries7 {
         .select(col("class"), userid, col("ts"), col("vdouble"))
     }),
 
+    // Deterministic HyperLogLog (closes h01's rows-only gap): distinct
+    // users per class via HllOps — portable md5 registers, exact
+    // binary-string ranks, round(est,6) absorbing sum-order/ln ulps;
+    // the oracle replays the IDENTICAL sketch in DuckDB
+    "h02_hll_deterministic" -> ((s, dir) =>
+      graft.operators.HllOps.estimateByKey(
+        Gts.fromEvents(s, dir), col("class"),
+        col("labels").getItem("user"), p = 12)
+        .select(col("k").as("class"), col("est"))),
+
     // InfluxDB line protocol END-TO-END (reference ILP plugin): render
     // events as `measurement,tag=v field=v ns` lines, re-parse through
     // IlpConverter.ingest (class = measurement.field, ns→µs, shortest-
@@ -132,6 +142,35 @@ object GtsQueries7 {
     "g73_snapshot_roundtrip" ->
       s"""WITH g AS ($EV)
          |SELECT class, userid, ts, vdouble FROM g""".stripMargin,
+
+    "h02_hll_deterministic" -> {
+      val p = 12; val m = 1 << p; val restBits = 60 - p
+      val aM2 = graft.operators.HllOps.alphaM2(p)
+      s"""WITH g AS ($EV),
+         |hh AS (SELECT class,
+         |         ('0x' || substring(md5(userid), 1, 15))::BIGINT AS h
+         |       FROM g),
+         |rr AS (SELECT class, h % $m AS bucket, h // $m AS rest FROM hh),
+         |regs AS (SELECT class, bucket,
+         |           max(CASE WHEN rest = 0 THEN ${restBits + 1}
+         |                    ELSE ${restBits + 1} - length(bin(rest)) END) AS reg
+         |         FROM rr GROUP BY 1, 2),
+         |grid AS (SELECT class, ii.bucket
+         |         FROM (SELECT DISTINCT class FROM g) c,
+         |              (SELECT unnest(generate_series(0, ${m - 1})) AS bucket) ii),
+         |fr AS (SELECT grid.class, coalesce(regs.reg, 0) AS reg
+         |         FROM grid LEFT JOIN regs ON grid.class = regs.class
+         |           AND grid.bucket = regs.bucket),
+         |agg AS (SELECT class,
+         |          sum(CAST(1 AS DOUBLE) / CAST(1::BIGINT << reg AS DOUBLE)) AS spow,
+         |          CAST(count(CASE WHEN reg = 0 THEN 1 END) AS DOUBLE) AS zeros
+         |        FROM fr GROUP BY 1)
+         |SELECT class,
+         |  round(CASE WHEN $aM2 / spow <= ${2.5 * m} AND zeros > 0
+         |             THEN ${m.toDouble} * ln(${m.toDouble} / zeros)
+         |             ELSE $aM2 / spow END, 6) AS est
+         |FROM agg""".stripMargin
+    },
 
     "g74_ilp_roundtrip" ->
       s"""WITH g AS ($EV)

@@ -58,6 +58,30 @@ class ExplainSpec extends SparkSpec {
     assert(got == truth)
   }
 
+  test("StatOps plans: broadcast stats join, no nested-loop anywhere") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val pts = graft.model.Gts.canonical(
+      (1 to 50).map(i => ("m.x", Map("user" -> (i % 5).toString), i.toLong, (i % 7).toDouble))
+        .toDF("class", "labels", "ts", "vdouble")
+        .withColumn("lat", lit(null).cast(DoubleType))
+        .withColumn("lon", lit(null).cast(DoubleType))
+        .withColumn("elev", lit(null).cast(LongType))
+        .withColumn("vtype", lit(graft.model.GtsType.DOUBLE).cast(ByteType))
+        .withColumn("vlong", lit(null).cast(LongType))
+        .withColumn("vbool", lit(null).cast(BooleanType))
+        .withColumn("vstring", lit(null).cast(StringType))
+        .withColumn("vbinary", lit(null).cast(BinaryType)))
+    val f = graft.operators.GtsFrame(pts)
+    val z = plan(graft.operators.StatOps.zscoreFlag(f, 1.5))
+    assert(z.contains("BroadcastHashJoin") || z.contains("BroadcastExchange"))
+    assert(!z.contains("BroadcastNestedLoopJoin") && !z.contains("CartesianProduct"))
+    val s = plan(graft.operators.StatOps.saxWords(f, 4, 4))
+    assert(!s.contains("CartesianProduct"))
+    val c = plan(graft.operators.StatOps.correlate(f, f, Seq("user")))
+    assert(!c.contains("BroadcastNestedLoopJoin") && !c.contains("CartesianProduct"))
+  }
+
   test("globalRank with fewer rows than partitions still ranks densely") {
     import spark.implicits._
     val tiny = Seq((1L, 2.0), (2L, 9.0), (3L, 4.0)).toDF("id", "v")
