@@ -44,6 +44,63 @@ final class KernelOps(df: DataFrame) {
     perSeries((id, pts) => SeriesKernels.lttbExact(pts, threshold).map(p => (id, p.ts, p.v)))
       .toDF("gtsid", "ts", "vdouble")
 
+  /** filler.spline (reference filler semantics): natural cubic spline
+    * through each series' knots, evaluated at every grid index
+    * 0..gridCount-1. Ticks MUST already be integer grid indexes. The
+    * Thomas-algorithm sweep and the evaluation polynomial use a FIXED
+    * operation order (documented inline) so a SQL engine replaying the
+    * identical expressions reproduces every double bit-for-bit — the
+    * g75 oracle does exactly that with two recursive CTEs. No
+    * extrapolation: indexes outside [t₀, tₙ₋₁] yield null (matches
+    * filler.interpolate's boundary behavior, g28). n==2 degrades to
+    * linear (all second derivatives zero); n==1 fills nothing.
+    */
+  def fillSplineGrid(gridCount: Int): DataFrame =
+    perSeries[(Long, Long, Option[Double])] { (id, pts) =>
+      val n = pts.length
+      val t = pts.map(_.ts.toDouble)
+      val v = pts.map(_.v)
+      val M = new Array[Double](math.max(n, 1))
+      if (n >= 3) {
+        val h = Array.tabulate(n - 1)(i => t(i + 1) - t(i))
+        val slope = Array.tabulate(n - 1)(i => (v(i + 1) - v(i)) / h(i))
+        val cp = new Array[Double](n - 1)
+        val dp = new Array[Double](n - 1)
+        var i = 1
+        while (i <= n - 2) {
+          // EXACT op order mirrored by the oracle's forward CTE:
+          //   dd = 6.0 * (slope_i - slope_{i-1})
+          //   w  = 2.0 * (h_{i-1} + h_i) - h_{i-1} * cp_{i-1}
+          val dd = 6.0 * (slope(i) - slope(i - 1))
+          val w = 2.0 * (h(i - 1) + h(i)) - h(i - 1) * cp(i - 1)
+          cp(i) = h(i) / w
+          dp(i) = (dd - h(i - 1) * dp(i - 1)) / w
+          i += 1
+        }
+        var j = n - 2
+        while (j >= 1) { M(j) = dp(j) - cp(j) * M(j + 1); j -= 1 }
+      }
+      val knotIdx = pts.iterator.zipWithIndex.map { case (p, i) => p.ts -> i }.toMap
+      (0L until gridCount.toLong).map { x =>
+        knotIdx.get(x) match {
+          case Some(i) => (id, x, Some(v(i)))
+          case None if n >= 2 && x > pts.head.ts && x < pts.last.ts =>
+            var i2 = 1
+            while (pts(i2).ts < x) i2 += 1
+            val i1 = i2 - 1
+            val hh = t(i2) - t(i1)
+            val u = t(i2) - x
+            val w2 = x - t(i1)
+            // evaluation polynomial — same term order as the oracle SQL
+            val s = (M(i1) * u * u * u + M(i2) * w2 * w2 * w2) / (6.0 * hh) +
+              (v(i1) / hh - M(i1) * hh / 6.0) * u +
+              (v(i2) / hh - M(i2) * hh / 6.0) * w2
+            (id, x, Some(s))
+          case None => (id, x, None)
+        }
+      }
+    }.toDF("gtsid", "ts", "vdouble")
+
   /** Single (beta=None) or Holt double exponential smoothing. */
   def expSmooth(alpha: Double, beta: Option[Double] = None): DataFrame =
     perSeries { (id, pts) =>

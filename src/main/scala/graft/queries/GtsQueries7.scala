@@ -81,6 +81,26 @@ object GtsQueries7 {
         .select(col("class"), userid, col("ts"), col("vdouble"))
     }),
 
+    // filler.spline (natural cubic spline through daily-bucket knots,
+    // evaluated on the 30-day grid): the Thomas tridiagonal sweep and
+    // the cubic evaluation run with a FIXED op order in the kernel
+    // (KernelOps.fillSplineGrid) and are REPLAYED by two recursive CTEs
+    // in the oracle — forward (cp,dp) elimination, backward M
+    // substitution — so every filled double hash-matches
+    "g75_fillspline" -> ((s, dir) => {
+      val start = LB - 29 * DAY
+      val b = cents(s, dir).bucketize(Sum, LB, DAY).df
+        .withColumn("ts", expr(s"(ts - $start) div $DAY")) // day idx 0..29
+      val filled = new graft.kernels.KernelOps(b).fillSplineGrid(30)
+      val meta = b.groupBy(col("gtsid"))
+        .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
+      // NO round(): the fixed op order makes every double bit-identical
+      // across engines, and round(·,6) itself tie-breaks differently on
+      // exact .5 decimal boundaries (observed at sf0.01)
+      filled.join(meta, "gtsid")
+        .select(col("class"), userid, col("ts"), col("vdouble").as("filled"))
+    }),
+
     // Deterministic HyperLogLog (closes h01's rows-only gap): distinct
     // users per class via HllOps — portable md5 registers, exact
     // binary-string ranks, round(est,6) absorbing sum-order/ln ulps;
@@ -142,6 +162,92 @@ object GtsQueries7 {
     "g73_snapshot_roundtrip" ->
       s"""WITH g AS ($EV)
          |SELECT class, userid, ts, vdouble FROM g""".stripMargin,
+
+    // two recursive CTEs replay the kernel's Thomas sweep bit-for-bit:
+    // fwd carries (cp, dp) up the knots, bwd carries M back down;
+    // knots absent from bwd (rn=1, and all knots when n<3) have M=0
+    "g75_fillspline" -> {
+      val start = LB - 29 * DAY
+      val BUCKET_D = s"$LB - (($LB - ts) // $DAY) * $DAY"
+      s"""WITH RECURSIVE g AS ($EV),
+         |b AS (SELECT class, userid, (($BUCKET_D) - $start) // $DAY AS t,
+         |        sum(cents) AS v
+         |      FROM g WHERE ts <= $LB GROUP BY 1, 2, 3),
+         |k AS (SELECT class, userid, t, v,
+         |        row_number() OVER (PARTITION BY class, userid ORDER BY t) AS rn,
+         |        count(*) OVER (PARTITION BY class, userid) AS n
+         |      FROM b),
+         |s AS (SELECT class, userid, t, v, rn, n,
+         |        CAST(t - lag(t) OVER w AS DOUBLE) AS hprev,
+         |        CAST(lead(t) OVER w - t AS DOUBLE) AS hcur,
+         |        (lead(v) OVER w - v) / CAST(lead(t) OVER w - t AS DOUBLE) AS slope
+         |      FROM k WINDOW w AS (PARTITION BY class, userid ORDER BY t)),
+         |sd AS (SELECT *, 6.0 * (slope - lag(slope)
+         |         OVER (PARTITION BY class, userid ORDER BY t)) AS dd
+         |       FROM s),
+         |fwd AS (
+         |  SELECT class, userid, CAST(1 AS BIGINT) AS rn,
+         |    CAST(0 AS DOUBLE) AS cp, CAST(0 AS DOUBLE) AS dp
+         |  FROM k WHERE rn = 1 AND n >= 3
+         |  UNION ALL
+         |  SELECT x.class, x.userid, x.rn,
+         |    x.hcur / (2.0 * (x.hprev + x.hcur) - x.hprev * f.cp) AS cp,
+         |    (x.dd - x.hprev * f.dp)
+         |      / (2.0 * (x.hprev + x.hcur) - x.hprev * f.cp) AS dp
+         |  FROM fwd f JOIN sd x ON x.class = f.class AND x.userid = f.userid
+         |    AND x.rn = f.rn + 1
+         |  WHERE x.rn <= x.n - 1
+         |),
+         |bwd AS (
+         |  SELECT class, userid, CAST(n AS BIGINT) AS rn, CAST(0 AS DOUBLE) AS m
+         |  FROM k WHERE rn = 1 AND n >= 3
+         |  UNION ALL
+         |  SELECT w.class, w.userid, w.rn - 1, f.dp - f.cp * w.m
+         |  FROM bwd w JOIN fwd f ON f.class = w.class AND f.userid = w.userid
+         |    AND f.rn = w.rn - 1
+         |  WHERE w.rn >= 3
+         |),
+         |mm AS (SELECT k.class, k.userid, k.t, coalesce(bwd.m, 0.0) AS m
+         |       FROM k LEFT JOIN bwd ON bwd.class = k.class
+         |         AND bwd.userid = k.userid AND bwd.rn = k.rn),
+         |series AS (SELECT DISTINCT class, userid FROM b),
+         |grid AS (SELECT s.class, s.userid, t.ts
+         |         FROM series s CROSS JOIN
+         |           (SELECT unnest(generate_series(0, 29)) AS ts) t),
+         |j AS (SELECT grid.class, grid.userid, grid.ts, b.v
+         |      FROM grid LEFT JOIN b ON grid.class = b.class
+         |        AND grid.userid = b.userid AND grid.ts = b.t),
+         |x AS (SELECT class, userid, ts, v,
+         |        last_value(v IGNORE NULLS) OVER wp AS pv,
+         |        last_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+         |          OVER wp AS pt,
+         |        first_value(v IGNORE NULLS) OVER wn AS nv,
+         |        first_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+         |          OVER wn AS nt
+         |      FROM j
+         |      WINDOW wp AS (PARTITION BY class, userid ORDER BY ts
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |        wn AS (PARTITION BY class, userid ORDER BY ts
+         |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+         |ev AS (SELECT x.class, x.userid, x.ts, x.v, x.pv, x.nv,
+         |         CAST(x.nt - x.pt AS DOUBLE) AS h,
+         |         CAST(x.nt - x.ts AS DOUBLE) AS u,
+         |         CAST(x.ts - x.pt AS DOUBLE) AS w2,
+         |         mp.m AS mi, mn2.m AS mn
+         |       FROM x
+         |       LEFT JOIN mm mp ON mp.class = x.class AND mp.userid = x.userid
+         |         AND mp.t = x.pt
+         |       LEFT JOIN mm mn2 ON mn2.class = x.class AND mn2.userid = x.userid
+         |         AND mn2.t = x.nt)
+         |SELECT class, userid, ts,
+         |  CASE WHEN v IS NOT NULL THEN v
+         |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+         |      (mi * u * u * u + mn * w2 * w2 * w2) / (6.0 * h)
+         |      + (pv / h - mi * h / 6.0) * u
+         |      + (nv / h - mn * h / 6.0) * w2
+         |  END AS filled
+         |FROM ev""".stripMargin
+    },
 
     "h02_hll_deterministic" -> {
       val p = 12; val m = 1 << p; val restBits = 60 - p

@@ -73,6 +73,33 @@ class StatOpsSpec extends SparkSpec {
     assert(SeriesKernels.lttbExact(pts.take(4), 6) == pts.take(4))
   }
 
+  test("fillSplineGrid: exact at knots, linear through linear data, null outside") {
+    // knots at 0,2,4,6 of a straight line → every interior fill is on
+    // the line (natural spline of collinear knots has all M = 0)
+    val f = frame(Seq(0L, 2L, 4L, 6L).map(i => ("x", "1", i, 10.0 + 3.0 * i)))
+    val got = new graft.kernels.KernelOps(f.df).fillSplineGrid(8).collect()
+      .map(r => r.getLong(1) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    (0 to 6).foreach(i => assert(got(i.toLong).contains(10.0 + 3.0 * i), s"i=$i"))
+    assert(got(7L).isEmpty) // beyond last knot: no extrapolation
+    // single-knot series fills nothing but its own tick
+    val one = frame(Seq(("y", "1", 3L, 5.0)))
+    val g1 = new graft.kernels.KernelOps(one.df).fillSplineGrid(5).collect()
+      .map(r => r.getLong(1) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(g1(3L).contains(5.0) && g1(0L).isEmpty && g1(4L).isEmpty)
+  }
+
+  test("fillSplineGrid: interpolant is C¹-smooth and bounded on a spike") {
+    // knots 0..6 with a spike at 3 — spline overshoots bounded, exact at knots
+    val vals = Seq(0.0, 0.0, 0.0, 100.0, 0.0, 0.0, 0.0)
+    val f = frame(vals.zipWithIndex.map { case (v, i) => ("x", "1", i.toLong * 2, v) })
+    val got = new graft.kernels.KernelOps(f.df).fillSplineGrid(13).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(got(6L) == 100.0)
+    assert(got(5L) > 40.0 && got(5L) < 100.0) // rises toward the spike
+    assert(got(1L) < 10.0 && got(1L) > -30.0) // small ringing far away
+  }
+
   test("lttbExact tie-break picks the earliest point, like lttb's strict >") {
     // all-equal values → every area is 0 → first candidate of each bucket
     val pts = (0 until 20).map(i => Pt(i.toLong, 5.0))
