@@ -134,11 +134,11 @@ final case class GtsFrame(df: DataFrame) {
   def mapWindow(agg: ValueAgg, pre: Long, post: Long,
                 step: Int = 1, occurrences: Long = 0): GtsFrame = {
     val base = Window.partitionBy(col("gtsid")).orderBy(col("ts"))
-    val w =
-      if (pre <= 0 && post <= 0) base.rangeBetween(pre, -post)
-      else if (pre >= 0 && post >= 0) base.rowsBetween(-pre, post)
-      else throw new IllegalArgumentException("mixed time/count windows unsupported")
-    var out = df.withColumn("vdouble", agg.over(col("vdouble"), col("ts"), w))
+    val mapped =
+      if (pre <= 0 && post <= 0) agg.over(col("vdouble"), col("ts"), base.rangeBetween(pre, -post))
+      else if (pre >= 0 && post >= 0) agg.over(col("vdouble"), col("ts"), base.rowsBetween(-pre, post))
+      else mixedWindow(agg, pre, post)
+    var out = df.withColumn("vdouble", mapped)
     if (step > 1 || occurrences > 0) {
       val rn = row_number().over(Window.partitionBy(col("gtsid")).orderBy(col("ts")))
       out = out.withColumn("__rn", rn)
@@ -147,6 +147,34 @@ final case class GtsFrame(df: DataFrame) {
       out = out.drop("__rn")
     }
     GtsFrame(out)
+  }
+
+  /** Mixed-sign MAP windows (GTSHelper.java:6440 allows e.g. a time
+    * look-back plus a tick-count look-ahead): composed from a RANGE
+    * window for the time half (which includes the current row) and a
+    * ROWS window for the count half, merged per aggregate. Supported
+    * for the decomposable aggregates; others throw. The rows half
+    * orders by (ts, vdouble) so duplicate ticks stay deterministic.
+    */
+  private def mixedWindow(agg: ValueAgg, pre: Long, post: Long): Column = {
+    val wT0 = Window.partitionBy(col("gtsid")).orderBy(col("ts"))
+    val wR0 = Window.partitionBy(col("gtsid")).orderBy(col("ts"), col("vdouble"))
+    val (wT, wR) =
+      if (pre <= 0) (wT0.rangeBetween(pre, 0), wR0.rowsBetween(1, post))
+      else (wT0.rangeBetween(0, -post), wR0.rowsBetween(-pre, -1))
+    import GtsFrame.{Sum => S, CountAgg => C, Min => Mn, Max => Mx, Mean => Me}
+    val v = col("vdouble"); val ts = col("ts")
+    agg match {
+      case S => S.over(v, ts, wT) + coalesce(S.over(v, ts, wR), lit(0.0))
+      case C => C.over(v, ts, wT) + C.over(v, ts, wR)
+      case Mn => least(Mn.over(v, ts, wT), Mn.over(v, ts, wR))
+      case Mx => greatest(Mx.over(v, ts, wT), Mx.over(v, ts, wR))
+      case Me =>
+        (S.over(v, ts, wT) + coalesce(S.over(v, ts, wR), lit(0.0))) /
+          (C.over(v, ts, wT) + C.over(v, ts, wR))
+      case _ => throw new IllegalArgumentException(
+        "mixed time/count windows: only sum/count/min/max/mean")
+    }
   }
 
   /** MAP with the `ticks` override (GTSHelper.java:6389-6432): evaluate

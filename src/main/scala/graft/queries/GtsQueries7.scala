@@ -81,6 +81,13 @@ object GtsQueries7 {
         .select(col("class"), userid, col("ts"), col("vdouble"))
     }),
 
+    // mixed-sign MAP window (GTSHelper.java:6440): 1h time look-back
+    // PLUS 2-tick look-ahead — composed RANGE + ROWS windows (the
+    // round-1 unsupported case); exact cents, no rounding
+    "g76_map_mixed_window" -> ((s, dir) =>
+      cents(s, dir).mapWindow(Sum, -GtsQueries.HOUR, 2).df
+        .select(col("class"), userid, col("ts"), col("vdouble").as("wsum"))),
+
     // filler.spline (natural cubic spline through daily-bucket knots,
     // evaluated on the 30-day grid): the Thomas tridiagonal sweep and
     // the cubic evaluation run with a FIXED op order in the kernel
@@ -162,6 +169,16 @@ object GtsQueries7 {
     "g73_snapshot_roundtrip" ->
       s"""WITH g AS ($EV)
          |SELECT class, userid, ts, vdouble FROM g""".stripMargin,
+
+    "g76_map_mixed_window" ->
+      s"""WITH g AS ($EV)
+         |SELECT class, userid, ts,
+         |  sum(cents) OVER (PARTITION BY class, userid ORDER BY ts
+         |    RANGE BETWEEN ${GtsQueries.HOUR} PRECEDING AND CURRENT ROW)
+         |  + coalesce(sum(cents) OVER (PARTITION BY class, userid
+         |      ORDER BY ts, cents
+         |      ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING), 0.0) AS wsum
+         |FROM g""".stripMargin,
 
     // two recursive CTEs replay the kernel's Thomas sweep bit-for-bit:
     // fwd carries (cp, dp) up the knots, bwd carries M back down;

@@ -33,4 +33,20 @@ class MapWindowSpec extends SparkSpec {
     val out = tsv(g.mapWindow(Sum, 0L, 0L, step = 2).df)
     assert(out === Seq((10L, 1.0), (20L, 4.0)))
   }
+
+  test("mixed: time look-back + tick-count look-ahead") {
+    // pre=-2 (time), post=1 (ticks): at tick 12 → [10,12] + next tick 20
+    val out = tsv(g.mapWindow(Sum, -2L, 1L).df)
+    assert(out === Seq((10L, 3.0), (12L, 7.0), (20L, 12.0), (21L, 12.0)))
+  }
+
+  test("mixed: tick-count look-back + time look-ahead") {
+    // pre=1 (tick), post=-1 (time): at 20 → prev tick 12 + [20,21]
+    val out = tsv(g.mapWindow(Sum, 1L, -1L).df)
+    assert(out === Seq((10L, 1.0), (12L, 3.0), (20L, 14.0), (21L, 12.0)))
+  }
+
+  test("mixed windows reject non-decomposable aggregates") {
+    intercept[IllegalArgumentException](g.mapWindow(Median, -2L, 1L).df.collect())
+  }
 }
