@@ -65,6 +65,95 @@ object StatOps {
       .drop("__g", "n", "sx", "sxx")
   }
 
+  /** Generalized ESD outlier test (GTSOutliersHelper.ESDTest:329-415,
+    * mean/sd variant): k rounds, each computing mean and SAMPLE sd of
+    * the remaining points, removing the max-|z| point, and flagging all
+    * removals up to the LAST round whose statistic exceeded the
+    * critical value λ_N = (N−1)·t/√((N−2+t²)·N),
+    * t = TDist(N−2).invCDF(1 − α/(2N)).
+    *
+    * Implementation is k UNROLLED exact-sum rounds (k is small by
+    * definition of the test): each round's stats derive from the
+    * previous round's by subtracting the removed value — exact integer
+    * arithmetic — and the argmax selection key |N·x − Σx| is an exact
+    * integer, so the removal sequence is engine-independent (ties:
+    * smallest ts then value; the reference's tie order depends on its
+    * internal swap history and is unspecified). The t-quantile λs are
+    * driver-computed literals per N (shared with the oracle SQL).
+    * Returns flagged rows (gtsid, ts, vdouble, round).
+    */
+  def esdFlag(frame: GtsFrame, k: Int = 3, alpha: Double = 0.05,
+              maxN: Int = 64): DataFrame = {
+    val spark = frame.df.sparkSession
+    import org.apache.spark.sql.DataFrame
+    val pts = frame.df.select(col("gtsid"), col("ts"), col("vdouble").as("v"))
+    val lam = lambdaCase(alpha, maxN)
+    var stats = pts.groupBy(col("gtsid")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("v")).as("sx"), sum(col("v") * col("v")).as("sxx"))
+    var remaining = pts
+    var rounds = List.empty[DataFrame]
+    for (r <- 1 to k) {
+      val cand = remaining.join(broadcast(stats), "gtsid")
+        .withColumn("a", abs(col("n") * col("v") - col("sx")))
+      val pick = cand.filter(col("n") >= 3 &&
+          col("n") * col("sxx") - col("sx") * col("sx") > 0)
+        .groupBy(col("gtsid"))
+        .agg(max(struct(col("a"), (-col("ts")).as("mts"), (-col("v")).as("mv"),
+          col("ts"), col("v"))).as("p"),
+          first(col("n")).as("n"), first(col("sx")).as("sx"),
+          first(col("sxx")).as("sxx"))
+        .select(col("gtsid"), col("p.ts").as("ts"), col("p.v").as("v"),
+          col("n"), col("sx"), col("sxx"),
+          // z = (|Nx−Σx|/N) / √((Σx²−(Σx)²/N)/(N−1)) — sample sd
+          ((col("p.a") / col("n")) /
+            sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+              (col("n") - 1.0))).as("z"),
+          lit(r).as("round"))
+        .withColumn("passed", col("z") > lam(col("n")))
+      rounds ::= pick.select(col("gtsid"), col("ts"), col("v"),
+        col("round"), col("passed"))
+      remaining = remaining.join(pick.select(col("gtsid").as("__rg"),
+          col("ts").as("__rts"), col("v").as("__rv")),
+        remaining("gtsid") === col("__rg") && remaining("ts") === col("__rts") &&
+          remaining("v") === col("__rv"), "left_anti")
+      stats = stats.join(pick.select(col("gtsid"), col("v").as("__rv")),
+          Seq("gtsid"), "left")
+        .select(col("gtsid"),
+          when(col("__rv").isNotNull, col("n") - 1.0).otherwise(col("n")).as("n"),
+          when(col("__rv").isNotNull, col("sx") - col("__rv")).otherwise(col("sx")).as("sx"),
+          when(col("__rv").isNotNull, col("sxx") - col("__rv") * col("__rv"))
+            .otherwise(col("sxx")).as("sxx"))
+    }
+    val all = rounds.reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gtsid"))
+    all.withColumn("__last", max(when(col("passed"), col("round"))).over(w))
+      .filter(col("round") <= col("__last"))
+      .select(col("gtsid"), col("ts"), col("v").as("vdouble"), col("round"))
+  }
+
+  /** λ critical values per N as a CASE column (and SQL text via
+    * [[lambdaSqlCase]]) — commons-math3 t-quantiles, driver-computed. */
+  def lambdas(alpha: Double, maxN: Int): Map[Int, Double] =
+    (3 to maxN).map { n =>
+      val t = new org.apache.commons.math3.distribution.TDistribution(n - 2)
+        .inverseCumulativeProbability(1.0 - alpha / (2.0 * n))
+      n -> (n - 1) * t / math.sqrt((n - 2 + t * t) * n)
+    }.toMap
+
+  private def lambdaCase(alpha: Double, maxN: Int): Column => Column = {
+    val m = lambdas(alpha, maxN)
+    n => m.foldLeft(lit(Double.MaxValue)) { case (acc, (nn, l)) =>
+      when(n === nn.toDouble, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** The same λ table as DuckDB CASE text over a column expression. */
+  def lambdaSqlCase(alpha: Double, maxN: Int, nExpr: String): String =
+    lambdas(alpha, maxN).toSeq.sortBy(_._1).map { case (n, l) =>
+      s"WHEN $nExpr = ${n.toDouble} THEN $l"
+    }.mkString("CASE ", " ", s" ELSE ${Double.MaxValue} END")
+
   /** N(0,1) equiprobable SAX breakpoints (Lin et al. 2003 table —
     * SAXUtils.java uses the same published constants). Shared literals
     * with the oracle SQL. */

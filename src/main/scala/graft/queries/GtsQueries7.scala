@@ -81,6 +81,20 @@ object GtsQueries7 {
         .select(col("class"), userid, col("ts"), col("vdouble"))
     }),
 
+    // generalized ESD outlier test (GTSOutliersHelper.ESDTest:329):
+    // k=3 exact-sum rounds, t-quantile critical values as shared
+    // driver literals, retroactive prefix flagging — the oracle unrolls
+    // the identical rounds as CTEs
+    "g77_esd_outliers" -> ((s, dir) => {
+      val f = cents(s, dir)
+      val flagged = StatOps.esdFlag(f, k = 3, alpha = 0.05)
+      val meta = f.df.groupBy(col("gtsid"))
+        .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
+      flagged.join(meta, "gtsid")
+        .select(col("class"), userid, col("ts"),
+          col("vdouble").as("cents"), col("round").cast(IntegerType).as("round"))
+    }),
+
     // mixed-sign MAP window (GTSHelper.java:6440): 1h time look-back
     // PLUS 2-tick look-ahead — composed RANGE + ROWS windows (the
     // round-1 unsupported case); exact cents, no rounding
@@ -169,6 +183,61 @@ object GtsQueries7 {
     "g73_snapshot_roundtrip" ->
       s"""WITH g AS ($EV)
          |SELECT class, userid, ts, vdouble FROM g""".stripMargin,
+
+    // unrolled 3-round ESD: each round re-derives stats by subtracting
+    // the removed value (exact), mirrors StatOps.esdFlag expression for
+    // expression; λ CASE table shared via StatOps.lambdaSqlCase
+    "g77_esd_outliers" -> {
+      val lam = graft.operators.StatOps.lambdaSqlCase(0.05, 64, "n")
+      def round(r: Int): String = {
+        val (s, prev) = (s"s$r", if (r == 1) "" else s"k${r - 1}")
+        val stats =
+          if (r == 1)
+            s"""s1 AS (SELECT class, userid, CAST(count(*) AS DOUBLE) AS n,
+               |  sum(v) AS sx, sum(v*v) AS sxx FROM p GROUP BY 1, 2)"""
+              .stripMargin
+          else
+            s"""s$r AS (SELECT s.class, s.userid,
+               |  CASE WHEN k.v IS NOT NULL THEN s.n - 1.0 ELSE s.n END AS n,
+               |  CASE WHEN k.v IS NOT NULL THEN s.sx - k.v ELSE s.sx END AS sx,
+               |  CASE WHEN k.v IS NOT NULL THEN s.sxx - k.v * k.v ELSE s.sxx END AS sxx
+               |  FROM s${r - 1} s LEFT JOIN $prev k
+               |    ON s.class = k.class AND s.userid = k.userid)""".stripMargin
+        val rem =
+          if (r == 1) "p1 AS (SELECT * FROM p)"
+          else
+            s"""p$r AS (SELECT a.* FROM p${r - 1} a LEFT JOIN $prev k
+               |  ON a.class = k.class AND a.userid = k.userid
+               |    AND a.ts = k.ts AND a.v = k.v
+               |  WHERE k.ts IS NULL)""".stripMargin
+        val pick =
+          s"""k$r AS (SELECT class, userid, ts, v, n, sx, sxx,
+             |    ((a / n) / sqrt((sxx - sx * sx / n) / (n - 1.0))) AS z,
+             |    $r AS round
+             |  FROM (SELECT c.*, row_number() OVER (PARTITION BY class, userid
+             |          ORDER BY a DESC, ts ASC, v ASC) AS rk
+             |        FROM (SELECT a.class, a.userid, a.ts, a.v, s.n, s.sx, s.sxx,
+             |                abs(s.n * a.v - s.sx) AS a
+             |              FROM p$r a JOIN $s s ON a.class = s.class
+             |                AND a.userid = s.userid
+             |              WHERE s.n >= 3
+             |                AND s.n * s.sxx - s.sx * s.sx > 0) c)
+             |  WHERE rk = 1)""".stripMargin
+        Seq(stats, rem, pick).mkString(",\n")
+      }
+      s"""WITH g AS ($EV),
+         |p AS (SELECT class, userid, ts, cents AS v FROM g),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |allr AS (SELECT class, userid, ts, v, round, z > ($lam) AS passed
+         |         FROM (SELECT * FROM k1 UNION ALL SELECT * FROM k2
+         |               UNION ALL SELECT * FROM k3)),
+         |fin AS (SELECT *, max(CASE WHEN passed THEN round END)
+         |          OVER (PARTITION BY class, userid) AS lastp FROM allr)
+         |SELECT class, userid, ts, v AS cents, CAST(round AS INT) AS round
+         |FROM fin WHERE round <= lastp""".stripMargin
+    },
 
     "g76_map_mixed_window" ->
       s"""WITH g AS ($EV)
