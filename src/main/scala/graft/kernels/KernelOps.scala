@@ -44,6 +44,63 @@ final class KernelOps(df: DataFrame) {
     perSeries((id, pts) => SeriesKernels.lttbExact(pts, threshold).map(p => (id, p.ts, p.v)))
       .toDF("gtsid", "ts", "vdouble")
 
+  /** filler.akima (reference filler semantics): Akima sub-spline
+    * through each series' knots on grid indexes 0..gridCount-1. Akima
+    * derivatives are LOCAL (four surrounding slopes, boundary slopes
+    * extended virtually per Akima 1970), so unlike [[fillSplineGrid]]
+    * the oracle needs NO recursion — lag/lead windows only. All
+    * arithmetic uses a fixed op order mirrored by the g78 oracle
+    * (virtual-slope expressions expand NESTED, exactly as written
+    * there). n==2 falls back to s=m₀ at both knots (numerically ~=
+    * linear through the general Hermite formula, identically in both
+    * engines); n==1 fills nothing; no extrapolation.
+    */
+  def fillAkimaGrid(gridCount: Int): DataFrame =
+    perSeries[(Long, Long, Option[Double])] { (id, pts) =>
+      val n = pts.length
+      val t = pts.map(_.ts.toDouble)
+      val v = pts.map(_.v)
+      val m = Array.tabulate(math.max(n - 1, 0))(j => (v(j + 1) - v(j)) / (t(j + 1) - t(j)))
+      val s = new Array[Double](n)
+      if (n == 2) { s(0) = m(0); s(1) = m(0) }
+      else if (n >= 3) {
+        val vm1 = 2.0 * m(0) - m(1)
+        val vm2 = 2.0 * vm1 - m(0)
+        val vnm1 = 2.0 * m(n - 2) - m(n - 3)
+        val vn = 2.0 * vnm1 - m(n - 2)
+        var i = 0
+        while (i < n) {
+          val mim2 = if (i >= 2) m(i - 2) else if (i == 1) vm1 else vm2
+          val mim1 = if (i >= 1) m(i - 1) else vm1
+          val mii = if (i <= n - 2) m(i) else vnm1
+          val mip1 = if (i <= n - 3) m(i + 1) else if (i == n - 2) vnm1 else vn
+          val w1 = math.abs(mip1 - mii)
+          val w2 = math.abs(mim1 - mim2)
+          s(i) = if (w1 + w2 == 0.0) (mim1 + mii) / 2.0
+                 else (w1 * mim1 + w2 * mii) / (w1 + w2)
+          i += 1
+        }
+      }
+      val knotIdx = pts.iterator.zipWithIndex.map { case (p, i) => p.ts -> i }.toMap
+      (0L until gridCount.toLong).map { x =>
+        knotIdx.get(x) match {
+          case Some(i) => (id, x, Some(v(i)))
+          case None if n >= 2 && x > pts.head.ts && x < pts.last.ts =>
+            var i2 = 1
+            while (pts(i2).ts < x) i2 += 1
+            val i1 = i2 - 1
+            val h = t(i2) - t(i1)
+            val d = x - t(i1)
+            val mi = (v(i2) - v(i1)) / h
+            // Hermite — same term order as the oracle SQL
+            val c = (3.0 * mi - 2.0 * s(i1) - s(i2)) / h
+            val e = (s(i1) + s(i2) - 2.0 * mi) / (h * h)
+            (id, x, Some(v(i1) + s(i1) * d + c * (d * d) + e * (d * d * d)))
+          case None => (id, x, None)
+        }
+      }
+    }.toDF("gtsid", "ts", "vdouble")
+
   /** filler.spline (reference filler semantics): natural cubic spline
     * through each series' knots, evaluated at every grid index
     * 0..gridCount-1. Ticks MUST already be integer grid indexes. The

@@ -122,6 +122,20 @@ object GtsQueries7 {
         .select(col("class"), userid, col("ts"), col("vdouble").as("filled"))
     }),
 
+    // filler.akima (Akima 1970 sub-spline): same grid as g75 but the
+    // derivatives are LOCAL — the oracle needs only lag/lead windows
+    // (virtual boundary slopes expanded nested, same op order)
+    "g78_fillakima" -> ((s, dir) => {
+      val start = LB - 29 * DAY
+      val b = cents(s, dir).bucketize(Sum, LB, DAY).df
+        .withColumn("ts", expr(s"(ts - $start) div $DAY"))
+      val filled = new graft.kernels.KernelOps(b).fillAkimaGrid(30)
+      val meta = b.groupBy(col("gtsid"))
+        .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
+      filled.join(meta, "gtsid")
+        .select(col("class"), userid, col("ts"), col("vdouble").as("filled"))
+    }),
+
     // Deterministic HyperLogLog (closes h01's rows-only gap): distinct
     // users per class via HllOps — portable md5 registers, exact
     // binary-string ranks, round(est,6) absorbing sum-order/ln ulps;
@@ -331,6 +345,106 @@ object GtsQueries7 {
          |      (mi * u * u * u + mn * w2 * w2 * w2) / (6.0 * h)
          |      + (pv / h - mi * h / 6.0) * u
          |      + (nv / h - mn * h / 6.0) * w2
+         |  END AS filled
+         |FROM ev""".stripMargin
+    },
+
+    // akima derivative per knot from the four surrounding slopes
+    // (boundary slopes extended virtually, nested expressions matching
+    // KernelOps.fillAkimaGrid's evaluation order), then Hermite eval
+    // over the g28-style bracketing grid — windows only, no recursion
+    "g78_fillakima" -> {
+      val start = LB - 29 * DAY
+      val BUCKET_D = s"$LB - (($LB - ts) // $DAY) * $DAY"
+      val vm1 = "(2.0*m0 - m1)"
+      val vm2 = s"(2.0*$vm1 - m0)"
+      val vnm1 = "(2.0*mle2 - mle3)"
+      val vn = s"(2.0*$vnm1 - mle2)"
+      s"""WITH g AS ($EV),
+         |b AS (SELECT class, userid, (($BUCKET_D) - $start) // $DAY AS t,
+         |        sum(cents) AS v
+         |      FROM g WHERE ts <= $LB GROUP BY 1, 2, 3),
+         |k AS (SELECT class, userid, t, v,
+         |        row_number() OVER (PARTITION BY class, userid ORDER BY t) AS rn,
+         |        count(*) OVER (PARTITION BY class, userid) AS n
+         |      FROM b),
+         |sl AS (SELECT class, userid, t, v, rn, n,
+         |        (lead(v) OVER w - v) / CAST(lead(t) OVER w - t AS DOUBLE) AS m
+         |       FROM k WINDOW w AS (PARTITION BY class, userid ORDER BY t)),
+         |sagg AS (SELECT class, userid,
+         |          max(CASE WHEN rn = 1 THEN m END) AS m0,
+         |          max(CASE WHEN rn = 2 THEN m END) AS m1,
+         |          max(CASE WHEN rn = n - 1 THEN m END) AS mle2,
+         |          max(CASE WHEN rn = n - 2 THEN m END) AS mle3
+         |         FROM sl GROUP BY 1, 2),
+         |ax AS (SELECT sl.class, sl.userid, sl.t, sl.n, sl.rn - 1 AS i, sl.m,
+         |         lag(sl.m, 1) OVER w AS mm1, lag(sl.m, 2) OVER w AS mm2,
+         |         lead(sl.m, 1) OVER w AS mp1,
+         |         sagg.m0, sagg.m1, sagg.mle2, sagg.mle3
+         |       FROM sl JOIN sagg ON sl.class = sagg.class
+         |         AND sl.userid = sagg.userid
+         |       WINDOW w AS (PARTITION BY sl.class, sl.userid ORDER BY sl.t)),
+         |ad AS (SELECT class, userid, t,
+         |         CASE WHEN n = 2 THEN m0 ELSE
+         |           CASE WHEN abs((CASE WHEN i <= n - 3 THEN mp1
+         |                    WHEN i = n - 2 THEN $vnm1 ELSE $vn END)
+         |                  - (CASE WHEN i <= n - 2 THEN m ELSE $vnm1 END))
+         |               + abs((CASE WHEN i >= 1 THEN mm1 ELSE $vm1 END)
+         |                  - (CASE WHEN i >= 2 THEN mm2
+         |                     WHEN i = 1 THEN $vm1 ELSE $vm2 END)) = 0.0
+         |           THEN ((CASE WHEN i >= 1 THEN mm1 ELSE $vm1 END)
+         |               + (CASE WHEN i <= n - 2 THEN m ELSE $vnm1 END)) / 2.0
+         |           ELSE (abs((CASE WHEN i <= n - 3 THEN mp1
+         |                    WHEN i = n - 2 THEN $vnm1 ELSE $vn END)
+         |                  - (CASE WHEN i <= n - 2 THEN m ELSE $vnm1 END))
+         |                 * (CASE WHEN i >= 1 THEN mm1 ELSE $vm1 END)
+         |               + abs((CASE WHEN i >= 1 THEN mm1 ELSE $vm1 END)
+         |                  - (CASE WHEN i >= 2 THEN mm2
+         |                     WHEN i = 1 THEN $vm1 ELSE $vm2 END))
+         |                 * (CASE WHEN i <= n - 2 THEN m ELSE $vnm1 END))
+         |              / (abs((CASE WHEN i <= n - 3 THEN mp1
+         |                    WHEN i = n - 2 THEN $vnm1 ELSE $vn END)
+         |                  - (CASE WHEN i <= n - 2 THEN m ELSE $vnm1 END))
+         |               + abs((CASE WHEN i >= 1 THEN mm1 ELSE $vm1 END)
+         |                  - (CASE WHEN i >= 2 THEN mm2
+         |                     WHEN i = 1 THEN $vm1 ELSE $vm2 END)))
+         |           END
+         |         END AS s
+         |       FROM ax),
+         |series AS (SELECT DISTINCT class, userid FROM b),
+         |grid AS (SELECT s.class, s.userid, t.ts
+         |         FROM series s CROSS JOIN
+         |           (SELECT unnest(generate_series(0, 29)) AS ts) t),
+         |j AS (SELECT grid.class, grid.userid, grid.ts, b.v
+         |      FROM grid LEFT JOIN b ON grid.class = b.class
+         |        AND grid.userid = b.userid AND grid.ts = b.t),
+         |x AS (SELECT class, userid, ts, v,
+         |        last_value(v IGNORE NULLS) OVER wp AS pv,
+         |        last_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+         |          OVER wp AS pt,
+         |        first_value(v IGNORE NULLS) OVER wn AS nv,
+         |        first_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+         |          OVER wn AS nt
+         |      FROM j
+         |      WINDOW wp AS (PARTITION BY class, userid ORDER BY ts
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |        wn AS (PARTITION BY class, userid ORDER BY ts
+         |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+         |ev AS (SELECT x.class, x.userid, x.ts, x.v, x.pv, x.nv,
+         |         CAST(x.nt - x.pt AS DOUBLE) AS h,
+         |         CAST(x.ts - x.pt AS DOUBLE) AS d,
+         |         sp.s AS sp, sn.s AS sn,
+         |         (x.nv - x.pv) / CAST(x.nt - x.pt AS DOUBLE) AS m
+         |       FROM x
+         |       LEFT JOIN ad sp ON sp.class = x.class AND sp.userid = x.userid
+         |         AND sp.t = x.pt
+         |       LEFT JOIN ad sn ON sn.class = x.class AND sn.userid = x.userid
+         |         AND sn.t = x.nt)
+         |SELECT class, userid, ts,
+         |  CASE WHEN v IS NOT NULL THEN v
+         |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+         |      pv + sp * d + ((3.0 * m - 2.0 * sp - sn) / h) * (d * d)
+         |         + (((sp + sn - 2.0 * m) / (h * h))) * (d * d * d)
          |  END AS filled
          |FROM ev""".stripMargin
     },

@@ -173,6 +173,52 @@ final class WarpScriptEngine(
     case "TOLONG" => st.push(st.popNum().toLong)
     case "TOSTRING" => st.push(String.valueOf(st.pop()))
 
+    // ---- string words (fn/SUBSTRING.java, SPLIT, JOIN, TEMPLATE family)
+    case "TOUPPER" => st.push(st.popStr().toUpperCase)
+    case "TOLOWER" => st.push(st.popStr().toLowerCase)
+    case "TRIM" => st.push(st.popStr().trim)
+    case "SUBSTRING" => // str start [len] — 2-arg form: str start
+      val b = st.pop(); val a = st.pop()
+      (a, b) match {
+        case (s: String, from: Long) => st.push(s.substring(from.toInt))
+        case (from: Long, len: Long) =>
+          val s = st.popStr(); st.push(s.substring(from.toInt, (from + len).toInt))
+        case other => throw new IllegalArgumentException(s"SUBSTRING args: $other")
+      }
+    case "SPLIT" => val sep = st.popStr(); val s = st.popStr()
+      st.push(s.split(java.util.regex.Pattern.quote(sep), -1).toVector)
+    case "JOIN" => val sep = st.popStr()
+      st.push(st.pop().asInstanceOf[Vector[Any]].map(String.valueOf).mkString(sep))
+    case "REPLACE" => val r = st.popStr(); val p = st.popStr(); val s = st.popStr()
+      st.push(s.replace(p, r))
+    case "REPLACEALL" => val r = st.popStr(); val p = st.popStr(); val s = st.popStr()
+      st.push(s.replaceAll(p, r))
+    case "MATCHES" => val p = st.popStr(); val s = st.popStr()
+      st.push(s.matches(p))
+    case "CONTAINS" => val n = st.pop(); st.pop() match {
+      case s: String => st.push(s.contains(String.valueOf(n)))
+      case l: Vector[_] => st.push(l.contains(n))
+      case o => throw new IllegalArgumentException(s"CONTAINS on $o")
+    }
+    // selector words (fn/TOSELECTOR.java, PARSESELECTOR.java)
+    case "TOSELECTOR" =>
+      val labels = st.pop().asInstanceOf[Map[Any, Any]]
+      val cls = st.popStr()
+      val l = labels.map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(",")
+      st.push(s"$cls{$l}")
+    case "PARSESELECTOR" =>
+      val sel = st.popStr()
+      val i = sel.indexOf('{')
+      if (i < 0) { st.push(sel); st.push(Map.empty[Any, Any]) }
+      else {
+        val cls = sel.substring(0, i)
+        val body = sel.substring(i + 1, sel.lastIndexOf('}'))
+        val m: Map[Any, Any] = body.split(",").filter(_.nonEmpty).map { kv =>
+          val Array(k, v) = kv.split("=", 2); (k: Any) -> (v: Any)
+        }.toMap
+        st.push(cls); st.push(m)
+      }
+
     // ---- comparison / boolean (fn/EQ.java family)
     case "==" => val b = st.pop(); val a = st.pop(); st.push(numEq(a, b))
     case "!=" => val b = st.pop(); val a = st.pop(); st.push(!numEq(a, b))

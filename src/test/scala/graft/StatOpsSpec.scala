@@ -100,6 +100,22 @@ class StatOpsSpec extends SparkSpec {
     assert(got(1L) < 10.0 && got(1L) > -30.0) // small ringing far away
   }
 
+  test("fillAkimaGrid: exact at knots, linear through linear data, local response") {
+    val f = frame(Seq(0L, 2L, 4L, 6L, 8L).map(i => ("x", "1", i, 10.0 + 3.0 * i)))
+    val got = new graft.kernels.KernelOps(f.df).fillAkimaGrid(9).collect()
+      .map(r => r.getLong(1) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // collinear knots → akima reproduces the line at every interior tick
+    (0 to 8).filter(_ % 2 == 1).foreach(i =>
+      assert(math.abs(got(i.toLong).get - (10.0 + 3.0 * i)) < 1e-9, s"i=$i"))
+    // akima locality: a far-away spike does not perturb a flat region
+    val spiky = frame(Seq((0L, 0.0), (2L, 0.0), (4L, 0.0), (6L, 0.0),
+      (8L, 0.0), (10L, 100.0), (12L, 0.0))
+      .map { case (t, v) => ("y", "1", t, v) })
+    val g2 = new graft.kernels.KernelOps(spiky.df).fillAkimaGrid(13).collect()
+      .map(r => r.getLong(1) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(math.abs(g2(3L).get) < 1e-9) // flat region unaffected (locality)
+  }
+
   test("lttbExact tie-break picks the earliest point, like lttb's strict >") {
     // all-equal values → every area is 0 → first candidate of each bucket
     val pts = (0 until 20).map(i => Pt(i.toLong, 5.0))

@@ -80,6 +80,50 @@ class WarpScriptSpec extends SparkSpec {
     assert(top("1 w") == 604800000000L)
   }
 
+  test("string words") {
+    assert(top("'a-b-c' '-' SPLIT") == Vector("a", "b", "c"))
+    assert(top("[ 'x' 'y' ] '/' JOIN") == "x/y")
+    assert(top("'Hello' TOUPPER") == "HELLO")
+    assert(top("'hello' 'l' 'L' REPLACE") == "heLLo")
+    assert(top("'abc123' '[a-z]+[0-9]+' MATCHES") == true)
+    assert(top("'abcdef' 1 3 SUBSTRING") == "bcd")
+    assert(eng.run("'cpu{host=a,dc=b}' PARSESELECTOR") ==
+      List(Map("host" -> "a", "dc" -> "b"), "cpu"))
+    assert(top("'cpu' { 'host' 'a' } TOSELECTOR") == "cpu{host=a}")
+  }
+
+  test("a realistic monitoring script end-to-end") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val pts = (0 until 48).map { i =>
+      ("sys.cpu", Map("host" -> s"h${i % 2}"), i.toLong * 1800000000L,
+        if (i == 40) 99.0 else 10.0 + (i % 4))
+    }
+    val df = pts.toDF("class", "labels", "ts", "vdouble")
+      .withColumn("lat", lit(null).cast(DoubleType))
+      .withColumn("lon", lit(null).cast(DoubleType))
+      .withColumn("elev", lit(null).cast(LongType))
+      .withColumn("vtype", lit(graft.model.GtsType.DOUBLE).cast(ByteType))
+      .withColumn("vlong", lit(null).cast(LongType))
+      .withColumn("vbool", lit(null).cast(BooleanType))
+      .withColumn("vstring", lit(null).cast(StringType))
+      .withColumn("vbinary", lit(null).cast(BinaryType))
+    val frame = GtsFrame(Gts.canonical(df))
+    val e = new WarpScriptEngine(
+      fetch = (c, l, a, b) => frame.select(c, l).timeclip(a, b),
+      nowTs = 47L * 1800000000L)
+    // hourly max per host over the last day, keep series peaking > 50
+    val out = e.runToFrame(
+      """'sys.cpu' 'sel' STORE
+        |[ [ 'TOKEN' $sel { } 0 NOW ] FETCH
+        |  bucketizer.max NOW 1 h 0 ] BUCKETIZE
+        |[ SWAP [ ] 50.0 filter.any.gt ] FILTER
+        |""".stripMargin)
+    // only h0 (the host with the spike at i=40, ts-ordered last bucket>50?)
+    val classes = out.select("labels").collect().map(_.getMap[String, String](0)("host")).toSet
+    assert(classes == Set("h0"))
+  }
+
   test("unknown word and stack underflow raise") {
     intercept[IllegalArgumentException](eng.run("NOT_A_WORD_XYZ"))
     intercept[IllegalStateException](eng.run("DROP"))
