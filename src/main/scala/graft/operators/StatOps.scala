@@ -132,6 +132,57 @@ object StatOps {
       .select(col("gtsid"), col("ts"), col("v").as("vdouble"), col("round"))
   }
 
+  /** ESD, median/MAD variant (GTSOutliersHelper.ESDTest useMedian=true):
+    * per round, med = exact-interpolation median of the remaining cents
+    * (a dyadic rational, bit-identical cross-engine) and
+    * mad = median of |x − med| (also dyadic); z = |0.6745·(x−med)/mad|
+    * against the same t-quantile criticals. Selection key |x − med| is
+    * exact, so the removal sequence is deterministic. mad == 0 stops
+    * the series (the reference falls back to the sd estimate there —
+    * divergence documented). Medians cannot be updated incrementally,
+    * so each round recomputes them from the surviving rows (k tiny).
+    */
+  def esdMadFlag(frame: GtsFrame, k: Int = 3, alpha: Double = 0.05,
+                 maxN: Int = 64): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val pts = frame.df.select(col("gtsid"), col("ts"), col("vdouble").as("v"))
+    val lam = lambdaCase(alpha, maxN)
+    var remaining = pts
+    var rounds = List.empty[DataFrame]
+    for (r <- 1 to k) {
+      val stats = remaining.groupBy(col("gtsid")).agg(
+        count(lit(1)).cast("double").as("n"),
+        percentile(col("v"), lit(0.5)).as("med"))
+      val mads = remaining.join(broadcast(stats), "gtsid")
+        .groupBy(col("gtsid"))
+        .agg(percentile(abs(col("v") - col("med")), lit(0.5)).as("mad"))
+      val pick = remaining.join(broadcast(stats), "gtsid")
+        .join(broadcast(mads), "gtsid")
+        .filter(col("n") >= 3 && col("mad") > 0)
+        .withColumn("a", abs(col("v") - col("med")))
+        .groupBy(col("gtsid"))
+        .agg(max(struct(col("a"), (-col("ts")).as("mts"), (-col("v")).as("mv"),
+          col("ts"), col("v"))).as("p"),
+          first(col("n")).as("n"), first(col("med")).as("med"),
+          first(col("mad")).as("mad"))
+        .select(col("gtsid"), col("p.ts").as("ts"), col("p.v").as("v"), col("n"),
+          abs(lit(0.6745) * (col("p.v") - col("med")) / col("mad")).as("z"),
+          lit(r).as("round"))
+        .withColumn("passed", col("z") > lam(col("n")))
+      rounds ::= pick.select(col("gtsid"), col("ts"), col("v"),
+        col("round"), col("passed"))
+      remaining = remaining.join(pick.select(col("gtsid").as("__rg"),
+          col("ts").as("__rts"), col("v").as("__rv")),
+        remaining("gtsid") === col("__rg") && remaining("ts") === col("__rts") &&
+          remaining("v") === col("__rv"), "left_anti")
+    }
+    val all = rounds.reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gtsid"))
+    all.withColumn("__last", max(when(col("passed"), col("round"))).over(w))
+      .filter(col("round") <= col("__last"))
+      .select(col("gtsid"), col("ts"), col("v").as("vdouble"), col("round"))
+  }
+
   /** λ critical values per N as a CASE column (and SQL text via
     * [[lambdaSqlCase]]) — commons-math3 t-quantiles, driver-computed. */
   def lambdas(alpha: Double, maxN: Int): Map[Int, Double] =

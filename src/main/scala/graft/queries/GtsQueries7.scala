@@ -95,6 +95,18 @@ object GtsQueries7 {
           col("vdouble").as("cents"), col("round").cast(IntegerType).as("round"))
     }),
 
+    // ESD median/MAD variant (useMedian=true branch): medians of cents
+    // are dyadic rationals so every round's med/mad/selection is exact
+    "g79_esd_mad" -> ((s, dir) => {
+      val f = cents(s, dir)
+      val flagged = StatOps.esdMadFlag(f, k = 3, alpha = 0.05)
+      val meta = f.df.groupBy(col("gtsid"))
+        .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
+      flagged.join(meta, "gtsid")
+        .select(col("class"), userid, col("ts"),
+          col("vdouble").as("cents"), col("round").cast(IntegerType).as("round"))
+    }),
+
     // mixed-sign MAP window (GTSHelper.java:6440): 1h time look-back
     // PLUS 2-tick look-ahead — composed RANGE + ROWS windows (the
     // round-1 unsupported case); exact cents, no rounding
@@ -197,6 +209,50 @@ object GtsQueries7 {
     "g73_snapshot_roundtrip" ->
       s"""WITH g AS ($EV)
          |SELECT class, userid, ts, vdouble FROM g""".stripMargin,
+
+    // MAD-variant ESD: per-round exact medians via quantile_cont (=
+    // Spark's exact percentile on dyadic cents), same λ table
+    "g79_esd_mad" -> {
+      val lam = graft.operators.StatOps.lambdaSqlCase(0.05, 64, "n")
+      def round(r: Int): String = {
+        val rem =
+          if (r == 1) "p1 AS (SELECT * FROM p)"
+          else
+            s"""p$r AS (SELECT a.* FROM p${r - 1} a LEFT JOIN k${r - 1} k
+               |  ON a.class = k.class AND a.userid = k.userid
+               |    AND a.ts = k.ts AND a.v = k.v
+               |  WHERE k.ts IS NULL)""".stripMargin
+        s"""$rem,
+           |s$r AS (SELECT class, userid, CAST(count(*) AS DOUBLE) AS n,
+           |  quantile_cont(v, 0.5) AS med FROM p$r GROUP BY 1, 2),
+           |d$r AS (SELECT a.class, a.userid,
+           |  quantile_cont(abs(a.v - s.med), 0.5) AS mad
+           |  FROM p$r a JOIN s$r s ON a.class = s.class AND a.userid = s.userid
+           |  GROUP BY 1, 2),
+           |k$r AS (SELECT class, userid, ts, v, n,
+           |    abs(0.6745 * (v - med) / mad) AS z, $r AS round
+           |  FROM (SELECT a.class, a.userid, a.ts, a.v, s.n, s.med, d.mad,
+           |          row_number() OVER (PARTITION BY a.class, a.userid
+           |            ORDER BY abs(a.v - s.med) DESC, a.ts ASC, a.v ASC) AS rk
+           |        FROM p$r a
+           |        JOIN s$r s ON a.class = s.class AND a.userid = s.userid
+           |        JOIN d$r d ON a.class = d.class AND a.userid = d.userid
+           |        WHERE s.n >= 3 AND d.mad > 0)
+           |  WHERE rk = 1)""".stripMargin
+      }
+      s"""WITH g AS ($EV),
+         |p AS (SELECT class, userid, ts, cents AS v FROM g),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |allr AS (SELECT class, userid, ts, v, round, z > ($lam) AS passed
+         |         FROM (SELECT * FROM k1 UNION ALL SELECT * FROM k2
+         |               UNION ALL SELECT * FROM k3)),
+         |fin AS (SELECT *, max(CASE WHEN passed THEN round END)
+         |          OVER (PARTITION BY class, userid) AS lastp FROM allr)
+         |SELECT class, userid, ts, v AS cents, CAST(round AS INT) AS round
+         |FROM fin WHERE round <= lastp""".stripMargin
+    },
 
     // unrolled 3-round ESD: each round re-derives stats by subtracting
     // the removed value (exact), mirrors StatOps.esdFlag expression for

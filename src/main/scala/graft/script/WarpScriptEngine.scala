@@ -30,7 +30,8 @@ import graft.operators.GtsFrame._
   */
 final class WarpScriptEngine(
     fetch: (String, Map[String, String], Long, Long) => GtsFrame,
-    nowTs: Long = 0L) {
+    nowTs: Long = 0L,
+    session: Option[org.apache.spark.sql.SparkSession] = None) {
 
   import WsToken._
   import WarpScriptEngine._
@@ -231,6 +232,11 @@ final class WarpScriptEngine(
     case "NOT" | "!" => st.push(!bool(st.pop()))
     case "ISNULL" => st.push(st.pop() == null)
     case "NULL" => st.push(null)
+    case "NaN" => st.push(Double.NaN) // fn/NaN.java (WarpScriptLib.java:1226)
+    case "ISNaN" => st.push(st.pop() match {
+      case d: Double => d.isNaN
+      case _ => false
+    })
 
     // ---- time (fn/NOW.java; duration words fn/TOTIMESTAMP-adjacent:
     // the reference registers w/d/h/m/s/ms/us µs-multiplier words)
@@ -359,12 +365,43 @@ final class WarpScriptEngine(
     case "DEDUP" => st.push(toFrame(st.pop()).dedup())
     case "COMPACT" => st.push(toFrame(st.pop()).compact())
     case "NORMALIZE0" | "ISONORMALIZE" => st.push(toFrame(st.pop()).normalize())
-    // RENAME / RELABEL (fn/RENAME.java, fn/RELABEL.java)
-    case "RENAME" => val n = st.popStr(); st.push(toFrame(st.pop()).rename(n))
+    // RENAME / RELABEL (fn/RENAME.java, fn/RELABEL.java) — also valid
+    // on a NEWGTS builder before materialization
+    case "RENAME" => val n = st.popStr(); st.pop() match {
+      case b: GtsBuilder =>
+        st.push(b.copy(cls = if (n.startsWith("+")) b.cls + n.substring(1) else n))
+      case f => st.push(toFrame(f).rename(n))
+    }
     case "RELABEL" =>
       val m = st.pop().asInstanceOf[Map[Any, Any]]
         .map { case (k, v) => k.toString -> (if (v == null) "" else v.toString) }
-      st.push(toFrame(st.pop()).relabel(m))
+      st.pop() match {
+        case b: GtsBuilder =>
+          val (removes, sets) = m.partition(_._2.isEmpty)
+          st.push(b.copy(labels = (b.labels ++ sets) -- removes.keys))
+        case f => st.push(toFrame(f).relabel(m))
+      }
+    // NEWGTS / ADDVALUE (fn/NEWGTS.java, fn/ADDVALUE.java): build a GTS
+    // from literals on the stack; materializes into a one-series frame
+    // when a frame word consumes it. `gts ts lat lon elev value ADDVALUE`
+    // — NaN lat/lon and NULL elev mean absent, as in the reference.
+    case "NEWGTS" => st.push(GtsBuilder("", Map.empty, Vector.empty))
+    case "ADDVALUE" =>
+      val v = st.popNum()
+      val elev = st.pop() match {
+        case null => None
+        case l: Long => Some(l)
+        case d: Double if !d.isNaN => Some(d.toLong)
+        case _ => None
+      }
+      val lon = st.popNum(); val lat = st.popNum()
+      val ts = st.popLong()
+      st.pop() match {
+        case b: GtsBuilder =>
+          val loc = if (lat.isNaN || lon.isNaN) None else Some((lat, lon))
+          st.push(b.copy(points = b.points :+ (ts, loc, elev, v)))
+        case o => throw new IllegalArgumentException(s"ADDVALUE on $o")
+      }
     // accessor words (fn/FIRSTTICK.java, LASTTICK, TICKS, VALUES, NAME,
     // LABELS, SIZE-for-GTS handled under SIZE): driver-side scalars over
     // the frame — tiny aggs, same contract as GtsFrame auto-params
@@ -485,8 +522,25 @@ final class WarpScriptEngine(
 
   private def toFrame(v: Any): GtsFrame = v match {
     case f: GtsFrame => f
+    case b: GtsBuilder => materialize(b)
     case l: Vector[_] => framesOf(l)
     case o => throw new IllegalArgumentException(s"not a GTS frame: $o")
+  }
+
+  /** NEWGTS builder → one-series canonical frame (needs the session
+    * the engine was constructed with). */
+  private def materialize(b: GtsBuilder): GtsFrame = {
+    val spark = session.getOrElse(throw new IllegalStateException(
+      "NEWGTS requires a WarpScriptEngine constructed with a session"))
+    val schema = graft.model.Gts.pointSchema
+    val rows = b.points.map { case (ts, loc, elev, v) =>
+      org.apache.spark.sql.Row(b.cls, b.labels, 0L, ts,
+        loc.map(_._1).map(Double.box).orNull, loc.map(_._2).map(Double.box).orNull,
+        elev.map(Long.box).orNull,
+        graft.model.GtsType.DOUBLE, null, Double.box(v), null, null, null)
+    }
+    GtsFrame(graft.model.Gts.canonicalRehash(
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq), schema)))
   }
 
   /** Merge any frames found in a (possibly nested) list into one frame. */
@@ -509,6 +563,11 @@ object WarpScriptEngine {
 
   /** A captured `<% %>` macro (reference Macro). */
   final case class WsMacro(tokens: Vector[WsToken])
+
+  /** A GTS under construction via NEWGTS/ADDVALUE, materialized into a
+    * frame when first consumed by a frame word. */
+  final case class GtsBuilder(cls: String, labels: Map[String, String],
+      points: Vector[(Long, Option[(Double, Double)], Option[Long], Double)])
 
   /** Named aggregator usable as bucketizer/windowed-mapper/reducer —
     * the three families share implementations, as in the reference

@@ -82,6 +82,17 @@ class ExplainSpec extends SparkSpec {
     assert(!c.contains("BroadcastNestedLoopJoin") && !c.contains("CartesianProduct"))
   }
 
+  test("ANN plans: equality-keyed candidate joins, no cartesian anywhere") {
+    import spark.implicits._
+    val embs = (1 to 40).map(i =>
+      (i.toLong, Array.tabulate(64)(d => ((i * 31 + d * 7) % 13 - 6).toFloat)))
+      .toDF("vec_id", "embedding")
+    val multi = plan(graft.text.EmbeddingLSH.annPairsMulti(embs, 0.5, 2, 6))
+    assert(!multi.contains("BroadcastNestedLoopJoin") && !multi.contains("CartesianProduct"))
+    val pairs = plan(graft.text.EmbeddingLSH.annPairs(embs, 0.5))
+    assert(!pairs.contains("BroadcastNestedLoopJoin") && !pairs.contains("CartesianProduct"))
+  }
+
   test("globalRank with fewer rows than partitions still ranks densely") {
     import spark.implicits._
     val tiny = Seq((1L, 2.0), (2L, 9.0), (3L, 4.0)).toDF("id", "v")

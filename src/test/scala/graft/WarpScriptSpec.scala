@@ -92,6 +92,24 @@ class WarpScriptSpec extends SparkSpec {
     assert(top("'cpu' { 'host' 'a' } TOSELECTOR") == "cpu{host=a}")
   }
 
+  test("NEWGTS/ADDVALUE builds a series from literals, frame words consume it") {
+    val e = new WarpScriptEngine(
+      fetch = (_, _, _, _) => throw new UnsupportedOperationException,
+      nowTs = 0L, session = Some(spark))
+    val df = e.runToFrame(
+      """NEWGTS 'script.made' RENAME { 'src' 'stack' } RELABEL
+        |100 NaN NaN NULL 1.5 ADDVALUE
+        |200 NaN NaN NULL 2.5 ADDVALUE
+        |300 NaN NaN NULL 4.0 ADDVALUE
+        |0 300 TIMECLIP""".stripMargin)
+    val got = df.select("class", "ts", "vdouble").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._2)
+    assert(got.toSeq == Seq(("script.made", 100L, 1.5),
+      ("script.made", 200L, 2.5), ("script.made", 300L, 4.0)))
+    val labels = df.select("labels").head().getMap[String, String](0)
+    assert(labels("src") == "stack")
+  }
+
   test("a realistic monitoring script end-to-end") {
     import spark.implicits._
     import org.apache.spark.sql.types._
