@@ -105,6 +105,23 @@ object WsQueries {
           col("labels").getItem("env").as("env"), col("ts"), col("vdouble"))
     }),
 
+    // NEWGTS/ADDVALUE: a series built from stack literals (FOREACH over
+    // a tick list), bucketized — the oracle is the closed-form VALUES
+    "w09_ws_newgts" -> ((s, dir) => {
+      val e = new WarpScriptEngine(
+        fetch = (_, _, _, _) => throw new UnsupportedOperationException,
+        nowTs = 0L, session = Some(s))
+      val program =
+        """NEWGTS 'stack.series' RENAME 'g' STORE
+          |[ 1 2 3 4 5 6 ] <%
+          |  'i' STORE
+          |  $g $i 1000000 * NaN NaN NULL $i $i * TODOUBLE ADDVALUE 'g' STORE
+          |%> FOREACH
+          |[ [ $g ] bucketizer.sum 6000000 2000000 0 ] BUCKETIZE""".stripMargin
+      e.runToFrame(program)
+        .select(col("class"), col("ts"), col("vdouble").as("bsum"))
+    }),
+
     // driver-side scalar words: arithmetic, comparisons, macros, IFTE,
     // FOREACH accumulation — the answer is assembled on the stack and
     // becomes a one-row frame; oracle computes the same expression
@@ -139,6 +156,13 @@ object WsQueries {
     "w08_ws_rename" ->
       s"""WITH g AS ($EV)
          |SELECT class || '.renamed' AS class, userid, 'prod' AS env,
-         |       ts, vdouble FROM g""".stripMargin
+         |       ts, vdouble FROM g""".stripMargin,
+    // closed form of the script-built series: points (i·1e6, i²),
+    // end-anchored 2s buckets at lastbucket 6e6
+    "w09_ws_newgts" ->
+      """SELECT 'stack.series' AS class, CAST(ts AS BIGINT) AS ts,
+        |       CAST(bsum AS DOUBLE) AS bsum
+        |FROM (VALUES (2000000, 5.0), (4000000, 25.0), (6000000, 61.0))
+        |  v(ts, bsum)""".stripMargin
   )
 }

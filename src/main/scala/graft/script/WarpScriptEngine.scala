@@ -547,6 +547,7 @@ final class WarpScriptEngine(
   private def framesOf(items: Seq[Any]): GtsFrame = {
     val frames = items.flatMap {
       case f: GtsFrame => Seq(f)
+      case b: GtsBuilder => Seq(materialize(b))
       case l: Vector[_] => Seq(framesOf(l))
       case o => throw new IllegalArgumentException(s"not a GTS frame: $o")
     }
