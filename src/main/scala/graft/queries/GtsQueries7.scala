@@ -95,6 +95,26 @@ object GtsQueries7 {
           col("vdouble").as("cents"), col("round").cast(IntegerType).as("round"))
     }),
 
+    // VALUEHISTOGRAM / PROB / MODE (fn/VALUEHISTOGRAM.java, PROB.java,
+    // MODE.java): per-series empirical value distribution — counts are
+    // exact, probabilities are single exact-integer divisions, the mode
+    // is the count-argmax with smallest-value tiebreak
+    "g80_prob_mode" -> ((s, dir) => {
+      val f = cents(s, dir).df
+      val hist = f.groupBy(col("gtsid"), col("vdouble").as("v"))
+        .agg(first(col("class")).as("class"), first(col("labels")).as("labels"),
+          count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gtsid"))
+      hist
+        .withColumn("n", sum(col("cnt")).over(w))
+        .withColumn("prob", col("cnt") / col("n").cast(DoubleType))
+        .withColumn("is_mode", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("gtsid"))
+            .orderBy(col("cnt").desc, col("v").asc)) === 1)
+        .select(col("class"), userid, col("v").as("cents"),
+          col("cnt"), col("prob"), col("is_mode"))
+    }),
+
     // ESD median/MAD variant (useMedian=true branch): medians of cents
     // are dyadic rationals so every round's med/mad/selection is exact
     "g79_esd_mad" -> ((s, dir) => {
@@ -209,6 +229,17 @@ object GtsQueries7 {
     "g73_snapshot_roundtrip" ->
       s"""WITH g AS ($EV)
          |SELECT class, userid, ts, vdouble FROM g""".stripMargin,
+
+    "g80_prob_mode" ->
+      s"""WITH g AS ($EV),
+         |h AS (SELECT class, userid, cents AS v, count(*) AS cnt
+         |      FROM g GROUP BY 1, 2, 3)
+         |SELECT class, userid, v AS cents, cnt,
+         |  cnt / CAST(sum(cnt) OVER (PARTITION BY class, userid) AS DOUBLE)
+         |    AS prob,
+         |  row_number() OVER (PARTITION BY class, userid
+         |    ORDER BY cnt DESC, v ASC) = 1 AS is_mode
+         |FROM h""".stripMargin,
 
     // MAD-variant ESD: per-round exact medians via quantile_cont (=
     // Spark's exact percentile on dyadic cents), same λ table
