@@ -33,7 +33,9 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // queries first, scalar summary last: harness log capture keeps the
+    // TAIL of long lines, so the headline total must sit at the end
+    println(s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

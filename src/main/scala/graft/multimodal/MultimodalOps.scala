@@ -68,11 +68,19 @@ object MultimodalOps {
         val h = 16 + ((7 * id) % 32).toInt
         val img = new java.awt.image.BufferedImage(w, h,
           java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        // fill the raster's backing byte array directly — setRGB would
+        // run a colorspace conversion per pixel (the m04 hot spot)
+        val data = img.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
         var y = 0
         while (y < h) {
           var x = 0
           while (x < w) {
-            img.setRGB(x, y, (id * 2654435761L + x * 31 + y).toInt & 0xFFFFFF)
+            val v = (id * 2654435761L + x * 31 + y).toInt & 0xFFFFFF
+            val i = (y * w + x) * 3
+            data(i) = (v & 0xFF).toByte          // B
+            data(i + 1) = ((v >> 8) & 0xFF).toByte  // G
+            data(i + 2) = ((v >> 16) & 0xFF).toByte // R
             x += 1
           }
           y += 1

@@ -216,6 +216,175 @@ object StatOps {
     case a => throw new IllegalArgumentException(s"alphabet $a not tabled here")
   }
 
+  /** FFT surface (continuum/gts/FFT.java semantics — magnitude spectrum
+    * of an equally-spaced series): DFT over `bins` end-anchored buckets
+    * of width `span` ending at `lastbucket` (missing buckets = 0, same
+    * zero-padding the reference applies before its radix-2 transform).
+    *
+    * Determinism contract: the twiddle factors cos/−sin(2πm/bins) are
+    * DRIVER-COMPUTED literals quantized to 2⁻²⁰ dyadics (the ESD
+    * λ-table pattern) and shared with the oracle SQL via [[dftWeights]]
+    * — so w·x products and their sums are exact for integer bucket
+    * sums, and re/im are bit-identical cross-engine; mag = √(re²+im²)
+    * is a fixed tree of IEEE correctly-rounded ops on exact inputs.
+    * O(bins) work per point, one aggregation per (series, k): at 100 TB
+    * this is a map-side-combining hash agg, no per-series
+    * materialization (vs the reference's in-RAM double[] per GTS).
+    * Returns (class, labels, k, re, im, mag).
+    */
+  def dft(frame: GtsFrame, bins: Int, span: Long, lastbucket: Long): DataFrame = {
+    val (wc, ws) = dftWeights(bins)
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val n = floor((lit(lastbucket) - col("ts")) / lit(span)).cast(LongType)
+    val x = frame.df.filter(col("ts") <= lastbucket && n < bins)
+      .groupBy(col("gtsid"), n.as("n"))
+      .agg(first(col("class")).as("class"), first(col("labels")).as("labels"),
+        sum(col("vdouble")).as("x"))
+    val m = (pmod(col("k") * col("n"), lit(bins.toLong)) + 1L).cast(IntegerType)
+    x.withColumn("k", explode(sequence(lit(0L), lit(bins - 1L))))
+      .groupBy(col("gtsid"), col("k"))
+      .agg(first(col("class")).as("class"), first(col("labels")).as("labels"),
+        sum(col("x") * element_at(array(wc.map(lit): _*), m)).as("re"),
+        sum(-col("x") * element_at(array(ws.map(lit): _*), m)).as("im"))
+      .withColumn("mag", sqrt(col("re") * col("re") + col("im") * col("im")))
+      .drop("gtsid")
+  }
+
+  /** 2⁻²⁰-dyadic (cos, sin) twiddle tables for [[dft]] — shared driver
+    * literals for both engines. */
+  def dftWeights(bins: Int): (Seq[Double], Seq[Double]) = {
+    val q = 1048576.0 // 2^20
+    val wc = Seq.tabulate(bins)(m => math.rint(math.cos(2.0 * math.Pi * m / bins) * q) / q)
+    val ws = Seq.tabulate(bins)(m => math.rint(math.sin(2.0 * math.Pi * m / bins) * q) / q)
+    (wc, ws)
+  }
+
+  /** LOWESS (fn/LOWESS.java semantics, declarative): locally weighted
+    * linear regression over the ±`halfWidth` index neighborhood of each
+    * point, tricube weights w(Δ) = (1 − |Δ|³/denom³)³ with denom the
+    * smallest power of two > halfWidth (so every weight is an exact
+    * dyadic — 18 fractional bits at the default halfWidth 3 — and no
+    * quantization step is needed). All five
+    * regression sums Σw, ΣwΔ, Σwy, ΣwΔ², ΣwΔy are exact for integer
+    * values y and |Δ|≤3, hence order-independent; the fitted value at
+    * Δ=0, (ΣwΔ²·Σwy − ΣwΔ·ΣwΔy)/(Σw·ΣwΔ² − (ΣwΔ)²), is a fixed tree of
+    * correctly-rounded ops on exact inputs — deterministic cross-engine
+    * (the reason the commons-math LoessInterpolator kernel could never
+    * be oracle-gated: its neighborhood sums are accumulation-order-
+    * dependent). Degenerate windows (single point) fall back to the
+    * weighted mean. Shape: one window pass for ranks + one self-join on
+    * (gtsid, rn±h) — a band join per series, shuffle on gtsid only.
+    * Returns (class, labels, ts, vdouble=fit).
+    */
+  def lowessFit(frame: GtsFrame, halfWidth: Int = 3): DataFrame = {
+    // weight denominator = smallest power of two > halfWidth, so
+    // |Δ|³/denom³ (and hence the tricube weight) stays an exact dyadic
+    val denom = java.lang.Integer.highestOneBit(halfWidth) * 2
+    val denom3 = denom.toDouble * denom * denom
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gtsid")).orderBy(col("ts"), col("vdouble"))
+    val o = frame.df.withColumn("rn", row_number().over(w))
+    val i = o.select(col("gtsid"), col("class"), col("labels"),
+      col("ts"), col("rn"))
+    val j = o.select(col("gtsid").as("__jg"), col("rn").as("__jrn"),
+      col("vdouble").as("__y"))
+    val d = col("__jrn") - col("rn")
+    val ad3 = abs(d) * abs(d) * abs(d)
+    val b = lit(1.0) - ad3 / denom3
+    val wt = b * b * b
+    val p = i.join(j, col("gtsid") === col("__jg") &&
+        col("__jrn") >= col("rn") - halfWidth &&
+        col("__jrn") <= col("rn") + halfWidth)
+      .select(col("gtsid"), col("class"), col("labels"), col("ts"), col("rn"),
+        d.as("d"), col("__y").as("y"), wt.as("w"))
+    val s = p.groupBy(col("gtsid"), col("rn"))
+      .agg(first(col("class")).as("class"), first(col("labels")).as("labels"),
+        first(col("ts")).as("ts"),
+        sum(col("w")).as("sw"), sum(col("w") * col("d")).as("swx"),
+        sum(col("w") * col("y")).as("swy"),
+        sum(col("w") * col("d") * col("d")).as("swxx"),
+        sum(col("w") * col("d") * col("y")).as("swxy"))
+    val den = col("sw") * col("swxx") - col("swx") * col("swx")
+    s.select(col("class"), col("labels"), col("ts"),
+      when(den === 0.0, col("swy") / col("sw"))
+        .otherwise((col("swxx") * col("swy") - col("swx") * col("swxy")) / den)
+        .as("vdouble"))
+  }
+
+  /** DTW (fn/DTW.java lifted to frames): dynamic-time-warping distance
+    * between the `bins`-bucket sum vectors of frames `a` and `b`,
+    * paired within `byLabels` equivalence classes (missing buckets = 0,
+    * the kernel's zero-fill). |x−y| costs over integer bucket sums keep
+    * the DP exact, so the sequential kernel is engine-independent.
+    * Each pair's DP is O(bins²) on two tiny vectors — the distributed
+    * shape is one aggregation plus mapGroups over (labels) keys, no
+    * cross-pair state. Returns (byLabels..., dtw).
+    */
+  def dtwPairs(a: GtsFrame, b: GtsFrame, byLabels: Seq[String],
+               bins: Int, span: Long, lastbucket: Long): DataFrame = {
+    val spark = a.df.sparkSession
+    import spark.implicits._
+    def side(d: DataFrame, s: Int) = {
+      val n = floor((lit(lastbucket) - col("ts")) / lit(span)).cast("long")
+      d.filter(col("ts") <= lastbucket && n < bins)
+        .groupBy(array(byLabels.map(l =>
+            col("labels").getItem(l).cast("string")): _*).as("k"),
+          n.as("n"))
+        .agg(sum(col("vdouble")).as("x"))
+        .select(col("k"), lit(s).as("side"), col("n"), col("x"))
+    }
+    val tagged = side(a.df, 0).unionByName(side(b.df, 1))
+      .as[(Seq[String], Int, Long, Double)]
+    val out = tagged.groupByKey(_._1).mapGroups { (k, it) =>
+      val av = Array.fill(bins)(0.0); val bv = Array.fill(bins)(0.0)
+      it.foreach { case (_, s, i, x) =>
+        if (s == 0) av(i.toInt) = x else bv(i.toInt) = x
+      }
+      (k, graft.kernels.SeriesKernels.dtw(av.toIndexedSeq, bv.toIndexedSeq))
+    }.toDF("__k", "dtw")
+    out.select(byLabels.zipWithIndex.map { case (l, i) =>
+      element_at(col("__k"), i + 1).as(l)
+    } :+ col("dtw"): _*)
+  }
+
+  /** PATTERNS / PATTERNDETECTION surface (fn/PATTERNS.java,
+    * fn/PATTERNDETECTION.java semantics): slide a `win`-point window
+    * along each series, SAX-encode every window (z-normalized per
+    * window with the closed-form sd on exact sums — z_j =
+    * (win·x_j − Σx)/√(win·Σx² − (Σx)²), exact integer numerator and
+    * radicand), then detect motifs: words occurring in ≥ `minSeries`
+    * distinct series. The reference materializes each GTS and string-
+    * searches pattern lists; here candidate generation is an equality
+    * GROUP BY on the word — the same join-on-discrete-key shape as the
+    * LSH/SimHash banding paths, linear in input at 100 TB.
+    * Returns (word, n_series, n_occ).
+    */
+  def saxMotifs(frame: GtsFrame, win: Int = 4, alphabet: Int = 4,
+                minSeries: Int = 2): DataFrame = {
+    val bps = saxBreakpoints(alphabet)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gtsid")).orderBy(col("ts"), col("vdouble"))
+    val xs = (0 until win).map(o =>
+      if (o == 0) col("vdouble") else lead(col("vdouble"), o).over(w))
+    val sx = xs.reduce(_ + _)
+    val sxx = xs.map(x => x * x).reduce(_ + _)
+    val det = lit(win.toDouble) * sxx - sx * sx
+    def letter(x: Column) = {
+      val z = when(det === 0.0, 0.0).otherwise((lit(win.toDouble) * x - sx) / sqrt(det))
+      bps.zipWithIndex.reverse.foldLeft(lit(('a' + bps.length).toChar.toString)) {
+        case (acc, (bp, idx)) => when(z <= bp, lit(('a' + idx).toChar.toString)).otherwise(acc)
+      }
+    }
+    frame.df
+      .withColumn("__xlast", xs.last)
+      .withColumn("word", concat(xs.map(letter): _*))
+      .filter(col("__xlast").isNotNull)
+      .groupBy(col("word"))
+      .agg(countDistinct(col("gtsid")).as("n_series"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_series") >= minSeries)
+  }
+
   /** mapper.sax (script/SAXUtils.java semantics): z-normalize each
     * series, PAA to `wordLen` segments, quantize by the breakpoint
     * table into letters, concatenate. Declarative twin of

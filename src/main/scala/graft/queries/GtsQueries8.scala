@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.Gts
+import graft.operators.{GtsFrame, StatOps}
+
+/** Eighth pack: oracle rows for the last spec-gated kernels — the FFT
+  * surface as an exact-dyadic DFT, DTW via a fully unrolled integer DP
+  * oracle, LOWESS with exactly-dyadic tricube weights, and the
+  * PATTERNS/PATTERNDETECTION motif surface over sliding SAX words.
+  *
+  * Each had a documented oracle blocker (COVERAGE.md round 3):
+  * FFT twiddles are transcendental → solved by driver-literal 2⁻²⁰
+  * quantization (exact products/sums); DTW's 2-D DP is not
+  * recursive-CTE-expressible → solved by unrolling the 8×8 grid as
+  * chained lateral-alias columns (integer arithmetic throughout);
+  * LOWESS neighborhood sums are order-dependent → solved by a
+  * power-of-two weight denominator making every tricube weight an
+  * exact dyadic (18 fractional bits).
+  */
+object GtsQueries8 {
+  import GtsQueries.{LB, DAY, EV}
+
+  private def cents(s: SparkSession, dir: String) = GtsFrame(Gts.fromEventsCents(s, dir))
+  private val userid = col("labels").getItem("user").as("userid")
+
+  /** Print a double so DuckDB parses it as DOUBLE (not DECIMAL): force
+    * scientific notation — strtod is shortest-roundtrip-exact, while a
+    * plain decimal literal becomes DECIMAL whose int128→double cast is
+    * not guaranteed correctly rounded at ≥17 digits. */
+  private def dlit(d: Double): String = {
+    val s = d.toString
+    if (s.contains("E") || s.contains("e")) s else s + "E0"
+  }
+
+  private val Bins = 16
+  private val (wcT, wsT) = StatOps.dftWeights(Bins)
+  private val WC = wcT.map(dlit).mkString("[", ", ", "]")
+  private val WS = wsT.map(dlit).mkString("[", ", ", "]")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // FFT magnitude spectrum (continuum/gts/FFT.java surface): DFT over
+    // 16 end-anchored daily buckets, driver-literal dyadic twiddles —
+    // re/im/mag all bit-deterministic (see StatOps.dft scaladoc)
+    "g81_dft" -> ((s, dir) =>
+      StatOps.dft(cents(s, dir), Bins, DAY, LB)
+        .select(col("class"), userid, col("k"), col("re"), col("im"),
+          col("mag"))),
+
+    // DTW (fn/DTW.java): distance between each user's click and view
+    // 8-day bucket-sum vectors (missing days = 0, the kernel's
+    // zero-fill). Integer |x−y| costs keep the whole DP exact, so the
+    // sequential kernel and the unrolled SQL DP agree bit-for-bit.
+    "g82_dtw" -> ((s, dir) => {
+      val f = cents(s, dir).df
+      val clicks = GtsFrame(f.filter(col("class") === "events.click"))
+      val views = GtsFrame(f.filter(col("class") === "events.view"))
+      StatOps.dtwPairs(clicks, views, Seq("user"), bins = 8, span = DAY,
+          lastbucket = LB)
+        .select(col("user").as("userid"), col("dtw"))
+    }),
+
+    // LOWESS (fn/LOWESS.java): declarative locally-weighted regression,
+    // exactly-dyadic tricube weights (StatOps.lowessFit scaladoc)
+    "g83_lowess" -> ((s, dir) =>
+      StatOps.lowessFit(cents(s, dir))
+        .select(col("class"), userid, col("ts"),
+          round(col("vdouble"), 6).as("fit"))),
+
+    // PATTERNS/PATTERNDETECTION (fn/PATTERNS.java): sliding 4-point SAX
+    // words, motif = word present in ≥2 distinct series
+    "g84_sax_motifs" -> ((s, dir) =>
+      StatOps.saxMotifs(cents(s, dir), win = 4, alphabet = 4, minSeries = 2)
+        .select(col("word"), col("n_series"), col("n_occ")))
+  )
+
+  /** The unrolled 8×8 DTW DP as chained lateral-alias columns: row CTE
+    * rI defines dI_1..dI_8 from rI−1's dJ_* — DuckDB resolves prior
+    * SELECT-list aliases laterally, so each row is one CTE. */
+  private def dtwSql: String = {
+    val vec = (side: Int, p: String) => (0 until 8).map(j =>
+      s"coalesce(max(CASE WHEN side = $side AND n = $j THEN x END), 0.0E0) AS $p$j")
+      .mkString(",\n        ")
+    val rows = (1 to 8).map { i =>
+      val a = s"a${i - 1}"
+      val cols = (1 to 8).map { j =>
+        val cost = s"abs($a - b${j - 1})"
+        val prev =
+          if (i == 1 && j == 1) ""
+          else if (i == 1) s" + d1_${j - 1}"
+          else if (j == 1) s" + d${i - 1}_1"
+          else s" + least(d${i - 1}_$j, d${i}_${j - 1}, d${i - 1}_${j - 1})"
+        s"$cost$prev AS d${i}_$j"
+      }.mkString(", ")
+      val src = if (i == 1) "v" else s"r${i - 1}"
+      s"r$i AS (SELECT *, $cols FROM $src)"
+    }.mkString(",\n")
+    s"""WITH g AS ($EV),
+       |d AS (SELECT userid,
+       |        CASE WHEN class = 'events.click' THEN 0 ELSE 1 END AS side,
+       |        CAST(floor(($LB - ts) / $DAY) AS BIGINT) AS n, sum(cents) AS x
+       |      FROM g WHERE class IN ('events.click', 'events.view')
+       |        AND ts <= $LB AND floor(($LB - ts) / $DAY) < 8
+       |      GROUP BY 1, 2, 3),
+       |v AS (SELECT userid,
+       |        ${vec(0, "a")},
+       |        ${vec(1, "b")}
+       |      FROM d GROUP BY 1),
+       |$rows
+       |SELECT userid, d8_8 AS dtw FROM r8""".stripMargin
+  }
+
+  /** letter(x) as ordered CASE — identical fold to the Spark side. */
+  private def saxLetter(x: String): String =
+    s"""CASE WHEN (CASE WHEN det = 0 THEN 0.0E0
+       | ELSE (4.0E0 * $x - sx) / sqrt(det) END) <= -0.67E0 THEN 'a'
+       | WHEN (CASE WHEN det = 0 THEN 0.0E0
+       | ELSE (4.0E0 * $x - sx) / sqrt(det) END) <= 0.0E0 THEN 'b'
+       | WHEN (CASE WHEN det = 0 THEN 0.0E0
+       | ELSE (4.0E0 * $x - sx) / sqrt(det) END) <= 0.67E0 THEN 'c'
+       | ELSE 'd' END""".stripMargin.replace("\n", "")
+
+  val oracleSql: Map[String, String] = Map(
+    "g81_dft" ->
+      s"""WITH g AS ($EV),
+         |b AS (SELECT class, userid,
+         |        CAST(floor(($LB - ts) / $DAY) AS BIGINT) AS n, sum(cents) AS x
+         |      FROM g WHERE ts <= $LB AND floor(($LB - ts) / $DAY) < $Bins
+         |      GROUP BY 1, 2, 3),
+         |kk AS (SELECT b.*, t.k FROM b CROSS JOIN
+         |        (SELECT unnest(range($Bins)) AS k) t),
+         |s AS (SELECT class, userid, k,
+         |        sum(x * ($WC)[(k * n) % $Bins + 1]) AS re,
+         |        sum(-x * ($WS)[(k * n) % $Bins + 1]) AS im
+         |      FROM kk GROUP BY 1, 2, 3)
+         |SELECT class, userid, k, re, im, sqrt(re * re + im * im) AS mag
+         |FROM s""".stripMargin,
+
+    "g82_dtw" -> dtwSql,
+
+    "g83_lowess" ->
+      s"""WITH g AS ($EV),
+         |o AS (SELECT class, userid, ts, cents,
+         |        row_number() OVER (PARTITION BY class, userid
+         |          ORDER BY ts, cents) AS rn
+         |      FROM g),
+         |p AS (SELECT i.class, i.userid, i.ts, i.rn,
+         |        j.rn - i.rn AS d, j.cents AS y
+         |      FROM o i JOIN o j ON i.class = j.class AND i.userid = j.userid
+         |        AND j.rn BETWEEN i.rn - 3 AND i.rn + 3),
+         |u AS (SELECT *, 1.0E0 - (abs(d) * abs(d) * abs(d)) / 6.4E1 AS bb,
+         |        bb * bb * bb AS w FROM p),
+         |s AS (SELECT class, userid, ts, rn,
+         |        sum(w) AS sw, sum(w * d) AS swx, sum(w * y) AS swy,
+         |        sum(w * d * d) AS swxx, sum(w * d * y) AS swxy
+         |      FROM u GROUP BY 1, 2, 3, 4)
+         |SELECT class, userid, ts,
+         |  round(CASE WHEN sw * swxx - swx * swx = 0 THEN swy / sw
+         |        ELSE (swxx * swy - swx * swxy) / (sw * swxx - swx * swx)
+         |        END, 6) AS fit
+         |FROM s""".stripMargin,
+
+    "g84_sax_motifs" ->
+      s"""WITH g AS ($EV),
+         |o AS (SELECT class, userid, ts, cents,
+         |        lead(cents, 1) OVER w AS x1, lead(cents, 2) OVER w AS x2,
+         |        lead(cents, 3) OVER w AS x3
+         |      FROM g WINDOW w AS (PARTITION BY class, userid
+         |        ORDER BY ts, cents)),
+         |z AS (SELECT class, userid, cents AS x0, x1, x2, x3,
+         |        x0 + x1 + x2 + x3 AS sx,
+         |        x0 * x0 + x1 * x1 + x2 * x2 + x3 * x3 AS sxx,
+         |        4.0E0 * (x0 * x0 + x1 * x1 + x2 * x2 + x3 * x3)
+         |          - (x0 + x1 + x2 + x3) * (x0 + x1 + x2 + x3) AS det
+         |      FROM o WHERE x3 IS NOT NULL),
+         |w8 AS (SELECT class, userid,
+         |        ${saxLetter("x0")} || ${saxLetter("x1")} ||
+         |        ${saxLetter("x2")} || ${saxLetter("x3")} AS word
+         |      FROM z)
+         |SELECT word, count(DISTINCT class || '|' || userid) AS n_series,
+         |       count(*) AS n_occ
+         |FROM w8 GROUP BY 1
+         |HAVING count(DISTINCT class || '|' || userid) >= 2""".stripMargin
+  )
+}

@@ -140,6 +140,28 @@ object WsQueries {
       val top = st.head.asInstanceOf[Double]
       val next = st(1).asInstanceOf[Long]
       s.range(1).select(lit(top).as("v_double"), lit(next).as("v_long"))
+    }),
+
+    // LOWESS word (fn/LOWESS.java) ≡ g83 — the odd neighborhood size 7
+    // compiles to StatOps.lowessFit(halfWidth 3)
+    "w10_ws_lowess" -> ((s, dir) => {
+      val program =
+        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+           |7 LOWESS""".stripMargin
+      engine(s, dir, cents = true).runToFrame(program)
+        .select(col("class"), userid, col("ts"),
+          round(col("vdouble"), 6).as("fit"))
+    }),
+
+    // FFT word (continuum/gts/FFT.java surface) ≡ g81 — bins/span/
+    // lastbucket on stack, span via the duration word `1 d`
+    "w11_ws_fft" -> ((s, dir) => {
+      val program =
+        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+           |16 1 d $LB FFT""".stripMargin
+      engine(s, dir, cents = true).runToFrame(program)
+        .select(col("class"), userid, col("k"), col("re"), col("im"),
+          col("mag"))
     })
   )
 
@@ -163,6 +185,8 @@ object WsQueries {
       """SELECT 'stack.series' AS class, CAST(ts AS BIGINT) AS ts,
         |       CAST(bsum AS DOUBLE) AS bsum
         |FROM (VALUES (2000000, 5.0), (4000000, 25.0), (6000000, 61.0))
-        |  v(ts, bsum)""".stripMargin
+        |  v(ts, bsum)""".stripMargin,
+    "w10_ws_lowess" -> GtsQueries8.oracleSql("g83_lowess"),
+    "w11_ws_fft" -> GtsQueries8.oracleSql("g81_dft")
   )
 }

@@ -430,6 +430,32 @@ final class WarpScriptEngine(
       val meta = f.df.groupBy(col("gtsid"))
         .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
       st.push(GtsFrame(sel.join(meta, "gtsid")))
+    // FFT surface (continuum/gts/FFT.java): gts bins span lastbucket FFT
+    // → per-series spectrum rows (k, re, im, mag); see StatOps.dft
+    case "FFT" =>
+      val lb = st.popLong(); val span = st.popLong(); val bins = st.popLong().toInt
+      st.push(GtsFrame(graft.operators.StatOps.dft(toFrame(st.pop()), bins, span, lb)))
+    // LOWESS (fn/LOWESS.java): gts q LOWESS, q = odd neighborhood size
+    case "LOWESS" | "RLOWESS" =>
+      val q = st.popLong().toInt
+      require(q >= 3 && q % 2 == 1, s"LOWESS neighborhood must be odd >= 3: $q")
+      st.push(GtsFrame(graft.operators.StatOps.lowessFit(toFrame(st.pop()), (q - 1) / 2)))
+    // DTW (fn/DTW.java lifted to frames, the CORRELATE list shape):
+    // [ a b [ labels ] bins span lastbucket ] DTW → (labels..., dtw)
+    case "DTW" =>
+      val args = st.pop().asInstanceOf[Vector[Any]]
+      val n = args.length
+      val (lb, span, bins) = (asLong(args(n - 1)), asLong(args(n - 2)), asLong(args(n - 3)).toInt)
+      val labels = args(n - 4).asInstanceOf[Vector[Any]].map(_.toString).toSeq
+      val b = toFrame(args(n - 5)); val a = toFrame(args(n - 6))
+      st.push(GtsFrame(graft.operators.StatOps.dtwPairs(a, b, labels, bins, span, lb)))
+    // PATTERNS/PATTERNDETECTION (fn/PATTERNS.java): gts win alphabet
+    // minseries PATTERNS → motif table (word, n_series, n_occ)
+    case "PATTERNS" =>
+      val minSeries = st.popLong().toInt; val alphabet = st.popLong().toInt
+      val win = st.popLong().toInt
+      st.push(GtsFrame(graft.operators.StatOps.saxMotifs(toFrame(st.pop()),
+        win, alphabet, minSeries)))
     case "QUANTIZE" => // our quantize(step): [ gts step ] form
       val step = st.popNum(); st.push(toFrame(st.pop()).quantize(step))
     case "TIMECLIP" => // fn/TIMECLIP.java: gts end span | gts start end here
