@@ -58,7 +58,19 @@ object TextQueries2 {
     "t15_simhash_neardup_banded" -> ((s, dir) => {
       val sig = simhash(docs(s, dir), "text")
       TextOps.simhashNearDupBanded(sig, SimhashBits, 8, col("doc_id") < 500)
-    })
+    }),
+
+    // Benchmark decontamination: per corpus doc, the fraction of its
+    // distinct 3-grams appearing in the (broadcast) benchmark set —
+    // benchmark = every 97th doc, the held-out-eval stand-in
+    "t16_decontamination" -> ((s, dir) =>
+      TextOps.decontaminate(docs(s, dir), "text", 3,
+        col("doc_id") % 97 === 0)),
+
+    // Gopher-style repetition filters: duplicate-bigram fraction and
+    // top-word share per doc (exact counts, two rounded divisions)
+    "t17_repetition" -> ((s, dir) =>
+      TextOps.repetitionScore(docs(s, dir), "text"))
   )
 
   // ---- oracle SQL (shared CTE prefix for shingle hashing) ----
@@ -172,6 +184,41 @@ object TextQueries2 {
          |SELECT a.doc_id AS ida, b.doc_id AS idb,
          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hdist
          |FROM sg a JOIN sg b ON a.doc_id < b.doc_id AND a.doc_id < 500
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin,
+
+    "t16_decontamination" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |gr AS (SELECT doc_id,
+         |    list_distinct(list_transform(generate_series(1, len(words) - 2),
+         |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS grams
+         |  FROM w WHERE len(words) >= 3),
+         |e AS (SELECT doc_id, unnest(grams) AS shingle FROM gr),
+         |bench AS (SELECT DISTINCT shingle FROM e WHERE doc_id % 97 = 0),
+         |corpus AS (SELECT * FROM e WHERE doc_id % 97 <> 0),
+         |counts AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY 1),
+         |hits AS (SELECT c.doc_id, count(*) AS n_hits
+         |         FROM corpus c JOIN bench b USING (shingle) GROUP BY 1)
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+         |  round(coalesce(n_hits, 0) / n_grams, 6) AS ratio
+         |FROM counts LEFT JOIN hits USING (doc_id)""".stripMargin,
+
+    "t17_repetition" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+         |           FROM documents),
+         |b AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+         |        CAST(len(words) - 1 AS BIGINT) AS n_bigrams,
+         |        CAST(len(list_distinct(list_transform(
+         |          generate_series(1, len(words) - 1),
+         |          i -> words[i] || ' ' || words[i+1]))) AS BIGINT) AS n_distinct
+         |      FROM w WHERE len(words) >= 2),
+         |wc AS (SELECT doc_id, word, count(*) AS c FROM (
+         |         SELECT doc_id, unnest(words) AS word FROM w
+         |         WHERE len(words) >= 2) GROUP BY 1, 2),
+         |t AS (SELECT doc_id, max(c) AS top_c FROM wc GROUP BY 1)
+         |SELECT b.doc_id, n_words,
+         |  round(1.0E0 - n_distinct / n_bigrams, 6) AS rep2,
+         |  round(top_c / n_words, 6) AS top_frac
+         |FROM b JOIN t ON b.doc_id = t.doc_id""".stripMargin
   )
 }

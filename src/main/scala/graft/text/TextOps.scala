@@ -168,4 +168,63 @@ object TextOps {
       .filter(col("hdist") <= k)
       .distinct()
   }
+
+  /** Benchmark decontamination (the eval-overlap filter every training
+    * pipeline runs before a model sees the corpus): for each corpus
+    * document, the fraction of its distinct word `n`-grams that appear
+    * in ANY benchmark document. `isBench` partitions the input into the
+    * (small) benchmark side and the corpus side.
+    *
+    * 100 TB shape: the benchmark n-gram index is tiny relative to the
+    * corpus, so it is BROADCAST and the overlap check is a broadcast
+    * semi-join per corpus shingle — one shuffle (doc_id aggregation),
+    * no corpus self-join. n is a parameter: production pipelines use
+    * 8-13; tests use 3 to match the short synthetic documents.
+    * Returns (doc_id, n_grams, n_hits, ratio).
+    */
+  def decontaminate(docs: DataFrame, textCol: String, n: Int,
+                    isBench: Column): DataFrame = {
+    val sh = shingles(docs, textCol, n)
+    val flags = docs.select(col("doc_id"), isBench.as("__b"))
+    val tagged = sh.join(flags, "doc_id")
+    val bench = broadcast(tagged.filter(col("__b"))
+      .select(col("shingle")).distinct())
+    val corpus = tagged.filter(!col("__b"))
+    val counts = corpus.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams")) // shingles() already distinct
+    val hits = corpus.join(bench, Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    counts.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / col("n_grams"), 6).as("ratio"))
+  }
+
+  /** Within-document repetition quality signals (the Gopher/Rae-style
+    * repetition filters): duplicate-bigram fraction
+    * (1 − distinct/total) and top-word fraction (most frequent word's
+    * share). Exact integer counts; only the two final divisions round.
+    * Per-doc array ops + one word hash-agg — no cross-document state,
+    * embarrassingly parallel at any scale.
+    * Returns (doc_id, n_words, rep2, top_frac).
+    */
+  def repetitionScore(docs: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val words = split(col(textCol), " ")
+    val base = docs.select(col("doc_id"), words.as("w"))
+      .filter(size(col("w")) >= 2)
+    val grams = transform(sequence(lit(0), size(col("w")) - 2), i =>
+      concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2)))
+    val g = base.select(col("doc_id"),
+      size(col("w")).cast(LongType).as("n_words"),
+      (size(col("w")) - 1).cast(LongType).as("n_bigrams"),
+      size(array_distinct(grams)).cast(LongType).as("n_distinct"))
+    val top = base.select(col("doc_id"), explode(col("w")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+    g.join(top, "doc_id")
+      .select(col("doc_id"), col("n_words"),
+        round(lit(1.0) - col("n_distinct") / col("n_bigrams"), 6).as("rep2"),
+        round(col("top_c") / col("n_words"), 6).as("top_frac"))
+  }
 }
