@@ -94,6 +94,9 @@ object StatOps {
     var remaining = pts
     var rounds = List.empty[DataFrame]
     for (r <- 1 to k) {
+      // `remaining` has two consumers here (candidate scoring + next
+      // anti-join) — cheap lineage, recompute beats a persist barrier;
+      // contrast esdMadFlag where four consumers justify caching
       val cand = remaining.join(broadcast(stats), "gtsid")
         .withColumn("a", abs(col("n") * col("v") - col("sx")))
       val pick = cand.filter(col("n") >= 3 &&
@@ -111,6 +114,8 @@ object StatOps {
               (col("n") - 1.0))).as("z"),
           lit(r).as("round"))
         .withColumn("passed", col("z") > lam(col("n")))
+        // tiny (one row per series) but consumed by three paths
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       rounds ::= pick.select(col("gtsid"), col("ts"), col("v"),
         col("round"), col("passed"))
       remaining = remaining.join(pick.select(col("gtsid").as("__rg"),
@@ -150,6 +155,10 @@ object StatOps {
     var remaining = pts
     var rounds = List.empty[DataFrame]
     for (r <- 1 to k) {
+      // see esdFlag: four consumers per round (median agg, MAD join,
+      // candidate scoring, anti-join) — persist or re-execute ~4^k times
+      remaining = remaining
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val stats = remaining.groupBy(col("gtsid")).agg(
         count(lit(1)).cast("double").as("n"),
         percentile(col("v"), lit(0.5)).as("med"))
@@ -169,6 +178,8 @@ object StatOps {
           abs(lit(0.6745) * (col("p.v") - col("med")) / col("mad")).as("z"),
           lit(r).as("round"))
         .withColumn("passed", col("z") > lam(col("n")))
+        // tiny (one row per series) but consumed by three paths
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       rounds ::= pick.select(col("gtsid"), col("ts"), col("v"),
         col("round"), col("passed"))
       remaining = remaining.join(pick.select(col("gtsid").as("__rg"),
@@ -379,9 +390,11 @@ object StatOps {
       .withColumn("__xlast", xs.last)
       .withColumn("word", concat(xs.map(letter): _*))
       .filter(col("__xlast").isNotNull)
+      // two-stage distinct (word,series) → word: partial-aggregates on
+      // both shuffles instead of countDistinct's Expand replication
+      .groupBy(col("word"), col("gtsid")).agg(count(lit(1)).as("__c"))
       .groupBy(col("word"))
-      .agg(countDistinct(col("gtsid")).as("n_series"),
-        count(lit(1)).as("n_occ"))
+      .agg(count(lit(1)).as("n_series"), sum(col("__c")).as("n_occ"))
       .filter(col("n_series") >= minSeries)
   }
 

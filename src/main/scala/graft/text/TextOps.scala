@@ -188,16 +188,17 @@ object TextOps {
     val flags = docs.select(col("doc_id"), isBench.as("__b"))
     val tagged = sh.join(flags, "doc_id")
     val bench = broadcast(tagged.filter(col("__b"))
-      .select(col("shingle")).distinct())
-    val corpus = tagged.filter(!col("__b"))
-    val counts = corpus.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams")) // shingles() already distinct
-    val hits = corpus.join(bench, Seq("shingle"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
-    counts.join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        round(coalesce(col("n_hits"), lit(0L)) / col("n_grams"), 6).as("ratio"))
+      .select(col("shingle")).distinct().withColumn("__hit", lit(1)))
+    // single pass over the corpus shingles: the broadcast LEFT join
+    // marks contaminated shingles, one aggregation counts both totals
+    // (two separate branches would re-explode the corpus twice)
+    tagged.filter(!col("__b"))
+      .join(bench, Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), // shingles() already distinct
+        count(col("__hit")).as("n_hits"))
+      .select(col("doc_id"), col("n_grams"), col("n_hits"),
+        round(col("n_hits") / col("n_grams"), 6).as("ratio"))
   }
 
   /** Within-document repetition quality signals (the Gopher/Rae-style
