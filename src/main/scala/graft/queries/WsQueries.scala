@@ -162,6 +162,18 @@ object WsQueries {
       engine(s, dir, cents = true).runToFrame(program)
         .select(col("class"), userid, col("k"), col("re"), col("im"),
           col("mag"))
+    }),
+
+    // FILLPREVIOUS word ≡ g17 — BUCKETIZE pushes a metadata-carrying
+    // bucketized frame; the fill word reads lastbucket/span from it and
+    // derives the 30-bucket count from the data extent (count 0)
+    "w12_ws_fillprevious" -> ((s, dir) => {
+      val program =
+        s"""[ [ '' '~events\\..*' { } 0 $LB ] FETCH
+           |  bucketizer.sum $LB 1 d 0 ] BUCKETIZE
+           |FILLPREVIOUS""".stripMargin
+      engine(s, dir, cents = true).runToFrame(program)
+        .select(col("class"), userid, col("ts"), col("vdouble").as("filled"))
     })
   )
 
@@ -187,6 +199,7 @@ object WsQueries {
         |FROM (VALUES (2000000, 5.0), (4000000, 25.0), (6000000, 61.0))
         |  v(ts, bsum)""".stripMargin,
     "w10_ws_lowess" -> GtsQueries8.oracleSql("g83_lowess"),
-    "w11_ws_fft" -> GtsQueries8.oracleSql("g81_dft")
+    "w11_ws_fft" -> GtsQueries8.oracleSql("g81_dft"),
+    "w12_ws_fillprevious" -> GtsQueries.oracleSql("g17_fillprevious")
   )
 }

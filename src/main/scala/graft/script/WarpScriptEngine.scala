@@ -306,7 +306,11 @@ final class WarpScriptEngine(
         case AggVal(_, a) => a
         case o => throw new IllegalArgumentException(s"not a bucketizer: $o")
       }
-      st.push(framesOf(args.take(n - 4)).bucketizeAuto(agg, lb, span, count))
+      val bucketed = framesOf(args.take(n - 4)).bucketizeAuto(agg, lb, span, count)
+      // explicit params → carry them for downstream fill words; auto
+      // params → plain frame (metadata was data-derived inside)
+      st.push(if (span > 0 && lb != 0) BucketedFrame(bucketed, lb, span, count)
+        else bucketed)
 
     // MAP (fn/MAP.java): [ gts mapper pre post occurrences ]; negative
     // pre/post = time span, positive = tick count (GTSHelper.java:6440)
@@ -362,6 +366,24 @@ final class WarpScriptEngine(
       st.push(GtsFrame(out))
 
     // structural frame words — direct GtsFrame methods
+    // fill words (fn/FILLPREVIOUS.java etc.): operate on a BUCKETIZE
+    // result, bucket params read from the carried metadata
+    case "FILLPREVIOUS" =>
+      val b = toBucketed(st.pop())
+      st.push(GtsFrame(b.frame.fillPrevious(b.lastbucket, b.span, b.count)))
+    case "FILLNEXT" =>
+      val b = toBucketed(st.pop())
+      st.push(GtsFrame(b.frame.fillNext(b.lastbucket, b.span, b.count)))
+    case "FILLVALUE" => // [ lat lon elev value ] list form; value used
+      val v = st.pop() match {
+        case l: Vector[_] => asNum(l.last)
+        case n => asNum(n)
+      }
+      val b = toBucketed(st.pop())
+      st.push(GtsFrame(b.frame.fillValue(b.lastbucket, b.span, b.count, v)))
+    case "INTERPOLATE" =>
+      val b = toBucketed(st.pop())
+      st.push(GtsFrame(b.frame.fillLinear(b.lastbucket, b.span, b.count)))
     case "DEDUP" => st.push(toFrame(st.pop()).dedup())
     case "COMPACT" => st.push(toFrame(st.pop()).compact())
     case "NORMALIZE0" | "ISONORMALIZE" => st.push(toFrame(st.pop()).normalize())
@@ -541,6 +563,12 @@ final class WarpScriptEngine(
     case o => throw new IllegalArgumentException(s"expected LONG, got $o")
   }
 
+  private def asNum(v: Any): Double = v match {
+    case d: Double => d
+    case l: Long => l.toDouble
+    case o => throw new IllegalArgumentException(s"expected number, got $o")
+  }
+
   private def flatten(v: Vector[Any]): Vector[Any] = v.flatMap {
     case inner: Vector[_] => flatten(inner.asInstanceOf[Vector[Any]])
     case x => Vector(x)
@@ -548,9 +576,26 @@ final class WarpScriptEngine(
 
   private def toFrame(v: Any): GtsFrame = v match {
     case f: GtsFrame => f
+    case BucketedFrame(f, _, _, _) => f
     case b: GtsBuilder => materialize(b)
     case l: Vector[_] => framesOf(l)
     case o => throw new IllegalArgumentException(s"not a GTS frame: $o")
+  }
+
+  /** Bucket metadata for fill words; derives the count from the data
+    * extent when BUCKETIZE was called with count 0 (the reference keeps
+    * bucketcount on the bucketized GTS itself — GTSHelper.java bucket
+    * fields). One tiny driver-side agg, same as bucketizeAuto. */
+  private def toBucketed(v: Any): BucketedFrame = v match {
+    case b @ BucketedFrame(f, lb, span, count) =>
+      if (count > 0) b
+      else {
+        val ft = f.df.agg(org.apache.spark.sql.functions.min(col("ts")))
+          .head().getLong(0)
+        BucketedFrame(f, lb, span, (lb - ft) / span + 1)
+      }
+    case o => throw new IllegalArgumentException(
+      s"fill words need a BUCKETIZE result with explicit span: $o")
   }
 
   /** NEWGTS builder → one-series canonical frame (needs the session
@@ -573,6 +618,7 @@ final class WarpScriptEngine(
   private def framesOf(items: Seq[Any]): GtsFrame = {
     val frames = items.flatMap {
       case f: GtsFrame => Seq(f)
+      case BucketedFrame(f, _, _, _) => Seq(f)
       case b: GtsBuilder => Seq(materialize(b))
       case l: Vector[_] => Seq(framesOf(l))
       case o => throw new IllegalArgumentException(s"not a GTS frame: $o")
@@ -595,6 +641,12 @@ object WarpScriptEngine {
     * frame when first consumed by a frame word. */
   final case class GtsBuilder(cls: String, labels: Map[String, String],
       points: Vector[(Long, Option[(Double, Double)], Option[Long], Double)])
+
+  /** A BUCKETIZE result carrying its bucket parameters — the reference
+    * stores lastbucket/bucketspan/bucketcount on the GTS itself and the
+    * fill words read them from there (fn/FILLPREVIOUS.java). */
+  final case class BucketedFrame(frame: GtsFrame, lastbucket: Long,
+      span: Long, count: Long)
 
   /** Named aggregator usable as bucketizer/windowed-mapper/reducer —
     * the three families share implementations, as in the reference

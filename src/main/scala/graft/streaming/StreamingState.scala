@@ -38,4 +38,40 @@ object StreamingState {
           out.iterator
         })
   }
+
+  final case class SessionState(lastTs: Long, session: Long)
+  final case class SessionOut(gtsid: Long, ts: Long, vdouble: Double,
+      session: Long)
+
+  /** Streaming TIMESPLIT (fn/TIMESPLIT.java semantics): per series,
+    * assign a new session id whenever the gap to the previous tick
+    * exceeds `quiet` µs — the batch GtsFrame.timesplit gap-cumsum, with
+    * the (lastTs, session) carry in stream state so sessions continue
+    * across micro-batches. Assumes per-key event-time ordered arrival
+    * across batches (guard upstream with a watermark + sort within the
+    * foreachBatch, as StreamingSpec does); within a batch rows are
+    * sorted here.
+    */
+  def timesplitSessions(points: DataFrame, quiet: Long): Dataset[SessionOut] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points.select(col("gtsid"), col("ts"), col("vdouble"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (gtsid: Long, rows: Iterator[(Long, Long, Double)],
+         state: GroupState[SessionState]) => {
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+          val out = rows.toSeq.sortBy(r => (r._2, r._3)).map { case (_, ts, v) =>
+            val newSession =
+              if (st.lastTs != Long.MinValue && ts - st.lastTs > quiet)
+                st.session + 1
+              else st.session
+            st = SessionState(ts, newSession)
+            SessionOut(gtsid, ts, v, newSession)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
 }

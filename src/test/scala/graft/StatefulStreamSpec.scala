@@ -29,6 +29,44 @@ class StatefulStreamSpec extends SparkSpec {
     assert(got === Seq((1L, 5.0), (2L, 8.0), (3L, 10.0), (4L, 14.0)))
   }
 
+  test("streaming timesplit continues sessions across micro-batches " +
+      "and matches batch timesplit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val pts = StreamingIngest.parseStream(mem.toDF(), 0L)
+      .withColumn("vdouble", coalesce(col("vdouble"), col("vlong").cast("double")))
+    val q = StreamingState.timesplitSessions(pts, quiet = 10L)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    // ticks 1,5 | 8,30,35 — gap>10 only at 8→30, mid-batch-2: the
+    // session must NOT restart at the batch boundary (5→8 gap is 3)
+    mem.addData("1// c{u=a} 1.0", "5// c{u=a} 2.0")
+    q.processAllAvailable()
+    mem.addData("8// c{u=a} 3.0", "30// c{u=a} 4.0", "35// c{u=a} 5.0")
+    q.processAllAvailable()
+    val got = spark.sql("SELECT ts, session FROM sess_out ORDER BY ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    q.stop()
+    assert(got === Seq((1L, 0L), (5L, 0L), (8L, 0L), (30L, 1L), (35L, 1L)))
+    // batch parity: GtsFrame.timesplit on the same points yields the
+    // same grouping (its session numbering also gap-cumsums from 0)
+    val batch = graft.operators.GtsFrame(gtsOf(
+        ("c", "a", 1L, 1.0), ("c", "a", 5L, 2.0), ("c", "a", 8L, 3.0),
+        ("c", "a", 30L, 4.0), ("c", "a", 35L, 5.0)))
+      .timesplit(10L)
+    val sessCol = batch.columns.find(_.contains("session"))
+      .orElse(batch.columns.find(_ == "split")).getOrElse("session")
+    val bm = batch.select(col("ts"), col(sessCol).cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val streamed = got.toMap
+    // same partition of ticks into sessions (ids may be offset)
+    val pairs = got.map(_._1).combinations(2).map { case Seq(a, b) =>
+      (streamed(a) == streamed(b)) == (bm(a) == bm(b))
+    }
+    assert(pairs.forall(identity))
+  }
+
   test("mvSplit explodes encoder-valued points (fn/MVSPLIT.java)") {
     // a carrier point whose BINARY value is an encoded sub-stream
     val sub = GtsCodec.encode(Seq(
