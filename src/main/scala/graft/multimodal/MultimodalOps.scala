@@ -18,6 +18,12 @@ import org.apache.spark.sql.types._
   */
 object MultimodalOps {
 
+  // ImageIO's default stream cache is a TEMP FILE per encode/decode —
+  // thousands of small images become thousands of file creations. The
+  // payloads here are KB-scale, so memory-backed streams are strictly
+  // better. JVM-global, set once per executor at class load.
+  javax.imageio.ImageIO.setUseCache(false)
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("media", BinaryType, nullable = false),

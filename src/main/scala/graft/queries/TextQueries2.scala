@@ -70,7 +70,20 @@ object TextQueries2 {
     // Gopher-style repetition filters: duplicate-bigram fraction and
     // top-word share per doc (exact counts, two rounded divisions)
     "t17_repetition" -> ((s, dir) =>
-      TextOps.repetitionScore(docs(s, dir), "text"))
+      TextOps.repetitionScore(docs(s, dir), "text")),
+
+    // Dedup clustering: connected components over the full SimHash
+    // near-dup graph (banded exact index → pairs → iterative min-label
+    // propagation); cluster = min reachable doc_id, the keep-first
+    // dedup survivor policy
+    "t18_dedup_clusters" -> ((s, dir) => {
+      val sig = simhash(docs(s, dir), "text")
+      // hdist ≤ 2 = near-identical (the dedup regime); looser radii on
+      // this homogeneous synthetic corpus connect a third of all pairs
+      val edges = TextOps.simhashNearDupBanded(sig, SimhashBits, 2)
+        .select(col("ida").as("src"), col("idb").as("dst"))
+      graft.text.DedupClusters.connectedComponents(edges)
+    })
   )
 
   // ---- oracle SQL (shared CTE prefix for shingle hashing) ----
@@ -219,6 +232,26 @@ object TextQueries2 {
          |SELECT b.doc_id, n_words,
          |  round(1.0E0 - n_distinct / n_bigrams, 6) AS rep2,
          |  round(top_c / n_words, 6) AS top_frac
-         |FROM b JOIN t ON b.doc_id = t.doc_id""".stripMargin
+         |FROM b JOIN t ON b.doc_id = t.doc_id""".stripMargin,
+
+    // transitive closure replay of the min-label fixpoint: cluster =
+    // min doc_id reachable over the symmetric near-dup edge set
+    "t18_dedup_clusters" ->
+      s"""WITH RECURSIVE wd AS (
+         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+         |  FROM documents),
+         |hh AS (SELECT doc_id, ('0x' || substring(md5(w),1,15))::BIGINT AS h60 FROM wd),
+         |v AS (SELECT doc_id, $simhashVotes FROM hh GROUP BY 1),
+         |sg AS (SELECT doc_id, CAST($simhashAssemble AS BIGINT) AS simhash FROM v),
+         |edges AS (SELECT a.doc_id AS src, b.doc_id AS dst
+         |          FROM sg a JOIN sg b ON a.doc_id <> b.doc_id
+         |          WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, node) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.id, e.dst FROM reach r JOIN edges e ON r.node = e.src
+         |)
+         |SELECT id AS doc_id, min(node) AS cluster FROM reach GROUP BY 1""".stripMargin
   )
 }

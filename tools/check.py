@@ -20,7 +20,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def run_verify():
     r = subprocess.run(
-        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        ["sbt", "-batch",
+         f'runMain graft.Verify {SF} {OUT} {" ".join(ONLY)}'.strip()],
         capture_output=True, text=True, cwd="/root/repo")
     for line in r.stderr.splitlines():
         if "[verify]" in line:
