@@ -72,17 +72,43 @@ object TextQueries2 {
     "t17_repetition" -> ((s, dir) =>
       TextOps.repetitionScore(docs(s, dir), "text")),
 
-    // Dedup clustering: connected components over the full SimHash
-    // near-dup graph (banded exact index → pairs → iterative min-label
-    // propagation); cluster = min reachable doc_id, the keep-first
-    // dedup survivor policy
+    // Dedup clustering: connected components over the VERIFIED near-dup
+    // graph — exact n-gram Jaccard ≥ 0.5 pairs (the post-LSH verify
+    // stage; this corpus's planted dups sit at ≥0.8 with nothing in
+    // (0.3, 0.8), so the threshold is robust cross-engine) → iterative
+    // min-label propagation; cluster = min reachable doc_id, the
+    // keep-first dedup survivor policy. SimHash radii were the wrong
+    // edge source here: the shared small vocabulary saturates majority
+    // votes and hdist ≤ 2 connected 9% of ALL pairs at sf0.1.
     "t18_dedup_clusters" -> ((s, dir) => {
-      val sig = simhash(docs(s, dir), "text")
-      // hdist ≤ 2 = near-identical (the dedup regime); looser radii on
-      // this homogeneous synthetic corpus connect a third of all pairs
-      val edges = TextOps.simhashNearDupBanded(sig, SimhashBits, 2)
+      val edges = ngramJaccardPairs(docs(s, dir), "text", 3, 2L)
+        .filter(col("jaccard") >= 0.5)
         .select(col("ida").as("src"), col("idb").as("dst"))
       graft.text.DedupClusters.connectedComponents(edges)
+    }),
+
+    // End-to-end dedup MATERIALIZATION: drop every non-canonical cluster
+    // member (keep-first policy), report per-source kept/total docs and
+    // chars — the corpus-composition delta a training pipeline logs
+    // after its dedup pass. The drop set is tiny relative to the corpus
+    // → broadcast anti-join, one scan of documents.
+    "t19_dedup_survivors" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val edges = ngramJaccardPairs(d, "text", 3, 2L)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("ida").as("src"), col("idb").as("dst"))
+      val cc = graft.text.DedupClusters.connectedComponents(edges)
+      val drops = cc.filter(col("doc_id") =!= col("cluster")).select("doc_id")
+      val kept = d.join(broadcast(drops), Seq("doc_id"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_survivors"), sum(col("n_chars")).as("chars_kept"))
+      val total = d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_total"))
+      total.join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_survivors"), lit(0L)).as("n_survivors"),
+          col("chars_total"),
+          coalesce(col("chars_kept"), lit(0L)).as("chars_kept"))
     })
   )
 
@@ -235,23 +261,48 @@ object TextQueries2 {
          |FROM b JOIN t ON b.doc_id = t.doc_id""".stripMargin,
 
     // transitive closure replay of the min-label fixpoint: cluster =
-    // min doc_id reachable over the symmetric near-dup edge set
+    // min doc_id reachable over the symmetric verified-Jaccard edge set
     "t18_dedup_clusters" ->
-      s"""WITH RECURSIVE wd AS (
-         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
-         |  FROM documents),
-         |hh AS (SELECT doc_id, ('0x' || substring(md5(w),1,15))::BIGINT AS h60 FROM wd),
-         |v AS (SELECT doc_id, $simhashVotes FROM hh GROUP BY 1),
-         |sg AS (SELECT doc_id, CAST($simhashAssemble AS BIGINT) AS simhash FROM v),
-         |edges AS (SELECT a.doc_id AS src, b.doc_id AS dst
-         |          FROM sg a JOIN sg b ON a.doc_id <> b.doc_id
-         |          WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
-         |nodes AS (SELECT DISTINCT src AS id FROM edges),
-         |reach(id, node) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT r.id, e.dst FROM reach r JOIN edges e ON r.node = e.src
-         |)
-         |SELECT id AS doc_id, min(node) AS cluster FROM reach GROUP BY 1""".stripMargin
+      s"""WITH RECURSIVE $SH,
+         |$jaccardEdgesDef
+         |SELECT id AS doc_id, min(node) AS cluster FROM reach GROUP BY 1""".stripMargin,
+
+    "t19_dedup_survivors" ->
+      s"""WITH RECURSIVE $SH,
+         |$jaccardEdgesDef,
+         |cc AS (SELECT id, min(node) AS cluster FROM reach GROUP BY 1),
+         |drops AS (SELECT id AS doc_id FROM cc WHERE id <> cluster),
+         |kept AS (SELECT source, count(*) AS n_survivors,
+         |           CAST(sum(n_chars) AS BIGINT) AS chars_kept
+         |         FROM documents
+         |         WHERE doc_id NOT IN (SELECT doc_id FROM drops) GROUP BY 1),
+         |tot AS (SELECT source, count(*) AS n_docs,
+         |          CAST(sum(n_chars) AS BIGINT) AS chars_total
+         |        FROM documents GROUP BY 1)
+         |SELECT tot.source, n_docs, coalesce(n_survivors, 0) AS n_survivors,
+         |       chars_total, coalesce(chars_kept, 0) AS chars_kept
+         |FROM tot LEFT JOIN kept ON tot.source = kept.source""".stripMargin
   )
+
+  /** Verified near-dup edge set + its transitive closure, shared by the
+    * t18/t19 oracles: exact 3-gram Jaccard ≥ 0.5 pairs (≥2 shared
+    * shingle hashes), symmetrized, then reachability via recursive CTE.
+    * Assumes the `$SH` CTE prefix (w/gr/sh/hh) is already in scope. */
+  private def jaccardEdgesDef: String =
+    """sz AS (SELECT doc_id, count(*) AS nsh FROM hh GROUP BY 1),
+      |io AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter
+      |       FROM hh a JOIN hh b ON a.h60 = b.h60 AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2 HAVING count(*) >= 2),
+      |je AS (SELECT ida, idb FROM io
+      |       JOIN sz sa ON io.ida = sa.doc_id
+      |       JOIN sz sb ON io.idb = sb.doc_id
+      |       WHERE CAST(io.inter AS DOUBLE) / (sa.nsh + sb.nsh - io.inter) >= 0.5),
+      |edges AS (SELECT ida AS src, idb AS dst FROM je
+      |          UNION ALL SELECT idb, ida FROM je),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach(id, node) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT r.id, e.dst FROM reach r JOIN edges e ON r.node = e.src
+      |)""".stripMargin
 }

@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Connected components over a near-duplicate pair graph — the step
   * that turns pairwise matches (MinHash/SimHash verify output) into
@@ -31,13 +32,26 @@ object DedupClusters {
   /** `edges`: (src, dst) undirected pairs. Returns (doc_id, cluster)
     * for every endpoint, cluster = min doc_id reachable. */
   def connectedComponents(edges: DataFrame, maxIters: Int = 30): DataFrame = {
+    // both directions; the input's (ida < idb) pairs and their flips are
+    // disjoint, so no distinct is needed (it would be a full extra shuffle)
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
       .localCheckpoint(true)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    // seed with the 1-hop minimum instead of the identity: near-dup
+    // components are overwhelmingly cliques/stars, where min(id,
+    // neighbors) is ALREADY the fixpoint — typical runs then need one
+    // confirming round instead of two propagation rounds
+    var labels = sym.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("__m"))
+      .select(col("id"), least(col("id"), col("__m")).as("lbl"))
       .localCheckpoint(true)
+    // labels only ever decrease, so the (exact, overflow-proof) decimal
+    // label sum is strictly monotone: unchanged sum == converged. One
+    // cheap agg over the just-checkpointed frame replaces a
+    // join-and-compare against the previous round.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast(DecimalType(38, 0)))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -48,10 +62,10 @@ object DedupClusters {
       val next = labels.join(viaEdges, Seq("id"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("elbl"), col("lbl"))).as("lbl"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .filter(col("lbl") =!= col("old")).limit(1).count()
+      val newSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       it += 1
     }
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))

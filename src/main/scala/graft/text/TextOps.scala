@@ -28,6 +28,17 @@ object TextOps {
   def hexHash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
+  /** Spread a per-document CPU-heavy transform across the cluster: a
+    * small parquet input arrives in one or few splits (128 MB default
+    * split size), which would serialize the downstream explode+hash
+    * work into single-task stages. Hash-partitioning on doc_id costs a
+    * tiny text shuffle and buys full-core parallelism; at real corpus
+    * scale the scan already has thousands of splits and this is a no-op
+    * cost-wise (same key, no skew). */
+  private def spread(docs: DataFrame): DataFrame =
+    docs.repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+      col("doc_id"))
+
   /** Distinct word n-gram shingles per doc: (doc_id, shingle). Docs with
     * fewer than n words are dropped (no shingle exists). */
   def shingles(docs: DataFrame, textCol: String, n: Int): DataFrame = {
@@ -35,7 +46,7 @@ object TextOps {
     val cnt = size(words)
     val grams = transform(sequence(lit(0), cnt - n),
       i => concat_ws(" ", (0 until n).map(k => element_at(words, i + k + 1)): _*))
-    docs.filter(cnt >= n)
+    spread(docs).filter(cnt >= n)
       .select(col("doc_id"), explode(array_distinct(grams)).as("shingle"))
   }
 
@@ -92,8 +103,15 @@ object TextOps {
     * HASH, not the shingle text. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, n: Int,
                         minIntersect: Long): DataFrame = {
+    // three consumers (sizes + both self-join sides) would otherwise
+    // re-run the explode+md5 scan three times — lazy persist doesn't
+    // help because AQE materializes their query stages CONCURRENTLY and
+    // each races to compute the uncached subtree. Eager localCheckpoint
+    // runs the scan exactly once up front (hashes are ~1/20th of the
+    // text); consumers then read materialized blocks.
     val sh = shingles(docs, textCol, n)
       .select(col("doc_id"), hexHash60(col("shingle")).as("h"))
+      .localCheckpoint(true)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val inter = sh.select(col("doc_id").as("ida"), col("h"))
       .join(sh.select(col("doc_id").as("idb"), col("h")), "h")
@@ -114,7 +132,7 @@ object TextOps {
     * ±1 votes of each word-hash's bit, take the sign. One groupBy with
     * 32 conditional sums — fully codegen'd, no UDF. */
   def simhash(docs: DataFrame, textCol: String): DataFrame = {
-    val words = docs.select(col("doc_id"),
+    val words = spread(docs).select(col("doc_id"),
       explode(array_distinct(split(col(textCol), " "))).as("w"))
       .select(col("doc_id"), hexHash60(col("w")).as("h60"))
     val h = col("h60")
