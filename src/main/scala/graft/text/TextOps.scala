@@ -35,7 +35,7 @@ object TextOps {
     * tiny text shuffle and buys full-core parallelism; at real corpus
     * scale the scan already has thousands of splits and this is a no-op
     * cost-wise (same key, no skew). */
-  private def spread(docs: DataFrame): DataFrame =
+  private[text] def spread(docs: DataFrame): DataFrame =
     docs.repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
       col("doc_id"))
 
