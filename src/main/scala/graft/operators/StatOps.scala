@@ -72,69 +72,61 @@ object StatOps {
     * critical value λ_N = (N−1)·t/√((N−2+t²)·N),
     * t = TDist(N−2).invCDF(1 − α/(2N)).
     *
-    * Implementation is k UNROLLED exact-sum rounds (k is small by
-    * definition of the test): each round's stats derive from the
-    * previous round's by subtracting the removed value — exact integer
-    * arithmetic — and the argmax selection key |N·x − Σx| is an exact
-    * integer, so the removal sequence is engine-independent (ties:
-    * smallest ts then value; the reference's tie order depends on its
-    * internal swap history and is unspecified). The t-quantile λs are
+    * Runs as a PER-SERIES KERNEL (one shuffle on gtsid, k rounds in
+    * memory per series — the reference's own shape, one GTS per
+    * thread): a declarative k-round unrolling is expressible but costs
+    * ~6 shuffles × k rounds of scheduler latency for zero parallelism
+    * gain, since every round is sequentially dependent. Determinism:
+    * inputs are exact integer cents, so Σx/Σx² are exact in any order;
+    * the selection key |N·x − Σx| is an exact integer (ties: smallest
+    * ts, then value — the reference's tie order depends on its internal
+    * swap history and is unspecified); z reproduces the oracle's
+    * expression tree ((a/n)/√((Σx²−(Σx)²/n)/(n−1))) so the final
+    * IEEE-rounded doubles are bit-identical. The t-quantile λs are
     * driver-computed literals per N (shared with the oracle SQL).
     * Returns flagged rows (gtsid, ts, vdouble, round).
     */
   def esdFlag(frame: GtsFrame, k: Int = 3, alpha: Double = 0.05,
               maxN: Int = 64): DataFrame = {
     val spark = frame.df.sparkSession
-    import org.apache.spark.sql.DataFrame
-    val pts = frame.df.select(col("gtsid"), col("ts"), col("vdouble").as("v"))
-    val lam = lambdaCase(alpha, maxN)
-    var stats = pts.groupBy(col("gtsid")).agg(
-      count(lit(1)).cast("double").as("n"),
-      sum(col("v")).as("sx"), sum(col("v") * col("v")).as("sxx"))
-    var remaining = pts
-    var rounds = List.empty[DataFrame]
-    for (r <- 1 to k) {
-      // `remaining` has two consumers here (candidate scoring + next
-      // anti-join) — cheap lineage, recompute beats a persist barrier;
-      // contrast esdMadFlag where four consumers justify caching
-      val cand = remaining.join(broadcast(stats), "gtsid")
-        .withColumn("a", abs(col("n") * col("v") - col("sx")))
-      val pick = cand.filter(col("n") >= 3 &&
-          col("n") * col("sxx") - col("sx") * col("sx") > 0)
-        .groupBy(col("gtsid"))
-        .agg(max(struct(col("a"), (-col("ts")).as("mts"), (-col("v")).as("mv"),
-          col("ts"), col("v"))).as("p"),
-          first(col("n")).as("n"), first(col("sx")).as("sx"),
-          first(col("sxx")).as("sxx"))
-        .select(col("gtsid"), col("p.ts").as("ts"), col("p.v").as("v"),
-          col("n"), col("sx"), col("sxx"),
-          // z = (|Nx−Σx|/N) / √((Σx²−(Σx)²/N)/(N−1)) — sample sd
-          ((col("p.a") / col("n")) /
-            sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
-              (col("n") - 1.0))).as("z"),
-          lit(r).as("round"))
-        .withColumn("passed", col("z") > lam(col("n")))
-        // tiny (one row per series) but consumed by three paths
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      rounds ::= pick.select(col("gtsid"), col("ts"), col("v"),
-        col("round"), col("passed"))
-      remaining = remaining.join(pick.select(col("gtsid").as("__rg"),
-          col("ts").as("__rts"), col("v").as("__rv")),
-        remaining("gtsid") === col("__rg") && remaining("ts") === col("__rts") &&
-          remaining("v") === col("__rv"), "left_anti")
-      stats = stats.join(pick.select(col("gtsid"), col("v").as("__rv")),
-          Seq("gtsid"), "left")
-        .select(col("gtsid"),
-          when(col("__rv").isNotNull, col("n") - 1.0).otherwise(col("n")).as("n"),
-          when(col("__rv").isNotNull, col("sx") - col("__rv")).otherwise(col("sx")).as("sx"),
-          when(col("__rv").isNotNull, col("sxx") - col("__rv") * col("__rv"))
-            .otherwise(col("sxx")).as("sxx"))
-    }
-    val all = rounds.reduce(_ unionByName _)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gtsid"))
-    all.withColumn("__last", max(when(col("passed"), col("round"))).over(w))
-      .filter(col("round") <= col("__last"))
-      .select(col("gtsid"), col("ts"), col("v").as("vdouble"), col("round"))
+    import spark.implicits._
+    val lams = lambdas(alpha, maxN)
+    frame.df.select(col("gtsid"), col("ts"), col("vdouble"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (id: Long, it: Iterator[(Long, Long, Double)]) =>
+        val remaining = scala.collection.mutable.ArrayBuffer.from(
+          it.map(t => (t._2, t._3)))
+        var n = remaining.length.toDouble
+        var sx = 0.0; var sxx = 0.0
+        remaining.foreach { case (_, v) => sx += v; sxx += v * v }
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Double, Int, Boolean)]
+        var r = 1
+        while (r <= k) {
+          if (n >= 3 && n * sxx - sx * sx > 0) {
+            var bi = -1; var ba = 0.0; var bts = 0L; var bv = 0.0
+            var i = 0
+            while (i < remaining.length) {
+              val (ts, v) = remaining(i)
+              val a = math.abs(n * v - sx)
+              if (bi < 0 || a > ba || (a == ba &&
+                  (ts < bts || (ts == bts && v < bv)))) {
+                bi = i; ba = a; bts = ts; bv = v
+              }
+              i += 1
+            }
+            val z = (ba / n) / math.sqrt((sxx - sx * sx / n) / (n - 1.0))
+            out += ((id, bts, bv, r, z > lams.getOrElse(n.toInt, Double.MaxValue)))
+            remaining.remove(bi)
+            n -= 1.0; sx -= bv; sxx -= bv * bv
+          }
+          r += 1
+        }
+        val last = out.collect { case o if o._5 => o._4 }.maxOption.getOrElse(0)
+        out.iterator.filter(_._4 <= last).map(o => (o._1, o._2, o._3, o._4))
+      }
+      .toDF("gtsid", "ts", "vdouble", "round")
   }
 
   /** ESD, median/MAD variant (GTSOutliersHelper.ESDTest useMedian=true):
@@ -144,55 +136,64 @@ object StatOps {
     * against the same t-quantile criticals. Selection key |x − med| is
     * exact, so the removal sequence is deterministic. mad == 0 stops
     * the series (the reference falls back to the sd estimate there —
-    * divergence documented). Medians cannot be updated incrementally,
-    * so each round recomputes them from the surviving rows (k tiny).
+    * divergence documented). Same per-series kernel shape as [[esdFlag]];
+    * medians cannot be updated incrementally, so each round re-sorts the
+    * survivors (k and the per-series N are both small by contract).
     */
   def esdMadFlag(frame: GtsFrame, k: Int = 3, alpha: Double = 0.05,
                  maxN: Int = 64): DataFrame = {
-    import org.apache.spark.sql.DataFrame
-    val pts = frame.df.select(col("gtsid"), col("ts"), col("vdouble").as("v"))
-    val lam = lambdaCase(alpha, maxN)
-    var remaining = pts
-    var rounds = List.empty[DataFrame]
-    for (r <- 1 to k) {
-      // see esdFlag: four consumers per round (median agg, MAD join,
-      // candidate scoring, anti-join) — persist or re-execute ~4^k times
-      remaining = remaining
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val stats = remaining.groupBy(col("gtsid")).agg(
-        count(lit(1)).cast("double").as("n"),
-        percentile(col("v"), lit(0.5)).as("med"))
-      val mads = remaining.join(broadcast(stats), "gtsid")
-        .groupBy(col("gtsid"))
-        .agg(percentile(abs(col("v") - col("med")), lit(0.5)).as("mad"))
-      val pick = remaining.join(broadcast(stats), "gtsid")
-        .join(broadcast(mads), "gtsid")
-        .filter(col("n") >= 3 && col("mad") > 0)
-        .withColumn("a", abs(col("v") - col("med")))
-        .groupBy(col("gtsid"))
-        .agg(max(struct(col("a"), (-col("ts")).as("mts"), (-col("v")).as("mv"),
-          col("ts"), col("v"))).as("p"),
-          first(col("n")).as("n"), first(col("med")).as("med"),
-          first(col("mad")).as("mad"))
-        .select(col("gtsid"), col("p.ts").as("ts"), col("p.v").as("v"), col("n"),
-          abs(lit(0.6745) * (col("p.v") - col("med")) / col("mad")).as("z"),
-          lit(r).as("round"))
-        .withColumn("passed", col("z") > lam(col("n")))
-        // tiny (one row per series) but consumed by three paths
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      rounds ::= pick.select(col("gtsid"), col("ts"), col("v"),
-        col("round"), col("passed"))
-      remaining = remaining.join(pick.select(col("gtsid").as("__rg"),
-          col("ts").as("__rts"), col("v").as("__rv")),
-        remaining("gtsid") === col("__rg") && remaining("ts") === col("__rts") &&
-          remaining("v") === col("__rv"), "left_anti")
+    val spark = frame.df.sparkSession
+    import spark.implicits._
+    val lams = lambdas(alpha, maxN)
+    // exact-interpolation percentile p=0.5 over a SORTED array — the
+    // same lower + (higher−lower)·frac form Spark's Percentile uses;
+    // exact for integer/dyadic inputs, so bit-identical to the oracle
+    def median(sorted: scala.collection.Seq[Double]): Double = {
+      val pos = 0.5 * (sorted.length - 1)
+      val lo = pos.toInt
+      if (lo == pos) sorted(lo)
+      else sorted(lo) + (sorted(lo + 1) - sorted(lo)) * (pos - lo)
     }
-    val all = rounds.reduce(_ unionByName _)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gtsid"))
-    all.withColumn("__last", max(when(col("passed"), col("round"))).over(w))
-      .filter(col("round") <= col("__last"))
-      .select(col("gtsid"), col("ts"), col("v").as("vdouble"), col("round"))
+    frame.df.select(col("gtsid"), col("ts"), col("vdouble"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (id: Long, it: Iterator[(Long, Long, Double)]) =>
+        val remaining = scala.collection.mutable.ArrayBuffer.from(
+          it.map(t => (t._2, t._3)))
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Double, Int, Boolean)]
+        var r = 1
+        while (r <= k) {
+          val n = remaining.length.toDouble
+          if (n >= 3) {
+            val med = median(remaining.map(_._2).sorted)
+            val mad = median(remaining.map(p => math.abs(p._2 - med)).sorted)
+            if (mad > 0) {
+              var bi = -1; var ba = 0.0; var bts = 0L; var bv = 0.0
+              var i = 0
+              while (i < remaining.length) {
+                val (ts, v) = remaining(i)
+                val a = math.abs(v - med)
+                if (bi < 0 || a > ba || (a == ba &&
+                    (ts < bts || (ts == bts && v < bv)))) {
+                  bi = i; ba = a; bts = ts; bv = v
+                }
+                i += 1
+              }
+              val z = math.abs(0.6745 * (bv - med) / mad)
+              out += ((id, bts, bv, r,
+                z > lams.getOrElse(n.toInt, Double.MaxValue)))
+              remaining.remove(bi)
+            }
+          }
+          r += 1
+        }
+        val last = out.collect { case o if o._5 => o._4 }.maxOption.getOrElse(0)
+        out.iterator.filter(_._4 <= last).map(o => (o._1, o._2, o._3, o._4))
+      }
+      .toDF("gtsid", "ts", "vdouble", "round")
   }
+
 
   /** λ critical values per N as a CASE column (and SQL text via
     * [[lambdaSqlCase]]) — commons-math3 t-quantiles, driver-computed. */
@@ -202,14 +203,6 @@ object StatOps {
         .inverseCumulativeProbability(1.0 - alpha / (2.0 * n))
       n -> (n - 1) * t / math.sqrt((n - 2 + t * t) * n)
     }.toMap
-
-  private def lambdaCase(alpha: Double, maxN: Int): Column => Column = {
-    val m = lambdas(alpha, maxN)
-    n => m.foldLeft(lit(Double.MaxValue)) { case (acc, (nn, l)) =>
-      when(n === nn.toDouble, lit(l)).otherwise(acc)
-    }
-  }
-
   /** The same λ table as DuckDB CASE text over a column expression. */
   def lambdaSqlCase(alpha: Double, maxN: Int, nExpr: String): String =
     lambdas(alpha, maxN).toSeq.sortBy(_._1).map { case (n, l) =>

@@ -84,4 +84,34 @@ class StatefulStreamSpec extends SparkSpec {
     assert(out.filter(col("ts") === 10L && col("vdouble") === 1.5).count() === 1)
     assert(out.filter(col("vtype") === GtsType.BINARY).count() === 0)
   }
+  test("streaming dedup keeps the first occurrence of each digest " +
+      "across batches and matches the batch dedup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+      .withColumn("digest", md5(col("text")))
+    val q = graft.streaming.StreamingDedup.firstSeen(docs)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    // batch 1: doc 7 and 3 share content -> min id 3 survives
+    mem.addData((7L, "same text"), (3L, "same text"), (1L, "unique a"))
+    q.processAllAvailable()
+    // batch 2: doc 9 repeats batch-1 content -> dropped; 5 is new
+    mem.addData((9L, "same text"), (5L, "unique b"))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT doc_id FROM dedup_out ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    q.stop()
+    assert(got === Seq(1L, 3L, 5L))
+    // batch parity: groupBy(digest).min(doc_id) over the union of all
+    // batches picks the same survivors
+    val all = Seq((7L, "same text"), (3L, "same text"), (1L, "unique a"),
+      (9L, "same text"), (5L, "unique b")).toDF("doc_id", "text")
+      .withColumn("digest", md5(col("text")))
+    val batch = all.groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(batch.toSeq === got)
+  }
+
 }
