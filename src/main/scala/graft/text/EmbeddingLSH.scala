@@ -27,32 +27,35 @@ object EmbeddingLSH {
   }
 
   /** Signature bucket id: bit j = sign of v · hyperplane_j. Input is
-    * the scaled-integer embedding array (see TextQueries). */
-  def bucketCol(v: Column): Column = {
-    val bits = (0 until Bits).map { j =>
-      val dot = (0 until Dims).map { d =>
-        element_at(v, d + 1) * weight(j, d)
-      }.reduce(_ + _)
-      when(dot > 0, lit(1L << j)).otherwise(0L)
-    }
-    bits.reduce(_ + _)
-  }
+    * the scaled-integer embedding array (see TextQueries). Delegates to
+    * the folded form — the unrolled Bits·Dims scalar expression's
+    * codegen cost grows superlinearly with plane count (see
+    * [[bucketColAt]]); operands are exact integers, so the two
+    * summation orders produce identical values. */
+  def bucketCol(v: Column): Column = bucketColAt(v, 0, Bits)
 
   /** Scaled exact-integer embedding (bit-reproducible sums). */
   def scaled(embedding: Column): Column =
     transform(embedding, x => round(x.cast(DoubleType) * 1000))
 
-  /** Per-vector LSH bucket assignment. */
+  /** Per-vector LSH bucket assignment. The signature is CPU-heavy per
+    * row (Bits·Dims multiply-adds), so spread the (possibly single-
+    * split) input across cores first. */
   def buckets(embs: DataFrame): DataFrame =
-    embs.select(col("vec_id"), scaled(col("embedding")).as("v"))
+    TextOps.spreadBy(embs, "vec_id")
+      .select(col("vec_id"), scaled(col("embedding")).as("v"))
       .withColumn("bucket", bucketCol(col("v")))
 
   /** ANN candidate pairs: same bucket → exact cosine re-rank. The join
     * key is a 12-bit integer — tiny shuffle, no all-pairs stage. */
   def annPairs(embs: DataFrame, minCos: Double): DataFrame = {
+    // both self-join sides consume the signature frame; eager
+    // checkpoint computes the Bits·Dims signature arithmetic once
+    // (AQE runs the consumer stages concurrently — lazy caching races)
     val b = buckets(embs)
       .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x),
         lit(0.0), (acc, x) => acc + x)))
+      .localCheckpoint(true)
     val l = b.select(col("vec_id").as("ida"), col("bucket"),
       col("v").as("va"), col("nrm").as("na"))
     val r = b.select(col("vec_id").as("idb"), col("bucket"),
@@ -91,7 +94,8 @@ object EmbeddingLSH {
   def multiBuckets(embs: DataFrame, bands: Int, bits: Int): DataFrame = {
     val bb = array((0 until bands).map(b =>
       struct(lit(b).as("band"), bucketColAt(col("v"), b * bits, bits).as("bucket"))): _*)
-    embs.select(col("vec_id"), scaled(col("embedding")).as("v"))
+    TextOps.spreadBy(embs, "vec_id")
+      .select(col("vec_id"), scaled(col("embedding")).as("v"))
       .select(col("vec_id"), explode(bb).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
@@ -106,7 +110,8 @@ object EmbeddingLSH {
     */
   def annPairsMulti(embs: DataFrame, minCos: Double,
                     bands: Int, bits: Int): DataFrame = {
-    val k = multiBuckets(embs, bands, bits)
+    // self-joined twice — materialize the bands·bits signature work once
+    val k = multiBuckets(embs, bands, bits).localCheckpoint(true)
     val cand = k.select(col("vec_id").as("ida"), col("band"), col("bucket"))
       .join(k.select(col("vec_id").as("idb"), col("band"), col("bucket")),
         Seq("band", "bucket"))

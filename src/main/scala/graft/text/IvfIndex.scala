@@ -33,7 +33,8 @@ object IvfIndex {
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def vecs(embs: DataFrame): DataFrame =
-    embs.select(col("vec_id"), EmbeddingLSH.scaled(col("embedding")).as("v"))
+    TextOps.spreadBy(embs, "vec_id")
+      .select(col("vec_id"), EmbeddingLSH.scaled(col("embedding")).as("v"))
 
   /** Nearest-centroid assignment; ties break on cid (total order). The
     * per-vector ranking window is over K rows. */
@@ -56,11 +57,17 @@ object IvfIndex {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("c"))
 
-  def centroids(embs: DataFrame): DataFrame = {
-    val vs = vecs(embs)
+  def centroids(embs: DataFrame): DataFrame =
+    centroidsFrom(vecs(embs).localCheckpoint(true))
+
+  /** Lloyd's over an ALREADY-materialized vector frame: each iteration's
+    * centroids chain the full training lineage, and the final centroids
+    * are consumed by both the assign and probe stages — eager
+    * checkpoints (K-row frames) keep any of that from re-running. */
+  private def centroidsFrom(vs: DataFrame): DataFrame = {
     var cents = vs.filter(col("vec_id") < K)
       .select(col("vec_id").cast(IntegerType).as("cid"), col("v").as("c"))
-    for (_ <- 1 to Iters) cents = means(assign(vs, cents))
+    for (_ <- 1 to Iters) cents = means(assign(vs, cents)).localCheckpoint(true)
     cents
   }
 
@@ -68,8 +75,8 @@ object IvfIndex {
     * ranking of those cells' members only. Ranking windows partition
     * by query id — bounded by cell population, never global. */
   def topK(embs: DataFrame, queryPred: Column, probes: Int, k: Int): DataFrame = {
-    val vs = vecs(embs)
-    val cents = centroids(embs)
+    val vs = vecs(embs).localCheckpoint(true)
+    val cents = centroidsFrom(vs)
     val assigned = assign(vs, cents).select(col("vec_id"), col("cid"))
     val queries = vs.filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"))

@@ -35,9 +35,11 @@ object TextOps {
     * tiny text shuffle and buys full-core parallelism; at real corpus
     * scale the scan already has thousands of splits and this is a no-op
     * cost-wise (same key, no skew). */
-  private[text] def spread(docs: DataFrame): DataFrame =
-    docs.repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
-      col("doc_id"))
+  private[text] def spread(docs: DataFrame): DataFrame = spreadBy(docs, "doc_id")
+
+  private[text] def spreadBy(df: DataFrame, key: String): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+      col(key))
 
   /** Distinct word n-gram shingles per doc: (doc_id, shingle). Docs with
     * fewer than n words are dropped (no shingle exists). */
