@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 import graft.text.{LangId, Winnowing}
 
@@ -32,7 +33,43 @@ object TextQueries3 {
     // hashes, window-4 minima, distinct per doc — local-overlap
     // fingerprinting that MinHash's bag-of-shingles can't do
     "t21_winnowing" -> ((s, dir) =>
-      Winnowing.fingerprints(docs(s, dir), "text", 3, 4))
+      Winnowing.fingerprints(docs(s, dir), "text", 3, 4)),
+
+    // Deterministic corpus-mix sampling: per-language acceptance rates
+    // (the up/down-weighting every training mix applies), decided by a
+    // content-free md5 coin on doc_id — reproducible under any
+    // partitioning, no RNG state, trivially auditable. Reports the
+    // per-(lang, source) kept counts the mixing report needs.
+    "t22_sample_mix" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val coin = graft.text.TextOps.hexHash60(col("doc_id").cast("string")) % 100
+      val rate = when(col("lang") === "en", lit(100))
+        .when(col("lang") === "zh", lit(50)).otherwise(lit(25))
+      d.withColumn("__keep", coin < rate)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("__keep"), col("n_chars")).otherwise(0L)).as("chars_kept"))
+    }),
+
+    // Sequence packing (context-window fill): per source, docs in
+    // doc_id order pack greedily-with-splitting into 512-token
+    // windows — pack id = prior-token cumsum div window. One window
+    // cumsum per source; at corpus scale partition further by shard
+    // (source, doc_id div S) — packing is per-shard independent.
+    "t23_pack_sequences" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val toks = (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+        .cast(LongType)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      d.select(col("doc_id"), col("source"), toks.as("n_tokens"))
+        .withColumn("__before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("pack_id", (col("__before") / 512).cast(LongType))
+        .groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -69,6 +106,29 @@ object TextQueries3 {
         |    list_distinct(list_transform(generate_series(1, len(hs) - 3),
         |      i -> list_min(hs[i:i+3]))) AS fps
         |  FROM h)
-        |SELECT doc_id, unnest(fps) AS fp FROM mins""".stripMargin
+        |SELECT doc_id, unnest(fps) AS fp FROM mins""".stripMargin,
+
+    "t22_sample_mix" ->
+      """WITH d AS (SELECT *,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+        |      < (CASE WHEN lang = 'en' THEN 100
+        |              WHEN lang = 'zh' THEN 50 ELSE 25 END) AS keep
+        |  FROM documents)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+        |FROM d GROUP BY 1, 2""".stripMargin,
+
+    "t23_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM t)
+        |SELECT source, before // 512 AS pack_id, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+        |FROM c GROUP BY 1, 2""".stripMargin
   )
 }
