@@ -74,7 +74,61 @@ object GtsQueries8 {
     // words, motif = word present in ≥2 distinct series
     "g84_sax_motifs" -> ((s, dir) =>
       StatOps.saxMotifs(cents(s, dir), win = 4, alphabet = 4, minSeries = 2)
-        .select(col("word"), col("n_series"), col("n_occ")))
+        .select(col("word"), col("n_series"), col("n_occ"))),
+
+    // mapper math tail (script/mapper/MapperPow/Sqrt/ParseDouble,
+    // aggregator/Product): x·x instead of pow(x,2) — libm pow(x,2) is
+    // not guaranteed to be the exact product on every engine; sqrt is
+    // IEEE-correctly-rounded everywhere; parsedouble round-trips the
+    // rendered long; window product runs on small quantized ints (≤11³
+    // per 3-row window — exact)
+    "g85_mapper_tail" -> ((s, dir) => {
+      val f = cents(s, dir).df
+      val x = col("vdouble") / 100.0
+      val q = (floor(col("vdouble") / 1000.0) + 1.0)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("gtsid")).orderBy(col("ts")).rowsBetween(-2, 0)
+      f.select(col("class"), userid, col("ts"),
+          (x * x).as("m_pow2"),
+          sqrt(col("vdouble")).as("m_sqrt"),
+          col("vdouble").cast(LongType).cast(StringType).cast(DoubleType)
+            .as("m_parsedouble"),
+          collect_list(q.cast(LongType)).over(w).as("__qs"))
+        .withColumn("m_product",
+          aggregate(col("__qs"), lit(1L), (acc, v) => acc * v))
+        .drop("__qs")
+    }),
+
+    // geo motion mappers (aggregator/VDist.java, VSpeed, TrueCourse):
+    // elevation = cents meters on the g38 synthetic track; vdist =
+    // per-series total |Δelev| (exact integers), vspeed = Δelev/Δt
+    // rounded 9, truecourse = initial great-circle bearing in [0,360)
+    // rounded 6 (trig ulp noise ~1e-13, far under the boundary)
+    "g86_geo_motion" -> ((s, dir) => {
+      val uid = col("labels").getItem("user").cast(LongType)
+      val f = cents(s, dir).df
+        .withColumn("lat", uid % 120 - 60 + col("vdouble") / 10000.0)
+        .withColumn("lon", (col("ts") % 360) - 180 + col("vdouble") / 10000.0)
+        .withColumn("elev", col("vdouble"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("gtsid")).orderBy(col("ts"))
+      val (plat, plon) = (lag(col("lat"), 1).over(w), lag(col("lon"), 1).over(w))
+      val (pelev, pts) = (lag(col("elev"), 1).over(w), lag(col("ts"), 1).over(w))
+      val toRad = math.Pi / 180.0
+      val dlmb = (col("lon") - plon) * toRad
+      val y = sin(dlmb) * cos(col("lat") * toRad)
+      val xx = cos(plat * toRad) * sin(col("lat") * toRad) -
+        sin(plat * toRad) * cos(col("lat") * toRad) * cos(dlmb)
+      val bearing = (atan2(y, xx) / toRad + 360.0) % 360.0
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("gtsid"))
+      f.select(col("class"), userid, col("ts"),
+          (col("elev") - pelev).as("m_vdelta"),
+          round((col("elev") - pelev) / ((col("ts") - pts) / 1000000.0), 9)
+            .as("m_vspeed"),
+          round(bearing, 6).as("m_truecourse"),
+          sum(abs(col("elev") - pelev)).over(wAll).as("vdist_total"))
+        .filter(col("m_vdelta").isNotNull)
+    })
   )
 
   /** The unrolled 8×8 DTW DP as chained lateral-alias columns: row CTE
@@ -183,6 +237,47 @@ object GtsQueries8 {
          |SELECT word, count(DISTINCT class || '|' || userid) AS n_series,
          |       count(*) AS n_occ
          |FROM w8 GROUP BY 1
-         |HAVING count(DISTINCT class || '|' || userid) >= 2""".stripMargin
+         |HAVING count(DISTINCT class || '|' || userid) >= 2""".stripMargin,
+
+    "g85_mapper_tail" ->
+      s"""WITH g AS ($EV),
+         |q AS (SELECT class, userid, ts, cents,
+         |        CAST(floor(cents / 1000.0) + 1.0 AS BIGINT) AS qv FROM g)
+         |SELECT class, userid, ts,
+         |  (cents / 100.0) * (cents / 100.0) AS m_pow2,
+         |  sqrt(cents) AS m_sqrt,
+         |  CAST(CAST(CAST(cents AS BIGINT) AS VARCHAR) AS DOUBLE) AS m_parsedouble,
+         |  product(qv) OVER (PARTITION BY class, userid ORDER BY ts
+         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS m_product
+         |FROM q""".stripMargin,
+
+    "g86_geo_motion" ->
+      s"""WITH g AS ($EV),
+         |pts AS (SELECT class, userid, ts, cents AS elev,
+         |        (CAST(userid AS BIGINT) % 120) - 60 + cents/10000.0 AS lat,
+         |        (ts % 360) - 180 + cents/10000.0 AS lon
+         |      FROM g),
+         |l AS (SELECT class, userid, ts, lat, lon, elev,
+         |        lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+         |        lag(elev) OVER w AS pelev, lag(ts) OVER w AS pts
+         |      FROM pts WINDOW w AS (PARTITION BY class, userid ORDER BY ts)),
+         |b AS (SELECT class, userid, ts, elev, pelev, pts,
+         |        (atan2(
+         |           sin((lon - plon) * (pi()/180.0)) * cos(lat * (pi()/180.0)),
+         |           cos(plat * (pi()/180.0)) * sin(lat * (pi()/180.0))
+         |             - sin(plat * (pi()/180.0)) * cos(lat * (pi()/180.0))
+         |               * cos((lon - plon) * (pi()/180.0)))
+         |         / (pi()/180.0) + 360.0) % 360.0 AS bearing
+         |      FROM l),
+         |t AS (SELECT class, userid,
+         |        sum(abs(elev - pelev)) AS vdist_total
+         |      FROM b WHERE pelev IS NOT NULL GROUP BY 1, 2)
+         |SELECT b.class, b.userid, b.ts,
+         |  b.elev - b.pelev AS m_vdelta,
+         |  round((b.elev - b.pelev) / ((b.ts - b.pts) / 1000000.0), 9) AS m_vspeed,
+         |  round(b.bearing, 6) AS m_truecourse,
+         |  t.vdist_total
+         |FROM b JOIN t ON b.class = t.class AND b.userid = t.userid
+         |WHERE b.pelev IS NOT NULL""".stripMargin
   )
 }
