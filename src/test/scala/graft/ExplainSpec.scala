@@ -100,4 +100,26 @@ class ExplainSpec extends SparkSpec {
       .select("id", "rank").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
     assert(got == Map(2L -> 1, 3L -> 2, 1L -> 3))
   }
+  test("dedup survivors: the drop-set anti-join broadcasts, never shuffles the corpus") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, s"src${i % 3}", i * 10)).toDF("doc_id", "source", "n_chars")
+    val drops = Seq(2L, 4L).toDF("doc_id")
+    val kept = docs.join(broadcast(drops), Seq("doc_id"), "left_anti")
+    val p = plan(kept)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
+    assert(kept.count() === 48)
+  }
+
+  test("langid classify: profile side broadcasts, no shuffle of the profile") {
+    import spark.implicits._
+    val train = Seq((1L, "aaab", "xx"), (2L, "bbba", "yy")).toDF("doc_id", "text", "lang")
+    val prof = graft.text.LangId.profile(train, "text", "lang", 10)
+    val docs = Seq((9L, "aaab")).toDF("doc_id", "text")
+    val res = graft.text.LangId.classify(docs, "text", prof)
+    val p = plan(res)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(res.count() >= 1)
+  }
+
 }
