@@ -174,6 +174,27 @@ object WsQueries {
            |FILLPREVIOUS""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
         .select(col("class"), userid, col("ts"), col("vdouble").as("filled"))
+    }),
+
+    // SINGLEEXPONENTIALSMOOTHING word ≡ g67 (general-alpha kernel)
+    "w13_ws_ses" -> ((s, dir) => {
+      val program =
+        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+           |0.25 SINGLEEXPONENTIALSMOOTHING""".stripMargin
+      engine(s, dir, cents = true).runToFrame(program)
+        .select(col("class"), col("labels").getItem("user").as("userid"),
+          col("ts"), round(col("vdouble"), 6).as("ses"))
+    }),
+
+    // ESDTEST word ≡ g77 (mean/sd variant; k=3, alpha=0.05)
+    "w14_ws_esdtest" -> ((s, dir) => {
+      val program =
+        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+           |3 false 0.05 ESDTEST""".stripMargin
+      engine(s, dir, cents = true).runToFrame(program)
+        .select(col("class"), col("labels").getItem("user").as("userid"),
+          col("ts"), col("vdouble").as("cents"),
+          col("round").cast(org.apache.spark.sql.types.IntegerType).as("round"))
     })
   )
 
@@ -200,6 +221,8 @@ object WsQueries {
         |  v(ts, bsum)""".stripMargin,
     "w10_ws_lowess" -> GtsQueries8.oracleSql("g83_lowess"),
     "w11_ws_fft" -> GtsQueries8.oracleSql("g81_dft"),
-    "w12_ws_fillprevious" -> GtsQueries.oracleSql("g17_fillprevious")
+    "w12_ws_fillprevious" -> GtsQueries.oracleSql("g17_fillprevious"),
+    "w13_ws_ses" -> GtsQueries6.oracleSql("g67_ses_general"),
+    "w14_ws_esdtest" -> GtsQueries7.oracleSql("g77_esd_outliers")
   )
 }

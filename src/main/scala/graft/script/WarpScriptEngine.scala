@@ -73,7 +73,17 @@ final class WarpScriptEngine(
       case s: String => s
       case other => throw new IllegalArgumentException(s"expected STRING, got $other")
     }
+    def popBool(): Boolean = pop() match {
+      case b: Boolean => b
+      case other => throw new IllegalArgumentException(s"expected BOOLEAN, got $other")
+    }
   }
+
+  /** (gtsid → class, labels) side table for kernel words that return
+    * compact per-series frames. */
+  private def metaOf(f: GtsFrame): org.apache.spark.sql.DataFrame =
+    f.df.groupBy(col("gtsid"))
+      .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
 
   private def exec(tokens: Vector[WsToken], st: State): Unit = {
     var i = 0
@@ -478,6 +488,38 @@ final class WarpScriptEngine(
       val win = st.popLong().toInt
       st.push(GtsFrame(graft.operators.StatOps.saxMotifs(toFrame(st.pop()),
         win, alphabet, minSeries)))
+    // SINGLEEXPONENTIALSMOOTHING (fn/SINGLEEXPONENTIALSMOOTHING.java):
+    // gts alpha → smoothed gts (general-alpha sequential kernel)
+    case "SINGLEEXPONENTIALSMOOTHING" =>
+      val alpha = st.popNum()
+      val f = toFrame(st.pop())
+      st.push(GtsFrame(new graft.kernels.KernelOps(f.df).expSmooth(alpha)
+        .join(metaOf(f), "gtsid")))
+    // DOUBLEEXPONENTIALSMOOTHING (fn/DOUBLEEXPONENTIALSMOOTHING.java):
+    // gts alpha beta → Holt level series
+    case "DOUBLEEXPONENTIALSMOOTHING" =>
+      val beta = st.popNum(); val alpha = st.popNum()
+      val f = toFrame(st.pop())
+      st.push(GtsFrame(new graft.kernels.KernelOps(f.df).expSmooth(alpha, Some(beta))
+        .join(metaOf(f), "gtsid")))
+    // ZSCORETEST (fn/ZSCORETEST.java): gts useMedian threshold → flagged
+    // points (mean/sd z-score; the modified-z variant is ESDTEST's MAD path)
+    case "ZSCORETEST" =>
+      val thr = st.popNum(); val useMedian = st.popBool()
+      require(!useMedian, "ZSCORETEST: modified z-score not wired; use ESDTEST true")
+      st.push(GtsFrame(graft.operators.StatOps.zscoreFlag(toFrame(st.pop()), thr)))
+    // ESDTEST (fn/ESDTEST.java): gts k useMedian alpha → flagged outlier
+    // rounds (mean/sd or median/MAD per the flag)
+    case "ESDTEST" =>
+      val alpha = st.popNum(); val useMedian = st.popBool()
+      val k = st.popLong().toInt
+      val f = toFrame(st.pop())
+      val flagged =
+        if (useMedian) graft.operators.StatOps.esdMadFlag(f, k, alpha)
+        else graft.operators.StatOps.esdFlag(f, k, alpha)
+      st.push(GtsFrame(flagged.join(metaOf(f), "gtsid")))
+    // RESETS compensation (COUNTERDELTA family, GTSHelper compensateResets)
+    case "RESETS" => st.push(toFrame(st.pop()).compensateResets())
     case "QUANTIZE" => // our quantize(step): [ gts step ] form
       val step = st.popNum(); st.push(toFrame(st.pop()).quantize(step))
     case "TIMECLIP" => // fn/TIMECLIP.java: gts end span | gts start end here

@@ -179,4 +179,40 @@ class WarpScriptSpec extends SparkSpec {
     assert(e.run("[ '' '~m\\..*' { } 0 9000000 ] FETCH FIRSTTICK") == List(1000000L))
     assert(e.run("[ '' '~m\\..*' { } 0 9000000 ] FETCH NAME") == List(Vector("m.cpu")))
   }
+  test("outlier/smoothing words: ESDTEST flags the spike; SES/DES smooth; RESETS rebuilds") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // 9 calm points + one wild spike
+    val vals = (1 to 9).map(i => (i * 1000000L, 100.0 + (i % 3))) :+ (10000000L, 9000.0)
+    val pts = vals.map { case (t, v) => ("m.x", Map("user" -> "1"), t, v) }
+      .toDF("class", "labels", "ts", "vdouble")
+      .withColumn("lat", lit(null).cast(DoubleType))
+      .withColumn("lon", lit(null).cast(DoubleType))
+      .withColumn("elev", lit(null).cast(LongType))
+      .withColumn("vtype", lit(graft.model.GtsType.DOUBLE).cast(ByteType))
+      .withColumn("vlong", lit(null).cast(LongType))
+      .withColumn("vbool", lit(null).cast(BooleanType))
+      .withColumn("vstring", lit(null).cast(StringType))
+      .withColumn("vbinary", lit(null).cast(BinaryType))
+    val frame = GtsFrame(Gts.canonical(pts))
+    val e = new WarpScriptEngine(
+      fetch = (cls, ls, a, b) => frame.select(cls, ls).timeclip(a, b))
+    val esd = e.runToFrame(
+      "[ '' '~m\\..*' { } 0 99999999 ] FETCH 3 false 0.05 ESDTEST")
+      .select(col("ts"), col("vdouble")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(esd.contains((10000000L, 9000.0)))
+    val ses = e.runToFrame(
+      "[ '' '~m\\..*' { } 0 99999999 ] FETCH 0.5 SINGLEEXPONENTIALSMOOTHING")
+    assert(ses.count() === 10)
+    val des = e.runToFrame(
+      "[ '' '~m\\..*' { } 0 99999999 ] FETCH 0.5 0.5 DOUBLEEXPONENTIALSMOOTHING")
+    assert(des.count() === 10)
+    val res = e.runToFrame(
+      "[ '' '~m\\..*' { } 0 99999999 ] FETCH RESETS")
+    // compensated series is monotonically non-decreasing
+    val rv = res.orderBy("ts").select("vdouble").collect().map(_.getDouble(0))
+    assert(rv.zip(rv.tail).forall { case (a, b) => b >= a })
+  }
+
 }
