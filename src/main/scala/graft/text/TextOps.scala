@@ -24,9 +24,14 @@ object TextOps {
   def permA(i: Int): Long = (2654435761L * (i + 1)) % P
   def permB(i: Int): Long = (40503L * (i + 1) + 7) % P
 
-  /** Portable 60-bit content hash: first 15 hex digits of md5. */
+  /** Portable 60-bit content hash: first 15 hex digits of md5 —
+    * computed by the native [[graft.plans.Md5Hash60]] expression
+    * (digest bytes folded directly to a long; value-identical to the
+    * conv/substring/md5 composition the oracles spell out, without the
+    * hex-string round-trip on the hot path). */
   def hexHash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+    graft.plans.Md5Hash60.md5Hash60(
+      org.apache.spark.sql.SparkSession.active, c)
 
   /** Spread a per-document CPU-heavy transform across the cluster: a
     * small parquet input arrives in one or few splits (128 MB default

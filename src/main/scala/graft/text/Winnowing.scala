@@ -26,9 +26,8 @@ object Winnowing {
     val cnt = size(words)
     // positional (NOT distinct) gram hashes — winnowing is about runs
     val gramHash = transform(sequence(lit(0), cnt - n),
-      i => conv(substring(md5(
-        concat_ws(" ", (0 until n).map(k => element_at(words, i + k + 1)): _*)),
-        1, 15), 16, 10).cast("bigint"))
+      i => TextOps.hexHash60(
+        concat_ws(" ", (0 until n).map(k => element_at(words, i + k + 1)): _*)))
     val mins = transform(sequence(lit(1), size(col("__h")) - (w - 1)),
       i => array_min(slice(col("__h"), i, lit(w))))
     TextOps.spread(docs).filter(cnt >= n + w - 1)
