@@ -157,6 +157,49 @@ object MultimodalOps {
     spark.createDataFrame(rows, outSchema)
   }
 
+  /** REAL image resize via Graphics2D bilinear drawImage (JDK only):
+    * decode → scale to target → re-encode PNG. Non-image or
+    * undecodable payloads pass through the stub path with
+    * `resized = false`. One partition = one batch of codec work,
+    * identical shape to [[extractImageFeatures]]. */
+  def resizeImages(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("media", BinaryType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("resized", BooleanType, nullable = false)))
+    val rows = media.select(col("media_id"), col("media"), col("mime"))
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val bytes = r.getAs[Array[Byte]]("media")
+          val src =
+            if (r.getString(2).startsWith("image/"))
+              Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+            else None
+          src match {
+            case Some(img) =>
+              val out = new java.awt.image.BufferedImage(targetW, targetH,
+                java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+              val g = out.createGraphics()
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, targetW, targetH, null)
+              g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              Row(r.getLong(0), bos.toByteArray, targetW, targetH, true)
+            case None =>
+              val budget = math.max(1, math.min(bytes.length, targetW * targetH))
+              Row(r.getLong(0), java.util.Arrays.copyOf(bytes, budget),
+                targetW, targetH, false)
+          }
+        }
+      }
+    spark.createDataFrame(rows, outSchema)
+  }
+
   /** Resize plumbing: emits the target geometry + a (stub) payload of
     * the right byte budget; batch shape identical to a real resampler. */
   def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {

@@ -106,6 +106,18 @@ object MiscQueries {
       val media = MultimodalOps.pngMediaFromDocuments(
         s.read.parquet(s"$dir/documents.parquet"))
       MultimodalOps.extractImageFeatures(media)
+    }),
+
+    // multimodal REAL resize roundtrip: synthetic PNGs → Graphics2D
+    // bilinear resize to 8×6 → re-encode → re-decode. The oracle is the
+    // constant predicted geometry per doc, so a hash match proves every
+    // payload survived decode→resample→encode→decode with real codecs.
+    "m05_image_resize" -> ((s, dir) => {
+      val media = MultimodalOps.pngMediaFromDocuments(
+        s.read.parquet(s"$dir/documents.parquet"))
+      MultimodalOps.extractImageFeatures(
+        MultimodalOps.resizeImages(media, 8, 6)
+          .select(col("media_id"), col("media"), lit("image/png").as("mime")))
     })
   )
 
@@ -177,6 +189,11 @@ object MiscQueries {
         |  CAST(16 + (7 * doc_id) % 32 AS INT) AS height,
         |  CAST(3 AS INT) AS channels,
         |  true AS decoded
+        |FROM documents""".stripMargin,
+
+    "m05_image_resize" ->
+      """SELECT doc_id AS media_id, 8 AS width, 6 AS height,
+        |  3 AS channels, TRUE AS decoded
         |FROM documents""".stripMargin
   )
 }
