@@ -44,4 +44,24 @@ object LongTable {
         col("tsday") <= endTs / DayMicros)
       .filter(col("ts") >= startTs && col("ts") <= endTs)
       .drop("tsday")
+
+  /** Bucketed at-rest layout: `bucketBy(gtsid)` + per-bucket
+    * (gtsid, ts) sort. Every per-series operator (window specs,
+    * groupBy(gtsid) aggregations, series-aligned self-joins) then
+    * plans WITHOUT an Exchange — the scan itself satisfies the
+    * clustered distribution, which is the single biggest shuffle in a
+    * per-series workload at 100 TB. Size `buckets` ≈ cluster cores ×
+    * a small factor; co-bucketed tables join shuffle-free.
+    * (External table: data lives at `path`, metadata in the session
+    * catalog under `table`.) */
+  def writeBucketed(points: DataFrame, table: String, path: String,
+                    buckets: Int): Unit =
+    points.write.mode("overwrite")
+      .bucketBy(buckets, "gtsid")
+      .sortBy("gtsid", "ts")
+      .option("path", path)
+      .saveAsTable(table)
+
+  def readBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
 }

@@ -55,4 +55,30 @@ class StorageSpec extends SparkSpec {
     assert(!plan.contains("CodegenFallback"), plan)
     assert(ev.distinct().count() === 30)
   }
+  test("bucketed store: groupBy(gtsid) and self-join plan with NO exchange") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-bucketed").toFile.getAbsolutePath
+    val pts = gtsOf((1 to 60).map(i =>
+      ("m.b", s"u${i % 6}", i.toLong * 1000L, i.toDouble)): _*)
+    graft.model.LongTable.writeBucketed(pts, "gts_bucketed_spec", dir, 4)
+    try {
+      val t = graft.model.LongTable.readBucketed(spark, "gts_bucketed_spec")
+      val agg = t.groupBy(col("gtsid")).agg(max(col("vdouble")).as("mx"))
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("ShuffleExchange"), aggPlan)
+      assert(agg.count() === 6)
+      // broadcast would bypass bucketing on this tiny table — force the
+      // shuffle-join path to show the bucketed scan satisfies it
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = t.select(col("gtsid"), col("ts"), col("vdouble"))
+          .join(t.select(col("gtsid"), col("ts").as("ts2")), "gtsid")
+        val jPlan = j.queryExecution.executedPlan.toString
+        assert(!jPlan.contains("ShuffleExchange"), jPlan)
+        assert(j.count() === 600) // 6 series x 10 x 10
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally spark.sql("DROP TABLE IF EXISTS gts_bucketed_spec")
+  }
+
 }
