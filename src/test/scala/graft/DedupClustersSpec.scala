@@ -37,4 +37,32 @@ class DedupClustersSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sizes == Map(1L -> 3L, 7L -> 2L))
   }
+  test("random graphs: labels match a reference union-find (50 cases)") {
+    val rnd = new scala.util.Random(42)
+    for (case_ <- 1 to 50) {
+      val n = 2 + rnd.nextInt(25)
+      val m = 1 + rnd.nextInt(40)
+      val es = Seq.fill(m) {
+        val a = rnd.nextInt(n).toLong; var b = rnd.nextInt(n).toLong
+        if (a == b) b = (b + 1) % n
+        if (a < b) (a, b) else (b, a)
+      }.distinct
+      // reference: union-find over the same edges
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = es.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => x -> find(x)).toMap
+      // min-reachable id == union-find root when unions keep the min
+      val got = clusters(es: _*)
+      assert(got == expected, s"case $case_ edges=$es")
+    }
+  }
+
 }
