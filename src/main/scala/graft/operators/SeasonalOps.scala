@@ -27,7 +27,14 @@ object SeasonalOps {
     val win = 2 * halfTrend + 1
     val w = Window.partitionBy(col("gtsid")).orderBy(col("ts"))
       .rowsBetween(-halfTrend, halfTrend)
-    val t = points
+    // pin the series shuffle width: AQE sizes partitions on the (small)
+    // pre-fill bytes and coalesces the window exchange to ~1 task, but
+    // the dense grid multiplies rows AFTER that exchange. A
+    // user-specified repartition keeps its partition count under AQE
+    // and satisfies both windows' gtsid distribution (no extra shuffle).
+    val spread = points.repartition(
+      points.sparkSession.sessionState.conf.numShufflePartitions, col("gtsid"))
+    val t = spread
       .withColumn("__tsum", sum(col("vdouble")).over(w))
       .withColumn("__tn", count(lit(1)).over(w))
       .filter(col("__tn") === win)
