@@ -168,6 +168,48 @@ final class KernelOps(df: DataFrame) {
       out.map(p => (id, p.ts, p.v))
     }.toDF("gtsid", "ts", "vdouble")
 
+  /** filler.newton (script/filler/FillerNewton.java — the reference
+    * precomputes a divided-difference Newton polynomial through ALL
+    * knots via commons-math and evaluates it at missing ticks). This
+    * re-derivation fixes the classical op order so the oracle can
+    * replay it verbatim:
+    *   triangle: for level l = 1..n−1, for i = n−1 down to l:
+    *     a(i) = (a(i) − a(i−1)) / (x(i) − x(i−l))
+    *   evaluation (Horner): r = a(n−1); for i = n−2 down to 0:
+    *     r = r·(t − x(i)) + a(i).
+    * Evaluates at the midpoint of each consecutive knot pair (the
+    * fill sites of a half-step grid). All inputs are exact
+    * integers/longs, every op is a fixed IEEE expression — identical
+    * trees give identical doubles in any engine.
+    */
+  def fillNewtonMidpoints(): DataFrame =
+    perSeries[(Long, Long, Double)] { (id, pts) =>
+      val n = pts.length
+      if (n < 2) Iterator.empty
+      else {
+        val xs = pts.map(_.ts.toDouble).toArray
+        val a = pts.map(_.v).toArray
+        var l = 1
+        while (l < n) {
+          var i = n - 1
+          while (i >= l) {
+            a(i) = (a(i) - a(i - 1)) / (xs(i) - xs(i - l))
+            i -= 1
+          }
+          l += 1
+        }
+        (0 until n - 1).iterator.map { j =>
+          // integer midpoint tick (floor), matching the oracle's //2
+          val t = Math.floorDiv(pts(j).ts + pts(j + 1).ts, 2L)
+          val td = t.toDouble
+          var r = a(n - 1)
+          var i = n - 2
+          while (i >= 0) { r = r * (td - xs(i)) + a(i); i -= 1 }
+          (id, t, r)
+        }
+      }
+    }.toDF("gtsid", "ts", "vdouble")
+
   /** FFT magnitude spectrum per series (continuum/gts/FFT.java). */
   def fftMag(): DataFrame =
     perSeries((id, pts) =>

@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.model.Gts
 import graft.operators.{GtsFrame, StatOps}
+import graft.operators.GtsFrame._
 
 /** Eighth pack: oracle rows for the last spec-gated kernels — the FFT
   * surface as an exact-dyadic DFT, DTW via a fully unrolled integer DP
@@ -128,6 +129,33 @@ object GtsQueries8 {
           round(bearing, 6).as("m_truecourse"),
           sum(abs(col("elev") - pelev)).over(wAll).as("vdist_total"))
         .filter(col("m_vdelta").isNotNull)
+    }),
+
+    // filler.trend (script/filler/FillerTrend.java): gap = position-
+    // weighted average of the previous knot projected forward by the
+    // "pre" trend and the next knot pulled back by the "post" trend;
+    // daily buckets over 30 days, same grid as g28
+    "g87_filltrend" -> ((s, dir) =>
+      cents(s, dir).bucketize(Sum, GtsQueries.LB, DAY)
+        .fillTrend(GtsQueries.LB, DAY, 30)
+        .select(col("class"), col("labels").getItem("user").as("userid"),
+          col("ts"), round(col("vdouble"), 9).as("filled"))),
+
+    // filler.newton (script/filler/FillerNewton.java): divided-
+    // difference polynomial through 8 dense daily knots (zero-filled
+    // sums), evaluated at the 7 inter-knot midpoints; the oracle
+    // replays the exact triangle/Horner op order with literal knot
+    // ticks, so the degree-7 evaluation is bit-identical
+    "g88_fillnewton" -> ((s, dir) => {
+      val dense = GtsFrame(
+        cents(s, dir).bucketize(Sum, GtsQueries.LB, DAY, 8)
+          .fillValue(GtsQueries.LB, DAY, 8, 0.0))
+      val nf = new graft.kernels.KernelOps(dense.df).fillNewtonMidpoints()
+      val meta = dense.df.groupBy(col("gtsid"))
+        .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
+      nf.join(meta, "gtsid")
+        .select(col("class"), col("labels").getItem("user").as("userid"),
+          col("ts"), round(col("vdouble"), 6).as("newton"))
     })
   )
 
@@ -278,6 +306,102 @@ object GtsQueries8 {
          |  round(b.bearing, 6) AS m_truecourse,
          |  t.vdist_total
          |FROM b JOIN t ON b.class = t.class AND b.userid = t.userid
-         |WHERE b.pelev IS NOT NULL""".stripMargin
+         |WHERE b.pelev IS NOT NULL""".stripMargin,
+
+    "g87_filltrend" -> {
+      val BUCKET_D = s"${GtsQueries.LB} - ((${GtsQueries.LB} - ts) // $DAY) * $DAY"
+      s"""WITH g AS ($EV),
+         |b AS (SELECT class, userid, $BUCKET_D AS ts, CAST(sum(cents) AS DOUBLE) AS v
+         |      FROM g WHERE ts <= ${GtsQueries.LB} GROUP BY 1, 2, 3),
+         |k AS (SELECT class, userid, ts, v,
+         |        lag(v) OVER w AS ppv0, lag(ts) OVER w AS ppt0,
+         |        lead(v) OVER w AS nnv0, lead(ts) OVER w AS nnt0
+         |      FROM b WINDOW w AS (PARTITION BY class, userid ORDER BY ts)),
+         |series AS (SELECT DISTINCT class, userid FROM b),
+         |grid AS (SELECT s.class, s.userid, t.ts
+         |         FROM series s CROSS JOIN
+         |           (SELECT unnest(generate_series(${GtsQueries.LB - 29 * GtsQueries.DAY}, ${GtsQueries.LB}, $DAY)) AS ts) t),
+         |j AS (SELECT grid.class, grid.userid, grid.ts, k.v,
+         |        k.ppv0, k.ppt0, k.nnv0, k.nnt0
+         |      FROM grid LEFT JOIN k ON grid.class = k.class
+         |        AND grid.userid = k.userid AND grid.ts = k.ts),
+         |x AS (SELECT class, userid, ts, v,
+         |        last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS) OVER wp AS pv,
+         |        last_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS) OVER wp AS pt,
+         |        last_value(CASE WHEN v IS NOT NULL THEN ppv0 END IGNORE NULLS) OVER wp AS ppv,
+         |        last_value(CASE WHEN v IS NOT NULL THEN ppt0 END IGNORE NULLS) OVER wp AS ppt,
+         |        first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS) OVER wn AS nv,
+         |        first_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS) OVER wn AS nt,
+         |        first_value(CASE WHEN v IS NOT NULL THEN nnv0 END IGNORE NULLS) OVER wn AS nnv,
+         |        first_value(CASE WHEN v IS NOT NULL THEN nnt0 END IGNORE NULLS) OVER wn AS nnt
+         |      FROM j
+         |      WINDOW wp AS (PARTITION BY class, userid ORDER BY ts
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |        wn AS (PARTITION BY class, userid ORDER BY ts
+         |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+         |r AS (SELECT *,
+         |        CASE WHEN ppv IS NOT NULL AND pv IS NOT NULL THEN (pv - ppv) / (pt - ppt)
+         |             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN (nv - pv) / (nt - pt)
+         |             WHEN nv IS NOT NULL AND nnv IS NOT NULL THEN (nnv - nv) / (nnt - nt)
+         |        END AS pre0,
+         |        CASE WHEN nnv IS NOT NULL AND nv IS NOT NULL THEN (nnv - nv) / (nnt - nt)
+         |             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN (nv - pv) / (nt - pt)
+         |             WHEN ppv IS NOT NULL AND pv IS NOT NULL THEN (pv - ppv) / (pt - ppt)
+         |        END AS post0
+         |      FROM x),
+         |f AS (SELECT class, userid, ts, v,
+         |        pv, pt, nv, nt,
+         |        coalesce(pre0, post0) AS pre, coalesce(post0, pre0) AS post
+         |      FROM r)
+         |SELECT class, userid, ts,
+         |  round(CASE WHEN v IS NOT NULL THEN v
+         |    WHEN pre IS NULL AND post IS NULL THEN NULL
+         |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+         |      (CAST(ts - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)) * (pv + CAST(ts - pt AS DOUBLE) * pre)
+         |      + (1.0E0 - CAST(ts - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+         |        * (nv - (CAST(nt - pt AS DOUBLE) - CAST(ts - pt AS DOUBLE)) * post)
+         |    WHEN pv IS NOT NULL THEN pv + pre * (ts - pt)
+         |    WHEN nv IS NOT NULL THEN nv - post * (nt - ts)
+         |  END, 9) AS filled
+         |FROM f""".stripMargin
+    },
+
+    "g88_fillnewton" -> newtonSql
   )
+
+  /** g88 oracle: knot ticks are LITERALS (the 8 daily bucket ends), so
+    * the divided-difference triangle and the Horner evaluation unroll
+    * into chained CTE levels with literal denominators/offsets —
+    * exactly the kernel's op order (KernelOps.fillNewtonMidpoints). */
+  private def newtonSql: String = {
+    import GtsQueries.{LB, DAY, EV}
+    val xs = (0 to 7).map(i => LB - (7 - i) * DAY)
+    val mids = (0 to 6).map(j => Math.floorDiv(xs(j) + xs(j + 1), 2L))
+    val BUCKET_D = s"$LB - (($LB - ts) // $DAY) * $DAY"
+    val piv = (0 to 7).map(i =>
+      s"coalesce(max(CASE WHEN ts = ${xs(i)} THEN v END), 0.0E0) AS a${i}_0")
+      .mkString(",\n         |        ")
+    val levels = (1 to 7).map { l =>
+      val cols = (0 to 7).map { i =>
+        if (i >= l)
+          s"(a${i}_${l - 1} - a${i - 1}_${l - 1}) / ${dlit((xs(i) - xs(i - l)).toDouble)} AS a${i}_$l"
+        else s"a${i}_${l - 1} AS a${i}_$l"
+      }.mkString(", ")
+      s"r$l AS (SELECT class, userid, $cols FROM r${l - 1})"
+    }.mkString(",\n         |")
+    val evals = (0 to 6).map { j =>
+      var expr = "a7_7"
+      for (i <- 6 to 0 by -1)
+        expr = s"(($expr) * ${dlit((mids(j) - xs(i)).toDouble)} + a${i}_7)"
+      s"SELECT class, userid, CAST(${mids(j)} AS BIGINT) AS ts, round($expr, 6) AS newton FROM r7"
+    }.mkString("\n         |UNION ALL ")
+    s"""WITH g AS ($EV),
+       |b AS (SELECT class, userid, $BUCKET_D AS ts, CAST(sum(cents) AS DOUBLE) AS v
+       |      FROM g WHERE ts > ${LB - 8 * DAY} AND ts <= $LB GROUP BY 1, 2, 3),
+       |r0 AS (SELECT class, userid,
+       |        $piv
+       |      FROM b GROUP BY 1, 2),
+       |$levels
+       |$evals""".stripMargin
+  }
 }
