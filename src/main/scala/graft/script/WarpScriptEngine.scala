@@ -175,6 +175,24 @@ final class WarpScriptEngine(
     case "SQRT" => st.push(math.sqrt(st.popNum()))
     case "EXP" => st.push(math.exp(st.popNum()))
     case "LN" => st.push(math.log(st.popNum()))
+    case "LOG10" => st.push(math.log10(st.popNum()))
+    case "SIN" => st.push(math.sin(st.popNum()))
+    case "COS" => st.push(math.cos(st.popNum()))
+    case "TAN" => st.push(math.tan(st.popNum()))
+    case "ASIN" => st.push(math.asin(st.popNum()))
+    case "ACOS" => st.push(math.acos(st.popNum()))
+    case "ATAN" => st.push(math.atan(st.popNum()))
+    case "PI" => st.push(math.Pi)
+    case "E" => st.push(math.E)
+    // HAVERSINE (fn/HAVERSINE.java): lat1 lon1 lat2 lon2 → meters
+    case "HAVERSINE" =>
+      val lon2 = st.popNum(); val lat2 = st.popNum()
+      val lon1 = st.popNum(); val lat1 = st.popNum()
+      val toRad = math.Pi / 180.0
+      val a = math.pow(math.sin((lat2 - lat1) * toRad / 2), 2) +
+        math.cos(lat1 * toRad) * math.cos(lat2 * toRad) *
+          math.pow(math.sin((lon2 - lon1) * toRad / 2), 2)
+      st.push(2.0 * 6378137.0 * math.asin(math.sqrt(a)))
     case "FLOOR" => st.push(math.floor(st.popNum()).toLong)
     case "CEIL" => st.push(math.ceil(st.popNum()).toLong)
     case "ROUND" => st.push(math.rint(st.popNum()).toLong)
@@ -520,6 +538,19 @@ final class WarpScriptEngine(
       st.push(GtsFrame(flagged.join(metaOf(f), "gtsid")))
     // RESETS compensation (COUNTERDELTA family, GTSHelper compensateResets)
     case "RESETS" => st.push(toFrame(st.pop()).compensateResets())
+    // WRAP/UNWRAP (fn/WRAP.java, fn/UNWRAP.java): frame → per-series
+    // binary blobs and back (graft.sources.GtsCodec varint/delta codec)
+    case "WRAP" => st.push(graft.sources.GtsCodec.wrap(toFrame(st.pop()).df))
+    case "UNWRAP" => st.pop() match {
+      case f: GtsFrame => st.push(GtsFrame(graft.sources.GtsCodec.unwrap(f.df)))
+      case df: org.apache.spark.sql.DataFrame @unchecked
+          if df.columns.contains("blob") =>
+        st.push(GtsFrame(graft.sources.GtsCodec.unwrap(df)))
+      case o => throw new IllegalArgumentException(s"UNWRAP on $o")
+    }
+    // SNAPSHOT (fn/SNAPSHOT.java): render the top of the stack as a
+    // re-evaluable WarpScript literal (driver-side scalar)
+    case "SNAPSHOT" => st.push(graft.sources.Snapshot.render(st.pop()))
     case "QUANTIZE" => // our quantize(step): [ gts step ] form
       val step = st.popNum(); st.push(toFrame(st.pop()).quantize(step))
     case "TIMECLIP" => // fn/TIMECLIP.java: gts end span | gts start end here

@@ -215,4 +215,27 @@ class WarpScriptSpec extends SparkSpec {
     assert(rv.zip(rv.tail).forall { case (a, b) => b >= a })
   }
 
+  test("scalar math, HAVERSINE, SNAPSHOT, and WRAP/UNWRAP words") {
+    val e = new WarpScriptEngine(fetch = (_, _, _, _) =>
+      throw new UnsupportedOperationException)
+    assert(e.run("0.0 SIN 0.0 COS PI") ==
+      List(math.Pi, 1.0, 0.0))
+    assert(e.run("100.0 LOG10").head == 2.0)
+    // Paris -> London great-circle ~ 344 km on the sphere radius used
+    val d = e.run("48.8566 2.3522 51.5074 -0.1278 HAVERSINE").head
+      .asInstanceOf[Double]
+    assert(d > 330000 && d < 360000, d)
+    assert(e.run("42 SNAPSHOT").head == "42 ")
+    // WRAP then UNWRAP reproduces the frame
+    import org.apache.spark.sql.functions._
+    val frame = graft.operators.GtsFrame(gtsOf(
+      ("m.w", "1", 1000L, 1.5), ("m.w", "1", 2000L, 2.5)))
+    val e2 = new WarpScriptEngine(fetch = (cls, ls, a, b) => frame)
+    val back = e2.runToFrame(
+      "[ '' '~m\\..*' { } 0 9999 ] FETCH WRAP UNWRAP")
+    val got = back.select(col("ts"), col("vdouble")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((1000L, 1.5), (2000L, 2.5)))
+  }
+
 }
