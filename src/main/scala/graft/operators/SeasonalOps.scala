@@ -22,8 +22,13 @@ object SeasonalOps {
     * `period` = ticks per season cycle; trend window = ±halfTrend rows
     * (edge rows with incomplete windows are dropped, as in classical
     * decomposition). */
+  /** With `keepExact = true`, the EXACT integer intermediates survive as
+    * `detr` (= win·v − Σwin v), `ssum` (= Σphase detr) and `scnt`
+    * (phase count): downstream exact compositions (the STL→ESD test,
+    * g94) need `scnt·win·resid = scnt·detr − ssum`-style scaled
+    * residuals whose sums stay exact integers. */
   def classicalDecompose(points: DataFrame, span: Long, period: Int,
-                         halfTrend: Int): DataFrame = {
+                         halfTrend: Int, keepExact: Boolean = false): DataFrame = {
     val win = 2 * halfTrend + 1
     val w = Window.partitionBy(col("gtsid")).orderBy(col("ts"))
       .rowsBetween(-halfTrend, halfTrend)
@@ -45,11 +50,16 @@ object SeasonalOps {
     // shuffle on (gtsid, phase) instead of groupBy + join-back (sums
     // are exact integers, so the aggregation route is value-neutral)
     val wp = Window.partitionBy(col("gtsid"), col("__phase"))
-    t.withColumn("__ssum", sum(col("__detr")).over(wp))
+    val full = t.withColumn("__ssum", sum(col("__detr")).over(wp))
       .withColumn("__scnt", count(lit(1)).over(wp))
       .withColumn("trend", col("__tsum") / win.toDouble)
       .withColumn("seasonal", col("__ssum") / (lit(win.toDouble) * col("__scnt")))
       .withColumn("resid", col("vdouble") - col("trend") - col("seasonal"))
-      .drop("__tsum", "__tn", "__detr", "__phase", "__ssum", "__scnt")
+    if (keepExact)
+      full.withColumnRenamed("__detr", "detr")
+        .withColumnRenamed("__ssum", "ssum").withColumnRenamed("__scnt", "scnt")
+        .drop("__tsum", "__tn", "__phase")
+    else
+      full.drop("__tsum", "__tn", "__detr", "__phase", "__ssum", "__scnt")
   }
 }

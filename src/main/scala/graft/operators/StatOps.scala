@@ -195,14 +195,252 @@ object StatOps {
   }
 
 
+  /** LR (fn/LR.java semantics — least-squares line through a series):
+    * regress the per-bucket integer sums y over the bucket index x.
+    * n, Σx, Σy, Σxy, Σx² are exact integers (x ≤ bucket count, y exact
+    * cents sums), so slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) and
+    * intercept = (Σy − slope·Σx)/n are fixed trees of correctly-rounded
+    * IEEE ops on exact inputs — bit-identical cross-engine. One hash
+    * aggregation per series; no per-series materialization (the
+    * reference loads the GTS into RAM and loops, fn/LR.java:49-77).
+    * Returns (class, labels, n, slope, intercept).
+    */
+  def linReg(frame: GtsFrame, span: Long, lastbucket: Long): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val x = floor((lit(lastbucket) - col("ts")) / lit(span)).cast(LongType)
+    val b = frame.df.filter(col("ts") <= lastbucket)
+      .groupBy(col("gtsid"), x.as("x"))
+      .agg(first(col("class")).as("class"), first(col("labels")).as("labels"),
+        sum(col("vdouble")).as("y"))
+    val g = b.groupBy(col("gtsid")).agg(
+      first(col("class")).as("class"), first(col("labels")).as("labels"),
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x")).cast("double").as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / den
+    g.filter(den > 0).select(col("class"), col("labels"),
+      col("n").cast("long").as("n"), slope.as("slope"),
+      ((col("sy") - slope * col("sx")) / col("n")).as("intercept"))
+  }
+
+  /** SKEWNESS / KURTOSIS / NSUMSUMSQ (fn/SKEWNESS.java, fn/KURTOSIS.java,
+    * fn/NSUMSUMSQ.java): population central-moment statistics per series.
+    * Power sums Σx³/Σx⁴ overflow the 2⁵³ double-exact range (cents⁴ ≈
+    * 6e18/term), so they accumulate as DECIMAL(38,0) — exact in any
+    * aggregation order, mirrored by DuckDB's HUGEINT sums — and are cast
+    * to double only once, at the closed-form moment expressions. The
+    * moment trees (m₂, m₃, m₄ and skew = m₃/(m₂·√m₂), kurt = m₄/m₂²)
+    * are written in identical association order in both engines; pow()
+    * is avoided (not correctly rounded — mul/sqrt are).
+    * Returns (class, labels, n, sum, sumsq, skewness, kurtosis).
+    */
+  def momentStats(frame: GtsFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val c = col("vdouble").cast(DecimalType(19, 0))
+    val g = frame.df.groupBy(col("gtsid")).agg(
+      first(col("class")).as("class"), first(col("labels")).as("labels"),
+      count(lit(1)).cast("double").as("n"),
+      sum(col("vdouble")).as("sx"),
+      sum(col("vdouble") * col("vdouble")).as("sxx"),
+      sum((c * c * c).cast(DecimalType(38, 0))).cast("double").as("sxxx"),
+      sum((c * c * (c * c)).cast(DecimalType(38, 0))).cast("double").as("sxxxx"))
+    val mu = col("sx") / col("n")
+    val r2 = col("sxx") / col("n")
+    val r3 = col("sxxx") / col("n")
+    val r4 = col("sxxxx") / col("n")
+    val m2 = r2 - mu * mu
+    val m3 = r3 - lit(3.0) * mu * r2 + lit(2.0) * mu * mu * mu
+    val m4 = r4 - lit(4.0) * mu * r3 + lit(6.0) * mu * mu * r2 -
+      lit(3.0) * mu * mu * mu * mu
+    g.select(col("class"), col("labels"), col("n").cast("long").as("n"),
+      col("sx").as("sum"), col("sxx").as("sumsq"),
+      when(m2 > 0, m3 / (m2 * sqrt(m2))).as("skewness"),
+      when(m2 > 0, m4 / (m2 * m2)).as("kurtosis"))
+  }
+
+  /** FDWT, Haar (script/fwt — the reference wraps a lifting-scheme
+    * wavelet library; fn/FDWT.java): full 2^levels-point Haar analysis
+    * of end-anchored bucket sums (missing buckets = 0). The dyadic
+    * lifting form a = (x₀+x₁)/2, d = (x₀−x₁)/2 keeps every coefficient
+    * an exact dyadic rational of integer inputs — bit-identical
+    * cross-engine with no normalization noise (the orthonormal √2
+    * scaling differs only by per-level constants). One conditional
+    * aggregation pivots the 2^levels buckets; the lift cascade is pure
+    * column arithmetic. Returns (class, labels, a{L}, d{L}, d{L-1}_*, …
+    * d1_*) with detail coefficients ordered coarse→fine.
+    */
+  def haarDwt(frame: GtsFrame, levels: Int, span: Long,
+              lastbucket: Long): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val nb = 1 << levels
+    val n = floor((lit(lastbucket) - col("ts")) / lit(span)).cast(LongType)
+    // bucket index 0 = OLDEST so the transform reads left-to-right in time
+    val idx = lit(nb - 1) - n
+    val aggs = first(col("class")).as("class") +:
+      first(col("labels")).as("labels") +:
+      (0 until nb).map(i => coalesce(
+        sum(when(idx === i, col("vdouble"))), lit(0.0)).as(s"x$i"))
+    val g = frame.df.filter(col("ts") <= lastbucket && n < nb)
+      .groupBy(col("gtsid"))
+      .agg(aggs.head, aggs.tail: _*)
+    var approx: Seq[Column] = (0 until nb).map(i => col(s"x$i"))
+    val details = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
+    var lvl = 1
+    while (approx.length > 1) {
+      val pairs = approx.grouped(2).toSeq
+      val d = pairs.zipWithIndex.map { case (Seq(a, b), i) =>
+        (s"d${lvl}_${i + 1}", (a - b) / 2.0)
+      }
+      details.prependAll(d)
+      approx = pairs.map { case Seq(a, b) => (a + b) / 2.0 }
+      lvl += 1
+    }
+    g.select(col("class") +: col("labels") +:
+      approx.head.as(s"a${lvl - 1}") +:
+      details.map { case (nm, c) => c.as(nm) }.toSeq: _*)
+  }
+
+  /** The same Haar lift cascade as SQL text over bucket columns x0..x{2^L-1}
+    * (shared expression generator so both engines evaluate one tree). */
+  def haarDwtSql(levels: Int): Seq[(String, String)] = {
+    val nb = 1 << levels
+    var approx: Seq[String] = (0 until nb).map(i => s"x$i")
+    val details = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var lvl = 1
+    while (approx.length > 1) {
+      val pairs = approx.grouped(2).toSeq
+      details.prependAll(pairs.zipWithIndex.map { case (Seq(a, b), i) =>
+        (s"d${lvl}_${i + 1}", s"(($a) - ($b)) / 2.0")
+      })
+      approx = pairs.map { case Seq(a, b) => s"(($a) + ($b)) / 2.0" }
+      lvl += 1
+    }
+    (s"a${lvl - 1}", approx.head) +: details.toSeq
+  }
+
+  /** DISCORDS (continuum/gts/DISCORDS.java — rarest SAX words mark the
+    * most anomalous subsequences): the inverse of [[saxMotifs]]. Words
+    * occurring in exactly one series, at most `maxOcc` times, are
+    * discord candidates; the owning series is recovered in the same
+    * aggregation (max == min == the only gtsid). Identical scale shape
+    * to motifs: GROUP BY on the word — no all-pairs distance scan (the
+    * reference's HOTSAX-style search is per-GTS in RAM).
+    * Returns (word, class, labels, n_occ).
+    */
+  def saxDiscords(frame: GtsFrame, win: Int = 4, alphabet: Int = 4,
+                  maxOcc: Int = 2): DataFrame = {
+    val words = saxWindowWords(frame, win, alphabet)
+    words.groupBy(col("word"), col("gtsid"))
+      .agg(first(col("class")).as("class"), first(col("labels")).as("labels"),
+        count(lit(1)).as("n_occ"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_series"), first(col("class")).as("class"),
+        first(col("labels")).as("labels"), sum(col("n_occ")).as("n_occ"))
+      .filter(col("n_series") === 1 && col("n_occ") <= maxOcc)
+      .select(col("word"), col("class"), col("labels"), col("n_occ"))
+  }
+
+  /** Shared windowed-SAX-word builder for [[saxMotifs]]/[[saxDiscords]]:
+    * one row per `win`-point window with its z-normalized SAX word. */
+  private[operators] def saxWindowWords(frame: GtsFrame, win: Int,
+                                        alphabet: Int): DataFrame = {
+    val bps = saxBreakpoints(alphabet)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gtsid")).orderBy(col("ts"), col("vdouble"))
+    val xs = (0 until win).map(o =>
+      if (o == 0) col("vdouble") else lead(col("vdouble"), o).over(w))
+    val sx = xs.reduce(_ + _)
+    val sxx = xs.map(x => x * x).reduce(_ + _)
+    val det = lit(win.toDouble) * sxx - sx * sx
+    def letter(x: Column) = {
+      val z = when(det === 0.0, 0.0).otherwise((lit(win.toDouble) * x - sx) / sqrt(det))
+      bps.zipWithIndex.reverse.foldLeft(lit(('a' + bps.length).toChar.toString)) {
+        case (acc, (bp, idx)) => when(z <= bp, lit(('a' + idx).toChar.toString)).otherwise(acc)
+      }
+    }
+    frame.df
+      .withColumn("__xlast", xs.last)
+      .withColumn("word", concat(xs.map(letter): _*))
+      .filter(col("__xlast").isNotNull)
+      .drop("__xlast")
+  }
+
+  /** ESD over LONG-valued inputs whose squares exceed the 2⁵³
+    * double-exact range (the STL-residual composition, g94): Σx keeps
+    * exact in Long, Σx² in BigInt; every double appears only at the z /
+    * selection expressions, freshly converted with correct rounding so
+    * the trees mirror the oracle's HUGEINT→DOUBLE casts. Same round
+    * semantics as [[esdFlag]]. `lams` maps n → λ critical value.
+    * Returns (gtsid, ts, v, round).
+    */
+  def esdFlagLongKernel(df: DataFrame, k: Int,
+                        lams: Map[Int, Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("gtsid"), col("ts"), col("v"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (id: Long, it: Iterator[(Long, Long, Long)]) =>
+        val remaining = scala.collection.mutable.ArrayBuffer.from(
+          it.map(t => (t._2, t._3)))
+        var n = remaining.length.toDouble
+        var sx = 0L
+        var sxx = BigInt(0)
+        remaining.foreach { case (_, v) => sx += v; sxx += BigInt(v) * v }
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Int, Boolean)]
+        var r = 1
+        while (r <= k) {
+          // variance guard in EXACT integer arithmetic (mirrors the
+          // oracle's ni·sxx − sx·sx > 0 over HUGEINT)
+          if (n >= 3 &&
+              BigInt(remaining.length) * sxx - BigInt(sx) * sx > 0) {
+            var bi = -1; var ba = 0.0; var bts = 0L; var bv = 0L
+            var i = 0
+            while (i < remaining.length) {
+              val (ts, v) = remaining(i)
+              val a = math.abs(n * v - sx.toDouble)
+              if (bi < 0 || a > ba || (a == ba &&
+                  (ts < bts || (ts == bts && v < bv)))) {
+                bi = i; ba = a; bts = ts; bv = v
+              }
+              i += 1
+            }
+            val z = (ba / n) / math.sqrt(
+              (sxx.toDouble - sx.toDouble * sx.toDouble / n) / (n - 1.0))
+            out += ((id, bts, bv, r, z > lams.getOrElse(n.toInt, Double.MaxValue)))
+            remaining.remove(bi)
+            n -= 1.0; sx -= bv; sxx -= BigInt(bv) * bv
+          }
+          r += 1
+        }
+        val last = out.collect { case o if o._5 => o._4 }.maxOption.getOrElse(0)
+        out.iterator.filter(_._4 <= last).map(o => (o._1, o._2, o._3, o._4))
+      }
+      .toDF("gtsid", "ts", "v", "round")
+  }
+
   /** λ critical values per N as a CASE column (and SQL text via
     * [[lambdaSqlCase]]) — commons-math3 t-quantiles, driver-computed. */
   def lambdas(alpha: Double, maxN: Int): Map[Int, Double] =
-    (3 to maxN).map { n =>
+    lambdasAt(alpha, 3 to maxN)
+
+  /** λ criticals for an explicit N set (large fixed-grid compositions
+    * like g94 need only k consecutive values of n, not a dense table). */
+  def lambdasAt(alpha: Double, ns: Iterable[Int]): Map[Int, Double] =
+    ns.map { n =>
       val t = new org.apache.commons.math3.distribution.TDistribution(n - 2)
         .inverseCumulativeProbability(1.0 - alpha / (2.0 * n))
       n -> (n - 1) * t / math.sqrt((n - 2 + t * t) * n)
     }.toMap
+
+  /** CASE text for an explicit λ map (cf. [[lambdaSqlCase]]). */
+  def lambdaSqlCaseOf(lams: Map[Int, Double], nExpr: String): String =
+    lams.toSeq.sortBy(_._1).map { case (n, l) =>
+      s"WHEN $nExpr = ${n.toDouble} THEN $l"
+    }.mkString("CASE ", " ", s" ELSE ${Double.MaxValue} END")
   /** The same λ table as DuckDB CASE text over a column expression. */
   def lambdaSqlCase(alpha: Double, maxN: Int, nExpr: String): String =
     lambdas(alpha, maxN).toSeq.sortBy(_._1).map { case (n, l) =>
@@ -365,24 +603,7 @@ object StatOps {
     */
   def saxMotifs(frame: GtsFrame, win: Int = 4, alphabet: Int = 4,
                 minSeries: Int = 2): DataFrame = {
-    val bps = saxBreakpoints(alphabet)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("gtsid")).orderBy(col("ts"), col("vdouble"))
-    val xs = (0 until win).map(o =>
-      if (o == 0) col("vdouble") else lead(col("vdouble"), o).over(w))
-    val sx = xs.reduce(_ + _)
-    val sxx = xs.map(x => x * x).reduce(_ + _)
-    val det = lit(win.toDouble) * sxx - sx * sx
-    def letter(x: Column) = {
-      val z = when(det === 0.0, 0.0).otherwise((lit(win.toDouble) * x - sx) / sqrt(det))
-      bps.zipWithIndex.reverse.foldLeft(lit(('a' + bps.length).toChar.toString)) {
-        case (acc, (bp, idx)) => when(z <= bp, lit(('a' + idx).toChar.toString)).otherwise(acc)
-      }
-    }
-    frame.df
-      .withColumn("__xlast", xs.last)
-      .withColumn("word", concat(xs.map(letter): _*))
-      .filter(col("__xlast").isNotNull)
+    saxWindowWords(frame, win, alphabet)
       // two-stage distinct (word,series) → word: partial-aggregates on
       // both shuffles instead of countDistinct's Expand replication
       .groupBy(col("word"), col("gtsid")).agg(count(lit(1)).as("__c"))
