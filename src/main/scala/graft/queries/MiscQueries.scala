@@ -108,6 +108,28 @@ object MiscQueries {
       MultimodalOps.extractImageFeatures(media)
     }),
 
+    // META (fn/META.java: attribute upsert with empty-value delta
+    // removes, attributes NOT part of series identity): seed every
+    // series with {env, drop, n}; update even-user series with
+    // {tier: gold, drop: ""} → tier added, drop removed, odd users
+    // untouched. Output renders the final map as sorted k=v pairs
+    // (MAP columns don't hash portably; the render is the contract)
+    "m06_meta_attrs" -> ((s, dir) => {
+      val meta = Gts.metaTable(Gts.fromEvents(s, dir))
+        .withColumn("attributes", map(
+          lit("env"), lit("prod"), lit("drop"), lit("x"),
+          lit("n"), col("npoints").cast(StringType)))
+      val updates = meta
+        .filter(col("labels").getItem("user").cast(LongType) % 2 === 0)
+        .select(col("gtsid"),
+          map(lit("tier"), lit("gold"), lit("drop"), lit("")).as("attributes"))
+      MetaOps.setAttributes(meta, updates)
+        .select(col("class"), col("labels").getItem("user").as("userid"),
+          array_join(array_sort(transform(map_entries(col("attributes")),
+            e => concat(e.getField("key"), lit("="), e.getField("value")))),
+            ",").as("attrs"))
+    }),
+
     // multimodal REAL resize roundtrip: synthetic PNGs → Graphics2D
     // bilinear resize to 8×6 → re-encode → re-decode. The oracle is the
     // constant predicted geometry per doc, so a hash match proves every
@@ -194,6 +216,15 @@ object MiscQueries {
     "m05_image_resize" ->
       """SELECT doc_id AS media_id, 8 AS width, 6 AS height,
         |  3 AS channels, TRUE AS decoded
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "m06_meta_attrs" ->
+      s"""WITH g AS ($EV),
+         |m AS (SELECT class, userid, count(*) AS npoints FROM g GROUP BY 1, 2)
+         |SELECT class, userid,
+         |  CASE WHEN CAST(userid AS BIGINT) % 2 = 0
+         |    THEN 'env=prod,n=' || npoints || ',tier=gold'
+         |    ELSE 'drop=x,env=prod,n=' || npoints END AS attrs
+         |FROM m""".stripMargin
   )
 }
