@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.text.TextOps2
+
+/** Fourth text pack: retrieval scoring (TF-IDF, BM25) and corpus
+  * preparation (PII redaction, sliding-window chunking) — operators a
+  * training-data pipeline runs between dedup and packing. */
+object TextQueries4 {
+
+  private def docs(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** email/phone scrub rules shared by query and test; the regexes stay
+    * inside the Java∩RE2 intersection (no backrefs, no lookaround). */
+  val PiiRules: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+1-555-[0-9]{4}", "<PHONE>"))
+
+  val Bm25Terms = Seq("spark", "table", "hash")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TF-IDF: exact tf/df counts + ln score (rounded 6); the operator a
+    // quality filter / keyword extractor builds on
+    "t25_tfidf" -> ((s, dir) =>
+      TextOps2.tfIdf(docs(s, dir), minTf = 4)),
+
+    // BM25 against a literal query-term set: per-term contributions in
+    // fixed summation order, global df/avglen broadcast back
+    "t26_bm25" -> ((s, dir) =>
+      TextOps2.bm25(docs(s, dir), Bm25Terms)),
+
+    // PII redaction over INJECTED synthetic identifiers (the corpus is
+    // synthetic words — real patterns are planted deterministically per
+    // doc so the scrubber has real work and a predictable oracle)
+    "t27_pii_redact" -> ((s, dir) => {
+      val planted = docs(s, dir).withColumn("text",
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@mail.example.com or +1-555-"),
+          lpad((col("doc_id") % 10000).cast(StringType), 4, "0")))
+      TextOps2.redactPii(planted, PiiRules)
+        .select(col("doc_id"), col("n_email"), col("n_phone"),
+          length(col("redacted")).as("red_len"),
+          substring(col("redacted"), -30, 30).as("red_tail"))
+    }),
+
+    // sliding-window word chunking (50-word windows, stride 40):
+    // training/RAG window preparation with kept tails
+    "t28_chunk_overlap" -> ((s, dir) =>
+      TextOps2.chunkWords(docs(s, dir), 50, 40))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "t25_tfidf" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+        |SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |  round(tf.tf * ln(n.n / df.df), 6) AS tfidf
+        |FROM tf JOIN df USING (term) CROSS JOIN n
+        |WHERE tf.tf >= 4""".stripMargin,
+
+    "t26_bm25" -> {
+      val terms = Bm25Terms
+      val tfs = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(string_split(text, ' '), x -> x = '$t')) AS tf$i"
+      }.mkString(", ")
+      val dfs = terms.indices.map(i =>
+        s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+        .mkString(", ")
+      val contribs = terms.indices.map { i =>
+        s"""CASE WHEN tf$i > 0 THEN
+           | ln((n - df$i + 0.5) / (df$i + 0.5)) *
+           | (tf$i * ${1.2 + 1.0} /
+           |  (tf$i + 1.2 * (${1.0 - 0.75} + 0.75 * len / avglen)))
+           | ELSE 0.0 END""".stripMargin.replace("\n", "")
+      }
+      s"""WITH b AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS len, $tfs
+         |  FROM documents),
+         |g AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len) AS avglen, $dfs
+         |      FROM b),
+         |s AS (SELECT doc_id,
+         |        round(${contribs.map(c => s"($c)").mkString(" + ")}, 6)
+         |          AS bm25
+         |      FROM b CROSS JOIN g)
+         |SELECT doc_id, bm25 FROM s WHERE bm25 <> 0.0""".stripMargin
+    },
+
+    "t27_pii_redact" -> {
+      val (emailPat, phonePat) = (PiiRules(0)._2, PiiRules(1)._2)
+      s"""WITH p AS (SELECT doc_id,
+         |    text || ' contact user' || doc_id || '@mail.example.com or +1-555-'
+         |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+         |  FROM documents),
+         |r AS (SELECT doc_id,
+         |    len(regexp_extract_all(text, '$emailPat')) AS n_email,
+         |    len(regexp_extract_all(text, '$phonePat')) AS n_phone,
+         |    regexp_replace(regexp_replace(text, '$emailPat', '<EMAIL>', 'g'),
+         |      '$phonePat', '<PHONE>', 'g') AS redacted
+         |  FROM p)
+         |SELECT doc_id, CAST(n_email AS INT) AS n_email,
+         |  CAST(n_phone AS INT) AS n_phone,
+         |  CAST(length(redacted) AS INT) AS red_len,
+         |  CASE WHEN length(redacted) >= 30
+         |    THEN substring(redacted, length(redacted) - 29, 30)
+         |    ELSE redacted END AS red_tail
+         |FROM r""".stripMargin
+    },
+
+    "t28_chunk_overlap" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        |             len(string_split(text, ' ')) AS n FROM documents),
+        |s AS (SELECT doc_id, ws, n,
+        |        unnest(generate_series(0, greatest(n - 1, 0), 40)) AS start
+        |      FROM w)
+        |SELECT doc_id, CAST(start // 40 AS INT) AS chunk_id,
+        |  CAST(least(50, n - start) AS INT) AS n_words,
+        |  ws[start + 1] AS w_first,
+        |  ws[least(start + 50, n)] AS w_last
+        |FROM s""".stripMargin
+  )
+}

@@ -1,0 +1,106 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Retrieval-scoring and corpus-preparation operators for LLM-training
+  * pipelines: TF-IDF, BM25, PII redaction, sliding-window chunking.
+  * Same scale discipline as [[TextOps]]: per-document work is
+  * embarrassingly parallel (spread before CPU-heavy transforms), global
+  * statistics are one tiny aggregate broadcast back, and nothing ever
+  * joins on raw text.
+  */
+object TextOps2 {
+
+  /** TF-IDF per (doc, term): tf exact counts, df via one distinct
+    * (term, doc) aggregation, score = tf·ln(N/df). The log is the only
+    * non-rational step — callers round it (libm ulps), the exact tf/df
+    * ingredients ride along for verification. `minTf` bounds the output
+    * (and the shuffle) to terms that matter locally.
+    */
+  def tfIdf(docs: DataFrame, minTf: Int): DataFrame = {
+    val n = docs.count() // one scalar: the corpus size (driver literal)
+    val terms = TextOps.spread(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = terms.groupBy(col("term"))
+      .agg(count(lit(1)).as("df")) // terms already distinct per doc
+    terms.filter(col("tf") >= minTf)
+      .join(dfreq, "term")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+  }
+
+  /** BM25 (Robertson-Spärck Jones; the standard k1/b form) of every doc
+    * against a small literal term set. Per-term contributions are
+    * separate columns summed in FIXED order (never an aggregation over
+    * inexact doubles — that would be partitioning-order-dependent);
+    * df/avglen are one global aggregate cross-joined (broadcast) back.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75): DataFrame = {
+    val words = split(col("text"), " ")
+    val baseCols = col("doc_id") +:
+      size(words).cast(DoubleType).as("len") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        size(filter(words, w => w === t)).cast(DoubleType).as(s"tf$i")
+      }
+    val base = TextOps.spread(docs).select(baseCols: _*)
+    val gaggs = count(lit(1)).cast(DoubleType).as("n") +:
+      avg(col("len")).as("avglen") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast(DoubleType).as(s"df$i"))
+    val g = base.agg(gaggs.head, gaggs.tail: _*)
+    val contrib = terms.indices.map { i =>
+      val idf = log((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5))
+      val tfTerm = col(s"tf$i") * (k1 + 1.0) /
+        (col(s"tf$i") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("len") / col("avglen")))
+      when(col(s"tf$i") > 0, idf * tfTerm).otherwise(0.0)
+    }
+    base.crossJoin(broadcast(g))
+      .select(col("doc_id"),
+        round(contrib.reduceLeft(_ + _), 6).as("bm25"))
+      .filter(col("bm25") =!= 0.0)
+  }
+
+  /** PII redaction (C4-style scrubbing): replace every match of each
+    * (pattern → token) pair, reporting per-pattern match counts. The
+    * pattern set sticks to the regex intersection both Java and RE2
+    * support (no backrefs/lookahead) so the operation is
+    * engine-portable. Patterns apply in the given order to the running
+    * redacted text.
+    */
+  def redactPii(docs: DataFrame, rules: Seq[(String, String, String)]): DataFrame = {
+    // rules: (name, pattern, replacement token)
+    val withCounts = rules.foldLeft(TextOps.spread(docs)) {
+      case (d, (name, pat, _)) =>
+        d.withColumn(s"n_$name", regexp_count(col("text"), lit(pat)))
+    }
+    val redacted = rules.foldLeft(col("text")) { case (c, (_, pat, tok)) =>
+      regexp_replace(c, pat, tok)
+    }
+    withCounts.select(col("doc_id") +:
+      rules.map { case (name, _, _) => col(s"n_$name") } :+
+      redacted.as("redacted"): _*)
+  }
+
+  /** Sliding-window word chunking (RAG/training-window preparation):
+    * windows of `winWords` words every `stride` words, tail windows
+    * kept. One explode per doc — chunk count ≈ len/stride; no driver
+    * loops, no shuffle beyond the spread. */
+  def chunkWords(docs: DataFrame, winWords: Int, stride: Int): DataFrame = {
+    val words = split(col("text"), " ")
+    val len = size(words)
+    TextOps.spread(docs)
+      .select(col("doc_id"), words.as("__w"), len.as("__len"))
+      .withColumn("start",
+        explode(sequence(lit(0), greatest(col("__len") - 1, lit(0)), lit(stride))))
+      .select(col("doc_id"), (col("start") / stride).cast(IntegerType).as("chunk_id"),
+        least(lit(winWords), col("__len") - col("start")).as("n_words"),
+        element_at(col("__w"), col("start") + 1).as("w_first"),
+        element_at(col("__w"),
+          least(col("start") + winWords, col("__len"))).as("w_last"))
+  }
+}
