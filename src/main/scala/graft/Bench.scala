@@ -32,7 +32,15 @@ object Bench {
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release per-query persisted state (globalRank persists, dedup
+      // rounds localCheckpoint, eager ANN checkpoints): accumulated
+      // blocks + heap pressure contaminate LATER queries' timings —
+      // observed 3-8x inflation on tail-of-alphabet queries in a
+      // 160-query run. Each query must pay exactly its own cost.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

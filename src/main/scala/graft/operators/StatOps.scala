@@ -320,6 +320,84 @@ object StatOps {
     (s"a${lvl - 1}", approx.head) +: details.toSeq
   }
 
+  /** IDWT, Haar (fn/IDWT.java): exact inverse of [[haarDwt]] — the
+    * lifting cascade runs backwards (x₀ = a + d, x₁ = a − d), so
+    * dwt→idwt round-trips BIT-FOR-BIT on dyadic inputs. Input: a
+    * [[haarDwt]] output frame; output: the reconstructed bucket columns
+    * x0..x{2^levels−1} (oldest first). */
+  def haarIdwt(dwt: DataFrame, levels: Int): DataFrame = {
+    var approx: Seq[Column] = Seq(col(s"a$levels"))
+    var lvl = levels
+    while (lvl >= 1) {
+      approx = approx.zipWithIndex.flatMap { case (a, i) =>
+        val d = col(s"d${lvl}_${i + 1}")
+        Seq(a + d, a - d)
+      }
+      lvl -= 1
+    }
+    dwt.select(col("class") +: col("labels") +:
+      approx.zipWithIndex.map { case (c, i) => c.as(s"x$i") }: _*)
+  }
+
+  /** POLYFIT degree 2 (fn/POLYFIT.java/POLYFUNC — commons-math
+    * polynomial LSQ in the reference): quadratic least squares over
+    * end-anchored bucket sums, solved by Cramer's rule on the 3×3
+    * normal equations. With x = bucket index ≤ 2^k small and y exact
+    * integer sums, every moment sum (Σx⁴, Σx²y, …) and every cofactor
+    * product stays in the double-exact range, so the coefficient
+    * ratios are single correctly-rounded divisions — bit-identical
+    * cross-engine. Returns (class, labels, n, c0, c1, c2).
+    */
+  def polyFit2(frame: GtsFrame, span: Long, lastbucket: Long,
+               buckets: Int): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val xn = floor((lit(lastbucket) - col("ts")) / lit(span)).cast(LongType)
+    val b = frame.df.filter(col("ts") <= lastbucket && xn < buckets)
+      .groupBy(col("gtsid"), xn.as("x"))
+      .agg(first(col("class")).as("class"), first(col("labels")).as("labels"),
+        sum(col("vdouble")).as("y"))
+    val x = col("x").cast("double")
+    val g = b.groupBy(col("gtsid")).agg(
+      first(col("class")).as("class"), first(col("labels")).as("labels"),
+      count(lit(1)).cast("double").as("n"),
+      sum(x).as("sx"), sum(x * x).as("sxx"),
+      sum(x * x * x).as("sxxx"), sum(x * x * (x * x)).as("sxxxx"),
+      sum(col("y")).as("sy"), sum(x * col("y")).as("sxy"),
+      sum(x * x * col("y")).as("sxxy"))
+    def det3(m: Seq[Seq[Column]]): Column =
+      m(0)(0) * (m(1)(1) * m(2)(2) - m(1)(2) * m(2)(1)) -
+        m(0)(1) * (m(1)(0) * m(2)(2) - m(1)(2) * m(2)(0)) +
+        m(0)(2) * (m(1)(0) * m(2)(1) - m(1)(1) * m(2)(0))
+    val (n, sx, sxx, sxxx, sxxxx) =
+      (col("n"), col("sx"), col("sxx"), col("sxxx"), col("sxxxx"))
+    val rhs = Seq(col("sy"), col("sxy"), col("sxxy"))
+    val m = Seq(Seq(n, sx, sxx), Seq(sx, sxx, sxxx), Seq(sxx, sxxx, sxxxx))
+    val d = det3(m)
+    def repl(i: Int) = det3(m.zipWithIndex.map { case (row, r) =>
+      row.zipWithIndex.map { case (c, j) => if (j == i) rhs(r) else c }
+    })
+    g.filter(d =!= 0.0).select(col("class"), col("labels"),
+      col("n").cast("long").as("n"),
+      (repl(0) / d).as("c0"), (repl(1) / d).as("c1"), (repl(2) / d).as("c2"))
+  }
+
+  /** The same det3/Cramer trees as SQL text (shared generator). */
+  def polyFit2Sql(n: String, sx: String, sxx: String, sxxx: String,
+                  sxxxx: String, sy: String, sxy: String,
+                  sxxy: String): (String, Seq[String]) = {
+    def det3(m: Seq[Seq[String]]): String =
+      s"${m(0)(0)} * (${m(1)(1)} * ${m(2)(2)} - ${m(1)(2)} * ${m(2)(1)})" +
+        s" - ${m(0)(1)} * (${m(1)(0)} * ${m(2)(2)} - ${m(1)(2)} * ${m(2)(0)})" +
+        s" + ${m(0)(2)} * (${m(1)(0)} * ${m(2)(1)} - ${m(1)(1)} * ${m(2)(0)})"
+    val rhs = Seq(sy, sxy, sxxy)
+    val m = Seq(Seq(n, sx, sxx), Seq(sx, sxx, sxxx), Seq(sxx, sxxx, sxxxx))
+    val d = det3(m)
+    val reps = (0 until 3).map(i => det3(m.zipWithIndex.map { case (row, r) =>
+      row.zipWithIndex.map { case (c, j) => if (j == i) rhs(r) else c }
+    }))
+    (d, reps)
+  }
+
   /** DISCORDS (continuum/gts/DISCORDS.java — rarest SAX words mark the
     * most anomalous subsequences): the inverse of [[saxMotifs]]. Words
     * occurring in exactly one series, at most `maxOcc` times, are

@@ -52,6 +52,23 @@ object GtsQueries9 {
         .select(col("word"), col("class"),
           col("labels").getItem("user").as("userid"), col("n_occ"))),
 
+    // IDWT (fn/IDWT.java): Haar analysis → exact inverse — the oracle
+    // is the RAW bucket pivot itself, so a hash match proves the
+    // round-trip reconstructs every bucket bit-for-bit
+    "g96_haar_roundtrip" -> ((s, dir) =>
+      StatOps.haarIdwt(StatOps.haarDwt(cents(s, dir), 3, DAY, LB), 3)
+        .select(col("class") +: userid +:
+          (0 until 8).map(i => col(s"x$i")): _*)),
+
+    // POLYFIT degree 2 (fn/POLYFIT.java, POLYFUNC): quadratic LSQ over
+    // the 8 daily buckets via Cramer's rule on exact moment sums —
+    // coefficients are single correctly-rounded divisions
+    "g95_polyfit" -> ((s, dir) =>
+      StatOps.polyFit2(cents(s, dir), DAY, LB, 8)
+        .filter(col("n") >= 3)
+        .select(col("class"), userid, col("n"),
+          col("c0"), col("c1"), col("c2"))),
+
     // TSELEMENTS / ADDDAYS / ADDMONTHS (fn/TSELEMENTS.java, ADDDAYS,
     // ADDMONTHS) in an explicit DST timezone: local calendar fields in
     // America/New_York (spanning the March 10 2024 spring-forward if
@@ -69,23 +86,29 @@ object GtsQueries9 {
     }),
 
     // STLESDTEST (fn/STLESDTEST.java: generalized ESD over the STL
-    // remainder): classical decomposition on the 720-bucket hourly grid
-    // (trend ±12h, daily seasonality) → residuals scaled to EXACT
-    // integers (scnt·detr − ssum with uniform scnt = 29) → 3-round ESD
-    // with Long/BigInt-exact sums (StatOps.esdFlagLongKernel). The
-    // oracle replays decomposition AND every ESD round with HUGEINT
-    // sums and the shared λ criticals.
+    // remainder): classical decomposition on a 240-bucket hourly grid
+    // (trend ±12h, daily seasonality — 216 rows/series after edge trim
+    // = 9 complete days, so scnt is uniformly 9 and the residual scale
+    // 25·9 is a per-series constant) → residuals scaled to EXACT
+    // integers (scnt·detr − ssum) → 3-round ESD with Long/BigInt-exact
+    // sums (StatOps.esdFlagLongKernel). The oracle replays the
+    // decomposition AND every ESD round with HUGEINT sums and the
+    // shared λ criticals. (g57 covers the 720-bucket grid at scale;
+    // this pipeline proves the composition, not the grid size.)
     "g94_stl_esd" -> ((s, dir) => {
-      val dense = cents(s, dir).bucketize(Sum, LB, HOUR, 720)
-        .fillValue(LB, HOUR, 720, 0.0)
+      val raw = cents(s, dir)
+      val dense = raw.bucketize(Sum, LB, HOUR, 240)
+        .fillValue(LB, HOUR, 240, 0.0)
       val dec = SeasonalOps.classicalDecompose(dense, HOUR, 24, 12,
           keepExact = true)
-        .filter(col("scnt") === 29)
-        .withColumn("v", (lit(29) * col("detr") - col("ssum")).cast(LongType))
-      val lams = StatOps.lambdasAt(0.05, Seq(694, 695, 696))
+        .filter(col("scnt") === 9)
+        .withColumn("v", (lit(9) * col("detr") - col("ssum")).cast(LongType))
+      val lams = StatOps.lambdasAt(0.05, Seq(214, 215, 216))
       val flagged = StatOps.esdFlagLongKernel(
         dec.select(col("gtsid"), col("ts"), col("v")), 3, lams)
-      val meta = dense.groupBy(col("gtsid").as("__g"))
+      // identity from the RAW frame — rebuilding the dense grid just
+      // for class/labels would double the decompose pipeline
+      val meta = raw.df.groupBy(col("gtsid").as("__g"))
         .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
       flagged.join(broadcast(meta), col("gtsid") === col("__g"))
         .select(col("class"), col("labels").getItem("user").as("userid"),
@@ -158,6 +181,35 @@ object GtsQueries9 {
          |FROM b""".stripMargin
     },
 
+    "g96_haar_roundtrip" ->
+      s"""WITH g AS ($EV)
+         |SELECT class, userid,
+         |  ${(0 until 8).map(haarBucketSql).mkString(",\n|  ")}
+         |FROM g WHERE ts <= $LB AND ($LB - ts) // $DAY < 8
+         |GROUP BY 1, 2""".stripMargin,
+
+    "g95_polyfit" -> {
+      val (d, reps) = StatOps.polyFit2Sql("n", "sx", "sxx", "sxxx", "sxxxx",
+        "sy", "sxy", "sxxy")
+      s"""WITH g AS ($EV),
+         |b AS (SELECT class, userid, ($LB - ts) // $DAY AS x, sum(cents) AS y
+         |      FROM g WHERE ts <= $LB AND ($LB - ts) // $DAY < 8
+         |      GROUP BY 1, 2, 3),
+         |m AS (SELECT class, userid, CAST(count(*) AS DOUBLE) AS n,
+         |        CAST(sum(x) AS DOUBLE) AS sx,
+         |        CAST(sum(x * x) AS DOUBLE) AS sxx,
+         |        CAST(sum(x * x * x) AS DOUBLE) AS sxxx,
+         |        CAST(sum(x * x * (x * x)) AS DOUBLE) AS sxxxx,
+         |        sum(y) AS sy, sum(x * y) AS sxy, sum(x * x * y) AS sxxy
+         |      FROM b GROUP BY 1, 2),
+         |c AS (SELECT class, userid, n, ($d) AS d,
+         |        (${reps(0)}) AS r0, (${reps(1)}) AS r1, (${reps(2)}) AS r2
+         |      FROM m)
+         |SELECT class, userid, CAST(n AS BIGINT) AS n,
+         |  r0 / d AS c0, r1 / d AS c1, r2 / d AS c2
+         |FROM c WHERE d <> 0 AND n >= 3""".stripMargin
+    },
+
     "g93_sax_discords" -> {
       val win = 5
       val xs = (0 until win).map(i => s"x$i")
@@ -202,7 +254,7 @@ object GtsQueries9 {
          |FROM l""".stripMargin,
 
     "g94_stl_esd" -> {
-      val lams = StatOps.lambdasAt(0.05, Seq(694, 695, 696))
+      val lams = StatOps.lambdasAt(0.05, Seq(214, 215, 216))
       val lam = StatOps.lambdaSqlCaseOf(lams, "n")
       def round(r: Int): String = {
         val stats =
@@ -245,12 +297,12 @@ object GtsQueries9 {
       s"""WITH g AS ($EV),
          |b AS (SELECT class, userid, $LB - (($LB - ts) // $HOUR) * $HOUR AS ts,
          |             sum(cents) AS v
-         |      FROM g WHERE ts > ${LB - 720 * HOUR} AND ts <= $LB
+         |      FROM g WHERE ts > ${LB - 240 * HOUR} AND ts <= $LB
          |      GROUP BY 1, 2, 3),
          |series AS (SELECT DISTINCT class, userid FROM b),
          |grid AS (SELECT s.class, s.userid, t.ts
          |         FROM series s CROSS JOIN
-         |           (SELECT unnest(generate_series(${LB - 719 * HOUR}, $LB,
+         |           (SELECT unnest(generate_series(${LB - 239 * HOUR}, $LB,
          |              $HOUR)) AS ts) t),
          |d AS (SELECT grid.class, grid.userid, grid.ts, coalesce(b.v, 0.0) AS v
          |      FROM grid LEFT JOIN b ON grid.class = b.class
@@ -267,10 +319,10 @@ object GtsQueries9 {
          |         count(*) AS scnt
          |       FROM f GROUP BY 1, 2, 3),
          |p AS (SELECT f.class, f.userid, f.ts,
-         |        CAST(29 * f.detr - se.ssum AS BIGINT) AS v
+         |        CAST(9 * f.detr - se.ssum AS BIGINT) AS v
          |      FROM f JOIN se ON f.class = se.class AND f.userid = se.userid
          |        AND f.phase = se.phase
-         |      WHERE se.scnt = 29),
+         |      WHERE se.scnt = 9),
          |${round(1)},
          |${round(2)},
          |${round(3)},
