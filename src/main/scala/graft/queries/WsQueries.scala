@@ -186,6 +186,38 @@ object WsQueries {
           col("ts"), round(col("vdouble"), 6).as("ses"))
     }),
 
+    // LR word ≡ g89 (hourly-bucket least squares)
+    "w15_ws_lr" -> ((s, dir) => {
+      val program =
+        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+           |1 h $LB LR""".stripMargin
+      engine(s, dir, cents = true).runToFrame(program)
+        .select(col("class"), col("labels").getItem("user").as("userid"),
+          col("n"), col("slope"), col("intercept"))
+    }),
+
+    // FDWT word ≡ g91 (3-level Haar over 8 daily buckets)
+    "w16_ws_fdwt" -> ((s, dir) => {
+      val program =
+        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+           |3 1 d $LB FDWT""".stripMargin
+      engine(s, dir, cents = true).runToFrame(program)
+        .select(col("class") +:
+          col("labels").getItem("user").as("userid") +: (
+          Seq("a3", "d3_1", "d2_1", "d2_2", "d1_1", "d1_2", "d1_3", "d1_4")
+            .map(col)): _*)
+    }),
+
+    // DISCORDS word ≡ g93 (window-5 rarest SAX words)
+    "w17_ws_discords" -> ((s, dir) => {
+      val program =
+        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+           |5 4 2 DISCORDS""".stripMargin
+      engine(s, dir, cents = true).runToFrame(program)
+        .select(col("word"), col("class"),
+          col("labels").getItem("user").as("userid"), col("n_occ"))
+    }),
+
     // ESDTEST word ≡ g77 (mean/sd variant; k=3, alpha=0.05)
     "w14_ws_esdtest" -> ((s, dir) => {
       val program =
@@ -223,6 +255,9 @@ object WsQueries {
     "w11_ws_fft" -> GtsQueries8.oracleSql("g81_dft"),
     "w12_ws_fillprevious" -> GtsQueries.oracleSql("g17_fillprevious"),
     "w13_ws_ses" -> GtsQueries6.oracleSql("g67_ses_general"),
-    "w14_ws_esdtest" -> GtsQueries7.oracleSql("g77_esd_outliers")
+    "w14_ws_esdtest" -> GtsQueries7.oracleSql("g77_esd_outliers"),
+    "w15_ws_lr" -> GtsQueries9.oracleSql("g89_linreg"),
+    "w16_ws_fdwt" -> GtsQueries9.oracleSql("g91_haar_dwt"),
+    "w17_ws_discords" -> GtsQueries9.oracleSql("g93_sax_discords")
   )
 }

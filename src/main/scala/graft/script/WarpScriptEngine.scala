@@ -538,6 +538,33 @@ final class WarpScriptEngine(
       st.push(GtsFrame(flagged.join(metaOf(f), "gtsid")))
     // RESETS compensation (COUNTERDELTA family, GTSHelper compensateResets)
     case "RESETS" => st.push(toFrame(st.pop()).compensateResets())
+    // LR (fn/LR.java): gts span lastbucket LR → per-series regression
+    case "LR" =>
+      val lb = st.popLong(); val span = st.popLong()
+      st.push(GtsFrame(graft.operators.StatOps.linReg(toFrame(st.pop()), span, lb)))
+    // SKEWNESS/KURTOSIS/NSUMSUMSQ surface (fn/SKEWNESS.java family):
+    // one word pushes the whole per-series moment table
+    case "MOMENTS" | "SKEWNESS" | "KURTOSIS" =>
+      st.push(GtsFrame(graft.operators.StatOps.momentStats(toFrame(st.pop()))))
+    // FDWT Haar (fn/FDWT.java): gts levels span lastbucket FDWT
+    case "FDWT" =>
+      val lb = st.popLong(); val span = st.popLong(); val lv = st.popLong().toInt
+      st.push(GtsFrame(graft.operators.StatOps.haarDwt(toFrame(st.pop()), lv, span, lb)))
+    // IDWT (fn/IDWT.java): dwt-frame levels IDWT → reconstructed buckets
+    case "IDWT" =>
+      val lv = st.popLong().toInt
+      st.push(GtsFrame(graft.operators.StatOps.haarIdwt(toFrame(st.pop()).df, lv)))
+    // DISCORDS (continuum/gts/DISCORDS.java): gts win alphabet maxocc
+    case "DISCORDS" =>
+      val maxOcc = st.popLong().toInt; val alphabet = st.popLong().toInt
+      val win = st.popLong().toInt
+      st.push(GtsFrame(graft.operators.StatOps.saxDiscords(toFrame(st.pop()),
+        win, alphabet, maxOcc)))
+    // POLYFIT degree 2 (fn/POLYFIT.java): gts span lastbucket buckets
+    case "POLYFIT" =>
+      val nb = st.popLong().toInt; val lb = st.popLong(); val span = st.popLong()
+      st.push(GtsFrame(graft.operators.StatOps.polyFit2(toFrame(st.pop()),
+        span, lb, nb)))
     // WRAP/UNWRAP (fn/WRAP.java, fn/UNWRAP.java): frame → per-series
     // binary blobs and back (graft.sources.GtsCodec varint/delta codec)
     case "WRAP" => st.push(graft.sources.GtsCodec.wrap(toFrame(st.pop()).df))
