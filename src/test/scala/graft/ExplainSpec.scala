@@ -122,4 +122,42 @@ class ExplainSpec extends SparkSpec {
     assert(res.count() >= 1)
   }
 
+  test("pack-9 stats plans: single hash aggregations, no windows or cartesian") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val pts = graft.model.Gts.canonical(
+      (1 to 60).map(i => ("m.x", Map("user" -> (i % 5).toString), i.toLong * 1000, (i % 7).toDouble))
+        .toDF("class", "labels", "ts", "vdouble")
+        .withColumn("lat", lit(null).cast(DoubleType))
+        .withColumn("lon", lit(null).cast(DoubleType))
+        .withColumn("elev", lit(null).cast(LongType))
+        .withColumn("vtype", lit(graft.model.GtsType.DOUBLE).cast(ByteType))
+        .withColumn("vlong", lit(null).cast(LongType))
+        .withColumn("vbool", lit(null).cast(BooleanType))
+        .withColumn("vstring", lit(null).cast(StringType))
+        .withColumn("vbinary", lit(null).cast(BinaryType)))
+    val f = graft.operators.GtsFrame(pts)
+    // LR / moments / Haar: pure aggregation pipelines — a window or
+    // cartesian appearing here would be a scale regression
+    for (df <- Seq(graft.operators.StatOps.linReg(f, 1000L, 60000L),
+        graft.operators.StatOps.momentStats(f),
+        graft.operators.StatOps.haarDwt(f, 3, 1000L, 60000L),
+        graft.operators.StatOps.polyFit2(f, 1000L, 60000L, 8))) {
+      val p = plan(df)
+      assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"))
+    }
+  }
+
+  test("bm25: global stats broadcast once, corpus side never shuffles") {
+    import spark.implicits._
+    val docs = (1 to 30).map(i => (i.toLong, s"spark x y$i")).toDF("doc_id", "text")
+    val p = plan(graft.text.TextOps2.bm25(docs, Seq("spark", "table")))
+    // the 1-row global-stats side arrives via broadcast: a nested-loop
+    // join on a 1-row build side is the correct physical shape here
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
 }
