@@ -398,6 +398,45 @@ object StatOps {
     (d, reps)
   }
 
+  /** FDWT, Daubechies-4 (script/fwt supports the Daubechies family —
+    * fn/FDWT.java takes the wavelet name): one D4 analysis level over
+    * 2^k end-anchored buckets with periodic boundary. The irrational
+    * scaling coefficients (1±√3)/(4√2) are DRIVER-QUANTIZED to 2⁻²⁰
+    * dyadics (the dftWeights/λ-table pattern) and shared with the
+    * oracle, so every product against integer bucket sums is exact and
+    * the 4-term sums are order-independent — bit-identical
+    * cross-engine. Returns (class, labels, a0..a{n/2-1}, d0..d{n/2-1}).
+    */
+  def db4Dwt(frame: GtsFrame, span: Long, lastbucket: Long,
+             buckets: Int): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    require(buckets % 2 == 0, "D4 needs an even bucket count")
+    val h = db4Weights
+    val g = Seq(h(3), -h(2), h(1), -h(0)) // quadrature mirror
+    val n = floor((lit(lastbucket) - col("ts")) / lit(span)).cast(LongType)
+    val idx = lit(buckets - 1) - n // oldest-first
+    val aggs = first(col("class")).as("class") +:
+      first(col("labels")).as("labels") +:
+      (0 until buckets).map(i => coalesce(
+        sum(when(idx === i, col("vdouble"))), lit(0.0)).as(s"x$i"))
+    val b = frame.df.filter(col("ts") <= lastbucket && n < buckets)
+      .groupBy(col("gtsid")).agg(aggs.head, aggs.tail: _*)
+    def band(w: Seq[Double], nm: String) = (0 until buckets / 2).map { i =>
+      (0 until 4).map(k => lit(w(k)) * col(s"x${(2 * i + k) % buckets}"))
+        .reduceLeft(_ + _).as(s"$nm$i")
+    }
+    b.select(col("class") +: col("labels") +:
+      (band(h, "a") ++ band(g, "d")): _*)
+  }
+
+  /** 2⁻²⁰-dyadic D4 scaling coefficients (shared driver literals). */
+  def db4Weights: Seq[Double] = {
+    val q = 1048576.0
+    val s3 = math.sqrt(3.0); val d = 4.0 * math.sqrt(2.0)
+    Seq((1 + s3) / d, (3 + s3) / d, (3 - s3) / d, (1 - s3) / d)
+      .map(w => math.rint(w * q) / q)
+  }
+
   /** DISCORDS (continuum/gts/DISCORDS.java — rarest SAX words mark the
     * most anomalous subsequences): the inverse of [[saxMotifs]]. Words
     * occurring in exactly one series, at most `maxOcc` times, are

@@ -43,6 +43,16 @@ object GtsQueries9 {
           Seq("a3", "d3_1", "d2_1", "d2_2", "d1_1", "d1_2", "d1_3", "d1_4")
             .map(col)): _*)),
 
+    // FDWT Daubechies-4 (script/fwt Daubechies family): one D4 level
+    // over the 8 daily buckets, periodic boundary; the irrational
+    // (1±√3)/(4√2) coefficients are 2⁻²⁰-dyadic driver literals shared
+    // with the oracle — products and 4-term sums stay exact
+    "g97_db4_dwt" -> ((s, dir) =>
+      StatOps.db4Dwt(cents(s, dir), DAY, LB, 8)
+        .select(col("class") +: userid +:
+          ((0 until 4).map(i => col(s"a$i")) ++
+            (0 until 4).map(i => col(s"d$i"))): _*)),
+
     // DISCORDS (continuum/gts/DISCORDS.java): rarest z-normalized SAX
     // words — in exactly one series, ≤ 2 occurrences; GROUP-BY-on-word
     // candidate generation (no all-pairs scan). Window 5 (29 discords
@@ -178,6 +188,23 @@ object GtsQueries9 {
          |      GROUP BY 1, 2)
          |SELECT class, userid,
          |  $exprs
+         |FROM b""".stripMargin
+    },
+
+    "g97_db4_dwt" -> {
+      val h = StatOps.db4Weights
+      val g = Seq(h(3), -h(2), h(1), -h(0))
+      def band(w: Seq[Double], nm: String) = (0 until 4).map { i =>
+        (0 until 4).map(k => s"${w(k)} * x${(2 * i + k) % 8}")
+          .mkString(" + ") + s" AS $nm$i"
+      }
+      s"""WITH g AS ($EV),
+         |b AS (SELECT class, userid,
+         |        ${(0 until 8).map(haarBucketSql).mkString(",\n|        ")}
+         |      FROM g WHERE ts <= $LB AND ($LB - ts) // $DAY < 8
+         |      GROUP BY 1, 2)
+         |SELECT class, userid,
+         |  ${(band(h, "a") ++ band(g, "d")).mkString(",\n|  ")}
          |FROM b""".stripMargin
     },
 

@@ -50,7 +50,17 @@ object TextQueries4 {
     // sliding-window word chunking (50-word windows, stride 40):
     // training/RAG window preparation with kept tails
     "t28_chunk_overlap" -> ((s, dir) =>
-      TextOps2.chunkWords(docs(s, dir), 50, 40))
+      TextOps2.chunkWords(docs(s, dir), 50, 40)),
+
+    // deterministic output sharding + per-(shard, source) balance
+    "t29_shard_assign" -> ((s, dir) =>
+      TextOps2.shardAssign(docs(s, dir), 16)),
+
+    // unigram-LM quality score (CCNet-style perplexity stage on the
+    // corpus' own unigram model; dyadic-quantized ln keeps the per-doc
+    // sum aggregation-order-independent)
+    "t30_unigram_nll" -> ((s, dir) =>
+      TextOps2.unigramLogLoss(docs(s, dir)))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -123,6 +133,29 @@ object TextQueries4 {
         |  CAST(least(50, n - start) AS INT) AS n_words,
         |  ws[start + 1] AS w_first,
         |  ws[least(start + 50, n)] AS w_last
+        |FROM s""".stripMargin,
+
+    "t29_shard_assign" ->
+      """WITH a AS (SELECT doc_id, source, n_chars,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 16 AS shard
+        |  FROM documents)
+        |SELECT shard, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM a GROUP BY 1, 2""".stripMargin,
+
+    "t30_unigram_nll" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM t GROUP BY 1, 2),
+        |v AS (SELECT word, sum(tf) AS cnt FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM v),
+        |s AS (SELECT tf.doc_id, sum(tf.tf) AS len,
+        |        sum(tf.tf * (floor(ln(v.cnt / tot.total) * 1048576.0 + 0.5)
+        |          / 1048576.0)) AS s
+        |      FROM tf JOIN v USING (word) CROSS JOIN tot GROUP BY 1)
+        |SELECT doc_id, CAST(len AS BIGINT) AS len,
+        |  round(-s / len, 6) AS nll
         |FROM s""".stripMargin
   )
 }

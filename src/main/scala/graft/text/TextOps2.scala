@@ -86,6 +86,41 @@ object TextOps2 {
       redacted.as("redacted"): _*)
   }
 
+  /** Deterministic output sharding + balance report: shard =
+    * portable-md5(doc_id) mod `shards` — stable under any partitioning
+    * or cluster size (no RNG, no spark_partition_id), so re-runs and
+    * the DuckDB oracle land every doc in the same shard. Returns the
+    * per-(shard, source) balance table a writer would use to size
+    * output files. */
+  def shardAssign(docs: DataFrame, shards: Int): DataFrame =
+    docs.withColumn("shard",
+        pmod(TextOps.hexHash60(col("doc_id").cast(StringType)), lit(shards.toLong)))
+      .groupBy(col("shard"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+
+  /** Unigram-LM quality score (the CCNet/KenLM-perplexity stage,
+    * reduced to the corpus' own unigram model): per-doc mean negative
+    * log-likelihood under p(w) = count(w)/total. Each ln p(w) is
+    * quantized IN-ENGINE to the 2⁻²⁰ dyadic grid (floor(x·2²⁰ + 0.5)),
+    * so the per-doc Σ tf·lnq is a sum of exact dyadics — aggregation-
+    * order-independent, unlike a raw Σ ln p which would drift with
+    * partitioning. Returns (doc_id, len, nll) with nll rounded 6. */
+  def unigramLogLoss(docs: DataFrame): DataFrame = {
+    val q = 1048576.0
+    val terms = TextOps.spread(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val vocab = terms.groupBy(col("word")).agg(sum(col("tf")).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).cast(DoubleType).as("total"))
+    val lnq = floor(log(col("cnt") / col("total")) * q + 0.5) / q
+    terms.join(vocab, "word").crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("len"),
+        sum(col("tf") * lnq).as("__s"))
+      .select(col("doc_id"), col("len"),
+        round(-col("__s") / col("len"), 6).as("nll"))
+  }
+
   /** Sliding-window word chunking (RAG/training-window preparation):
     * windows of `winWords` words every `stride` words, tail windows
     * kept. One explode per doc — chunk count ≈ len/stride; no driver
