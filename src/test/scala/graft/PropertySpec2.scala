@@ -80,4 +80,37 @@ class PropertySpec2 extends AnyFunSuite {
       assert(w.sum > 0.0, name) // renormalization denominator is nonzero
     }
   }
+
+  // pure mirror of StatOps.haarDwt/haarIdwt's lifting cascade
+  private def haar(xs: Seq[Double]): (Double, Seq[Seq[Double]]) = {
+    var approx = xs; val ds = Seq.newBuilder[Seq[Double]]
+    while (approx.length > 1) {
+      val p = approx.grouped(2).toSeq
+      ds += p.map { case Seq(a, b) => (a - b) / 2.0 }
+      approx = p.map { case Seq(a, b) => (a + b) / 2.0 }
+    }
+    (approx.head, ds.result())
+  }
+  private def unhaar(a: Double, ds: Seq[Seq[Double]]): Seq[Double] =
+    ds.reverse.foldLeft(Seq(a)) { (approx, d) =>
+      approx.zip(d).flatMap { case (x, dd) => Seq(x + dd, x - dd) }
+    }
+
+  test("Haar lifting: dwt then idwt is the identity BIT-FOR-BIT on integers") {
+    val genXs = for {
+      lv <- Gen.chooseNum(1, 4)
+      xs <- Gen.listOfN(1 << lv, Gen.chooseNum(-1000000L, 1000000L))
+    } yield xs.map(_.toDouble)
+    check(Prop.forAll(genXs) { xs =>
+      val (a, ds) = haar(xs)
+      unhaar(a, ds) == xs
+    })
+  }
+
+  test("D4 weights: dyadic, near-orthonormal, sum ~ sqrt(2)") {
+    val h = graft.operators.StatOps.db4Weights
+    assert(h.forall(x => x * 1048576.0 == math.rint(x * 1048576.0)))
+    assert(math.abs(h.map(x => x * x).sum - 1.0) < 1e-5)
+    assert(math.abs(h.sum - math.sqrt(2.0)) < 1e-5)
+  }
 }
