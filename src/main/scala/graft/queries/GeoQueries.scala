@@ -68,6 +68,23 @@ object GeoQueries {
       track(s, dir).groupBy(col("class"), userid)
         .agg(sum(when(inside, 1L).otherwise(0L)).as("n_in"),
           sum(when(inside, 0L).otherwise(1L)).as("n_out"))
+    }),
+
+    // mapper.geo.approximate + mapper.geo.clear
+    // (script/mapper/MapperGeoApproximate.java reduces location
+    // resolution; MapperGeoClear.java drops it): snap each point to
+    // its res-6 grid-cell CENTER — exact dyadic arithmetic (180/64 and
+    // offsets are exact doubles) — and null the location where the
+    // value masks out (the clear mapper composed with a condition)
+    "g98_geo_approximate" -> ((s, dir) => {
+      val n = 1L << CoverRes
+      val cell = GeoCells.cellIdCol(col("lat"), col("lon"), CoverRes)
+      val aLat = (cell.cast(DoubleType) / n).cast(LongType).cast(DoubleType) /
+        n * 180.0 - 90.0 + 90.0 / n
+      val aLon = pmod(cell, lit(n)).cast(DoubleType) / n * 360.0 - 180.0 + 180.0 / n
+      val keep = col("vdouble") >= 50.0
+      track(s, dir).select(col("class"), userid, col("ts"), cell.as("cell"),
+        when(keep, aLat).as("approx_lat"), when(keep, aLon).as("approx_lon"))
     })
   )
 
@@ -96,6 +113,20 @@ object GeoQueries {
          |SELECT class, userid,
          |  CAST(sum(CASE WHEN ${Holed.containsSql("lat", "lon")} THEN 1 ELSE 0 END) AS BIGINT) AS n_in,
          |  CAST(sum(CASE WHEN ${Holed.containsSql("lat", "lon")} THEN 0 ELSE 1 END) AS BIGINT) AS n_out
-         |FROM t GROUP BY 1, 2""".stripMargin
+         |FROM t GROUP BY 1, 2""".stripMargin,
+
+    "g98_geo_approximate" ->
+      s"""WITH g AS ($EV),
+         |$trackSql,
+         |a AS (SELECT class, userid, ts, vdouble,
+         |        ${GeoCells.cellIdSql("lat", "lon", CoverRes)} AS cell FROM t)
+         |SELECT class, userid, ts, cell,
+         |  CASE WHEN vdouble >= 50.0 THEN
+         |    CAST(cell // 64 AS DOUBLE) / 64 * 180.0 - 90.0 + 90.0 / 64
+         |  END AS approx_lat,
+         |  CASE WHEN vdouble >= 50.0 THEN
+         |    CAST(cell % 64 AS DOUBLE) / 64 * 360.0 - 180.0 + 180.0 / 64
+         |  END AS approx_lon
+         |FROM a""".stripMargin
   )
 }

@@ -60,7 +60,13 @@ object TextQueries4 {
     // corpus' own unigram model; dyadic-quantized ln keeps the per-doc
     // sum aggregation-order-independent)
     "t30_unigram_nll" -> ((s, dir) =>
-      TextOps2.unigramLogLoss(docs(s, dir)))
+      TextOps2.unigramLogLoss(docs(s, dir))),
+
+    // portable count-min sketch: heavy-hitter estimates whose sketch
+    // the oracle REPLAYS (md5 row hashes, counter sums, min-of-rows) —
+    // an approximate structure under the full hash gate, not rows-only
+    "t31_cms_heavy_hitters" -> ((s, dir) =>
+      TextOps2.cmsHeavyHitters(docs(s, dir), 1024, 4, 100L))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -156,6 +162,28 @@ object TextQueries4 {
         |      FROM tf JOIN v USING (word) CROSS JOIN tot GROUP BY 1)
         |SELECT doc_id, CAST(len AS BIGINT) AS len,
         |  round(-s / len, 6) AS nll
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    "t31_cms_heavy_hitters" -> {
+      def b(i: Int) =
+        s"('0x' || substring(md5('$i' || word), 1, 15))::BIGINT % 1024"
+      val counterRows = (0 until 4).map(i =>
+        s"SELECT $i AS i, ${b(i)} AS b, cnt FROM w").mkString("\n|    UNION ALL ")
+      val addrRows = (0 until 4).map(i =>
+        s"SELECT word, cnt, $i AS i, ${b(i)} AS b FROM w WHERE cnt >= 100")
+        .mkString("\n|    UNION ALL ")
+      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS word
+         |           FROM documents),
+         |w AS (SELECT word, count(*) AS cnt FROM t GROUP BY 1),
+         |c AS (SELECT i, b, sum(cnt) AS c FROM (
+         |    $counterRows
+         |  ) GROUP BY 1, 2),
+         |a AS (
+         |    $addrRows
+         |  )
+         |SELECT a.word, CAST(min(a.cnt) AS BIGINT) AS exact,
+         |  CAST(min(c.c) AS BIGINT) AS est
+         |FROM a JOIN c USING (i, b) GROUP BY 1""".stripMargin
+    }
   )
 }

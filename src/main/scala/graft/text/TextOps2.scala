@@ -121,6 +121,41 @@ object TextOps2 {
         round(-col("__s") / col("len"), 6).as("nll"))
   }
 
+  /** Deterministic count-min sketch over corpus words (heavy-hitter
+    * estimation — the 100 TB path for "which terms dominate" without a
+    * full word groupBy): depth `d` portable-md5 hash rows × width `w`
+    * counter buckets. Counters are plain sums (order-independent), the
+    * hashes are the same md5 idiom the DuckDB oracle spells out, so
+    * the whole sketch AND its estimates are engine-reproducible — an
+    * oracle-gated approximate structure, not a rows-only one. Returns
+    * (word, exact, est) for words with exact count ≥ `minCount`;
+    * est ≥ exact by construction (one-sided CMS error).
+    */
+  def cmsHeavyHitters(docs: DataFrame, width: Int, depth: Int,
+                      minCount: Long): DataFrame = {
+    val words = TextOps.spread(docs)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    def bucket(i: Int, w: Column) =
+      pmod(TextOps.hexHash60(concat(lit(i.toString), w)), lit(width.toLong))
+    // counter table: one row per (hash row, bucket) with summed counts
+    val counters = words
+      .select(explode(array((0 until depth).map(i =>
+        struct(lit(i).as("i"), bucket(i, col("word")).as("b"))): _*)).as("ib"),
+        col("cnt"))
+      .groupBy(col("ib.i").as("i"), col("ib.b").as("b"))
+      .agg(sum(col("cnt")).as("c"))
+    // estimate = min over rows of the addressed counter
+    val addressed = words.filter(col("cnt") >= minCount)
+      .select(col("word"), col("cnt"),
+        explode(array((0 until depth).map(i =>
+          struct(lit(i).as("i"), bucket(i, col("word")).as("b"))): _*)).as("ib"))
+      .select(col("word"), col("cnt"), col("ib.i").as("i"), col("ib.b").as("b"))
+    addressed.join(counters, Seq("i", "b"))
+      .groupBy(col("word"))
+      .agg(first(col("cnt")).as("exact"), min(col("c")).as("est"))
+  }
+
   /** Sliding-window word chunking (RAG/training-window preparation):
     * windows of `winWords` words every `stride` words, tail windows
     * kept. One explode per doc — chunk count ≈ len/stride; no driver
