@@ -141,10 +141,15 @@ object StatOps {
     * survivors (k and the per-series N are both small by contract).
     */
   def esdMadFlag(frame: GtsFrame, k: Int = 3, alpha: Double = 0.05,
-                 maxN: Int = 64): DataFrame = {
-    val spark = frame.df.sparkSession
+                 maxN: Int = 64): DataFrame =
+    esdMadFlagAt(frame.df, k, lambdas(alpha, maxN))
+
+  /** [[esdMadFlag]] with an explicit λ map (large fixed-n compositions
+    * like g99) over any (gtsid, ts, vdouble) frame. */
+  def esdMadFlagAt(df: DataFrame, k: Int,
+                   lams: Map[Int, Double]): DataFrame = {
+    val spark = df.sparkSession
     import spark.implicits._
-    val lams = lambdas(alpha, maxN)
     // exact-interpolation percentile p=0.5 over a SORTED array — the
     // same lower + (higher−lower)·frac form Spark's Percentile uses;
     // exact for integer/dyadic inputs, so bit-identical to the oracle
@@ -154,7 +159,7 @@ object StatOps {
       if (lo == pos) sorted(lo)
       else sorted(lo) + (sorted(lo + 1) - sorted(lo)) * (pos - lo)
     }
-    frame.df.select(col("gtsid"), col("ts"), col("vdouble"))
+    df.select(col("gtsid"), col("ts"), col("vdouble"))
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .flatMapGroups { (id: Long, it: Iterator[(Long, Long, Double)]) =>

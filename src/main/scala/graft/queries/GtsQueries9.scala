@@ -106,25 +106,86 @@ object GtsQueries9 {
     // shared λ criticals. (g57 covers the 720-bucket grid at scale;
     // this pipeline proves the composition, not the grid size.)
     "g94_stl_esd" -> ((s, dir) => {
-      val raw = cents(s, dir)
-      val dense = raw.bucketize(Sum, LB, HOUR, 240)
-        .fillValue(LB, HOUR, 240, 0.0)
-      val dec = SeasonalOps.classicalDecompose(dense, HOUR, 24, 12,
-          keepExact = true)
-        .filter(col("scnt") === 9)
-        .withColumn("v", (lit(9) * col("detr") - col("ssum")).cast(LongType))
+      val (dec, meta) = stlScaledResid(s, dir)
       val lams = StatOps.lambdasAt(0.05, Seq(214, 215, 216))
       val flagged = StatOps.esdFlagLongKernel(
-        dec.select(col("gtsid"), col("ts"), col("v")), 3, lams)
-      // identity from the RAW frame — rebuilding the dense grid just
-      // for class/labels would double the decompose pipeline
-      val meta = raw.df.groupBy(col("gtsid").as("__g"))
-        .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
+        dec.select(col("gtsid"), col("ts"),
+          col("v").cast(LongType).as("v")), 3, lams)
       flagged.join(broadcast(meta), col("gtsid") === col("__g"))
         .select(col("class"), col("labels").getItem("user").as("userid"),
           col("ts"), col("v"), col("round").cast(IntegerType).as("round"))
+    }),
+
+    // HYBRIDTEST (fn/HYBRIDTEST.java: STL remainder + median/MAD ESD):
+    // the same exact-integer scaled residuals as g94 through the
+    // MAD-variant ESD kernel (dyadic medians of integer-valued
+    // doubles); oracle = the g94 decomposition prefix + the g79
+    // quantile_cont round replay with the large-n λ criticals
+    "g99_stl_esd_mad" -> ((s, dir) => {
+      val (dec, meta) = stlScaledResid(s, dir)
+      val lams = StatOps.lambdasAt(0.05, Seq(214, 215, 216))
+      val flagged = StatOps.esdMadFlagAt(
+        dec.select(col("gtsid"), col("ts"), col("v").as("vdouble")), 3, lams)
+      flagged.join(broadcast(meta), col("gtsid") === col("__g"))
+        .select(col("class"), col("labels").getItem("user").as("userid"),
+          col("ts"), col("vdouble").as("v"),
+          col("round").cast(IntegerType).as("round"))
     })
   )
+
+  /** Shared STL-residual pipeline for g94/g99: classical decomposition
+    * on the 240-bucket hourly grid, residuals scaled to exact integers
+    * (scnt uniformly 9), plus the identity frame for the join-back. */
+  private def stlScaledResid(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val raw = cents(s, dir)
+    val dense = raw.bucketize(Sum, LB, HOUR, 240)
+      .fillValue(LB, HOUR, 240, 0.0)
+    val dec = SeasonalOps.classicalDecompose(dense, HOUR, 24, 12,
+        keepExact = true)
+      .filter(col("scnt") === 9)
+      .withColumn("v", lit(9) * col("detr") - col("ssum"))
+    // identity from the RAW frame — rebuilding the dense grid just
+    // for class/labels would double the decompose pipeline
+    val meta = raw.df.groupBy(col("gtsid").as("__g"))
+      .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
+    (dec, meta)
+  }
+
+  /** g94/g99 shared oracle prefix: 240-bucket grid → classical
+    * decomposition → exact scaled residual `p(class, userid, ts, v)`.
+    * `asBigint` casts v (exact integer-valued) for the Long ESD path. */
+  private def stlResidPrefixSql(asBigint: Boolean): String = {
+    val vExpr = if (asBigint) "CAST(9 * f.detr - se.ssum AS BIGINT)"
+                else "9 * f.detr - se.ssum"
+    s"""b AS (SELECT class, userid, $LB - (($LB - ts) // $HOUR) * $HOUR AS ts,
+       |             sum(cents) AS v
+       |      FROM g WHERE ts > ${LB - 240 * HOUR} AND ts <= $LB
+       |      GROUP BY 1, 2, 3),
+       |series AS (SELECT DISTINCT class, userid FROM b),
+       |grid AS (SELECT s.class, s.userid, t.ts
+       |         FROM series s CROSS JOIN
+       |           (SELECT unnest(generate_series(${LB - 239 * HOUR}, $LB,
+       |              $HOUR)) AS ts) t),
+       |d AS (SELECT grid.class, grid.userid, grid.ts, coalesce(b.v, 0.0) AS v
+       |      FROM grid LEFT JOIN b ON grid.class = b.class
+       |        AND grid.userid = b.userid AND grid.ts = b.ts),
+       |t AS (SELECT class, userid, ts, v,
+       |        sum(v) OVER w AS tsum, count(*) OVER w AS tn
+       |      FROM d
+       |      WINDOW w AS (PARTITION BY class, userid ORDER BY ts
+       |        ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+       |f AS (SELECT class, userid, ts, v, tsum,
+       |        25 * v - tsum AS detr, (ts % ${24 * HOUR}) // $HOUR AS phase
+       |      FROM t WHERE tn = 25),
+       |se AS (SELECT class, userid, phase, sum(detr) AS ssum,
+       |         count(*) AS scnt
+       |       FROM f GROUP BY 1, 2, 3),
+       |p AS (SELECT f.class, f.userid, f.ts, $vExpr AS v
+       |      FROM f JOIN se ON f.class = se.class AND f.userid = se.userid
+       |        AND f.phase = se.phase
+       |      WHERE se.scnt = 9)""".stripMargin
+  }
 
   private def haarBucketSql(i: Int): String =
     s"coalesce(sum(CASE WHEN 7 - ($LB - ts) // $DAY = $i THEN cents END), 0.0) AS x$i"
@@ -280,6 +341,49 @@ object GtsQueries9 {
          |    AS plus1m
          |FROM l""".stripMargin,
 
+    "g99_stl_esd_mad" -> {
+      val lams = StatOps.lambdasAt(0.05, Seq(214, 215, 216))
+      val lam = StatOps.lambdaSqlCaseOf(lams, "n")
+      def round(r: Int): String = {
+        val rem =
+          if (r == 1) "p1 AS (SELECT * FROM p)"
+          else
+            s"""p$r AS (SELECT a.* FROM p${r - 1} a LEFT JOIN k${r - 1} k
+               |  ON a.class = k.class AND a.userid = k.userid
+               |    AND a.ts = k.ts AND a.v = k.v
+               |  WHERE k.ts IS NULL)""".stripMargin
+        s"""$rem,
+           |s$r AS (SELECT class, userid, CAST(count(*) AS DOUBLE) AS n,
+           |  quantile_cont(v, 0.5) AS med FROM p$r GROUP BY 1, 2),
+           |d$r AS (SELECT a.class, a.userid,
+           |  quantile_cont(abs(a.v - s.med), 0.5) AS mad
+           |  FROM p$r a JOIN s$r s ON a.class = s.class AND a.userid = s.userid
+           |  GROUP BY 1, 2),
+           |k$r AS (SELECT class, userid, ts, v, n,
+           |    abs(0.6745 * (v - med) / mad) AS z, $r AS round
+           |  FROM (SELECT a.class, a.userid, a.ts, a.v, s.n, s.med, d.mad,
+           |          row_number() OVER (PARTITION BY a.class, a.userid
+           |            ORDER BY abs(a.v - s.med) DESC, a.ts ASC, a.v ASC) AS rk
+           |        FROM p$r a
+           |        JOIN s$r s ON a.class = s.class AND a.userid = s.userid
+           |        JOIN d$r d ON a.class = d.class AND a.userid = d.userid
+           |        WHERE s.n >= 3 AND d.mad > 0)
+           |  WHERE rk = 1)""".stripMargin
+      }
+      s"""WITH g AS ($EV),
+         |${stlResidPrefixSql(asBigint = false)},
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |allr AS (SELECT class, userid, ts, v, round, z > ($lam) AS passed
+         |         FROM (SELECT * FROM k1 UNION ALL SELECT * FROM k2
+         |               UNION ALL SELECT * FROM k3)),
+         |fin AS (SELECT *, max(CASE WHEN passed THEN round END)
+         |          OVER (PARTITION BY class, userid) AS lastp FROM allr)
+         |SELECT class, userid, ts, v, CAST(round AS INT) AS round
+         |FROM fin WHERE round <= lastp""".stripMargin
+    },
+
     "g94_stl_esd" -> {
       val lams = StatOps.lambdasAt(0.05, Seq(214, 215, 216))
       val lam = StatOps.lambdaSqlCaseOf(lams, "n")
@@ -322,34 +426,7 @@ object GtsQueries9 {
           if (r == 1) stats else rem, pick).mkString(",\n")
       }
       s"""WITH g AS ($EV),
-         |b AS (SELECT class, userid, $LB - (($LB - ts) // $HOUR) * $HOUR AS ts,
-         |             sum(cents) AS v
-         |      FROM g WHERE ts > ${LB - 240 * HOUR} AND ts <= $LB
-         |      GROUP BY 1, 2, 3),
-         |series AS (SELECT DISTINCT class, userid FROM b),
-         |grid AS (SELECT s.class, s.userid, t.ts
-         |         FROM series s CROSS JOIN
-         |           (SELECT unnest(generate_series(${LB - 239 * HOUR}, $LB,
-         |              $HOUR)) AS ts) t),
-         |d AS (SELECT grid.class, grid.userid, grid.ts, coalesce(b.v, 0.0) AS v
-         |      FROM grid LEFT JOIN b ON grid.class = b.class
-         |        AND grid.userid = b.userid AND grid.ts = b.ts),
-         |t AS (SELECT class, userid, ts, v,
-         |        sum(v) OVER w AS tsum, count(*) OVER w AS tn
-         |      FROM d
-         |      WINDOW w AS (PARTITION BY class, userid ORDER BY ts
-         |        ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
-         |f AS (SELECT class, userid, ts, v, tsum,
-         |        25 * v - tsum AS detr, (ts % ${24 * HOUR}) // $HOUR AS phase
-         |      FROM t WHERE tn = 25),
-         |se AS (SELECT class, userid, phase, sum(detr) AS ssum,
-         |         count(*) AS scnt
-         |       FROM f GROUP BY 1, 2, 3),
-         |p AS (SELECT f.class, f.userid, f.ts,
-         |        CAST(9 * f.detr - se.ssum AS BIGINT) AS v
-         |      FROM f JOIN se ON f.class = se.class AND f.userid = se.userid
-         |        AND f.phase = se.phase
-         |      WHERE se.scnt = 9),
+         |${stlResidPrefixSql(asBigint = true)},
          |${round(1)},
          |${round(2)},
          |${round(3)},
