@@ -32,7 +32,14 @@ object AnnQueries {
     // centroid quantization) — probe 2 cells, exact top-3 per query;
     // oracle replays the identical training in SQL
     "i01_ivf_topk" -> ((s, dir) =>
-      graft.text.IvfIndex.topK(embs(s, dir), col("vec_id") < 20, 2, 3))
+      graft.text.IvfIndex.topK(embs(s, dir), col("vec_id") < 20, 2, 3)),
+
+    // ANN QUALITY REPORT: recall@3 of the IVF probe against the exact
+    // L2 top-3 — the engine measures its own index quality (both sides
+    // deterministic on scaled-int vectors, so the report itself is
+    // oracle-verifiable; the exact side is query-bounded brute force)
+    "i02_ivf_recall" -> ((s, dir) =>
+      graft.text.IvfIndex.recallVsExact(embs(s, dir), col("vec_id") < 20, 2, 3))
   )
 
   val MbBands = 4
@@ -51,6 +58,46 @@ object AnnQueries {
   private def bandBucketExpr(b: Int): String = (0 until MbBits).map { j =>
     s"(CASE WHEN list_dot_product(v, ${planeList(b * MbBits + j)}) > 0 THEN ${1L << j} ELSE 0 END)"
   }.mkString(" + ")
+
+  /** The full i01 oracle (also the inner query of the i02 recall
+    * report — DuckDB allows a WITH inside a subquery). */
+  private val i01Sql: String = {
+    def assignSql(cin: String, aout: String) =
+      s"""$aout AS (SELECT vec_id, v, cid FROM (
+         |  SELECT e.vec_id, e.v, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      -2*list_dot_product(e.v, c.c) + list_dot_product(c.c, c.c), c.cid) AS rn
+         |  FROM e CROSS JOIN $cin c) WHERE rn = 1)""".stripMargin
+    def meanSql(ain: String, cout: String) =
+      s"""$cout AS (SELECT cid, list(m ORDER BY i) AS c FROM (
+         |  SELECT cid, i, floor(avg(v[i]) * 1024.0 + 0.5) / 1024.0 AS m
+         |  FROM $ain CROSS JOIN generate_series(1, ${IvfDims}) t(i)
+         |  GROUP BY cid, i) GROUP BY cid)""".stripMargin
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+       |  FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM e WHERE vec_id < 8),
+       |${assignSql("c0", "a1")},
+       |${meanSql("a1", "c1")},
+       |${assignSql("c1", "a2")},
+       |${meanSql("a2", "c2")},
+       |${assignSql("c2", "af")},
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+       |probe AS (SELECT qid, qv, cid FROM (
+       |  SELECT q.qid, q.qv, c.cid,
+       |    row_number() OVER (PARTITION BY q.qid ORDER BY
+       |      -2*list_dot_product(q.qv, c.c) + list_dot_product(c.c, c.c), c.cid) AS rn
+       |  FROM q CROSS JOIN c2 c) WHERE rn <= 2),
+       |d AS (SELECT p.qid, a.vec_id,
+       |    list_dot_product(p.qv, p.qv) - 2*list_dot_product(p.qv, e2.v)
+       |      + list_dot_product(e2.v, e2.v) AS dist
+       |  FROM probe p JOIN af a ON p.cid = a.cid AND a.vec_id <> p.qid
+       |  JOIN e e2 ON e2.vec_id = a.vec_id)
+       |SELECT qid, vec_id AS cand_id, CAST(rn AS INT) AS rk, dist FROM (
+       |  SELECT qid, vec_id, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+       |  FROM d) WHERE rn <= 3""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "a01_lsh_buckets" ->
@@ -91,42 +138,25 @@ object AnnQueries {
          |WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) > 0.0""".stripMargin
     },
 
-    "i01_ivf_topk" -> {
-      def assignSql(cin: String, aout: String) =
-        s"""$aout AS (SELECT vec_id, v, cid FROM (
-           |  SELECT e.vec_id, e.v, c.cid,
-           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |      -2*list_dot_product(e.v, c.c) + list_dot_product(c.c, c.c), c.cid) AS rn
-           |  FROM e CROSS JOIN $cin c) WHERE rn = 1)""".stripMargin
-      def meanSql(ain: String, cout: String) =
-        s"""$cout AS (SELECT cid, list(m ORDER BY i) AS c FROM (
-           |  SELECT cid, i, floor(avg(v[i]) * 1024.0 + 0.5) / 1024.0 AS m
-           |  FROM $ain CROSS JOIN generate_series(1, ${IvfDims}) t(i)
-           |  GROUP BY cid, i) GROUP BY cid)""".stripMargin
+    "i01_ivf_topk" -> i01Sql,
+
+    "i02_ivf_recall" ->
       s"""WITH e AS (SELECT vec_id,
          |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
          |  FROM embeddings),
-         |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM e WHERE vec_id < 8),
-         |${assignSql("c0", "a1")},
-         |${meanSql("a1", "c1")},
-         |${assignSql("c1", "a2")},
-         |${meanSql("a2", "c2")},
-         |${assignSql("c2", "af")},
          |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
-         |probe AS (SELECT qid, qv, cid FROM (
-         |  SELECT q.qid, q.qv, c.cid,
+         |ex AS (SELECT qid, vec_id AS cand_id FROM (
+         |  SELECT q.qid, e2.vec_id,
          |    row_number() OVER (PARTITION BY q.qid ORDER BY
-         |      -2*list_dot_product(q.qv, c.c) + list_dot_product(c.c, c.c), c.cid) AS rn
-         |  FROM q CROSS JOIN c2 c) WHERE rn <= 2),
-         |d AS (SELECT p.qid, a.vec_id,
-         |    list_dot_product(p.qv, p.qv) - 2*list_dot_product(p.qv, e2.v)
-         |      + list_dot_product(e2.v, e2.v) AS dist
-         |  FROM probe p JOIN af a ON p.cid = a.cid AND a.vec_id <> p.qid
-         |  JOIN e e2 ON e2.vec_id = a.vec_id)
-         |SELECT qid, vec_id AS cand_id, CAST(rn AS INT) AS rk, dist FROM (
-         |  SELECT qid, vec_id, dist,
-         |    row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
-         |  FROM d) WHERE rn <= 3""".stripMargin
-    }
+         |      list_dot_product(q.qv, q.qv) - 2*list_dot_product(q.qv, e2.v)
+         |        + list_dot_product(e2.v, e2.v), e2.vec_id) AS rn
+         |  FROM q CROSS JOIN e e2 WHERE e2.vec_id <> q.qid) WHERE rn <= 3),
+         |ivf AS (SELECT qid, cand_id FROM ($i01Sql)),
+         |m AS (SELECT ex.qid, count(*) AS n_match
+         |      FROM ex JOIN ivf ON ex.qid = ivf.qid AND ex.cand_id = ivf.cand_id
+         |      GROUP BY 1)
+         |SELECT q.qid, CAST(coalesce(m.n_match, 0) AS BIGINT) AS n_match,
+         |  round(CAST(coalesce(m.n_match, 0) AS BIGINT) / 3.0, 6) AS recall
+         |FROM q LEFT JOIN m ON q.qid = m.qid""".stripMargin
   )
 }

@@ -98,4 +98,33 @@ object IvfIndex {
       .filter(col("rk") <= k)
       .select(col("qid"), col("vec_id").as("cand_id"), col("rk"), col("dist"))
   }
+
+  /** Recall@k report: how much of the exact L2 top-k the probe path
+    * recovers, per query. The exact side is a query-bounded brute
+    * force (|Q|·N dot products — the measurement tool, not the serving
+    * path); distances share [[topK]]'s qq − 2qc + cc tree on exact
+    * scaled ints, so both rankings and the report are deterministic.
+    * Returns (qid, n_match, recall). */
+  def recallVsExact(embs: DataFrame, queryPred: Column, probes: Int,
+                    k: Int): DataFrame = {
+    val vs = vecs(embs).localCheckpoint(true)
+    val q = vs.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val cdist = dot(col("qv"), col("qv")) -
+      lit(2.0) * dot(col("qv"), col("cv")) + dot(col("cv"), col("cv"))
+    val exact = q.crossJoin(vs.select(col("vec_id"), col("v").as("cv")))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(cdist.asc, col("vec_id").asc)))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id").as("cand_id"))
+    val approx = topK(embs, queryPred, probes, k)
+      .select(col("qid"), col("cand_id"))
+    val m = exact.join(approx, Seq("qid", "cand_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_match"))
+    q.select(col("qid")).join(m, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_match"), lit(0L)).as("n_match"),
+        round(coalesce(col("n_match"), lit(0L)) / lit(k.toDouble), 6)
+          .as("recall"))
+  }
 }
