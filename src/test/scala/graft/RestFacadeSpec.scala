@@ -1,0 +1,88 @@
+package graft
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.Gts
+import graft.operators.GtsFrame
+import graft.script.WarpScriptEngine
+import graft.surface.RestFacade
+
+/** Real HTTP round-trips through the /api/v0 façade: fetch with a
+  * selector + range in each format, exec with a WarpScript program. */
+class RestFacadeSpec extends SparkSpec {
+
+  private def fixture = {
+    import spark.implicits._
+    GtsFrame(Gts.canonical(Seq(
+      ("m.cpu", Map("host" -> "a"), 100L, 1.0),
+      ("m.cpu", Map("host" -> "b"), 200L, 2.0),
+      ("m.mem", Map("host" -> "a"), 300L, 3.0))
+      .toDF("class", "labels", "ts", "vdouble")
+      .withColumn("lat", lit(null).cast(DoubleType))
+      .withColumn("lon", lit(null).cast(DoubleType))
+      .withColumn("elev", lit(null).cast(LongType))
+      .withColumn("vtype", lit(graft.model.GtsType.DOUBLE).cast(ByteType))
+      .withColumn("vlong", lit(null).cast(LongType))
+      .withColumn("vbool", lit(null).cast(BooleanType))
+      .withColumn("vstring", lit(null).cast(StringType))
+      .withColumn("vbinary", lit(null).cast(BinaryType))))
+  }
+
+  private def get(url: String): (Int, String) = {
+    val c = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    val code = c.getResponseCode
+    val is = if (code < 400) c.getInputStream else c.getErrorStream
+    (code, new String(is.readAllBytes(), UTF_8))
+  }
+
+  private def post(url: String, body: String): (Int, String) = {
+    val c = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    c.setRequestMethod("POST"); c.setDoOutput(true)
+    c.getOutputStream.write(body.getBytes(UTF_8))
+    val code = c.getResponseCode
+    val is = if (code < 400) c.getInputStream else c.getErrorStream
+    (code, new String(is.readAllBytes(), UTF_8))
+  }
+
+  test("fetch: selector + range + formats over real HTTP") {
+    val f = fixture
+    val facade = new RestFacade(f,
+      () => new WarpScriptEngine(
+        (cls, labels, a, b) => f.select(cls, labels).timeclip(a, b)))
+    val port = facade.start()
+    try {
+      val (c1, text) = get(s"http://127.0.0.1:$port/api/v0/fetch" +
+        "?selector=m.cpu%7Bhost=a%7D&start=0&stop=1000")
+      assert(c1 == 200)
+      assert(text.trim == "100// m.cpu{host=a} 1.0")
+      val (_, json) = get(s"http://127.0.0.1:$port/api/v0/fetch" +
+        "?selector=~m..*&start=150&stop=1000&format=json")
+      assert(json.split("\n").length == 2 && json.contains("\"m.mem\""))
+      val (_, tsv) = get(s"http://127.0.0.1:$port/api/v0/fetch" +
+        "?selector=~.*&format=tsv")
+      assert(tsv.split("\n").toSeq.sorted ==
+        Seq("100\t1.0", "200\t2.0", "300\t3.0"))
+    } finally facade.stop()
+  }
+
+  test("exec: WarpScript program over real HTTP returns stack JSON") {
+    val f = fixture
+    val facade = new RestFacade(f,
+      () => new WarpScriptEngine(
+        (cls, labels, a, b) => f.select(cls, labels).timeclip(a, b)))
+    val port = facade.start()
+    try {
+      val (code, body) = post(s"http://127.0.0.1:$port/api/v0/exec",
+        "[ 'm.cpu' { } 0 1000 ] FETCH\n2 2 +")
+      assert(code == 200)
+      assert(body.startsWith("[4,[")) // top of stack first: the scalar
+      assert(body.contains("\"c\":\"m.cpu\""))
+      val (c2, err) = post(s"http://127.0.0.1:$port/api/v0/exec", "NOSUCHWORD")
+      assert(c2 == 400 && err.startsWith("error:"))
+    } finally facade.stop()
+  }
+}
