@@ -39,6 +39,40 @@ object GtsQueries10 {
         format_string("%s=%09.2f", col("class"), col("vdouble")).as("fmt"))
     }),
 
+    // CPROB (fn/CPROB.java): conditional value probability P(v | class)
+    // vs the unconditional P(v) — exact count ratios (single correctly-
+    // rounded division each), extending the g80 PROB/MODE family
+    "g103_cprob" -> ((s, dir) => {
+      val f = Gts.fromEventsCents(s, dir)
+      val q = (floor(col("vdouble") / 5000.0) * 5000.0).as("v")
+      val rows = f.select(col("class"), q)
+      val byClass = rows.groupBy(col("class"), col("v"))
+        .agg(count(lit(1)).as("n_cv"))
+      val classTot = rows.groupBy(col("class")).agg(count(lit(1)).as("n_c"))
+      val valTot = rows.groupBy(col("v")).agg(count(lit(1)).as("n_v"))
+      val total = rows.count().toDouble
+      byClass.join(classTot, "class").join(valTot, "v")
+        .select(col("class"), col("v"), col("n_cv"),
+          (col("n_cv") / col("n_c").cast(DoubleType)).as("cprob"),
+          (col("n_v") / lit(total)).as("prob"))
+    }),
+
+    // ISODURATION (fn/ISODURATION.java): µs span → ISO-8601 duration
+    // text (PnDTnHnMn.nnnnnnS) via pure integer field extraction
+    "g104_isoduration" -> ((s, dir) => {
+      val f = Gts.fromEvents(s, dir)
+      val dur = col("ts") % 777777777777L // synthetic positive spans
+      val d = floor(dur / 86400000000L).cast(LongType)
+      val h = floor(dur / 3600000000L).cast(LongType) % 24
+      val m = floor(dur / 60000000L).cast(LongType) % 60
+      val sec = floor(dur / 1000000L).cast(LongType) % 60
+      val us = (dur % 1000000L).cast(LongType)
+      f.select(col("class"), userid, col("ts"),
+        concat(lit("P"), d, lit("DT"), h, lit("H"), m, lit("M"),
+          sec, lit("."), lpad(us.cast(StringType), 6, "0"), lit("S"))
+          .as("isodur"))
+    }),
+
     // ISO8601 (fn/ISO8601.java): µs-precision UTC rendering + epoch day
     "g102_iso8601" -> ((s, dir) => {
       val f = Gts.fromEvents(s, dir)
@@ -69,6 +103,30 @@ object GtsQueries10 {
          |SELECT class, userid, ts,
          |  strftime(make_timestamp(ts), '%Y-%m-%dT%H:%M:%S.%fZ') AS iso,
          |  ts // 86400000000 AS epoch_day
-         |FROM g""".stripMargin
+         |FROM g""".stripMargin,
+
+    "g103_cprob" ->
+      s"""WITH g AS ($EV),
+         |r AS (SELECT class, floor(cents / 5000.0) * 5000.0 AS v FROM g),
+         |cv AS (SELECT class, v, count(*) AS n_cv FROM r GROUP BY 1, 2),
+         |ct AS (SELECT class, count(*) AS n_c FROM r GROUP BY 1),
+         |vt AS (SELECT v, count(*) AS n_v FROM r GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM r)
+         |SELECT cv.class, cv.v, cv.n_cv,
+         |  cv.n_cv / CAST(ct.n_c AS DOUBLE) AS cprob,
+         |  vt.n_v / tot.total AS prob
+         |FROM cv JOIN ct ON cv.class = ct.class
+         |  JOIN vt ON cv.v = vt.v CROSS JOIN tot""".stripMargin,
+
+    "g104_isoduration" ->
+      s"""WITH g AS ($EV),
+         |d AS (SELECT class, userid, ts, ts % 777777777777 AS dur FROM g)
+         |SELECT class, userid, ts,
+         |  'P' || (dur // 86400000000) || 'DT' ||
+         |  ((dur // 3600000000) % 24) || 'H' ||
+         |  ((dur // 60000000) % 60) || 'M' ||
+         |  ((dur // 1000000) % 60) || '.' ||
+         |  lpad(CAST(dur % 1000000 AS VARCHAR), 6, '0') || 'S' AS isodur
+         |FROM d""".stripMargin
   )
 }
