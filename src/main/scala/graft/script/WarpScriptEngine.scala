@@ -205,6 +205,18 @@ final class WarpScriptEngine(
     // ---- string words (fn/SUBSTRING.java, SPLIT, JOIN, TEMPLATE family)
     case "TOUPPER" => st.push(st.popStr().toUpperCase)
     case "TOLOWER" => st.push(st.popStr().toLowerCase)
+    // encodings (fn/TOB64.java, B64TO, TOHEX, fn/ISO8601.java)
+    case "TOB64" => st.push(java.util.Base64.getEncoder.encodeToString(
+      st.popStr().getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    case "B64TO" => st.push(new String(
+      java.util.Base64.getDecoder.decode(st.popStr()),
+      java.nio.charset.StandardCharsets.UTF_8))
+    case "TOHEX" => st.push(java.lang.Long.toHexString(st.popLong()))
+    case "ISO8601" => // µs tick → UTC ISO text (reference time unit)
+      val t = st.popLong()
+      st.push(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(t, 1000000L), Math.floorMod(t, 1000000L) * 1000L)
+        .toString)
     case "TRIM" => st.push(st.popStr().trim)
     case "SUBSTRING" => // str start [len] — 2-arg form: str start
       val b = st.pop(); val a = st.pop()

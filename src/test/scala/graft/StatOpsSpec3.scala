@@ -76,6 +76,25 @@ class StatOpsSpec3 extends SparkSpec {
     assert(got.head.getAs[Map[String, String]]("labels")("user") == "3")
   }
 
+  test("esdFlagLongKernel agrees with the double-path esdFlag on small ints") {
+    // where double arithmetic is exact (cents-scale), the Long/BigInt
+    // kernel must reproduce the original kernel's flag set exactly
+    val vals = Seq(3.0, 7.0, 7.0, 8.0, 6.0, 250.0, 5.0, 9.0, 4.0, 180.0)
+    val f = frame(vals.zipWithIndex.map { case (v, i) =>
+      ("x", "1", (i + 1).toLong, v)
+    })
+    val lams = StatOps.lambdas(0.05, 64)
+    val a = StatOps.esdFlag(f, 3, 0.05).collect()
+      .map(r => (r.getAs[Long]("ts"), r.getAs[Int]("round"))).toSet
+    import spark.implicits._
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (1L, (i + 1).toLong, v.toLong) }
+      .toDF("gtsid", "ts", "v")
+    val b = StatOps.esdFlagLongKernel(df, 3, lams).collect()
+      .map(r => (r.getAs[Long]("ts"), r.getAs[Int]("round"))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("esdFlagLongKernel: large-square values flagged with exact sums") {
     import spark.implicits._
     // values whose squares exceed 2^53 — the Long/BigInt path's reason

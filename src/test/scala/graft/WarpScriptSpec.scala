@@ -238,4 +238,11 @@ class WarpScriptSpec extends SparkSpec {
     assert(got == Set((1000L, 1.5), (2000L, 2.5)))
   }
 
+  test("encoding words: TOB64/B64TO round-trip, TOHEX, ISO8601") {
+    assert(top("'hello' TOB64") == "aGVsbG8=")
+    assert(top("'hello' TOB64 B64TO") == "hello")
+    assert(top("48213 TOHEX") == "bc55")
+    assert(top("1704067200123456 ISO8601") == "2024-01-01T00:00:00.123456Z")
+  }
+
 }
