@@ -50,11 +50,12 @@ object GtsQueries10 {
         .agg(count(lit(1)).as("n_cv"))
       val classTot = rows.groupBy(col("class")).agg(count(lit(1)).as("n_c"))
       val valTot = rows.groupBy(col("v")).agg(count(lit(1)).as("n_v"))
-      val total = rows.count().toDouble
+      val total = rows.agg(count(lit(1)).cast(DoubleType).as("__total"))
       byClass.join(classTot, "class").join(valTot, "v")
+        .crossJoin(broadcast(total))
         .select(col("class"), col("v"), col("n_cv"),
           (col("n_cv") / col("n_c").cast(DoubleType)).as("cprob"),
-          (col("n_v") / lit(total)).as("prob"))
+          (col("n_v") / col("__total")).as("prob"))
     }),
 
     // ISODURATION (fn/ISODURATION.java): µs span → ISO-8601 duration

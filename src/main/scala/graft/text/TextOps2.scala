@@ -20,7 +20,9 @@ object TextOps2 {
     * (and the shuffle) to terms that matter locally.
     */
   def tfIdf(docs: DataFrame, minTf: Int): DataFrame = {
-    val n = docs.count() // one scalar: the corpus size (driver literal)
+    // corpus size as a LAZY broadcast 1-row aggregate (a driver-side
+    // count() here would block plan construction on a full scan)
+    val n = docs.agg(count(lit(1)).cast(DoubleType).as("__n"))
     val terms = TextOps.spread(docs)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -28,8 +30,9 @@ object TextOps2 {
       .agg(count(lit(1)).as("df")) // terms already distinct per doc
     terms.filter(col("tf") >= minTf)
       .join(dfreq, "term")
+      .crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
-        round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+        round(col("tf") * log(col("__n") / col("df")), 6).as("tfidf"))
   }
 
   /** BM25 (Robertson-Spärck Jones; the standard k1/b form) of every doc
