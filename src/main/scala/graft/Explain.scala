@@ -15,7 +15,8 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("g01_fetch_selector","r01_pricing_summary","r09_shipping_priority",
         "g34_valuesort","g48_geo_cover_pushdown","t15_simhash_neardup_banded",
-        "a03_lsh_multiband","g57_stl_classical")
+        "a03_lsh_multiband","g57_stl_classical",
+        "g89_linreg","t26_bm25","t31_cms_heavy_hitters","g100_salted_agg")
     for (name <- names) {
       println(s"========== $name ==========")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
