@@ -159,6 +159,24 @@ final class KernelOps(df: DataFrame) {
     }.toDF("gtsid", "ts", "vdouble")
 
   /** Single (beta=None) or Holt double exponential smoothing. */
+  /** RANGECOMPACT (fn/RANGECOMPACT.java — deadband compression): keep
+    * the first point, then every point whose value deviates from the
+    * LAST KEPT value by more than `delta`. Sequentially dependent on
+    * the kept set, so it runs as a per-series kernel; with integer
+    * values and an integer delta every comparison is exact — the
+    * DuckDB oracle replays the recursion verbatim (g105). */
+  def rangeCompact(delta: Double): DataFrame =
+    perSeries { (id, pts) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var lastKept = Double.NaN
+      pts.foreach { p =>
+        if (lastKept.isNaN || math.abs(p.v - lastKept) > delta) {
+          out += ((id, p.ts, p.v)); lastKept = p.v
+        }
+      }
+      out
+    }.toDF("gtsid", "ts", "vdouble")
+
   def expSmooth(alpha: Double, beta: Option[Double] = None): DataFrame =
     perSeries { (id, pts) =>
       val out = beta match {

@@ -74,6 +74,18 @@ object GtsQueries10 {
           .as("isodur"))
     }),
 
+    // RANGECOMPACT (fn/RANGECOMPACT.java): deadband compression — keep
+    // points deviating > delta from the last KEPT value; sequential
+    // kernel vs a recursive-CTE replay (the g67 idiom), exact cents
+    "g105_rangecompact" -> ((s, dir) => {
+      val f = Gts.fromEventsCents(s, dir)
+      val kept = new graft.kernels.KernelOps(f).rangeCompact(5000.0)
+      val meta = f.groupBy(col("gtsid"))
+        .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
+      kept.join(meta, "gtsid")
+        .select(col("class"), userid, col("ts"), col("vdouble").as("cents"))
+    }),
+
     // ISO8601 (fn/ISO8601.java): µs-precision UTC rendering + epoch day
     "g102_iso8601" -> ((s, dir) => {
       val f = Gts.fromEvents(s, dir)
@@ -118,6 +130,25 @@ object GtsQueries10 {
          |  vt.n_v / tot.total AS prob
          |FROM cv JOIN ct ON cv.class = ct.class
          |  JOIN vt ON cv.v = vt.v CROSS JOIN tot""".stripMargin,
+
+    "g105_rangecompact" ->
+      s"""WITH RECURSIVE g AS ($EV),
+         |o AS (SELECT class, userid, ts, cents,
+         |    row_number() OVER (PARTITION BY class, userid ORDER BY ts, cents)
+         |      AS rn
+         |  FROM g),
+         |r AS (
+         |  SELECT class, userid, ts, cents, rn, cents AS lastkept, true AS kept
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.class, o.userid, o.ts, o.cents, o.rn,
+         |    CASE WHEN abs(o.cents - r.lastkept) > 5000
+         |      THEN o.cents ELSE r.lastkept END,
+         |    abs(o.cents - r.lastkept) > 5000
+         |  FROM o JOIN r ON o.class = r.class AND o.userid = r.userid
+         |    AND o.rn = r.rn + 1
+         |)
+         |SELECT class, userid, ts, cents FROM r WHERE kept""".stripMargin,
 
     "g104_isoduration" ->
       s"""WITH g AS ($EV),
