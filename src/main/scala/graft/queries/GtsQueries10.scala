@@ -86,6 +86,21 @@ object GtsQueries10 {
         .select(col("class"), userid, col("ts"), col("vdouble").as("cents"))
     }),
 
+    // MONOTONIC (fn/MONOTONIC.java): per-series monotonicity flags via
+    // one lag window + bool_and aggregates (exact integer compares)
+    "g106_monotonic" -> ((s, dir) => {
+      val f = Gts.fromEventsCents(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("gtsid")).orderBy(col("ts"), col("vdouble"))
+      val prev = lag(col("vdouble"), 1).over(w)
+      f.withColumn("__nd", prev.isNull || col("vdouble") >= prev)
+        .withColumn("__ni", prev.isNull || col("vdouble") <= prev)
+        .groupBy(col("class"), userid)
+        .agg(count(lit(1)).as("n"),
+          bool_and(col("__nd")).as("nondecreasing"),
+          bool_and(col("__ni")).as("nonincreasing"))
+    }),
+
     // ISO8601 (fn/ISO8601.java): µs-precision UTC rendering + epoch day
     "g102_iso8601" -> ((s, dir) => {
       val f = Gts.fromEvents(s, dir)
@@ -130,6 +145,17 @@ object GtsQueries10 {
          |  vt.n_v / tot.total AS prob
          |FROM cv JOIN ct ON cv.class = ct.class
          |  JOIN vt ON cv.v = vt.v CROSS JOIN tot""".stripMargin,
+
+    "g106_monotonic" ->
+      s"""WITH g AS ($EV),
+         |o AS (SELECT class, userid, cents,
+         |    lag(cents) OVER (PARTITION BY class, userid
+         |      ORDER BY ts, cents) AS prev
+         |  FROM g)
+         |SELECT class, userid, count(*) AS n,
+         |  bool_and(prev IS NULL OR cents >= prev) AS nondecreasing,
+         |  bool_and(prev IS NULL OR cents <= prev) AS nonincreasing
+         |FROM o GROUP BY 1, 2""".stripMargin,
 
     "g105_rangecompact" ->
       s"""WITH RECURSIVE g AS ($EV),
