@@ -218,6 +218,16 @@ object WsQueries {
           col("labels").getItem("user").as("userid"), col("n_occ"))
     }),
 
+    // RANGECOMPACT word ≡ g105 (deadband kernel through the script path)
+    "w18_ws_rangecompact" -> ((s, dir) => {
+      val program =
+        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+           |5000.0 RANGECOMPACT""".stripMargin
+      engine(s, dir, cents = true).runToFrame(program)
+        .select(col("class"), col("labels").getItem("user").as("userid"),
+          col("ts"), col("vdouble").as("cents"))
+    }),
+
     // ESDTEST word ≡ g77 (mean/sd variant; k=3, alpha=0.05)
     "w14_ws_esdtest" -> ((s, dir) => {
       val program =
@@ -258,6 +268,7 @@ object WsQueries {
     "w14_ws_esdtest" -> GtsQueries7.oracleSql("g77_esd_outliers"),
     "w15_ws_lr" -> GtsQueries9.oracleSql("g89_linreg"),
     "w16_ws_fdwt" -> GtsQueries9.oracleSql("g91_haar_dwt"),
-    "w17_ws_discords" -> GtsQueries9.oracleSql("g93_sax_discords")
+    "w17_ws_discords" -> GtsQueries9.oracleSql("g93_sax_discords"),
+    "w18_ws_rangecompact" -> GtsQueries10.oracleSql("g105_rangecompact")
   )
 }

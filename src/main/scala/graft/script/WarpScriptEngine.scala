@@ -550,6 +550,12 @@ final class WarpScriptEngine(
       st.push(GtsFrame(flagged.join(metaOf(f), "gtsid")))
     // RESETS compensation (COUNTERDELTA family, GTSHelper compensateResets)
     case "RESETS" => st.push(toFrame(st.pop()).compensateResets())
+    // RANGECOMPACT (fn/RANGECOMPACT.java): gts delta RANGECOMPACT
+    case "RANGECOMPACT" =>
+      val delta = st.popNum()
+      val f = toFrame(st.pop())
+      st.push(GtsFrame(new graft.kernels.KernelOps(f.df).rangeCompact(delta)
+        .join(metaOf(f), "gtsid")))
     // LR (fn/LR.java): gts span lastbucket LR → per-series regression
     case "LR" =>
       val lb = st.popLong(); val span = st.popLong()
