@@ -275,8 +275,8 @@ object GtsQueries8 {
          |  (cents / 100.0) * (cents / 100.0) AS m_pow2,
          |  sqrt(cents) AS m_sqrt,
          |  CAST(CAST(CAST(cents AS BIGINT) AS VARCHAR) AS DOUBLE) AS m_parsedouble,
-         |  product(qv) OVER (PARTITION BY class, userid ORDER BY ts
-         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS m_product
+         |  CAST(product(qv) OVER (PARTITION BY class, userid ORDER BY ts
+         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS m_product
          |FROM q""".stripMargin,
 
     "g86_geo_motion" ->

@@ -150,7 +150,7 @@ object TextQueries3 {
         |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
         |  FROM t)
-        |SELECT source, before // 512 AS pack_id, count(*) AS n_docs,
+        |SELECT source, CAST(before // 512 AS BIGINT) AS pack_id, count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
         |FROM c GROUP BY 1, 2""".stripMargin,
 
