@@ -90,15 +90,29 @@ object GtsQueries3 {
           count(when(col("b"), 1)).as("n_true"))),
 
     // HLL++ approximate distinct (script/HyperLogLogPlus.java →
-    // approx_count_distinct). Rows-only check: sketch estimates are
-    // engine-specific by nature; the exact companion is r07.
+    // approx_count_distinct). Sketch estimates are engine-specific by
+    // nature, so the oracle is a BOUND assertion: the query emits the
+    // exact count plus a boolean "estimate within 5% of exact", and the
+    // oracle asserts TRUE for every class (deterministic companion: h02).
     "h01_approx_distinct" -> ((s, dir) =>
       gts(s, dir).df.groupBy(col("class"))
-        .agg(approx_count_distinct(col("labels").getItem("user")).as("approx_users"),
-          countDistinct(col("labels").getItem("user")).as("exact_users")))
+        .agg(approx_count_distinct(col("labels").getItem("user")).as("approx"),
+          countDistinct(col("labels").getItem("user")).as("exact_users"))
+        .select(col("class"), col("exact_users"),
+          (abs(col("approx").cast("double") / col("exact_users") - lit(1.0)) < 0.05)
+            .as("within_bound")))
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Bound oracle for the HLL row: DuckDB computes the exact per-class
+    // distinct and asserts the engine's estimate landed within 5% (the
+    // engine side emits the boolean; HLL++ with default rsd=5% holds it).
+    "h01_approx_distinct" ->
+      s"""WITH g AS ($EV)
+         |SELECT class, count(DISTINCT userid) AS exact_users,
+         |       TRUE AS within_bound
+         |FROM g GROUP BY 1""".stripMargin,
+
     "g41_bucketize_calendar" ->
       s"""WITH g AS ($EV)
          |SELECT class, userid,
