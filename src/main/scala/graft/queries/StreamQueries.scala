@@ -1,0 +1,98 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.model.Gts
+import graft.streaming.{StreamingIngest, StreamingState}
+
+/** Driver-verified Structured Streaming rows (SURVEY.md §2.10).
+  *
+  * Each query runs a REAL streaming query (`Trigger.AvailableNow`) to
+  * completion inside the query function, then returns the materialized
+  * sink as a DataFrame so the driver can hash it against the same batch
+  * oracle the equivalent batch operator already passes:
+  *
+  *  - s01: file-source line-protocol ingest (reference
+  *    standalone/StandaloneStreamUpdateHandler.java, continuum
+  *    ingress/Ingress.java) must reproduce the batch ingest round-trip
+  *    (g62's oracle — the raw events long table).
+  *  - s02: stateful TIMESPLIT sessionization (fn/TIMESPLIT.java) via
+  *    flatMapGroupsWithState must reproduce the batch gap-cumsum
+  *    (g15's oracle).
+  *
+  * Determinism note: the input is written as a single file so
+  * AvailableNow drains it in one micro-batch; per-key, in-batch rows are
+  * sorted by (ts, value) inside the stateful function, matching the
+  * batch window order. On a real cluster the same code runs over Kafka
+  * with a watermark bounding state (see streaming/StreamingIngest.scala
+  * header for the maxpast/maxfuture semantics).
+  */
+object StreamQueries {
+  import GtsQueries.{EV, HOUR}
+
+  private val userid = col("labels").getItem("user").as("userid")
+
+  private val ptsSchema = StructType(Seq(
+    StructField("gtsid", LongType), StructField("ts", LongType),
+    StructField("vdouble", DoubleType)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_stream_ingest" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-s01-").toString
+      val in = s"$tmp/in"; val outP = s"$tmp/out"; val ck = s"$tmp/ck"
+      val src = Gts.fromEvents(s, dir)
+      graft.sources.Formats.toGtsLines(src).coalesce(1).write.text(in)
+      val q = StreamingIngest.ingestFiles(s, in, outP, ck, now = 0L)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(outP)
+        .select(col("class"), userid, col("ts"), col("vdouble"))
+    }),
+
+    "s02_stream_sessions" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-s02-").toString
+      val in = s"$tmp/in"; val outP = s"$tmp/out"; val ck = s"$tmp/ck"
+      val src = Gts.fromEvents(s, dir)
+      src.select(col("gtsid"), col("ts"), col("vdouble"))
+        .coalesce(1).write.parquet(in)
+      val pts = s.readStream.schema(ptsSchema).parquet(in)
+      val q = StreamingState.timesplitSessions(pts, HOUR).writeStream
+        .format("parquet").option("path", outP)
+        .option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // gtsid -> (class, userid) is a small exact dimension: broadcast.
+      val dim = src.select(col("gtsid"), col("class"), userid).distinct()
+      s.read.parquet(outP)
+        .join(broadcast(dim), "gtsid")
+        // batch TIMESPLIT session ids are 1-based (g15 oracle); the
+        // streaming carry starts at 0 and only increments.
+        .select(col("class"), col("userid"), col("ts"),
+          (col("session") + 1).as("sessionid"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // identical to g62: streaming ingest must reproduce the raw table
+    "s01_stream_ingest" ->
+      s"""WITH g AS ($EV)
+         |SELECT class, userid, ts, vdouble FROM g""".stripMargin,
+
+    // identical to g15: stateful sessionization == batch gap-cumsum
+    "s02_stream_sessions" ->
+      s"""WITH g AS ($EV),
+         |l AS (SELECT class, userid, ts,
+         |        ts - lag(ts) OVER (PARTITION BY class, userid ORDER BY ts, vdouble) AS gap
+         |      FROM g)
+         |SELECT class, userid, ts,
+         |       CAST(sum(CASE WHEN gap IS NULL OR gap > $HOUR THEN 1 ELSE 0 END)
+         |         OVER (PARTITION BY class, userid ORDER BY ts
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sessionid
+         |FROM l""".stripMargin
+  )
+}
