@@ -228,6 +228,113 @@ object WsQueries {
           col("ts"), col("vdouble").as("cents"))
     }),
 
+    // structural words through the script path, each ≡ its native g-row
+    "w19_ws_dedup" -> ((s, dir) => {
+      val program =
+        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+           |25.0 QUANTIZE DEDUP""".stripMargin
+      engine(s, dir, cents = false).runToFrame(program)
+        .select(col("class"), userid, col("ts"), col("vdouble").as("qv"))
+    }),
+
+    "w20_ws_compact" -> ((s, dir) => {
+      val program =
+        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+           |25.0 QUANTIZE COMPACT""".stripMargin
+      engine(s, dir, cents = false).runToFrame(program)
+        .select(col("class"), userid, col("ts"), col("vdouble").as("qv"))
+    }),
+
+    "w21_ws_integrate" -> ((s, dir) => {
+      val program =
+        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+           |INTEGRATE""".stripMargin
+      engine(s, dir, cents = true).runToFrame(program)
+        .select(col("class"), userid, col("ts"), col("vdouble").as("cumsum"))
+    }),
+
+    "w22_ws_timesplit" -> ((s, dir) => {
+      val program =
+        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+           |1 h TIMESPLIT""".stripMargin
+      engine(s, dir, cents = false).runToFrame(program)
+        .select(col("class"), userid, col("ts"), col("sessionid"))
+    }),
+
+    "w23_ws_chunk" -> ((s, dir) => {
+      val program =
+        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+           |$LB 1 d CHUNK""".stripMargin
+      engine(s, dir, cents = false).runToFrame(program)
+        .select(col("class"), userid, col("ts"), col("chunkid"))
+    }),
+
+    "w24_ws_normalize" -> ((s, dir) => {
+      val program =
+        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+           |NORMALIZE""".stripMargin
+      engine(s, dir, cents = true).runToFrame(program)
+        .select(col("class"), userid, col("ts"),
+          round(col("vdouble"), 9).as("norm_v"))
+    }),
+
+    "w25_ws_standardize" -> ((s, dir) => {
+      val program =
+        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+           |STANDARDIZE""".stripMargin
+      engine(s, dir, cents = true).runToFrame(program)
+        .select(col("class"), userid, col("ts"),
+          round(col("vdouble"), 6).as("z_v"))
+    }),
+
+    "w26_ws_timeshift" -> ((s, dir) => {
+      val program =
+        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+           |1 d TIMESHIFT ${T0 + DAY} ${T7 + DAY - 1} TIMECLIP""".stripMargin
+      engine(s, dir, cents = false).runToFrame(program)
+        .select(col("class"), userid, col("ts"), col("vdouble"))
+    }),
+
+    // PIVOT word ≡ g37 (wide per-user daily table, one column per class)
+    "w27_ws_pivot" -> ((s, dir) => {
+      val program =
+        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+           |[ 'events.click' 'events.view' 'events.error'
+           |  'events.purchase' 'events.signup' ]
+           |'user' $LB 1 d PIVOT""".stripMargin
+      engine(s, dir, cents = true).runToFrame(program)
+        .withColumnsRenamed(Map(
+          "user" -> "userid",
+          "events.click" -> "click_v", "events.view" -> "view_v",
+          "events.error" -> "error_v", "events.purchase" -> "purchase_v",
+          "events.signup" -> "signup_v"))
+    }),
+
+    // list/map/control word tour: SUBLIST, LMAP, MMAP, UNIQUE, LSORT,
+    // APPEND, KEYLIST, VALUELIST, SWITCH, TRY — closed-form oracle
+    "w28_ws_listwords" -> ((s, dir) => {
+      val program =
+        """0 'sum' STORE
+          |[ 5 3 1 4 1 5 9 2 6 ] UNIQUE LSORT [ 1 3 ] SUBLIST
+          |<% DROP 10 * %> LMAP
+          |<% $sum + 'sum' STORE %> FOREACH
+          |{ 'b' 2 'a' 1 'c' 3 } <% DROP 2 * %> MMAP 'mp' STORE
+          |$mp VALUELIST <% $sum + 'sum' STORE %> FOREACH
+          |$mp KEYLIST '' JOIN 'ks' STORE
+          |7 'v' STORE
+          |<% $v 5 < %> <% 'small' %>
+          |<% $v 10 < %> <% 'medium' %>
+          |<% 'large' %> 2 SWITCH 'sw' STORE
+          |<% [ ] 0 GET %> <% 'caught' %> <% %> TRY 'tr' STORE
+          |[ 1 2 ] [ 3 ] APPEND SIZE $sum +
+          |$ks '|' + $sw + '|' + $tr +
+          |""".stripMargin
+      val st = engine(s, dir, cents = false).run(program)
+      val vStr = st.head.asInstanceOf[String]
+      val vLong = st(1).asInstanceOf[Long]
+      s.range(1).select(lit(vLong).as("v_long"), lit(vStr).as("v_str"))
+    }),
+
     // ESDTEST word ≡ g77 (mean/sd variant; k=3, alpha=0.05)
     "w14_ws_esdtest" -> ((s, dir) => {
       val program =
@@ -269,6 +376,20 @@ object WsQueries {
     "w15_ws_lr" -> GtsQueries9.oracleSql("g89_linreg"),
     "w16_ws_fdwt" -> GtsQueries9.oracleSql("g91_haar_dwt"),
     "w17_ws_discords" -> GtsQueries9.oracleSql("g93_sax_discords"),
-    "w18_ws_rangecompact" -> GtsQueries10.oracleSql("g105_rangecompact")
+    "w18_ws_rangecompact" -> GtsQueries10.oracleSql("g105_rangecompact"),
+    "w19_ws_dedup" -> GtsQueries.oracleSql("g12_dedup"),
+    "w20_ws_compact" -> GtsQueries.oracleSql("g13_compact"),
+    "w21_ws_integrate" -> GtsQueries.oracleSql("g14_integrate"),
+    "w22_ws_timesplit" -> GtsQueries.oracleSql("g15_timesplit"),
+    "w23_ws_chunk" -> GtsQueries.oracleSql("g16_chunk"),
+    "w24_ws_normalize" -> GtsQueries.oracleSql("g18_normalize"),
+    "w25_ws_standardize" -> GtsQueries.oracleSql("g19_standardize"),
+    "w26_ws_timeshift" -> GtsQueries.oracleSql("g20_timeshift"),
+    "w27_ws_pivot" -> GtsQueries2.oracleSql("g37_pivot"),
+    // closed form of the list/map/control tour: sum = 20+30+40 (UNIQUE→
+    // LSORT→SUBLIST[1,3]→LMAP ×10) + 2+4+6 (MMAP ×2 values) + 3 (APPEND
+    // SIZE) = 105; text = KEYLIST|SWITCH branch|TRY catch
+    "w28_ws_listwords" ->
+      "SELECT CAST(105 AS BIGINT) AS v_long, 'abc|medium|caught' AS v_str"
   )
 }

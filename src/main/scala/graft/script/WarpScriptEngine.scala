@@ -36,6 +36,9 @@ final class WarpScriptEngine(
   import WsToken._
   import WarpScriptEngine._
 
+  /** Last TRY-caught error message (reference ATTRIBUTE_LAST_ERROR). */
+  private var lastError: String = _
+
   /** Run a program over an initially empty stack; returns the final
     * stack, top first. */
   def run(program: String): List[Any] = {
@@ -304,6 +307,108 @@ final class WarpScriptEngine(
     }
     case "REVERSE" => st.push(st.pop().asInstanceOf[Vector[Any]].reverse)
     case "FLATTEN" => st.push(flatten(st.pop().asInstanceOf[Vector[Any]]))
+    // SUBLIST (fn/SUBLIST.java:48-130, indices-list form): 2 indices =
+    // inclusive range lesser→bigger; >2 = elements at those indices
+    // (duplicates allowed); negative indices count from the end.
+    case "SUBLIST" =>
+      val idx = st.pop().asInstanceOf[Vector[Any]].map(asLong)
+      val l = st.pop().asInstanceOf[Vector[Any]]
+      val n = l.size
+      def at(i: Long): Int = (if (i < 0) i + n else i).toInt
+      val out =
+        if (idx.length == 2) {
+          val a = at(idx(0)); val b = at(idx(1))
+          val (lo, hi) = (math.min(a, b), math.max(a, b))
+          l.slice(math.max(lo, 0), math.min(hi, n - 1) + 1)
+        } else idx.map(i => l(at(i)))
+      st.push(out)
+    // LMAP (fn/LMAP.java:75-95): macro called per element with the
+    // element then (unless the optional boolean says otherwise) its
+    // index on the stack; result of each call collected into a list.
+    case "LMAP" =>
+      var top = st.pop(); var pushIndex = true
+      top match {
+        case b: Boolean => pushIndex = b; top = st.pop()
+        case _ =>
+      }
+      val m = top.asInstanceOf[WsMacro]
+      val l = st.pop().asInstanceOf[Vector[Any]]
+      val out = l.zipWithIndex.map { case (e, i) =>
+        st.push(e); if (pushIndex) st.push(i.toLong)
+        evalMacro(m, st); st.pop()
+      }
+      st.push(out)
+    // MMAP (fn/MMAP.java:48-91): macro called per entry with key, value
+    // [, index]; pops the new value then the new key back.
+    case "MMAP" =>
+      var top = st.pop(); var pushIndex = true
+      top match {
+        case b: Boolean => pushIndex = b; top = st.pop()
+        case _ =>
+      }
+      val m = top.asInstanceOf[WsMacro]
+      val mp = st.pop().asInstanceOf[Map[Any, Any]]
+      var i = 0L
+      val out = mp.map { case (k, v) =>
+        st.push(k); st.push(v); if (pushIndex) { st.push(i); i += 1 }
+        evalMacro(m, st)
+        val nv = st.pop(); val nk = st.pop(); nk -> nv
+      }
+      st.push(out)
+    // UNIQUE (fn/UNIQUE.java — set-dedup; kept in deterministic
+    // first-occurrence order here, the reference's HashSet order is
+    // an implementation accident)
+    case "UNIQUE" => st.push(st.pop().asInstanceOf[Vector[Any]].distinct)
+    // LSORT (fn/LSORT.java): natural-order in-place sort
+    case "LSORT" =>
+      st.push(st.pop().asInstanceOf[Vector[Any]].sortWith(wsLt))
+    // APPEND (fn/APPEND.java): list+list concat or map+map merge
+    case "APPEND" =>
+      val b = st.pop(); val a = st.pop()
+      (a, b) match {
+        case (x: Vector[_], y: Vector[_]) => st.push(x ++ y)
+        case (x: Map[Any @unchecked, Any @unchecked],
+              y: Map[Any @unchecked, Any @unchecked]) => st.push(x ++ y)
+        case o => throw new IllegalArgumentException(s"APPEND on $o")
+      }
+    // KEYLIST / VALUELIST (fn/KEYLIST.java, fn/VALUELIST.java) — sorted
+    // by key for determinism (our Map is unordered)
+    case "KEYLIST" =>
+      st.push(st.pop().asInstanceOf[Map[Any, Any]].keys.toVector.sortWith(wsLt))
+    case "VALUELIST" =>
+      st.push(st.pop().asInstanceOf[Map[Any, Any]].toVector
+        .sortWith((a, b) => wsLt(a._1, b._1)).map(_._2))
+
+    // ---- control: SWITCH / TRY (fn/SWITCH.java, fn/TRY.java)
+    // SWITCH: N (condition,exec) macro pairs + default macro + N; first
+    // true condition wins, its exec runs; else the default runs.
+    case "SWITCH" =>
+      val n = st.popLong().toInt
+      val dflt = st.pop().asInstanceOf[WsMacro]
+      val pairs = Vector.fill(n) {
+        val exec = st.pop().asInstanceOf[WsMacro]
+        val cond = st.pop().asInstanceOf[WsMacro]
+        (cond, exec)
+      }.reverse
+      pairs.find { case (cond, _) => evalMacro(cond, st); st.popBool() } match {
+        case Some((_, exec)) => evalMacro(exec, st)
+        case None => evalMacro(dflt, st)
+      }
+    // TRY: try / catch / finally macros; the error is recorded where
+    // LASTERROR can push it (reference keeps it in a stack attribute,
+    // ATTRIBUTE_LAST_ERROR — TRY.java:60).
+    case "TRY" =>
+      val fin = st.pop().asInstanceOf[WsMacro]
+      val cat = st.pop().asInstanceOf[WsMacro]
+      val tr = st.pop().asInstanceOf[WsMacro]
+      try evalMacro(tr, st)
+      catch {
+        case e: Exception =>
+          lastError = e.getMessage
+          evalMacro(cat, st)
+      }
+      finally evalMacro(fin, st)
+    case "LASTERROR" => st.push(lastError)
 
     // ---- control (fn/EVAL.java, IFT, IFTE, FOREACH)
     case "EVAL" => st.pop() match {
@@ -614,6 +719,19 @@ final class WarpScriptEngine(
     case "NORMALIZE" => st.push(toFrame(st.pop()).normalize())
     case "STANDARDIZE" => st.push(toFrame(st.pop()).standardize())
     case "INTEGRATE" => st.push(toFrame(st.pop()).integrate())
+    // PIVOT (frame word over the native groupBy().pivot() path — the
+    // wide-table view the reference builds via per-class FETCH+APPLY):
+    // gts [ classes ] labelkey lastbucket span PIVOT → one row per
+    // (label value, bucket end), one sum column per class.
+    case "PIVOT" =>
+      val span = st.popLong(); val lb = st.popLong()
+      val lbl = st.popStr()
+      val classes = st.pop().asInstanceOf[Vector[Any]].map(_.toString)
+      val f = toFrame(st.pop())
+      st.push(GtsFrame(f.withBucketCol(lb, span)
+        .groupBy(col("labels").getItem(lbl).as(lbl), col("__bucket").as("ts"))
+        .pivot("class", classes)
+        .agg(sum(col("vdouble")))))
     case "MERGE" => st.pop() match {
       case v: Vector[_] => st.push(framesOf(v))
       case f: GtsFrame => val g = toFrame(st.pop()); st.push(g.merge(f))
@@ -685,6 +803,14 @@ final class WarpScriptEngine(
     case d: Double => d
     case l: Long => l.toDouble
     case o => throw new IllegalArgumentException(s"expected number, got $o")
+  }
+
+  /** Natural WarpScript ordering: numbers by value, strings
+    * lexicographically, mixed by rendered text (LSORT/KEYLIST). */
+  private def wsLt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Number, y: Number) => x.doubleValue() < y.doubleValue()
+    case (x: String, y: String) => x < y
+    case _ => String.valueOf(a) < String.valueOf(b)
   }
 
   private def flatten(v: Vector[Any]): Vector[Any] = v.flatMap {

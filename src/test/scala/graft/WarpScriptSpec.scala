@@ -245,4 +245,35 @@ class WarpScriptSpec extends SparkSpec {
     assert(top("1704067200123456 ISO8601") == "2024-01-01T00:00:00.123456Z")
   }
 
+  test("list words: SUBLIST, LMAP, UNIQUE, LSORT, APPEND, REVERSE") {
+    assert(top("[ 5 3 1 4 1 5 ] UNIQUE LSORT") == Vector(1L, 3L, 4L, 5L))
+    assert(top("[ 10 20 30 40 ] [ 1 2 ] SUBLIST") == Vector(20L, 30L))
+    // >2 indices = element picks with duplicates; negatives from the end
+    assert(top("[ 10 20 30 40 ] [ 0 0 -1 ] SUBLIST") == Vector(10L, 10L, 40L))
+    // LMAP pushes element then index; macro here uses both: v*10 + i
+    assert(top("[ 7 8 9 ] <% 'i' STORE 10 * $i + %> LMAP") ==
+      Vector(70L, 81L, 92L))
+    assert(top("[ 1 2 ] [ 3 ] APPEND") == Vector(1L, 2L, 3L))
+  }
+
+  test("map words: MMAP, KEYLIST, VALUELIST") {
+    assert(top("{ 'b' 2 'a' 1 } <% DROP 2 * %> MMAP VALUELIST") ==
+      Vector(2L, 4L))
+    assert(top("{ 'b' 2 'a' 1 } KEYLIST") == Vector("a", "b"))
+    // MMAP can rewrite keys too (macro leaves key below value)
+    assert(top("{ 'x' 1 } <% DROP SWAP 'k.' SWAP + SWAP %> MMAP KEYLIST") ==
+      Vector("k.x"))
+  }
+
+  test("control words: SWITCH picks first true case, TRY catches") {
+    val sw = "7 'v' STORE " +
+      "<% $v 5 < %> <% 'small' %> <% $v 10 < %> <% 'medium' %> " +
+      "<% 'large' %> 2 SWITCH"
+    assert(top(sw) == "medium")
+    assert(top("<% [ ] 0 GET %> <% 'caught' %> <% %> TRY") == "caught")
+    // finally runs on success too, and the happy path keeps its value
+    assert(eng.run("<% 42 %> <% 'caught' %> <% 1 %> TRY") ==
+      List(1L, 42L))
+  }
+
 }
