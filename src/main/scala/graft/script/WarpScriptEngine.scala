@@ -672,10 +672,15 @@ final class WarpScriptEngine(
     // FDWT Haar (fn/FDWT.java): gts levels span lastbucket FDWT
     case "FDWT" =>
       val lb = st.popLong(); val span = st.popLong(); val lv = st.popLong().toInt
+      // bound: levels <= 0 would make the approx cascade empty and large
+      // levels allocate 1<<levels columns — a request-triggered OOM via
+      // POST /api/v0/exec without this check
+      require(lv >= 1 && lv <= 20, s"FDWT levels must be in [1, 20]: $lv")
       st.push(GtsFrame(graft.operators.StatOps.haarDwt(toFrame(st.pop()), lv, span, lb)))
     // IDWT (fn/IDWT.java): dwt-frame levels IDWT → reconstructed buckets
     case "IDWT" =>
       val lv = st.popLong().toInt
+      require(lv >= 1 && lv <= 20, s"IDWT levels must be in [1, 20]: $lv")
       st.push(GtsFrame(graft.operators.StatOps.haarIdwt(toFrame(st.pop()).df, lv)))
     // DISCORDS (continuum/gts/DISCORDS.java): gts win alphabet maxocc
     case "DISCORDS" =>

@@ -44,7 +44,19 @@ object Compress {
     inf.setInput(in)
     val bos = new ByteArrayOutputStream()
     val buf = new Array[Byte](8192)
-    while (!inf.finished()) bos.write(buf, 0, inf.inflate(buf))
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      // inflate() returns 0 with needsInput()/needsDictionary() set when
+      // the stream is truncated or wants a preset dictionary; finished()
+      // would never flip, so raise like GZIPInputStream does on EOF.
+      if (n == 0 && !inf.finished()) {
+        inf.end()
+        throw new java.util.zip.ZipException(
+          if (inf.needsDictionary()) "deflate stream needs a preset dictionary"
+          else "truncated or corrupt deflate stream")
+      }
+      bos.write(buf, 0, n)
+    }
     inf.end(); bos.toByteArray
   }
 

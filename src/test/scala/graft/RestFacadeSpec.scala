@@ -83,6 +83,14 @@ class RestFacadeSpec extends SparkSpec {
       assert(body.contains("\"c\":\"m.cpu\""))
       val (c2, err) = post(s"http://127.0.0.1:$port/api/v0/exec", "NOSUCHWORD")
       assert(c2 == 400 && err.startsWith("error:"))
+      // control characters in string stack values must be JSON-escaped:
+      // base64 of "line1\nline2" smuggles a newline past the tokenizer
+      val b64 = java.util.Base64.getEncoder.encodeToString(
+        "line1\nline2".getBytes(UTF_8))
+      val (c3, esc) = post(s"http://127.0.0.1:$port/api/v0/exec",
+        s"'$b64' B64TO")
+      assert(c3 == 200)
+      assert(esc == "[\"line1\\nline2\"]")
     } finally facade.stop()
   }
 }
