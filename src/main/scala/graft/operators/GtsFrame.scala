@@ -708,8 +708,21 @@ object GtsFrame {
       when(max(ts) > min(ts),
         (max_by(v, ts) - min_by(v, ts)) / ((max(ts) - min(ts)) / lit(1000000.0)))
   }
-  def Percentile(p: Double): ValueAgg = simple(c => percentile_approx(c, lit(p / 100.0), lit(10000)))
-  def PercentileExact(p: Double): ValueAgg = simple(c => percentile(c, lit(p / 100.0)))
+  /** aggregator/Percentile.java DEFAULT (Hyndman-Fan type 1, nearest
+    * rank): the smallest value whose cumulative probability >= p/100 —
+    * exact, like the reference. Collects the group into a sorted array,
+    * so groups must be bounded (per-series buckets/windows are); for
+    * huge unbounded groups use [[PercentileApprox]], the sketch path. */
+  def Percentile(p: Double): ValueAgg = simple { c =>
+    val xs = sort_array(collect_list(c))
+    element_at(xs, greatest(ceil(lit(p / 100.0) * size(xs)), lit(1))
+      .cast(org.apache.spark.sql.types.IntegerType))
+  }
+  /** Interpolating exact percentile (H&F type 7 — Spark `percentile`,
+    * DuckDB `quantile_cont`); the reference's 'type7' option. */
+  def PercentileCont(p: Double): ValueAgg = simple(c => percentile(c, lit(p / 100.0)))
+  /** Sketch percentile for huge groups (the 100 TB scale path; opt-in). */
+  def PercentileApprox(p: Double): ValueAgg = simple(c => percentile_approx(c, lit(p / 100.0), lit(10000)))
   /** reducer.join — concatenate values (aggregator/Join.java). */
   def JoinAgg(sep: String): ValueAgg = simple(c =>
     array_join(array_sort(collect_list(c.cast(StringType))), sep))

@@ -15,6 +15,18 @@ object GtsQueries10 {
   private val userid = col("labels").getItem("user").as("userid")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // aggregator/Percentile.java DEFAULT (Hyndman-Fan type 1, nearest
+    // rank) as the GtsFrame.Percentile bucketizer — exact, vs a DuckDB
+    // sorted-list index oracle (quantile_disc is type-1 only for some
+    // ranks, so the oracle spells out ceil(p·n) explicitly)
+    "g107_percentile_type1" -> ((s, dir) => {
+      import graft.operators.GtsFrame
+      import graft.operators.GtsFrame._
+      GtsFrame(Gts.fromEventsCents(s, dir))
+        .bucketize(Percentile(90.0), GtsQueries.LB, GtsQueries.DAY)
+        .df.select(col("class"), userid, col("ts"), col("vdouble").as("p90_v"))
+    }),
+
     // salted two-stage aggregation (SkewOps — the 100 TB hot-key path)
     // must be VALUE-IDENTICAL to the plain one-stage aggregate: the
     // oracle is the plain GROUP BY, so a hash match proves salting is
@@ -112,6 +124,17 @@ object GtsQueries10 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // H&F type 1 spelled out: 1-indexed sorted-list element at
+    // max(ceil(p·n), 1) — what aggregator/Percentile.java's default
+    // type computes
+    "g107_percentile_type1" -> {
+      val LB = GtsQueries.LB; val DAY = GtsQueries.DAY
+      s"""WITH g AS ($EV)
+         |SELECT class, userid, $LB - (($LB - ts) // $DAY) * $DAY AS ts,
+         |  list_sort(list(cents))[CAST(greatest(ceil(0.9 * count(*)), 1) AS BIGINT)] AS p90_v
+         |FROM g WHERE ts <= $LB GROUP BY 1, 2, 3""".stripMargin
+    },
+
     "g100_salted_agg" ->
       s"""WITH g AS ($EV)
          |SELECT class, userid, sum(cents) AS sum_v,
