@@ -27,6 +27,14 @@ object TextQueries2 {
     "t10_minhash_toppairs" -> ((s, dir) =>
       minhashTopPairs(docs(s, dir).filter(col("doc_id") < 1000), "text", 3, 20)),
 
+    // DEFAULT near-dup mining path (TextOps.minhashTopPairsBanded):
+    // same contract as t10 but estimates Jaccard only on LSH candidate
+    // pairs — equality joins at any N (plan-locked in ExplainSpec);
+    // the oracle restricts its pair join to band collisions too
+    "t32_minhash_toppairs_banded" -> ((s, dir) =>
+      TextOps.minhashTopPairsBanded(
+        docs(s, dir).filter(col("doc_id") < 1000), "text", 3, 20)),
+
     // 32-bit SimHash per doc
     "t11_simhash" -> ((s, dir) => simhash(docs(s, dir), "text")),
 
@@ -140,6 +148,28 @@ object TextQueries2 {
     "t09_minhash_signature" ->
       s"""WITH $SH
          |SELECT doc_id, $mhSelect FROM hh GROUP BY 1""".stripMargin,
+
+    "t32_minhash_toppairs_banded" -> {
+      val est = (0 until NumPerms)
+        .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+      val bandHit = (0 until NumPerms / 2)
+        .map(b => s"(a.mh${2 * b} = b.mh${2 * b} AND a.mh${2 * b + 1} = b.mh${2 * b + 1})")
+        .mkString(" OR ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+         |           FROM documents WHERE doc_id < 1000),
+         |gr AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words) - 2),
+         |         i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS grams
+         |       FROM w WHERE len(words) >= 3),
+         |sh AS (SELECT doc_id, unnest(grams) AS shingle FROM gr),
+         |hh AS (SELECT doc_id, ('0x' || substring(md5(shingle),1,15))::BIGINT AS h60 FROM sh),
+         |$SIG,
+         |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |        CAST($est AS DOUBLE) / $NumPerms AS est_jaccard
+         |      FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandHit)),
+         |r AS (SELECT ida, idb, est_jaccard,
+         |        row_number() OVER (ORDER BY est_jaccard DESC, ida, idb) AS rk FROM p)
+         |SELECT ida, idb, est_jaccard, CAST(rk AS INT) AS rk FROM r WHERE rk <= 20""".stripMargin
+    },
 
     "t10_minhash_toppairs" -> {
       val est = (0 until NumPerms)

@@ -73,8 +73,12 @@ object TextOps {
   /** Candidate near-dup pairs via LSH banding (bands of 2 rows over the
     * 8-perm signature): docs sharing ANY band collide. The self-join is
     * on (band index, band key) — tiny keys, massively selective. */
-  def lshCandidates(docs: DataFrame, textCol: String, n: Int): DataFrame = {
-    val sig = minhashSignatures(docs, textCol, n)
+  def lshCandidates(docs: DataFrame, textCol: String, n: Int): DataFrame =
+    lshCandidatesFromSig(minhashSignatures(docs, textCol, n))
+
+  /** Band-collision candidate pairs from an existing signature frame
+    * (bands of 2 rows over the NumPerms-wide signature). */
+  def lshCandidatesFromSig(sig: DataFrame): DataFrame = {
     val bands = array((0 until NumPerms / 2).map(b =>
       struct(lit(b).as("bi"),
         concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bk"))): _*)
@@ -101,6 +105,34 @@ object TextOps {
         (matches.cast(DoubleType) / NumPerms).as("est_jaccard"))
     // top-k via TakeOrderedAndProject — the pair stream never funnels
     // through a single-partition window
+    graft.operators.RankOps.topK(pairs,
+      Seq(col("est_jaccard").desc, col("ida"), col("idb")), k, "rk")
+  }
+
+  /** DEFAULT top-k near-dup pair mining — the entry point a pipeline
+    * should call at any corpus size: estimate Jaccard only on LSH
+    * band-collision candidates (equality joins throughout, no all-pairs
+    * anywhere in the plan), then take the global top-k. Pairs colliding
+    * in no band are pruned by construction; for near-dup mining that is
+    * the point of banding (such pairs have est_jaccard below the band
+    * threshold w.h.p.). [[minhashTopPairs]] remains the small-data
+    * oracle baseline that scores even non-candidate pairs. */
+  def minhashTopPairsBanded(docs: DataFrame, textCol: String, n: Int,
+                            k: Int): DataFrame = {
+    // signatures feed both the banding explode and the two pair-scoring
+    // joins: materialize once (the frame is NumPerms longs per doc)
+    val sig = minhashSignatures(docs, textCol, n).localCheckpoint(true)
+    val cand = lshCandidatesFromSig(sig)
+    val a = sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+    val b = sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+    val matches = (0 until NumPerms)
+      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val pairs = cand
+      .join(a, cand("ida") === a("a_doc_id"))
+      .join(b, cand("idb") === b("b_doc_id"))
+      .select(col("ida"), col("idb"),
+        (matches.cast(DoubleType) / NumPerms).as("est_jaccard"))
     graft.operators.RankOps.topK(pairs,
       Seq(col("est_jaccard").desc, col("ida"), col("idb")), k, "rk")
   }

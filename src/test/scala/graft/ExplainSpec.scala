@@ -58,6 +58,21 @@ class ExplainSpec extends SparkSpec {
     assert(got == truth)
   }
 
+  test("default minhash top-pairs path plans no nested-loop join at any N") {
+    import spark.implicits._
+    val docs = (1 to 40).map(i =>
+      (i.toLong, s"alpha beta gamma delta w$i x${i % 7} y${i % 3} z${i % 2}"))
+      .toDF("doc_id", "text")
+    val df = graft.text.TextOps.minhashTopPairsBanded(docs, "text", 3, 5)
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // every returned pair must really be a band collision, ranked by est
+    val got = df.select("ida", "idb", "est_jaccard").collect()
+    assert(got.nonEmpty)
+    val ests = got.map(_.getDouble(2)).toSeq
+    assert(ests == ests.sorted.reverse)
+  }
+
   test("StatOps plans: broadcast stats join, no nested-loop anywhere") {
     import spark.implicits._
     import org.apache.spark.sql.types._
