@@ -109,6 +109,39 @@ object GeoCells {
   def intersection(a: Set[Long], b: Set[Long]): Set[Long] = a & b
   def subtraction(a: Set[Long], b: Set[Long]): Set[Long] = a -- b
 
+  /** GEOBUFFER (fn/GEOBUFFER.java buffers a shape; over a cell cover
+    * the Spark-first equivalent is morphological dilation): expand the
+    * cover by `rings` 8-neighborhood rings — each ring adds one cell
+    * (180/2^res degrees of latitude) of margin around the shape.
+    * Latitude clamps at the poles; longitude wraps across the
+    * antimeridian. Driver-side set op (covers are query constants). */
+  def dilate(cells: Set[Long], res: Int, rings: Int = 1): Set[Long] = {
+    val n = 1L << res
+    var cur = cells
+    var r = 0
+    while (r < rings) {
+      val out = Set.newBuilder[Long]
+      cur.foreach { cell =>
+        val la = cell / n; val lo = cell % n
+        var dla = -1L
+        while (dla <= 1L) {
+          val nla = la + dla
+          if (nla >= 0 && nla < n) {
+            var dlo = -1L
+            while (dlo <= 1L) {
+              out += nla * n + ((lo + dlo + n) % n)
+              dlo += 1
+            }
+          }
+          dla += 1
+        }
+      }
+      cur = out.result()
+      r += 1
+    }
+    cur
+  }
+
   /** Pre-filter predicate: point's cell ∈ cover. For small covers an
     * IN-list (pushed into the parquet scan); callers with huge covers
     * should broadcast-semi-join a cover table instead. */

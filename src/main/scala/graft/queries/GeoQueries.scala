@@ -85,6 +85,30 @@ object GeoQueries {
       val keep = col("vdouble") >= 50.0
       track(s, dir).select(col("class"), userid, col("ts"), cell.as("cell"),
         when(keep, aLat).as("approx_lat"), when(keep, aLon).as("approx_lon"))
+    }),
+
+    // TOGEOHASH / GEOHASHTO (fn/TOGEOHASH.java, fn/GEOHASHTO.java):
+    // base-32 geohash text encode of every track point + decode back to
+    // the cell center — pure shift/mask/concat column expressions, the
+    // oracle renders the IDENTICAL arithmetic as SQL
+    "g108_geohash" -> ((s, dir) =>
+      track(s, dir)
+        .withColumn("gh", graft.functions.GeoHash.encode(col("lat"), col("lon"), 7))
+        .select(col("class"), userid, col("ts"), col("gh"),
+          graft.functions.GeoHash.decodeLat(col("gh"), 7).as("ghlat"),
+          graft.functions.GeoHash.decodeLon(col("gh"), 7).as("ghlon"))),
+
+    // GEOBUFFER (fn/GEOBUFFER.java): one-ring dilation of the pentagon
+    // cover — the Spark side filters on the driver-dilated IN-list (the
+    // pushdown shape), the oracle independently re-derives membership as
+    // "some 8-neighborhood offset of the point's cell is in the BASE
+    // cover" — a hash match proves the dilation is exactly the
+    // neighborhood union
+    "g109_geobuffer" -> ((s, dir) => {
+      val buffered = GeoCells.dilate(Cover, CoverRes, 1)
+      track(s, dir)
+        .filter(GeoCells.inCover(col("lat"), col("lon"), buffered, CoverRes))
+        .select(col("class"), userid, col("ts"), col("vdouble"))
     })
   )
 
@@ -127,6 +151,35 @@ object GeoQueries {
          |  CASE WHEN vdouble >= 50.0 THEN
          |    CAST(cell % 64 AS DOUBLE) / 64 * 360.0 - 180.0 + 180.0 / 64
          |  END AS approx_lon
-         |FROM a""".stripMargin
+         |FROM a""".stripMargin,
+
+    "g108_geohash" -> {
+      import graft.functions.GeoHash
+      s"""WITH g AS ($EV),
+         |$trackSql,
+         |e AS (SELECT class, userid, ts,
+         |        ${GeoHash.encodeSql("lat", "lon", 7)} AS gh FROM t)
+         |SELECT class, userid, ts, gh,
+         |  ${GeoHash.decodeSql("gh", 7, lat = true)} AS ghlat,
+         |  ${GeoHash.decodeSql("gh", 7, lat = false)} AS ghlon
+         |FROM e""".stripMargin
+    },
+
+    "g109_geobuffer" -> {
+      val n = 1L << CoverRes
+      val coverList = Cover.toSeq.sorted.mkString(", ")
+      s"""WITH g AS ($EV),
+         |$trackSql,
+         |a AS (SELECT class, userid, ts, vdouble,
+         |        ${GeoCells.cellIdSql("lat", "lon", CoverRes)} AS cell FROM t),
+         |b AS (SELECT *, cell // $n AS la, cell % $n AS lo FROM a),
+         |cov AS (SELECT unnest([$coverList]) AS c)
+         |SELECT class, userid, ts, vdouble FROM b
+         |WHERE EXISTS (
+         |  SELECT 1 FROM cov,
+         |    (VALUES (-1), (0), (1)) d1(dla), (VALUES (-1), (0), (1)) d2(dlo)
+         |  WHERE la + dla BETWEEN 0 AND ${n - 1}
+         |    AND cov.c = (la + dla) * $n + ((lo + dlo + $n) % $n))""".stripMargin
+    }
   )
 }

@@ -107,4 +107,39 @@ class GeoSpec extends SparkSpec {
     val outn = GtsFrame(f).geoOutside(square).df.count()
     assert(in + outn == 3 && in == 3) // all of (3,3),(6,6),(9,9) inside
   }
+
+  test("geohash matches the published standard and round-trips") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.GeoHash
+    // canonical public test vector (Niemeyer's geohash.org example):
+    // (57.64911, 10.40744) -> u4pruydqqvj at 11 chars
+    val df = Seq((57.64911, 10.40744), (48.8566, 2.3522), (-33.8688, 151.2093))
+      .toDF("lat", "lon")
+      .withColumn("gh", GeoHash.encode(col("lat"), col("lon"), 11))
+      .withColumn("lat2", GeoHash.decodeLat(col("gh"), 11))
+      .withColumn("lon2", GeoHash.decodeLon(col("gh"), 11))
+    val rows = df.collect()
+    assert(rows.head.getAs[String]("gh") == "u4pruydqqvj")
+    // 11 chars: cell ≈ 1e-6 deg — decode lands inside the input's cell
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getAs[Double]("lat2")) < 1e-4)
+      assert(math.abs(r.getDouble(1) - r.getAs[Double]("lon2")) < 1e-4)
+    }
+  }
+
+  test("GEOBUFFER dilation: one ring grows the cover by its perimeter ring") {
+    import graft.functions.GeoCells
+    val res = 6; val n = 1L << res
+    val single = Set(10L * n + 10L)
+    val d1 = GeoCells.dilate(single, res, 1)
+    assert(d1.size == 9 && d1.contains(9L * n + 9L) && d1.contains(11L * n + 11L))
+    assert(GeoCells.dilate(single, res, 2).size == 25)
+    // pole clamp: a cell on the top row has no row above
+    val top = Set((n - 1) * n + 10L)
+    assert(GeoCells.dilate(top, res, 1).size == 6)
+    // antimeridian wrap: lon 0 pulls in lon n-1
+    val left = Set(10L * n + 0L)
+    assert(GeoCells.dilate(left, res, 1).contains(10L * n + (n - 1)))
+  }
 }
