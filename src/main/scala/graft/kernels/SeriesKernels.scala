@@ -303,6 +303,34 @@ object SeriesKernels {
     prev(m)
   }
 
+  /** Sakoe-Chiba banded DTW (fn/OPTDTW.java's window; script/fastdtw's
+    * search band): DP cells with |i−j| > w are off-limits, cutting the
+    * grid from n·m to n·(2w+1) cells. Requires w ≥ |n−m| for a finite
+    * warping path; w ≥ max(n,m) degenerates to the full [[dtw]]. */
+  def dtwBanded(a: IndexedSeq[Double], b: IndexedSeq[Double], w: Int): Double = {
+    if (a.isEmpty || b.isEmpty) return Double.NaN
+    val n = a.length; val m = b.length
+    if (w >= math.max(n, m)) return dtw(a, b)
+    if (w < math.abs(n - m)) return Double.PositiveInfinity
+    var prev = Array.fill(m + 1)(Double.PositiveInfinity)
+    var cur = Array.fill(m + 1)(Double.PositiveInfinity)
+    prev(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(cur, Double.PositiveInfinity)
+      var j = math.max(1, i - w)
+      val jMax = math.min(m, i + w)
+      while (j <= jMax) {
+        val cost = math.abs(a(i - 1) - b(j - 1))
+        cur(j) = cost + math.min(math.min(cur(j - 1), prev(j)), prev(j - 1))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m)
+  }
+
   /** SAX word (script/SAXUtils.java public algorithm): z-normalize, PAA
     * to `wordLen` segments, quantize by N(0,1) breakpoints into an
     * `alphabet`-letter word. */

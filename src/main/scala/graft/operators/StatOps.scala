@@ -685,7 +685,8 @@ object StatOps {
     * cross-pair state. Returns (byLabels..., dtw).
     */
   def dtwPairs(a: GtsFrame, b: GtsFrame, byLabels: Seq[String],
-               bins: Int, span: Long, lastbucket: Long): DataFrame = {
+               bins: Int, span: Long, lastbucket: Long,
+               window: Int = Int.MaxValue): DataFrame = {
     val spark = a.df.sparkSession
     import spark.implicits._
     def side(d: DataFrame, s: Int) = {
@@ -704,7 +705,8 @@ object StatOps {
       it.foreach { case (_, s, i, x) =>
         if (s == 0) av(i.toInt) = x else bv(i.toInt) = x
       }
-      (k, graft.kernels.SeriesKernels.dtw(av.toIndexedSeq, bv.toIndexedSeq))
+      (k, if (window >= bins) graft.kernels.SeriesKernels.dtw(av.toIndexedSeq, bv.toIndexedSeq)
+          else graft.kernels.SeriesKernels.dtwBanded(av.toIndexedSeq, bv.toIndexedSeq, window))
     }.toDF("__k", "dtw")
     out.select(byLabels.zipWithIndex.map { case (l, i) =>
       element_at(col("__k"), i + 1).as(l)

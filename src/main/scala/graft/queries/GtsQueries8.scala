@@ -64,6 +64,18 @@ object GtsQueries8 {
         .select(col("user").as("userid"), col("dtw"))
     }),
 
+    // OPTDTW (fn/OPTDTW.java windowed DTW; script/fastdtw band): the
+    // g82 pairing under a Sakoe-Chiba band of 2 — SeriesKernels
+    // .dtwBanded vs the same DP grid with out-of-band cells removed
+    "g110_optdtw" -> ((s, dir) => {
+      val f = cents(s, dir).df
+      val clicks = GtsFrame(f.filter(col("class") === "events.click"))
+      val views = GtsFrame(f.filter(col("class") === "events.view"))
+      StatOps.dtwPairs(clicks, views, Seq("user"), bins = 8, span = DAY,
+          lastbucket = LB, window = 2)
+        .select(col("user").as("userid"), col("dtw"))
+    }),
+
     // LOWESS (fn/LOWESS.java): declarative locally-weighted regression,
     // exactly-dyadic tricube weights (StatOps.lowessFit scaladoc)
     "g83_lowess" -> ((s, dir) =>
@@ -162,19 +174,26 @@ object GtsQueries8 {
   /** The unrolled 8×8 DTW DP as chained lateral-alias columns: row CTE
     * rI defines dI_1..dI_8 from rI−1's dJ_* — DuckDB resolves prior
     * SELECT-list aliases laterally, so each row is one CTE. */
-  private def dtwSql: String = {
+  /** Unrolled 8×8 DTW DP grid as chained CTEs; `band` restricts the
+    * grid to the Sakoe-Chiba window |i−j| ≤ band (out-of-band cells
+    * simply don't exist, so predecessor references skip them — exactly
+    * the kernel's +∞ treatment). band ≥ 8 = the full grid (g82). */
+  private def dtwSql(band: Int = 8): String = {
+    def inBand(i: Int, j: Int) = math.abs(i - j) <= band
     val vec = (side: Int, p: String) => (0 until 8).map(j =>
       s"coalesce(max(CASE WHEN side = $side AND n = $j THEN x END), 0.0E0) AS $p$j")
       .mkString(",\n        ")
     val rows = (1 to 8).map { i =>
       val a = s"a${i - 1}"
-      val cols = (1 to 8).map { j =>
+      val cols = (1 to 8).filter(j => inBand(i, j)).map { j =>
         val cost = s"abs($a - b${j - 1})"
+        val prevs = Seq((i - 1, j), (i, j - 1), (i - 1, j - 1))
+          .filter { case (pi, pj) => pi >= 1 && pj >= 1 && inBand(pi, pj) }
+          .map { case (pi, pj) => s"d${pi}_$pj" }
         val prev =
-          if (i == 1 && j == 1) ""
-          else if (i == 1) s" + d1_${j - 1}"
-          else if (j == 1) s" + d${i - 1}_1"
-          else s" + least(d${i - 1}_$j, d${i}_${j - 1}, d${i - 1}_${j - 1})"
+          if (prevs.isEmpty) ""
+          else if (prevs.length == 1) s" + ${prevs.head}"
+          else s" + least(${prevs.mkString(", ")})"
         s"$cost$prev AS d${i}_$j"
       }.mkString(", ")
       val src = if (i == 1) "v" else s"r${i - 1}"
@@ -221,7 +240,10 @@ object GtsQueries8 {
          |SELECT class, userid, k, re, im, sqrt(re * re + im * im) AS mag
          |FROM s""".stripMargin,
 
-    "g82_dtw" -> dtwSql,
+    "g82_dtw" -> dtwSql(),
+
+    // the same grid restricted to the Sakoe-Chiba band |i−j| ≤ 2
+    "g110_optdtw" -> dtwSql(band = 2),
 
     "g83_lowess" ->
       s"""WITH g AS ($EV),

@@ -616,6 +616,40 @@ final class WarpScriptEngine(
       val labels = args(n - 4).asInstanceOf[Vector[Any]].map(_.toString).toSeq
       val b = toFrame(args(n - 5)); val a = toFrame(args(n - 6))
       st.push(GtsFrame(graft.operators.StatOps.dtwPairs(a, b, labels, bins, span, lb)))
+    // OPTDTW (fn/OPTDTW.java): sequence query [window] count OPTDTW →
+    // top-`count` [start-index, distance] pairs from sliding the
+    // z-normalized query over every |query|-length subsequence with
+    // Sakoe-Chiba banded DTW (Manhattan cost, bessel-corrected sd, as
+    // the reference's DoubleUtils.musigma(values, true))
+    case "OPTDTW" =>
+      val count = st.popLong().toInt
+      var top = st.pop()
+      var window = Int.MaxValue
+      top match {
+        case l: Long =>
+          window = if (l < 0 || l > Int.MaxValue) Int.MaxValue else l.toInt
+          top = st.pop()
+        case _ =>
+      }
+      val query = top.asInstanceOf[Vector[Any]].map(asNum).toIndexedSeq
+      val series = st.pop().asInstanceOf[Vector[Any]].map(asNum).toIndexedSeq
+      require(series.length >= query.length,
+        "OPTDTW expects the query to be shorter than the sequence")
+      def znorm(v: IndexedSeq[Double]): IndexedSeq[Double] = {
+        val n = v.length
+        val mu = v.sum / n
+        val varPop = v.map(x => (x - mu) * (x - mu)).sum / n
+        val sd = math.sqrt(if (n > 1) varPop * n / (n - 1) else varPop)
+        if (sd == 0) v.map(_ => 0.0) else v.map(x => (x - mu) / sd)
+      }
+      val q = znorm(query)
+      val hits = (0 to series.length - query.length).map { i =>
+        val sub = znorm(series.slice(i, i + query.length))
+        (i.toLong, graft.kernels.SeriesKernels.dtwBanded(q, sub, window))
+      }.sortBy(r => (r._2, r._1))
+      val kept = if (count > 0) hits.take(count) else hits
+      st.push(kept.map { case (i, d) => Vector[Any](i, d) }.toVector)
+
     // PATTERNS/PATTERNDETECTION (fn/PATTERNS.java): gts win alphabet
     // minseries PATTERNS → motif table (word, n_series, n_occ)
     case "PATTERNS" =>

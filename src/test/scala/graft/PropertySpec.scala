@@ -93,6 +93,17 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("banded dtw: full band equals dtw, narrower bands only increase cost") {
+    val gen = Gen.listOfN(16, Gen.chooseNum(-100.0, 100.0)).map(_.toIndexedSeq)
+    check(Prop.forAll(gen, gen) { (a, b) =>
+      val full = SeriesKernels.dtw(a, b)
+      SeriesKernels.dtwBanded(a, b, 16) == full &&
+        SeriesKernels.dtwBanded(a, b, 15) == full && // w >= max(n,m)-1 covers all cells
+        SeriesKernels.dtwBanded(a, b, 2) >= full &&
+        SeriesKernels.dtwBanded(a, b, 4) <= SeriesKernels.dtwBanded(a, b, 2)
+    })
+  }
+
   test("sax word: length and alphabet bounds, shift-invariant") {
     val gen = for {
       vs <- Gen.listOfN(32, Gen.chooseNum(-100.0, 100.0))

@@ -265,6 +265,17 @@ class WarpScriptSpec extends SparkSpec {
       Vector("k.x"))
   }
 
+  test("OPTDTW finds the exact subsequence at distance 0") {
+    val r = top("[ 1.0 5.0 2.0 8.0 1.0 9.0 2.0 7.0 ] [ 8.0 1.0 9.0 ] 3 OPTDTW")
+      .asInstanceOf[Vector[Vector[Any]]]
+    assert(r.length == 3)
+    assert(r.head == Vector(3L, 0.0)) // [8,1,9] starts at index 3
+    // windowed form: band 1 must agree on the exact hit
+    val rw = top("[ 1.0 5.0 2.0 8.0 1.0 9.0 2.0 7.0 ] [ 8.0 1.0 9.0 ] 1 2 OPTDTW")
+      .asInstanceOf[Vector[Vector[Any]]]
+    assert(rw.head == Vector(3L, 0.0) && rw.length == 2)
+  }
+
   test("control words: SWITCH picks first true case, TRY catches") {
     val sw = "7 'v' STORE " +
       "<% $v 5 < %> <% 'small' %> <% $v 10 < %> <% 'medium' %> " +
