@@ -335,6 +335,30 @@ object WsQueries {
       s.range(1).select(lit(vLong).as("v_long"), lit(vStr).as("v_str"))
     }),
 
+    // BigDecimal word suite (fn/BDADD.java family): exact decimal
+    // carry, multiplication scale, exact division, HALF_UP rounding,
+    // exact re-scale, subtraction — each rendered to text so the oracle
+    // is DuckDB's own DECIMAL arithmetic rendered the same way
+    "w29_ws_bigdecimal" -> ((s, dir) => {
+      val program =
+        """'9.999' TOBD '0.001' TOBD BDADD TOSTRING
+          |'1.5' TOBD '2.5' TOBD BDMUL TOSTRING
+          |'1' TOBD '8' TOBD BDDIV TOSTRING
+          |'2.5' TOBD BDROUND TOSTRING
+          |'1.5' TOBD 3 BDSCALE TOSTRING
+          |'7.25' TOBD '1.25' TOBD BDSUB TOSTRING
+          |""".stripMargin
+      val stv = engine(s, dir, cents = false).run(program)
+      // stack is top-first: sub, scale, round, div, mul, add
+      s.range(1).select(
+        lit(stv(5).asInstanceOf[String]).as("v_add"),
+        lit(stv(4).asInstanceOf[String]).as("v_mul"),
+        lit(stv(3).asInstanceOf[String]).as("v_div"),
+        lit(stv(2).asInstanceOf[String]).as("v_round"),
+        lit(stv(1).asInstanceOf[String]).as("v_scale"),
+        lit(stv(0).asInstanceOf[String]).as("v_sub"))
+    }),
+
     // ESDTEST word ≡ g77 (mean/sd variant; k=3, alpha=0.05)
     "w14_ws_esdtest" -> ((s, dir) => {
       val program =
@@ -390,6 +414,18 @@ object WsQueries {
     // LSORT→SUBLIST[1,3]→LMAP ×10) + 2+4+6 (MMAP ×2 values) + 3 (APPEND
     // SIZE) = 105; text = KEYLIST|SWITCH branch|TRY catch
     "w28_ws_listwords" ->
-      "SELECT CAST(105 AS BIGINT) AS v_long, 'abc|medium|caught' AS v_str"
+      "SELECT CAST(105 AS BIGINT) AS v_long, 'abc|medium|caught' AS v_str",
+    // DuckDB's DECIMAL arithmetic must render the same digits the
+    // BigDecimal words produce (carry keeps scale, mul adds scales,
+    // exact division, round() is half-away-from-zero = HALF_UP for
+    // positives, cast keeps trailing zeros)
+    "w29_ws_bigdecimal" ->
+      """SELECT
+        |  CAST(CAST('9.999' AS DECIMAL(10,3)) + CAST('0.001' AS DECIMAL(10,3)) AS VARCHAR) AS v_add,
+        |  CAST(CAST('1.5' AS DECIMAL(5,1)) * CAST('2.5' AS DECIMAL(5,1)) AS VARCHAR) AS v_mul,
+        |  CAST(CAST('1' AS DECIMAL(10,3)) / CAST('8' AS DECIMAL(10,3)) AS VARCHAR) AS v_div,
+        |  CAST(round(CAST('2.5' AS DECIMAL(5,1)), 0) AS VARCHAR) AS v_round,
+        |  CAST(CAST('1.5' AS DECIMAL(10,3)) AS VARCHAR) AS v_scale,
+        |  CAST(CAST('7.25' AS DECIMAL(10,2)) - CAST('1.25' AS DECIMAL(10,2)) AS VARCHAR) AS v_sub""".stripMargin
   )
 }

@@ -379,6 +379,40 @@ final class WarpScriptEngine(
       st.push(st.pop().asInstanceOf[Map[Any, Any]].toVector
         .sortWith((a, b) => wsLt(a._1, b._1)).map(_._2))
 
+    // ---- BigDecimal words (fn/TOBD.java, BDADD/BDSUB/BDMUL/BDDIV,
+    // BDSCALE, BDROUND, BDSTRIP — exact decimal stack arithmetic; the
+    // columnar DecimalType twin is the r10 oracle row). BDDIV is
+    // BigDecimal.divide with no MathContext, so a non-terminating
+    // quotient throws, exactly as BDDIV.java:58 does.
+    case "TOBD" => st.push(toBd(st.pop()))
+    case "BDADD" => val b = toBd(st.pop()); val a = toBd(st.pop()); st.push(a.add(b))
+    case "BDSUB" => val b = toBd(st.pop()); val a = toBd(st.pop()); st.push(a.subtract(b))
+    case "BDMUL" => val b = toBd(st.pop()); val a = toBd(st.pop()); st.push(a.multiply(b))
+    case "BDDIV" => val b = toBd(st.pop()); val a = toBd(st.pop()); st.push(a.divide(b))
+    case "BDNEG" => st.push(toBd(st.pop()).negate())
+    case "BDABS" => st.push(toBd(st.pop()).abs())
+    case "BDSIGNUM" => st.push(toBd(st.pop()).signum().toLong)
+    case "BDMIN" => val b = toBd(st.pop()); val a = toBd(st.pop()); st.push(a.min(b))
+    case "BDMAX" => val b = toBd(st.pop()); val a = toBd(st.pop()); st.push(a.max(b))
+    case "BDSTRIP" => st.push(toBd(st.pop()).stripTrailingZeros())
+    // BDSCALE (fn/BDSCALE.java:33-55): BigDecimal on top → push its
+    // scale; LONG on top → EXACT setScale of the value below (throws
+    // when digits would be lost, like the reference)
+    case "BDSCALE" => st.pop() match {
+      case bd: java.math.BigDecimal => st.push(bd.scale().toLong)
+      case l: Long => st.push(toBd(st.pop()).setScale(l.toInt))
+      case o => throw new IllegalArgumentException(s"BDSCALE on $o")
+    }
+    // BDROUND (fn/BDROUND.java:37-50): round to scale 0, HALF_UP by
+    // default, HALF_DOWN when the option string says so
+    case "BDROUND" => st.pop() match {
+      case "HALF_DOWN" =>
+        st.push(toBd(st.pop()).setScale(0, java.math.RoundingMode.HALF_DOWN))
+      case "HALF_UP" =>
+        st.push(toBd(st.pop()).setScale(0, java.math.RoundingMode.HALF_UP))
+      case v => st.push(toBd(v).setScale(0, java.math.RoundingMode.HALF_UP))
+    }
+
     // ---- control: SWITCH / TRY (fn/SWITCH.java, fn/TRY.java)
     // SWITCH: N (condition,exec) macro pairs + default macro + N; first
     // true condition wins, its exec runs; else the default runs.
@@ -842,6 +876,24 @@ final class WarpScriptEngine(
     case d: Double => d
     case l: Long => l.toDouble
     case o => throw new IllegalArgumentException(s"expected number, got $o")
+  }
+
+  /** TOBD.toBigDecimal (TOBD.java:44-64): exact from string (0x/0b
+    * integer forms included), long, double, or pass-through. */
+  private def toBd(v: Any): java.math.BigDecimal = v match {
+    case bd: java.math.BigDecimal => bd
+    case s: String if s.startsWith("0x") =>
+      new java.math.BigDecimal(new java.math.BigInteger(s.substring(2), 16))
+    case s: String if s.startsWith("-0x") =>
+      new java.math.BigDecimal(new java.math.BigInteger(s.substring(3), 16).negate())
+    case s: String if s.startsWith("0b") =>
+      new java.math.BigDecimal(new java.math.BigInteger(s.substring(2), 2))
+    case s: String if s.startsWith("-0b") =>
+      new java.math.BigDecimal(new java.math.BigInteger(s.substring(3), 2).negate())
+    case s: String => new java.math.BigDecimal(s)
+    case l: Long => java.math.BigDecimal.valueOf(l)
+    case d: Double => java.math.BigDecimal.valueOf(d)
+    case o => throw new IllegalArgumentException(s"cannot convert to BigDecimal: $o")
   }
 
   /** Natural WarpScript ordering: numbers by value, strings
