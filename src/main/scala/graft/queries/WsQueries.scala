@@ -359,6 +359,26 @@ object WsQueries {
         lit(stv(0).asInstanceOf[String]).as("v_sub"))
     }),
 
+    // collection/codec/time word tour: RANGE, PUT, REMOVE, nested GET,
+    // URLENCODE/URLDECODE, TSELEMENTS (tz-aware) — closed-form oracle
+    "w30_ws_collwords" -> ((s, dir) => {
+      val program =
+        """[ 3 9 2 ] RANGE 99 1 PUT 1 REMOVE 'rem' STORE 'lst' STORE
+          |0 'acc' STORE $lst <% $acc + 'acc' STORE %> FOREACH
+          |$acc $rem +
+          |[ [ 1 2 ] [ 3 [ 4 5 ] ] ] [ 1 1 0 ] GET
+          |+
+          |'a b&c=d' URLENCODE DUP URLDECODE
+          |1704067200123456 'Europe/Paris' TSELEMENTS ',' JOIN
+          |""".stripMargin
+      val stv = engine(s, dir, cents = false).run(program)
+      s.range(1).select(
+        lit(stv(3).asInstanceOf[Long]).as("v_long"),
+        lit(stv(2).asInstanceOf[String]).as("v_enc"),
+        lit(stv(1).asInstanceOf[String]).as("v_dec"),
+        lit(stv(0).asInstanceOf[String]).as("v_ts"))
+    }),
+
     // ESDTEST word ≡ g77 (mean/sd variant; k=3, alpha=0.05)
     "w14_ws_esdtest" -> ((s, dir) => {
       val program =
@@ -426,6 +446,14 @@ object WsQueries {
         |  CAST(CAST('1' AS DECIMAL(10,3)) / CAST('8' AS DECIMAL(10,3)) AS VARCHAR) AS v_div,
         |  CAST(round(CAST('2.5' AS DECIMAL(5,1)), 0) AS VARCHAR) AS v_round,
         |  CAST(CAST('1.5' AS DECIMAL(10,3)) AS VARCHAR) AS v_scale,
-        |  CAST(CAST('7.25' AS DECIMAL(10,2)) - CAST('1.25' AS DECIMAL(10,2)) AS VARCHAR) AS v_sub""".stripMargin
+        |  CAST(CAST('7.25' AS DECIMAL(10,2)) - CAST('1.25' AS DECIMAL(10,2)) AS VARCHAR) AS v_sub""".stripMargin,
+    // closed form: RANGE[3,9,2]=[3,5,7] → PUT 99@1 → REMOVE@1 gives
+    // sum 10 + removed 99 + nested GET 4 = 113; URL round-trip;
+    // 2024-01-01T00:00:00.123456Z in Europe/Paris = 01:00 CET, ISO
+    // Monday week 1
+    "w30_ws_collwords" ->
+      """SELECT CAST(113 AS BIGINT) AS v_long,
+        |  'a+b%26c%3Dd' AS v_enc, 'a b&c=d' AS v_dec,
+        |  '2024,1,1,1,0,0,123456,1,1,1' AS v_ts""".stripMargin
   )
 }

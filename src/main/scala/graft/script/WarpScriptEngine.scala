@@ -221,6 +221,11 @@ final class WarpScriptEngine(
           Math.floorDiv(t, 1000000L), Math.floorMod(t, 1000000L) * 1000L)
         .toString)
     case "TRIM" => st.push(st.popStr().trim)
+    // URLENCODE/URLDECODE (fn/URLENCODE.java, fn/URLDECODE.java)
+    case "URLENCODE" => st.push(java.net.URLEncoder.encode(
+      st.popStr(), java.nio.charset.StandardCharsets.UTF_8))
+    case "URLDECODE" => st.push(java.net.URLDecoder.decode(
+      st.popStr(), java.nio.charset.StandardCharsets.UTF_8))
     case "SUBSTRING" => // str start [len] — 2-arg form: str start
       val b = st.pop(); val a = st.pop()
       (a, b) match {
@@ -284,6 +289,27 @@ final class WarpScriptEngine(
     // ---- time (fn/NOW.java; duration words fn/TOTIMESTAMP-adjacent:
     // the reference registers w/d/h/m/s/ms/us µs-multiplier words)
     case "NOW" => st.push(nowTs)
+    // TSELEMENTS (fn/TSELEMENTS.java:80-104): tick [tz] → [ year month
+    // day hour minute second micros-in-second dayOfYear isoDayOfWeek
+    // isoWeek ] — µs platform time unit, floor division to millis
+    case "TSELEMENTS" =>
+      val tz = st.stack.headOption match {
+        case Some(s: String) => st.pop(); s
+        case _ => "UTC"
+      }
+      val ts = st.popLong()
+      val tsms = Math.floorDiv(ts, 1000L)
+      val zdt = java.time.Instant.ofEpochMilli(tsms)
+        .atZone(java.time.ZoneId.of(tz))
+      val microsInSecond =
+        zdt.getLong(java.time.temporal.ChronoField.MILLI_OF_SECOND) * 1000L +
+          (ts - tsms * 1000L)
+      st.push(Vector[Any](
+        zdt.getYear.toLong, zdt.getMonthValue.toLong, zdt.getDayOfMonth.toLong,
+        zdt.getHour.toLong, zdt.getMinute.toLong, zdt.getSecond.toLong,
+        microsInSecond, zdt.getDayOfYear.toLong,
+        zdt.getDayOfWeek.getValue.toLong,
+        zdt.get(java.time.temporal.IsoFields.WEEK_OF_WEEK_BASED_YEAR).toLong))
     case "w" => st.push(st.popLong() * 7L * 86400000000L)
     case "d" => st.push(st.popLong() * 86400000000L)
     case "h" => st.push(st.popLong() * 3600000000L)
@@ -300,13 +326,65 @@ final class WarpScriptEngine(
       case f: GtsFrame => st.push(f.df.count())
       case o => throw new IllegalArgumentException(s"SIZE on $o")
     }
-    case "GET" => val k = st.pop(); st.pop() match {
-      case v: Vector[_] => st.push(v(k.asInstanceOf[Long].toInt))
-      case m: Map[Any @unchecked, _] => st.push(m.getOrElse(k, null))
-      case o => throw new IllegalArgumentException(s"GET on $o")
-    }
+    // GET (fn/GET.java): single key, or a key-PATH list for nested
+    // structures; negative list indices count from the end
+    case "GET" =>
+      val k = st.pop(); val cont = st.pop()
+      def get1(c: Any, key: Any): Any = c match {
+        case v: Vector[_] =>
+          val raw = asLong(key).toInt
+          v(if (raw < 0) raw + v.size else raw)
+        case m: Map[Any @unchecked, _] => m.getOrElse(key, null)
+        case o => throw new IllegalArgumentException(s"GET on $o")
+      }
+      (k, cont) match {
+        // a list key on a MAP is a plain key lookup, not a path
+        case (path: Vector[Any @unchecked], _: Vector[_]) =>
+          st.push(path.foldLeft(cont)(get1))
+        case _ => st.push(get1(cont, k))
+      }
     case "REVERSE" => st.push(st.pop().asInstanceOf[Vector[Any]].reverse)
     case "FLATTEN" => st.push(flatten(st.pop().asInstanceOf[Vector[Any]]))
+    // RANGE (fn/RANGE.java): [ stop ] | [ start stop ] | [ start stop
+    // step ] → list of longs (stop exclusive, as the reference)
+    case "RANGE" =>
+      val ps = st.pop().asInstanceOf[Vector[Any]].map(asLong)
+      val (from, until, step) = ps match {
+        case Vector(b) => (0L, b, 1L)
+        case Vector(a, b) => (a, b, 1L)
+        case Vector(a, b, s) => (a, b, s)
+        case _ => throw new IllegalArgumentException("RANGE expects 1-3 params")
+      }
+      require(step != 0, "RANGE step must be non-zero")
+      st.push((from until until by step).toVector)
+    // PUT (fn/PUT.java): value key PUT — set a map key or list index in
+    // the container below; the container stays on the stack (our
+    // structures are immutable, so the top is REPLACED by the copy)
+    case "PUT" =>
+      val key = st.pop(); val value = st.pop()
+      st.pop() match {
+        case m: Map[Any @unchecked, Any @unchecked] => st.push(m + (key -> value))
+        case l: Vector[Any @unchecked] => st.push(l.updated(asLong(key).toInt, value))
+        case o => throw new IllegalArgumentException(s"PUT on $o")
+      }
+    // REMOVE (fn/REMOVE.java:40-67): key REMOVE → container', removed
+    // value (null when absent; negative list indices count from the end)
+    case "REMOVE" =>
+      val key = st.pop()
+      st.pop() match {
+        case m: Map[Any @unchecked, Any @unchecked] =>
+          st.push(m - key); st.push(m.getOrElse(key, null))
+        case l: Vector[Any @unchecked] =>
+          val raw = asLong(key).toInt
+          val idx = if (raw < 0) raw + l.size else raw
+          if (idx >= 0 && idx < l.size) {
+            st.push(l.patch(idx, Nil, 1)); st.push(l(idx))
+          } else { st.push(l); st.push(null) }
+        case o => throw new IllegalArgumentException(s"REMOVE on $o")
+      }
+    // CLONE (fn/CLONE.java — replace the top with a deep copy; stack
+    // values here are immutable so the copy is the value itself)
+    case "CLONE" => st.push(st.pop())
     // SUBLIST (fn/SUBLIST.java:48-130, indices-list form): 2 indices =
     // inclusive range lesser→bigger; >2 = elements at those indices
     // (duplicates allowed); negative indices count from the end.
