@@ -37,6 +37,14 @@ object StreamQueries {
 
   private val userid = col("labels").getItem("user").as("userid")
 
+  /** Unload state-store providers and stop the maintenance task once a
+    * batch-embedded streaming query finishes — loaded providers and the
+    * maintenance thread otherwise linger for the JVM's life and tax
+    * every subsequent query (observed 2.7× on the next bench entries).
+    * Spark restarts both lazily if another streaming query begins. */
+  private def releaseStreamingResources(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+
   private val ptsSchema = StructType(Seq(
     StructField("gtsid", LongType), StructField("ts", LongType),
     StructField("vdouble", DoubleType)))
@@ -50,6 +58,7 @@ object StreamQueries {
       val q = StreamingIngest.ingestFiles(s, in, outP, ck, now = 0L)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      releaseStreamingResources()
       s.read.parquet(outP)
         .select(col("class"), userid, col("ts"), col("vdouble"))
     }),
@@ -66,6 +75,7 @@ object StreamQueries {
         .option("checkpointLocation", ck)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      releaseStreamingResources()
       // gtsid -> (class, userid) is a small exact dimension: broadcast.
       val dim = src.select(col("gtsid"), col("class"), userid).distinct()
       s.read.parquet(outP)

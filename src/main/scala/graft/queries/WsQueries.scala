@@ -379,6 +379,37 @@ object WsQueries {
         lit(stv(0).asInstanceOf[String]).as("v_ts"))
     }),
 
+    // parameterized aggregator word: `90.0 bucketizer.percentile`
+    // (script/aggregator/Percentile.Builder) ≡ g107's type-1 daily p90
+    "w31_ws_percentile" -> ((s, dir) => {
+      val program =
+        s"""[ [ '' '~events\\..*' { } 0 $LB ] FETCH
+           |  90.0 bucketizer.percentile $LB 1 d 0 ] BUCKETIZE""".stripMargin
+      engine(s, dir, cents = true).runToFrame(program)
+        .select(col("class"), userid, col("ts"), col("vdouble").as("p90_v"))
+    }),
+
+    // java.lang.Math word tail: HYPOT/TORADIANS/FLOORDIV/FLOORMOD/
+    // RINT/COPYSIGN (+ CBRT/SINH/ATAN2 spec'd in WarpScriptSpec)
+    "w32_ws_mathwords" -> ((s, dir) => {
+      val program =
+        """3.0 4.0 HYPOT
+          |180.0 TORADIANS
+          |-7 2 FLOORDIV
+          |-7 2 FLOORMOD
+          |2.5 RINT
+          |3.0 -1.0 COPYSIGN
+          |""".stripMargin
+      val stv = engine(s, dir, cents = false).run(program)
+      s.range(1).select(
+        lit(stv(5).asInstanceOf[Double]).as("v_hypot"),
+        lit(stv(4).asInstanceOf[Double]).as("v_rad"),
+        lit(stv(3).asInstanceOf[Long]).as("v_floordiv"),
+        lit(stv(2).asInstanceOf[Long]).as("v_floormod"),
+        lit(stv(1).asInstanceOf[Double]).as("v_rint"),
+        lit(stv(0).asInstanceOf[Double]).as("v_copysign"))
+    }),
+
     // ESDTEST word ≡ g77 (mean/sd variant; k=3, alpha=0.05)
     "w14_ws_esdtest" -> ((s, dir) => {
       val program =
@@ -454,6 +485,14 @@ object WsQueries {
     "w30_ws_collwords" ->
       """SELECT CAST(113 AS BIGINT) AS v_long,
         |  'a+b%26c%3Dd' AS v_enc, 'a b&c=d' AS v_dec,
-        |  '2024,1,1,1,0,0,123456,1,1,1' AS v_ts""".stripMargin
+        |  '2024,1,1,1,0,0,123456,1,1,1' AS v_ts""".stripMargin,
+    "w31_ws_percentile" -> GtsQueries10.oracleSql("g107_percentile_type1"),
+    // closed forms: hypot(3,4)=5 exactly; toRadians(180) is the IEEE
+    // double pi (= DuckDB pi()); floor division/modulo of -7 by 2;
+    // rint(2.5)=2 (half-even); copysign(3,-1)=-3
+    "w32_ws_mathwords" ->
+      """SELECT CAST(5.0 AS DOUBLE) AS v_hypot, pi() AS v_rad,
+        |  CAST(-4 AS BIGINT) AS v_floordiv, CAST(1 AS BIGINT) AS v_floormod,
+        |  CAST(2.0 AS DOUBLE) AS v_rint, CAST(-3.0 AS DOUBLE) AS v_copysign""".stripMargin
   )
 }

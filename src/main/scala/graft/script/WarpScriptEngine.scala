@@ -187,6 +187,35 @@ final class WarpScriptEngine(
     case "ATAN" => st.push(math.atan(st.popNum()))
     case "PI" => st.push(math.Pi)
     case "E" => st.push(math.E)
+    // java.lang.Math tail (WarpScriptLib registrations: CBRT, SIGNUM,
+    // SINH/COSH/TANH, TORADIANS/TODEGREES, ATAN2, HYPOT, EXPM1, LOG1P,
+    // IEEEREMAINDER, COPYSIGN, NEXTAFTER, RINT, FLOORDIV, FLOORMOD)
+    case "CBRT" => st.push(math.cbrt(st.popNum()))
+    case "SIGNUM" => st.pop() match {
+      case l: Long => st.push(java.lang.Long.signum(l).toLong)
+      case d: Double => st.push(math.signum(d))
+      case o => throw new IllegalArgumentException(s"SIGNUM on $o")
+    }
+    case "SINH" => st.push(math.sinh(st.popNum()))
+    case "COSH" => st.push(math.cosh(st.popNum()))
+    case "TANH" => st.push(math.tanh(st.popNum()))
+    case "TORADIANS" => st.push(math.toRadians(st.popNum()))
+    case "TODEGREES" => st.push(math.toDegrees(st.popNum()))
+    case "ATAN2" => val x = st.popNum(); val y = st.popNum(); st.push(math.atan2(y, x))
+    case "HYPOT" => val y = st.popNum(); val x = st.popNum(); st.push(math.hypot(x, y))
+    case "EXPM1" => st.push(math.expm1(st.popNum()))
+    case "LOG1P" => st.push(math.log1p(st.popNum()))
+    case "IEEEREMAINDER" => val y = st.popNum(); val x = st.popNum()
+      st.push(math.IEEEremainder(x, y))
+    case "COPYSIGN" => val sign = st.popNum(); val mag = st.popNum()
+      st.push(math.copySign(mag, sign))
+    case "NEXTAFTER" => val dir = st.popNum(); val start = st.popNum()
+      st.push(math.nextAfter(start, dir))
+    case "RINT" => st.push(math.rint(st.popNum()))
+    case "FLOORDIV" => val b = st.popLong(); val a = st.popLong()
+      st.push(Math.floorDiv(a, b))
+    case "FLOORMOD" => val b = st.popLong(); val a = st.popLong()
+      st.push(Math.floorMod(a, b))
     // HAVERSINE (fn/HAVERSINE.java): lat1 lon1 lat2 lon2 → meters
     case "HAVERSINE" =>
       val lon2 = st.popNum(); val lat2 = st.popNum()
@@ -691,6 +720,20 @@ final class WarpScriptEngine(
     case "NAME" =>
       st.push(toFrame(st.pop()).df.select(col("class")).distinct()
         .collect().map(_.getString(0)).sorted.toVector)
+    // LABELS (fn/LABELS.java — the labels map of a single GTS; a frame
+    // holding several distinct label sets has no single answer)
+    case "LABELS" =>
+      val maps = toFrame(st.pop()).df
+        .select(col("gtsid"), col("labels")).groupBy(col("gtsid"))
+        .agg(first(col("labels")).as("labels"))
+        .collect().map(_.getMap[String, String](1).toMap).distinct
+      maps match {
+        case Array(one) => st.push(one.asInstanceOf[Map[Any, Any]])
+        case _ => throw new IllegalArgumentException(
+          s"LABELS needs a single-series frame, found ${maps.length} label sets")
+      }
+    // CLONEEMPTY (fn/CLONEEMPTY.java): same shape, zero points
+    case "CLONEEMPTY" => st.push(GtsFrame(toFrame(st.pop()).df.limit(0)))
     case "TICKLIST" =>
       st.push(toFrame(st.pop()).df.select(col("ts")).distinct()
         .collect().map(_.getLong(0)).sorted.toVector)
@@ -890,6 +933,16 @@ final class WarpScriptEngine(
     }
 
     // ---- function-value words -------------------------------------------
+    // parameterized aggregators pop their parameter NOW, like the
+    // reference's builder words (script/aggregator/Percentile.Builder,
+    // aggregator/Join.Builder): `90.0 bucketizer.percentile`,
+    // `'|' reducer.join`
+    case "bucketizer.percentile" | "reducer.percentile" | "mapper.percentile" =>
+      st.push(AggVal(w, Percentile(st.popNum())))
+    case "bucketizer.percentile.cont" | "reducer.percentile.cont" =>
+      st.push(AggVal(w, PercentileCont(st.popNum())))
+    case "bucketizer.join" | "reducer.join" =>
+      st.push(AggVal(w, JoinAgg(st.popStr())))
     case BucketizerName(a) => st.push(a)
     case MapperName(m) => st.push(m)
     case ReducerName(a) => st.push(a)

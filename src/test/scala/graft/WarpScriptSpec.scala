@@ -276,6 +276,27 @@ class WarpScriptSpec extends SparkSpec {
     assert(rw.head == Vector(3L, 0.0) && rw.length == 2)
   }
 
+  test("math word tail: CBRT/SINH/ATAN2/SIGNUM/EXPM1/LOG1P/NEXTAFTER/IEEEREMAINDER") {
+    assert(top("27.0 CBRT") == math.cbrt(27.0))
+    assert(top("1.0 SINH") == math.sinh(1.0))
+    assert(top("1.0 2.0 ATAN2") == math.atan2(1.0, 2.0))
+    assert(top("-5 SIGNUM") == -1L)
+    assert(top("-0.5 SIGNUM") == -1.0)
+    assert(top("0.5 EXPM1") == math.expm1(0.5))
+    assert(top("0.5 LOG1P") == math.log1p(0.5))
+    assert(top("1.0 2.0 NEXTAFTER") == math.nextAfter(1.0, 2.0))
+    assert(top("5.0 3.0 IEEEREMAINDER") == math.IEEEremainder(5.0, 3.0))
+    assert(top("90.0 TORADIANS TODEGREES") == 90.0)
+  }
+
+  test("LABELS and CLONEEMPTY on a single-series frame") {
+    val frame = graft.operators.GtsFrame(gtsOf(("m.w", "1", 1000L, 1.5)))
+    val e2 = new WarpScriptEngine(fetch = (_, _, _, _) => frame)
+    assert(e2.run("[ '' 'm.w' { } 0 9999 ] FETCH LABELS").head ==
+      Map("user" -> "1"))
+    assert(e2.run("[ '' 'm.w' { } 0 9999 ] FETCH CLONEEMPTY SIZE").head == 0L)
+  }
+
   test("control words: SWITCH picks first true case, TRY catches") {
     val sw = "7 'v' STORE " +
       "<% $v 5 < %> <% 'small' %> <% $v 10 < %> <% 'medium' %> " +
