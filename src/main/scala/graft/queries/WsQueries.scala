@@ -410,6 +410,29 @@ object WsQueries {
         lit(stv(0).asInstanceOf[Double]).as("v_copysign"))
     }),
 
+    // stack/introspection words: DUPN, ROLL, ROLLD, TYPEOF, DEFINED,
+    // INDEXOF, TOBIN — closed-form oracle
+    "w33_ws_stackwords" -> ((s, dir) => {
+      val program =
+        """7 'x' STORE
+          |'x' DEFINED 'y' DEFINED NOT AND
+          |42 TYPEOF 3.14 TYPEOF +
+          |[ 7 8 7 9 7 ] 7 0 INDEXOF ',' JOIN
+          |255 TOBIN
+          |1 2 3 2 DUPN + + + +
+          |10 20 30 3 ROLL - -
+          |10 20 30 3 ROLLD - -
+          |+ +
+          |""".stripMargin
+      val stv = engine(s, dir, cents = false).run(program)
+      s.range(1).select(
+        lit(stv(4).asInstanceOf[Boolean]).as("v_bool"),
+        lit(stv(3).asInstanceOf[String]).as("v_types"),
+        lit(stv(2).asInstanceOf[String]).as("v_idx"),
+        lit(stv(1).asInstanceOf[String]).as("v_bin"),
+        lit(stv(0).asInstanceOf[Long]).as("v_long"))
+    }),
+
     // ESDTEST word ≡ g77 (mean/sd variant; k=3, alpha=0.05)
     "w14_ws_esdtest" -> ((s, dir) => {
       val program =
@@ -493,6 +516,12 @@ object WsQueries {
     "w32_ws_mathwords" ->
       """SELECT CAST(5.0 AS DOUBLE) AS v_hypot, pi() AS v_rad,
         |  CAST(-4 AS BIGINT) AS v_floordiv, CAST(1 AS BIGINT) AS v_floormod,
-        |  CAST(2.0 AS DOUBLE) AS v_rint, CAST(-3.0 AS DOUBLE) AS v_copysign""".stripMargin
+        |  CAST(2.0 AS DOUBLE) AS v_rint, CAST(-3.0 AS DOUBLE) AS v_copysign""".stripMargin,
+    // closed forms: DUPN-block sum 11 + ROLL diff 0 + ROLLD diff 40;
+    // 255 in 64 binary digits; INDEXOF of 7 in [7,8,7,9,7]
+    "w33_ws_stackwords" ->
+      s"""SELECT TRUE AS v_bool, 'LONGDOUBLE' AS v_types,
+         |  '0,2,4' AS v_idx, '${"0" * 56}11111111' AS v_bin,
+         |  CAST(51 AS BIGINT) AS v_long""".stripMargin
   )
 }

@@ -159,6 +159,41 @@ final class WarpScriptEngine(
     case "ROT" =>
       val a = st.pop(); val b = st.pop(); val c = st.pop()
       st.push(b); st.push(a); st.push(c)
+    // DUPN (MemoryWarpScriptStack.dupn:341): duplicate the top n
+    // elements as a block, order preserved
+    case "DUPN" =>
+      val n = st.popLong().toInt
+      require(n >= 0 && n <= st.stack.length, s"DUPN out of bounds: $n")
+      st.stack.take(n).reverse.foreach(st.push)
+    // ROLL (stack.roll:443): move the n-th element (1 = top) to the top
+    case "ROLL" =>
+      val n = st.popLong().toInt
+      require(n >= 1 && n <= st.stack.length, s"ROLL out of bounds: $n")
+      st.push(st.stack.remove(n - 1))
+    // ROLLD (stack.rolld:1374): move the top element down to depth n
+    case "ROLLD" =>
+      val n = st.popLong().toInt
+      require(n >= 1 && n <= st.stack.length, s"ROLLD out of bounds: $n")
+      val v = st.pop()
+      st.stack.insert(n - 1, v)
+    // TYPEOF (fn/TYPEOF.java:118-160 type names)
+    case "TYPEOF" => st.push(st.pop() match {
+      case null => "NULL"
+      case _: String => "STRING"
+      case _: Long => "LONG"
+      case _: Double => "DOUBLE"
+      case _: java.math.BigDecimal => "BIGDECIMAL"
+      case _: Boolean => "BOOLEAN"
+      case _: Vector[_] => "LIST"
+      case _: Map[_, _] => "MAP"
+      case _: WsMacro => "MACRO"
+      case _: GtsFrame | _: BucketedFrame | _: GtsBuilder => "GTS"
+      case _: AggVal => "AGGREGATOR"
+      case _: FilterVal => "FILTER"
+      case _ => "FUNCTION"
+    })
+    // DEFINED (fn/DEFINED.java): symbol-table membership
+    case "DEFINED" => st.push(st.symbols.contains(st.popStr()))
 
     // ---- scalar arithmetic (fn/ADD.java promotion: long+long stays long)
     case "+" => binNum(st, _ + _, _ + _, Some(_ + _))
@@ -244,6 +279,30 @@ final class WarpScriptEngine(
       java.util.Base64.getDecoder.decode(st.popStr()),
       java.nio.charset.StandardCharsets.UTF_8))
     case "TOHEX" => st.push(java.lang.Long.toHexString(st.popLong()))
+    // TOBIN (fn/TOBIN.java): LONG → 64-bit binary text; STRING → bits
+    // of its UTF-8 bytes
+    case "TOBIN" => st.pop() match {
+      case l: Long =>
+        val s = "0" * 64 + java.lang.Long.toBinaryString(l)
+        st.push(s.substring(s.length - 64))
+      case s: String =>
+        val sb = new StringBuilder
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+          var i = 7
+          while (i >= 0) { sb.append((b >> i) & 1); i -= 1 }
+        }
+        st.push(sb.toString)
+      case o => throw new IllegalArgumentException(s"TOBIN on $o")
+    }
+    // INDEXOF (fn/INDEXOF.java): coll item n INDEXOF → list of the
+    // first n matching indices (n <= 0 = all)
+    case "INDEXOF" =>
+      val nRaw = st.popLong()
+      val limit = if (nRaw <= 0) Long.MaxValue else nRaw
+      val item = st.pop()
+      val l = st.pop().asInstanceOf[Vector[Any]]
+      st.push(l.zipWithIndex.collect { case (e, i) if e == item => i.toLong }
+        .take(math.min(limit, Int.MaxValue).toInt))
     case "ISO8601" => // µs tick → UTC ISO text (reference time unit)
       val t = st.popLong()
       st.push(java.time.Instant.ofEpochSecond(
