@@ -142,6 +142,38 @@ object GeoCells {
     cur
   }
 
+  /** GEOSPLIT (fn/GEOSPLIT.java — split a shape into connex clusters;
+    * corner contact does NOT count): 4-connected components of a cover,
+    * longitude wrapping, BFS per component. Driver-side (covers are
+    * query constants); returns components largest-first then by min
+    * cell for determinism. */
+  def split(cells: Set[Long], res: Int): Seq[Set[Long]] = {
+    val n = 1L << res
+    val remaining = scala.collection.mutable.Set.from(cells)
+    val out = Seq.newBuilder[Set[Long]]
+    while (remaining.nonEmpty) {
+      val seed = remaining.head
+      val comp = Set.newBuilder[Long]
+      val queue = scala.collection.mutable.Queue(seed)
+      remaining -= seed
+      while (queue.nonEmpty) {
+        val c = queue.dequeue()
+        comp += c
+        val la = c / n; val lo = c % n
+        val neighbors = Seq(
+          if (la > 0) Some((la - 1) * n + lo) else None,
+          if (la < n - 1) Some((la + 1) * n + lo) else None,
+          Some(la * n + ((lo + 1) % n)),
+          Some(la * n + ((lo - 1 + n) % n))).flatten
+        neighbors.foreach { nb =>
+          if (remaining.remove(nb)) queue.enqueue(nb)
+        }
+      }
+      out += comp.result()
+    }
+    out.result().sortBy(c => (-c.size, c.min))
+  }
+
   /** Pre-filter predicate: point's cell ∈ cover. For small covers an
     * IN-list (pushed into the parquet scan); callers with huge covers
     * should broadcast-semi-join a cover table instead. */

@@ -102,6 +102,56 @@ object GeoHash {
     else (cellIdx + 0.5) / n * 360.0 - 180.0
   }
 
+  /** Driver-side scalar encode (the TOGEOHASH word) — same arithmetic
+    * as the Column expression. */
+  def encodeScalar(lat: Double, lon: Double, chars: Int = 12): String = {
+    require(chars >= 1 && chars <= 12)
+    val (lonBits, latBits) = bitSplit(chars)
+    def q(v: Double, off: Double, range: Double, bits: Int): Long = {
+      val n = 1L << bits
+      math.min(math.floor((v + off) / range * n).toLong, n - 1)
+    }
+    val lonIdx = q(lon, 180.0, 360.0, lonBits)
+    val latIdx = q(lat, 90.0, 180.0, latBits)
+    val total = 5 * chars
+    var inter = 0L
+    var p = 0
+    while (p < total) {
+      val bit =
+        if (p % 2 == 0) (lonIdx >> (lonBits - 1 - p / 2)) & 1L
+        else (latIdx >> (latBits - 1 - (p - 1) / 2)) & 1L
+      inter |= bit << (total - 1 - p)
+      p += 1
+    }
+    (0 until chars).map { j =>
+      Alphabet(((inter >> (5 * (chars - 1 - j))) & 31).toInt)
+    }.mkString
+  }
+
+  /** Driver-side scalar decode to the cell CENTER (the GEOHASHTO word). */
+  def decodeScalar(gh: String): (Double, Double) = {
+    val chars = gh.length
+    require(chars >= 1 && chars <= 12)
+    val (lonBits, latBits) = bitSplit(chars)
+    val total = 5 * chars
+    val digits = gh.toLowerCase.map { c =>
+      val i = Alphabet.indexOf(c)
+      require(i >= 0, s"invalid geohash char '$c'")
+      i.toLong
+    }
+    var lonIdx = 0L; var latIdx = 0L
+    var lonR = 0; var latR = 0
+    var p = 0
+    while (p < total) {
+      val bit = (digits(p / 5) >> (4 - p % 5)) & 1L
+      if (p % 2 == 0) { lonIdx |= bit << (lonBits - 1 - lonR); lonR += 1 }
+      else { latIdx |= bit << (latBits - 1 - latR); latR += 1 }
+      p += 1
+    }
+    ((latIdx + 0.5) / (1L << latBits).toDouble * 180.0 - 90.0,
+      (lonIdx + 0.5) / (1L << lonBits).toDouble * 360.0 - 180.0)
+  }
+
   /** Decoder twin for the oracle. */
   def decodeSql(ghExpr: String, chars: Int, lat: Boolean): String = {
     val (lonBits, latBits) = bitSplit(chars)

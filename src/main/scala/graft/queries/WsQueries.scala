@@ -433,6 +433,17 @@ object WsQueries {
         lit(stv(0).asInstanceOf[Long]).as("v_long"))
     }),
 
+    // TOGEOHASH/GEOHASHTO words — the oracle recomputes the geohash
+    // and its center INDEPENDENTLY via the SQL twin generators
+    "w34_ws_geohash" -> ((s, dir) => {
+      val stv = engine(s, dir, cents = false)
+        .run("48.8566 2.3522 TOGEOHASH DUP GEOHASHTO")
+      s.range(1).select(
+        lit(stv(2).asInstanceOf[String]).as("gh"),
+        lit(stv(1).asInstanceOf[Double]).as("ghlat"),
+        lit(stv(0).asInstanceOf[Double]).as("ghlon"))
+    }),
+
     // ESDTEST word ≡ g77 (mean/sd variant; k=3, alpha=0.05)
     "w14_ws_esdtest" -> ((s, dir) => {
       val program =
@@ -522,6 +533,13 @@ object WsQueries {
     "w33_ws_stackwords" ->
       s"""SELECT TRUE AS v_bool, 'LONGDOUBLE' AS v_types,
          |  '0,2,4' AS v_idx, '${"0" * 56}11111111' AS v_bin,
-         |  CAST(51 AS BIGINT) AS v_long""".stripMargin
+         |  CAST(51 AS BIGINT) AS v_long""".stripMargin,
+    "w34_ws_geohash" -> {
+      import graft.functions.GeoHash
+      s"""WITH e AS (SELECT ${GeoHash.encodeSql("48.8566", "2.3522", 12)} AS gh)
+         |SELECT gh, ${GeoHash.decodeSql("gh", 12, lat = true)} AS ghlat,
+         |  ${GeoHash.decodeSql("gh", 12, lat = false)} AS ghlon
+         |FROM e""".stripMargin
+    }
   )
 }

@@ -251,6 +251,15 @@ final class WarpScriptEngine(
       st.push(Math.floorDiv(a, b))
     case "FLOORMOD" => val b = st.popLong(); val a = st.popLong()
       st.push(Math.floorMod(a, b))
+    // TOGEOHASH (fn/TOGEOHASH.java lat/lon form): lat lon → max-
+    // precision geohash text; GEOHASHTO decodes to the cell CENTER
+    // (lat then lon — the reference's HHCode form is toHHCode)
+    case "TOGEOHASH" =>
+      val lon = st.popNum(); val lat = st.popNum()
+      st.push(graft.functions.GeoHash.encodeScalar(lat, lon, 12))
+    case "GEOHASHTO" =>
+      val (la, lo) = graft.functions.GeoHash.decodeScalar(st.popStr())
+      st.push(la); st.push(lo)
     // HAVERSINE (fn/HAVERSINE.java): lat1 lon1 lat2 lon2 → meters
     case "HAVERSINE" =>
       val lon2 = st.popNum(); val lat2 = st.popNum()

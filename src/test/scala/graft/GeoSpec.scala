@@ -128,6 +128,29 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("GEOSPLIT: 4-connected components, corner contact does not join") {
+    import graft.functions.GeoCells
+    val res = 6; val n = 1L << res
+    def c(la: Long, lo: Long) = la * n + lo
+    // an L-shaped blob, a corner-touching single cell, and a far cell
+    val cover = Set(c(10, 10), c(10, 11), c(11, 10), // connex L
+      c(11, 12), // touches (10,11)/(11,11)? only corner of (10,11)... adjacent to nothing in the L
+      c(40, 40))
+    val comps = GeoCells.split(cover, res)
+    assert(comps.length == 3)
+    assert(comps.head == Set(c(10, 10), c(10, 11), c(11, 10)))
+    // wrap: lon 0 and lon n-1 are 4-neighbors
+    val wrap = GeoCells.split(Set(c(5, 0), c(5, n - 1)), res)
+    assert(wrap.length == 1)
+  }
+
+  test("scalar geohash matches the Column encoder and round-trips") {
+    import graft.functions.GeoHash
+    assert(GeoHash.encodeScalar(57.64911, 10.40744, 11) == "u4pruydqqvj")
+    val (la, lo) = GeoHash.decodeScalar("u4pruydqqvj")
+    assert(math.abs(la - 57.64911) < 1e-4 && math.abs(lo - 10.40744) < 1e-4)
+  }
+
   test("GEOBUFFER dilation: one ring grows the cover by its perimeter ring") {
     import graft.functions.GeoCells
     val res = 6; val n = 1L << res
