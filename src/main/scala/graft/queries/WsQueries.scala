@@ -444,6 +444,19 @@ object WsQueries {
         lit(stv(0).asInstanceOf[Double]).as("ghlon"))
     }),
 
+    // parameterized pointwise mappers chained through three MAP calls:
+    // scale, shift, then a comparison mapper that DROPS non-matching
+    // ticks (MapperGT semantics) — oracle is plain SQL arithmetic
+    "w35_ws_param_mappers" -> ((s, dir) => {
+      val program =
+        s"""[ [ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+           |  0.5 mapper.mul 0 0 0 ] MAP 'g' STORE
+           |[ $$g 10.0 mapper.add 0 0 0 ] MAP 'g' STORE
+           |[ $$g 50.0 mapper.gt 0 0 0 ] MAP""".stripMargin
+      engine(s, dir, cents = false).runToFrame(program)
+        .select(col("class"), userid, col("ts"), col("vdouble"))
+    }),
+
     // ESDTEST word ≡ g77 (mean/sd variant; k=3, alpha=0.05)
     "w14_ws_esdtest" -> ((s, dir) => {
       val program =
@@ -540,6 +553,10 @@ object WsQueries {
          |SELECT gh, ${GeoHash.decodeSql("gh", 12, lat = true)} AS ghlat,
          |  ${GeoHash.decodeSql("gh", 12, lat = false)} AS ghlon
          |FROM e""".stripMargin
-    }
+    },
+    "w35_ws_param_mappers" ->
+      s"""WITH g AS ($EV)
+         |SELECT class, userid, ts, vdouble * 0.5 + 10.0 AS vdouble
+         |FROM g WHERE vdouble * 0.5 + 10.0 > 50.0""".stripMargin
   )
 }

@@ -677,7 +677,10 @@ final class WarpScriptEngine(
           st.push(framesOf(args.take(n - 4)).mapWindow(a, pre, post, occurrences = occ))
         case MapperCol(_, f) =>
           val fr = framesOf(args.take(n - 4))
-          st.push(GtsFrame(fr.df.withColumn("vdouble", f(col("vdouble")))))
+          // a mapper producing no value drops the tick (the reference's
+          // comparison mappers MapperEQ/GT/... return null → no point)
+          st.push(GtsFrame(fr.df.withColumn("vdouble", f(col("vdouble")))
+            .filter(col("vdouble").isNotNull)))
         case o => throw new IllegalArgumentException(s"not a mapper: $o")
       }
 
@@ -1011,6 +1014,19 @@ final class WarpScriptEngine(
       st.push(AggVal(w, PercentileCont(st.popNum())))
     case "bucketizer.join" | "reducer.join" =>
       st.push(AggVal(w, JoinAgg(st.popStr())))
+    // parameterized pointwise mappers (script/mapper/MapperAdd.java,
+    // MapperMul, MapperMod, MapperPow; comparison mappers keep the
+    // value when the predicate holds and DROP the tick otherwise)
+    case "mapper.add" => val k = st.popNum(); st.push(MapperCol(w, _ + lit(k)))
+    case "mapper.mul" => val k = st.popNum(); st.push(MapperCol(w, _ * lit(k)))
+    case "mapper.mod" => val k = st.popNum(); st.push(MapperCol(w, _ % lit(k)))
+    case "mapper.pow" => val k = st.popNum(); st.push(MapperCol(w, c => pow(c, lit(k))))
+    case "mapper.eq" => val k = st.popNum(); st.push(MapperCol(w, c => when(c === k, c)))
+    case "mapper.ne" => val k = st.popNum(); st.push(MapperCol(w, c => when(c =!= k, c)))
+    case "mapper.gt" => val k = st.popNum(); st.push(MapperCol(w, c => when(c > k, c)))
+    case "mapper.ge" => val k = st.popNum(); st.push(MapperCol(w, c => when(c >= k, c)))
+    case "mapper.lt" => val k = st.popNum(); st.push(MapperCol(w, c => when(c < k, c)))
+    case "mapper.le" => val k = st.popNum(); st.push(MapperCol(w, c => when(c <= k, c)))
     case BucketizerName(a) => st.push(a)
     case MapperName(m) => st.push(m)
     case ReducerName(a) => st.push(a)
@@ -1216,6 +1232,8 @@ object WarpScriptEngine {
     private val pointwise: Map[String, Column => Column] = Map(
       "abs" -> abs, "ceil" -> (v => ceil(v)), "floor" -> (v => floor(v)),
       "round" -> (v => round(v)), "sqrt" -> sqrt, "exp" -> exp, "ln" -> log,
+      "tanh" -> tanh,
+      "sigmoid" -> (v => lit(1.0) / (lit(1.0) + exp(-v))),
       "tolong" -> (_.cast(org.apache.spark.sql.types.LongType)),
       "todouble" -> (_.cast(org.apache.spark.sql.types.DoubleType)))
     def unapply(w: String): Option[Any] =
