@@ -320,7 +320,12 @@ final case class GtsFrame(df: DataFrame) {
       max_by(col("vdouble"), col("ts")).as("last_v"),
       min(col("vdouble")).as("min_v"),
       max(col("vdouble")).as("max_v"),
-      count(lit(1)).as("size_v"))
+      count(lit(1)).as("size_v"),
+      // identity columns for the metadata filters (filter.byclass,
+      // filter.bylabels — script/filter/FilterByClass.java family);
+      // constant per series, so first() is exact
+      first(col("class")).as("class_v"),
+      first(col("labels")).as("labels_v"))
       .filter(pred).select(col("gtsid"))
     GtsFrame(df.join(broadcast(keep), Seq("gtsid"), "left_semi"))
   }

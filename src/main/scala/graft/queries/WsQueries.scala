@@ -457,6 +457,27 @@ object WsQueries {
         .select(col("class"), userid, col("ts"), col("vdouble"))
     }),
 
+    // metadata filters: class selector regex + label selector map
+    // (script/filter/FilterByClass.java, FilterByLabels.java)
+    "w36_ws_meta_filters" -> ((s, dir) => {
+      val program =
+        s"""[ [ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+           |  [ ] '~events\\.(click|view)' filter.byclass ] FILTER 'g' STORE
+           |[ $$g [ ] { 'user' '~1.*' } filter.bylabels ] FILTER""".stripMargin
+      engine(s, dir, cents = false).runToFrame(program)
+        .select(col("class"), userid, col("ts"), col("vdouble"))
+    }),
+
+    // calendar mapper through MAP: ISO weekday of each tick
+    // (script/mapper/MapperDayOfWeek.java)
+    "w37_ws_weekday_mapper" -> ((s, dir) => {
+      val program =
+        s"""[ [ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+           |  mapper.weekday 0 0 0 ] MAP""".stripMargin
+      engine(s, dir, cents = false).runToFrame(program)
+        .select(col("class"), userid, col("ts"), col("vdouble").as("wd"))
+    }),
+
     // ESDTEST word ≡ g77 (mean/sd variant; k=3, alpha=0.05)
     "w14_ws_esdtest" -> ((s, dir) => {
       val program =
@@ -557,6 +578,16 @@ object WsQueries {
     "w35_ws_param_mappers" ->
       s"""WITH g AS ($EV)
          |SELECT class, userid, ts, vdouble * 0.5 + 10.0 AS vdouble
-         |FROM g WHERE vdouble * 0.5 + 10.0 > 50.0""".stripMargin
+         |FROM g WHERE vdouble * 0.5 + 10.0 > 50.0""".stripMargin,
+    "w36_ws_meta_filters" ->
+      s"""WITH g AS ($EV)
+         |SELECT class, userid, ts, vdouble FROM g
+         |WHERE regexp_matches(class, '^(?:events\\.(click|view))$$')
+         |  AND regexp_matches(userid, '^(?:1.*)$$')""".stripMargin,
+    "w37_ws_weekday_mapper" ->
+      s"""WITH g AS ($EV)
+         |SELECT class, userid, ts,
+         |  CAST(isodow(make_timestamp(ts)) AS DOUBLE) AS wd
+         |FROM g""".stripMargin
   )
 }

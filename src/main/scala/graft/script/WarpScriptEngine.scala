@@ -681,6 +681,8 @@ final class WarpScriptEngine(
           // comparison mappers MapperEQ/GT/... return null → no point)
           st.push(GtsFrame(fr.df.withColumn("vdouble", f(col("vdouble")))
             .filter(col("vdouble").isNotNull)))
+        case MapperDf(_, f) =>
+          st.push(GtsFrame(f(framesOf(args.take(n - 4)).df)))
         case o => throw new IllegalArgumentException(s"not a mapper: $o")
       }
 
@@ -1021,6 +1023,21 @@ final class WarpScriptEngine(
     case "mapper.mul" => val k = st.popNum(); st.push(MapperCol(w, _ * lit(k)))
     case "mapper.mod" => val k = st.popNum(); st.push(MapperCol(w, _ % lit(k)))
     case "mapper.pow" => val k = st.popNum(); st.push(MapperCol(w, c => pow(c, lit(k))))
+    // frame-column mappers: value := tick / calendar field of the tick
+    // (script/mapper/MapperTick.java, MapperYear/Month/Day/Hour/Minute/
+    // Second/DayOfWeek — UTC; ticks < 2^53 µs stay exact in double)
+    case "mapper.tick" =>
+      st.push(MapperDf(w, df => df.withColumn("vdouble",
+        col("ts").cast(org.apache.spark.sql.types.DoubleType))))
+    case "mapper.year" => st.push(calMapper(w, year))
+    case "mapper.month" => st.push(calMapper(w, month))
+    case "mapper.day" => st.push(calMapper(w, dayofmonth))
+    case "mapper.hour" => st.push(calMapper(w, hour))
+    case "mapper.minute" => st.push(calMapper(w, minute))
+    case "mapper.second" => st.push(calMapper(w, second))
+    // ISO weekday 1=Monday..7=Sunday (Joda getDayOfWeek)
+    case "mapper.weekday" =>
+      st.push(calMapper(w, t => (dayofweek(t) + lit(5)) % 7 + lit(1)))
     case "mapper.eq" => val k = st.popNum(); st.push(MapperCol(w, c => when(c === k, c)))
     case "mapper.ne" => val k = st.popNum(); st.push(MapperCol(w, c => when(c =!= k, c)))
     case "mapper.gt" => val k = st.popNum(); st.push(MapperCol(w, c => when(c > k, c)))
@@ -1039,6 +1056,25 @@ final class WarpScriptEngine(
     case "filter.last.le" => st.push(FilterVal(w, col("last_v") <= st.popNum()))
     case "filter.last.eq" => st.push(FilterVal(w, col("last_v") === st.popNum()))
     case "filter.bysize.gt" => st.push(FilterVal(w, col("size_v") > st.popLong()))
+    // metadata filters (script/filter/FilterByClass.java, FilterByLabels):
+    // regex on the series class; exact-or-~regex per-label selectors
+    case "filter.byclass" =>
+      val sel = st.popStr()
+      // selector form: '~regex' (full match, like the reference's
+      // Pattern.matches) or '=exact' / bare exact
+      val pred =
+        if (sel.startsWith("~")) col("class_v").rlike("^(?:" + sel.substring(1) + ")$")
+        else col("class_v") === sel.stripPrefix("=")
+      st.push(FilterVal(w, pred))
+    case "filter.bylabels" =>
+      val sel = st.pop().asInstanceOf[Map[Any, Any]]
+      val pred = sel.map { case (k, v) =>
+        val s = String.valueOf(v)
+        if (s.startsWith("~"))
+          col("labels_v").getItem(k.toString).rlike("^(?:" + s.substring(1) + ")$")
+        else col("labels_v").getItem(k.toString) === s.stripPrefix("=")
+      }.reduceOption(_ && _).getOrElse(lit(true))
+      st.push(FilterVal(w, pred))
     case "filter.any.gt" => st.push(FilterVal(w, col("max_v") > st.popNum()))
     case "filter.all.gt" => st.push(FilterVal(w, col("min_v") > st.popNum()))
 
@@ -1092,6 +1128,12 @@ final class WarpScriptEngine(
     case l: Long => l.toDouble
     case o => throw new IllegalArgumentException(s"expected number, got $o")
   }
+
+  /** Calendar-field mapper over the tick rendered as UTC (MapperYear
+    * family); result cast to double like every vdouble. */
+  private def calMapper(w: String, f: Column => Column): MapperDf =
+    MapperDf(w, df => df.withColumn("vdouble",
+      f(timestamp_micros(col("ts"))).cast(org.apache.spark.sql.types.DoubleType)))
 
   /** TOBD.toBigDecimal (TOBD.java:44-64): exact from string (0x/0b
     * integer forms included), long, double, or pass-through. */
@@ -1204,6 +1246,9 @@ object WarpScriptEngine {
   final case class AggVal(name: String, agg: ValueAgg)
   /** Pointwise value mapper (mapper.abs etc.). */
   final case class MapperCol(name: String, f: Column => Column)
+  /** Whole-frame mapper reading columns beyond vdouble (mapper.tick,
+    * the calendar mappers). */
+  final case class MapperDf(name: String, f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
   /** Tick-aligned binary op for APPLY (script/op/Op*.java). */
   final case class OpVal(name: String, f: (Column, Column) => Column)
   /** Whole-series filter predicate over the per-series aggregate row
