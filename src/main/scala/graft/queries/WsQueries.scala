@@ -478,6 +478,27 @@ object WsQueries {
         .select(col("class"), userid, col("ts"), col("vdouble").as("wd"))
     }),
 
+    // RSA words: fixed 512-bit key, deterministic PKCS#1 v1.5
+    // SHA256withRSA signature + verify — the oracle's signature hex was
+    // derived INDEPENDENTLY (pure modpow of the EMSA-PKCS1-v1_5
+    // encoding, no JDK), so a hash match proves the whole RSA path
+    "w38_ws_rsa" -> ((s, dir) => {
+      val n = "7926955442507415057210607385506121997689529697485136240574604503768788820120193532578286006291189972668427413500371142792463105078406585121658835942452443"
+      val d = "6738462466355350416593071822847117851187594625579358608093928490920594381154250373415010101917650545635783047904394795660730048516179584987959212992503617"
+      val program =
+        s"""{ 'algorithm' 'RSA' 'modulus' '$n' 'exponent' '$d' } RSAPRIVATE 'priv' STORE
+           |{ 'algorithm' 'RSA' 'modulus' '$n' 'exponent' '65537' } RSAPUBLIC 'pub' STORE
+           |'graft rsa test' 'UTF-8' ->BYTES 'data' STORE
+           |$$data 'SHA256withRSA' $$priv RSASIGN 'sig' STORE
+           |$$sig TOHEX
+           |$$data $$sig 'SHA256withRSA' $$pub RSAVERIFY
+           |""".stripMargin
+      val stv = engine(s, dir, cents = false).run(program)
+      s.range(1).select(
+        lit(stv(1).asInstanceOf[String]).as("v_sig"),
+        lit(stv(0).asInstanceOf[Boolean]).as("v_verified"))
+    }),
+
     // ESDTEST word ≡ g77 (mean/sd variant; k=3, alpha=0.05)
     "w14_ws_esdtest" -> ((s, dir) => {
       val program =
@@ -588,6 +609,12 @@ object WsQueries {
       s"""WITH g AS ($EV)
          |SELECT class, userid, ts,
          |  CAST(isodow(make_timestamp(ts)) AS DOUBLE) AS wd
-         |FROM g""".stripMargin
+         |FROM g""".stripMargin,
+    // signature hex derived independently of the JDK: EMSA-PKCS1-v1_5
+    // (SHA-256 DigestInfo + FF padding) ^ d mod n, computed with plain
+    // big-integer modpow
+    "w38_ws_rsa" ->
+      """SELECT '9000a883a1203b9710caa74bf80d04735c1b3ee6d21c00d35b50faa7b5db6b6106c7defb0bb1461deefc3477e32d37b8d40074b40243096877e445a1310b4a84' AS v_sig,
+        |  TRUE AS v_verified""".stripMargin
   )
 }

@@ -287,7 +287,23 @@ final class WarpScriptEngine(
     case "B64TO" => st.push(new String(
       java.util.Base64.getDecoder.decode(st.popStr()),
       java.nio.charset.StandardCharsets.UTF_8))
-    case "TOHEX" => st.push(java.lang.Long.toHexString(st.popLong()))
+    // TOHEX (fn/TOHEX.java): LONG → unpadded hex; STRING/BYTES → hex
+    // of the UTF-8 bytes / raw bytes
+    case "TOHEX" => st.pop() match {
+      case l: Long => st.push(java.lang.Long.toHexString(l))
+      case b: Array[Byte] => st.push(b.map("%02x".format(_)).mkString)
+      case s: String => st.push(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .map("%02x".format(_)).mkString)
+      case o => throw new IllegalArgumentException(s"TOHEX on $o")
+    }
+    // ->BYTES / BYTES-> (fn/TOBYTES.java, fn/BYTESTO.java): string ↔
+    // byte array under an explicit charset
+    case "->BYTES" =>
+      val cs = st.popStr(); st.push(st.popStr().getBytes(cs))
+    case "BYTES->" =>
+      val cs = st.popStr()
+      st.push(new String(st.pop().asInstanceOf[Array[Byte]], cs))
     // TOBIN (fn/TOBIN.java): LONG → 64-bit binary text; STRING → bits
     // of its UTF-8 bytes
     case "TOBIN" => st.pop() match {
@@ -587,6 +603,62 @@ final class WarpScriptEngine(
         st.push(toBd(st.pop()).setScale(0, java.math.RoundingMode.HALF_UP))
       case v => st.push(toBd(v).setScale(0, java.math.RoundingMode.HALF_UP))
     }
+
+    // ---- RSA words (fn/RSAPUBLIC.java, RSAPRIVATE, RSASIGN,
+    // RSAVERIFY, RSAENCRYPT, RSADECRYPT — JDK java.security; the
+    // reference's BouncyCastle is replaced by the platform provider).
+    // Key maps: { 'algorithm' 'RSA' 'modulus' '<dec|0x..>' 'exponent'
+    // '<dec|0x..>' }, as the reference's new BigInteger(text).
+    case "RSAPUBLIC" | "RSAPRIVATE" =>
+      val params = st.pop().asInstanceOf[Map[Any, Any]]
+        .map { case (k, v) => k.toString -> String.valueOf(v) }
+      require(params.get("algorithm").contains("RSA"),
+        s"$w expects 'algorithm' -> 'RSA'")
+      def big(s: String) =
+        if (s.startsWith("0x")) new java.math.BigInteger(s.substring(2), 16)
+        else new java.math.BigInteger(s)
+      val mod = big(params("modulus")); val exp = big(params("exponent"))
+      val kf = java.security.KeyFactory.getInstance("RSA")
+      st.push(
+        if (w == "RSAPUBLIC")
+          kf.generatePublic(new java.security.spec.RSAPublicKeySpec(mod, exp))
+        else
+          kf.generatePrivate(new java.security.spec.RSAPrivateKeySpec(mod, exp)))
+    // data alg key RSASIGN → signature bytes (PKCS#1 v1.5, deterministic)
+    case "RSASIGN" =>
+      val key = st.pop().asInstanceOf[java.security.PrivateKey]
+      val alg = st.popStr()
+      val data = popBytes(st)
+      val sig = java.security.Signature.getInstance(alg)
+      sig.initSign(key); sig.update(data)
+      st.push(sig.sign())
+    // data sig alg key RSAVERIFY → boolean
+    case "RSAVERIFY" =>
+      val key = st.pop().asInstanceOf[java.security.PublicKey]
+      val alg = st.popStr()
+      val signature = st.pop().asInstanceOf[Array[Byte]]
+      val data = popBytes(st)
+      val sig = java.security.Signature.getInstance(alg)
+      sig.initVerify(key); sig.update(data)
+      st.push(sig.verify(signature))
+    // data key RSAENCRYPT → bytes (8-byte random nonce prefixed, like
+    // RSAENCRYPT.java:60-67); data key RSADECRYPT strips the nonce
+    case "RSAENCRYPT" =>
+      val key = st.pop().asInstanceOf[java.security.Key]
+      val data = popBytes(st)
+      val nonced = new Array[Byte](data.length + 8)
+      new java.security.SecureRandom().nextBytes(nonced)
+      System.arraycopy(data, 0, nonced, 8, data.length)
+      val c = javax.crypto.Cipher.getInstance("RSA/ECB/PKCS1Padding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE, key)
+      st.push(c.doFinal(nonced))
+    case "RSADECRYPT" =>
+      val key = st.pop().asInstanceOf[java.security.Key]
+      val data = st.pop().asInstanceOf[Array[Byte]]
+      val c = javax.crypto.Cipher.getInstance("RSA/ECB/PKCS1Padding")
+      c.init(javax.crypto.Cipher.DECRYPT_MODE, key)
+      val nonced = c.doFinal(data)
+      st.push(java.util.Arrays.copyOfRange(nonced, 8, nonced.length))
 
     // ---- control: SWITCH / TRY (fn/SWITCH.java, fn/TRY.java)
     // SWITCH: N (condition,exec) macro pairs + default macro + N; first
@@ -1127,6 +1199,13 @@ final class WarpScriptEngine(
     case d: Double => d
     case l: Long => l.toDouble
     case o => throw new IllegalArgumentException(s"expected number, got $o")
+  }
+
+  /** Byte-array operand: raw bytes pass through, strings are UTF-8. */
+  private def popBytes(st: State): Array[Byte] = st.pop() match {
+    case b: Array[Byte] => b
+    case s: String => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    case o => throw new IllegalArgumentException(s"expected BYTES, got $o")
   }
 
   /** Calendar-field mapper over the tick rendered as UTC (MapperYear

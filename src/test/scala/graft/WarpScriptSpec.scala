@@ -297,6 +297,18 @@ class WarpScriptSpec extends SparkSpec {
     assert(e2.run("[ '' 'm.w' { } 0 9999 ] FETCH CLONEEMPTY SIZE").head == 0L)
   }
 
+  test("RSA encrypt/decrypt round-trips with the nonce stripped") {
+    val n = "7926955442507415057210607385506121997689529697485136240574604503768788820120193532578286006291189972668427413500371142792463105078406585121658835942452443"
+    val d = "6738462466355350416593071822847117851187594625579358608093928490920594381154250373415010101917650545635783047904394795660730048516179584987959212992503617"
+    val program =
+      s"""{ 'algorithm' 'RSA' 'modulus' '$n' 'exponent' '$d' } RSAPRIVATE 'priv' STORE
+         |{ 'algorithm' 'RSA' 'modulus' '$n' 'exponent' '65537' } RSAPUBLIC 'pub' STORE
+         |'secret payload' 'UTF-8' ->BYTES $$pub RSAENCRYPT
+         |$$priv RSADECRYPT 'UTF-8' BYTES->
+         |""".stripMargin
+    assert(eng.run(program).head == "secret payload")
+  }
+
   test("control words: SWITCH picks first true case, TRY catches") {
     val sw = "7 'v' STORE " +
       "<% $v 5 < %> <% 'small' %> <% $v 10 < %> <% 'medium' %> " +
