@@ -499,6 +499,23 @@ object WsQueries {
         lit(stv(0).asInstanceOf[Boolean]).as("v_verified"))
     }),
 
+    // digest words vs DuckDB's own md5()/sha256() plus published NIST
+    // 'abc' vectors for SHA1/SHA512
+    "w39_ws_digests" -> ((s, dir) => {
+      val program =
+        """'graft' 'UTF-8' ->BYTES MD5 TOHEX
+          |'graft' 'UTF-8' ->BYTES SHA256 TOHEX
+          |'abc' 'UTF-8' ->BYTES SHA1 TOHEX
+          |'abc' 'UTF-8' ->BYTES SHA512 TOHEX
+          |""".stripMargin
+      val stv = engine(s, dir, cents = false).run(program)
+      s.range(1).select(
+        lit(stv(3).asInstanceOf[String]).as("v_md5"),
+        lit(stv(2).asInstanceOf[String]).as("v_sha256"),
+        lit(stv(1).asInstanceOf[String]).as("v_sha1"),
+        lit(stv(0).asInstanceOf[String]).as("v_sha512"))
+    }),
+
     // ESDTEST word ≡ g77 (mean/sd variant; k=3, alpha=0.05)
     "w14_ws_esdtest" -> ((s, dir) => {
       val program =
@@ -615,6 +632,12 @@ object WsQueries {
     // big-integer modpow
     "w38_ws_rsa" ->
       """SELECT '9000a883a1203b9710caa74bf80d04735c1b3ee6d21c00d35b50faa7b5db6b6106c7defb0bb1461deefc3477e32d37b8d40074b40243096877e445a1310b4a84' AS v_sig,
-        |  TRUE AS v_verified""".stripMargin
+        |  TRUE AS v_verified""".stripMargin,
+    // DuckDB computes md5/sha256 itself; SHA1/SHA512 use the published
+    // FIPS 180 'abc' test vectors
+    "w39_ws_digests" ->
+      """SELECT md5('graft') AS v_md5, sha256('graft') AS v_sha256,
+        |  'a9993e364706816aba3e25717850c26c9cd0d89d' AS v_sha1,
+        |  'ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b55d39a2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f' AS v_sha512""".stripMargin
   )
 }

@@ -281,12 +281,12 @@ final class WarpScriptEngine(
     // ---- string words (fn/SUBSTRING.java, SPLIT, JOIN, TEMPLATE family)
     case "TOUPPER" => st.push(st.popStr().toUpperCase)
     case "TOLOWER" => st.push(st.popStr().toLowerCase)
-    // encodings (fn/TOB64.java, B64TO, TOHEX, fn/ISO8601.java)
-    case "TOB64" => st.push(java.util.Base64.getEncoder.encodeToString(
-      st.popStr().getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-    case "B64TO" => st.push(new String(
-      java.util.Base64.getDecoder.decode(st.popStr()),
-      java.nio.charset.StandardCharsets.UTF_8))
+    // encodings (fn/TOB64.java, B64TO, TOHEX, fn/ISO8601.java).
+    // B64TO pushes BYTES like the reference (B64TO.java:37) — follow
+    // with `'UTF-8' BYTES->` for text.
+    case "TOB64" => st.push(java.util.Base64.getEncoder.encodeToString(popBytes(st)))
+    case "B64TO" => st.push(java.util.Base64.getDecoder.decode(
+      st.popStr().replace("\n", "").replace("\r", "").replace(" ", "")))
     // TOHEX (fn/TOHEX.java): LONG → unpadded hex; STRING/BYTES → hex
     // of the UTF-8 bytes / raw bytes
     case "TOHEX" => st.pop() match {
@@ -659,6 +659,26 @@ final class WarpScriptEngine(
       c.init(javax.crypto.Cipher.DECRYPT_MODE, key)
       val nonced = c.doFinal(data)
       st.push(java.util.Arrays.copyOfRange(nonced, 8, nonced.length))
+
+    // ---- digests + AES key wrap (WarpScriptLib DIGEST registrations;
+    // fn/AESWRAP.java = 8-byte nonce + PKCS7-pad-to-8 + RFC 3394 wrap,
+    // BouncyCastle AESWrapEngine replaced by the JDK "AESWrap" cipher)
+    case "MD5" | "SHA1" | "SHA256" | "SHA512" =>
+      val algo = Map("MD5" -> "MD5", "SHA1" -> "SHA-1",
+        "SHA256" -> "SHA-256", "SHA512" -> "SHA-512")(w)
+      st.push(java.security.MessageDigest.getInstance(algo).digest(popBytes(st)))
+    case "AESWRAP" =>
+      val key = st.pop().asInstanceOf[Array[Byte]]
+      require(Set(16, 24, 32)(key.length), "AESWRAP expects a 128/192/256-bit key")
+      val data = popBytes(st)
+      val nonce = new Array[Byte](8)
+      new java.security.SecureRandom().nextBytes(nonce)
+      st.push(aesWrap(key, nonce ++ data))
+    case "AESUNWRAP" =>
+      val key = st.pop().asInstanceOf[Array[Byte]]
+      require(Set(16, 24, 32)(key.length), "AESUNWRAP expects a 128/192/256-bit key")
+      val data = st.pop().asInstanceOf[Array[Byte]]
+      st.push(aesUnwrap(key, data).drop(8))
 
     // ---- control: SWITCH / TRY (fn/SWITCH.java, fn/TRY.java)
     // SWITCH: N (condition,exec) macro pairs + default macro + N; first
@@ -1199,6 +1219,26 @@ final class WarpScriptEngine(
     case d: Double => d
     case l: Long => l.toDouble
     case o => throw new IllegalArgumentException(s"expected number, got $o")
+  }
+
+  /** RFC 3394 key wrap of PKCS7-padded payload (CryptoUtils.wrap:64-83
+    * semantics — a full pad block is added when already 8-aligned). */
+  private def aesWrap(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val padLen = 8 - data.length % 8
+    val padded = java.util.Arrays.copyOf(data, data.length + padLen)
+    java.util.Arrays.fill(padded, data.length, padded.length, padLen.toByte)
+    val c = javax.crypto.Cipher.getInstance("AESWrap")
+    c.init(javax.crypto.Cipher.WRAP_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"))
+    c.wrap(new javax.crypto.spec.SecretKeySpec(padded, "AES"))
+  }
+
+  private def aesUnwrap(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AESWrap")
+    c.init(javax.crypto.Cipher.UNWRAP_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"))
+    val un = c.unwrap(data, "AES", javax.crypto.Cipher.SECRET_KEY).getEncoded
+    un.dropRight(un.last & 0xff)
   }
 
   /** Byte-array operand: raw bytes pass through, strings are UTF-8. */

@@ -88,7 +88,7 @@ class RestFacadeSpec extends SparkSpec {
       val b64 = java.util.Base64.getEncoder.encodeToString(
         "line1\nline2".getBytes(UTF_8))
       val (c3, esc) = post(s"http://127.0.0.1:$port/api/v0/exec",
-        s"'$b64' B64TO")
+        s"'$b64' B64TO 'UTF-8' BYTES->")
       assert(c3 == 200)
       assert(esc == "[\"line1\\nline2\"]")
     } finally facade.stop()

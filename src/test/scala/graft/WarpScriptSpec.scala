@@ -240,7 +240,8 @@ class WarpScriptSpec extends SparkSpec {
 
   test("encoding words: TOB64/B64TO round-trip, TOHEX, ISO8601") {
     assert(top("'hello' TOB64") == "aGVsbG8=")
-    assert(top("'hello' TOB64 B64TO") == "hello")
+    // B64TO yields BYTES (reference parity); decode to text explicitly
+    assert(top("'hello' TOB64 B64TO 'UTF-8' BYTES->") == "hello")
     assert(top("48213 TOHEX") == "bc55")
     assert(top("1704067200123456 ISO8601") == "2024-01-01T00:00:00.123456Z")
   }
@@ -307,6 +308,16 @@ class WarpScriptSpec extends SparkSpec {
          |$$priv RSADECRYPT 'UTF-8' BYTES->
          |""".stripMargin
     assert(eng.run(program).head == "secret payload")
+  }
+
+  test("AESWRAP/AESUNWRAP round-trips (RFC 3394 + PKCS7 + nonce)") {
+    val key = (0 until 16).map(_.toByte).toArray
+    val keyB64 = java.util.Base64.getEncoder.encodeToString(key)
+    val out = eng.run(
+      s"""'$keyB64' B64TO 'k' STORE
+         |'the payload' 'UTF-8' ->BYTES $$k AESWRAP $$k AESUNWRAP 'UTF-8' BYTES->
+         |""".stripMargin)
+    assert(out.head == "the payload")
   }
 
   test("control words: SWITCH picks first true case, TRY catches") {
