@@ -723,6 +723,21 @@ object GtsFrame {
     element_at(xs, greatest(ceil(lit(p / 100.0) * size(xs)), lit(1))
       .cast(org.apache.spark.sql.types.IntegerType))
   }
+  /** aggregator/MAD.java: median absolute deviation about the median
+    * (both medians interpolated, like g22's two-phase oracle), as a
+    * SINGLE array-based exact aggregate — same bounded-group contract
+    * as [[Percentile]]. */
+  val Mad: ValueAgg = simple { c =>
+    val xs = sort_array(collect_list(c))
+    val n = size(xs)
+    def idx(e: Column) = e.cast(org.apache.spark.sql.types.IntegerType)
+    def med(arr: Column) =
+      when(n % 2 === 1, element_at(arr, idx((n + 1) / 2)))
+        .otherwise((element_at(arr, idx(n / 2)) +
+          element_at(arr, idx(n / 2 + 1))) / 2.0)
+    med(sort_array(transform(xs, x => abs(x - med(xs)))))
+  }
+
   /** Interpolating exact percentile (H&F type 7 — Spark `percentile`,
     * DuckDB `quantile_cont`); the reference's 'type7' option. */
   def PercentileCont(p: Double): ValueAgg = simple(c => percentile(c, lit(p / 100.0)))

@@ -516,6 +516,17 @@ object WsQueries {
         lit(stv(0).asInstanceOf[String]).as("v_sha512"))
     }),
 
+    // bucketizer.mad word (aggregator/MAD.java) — one whole-range
+    // bucket makes it a per-series MAD; same numbers as g22's
+    // two-phase join, via the single array aggregate
+    "w40_ws_mad" -> ((s, dir) => {
+      val program =
+        s"""[ [ '' '~events\\..*' { } 0 $LB ] FETCH
+           |  bucketizer.mad $LB ${LB + 1} 1 ] BUCKETIZE""".stripMargin
+      engine(s, dir, cents = true).runToFrame(program)
+        .select(col("class"), userid, col("vdouble").as("mad_v"))
+    }),
+
     // ESDTEST word ≡ g77 (mean/sd variant; k=3, alpha=0.05)
     "w14_ws_esdtest" -> ((s, dir) => {
       val program =
@@ -638,6 +649,16 @@ object WsQueries {
     "w39_ws_digests" ->
       """SELECT md5('graft') AS v_md5, sha256('graft') AS v_sha256,
         |  'a9993e364706816aba3e25717850c26c9cd0d89d' AS v_sha1,
-        |  'ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b55d39a2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f' AS v_sha512""".stripMargin
+        |  'ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b55d39a2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f' AS v_sha512""".stripMargin,
+    // same numbers as g22's two-phase MAD (whole series = one bucket)
+    "w40_ws_mad" ->
+      s"""WITH g AS ($EV),
+         |m AS (SELECT class, userid, quantile_cont(cents, 0.5) AS med
+         |      FROM g WHERE ts <= $LB GROUP BY 1, 2)
+         |SELECT g.class, g.userid,
+         |       quantile_cont(abs(g.cents - m.med), 0.5) AS mad_v
+         |FROM g JOIN m ON g.class = m.class AND g.userid = m.userid
+         |WHERE g.ts <= $LB
+         |GROUP BY 1, 2""".stripMargin
   )
 }

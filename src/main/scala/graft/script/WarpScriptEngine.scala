@@ -1377,6 +1377,7 @@ object WarpScriptEngine {
   private val aggByName: Map[String, ValueAgg] = Map(
     "sum" -> Sum, "mean" -> Mean, "min" -> Min, "max" -> Max,
     "count" -> CountAgg, "sd" -> Sd, "sd.pop" -> SdPop, "var" -> Var,
+    "mad" -> Mad,
     "var.pop" -> VarPop, "median" -> Median, "rms" -> Rms,
     "first" -> First, "last" -> Last, "delta" -> Delta, "rate" -> Rate)
 
