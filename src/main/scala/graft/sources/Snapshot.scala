@@ -37,6 +37,11 @@ object Snapshot {
       "SNAPSHOT: Infinity has no WarpScript literal form")
     case d: Double => s"$d "
     case f: Float => render(f.toDouble)
+    // BigDecimal re-evaluates through TOBD (a bare decimal literal
+    // would come back as a Double); bytes through base64 + B64TO
+    case bd: java.math.BigDecimal => s"'${bd.toPlainString}' TOBD "
+    case bytes: Array[Byte] =>
+      s"'${java.util.Base64.getEncoder.encodeToString(bytes)}' B64TO "
     case n: Number => s"$n "
     case m: scala.collection.Map[_, _] =>
       m.map { case (k, v) => render(k) + render(v) }.mkString("{ ", "", "} ")

@@ -310,6 +310,14 @@ class WarpScriptSpec extends SparkSpec {
     assert(eng.run(program).head == "secret payload")
   }
 
+  test("SNAPSHOT of BigDecimal and bytes re-evaluates to the same value") {
+    // '1.500' TOBD SNAPSHOT → "'1.500' TOBD " which EVALs back
+    assert(top("'1.500' TOBD SNAPSHOT") == "'1.500' TOBD ")
+    assert(top("'1.500' TOBD SNAPSHOT EVAL 2 BDSCALE TOSTRING") == "1.50")
+    val rt = top("'hi' 'UTF-8' ->BYTES SNAPSHOT EVAL 'UTF-8' BYTES->")
+    assert(rt == "hi")
+  }
+
   test("AESWRAP/AESUNWRAP round-trips (RFC 3394 + PKCS7 + nonce)") {
     val key = (0 until 16).map(_.toByte).toArray
     val keyB64 = java.util.Base64.getEncoder.encodeToString(key)
