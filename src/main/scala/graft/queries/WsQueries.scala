@@ -527,6 +527,20 @@ object WsQueries {
         .select(col("class"), userid, col("vdouble").as("mad_v"))
     }),
 
+    // ZIP / SORTBY / STRINGFORMAT — closed-form oracle
+    "w41_ws_zip_sortby" -> ((s, dir) => {
+      val program =
+        """[ [ 1 2 3 ] [ 10 20 30 ] [ 7 ] ] ZIP FLATTEN ',' JOIN
+          |[ 3 1 2 ] <% 10 SWAP - %> SORTBY ',' JOIN
+          |'%25s=%2505.1f' [ 'x' 2.5 ] STRINGFORMAT
+          |""".stripMargin
+      val stv = engine(s, dir, cents = false).run(program)
+      s.range(1).select(
+        lit(stv(2).asInstanceOf[String]).as("v_zip"),
+        lit(stv(1).asInstanceOf[String]).as("v_sortby"),
+        lit(stv(0).asInstanceOf[String]).as("v_fmt"))
+    }),
+
     // ESDTEST word ≡ g77 (mean/sd variant; k=3, alpha=0.05)
     "w14_ws_esdtest" -> ((s, dir) => {
       val program =
@@ -650,6 +664,12 @@ object WsQueries {
       """SELECT md5('graft') AS v_md5, sha256('graft') AS v_sha256,
         |  'a9993e364706816aba3e25717850c26c9cd0d89d' AS v_sha1,
         |  'ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b55d39a2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f' AS v_sha512""".stripMargin,
+    // ZIP transpose with singleton broadcast; SORTBY keys 10-x give
+    // 3(7),2(8),1(9); %05.1f zero-pads
+    "w41_ws_zip_sortby" ->
+      """SELECT '1,10,7,2,20,7,3,30,7' AS v_zip,
+        |  '3,2,1' AS v_sortby, 'x=002.5' AS v_fmt""".stripMargin,
+
     // same numbers as g22's two-phase MAD (whole series = one bucket)
     "w40_ws_mad" ->
       s"""WITH g AS ($EV),

@@ -546,6 +546,36 @@ final class WarpScriptEngine(
         val nv = st.pop(); val nk = st.pop(); nk -> nv
       }
       st.push(out)
+    // ZIP (continuum/gts/ZIP.java): transpose a list of lists;
+    // singletons broadcast to the common length
+    case "ZIP" =>
+      val meta = st.pop().asInstanceOf[Vector[Any]].map(_.asInstanceOf[Vector[Any]])
+      require(meta.forall(_.nonEmpty), "ZIP cannot operate on empty lists")
+      val lens = meta.map(_.size).filter(_ > 1).distinct
+      require(lens.size <= 1, "ZIP: non-singleton lists must share a size")
+      val len = lens.headOption.getOrElse(1)
+      st.push((0 until len).toVector.map(i =>
+        meta.map(l => if (l.size == 1) l.head else l(i))))
+    // SORTBY (fn/SORTBY.java): stable sort of a list by the key the
+    // macro computes for each element
+    case "SORTBY" =>
+      val m = st.pop().asInstanceOf[WsMacro]
+      val l = st.pop().asInstanceOf[Vector[Any]]
+      val keyed = l.map { e => st.push(e); evalMacro(m, st); (st.pop(), e) }
+      st.push(keyed.sortWith((a, b) => wsLt(a._1, b._1)).map(_._2))
+    // STRINGFORMAT (fn/STRINGFORMAT.java): fmt [ args ] [locale]
+    // STRINGFORMAT — Locale.ROOT by default for determinism (the
+    // reference falls back to the JVM default locale)
+    case "STRINGFORMAT" =>
+      var top = st.pop()
+      val locale = top match {
+        case s: String =>
+          val lo = java.util.Locale.forLanguageTag(s); top = st.pop(); lo
+        case _ => java.util.Locale.ROOT
+      }
+      val args = top.asInstanceOf[Vector[Any]].map(_.asInstanceOf[AnyRef])
+      val fmt = st.popStr()
+      st.push(String.format(locale, fmt, args: _*))
     // UNIQUE (fn/UNIQUE.java — set-dedup; kept in deterministic
     // first-occurrence order here, the reference's HashSet order is
     // an implementation accident)
