@@ -541,6 +541,18 @@ object WsQueries {
         lit(stv(0).asInstanceOf[String]).as("v_fmt"))
     }),
 
+    // COMMONTICKS word: one user's daily-bucketized click+view series,
+    // keep only buckets where BOTH series have a point (SORT exercises
+    // the set-semantics pass-through)
+    "w42_ws_commonticks" -> ((s, dir) => {
+      val program =
+        s"""[ [ '' '~events\\.(click|view)' { 'user' '20' } 0 $LB ] FETCH
+           |  bucketizer.sum $LB 1 d 0 ] BUCKETIZE
+           |SORT COMMONTICKS""".stripMargin
+      engine(s, dir, cents = true).runToFrame(program)
+        .select(col("class"), userid, col("ts"), col("vdouble"))
+    }),
+
     // ESDTEST word ≡ g77 (mean/sd variant; k=3, alpha=0.05)
     "w14_ws_esdtest" -> ((s, dir) => {
       val program =
@@ -664,6 +676,18 @@ object WsQueries {
       """SELECT md5('graft') AS v_md5, sha256('graft') AS v_sha256,
         |  'a9993e364706816aba3e25717850c26c9cd0d89d' AS v_sha1,
         |  'ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b55d39a2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f' AS v_sha512""".stripMargin,
+    "w42_ws_commonticks" -> {
+      val DAY = GtsQueries.DAY
+      s"""WITH g AS ($EV),
+         |b AS (SELECT class, userid, $LB - (($LB - ts) // $DAY) * $DAY AS ts,
+         |        sum(cents) AS vdouble
+         |      FROM g WHERE class IN ('events.click', 'events.view')
+         |        AND userid = '20' AND ts <= $LB GROUP BY 1, 2, 3),
+         |t AS (SELECT ts FROM b GROUP BY ts
+         |      HAVING count(*) = (SELECT count(DISTINCT class || '|' || userid) FROM b))
+         |SELECT b.class, b.userid, b.ts, b.vdouble FROM b JOIN t USING (ts)""".stripMargin
+    },
+
     // ZIP transpose with singleton broadcast; SORTBY keys 10-x give
     // 3(7),2(8),1(9); %05.1f zero-pads
     "w41_ws_zip_sortby" ->

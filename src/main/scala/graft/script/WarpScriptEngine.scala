@@ -1107,6 +1107,23 @@ final class WarpScriptEngine(
       st.push(GtsFrame(toFrame(st.pop()).chunk(lastchunk, width)))
     case "NORMALIZE" => st.push(toFrame(st.pop()).normalize())
     case "STANDARDIZE" => st.push(toFrame(st.pop()).standardize())
+    // COMMONTICKS (fn/COMMONTICKS.java): keep only ticks present in
+    // EVERY series of the frame/list — fully lazy: per-tick distinct
+    // series count equi-joined against the broadcast 1-row total
+    case "COMMONTICKS" =>
+      val f = toFrame(st.pop())
+      val total = f.df.agg(countDistinct(col("gtsid")).as("__total"))
+      val ticks = f.df.groupBy(col("ts"))
+        .agg(countDistinct(col("gtsid")).as("__n"))
+        .crossJoin(broadcast(total))
+        .filter(col("__n") === col("__total"))
+        .select(col("ts"))
+      st.push(GtsFrame(f.df.join(ticks, "ts")))
+    // SORT/RSORT (fn/SORT.java, RSORT): the reference orders the
+    // materialized point list; the frame algebra is set-semantic and
+    // every order-sensitive operator sorts internally, so these accept
+    // and pass the frame through unchanged
+    case "SORT" | "RSORT" | "FULLSORT" => st.push(toFrame(st.pop()))
     case "INTEGRATE" => st.push(toFrame(st.pop()).integrate())
     // PIVOT (frame word over the native groupBy().pivot() path — the
     // wide-table view the reference builds via per-class FETCH+APPLY):
