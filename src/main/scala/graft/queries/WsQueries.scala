@@ -553,6 +553,143 @@ object WsQueries {
         .select(col("class"), userid, col("ts"), col("vdouble"))
     }),
 
+    // control-flow words: FOR/FORSTEP/WHILE/UNTIL loops, BREAK/
+    // CONTINUE, RETURN unwinding, registers, GUARD symbol isolation —
+    // each sub-result a literal column (fn/FOR.java family)
+    "w43_ws_control" -> ((s, dir) => {
+      val program =
+        """0 1 100 <% + %> FOR 'for' STORE
+          |1 <% DUP 64 < %> <% 2 * %> WHILE 'while' STORE
+          |1 <% 2 * %> <% DUP 100 > %> UNTIL 'until' STORE
+          |0 10 0 <% -2 + %> <% + %> FORSTEP 'forstep' STORE
+          |0 [ 1 2 3 4 5 6 7 ] <% DUP 5 == <% DROP BREAK %> IFT + %> FOREACH 'brk' STORE
+          |0 1 10 <% DUP 2 % 0 == <% DROP CONTINUE %> IFT + %> FOR 'cont' STORE
+          |<% <% 1 2 NRETURN 98 %> EVAL 99 %> EVAL 'nret' STORE
+          |42 POPR7 7 'seven' STORE
+          |<% 0 'seven' STORE %> GUARD
+          |PUSHR7 $seven + 'regs' STORE
+          |$for $while $until $forstep $brk $cont $nret $regs""".stripMargin
+      val v = engine(s, dir, cents = false).run(program)
+      s.range(1).select(
+        lit(v(7).asInstanceOf[Long]).as("v_for"),
+        lit(v(6).asInstanceOf[Long]).as("v_while"),
+        lit(v(5).asInstanceOf[Long]).as("v_until"),
+        lit(v(4).asInstanceOf[Long]).as("v_forstep"),
+        lit(v(3).asInstanceOf[Long]).as("v_break"),
+        lit(v(2).asInstanceOf[Long]).as("v_continue"),
+        lit(v(1).asInstanceOf[Long]).as("v_nreturn"),
+        lit(v(0).asInstanceOf[Long]).as("v_regs"))
+    }),
+
+    // scalar math/time tail: exact arithmetic, bit words, raw IEEE
+    // bits, ISO durations, calendar arithmetic, TSELEMENTS inverse
+    "w44_ws_mathtail" -> ((s, dir) => {
+      val program =
+        """MAXLONG 1 SUBTRACTEXACT 'a' STORE
+          |255 BITCOUNT 'b' STORE
+          |'ff00' FROMHEX 'c' STORE
+          |1.5 ->DOUBLEBITS 'd' STORE
+          |'PT2H30M' DURATION 'e' STORE
+          |90061000001 HUMANDURATION 'f' STORE
+          |1706659200000000 1 ADDMONTHS 'g' STORE
+          |[ 2024 1 31 12 30 15 250 ] TSELEMENTS-> 'h' STORE
+          |'2024-01-31T00:00:00Z' TOTIMESTAMP 'i' STORE
+          |$a $b $c $d $e $f $g $h $i""".stripMargin
+      val v = engine(s, dir, cents = false).run(program)
+      s.range(1).select(
+        lit(v(8).asInstanceOf[Long]).as("v_subexact"),
+        lit(v(7).asInstanceOf[Long]).as("v_bitcount"),
+        lit(v(6).asInstanceOf[Long]).as("v_fromhex"),
+        lit(v(5).asInstanceOf[Long]).as("v_dblbits"),
+        lit(v(4).asInstanceOf[Long]).as("v_duration"),
+        lit(v(3).asInstanceOf[String]).as("v_humandur"),
+        lit(v(2).asInstanceOf[Long]).as("v_addmonths"),
+        lit(v(1).asInstanceOf[Long]).as("v_tselements"),
+        lit(v(0).asInstanceOf[Long]).as("v_totimestamp"))
+    }),
+
+    // collection words: set algebra, RESHAPE/SHAPE, matrix DET /
+    // mat-vec product, SORTWITH comparator macro, LFILTER, SUBMAP
+    "w45_ws_coll" -> ((s, dir) => {
+      val program =
+        """[ 1 2 3 ] ->SET [ 2 3 4 ] ->SET INTERSECTION SET-> ',' JOIN 'a' STORE
+          |[ 1 2 3 4 5 6 ] [ 2 3 ] RESHAPE SHAPE ',' JOIN 'b' STORE
+          |[ [ 2.0 1.0 ] [ 1.0 3.0 ] ] ->MAT DET 'c' STORE
+          |[ [ 1.0 2.0 ] [ 3.0 4.0 ] ] ->MAT [ 5.0 6.0 ] ->VEC * VEC-> ',' JOIN 'd' STORE
+          |[ 5 1 4 2 ] <% - %> SORTWITH ',' JOIN 'e' STORE
+          |[ 1 2 3 4 ] <% DROP 2 % 0 == %> LFILTER ',' JOIN 'f' STORE
+          |{ 'a' 1 'b' 2 'c' 3 } [ 'b' 'c' ] SUBMAP KEYLIST ',' JOIN 'g' STORE
+          |$a $b $c $d $e $f $g""".stripMargin
+      val v = engine(s, dir, cents = false).run(program)
+      s.range(1).select(
+        lit(v(6).asInstanceOf[String]).as("v_set"),
+        lit(v(5).asInstanceOf[String]).as("v_shape"),
+        lit(v(4).asInstanceOf[Double]).as("v_det"),
+        lit(v(3).asInstanceOf[String]).as("v_matvec"),
+        lit(v(2).asInstanceOf[String]).as("v_sortwith"),
+        lit(v(1).asInstanceOf[String]).as("v_lfilter"),
+        lit(v(0).asInstanceOf[String]).as("v_submap"))
+    }),
+
+    // crypto tail: SHA-3 / SHA-384 (JDK provider, NIST vectors),
+    // HMAC (RFC 4231 case 2), SipHash-2-4 (paper appendix vector),
+    // order-preserving base64, gzip round-trip, EC sign/verify + ECDH
+    "w46_ws_crypto2" -> ((s, dir) => {
+      val program =
+        """'' SHA3.256 ->HEX 'a' STORE
+          |'abc' SHA384 ->HEX 'b' STORE
+          |'what do ya want for nothing?' 'Jefe' SHA256HMAC ->HEX 'c' STORE
+          |'000102030405060708090a0b0c0d0e' HEX->
+          |  0x0706050403020100 0x0f0e0d0c0b0a0908 HASH 'd' STORE
+          |'graft' 'UTF-8' ->BYTES ->OPB64 'e' STORE
+          |'squeeze' 'UTF-8' ->BYTES GZIP UNGZIP 'UTF-8' BYTES-> 'f' STORE
+          |'secp256r1' ECGEN 'pub' STORE 'priv' STORE
+          |'msg' 'SHA256WITHECDSA' $priv ECPRIVATE ECSIGN
+          |'msg' SWAP 'SHA256WITHECDSA' $pub ECPUBLIC ECVERIFY 'g' STORE
+          |'secp256r1' ECGEN 'pubB' STORE 'privB' STORE
+          |$priv ECPRIVATE $pubB ECPUBLIC ECDH
+          |$privB ECPRIVATE $pub ECPUBLIC ECDH == 'h' STORE
+          |$a $b $c $d $e $f $g $h""".stripMargin
+      val v = engine(s, dir, cents = false).run(program)
+      s.range(1).select(
+        lit(v(7).asInstanceOf[String]).as("v_sha3"),
+        lit(v(6).asInstanceOf[String]).as("v_sha384"),
+        lit(v(5).asInstanceOf[String]).as("v_hmac"),
+        lit(v(4).asInstanceOf[Long]).as("v_siphash"),
+        lit(v(3).asInstanceOf[String]).as("v_opb64"),
+        lit(v(2).asInstanceOf[String]).as("v_gzip"),
+        lit(v(1).asInstanceOf[Boolean]).as("v_ecverify"),
+        lit(v(0).asInstanceOf[Boolean]).as("v_ecdh"))
+    }),
+
+    // MONOTONIC word: ascending clamp = running max per series (RANGE
+    // frame over coincident ticks)
+    "w47_ws_monotonic" -> ((s, dir) => {
+      val program =
+        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+           |false MONOTONIC""".stripMargin
+      engine(s, dir, cents = true).runToFrame(program)
+        .select(col("class"), userid, col("ts"), col("vdouble").as("mono"))
+    }),
+
+    // VALUEDEDUP word: keep the OLDEST point per duplicate value
+    "w48_ws_valuededup" -> ((s, dir) => {
+      val program =
+        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+           |true VALUEDEDUP""".stripMargin
+      engine(s, dir, cents = true).runToFrame(program)
+        .select(col("class"), userid, col("ts"), col("vdouble").as("cents"))
+    }),
+
+    // SHRINK word: the 5 most recent points per series (negative n)
+    "w49_ws_shrink" -> ((s, dir) => {
+      val program =
+        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+           |-5 SHRINK""".stripMargin
+      engine(s, dir, cents = true).runToFrame(program)
+        .select(col("class"), userid, col("ts"), col("vdouble").as("cents"))
+    }),
+
     // ESDTEST word ≡ g77 (mean/sd variant; k=3, alpha=0.05)
     "w14_ws_esdtest" -> ((s, dir) => {
       val program =
@@ -676,6 +813,53 @@ object WsQueries {
       """SELECT md5('graft') AS v_md5, sha256('graft') AS v_sha256,
         |  'a9993e364706816aba3e25717850c26c9cd0d89d' AS v_sha1,
         |  'ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b55d39a2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f' AS v_sha512""".stripMargin,
+    // control/math/coll/crypto scalar rows: the oracle is the
+    // independently-derived constant (loop closed forms, NIST/RFC/
+    // SipHash-paper vectors, hand-computed OPB64) — CAST pins BIGINT
+    "w43_ws_control" ->
+      """SELECT CAST(5050 AS BIGINT) AS v_for, CAST(64 AS BIGINT) AS v_while,
+        |  CAST(128 AS BIGINT) AS v_until, CAST(30 AS BIGINT) AS v_forstep,
+        |  CAST(10 AS BIGINT) AS v_break, CAST(25 AS BIGINT) AS v_continue,
+        |  CAST(1 AS BIGINT) AS v_nreturn, CAST(49 AS BIGINT) AS v_regs""".stripMargin,
+    "w44_ws_mathtail" ->
+      """SELECT CAST(9223372036854775806 AS BIGINT) AS v_subexact,
+        |  CAST(8 AS BIGINT) AS v_bitcount, CAST(65280 AS BIGINT) AS v_fromhex,
+        |  CAST(4609434218613702656 AS BIGINT) AS v_dblbits,
+        |  CAST(9000000000 AS BIGINT) AS v_duration,
+        |  '1d1h1m1.000001s' AS v_humandur,
+        |  CAST(1709164800000000 AS BIGINT) AS v_addmonths,
+        |  CAST(1706704215000250 AS BIGINT) AS v_tselements,
+        |  CAST(1706659200000000 AS BIGINT) AS v_totimestamp""".stripMargin,
+    "w45_ws_coll" ->
+      """SELECT '2,3' AS v_set, '2,3' AS v_shape, CAST(5.0 AS DOUBLE) AS v_det,
+        |  '17.0,39.0' AS v_matvec, '1,2,4,5' AS v_sortwith,
+        |  '2,4' AS v_lfilter, 'b,c' AS v_submap""".stripMargin,
+    "w46_ws_crypto2" ->
+      """SELECT 'a7ffc6f8bf1ed76651c14756a061d662f580ff4de43b49fa82d80a4b80f8434a' AS v_sha3,
+        |  'cb00753f45a35e8bb5a03d699ac65007272c32ab0eded1631a8b605a43ff5bed8086072ba1e7cc2358baeca134c825a7' AS v_sha384,
+        |  '5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843' AS v_hmac,
+        |  CAST(-6833708440360172059 AS BIGINT) AS v_siphash,
+        |  'Or8WObF' AS v_opb64, 'squeeze' AS v_gzip,
+        |  TRUE AS v_ecverify, TRUE AS v_ecdh""".stripMargin,
+    // MONOTONIC ascending = running max; RANGE frame includes all
+    // coincident ticks on both engines
+    "w47_ws_monotonic" ->
+      s"""WITH g AS ($EV)
+         |SELECT class, userid, ts,
+         |  max(cents) OVER (PARTITION BY class, userid ORDER BY ts
+         |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mono
+         |FROM g""".stripMargin,
+    "w48_ws_valuededup" ->
+      s"""WITH g AS ($EV)
+         |SELECT class, userid, ts, cents FROM g
+         |QUALIFY row_number() OVER (PARTITION BY class, userid, cents
+         |  ORDER BY ts) = 1""".stripMargin,
+    "w49_ws_shrink" ->
+      s"""WITH g AS ($EV)
+         |SELECT class, userid, ts, cents FROM g
+         |QUALIFY row_number() OVER (PARTITION BY class, userid
+         |  ORDER BY ts DESC, cents DESC) <= 5""".stripMargin,
+
     "w42_ws_commonticks" -> {
       val DAY = GtsQueries.DAY
       s"""WITH g AS ($EV),

@@ -38,12 +38,27 @@ final class WarpScriptEngine(
 
   /** Last TRY-caught error message (reference ATTRIBUTE_LAST_ERROR). */
   private var lastError: String = _
+  private[script] def setLastError(msg: String): Unit = lastError = msg
+
+  /** Deterministic PRNG behind RAND/SHUFFLE — the reference draws from
+    * an unseeded java.util.Random (RAND.java); a fixed default seed
+    * (re-seedable via SRAND) keeps scripts replayable here. */
+  private[script] val prng = new java.util.Random(42L)
+
+  /** SECTION marker for error reporting (fn/SECTION.java). */
+  private[script] var section: String = _
+
+  private[script] def nowTick: Long = nowTs
+  private[script] def sparkSessionOpt: Option[org.apache.spark.sql.SparkSession] = session
+  private[script] def execProgram(s: String, st: State): Unit =
+    exec(WarpScriptTokenizer.tokenize(s), st)
 
   /** Run a program over an initially empty stack; returns the final
     * stack, top first. */
   def run(program: String): List[Any] = {
     val st = new State
-    exec(WarpScriptTokenizer.tokenize(program), st)
+    try exec(WarpScriptTokenizer.tokenize(program), st)
+    catch { case _: WsStopEx => } // fn/STOP.java: silent end of program
     st.stack.toList
   }
 
@@ -55,36 +70,9 @@ final class WarpScriptEngine(
 
   // ---------------------------------------------------------------- core
 
-  private final class State {
-    val stack = new mutable.ArrayDeque[Any] // head = top of stack
-    val symbols = mutable.Map.empty[String, Any]
-    def push(v: Any): Unit = stack.prepend(v)
-    def pop(): Any =
-      if (stack.isEmpty) throw new IllegalStateException("stack underflow")
-      else stack.removeHead()
-    def popLong(): Long = pop() match {
-      case l: Long => l
-      case d: Double if d == d.toLong => d.toLong
-      case other => throw new IllegalArgumentException(s"expected LONG, got $other")
-    }
-    def popNum(): Double = pop() match {
-      case l: Long => l.toDouble
-      case d: Double => d
-      case other => throw new IllegalArgumentException(s"expected number, got $other")
-    }
-    def popStr(): String = pop() match {
-      case s: String => s
-      case other => throw new IllegalArgumentException(s"expected STRING, got $other")
-    }
-    def popBool(): Boolean = pop() match {
-      case b: Boolean => b
-      case other => throw new IllegalArgumentException(s"expected BOOLEAN, got $other")
-    }
-  }
-
   /** (gtsid → class, labels) side table for kernel words that return
     * compact per-series frames. */
-  private def metaOf(f: GtsFrame): org.apache.spark.sql.DataFrame =
+  private[script] def metaOf(f: GtsFrame): org.apache.spark.sql.DataFrame =
     f.df.groupBy(col("gtsid"))
       .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
 
@@ -117,7 +105,16 @@ final class WarpScriptEngine(
     if (macroDepth > 0) throw new IllegalStateException("unterminated macro")
   }
 
-  private def evalMacro(m: WsMacro, st: State): Unit = exec(m.tokens, st)
+  /** Evaluate a macro; a macro boundary absorbs one RETURN level
+    * (fn/RETURN.java: COUNTER_RETURN_DEPTH decrements per frame,
+    * NRETURN unwinds several). */
+  private[script] def evalMacro(m: WsMacro, st: State): Unit =
+    try exec(m.tokens, st)
+    catch {
+      case r: WsReturnEx =>
+        r.levels -= 1
+        if (r.levels > 0) throw r
+    }
 
   // ---------------------------------------------------------------- words
 
@@ -141,9 +138,27 @@ final class WarpScriptEngine(
       st.push(pairs.toMap)
 
     // ---- variables (fn/STORE.java, $deref MemoryWarpScriptStack.java:973)
-    case "STORE" => val name = st.popStr(); st.symbols(name) = st.pop()
-    case "LOAD" => st.push(st.symbols.getOrElse(st.popStr(),
-      throw new IllegalArgumentException("unknown symbol")))
+    // STORE accepts a name, a LONG register number, or a list of
+    // names/registers consuming one stack value per non-null entry,
+    // top value bound to the LAST name (fn/STORE.java:48-90)
+    case "STORE" => st.pop() match {
+      case name: String => st.symbols(name) = st.pop()
+      case r: Long => st.regs(r.toInt) = st.pop()
+      case names: Vector[Any @unchecked] =>
+        names.reverse.foreach {
+          case null => st.pop()
+          case s: String => st.symbols(s) = st.pop()
+          case r: Long => st.regs(r.toInt) = st.pop()
+          case o => throw new IllegalArgumentException(s"STORE name: $o")
+        }
+      case o => throw new IllegalArgumentException(s"STORE name: $o")
+    }
+    case "LOAD" => st.pop() match {
+      case r: Long => st.push(st.regs(r.toInt))
+      case name: String => st.push(st.symbols.getOrElse(name,
+        throw new IllegalArgumentException("unknown symbol")))
+      case o => throw new IllegalArgumentException(s"LOAD name: $o")
+    }
     case v if v.startsWith("!$") => st.push(st.symbols.getOrElse(v.substring(2),
       throw new IllegalArgumentException(s"unknown symbol '${v.substring(2)}'")))
     case v if v.startsWith("$") && v.length > 1 => st.push(st.symbols.getOrElse(v.substring(1),
@@ -187,6 +202,11 @@ final class WarpScriptEngine(
       case _: Vector[_] => "LIST"
       case _: Map[_, _] => "MAP"
       case _: WsMacro => "MACRO"
+      case _: Set[_] => "SET"
+      case _: Array[Byte] => "BYTES"
+      case _: WordsColl.WsMat => "MATRIX"
+      case _: WordsColl.WsVec => "VECTOR"
+      case _: java.util.regex.Pattern => "MATCHER"
       case _: GtsFrame | _: BucketedFrame | _: GtsBuilder => "GTS"
       case _: AggVal => "AGGREGATOR"
       case _: FilterVal => "FILTER"
@@ -195,10 +215,14 @@ final class WarpScriptEngine(
     // DEFINED (fn/DEFINED.java): symbol-table membership
     case "DEFINED" => st.push(st.symbols.contains(st.popStr()))
 
-    // ---- scalar arithmetic (fn/ADD.java promotion: long+long stays long)
-    case "+" => binNum(st, _ + _, _ + _, Some(_ + _))
-    case "-" => binNum(st, _ - _, _ - _)
-    case "*" => binNum(st, _ * _, _ * _)
+    // ---- scalar arithmetic (fn/ADD.java promotion: long+long stays
+    // long; matrix/vector overloads like the binary op matrix forms)
+    case "+" =>
+      if (!matBin(st, "+")) binNum(st, _ + _, _ + _, Some(_ + _))
+    case "-" =>
+      if (!matBin(st, "-")) binNum(st, _ - _, _ - _)
+    case "*" =>
+      if (!matBin(st, "*")) binNum(st, _ * _, _ * _)
     case "/" => binNum(st, _ / _, _ / _) // long/long stays long (binary/DIV.java:71)
     case "%" => val b = st.pop(); val a = st.pop(); (a, b) match {
       case (x: Long, y: Long) => st.push(x % y)
@@ -405,7 +429,7 @@ final class WarpScriptEngine(
     // TSELEMENTS (fn/TSELEMENTS.java:80-104): tick [tz] → [ year month
     // day hour minute second micros-in-second dayOfYear isoDayOfWeek
     // isoWeek ] — µs platform time unit, floor division to millis
-    case "TSELEMENTS" =>
+    case "TSELEMENTS" | "->TSELEMENTS" =>
       val tz = st.stack.headOption match {
         case Some(s: String) => st.pop(); s
         case _ => "UTC"
@@ -435,8 +459,12 @@ final class WarpScriptEngine(
     case "SIZE" => st.pop() match {
       case v: Vector[_] => st.push(v.size.toLong)
       case m: Map[_, _] => st.push(m.size.toLong)
+      case s: Set[_] => st.push(s.size.toLong)
       case s: String => st.push(s.length.toLong)
+      case b: Array[Byte] => st.push(b.length.toLong)
       case f: GtsFrame => st.push(f.df.count())
+      case BucketedFrame(f, _, _, _) => st.push(f.df.count())
+      case b: GtsBuilder => st.push(b.points.size.toLong)
       case o => throw new IllegalArgumentException(s"SIZE on $o")
     }
     // GET (fn/GET.java): single key, or a key-PATH list for nested
@@ -744,6 +772,7 @@ final class WarpScriptEngine(
     // ---- control (fn/EVAL.java, IFT, IFTE, FOREACH)
     case "EVAL" => st.pop() match {
       case m: WsMacro => evalMacro(m, st)
+      case NativeFn(_, f) => f(st)
       case s: String => exec(WarpScriptTokenizer.tokenize(s), st)
       case o => throw new IllegalArgumentException(s"EVAL on $o")
     }
@@ -754,9 +783,20 @@ final class WarpScriptEngine(
       val mf = st.pop().asInstanceOf[WsMacro]
       val mt = st.pop().asInstanceOf[WsMacro]
       if (bool(st.pop())) evalMacro(mt, st) else evalMacro(mf, st)
+    // FOREACH (fn/FOREACH.java): list pushes the element, map pushes
+    // key then value; BREAK/CONTINUE honored per-iteration
     case "FOREACH" =>
       val m = st.pop().asInstanceOf[WsMacro]
-      st.pop().asInstanceOf[Vector[Any]].foreach { v => st.push(v); evalMacro(m, st) }
+      val items: Iterable[() => Unit] = st.pop() match {
+        case l: Vector[Any @unchecked] => l.map(v => () => st.push(v))
+        case mp: Map[Any @unchecked, Any @unchecked] =>
+          mp.map { case (k, v) => () => { st.push(k); st.push(v) } }
+        case o => throw new IllegalArgumentException(s"FOREACH on $o")
+      }
+      try items.foreach { pushArgs =>
+        pushArgs()
+        try evalMacro(m, st) catch { case _: WsContinueEx => }
+      } catch { case _: WsBreakEx => }
 
     // ---- GTS frame words ------------------------------------------------
     // FETCH (fn/FETCH.java list form [ token class labels start stop ];
@@ -1217,12 +1257,62 @@ final class WarpScriptEngine(
     case "filter.any.gt" => st.push(FilterVal(w, col("max_v") > st.popNum()))
     case "filter.all.gt" => st.push(FilterVal(w, col("min_v") > st.popNum()))
 
-    case other => throw new IllegalArgumentException(s"unknown function '$other'")
+    // extension registries (separate objects keep each dispatch method
+    // under the JVM method-size ceiling): control flow + stack tail,
+    // scalar math/conversions, collections, crypto, GTS tail
+    case other =>
+      if (!WordsControl.eval(other, st, this) &&
+          !WordsScalar.eval(other, st, this) &&
+          !WordsColl.eval(other, st, this) &&
+          !WordsCrypto.eval(other, st, this) &&
+          !WordsGts.eval(other, st, this))
+        throw new IllegalArgumentException(s"unknown function '$other'")
   }
 
   // ---------------------------------------------------------------- helpers
 
-  private def binNum(st: State, fl: (Long, Long) => Long, fd: (Double, Double) => Double,
+  /** Matrix/vector overloads of + - * (reference binary ADD/SUB/MUL
+    * RealMatrix/RealVector branches); false = not a matrix operand,
+    * caller falls through to scalar arithmetic. */
+  private def matBin(st: State, op: String): Boolean = {
+    import WordsColl.{WsMat, WsVec}
+    val isMatV = st.stack.length >= 2 &&
+      (st.stack(0).isInstanceOf[WsMat] || st.stack(0).isInstanceOf[WsVec] ||
+        st.stack(1).isInstanceOf[WsMat] || st.stack(1).isInstanceOf[WsVec])
+    if (!isMatV) return false
+    val b = st.pop(); val a = st.pop()
+    def ew(x: Array[Double], y: Array[Double], f: (Double, Double) => Double) = {
+      require(x.length == y.length, s"dimension mismatch: ${x.length} vs ${y.length}")
+      Array.tabulate(x.length)(i => f(x(i), y(i)))
+    }
+    val out: Any = (a, b, op) match {
+      case (WsMat(x), WsMat(y), "+") => WsMat(x.zip(y).map { case (r, s) => ew(r, s, _ + _) })
+      case (WsMat(x), WsMat(y), "-") => WsMat(x.zip(y).map { case (r, s) => ew(r, s, _ - _) })
+      case (WsMat(x), WsMat(y), "*") => // matrix product
+        val k = y.length
+        require(x(0).length == k, s"inner dimension mismatch: ${x(0).length} vs $k")
+        WsMat(Array.tabulate(x.length, y(0).length)((i, j) =>
+          (0 until k).map(t => x(i)(t) * y(t)(j)).sum))
+      case (WsMat(x), WsVec(v), "*") =>
+        WsVec(x.map(row => ew(row, v, _ * _).sum))
+      case (WsVec(x), WsVec(y), "+") => WsVec(ew(x, y, _ + _))
+      case (WsVec(x), WsVec(y), "-") => WsVec(ew(x, y, _ - _))
+      case (WsVec(x), WsVec(y), "*") => ew(x, y, _ * _).sum // dot product
+      case (WsMat(x), k: Long, "*") => WsMat(x.map(_.map(_ * k)))
+      case (WsMat(x), k: Double, "*") => WsMat(x.map(_.map(_ * k)))
+      case (WsVec(x), k: Long, "*") => WsVec(x.map(_ * k))
+      case (WsVec(x), k: Double, "*") => WsVec(x.map(_ * k))
+      case (k: Long, WsMat(x), "*") => WsMat(x.map(_.map(_ * k)))
+      case (k: Double, WsMat(x), "*") => WsMat(x.map(_.map(_ * k)))
+      case (k: Long, WsVec(x), "*") => WsVec(x.map(_ * k))
+      case (k: Double, WsVec(x), "*") => WsVec(x.map(_ * k))
+      case _ => throw new IllegalArgumentException(s"$op on $a, $b")
+    }
+    st.push(out)
+    true
+  }
+
+  private[script] def binNum(st: State, fl: (Long, Long) => Long, fd: (Double, Double) => Double,
                      fs: Option[(String, String) => String] = None): Unit = {
     val b = st.pop(); val a = st.pop()
     (a, b) match {
@@ -1235,13 +1325,13 @@ final class WarpScriptEngine(
     }
   }
 
-  private def numEq(a: Any, b: Any): Boolean = (a, b) match {
+  private[script] def numEq(a: Any, b: Any): Boolean = (a, b) match {
     case (x: Long, y: Double) => x.toDouble == y
     case (x: Double, y: Long) => x == y.toDouble
     case _ => a == b
   }
 
-  private def cmp(st: State, ok: Int => Boolean): Unit = {
+  private[script] def cmp(st: State, ok: Int => Boolean): Unit = {
     val b = st.pop(); val a = st.pop()
     val c = (a, b) match {
       case (x: String, y: String) => x.compareTo(y)
@@ -1251,18 +1341,18 @@ final class WarpScriptEngine(
     st.push(ok(c))
   }
 
-  private def bool(v: Any): Boolean = v match {
+  private[script] def bool(v: Any): Boolean = v match {
     case b: Boolean => b
     case o => throw new IllegalArgumentException(s"expected BOOLEAN, got $o")
   }
 
-  private def asLong(v: Any): Long = v match {
+  private[script] def asLong(v: Any): Long = v match {
     case l: Long => l
     case d: Double if d == d.toLong => d.toLong
     case o => throw new IllegalArgumentException(s"expected LONG, got $o")
   }
 
-  private def asNum(v: Any): Double = v match {
+  private[script] def asNum(v: Any): Double = v match {
     case d: Double => d
     case l: Long => l.toDouble
     case o => throw new IllegalArgumentException(s"expected number, got $o")
@@ -1289,7 +1379,7 @@ final class WarpScriptEngine(
   }
 
   /** Byte-array operand: raw bytes pass through, strings are UTF-8. */
-  private def popBytes(st: State): Array[Byte] = st.pop() match {
+  private[script] def popBytes(st: State): Array[Byte] = st.pop() match {
     case b: Array[Byte] => b
     case s: String => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     case o => throw new IllegalArgumentException(s"expected BYTES, got $o")
@@ -1297,13 +1387,13 @@ final class WarpScriptEngine(
 
   /** Calendar-field mapper over the tick rendered as UTC (MapperYear
     * family); result cast to double like every vdouble. */
-  private def calMapper(w: String, f: Column => Column): MapperDf =
+  private[script] def calMapper(w: String, f: Column => Column): MapperDf =
     MapperDf(w, df => df.withColumn("vdouble",
       f(timestamp_micros(col("ts"))).cast(org.apache.spark.sql.types.DoubleType)))
 
   /** TOBD.toBigDecimal (TOBD.java:44-64): exact from string (0x/0b
     * integer forms included), long, double, or pass-through. */
-  private def toBd(v: Any): java.math.BigDecimal = v match {
+  private[script] def toBd(v: Any): java.math.BigDecimal = v match {
     case bd: java.math.BigDecimal => bd
     case s: String if s.startsWith("0x") =>
       new java.math.BigDecimal(new java.math.BigInteger(s.substring(2), 16))
@@ -1321,18 +1411,18 @@ final class WarpScriptEngine(
 
   /** Natural WarpScript ordering: numbers by value, strings
     * lexicographically, mixed by rendered text (LSORT/KEYLIST). */
-  private def wsLt(a: Any, b: Any): Boolean = (a, b) match {
+  private[script] def wsLt(a: Any, b: Any): Boolean = (a, b) match {
     case (x: Number, y: Number) => x.doubleValue() < y.doubleValue()
     case (x: String, y: String) => x < y
     case _ => String.valueOf(a) < String.valueOf(b)
   }
 
-  private def flatten(v: Vector[Any]): Vector[Any] = v.flatMap {
+  private[script] def flatten(v: Vector[Any]): Vector[Any] = v.flatMap {
     case inner: Vector[_] => flatten(inner.asInstanceOf[Vector[Any]])
     case x => Vector(x)
   }
 
-  private def toFrame(v: Any): GtsFrame = v match {
+  private[script] def toFrame(v: Any): GtsFrame = v match {
     case f: GtsFrame => f
     case BucketedFrame(f, _, _, _) => f
     case b: GtsBuilder => materialize(b)
@@ -1344,7 +1434,7 @@ final class WarpScriptEngine(
     * extent when BUCKETIZE was called with count 0 (the reference keeps
     * bucketcount on the bucketized GTS itself — GTSHelper.java bucket
     * fields). One tiny driver-side agg, same as bucketizeAuto. */
-  private def toBucketed(v: Any): BucketedFrame = v match {
+  private[script] def toBucketed(v: Any): BucketedFrame = v match {
     case b @ BucketedFrame(f, lb, span, count) =>
       if (count > 0) b
       else {
@@ -1358,7 +1448,7 @@ final class WarpScriptEngine(
 
   /** NEWGTS builder → one-series canonical frame (needs the session
     * the engine was constructed with). */
-  private def materialize(b: GtsBuilder): GtsFrame = {
+  private[script] def materialize(b: GtsBuilder): GtsFrame = {
     val spark = session.getOrElse(throw new IllegalStateException(
       "NEWGTS requires a WarpScriptEngine constructed with a session"))
     val schema = graft.model.Gts.pointSchema
@@ -1373,7 +1463,7 @@ final class WarpScriptEngine(
   }
 
   /** Merge any frames found in a (possibly nested) list into one frame. */
-  private def framesOf(items: Seq[Any]): GtsFrame = {
+  private[script] def framesOf(items: Seq[Any]): GtsFrame = {
     val frames = items.flatMap {
       case f: GtsFrame => Seq(f)
       case BucketedFrame(f, _, _, _) => Seq(f)
@@ -1388,9 +1478,58 @@ final class WarpScriptEngine(
 
 object WarpScriptEngine {
 
+  /** The evaluation state: operand stack (head = top), symbol table,
+    * and the reference's 256 numbered registers
+    * (MemoryWarpScriptStack regs; POPR/PUSHR words). */
+  private[script] final class State {
+    val stack = new mutable.ArrayDeque[Any] // head = top of stack
+    val symbols = mutable.Map.empty[String, Any]
+    val regs = new Array[Any](256)
+    def push(v: Any): Unit = stack.prepend(v)
+    def pop(): Any =
+      if (stack.isEmpty) throw new IllegalStateException("stack underflow")
+      else stack.removeHead()
+    def popLong(): Long = pop() match {
+      case l: Long => l
+      case d: Double if d == d.toLong => d.toLong
+      case other => throw new IllegalArgumentException(s"expected LONG, got $other")
+    }
+    def popNum(): Double = pop() match {
+      case l: Long => l.toDouble
+      case d: Double => d
+      case other => throw new IllegalArgumentException(s"expected number, got $other")
+    }
+    def popStr(): String = pop() match {
+      case s: String => s
+      case other => throw new IllegalArgumentException(s"expected STRING, got $other")
+    }
+    def popBool(): Boolean = pop() match {
+      case b: Boolean => b
+      case other => throw new IllegalArgumentException(s"expected BOOLEAN, got $other")
+    }
+  }
+
+  /** Loop/macro control transfer, mirroring the reference's
+    * WarpScriptLoopBreakException / LoopContinueException /
+    * ReturnException / StopException hierarchy. Stackless — these are
+    * jumps, not errors (but TRY catches them, as the reference's
+    * `catch (Throwable)` does). */
+  private[script] final class WsBreakEx
+    extends RuntimeException("BREAK outside loop", null, false, false)
+  private[script] final class WsContinueEx
+    extends RuntimeException("CONTINUE outside loop", null, false, false)
+  private[script] final class WsReturnEx(var levels: Long)
+    extends RuntimeException("RETURN outside macro", null, false, false)
+  private[script] final class WsStopEx
+    extends RuntimeException("STOP", null, false, false)
+
+  /** A native function value (NPDF-style builders): EVAL applies it to
+    * the state like a macro. */
+  private[script] final case class NativeFn(name: String, f: State => Unit)
+
   /** List/map builder marks (reference MARK object). */
-  private object ListMark
-  private object MapMark
+  private[script] object ListMark
+  private[script] object MapMark
 
   /** A captured `<% %>` macro (reference Macro). */
   final case class WsMacro(tokens: Vector[WsToken])

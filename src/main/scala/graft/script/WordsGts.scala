@@ -1,0 +1,351 @@
+package graft.script
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators.GtsFrame
+
+/** GTS word tail: bucket-metadata accessors, structural trims,
+  * point-level editors, per-series statistics scalars and the
+  * outlier-test words beyond ESDTEST (fn/LASTBUCKET.java,
+  * fn/CLIP.java, fn/SHRINK.java, fn/SETVALUE.java, fn/MUSIGMA.java,
+  * fn/THRESHOLDTEST.java, fn/GRUBBSTEST.java, fn/MONOTONIC.java,
+  * fn/VALUEHISTOGRAM.java, fn/PARTITION.java, fn/GROUPBY.java...).
+  *
+  * Scalar-returning accessors (VALUES, VALUEHISTOGRAM, ATTICK...)
+  * collect to the driver — they are script-level inspection words; the
+  * guard below caps them at 1M points, the same bounded-driver
+  * contract as the engine's FIRSTTICK/LABELS words.
+  */
+private[script] object WordsGts {
+  import WarpScriptEngine._
+
+  private val MAX_COLLECT = 1000000L
+
+  private def collectGuard(df: DataFrame, word: String): Unit = {
+    val n = df.count()
+    require(n <= MAX_COLLECT,
+      s"$word collects to the driver; $n points exceeds the $MAX_COLLECT cap")
+  }
+
+  /** Single-series guard: the scalar accessors follow the reference's
+    * per-GTS contract. */
+  private def singleSeries(f: GtsFrame, word: String): DataFrame = {
+    val ids = f.df.select(col("gtsid")).distinct().limit(2).collect()
+    require(ids.length <= 1, s"$word needs a single-series frame")
+    f.df
+  }
+
+  private def tickWindow = Window.partitionBy(col("gtsid")).orderBy(col("ts"))
+
+  def eval(w: String, st: State, en: WarpScriptEngine): Boolean = {
+    w match {
+      // ---- bucket metadata accessors (fn/LASTBUCKET.java,
+      // BUCKETSPAN, BUCKETCOUNT — 0 on a non-bucketized frame, like
+      // the reference's unbucketized GTS)
+      case "LASTBUCKET" => st.push(st.pop() match {
+        case BucketedFrame(_, lb, _, _) => lb
+        case _ => 0L
+      })
+      case "BUCKETSPAN" => st.push(st.pop() match {
+        case BucketedFrame(_, _, span, _) => span
+        case _ => 0L
+      })
+      case "BUCKETCOUNT" => st.push(st.pop() match {
+        case b: BucketedFrame => en.toBucketed(b).count
+        case _ => 0L
+      })
+      case "UNBUCKETIZE" | "UNBUCKETIZE.CALENDAR" =>
+        st.push(en.toFrame(st.pop()))
+      // ONLYBUCKETS (fn/ONLYBUCKETS.java): keep points exactly on the
+      // bucket boundaries
+      case "ONLYBUCKETS" =>
+        val b = en.toBucketed(st.pop())
+        st.push(BucketedFrame(GtsFrame(b.frame.df.filter(
+          pmod(lit(b.lastbucket) - col("ts"), lit(b.span)) === 0)),
+          b.lastbucket, b.span, b.count))
+      // CROP (fn/CROP.java): clip to the bucketized extent
+      case "CROP" =>
+        val b = en.toBucketed(st.pop())
+        val first = b.lastbucket - (b.count - 1) * b.span
+        st.push(BucketedFrame(
+          GtsFrame(b.frame.df.filter(col("ts") >= first && col("ts") <= b.lastbucket)),
+          b.lastbucket, b.span, b.count))
+
+      // ---- structural trims
+      // CLIP (fn/CLIP.java): gts [ [from to] ... ] → union of clips
+      case "CLIP" =>
+        val ranges = st.pop().asInstanceOf[Vector[Any]].map {
+          case r: Vector[Any @unchecked] => (en.asLong(r(0)), en.asLong(r(1)))
+          case o => throw new IllegalArgumentException(s"CLIP range: $o")
+        }
+        val f = en.toFrame(st.pop())
+        val pred = ranges.map { case (a, b) => col("ts") >= a && col("ts") <= b }
+          .reduceOption(_ || _).getOrElse(lit(false))
+        st.push(GtsFrame(f.df.filter(pred)))
+      // SHRINK (fn/SHRINK.java): n > 0 keeps the n earliest points per
+      // series, n < 0 the n most recent (distributed rank, no collect)
+      case "SHRINK" =>
+        val n = st.popLong()
+        val f = en.toFrame(st.pop())
+        if (n == 0) st.push(GtsFrame(f.df.limit(0)))
+        else {
+          // value tiebreak keeps coincident ticks deterministic (the
+          // reference sorts primitive arrays, where ties are stable)
+          val win = Window.partitionBy(col("gtsid"))
+            .orderBy(
+              if (n > 0) col("ts").asc else col("ts").desc,
+              if (n > 0) col("vdouble").asc else col("vdouble").desc)
+          st.push(GtsFrame(f.df.withColumn("__rn", row_number().over(win))
+            .filter(col("__rn") <= math.abs(n)).drop("__rn")))
+        }
+
+      // order-rewriting words: the frame is a SET of points — every
+      // order-sensitive consumer sorts internally, so these pass
+      // through (same contract as SORT/RSORT)
+      case "CLONEREVERSE" | "VALUESORT" | "RVALUESORT" | "LASTSORT" |
+           "METASORT" =>
+        st.push(st.pop())
+      // FUSE (fn/FUSE.java): merge the chunks of a GTS list
+      case "FUSE" => st.push(en.toFrame(st.pop()))
+      // NONEMPTY on GTS lists: an empty series has no rows in the
+      // frame encoding, so the merged frame is already the answer
+      case "NONEMPTY" => st.push(en.toFrame(st.pop()))
+
+      // ---- point accessors (fn/TICKS.java, VALUES, LOCATIONS,
+      // ELEVATIONS — single-series, tick-ordered, driver-bounded)
+      case "TICKS" =>
+        val f = en.toFrame(st.pop())
+        collectGuard(f.df, w)
+        st.push(f.df.select(col("ts")).distinct()
+          .collect().map(_.getLong(0)).sorted.toVector)
+      case "VALUES" =>
+        val df = singleSeries(en.toFrame(st.pop()), w)
+        collectGuard(df, w)
+        st.push(df.select(col("ts"), col("vdouble")).collect()
+          .sortBy(_.getLong(0)).map(r => r.get(1)).toVector)
+      case "LOCATIONS" =>
+        val df = singleSeries(en.toFrame(st.pop()), w)
+        collectGuard(df, w)
+        val rows = df.select(col("ts"), col("lat"), col("lon")).collect()
+          .sortBy(_.getLong(0))
+        st.push(rows.map(r => if (r.isNullAt(1)) Double.NaN else r.getDouble(1): Any).toVector)
+        st.push(rows.map(r => if (r.isNullAt(2)) Double.NaN else r.getDouble(2): Any).toVector)
+      case "ELEVATIONS" =>
+        val df = singleSeries(en.toFrame(st.pop()), w)
+        collectGuard(df, w)
+        st.push(df.select(col("ts"), col("elev")).collect()
+          .sortBy(_.getLong(0))
+          .map(r => if (r.isNullAt(1)) null else r.getLong(1): Any).toVector)
+      // ATTICK / ATINDEX (fn/ATTICK.java, ATINDEX: [ tick lat lon
+      // elev value ] of the point at a tick / at tick-order index)
+      case "ATTICK" =>
+        val tick = st.popLong()
+        val df = singleSeries(en.toFrame(st.pop()), w)
+        val rows = df.filter(col("ts") === tick)
+          .select(col("ts"), col("lat"), col("lon"), col("elev"), col("vdouble"))
+          .collect()
+        st.push(pointList(rows.headOption, tick))
+      case "ATINDEX" =>
+        val idx = st.popLong()
+        val df = singleSeries(en.toFrame(st.pop()), w)
+        val rows = df.withColumn("__rn", row_number().over(tickWindow))
+          .filter(col("__rn") === idx + 1)
+          .select(col("ts"), col("lat"), col("lon"), col("elev"), col("vdouble"))
+          .collect()
+        require(rows.nonEmpty, s"ATINDEX: no point at index $idx")
+        st.push(pointList(rows.headOption, 0L))
+
+      // ---- point editors (fn/SETVALUE.java, REMOVETICK)
+      case "SETVALUE" =>
+        val p = st.pop().asInstanceOf[Vector[Any]]
+        val tick = en.asLong(p(0))
+        val value = en.asNum(p(p.size - 1))
+        st.pop() match {
+          case b: GtsBuilder =>
+            val loc = if (p.size >= 4)
+              Some((en.asNum(p(1)), en.asNum(p(2)))).filterNot(t => t._1.isNaN || t._2.isNaN)
+            else None
+            val elev = if (p.size >= 5) p(3) match {
+              case l: Long => Some(l)
+              case _ => None
+            } else None
+            st.push(b.copy(points =
+              b.points.filterNot(_._1 == tick) :+ (tick, loc, elev, value)))
+          case other =>
+            val f = en.toFrame(other)
+            val df = singleSeries(f, w)
+            val meta = df.limit(1)
+              .select(col("class"), col("labels"), col("gtsid")).collect()(0)
+            val spark = df.sparkSession
+            val point = spark.range(1).select(
+              lit(meta.getString(0)).as("class"),
+              typedLit(meta.getMap[String, String](1).toMap).as("labels"),
+              lit(meta.getLong(2)).as("gtsid"), lit(tick).as("ts"),
+              lit(null).cast("double").as("lat"), lit(null).cast("double").as("lon"),
+              lit(null).cast("long").as("elev"),
+              lit(graft.model.GtsType.DOUBLE).as("vtype"),
+              lit(null).cast("long").as("vlong"), lit(value).as("vdouble"),
+              lit(null).cast("boolean").as("vbool"),
+              lit(null).cast("string").as("vstring"),
+              lit(null).cast("binary").as("vbinary"))
+            st.push(GtsFrame(df.filter(col("ts") =!= tick)
+              .unionByName(point.select(df.columns.map(col).toSeq: _*))))
+        }
+      case "REMOVETICK" =>
+        val tick = st.popLong()
+        st.push(GtsFrame(en.toFrame(st.pop()).df.filter(col("ts") =!= tick)))
+
+      // ---- per-series statistics scalars (fn/MUSIGMA.java: mu then
+      // sigma, bessel per the flag; fn/NSUMSUMSQ.java: n, sum, sumsq)
+      case "MUSIGMA" =>
+        val bessel = st.popBool()
+        val df = singleSeries(en.toFrame(st.pop()), w)
+        val r = df.agg(avg(col("vdouble")),
+          if (bessel) stddev_samp(col("vdouble")) else stddev_pop(col("vdouble")))
+          .head()
+        st.push(r.getDouble(0)); st.push(r.getDouble(1))
+      case "NSUMSUMSQ" =>
+        val df = singleSeries(en.toFrame(st.pop()), w)
+        val r = df.agg(count(lit(1)), sum(col("vdouble")),
+          sum(col("vdouble") * col("vdouble"))).head()
+        st.push(r.getLong(0)); st.push(r.getDouble(1)); st.push(r.getDouble(2))
+      // ZSCORE (fn/ZSCORE.java): (v - mu)/sigma per point — the
+      // frame's standardize (population sigma, like the reference's
+      // useBessel=false default)
+      case "ZSCORE" => st.push(en.toFrame(st.pop()).standardize())
+
+      // ---- value-keyed words (fn/VALUEHISTOGRAM.java, VALUEDEDUP)
+      case "VALUEHISTOGRAM" =>
+        val df = singleSeries(en.toFrame(st.pop()), w)
+        val hist = df.groupBy(col("vdouble")).agg(count(lit(1)).as("n"))
+        collectGuard(hist, w)
+        st.push(hist.collect().map(r => (r.get(0): Any) -> (r.getLong(1): Any)).toMap)
+      // VALUEDEDUP: boolean = keep the OLDEST point per duplicate
+      // value (true) or the most recent (false)
+      case "VALUEDEDUP" =>
+        val keepFirst = st.popBool()
+        val f = en.toFrame(st.pop())
+        val win = Window.partitionBy(col("gtsid"), col("vdouble"))
+          .orderBy(if (keepFirst) col("ts").asc else col("ts").desc)
+        st.push(GtsFrame(f.df.withColumn("__rn", row_number().over(win))
+          .filter(col("__rn") === 1).drop("__rn")))
+
+      // ---- outlier tests beyond ESDTEST (fn/THRESHOLDTEST.java:
+      // v >= t flags; fn/GRUBBSTEST.java = one-round ESD)
+      case "THRESHOLDTEST" =>
+        val t = st.popNum()
+        val f = en.toFrame(st.pop())
+        st.push(GtsFrame(f.df.filter(col("vdouble") >= t)))
+      case "GRUBBSTEST" =>
+        val useMad = st.popBool()
+        val f = en.toFrame(st.pop())
+        val flagged =
+          if (useMad) graft.operators.StatOps.esdMadFlag(f, 1, 0.05)
+          else graft.operators.StatOps.esdFlag(f, 1, 0.05)
+        st.push(GtsFrame(flagged.join(en.metaOf(f), "gtsid")))
+
+      // MONOTONIC (fn/MONOTONIC.java): clamp values so the series is
+      // monotonic in tick order — running max (ascending) / running
+      // min (decreasing=true). RANGE frame (Spark's orderBy default)
+      // so coincident ticks clamp identically regardless of tie order
+      case "MONOTONIC" =>
+        val decreasing = st.popBool()
+        val f = en.toFrame(st.pop())
+        val cum = tickWindow
+        val clamped = if (decreasing) min(col("vdouble")).over(cum)
+          else max(col("vdouble")).over(cum)
+        st.push(GtsFrame(f.df.withColumn("vdouble", clamped)))
+
+      // TLTTB (fn/TLTTB.java): LTTB with the bucket count derived from
+      // a timespan (2-value driver agg for the extent, as bucketizeAuto)
+      case "TLTTB" =>
+        val span = st.popLong()
+        require(span > 0, "TLTTB expects a positive timespan")
+        val f = en.toFrame(st.pop())
+        val ext = f.df.agg(min(col("ts")), max(col("ts"))).head()
+        val n = ((ext.getLong(1) - ext.getLong(0)) / span + 1).toInt
+        val sel = new graft.kernels.KernelOps(f.df).lttbExact(math.max(n, 2))
+        st.push(GtsFrame(sel.join(en.metaOf(f), "gtsid")))
+
+      // ---- series grouping (fn/PARTITION.java: [gts] [labels] →
+      // map of label-values → merged sub-frame; fn/GROUPBY.java /
+      // FILTERBY.java: macro keyed on per-series (class, labels))
+      case "PARTITION" =>
+        val byLabels = st.pop().asInstanceOf[Vector[Any]].map(_.toString)
+        val f = en.toFrame(st.pop())
+        val keyCols = byLabels.map(l => col("labels").getItem(l).as(l))
+        val combos = f.df.select(keyCols: _*).distinct().collect()
+        val m = combos.map { row =>
+          val kv: Map[Any, Any] = byLabels.zipWithIndex
+            .map { case (l, i) => (l: Any) -> (row.getString(i): Any) }.toMap
+          val pred = byLabels.zipWithIndex.map { case (l, i) =>
+            if (row.isNullAt(i)) col("labels").getItem(l).isNull
+            else col("labels").getItem(l) === row.getString(i)
+          }.reduce(_ && _)
+          (kv: Any) -> (GtsFrame(f.df.filter(pred)): Any)
+        }.toMap
+        st.push(m)
+      case "GROUPBY" | "FILTERBY" =>
+        val m = st.pop().asInstanceOf[WsMacro]
+        val f = en.toFrame(st.pop())
+        // bounded by the series count (the same driver contract as
+        // LABELS); each sub-frame stays a lazy filtered plan
+        val metas = en.metaOf(f).collect()
+        require(metas.length <= 10000, s"$w: too many series (${metas.length})")
+        val keyed = metas.map { row =>
+          val sub = GtsFrame(f.df.filter(col("gtsid") === row.getLong(0)))
+          st.push(sub)
+          en.evalMacro(m, st)
+          (st.pop(), sub)
+        }
+        if (w == "FILTERBY")
+          st.push(keyed.collect { case (true, sub) => sub.df }
+            .reduceOption(_ unionByName _).map(GtsFrame(_))
+            .getOrElse(GtsFrame(f.df.limit(0))))
+        else
+          st.push(keyed.groupBy(_._1).map { case (k, subs) =>
+            (k: Any) -> (GtsFrame(subs.map(_._2.df).reduce(_ unionByName _)): Any)
+          }.toMap)
+
+      // ---- construction (fn/MAKEGTS.java: { 'c' class 'l' labels
+      // 't' [ticks] 'v' [values] } → GTS; fn/PARSE.java: GTS input
+      // format text → frame via the LineProtocol grammar)
+      case "MAKEGTS" =>
+        val m = st.pop().asInstanceOf[Map[Any, Any]]
+        val cls = m.get("c").map(_.toString).getOrElse("")
+        val labels = m.get("l").map(_.asInstanceOf[Map[Any, Any]]
+          .map { case (k, v) => k.toString -> v.toString }).getOrElse(Map.empty)
+        val ticks = m("t").asInstanceOf[Vector[Any]].map(en.asLong)
+        val values = m("v").asInstanceOf[Vector[Any]].map(en.asNum)
+        require(ticks.size == values.size, "MAKEGTS: ticks and values differ in size")
+        st.push(GtsBuilder(cls, labels,
+          ticks.zip(values).map { case (t, v) => (t, None, None, v) }))
+      case "PARSE" =>
+        val text = st.popStr()
+        val spark = en.sparkSessionOpt.getOrElse(
+          throw new IllegalStateException("PARSE requires a session"))
+        val lines = spark.createDataset(text.split("\n").toSeq.filter(_.nonEmpty))(
+          org.apache.spark.sql.Encoders.STRING).toDF("value")
+        // one request payload → serial-request semantics (continuation
+        // lines may reference any earlier line)
+        st.push(GtsFrame(graft.sources.LineProtocol.ingest(lines, en.nowTick,
+          singleBatch = true)))
+
+      case _ => return false
+    }
+    true
+  }
+
+  private def pointList(row: Option[org.apache.spark.sql.Row], tick: Long): Vector[Any] =
+    row match {
+      case None => Vector[Any](tick, Double.NaN, Double.NaN, null, null)
+      case Some(r) => Vector[Any](
+        r.getLong(0),
+        if (r.isNullAt(1)) Double.NaN else r.getDouble(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        r.get(4))
+    }
+}

@@ -18,19 +18,19 @@ import org.apache.spark.sql.functions.udf
   */
 object Compress {
 
-  private def gzipBytes(in: Array[Byte]): Array[Byte] = {
+  private[graft] def gzipBytes(in: Array[Byte]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val g = new GZIPOutputStream(bos)
     g.write(in); g.close()
     bos.toByteArray
   }
 
-  private def gunzipBytes(in: Array[Byte]): Array[Byte] = {
+  private[graft] def gunzipBytes(in: Array[Byte]): Array[Byte] = {
     val g = new GZIPInputStream(new ByteArrayInputStream(in))
     val out = g.readAllBytes(); g.close(); out
   }
 
-  private def deflateBytes(in: Array[Byte]): Array[Byte] = {
+  private[graft] def deflateBytes(in: Array[Byte]): Array[Byte] = {
     val d = new Deflater()
     d.setInput(in); d.finish()
     val bos = new ByteArrayOutputStream()
@@ -39,7 +39,7 @@ object Compress {
     d.end(); bos.toByteArray
   }
 
-  private def inflateBytes(in: Array[Byte]): Array[Byte] = {
+  private[graft] def inflateBytes(in: Array[Byte]): Array[Byte] = {
     val inf = new Inflater()
     inf.setInput(in)
     val bos = new ByteArrayOutputStream()
@@ -60,7 +60,7 @@ object Compress {
     inf.end(); bos.toByteArray
   }
 
-  private def hmacBytes(key: Array[Byte], in: Array[Byte],
+  private[graft] def hmacBytes(key: Array[Byte], in: Array[Byte],
                         algo: String): Array[Byte] = {
     val mac = Mac.getInstance(algo)
     mac.init(new SecretKeySpec(key, algo))
