@@ -690,6 +690,54 @@ object WsQueries {
         .select(col("class"), userid, col("ts"), col("vdouble").as("cents"))
     }),
 
+    // BigDecimal/BigInteger word tail: exact arithmetic, number
+    // theory, bit algebra (fn/BDMOD.java family) — values rendered
+    // via BD-> plain strings
+    "w50_ws_bd" -> ((s, dir) => {
+      val program =
+        """-17 5 BDMOD BD-> 'a' STORE
+          |'1.5' TOBD 3 BDPOW BD-> 'b' STORE
+          |48 36 BDGCD BD-> 'c' STORE
+          |4 13 497 BDMODPOW BD-> 'd' STORE
+          |3 11 BDMODINVERSE BD-> 'e' STORE
+          |90 BDNEXTPROBABLEPRIME BD-> 'f' STORE
+          |12 10 BDXOR 3 BDSHIFTLEFT BD-> 'g' STORE
+          |'2.5' TOBD BDCEIL '2.5' TOBD BDFLOOR BDSUB BD-> 'h' STORE
+          |$a $b $c $d $e $f $g $h""".stripMargin
+      val v = engine(s, dir, cents = false).run(program)
+      s.range(1).select(
+        lit(v(7).asInstanceOf[String]).as("v_mod"),
+        lit(v(6).asInstanceOf[String]).as("v_pow"),
+        lit(v(5).asInstanceOf[String]).as("v_gcd"),
+        lit(v(4).asInstanceOf[String]).as("v_modpow"),
+        lit(v(3).asInstanceOf[String]).as("v_modinv"),
+        lit(v(2).asInstanceOf[String]).as("v_nextprime"),
+        lit(v(1).asInstanceOf[String]).as("v_bits"),
+        lit(v(0).asInstanceOf[String]).as("v_ceilfloor"))
+    }),
+
+    // JSON render/parse, SNAPSHOT re-eval, macro round-trip, Base58,
+    // TEMPLATE interpolation (fn/TOJSON.java, SNAPSHOT variants,
+    // MACROTO, TOB58, TEMPLATE)
+    "w51_ws_jsonb58" -> ((s, dir) => {
+      val program =
+        """{ 'b' 2 'a' 1 } ->JSON 'a' STORE
+          |'[1,2.5,"x",true,null]' JSON-> ->JSON 'b' STORE
+          |1 'two' 3.5 SNAPSHOTALL EVAL SNAPSHOTALL 'c' STORE
+          |<% 1 2 + %> MACRO-> ->MACRO EVAL 'd' STORE
+          |'Hello World!' 'UTF-8' ->BYTES ->B58 'e' STORE
+          |'x={{a}} y={{b}}' { 'a' 1 'b' 'two' } TEMPLATE 'f' STORE
+          |$a $b $c $d $e $f""".stripMargin
+      val v = engine(s, dir, cents = false).run(program)
+      s.range(1).select(
+        lit(v(5).asInstanceOf[String]).as("v_json"),
+        lit(v(4).asInstanceOf[String]).as("v_jsonrt"),
+        lit(v(3).asInstanceOf[String]).as("v_snapshot"),
+        lit(v(2).asInstanceOf[Long]).as("v_macro"),
+        lit(v(1).asInstanceOf[String]).as("v_b58"),
+        lit(v(0).asInstanceOf[String]).as("v_template"))
+    }),
+
     // ESDTEST word ≡ g77 (mean/sd variant; k=3, alpha=0.05)
     "w14_ws_esdtest" -> ((s, dir) => {
       val program =
@@ -841,6 +889,23 @@ object WsQueries {
         |  CAST(-6833708440360172059 AS BIGINT) AS v_siphash,
         |  'Or8WObF' AS v_opb64, 'squeeze' AS v_gzip,
         |  TRUE AS v_ecverify, TRUE AS v_ecdh""".stripMargin,
+    // BD tail: DuckDB HUGEINT/DECIMAL compute the same exact values
+    "w50_ws_bd" ->
+      """SELECT CAST(mod(CAST(-17 AS HUGEINT) % 5 + 5, 5) AS VARCHAR) AS v_mod,
+        |  CAST(1.5 * 1.5 * 1.5 AS VARCHAR) AS v_pow,
+        |  CAST(gcd(48, 36) AS VARCHAR) AS v_gcd,
+        |  CAST(CAST(pow(4, 13) AS HUGEINT) % 497 AS VARCHAR) AS v_modpow,
+        |  '4' AS v_modinv, '97' AS v_nextprime,
+        |  CAST(xor(12, 10) * 8 AS VARCHAR) AS v_bits,
+        |  '1' AS v_ceilfloor""".stripMargin,
+    "w51_ws_jsonb58" ->
+      """SELECT '{"a":1,"b":2}' AS v_json,
+        |  '[1,2.5,"x",true,null]' AS v_jsonrt,
+        |  '1 ''two'' 3.5' AS v_snapshot,
+        |  CAST(3 AS BIGINT) AS v_macro,
+        |  '2NEpo7TZRRrLZSi2U' AS v_b58,
+        |  'x=1 y=two' AS v_template""".stripMargin,
+
     // MONOTONIC ascending = running max; RANGE frame includes all
     // coincident ticks on both engines
     "w47_ws_monotonic" ->

@@ -48,6 +48,9 @@ final class WarpScriptEngine(
   /** SECTION marker for error reporting (fn/SECTION.java). */
   private[script] var section: String = _
 
+  /** JSONLOOSE/JSONSTRICT parse-mode flag (NaN tolerance). */
+  private[script] var jsonLoose: Boolean = false
+
   private[script] def nowTick: Long = nowTs
   private[script] def sparkSessionOpt: Option[org.apache.spark.sql.SparkSession] = session
   private[script] def execProgram(s: String, st: State): Unit =
@@ -1265,7 +1268,8 @@ final class WarpScriptEngine(
           !WordsScalar.eval(other, st, this) &&
           !WordsColl.eval(other, st, this) &&
           !WordsCrypto.eval(other, st, this) &&
-          !WordsGts.eval(other, st, this))
+          !WordsGts.eval(other, st, this) &&
+          !WordsExt2.eval(other, st, this))
         throw new IllegalArgumentException(s"unknown function '$other'")
   }
 
