@@ -738,6 +738,48 @@ object WsQueries {
         lit(v(0).asInstanceOf[String]).as("v_template"))
     }),
 
+    // GEO.WKT + GEO.WITHIN words ≡ g47: the shape literal parses on
+    // stack, the predicate compiles to the same exact ray-cast plan
+    "w52_ws_geo_within" -> ((s, dir) => {
+      val f = Gts.fromEvents(s, dir)
+      val uid = col("labels").getItem("user").cast(LongType)
+      val track = f.withColumn("lat", uid % 120 - 60 + col("vdouble") / 100.0)
+        .withColumn("lon", (col("ts") % 360) - 180 + col("vdouble") / 100.0)
+      val en = new WarpScriptEngine(
+        fetch = (_, _, _, _) => GtsFrame(track), nowTs = LB)
+      val program =
+        s"""'POLYGON ((-100.137 -20.731, -30.421 -58.283, 40.618 -10.207, 25.314 35.941, -60.253 40.123, -100.137 -20.731))'
+           |6 GEO.WKT 'p' STORE
+           |[ '' '~.*' { } 0 ${Long.MaxValue} ] FETCH $$p GEO.WITHIN""".stripMargin
+      en.runToFrame(program)
+        .select(col("class"), userid, col("ts"), col("vdouble"))
+    }),
+
+    // geo scalar words: the Wikipedia geohash vector, HHCode and
+    // GEOPACK round-trips emitted as booleans, neighbor algebra
+    "w53_ws_geoscalars" -> ((s, dir) => {
+      val program =
+        s"""57.64911 10.40744 11 ->GEOHASH 'gh' STORE
+           |12.3 45.6 ->HHCODE HHCODE-> 'lo' STORE 'la' STORE
+           |$$la 12.3 - ABS 0.000001 < $$lo 45.6 - ABS 0.000001 < AND 'hhrt' STORE
+           |'POLYGON ((-10.5 -10.5, 10.5 -10.5, 10.5 10.5, -10.5 10.5, -10.5 -10.5))'
+           |5 GEO.WKT 'sq' STORE
+           |$$sq GEOPACK GEOUNPACK 'sq2' STORE
+           |$$sq $$sq2 GEO.INTERSECTS 'packrt' STORE
+           |$$sq 1 GEO.BUFFER 'big' STORE
+           |$$big $$sq GEO.DIFFERENCE 'ring' STORE
+           |$$sq GEOSPLIT SIZE 'ncomp' STORE
+           |0 0 5 ->GEOCELL 'cell' STORE
+           |$$gh $$hhrt $$packrt $$ncomp $$cell""".stripMargin
+      val v = engine(s, dir, cents = false).run(program)
+      s.range(1).select(
+        lit(v(4).asInstanceOf[String]).as("v_geohash"),
+        lit(v(3).asInstanceOf[Boolean]).as("v_hhcode_rt"),
+        lit(v(2).asInstanceOf[Boolean]).as("v_pack_rt"),
+        lit(v(1).asInstanceOf[Long]).as("v_ncomponents"),
+        lit(v(0).asInstanceOf[Long]).as("v_cell"))
+    }),
+
     // ESDTEST word ≡ g77 (mean/sd variant; k=3, alpha=0.05)
     "w14_ws_esdtest" -> ((s, dir) => {
       val program =
@@ -905,6 +947,15 @@ object WsQueries {
         |  CAST(3 AS BIGINT) AS v_macro,
         |  '2NEpo7TZRRrLZSi2U' AS v_b58,
         |  'x=1 y=two' AS v_template""".stripMargin,
+
+    // GEO words: the w52 predicate must hash-match g47's oracle (same
+    // shape, same ray-cast); w53 pins the public geohash test vector
+    // and round-trip booleans
+    "w52_ws_geo_within" -> GeoQueries.oracleSql("g47_geo_within"),
+    "w53_ws_geoscalars" ->
+      """SELECT 'u4pruydqqvj' AS v_geohash, TRUE AS v_hhcode_rt,
+        |  TRUE AS v_pack_rt, CAST(1 AS BIGINT) AS v_ncomponents,
+        |  CAST(528 AS BIGINT) AS v_cell""".stripMargin,
 
     // MONOTONIC ascending = running max; RANGE frame includes all
     // coincident ticks on both engines

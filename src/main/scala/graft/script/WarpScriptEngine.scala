@@ -1269,7 +1269,8 @@ final class WarpScriptEngine(
           !WordsColl.eval(other, st, this) &&
           !WordsCrypto.eval(other, st, this) &&
           !WordsGts.eval(other, st, this) &&
-          !WordsExt2.eval(other, st, this))
+          !WordsExt2.eval(other, st, this) &&
+          !WordsGeo.eval(other, st, this))
         throw new IllegalArgumentException(s"unknown function '$other'")
   }
 
