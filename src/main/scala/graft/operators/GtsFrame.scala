@@ -586,14 +586,24 @@ final case class GtsFrame(df: DataFrame) {
 
   /** Shared bucket-grid generation: all `count` bucket-end ticks per
     * series left-joined with present values — distributed via
-    * sequence+explode, never a driver loop. */
+    * sequence+explode, never a driver loop. Emits the full canonical
+    * point schema (null loc/elev on filled rows) so fill outputs stay
+    * composable with every other frame word. */
   private def bucketGrid(lastbucket: Long, span: Long, count: Long): DataFrame = {
     val series = df.groupBy(col("gtsid"))
       .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
     val grid = series.withColumn("ts",
       explode(sequence(lit(lastbucket - (count - 1) * span), lit(lastbucket), lit(span))))
-    grid.join(df.select(col("gtsid"), col("ts"), col("vdouble")),
-      Seq("gtsid", "ts"), "left")
+    Gts.canonical(grid.join(df.select(col("gtsid"), col("ts"), col("vdouble")),
+        Seq("gtsid", "ts"), "left")
+      .withColumn("lat", lit(null).cast(DoubleType))
+      .withColumn("lon", lit(null).cast(DoubleType))
+      .withColumn("elev", lit(null).cast(LongType))
+      .withColumn("vtype", lit(graft.model.GtsType.DOUBLE).cast(ByteType))
+      .withColumn("vlong", lit(null).cast(LongType))
+      .withColumn("vbool", lit(null).cast(BooleanType))
+      .withColumn("vstring", lit(null).cast(StringType))
+      .withColumn("vbinary", lit(null).cast(BinaryType)))
   }
 
   // ---------------------------------------------------------------------

@@ -37,10 +37,10 @@ object GtsQueries8 {
     if (s.contains("E") || s.contains("e")) s else s + "E0"
   }
 
-  private val Bins = 16
+  val Bins = 16
   private val (wcT, wsT) = StatOps.dftWeights(Bins)
-  private val WC = wcT.map(dlit).mkString("[", ", ", "]")
-  private val WS = wsT.map(dlit).mkString("[", ", ", "]")
+  val WC = wcT.map(dlit).mkString("[", ", ", "]")
+  val WS = wsT.map(dlit).mkString("[", ", ", "]")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // FFT magnitude spectrum (continuum/gts/FFT.java surface): DFT over

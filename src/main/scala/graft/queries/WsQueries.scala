@@ -780,6 +780,43 @@ object WsQueries {
         lit(v(0).asInstanceOf[Long]).as("v_cell"))
     }),
 
+    // STL word (fn/STL.java param-map form) ≡ g57's classical
+    // decomposition, the three components stacked as suffixed classes
+    "w54_ws_stl" -> ((s, dir) => {
+      val program =
+        s"""[ [ '' '~events\\..*' { } 0 $LB ] FETCH
+           |  bucketizer.sum $LB 1 h 720 ] BUCKETIZE
+           |[ 0.0 ] FILLVALUE
+           |{ 'PERIOD' 24 'TREND.HALF' 12 } STL""".stripMargin
+      engine(s, dir, cents = true).runToFrame(program)
+        .select(col("class"), userid, col("ts"), col("vdouble"))
+    }),
+
+    // FFTAP word: the g81 spectrum in amplitude/phase form (atan2 on
+    // bit-exact re/im; the driver compare rounds to 1e-9)
+    "w55_ws_fftap" -> ((s, dir) => {
+      val program =
+        s"""[ '' '~events\\..*' { } 0 $LB ] FETCH
+           |${GtsQueries8.Bins} $DAY $LB FFTAP""".stripMargin
+      engine(s, dir, cents = true).runToFrame(program)
+        .select(col("class"), userid, col("k"), col("amp"), col("phase"))
+    }),
+
+    // IFFT word: FFT → IFFT reconstructs the 16 daily bucket sums.
+    // The inverse pass carries ~1e-10 order-dependent cancellation
+    // noise (large re/im terms cancel to small x), so the gate is the
+    // INTEGER-rounded reconstruction — signal magnitude is ≥ 1e4, so
+    // a 0.5 rounding boundary sits 5e9 noise-widths away
+    "w56_ws_ifft" -> ((s, dir) => {
+      val program =
+        s"""[ '' '~events\\..*' { } 0 $LB ] FETCH
+           |${GtsQueries8.Bins} $DAY $LB FFT
+           |${GtsQueries8.Bins} IFFT""".stripMargin
+      engine(s, dir, cents = true).runToFrame(program)
+        .select(col("class"), userid, col("ts").as("n"),
+          round(col("vdouble"), 0).cast(LongType).as("x"))
+    }),
+
     // ESDTEST word ≡ g77 (mean/sd variant; k=3, alpha=0.05)
     "w14_ws_esdtest" -> ((s, dir) => {
       val program =
@@ -956,6 +993,84 @@ object WsQueries {
       """SELECT 'u4pruydqqvj' AS v_geohash, TRUE AS v_hhcode_rt,
         |  TRUE AS v_pack_rt, CAST(1 AS BIGINT) AS v_ncomponents,
         |  CAST(528 AS BIGINT) AS v_cell""".stripMargin,
+
+    // STL word: g57's decomposition SQL, the three components stacked
+    // under suffixed class names (exact integer sums, /25.0 shared)
+    "w54_ws_stl" -> {
+      val HOUR = GtsQueries.HOUR
+      s"""WITH g AS ($EV),
+         |b AS (SELECT class, userid, $LB - (($LB - ts) // $HOUR) * $HOUR AS ts,
+         |             sum(cents) AS v
+         |      FROM g WHERE ts > ${LB - 720 * HOUR} AND ts <= $LB GROUP BY 1, 2, 3),
+         |series AS (SELECT DISTINCT class, userid FROM b),
+         |grid AS (SELECT s.class, s.userid, t.ts
+         |         FROM series s CROSS JOIN
+         |           (SELECT unnest(generate_series(${LB - 719 * HOUR}, $LB, $HOUR)) AS ts) t),
+         |d AS (SELECT grid.class, grid.userid, grid.ts, coalesce(b.v, 0.0) AS v
+         |      FROM grid LEFT JOIN b ON grid.class = b.class
+         |        AND grid.userid = b.userid AND grid.ts = b.ts),
+         |t AS (SELECT class, userid, ts, v,
+         |        sum(v) OVER w AS tsum, count(*) OVER w AS tn
+         |      FROM d
+         |      WINDOW w AS (PARTITION BY class, userid ORDER BY ts
+         |        ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+         |f AS (SELECT class, userid, ts, v, tsum,
+         |        25 * v - tsum AS detr, (ts % ${24 * HOUR}) // $HOUR AS phase
+         |      FROM t WHERE tn = 25),
+         |se AS (SELECT class, userid, phase, sum(detr) AS ssum, count(*) AS scnt
+         |       FROM f GROUP BY 1, 2, 3),
+         |sel AS (SELECT f.class, f.userid, f.ts,
+         |        f.tsum / 25.0 AS trend,
+         |        se.ssum / (25.0 * se.scnt) AS seasonal,
+         |        f.v - f.tsum / 25.0 - se.ssum / (25.0 * se.scnt) AS resid
+         |        FROM f JOIN se ON f.class = se.class AND f.userid = se.userid
+         |          AND f.phase = se.phase)
+         |SELECT class || '.trend' AS class, userid, ts, trend AS vdouble FROM sel
+         |UNION ALL
+         |SELECT class || '.seasonal' AS class, userid, ts, seasonal AS vdouble FROM sel
+         |UNION ALL
+         |SELECT class || '.resid' AS class, userid, ts, resid AS vdouble FROM sel""".stripMargin
+    },
+    // FFTAP: g81's spectrum CTE + amplitude/phase (atan2 rounds away
+    // in the driver's 1e-9 canonicalization)
+    "w55_ws_fftap" -> {
+      val (b, wc, ws) = (GtsQueries8.Bins, GtsQueries8.WC, GtsQueries8.WS)
+      s"""WITH g AS ($EV),
+         |b AS (SELECT class, userid,
+         |        CAST(floor(($LB - ts) / $DAY) AS BIGINT) AS n, sum(cents) AS x
+         |      FROM g WHERE ts <= $LB AND floor(($LB - ts) / $DAY) < $b
+         |      GROUP BY 1, 2, 3),
+         |kk AS (SELECT b.*, t.k FROM b CROSS JOIN
+         |        (SELECT unnest(range($b)) AS k) t),
+         |s AS (SELECT class, userid, k,
+         |        sum(x * ($wc)[(k * n) % $b + 1]) AS re,
+         |        sum(-x * ($ws)[(k * n) % $b + 1]) AS im
+         |      FROM kk GROUP BY 1, 2, 3)
+         |SELECT class, userid, k, sqrt(re * re + im * im) AS amp,
+         |       atan2(im, re) AS phase
+         |FROM s""".stripMargin
+    },
+    // IFFT: the inverse sum over the same dyadic twiddles, /bins exact
+    "w56_ws_ifft" -> {
+      val (b, wc, ws) = (GtsQueries8.Bins, GtsQueries8.WC, GtsQueries8.WS)
+      s"""WITH g AS ($EV),
+         |b AS (SELECT class, userid,
+         |        CAST(floor(($LB - ts) / $DAY) AS BIGINT) AS n, sum(cents) AS x
+         |      FROM g WHERE ts <= $LB AND floor(($LB - ts) / $DAY) < $b
+         |      GROUP BY 1, 2, 3),
+         |kk AS (SELECT b.*, t.k FROM b CROSS JOIN
+         |        (SELECT unnest(range($b)) AS k) t),
+         |s AS (SELECT class, userid, k,
+         |        sum(x * ($wc)[(k * n) % $b + 1]) AS re,
+         |        sum(-x * ($ws)[(k * n) % $b + 1]) AS im
+         |      FROM kk GROUP BY 1, 2, 3),
+         |nn AS (SELECT s.*, t.n FROM s CROSS JOIN
+         |        (SELECT unnest(range($b)) AS n) t)
+         |SELECT class, userid, n,
+         |       CAST(round(sum(re * ($wc)[(k * n) % $b + 1] -
+         |           im * ($ws)[(k * n) % $b + 1]) / $b, 0) AS BIGINT) AS x
+         |FROM nn GROUP BY 1, 2, 3""".stripMargin
+    },
 
     // MONOTONIC ascending = running max; RANGE frame includes all
     // coincident ticks on both engines

@@ -55,6 +55,7 @@ final class WarpScriptEngine(
   private[script] def sparkSessionOpt: Option[org.apache.spark.sql.SparkSession] = session
   private[script] def execProgram(s: String, st: State): Unit =
     exec(WarpScriptTokenizer.tokenize(s), st)
+  private[script] def evalWordPub(w: String, st: State): Unit = evalWord(w, st)
 
   /** Run a program over an initially empty stack; returns the final
     * stack, top first. */
@@ -892,22 +893,24 @@ final class WarpScriptEngine(
     // structural frame words — direct GtsFrame methods
     // fill words (fn/FILLPREVIOUS.java etc.): operate on a BUCKETIZE
     // result, bucket params read from the carried metadata
+    // fills preserve bucketization metadata, as the reference keeps
+    // lastbucket/span/count on the filled GTS (GTSHelper.fill)
     case "FILLPREVIOUS" =>
       val b = toBucketed(st.pop())
-      st.push(GtsFrame(b.frame.fillPrevious(b.lastbucket, b.span, b.count)))
+      st.push(b.copy(frame = GtsFrame(b.frame.fillPrevious(b.lastbucket, b.span, b.count))))
     case "FILLNEXT" =>
       val b = toBucketed(st.pop())
-      st.push(GtsFrame(b.frame.fillNext(b.lastbucket, b.span, b.count)))
+      st.push(b.copy(frame = GtsFrame(b.frame.fillNext(b.lastbucket, b.span, b.count))))
     case "FILLVALUE" => // [ lat lon elev value ] list form; value used
       val v = st.pop() match {
         case l: Vector[_] => asNum(l.last)
         case n => asNum(n)
       }
       val b = toBucketed(st.pop())
-      st.push(GtsFrame(b.frame.fillValue(b.lastbucket, b.span, b.count, v)))
+      st.push(b.copy(frame = GtsFrame(b.frame.fillValue(b.lastbucket, b.span, b.count, v))))
     case "INTERPOLATE" =>
       val b = toBucketed(st.pop())
-      st.push(GtsFrame(b.frame.fillLinear(b.lastbucket, b.span, b.count)))
+      st.push(b.copy(frame = GtsFrame(b.frame.fillLinear(b.lastbucket, b.span, b.count))))
     case "DEDUP" => st.push(toFrame(st.pop()).dedup())
     case "COMPACT" => st.push(toFrame(st.pop()).compact())
     case "NORMALIZE0" | "ISONORMALIZE" => st.push(toFrame(st.pop()).normalize())
@@ -1270,7 +1273,8 @@ final class WarpScriptEngine(
           !WordsCrypto.eval(other, st, this) &&
           !WordsGts.eval(other, st, this) &&
           !WordsExt2.eval(other, st, this) &&
-          !WordsGeo.eval(other, st, this))
+          !WordsGeo.eval(other, st, this) &&
+          !WordsAnalytics.eval(other, st, this))
         throw new IllegalArgumentException(s"unknown function '$other'")
   }
 

@@ -1,0 +1,207 @@
+package graft.script
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+import graft.operators.{GtsFrame, StatOps}
+
+/** Analytics word tail: seasonal decomposition (fn/STL.java over the
+  * classical-decompose kernel), hybrid outlier tests
+  * (fn/STLESDTEST.java, HYBRIDTEST/HYBRIDTEST2 —
+  * GTSOutliersHelper.stlESDTest/hybridTest), DTW variants
+  * (fn/RAWDTW.java, ZDTW), inverse/amplitude-phase DFT surfaces
+  * (fn/IFFT.java, FFTAP), DWT level splitting (fn/DWTSPLIT.java),
+  * histogram bounds (fn/LBOUNDS.java, NBOUNDS) and typed FETCH
+  * variants (fn/FETCHLONG.java family).
+  */
+private[script] object WordsAnalytics {
+  import WarpScriptEngine._
+
+  /** Classical seasonal decomposition of a BUCKETIZE result; returns
+    * the full (trend, seasonal, resid) table keyed like the frame. */
+  private def decompose(b: BucketedFrame, period: Int,
+      halfTrend: Int): DataFrame =
+    graft.operators.SeasonalOps.classicalDecompose(
+      b.frame.df, b.span, period, halfTrend)
+
+  def eval(w: String, st: State, en: WarpScriptEngine): Boolean = {
+    w match {
+      // ---- STL (fn/STL.java param-map form over the classical
+      // decomposition kernel of g57/g94): gts { 'PERIOD' p
+      // ['TREND.HALF' h] } STL → frame of the three components, the
+      // class suffixed .trend/.seasonal/.resid (the reference's
+      // seasonal+trend GTS pair plus the residual it implies)
+      case "STL" =>
+        val params = st.pop().asInstanceOf[Map[Any, Any]]
+        val period = en.asLong(params.getOrElse("PERIOD",
+          throw new IllegalArgumentException("STL needs 'PERIOD'"))).toInt
+        val halfTrend = params.get("TREND.HALF").map(en.asLong(_).toInt)
+          .getOrElse(period / 2)
+        val b = en.toBucketed(st.pop())
+        val full = decompose(b, period, halfTrend)
+        def comp(name: String) = full.select(
+          concat(col("class"), lit("." + name)).as("class"), col("labels"),
+          col("ts"), col(name).as("vdouble"))
+        val out = comp("trend").unionByName(comp("seasonal"))
+          .unionByName(comp("resid"))
+        st.push(GtsFrame(graft.model.Gts.canonicalRehash(
+          out.select(col("class"), col("labels"),
+            lit(0L).as("gtsid"), col("ts"),
+            lit(null).cast("double").as("lat"), lit(null).cast("double").as("lon"),
+            lit(null).cast("long").as("elev"),
+            lit(graft.model.GtsType.DOUBLE).as("vtype"),
+            lit(null).cast("long").as("vlong"), col("vdouble"),
+            lit(null).cast("boolean").as("vbool"),
+            lit(null).cast("string").as("vstring"),
+            lit(null).cast("binary").as("vbinary")))))
+
+      // ---- hybrid outlier tests: seasonal-decompose the bucketized
+      // series, then ESD on the residuals (mean/sd for STLESDTEST and
+      // HYBRIDTEST, median/MAD for HYBRIDTEST2 — the reference's
+      // GTSOutliersHelper.hybridTest mad flag)
+      case "STLESDTEST" | "HYBRIDTEST" | "HYBRIDTEST2" =>
+        val alpha = st.popNum()
+        val k = st.popLong().toInt
+        val period = st.popLong().toInt
+        val b = en.toBucketed(st.pop())
+        val resid = decompose(b, period, period / 2)
+          .select(col("class"), col("labels"), col("ts"),
+            col("resid").as("vdouble"))
+        val residFrame = GtsFrame(graft.model.Gts.canonicalRehash(
+          resid.select(col("class"), col("labels"), lit(0L).as("gtsid"),
+            col("ts"),
+            lit(null).cast("double").as("lat"), lit(null).cast("double").as("lon"),
+            lit(null).cast("long").as("elev"),
+            lit(graft.model.GtsType.DOUBLE).as("vtype"),
+            lit(null).cast("long").as("vlong"), col("vdouble"),
+            lit(null).cast("boolean").as("vbool"),
+            lit(null).cast("string").as("vstring"),
+            lit(null).cast("binary").as("vbinary"))))
+        val flagged =
+          if (w == "HYBRIDTEST2") StatOps.esdMadFlag(residFrame, k, alpha)
+          else StatOps.esdFlag(residFrame, k, alpha)
+        st.push(GtsFrame(flagged.join(en.metaOf(residFrame), "gtsid")))
+
+      // ---- DTW variants (fn/RAWDTW.java = the DTW word's raw-value
+      // form; fn/ZDTW.java z-normalizes each series first). Same list
+      // shape as DTW: [ a b [labels] bins span lastbucket ]
+      case "RAWDTW" | "ZDTW" =>
+        val args = st.pop().asInstanceOf[Vector[Any]]
+        val n = args.length
+        val (lb, span, bins) =
+          (en.asLong(args(n - 1)), en.asLong(args(n - 2)), en.asLong(args(n - 3)).toInt)
+        val labels = args(n - 4).asInstanceOf[Vector[Any]].map(_.toString).toSeq
+        var b = en.toFrame(args(n - 5)); var a = en.toFrame(args(n - 6))
+        if (w == "ZDTW") { a = a.standardize(); b = b.standardize() }
+        st.push(GtsFrame(StatOps.dtwPairs(a, b, labels, bins, span, lb)))
+
+      // ---- FFTAP (fn/FFTAP.java): the FFT surface emitting
+      // amplitude/phase instead of re/im
+      case "FFTAP" =>
+        val lb = st.popLong(); val span = st.popLong(); val bins = st.popLong().toInt
+        val spec = StatOps.dft(en.toFrame(st.pop()), bins, span, lb)
+        st.push(GtsFrame(spec
+          .withColumn("amp", sqrt(col("re") * col("re") + col("im") * col("im")))
+          .withColumn("phase", atan2(col("im"), col("re")))
+          .drop("re", "im", "mag")))
+
+      // ---- IFFT (fn/IFFT.java): spectrum frame (class, labels, k,
+      // re, im) → time-domain bucket values x_n = (1/N)·Σ_k (re·cos +
+      // im·sin)(2πkn/N), the same 2⁻²⁰-dyadic twiddle tables as dft
+      case "IFFT" =>
+        val bins = st.popLong().toInt
+        require(bins >= 1 && bins <= 65536, s"IFFT bins out of range: $bins")
+        val df = st.pop() match {
+          case f: GtsFrame => f.df
+          case d: DataFrame @unchecked => d
+          case o => throw new IllegalArgumentException(s"IFFT on $o")
+        }
+        val (wc, ws) = StatOps.dftWeights(bins)
+        val gid = graft.model.Gts.gtsIdCol(col("class"), col("labels"))
+        val m = (pmod(col("k") * col("n"), lit(bins.toLong)) + 1L).cast(IntegerType)
+        val out = df.withColumn("gtsid", gid)
+          .withColumn("n", explode(sequence(lit(0L), lit(bins - 1L))))
+          .groupBy(col("gtsid"), col("n"))
+          .agg(first(col("class")).as("class"), first(col("labels")).as("labels"),
+            (sum(col("re") * element_at(array(wc.map(lit): _*), m) -
+              col("im") * element_at(array(ws.map(lit): _*), m)) / bins).as("x"))
+          .drop("gtsid")
+        st.push(GtsFrame(graft.model.Gts.canonicalRehash(out.select(col("class"), col("labels"),
+          lit(0L).as("gtsid"), col("n").as("ts"),
+          lit(null).cast("double").as("lat"), lit(null).cast("double").as("lon"),
+          lit(null).cast("long").as("elev"),
+          lit(graft.model.GtsType.DOUBLE).as("vtype"),
+          lit(null).cast("long").as("vlong"), col("x").as("vdouble"),
+          lit(null).cast("boolean").as("vbool"),
+          lit(null).cast("string").as("vstring"),
+          lit(null).cast("binary").as("vbinary")))))
+
+      // ---- DWTSPLIT (fn/DWTSPLIT.java): unpivot the wide FDWT result
+      // into per-level series tagged by a level label; coefficient
+      // index becomes the tick
+      case "DWTSPLIT" =>
+        val levelLabel = st.popStr()
+        val wide = st.pop() match {
+          case f: GtsFrame => f.df
+          case d: DataFrame @unchecked => d
+          case o => throw new IllegalArgumentException(s"DWTSPLIT on $o")
+        }
+        val coefCols = wide.columns.filter(c => c != "class" && c != "labels")
+        val Level = "^([ad])([0-9]+)(?:_([0-9]+))?$".r
+        val points = coefCols.toSeq.map { c =>
+          val (lvl, idx) = c match {
+            case Level(kind, l, i) => (kind + l, if (i == null) 0L else i.toLong - 1)
+            case other => (other, 0L)
+          }
+          wide.select(col("class"),
+            map_concat(col("labels"), map(lit(levelLabel), lit(lvl))).as("labels"),
+            lit(idx).as("ts"), col(c).cast("double").as("vdouble"))
+        }.reduce(_ unionByName _)
+        st.push(GtsFrame(graft.model.Gts.canonicalRehash(
+          points.select(col("class"), col("labels"), lit(0L).as("gtsid"),
+            col("ts"),
+            lit(null).cast("double").as("lat"), lit(null).cast("double").as("lon"),
+            lit(null).cast("long").as("elev"),
+            lit(graft.model.GtsType.DOUBLE).as("vtype"),
+            lit(null).cast("long").as("vlong"), col("vdouble"),
+            lit(null).cast("boolean").as("vbool"),
+            lit(null).cast("string").as("vstring"),
+            lit(null).cast("binary").as("vbinary")))))
+
+      // ---- histogram bounds (fn/LBOUNDS.java: n-1 interior linear
+      // bounds of [lower, upper]; fn/NBOUNDS.java: normal quantile
+      // bounds for n equal-probability intervals under N(mu, sigma²))
+      case "LBOUNDS" =>
+        val n = st.popLong().toInt
+        require(n >= 1 && n <= 65536, s"LBOUNDS intervals out of range: $n")
+        val hi = st.popNum(); val lo = st.popNum()
+        st.push((1 until n).map(i => (lo + (hi - lo) * i / n): Any).toVector)
+      case "NBOUNDS" =>
+        val n = st.popLong().toInt
+        require(n >= 2 && n <= 65536, s"NBOUNDS intervals out of range: $n")
+        val sigma = st.popNum(); val mu = st.popNum()
+        val dist = new org.apache.commons.math3.distribution.NormalDistribution(
+          null, mu, sigma)
+        st.push((1 until n)
+          .map(i => dist.inverseCumulativeProbability(i.toDouble / n): Any).toVector)
+
+      // ---- typed FETCH variants (fn/FETCHLONG.java family): the list
+      // form of FETCH restricted to one value type. The frame's vtype
+      // marker filters; vdouble stays the value surface
+      case "FETCHLONG" | "FETCHDOUBLE" | "FETCHBOOLEAN" | "FETCHSTRING" =>
+        en.evalWordPub("FETCH", st)
+        val f = en.toFrame(st.pop())
+        val t = w match {
+          case "FETCHLONG" => graft.model.GtsType.LONG
+          case "FETCHDOUBLE" => graft.model.GtsType.DOUBLE
+          case "FETCHBOOLEAN" => graft.model.GtsType.BOOLEAN
+          case _ => graft.model.GtsType.STRING
+        }
+        st.push(GtsFrame(f.df.filter(col("vtype") === t)))
+
+      case _ => return false
+    }
+    true
+  }
+}
