@@ -817,6 +817,34 @@ object WsQueries {
           round(col("vdouble"), 0).cast(LongType).as("x"))
     }),
 
+    // mapper.highest (selection mapper, MapperHighest.java): top-3
+    // values per series through the MAP word
+    "w57_ws_mapper_highest" -> ((s, dir) => {
+      val program =
+        s"""[ [ '' '~events\\..*' { } 0 $LB ] FETCH
+           |  3 mapper.highest 0 0 0 ] MAP""".stripMargin
+      engine(s, dir, cents = true).runToFrame(program)
+        .select(col("class"), userid, col("ts"), col("vdouble").as("cents"))
+    }),
+
+    // mapper.geo.within through the MAP word ≡ g47 (same polygon, same
+    // exact ray-cast — the shape travels as a stack GEOSHAPE)
+    "w58_ws_mapper_geo" -> ((s, dir) => {
+      val f = Gts.fromEvents(s, dir)
+      val uid = col("labels").getItem("user").cast(LongType)
+      val track = f.withColumn("lat", uid % 120 - 60 + col("vdouble") / 100.0)
+        .withColumn("lon", (col("ts") % 360) - 180 + col("vdouble") / 100.0)
+      val en = new WarpScriptEngine(
+        fetch = (_, _, _, _) => GtsFrame(track), nowTs = LB)
+      val program =
+        s"""'POLYGON ((-100.137 -20.731, -30.421 -58.283, 40.618 -10.207, 25.314 35.941, -60.253 40.123, -100.137 -20.731))'
+           |6 GEO.WKT 'p' STORE
+           |[ [ '' '~.*' { } 0 ${Long.MaxValue} ] FETCH
+           |  $$p mapper.geo.within 0 0 0 ] MAP""".stripMargin
+      en.runToFrame(program)
+        .select(col("class"), userid, col("ts"), col("vdouble"))
+    }),
+
     // ESDTEST word ≡ g77 (mean/sd variant; k=3, alpha=0.05)
     "w14_ws_esdtest" -> ((s, dir) => {
       val program =
@@ -1071,6 +1099,14 @@ object WsQueries {
          |           im * ($ws)[(k * n) % $b + 1]) / $b, 0) AS BIGINT) AS x
          |FROM nn GROUP BY 1, 2, 3""".stripMargin
     },
+
+    // mapper tail: top-3 rank per series / the g47 ray-cast reused
+    "w57_ws_mapper_highest" ->
+      s"""WITH g AS ($EV)
+         |SELECT class, userid, ts, cents FROM g
+         |QUALIFY row_number() OVER (PARTITION BY class, userid
+         |  ORDER BY cents DESC, ts) <= 3""".stripMargin,
+    "w58_ws_mapper_geo" -> GeoQueries.oracleSql("g47_geo_within"),
 
     // MONOTONIC ascending = running max; RANGE frame includes all
     // coincident ticks on both engines

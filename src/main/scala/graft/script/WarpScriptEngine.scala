@@ -1229,6 +1229,70 @@ final class WarpScriptEngine(
     case "mapper.ge" => val k = st.popNum(); st.push(MapperCol(w, c => when(c >= k, c)))
     case "mapper.lt" => val k = st.popNum(); st.push(MapperCol(w, c => when(c < k, c)))
     case "mapper.le" => val k = st.popNum(); st.push(MapperCol(w, c => when(c <= k, c)))
+    // coordinate-comparison mappers (script/mapper/MapperTickGE-style
+    // families over tick/lat/lon/elev): keep the point when the
+    // coordinate passes; null coordinates drop (SQL three-valued logic)
+    case CoordMapperName(colName, cmp) =>
+      val k = st.popNum()
+      val cond: Column = cmp match {
+        case "eq" => col(colName) === k
+        case "ne" => col(colName) =!= k
+        case "gt" => col(colName) > k
+        case "ge" => col(colName) >= k
+        case "lt" => col(colName) < k
+        case _ => col(colName) <= k
+      }
+      st.push(MapperDf(w, df => df.filter(cond)))
+    // geo mappers (script/mapper/MapperGeoWithin.java, MapperGeoOutside,
+    // MapperGeoClearPosition, MapperGeoApproximate — the g47/g98 plans
+    // as MAP-word mappers)
+    case "mapper.geo.within" | "mapper.geo.outside" =>
+      val g = st.pop() match {
+        case geo: WordsGeo.WsGeo => geo
+        case o => throw new IllegalArgumentException(s"$w expects a GEOSHAPE: $o")
+      }
+      val inside = g.shape match {
+        case Some(shape) => shape.containsCol(col("lat"), col("lon"))
+        case None => graft.functions.GeoCells.inCover(col("lat"), col("lon"), g.cells, g.res)
+      }
+      val pred = if (w endsWith "within") inside
+        else !org.apache.spark.sql.functions.coalesce(inside, lit(false))
+      st.push(MapperDf(w, df => df.filter(pred)))
+    case "mapper.geo.clear" =>
+      st.push(MapperDf(w, df => df
+        .withColumn("lat", lit(null).cast("double"))
+        .withColumn("lon", lit(null).cast("double"))
+        .withColumn("elev", lit(null).cast("long"))))
+    case "mapper.geo.approximate" =>
+      val res = st.popLong().toInt
+      require(res >= 1 && res <= 28, s"$w resolution out of range: $res")
+      st.push(MapperDf(w, df => {
+        val n = 1L << res
+        val cell = graft.functions.GeoCells.cellIdCol(col("lat"), col("lon"), res)
+        val aLat = (cell.cast("double") / n).cast("long").cast("double") /
+          n * 180.0 - 90.0 + 90.0 / n
+        val aLon = pmod(cell, lit(n)).cast("double") / n * 360.0 - 180.0 + 180.0 / n
+        df.withColumn("lat", when(col("lat").isNotNull, aLat))
+          .withColumn("lon", when(col("lon").isNotNull, aLon))
+      }))
+    // selection mappers (script/mapper/MapperHighest.java, Lowest):
+    // the k extreme values per series — the g25/r03 rank pattern
+    case "mapper.highest" | "mapper.lowest" =>
+      val k = st.popLong()
+      require(k >= 1, s"$w expects k >= 1")
+      st.push(MapperDf(w, df => {
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("gtsid"))
+          .orderBy(
+            if (w == "mapper.highest") col("vdouble").desc else col("vdouble").asc,
+            col("ts"))
+        df.withColumn("__rn", row_number().over(win))
+          .filter(col("__rn") <= k).drop("__rn")
+      }))
+    // STRICT* wrappers (fn/STRICTMAPPER.java: type-checking decorators;
+    // the frame algebra is already typed)
+    case "STRICTMAPPER" | "STRICTREDUCER" | "STRICTPARTITION" =>
+      st.push(st.pop())
     case BucketizerName(a) => st.push(a)
     case MapperName(m) => st.push(m)
     case ReducerName(a) => st.push(a)
@@ -1604,6 +1668,17 @@ object WarpScriptEngine {
           .orElse(pointwise.get(n).map(MapperCol(w, _)))
       }
   }
+  /** mapper.<cmp>.<coord> names (MapperTickEQ/GE/... families):
+    * cmp ∈ eq/ne/gt/ge/lt/le, coord ∈ tick/lat/lon/elev. */
+  object CoordMapperName {
+    private val Pat = "^mapper\\.(eq|ne|gt|ge|lt|le)\\.(tick|lat|lon|elev)$".r
+    def unapply(w: String): Option[(String, String)] = w match {
+      case Pat(cmp, coord) =>
+        Some((if (coord == "tick") "ts" else coord, cmp))
+      case _ => None
+    }
+  }
+
   object OpName {
     private val ops: Map[String, (Column, Column) => Column] = Map(
       "add" -> (_ + _), "sub" -> (_ - _), "mul" -> (_ * _), "div" -> (_ / _),
