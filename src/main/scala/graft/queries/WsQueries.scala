@@ -28,7 +28,7 @@ object WsQueries {
     new WarpScriptEngine(
       fetch = (cls, labels, start, stop) =>
         GtsFrame(base).select(cls, labels).timeclip(start, stop),
-      nowTs = LB)
+      nowTs = LB, session = Some(s))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -845,6 +845,29 @@ object WsQueries {
         .select(col("class"), userid, col("ts"), col("vdouble"))
     }),
 
+    // Keccak vectors (published pre-NIST test values), typed encoder
+    // ->GTS split, MV extraction, WKT render round-trip
+    "w59_ws_encoder_keccak" -> ((s, dir) => {
+      val program =
+        """'' KECCAK.256 ->HEX 'a' STORE
+          |'abc' KECCAK.256 ->HEX 'b' STORE
+          |NEWENCODER 'enc' RENAME
+          |1 NaN NaN NULL 42 ADDVALUE
+          |2 NaN NaN NULL 1.5 ADDVALUE
+          |3 NaN NaN NULL 'txt' ADDVALUE
+          |->GTS DUP SIZE 'c' STORE 'LONG' GET VALUES 0 GET 'd' STORE
+          |'POLYGON ((0.0 0.0, 10.0 0.0, 10.0 10.0, 0.0 10.0, 0.0 0.0))'
+          |5 GEO.WKT ->WKT 'e' STORE
+          |$a $b $c $d $e""".stripMargin
+      val v = engine(s, dir, cents = false).run(program)
+      s.range(1).select(
+        lit(v(4).asInstanceOf[String]).as("v_keccak_empty"),
+        lit(v(3).asInstanceOf[String]).as("v_keccak_abc"),
+        lit(v(2).asInstanceOf[Long]).as("v_types"),
+        lit(v(1).asInstanceOf[Long]).as("v_longval"),
+        lit(v(0).asInstanceOf[String]).as("v_wkt"))
+    }),
+
     // ESDTEST word ≡ g77 (mean/sd variant; k=3, alpha=0.05)
     "w14_ws_esdtest" -> ((s, dir) => {
       val program =
@@ -1099,6 +1122,12 @@ object WsQueries {
          |           im * ($ws)[(k * n) % $b + 1]) / $b, 0) AS BIGINT) AS x
          |FROM nn GROUP BY 1, 2, 3""".stripMargin
     },
+
+    "w59_ws_encoder_keccak" ->
+      """SELECT 'c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470' AS v_keccak_empty,
+        |  '4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45' AS v_keccak_abc,
+        |  CAST(3 AS BIGINT) AS v_types, CAST(42 AS BIGINT) AS v_longval,
+        |  'POLYGON ((0.0 0.0, 10.0 0.0, 10.0 10.0, 0.0 10.0, 0.0 0.0))' AS v_wkt""".stripMargin,
 
     // mapper tail: top-3 rank per series / the g47 ray-cast reused
     "w57_ws_mapper_highest" ->

@@ -934,9 +934,16 @@ final class WarpScriptEngine(
     // from literals on the stack; materializes into a one-series frame
     // when a frame word consumes it. `gts ts lat lon elev value ADDVALUE`
     // — NaN lat/lon and NULL elev mean absent, as in the reference.
-    case "NEWGTS" => st.push(GtsBuilder("", Map.empty, Vector.empty))
+    case "NEWGTS" | "NEWENCODER" => st.push(GtsBuilder("", Map.empty, Vector.empty))
     case "ADDVALUE" =>
-      val v = st.popNum()
+      val v: Any = st.pop() match {
+        case l: Long => l
+        case d: Double => d
+        case b: Boolean => b
+        case str: String => str
+        case bin: Array[Byte] => bin
+        case o => throw new IllegalArgumentException(s"ADDVALUE value: $o")
+      }
       val elev = st.pop() match {
         case null => None
         case l: Long => Some(l)
@@ -1526,10 +1533,19 @@ final class WarpScriptEngine(
       "NEWGTS requires a WarpScriptEngine constructed with a session"))
     val schema = graft.model.Gts.pointSchema
     val rows = b.points.map { case (ts, loc, elev, v) =>
+      // typed value dispatch: an encoder's points carry any value type
+      // (GTSEncoder.addValue), one typed column set per point
+      val (vt, vl, vd, vb, vs, vbin): (Byte, Any, Any, Any, Any, Any) = v match {
+        case l: Long => (graft.model.GtsType.LONG, Long.box(l), null, null, null, null)
+        case d: Double => (graft.model.GtsType.DOUBLE, null, Double.box(d), null, null, null)
+        case b2: Boolean => (graft.model.GtsType.BOOLEAN, null, null, Boolean.box(b2), null, null)
+        case s2: String => (graft.model.GtsType.STRING, null, null, null, s2, null)
+        case bin: Array[Byte] => (graft.model.GtsType.BINARY, null, null, null, null, bin)
+        case o => throw new IllegalArgumentException(s"encoder value: $o")
+      }
       org.apache.spark.sql.Row(b.cls, b.labels, 0L, ts,
         loc.map(_._1).map(Double.box).orNull, loc.map(_._2).map(Double.box).orNull,
-        elev.map(Long.box).orNull,
-        graft.model.GtsType.DOUBLE, null, Double.box(v), null, null, null)
+        elev.map(Long.box).orNull, vt, vl, vd, vb, vs, vbin)
     }
     GtsFrame(graft.model.Gts.canonicalRehash(
       spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq), schema)))
@@ -1610,7 +1626,7 @@ object WarpScriptEngine {
   /** A GTS under construction via NEWGTS/ADDVALUE, materialized into a
     * frame when first consumed by a frame word. */
   final case class GtsBuilder(cls: String, labels: Map[String, String],
-      points: Vector[(Long, Option[(Double, Double)], Option[Long], Double)])
+      points: Vector[(Long, Option[(Double, Double)], Option[Long], Any)])
 
   /** A BUCKETIZE result carrying its bucket parameters — the reference
     * stores lastbucket/bucketspan/bucketcount on the GTS itself and the

@@ -44,6 +44,95 @@ private[script] object WordsCrypto {
     v0 ^ v1 ^ v2 ^ v3
   }
 
+  /** Keccak-f[1600] sponge, re-derived from the public Keccak/FIPS 202
+    * specification (the reference wraps BouncyCastle's KeccakDigest).
+    * `padByte` 0x01 = original Keccak (KECCAK.* words), 0x06 = SHA-3.
+    * Capacity = 2 × output bits, little-endian lanes. */
+  private[script] def keccak(data: Array[Byte], outBits: Int,
+      padByte: Byte = 0x01): Array[Byte] = {
+    val RC = Array(
+      0x0000000000000001L, 0x0000000000008082L, 0x800000000000808aL,
+      0x8000000080008000L, 0x000000000000808bL, 0x0000000080000001L,
+      0x8000000080008081L, 0x8000000000008009L, 0x000000000000008aL,
+      0x0000000000000088L, 0x0000000080008009L, 0x000000008000000aL,
+      0x000000008000808bL, 0x800000000000008bL, 0x8000000000008089L,
+      0x8000000000008003L, 0x8000000000008002L, 0x8000000000000080L,
+      0x000000000000800aL, 0x800000008000000aL, 0x8000000080008081L,
+      0x8000000000008080L, 0x0000000080000001L, 0x8000000080008008L)
+    val rotOff = Array( // rho offsets, state index x + 5y
+      0, 1, 62, 28, 27, 36, 44, 6, 55, 20, 3, 10, 43, 25, 39,
+      41, 45, 15, 21, 8, 18, 2, 61, 56, 14)
+    def rotl(x: Long, n: Int): Long =
+      if (n == 0) x else (x << n) | (x >>> (64 - n))
+    val st = new Array[Long](25)
+    def permute(): Unit = {
+      var round = 0
+      while (round < 24) {
+        // theta
+        val c = Array.tabulate(5)(x => st(x) ^ st(x + 5) ^ st(x + 10) ^ st(x + 15) ^ st(x + 20))
+        var x = 0
+        while (x < 5) {
+          val d = c((x + 4) % 5) ^ rotl(c((x + 1) % 5), 1)
+          var y = 0
+          while (y < 5) { st(x + 5 * y) ^= d; y += 1 }
+          x += 1
+        }
+        // rho + pi
+        val b = new Array[Long](25)
+        var i = 0
+        while (i < 25) {
+          val xx = i % 5; val yy = i / 5
+          b(yy + 5 * ((2 * xx + 3 * yy) % 5)) = rotl(st(i), rotOff(i))
+          i += 1
+        }
+        // chi
+        var y = 0
+        while (y < 5) {
+          var x2 = 0
+          while (x2 < 5) {
+            st(x2 + 5 * y) = b(x2 + 5 * y) ^
+              (~b((x2 + 1) % 5 + 5 * y) & b((x2 + 2) % 5 + 5 * y))
+            x2 += 1
+          }
+          y += 1
+        }
+        // iota
+        st(0) ^= RC(round)
+        round += 1
+      }
+    }
+    val rateBytes = (1600 - 2 * outBits) / 8
+    // absorb with pad10*1
+    val padded = {
+      val padLen = rateBytes - (data.length % rateBytes)
+      val p = java.util.Arrays.copyOf(data, data.length + padLen)
+      p(data.length) = padByte
+      p(p.length - 1) = (p(p.length - 1) | 0x80).toByte
+      p
+    }
+    var off = 0
+    while (off < padded.length) {
+      var i = 0
+      while (i < rateBytes / 8) {
+        var lane = 0L
+        var j = 7
+        while (j >= 0) { lane = (lane << 8) | (padded(off + 8 * i + j) & 0xffL); j -= 1 }
+        st(i) ^= lane
+        i += 1
+      }
+      permute()
+      off += rateBytes
+    }
+    // squeeze (single block suffices: outBits <= rate for all variants)
+    val out = new Array[Byte](outBits / 8)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((st(i / 8) >>> (8 * (i % 8))) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
   private def ecParams(curve: String): java.security.spec.ECParameterSpec = {
     val ap = java.security.AlgorithmParameters.getInstance("EC")
     ap.init(new java.security.spec.ECGenParameterSpec(curve))
@@ -68,6 +157,13 @@ private[script] object WordsCrypto {
         }
         st.push(java.security.MessageDigest.getInstance(algo)
           .digest(en.popBytes(st)))
+
+      // KECCAK family (original 0x01 padding, as the reference's
+      // BouncyCastle KeccakDigest — distinct from the JDK's SHA-3)
+      case "KECCAK.128" | "KECCAK.224" | "KECCAK.256" | "KECCAK.288" |
+           "KECCAK.384" | "KECCAK.512" =>
+        val bits = w.stripPrefix("KECCAK.").toInt
+        st.push(keccak(en.popBytes(st), bits))
 
       // keyed HMAC words (fn/SHA1HMAC.java, SHA256HMAC: data key →
       // mac bytes)

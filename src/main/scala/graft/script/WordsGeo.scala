@@ -83,6 +83,23 @@ private[script] object WordsGeo {
         st.push(WsGeo(g.shape, GeoCells.cover(shape, res), res))
       // canonicalization no-ops: cell sets are already normalized here
       case "GEO.NORMALIZE" | "GEO.OPTIMIZE" => st.push(popGeo(st))
+
+      // shape renderers (inverse of GEO.WKT / GEO.JSON — require the
+      // exact polygon; set-algebra results are cover-only)
+      case "->WKT" | "->GEOJSON" =>
+        val g = popGeo(st)
+        val shape = g.shape.getOrElse(throw new IllegalArgumentException(
+          s"$w needs a shape built from WKT/GeoJSON"))
+        def closed(r: Seq[(Double, Double)]) =
+          if (r.head == r.last) r else r :+ r.head
+        if (w == "->WKT")
+          st.push(shape.rings.map(r => closed(r)
+            .map { case (x, y) => s"$x $y" }.mkString("(", ", ", ")"))
+            .mkString("POLYGON (", ", ", ")"))
+        else
+          st.push(shape.rings.map(r => closed(r)
+            .map { case (x, y) => s"[$x,$y]" }.mkString("[", ",", "]"))
+            .mkString("""{"type":"Polygon","coordinates":[""", ",", "]}"))
       case "MAXGEOCELLS" => st.popLong() // capacity hint — no-op here
 
       // ---- predicates

@@ -39,6 +39,23 @@ private[script] object WordsGts {
 
   private def tickWindow = Window.partitionBy(col("gtsid")).orderBy(col("ts"))
 
+  /** Collect (ts → typed value) rows, preserving scala-side types
+    * (the typed-column dispatch of GTSHelper.valueAtIndex). */
+  private def typedRows(df: DataFrame): Array[(Long, Any)] = {
+    import graft.model.GtsType
+    df.select(col("ts"), col("vtype"), col("vlong"), col("vdouble"),
+        col("vbool"), col("vstring")).collect()
+      .map { r =>
+        val v: Any = r.getByte(1) match {
+          case GtsType.LONG => if (r.isNullAt(2)) null else r.getLong(2)
+          case GtsType.DOUBLE => if (r.isNullAt(3)) null else r.getDouble(3)
+          case GtsType.BOOLEAN => if (r.isNullAt(4)) null else r.getBoolean(4)
+          case _ => if (r.isNullAt(5)) null else r.getString(5)
+        }
+        (r.getLong(0), v)
+      }.sortBy(_._1)
+  }
+
   def eval(w: String, st: State, en: WarpScriptEngine): Boolean = {
     w match {
       // ---- bucket metadata accessors (fn/LASTBUCKET.java,
@@ -123,8 +140,7 @@ private[script] object WordsGts {
       case "VALUES" =>
         val df = singleSeries(en.toFrame(st.pop()), w)
         collectGuard(df, w)
-        st.push(df.select(col("ts"), col("vdouble")).collect()
-          .sortBy(_.getLong(0)).map(r => r.get(1)).toVector)
+        st.push(typedRows(df).map(_._2: Any).toVector)
       case "LOCATIONS" =>
         val df = singleSeries(en.toFrame(st.pop()), w)
         collectGuard(df, w)
@@ -332,6 +348,50 @@ private[script] object WordsGts {
         // lines may reference any earlier line)
         st.push(GtsFrame(graft.sources.LineProtocol.ingest(lines, en.nowTick,
           singleBatch = true)))
+
+      // ---- encoder surface (fn/NEWENCODER.java family): the frame
+      // already IS a typed point container, so the conversions are
+      // representation-preserving; ->GTS splits by value type into the
+      // reference's type-name map (fn/TOGTS.java no-typemap form)
+      case "->ENCODER" | "ENCODER->" => st.push(en.toFrame(st.pop()))
+      case "ASENCODERS" | "->ENCODERS" => st.pop() match {
+        case l: Vector[Any @unchecked] => st.push(l.map(en.toFrame(_): Any))
+        case other => st.push(en.toFrame(other))
+      }
+      case "UNWRAPENCODER" =>
+        st.push(GtsFrame(graft.sources.GtsCodec.unwrap(
+          en.toFrame(st.pop()).df.select(col("class"), col("labels"),
+            col("vbinary").as("blob")))))
+      case "->GTS" =>
+        val f = en.toFrame(st.pop())
+        val names = Map(
+          graft.model.GtsType.LONG -> "LONG", graft.model.GtsType.DOUBLE -> "DOUBLE",
+          graft.model.GtsType.BOOLEAN -> "BOOLEAN", graft.model.GtsType.STRING -> "STRING",
+          graft.model.GtsType.BINARY -> "BINARY")
+        val present = f.df.select(col("vtype")).distinct().collect()
+          .map(_.getByte(0)).sorted
+        st.push(present.map(t =>
+          (names(t): Any) -> (GtsFrame(f.df.filter(col("vtype") === t)): Any)).toMap)
+
+      // ---- multivalue words (fn/MVSPLIT.java; MVEXTRACT tick/value/
+      // location/elevation views after expanding carrier points)
+      case "MVSPLIT" | "VALUESPLIT" =>
+        st.push(GtsFrame(graft.sources.GtsCodec.mvSplit(en.toFrame(st.pop()).df)))
+      case "MVTICKS" | "MVVALUES" | "MVELEVATIONS" | "MVLOCATIONS" =>
+        val expanded = graft.sources.GtsCodec.mvSplit(en.toFrame(st.pop()).df)
+        collectGuard(expanded, w)
+        val rows = expanded
+          .select(col("ts"), col("vdouble"), col("lat"), col("lon"), col("elev"))
+          .collect().sortBy(_.getLong(0))
+        w match {
+          case "MVTICKS" => st.push(rows.map(r => r.getLong(0): Any).toVector)
+          case "MVVALUES" => st.push(typedRows(expanded).map(_._2: Any).toVector)
+          case "MVELEVATIONS" =>
+            st.push(rows.map(r => if (r.isNullAt(4)) null else r.getLong(4): Any).toVector)
+          case _ =>
+            st.push(rows.map(r => if (r.isNullAt(2)) Double.NaN else r.getDouble(2): Any).toVector)
+            st.push(rows.map(r => if (r.isNullAt(3)) Double.NaN else r.getDouble(3): Any).toVector)
+        }
 
       case _ => return false
     }
