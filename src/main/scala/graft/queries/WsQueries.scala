@@ -868,6 +868,43 @@ object WsQueries {
         lit(v(0).asInstanceOf[String]).as("v_wkt"))
     }),
 
+    // MD4 / RIPEMD-160 (RFC 1320 + RIPEMD paper vectors) and RLP
+    // encode vectors from the public spec
+    "w60_ws_digest_rlp" -> ((s, dir) => {
+      val program =
+        """'abc' MD4 ->HEX 'a' STORE
+          |'abc' RIPEMD160 ->HEX 'b' STORE
+          |[ 'cat' 'dog' ] ->RLP ->HEX 'c' STORE
+          |1024 ->RLP ->HEX 'd' STORE
+          |[ 'cat' 'dog' ] ->RLP RLP-> 1 GET 'UTF-8' BYTES-> 'e' STORE
+          |$a $b $c $d $e""".stripMargin
+      val v = engine(s, dir, cents = false).run(program)
+      s.range(1).select(
+        lit(v(4).asInstanceOf[String]).as("v_md4"),
+        lit(v(3).asInstanceOf[String]).as("v_ripemd"),
+        lit(v(2).asInstanceOf[String]).as("v_rlp_list"),
+        lit(v(1).asInstanceOf[String]).as("v_rlp_long"),
+        lit(v(0).asInstanceOf[String]).as("v_rlp_rt"))
+    }),
+
+    // PROB word: per-point value probability from the per-series
+    // histogram — two window counts, no driver state
+    "w61_ws_prob" -> ((s, dir) => {
+      val program =
+        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH PROB""".stripMargin
+      engine(s, dir, cents = true).runToFrame(program)
+        .select(col("class"), userid, col("ts"), col("vdouble").as("p"))
+    }),
+
+    // TICKINDEX word on unique daily buckets: ticks → 0..n-1
+    "w62_ws_tickindex" -> ((s, dir) => {
+      val program =
+        s"""[ [ '' '~events\\..*' { } 0 $LB ] FETCH
+           |  bucketizer.sum $LB 1 d 0 ] BUCKETIZE TICKINDEX""".stripMargin
+      engine(s, dir, cents = true).runToFrame(program)
+        .select(col("class"), userid, col("ts").as("idx"), col("vdouble"))
+    }),
+
     // ESDTEST word ≡ g77 (mean/sd variant; k=3, alpha=0.05)
     "w14_ws_esdtest" -> ((s, dir) => {
       val program =
@@ -1128,6 +1165,29 @@ object WsQueries {
         |  '4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45' AS v_keccak_abc,
         |  CAST(3 AS BIGINT) AS v_types, CAST(42 AS BIGINT) AS v_longval,
         |  'POLYGON ((0.0 0.0, 10.0 0.0, 10.0 10.0, 0.0 10.0, 0.0 0.0))' AS v_wkt""".stripMargin,
+
+    "w60_ws_digest_rlp" ->
+      """SELECT 'a448017aaf21d8525fc10ae87aa6729d' AS v_md4,
+        |  '8eb208f7e05d987a9b044a8e98c6b087f15a0bfc' AS v_ripemd,
+        |  'c88363617483646f67' AS v_rlp_list, '820400' AS v_rlp_long,
+        |  'dog' AS v_rlp_rt""".stripMargin,
+    "w61_ws_prob" ->
+      s"""WITH g AS ($EV)
+         |SELECT class, userid, ts,
+         |  CAST(count(*) OVER (PARTITION BY class, userid, cents) AS DOUBLE) /
+         |  count(*) OVER (PARTITION BY class, userid) AS p
+         |FROM g""".stripMargin,
+    "w62_ws_tickindex" -> {
+      val DAY = GtsQueries.DAY
+      s"""WITH g AS ($EV),
+         |b AS (SELECT class, userid, $LB - (($LB - ts) // $DAY) * $DAY AS ts,
+         |        sum(cents) AS vdouble
+         |      FROM g WHERE ts <= $LB GROUP BY 1, 2, 3)
+         |SELECT class, userid,
+         |  CAST(row_number() OVER (PARTITION BY class, userid ORDER BY ts) - 1
+         |    AS BIGINT) AS idx, vdouble
+         |FROM b""".stripMargin
+    },
 
     // mapper tail: top-3 rank per series / the g47 ray-cast reused
     "w57_ws_mapper_highest" ->

@@ -133,6 +133,187 @@ private[script] object WordsCrypto {
     out
   }
 
+  /** MD4 (RFC 1320, re-derived — not in the JDK provider). */
+  private[script] def md4(data: Array[Byte]): Array[Byte] = {
+    val padded = mdPad(data)
+    var (a, b, c, d) = (0x67452301, 0xefcdab89, 0x98badcfe, 0x10325476)
+    def rotl(x: Int, n: Int) = (x << n) | (x >>> (32 - n))
+    var off = 0
+    while (off < padded.length) {
+      val x = Array.tabulate(16) { i =>
+        (padded(off + 4 * i) & 0xff) | ((padded(off + 4 * i + 1) & 0xff) << 8) |
+          ((padded(off + 4 * i + 2) & 0xff) << 16) | ((padded(off + 4 * i + 3) & 0xff) << 24)
+      }
+      val (a0, b0, c0, d0) = (a, b, c, d)
+      def f(x1: Int, y: Int, z: Int) = (x1 & y) | (~x1 & z)
+      def g(x1: Int, y: Int, z: Int) = (x1 & y) | (x1 & z) | (y & z)
+      def h(x1: Int, y: Int, z: Int) = x1 ^ y ^ z
+      // round 1
+      val s1 = Array(3, 7, 11, 19)
+      var i = 0
+      while (i < 16) {
+        val t = rotl(a + f(b, c, d) + x(i), s1(i % 4))
+        a = d; d = c; c = b; b = t
+        i += 1
+      }
+      // round 2
+      val s2 = Array(3, 5, 9, 13)
+      val o2 = Array(0, 4, 8, 12, 1, 5, 9, 13, 2, 6, 10, 14, 3, 7, 11, 15)
+      i = 0
+      while (i < 16) {
+        val t = rotl(a + g(b, c, d) + x(o2(i)) + 0x5a827999, s2(i % 4))
+        a = d; d = c; c = b; b = t
+        i += 1
+      }
+      // round 3
+      val s3 = Array(3, 9, 11, 15)
+      val o3 = Array(0, 8, 4, 12, 2, 10, 6, 14, 1, 9, 5, 13, 3, 11, 7, 15)
+      i = 0
+      while (i < 16) {
+        val t = rotl(a + h(b, c, d) + x(o3(i)) + 0x6ed9eba1, s3(i % 4))
+        a = d; d = c; c = b; b = t
+        i += 1
+      }
+      a += a0; b += b0; c += c0; d += d0
+      off += 64
+    }
+    leBytes(Array(a, b, c, d))
+  }
+
+  /** RIPEMD-160 (Dobbertin/Bosselaers/Preneel public specification —
+    * the reference wraps BouncyCastle's RIPEMD160Digest). */
+  private[script] def ripemd160(data: Array[Byte]): Array[Byte] = {
+    val r = Array(
+      0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+      7, 4, 13, 1, 10, 6, 15, 3, 12, 0, 9, 5, 2, 14, 11, 8,
+      3, 10, 14, 4, 9, 15, 8, 1, 2, 7, 0, 6, 13, 11, 5, 12,
+      1, 9, 11, 10, 0, 8, 12, 4, 13, 3, 7, 15, 14, 5, 6, 2,
+      4, 0, 5, 9, 7, 12, 2, 10, 14, 1, 3, 8, 11, 6, 15, 13)
+    val rp = Array(
+      5, 14, 7, 0, 9, 2, 11, 4, 13, 6, 15, 8, 1, 10, 3, 12,
+      6, 11, 3, 7, 0, 13, 5, 10, 14, 15, 8, 12, 4, 9, 1, 2,
+      15, 5, 1, 3, 7, 14, 6, 9, 11, 8, 12, 2, 10, 0, 4, 13,
+      8, 6, 4, 1, 3, 11, 15, 0, 5, 12, 2, 13, 9, 7, 10, 14,
+      12, 15, 10, 4, 1, 5, 8, 7, 6, 2, 13, 14, 0, 3, 9, 11)
+    val s = Array(
+      11, 14, 15, 12, 5, 8, 7, 9, 11, 13, 14, 15, 6, 7, 9, 8,
+      7, 6, 8, 13, 11, 9, 7, 15, 7, 12, 15, 9, 11, 7, 13, 12,
+      11, 13, 6, 7, 14, 9, 13, 15, 14, 8, 13, 6, 5, 12, 7, 5,
+      11, 12, 14, 15, 14, 15, 9, 8, 9, 14, 5, 6, 8, 6, 5, 12,
+      9, 15, 5, 11, 6, 8, 13, 12, 5, 12, 13, 14, 11, 8, 5, 6)
+    val sp = Array(
+      8, 9, 9, 11, 13, 15, 15, 5, 7, 7, 8, 11, 14, 14, 12, 6,
+      9, 13, 15, 7, 12, 8, 9, 11, 7, 7, 12, 7, 6, 15, 13, 11,
+      9, 7, 15, 11, 8, 6, 6, 14, 12, 13, 5, 14, 13, 13, 7, 5,
+      15, 5, 8, 11, 14, 14, 6, 14, 6, 9, 12, 9, 12, 5, 15, 8,
+      8, 5, 12, 9, 12, 5, 14, 6, 8, 13, 6, 5, 15, 13, 11, 11)
+    val K = Array(0x00000000, 0x5a827999, 0x6ed9eba1, 0x8f1bbcdc, 0xa953fd4e)
+    val Kp = Array(0x50a28be6, 0x5c4dd124, 0x6d703ef3, 0x7a6d76e9, 0x00000000)
+    def fj(j: Int, x: Int, y: Int, z: Int): Int = j / 16 match {
+      case 0 => x ^ y ^ z
+      case 1 => (x & y) | (~x & z)
+      case 2 => (x | ~y) ^ z
+      case 3 => (x & z) | (y & ~z)
+      case _ => x ^ (y | ~z)
+    }
+    def rotl(x: Int, n: Int) = (x << n) | (x >>> (32 - n))
+    val padded = mdPad(data)
+    var h0 = 0x67452301; var h1 = 0xefcdab89; var h2 = 0x98badcfe
+    var h3 = 0x10325476; var h4 = 0xc3d2e1f0
+    var off = 0
+    while (off < padded.length) {
+      val x = Array.tabulate(16) { i =>
+        (padded(off + 4 * i) & 0xff) | ((padded(off + 4 * i + 1) & 0xff) << 8) |
+          ((padded(off + 4 * i + 2) & 0xff) << 16) | ((padded(off + 4 * i + 3) & 0xff) << 24)
+      }
+      var (a, b, c, d, e) = (h0, h1, h2, h3, h4)
+      var (ap, bp, cp, dp, ep) = (h0, h1, h2, h3, h4)
+      var j = 0
+      while (j < 80) {
+        var t = rotl(a + fj(j, b, c, d) + x(r(j)) + K(j / 16), s(j)) + e
+        a = e; e = d; d = rotl(c, 10); c = b; b = t
+        t = rotl(ap + fj(79 - j, bp, cp, dp) + x(rp(j)) + Kp(j / 16), sp(j)) + ep
+        ap = ep; ep = dp; dp = rotl(cp, 10); cp = bp; bp = t
+        j += 1
+      }
+      val t = h1 + c + dp
+      h1 = h2 + d + ep; h2 = h3 + e + ap; h3 = h4 + a + bp
+      h4 = h0 + b + cp; h0 = t
+      off += 64
+    }
+    leBytes(Array(h0, h1, h2, h3, h4))
+  }
+
+  /** MD4/RIPEMD padding: 0x80, zeros, 64-bit little-endian bit count. */
+  private def mdPad(data: Array[Byte]): Array[Byte] = {
+    val bitLen = data.length.toLong * 8
+    val padLen = ((55 - data.length % 64) + 64) % 64 + 1
+    val out = java.util.Arrays.copyOf(data, data.length + padLen + 8)
+    out(data.length) = 0x80.toByte
+    var i = 0
+    while (i < 8) { out(out.length - 8 + i) = ((bitLen >>> (8 * i)) & 0xff).toByte; i += 1 }
+    out
+  }
+
+  private def leBytes(words: Array[Int]): Array[Byte] = {
+    val out = new Array[Byte](words.length * 4)
+    var i = 0
+    while (i < out.length) { out(i) = ((words(i / 4) >>> (8 * (i % 4))) & 0xff).toByte; i += 1 }
+    out
+  }
+
+  /** RLP (public Ethereum wire spec): nested lists of byte
+    * arrays/strings/longs ↔ bytes. */
+  private[script] def rlpEncode(v: Any): Array[Byte] = v match {
+    case b: Array[Byte] =>
+      if (b.length == 1 && (b(0) & 0xff) < 0x80) b
+      else rlpLen(b.length, 0x80) ++ b
+    case s: String => rlpEncode(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    case l: Long =>
+      rlpEncode(if (l == 0) Array.empty[Byte]
+        else java.math.BigInteger.valueOf(l).toByteArray.dropWhile(_ == 0))
+    case items: Vector[Any @unchecked] =>
+      val body = items.flatMap(rlpEncode).toArray
+      rlpLen(body.length, 0xc0) ++ body
+    case o => throw new IllegalArgumentException(s"RLP on $o")
+  }
+
+  private def rlpLen(n: Int, base: Int): Array[Byte] =
+    if (n <= 55) Array((base + n).toByte)
+    else {
+      val lenBytes = java.math.BigInteger.valueOf(n.toLong).toByteArray.dropWhile(_ == 0)
+      Array((base + 55 + lenBytes.length).toByte) ++ lenBytes
+    }
+
+  private[script] def rlpDecode(data: Array[Byte]): (Any, Int) = {
+    val b0 = data(0) & 0xff
+    if (b0 < 0x80) (Array(data(0)), 1)
+    else if (b0 <= 0xb7) {
+      val n = b0 - 0x80
+      (data.slice(1, 1 + n), 1 + n)
+    } else if (b0 <= 0xbf) {
+      val ll = b0 - 0xb7
+      val n = new java.math.BigInteger(1, data.slice(1, 1 + ll)).intValueExact()
+      (data.slice(1 + ll, 1 + ll + n), 1 + ll + n)
+    } else {
+      val (ll, n) =
+        if (b0 <= 0xf7) (0, b0 - 0xc0)
+        else {
+          val l = b0 - 0xf7
+          (l, new java.math.BigInteger(1, data.slice(1, 1 + l)).intValueExact())
+        }
+      var off = 1 + ll
+      val end = 1 + ll + n
+      val items = Vector.newBuilder[Any]
+      while (off < end) {
+        val (item, used) = rlpDecode(data.slice(off, end))
+        items += item
+        off += used
+      }
+      (items.result(), end)
+    }
+  }
+
   private def ecParams(curve: String): java.security.spec.ECParameterSpec = {
     val ap = java.security.AlgorithmParameters.getInstance("EC")
     ap.init(new java.security.spec.ECGenParameterSpec(curve))
@@ -164,6 +345,14 @@ private[script] object WordsCrypto {
            "KECCAK.384" | "KECCAK.512" =>
         val bits = w.stripPrefix("KECCAK.").toInt
         st.push(keccak(en.popBytes(st), bits))
+
+      case "MD4" => st.push(md4(en.popBytes(st)))
+      case "RIPEMD160" => st.push(ripemd160(en.popBytes(st)))
+
+      // RLP arrows (public Ethereum recursive-length-prefix spec)
+      case "->RLP" => st.push(rlpEncode(st.pop()))
+      case "RLP->" =>
+        st.push(rlpDecode(st.pop().asInstanceOf[Array[Byte]])._1)
 
       // keyed HMAC words (fn/SHA1HMAC.java, SHA256HMAC: data key →
       // mac bytes)

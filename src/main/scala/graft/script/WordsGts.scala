@@ -349,6 +349,75 @@ private[script] object WordsGts {
         st.push(GtsFrame(graft.sources.LineProtocol.ingest(lines, en.nowTick,
           singleBatch = true)))
 
+      // ---- probability words (GTSHelper.prob / cprob): P(value) from
+      // the per-series value histogram — one window count per key, no
+      // driver histogram (vs the reference's in-RAM HashMap per GTS)
+      case "PROB" =>
+        val f = en.toFrame(st.pop())
+        val n = count(lit(1)).over(Window.partitionBy(col("gtsid")))
+        val k = count(lit(1)).over(Window.partitionBy(col("gtsid"), col("vdouble")))
+        st.push(GtsFrame(f.df.withColumn("vdouble",
+          k.cast("double") / n.cast("double"))))
+      // CPROB: STRING events 'given<sep>…<sep>event' — P(event|givens)
+      // = count(full string) / count(prefix before the last separator)
+      case "CPROB" =>
+        val sep = st.popStr()
+        val f = en.toFrame(st.pop())
+        val lastTok = element_at(
+          split(col("vstring"), java.util.regex.Pattern.quote(sep)), -1)
+        val prefix = col("vstring").substr(lit(1),
+          length(col("vstring")) - length(lastTok))
+        val full = count(lit(1)).over(Window.partitionBy(col("gtsid"), col("vstring")))
+        val given = count(lit(1)).over(Window.partitionBy(col("gtsid"), prefix))
+        st.push(GtsFrame(f.df
+          .withColumn("vdouble", full.cast("double") / given.cast("double"))
+          .withColumn("vtype", lit(graft.model.GtsType.DOUBLE))
+          .withColumn("vstring", lit(null).cast("string"))))
+
+      // TICKINDEX (GTSHelper.tickindex): ticks become their 0-based
+      // tick-order index; result is unbucketized
+      case "TICKINDEX" =>
+        val f = en.toFrame(st.pop())
+        st.push(GtsFrame(f.df.withColumn("ts",
+          row_number().over(tickWindow).cast("long") - 1)))
+
+      // BBOX (fn/BBOX.java): bounding box of the located points
+      case "BBOX" =>
+        val f = en.toFrame(st.pop())
+        val r = f.df.agg(min(col("lat")), min(col("lon")),
+          max(col("lat")), max(col("lon"))).head()
+        st.push(Vector[Any](r.get(0), r.get(1), r.get(2), r.get(3)))
+
+      // UPPERHULL / LOWERHULL (fn/UPPERHULL.java): convex hull of the
+      // (tick, value) points — Andrew monotone chain on the driver
+      // (bounded accessor, same contract as VALUES)
+      case "UPPERHULL" | "LOWERHULL" =>
+        val df = singleSeries(en.toFrame(st.pop()), w)
+        collectGuard(df, w)
+        val pts = df.select(col("ts"), col("vdouble")).collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).sortBy(p => (p._1, p._2))
+        def cross(o: (Long, Double), a: (Long, Double), b: (Long, Double)) =
+          (a._1 - o._1).toDouble * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1).toDouble
+        val hull = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        val keepTurn: Double => Boolean = if (w == "LOWERHULL") _ <= 0 else _ >= 0
+        pts.foreach { p =>
+          while (hull.length >= 2 &&
+            keepTurn(cross(hull(hull.length - 2), hull(hull.length - 1), p)))
+            hull.remove(hull.length - 1)
+          hull += p
+        }
+        val meta = df.limit(1).select(col("class"), col("labels")).collect()(0)
+        val spark = df.sparkSession
+        import scala.jdk.CollectionConverters._
+        val rows = hull.toSeq.map { case (t, v) =>
+          org.apache.spark.sql.Row(meta.getString(0),
+            meta.getMap[String, String](1).toMap, 0L, t,
+            null, null, null, graft.model.GtsType.DOUBLE,
+            null, Double.box(v), null, null, null)
+        }
+        st.push(GtsFrame(graft.model.Gts.canonicalRehash(
+          spark.createDataFrame(rows.asJava, graft.model.Gts.pointSchema))))
+
       // ---- encoder surface (fn/NEWENCODER.java family): the frame
       // already IS a typed point container, so the conversions are
       // representation-preserving; ->GTS splits by value type into the
