@@ -905,6 +905,29 @@ object WsQueries {
         .select(col("class"), userid, col("ts").as("idx"), col("vdouble"))
     }),
 
+    // Quaternion words (fn/TOQUATERNION.java family): pack/conjugate/
+    // Hamilton product/divide/rotate on the stack; oracle recomputes
+    // through the Quaternions SQL twin forms (exact pack arithmetic)
+    "w63_ws_quaternions" -> ((s, dir) => {
+      val rq = graft.functions.Quaternions.RotQ
+      val program =
+        s"""1.0 0.05 0.1 0.15 ->Q 'q' STORE
+           |$$q QCONJUGATE 'qc' STORE
+           |$$q $rq QMULTIPLY 'qm' STORE
+           |$$q $rq QDIVIDE 'qd' STORE
+           |0.5 0.25 0.125 $$q QROTATE 'vz' STORE 'vy' STORE 'vx' STORE
+           |$$q $$qc $$qm $$qd $$vx $$vy $$vz""".stripMargin
+      val v = engine(s, dir, cents = false).run(program)
+      s.range(1).select(
+        lit(v(6).asInstanceOf[Long]).as("q"),
+        lit(v(5).asInstanceOf[Long]).as("qc"),
+        lit(v(4).asInstanceOf[Long]).as("qm"),
+        lit(v(3).asInstanceOf[Long]).as("qd"),
+        lit(v(2).asInstanceOf[Double]).as("vx"),
+        lit(v(1).asInstanceOf[Double]).as("vy"),
+        lit(v(0).asInstanceOf[Double]).as("vz"))
+    }),
+
     // ESDTEST word ≡ g77 (mean/sd variant; k=3, alpha=0.05)
     "w14_ws_esdtest" -> ((s, dir) => {
       val program =
@@ -1171,6 +1194,32 @@ object WsQueries {
         |  '8eb208f7e05d987a9b044a8e98c6b087f15a0bfc' AS v_ripemd,
         |  'c88363617483646f67' AS v_rlp_list, '820400' AS v_rlp_long,
         |  'dog' AS v_rlp_rt""".stripMargin,
+    "w63_ws_quaternions" -> {
+      import graft.functions.Quaternions._
+      val qS = (0 to 3).map(i => componentSql("q", i))
+      val rS = (0 to 3).map(i => componentSql(RotQ.toString, i))
+      val cS = (0 to 3).map(i => componentSql("rc", i))
+      // QROTATE of (0.5, 0.25, 0.125) by q — same IEEE expression order
+      // as Quaternions.rotate
+      val vx = s"(1.0 - 2.0*${qS(2)}*${qS(2)} - 2.0*${qS(3)}*${qS(3)}) * 0.5 + " +
+        s"2.0*(${qS(1)}*${qS(2)} + ${qS(0)}*${qS(3)}) * 0.25 + " +
+        s"2.0*(${qS(1)}*${qS(3)} - ${qS(0)}*${qS(2)}) * 0.125"
+      val vy = s"2.0*(${qS(1)}*${qS(2)} - ${qS(0)}*${qS(3)}) * 0.5 + " +
+        s"(1.0 - 2.0*${qS(1)}*${qS(1)} - 2.0*${qS(3)}*${qS(3)}) * 0.25 + " +
+        s"2.0*(${qS(2)}*${qS(3)} + ${qS(0)}*${qS(1)}) * 0.125"
+      val vz = s"2.0*(${qS(1)}*${qS(3)} + ${qS(0)}*${qS(2)}) * 0.5 + " +
+        s"2.0*(${qS(2)}*${qS(3)} - ${qS(0)}*${qS(1)}) * 0.25 + " +
+        s"(1.0 - 2.0*${qS(1)}*${qS(1)} - 2.0*${qS(2)}*${qS(2)}) * 0.125"
+      s"""WITH p AS (SELECT ${packQSql("1.0", "0.05", "0.1", "0.15")} AS q,
+         |    ${packQSql(rS(0), s"-${rS(1)}", s"-${rS(2)}", s"-${rS(3)}")} AS rc)
+         |SELECT q,
+         |  ${packQSql(qS(0), s"-${qS(1)}", s"-${qS(2)}", s"-${qS(3)}")} AS qc,
+         |  ${multiplySql(qS, rS)} AS qm,
+         |  ${multiplySql(qS, cS)} AS qd,
+         |  $vx AS vx, $vy AS vy, $vz AS vz
+         |FROM p""".stripMargin
+    },
+
     "w61_ws_prob" ->
       s"""WITH g AS ($EV)
          |SELECT class, userid, ts,

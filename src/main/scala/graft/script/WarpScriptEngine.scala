@@ -1345,7 +1345,8 @@ final class WarpScriptEngine(
           !WordsGts.eval(other, st, this) &&
           !WordsExt2.eval(other, st, this) &&
           !WordsGeo.eval(other, st, this) &&
-          !WordsAnalytics.eval(other, st, this))
+          !WordsAnalytics.eval(other, st, this) &&
+          !WordsExt3.eval(other, st, this))
         throw new IllegalArgumentException(s"unknown function '$other'")
   }
 
