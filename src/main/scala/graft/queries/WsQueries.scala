@@ -905,6 +905,28 @@ object WsQueries {
         .select(col("class"), userid, col("ts").as("idx"), col("vdouble"))
     }),
 
+    // Geo codec tail: the SAME polygon as w52 round-tripped through
+    // ->WKB / GEO.WKB, ->KML / GEO.KML and ->GML / GEO.GML before the
+    // GEO.WITHIN filter — the parse∘render identity means the ray-cast
+    // (and so the rows) must equal g47's oracle exactly
+    "w64_ws_geo_codecs" -> ((s, dir) => {
+      val f = Gts.fromEvents(s, dir)
+      val uid = col("labels").getItem("user").cast(LongType)
+      val track = f.withColumn("lat", uid % 120 - 60 + col("vdouble") / 100.0)
+        .withColumn("lon", (col("ts") % 360) - 180 + col("vdouble") / 100.0)
+      val en = new WarpScriptEngine(
+        fetch = (_, _, _, _) => GtsFrame(track), nowTs = LB)
+      val program =
+        s"""'POLYGON ((-100.137 -20.731, -30.421 -58.283, 40.618 -10.207, 25.314 35.941, -60.253 40.123, -100.137 -20.731))'
+           |6 GEO.WKT
+           |->WKB 6 GEO.WKB
+           |->KML 6 GEO.KML
+           |->GML 6 GEO.GML 'p' STORE
+           |[ '' '~.*' { } 0 ${Long.MaxValue} ] FETCH $$p GEO.WITHIN""".stripMargin
+      en.runToFrame(program)
+        .select(col("class"), userid, col("ts"), col("vdouble"))
+    }),
+
     // Quaternion words (fn/TOQUATERNION.java family): pack/conjugate/
     // Hamilton product/divide/rotate on the stack; oracle recomputes
     // through the Quaternions SQL twin forms (exact pack arithmetic)
@@ -1100,6 +1122,7 @@ object WsQueries {
     // shape, same ray-cast); w53 pins the public geohash test vector
     // and round-trip booleans
     "w52_ws_geo_within" -> GeoQueries.oracleSql("g47_geo_within"),
+    "w64_ws_geo_codecs" -> GeoQueries.oracleSql("g47_geo_within"),
     "w53_ws_geoscalars" ->
       """SELECT 'u4pruydqqvj' AS v_geohash, TRUE AS v_hhcode_rt,
         |  TRUE AS v_pack_rt, CAST(1 AS BIGINT) AS v_ncomponents,

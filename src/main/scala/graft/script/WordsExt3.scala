@@ -55,8 +55,26 @@ private[script] object WordsExt3 {
         val sin = math.sin(math.toRadians(angle / 2.0))
         st.push(Quaternions.toQuaternion(cos, x * sin, y * sin, z * sin))
 
+      // ---- HULLSHAPE (fn/shape/HULLSHAPE.java): the smallest tensor
+      // shape able to contain a ragged nested list — element i is the
+      // largest list size at nesting depth i
+      case "HULLSHAPE" =>
+        st.push(hullShape(st.pop() match {
+          case v: Vector[Any @unchecked] => v
+          case o => throw new IllegalArgumentException(s"HULLSHAPE expects a LIST, got $o")
+        }))
+
       case _ => return false
     }
     true
+  }
+
+  private def hullShape(list: Vector[Any]): Vector[Long] = {
+    val nested = list.collect { case v: Vector[Any @unchecked] => hullShape(v) }
+    val hull = nested.foldLeft(Vector.empty[Long]) { (a, b) =>
+      val (s, t) = if (a.length < b.length) (a, b) else (b, a)
+      s.zip(t).map { case (x, y) => math.max(x, y) } ++ t.drop(s.length)
+    }
+    list.length.toLong +: hull
   }
 }

@@ -208,6 +208,151 @@ private[script] object WordsGeo {
         val (la, lo) = GeoHash.decodeScalar(st.popStr())
         st.push(la); st.push(lo)
 
+      // ---- geocell-list arrows (fn/GEOSHAPETO.java, TOGEOSHAPE.java):
+      // shape ↔ list of res-encoded cell longs — this grid's analog of
+      // the reference's 4-bit-res + 60-bit-HHCode geocell (res in the
+      // top byte). String form = 16-hex of the encoded long.
+      case "GEOSHAPE->" =>
+        var top = st.pop()
+        val asString = top match {
+          case b: Boolean => top = st.pop(); b
+          case _ => false
+        }
+        val g = top match {
+          case g: WsGeo => g
+          case o => throw new IllegalArgumentException(s"expected GEOSHAPE, got $o")
+        }
+        val enc = g.cells.toVector.sorted.map(c => (g.res.toLong << 56) | c)
+        st.push(if (asString) enc.map(l => f"$l%016x") else enc)
+      case "->GEOSHAPE" =>
+        val list = st.pop().asInstanceOf[Vector[Any]]
+        val decoded = list.map {
+          case l: Long => ((l >>> 56).toInt, l & 0x00ffffffffffffffL)
+          case s: String =>
+            val l = java.lang.Long.parseUnsignedLong(s, 16)
+            ((l >>> 56).toInt, l & 0x00ffffffffffffffL)
+          case o => throw new IllegalArgumentException(s"->GEOSHAPE: bad cell $o")
+        }
+        require(decoded.nonEmpty, "->GEOSHAPE: empty cell list")
+        decoded.foreach { case (r, _) =>
+          require(r >= 1 && r <= 28, s"->GEOSHAPE: resolution out of range: $r") }
+        // mixed resolutions: expand coarser cells into the finest grid
+        // (4^dr children per cell; bounded like TOGEOSHAPE's validity check)
+        val maxRes = decoded.map(_._1).max
+        val cells = Set.newBuilder[Long]
+        var expanded = 0L
+        decoded.foreach { case (r, c) =>
+          val f = 1L << (maxRes - r)
+          expanded += f * f
+          require(expanded <= (1L << 22), "->GEOSHAPE: resolution spread too large")
+          val n = 1L << r; val la = c / n; val lo = c % n
+          var i = 0L
+          while (i < f) {
+            var j = 0L
+            while (j < f) {
+              cells += (la * f + i) * (1L << maxRes) + (lo * f + j); j += 1
+            }
+            i += 1
+          }
+        }
+        st.push(WsGeo(None, cells.result(), maxRes))
+
+      // ---- WKB (fn/TOWKB.java, GeoWKB.java — re-derived OGC
+      // well-known-binary codec, big-endian writer, both endians read,
+      // Polygon/MultiPolygon)
+      case "->WKB" =>
+        val shape = st.pop() match {
+          case g: WsGeo => g.shape.getOrElse(throw new IllegalArgumentException(
+            "->WKB needs a shape built from WKT/GeoJSON"))
+          case s: String => GeoShape.parseWkt(s)
+          case o => throw new IllegalArgumentException(s"->WKB on $o")
+        }
+        st.push(wkbEncode(shape))
+      case "GEO.WKB" | "GEO.WKB.UNIFORM" =>
+        val res = st.popLong().toInt
+        require(res >= 1 && res <= 28, s"$w resolution out of range: $res")
+        val shape = wkbDecode(st.pop() match {
+          case b: Array[Byte] => b
+          case o => throw new IllegalArgumentException(s"$w expects BYTES, got $o")
+        })
+        st.push(WsGeo(Some(shape), GeoCells.cover(shape, res), res))
+
+      // ---- KML / GML (fn/TOKML.java, TOGML.java, GeoKML.java,
+      // GeoGML.java — minimal Polygon grammar, KML coordinates are
+      // "lon,lat[,alt]", GML posList is "lat lon")
+      case "->KML" =>
+        val shape = popShape(st, w)
+        st.push(kmlRender(shape))
+      case "->GML" =>
+        val shape = popShape(st, w)
+        st.push(gmlRender(shape))
+      case "GEO.KML" | "GEO.KML.UNIFORM" =>
+        val res = st.popLong().toInt
+        require(res >= 1 && res <= 28, s"$w resolution out of range: $res")
+        val shape = kmlParse(st.popStr())
+        st.push(WsGeo(Some(shape), GeoCells.cover(shape, res), res))
+      case "GEO.GML" | "GEO.GML.UNIFORM" =>
+        val res = st.popLong().toInt
+        require(res >= 1 && res <= 28, s"$w resolution out of range: $res")
+        val shape = gmlParse(st.popStr())
+        st.push(WsGeo(Some(shape), GeoCells.cover(shape, res), res))
+
+      // ---- GEOSHIFT (fn/GEOSHIFT.java): translate a shape's cover by
+      // (deltalat, deltalon). The popped resolution is validated as the
+      // reference does (even, 0-30); the shift itself re-snaps each
+      // cell center on this grid at the shape's own resolution.
+      case "GEOSHIFT" =>
+        val res = st.popLong().toInt
+        require(res >= 0 && res <= 30 && res % 2 == 0,
+          s"GEOSHIFT expects an even resolution in [0, 30]: $res")
+        val deltalon = st.popNum()
+        require(deltalon >= -360.0 && deltalon <= 360.0,
+          s"GEOSHIFT longitude delta out of range: $deltalon")
+        val deltalat = st.popNum()
+        require(deltalat >= -180.0 && deltalat <= 180.0,
+          s"GEOSHIFT latitude delta out of range: $deltalat")
+        val g = popGeo(st)
+        val n = 1L << g.res
+        val cells = g.cells.map { c =>
+          val la = c / n; val lo = c % n
+          val lat = math.max(-90.0, math.min(90.0,
+            (la + 0.5) / n * 180.0 - 90.0 + deltalat))
+          val lon0 = (lo + 0.5) / n * 360.0 - 180.0 + deltalon
+          val lon = lon0 - math.floor((lon0 + 180.0) / 360.0) * 360.0
+          val li = math.min(n - 1, math.max(0L, math.floor((lat + 90.0) / 180.0 * n).toLong))
+          val gi = math.min(n - 1, math.max(0L, math.floor((lon + 180.0) / 360.0 * n).toLong))
+          li * n + gi
+        }
+        st.push(WsGeo(None, cells, g.res))
+
+      // ---- GEO.REGEXP (fn/GEOREGEXP.java: shape → regexp matching
+      // the cell id text forms, for selector pushdown)
+      case "GEO.REGEXP" =>
+        val g = popGeo(st)
+        val alts = g.cells.toVector.sorted.map(c => f"${(g.res.toLong << 56) | c}%016x")
+        st.push(alts.mkString("^(?:", "|", ")"))
+
+      // ---- GTS-convention HHCode arrows (fn/TOHHCODE.java with
+      // useGtsConvention: NaN/NaN ↔ NO_LOCATION
+      // = GeoTimeSerie.java:78's 0x0145014501450145)
+      case "->GTSHHCODE" | "->GTSHHCODELONG" =>
+        val lon = st.popNum(); val lat = st.popNum()
+        require(lat.isNaN == lon.isNaN,
+          s"$w expects latitude and longitude to both be NaN or both not")
+        val hh = if (lat.isNaN) NoLocation else GeoFunctions.toHHCode(lat, lon)
+        st.push(if (w == "->GTSHHCODE") f"$hh%016x" else hh)
+      case "GTSHHCODE->" =>
+        val hh = st.pop() match {
+          case s: String => java.lang.Long.parseUnsignedLong(s, 16)
+          case l: Long => l
+          case o => throw new IllegalArgumentException(s"GTSHHCODE-> on $o")
+        }
+        if (hh == NoLocation) { st.push(Double.NaN); st.push(Double.NaN) }
+        else {
+          val (la, lo) = GeoFunctions.fromHHCode(hh)
+          st.push(la); st.push(lo)
+        }
+
       // ---- COPYGEO (fn/COPYGEO.java): copy the locations of a
       // single-series source onto the target frame, matched by tick
       case "COPYGEO" =>
@@ -251,6 +396,111 @@ private[script] object WordsGeo {
       case _ => return false
     }
     true
+  }
+
+  /** GeoTimeSerie.java:78 NO_LOCATION sentinel. */
+  private val NoLocation = 0x0145014501450145L
+
+  private def popShape(st: State, w: String): GeoShape = st.pop() match {
+    case g: WsGeo => g.shape.getOrElse(throw new IllegalArgumentException(
+      s"$w needs a shape built from WKT/GeoJSON/WKB/KML/GML"))
+    case s: String => GeoShape.parseWkt(s)
+    case o => throw new IllegalArgumentException(s"$w on $o")
+  }
+
+  private def closedRing(r: Seq[(Double, Double)]): Seq[(Double, Double)] =
+    if (r.head == r.last) r else r :+ r.head
+
+  /** OGC WKB Polygon, big-endian (byte order 0). */
+  private[script] def wkbEncode(shape: GeoShape): Array[Byte] = {
+    val rings = shape.rings.map(closedRing)
+    val size = 1 + 4 + 4 + rings.map(4 + _.size * 16).sum
+    val buf = java.nio.ByteBuffer.allocate(size) // big-endian default
+    buf.put(0.toByte).putInt(3).putInt(rings.size)
+    rings.foreach { r =>
+      buf.putInt(r.size)
+      r.foreach { case (x, y) => buf.putDouble(x).putDouble(y) }
+    }
+    buf.array()
+  }
+
+  /** WKB reader: both endians, Polygon (3) and MultiPolygon (6),
+    * optional EWKB SRID flag. MultiPolygon rings merge (even-odd). */
+  private[script] def wkbDecode(data: Array[Byte]): GeoShape = {
+    val buf = java.nio.ByteBuffer.wrap(data)
+    def readGeom(acc: scala.collection.mutable.ArrayBuffer[Seq[(Double, Double)]]): Unit = {
+      val order = buf.get()
+      buf.order(if (order == 0) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      var tpe = buf.getInt
+      if ((tpe & 0x20000000) != 0) { buf.getInt; tpe &= ~0x20000000 } // EWKB SRID
+      tpe & 0xff match {
+        case 3 =>
+          val nRings = buf.getInt
+          var i = 0
+          while (i < nRings) {
+            val nPts = buf.getInt
+            val ring = (0 until nPts).map(_ => { val x = buf.getDouble; val y = buf.getDouble; (x, y) })
+            acc += ring; i += 1
+          }
+        case 6 =>
+          val nPolys = buf.getInt
+          var i = 0
+          while (i < nPolys) { readGeom(acc); i += 1 }
+        case other =>
+          throw new IllegalArgumentException(s"WKB geometry type $other unsupported")
+      }
+    }
+    val rings = scala.collection.mutable.ArrayBuffer[Seq[(Double, Double)]]()
+    readGeom(rings)
+    GeoShape(rings.toSeq)
+  }
+
+  /** KML Polygon: coordinates are "lon,lat[,alt]" whitespace-separated. */
+  private[script] def kmlRender(shape: GeoShape): String = {
+    def ring(r: Seq[(Double, Double)]) =
+      "<LinearRing><coordinates>" +
+        closedRing(r).map { case (x, y) => s"$x,$y,0" }.mkString(" ") +
+        "</coordinates></LinearRing>"
+    val outer = s"<outerBoundaryIs>${ring(shape.rings.head)}</outerBoundaryIs>"
+    val inner = shape.rings.tail
+      .map(r => s"<innerBoundaryIs>${ring(r)}</innerBoundaryIs>").mkString
+    s"<Polygon>$outer$inner</Polygon>"
+  }
+
+  private[script] def kmlParse(kml: String): GeoShape = {
+    val coordRe = "(?s)<coordinates>(.*?)</coordinates>".r
+    val rings = coordRe.findAllMatchIn(kml).map { m =>
+      m.group(1).trim.split("\\s+").toSeq.filter(_.nonEmpty).map { triple =>
+        val parts = triple.split(",")
+        (parts(0).toDouble, parts(1).toDouble) // (lon, lat)
+      }
+    }.toSeq
+    require(rings.nonEmpty, "KML: no <coordinates> found")
+    GeoShape(rings)
+  }
+
+  /** GML 3 Polygon: posList is "lat lon" pairs (EPSG:4326 axis order). */
+  private[script] def gmlRender(shape: GeoShape): String = {
+    def ring(r: Seq[(Double, Double)]) =
+      "<gml:LinearRing><gml:posList>" +
+        closedRing(r).map { case (x, y) => s"$y $x" }.mkString(" ") +
+        "</gml:posList></gml:LinearRing>"
+    val outer = s"<gml:exterior>${ring(shape.rings.head)}</gml:exterior>"
+    val inner = shape.rings.tail
+      .map(r => s"<gml:interior>${ring(r)}</gml:interior>").mkString
+    s"<gml:Polygon>$outer$inner</gml:Polygon>"
+  }
+
+  private[script] def gmlParse(gml: String): GeoShape = {
+    val posRe = "(?s)<(?:gml:)?posList[^>]*>(.*?)</(?:gml:)?posList>".r
+    val rings = posRe.findAllMatchIn(gml).map { m =>
+      val nums = m.group(1).trim.split("\\s+").filter(_.nonEmpty).map(_.toDouble)
+      require(nums.length % 2 == 0, "GML posList must hold lat/lon pairs")
+      nums.grouped(2).map(p => (p(1), p(0))).toSeq // (lon, lat)
+    }.toSeq
+    require(rings.nonEmpty, "GML: no posList found")
+    GeoShape(rings)
   }
 
   /** Center of the res-level cell containing an HHCode point. */
