@@ -452,8 +452,8 @@ object StatOps {
     * Returns (word, class, labels, n_occ).
     */
   def saxDiscords(frame: GtsFrame, win: Int = 4, alphabet: Int = 4,
-                  maxOcc: Int = 2): DataFrame = {
-    val words = saxWindowWords(frame, win, alphabet)
+                  maxOcc: Int = 2, standardize: Boolean = true): DataFrame = {
+    val words = saxWindowWords(frame, win, alphabet, standardize)
     words.groupBy(col("word"), col("gtsid"))
       .agg(first(col("class")).as("class"), first(col("labels")).as("labels"),
         count(lit(1)).as("n_occ"))
@@ -467,7 +467,9 @@ object StatOps {
   /** Shared windowed-SAX-word builder for [[saxMotifs]]/[[saxDiscords]]:
     * one row per `win`-point window with its z-normalized SAX word. */
   private[operators] def saxWindowWords(frame: GtsFrame, win: Int,
-                                        alphabet: Int): DataFrame = {
+                                        alphabet: Int,
+                                        standardize: Boolean = true,
+                                        keepTails: Boolean = false): DataFrame = {
     val bps = saxBreakpoints(alphabet)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("gtsid")).orderBy(col("ts"), col("vdouble"))
@@ -477,15 +479,24 @@ object StatOps {
     val sxx = xs.map(x => x * x).reduce(_ + _)
     val det = lit(win.toDouble) * sxx - sx * sx
     def letter(x: Column) = {
-      val z = when(det === 0.0, 0.0).otherwise((lit(win.toDouble) * x - sx) / sqrt(det))
+      // standardize=false is the Z-word family (ZPATTERNS/ZDISCORDS —
+      // GTSHelper.bSAX with standardizePAA false: the caller already
+      // z-normalized, values hit the N(0,1) breakpoints raw)
+      val z =
+        if (standardize)
+          when(det === 0.0, 0.0).otherwise((lit(win.toDouble) * x - sx) / sqrt(det))
+        else x
       bps.zipWithIndex.reverse.foldLeft(lit(('a' + bps.length).toChar.toString)) {
         case (acc, (bp, idx)) => when(z <= bp, lit(('a' + idx).toChar.toString)).otherwise(acc)
       }
     }
     frame.df
       .withColumn("__xlast", xs.last)
-      .withColumn("word", concat(xs.map(letter): _*))
-      .filter(col("__xlast").isNotNull)
+      // incomplete tail windows carry NO word (keepTails keeps the rows
+      // themselves for patternDetect's span union)
+      .withColumn("word",
+        when(col("__xlast").isNotNull, concat(xs.map(letter): _*)))
+      .filter(col("word").isNotNull || lit(keepTails))
       .drop("__xlast")
   }
 
@@ -726,14 +737,35 @@ object StatOps {
     * Returns (word, n_series, n_occ).
     */
   def saxMotifs(frame: GtsFrame, win: Int = 4, alphabet: Int = 4,
-                minSeries: Int = 2): DataFrame = {
-    saxWindowWords(frame, win, alphabet)
+                minSeries: Int = 2, standardize: Boolean = true): DataFrame = {
+    saxWindowWords(frame, win, alphabet, standardize)
       // two-stage distinct (word,series) → word: partial-aggregates on
       // both shuffles instead of countDistinct's Expand replication
       .groupBy(col("word"), col("gtsid")).agg(count(lit(1)).as("__c"))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("n_series"), sum(col("__c")).as("n_occ"))
       .filter(col("n_series") >= minSeries)
+  }
+
+  /** PATTERNDETECTION (GTSHelper.java:9293 detect): keep every point
+    * covered by at least one `win`-point window whose SAX word is in
+    * `patterns` — the union of matched window spans, original values.
+    * Distributed form: the window word lives on its start row, so a
+    * point is covered iff any of the `win` preceding-or-current rows
+    * carries a matching word — one max-over-rolling-window, no join.
+    */
+  def patternDetect(frame: GtsFrame, patterns: Seq[String], win: Int,
+                    alphabet: Int, standardize: Boolean = true): DataFrame = {
+    val withWords = saxWindowWords(frame, win, alphabet, standardize,
+      keepTails = true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gtsid")).orderBy(col("ts"), col("vdouble"))
+      .rowsBetween(-(win - 1), 0)
+    withWords
+      .withColumn("__hit",
+        max(when(col("word").isin(patterns: _*), 1).otherwise(0)).over(w))
+      .filter(col("__hit") === 1)
+      .drop("word", "__hit")
   }
 
   /** mapper.sax (script/SAXUtils.java semantics): z-normalize each

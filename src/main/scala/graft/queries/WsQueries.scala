@@ -21,6 +21,28 @@ object WsQueries {
 
   private val userid = col("labels").getItem("user").as("userid")
 
+  /** Z-word-family oracle (ZPATTERNS/ZDISCORDS): the exact mapped value
+    * (cents % 7 - 3) * 0.5 hits the alphabet-4 breakpoints raw. */
+  private def zWordSql(win: Int, outCols: String, cond: String): String = {
+    val xs = (0 until win).map(i => s"x$i")
+    val leads = (1 until win).map(i => s"lead(x, $i) OVER w AS x$i").mkString(", ")
+    def zl(x: String) =
+      s"CASE WHEN $x <= -0.67E0 THEN 'a' WHEN $x <= 0.0E0 THEN 'b' " +
+        s"WHEN $x <= 0.67E0 THEN 'c' ELSE 'd' END"
+    s"""WITH g AS ($EV),
+       |v AS (SELECT class, userid, ts, (cents % 7 - 3) * 0.5 AS x FROM g),
+       |o AS (SELECT class, userid, x AS x0, $leads
+       |      FROM v WINDOW w AS (PARTITION BY class, userid ORDER BY ts, x)),
+       |w8 AS (SELECT class, userid, ${xs.map(zl).mkString(" || ")} AS word
+       |      FROM o WHERE x${win - 1} IS NOT NULL),
+       |pw AS (SELECT word, class, userid, count(*) AS n_occ
+       |       FROM w8 GROUP BY 1, 2, 3),
+       |a AS (SELECT word, count(*) AS n_series, min(class) AS class,
+       |        min(userid) AS userid, CAST(sum(n_occ) AS BIGINT) AS n_occ
+       |      FROM pw GROUP BY 1)
+       |SELECT $outCols FROM a WHERE $cond""".stripMargin
+  }
+
   /** FETCH over the events table: selector + label selectors + range,
     * exactly GtsFrame.select∘timeclip (the engine's storage hook). */
   private def engine(s: SparkSession, dir: String, cents: Boolean) = {
@@ -927,6 +949,51 @@ object WsQueries {
         .select(col("class"), userid, col("ts"), col("vdouble"))
     }),
 
+    // Z-word family: values mapped to an EXACT small range by
+    // parameterized mappers ((cents % 7 - 3) * 0.5 — binary-exact), so
+    // the raw-breakpoint letters are deterministic cross-engine
+    "w65_ws_zpatterns" -> ((s, dir) => {
+      val program =
+        s"""[ [ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+           |  7.0 mapper.mod 0 0 0 ] MAP 'g' STORE
+           |[ $$g -3.0 mapper.add 0 0 0 ] MAP 'g' STORE
+           |[ $$g 0.5 mapper.mul 0 0 0 ] MAP 5 4 2 ZPATTERNS""".stripMargin
+      engine(s, dir, cents = true).runToFrame(program)
+        .select(col("word"), col("n_series"), col("n_occ"))
+    }),
+    "w66_ws_zdiscords" -> ((s, dir) => {
+      val program =
+        s"""[ [ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+           |  7.0 mapper.mod 0 0 0 ] MAP 'g' STORE
+           |[ $$g -3.0 mapper.add 0 0 0 ] MAP 'g' STORE
+           |[ $$g 0.5 mapper.mul 0 0 0 ] MAP 9 4 2 ZDISCORDS""".stripMargin
+      engine(s, dir, cents = true).runToFrame(program)
+        .select(col("word"), col("class"),
+          col("labels").getItem("user").as("userid"), col("n_occ"))
+    }),
+
+    // PATTERNDETECTION: union of all 5-point windows whose
+    // z-normalized SAX word is in the pattern list
+    "w67_ws_patterndetect" -> ((s, dir) => {
+      val program =
+        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+           |[ 'bbdbb' 'dbbbb' 'abbdb' ] 5 5 4 PATTERNDETECTION""".stripMargin
+      engine(s, dir, cents = true).runToFrame(program)
+        .select(col("class"), userid, col("ts"), col("vdouble"))
+    }),
+
+    // FFTWINDOW hamming over the daily bucket sums (fn/FFTWINDOW.java
+    // verbatim formula: 0.54 - 0.46 cos(2 pi n / (N-1)))
+    "w68_ws_fftwindow" -> ((s, dir) => {
+      val program =
+        s"""[ [ '' '~events\\..*' { } 0 $LB ] FETCH
+           |  bucketizer.sum $LB 1 d 0 ] BUCKETIZE
+           |'hamming' FFTWINDOW""".stripMargin
+      engine(s, dir, cents = true).runToFrame(program)
+        .select(col("class"), userid, col("ts"),
+          round(col("vdouble"), 6).as("wv"))
+    }),
+
     // Quaternion words (fn/TOQUATERNION.java family): pack/conjugate/
     // Hamilton product/divide/rotate on the stack; oracle recomputes
     // through the Quaternions SQL twin forms (exact pack arithmetic)
@@ -1217,6 +1284,61 @@ object WsQueries {
         |  '8eb208f7e05d987a9b044a8e98c6b087f15a0bfc' AS v_ripemd,
         |  'c88363617483646f67' AS v_rlp_list, '820400' AS v_rlp_long,
         |  'dog' AS v_rlp_rt""".stripMargin,
+    "w65_ws_zpatterns" -> zWordSql(5, "a.word, a.n_series, a.n_occ",
+      "n_series >= 2"),
+    "w66_ws_zdiscords" -> zWordSql(9, "a.word, a.class, a.userid, a.n_occ",
+      "n_series = 1 AND n_occ <= 2"),
+
+    "w67_ws_patterndetect" -> {
+      val win = 5
+      val xs = (0 until win).map(i => s"x$i")
+      val leads = (1 until win)
+        .map(i => s"lead(cents, $i) OVER w AS x$i").mkString(", ")
+      val sxE = xs.mkString(" + ")
+      val sxxE = xs.map(x => s"$x * $x").mkString(" + ")
+      def zl(x: String) = {
+        val z = s"(CASE WHEN det = 0 THEN 0.0E0 ELSE ($win.0E0 * $x - sx) / sqrt(det) END)"
+        s"CASE WHEN $z <= -0.67E0 THEN 'a' WHEN $z <= 0.0E0 THEN 'b' " +
+          s"WHEN $z <= 0.67E0 THEN 'c' ELSE 'd' END"
+      }
+      s"""WITH g AS ($EV),
+         |o AS (SELECT class, userid, ts, cents, $leads
+         |      FROM g WINDOW w AS (PARTITION BY class, userid
+         |        ORDER BY ts, cents)),
+         |z AS (SELECT class, userid, ts, cents, x0, ${xs.tail.mkString(", ")},
+         |        $sxE AS sx,
+         |        $win.0E0 * ($sxxE) - ($sxE) * ($sxE) AS det
+         |      FROM (SELECT *, cents AS x0 FROM o)),
+         |ww AS (SELECT class, userid, ts, cents,
+         |        CASE WHEN x${win - 1} IS NOT NULL
+         |          THEN ${xs.map(zl).mkString(" || ")} END AS word
+         |      FROM z),
+         |h AS (SELECT class, userid, ts, cents,
+         |        max(CASE WHEN word IN ('bbdbb', 'dbbbb', 'abbdb')
+         |          THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY class, userid ORDER BY ts, cents
+         |            ROWS BETWEEN ${win - 1} PRECEDING AND CURRENT ROW) AS hit
+         |      FROM ww)
+         |SELECT class, userid, ts, CAST(cents AS DOUBLE) AS vdouble
+         |FROM h WHERE hit = 1""".stripMargin
+    },
+
+    "w68_ws_fftwindow" -> {
+      val DAY = GtsQueries.DAY
+      s"""WITH g AS ($EV),
+         |b AS (SELECT class, userid, $LB - (($LB - ts) // $DAY) * $DAY AS ts,
+         |        sum(cents) AS v
+         |      FROM g WHERE ts <= $LB GROUP BY 1, 2, 3),
+         |r AS (SELECT class, userid, ts, v,
+         |        CAST(row_number() OVER (PARTITION BY class, userid
+         |          ORDER BY ts) - 1 AS DOUBLE) AS n,
+         |        CAST(count(*) OVER (PARTITION BY class, userid) AS DOUBLE) AS nn
+         |      FROM b)
+         |SELECT class, userid, ts,
+         |  round(v * (0.54 - 0.46 * cos(2 * pi() * n / (nn - 1.0))), 6) AS wv
+         |FROM r""".stripMargin
+    },
+
     "w63_ws_quaternions" -> {
       import graft.functions.Quaternions._
       val qS = (0 to 3).map(i => componentSql("q", i))

@@ -186,6 +186,77 @@ private[script] object WordsAnalytics {
         st.push((1 until n)
           .map(i => dist.inverseCumulativeProbability(i.toDouble / n): Any).toVector)
 
+      // ---- Z-word family (WarpScriptLib.java:2508-2509, 2574-2575:
+      // PATTERNS/DISCORDS with standardizePAA=false — input already
+      // z-normalized, window values hit the breakpoints raw)
+      case "ZPATTERNS" =>
+        val minSeries = st.popLong().toInt; val alphabet = st.popLong().toInt
+        val win = st.popLong().toInt
+        st.push(GtsFrame(StatOps.saxMotifs(en.toFrame(st.pop()),
+          win, alphabet, minSeries, standardize = false)))
+      case "ZDISCORDS" =>
+        val maxOcc = st.popLong().toInt; val alphabet = st.popLong().toInt
+        val win = st.popLong().toInt
+        st.push(GtsFrame(StatOps.saxDiscords(en.toFrame(st.pop()),
+          win, alphabet, maxOcc, standardize = false)))
+
+      // PATTERNDETECTION / ZPATTERNDETECTION (fn/PATTERNDETECTION.java:
+      // gts patterns windowLen wordLen alphabet → points covered by a
+      // matching window; wordLen==windowLen in this engine's 1-point-PAA
+      // SAX frame, as in PATTERNS)
+      case "PATTERNDETECTION" | "ZPATTERNDETECTION" =>
+        val alphabet = st.popLong().toInt
+        val wordLen = st.popLong().toInt
+        val windowLen = st.popLong().toInt
+        require(wordLen == windowLen,
+          s"$w: this engine's SAX words are 1-point-PAA (wordLen == windowLen)")
+        val patterns = st.pop().asInstanceOf[Vector[Any]].map(_.asInstanceOf[String])
+        st.push(GtsFrame(StatOps.patternDetect(en.toFrame(st.pop()),
+          patterns, windowLen, alphabet,
+          standardize = w == "PATTERNDETECTION")))
+
+      // ---- FFTWINDOW (fn/FFTWINDOW.java): multiply each series by a
+      // named windowing function of the point's rank — pure Column
+      // arithmetic over (row_number, count) per series; formulas are
+      // the reference's verbatim (including its linear 'welch')
+      case "FFTWINDOW" =>
+        val alg = st.popStr().toLowerCase
+        val f = en.toFrame(st.pop())
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("gtsid")).orderBy(col("ts"), col("vdouble"))
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("gtsid"))
+        val n = (row_number().over(wOrd) - 1).cast("double")
+        val bigN = count(lit(1)).over(wAll).cast("double")
+        val twoPi = 2.0 * math.Pi
+        def cosT(k: Int) = cos(lit(k * twoPi) * n / (bigN - 1.0))
+        val win: Column = alg match {
+          case "blackman" => lit(0.42) - lit(0.5) * cosT(1) + lit(0.08) * cosT(2)
+          case "blackman-harris" =>
+            lit(0.35875) - lit(0.48829) * cosT(1) + lit(0.14128) * cosT(2) - lit(0.01168) * cosT(3)
+          case "blackman-nuttall" =>
+            lit(0.3635819) - lit(0.4891775) * cosT(1) + lit(0.1365995) * cosT(2) - lit(0.0106411) * cosT(3)
+          case "flattop" =>
+            lit(1.0) - lit(1.93) * cosT(1) + lit(1.29) * cosT(2) - lit(0.388) * cosT(3) + lit(0.028) * cosT(4)
+          case "hamming" => lit(0.54) - lit(0.46) * cosT(1)
+          case "hann" =>
+            val s = sin(lit(math.Pi) * n / (bigN - 1.0)); s * s
+          case "nuttall" =>
+            lit(0.355768) - lit(0.487396) * cosT(1) + lit(0.144232) * cosT(2) - lit(0.012604) * cosT(3)
+          case "parzen" =>
+            val r = n / (bigN / 2.0)
+            when(n <= bigN / 4.0,
+              lit(1.0) - lit(6.0) * pow(r, 2.0) * (lit(1.0) - r))
+              .otherwise(lit(2.0) * pow(lit(1.0) - r, 3.0))
+          case "rectangular" => lit(1.0)
+          case "sine" => sin(lit(math.Pi) * n / (bigN - 1.0))
+          case "triangular" =>
+            lit(1.0) - abs((n - (bigN - 1.0) / 2.0) / (bigN / 2.0))
+          case "welch" => (n - (bigN - 1.0) / 2.0) / ((bigN - 1.0) / 2.0)
+          case other =>
+            throw new IllegalArgumentException(s"FFTWINDOW: unknown window '$other'")
+        }
+        st.push(GtsFrame(f.df.withColumn("vdouble", col("vdouble") * win)))
+
       // ---- typed FETCH variants (fn/FETCHLONG.java family): the list
       // form of FETCH restricted to one value type. The frame's vtype
       // marker filters; vdouble stays the value surface
