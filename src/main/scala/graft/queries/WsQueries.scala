@@ -994,6 +994,18 @@ object WsQueries {
           round(col("vdouble"), 6).as("wv"))
     }),
 
+    // INTERPOLATOR.1D.LINEAR as a MAPPER: the interpolant compiles to a
+    // piecewise-Horner Column, fully codegen'd — the oracle recomputes
+    // the interpolation from the knot literals alone (independent path)
+    "w69_ws_interpolator" -> ((s, dir) => {
+      val program =
+        s"""[ [ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+           |  [ 0.0 5.0 50.0 ] [ 0.0 100.0 -40.0 ] INTERPOLATOR.1D.LINEAR
+           |  0 0 0 ] MAP""".stripMargin
+      engine(s, dir, cents = false).runToFrame(program)
+        .select(col("class"), userid, col("ts"), col("vdouble").as("iv"))
+    }),
+
     // Quaternion words (fn/TOQUATERNION.java family): pack/conjugate/
     // Hamilton product/divide/rotate on the stack; oracle recomputes
     // through the Quaternions SQL twin forms (exact pack arithmetic)
@@ -1284,6 +1296,16 @@ object WsQueries {
         |  '8eb208f7e05d987a9b044a8e98c6b087f15a0bfc' AS v_ripemd,
         |  'c88363617483646f67' AS v_rlp_list, '820400' AS v_rlp_long,
         |  'dog' AS v_rlp_rt""".stripMargin,
+    "w69_ws_interpolator" ->
+      s"""WITH g AS ($EV)
+         |SELECT class, userid, ts,
+         |  CASE WHEN vdouble < 0.0 OR vdouble > 50.0 THEN CAST('NaN' AS DOUBLE)
+         |       WHEN vdouble >= 5.0
+         |         THEN ((-40.0 - 100.0) / (50.0 - 5.0)) * (vdouble - 5.0) + 100.0
+         |       ELSE ((100.0 - 0.0) / (5.0 - 0.0)) * (vdouble - 0.0) + 0.0
+         |  END AS iv
+         |FROM g""".stripMargin,
+
     "w65_ws_zpatterns" -> zWordSql(5, "a.word, a.n_series, a.n_occ",
       "n_series >= 2"),
     "w66_ws_zdiscords" -> zWordSql(9, "a.word, a.class, a.userid, a.n_occ",

@@ -777,6 +777,7 @@ final class WarpScriptEngine(
     case "EVAL" => st.pop() match {
       case m: WsMacro => evalMacro(m, st)
       case NativeFn(_, f) => f(st)
+      case i: WordsExt3.WsInterp => st.push(i.value(st.popNum()))
       case s: String => exec(WarpScriptTokenizer.tokenize(s), st)
       case o => throw new IllegalArgumentException(s"EVAL on $o")
     }
@@ -849,6 +850,12 @@ final class WarpScriptEngine(
             .filter(col("vdouble").isNotNull)))
         case MapperDf(_, f) =>
           st.push(GtsFrame(f(framesOf(args.take(n - 4)).df)))
+        // a 1D interpolant used as a mapper (INTERPOLATOR_1D.java's
+        // WarpScriptMapperFunction face): out-of-range → NaN, point kept
+        case i: WordsExt3.WsInterp =>
+          val fr = framesOf(args.take(n - 4))
+          st.push(GtsFrame(fr.df.withColumn("vdouble",
+            i.columnExpr(col("vdouble")))))
         case o => throw new IllegalArgumentException(s"not a mapper: $o")
       }
 

@@ -1,13 +1,72 @@
 package graft.script
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
 /** Third extension registry: quaternion words (fn/TOQUATERNION.java
   * family — packed 4x16-bit unit quaternions on the stack, reusing
   * [[graft.functions.Quaternions]] which carries the exact pack
-  * arithmetic in driver/Column/SQL twin forms).
+  * arithmetic in driver/Column/SQL twin forms), the interpolator suite
+  * (script/interpolation/INTERPOLATOR_1D/2D/3D/ND.java over the same
+  * commons-math3 Spark ships), and distribution words (fn/RANDPDF.java).
   */
 private[script] object WordsExt3 {
   import WarpScriptEngine._
   import graft.functions.Quaternions
+
+  /** A 1D piecewise-polynomial interpolant (the decomposition of
+    * commons-math's PolynomialSplineFunction): scalar EVAL on the
+    * driver, and — because the pieces are plain polynomials — a
+    * codegen'd nested-CASE Column for MAP, so interpolation of a
+    * billion-point frame never leaves the executors. */
+  private[script] final case class WsInterp(name: String,
+      knots: Array[Double], coefs: Array[Array[Double]]) {
+
+    def value(x: Double): Double = {
+      if (x.isNaN || x < knots.head || x > knots.last) return Double.NaN
+      var i = java.util.Arrays.binarySearch(knots, x)
+      if (i < 0) i = -i - 2
+      if (i >= coefs.length) i = coefs.length - 1
+      val d = x - knots(i)
+      val c = coefs(i)
+      var acc = c(c.length - 1)
+      var j = c.length - 2
+      while (j >= 0) { acc = acc * d + c(j); j -= 1 }
+      acc
+    }
+
+    /** Same piecewise Horner as a Column (interval via nested CASE). */
+    def columnExpr(x: Column): Column = {
+      def horner(c: Array[Double], d: Column): Column =
+        c.init.foldRight(lit(c.last): Column)((ci, acc) => acc * d + lit(ci))
+      // ascending fold so the OUTERMOST case tests the highest knot:
+      // the first true `x >= knots(i)` from the top picks interval i
+      val body = coefs.indices.foldLeft(lit(Double.NaN): Column) {
+        (acc, i) => when(x >= knots(i), horner(coefs(i), x - knots(i))).otherwise(acc)
+      }
+      when(x.isNaN || x < knots.head || x > knots.last, Double.NaN).otherwise(body)
+    }
+  }
+
+  private def toDoubles(v: Any, w: String): Array[Double] = v match {
+    case l: Vector[Any @unchecked] => l.map {
+      case d: Double => d
+      case l: Long => l.toDouble
+      case o => throw new IllegalArgumentException(s"$w expects a numeric LIST, got $o")
+    }.toArray
+    case o => throw new IllegalArgumentException(s"$w expects a LIST, got $o")
+  }
+
+  private def toGrid(v: Any, w: String): Array[Array[Double]] = v match {
+    case l: Vector[Any @unchecked] => l.map(toDoubles(_, w)).toArray
+    case o => throw new IllegalArgumentException(s"$w expects a LIST of LIST, got $o")
+  }
+
+  private def fromSpline(name: String,
+      f: org.apache.commons.math3.analysis.polynomials.PolynomialSplineFunction): WsInterp =
+    WsInterp(name, f.getKnots, f.getPolynomials.map(_.getCoefficients))
+
+  private val secureRandom = new java.security.SecureRandom()
 
   def eval(w: String, st: State, en: WarpScriptEngine): Boolean = {
     w match {
@@ -54,6 +113,134 @@ private[script] object WordsExt3 {
         val cos = math.cos(math.toRadians(angle / 2.0))
         val sin = math.sin(math.toRadians(angle / 2.0))
         st.push(Quaternions.toQuaternion(cos, x * sin, y * sin, z * sin))
+
+      // ---- interpolators (script/interpolation/INTERPOLATOR_1D.java:
+      // 139-193 — xval fval → interpolant; SPLINE needs > 2 points,
+      // AKIMA > 4, else the reference FALLS BACK to linear; < 2 points
+      // → an all-NaN interpolant)
+      case "INTERPOLATOR.1D.LINEAR" | "INTERPOLATOR.1D.SPLINE" |
+           "INTERPOLATOR.1D.AKIMA" =>
+        import org.apache.commons.math3.analysis.interpolation._
+        val fval = toDoubles(st.pop(), w)
+        val xval = toDoubles(st.pop(), w)
+        require(xval.length == fval.length, s"$w: incoherent argument sizes")
+        val d1 = xval.length
+        val interp =
+          if (w.endsWith("SPLINE") && d1 > 2)
+            fromSpline(w, new SplineInterpolator().interpolate(xval, fval))
+          else if (w.endsWith("AKIMA") && d1 > 4)
+            fromSpline(w, new AkimaSplineInterpolator().interpolate(xval, fval))
+          else if (d1 > 1)
+            fromSpline(w, new LinearInterpolator().interpolate(xval, fval))
+          else WsInterp(w, Array(Double.NaN, Double.NaN), Array(Array(Double.NaN)))
+        st.push(interp)
+
+      // INTERPOLATOR_2D.java: xval yval fval-grid → fn over [x, y]
+      case "INTERPOLATOR.2D.BICUBIC" =>
+        import org.apache.commons.math3.analysis.interpolation.BicubicInterpolator
+        val fval = toGrid(st.pop(), w)
+        val yval = toDoubles(st.pop(), w)
+        val xval = toDoubles(st.pop(), w)
+        val f = new BicubicInterpolator().interpolate(xval, yval, fval)
+        st.push(NativeFn(w, s => {
+          val p = toDoubles(s.pop(), w)
+          require(p.length == 2, s"$w expects a LIST with 2 components")
+          s.push(if (f.isValidPoint(p(0), p(1))) f.value(p(0), p(1)) else Double.NaN)
+        }))
+
+      // INTERPOLATOR_3D.java: xval yval zval fval-grid → fn over [x,y,z]
+      case "INTERPOLATOR.3D.TRICUBIC" =>
+        import org.apache.commons.math3.analysis.interpolation.TricubicInterpolator
+        val fval = (st.pop() match {
+          case l: Vector[Any @unchecked] => l.map(toGrid(_, w)).toArray
+          case o => throw new IllegalArgumentException(s"$w expects a LIST^3, got $o")
+        })
+        val zval = toDoubles(st.pop(), w)
+        val yval = toDoubles(st.pop(), w)
+        val xval = toDoubles(st.pop(), w)
+        val f = new TricubicInterpolator().interpolate(xval, yval, zval, fval)
+        st.push(NativeFn(w, s => {
+          val p = toDoubles(s.pop(), w)
+          require(p.length == 3, s"$w expects a LIST with 3 components")
+          s.push(if (f.isValidPoint(p(0), p(1), p(2))) f.value(p(0), p(1), p(2))
+            else Double.NaN)
+        }))
+
+      // INTERPOLATOR_ND.java: [points] [values] [{params}] → microsphere
+      // projection fn (defaults INTERPOLATOR_ND.java:63-68); the S
+      // variant draws its sphere from the stack's seeded PRNG
+      case "INTERPOLATOR.ND.MICROSPHERE" | "INTERPOLATOR.ND.SMICROSPHERE" =>
+        import org.apache.commons.math3.analysis.interpolation._
+        import org.apache.commons.math3.random.{JDKRandomGenerator, UnitSphereRandomVectorGenerator}
+        var top = st.pop()
+        val params: Map[String, Double] = top match {
+          case m: Map[Any @unchecked, Any @unchecked] =>
+            top = st.pop()
+            m.map { case (k, v) => k.toString -> en.asNum(v) }
+          case _ => Map.empty
+        }
+        val fval = toDoubles(top, w)
+        val xval = toGrid(st.pop(), w)
+        require(xval.length == fval.length, s"$w: incoherent input list sizes")
+        val dim = xval.head.length
+        val elements = params.getOrElse("elements", 2.0).toInt
+        require(elements <= 50, s"$w: elements above the limit 50")
+        val maxDark = params.getOrElse("maxDarkFraction", 0.5)
+        val darkThr = params.getOrElse("darkThreshold", 1e-2)
+        val background = params.getOrElse("background", Double.NaN)
+        val exponent = params.getOrElse("exponent", 2.0)
+        val tol = params.getOrElse("noInterpolationTolerance", Math.ulp(1.0))
+        val interp =
+          if (w.endsWith(".SMICROSPHERE")) {
+            val gen = new JDKRandomGenerator(en.prng.nextInt())
+            new MicrosphereProjectionInterpolator(
+              new InterpolatingMicrosphere(dim, elements, maxDark, darkThr,
+                background, new UnitSphereRandomVectorGenerator(dim, gen)),
+              exponent, true, tol)
+          } else new MicrosphereProjectionInterpolator(dim, elements, maxDark,
+            darkThr, background, exponent, true, tol)
+        val f = interp.interpolate(xval, fval)
+        st.push(NativeFn(w, s => {
+          val p = toDoubles(s.pop(), w)
+          require(p.length == dim, s"$w expects a LIST with $dim components")
+          s.push(f.value(p))
+        }))
+
+      // ---- RANDPDF / SRANDPDF (fn/RANDPDF.java): histogram map → a
+      // function emitting keys with probability proportional to counts;
+      // the S variant draws from the stack's seeded PRNG
+      case "RANDPDF" | "SRANDPDF" =>
+        val hist = st.pop() match {
+          case m: Map[Any @unchecked, Any @unchecked] => m
+          case o => throw new IllegalArgumentException(s"$w expects a MAP, got $o")
+        }
+        val entries = hist.toSeq.sortBy(_._1.toString)
+        val total = entries.map(e => en.asNum(e._2)).sum
+        require(total > 0, s"$w: empty histogram")
+        val cum = entries.scanLeft(0.0)((acc, e) => acc + en.asNum(e._2) / total)
+          .tail.toArray
+        val keys = entries.map(_._1).toArray
+        val seeded = w == "SRANDPDF"
+        st.push(NativeFn(w, s => {
+          val u = if (seeded) en.prng.nextDouble() else secureRandom.nextDouble()
+          var i = java.util.Arrays.binarySearch(cum, u)
+          if (i < 0) i = -i - 1
+          s.push(keys(math.min(i, keys.length - 1)))
+        }))
+
+      // fn/math/RANDOM.java (Math.random)
+      case "RANDOM" => st.push(math.random())
+
+      // binary/INPLACEADD.java: list|set element +! → appended
+      // container (this stack's containers are immutable, so "+!"
+      // returns the grown copy — same observable stack effect)
+      case "+!" =>
+        val b = st.pop()
+        st.pop() match {
+          case v: Vector[Any @unchecked] => st.push(v :+ b)
+          case s: Set[Any @unchecked] => st.push(s + b)
+          case o => throw new IllegalArgumentException(s"+! on $o")
+        }
 
       // ---- HULLSHAPE (fn/shape/HULLSHAPE.java): the smallest tensor
       // shape able to contain a ragged nested list — element i is the
