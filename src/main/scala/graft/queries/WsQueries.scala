@@ -994,6 +994,18 @@ object WsQueries {
           round(col("vdouble"), 6).as("wv"))
     }),
 
+    // MACROMAPPER: a user macro (window sum over the values list) runs
+    // per window on the EXECUTORS via ScalarEval — must reproduce
+    // mapper.sum's g06 oracle byte-for-byte
+    "w70_ws_macromapper" -> ((s, dir) => {
+      val program =
+        s"""[ [ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+           |  <% 7 GET 0.0 SWAP <% + %> FOREACH %> MACROMAPPER
+           |  0 1 h - 0 0 ] MAP""".stripMargin
+      engine(s, dir, cents = true).runToFrame(program)
+        .select(col("class"), userid, col("ts"), col("vdouble").as("wsum"))
+    }),
+
     // INTERPOLATOR.1D.LINEAR as a MAPPER: the interpolant compiles to a
     // piecewise-Horner Column, fully codegen'd — the oracle recomputes
     // the interpolation from the knot literals alone (independent path)
@@ -1046,6 +1058,7 @@ object WsQueries {
     "w01_ws_fetch" -> GtsQueries.oracleSql("g01_fetch_selector"),
     "w02_ws_bucketize" -> GtsQueries.oracleSql("g02_bucketize_sum"),
     "w03_ws_map" -> GtsQueries.oracleSql("g06_map_timewindow_sum"),
+    "w70_ws_macromapper" -> GtsQueries.oracleSql("g06_map_timewindow_sum"),
     "w04_ws_reduce" -> GtsQueries.oracleSql("g08_reduce_sum"),
     "w05_ws_filter" -> GtsQueries.oracleSql("g11_filter_last_gt"),
     "w06_ws_apply" -> GtsQueries.oracleSql("g09_apply_sub"),

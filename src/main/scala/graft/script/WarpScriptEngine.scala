@@ -825,6 +825,10 @@ final class WarpScriptEngine(
       val (count, span, lb) = (asLong(args(n - 1)), asLong(args(n - 2)), asLong(args(n - 3)))
       val agg = args(n - 4) match {
         case AggVal(_, a) => a
+        case MacroAgg(_, tokens) =>
+          st.push(GtsFrame(MacroKernel.macroBucketize(
+            framesOf(args.take(n - 4)).df, tokens, lb, span)))
+          return
         case o => throw new IllegalArgumentException(s"not a bucketizer: $o")
       }
       val bucketed = framesOf(args.take(n - 4)).bucketizeAuto(agg, lb, span, count)
@@ -856,28 +860,37 @@ final class WarpScriptEngine(
           val fr = framesOf(args.take(n - 4))
           st.push(GtsFrame(fr.df.withColumn("vdouble",
             i.columnExpr(col("vdouble")))))
+        case MacroAgg(_, tokens) =>
+          val fr = framesOf(args.take(n - 4))
+          st.push(GtsFrame(MacroKernel.macroMap(fr.df, tokens, pre, post, occ)))
         case o => throw new IllegalArgumentException(s"not a mapper: $o")
       }
 
     // REDUCE (fn/REDUCE.java): [ gts... [labels] reducer ]
     case "REDUCE" =>
       val args = st.pop().asInstanceOf[Vector[Any]]
-      val agg = args.last match {
-        case AggVal(_, a) => a
+      val labels = args(args.length - 2).asInstanceOf[Vector[Any]].map(_.toString)
+      args.last match {
+        case AggVal(_, a) =>
+          // REDUCE emits the flattened shape (labels..., ts, vdouble)
+          st.push(GtsFrame(framesOf(args.take(args.length - 2)).reduce(a, labels.toSeq)))
+        case MacroAgg(_, tokens) =>
+          st.push(GtsFrame(MacroKernel.macroReduce(
+            framesOf(args.take(args.length - 2)).df, tokens, labels.toSeq)))
         case o => throw new IllegalArgumentException(s"not a reducer: $o")
       }
-      val labels = args(args.length - 2).asInstanceOf[Vector[Any]].map(_.toString)
-      // REDUCE emits the flattened shape (labels..., ts, vdouble)
-      st.push(GtsFrame(framesOf(args.take(args.length - 2)).reduce(agg, labels.toSeq)))
 
     // FILTER (fn/FILTER.java): [ gts... [labels] filter ]
     case "FILTER" =>
       val args = st.pop().asInstanceOf[Vector[Any]]
-      val f = args.last match {
-        case FilterVal(_, pred) => pred
+      args.last match {
+        case FilterVal(_, pred) =>
+          st.push(framesOf(args.take(args.length - 2)).filterSeries(pred))
+        case MacroAgg(_, tokens) =>
+          st.push(GtsFrame(MacroKernel.filterSeries(
+            framesOf(args.take(args.length - 2)).df, tokens)))
         case o => throw new IllegalArgumentException(s"not a filter: $o")
       }
-      st.push(framesOf(args.take(args.length - 2)).filterSeries(f))
 
     // APPLY (fn/APPLY.java): [ [gts-a] [gts-b] [labels] op ]
     case "APPLY" =>
@@ -1623,6 +1636,11 @@ object WarpScriptEngine {
   /** A native function value (NPDF-style builders): EVAL applies it to
     * the state like a macro. */
   private[script] final case class NativeFn(name: String, f: State => Unit)
+
+  /** MACROMAPPER-family wrapper (MACROMAPPER.java's MacroMapperWrapper
+    * implements mapper+reducer+bucketizer at once — one value, consumed
+    * by MAP/REDUCE/BUCKETIZE/FILTER, executed by [[MacroKernel]]). */
+  private[script] final case class MacroAgg(name: String, tokens: Vector[WsToken])
 
   /** List/map builder marks (reference MARK object). */
   private[script] object ListMark

@@ -228,6 +228,17 @@ private[script] object WordsExt3 {
           s.push(keys(math.min(i, keys.length - 1)))
         }))
 
+      // ---- MACRO* adapters (fn/MACROMAPPER.java: one wrapper value
+      // usable as mapper, reducer and bucketizer — here a [[MacroAgg]]
+      // consumed by MAP/REDUCE/BUCKETIZE/FILTER and run by MacroKernel
+      // on the executors via ScalarEval)
+      case "MACROMAPPER" | "MACROREDUCER" | "MACROBUCKETIZER" | "MACROFILTER" =>
+        val m = st.pop() match {
+          case m: WsMacro => m
+          case o => throw new IllegalArgumentException(s"$w expects a macro, got $o")
+        }
+        st.push(MacroAgg(w, m.tokens))
+
       // fn/math/RANDOM.java (Math.random)
       case "RANDOM" => st.push(math.random())
 
