@@ -122,7 +122,13 @@ final class WarpScriptEngine(
 
   // ---------------------------------------------------------------- words
 
-  private def evalWord(w: String, st: State): Unit = w match {
+  private def evalWord(w: String, st: State): Unit = {
+    st.ops += 1 // fn/OPS.java: operations performed so far
+    if (st.defs.contains(w)) { evalMacro(st.defs(w), st); return }
+    evalWordDispatch(w, st)
+  }
+
+  private def evalWordDispatch(w: String, st: State): Unit = w match {
     // ---- structure: lists and maps (MemoryWarpScriptStack MARK/ENDLIST)
     case "[" => st.push(ListMark)
     case "]" =>
@@ -1366,7 +1372,8 @@ final class WarpScriptEngine(
           !WordsExt2.eval(other, st, this) &&
           !WordsGeo.eval(other, st, this) &&
           !WordsAnalytics.eval(other, st, this) &&
-          !WordsExt3.eval(other, st, this))
+          !WordsExt3.eval(other, st, this) &&
+          !WordsDebug.eval(other, st, this))
         throw new IllegalArgumentException(s"unknown function '$other'")
   }
 
@@ -1595,6 +1602,21 @@ object WarpScriptEngine {
     val stack = new mutable.ArrayDeque[Any] // head = top of stack
     val symbols = mutable.Map.empty[String, Any]
     val regs = new Array[Any](256)
+    // fn/DEF.java named-macro table, consulted before the builtin words
+    val defs = mutable.Map.empty[String, WsMacro]
+    val redefs = mutable.Set.empty[String]
+    var ops: Long = 0 // fn/OPS.java counter
+    // MAXOPS/MAXDEPTH/... soft limits (fn/MAXOPS.java family)
+    val limits = mutable.Map.empty[String, Long]
+    // DEBUGON/TIMEON/LINEON/... toggles
+    val flags = mutable.Set.empty[String]
+    // CHRONOSTART/CHRONOEND per-alias (totalNanos, activeSince, calls)
+    val chrono = mutable.Map.empty[String, (Long, Long, Long)]
+    // HIDE'd stack levels (SHOW restores)
+    var hidden: List[Any] = Nil
+    // SAVE/RESTORE contexts and the SECUREKEY
+    var secureKey: Option[String] = None
+    val startNanos: Long = System.nanoTime()
     def push(v: Any): Unit = stack.prepend(v)
     def pop(): Any =
       if (stack.isEmpty) throw new IllegalStateException("stack underflow")
