@@ -994,6 +994,30 @@ object WsQueries {
           round(col("vdouble"), 6).as("wv"))
     }),
 
+    // PACK/UNPACK bit codec: the oracle bytes are hand-derived from the
+    // format spec (big-endian specs emit the value MSB-first; little-
+    // endian emit it bit-reversed within the stream; bit tail 0-padded)
+    "w71_ws_pack" -> ((s, dir) => {
+      val program =
+        """[ 1 2 3 ] '>U8>U8>U8' PACK ->HEX 'a' STORE
+          |[ 258 ] '>U16' PACK ->HEX 'b' STORE
+          |[ 1 ] '>U4' PACK ->HEX 'c' STORE
+          |[ 1 ] '<U8' PACK ->HEX 'd' STORE
+          |[ 123 -5 3.25 true ] '<L12>L8>DB' PACK '<L12>L8>DB' UNPACK
+          |DUP 0 GET 'e' STORE DUP 1 GET 'f' STORE DUP 2 GET 'g' STORE 3 GET 'h' STORE
+          |$a $b $c $d $e $f $g $h""".stripMargin
+      val v = engine(s, dir, cents = false).run(program)
+      s.range(1).select(
+        lit(v(7).asInstanceOf[String]).as("a"),
+        lit(v(6).asInstanceOf[String]).as("b"),
+        lit(v(5).asInstanceOf[String]).as("c"),
+        lit(v(4).asInstanceOf[String]).as("d"),
+        lit(v(3).asInstanceOf[Long]).as("e"),
+        lit(v(2).asInstanceOf[Long]).as("f"),
+        lit(v(1).asInstanceOf[Double]).as("g"),
+        lit(v(0).asInstanceOf[Boolean]).as("h"))
+    }),
+
     // MACROMAPPER: a user macro (window sum over the values list) runs
     // per window on the EXECUTORS via ScalarEval — must reproduce
     // mapper.sum's g06 oracle byte-for-byte
@@ -1309,6 +1333,11 @@ object WsQueries {
         |  '8eb208f7e05d987a9b044a8e98c6b087f15a0bfc' AS v_ripemd,
         |  'c88363617483646f67' AS v_rlp_list, '820400' AS v_rlp_long,
         |  'dog' AS v_rlp_rt""".stripMargin,
+    "w71_ws_pack" ->
+      """SELECT '010203' AS a, '0102' AS b, '10' AS c, '80' AS d,
+        |  CAST(123 AS BIGINT) AS e, CAST(-5 AS BIGINT) AS f,
+        |  CAST(3.25 AS DOUBLE) AS g, true AS h""".stripMargin,
+
     "w69_ws_interpolator" ->
       s"""WITH g AS ($EV)
          |SELECT class, userid, ts,

@@ -1373,7 +1373,8 @@ final class WarpScriptEngine(
           !WordsGeo.eval(other, st, this) &&
           !WordsAnalytics.eval(other, st, this) &&
           !WordsExt3.eval(other, st, this) &&
-          !WordsDebug.eval(other, st, this))
+          !WordsDebug.eval(other, st, this) &&
+          !WordsGts2.eval(other, st, this))
         throw new IllegalArgumentException(s"unknown function '$other'")
   }
 
@@ -1617,6 +1618,9 @@ object WarpScriptEngine {
     // SAVE/RESTORE contexts and the SECUREKEY
     var secureKey: Option[String] = None
     val startNanos: Long = System.nanoTime()
+    // SETATTRIBUTES/ATTRIBUTES per-gtsid attribute store (the
+    // distributed path is MetaOps; this is the stack-word surface)
+    val attrs = mutable.Map.empty[Long, Map[String, String]]
     def push(v: Any): Unit = stack.prepend(v)
     def pop(): Any =
       if (stack.isEmpty) throw new IllegalStateException("stack underflow")

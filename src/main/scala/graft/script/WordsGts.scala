@@ -23,7 +23,7 @@ private[script] object WordsGts {
 
   private val MAX_COLLECT = 1000000L
 
-  private def collectGuard(df: DataFrame, word: String): Unit = {
+  private[script] def collectGuard(df: DataFrame, word: String): Unit = {
     val n = df.count()
     require(n <= MAX_COLLECT,
       s"$word collects to the driver; $n points exceeds the $MAX_COLLECT cap")
@@ -31,13 +31,13 @@ private[script] object WordsGts {
 
   /** Single-series guard: the scalar accessors follow the reference's
     * per-GTS contract. */
-  private def singleSeries(f: GtsFrame, word: String): DataFrame = {
+  private[script] def singleSeries(f: GtsFrame, word: String): DataFrame = {
     val ids = f.df.select(col("gtsid")).distinct().limit(2).collect()
     require(ids.length <= 1, s"$word needs a single-series frame")
     f.df
   }
 
-  private def tickWindow = Window.partitionBy(col("gtsid")).orderBy(col("ts"))
+  private[script] def tickWindow = Window.partitionBy(col("gtsid")).orderBy(col("ts"))
 
   /** Collect (ts → typed value) rows, preserving scala-side types
     * (the typed-column dispatch of GTSHelper.valueAtIndex). */
@@ -467,7 +467,7 @@ private[script] object WordsGts {
     true
   }
 
-  private def pointList(row: Option[org.apache.spark.sql.Row], tick: Long): Vector[Any] =
+  private[script] def pointList(row: Option[org.apache.spark.sql.Row], tick: Long): Vector[Any] =
     row match {
       case None => Vector[Any](tick, Double.NaN, Double.NaN, null, null)
       case Some(r) => Vector[Any](

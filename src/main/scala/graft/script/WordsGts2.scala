@@ -1,0 +1,297 @@
+package graft.script
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.GtsFrame
+
+/** GTS metadata / MV / wrapper word tail (fn/ATBUCKET.java,
+  * SETATTRIBUTES, FILLTICKS, PACK/UNPACK bit codec, LOCSTRINGS,
+  * LASTACTIVITY, MVSPLIT tick/index forms, WRAP variants).
+  */
+private[script] object WordsGts2 {
+  import WarpScriptEngine._
+  import WordsGts.{collectGuard, singleSeries, pointList}
+
+  def eval(w: String, st: State, en: WarpScriptEngine): Boolean = {
+    w match {
+      // ---- ATBUCKET (fn/ATBUCKET.java): bucket index → the point
+      // tuple at tick = lastbucket - (bucketcount-1-idx)·span
+      case "ATBUCKET" =>
+        val idx = st.popLong()
+        val b = en.toBucketed(st.pop())
+        require(idx >= 0 && idx < b.count,
+          s"ATBUCKET cannot retrieve bucket $idx of a GTS with ${b.count} buckets")
+        val tick = b.lastbucket - (b.count - 1 - idx) * b.span
+        val df = singleSeries(b.frame, w)
+        val rows = df.filter(col("ts") === tick)
+          .select(col("ts"), col("lat"), col("lon"), col("elev"), col("vdouble"))
+          .collect()
+        st.push(pointList(rows.headOption, tick))
+
+      // ---- attributes (fn/ATTRIBUTES.java, SETATTRIBUTES, ATTRDELTA):
+      // mutable metadata NOT part of the series identity — kept in an
+      // engine-side per-gtsid store (the distributed attribute pipeline
+      // is MetaOps.metaUpsert, the m06 path; these words are the stack
+      // surface). Empty value removes (ATTRDELTA semantics).
+      case "SETATTRIBUTES" | "ATTRDELTA" =>
+        val m = st.pop().asInstanceOf[Map[Any, Any]]
+          .map { case (k, v) => k.toString -> (if (v == null) "" else v.toString) }
+        val f = en.toFrame(st.pop())
+        val ids = f.df.select(col("gtsid")).distinct().collect().map(_.getLong(0))
+        ids.foreach { id =>
+          val cur = st.attrs.getOrElse(id, Map.empty)
+          val merged =
+            if (w == "SETATTRIBUTES" && m.isEmpty) Map.empty[String, String]
+            else (cur ++ m).filter(_._2.nonEmpty)
+          st.attrs(id) = merged
+        }
+        st.push(f)
+      case "ATTRIBUTES" =>
+        val df = singleSeries(en.toFrame(st.pop()), w)
+        val id = df.select(col("gtsid")).limit(1).collect()(0).getLong(0)
+        st.push(st.attrs.getOrElse(id, Map.empty[String, String])
+          .asInstanceOf[Map[Any, Any]])
+
+      // ---- LOCSTRINGS (fn/LOCSTRINGS.java): located points → compact
+      // HHCode hex strings, tick order
+      case "LOCSTRINGS" =>
+        val df = singleSeries(en.toFrame(st.pop()), w)
+        collectGuard(df, w)
+        val rows = df.filter(col("lat").isNotNull && col("lon").isNotNull)
+          .select(col("ts"), col("lat"), col("lon")).collect().sortBy(_.getLong(0))
+        st.push(rows.map { r =>
+          f"${graft.functions.GeoFunctions.toHHCode(r.getDouble(1), r.getDouble(2))}%016x": Any
+        }.toVector)
+
+      // ---- LASTACTIVITY (fn/LASTACTIVITY.java): most recent tick
+      case "LASTACTIVITY" =>
+        val df = singleSeries(en.toFrame(st.pop()), w)
+        st.push(df.agg(max(col("ts"))).collect()(0).getLong(0))
+
+      // ---- FILLTICKS (fn/FILLTICKS.java): gts [ lat lon elev value
+      // [ticks] ] FILLTICKS → add the point at each tick the series
+      // does not already have (anti-join union — no driver loop)
+      case "FILLTICKS" =>
+        val p = st.pop().asInstanceOf[Vector[Any]]
+        require(p.length == 5, "FILLTICKS expects [ lat lon elev value ticks ]")
+        val ticks = p(4).asInstanceOf[Vector[Any]].map(en.asLong)
+        val value = en.asNum(p(3))
+        val f = en.toFrame(st.pop())
+        val spark = f.df.sparkSession
+        import spark.implicits._
+        val latV = p(0) match { case null => None; case v => Some(en.asNum(v)).filterNot(_.isNaN) }
+        val lonV = p(1) match { case null => None; case v => Some(en.asNum(v)).filterNot(_.isNaN) }
+        val elevV = p(2) match { case null => None; case l: Long => Some(l); case _ => None }
+        val grid = ticks.toDF("__t")
+        val meta = f.df.groupBy(col("gtsid"))
+          .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
+        val missing = meta.crossJoin(broadcast(grid))
+          .join(f.df.select(col("gtsid").as("__g"), col("ts").as("__ts")),
+            col("gtsid") === col("__g") && col("__t") === col("__ts"), "left_anti")
+          .select(col("class"), col("labels"), col("gtsid"), col("__t").as("ts"),
+            lit(latV.orNull).cast("double").as("lat"),
+            lit(lonV.orNull).cast("double").as("lon"),
+            lit(elevV.orNull).cast("long").as("elev"),
+            lit(graft.model.GtsType.DOUBLE).as("vtype"),
+            lit(null).cast("long").as("vlong"), lit(value).as("vdouble"),
+            lit(null).cast("boolean").as("vbool"),
+            lit(null).cast("string").as("vstring"),
+            lit(null).cast("binary").as("vbinary"))
+        st.push(GtsFrame(f.df.unionByName(missing)))
+
+      // ---- PACK / UNPACK (fn/PACK.java bit codec, re-derived:
+      // format specs <L/ >L / <U / >U with bit length, D doubles,
+      // B booleans, S/s skip-ones/skip-zeros)
+      case "PACK" =>
+        val fmt = st.popStr()
+        val values = st.pop().asInstanceOf[Vector[Any]]
+        st.push(packBits(fmt, values))
+      case "UNPACK" =>
+        val fmt = st.popStr()
+        val data = en.popBytes(st)
+        st.push(unpackBits(fmt, data))
+
+      // ---- WRAP variants (fn/WRAPFAST.java, WRAPOPT, WRAPRAW, WRAPMV:
+      // all produce the same self-describing blob in this codec — the
+      // options tune the reference's serializer, not the content)
+      case "WRAPFAST" | "WRAPOPT" | "WRAPRAW" | "WRAPRAWOPT" | "WRAPMV" |
+           "WRAPFASTRAW" | "WRAPMV!" =>
+        st.push(graft.sources.GtsCodec.wrap(en.toFrame(st.pop()).df))
+      // UNWRAPEMPTY: metadata only (an empty gts with the blob's meta);
+      // UNWRAPSIZE: the number of points in the blob
+      case "UNWRAPEMPTY" =>
+        val unwrapped = unwrapOf(st.pop(), en)
+        st.push(GtsFrame(unwrapped.limit(0)))
+      case "UNWRAPSIZE" =>
+        val unwrapped = unwrapOf(st.pop(), en)
+        st.push(unwrapped.count())
+
+      // ---- MV splits (WarpScriptLib.java:2608-2609 registers MVSPLIT
+      // with a tick/index flag). Subset: the optional renaming map is
+      // not supported; the split key lands in the '.mvsplit' label
+      // (the TIMESPLIT label convention).
+      case "MVTICKSPLIT" | "MVINDEXSPLIT" =>
+        val keep: Option[Set[Long]] = st.stack.headOption match {
+          case Some(l: Vector[Any @unchecked]) =>
+            st.pop(); Some(l.map(en.asLong).toSet)
+          case _ => None
+        }
+        val f = en.toFrame(st.pop())
+        val expanded = graft.sources.GtsCodec.mvSplit(f.df)
+        val keyCol =
+          if (w == "MVTICKSPLIT") col("ts")
+          else row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("gtsid"), col("ts"))
+            .orderBy(col("vdouble"))).cast("long") - 1
+        var out = expanded.withColumn("__mvkey", keyCol)
+        keep.foreach(ks => out = out.filter(col("__mvkey").isin(ks.toSeq: _*)))
+        st.push(GtsFrame(graft.model.Gts.canonicalRehash(out
+          .withColumn("labels", map_concat(col("labels"),
+            map(lit(".mvsplit"), col("__mvkey").cast("string"))))
+          .drop("__mvkey"))))
+
+      // MVHHCODES (MVEXTRACT LOCATION): per-point location hhcodes
+      case "MVHHCODES" =>
+        val expanded = graft.sources.GtsCodec.mvSplit(en.toFrame(st.pop()).df)
+        collectGuard(expanded, w)
+        val rows = expanded.select(col("ts"), col("lat"), col("lon"))
+          .collect().sortBy(_.getLong(0))
+        st.push(rows.map { r =>
+          if (r.isNullAt(1) || r.isNullAt(2)) null
+          else graft.functions.GeoFunctions.toHHCode(r.getDouble(1), r.getDouble(2)): Any
+        }.toVector)
+
+      case _ => return false
+    }
+    true
+  }
+
+  private def unwrapOf(v: Any, en: WarpScriptEngine) = v match {
+    case f: GtsFrame => graft.sources.GtsCodec.unwrap(f.df)
+    case df: org.apache.spark.sql.DataFrame @unchecked if df.columns.contains("blob") =>
+      graft.sources.GtsCodec.unwrap(df)
+    case o => throw new IllegalArgumentException(s"unwrap on $o")
+  }
+
+  // ---- PACK/UNPACK bit machinery (PACK.java:145-210 format grammar,
+  // :88-140 MSB-first bit stream; big-endian specs reverse the value's
+  // bit order before emission) ----
+
+  private[script] final case class Spec(tpe: Char, len: Int, bigendian: Boolean)
+
+  private[script] def parseFormat(fmt: String): Seq[Spec] = {
+    val out = Seq.newBuilder[Spec]
+    var i = 0
+    while (i < fmt.length) {
+      var big = false
+      var t = fmt.charAt(i); i += 1
+      var len = 0
+      if (t == '<' || t == '>') {
+        big = t == '>'
+        require(i < fmt.length, "invalid format specification")
+        t = fmt.charAt(i); i += 1
+        if (t == 'L' || t == 'U') {
+          while (i < fmt.length && fmt.charAt(i).isDigit) {
+            len = len * 10 + (fmt.charAt(i) - '0'); i += 1
+          }
+          if (len == 0) len = 64
+          require(len <= 64, "max length for 'L'/'U' is 64")
+        } else if (t == 'D') len = 64
+        else throw new IllegalArgumentException(s"invalid format spec '$t'")
+      } else if (t == 'S' || t == 's') {
+        while (i < fmt.length && fmt.charAt(i).isDigit) {
+          len = len * 10 + (fmt.charAt(i) - '0'); i += 1
+        }
+        require(len > 0, "skip length must be strictly positive")
+      } else if (t == 'B') len = 1
+      else throw new IllegalArgumentException(s"invalid format spec '$t'")
+      out += Spec(t, len, big)
+    }
+    out.result()
+  }
+
+  private[script] def packBits(fmt: String, values: Vector[Any]): Array[Byte] = {
+    val specs = parseFormat(fmt)
+    val baos = new java.io.ByteArrayOutputStream()
+    var curbyte = 0L
+    var nbits = 0
+    var vidx = 0
+    specs.foreach { s =>
+      var value: Long = s.tpe match {
+        case 's' => 0L
+        case 'S' => -1L
+        case _ =>
+          val v0 = values(vidx) match {
+            case b: Boolean => if (b) 1L else 0L
+            case o => o
+          }
+          vidx += 1
+          s.tpe match {
+            case 'D' => java.lang.Double.doubleToRawLongBits(v0 match {
+              case l: Long => l.toDouble
+              case d: Double => d
+              case o => throw new IllegalArgumentException(s"PACK D on $o")
+            })
+            case 'L' | 'U' => v0 match {
+              case l: Long => l
+              case d: Double => d.toLong
+              case o => throw new IllegalArgumentException(s"PACK on $o")
+            }
+            case 'B' => v0 match {
+              case l: Long => if (l != 0) 1L else 0L
+              case d: Double => if (d != 0) 1L else 0L
+              case o => throw new IllegalArgumentException(s"PACK B on $o")
+            }
+            case o => throw new IllegalArgumentException(s"PACK spec '$o'")
+          }
+      }
+      if (s.bigendian) {
+        value = java.lang.Long.reverse(value)
+        if (s.len < 64) value >>>= (64 - s.len)
+      }
+      var k = 0
+      while (k < s.len) {
+        curbyte = (curbyte << 1) | (value & 0x1L)
+        value >>= 1
+        nbits += 1
+        if (nbits % 8 == 0) { baos.write((curbyte & 0xffL).toInt); curbyte = 0L }
+        k += 1
+      }
+    }
+    if (nbits % 8 != 0) {
+      curbyte <<= 8 - (nbits % 8)
+      baos.write((curbyte & 0xffL).toInt)
+    }
+    baos.toByteArray
+  }
+
+  private[script] def unpackBits(fmt: String, data: Array[Byte]): Vector[Any] = {
+    val specs = parseFormat(fmt)
+    def bit(j: Int): Long =
+      if (j >= data.length * 8) 0L
+      else (data(j / 8) >> (7 - j % 8)) & 0x1L
+    val out = Vector.newBuilder[Any]
+    var bitno = 0
+    specs.foreach { s =>
+      if (s.tpe == 'S' || s.tpe == 's') bitno += s.len
+      else {
+        var value = 0L
+        var k = 0
+        while (k < s.len) {
+          value <<= 1
+          value |= (if (s.bigendian) bit(bitno + k) else bit(bitno + s.len - 1 - k))
+          k += 1
+        }
+        bitno += s.len
+        s.tpe match {
+          case 'D' => out += java.lang.Double.longBitsToDouble(value)
+          case 'L' => out += (value << (64 - s.len)) >> (64 - s.len)
+          case 'U' => out += value
+          case 'B' => out += (value != 0L)
+          case _ => ()
+        }
+      }
+    }
+    out.result()
+  }
+}
