@@ -461,16 +461,10 @@ final case class GtsFrame(df: DataFrame) {
     * (GTSHelper.java:4893 FILLPREVIOUS / 4996 FILLNEXT).
     */
   def fillPrevious(lastbucket: Long, span: Long, count: Long): DataFrame = {
-    // (groupBy, not distinct: Spark forbids set ops on MAP columns)
-    val series = df.groupBy(col("gtsid"))
-      .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
-    val grid = series.withColumn("ts",
-      explode(sequence(lit(lastbucket - (count - 1) * span), lit(lastbucket), lit(span))))
-    val filled = grid.join(df.select(col("gtsid"), col("ts"), col("vdouble")),
-        Seq("gtsid", "ts"), "left")
+    val grid = bucketGrid(lastbucket, span, count)
     val w = Window.partitionBy(col("gtsid")).orderBy(col("ts"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    filled.withColumn("vdouble",
+    grid.withColumn("vdouble",
       last(col("vdouble"), ignoreNulls = true).over(w))
   }
 

@@ -1668,6 +1668,11 @@ object WarpScriptEngine {
     * by MAP/REDUCE/BUCKETIZE/FILTER, executed by [[MacroKernel]]). */
   private[script] final case class MacroAgg(name: String, tokens: Vector[WsToken])
 
+  /** A filler value (script/filler/Filler*.java builders), consumed by
+    * the FILL word over a BUCKETIZE result. */
+  private[script] final case class FillerVal(name: String,
+      value: Double = Double.NaN)
+
   /** List/map builder marks (reference MARK object). */
   private[script] object ListMark
   private[script] object MapMark

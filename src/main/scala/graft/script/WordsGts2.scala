@@ -161,9 +161,128 @@ private[script] object WordsGts2 {
           else graft.functions.GeoFunctions.toHHCode(r.getDouble(1), r.getDouble(2)): Any
         }.toVector)
 
+      // ---- fillers (script/filler/Filler*.java builders) + the FILL
+      // word over a BUCKETIZE result. filler.value pops the value (or
+      // the [lat lon elev value] list form, FillerValue.java:30-60).
+      case "filler.previous" | "filler.next" | "filler.interpolate" |
+           "filler.linear" | "filler.trend" | "filler.spline" | "filler.akima" =>
+        st.push(FillerVal(w))
+      case "filler.value" =>
+        val v = st.pop() match {
+          case l: Vector[Any @unchecked] => en.asNum(l.last)
+          case n => en.asNum(n)
+        }
+        st.push(FillerVal(w, v))
+      case "MACROFILLER" =>
+        val m = st.pop() match {
+          case m: WsMacro => m
+          case o => throw new IllegalArgumentException(s"MACROFILLER expects a macro, got $o")
+        }
+        st.push(MacroAgg(w, m.tokens))
+      case "FILL" =>
+        val filler = st.pop()
+        val b = en.toBucketed(st.pop())
+        val first = b.lastbucket - (b.count - 1) * b.span
+        def grid(g: (graft.kernels.KernelOps, Int) => org.apache.spark.sql.DataFrame) = {
+          val idxDf = b.frame.df.withColumn("ts",
+            expr(s"(ts - $first) div ${b.span}"))
+          val filled = g(new graft.kernels.KernelOps(idxDf), b.count.toInt)
+            .filter(col("vdouble").isNotNull)
+            .withColumn("ts", col("ts") * b.span + first)
+          val meta = b.frame.df.groupBy(col("gtsid"))
+            .agg(org.apache.spark.sql.functions.first(col("class")).as("class"),
+              org.apache.spark.sql.functions.first(col("labels")).as("labels"))
+          GtsFrame(graft.model.Gts.canonicalRehash(filled.join(meta, "gtsid")
+            .select(col("class"), col("labels"), col("gtsid"), col("ts").cast("long"),
+              lit(null).cast("double").as("lat"), lit(null).cast("double").as("lon"),
+              lit(null).cast("long").as("elev"),
+              lit(graft.model.GtsType.DOUBLE).as("vtype"),
+              lit(null).cast("long").as("vlong"), col("vdouble"),
+              lit(null).cast("boolean").as("vbool"),
+              lit(null).cast("string").as("vstring"),
+              lit(null).cast("binary").as("vbinary"))))
+        }
+        val out: Any = filler match {
+          case FillerVal("filler.previous", _) =>
+            b.copy(frame = GtsFrame(b.frame.fillPrevious(b.lastbucket, b.span, b.count)))
+          case FillerVal("filler.next", _) =>
+            b.copy(frame = GtsFrame(b.frame.fillNext(b.lastbucket, b.span, b.count)))
+          case FillerVal("filler.interpolate" | "filler.linear", _) =>
+            b.copy(frame = GtsFrame(b.frame.fillLinear(b.lastbucket, b.span, b.count)))
+          case FillerVal("filler.value", v) =>
+            b.copy(frame = GtsFrame(b.frame.fillValue(b.lastbucket, b.span, b.count, v)))
+          case FillerVal("filler.trend", _) =>
+            b.copy(frame = GtsFrame(b.frame.fillTrend(b.lastbucket, b.span, b.count)))
+          case FillerVal("filler.spline", _) => b.copy(frame = grid(_.fillSplineGrid(_)))
+          case FillerVal("filler.akima", _) => b.copy(frame = grid(_.fillAkimaGrid(_)))
+          // MACROFILLER (FILL.java:40-44: the macro gets the missing
+          // tick, leaves the fill value) — executor-side ScalarEval
+          case MacroAgg(_, tokens) =>
+            b.copy(frame = GtsFrame(macroFill(b, tokens)))
+          case o => throw new IllegalArgumentException(s"FILL: not a filler: $o")
+        }
+        st.push(out)
+
+      // ---- sliding-window size constants
+      // (MaxTickSlidingWindow.java/MaxTimeSlidingWindow.java push
+      // Long.MAX_VALUE/2 as the "unbounded" window width)
+      case "max.tick.sliding.window" | "max.time.sliding.window" =>
+        st.push(Long.MaxValue / 2L)
+
+      // ---- COUNTER words (fn/COUNTER.java AtomicLong family)
+      case "COUNTER" => st.push(new java.util.concurrent.atomic.AtomicLong(0L))
+      case "COUNTERVALUE" =>
+        st.push(st.pop().asInstanceOf[java.util.concurrent.atomic.AtomicLong].get())
+      case "COUNTERDELTA" =>
+        val delta = st.popLong()
+        st.stack.head.asInstanceOf[java.util.concurrent.atomic.AtomicLong]
+          .addAndGet(delta)
+      case "COUNTERSET" =>
+        val v = st.popLong()
+        st.stack.head.asInstanceOf[java.util.concurrent.atomic.AtomicLong].set(v)
+
       case _ => return false
     }
     true
+  }
+
+  /** MACROFILLER executor kernel: evaluate the macro at every EMPTY
+    * bucket tick (the macro sees the tick, leaves the value; null
+    * leaves the bucket unfilled). */
+  private def macroFill(b: BucketedFrame, tokens: Vector[WsToken]) = {
+    val df = b.frame.df
+    val spark = df.sparkSession
+    import spark.implicits._
+    val first = b.lastbucket - (b.count - 1) * b.span
+    val meta = df.groupBy(col("gtsid"))
+      .agg(org.apache.spark.sql.functions.first(col("class")).as("class"),
+        org.apache.spark.sql.functions.first(col("labels")).as("labels"))
+    val gridDf = spark.range(b.count)
+      .select((col("id") * b.span + first).as("__t"))
+    val missing = meta.crossJoin(broadcast(gridDf))
+      .join(df.select(col("gtsid").as("__g"), col("ts").as("__ts")),
+        col("gtsid") === col("__g") && col("__t") === col("__ts"), "left_anti")
+      .select(col("gtsid"), col("class"), col("labels"), col("__t").as("ts"))
+    val filled = missing
+      .select(col("gtsid"), col("class"), col("labels"), col("ts")).as[(Long, String, Map[String, String], Long)]
+      .flatMap { case (id, cls, labels, t) =>
+        ScalarEval.run(tokens, List(t)) match {
+          case (v: Double) :: _ => Some((id, cls, labels, t, v))
+          case (v: Long) :: _ => Some((id, cls, labels, t, v.toDouble))
+          case null :: _ => None
+          case Nil => None
+          case o :: _ => throw new IllegalArgumentException(s"MACROFILLER returned $o")
+        }
+      }.toDF("gtsid", "class", "labels", "ts", "vdouble")
+      .select(col("class"), col("labels"), col("gtsid"), col("ts"),
+        lit(null).cast("double").as("lat"), lit(null).cast("double").as("lon"),
+        lit(null).cast("long").as("elev"),
+        lit(graft.model.GtsType.DOUBLE).as("vtype"),
+        lit(null).cast("long").as("vlong"), col("vdouble"),
+        lit(null).cast("boolean").as("vbool"),
+        lit(null).cast("string").as("vstring"),
+        lit(null).cast("binary").as("vbinary"))
+    df.unionByName(filled)
   }
 
   private def unwrapOf(v: Any, en: WarpScriptEngine) = v match {
