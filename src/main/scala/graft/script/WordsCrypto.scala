@@ -180,42 +180,49 @@ private[script] object WordsCrypto {
     leBytes(Array(a, b, c, d))
   }
 
-  /** RIPEMD-160 (Dobbertin/Bosselaers/Preneel public specification —
-    * the reference wraps BouncyCastle's RIPEMD160Digest). */
-  private[script] def ripemd160(data: Array[Byte]): Array[Byte] = {
-    val r = Array(
+  // RIPEMD message-word selection and rotation tables (Dobbertin/
+  // Bosselaers/Preneel spec; the 128/256 variants use the first 64
+  // entries, the 160/320 variants all 80)
+  private val RmdR = Array(
       0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
       7, 4, 13, 1, 10, 6, 15, 3, 12, 0, 9, 5, 2, 14, 11, 8,
       3, 10, 14, 4, 9, 15, 8, 1, 2, 7, 0, 6, 13, 11, 5, 12,
       1, 9, 11, 10, 0, 8, 12, 4, 13, 3, 7, 15, 14, 5, 6, 2,
       4, 0, 5, 9, 7, 12, 2, 10, 14, 1, 3, 8, 11, 6, 15, 13)
-    val rp = Array(
+  private val RmdRp = Array(
       5, 14, 7, 0, 9, 2, 11, 4, 13, 6, 15, 8, 1, 10, 3, 12,
       6, 11, 3, 7, 0, 13, 5, 10, 14, 15, 8, 12, 4, 9, 1, 2,
       15, 5, 1, 3, 7, 14, 6, 9, 11, 8, 12, 2, 10, 0, 4, 13,
       8, 6, 4, 1, 3, 11, 15, 0, 5, 12, 2, 13, 9, 7, 10, 14,
       12, 15, 10, 4, 1, 5, 8, 7, 6, 2, 13, 14, 0, 3, 9, 11)
-    val s = Array(
+  private val RmdS = Array(
       11, 14, 15, 12, 5, 8, 7, 9, 11, 13, 14, 15, 6, 7, 9, 8,
       7, 6, 8, 13, 11, 9, 7, 15, 7, 12, 15, 9, 11, 7, 13, 12,
       11, 13, 6, 7, 14, 9, 13, 15, 14, 8, 13, 6, 5, 12, 7, 5,
       11, 12, 14, 15, 14, 15, 9, 8, 9, 14, 5, 6, 8, 6, 5, 12,
       9, 15, 5, 11, 6, 8, 13, 12, 5, 12, 13, 14, 11, 8, 5, 6)
-    val sp = Array(
+  private val RmdSp = Array(
       8, 9, 9, 11, 13, 15, 15, 5, 7, 7, 8, 11, 14, 14, 12, 6,
       9, 13, 15, 7, 12, 8, 9, 11, 7, 7, 12, 7, 6, 15, 13, 11,
       9, 7, 15, 11, 8, 6, 6, 14, 12, 13, 5, 14, 13, 13, 7, 5,
       15, 5, 8, 11, 14, 14, 6, 14, 6, 9, 12, 9, 12, 5, 15, 8,
       8, 5, 12, 9, 12, 5, 14, 6, 8, 13, 6, 5, 15, 13, 11, 11)
+
+  private def rmdFj(j: Int, x: Int, y: Int, z: Int): Int = j / 16 match {
+    case 0 => x ^ y ^ z
+    case 1 => (x & y) | (~x & z)
+    case 2 => (x | ~y) ^ z
+    case 3 => (x & z) | (y & ~z)
+    case _ => x ^ (y | ~z)
+  }
+
+  /** RIPEMD-160 (Dobbertin/Bosselaers/Preneel public specification —
+    * the reference wraps BouncyCastle's RIPEMD160Digest). */
+  private[script] def ripemd160(data: Array[Byte]): Array[Byte] = {
+    val r = RmdR; val rp = RmdRp; val s = RmdS; val sp = RmdSp
     val K = Array(0x00000000, 0x5a827999, 0x6ed9eba1, 0x8f1bbcdc, 0xa953fd4e)
     val Kp = Array(0x50a28be6, 0x5c4dd124, 0x6d703ef3, 0x7a6d76e9, 0x00000000)
-    def fj(j: Int, x: Int, y: Int, z: Int): Int = j / 16 match {
-      case 0 => x ^ y ^ z
-      case 1 => (x & y) | (~x & z)
-      case 2 => (x | ~y) ^ z
-      case 3 => (x & z) | (y & ~z)
-      case _ => x ^ (y | ~z)
-    }
+    def fj(j: Int, x: Int, y: Int, z: Int): Int = rmdFj(j, x, y, z)
     def rotl(x: Int, n: Int) = (x << n) | (x >>> (32 - n))
     val padded = mdPad(data)
     var h0 = 0x67452301; var h1 = 0xefcdab89; var h2 = 0x98badcfe
@@ -243,6 +250,115 @@ private[script] object WordsCrypto {
     }
     leBytes(Array(h0, h1, h2, h3, h4))
   }
+
+  /** RIPEMD-128 (same spec family: two 4-register lines, 64 steps —
+    * the 160 tables' first 64 entries, no rotl(c,10), right line runs
+    * the round functions in reverse). */
+  private[script] def ripemd128(data: Array[Byte]): Array[Byte] = {
+    val K = Array(0x00000000, 0x5a827999, 0x6ed9eba1, 0x8f1bbcdc)
+    val Kp = Array(0x50a28be6, 0x5c4dd124, 0x6d703ef3, 0x00000000)
+    def rotl(x: Int, n: Int) = (x << n) | (x >>> (32 - n))
+    val padded = mdPad(data)
+    var h0 = 0x67452301; var h1 = 0xefcdab89
+    var h2 = 0x98badcfe; var h3 = 0x10325476
+    var off = 0
+    while (off < padded.length) {
+      val x = leWords(padded, off)
+      var (a, b, c, d) = (h0, h1, h2, h3)
+      var (ap, bp, cp, dp) = (h0, h1, h2, h3)
+      var j = 0
+      while (j < 64) {
+        var t = rotl(a + rmdFj(j, b, c, d) + x(RmdR(j)) + K(j / 16), RmdS(j))
+        a = d; d = c; c = b; b = t
+        t = rotl(ap + rmdFj(63 - j, bp, cp, dp) + x(RmdRp(j)) + Kp(j / 16), RmdSp(j))
+        ap = dp; dp = cp; cp = bp; bp = t
+        j += 1
+      }
+      val t = h1 + c + dp
+      h1 = h2 + d + ap; h2 = h3 + a + bp; h3 = h0 + b + cp; h0 = t
+      off += 64
+    }
+    leBytes(Array(h0, h1, h2, h3))
+  }
+
+  /** RIPEMD-256: RIPEMD-128's two lines kept as independent states
+    * (8 words out), one register swapped between lines after each
+    * 16-step round; no final cross-add. */
+  private[script] def ripemd256(data: Array[Byte]): Array[Byte] = {
+    val K = Array(0x00000000, 0x5a827999, 0x6ed9eba1, 0x8f1bbcdc)
+    val Kp = Array(0x50a28be6, 0x5c4dd124, 0x6d703ef3, 0x00000000)
+    def rotl(x: Int, n: Int) = (x << n) | (x >>> (32 - n))
+    val padded = mdPad(data)
+    val h = Array(0x67452301, 0xefcdab89, 0x98badcfe, 0x10325476,
+      0x76543210, 0xfedcba98, 0x89abcdef, 0x01234567)
+    var off = 0
+    while (off < padded.length) {
+      val x = leWords(padded, off)
+      var (a, b, c, d) = (h(0), h(1), h(2), h(3))
+      var (ap, bp, cp, dp) = (h(4), h(5), h(6), h(7))
+      var j = 0
+      while (j < 64) {
+        var t = rotl(a + rmdFj(j, b, c, d) + x(RmdR(j)) + K(j / 16), RmdS(j))
+        a = d; d = c; c = b; b = t
+        t = rotl(ap + rmdFj(63 - j, bp, cp, dp) + x(RmdRp(j)) + Kp(j / 16), RmdSp(j))
+        ap = dp; dp = cp; cp = bp; bp = t
+        j += 1
+        if (j % 16 == 0) j / 16 match {
+          case 1 => val u = a; a = ap; ap = u
+          case 2 => val u = b; b = bp; bp = u
+          case 3 => val u = c; c = cp; cp = u
+          case _ => val u = d; d = dp; dp = u
+        }
+      }
+      h(0) += a; h(1) += b; h(2) += c; h(3) += d
+      h(4) += ap; h(5) += bp; h(6) += cp; h(7) += dp
+      off += 64
+    }
+    leBytes(h)
+  }
+
+  /** RIPEMD-320: RIPEMD-160's two lines kept as independent states
+    * (10 words out), one register swapped after each 16-step round. */
+  private[script] def ripemd320(data: Array[Byte]): Array[Byte] = {
+    val K = Array(0x00000000, 0x5a827999, 0x6ed9eba1, 0x8f1bbcdc, 0xa953fd4e)
+    val Kp = Array(0x50a28be6, 0x5c4dd124, 0x6d703ef3, 0x7a6d76e9, 0x00000000)
+    def rotl(x: Int, n: Int) = (x << n) | (x >>> (32 - n))
+    val padded = mdPad(data)
+    val h = Array(0x67452301, 0xefcdab89, 0x98badcfe, 0x10325476, 0xc3d2e1f0,
+      0x76543210, 0xfedcba98, 0x89abcdef, 0x01234567, 0x3c2d1e0f)
+    var off = 0
+    while (off < padded.length) {
+      val x = leWords(padded, off)
+      var (a, b, c, d, e) = (h(0), h(1), h(2), h(3), h(4))
+      var (ap, bp, cp, dp, ep) = (h(5), h(6), h(7), h(8), h(9))
+      var j = 0
+      while (j < 80) {
+        var t = rotl(a + rmdFj(j, b, c, d) + x(RmdR(j)) + K(j / 16), RmdS(j)) + e
+        a = e; e = d; d = rotl(c, 10); c = b; b = t
+        t = rotl(ap + rmdFj(79 - j, bp, cp, dp) + x(RmdRp(j)) + Kp(j / 16), RmdSp(j)) + ep
+        ap = ep; ep = dp; dp = rotl(cp, 10); cp = bp; bp = t
+        j += 1
+        if (j % 16 == 0) j / 16 match {
+          case 1 => val u = b; b = bp; bp = u
+          case 2 => val u = d; d = dp; dp = u
+          case 3 => val u = a; a = ap; ap = u
+          case 4 => val u = c; c = cp; cp = u
+          case _ => val u = e; e = ep; ep = u
+        }
+      }
+      h(0) += a; h(1) += b; h(2) += c; h(3) += d; h(4) += e
+      h(5) += ap; h(6) += bp; h(7) += cp; h(8) += dp; h(9) += ep
+      off += 64
+    }
+    leBytes(h)
+  }
+
+  /** 16 little-endian 32-bit words from a 64-byte block. */
+  private def leWords(padded: Array[Byte], off: Int): Array[Int] =
+    Array.tabulate(16) { i =>
+      (padded(off + 4 * i) & 0xff) | ((padded(off + 4 * i + 1) & 0xff) << 8) |
+        ((padded(off + 4 * i + 2) & 0xff) << 16) | ((padded(off + 4 * i + 3) & 0xff) << 24)
+    }
 
   /** MD4/RIPEMD padding: 0x80, zeros, 64-bit little-endian bit count. */
   private def mdPad(data: Array[Byte]): Array[Byte] = {
@@ -348,6 +464,9 @@ private[script] object WordsCrypto {
 
       case "MD4" => st.push(md4(en.popBytes(st)))
       case "RIPEMD160" => st.push(ripemd160(en.popBytes(st)))
+      case "RIPEMD128" => st.push(ripemd128(en.popBytes(st)))
+      case "RIPEMD256" => st.push(ripemd256(en.popBytes(st)))
+      case "RIPEMD320" => st.push(ripemd320(en.popBytes(st)))
 
       // RLP arrows (public Ethereum recursive-length-prefix spec)
       case "->RLP" => st.push(rlpEncode(st.pop()))

@@ -28,6 +28,19 @@ class WsDigestProbSpec extends SparkSpec {
       "5d0689ef49d2fae572b881b123a85ffa21595f36")
   }
 
+  test("RIPEMD-128/256/320 paper vectors") {
+    assert(top("'' RIPEMD128 ->HEX") == "cdf26213a150dc3ecb610f18f6b38b46")
+    assert(top("'abc' RIPEMD128 ->HEX") == "c14a12199c66e4ba84636b0f69144c77")
+    assert(top("'' RIPEMD256 ->HEX") ==
+      "02ba4c4e5f8ecd1877fc52d64d30e37a2d9774fb1e5d026380ae0168e3c5522d")
+    assert(top("'abc' RIPEMD256 ->HEX") ==
+      "afbd6e228b9d8cbbcef5ca2d03e6dba10ac0bc7dcbe4680e1e42d2e975459b65")
+    assert(top("'' RIPEMD320 ->HEX") ==
+      "22d65d5661536cdc75c1fdf5c6de7b41b9f27325ebc61e8557177d705a0ec880151c3a32a00899b8")
+    assert(top("'abc' RIPEMD320 ->HEX") ==
+      "de4c01b3054f8930a79d09ae738e92301e5a17085beffdc1b8d116713e74f82fa942d64cdbc4682d")
+  }
+
   test("RLP encode vectors and round-trip") {
     // 'dog' → 0x83646f67; empty string → 0x80; list ['cat','dog'] → c8 83.. 83..
     assert(top("'dog' ->RLP ->HEX") == "83646f67")
