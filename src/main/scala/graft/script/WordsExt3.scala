@@ -242,6 +242,67 @@ private[script] object WordsExt3 {
       // fn/math/RANDOM.java (Math.random)
       case "RANDOM" => st.push(math.random())
 
+      // ---- RSAGEN (fn/RSAGEN.java: exponent keybits RSAGEN → private
+      // key map then public key map, the RSAPUBLIC/RSAPRIVATE format)
+      case "RSAGEN" =>
+        val bits = st.popLong().toInt
+        require(bits >= 512 && bits <= 8192, s"RSAGEN key length out of range: $bits")
+        val exponent = new java.math.BigInteger(st.pop().toString)
+        val gen = java.security.KeyPairGenerator.getInstance("RSA")
+        gen.initialize(new java.security.spec.RSAKeyGenParameterSpec(bits, exponent))
+        val kp = gen.generateKeyPair()
+        val priv = kp.getPrivate.asInstanceOf[java.security.interfaces.RSAPrivateKey]
+        val pub = kp.getPublic.asInstanceOf[java.security.interfaces.RSAPublicKey]
+        st.push(Map[Any, Any]("modulus" -> priv.getModulus.toString,
+          "algorithm" -> "RSA", "exponent" -> priv.getPrivateExponent.toString))
+        st.push(Map[Any, Any]("modulus" -> pub.getModulus.toString,
+          "algorithm" -> "RSA", "exponent" -> pub.getPublicExponent.toString))
+
+      // ---- Shamir secret sharing (fn/TOSSSS.java, SSSSTO — re-derived
+      // GF(256) scheme, AES reduction polynomial 0x11b; share = x byte
+      // followed by the per-byte polynomial evaluations)
+      case "->SSSS" =>
+        var top = st.pop()
+        top match { case _: Boolean => top = st.pop(); case _ => () }
+        val k = en.asLong(top).toInt
+        require(k >= 2 && k <= 255, s"->SSSS needs 2 <= k <= 255: $k")
+        val n = st.popLong().toInt
+        require(n >= k && n <= 255, s"->SSSS needs k <= n <= 255: $n")
+        val secret = en.popBytes(st)
+        val rng = new java.security.SecureRandom()
+        // per secret byte: random degree-(k-1) poly with the byte as
+        // the constant term; share x = 1..n
+        val coefs = secret.map { b =>
+          val c = new Array[Int](k)
+          c(0) = b & 0xff
+          (1 until k).foreach(i => c(i) = rng.nextInt(256))
+          c
+        }
+        val shares = (1 to n).map { x =>
+          val out = new Array[Byte](1 + secret.length)
+          out(0) = x.toByte
+          coefs.zipWithIndex.foreach { case (c, i) =>
+            out(1 + i) = gf256Eval(c, x).toByte
+          }
+          out
+        }
+        st.push(shares.toVector.map(identity[Any]))
+      case "SSSS->" =>
+        val shares = st.pop().asInstanceOf[Vector[Any]].map {
+          case b: Array[Byte] => b
+          case o => throw new IllegalArgumentException(s"SSSS-> share $o")
+        }
+        require(shares.nonEmpty, "SSSS-> needs at least one share")
+        val len = shares.head.length - 1
+        require(shares.forall(_.length == len + 1), "SSSS-> shares of unequal length")
+        val xs = shares.map(_(0) & 0xff)
+        val secret = new Array[Byte](len)
+        (0 until len).foreach { i =>
+          val ys = shares.map(s => s(1 + i) & 0xff)
+          secret(i) = gf256InterpolateAt0(xs, ys).toByte
+        }
+        st.push(secret)
+
       // binary/INPLACEADD.java: list|set element +! → appended
       // container (this stack's containers are immutable, so "+!"
       // returns the grown copy — same observable stack effect)
@@ -265,6 +326,43 @@ private[script] object WordsExt3 {
       case _ => return false
     }
     true
+  }
+
+  // ---- GF(256) arithmetic (AES polynomial x^8+x^4+x^3+x+1) ----
+
+  private def gf256Mul(a0: Int, b0: Int): Int = {
+    var a = a0; var b = b0; var p = 0
+    while (b != 0) {
+      if ((b & 1) != 0) p ^= a
+      a <<= 1
+      if ((a & 0x100) != 0) a ^= 0x11b
+      b >>= 1
+    }
+    p
+  }
+
+  private def gf256Pow(a: Int, e: Int): Int =
+    (0 until e).foldLeft(1)((acc, _) => gf256Mul(acc, a))
+
+  private def gf256Inv(a: Int): Int = {
+    require(a != 0, "GF(256) inverse of 0")
+    gf256Pow(a, 254) // a^(2^8-2)
+  }
+
+  private def gf256Eval(coefs: Array[Int], x: Int): Int =
+    coefs.foldRight(0)((c, acc) => gf256Mul(acc, x) ^ c)
+
+  /** Lagrange interpolation at x=0 over GF(256). */
+  private def gf256InterpolateAt0(xs: Seq[Int], ys: Seq[Int]): Int = {
+    var acc = 0
+    xs.indices.foreach { i =>
+      var li = 1
+      xs.indices.foreach { j =>
+        if (j != i) li = gf256Mul(li, gf256Mul(xs(j), gf256Inv(xs(i) ^ xs(j))))
+      }
+      acc ^= gf256Mul(ys(i), li)
+    }
+    acc
   }
 
   private def hullShape(list: Vector[Any]): Vector[Long] = {
