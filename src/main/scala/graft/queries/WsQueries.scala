@@ -994,6 +994,16 @@ object WsQueries {
           round(col("vdouble"), 6).as("wv"))
     }),
 
+    // BUCKETIZE.CALENDAR word: monthly calendar buckets over events —
+    // the oracle recomputes via DuckDB's own date_trunc
+    "w72_ws_bucketize_calendar" -> ((s, dir) => {
+      val program =
+        s"""[ [ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+           |  bucketizer.sum 0 '1m' 0 ] BUCKETIZE.CALENDAR""".stripMargin
+      engine(s, dir, cents = true).runToFrame(program)
+        .select(col("class"), userid, col("ts"), col("vdouble").as("msum"))
+    }),
+
     // PACK/UNPACK bit codec: the oracle bytes are hand-derived from the
     // format spec (big-endian specs emit the value MSB-first; little-
     // endian emit it bit-reversed within the stream; bit tail 0-padded)
@@ -1337,6 +1347,13 @@ object WsQueries {
       """SELECT '010203' AS a, '0102' AS b, '10' AS c, '80' AS d,
         |  CAST(123 AS BIGINT) AS e, CAST(-5 AS BIGINT) AS f,
         |  CAST(3.25 AS DOUBLE) AS g, true AS h""".stripMargin,
+
+    "w72_ws_bucketize_calendar" ->
+      s"""WITH g AS ($EV)
+         |SELECT class, userid,
+         |  epoch_us(date_trunc('month', make_timestamp(ts))) AS ts,
+         |  CAST(sum(cents) AS DOUBLE) AS msum
+         |FROM g GROUP BY 1, 2, 3""".stripMargin,
 
     "w69_ws_interpolator" ->
       s"""WITH g AS ($EV)

@@ -778,6 +778,13 @@ final class WarpScriptEngine(
       }
       finally evalMacro(fin, st)
     case "LASTERROR" => st.push(lastError)
+    // fn/RETHROW.java / ERROR.java over the same last-error attribute
+    case "RETHROW" =>
+      if (lastError != null) throw new IllegalStateException(lastError)
+    case "ERROR" =>
+      st.push(if (lastError == null) Vector.empty[Any]
+        else Vector[Any](Map[Any, Any]("type" -> "Exception",
+          "message" -> lastError)))
 
     // ---- control (fn/EVAL.java, IFT, IFTE, FOREACH)
     case "EVAL" => st.pop() match {

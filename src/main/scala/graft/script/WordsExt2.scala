@@ -254,6 +254,15 @@ private[script] object WordsExt2 {
         val items = st.stack.toVector.reverse
         if (w == "SNAPSHOTALL") st.stack.clear()
         st.push(items.map(snapshotOne).mkString(" "))
+      // ALLTOMARK: like TOMARK but the MARK itself stays on the stack
+      case "SNAPSHOTALLTOMARK" | "SNAPSHOTCOPYALLTOMARK" =>
+        val n0 = st.stack.indexOf(ListMark)
+        require(n0 >= 0, s"$w: no MARK on stack")
+        val items0 = st.stack.take(n0).toVector.reverse
+        if (w == "SNAPSHOTALLTOMARK") (1 to n0).foreach(_ => st.pop())
+        st.push(items0.map(snapshotOne).mkString(" "))
+      case "SNAPSHOTREADABLE" =>
+        st.push(graft.sources.Snapshot.render(st.pop()))
       case "SNAPSHOTTOMARK" | "SNAPSHOTCOPYTOMARK" =>
         val n = st.stack.indexOf(ListMark)
         require(n >= 0, s"$w: no MARK on stack")

@@ -314,6 +314,96 @@ private[script] object WordsExt3 {
           case o => throw new IllegalArgumentException(s"+! on $o")
         }
 
+      // ---- BUCKETIZE.CALENDAR (fn/BUCKETIZECALENDAR.java: [ gts...
+      // bucketizer lastbucket durationString count tz? ] — calendar-
+      // aligned buckets whose µs width varies with the month/DST).
+      // Subset: auto lastbucket/count (pass 0 0); bucket tick = the
+      // calendar bucket START in the zone, as the native g41/g50 rows.
+      case "BUCKETIZE.CALENDAR" =>
+        import org.apache.spark.sql.functions._
+        var args = st.pop().asInstanceOf[Vector[Any]]
+        val tz = args.last match {
+          case s: String => args = args.init; s
+          case _ => "UTC"
+        }
+        val n = args.length
+        require(en.asLong(args(n - 1)) == 0L && en.asLong(args(n - 3)) == 0L,
+          "BUCKETIZE.CALENDAR: only auto lastbucket/count (0) are supported")
+        val dur = args(n - 2).asInstanceOf[String]
+        val unit = dur match {
+          case "1h" | "h" => "hour"
+          case "1d" | "d" => "day"
+          case "1w" | "w" => "week"
+          case "1m" | "m" => "month"
+          case "1y" | "y" => "year"
+          case o => throw new IllegalArgumentException(
+            s"BUCKETIZE.CALENDAR duration '$o' not supported (1h/1d/1w/1m/1y)")
+        }
+        val agg = args(n - 4) match {
+          case AggVal(_, a) => a
+          case o => throw new IllegalArgumentException(s"not a bucketizer: $o")
+        }
+        val f = en.framesOf(args.take(n - 4))
+        val local = from_utc_timestamp(timestamp_micros(col("ts")), tz)
+        val tick = unix_micros(to_utc_timestamp(date_trunc(unit, local), tz))
+        val grouped = f.df
+          .groupBy(col("gtsid"), tick.as("ts"))
+          .agg(agg.column(col("vdouble"), col("ts")).cast("double").as("vdouble"))
+        val meta = f.df.groupBy(col("gtsid"))
+          .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
+        st.push(graft.operators.GtsFrame(grouped.join(meta, "gtsid").select(
+          col("class"), col("labels"), col("gtsid"), col("ts"),
+          lit(null).cast("double").as("lat"), lit(null).cast("double").as("lon"),
+          lit(null).cast("long").as("elev"),
+          lit(graft.model.GtsType.DOUBLE).as("vtype"),
+          lit(null).cast("long").as("vlong"), col("vdouble"),
+          lit(null).cast("boolean").as("vbool"),
+          lit(null).cast("string").as("vstring"),
+          lit(null).cast("binary").as("vbinary"))))
+
+      // ---- parallel-apply aliases (fn/PAPPLY.java family: identical
+      // semantics, the reference parallelizes in threads — this engine
+      // is Spark-parallel everywhere)
+      case "PAPPLY" => en.evalWordPub("APPLY", st)
+      case "PFILTER" => en.evalWordPub("FILTER", st)
+      case "PREDUCE" => en.evalWordPub("REDUCE", st)
+
+      // ---- misc tail
+      // fn/IMMUTABLE.java: this stack's containers are already
+      // immutable — identity, type-checked
+      case "IMMUTABLE" => st.pop() match {
+        case v @ (_: Vector[_] | _: Map[_, _] | _: Set[_]) => st.push(v)
+        case o => throw new IllegalArgumentException(s"IMMUTABLE on $o")
+      }
+      // fn/SLEEP.java (capability-capped; fixed 10 s cap here)
+      case "SLEEP" =>
+        val ms = st.popLong()
+        require(ms >= 0 && ms <= 10000, s"SLEEP capped at 10000 ms: $ms")
+        Thread.sleep(ms)
+      // fn/PROBABILITY.java: histogram map → fn(value) = p(value)
+      case "PROBABILITY" =>
+        val hist = st.pop().asInstanceOf[Map[Any, Any]]
+        val total = hist.values.map(en.asNum).sum
+        require(total > 0, "PROBABILITY: empty histogram")
+        val probs = hist.map { case (k, v) => k -> en.asNum(v) / total }
+        st.push(NativeFn(w, s => s.push(probs.getOrElse(s.pop(), 0.0))))
+      // fn/TOVECTOR.java / VECTORTO: collection ↔ vector (this stack's
+      // lists are already immutable vectors — identity both ways, with
+      // SET flattening to its sorted list form)
+      case "->V" => st.pop() match {
+        case v: Vector[Any @unchecked] => st.push(v)
+        case s0: Set[Any @unchecked] => st.push(s0.toVector.sortWith(en.wsLt))
+        case o => throw new IllegalArgumentException(s"->V on $o")
+      }
+      case "V->" => st.push(st.pop().asInstanceOf[Vector[Any]])
+
+      // manager toggles (MANAGERONOFF UPDATEON/OFF... — standalone
+      // write-path switches; recorded as engine flags)
+      case "UPDATEON" | "UPDATEOFF" | "METAON" | "METAOFF" | "DELETEON" |
+           "DELETEOFF" | "WFON" | "WFOFF" | "NOLOG" | "LOGINIT" =>
+        if (w.endsWith("OFF")) st.flags += s"off:${w.stripSuffix("OFF")}"
+        else st.flags -= s"off:${w.stripSuffix("ON")}"
+
       // ---- HULLSHAPE (fn/shape/HULLSHAPE.java): the smallest tensor
       // shape able to contain a ragged nested list — element i is the
       // largest list size at nesting depth i
