@@ -161,6 +161,87 @@ private[script] object WordsGts2 {
           else graft.functions.GeoFunctions.toHHCode(r.getDouble(1), r.getDouble(2)): Any
         }.toVector)
 
+      // ---- SMARTPARSE (fn/SMARTPARSE.java:88-230): named regexp
+      // groups over a STRING GTS — (?<VDname>…)/VL/VB/VS value groups
+      // become series named after the group, (?<Lxx>…) groups become
+      // labels, (?<Ts|Tms|Tus|Tns>…) override the tick, lat/lon/elev
+      // set the location. Distributed: one regexp_extract branch per
+      // value group, unioned — no UDF, no driver loop. Subset: first
+      // match per point (the reference iterates matcher.find()).
+      case "SMARTPARSE" =>
+        val regexp = st.popStr()
+        val f = en.toFrame(st.pop())
+        val idx = capturingGroupIndexes(regexp)
+        val names = idx.keys.toSeq
+        val vgroups = names.filter(n => n.length > 2 && n.startsWith("V"))
+        val lgroups = names.filter(n => n.length > 1 && n.startsWith("L"))
+        val tgroups = names.filter(n => n.startsWith("T"))
+        require(vgroups.nonEmpty, "SMARTPARSE: no (?<V...>) value group in regexp")
+        def ex(g: String) = regexp_extract(col("vstring"), regexp, idx(g))
+        val base = f.df.filter(col("vstring").isNotNull &&
+          col("vstring").rlike(regexp))
+        val labelCols = lgroups.foldLeft(col("labels")) { (acc, g) =>
+          when(ex(g) =!= "", map_concat(acc, map(lit(g.drop(1)), ex(g))))
+            .otherwise(acc)
+        }
+        // first T-group that parses wins (Ts seconds, Tms, Tus, Tns)
+        val tick = tgroups.foldLeft(col("ts")) { (acc, g) =>
+          val scaled =
+            if (g.startsWith("Tms")) ex(g).cast("double") * 1000.0
+            else if (g.startsWith("Tus")) ex(g).cast("double")
+            else if (g.startsWith("Tns")) ex(g).cast("double") / 1000.0
+            else ex(g).cast("double") * 1000000.0 // Ts…
+          when(ex(g) =!= "", scaled.cast("long")).otherwise(acc)
+        }
+        val latC = names.find(_ == "lat").map(ex)
+        val lonC = names.find(_ == "lon").map(ex)
+        val elevC = names.find(_ == "elev").map(ex)
+        val latCol = (latC, lonC) match {
+          case (Some(la), Some(lo)) =>
+            when(la =!= "" && lo =!= "", la.cast("double"))
+              .otherwise(lit(null).cast("double"))
+          case _ => lit(null).cast("double")
+        }
+        val lonCol = (latC, lonC) match {
+          case (Some(la), Some(lo)) =>
+            when(la =!= "" && lo =!= "", lo.cast("double"))
+              .otherwise(lit(null).cast("double"))
+          case _ => lit(null).cast("double")
+        }
+        val elevCol = elevC.map(e => when(e =!= "",
+            round(e.cast("double")).cast("long"))
+          .otherwise(lit(null).cast("long")))
+          .getOrElse(lit(null).cast("long"))
+        val parts = vgroups.map { g =>
+          val tpe = g.charAt(1)
+          val raw = ex(g)
+          val vt = tpe match {
+            case 'L' => graft.model.GtsType.LONG
+            case 'D' => graft.model.GtsType.DOUBLE
+            case 'B' => graft.model.GtsType.BOOLEAN
+            case _ => graft.model.GtsType.STRING
+          }
+          val vd = tpe match {
+            case 'L' | 'D' => raw.cast("double")
+            case 'B' => when(lower(raw) === "true", 1.0).otherwise(0.0)
+            case _ => lit(null).cast("double")
+          }
+          base.filter(raw =!= "").select(
+            lit(g.drop(2)).as("class"),
+            labelCols.as("labels"),
+            lit(0L).as("gtsid"),
+            tick.as("ts"),
+            latCol.as("lat"), lonCol.as("lon"), elevCol.as("elev"),
+            lit(vt).as("vtype"),
+            (if (tpe == 'L') raw.cast("long") else lit(null).cast("long")).as("vlong"),
+            vd.as("vdouble"),
+            (if (tpe == 'B') lower(raw) === "true" else lit(null).cast("boolean")).as("vbool"),
+            (if (tpe == 'S') raw else lit(null).cast("string")).as("vstring"),
+            lit(null).cast("binary").as("vbinary"))
+        }
+        st.push(GtsFrame(graft.model.Gts.canonicalRehash(
+          parts.reduce(_ unionByName _))))
+
       // ---- fillers (script/filler/Filler*.java builders) + the FILL
       // word over a BUCKETIZE result. filler.value pops the value (or
       // the [lat lon elev value] list form, FillerValue.java:30-60).
@@ -290,6 +371,37 @@ private[script] object WordsGts2 {
     case df: org.apache.spark.sql.DataFrame @unchecked if df.columns.contains("blob") =>
       graft.sources.GtsCodec.unwrap(df)
     case o => throw new IllegalArgumentException(s"unwrap on $o")
+  }
+
+  /** Named-group name → capturing-group index for a Java regexp
+    * (counts unescaped '(' that start a capturing group — plain or
+    * named; '(?:' lookarounds etc. don't count). */
+  private[script] def capturingGroupIndexes(regexp: String): Map[String, Int] = {
+    val out = Map.newBuilder[String, Int]
+    var i = 0
+    var group = 0
+    var inClass = false
+    while (i < regexp.length) {
+      regexp.charAt(i) match {
+        case '\\' => i += 1
+        case '[' => inClass = true
+        case ']' => inClass = false
+        case '(' if !inClass =>
+          if (i + 1 < regexp.length && regexp.charAt(i + 1) == '?') {
+            // named group '(?<name>' counts; other (?...) don't
+            if (i + 2 < regexp.length && regexp.charAt(i + 2) == '<' &&
+                i + 3 < regexp.length && regexp.charAt(i + 3) != '=' &&
+                regexp.charAt(i + 3) != '!') {
+              group += 1
+              val end = regexp.indexOf('>', i + 3)
+              out += regexp.substring(i + 3, end) -> group
+            }
+          } else group += 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out.result()
   }
 
   // ---- PACK/UNPACK bit machinery (PACK.java:145-210 format grammar,
