@@ -161,6 +161,20 @@ private[script] object WordsGts2 {
           else graft.functions.GeoFunctions.toHHCode(r.getDouble(1), r.getDouble(2)): Any
         }.toVector)
 
+      // ---- METAMATCH (fn/METAMATCH.java): gts selector → do the
+      // series match? single-series → BOOLEAN, multi-series frame →
+      // per-series boolean list (class,labels order)
+      case "METAMATCH" =>
+        val sel = graft.sources.Selector.parse(st.popStr())
+        val f = en.toFrame(st.pop())
+        val matches = f.df.groupBy(col("gtsid"))
+          .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
+          .withColumn("__m", sel.predicate)
+          .select(col("class"), col("labels"), col("__m"))
+          .collect().sortBy(r => (r.getString(0), r.getMap[String, String](1).toString))
+        if (matches.length == 1) st.push(matches(0).getBoolean(2))
+        else st.push(matches.map(_.getBoolean(2): Any).toVector)
+
       // ---- SMARTPARSE (fn/SMARTPARSE.java:88-230): named regexp
       // groups over a STRING GTS — (?<VDname>…)/VL/VB/VS value groups
       // become series named after the group, (?<Lxx>…) groups become

@@ -58,4 +58,13 @@ class WsSmartParseSpec extends SparkSpec {
     assert(r.getDouble(0) == 48.5 && r.getDouble(1) == -4.25)
     assert(r.getLong(2) == 120L && r.getLong(3) == 1L)
   }
+
+  test("METAMATCH evaluates a selector against series metadata") {
+    val f = strFrame(Seq((1L, "x")))
+    val e = new WarpScriptEngine(fetch = (_, _, _, _) => f, nowTs = 0L,
+      session = Some(spark))
+    assert(e.run("[ '' '~.*' { } 0 10 ] FETCH 'log.line{h=web1}' METAMATCH").head == true)
+    assert(e.run("[ '' '~.*' { } 0 10 ] FETCH 'log.line{h=other}' METAMATCH").head == false)
+    assert(e.run("[ '' '~.*' { } 0 10 ] FETCH '~log\\..*{}' METAMATCH").head == true)
+  }
 }
