@@ -1628,6 +1628,8 @@ object WarpScriptEngine {
     // SETATTRIBUTES/ATTRIBUTES per-gtsid attribute store (the
     // distributed path is MetaOps; this is the stack-word surface)
     val attrs = mutable.Map.empty[Long, Map[String, String]]
+    // CAPADD/CAPGET capability store (reference: token-carried caps)
+    val caps = mutable.Map.empty[String, String]
     def push(v: Any): Unit = stack.prepend(v)
     def pop(): Any =
       if (stack.isEmpty) throw new IllegalStateException("stack underflow")

@@ -174,6 +174,32 @@ private[script] object WordsDebug {
         st.push(script)
         en.evalWordPub("EVAL", st)
 
+      // ---- capabilities (fn/CAPADD.java family; the reference reads
+      // them from token attributes — this engine's "token" is a plain
+      // 'name=value[,name=value]' list, there being no token registry)
+      case "CAPADD" =>
+        st.popStr().split(',').filter(_.nonEmpty).foreach { kv =>
+          val i = kv.indexOf('=')
+          require(i > 0, s"CAPADD expects name=value pairs: '$kv'")
+          st.caps(kv.substring(0, i).trim) = kv.substring(i + 1).trim
+        }
+      case "CAPGET" => st.pop() match {
+        case s: String => st.push(st.caps.get(s).orNull)
+        case l: Vector[Any @unchecked] =>
+          st.push(l.map(_.toString).map(n => n -> st.caps.get(n).orNull)
+            .toMap[Any, Any])
+        case null => st.push(st.caps.toMap[Any, Any]
+          .map { case (k, v) => (k: Any, v: Any) })
+        case o => throw new IllegalArgumentException(s"CAPGET on $o")
+      }
+      case "CAPCHECK" => st.push(st.caps.contains(st.popStr()))
+      case "CAPDEL" => st.pop() match {
+        case s: String => st.caps.remove(s)
+        case l: Vector[Any @unchecked] => l.foreach(n => st.caps.remove(n.toString))
+        case null => st.caps.clear()
+        case o => throw new IllegalArgumentException(s"CAPDEL on $o")
+      }
+
       // ---- misc introspection
       case "REV" => st.push("graft-spark-4") // engine revision string
       case "JSONSTACK" | "WSSTACK" =>

@@ -79,6 +79,14 @@ class WsDebugWordsSpec extends SparkSpec {
       Vector(Vector(1L, 2L), Vector(9L, 4L)))
   }
 
+  test("CAPADD / CAPGET / CAPCHECK / CAPDEL capability store") {
+    assert(top("'sleep.max=5000,kv.limit=10' CAPADD 'sleep.max' CAPGET") == "5000")
+    assert(top("'a=1' CAPADD 'a' CAPCHECK") == true)
+    assert(top("'a=1' CAPADD 'a' CAPDEL 'a' CAPCHECK") == false)
+    assert(top("'a=1,b=2' CAPADD [ 'a' 'z' ] CAPGET") ==
+      Map("a" -> "1", "z" -> null))
+  }
+
   test("FUNCREF / COMPILE / DUMP / REV / STACKATTRIBUTE") {
     assert(top("'ABS' FUNCREF 'f' STORE -4 $f EVAL") == 4L)
     assert(top("<% 1 + %> COMPILE 'm' STORE 41 $m EVAL") == 42L)
