@@ -7,9 +7,101 @@ import org.apache.spark.sql.SparkSession
   * seconds. local[32]/32 shuffle partitions by default (the container's
   * core count), AQE on — the same settings a real cluster profile would
   * start from.
+  *
+  * Sharded across fresh JVMs: a single 241-query JVM accumulates
+  * GC/codegen-cache pressure that inflates tail-of-alphabet queries
+  * 2-5x (r4: 398s in one JVM vs 182s isolated for identical code). The
+  * parent process splits the query list round-robin into
+  * SPARK_GRAFT_SHARDS (default 4) shards, runs each in a fresh child
+  * JVM sequentially (never concurrently — they'd contend for the 32
+  * cores), and merges the children's JSON. Each query thus pays only
+  * its own cost plus 1/60th of one JVM's warmup.
   */
 object Bench {
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
   def main(args: Array[String]): Unit = {
+    val isChild = sys.env.contains("SPARK_GRAFT_SHARD")
+    val noFork = sys.env.get("SPARK_GRAFT_NOFORK").exists(_ == "1")
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    if (isChild || noFork) runInProcess(names)
+    else {
+      val nShards = math.max(1, math.min(names.size,
+        sys.env.getOrElse("SPARK_GRAFT_SHARDS", "4").toInt))
+      runSharded(names, nShards)
+    }
+  }
+
+  /** Parent: fork one fresh JVM per shard, merge their JSON lines. */
+  private def runSharded(names: Seq[String], nShards: Int): Unit = {
+    val cp = sys.props.getOrElse("java.class.path", "")
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+    // Round-robin so heavy families (alphabetically clustered: g93-g99
+    // STL, w54-w70 word-path analytics) spread across shards.
+    val shards = (0 until nShards).map(i => names.zipWithIndex.collect {
+      case (n, j) if j % nShards == i => n
+    }).filter(_.nonEmpty)
+    val merged = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var forkFailed = false
+    shards.foreach { shard =>
+      if (!forkFailed) {
+        val pb = new ProcessBuilder(
+          (Seq(javaBin) ++ addOpens ++ Seq(
+            s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+            "-Dspark.ui.enabled=false", "-cp", cp, "graft.Bench")): _*)
+        pb.redirectErrorStream(false)
+        pb.environment().put("SPARK_GRAFT_SHARD", "1")
+        pb.environment().put("SPARK_GRAFT_ONLY", shard.mkString(","))
+        try {
+          val proc = pb.start()
+          // Drain stderr concurrently so the child never blocks on a full pipe.
+          val errDrain = new Thread(() => {
+            val buf = new Array[Byte](8192)
+            val es = proc.getErrorStream
+            while (es.read(buf) >= 0) {}
+          })
+          errDrain.setDaemon(true); errDrain.start()
+          val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toVector
+          val code = proc.waitFor()
+          val line = out.reverseIterator.find(_.contains("\"queries\""))
+          if (code != 0 || line.isEmpty) forkFailed = true
+          else parseQueries(line.get).foreach { case (k, v) => merged(k) = v }
+        } catch { case _: Throwable => forkFailed = true }
+      }
+    }
+    if (forkFailed || merged.size != names.size) {
+      // Fallback: never return an empty/partial bench — run everything
+      // in this JVM (the r4 behavior) rather than lose the artifact.
+      System.err.println(s"[bench] fork failed or partial (${merged.size}/${names.size}); falling back in-process")
+      runInProcess(names)
+    } else printLine(names.map(n => n -> merged(n)))
+  }
+
+  /** Extract the {"name":sec,...} pairs from a child's JSON line. */
+  private def parseQueries(line: String): Seq[(String, Double)] = {
+    val m = java.util.regex.Pattern.compile("\"queries\":\\{([^}]*)\\}").matcher(line)
+    if (!m.find()) return Seq.empty
+    m.group(1).split(",").toSeq.filter(_.nonEmpty).flatMap { kv =>
+      kv.split(":") match {
+        case Array(k, v) => scala.util.Try(k.replace("\"", "") -> v.toDouble).toOption
+        case _ => None
+      }
+    }
+  }
+
+  /** Single-JVM run (child shard, SPARK_GRAFT_NOFORK, or fallback). */
+  private def runInProcess(names: Seq[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -25,11 +117,9 @@ object Bench {
     // JVM/codegen warmup on the smallest sf so measured times are steady
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
 
-    // optional comma-separated name filter for local iteration
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
+    val qmap = SparkEntry.queries
+    val results = names.map { name =>
+      val fn = qmap(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -42,12 +132,17 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       name -> dt
     }
+    printLine(results)
+    spark.stop()
+  }
+
+  private def printLine(results: Seq[(String, Double)]): Unit = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // queries first, scalar summary last: harness log capture keeps the
     // TAIL of long lines, so the headline total must sit at the end
     println(s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
-    spark.stop()
   }
 }
