@@ -45,7 +45,7 @@ object WsQueries {
 
   /** FETCH over the events table: selector + label selectors + range,
     * exactly GtsFrame.select∘timeclip (the engine's storage hook). */
-  private def engine(s: SparkSession, dir: String, cents: Boolean) = {
+  private[queries] def engine(s: SparkSession, dir: String, cents: Boolean) = {
     val base = if (cents) Gts.fromEventsCents(s, dir) else Gts.fromEvents(s, dir)
     new WarpScriptEngine(
       fetch = (cls, labels, start, stop) =>

@@ -56,6 +56,8 @@ final class WarpScriptEngine(
   private[script] def execProgram(s: String, st: State): Unit =
     exec(WarpScriptTokenizer.tokenize(s), st)
   private[script] def evalWordPub(w: String, st: State): Unit = evalWord(w, st)
+  private[script] def fetchPub(cls: String, labels: Map[String, String],
+      start: Long, stop: Long): GtsFrame = fetch(cls, labels, start, stop)
 
   /** Run a program over an initially empty stack; returns the final
     * stack, top first. */
@@ -202,26 +204,7 @@ final class WarpScriptEngine(
       val v = st.pop()
       st.stack.insert(n - 1, v)
     // TYPEOF (fn/TYPEOF.java:118-160 type names)
-    case "TYPEOF" => st.push(st.pop() match {
-      case null => "NULL"
-      case _: String => "STRING"
-      case _: Long => "LONG"
-      case _: Double => "DOUBLE"
-      case _: java.math.BigDecimal => "BIGDECIMAL"
-      case _: Boolean => "BOOLEAN"
-      case _: Vector[_] => "LIST"
-      case _: Map[_, _] => "MAP"
-      case _: WsMacro => "MACRO"
-      case _: Set[_] => "SET"
-      case _: Array[Byte] => "BYTES"
-      case _: WordsColl.WsMat => "MATRIX"
-      case _: WordsColl.WsVec => "VECTOR"
-      case _: java.util.regex.Pattern => "MATCHER"
-      case _: GtsFrame | _: BucketedFrame | _: GtsBuilder => "GTS"
-      case _: AggVal => "AGGREGATOR"
-      case _: FilterVal => "FILTER"
-      case _ => "FUNCTION"
-    })
+    case "TYPEOF" => st.push(WarpScriptEngine.typeNameOf(st.pop()))
     // DEFINED (fn/DEFINED.java): symbol-table membership
     case "DEFINED" => st.push(st.symbols.contains(st.popStr()))
 
@@ -1381,7 +1364,8 @@ final class WarpScriptEngine(
           !WordsAnalytics.eval(other, st, this) &&
           !WordsExt3.eval(other, st, this) &&
           !WordsDebug.eval(other, st, this) &&
-          !WordsGts2.eval(other, st, this))
+          !WordsGts2.eval(other, st, this) &&
+          !WordsExt4.eval(other, st, this))
         throw new IllegalArgumentException(s"unknown function '$other'")
   }
 
@@ -1630,6 +1614,10 @@ object WarpScriptEngine {
     val attrs = mutable.Map.empty[Long, Map[String, String]]
     // CAPADD/CAPGET capability store (reference: token-carried caps)
     val caps = mutable.Map.empty[String, String]
+    // KVSTORE/KVLOAD engine-side key-value store (the reference writes
+    // through StoreClient; session state here, NEVER a data path — no
+    // DataFrame-derived iterator may be stored)
+    val kv = mutable.Map.empty[String, Any]
     def push(v: Any): Unit = stack.prepend(v)
     def pop(): Any =
       if (stack.isEmpty) throw new IllegalStateException("stack underflow")
@@ -1699,6 +1687,29 @@ object WarpScriptEngine {
     * fill words read them from there (fn/FILLPREVIOUS.java). */
   final case class BucketedFrame(frame: GtsFrame, lastbucket: Long,
       span: Long, count: Long)
+
+  /** TYPEOF name of a stack value (fn/TYPEOF.java typeof). Shared by
+    * TYPEOF and TDESCRIBE (the recursive variant). */
+  private[script] def typeNameOf(v: Any): String = v match {
+    case null => "NULL"
+    case _: String => "STRING"
+    case _: Long => "LONG"
+    case _: Double => "DOUBLE"
+    case _: java.math.BigDecimal => "BIGDECIMAL"
+    case _: Boolean => "BOOLEAN"
+    case _: Vector[_] => "LIST"
+    case _: Map[_, _] => "MAP"
+    case _: WsMacro => "MACRO"
+    case _: Set[_] => "SET"
+    case _: Array[Byte] => "BYTES"
+    case _: WordsColl.WsMat => "MATRIX"
+    case _: WordsColl.WsVec => "VECTOR"
+    case _: java.util.regex.Pattern => "MATCHER"
+    case _: GtsFrame | _: BucketedFrame | _: GtsBuilder => "GTS"
+    case _: AggVal => "AGGREGATOR"
+    case _: FilterVal => "FILTER"
+    case _ => "FUNCTION"
+  }
 
   /** Named aggregator usable as bucketizer/windowed-mapper/reducer —
     * the three families share implementations, as in the reference

@@ -430,7 +430,7 @@ private[script] object WordsCrypto {
     }
   }
 
-  private def ecParams(curve: String): java.security.spec.ECParameterSpec = {
+  private[script] def ecParams(curve: String): java.security.spec.ECParameterSpec = {
     val ap = java.security.AlgorithmParameters.getInstance("EC")
     ap.init(new java.security.spec.ECGenParameterSpec(curve))
     ap.getParameterSpec(classOf[java.security.spec.ECParameterSpec])
