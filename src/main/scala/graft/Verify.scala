@@ -15,13 +15,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // One result per declared query, ALWAYS — a failed query records its
+    // error instead of silently vanishing from the artifact (round 5 lost
+    // 199 rows to a swallowed analysis exception + exit 0).
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        errors(name) = msg
+        // stdout AND stderr: sbt routes these differently and the
+        // driver's log capture must see the failure either way
+        println(s"[verify] FAIL $name: $msg")
+        System.err.println(s"[verify] FAIL $name: $msg")
       }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -39,6 +48,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Machine-readable failure record (empty object when all green) so
+    // the gate can emit err rows even for queries with no parquet output.
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
+    if (errors.nonEmpty) {
+      println(s"[verify] ${errors.size} of ${SparkEntry.queries.size} queries FAILED")
+      sys.exit(2)
+    }
   }
 }

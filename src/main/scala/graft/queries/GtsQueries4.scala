@@ -32,8 +32,7 @@ object GtsQueries4 {
     // string/regexp mappers (mapper.regexp.match/replace → regexp_*)
     // over the events props payload: extract the numeric k, bucket it
     "g46_props_extract" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = graft.model.Gts.eventsRaw(s, dir)
       ev.select(col("event_type"),
           regexp_extract(col("props"), "([0-9]+)", 1).cast(LongType).as("k"))
         .groupBy(col("event_type"), (col("k") % 10).as("kmod"))

@@ -179,10 +179,9 @@ object GtsQueries6 {
     // regexp/string mappers mapper.regexp.match/replace, Replace
     // (script/mapper/MapperRegExpMatch.java, MapperRegExpReplace.java)
     "g60_regex_mappers" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = graft.model.Gts.eventsRaw(s, dir)
       ev.select(col("event_type"),
-        expr("ts div 1000").as("ts"),
+        col("ts"),
         regexp_replace(col("props"), "[0-9]", "#").as("m_re_replace"),
         regexp_replace(col("props"), "a", "@").as("m_replace"),
         col("props").rlike("[0-9]{2,}").as("m_re_match"))

@@ -183,12 +183,11 @@ object GtsQueries7 {
     // IlpConverter.ingest (class = measurement.field, ns→µs, shortest-
     // repr double round-trip) — oracle = raw table
     "g74_ilp_roundtrip" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = graft.model.Gts.eventsRaw(s, dir)
       val lines = ev.select(concat(
         lit("events,user="), col("user_id"),
         lit(" "), col("event_type"), lit("="), col("value").cast(StringType),
-        lit(" "), expr("ts div 1000") * 1000L).as("value"))
+        lit(" "), col("ts") * 1000L).as("value"))
       graft.sources.IlpConverter.ingest(lines, nowMicros = 0L)
         .select(col("class"), userid, col("ts"), col("vdouble"))
     })

@@ -2,7 +2,7 @@ package graft.queries
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -33,7 +33,7 @@ import graft.streaming.{StreamingIngest, StreamingState}
   * header for the maxpast/maxfuture semantics).
   */
 object StreamQueries {
-  import GtsQueries.{EV, HOUR}
+  import GtsQueries.{DAY, EV, HOUR}
 
   private val userid = col("labels").getItem("user").as("userid")
 
@@ -84,7 +84,61 @@ object StreamQueries {
         // streaming carry starts at 0 and only increments.
         .select(col("class"), col("userid"), col("ts"),
           (col("session") + 1).as("sessionid"))
-    })
+    }),
+
+    // Watermark semantics under AvailableNow (SURVEY §2.10): two ordered
+    // micro-batches (even users first, odd users in a second file),
+    // 1-day watermark, 1-day tumbling count in APPEND mode. The rules —
+    // established empirically by WatermarkProbeSpec against this exact
+    // Spark build and verified against the checkpoint's batchWatermarkMs:
+    //  * the watermark of batch N is ms-truncate(max event time over
+    //    batches < N) - delay, so the LAST batch's watermark derives
+    //    from the first file only (here: the even users);
+    //  * late rows landing in windows still held in state are MERGED,
+    //    not dropped (drop-on-arrival applies only to windows already
+    //    finalized, which never happens mid-run in an AvailableNow
+    //    drain — no no-data batch runs after the last file);
+    //  * a window is emitted exactly once, when its end <= the
+    //    watermark at the final commit.
+    // Net observable: full counts for every finalized window; the
+    // trailing windows the watermark never passed are withheld.
+    "s03_stream_latedrop" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-s03-").toString
+      val in = s"$tmp/in"; val outP = s"$tmp/out"; val ck = s"$tmp/ck"
+      Files.createDirectories(java.nio.file.Paths.get(in))
+      val src = Gts.fromEvents(s, dir)
+        .select(col("class"), userid, col("ts"))
+      def writeBatch(cond: Column, name: String, mtime: Long): Unit = {
+        val stage = s"$tmp/stage_$name"
+        src.filter(cond).coalesce(1).write.parquet(stage)
+        val part = Files.list(java.nio.file.Paths.get(stage)).toArray
+          .map(_.asInstanceOf[java.nio.file.Path])
+          .find(_.toString.endsWith(".parquet")).get
+        val dst = java.nio.file.Paths.get(in, s"$name.parquet")
+        Files.move(part, dst)
+        dst.toFile.setLastModified(mtime)
+      }
+      val now = System.currentTimeMillis()
+      writeBatch(expr("CAST(userid AS BIGINT) % 2 = 0"), "b0", now - 60000)
+      writeBatch(expr("CAST(userid AS BIGINT) % 2 = 1"), "b1", now - 30000)
+      val schema = StructType(Seq(
+        StructField("class", StringType), StructField("userid", StringType),
+        StructField("ts", LongType)))
+      val pts = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val agg = pts.withColumn("etime", timestamp_micros(col("ts")))
+        .withWatermark("etime", "24 hours")
+        .groupBy(window(col("etime"), "1 day"), col("class"))
+        .count()
+        .select(col("class"), unix_micros(col("window.start")).as("ws"),
+          col("count").as("n"))
+      val q = agg.writeStream.format("parquet").option("path", outP)
+        .option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      releaseStreamingResources()
+      s.read.parquet(outP)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -92,6 +146,21 @@ object StreamQueries {
     "s01_stream_ingest" ->
       s"""WITH g AS ($EV)
          |SELECT class, userid, ts, vdouble FROM g""".stripMargin,
+
+    // batch twin of the watermark rules (see s03 Scaladoc): the final
+    // watermark derives from the FIRST batch only (even users), Spark
+    // truncates the tracked max event time to MILLISECONDS before
+    // subtracting the delay (EventTimeStats is ms-valued, verified
+    // against the checkpoint's batchWatermarkMs), and every row counts —
+    // late arrivals merge into still-open windows
+    "s03_stream_latedrop" ->
+      s"""WITH g AS ($EV),
+         |w1 AS (SELECT (max(ts) // 1000) * 1000 - $DAY AS wm FROM g
+         |       WHERE CAST(userid AS BIGINT) % 2 = 0)
+         |SELECT class, (ts // $DAY) * $DAY AS ws, CAST(count(*) AS BIGINT) AS n
+         |FROM g
+         |WHERE (ts // $DAY) * $DAY + $DAY <= (SELECT wm FROM w1)
+         |GROUP BY 1, 2""".stripMargin,
 
     // identical to g15: stateful sessionization == batch gap-cumsum
     "s02_stream_sessions" ->

@@ -170,6 +170,21 @@ object WsQueries2 {
         lit(nCommon).as("n_common"))
     }),
 
+    // SMARTPARSE (fn/SMARTPARSE.java:150-230): every matcher.find()
+    // hit emits a point — 3 matches in one string → 3 points; the
+    // DuckDB oracle re-derives the find() loop independently with
+    // regexp_extract_all + zipped unnest
+    "w84_ws_smartparse" -> ((s, dir) => {
+      val prog =
+        """NEWGTS 'log' RENAME
+          |100 NaN NaN NULL 'cpu=1 at=10; cpu=2 at=20; cpu=3 at=30' ADDVALUE
+          |200 NaN NaN NULL 'cpu=7 at=70' ADDVALUE
+          |300 NaN NaN NULL 'mem=9' ADDVALUE
+          |'cpu=(?<VLcpu>\d+) at=(?<Tus>\d+)' SMARTPARSE""".stripMargin
+      engine(s, dir, cents = false).runToFrame(prog)
+        .select(col("class"), col("ts"), col("vlong").as("cpu"))
+    }),
+
     // ->MVSTRING (fn/TOMVSTRING.java): multivalue string rendering
     "w83_ws_mvstring" -> ((s, dir) => {
       val prog =
@@ -233,5 +248,14 @@ object WsQueries2 {
         |  CAST(1 AS BIGINT) AS n_common""".stripMargin,
 
     "w83_ws_mvstring" -> "SELECT '[! 42.0 1/3.5 ]' AS mv",
+
+    "w84_ws_smartparse" ->
+      """WITH raw(s) AS (VALUES ('cpu=1 at=10; cpu=2 at=20; cpu=3 at=30'),
+        |                       ('cpu=7 at=70'), ('mem=9')),
+        |m AS (SELECT unnest(regexp_extract_all(s, 'cpu=(\d+) at=(\d+)', 1)) AS cpu,
+        |             unnest(regexp_extract_all(s, 'cpu=(\d+) at=(\d+)', 2)) AS at
+        |      FROM raw)
+        |SELECT 'cpu' AS class, CAST(at AS BIGINT) AS ts, CAST(cpu AS BIGINT) AS cpu
+        |FROM m""".stripMargin,
   )
 }

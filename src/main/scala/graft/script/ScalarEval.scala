@@ -290,4 +290,29 @@ object ScalarEval extends Serializable {
   }
 
   private object ListMarker extends Serializable
+
+  /** Words this interpreter handles WITHOUT touching point data —
+    * GROUPBY/FILTERBY use this to decide whether a keying macro can be
+    * evaluated in one pass over collected series metadata (class +
+    * labels only) instead of materializing each sub-series. VALUES/
+    * TICKS/FIRSTTICK/LASTTICK/SIZE are excluded: on a metadata-only
+    * GtsLite they would read an empty points vector and silently lie.
+    */
+  private val metadataSafeWords: Set[String] = Set(
+    "IFT", "IFTE", "FOREACH", "FOR", "BREAK",
+    "CONTINUE", "DUP", "DROP", "SWAP", "OVER", "ROT", "DEPTH", "CLEAR",
+    "PICK", "+", "-", "*", "/", "%", "**", "==", "!=", "<", "<=", ">",
+    ">=", "AND", "&&", "OR", "||", "NOT", "!", "ABS", "SQRT", "CBRT",
+    "EXP", "LN", "LOG", "FLOOR", "CEIL", "ROUND", "RINT", "SIN", "COS",
+    "TAN", "ATAN", "TANH", "MIN", "MAX", "TODOUBLE", "TOLONG", "NaN",
+    "ISNaN", "PI", "pi", "e", "NULL", "ISNULL", "[", "]", "GET",
+    "REVERSE", "FLATTEN", "+!", "->LIST", "LIST->", "NAME", "LABELS",
+    "<%", "%>")
+
+  // $var/LOAD/STORE/EVAL are deliberately NOT safe: they could reach
+  // the calling engine's symbol scope, which this interpreter can't see
+  def metadataSafe(tokens: Vector[WsToken]): Boolean = tokens.forall {
+    case WsWord(w) => metadataSafeWords(w)
+    case _ => true
+  }
 }

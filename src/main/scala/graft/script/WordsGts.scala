@@ -306,23 +306,38 @@ private[script] object WordsGts {
       case "GROUPBY" | "FILTERBY" =>
         val m = st.pop().asInstanceOf[WsMacro]
         val f = en.toFrame(st.pop())
-        // bounded by the series count (the same driver contract as
-        // LABELS); each sub-frame stays a lazy filtered plan
+        // ONE metadata pass (distributed agg + single collect, bounded
+        // by the series count — same driver contract as LABELS), then
+        // key every series in memory: metadata-only macros run through
+        // ScalarEval with no further Spark actions; macros that touch
+        // point data fall back to the engine loop (one action/series).
         val metas = en.metaOf(f).collect()
         require(metas.length <= 10000, s"$w: too many series (${metas.length})")
-        val keyed = metas.map { row =>
-          val sub = GtsFrame(f.df.filter(col("gtsid") === row.getLong(0)))
-          st.push(sub)
-          en.evalMacro(m, st)
-          (st.pop(), sub)
+        val scalarSafe = graft.script.ScalarEval.metadataSafe(m.tokens)
+        val keyed: Seq[(Any, Long)] = metas.toSeq.map { row =>
+          val gtsid = row.getLong(0)
+          val key =
+            if (scalarSafe) {
+              val g = graft.script.ScalarEval.GtsLite(row.getString(1),
+                row.getMap[String, String](2).toMap, Vector.empty, Vector.empty)
+              graft.script.ScalarEval.run(m.tokens, List(g)).head
+            } else {
+              st.push(GtsFrame(f.df.filter(col("gtsid") === gtsid)))
+              en.evalMacro(m, st)
+              st.pop()
+            }
+          key -> gtsid
         }
+        // one filtered plan per GROUP (InSet over gtsids), never one
+        // per series — the sub-frame count no longer shapes the plan
+        def subFrame(ids: Seq[Long]): GtsFrame =
+          if (ids.isEmpty) GtsFrame(f.df.limit(0))
+          else GtsFrame(f.df.filter(col("gtsid").isin(ids: _*)))
         if (w == "FILTERBY")
-          st.push(keyed.collect { case (true, sub) => sub.df }
-            .reduceOption(_ unionByName _).map(GtsFrame(_))
-            .getOrElse(GtsFrame(f.df.limit(0))))
+          st.push(subFrame(keyed.collect { case (true, id) => id }))
         else
-          st.push(keyed.groupBy(_._1).map { case (k, subs) =>
-            (k: Any) -> (GtsFrame(subs.map(_._2.df).reduce(_ unionByName _)): Any)
+          st.push(keyed.groupBy(_._1).map { case (k, ids) =>
+            (k: Any) -> (subFrame(ids.map(_._2)): Any)
           }.toMap)
 
       // ---- construction (fn/MAKEGTS.java: { 'c' class 'l' labels

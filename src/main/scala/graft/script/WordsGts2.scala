@@ -179,9 +179,11 @@ private[script] object WordsGts2 {
       // groups over a STRING GTS — (?<VDname>…)/VL/VB/VS value groups
       // become series named after the group, (?<Lxx>…) groups become
       // labels, (?<Ts|Tms|Tus|Tns>…) override the tick, lat/lon/elev
-      // set the location. Distributed: one regexp_extract branch per
-      // value group, unioned — no UDF, no driver loop. Subset: first
-      // match per point (the reference iterates matcher.find()).
+      // set the location. Distributed: regexp_extract_all + posexplode
+      // yields one row per matcher.find() hit (the reference loops
+      // find(), :150-230 — ALL matches in a string produce points, not
+      // just the first), then one branch per value group, unioned — no
+      // UDF, no driver loop.
       case "SMARTPARSE" =>
         val regexp = st.popStr()
         val f = en.toFrame(st.pop())
@@ -191,9 +193,16 @@ private[script] object WordsGts2 {
         val lgroups = names.filter(n => n.length > 1 && n.startsWith("L"))
         val tgroups = names.filter(n => n.startsWith("T"))
         require(vgroups.nonEmpty, "SMARTPARSE: no (?<V...>) value group in regexp")
-        def ex(g: String) = regexp_extract(col("vstring"), regexp, idx(g))
+        // per-group capture arrays are parallel (one element per find());
+        // __mi indexes into them so every group reads the SAME match
+        def ex(g: String) = element_at(
+          regexp_extract_all(col("vstring"), lit(regexp), lit(idx(g))),
+          col("__mi") + 1)
         val base = f.df.filter(col("vstring").isNotNull &&
-          col("vstring").rlike(regexp))
+            col("vstring").rlike(regexp))
+          .select(col("*"), posexplode(
+            regexp_extract_all(col("vstring"), lit(regexp), lit(0)))
+            .as(Seq("__mi", "__match")))
         val labelCols = lgroups.foldLeft(col("labels")) { (acc, g) =>
           when(ex(g) =!= "", map_concat(acc, map(lit(g.drop(1)), ex(g))))
             .otherwise(acc)

@@ -372,6 +372,38 @@ class WarpScriptSpec2 extends SparkSpec {
       .head == 3L)
   }
 
+  test("GROUPBY keys series via metadata macro (fast path) and outer-scope macro (fallback)") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val df = s.range(6).select(
+      lit("t.m").as("class"),
+      map(lit("u"), (col("id") % 3).cast("string")).as("labels"),
+      lit(0L).as("gtsid"), (col("id") * 1000L).as("ts"),
+      lit(null).cast("double").as("lat"), lit(null).cast("double").as("lon"),
+      lit(null).cast("long").as("elev"),
+      lit(graft.model.GtsType.DOUBLE).as("vtype"),
+      lit(null).cast("long").as("vlong"),
+      col("id").cast("double").as("vdouble"),
+      lit(null).cast("boolean").as("vbool"),
+      lit(null).cast("string").as("vstring"),
+      lit(null).cast("binary").as("vbinary"))
+    val e = engWith(graft.operators.GtsFrame(graft.model.Gts.canonicalRehash(df)))
+    // metadata-only macro → ScalarEval single-pass path; 3 user groups
+    val m = e.run(
+      """[ '' '~.*' { } 0 100000000 ] FETCH
+        |<% LABELS 'u' GET %> GROUPBY""".stripMargin)
+      .head.asInstanceOf[Map[Any, Any]]
+    assert(m.keySet == Set("0", "1", "2"))
+    assert(m("1").asInstanceOf[graft.operators.GtsFrame].df.count() == 2L)
+    // outer-$var macro → engine fallback path, same grouping
+    val m2 = e.run(
+      """'u' 'k' STORE
+        |[ '' '~.*' { } 0 100000000 ] FETCH
+        |<% LABELS $k GET %> GROUPBY""".stripMargin)
+      .head.asInstanceOf[Map[Any, Any]]
+    assert(m2.keySet == Set("0", "1", "2"))
+  }
+
   test("MAKEGTS and PARSE construct frames") {
     val e = engWith(sampleFrame)
     assert(e.run(

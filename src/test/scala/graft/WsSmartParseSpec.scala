@@ -46,6 +46,20 @@ class WsSmartParseSpec extends SparkSpec {
     assert(mem.map(_.getDouble(4)).toSet == Set(1.5, 2.25))
   }
 
+  test("SMARTPARSE emits a point per match, not just the first (matcher.find loop)") {
+    val f = strFrame(Seq(
+      (100L, "cpu=1 at=10; cpu=2 at=20; cpu=3 at=30"),
+      (200L, "cpu=7 at=70")))
+    val e = new WarpScriptEngine(fetch = (_, _, _, _) => f, nowTs = 0L,
+      session = Some(spark))
+    val df = e.runToFrame(
+      """[ '' '~.*' { } 0 1000 ] FETCH
+        |'cpu=(?<VLcpu>\d+) at=(?<Tus>\d+)'
+        |SMARTPARSE""".stripMargin)
+    val rows = df.select("ts", "vlong").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(rows.toSeq == Seq((10L, 1L), (20L, 2L), (30L, 3L), (70L, 7L)))
+  }
+
   test("SMARTPARSE parses lat/lon/elev groups") {
     val f = strFrame(Seq((5L, "pos 48.5,-4.25 alt 120 v=1")))
     val e = new WarpScriptEngine(fetch = (_, _, _, _) => f, nowTs = 0L,
