@@ -1,0 +1,579 @@
+package graft.script
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.GtsFrame
+import graft.operators.GtsFrame._
+
+/** Word block split out of [[WarpScriptEngine.evalWordDispatch]] (see
+  * [[WordsStringsBlock]]): the GTS frame words (FETCH/BUCKETIZE/MAP/
+  * REDUCE/APPLY family and accessors) and the function-value words
+  * (bucketizer.*, mapper.*, reducer.*, op.*, filter.*). Pure
+  * relocation — semantics and reference citations unchanged.
+  */
+private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
+  import WsToken._
+  import WarpScriptEngine._
+
+  // scalastyle:off cyclomatic.complexity method.length
+  private[script] def wordsFramesBlock(w: String, st: State): Boolean = {
+    w match {
+    // ---- GTS frame words ------------------------------------------------
+    // FETCH (fn/FETCH.java list form [ token class labels start stop ];
+    // the auth token is accepted and ignored — storage ACLs are the
+    // host's concern, not the algebra's)
+    case "FETCH" =>
+      val args = st.pop().asInstanceOf[Vector[Any]]
+      val (cls, labels, start, stop) = args match {
+        case Vector(_: String, c: String, l: Map[_, _], a: Long, b: Long) =>
+          (c, l.asInstanceOf[Map[String, String]], a, b)
+        case Vector(c: String, l: Map[_, _], a: Long, b: Long) =>
+          (c, l.asInstanceOf[Map[String, String]], a, b)
+        case other => throw new IllegalArgumentException(s"FETCH args: $other")
+      }
+      st.push(fetchPub(cls, labels, start, stop))
+
+    // BUCKETIZE (fn/BUCKETIZE.java): [ gts bucketizer lastbucket span count ]
+    case "BUCKETIZE" =>
+      val args = st.pop().asInstanceOf[Vector[Any]]
+      val n = args.length
+      val (count, span, lb) = (asLong(args(n - 1)), asLong(args(n - 2)), asLong(args(n - 3)))
+      val agg = args(n - 4) match {
+        case AggVal(_, a) => a
+        case MacroAgg(_, tokens) =>
+          st.push(GtsFrame(MacroKernel.macroBucketize(
+            framesOf(args.take(n - 4)).df, tokens, lb, span)))
+          return true
+        case o => throw new IllegalArgumentException(s"not a bucketizer: $o")
+      }
+      val bucketed = framesOf(args.take(n - 4)).bucketizeAuto(agg, lb, span, count)
+      // explicit params → carry them for downstream fill words; auto
+      // params → plain frame (metadata was data-derived inside)
+      st.push(if (span > 0 && lb != 0) BucketedFrame(bucketed, lb, span, count)
+        else bucketed)
+
+    // MAP (fn/MAP.java): [ gts mapper pre post occurrences ]; negative
+    // pre/post = time span, positive = tick count (GTSHelper.java:6440)
+    case "MAP" =>
+      val args = st.pop().asInstanceOf[Vector[Any]]
+      val n = args.length
+      val (occ, post, pre) = (asLong(args(n - 1)), asLong(args(n - 2)), asLong(args(n - 3)))
+      args(n - 4) match {
+        case AggVal(_, a) =>
+          st.push(framesOf(args.take(n - 4)).mapWindow(a, pre, post, occurrences = occ))
+        case MapperCol(_, f) =>
+          val fr = framesOf(args.take(n - 4))
+          // a mapper producing no value drops the tick (the reference's
+          // comparison mappers MapperEQ/GT/... return null → no point)
+          st.push(GtsFrame(fr.df.withColumn("vdouble", f(col("vdouble")))
+            .filter(col("vdouble").isNotNull)))
+        case MapperDf(_, f) =>
+          st.push(GtsFrame(f(framesOf(args.take(n - 4)).df)))
+        // a 1D interpolant used as a mapper (INTERPOLATOR_1D.java's
+        // WarpScriptMapperFunction face): out-of-range → NaN, point kept
+        case i: WordsExt3.WsInterp =>
+          val fr = framesOf(args.take(n - 4))
+          st.push(GtsFrame(fr.df.withColumn("vdouble",
+            i.columnExpr(col("vdouble")))))
+        case MacroAgg(_, tokens) =>
+          val fr = framesOf(args.take(n - 4))
+          st.push(GtsFrame(MacroKernel.macroMap(fr.df, tokens, pre, post, occ)))
+        case o => throw new IllegalArgumentException(s"not a mapper: $o")
+      }
+
+    // REDUCE (fn/REDUCE.java): [ gts... [labels] reducer ]
+    case "REDUCE" =>
+      val args = st.pop().asInstanceOf[Vector[Any]]
+      val labels = args(args.length - 2).asInstanceOf[Vector[Any]].map(_.toString)
+      args.last match {
+        case AggVal(_, a) =>
+          // REDUCE emits the flattened shape (labels..., ts, vdouble)
+          st.push(GtsFrame(framesOf(args.take(args.length - 2)).reduce(a, labels.toSeq)))
+        case MacroAgg(_, tokens) =>
+          st.push(GtsFrame(MacroKernel.macroReduce(
+            framesOf(args.take(args.length - 2)).df, tokens, labels.toSeq)))
+        case o => throw new IllegalArgumentException(s"not a reducer: $o")
+      }
+
+    // FILTER (fn/FILTER.java): [ gts... [labels] filter ]
+    case "FILTER" =>
+      val args = st.pop().asInstanceOf[Vector[Any]]
+      args.last match {
+        case FilterVal(_, pred) =>
+          st.push(framesOf(args.take(args.length - 2)).filterSeries(pred))
+        case MacroAgg(_, tokens) =>
+          st.push(GtsFrame(MacroKernel.filterSeries(
+            framesOf(args.take(args.length - 2)).df, tokens)))
+        case o => throw new IllegalArgumentException(s"not a filter: $o")
+      }
+
+    // APPLY (fn/APPLY.java): [ [gts-a] [gts-b] [labels] op ]
+    case "APPLY" =>
+      val args = st.pop().asInstanceOf[Vector[Any]]
+      val opv = args.last match {
+        case o: OpVal => o
+        case o => throw new IllegalArgumentException(s"not an op: $o")
+      }
+      val labels = args(args.length - 2).asInstanceOf[Vector[Any]].map(_.toString).toSeq
+      val b = toFrame(args(args.length - 3))
+      val a = toFrame(args(args.length - 4))
+      val out = opv.name match {
+        case "op.mask" => a.mask(b, labels)
+        case "op.negmask" => a.mask(b, labels, negate = true)
+        case _ => a.applyOp(b, opv.f, labels)
+      }
+      // APPLY emits the flattened shape (labels..., ts, vdouble)
+      st.push(GtsFrame(out))
+
+    // structural frame words — direct GtsFrame methods
+    // fill words (fn/FILLPREVIOUS.java etc.): operate on a BUCKETIZE
+    // result, bucket params read from the carried metadata
+    // fills preserve bucketization metadata, as the reference keeps
+    // lastbucket/span/count on the filled GTS (GTSHelper.fill)
+    case "FILLPREVIOUS" =>
+      val b = toBucketed(st.pop())
+      st.push(b.copy(frame = GtsFrame(b.frame.fillPrevious(b.lastbucket, b.span, b.count))))
+    case "FILLNEXT" =>
+      val b = toBucketed(st.pop())
+      st.push(b.copy(frame = GtsFrame(b.frame.fillNext(b.lastbucket, b.span, b.count))))
+    case "FILLVALUE" => // [ lat lon elev value ] list form; value used
+      val v = st.pop() match {
+        case l: Vector[_] => asNum(l.last)
+        case n => asNum(n)
+      }
+      val b = toBucketed(st.pop())
+      st.push(b.copy(frame = GtsFrame(b.frame.fillValue(b.lastbucket, b.span, b.count, v))))
+    case "INTERPOLATE" =>
+      val b = toBucketed(st.pop())
+      st.push(b.copy(frame = GtsFrame(b.frame.fillLinear(b.lastbucket, b.span, b.count))))
+    case "DEDUP" => st.push(toFrame(st.pop()).dedup())
+    case "COMPACT" => st.push(toFrame(st.pop()).compact())
+    case "NORMALIZE0" | "ISONORMALIZE" => st.push(toFrame(st.pop()).normalize())
+    // RENAME / RELABEL (fn/RENAME.java, fn/RELABEL.java) — also valid
+    // on a NEWGTS builder before materialization
+    case "RENAME" => val n = st.popStr(); st.pop() match {
+      case b: GtsBuilder =>
+        st.push(b.copy(cls = if (n.startsWith("+")) b.cls + n.substring(1) else n))
+      case f => st.push(toFrame(f).rename(n))
+    }
+    case "RELABEL" =>
+      val m = st.pop().asInstanceOf[Map[Any, Any]]
+        .map { case (k, v) => k.toString -> (if (v == null) "" else v.toString) }
+      st.pop() match {
+        case b: GtsBuilder =>
+          val (removes, sets) = m.partition(_._2.isEmpty)
+          st.push(b.copy(labels = (b.labels ++ sets) -- removes.keys))
+        case f => st.push(toFrame(f).relabel(m))
+      }
+    // NEWGTS / ADDVALUE (fn/NEWGTS.java, fn/ADDVALUE.java): build a GTS
+    // from literals on the stack; materializes into a one-series frame
+    // when a frame word consumes it. `gts ts lat lon elev value ADDVALUE`
+    // — NaN lat/lon and NULL elev mean absent, as in the reference.
+    case "NEWGTS" | "NEWENCODER" => st.push(GtsBuilder("", Map.empty, Vector.empty))
+    case "ADDVALUE" =>
+      val v: Any = st.pop() match {
+        case l: Long => l
+        case d: Double => d
+        case b: Boolean => b
+        case str: String => str
+        case bin: Array[Byte] => bin
+        case o => throw new IllegalArgumentException(s"ADDVALUE value: $o")
+      }
+      val elev = st.pop() match {
+        case null => None
+        case l: Long => Some(l)
+        case d: Double if !d.isNaN => Some(d.toLong)
+        case _ => None
+      }
+      val lon = st.popNum(); val lat = st.popNum()
+      val ts = st.popLong()
+      st.pop() match {
+        case b: GtsBuilder =>
+          val loc = if (lat.isNaN || lon.isNaN) None else Some((lat, lon))
+          st.push(b.copy(points = b.points :+ (ts, loc, elev, v)))
+        case o => throw new IllegalArgumentException(s"ADDVALUE on $o")
+      }
+    // accessor words (fn/FIRSTTICK.java, LASTTICK, TICKS, VALUES, NAME,
+    // LABELS, SIZE-for-GTS handled under SIZE): driver-side scalars over
+    // the frame — tiny aggs, same contract as GtsFrame auto-params
+    case "FIRSTTICK" =>
+      st.push(toFrame(st.pop()).df.agg(min(col("ts"))).head().getLong(0))
+    case "LASTTICK" =>
+      st.push(toFrame(st.pop()).df.agg(max(col("ts"))).head().getLong(0))
+    case "NAME" =>
+      st.push(toFrame(st.pop()).df.select(col("class")).distinct()
+        .collect().map(_.getString(0)).sorted.toVector)
+    // LABELS (fn/LABELS.java — the labels map of a single GTS; a frame
+    // holding several distinct label sets has no single answer)
+    case "LABELS" =>
+      val maps = toFrame(st.pop()).df
+        .select(col("gtsid"), col("labels")).groupBy(col("gtsid"))
+        .agg(first(col("labels")).as("labels"))
+        .collect().map(_.getMap[String, String](1).toMap).distinct
+      maps match {
+        case Array(one) => st.push(one.asInstanceOf[Map[Any, Any]])
+        case _ => throw new IllegalArgumentException(
+          s"LABELS needs a single-series frame, found ${maps.length} label sets")
+      }
+    // CLONEEMPTY (fn/CLONEEMPTY.java): same shape, zero points
+    case "CLONEEMPTY" => st.push(GtsFrame(toFrame(st.pop()).df.limit(0)))
+    case "TICKLIST" =>
+      st.push(toFrame(st.pop()).df.select(col("ts")).distinct()
+        .collect().map(_.getLong(0)).sorted.toVector)
+    // CORRELATE (fn/CORRELATE.java): [ [gts-a] [gts-b] [labels] ] CORRELATE
+    case "CORRELATE" =>
+      val args = st.pop().asInstanceOf[Vector[Any]]
+      val labels = args(args.length - 1).asInstanceOf[Vector[Any]].map(_.toString).toSeq
+      val b = toFrame(args(args.length - 2))
+      val a = toFrame(args(args.length - 3))
+      st.push(GtsFrame(graft.operators.StatOps.correlate(a, b, labels)))
+    // LTTB (fn/LTTB.java): gts threshold LTTB — exact-area variant
+    case "LTTB" =>
+      val thr = st.popLong().toInt
+      val f = toFrame(st.pop())
+      val sel = new graft.kernels.KernelOps(f.df).lttbExact(thr)
+      val meta = f.df.groupBy(col("gtsid"))
+        .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
+      st.push(GtsFrame(sel.join(meta, "gtsid")))
+    // FFT surface (continuum/gts/FFT.java): gts bins span lastbucket FFT
+    // → per-series spectrum rows (k, re, im, mag); see StatOps.dft
+    case "FFT" =>
+      val lb = st.popLong(); val span = st.popLong(); val bins = st.popLong().toInt
+      st.push(GtsFrame(graft.operators.StatOps.dft(toFrame(st.pop()), bins, span, lb)))
+    // LOWESS (fn/LOWESS.java): gts q LOWESS, q = odd neighborhood size
+    case "LOWESS" | "RLOWESS" =>
+      val q = st.popLong().toInt
+      require(q >= 3 && q % 2 == 1, s"LOWESS neighborhood must be odd >= 3: $q")
+      st.push(GtsFrame(graft.operators.StatOps.lowessFit(toFrame(st.pop()), (q - 1) / 2)))
+    // DTW (fn/DTW.java lifted to frames, the CORRELATE list shape):
+    // [ a b [ labels ] bins span lastbucket ] DTW → (labels..., dtw)
+    case "DTW" =>
+      val args = st.pop().asInstanceOf[Vector[Any]]
+      val n = args.length
+      val (lb, span, bins) = (asLong(args(n - 1)), asLong(args(n - 2)), asLong(args(n - 3)).toInt)
+      val labels = args(n - 4).asInstanceOf[Vector[Any]].map(_.toString).toSeq
+      val b = toFrame(args(n - 5)); val a = toFrame(args(n - 6))
+      st.push(GtsFrame(graft.operators.StatOps.dtwPairs(a, b, labels, bins, span, lb)))
+    // OPTDTW (fn/OPTDTW.java): sequence query [window] count OPTDTW →
+    // top-`count` [start-index, distance] pairs from sliding the
+    // z-normalized query over every |query|-length subsequence with
+    // Sakoe-Chiba banded DTW (Manhattan cost, bessel-corrected sd, as
+    // the reference's DoubleUtils.musigma(values, true))
+    case "OPTDTW" =>
+      val count = st.popLong().toInt
+      var top = st.pop()
+      var window = Int.MaxValue
+      top match {
+        case l: Long =>
+          window = if (l < 0 || l > Int.MaxValue) Int.MaxValue else l.toInt
+          top = st.pop()
+        case _ =>
+      }
+      val query = top.asInstanceOf[Vector[Any]].map(asNum).toIndexedSeq
+      val series = st.pop().asInstanceOf[Vector[Any]].map(asNum).toIndexedSeq
+      require(series.length >= query.length,
+        "OPTDTW expects the query to be shorter than the sequence")
+      def znorm(v: IndexedSeq[Double]): IndexedSeq[Double] = {
+        val n = v.length
+        val mu = v.sum / n
+        val varPop = v.map(x => (x - mu) * (x - mu)).sum / n
+        val sd = math.sqrt(if (n > 1) varPop * n / (n - 1) else varPop)
+        if (sd == 0) v.map(_ => 0.0) else v.map(x => (x - mu) / sd)
+      }
+      val q = znorm(query)
+      val hits = (0 to series.length - query.length).map { i =>
+        val sub = znorm(series.slice(i, i + query.length))
+        (i.toLong, graft.kernels.SeriesKernels.dtwBanded(q, sub, window))
+      }.sortBy(r => (r._2, r._1))
+      val kept = if (count > 0) hits.take(count) else hits
+      st.push(kept.map { case (i, d) => Vector[Any](i, d) }.toVector)
+
+    // PATTERNS/PATTERNDETECTION (fn/PATTERNS.java): gts win alphabet
+    // minseries PATTERNS → motif table (word, n_series, n_occ)
+    case "PATTERNS" =>
+      val minSeries = st.popLong().toInt; val alphabet = st.popLong().toInt
+      val win = st.popLong().toInt
+      st.push(GtsFrame(graft.operators.StatOps.saxMotifs(toFrame(st.pop()),
+        win, alphabet, minSeries)))
+    // SINGLEEXPONENTIALSMOOTHING (fn/SINGLEEXPONENTIALSMOOTHING.java):
+    // gts alpha → smoothed gts (general-alpha sequential kernel)
+    case "SINGLEEXPONENTIALSMOOTHING" =>
+      val alpha = st.popNum()
+      val f = toFrame(st.pop())
+      st.push(GtsFrame(new graft.kernels.KernelOps(f.df).expSmooth(alpha)
+        .join(metaOf(f), "gtsid")))
+    // DOUBLEEXPONENTIALSMOOTHING (fn/DOUBLEEXPONENTIALSMOOTHING.java):
+    // gts alpha beta → Holt level series
+    case "DOUBLEEXPONENTIALSMOOTHING" =>
+      val beta = st.popNum(); val alpha = st.popNum()
+      val f = toFrame(st.pop())
+      st.push(GtsFrame(new graft.kernels.KernelOps(f.df).expSmooth(alpha, Some(beta))
+        .join(metaOf(f), "gtsid")))
+    // ZSCORETEST (fn/ZSCORETEST.java): gts useMedian threshold → flagged
+    // points (mean/sd z-score; the modified-z variant is ESDTEST's MAD path)
+    case "ZSCORETEST" =>
+      val thr = st.popNum(); val useMedian = st.popBool()
+      require(!useMedian, "ZSCORETEST: modified z-score not wired; use ESDTEST true")
+      st.push(GtsFrame(graft.operators.StatOps.zscoreFlag(toFrame(st.pop()), thr)))
+    // ESDTEST (fn/ESDTEST.java): gts k useMedian alpha → flagged outlier
+    // rounds (mean/sd or median/MAD per the flag)
+    case "ESDTEST" =>
+      val alpha = st.popNum(); val useMedian = st.popBool()
+      val k = st.popLong().toInt
+      val f = toFrame(st.pop())
+      val flagged =
+        if (useMedian) graft.operators.StatOps.esdMadFlag(f, k, alpha)
+        else graft.operators.StatOps.esdFlag(f, k, alpha)
+      st.push(GtsFrame(flagged.join(metaOf(f), "gtsid")))
+    // RESETS compensation (COUNTERDELTA family, GTSHelper compensateResets)
+    case "RESETS" => st.push(toFrame(st.pop()).compensateResets())
+    // RANGECOMPACT (fn/RANGECOMPACT.java): gts delta RANGECOMPACT
+    case "RANGECOMPACT" =>
+      val delta = st.popNum()
+      val f = toFrame(st.pop())
+      st.push(GtsFrame(new graft.kernels.KernelOps(f.df).rangeCompact(delta)
+        .join(metaOf(f), "gtsid")))
+    // LR (fn/LR.java): gts span lastbucket LR → per-series regression
+    case "LR" =>
+      val lb = st.popLong(); val span = st.popLong()
+      st.push(GtsFrame(graft.operators.StatOps.linReg(toFrame(st.pop()), span, lb)))
+    // SKEWNESS/KURTOSIS/NSUMSUMSQ surface (fn/SKEWNESS.java family):
+    // one word pushes the whole per-series moment table
+    case "MOMENTS" | "SKEWNESS" | "KURTOSIS" =>
+      st.push(GtsFrame(graft.operators.StatOps.momentStats(toFrame(st.pop()))))
+    // FDWT Haar (fn/FDWT.java): gts levels span lastbucket FDWT
+    case "FDWT" =>
+      val lb = st.popLong(); val span = st.popLong(); val lv = st.popLong().toInt
+      // bound: levels <= 0 would make the approx cascade empty and large
+      // levels allocate 1<<levels columns — a request-triggered OOM via
+      // POST /api/v0/exec without this check
+      require(lv >= 1 && lv <= 20, s"FDWT levels must be in [1, 20]: $lv")
+      st.push(GtsFrame(graft.operators.StatOps.haarDwt(toFrame(st.pop()), lv, span, lb)))
+    // IDWT (fn/IDWT.java): dwt-frame levels IDWT → reconstructed buckets
+    case "IDWT" =>
+      val lv = st.popLong().toInt
+      require(lv >= 1 && lv <= 20, s"IDWT levels must be in [1, 20]: $lv")
+      st.push(GtsFrame(graft.operators.StatOps.haarIdwt(toFrame(st.pop()).df, lv)))
+    // DISCORDS (continuum/gts/DISCORDS.java): gts win alphabet maxocc
+    case "DISCORDS" =>
+      val maxOcc = st.popLong().toInt; val alphabet = st.popLong().toInt
+      val win = st.popLong().toInt
+      st.push(GtsFrame(graft.operators.StatOps.saxDiscords(toFrame(st.pop()),
+        win, alphabet, maxOcc)))
+    // POLYFIT degree 2 (fn/POLYFIT.java): gts span lastbucket buckets
+    case "POLYFIT" =>
+      val nb = st.popLong().toInt; val lb = st.popLong(); val span = st.popLong()
+      st.push(GtsFrame(graft.operators.StatOps.polyFit2(toFrame(st.pop()),
+        span, lb, nb)))
+    // WRAP/UNWRAP (fn/WRAP.java, fn/UNWRAP.java): frame → per-series
+    // binary blobs and back (graft.sources.GtsCodec varint/delta codec)
+    case "WRAP" => st.push(graft.sources.GtsCodec.wrap(toFrame(st.pop()).df))
+    case "UNWRAP" => st.pop() match {
+      case f: GtsFrame => st.push(GtsFrame(graft.sources.GtsCodec.unwrap(f.df)))
+      case df: org.apache.spark.sql.DataFrame @unchecked
+          if df.columns.contains("blob") =>
+        st.push(GtsFrame(graft.sources.GtsCodec.unwrap(df)))
+      case o => throw new IllegalArgumentException(s"UNWRAP on $o")
+    }
+    // SNAPSHOT (fn/SNAPSHOT.java): render the top of the stack as a
+    // re-evaluable WarpScript literal (driver-side scalar)
+    case "SNAPSHOT" => st.push(graft.sources.Snapshot.render(st.pop()))
+    case "QUANTIZE" => // our quantize(step): [ gts step ] form
+      val step = st.popNum(); st.push(toFrame(st.pop()).quantize(step))
+    case "TIMECLIP" => // fn/TIMECLIP.java: gts end span | gts start end here
+      val b = st.popLong(); val a = st.popLong()
+      st.push(toFrame(st.pop()).timeclip(a, b))
+    case "TIMESHIFT" => val d = st.popLong(); st.push(toFrame(st.pop()).timeshift(d))
+    case "TIMESCALE" => val k = st.popNum(); st.push(toFrame(st.pop()).timescale(k))
+    case "TIMEMODULO" =>
+      val lbl = st.popStr(); val mod = st.popLong()
+      st.push(toFrame(st.pop()).timemodulo(mod, lbl))
+    case "TIMESPLIT" =>
+      val quiet = st.popLong(); st.push(GtsFrame(toFrame(st.pop()).timesplit(quiet)))
+    case "CHUNK" =>
+      val width = st.popLong(); val lastchunk = st.popLong()
+      st.push(GtsFrame(toFrame(st.pop()).chunk(lastchunk, width)))
+    case "NORMALIZE" => st.push(toFrame(st.pop()).normalize())
+    case "STANDARDIZE" => st.push(toFrame(st.pop()).standardize())
+    // COMMONTICKS (fn/COMMONTICKS.java): keep only ticks present in
+    // EVERY series of the frame/list — fully lazy: per-tick distinct
+    // series count equi-joined against the broadcast 1-row total
+    case "COMMONTICKS" =>
+      val f = toFrame(st.pop())
+      val total = f.df.agg(countDistinct(col("gtsid")).as("__total"))
+      val ticks = f.df.groupBy(col("ts"))
+        .agg(countDistinct(col("gtsid")).as("__n"))
+        .crossJoin(broadcast(total))
+        .filter(col("__n") === col("__total"))
+        .select(col("ts"))
+      st.push(GtsFrame(f.df.join(ticks, "ts")))
+    // SORT/RSORT (fn/SORT.java, RSORT): the reference orders the
+    // materialized point list; the frame algebra is set-semantic and
+    // every order-sensitive operator sorts internally, so these accept
+    // and pass the frame through unchanged
+    case "SORT" | "RSORT" | "FULLSORT" => st.push(toFrame(st.pop()))
+    case "INTEGRATE" => st.push(toFrame(st.pop()).integrate())
+    // PIVOT (frame word over the native groupBy().pivot() path — the
+    // wide-table view the reference builds via per-class FETCH+APPLY):
+    // gts [ classes ] labelkey lastbucket span PIVOT → one row per
+    // (label value, bucket end), one sum column per class.
+    case "PIVOT" =>
+      val span = st.popLong(); val lb = st.popLong()
+      val lbl = st.popStr()
+      val classes = st.pop().asInstanceOf[Vector[Any]].map(_.toString)
+      val f = toFrame(st.pop())
+      st.push(GtsFrame(f.withBucketCol(lb, span)
+        .groupBy(col("labels").getItem(lbl).as(lbl), col("__bucket").as("ts"))
+        .pivot("class", classes)
+        .agg(sum(col("vdouble")))))
+    case "MERGE" => st.pop() match {
+      case v: Vector[_] => st.push(framesOf(v))
+      case f: GtsFrame => val g = toFrame(st.pop()); st.push(g.merge(f))
+      case o => throw new IllegalArgumentException(s"MERGE on $o")
+    }
+
+    // ---- function-value words -------------------------------------------
+    // parameterized aggregators pop their parameter NOW, like the
+    // reference's builder words (script/aggregator/Percentile.Builder,
+    // aggregator/Join.Builder): `90.0 bucketizer.percentile`,
+    // `'|' reducer.join`
+    case "bucketizer.percentile" | "reducer.percentile" | "mapper.percentile" =>
+      st.push(AggVal(w, Percentile(st.popNum())))
+    case "bucketizer.percentile.cont" | "reducer.percentile.cont" =>
+      st.push(AggVal(w, PercentileCont(st.popNum())))
+    case "bucketizer.join" | "reducer.join" =>
+      st.push(AggVal(w, JoinAgg(st.popStr())))
+    // parameterized pointwise mappers (script/mapper/MapperAdd.java,
+    // MapperMul, MapperMod, MapperPow; comparison mappers keep the
+    // value when the predicate holds and DROP the tick otherwise)
+    case "mapper.add" => val k = st.popNum(); st.push(MapperCol(w, _ + lit(k)))
+    case "mapper.mul" => val k = st.popNum(); st.push(MapperCol(w, _ * lit(k)))
+    case "mapper.mod" => val k = st.popNum(); st.push(MapperCol(w, _ % lit(k)))
+    case "mapper.pow" => val k = st.popNum(); st.push(MapperCol(w, c => pow(c, lit(k))))
+    // frame-column mappers: value := tick / calendar field of the tick
+    // (script/mapper/MapperTick.java, MapperYear/Month/Day/Hour/Minute/
+    // Second/DayOfWeek — UTC; ticks < 2^53 µs stay exact in double)
+    case "mapper.tick" =>
+      st.push(MapperDf(w, df => df.withColumn("vdouble",
+        col("ts").cast(org.apache.spark.sql.types.DoubleType))))
+    case "mapper.year" => st.push(calMapper(w, year))
+    case "mapper.month" => st.push(calMapper(w, month))
+    case "mapper.day" => st.push(calMapper(w, dayofmonth))
+    case "mapper.hour" => st.push(calMapper(w, hour))
+    case "mapper.minute" => st.push(calMapper(w, minute))
+    case "mapper.second" => st.push(calMapper(w, second))
+    // ISO weekday 1=Monday..7=Sunday (Joda getDayOfWeek)
+    case "mapper.weekday" =>
+      st.push(calMapper(w, t => (dayofweek(t) + lit(5)) % 7 + lit(1)))
+    case "mapper.eq" => val k = st.popNum(); st.push(MapperCol(w, c => when(c === k, c)))
+    case "mapper.ne" => val k = st.popNum(); st.push(MapperCol(w, c => when(c =!= k, c)))
+    case "mapper.gt" => val k = st.popNum(); st.push(MapperCol(w, c => when(c > k, c)))
+    case "mapper.ge" => val k = st.popNum(); st.push(MapperCol(w, c => when(c >= k, c)))
+    case "mapper.lt" => val k = st.popNum(); st.push(MapperCol(w, c => when(c < k, c)))
+    case "mapper.le" => val k = st.popNum(); st.push(MapperCol(w, c => when(c <= k, c)))
+    // coordinate-comparison mappers (script/mapper/MapperTickGE-style
+    // families over tick/lat/lon/elev): keep the point when the
+    // coordinate passes; null coordinates drop (SQL three-valued logic)
+    case CoordMapperName(colName, cmp) =>
+      val k = st.popNum()
+      val cond: Column = cmp match {
+        case "eq" => col(colName) === k
+        case "ne" => col(colName) =!= k
+        case "gt" => col(colName) > k
+        case "ge" => col(colName) >= k
+        case "lt" => col(colName) < k
+        case _ => col(colName) <= k
+      }
+      st.push(MapperDf(w, df => df.filter(cond)))
+    // geo mappers (script/mapper/MapperGeoWithin.java, MapperGeoOutside,
+    // MapperGeoClearPosition, MapperGeoApproximate — the g47/g98 plans
+    // as MAP-word mappers)
+    case "mapper.geo.within" | "mapper.geo.outside" =>
+      val g = st.pop() match {
+        case geo: WordsGeo.WsGeo => geo
+        case o => throw new IllegalArgumentException(s"$w expects a GEOSHAPE: $o")
+      }
+      val inside = g.shape match {
+        case Some(shape) => shape.containsCol(col("lat"), col("lon"))
+        case None => graft.functions.GeoCells.inCover(col("lat"), col("lon"), g.cells, g.res)
+      }
+      val pred = if (w endsWith "within") inside
+        else !org.apache.spark.sql.functions.coalesce(inside, lit(false))
+      st.push(MapperDf(w, df => df.filter(pred)))
+    case "mapper.geo.clear" =>
+      st.push(MapperDf(w, df => df
+        .withColumn("lat", lit(null).cast("double"))
+        .withColumn("lon", lit(null).cast("double"))
+        .withColumn("elev", lit(null).cast("long"))))
+    case "mapper.geo.approximate" =>
+      val res = st.popLong().toInt
+      require(res >= 1 && res <= 28, s"$w resolution out of range: $res")
+      st.push(MapperDf(w, df => {
+        val n = 1L << res
+        val cell = graft.functions.GeoCells.cellIdCol(col("lat"), col("lon"), res)
+        val aLat = (cell.cast("double") / n).cast("long").cast("double") /
+          n * 180.0 - 90.0 + 90.0 / n
+        val aLon = pmod(cell, lit(n)).cast("double") / n * 360.0 - 180.0 + 180.0 / n
+        df.withColumn("lat", when(col("lat").isNotNull, aLat))
+          .withColumn("lon", when(col("lon").isNotNull, aLon))
+      }))
+    // selection mappers (script/mapper/MapperHighest.java, Lowest):
+    // the k extreme values per series — the g25/r03 rank pattern
+    case "mapper.highest" | "mapper.lowest" =>
+      val k = st.popLong()
+      require(k >= 1, s"$w expects k >= 1")
+      st.push(MapperDf(w, df => {
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("gtsid"))
+          .orderBy(
+            if (w == "mapper.highest") col("vdouble").desc else col("vdouble").asc,
+            col("ts"))
+        df.withColumn("__rn", row_number().over(win))
+          .filter(col("__rn") <= k).drop("__rn")
+      }))
+    // STRICT* wrappers (fn/STRICTMAPPER.java: type-checking decorators;
+    // the frame algebra is already typed)
+    case "STRICTMAPPER" | "STRICTREDUCER" | "STRICTPARTITION" =>
+      st.push(st.pop())
+    case BucketizerName(a) => st.push(a)
+    case MapperName(m) => st.push(m)
+    case ReducerName(a) => st.push(a)
+    case OpName(o) => st.push(o)
+    // parametric filters pop their threshold NOW (value words compose:
+    // `90.0 filter.last.gt` — script/filter/FilterLastGT-style)
+    case "filter.last.gt" => st.push(FilterVal(w, col("last_v") > st.popNum()))
+    case "filter.last.ge" => st.push(FilterVal(w, col("last_v") >= st.popNum()))
+    case "filter.last.lt" => st.push(FilterVal(w, col("last_v") < st.popNum()))
+    case "filter.last.le" => st.push(FilterVal(w, col("last_v") <= st.popNum()))
+    case "filter.last.eq" => st.push(FilterVal(w, col("last_v") === st.popNum()))
+    case "filter.bysize.gt" => st.push(FilterVal(w, col("size_v") > st.popLong()))
+    // metadata filters (script/filter/FilterByClass.java, FilterByLabels):
+    // regex on the series class; exact-or-~regex per-label selectors
+    case "filter.byclass" =>
+      val sel = st.popStr()
+      // selector form: '~regex' (full match, like the reference's
+      // Pattern.matches) or '=exact' / bare exact
+      val pred =
+        if (sel.startsWith("~")) col("class_v").rlike("^(?:" + sel.substring(1) + ")$")
+        else col("class_v") === sel.stripPrefix("=")
+      st.push(FilterVal(w, pred))
+    case "filter.bylabels" =>
+      val sel = st.pop().asInstanceOf[Map[Any, Any]]
+      val pred = sel.map { case (k, v) =>
+        val s = String.valueOf(v)
+        if (s.startsWith("~"))
+          col("labels_v").getItem(k.toString).rlike("^(?:" + s.substring(1) + ")$")
+        else col("labels_v").getItem(k.toString) === s.stripPrefix("=")
+      }.reduceOption(_ && _).getOrElse(lit(true))
+      st.push(FilterVal(w, pred))
+    case "filter.any.gt" => st.push(FilterVal(w, col("max_v") > st.popNum()))
+    case "filter.all.gt" => st.push(FilterVal(w, col("min_v") > st.popNum()))
+      case _ => return false
+    }
+    true
+  }
+  // scalastyle:on cyclomatic.complexity method.length
+}
