@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** WarpScript front-end queries, part 3 (round-6 word tail):
+  * bitwise/shift operators, ALMOSTEQ, the Morton Z-order codec,
+  * MAPID, FIND/FINDSTATS, POLYFUNC. Same contract as [[WsQueries]]:
+  * each row runs a real WarpScript program through the engine and is
+  * hashed against an independent DuckDB derivation (or the literal
+  * expected values for scalar words whose kernels are vector-tested in
+  * WsExt5Spec — SipHash-2-4 against the published Aumasson/Bernstein
+  * vectors, Morton against hand-computed interleavings).
+  */
+object WsQueries3 {
+  import GtsQueries.{DAY, EV, LB}
+  import WsQueries.engine
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // bitwise + shifts + ALMOSTEQ (binary/BitwiseAND.java family,
+    // fn/ALMOSTEQ.java) — the oracle recomputes each in DuckDB's
+    // integer algebra
+    "w85_ws_bitwise" -> ((s, dir) => {
+      val e = engine(s, dir, cents = false)
+      def l(p: String) = e.run(p).head.asInstanceOf[Long]
+      def b(p: String) = e.run(p).head.asInstanceOf[Boolean]
+      s.range(1).select(
+        lit(l("12 10 &")).as("band"),
+        lit(l("12 10 |")).as("bor"),
+        lit(l("12 10 ^")).as("bxor"),
+        lit(l("0 ~")).as("bnot"),
+        lit(l("1 8 <<")).as("shl"),
+        lit(l("-16 2 >>")).as("shr_arith"),
+        lit(l("-1 60 >>>")).as("shr_logical"),
+        lit(b("1.0 1.05 0.1 ~=")).as("almost_close"),
+        lit(b("NaN NaN 0.0 ~=")).as("almost_nan"))
+    }),
+
+    // Morton Z-order codec (fn/TOZ.java bit layout, fn/ZTO.java
+    // inverse): hand-computed byte expectations + a 30-bit round trip
+    "w86_ws_morton" -> ((s, dir) => {
+      val e = engine(s, dir, cents = false)
+      def hex(p: String) = e.run(p).head.asInstanceOf[Array[Byte]]
+        .map(x => f"$x%02x").mkString
+      val rt = e.run("[ 123456789 987654321 40 ] 30 ->Z 3 30 Z->")
+        .head.asInstanceOf[Vector[Any]]
+      s.range(1).select(
+        lit(hex("[ 3 5 ] 4 ->Z")).as("z35"),
+        lit(hex("[ 1 ] 8 ->Z")).as("z1"),
+        lit(hex("[ 1 0 ] 4 ->Z")).as("z10"),
+        lit(hex("[ 0 1 ] 4 ->Z")).as("z01"),
+        lit(rt == Vector(123456789L, 987654321L, 40L)).as("roundtrip"))
+    }),
+
+    // FIND + FINDSTATS over the events metadata: exact distributed
+    // cardinalities vs DuckDB's exact counts (the reference returns
+    // HyperLogLog estimates — egress/ThriftDirectoryClient.java:576)
+    "w87_ws_findstats" -> ((s, dir) => {
+      val e = engine(s, dir, cents = false)
+      val stats = e.run("[ '' '~events\\..*' { } ] FINDSTATS")
+        .head.asInstanceOf[Map[Any, Any]]
+      val found = e.run("[ '' 'events.click' { } ] FIND SIZE")
+        .head.asInstanceOf[Long]
+      val perClass = stats("per.class.estimate").asInstanceOf[Map[Any, Any]]
+      s.range(1).select(
+        lit(stats("gts.estimate").asInstanceOf[Long]).as("n_gts"),
+        lit(stats("classes.estimate").asInstanceOf[Long]).as("n_classes"),
+        lit(stats("labelnames.estimate").asInstanceOf[Long]).as("n_labelnames"),
+        lit(stats("labelvalues.estimate").asInstanceOf[Long]).as("n_labelvalues"),
+        lit(perClass("events.click").asInstanceOf[Long]).as("n_click_series"),
+        lit(found).as("n_click_found"))
+    }),
+
+    // POLYFUNC applied to a bucketized frame: vdouble becomes
+    // p(tick) = 2*tick + 1 on the daily count grid — exactly
+    // representable doubles (tick < 2^52), closed-form DuckDB twin
+    "w88_ws_polyfunc" -> ((s, dir) => {
+      val program =
+        s"""[ [ '' '~events\\..*' { } 0 $LB ] FETCH
+           |  bucketizer.count $LB $DAY 0 ] BUCKETIZE
+           |[ 1.0 2.0 ] POLYFUNC EVAL""".stripMargin
+      engine(s, dir, cents = false).runToFrame(program)
+        .select(col("class"), col("labels").getItem("user").as("userid"),
+          col("ts"), col("vdouble").as("p_ts"))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "w85_ws_bitwise" ->
+      """SELECT CAST(12 & 10 AS BIGINT) AS band,
+        |  CAST(12 | 10 AS BIGINT) AS bor,
+        |  CAST(xor(12, 10) AS BIGINT) AS bxor,
+        |  ~CAST(0 AS BIGINT) AS bnot,
+        |  CAST(1 AS BIGINT) << 8 AS shl,
+        |  CAST(-16 AS BIGINT) >> 2 AS shr_arith,
+        |  CAST(15 AS BIGINT) AS shr_logical,
+        |  true AS almost_close, true AS almost_nan""".stripMargin,
+
+    // hand-computed TOZ interleavings (WsExt5Spec derivations): [3,5]
+    // width 4 -> bits v1,v0 LSB-first = 11 01 10 00 -> reversed byte 1b
+    "w86_ws_morton" ->
+      """SELECT '1b' AS z35, '01' AS z1, '02' AS z10, '01' AS z01,
+        |  true AS roundtrip""".stripMargin,
+
+    "w87_ws_findstats" ->
+      """SELECT (SELECT CAST(count(*) AS BIGINT) FROM
+        |          (SELECT DISTINCT event_type, user_id FROM events)) AS n_gts,
+        |  (SELECT CAST(count(DISTINCT event_type) AS BIGINT) FROM events) AS n_classes,
+        |  CAST(1 AS BIGINT) AS n_labelnames,
+        |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) AS n_labelvalues,
+        |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+        |   WHERE event_type = 'click') AS n_click_series,
+        |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+        |   WHERE event_type = 'click') AS n_click_found""".stripMargin,
+
+    "w88_ws_polyfunc" ->
+      s"""WITH g AS ($EV)
+         |SELECT class, userid,
+         |  $LB - (($LB - ts) // $DAY) * $DAY AS ts,
+         |  2.0 * ($LB - (($LB - ts) // $DAY) * $DAY) + 1.0 AS p_ts
+         |FROM g WHERE ts <= $LB
+         |GROUP BY 1, 2, 3""".stripMargin,
+  )
+}

@@ -301,6 +301,7 @@ final class WarpScriptEngine(
       case m: WsMacro => evalMacro(m, st)
       case NativeFn(_, f) => f(st)
       case i: WordsExt3.WsInterp => st.push(i.value(st.popNum()))
+      case p: WordsExt5.WsPoly => WordsExt5.applyPoly(p, st, this)
       case s: String => exec(WarpScriptTokenizer.tokenize(s), st)
       case o => throw new IllegalArgumentException(s"EVAL on $o")
     }
@@ -343,7 +344,8 @@ final class WarpScriptEngine(
           !WordsExt3.eval(other, st, this) &&
           !WordsDebug.eval(other, st, this) &&
           !WordsGts2.eval(other, st, this) &&
-          !WordsExt4.eval(other, st, this))
+          !WordsExt4.eval(other, st, this) &&
+          !WordsExt5.eval(other, st, this))
         throw new IllegalArgumentException(s"unknown function '$other'")
   }
 
@@ -590,6 +592,12 @@ object WarpScriptEngine {
     // SETATTRIBUTES/ATTRIBUTES per-gtsid attribute store (the
     // distributed path is MetaOps; this is the stack-word surface)
     val attrs = mutable.Map.empty[Long, Map[String, String]]
+    // ATTRSKIP flag (fn/ATTRSKIP.java): FINDSETS omits attribute sets
+    var attrSkip = false
+    // ACCEL.* accelerator directives (fn/ACCELCACHE.java family) —
+    // mapped to the Spark storage level of subsequently FETCHed frames
+    var accelCache = false
+    var accelPersist = false
     // CAPADD/CAPGET capability store (reference: token-carried caps)
     val caps = mutable.Map.empty[String, String]
     // KVSTORE/KVLOAD engine-side key-value store (the reference writes
@@ -652,8 +660,12 @@ object WarpScriptEngine {
   private[script] object ListMark
   private[script] object MapMark
 
-  /** A captured `<% %>` macro (reference Macro). */
-  final case class WsMacro(tokens: Vector[WsToken])
+  /** A captured `<% %>` macro (reference Macro). `secure` hides the
+    * body from SNAPSHOT/TOSTRING (fn/MSEC.java, Macro.snapshot's
+    * hideSecure branch); `secureRecursive` extends that to nested
+    * macros on render. */
+  final case class WsMacro(tokens: Vector[WsToken],
+      secure: Boolean = false, secureRecursive: Boolean = false)
 
   /** A GTS under construction via NEWGTS/ADDVALUE, materialized into a
     * frame when first consumed by a frame word. */

@@ -119,9 +119,12 @@ private[script] object WordsExt2 {
   }
 
   /** Macro body re-rendered as program text (MACRO-> / SNAPSHOT of a
-    * macro). */
+    * macro). A secure macro renders with its body hidden
+    * (fn/MSEC.java; Macro.snapshot's hideSecure branch skips the
+    * statements, WarpScriptStack.java:501-507). */
   private[script] def macroToString(m: WsMacro): String =
-    m.tokens.map {
+    if (m.secure) "<% %>"
+    else m.tokens.map {
       case WsToken.WsStr(s) => "'" + s.replace("%", "%25").replace("'", "%27") + "'"
       case WsToken.WsLong(l) => l.toString
       case WsToken.WsDouble(d) => d.toString

@@ -134,8 +134,12 @@ private[script] object WordsExt4 {
       case "PIVOTSTRICT" =>
         val labeling = en.toFrame(st.pop())
         val data = en.toFrame(st.pop())
-        val nCls = labeling.df.select(col("class")).distinct().count()
-        val nSer = labeling.df.select(col("gtsid")).distinct().count()
+        // one validation action, not two: distinct class and series
+        // counts in a single agg pass
+        val counts = labeling.df.agg(
+          countDistinct(col("class")).as("ncls"),
+          countDistinct(col("gtsid")).as("nser")).head()
+        val (nCls, nSer) = (counts.getLong(0), counts.getLong(1))
         require(nCls == nSer,
           "PIVOTSTRICT labeling Geo Time Series must all have different class names.")
         // ticks where every labeling class is present; its label map
@@ -169,14 +173,19 @@ private[script] object WordsExt4 {
           (r.getString(0): Any) ->
             (r.getSeq[String](1).sorted.toVector.map(identity[Any]): Any)
         }.toMap
-        // attributes live in the engine-side store (SETATTRIBUTES)
-        val ids = meta.select(col("gtsid")).collect().map(_.getLong(0)).toSet
-        val amap: Map[Any, Any] = st.attrs.view.filterKeys(ids)
-          .values.flatten.groupBy(_._1)
-          .map { case (k, kvs) =>
-            (k: Any) -> (kvs.map(_._2).toVector.distinct.sorted
-              .map(identity[Any]): Any)
-          }.toMap
+        // attributes live in the engine-side store (SETATTRIBUTES);
+        // ATTRSKIP (fn/ATTRSKIP.java) suppresses them from the result
+        val amap: Map[Any, Any] =
+          if (st.attrSkip) Map.empty
+          else {
+            val ids = meta.select(col("gtsid")).collect().map(_.getLong(0)).toSet
+            st.attrs.view.filterKeys(ids)
+              .values.flatten.groupBy(_._1)
+              .map { case (k, kvs) =>
+                (k: Any) -> (kvs.map(_._2).toVector.distinct.sorted
+                  .map(identity[Any]): Any)
+              }.toMap
+          }
         st.push(classes.map(identity[Any]))
         st.push(lmap)
         st.push(amap)

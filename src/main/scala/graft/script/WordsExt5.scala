@@ -1,0 +1,343 @@
+package graft.script
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Fifth extension registry (round-6 word tail).
+  *
+  * Bitwise/shift operators (script/binary/BitwiseAND.java, BitwiseOR,
+  * BitwiseXOR, SHIFTLEFT, SHIFTRIGHT; unary/COMPLEMENT.java), ALMOSTEQ
+  * (fn/ALMOSTEQ.java), the Morton Z-order codec ->Z / Z->
+  * (fn/TOZ.java, fn/ZTO.java), MAPID (fn/MAPID.java), UNSET
+  * (fn/UNSET.java), MDETACH (fn/MDETACH.java), MSEC/MRSEC
+  * (fn/MSEC.java), POLYFUNC (fn/POLYFUNC.java), the FIND/FINDSTATS
+  * directory words (fn/FIND.java, fn/FINDSTATS.java over
+  * egress/ThriftDirectoryClient.java stats keys), ATTRSKIP
+  * (fn/ATTRSKIP.java) and the ACCEL.* accelerator controls
+  * (fn/ACCELCACHE.java family) re-expressed as Spark storage-level
+  * directives.
+  */
+private[script] object WordsExt5 {
+  import WarpScriptEngine._
+  import WsToken._
+
+  /** POLYFUNC value (fn/POLYFUNC.java): a polynomial applied to the
+    * TICK when used over a GTS / as a mapper, or to a plain number via
+    * EVAL. Coefficients in ascending-degree order (commons-math
+    * PolynomialFunction convention the reference uses). */
+  final case class WsPoly(coeffs: Array[Double]) {
+    def value(x: Double): Double = {
+      var acc = coeffs(coeffs.length - 1)
+      var i = coeffs.length - 2
+      while (i >= 0) { acc = acc * x + coeffs(i); i -= 1 }
+      acc
+    }
+    /** Codegen'd Horner form — POLYFUNC over a frame/mapper stays a
+      * Column expression, never a UDF. */
+    def columnExpr(x: Column): Column =
+      coeffs.init.foldRight(lit(coeffs.last): Column)((c, acc) => acc * x + lit(c))
+  }
+
+  /** SipHash-2-4 of data || reverse(data) — SipHashInline
+    * .hash24_palindromic's contract (crypto/SipHashInline.java:337
+    * streams the reversal instead of materializing it). */
+  private def sip24Palindromic(k0: Long, k1: Long, data: Array[Byte]): Long =
+    WordsCrypto.sipHash24(k0, k1, data ++ data.reverse)
+
+  /** GTSHelper.labelsId (continuum/gts/GTSHelper.java:3780): palindromic
+    * SipHash of each label key and value (UTF-8), pairs sorted by
+    * (keyHash, valueHash), hashes concatenated big-endian, outer
+    * palindromic SipHash over the concatenation. */
+  private[script] def labelsId(k0: Long, k1: Long, labels: Map[String, String]): Long = {
+    val pairs = labels.toArray.map { case (k, v) =>
+      (sip24Palindromic(k0, k1, k.getBytes("UTF-8")),
+        sip24Palindromic(k0, k1, v.getBytes("UTF-8")))
+    }
+    val sorted = pairs.sortBy(identity)
+    val buf = java.nio.ByteBuffer.allocate(sorted.length * 16)
+    sorted.foreach { case (hk, hv) => buf.putLong(hk); buf.putLong(hv) }
+    sip24Palindromic(k0, k1, buf.array())
+  }
+
+  // fn/MAPID.java:31-34 — fixed, public SipHash keys that define the
+  // word's observable output
+  private val MAPID_KEY1 = (0x39A9DD7D71B64E3CL, 0xA14C3749DCAAB408L)
+  private val MAPID_KEY2 = (0xB5BBEC1071A64C48L, 0xB872C16B37A07597L)
+
+  /** Morton (Z-order) encode: interleave `bitwidth` low bits of each
+    * long, bit-reversed per output byte, big-endian packing — the exact
+    * fn/TOZ.java:75-97 layout so encodings round-trip byte-for-byte
+    * with the reference. */
+  private[script] def mortonEncode(longsIn: Vector[Long], bitwidth: Int): Array[Byte] = {
+    require(bitwidth >= 0 && bitwidth <= 63, "->Z expects a bit width <= 63.")
+    require(longsIn.forall(_ >= 0), "->Z operates on a list of positive LONGs.")
+    val longs = longsIn.toArray
+    val nbits = bitwidth * longs.length
+    val nbytes = nbits / 8 + (if (nbits % 8 == 0) 0 else 1)
+    val encoded = new Array[Byte](nbytes)
+    var bitcount = nbytes * 8 - nbits
+    var value = 0L
+    var byteidx = nbytes
+    var i = 0
+    while (i < bitwidth) {
+      var j = longs.length - 1
+      while (j >= 0) {
+        value = (value << 1) | (longs(j) & 0x1L)
+        longs(j) = longs(j) >>> 1
+        bitcount += 1
+        if (bitcount == 8) {
+          // reverse the low 8 bits (bithacks ReverseByteWith64BitsDiv)
+          value = (value * 0x0202020202L & 0x010884422010L) % 1023L
+          byteidx -= 1
+          encoded(byteidx) = (value & 0xFFL).toByte
+          bitcount = 0
+          value = 0L
+        }
+        j -= 1
+      }
+      i += 1
+    }
+    encoded
+  }
+
+  /** Morton decode (fn/ZTO.java:58-92 inverse). */
+  private[script] def mortonDecode(encoded: Array[Byte], nlongs: Int, bitwidth: Int): Vector[Long] = {
+    require(bitwidth >= 0 && bitwidth <= 63, "Z-> expects a bit width <= 63.")
+    val longs = new Array[Long](nlongs)
+    var byteidx = 0
+    var bitcount = 0
+    var value = 0L
+    var i = 0
+    while (i < bitwidth) {
+      var j = 0
+      while (j < nlongs) {
+        if (bitcount == 0) {
+          value = encoded(byteidx) & 0xFFL
+          byteidx += 1
+          value = (value * 0x0202020202L & 0x010884422010L) % 1023L
+          bitcount = 8
+        }
+        longs(j) = (longs(j) << 1) | (value & 0x1L)
+        value = value >>> 1
+        bitcount -= 1
+        j += 1
+      }
+      i += 1
+    }
+    longs.toVector
+  }
+
+  /** The trailing [pubkey, sig, curve-ish string triple + MSIG] of a
+    * signed macro, as produced by MSIGN (same layout WordsExt4.sigTokens
+    * recognizes). */
+  private def splitSignature(m: WsMacro): Option[(Vector[WsToken], Vector[WsToken])] =
+    m.tokens.takeRight(4) match {
+      case sig @ Vector(_: WsStr, _: WsStr, _: WsStr, WsWord("MSIG")) =>
+        Some((m.tokens.dropRight(4), sig))
+      case _ => None
+    }
+
+  // scalastyle:off cyclomatic.complexity method.length
+  def eval(w: String, st: State, en: WarpScriptEngine): Boolean = {
+    w match {
+      // ---- bitwise (binary/BitwiseAND.java, BitwiseOR, BitwiseXOR:
+      // LONG operands; unary/COMPLEMENT.java)
+      case "&" | "|" | "^" =>
+        val b = st.popLong(); val a = st.popLong()
+        st.push(w match {
+          case "&" => a & b
+          case "|" => a | b
+          case _   => a ^ b
+        })
+      case "~" => st.push(~st.popLong())
+      // shifts (binary/SHIFTLEFT.java, SHIFTRIGHT.java: >> arithmetic,
+      // >>> logical)
+      case "<<" => val n = st.popLong(); st.push(st.popLong() << n)
+      case ">>" => val n = st.popLong(); st.push(st.popLong() >> n)
+      case ">>>" => val n = st.popLong(); st.push(st.popLong() >>> n)
+
+      // ---- ALMOSTEQ (fn/ALMOSTEQ.java): a b lambda ~= -> |a-b| <= |lambda|;
+      // NaN ~= NaN is true
+      case "~=" =>
+        val lambda = math.abs(st.popNum())
+        val b = st.popNum(); val a = st.popNum()
+        st.push(if (a.isNaN || b.isNaN) a.isNaN && b.isNaN
+          else lambda >= math.abs(a - b))
+
+      // ---- Morton Z-order codec (fn/TOZ.java, fn/ZTO.java)
+      case "->Z" =>
+        val bitwidth = st.popLong().toInt
+        val longs = st.pop().asInstanceOf[Vector[Any]].map(en.asLong)
+        st.push(mortonEncode(longs, bitwidth))
+      case "Z->" =>
+        val bitwidth = st.popLong().toInt
+        val nlongs = st.popLong().toInt
+        val encoded = en.popBytes(st)
+        st.push(mortonDecode(encoded, nlongs, bitwidth).map(identity[Any]))
+
+      // ---- MAPID (fn/MAPID.java): UUID from the two fixed-key labelsId
+      // hashes of a string map — byte-exact with the reference
+      case "MAPID" =>
+        val m = st.pop().asInstanceOf[Map[Any, Any]]
+          .map { case (k, v) => k.toString -> String.valueOf(v) }
+        val msb = labelsId(MAPID_KEY1._1, MAPID_KEY1._2, m)
+        val lsb = labelsId(MAPID_KEY2._1, MAPID_KEY2._2, m)
+        st.push(new java.util.UUID(msb, lsb).toString)
+
+      // ---- UNSET (fn/UNSET.java): spread a SET onto the stack behind
+      // a list mark (the reference pushes a Mark then the elements)
+      case "UNSET" =>
+        val s = st.pop() match {
+          case set: Set[Any @unchecked] => set
+          case o => throw new IllegalArgumentException(s"UNSET expects a SET, got $o")
+        }
+        st.push(ListMark)
+        // deterministic spread order (reference order is Set-impl-defined)
+        s.toVector.sortBy(String.valueOf(_)).foreach(st.push)
+
+      // ---- MDETACH (fn/MDETACH.java): split the trailing signature off
+      // a signed macro; push macro-without-signature then the signature
+      case "MDETACH" =>
+        val m = st.pop().asInstanceOf[WsMacro]
+        splitSignature(m) match {
+          case Some((body, sig)) =>
+            st.push(m.copy(tokens = body)); st.push(WsMacro(sig))
+          case None =>
+            throw new IllegalArgumentException("MDETACH operates on a signed macro.")
+        }
+
+      // ---- MSEC / MRSEC (fn/MSEC.java): flag a macro secure — its
+      // body is hidden from SNAPSHOT/TOSTRING (WarpScriptStack.Macro
+      // .snapshot(hideSecure), :501-507); MRSEC additionally marks
+      // nested macros secure on render
+      case "MSEC" => st.push(st.pop().asInstanceOf[WsMacro].copy(secure = true))
+      case "MRSEC" =>
+        st.push(st.pop().asInstanceOf[WsMacro]
+          .copy(secure = true, secureRecursive = true))
+
+      // ---- POLYFUNC (fn/POLYFUNC.java Builder): ascending-degree
+      // coefficients -> polynomial-in-the-tick function value (EVAL on
+      // numbers/lists/frames, mapper face under MAP)
+      case "POLYFUNC" =>
+        val coeffs = st.pop().asInstanceOf[Vector[Any]].map(en.asNum).toArray
+        require(coeffs.nonEmpty, "POLYFUNC expects a non-empty coefficient list")
+        st.push(WsPoly(coeffs))
+
+      // ---- FIND (fn/FIND.java): selector -> the matching series as
+      // metadata-only GTS (no datapoints, like the reference's
+      // directory Metadata). ONE distributed metadata pass + one
+      // bounded collect; each result is a driver-side GtsBuilder so
+      // NAME/LABELS/SIZE on it cost zero Spark actions.
+      case "FIND" =>
+        val (cls, labels) = findArgs(st)
+        val meta = en.metaOf(en.fetchPub(cls, labels, Long.MinValue, Long.MaxValue))
+        val rows = meta.limit(10001).collect()
+        require(rows.length <= 10000, "FIND: too many series")
+        val series = rows.map { r =>
+          (r.getString(1), r.getMap[String, String](2).toMap)
+        }.sortBy(_.toString()).map { case (c, l) =>
+          GtsBuilder(c, l, Vector.empty): Any
+        }.toVector
+        st.push(series)
+
+      // ---- FINDSTATS (fn/FINDSTATS.java): cardinality stats of the
+      // matching series. The reference returns HyperLogLogPlus
+      // ESTIMATES (egress/ThriftDirectoryClient.java:576-606,
+      // error.rate 1.04/sqrt(2^p)); a distributed countDistinct is
+      // exact at any scale, so error.rate is honestly 0.0 here. Same
+      // keys, one aggregation pass.
+      case "FINDSTATS" =>
+        val (cls, labels) = findArgs(st)
+        val meta = en.metaOf(en.fetchPub(cls, labels, Long.MinValue, Long.MaxValue))
+          .cache()
+        try {
+          val head = meta.agg(
+            count(lit(1)).as("gts"),
+            countDistinct(col("class")).as("classes")).head()
+          val perClass = meta.groupBy(col("class")).count().collect()
+            .map(r => (r.getString(0): Any) -> (r.getLong(1): Any)).toMap
+          val lab = meta.select(explode(col("labels")).as(Seq("__k", "__v")))
+          val labHead = lab.agg(
+            countDistinct(col("__k")).as("names"),
+            countDistinct(col("__k"), col("__v")).as("values")).head()
+          val perLabel = lab.groupBy(col("__k"))
+            .agg(countDistinct(col("__v")).as("n")).collect()
+            .map(r => (r.getString(0): Any) -> (r.getLong(1): Any)).toMap
+          st.push(Map[Any, Any](
+            "gts.estimate" -> head.getLong(0),
+            "classes.estimate" -> head.getLong(1),
+            "labelnames.estimate" -> labHead.getLong(0),
+            "labelvalues.estimate" -> labHead.getLong(1),
+            "per.class.estimate" -> perClass,
+            "per.label.value.estimate" -> perLabel,
+            "error.rate" -> 0.0))
+        } finally { meta.unpersist() }
+
+      // ---- ATTRSKIP (fn/ATTRSKIP.java): BOOLEAN sets the skip flag
+      // (FINDSETS omits the attribute sets while set), NULL reads it
+      case "ATTRSKIP" =>
+        st.pop() match {
+          case b: Boolean => st.attrSkip = b
+          case null => st.push(st.attrSkip)
+          case o => throw new IllegalArgumentException(
+            s"ATTRSKIP invalid parameter, expected a BOOLEAN or NULL, got $o")
+        }
+
+      // ---- ACCEL.* (fn/ACCELCACHE.java family): the reference toggles
+      // its in-memory accelerator for subsequent FETCH/UPDATE; the
+      // Spark-native reading is the executor block-manager storage
+      // level of subsequently FETCHed frames — CACHE -> memory,
+      // PERSIST -> disk-backed, both off -> no caching. REPORT uses the
+      // reference's keys (fn/ACCELREPORT.java:16-25).
+      case "ACCEL.CACHE"     => st.accelCache = true
+      case "ACCEL.NOCACHE"   => st.accelCache = false
+      case "ACCEL.PERSIST"   => st.accelPersist = true
+      case "ACCEL.NOPERSIST" => st.accelPersist = false
+      case "ACCEL.REPORT" =>
+        st.push(Map[Any, Any](
+          "status" -> true, // Spark's block manager is always present
+          "cache" -> st.accelCache,
+          "persist" -> st.accelPersist,
+          "accelerated" -> (st.accelCache || st.accelPersist),
+          "chunkcount" -> 0L,
+          "chunkspan" -> 0L,
+          "defaults.read" -> Vector[Any](
+            if (st.accelCache) "cache" else "nocache",
+            if (st.accelPersist) "persist" else "nopersist"),
+          "defaults.write" -> Vector[Any]("cache", "persist"),
+          "defaults.delete" -> Vector[Any]("cache", "persist")))
+
+      case _ => return false
+    }
+    true
+  }
+  // scalastyle:on cyclomatic.complexity method.length
+
+  /** `[ token cls {labels} ]` selector args (token ignored, like FETCH). */
+  private def findArgs(st: State): (String, Map[String, String]) =
+    st.pop().asInstanceOf[Vector[Any]] match {
+      case Vector(_: String, c: String, l: Map[_, _]) =>
+        (c, l.asInstanceOf[Map[String, String]])
+      case Vector(c: String, l: Map[_, _]) =>
+        (c, l.asInstanceOf[Map[String, String]])
+      case other => throw new IllegalArgumentException(s"selector args: $other")
+    }
+
+  /** POLYFUNC application under EVAL (the reference applies the stack
+    * function to the top operand: number, list, or GTS — the GTS form
+    * maps tick -> p(tick) keeping location/elevation, distributed as a
+    * Column Horner chain). */
+  private[script] def applyPoly(p: WsPoly, st: State, en: WarpScriptEngine): Unit = {
+    def overFrame(f: graft.operators.GtsFrame): graft.operators.GtsFrame =
+      graft.operators.GtsFrame(f.df.withColumn("vdouble",
+        p.columnExpr(col("ts").cast("double")))
+        .withColumn("vtype", lit(graft.model.GtsType.DOUBLE))
+        .withColumn("vlong", lit(null).cast("long")))
+    st.pop() match {
+      case l: Vector[Any @unchecked] => st.push(l.map(v => p.value(en.asNum(v)): Any))
+      case f: graft.operators.GtsFrame => st.push(overFrame(f))
+      case b: BucketedFrame => st.push(b.copy(frame = overFrame(b.frame)))
+      case n => st.push(p.value(en.asNum(n)))
+    }
+  }
+}

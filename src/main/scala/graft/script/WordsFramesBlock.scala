@@ -34,7 +34,19 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
           (c, l.asInstanceOf[Map[String, String]], a, b)
         case other => throw new IllegalArgumentException(s"FETCH args: $other")
       }
-      st.push(fetchPub(cls, labels, start, stop))
+      val fetched = fetchPub(cls, labels, start, stop)
+      // ACCEL.* directives -> Spark storage level for the fetched frame
+      // (fn/ACCELCACHE.java family; see WordsExt5)
+      if (st.accelCache || st.accelPersist) {
+        val level =
+          if (st.accelCache && st.accelPersist)
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+          else if (st.accelCache)
+            org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+          else org.apache.spark.storage.StorageLevel.DISK_ONLY
+        fetched.df.persist(level)
+      }
+      st.push(fetched)
 
     // BUCKETIZE (fn/BUCKETIZE.java): [ gts bucketizer lastbucket span count ]
     case "BUCKETIZE" =>
@@ -78,6 +90,12 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
           val fr = framesOf(args.take(n - 4))
           st.push(GtsFrame(fr.df.withColumn("vdouble",
             i.columnExpr(col("vdouble")))))
+        // POLYFUNC mapper face (fn/POLYFUNC.java apply(args): the
+        // polynomial is evaluated on the TICK) — a codegen'd Horner
+        case p: WordsExt5.WsPoly =>
+          val fr = framesOf(args.take(n - 4))
+          st.push(GtsFrame(fr.df.withColumn("vdouble",
+            p.columnExpr(col("ts").cast("double")))))
         case MacroAgg(_, tokens) =>
           val fr = framesOf(args.take(n - 4))
           st.push(GtsFrame(MacroKernel.macroMap(fr.df, tokens, pre, post, occ)))
@@ -199,25 +217,36 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
     // accessor words (fn/FIRSTTICK.java, LASTTICK, TICKS, VALUES, NAME,
     // LABELS, SIZE-for-GTS handled under SIZE): driver-side scalars over
     // the frame — tiny aggs, same contract as GtsFrame auto-params
-    case "FIRSTTICK" =>
-      st.push(toFrame(st.pop()).df.agg(min(col("ts"))).head().getLong(0))
-    case "LASTTICK" =>
-      st.push(toFrame(st.pop()).df.agg(max(col("ts"))).head().getLong(0))
-    case "NAME" =>
-      st.push(toFrame(st.pop()).df.select(col("class")).distinct()
+    // GtsBuilder fast-paths: driver-side metadata (NEWGTS results, FIND
+    // results) answers accessor words with zero Spark actions
+    case "FIRSTTICK" => st.pop() match {
+      case b: GtsBuilder if b.points.nonEmpty => st.push(b.points.map(_._1).min)
+      case o => st.push(toFrame(o).df.agg(min(col("ts"))).head().getLong(0))
+    }
+    case "LASTTICK" => st.pop() match {
+      case b: GtsBuilder if b.points.nonEmpty => st.push(b.points.map(_._1).max)
+      case o => st.push(toFrame(o).df.agg(max(col("ts"))).head().getLong(0))
+    }
+    case "NAME" => st.pop() match {
+      case b: GtsBuilder => st.push(Vector(b.cls: Any))
+      case o => st.push(toFrame(o).df.select(col("class")).distinct()
         .collect().map(_.getString(0)).sorted.toVector)
+    }
     // LABELS (fn/LABELS.java — the labels map of a single GTS; a frame
     // holding several distinct label sets has no single answer)
-    case "LABELS" =>
-      val maps = toFrame(st.pop()).df
-        .select(col("gtsid"), col("labels")).groupBy(col("gtsid"))
-        .agg(first(col("labels")).as("labels"))
-        .collect().map(_.getMap[String, String](1).toMap).distinct
-      maps match {
-        case Array(one) => st.push(one.asInstanceOf[Map[Any, Any]])
-        case _ => throw new IllegalArgumentException(
-          s"LABELS needs a single-series frame, found ${maps.length} label sets")
-      }
+    case "LABELS" => st.pop() match {
+      case b: GtsBuilder => st.push(b.labels.asInstanceOf[Map[Any, Any]])
+      case o =>
+        val maps = toFrame(o).df
+          .select(col("gtsid"), col("labels")).groupBy(col("gtsid"))
+          .agg(first(col("labels")).as("labels"))
+          .collect().map(_.getMap[String, String](1).toMap).distinct
+        maps match {
+          case Array(one) => st.push(one.asInstanceOf[Map[Any, Any]])
+          case _ => throw new IllegalArgumentException(
+            s"LABELS needs a single-series frame, found ${maps.length} label sets")
+        }
+    }
     // CLONEEMPTY (fn/CLONEEMPTY.java): same shape, zero points
     case "CLONEEMPTY" => st.push(GtsFrame(toFrame(st.pop()).df.limit(0)))
     case "TICKLIST" =>
