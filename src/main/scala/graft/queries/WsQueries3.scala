@@ -84,6 +84,27 @@ object WsQueries3 {
         .select(col("class"), col("labels").getItem("user").as("userid"),
           col("ts"), col("vdouble").as("p_ts"))
     }),
+    // session-store words (fn/UPDATE.java, DELETE.java) + collection
+    // literals + MFILTER: write a series, delete a tick range, fetch
+    // the remainder merged with the events universe
+    "w89_ws_update_delete" -> ((s, dir) => {
+      val e = engine(s, dir, cents = false)
+      val prog =
+        """{ 'c' 'session.metric' 'l' { 'src' 'w89' }
+          |  't' [ 1000 2000 3000 4000 ] 'v' [ 1.0 2.0 3.0 4.0 ] } MAKEGTS UPDATE
+          |'tok' 'session.metric{}' 1500 2500 DELETE DROP
+          |[ '' 'session.metric' { } 0 100000 ] FETCH
+          |DUP SIZE 'n' STORE TICKLIST ',' JOIN
+          |( 'a' 'b' 'a' ) SIZE
+          |{ 'x' 1 'y' 5 } <% DROP 'v' STORE DROP $v 2 > %> MFILTER SIZE
+          |$n""".stripMargin
+      val out = e.run(prog)
+      s.range(1).select(
+        lit(out(0).asInstanceOf[Long]).as("n_points"),
+        lit(out(1).asInstanceOf[Long]).as("n_mfilter"),
+        lit(out(2).asInstanceOf[Long]).as("n_set"),
+        lit(out(3).toString).as("ticks_csv"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -113,6 +134,10 @@ object WsQueries3 {
         |   WHERE event_type = 'click') AS n_click_series,
         |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events
         |   WHERE event_type = 'click') AS n_click_found""".stripMargin,
+
+    "w89_ws_update_delete" ->
+      """SELECT CAST(3 AS BIGINT) AS n_points, CAST(1 AS BIGINT) AS n_mfilter,
+        |  CAST(2 AS BIGINT) AS n_set, '1000,3000,4000' AS ticks_csv""".stripMargin,
 
     "w88_ws_polyfunc" ->
       s"""WITH g AS ($EV)

@@ -594,6 +594,15 @@ object WarpScriptEngine {
     val attrs = mutable.Map.empty[Long, Map[String, String]]
     // ATTRSKIP flag (fn/ATTRSKIP.java): FINDSETS omits attribute sets
     var attrSkip = false
+    // UPDATE/DELETE session point store (fn/UPDATE.java, DELETE.java):
+    // the standalone reference writes through its embedded store;
+    // here session-scope series that FETCH merges with the fetch hook.
+    // The durable distributed path stays LineProtocol.ingest/MetaOps.
+    val updates = mutable.Buffer.empty[GtsBuilder]
+    // MACROCONFIG store + defaults (fn/MACROCONFIG.java family; the
+    // reference reads warp10 properties — session-scope map here)
+    val macroConfig = mutable.Map.empty[String, Any]
+    val macroConfigDefaults = mutable.Map.empty[String, Any]
     // ACCEL.* accelerator directives (fn/ACCELCACHE.java family) —
     // mapped to the Spark storage level of subsequently FETCHed frames
     var accelCache = false

@@ -307,11 +307,154 @@ private[script] object WordsExt5 {
           "defaults.write" -> Vector[Any]("cache", "persist"),
           "defaults.delete" -> Vector[Any]("cache", "persist")))
 
+      // ---- empty-collection literals and set/vector delimiters
+      // (WarpScriptLib EMPTY_LIST "[]" :990, EMPTY_MAP "{}" :986,
+      // EMPTY_SET "()" :994, SET_START "(" :995, EMPTY_VECTOR "[[]]"
+      // :998). The reference's VECTOR is an optimized list; both map
+      // to the engine's Vector here (TYPEOF LIST), documented delta.
+      case "[]"   => st.push(Vector.empty[Any])
+      case "{}"   => st.push(Map.empty[Any, Any])
+      case "()"   => st.push(Set.empty[Any])
+      case "[[]]" => st.push(Vector.empty[Any])
+      case "("    => st.push(SetMark)
+      case ")" =>
+        var acc = Set.empty[Any]
+        var top = st.pop()
+        while (!top.equals(SetMark)) { acc += top; top = st.pop() }
+        st.push(acc)
+      case "[[" => st.push(VecMark)
+      case "]]" =>
+        var acc = List.empty[Any]
+        var top = st.pop()
+        while (!top.equals(VecMark)) { acc = top :: acc; top = st.pop() }
+        st.push(acc.toVector)
+
+      // ---- MFILTER (fn/MFILTER.java): keep map entries the macro
+      // accepts; optional BOOLEAN suppresses the index argument
+      case "MFILTER" =>
+        var top = st.pop(); var pushIndex = true
+        top match {
+          case b: Boolean => pushIndex = b; top = st.pop()
+          case _ =>
+        }
+        val m = top.asInstanceOf[WsMacro]
+        val mp = st.pop().asInstanceOf[Map[Any, Any]]
+        var i = 0L
+        st.push(mp.filter { case (k, v) =>
+          st.push(k); st.push(v); if (pushIndex) { st.push(i); i += 1 }
+          en.evalMacro(m, st)
+          st.pop() match {
+            case b: Boolean => b
+            case o => throw new IllegalArgumentException(
+              s"MFILTER macro must leave a BOOLEAN, got $o")
+          }
+        })
+
+      // ---- MINREV/MAXREV (fn/CHECKREV.java): dotted-revision gate
+      // against the engine's platform revision; throws when the
+      // requirement is not met
+      case "MINREV" | "MAXREV" =>
+        val wanted = revSplit(st.popStr())
+        val have = revSplit(PlatformRev)
+        val cmp = have.zipAll(wanted, 0, 0)
+          .collectFirst { case (a, b) if a != b => a.compareTo(b) }.getOrElse(0)
+        if (w == "MINREV" && cmp < 0) throw new IllegalStateException(
+          s"$w: revision $PlatformRev is below required minimum")
+        if (w == "MAXREV" && cmp > 0) throw new IllegalStateException(
+          s"$w: revision $PlatformRev is above required maximum")
+
+      // ---- REF (fn/REF.java): pushes the function reference itself
+      case "REF" => st.push(refFn)
+
+      // ---- UPDATE (fn/UPDATE.java): write series into the session
+      // point store; subsequent FETCHes merge it with the fetch hook
+      // (the standalone reference writes through its embedded store —
+      // the durable distributed path is LineProtocol.ingest)
+      case "UPDATE" =>
+        def toBuilders(v: Any): Seq[GtsBuilder] = v match {
+          case b: GtsBuilder => Seq(b)
+          case l: Vector[Any @unchecked] => l.flatMap(toBuilders)
+          case o => throw new IllegalArgumentException(s"UPDATE on $o")
+        }
+        st.pop() match {
+          case s: String => st.updates ++= toBuilders(st.pop()) // token form
+          case other => st.updates ++= toBuilders(other)
+        }
+
+      // ---- DELETE (fn/DELETE.java): token selector start end DELETE
+      // -> removes matching points from the session store, pushes the
+      // number of series touched
+      case "DELETE" =>
+        val endO = st.pop(); val startO = st.pop()
+        val sel = graft.sources.Selector.parse(st.popStr())
+        st.pop() // token, ignored like FETCH
+        val (lo, hi) = (startO, endO) match {
+          case (null, null) => (Long.MinValue, Long.MaxValue)
+          case (a: Long, b: Long) => (a, b)
+          case _ => throw new IllegalArgumentException(
+            "DELETE expects both start and end to be LONG or both NULL")
+        }
+        var touched = 0L
+        val kept = st.updates.map { b =>
+          if (!matchesBuilder(sel, b)) b
+          else {
+            val remaining = b.points.filterNot(p => p._1 >= lo && p._1 <= hi)
+            if (remaining.size != b.points.size) touched += 1
+            b.copy(points = remaining)
+          }
+        }.filter(_.points.nonEmpty)
+        st.updates.clear(); st.updates ++= kept
+        st.push(touched)
+
+      // ---- MACROCONFIG family (fn/MACROCONFIG.java,
+      // SETMACROCONFIG, MACROCONFIGDEFAULT): the reference resolves
+      // `macroconfig.<key>` warp10 properties; session-scope config
+      // map with explicit defaults here, same lookup contract (missing
+      // key without default throws)
+      case "SETMACROCONFIG" =>
+        val v = st.pop(); val k = st.popStr(); st.macroConfig(k) = v
+      case "MACROCONFIGDEFAULT" =>
+        val v = st.pop(); val k = st.popStr(); st.macroConfigDefaults(k) = v
+      case "MACROCONFIG" =>
+        val k = st.popStr()
+        st.push(st.macroConfig.getOrElse(k,
+          st.macroConfigDefaults.getOrElse(k,
+            throw new IllegalArgumentException(s"MACROCONFIG: no value for '$k'"))))
+
       case _ => return false
     }
     true
   }
   // scalastyle:on cyclomatic.complexity method.length
+
+  /** Marker objects for the `( )` set and `[[ ]]` vector literals. */
+  private[script] object SetMark
+  private[script] object VecMark
+
+  /** Engine platform revision for MINREV/MAXREV gates — tracks the
+    * reference release whose word surface this engine mirrors. */
+  private[script] val PlatformRev = "3.5.0"
+
+  private def revSplit(rev: String): Seq[Int] = {
+    val core = rev.split("-")(0)
+    require(core.nonEmpty, s"invalid revision '$rev'")
+    core.split("\\.").toSeq.map { p =>
+      try p.toInt catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"invalid revision '$rev'") }
+    }
+  }
+
+  /** REF pushes itself (fn/REF.java pushes the function object). */
+  private[script] lazy val refFn: NativeFn = NativeFn("REF", st => st.push(refFn))
+
+  /** Driver-side selector match for session-store builders. */
+  private[script] def matchesBuilder(sel: graft.sources.Selector,
+      b: GtsBuilder): Boolean =
+    sel.classExact.forall(_ == b.cls) &&
+      sel.classRegex.forall(r => b.cls.matches("^(?:" + r + ")$")) &&
+      sel.labelExact.forall { case (k, v) => b.labels.get(k).contains(v) } &&
+      sel.labelRegex.forall { case (k, r) =>
+        b.labels.get(k).exists(_.matches("^(?:" + r + ")$")) }
 
   /** `[ token cls {labels} ]` selector args (token ignored, like FETCH). */
   private def findArgs(st: State): (String, Map[String, String]) =

@@ -34,7 +34,26 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
           (c, l.asInstanceOf[Map[String, String]], a, b)
         case other => throw new IllegalArgumentException(s"FETCH args: $other")
       }
-      val fetched = fetchPub(cls, labels, start, stop)
+      val hooked = fetchPub(cls, labels, start, stop)
+      // merge session-store series written by UPDATE (fn/UPDATE.java —
+      // the standalone reference reads back through its embedded store)
+      val fetched = {
+        val (ce, cr) =
+          if (cls.startsWith("~")) (None, Some(cls.drop(1)))
+          else if (cls.isEmpty) (None, Some(".*"))
+          else (Some(cls), None)
+        val (lr, le) = labels.partition(_._2.startsWith("~"))
+        val sel = graft.sources.Selector(ce, cr,
+          le.map { case (k, v) => k -> v.stripPrefix("=") },
+          lr.map { case (k, v) => k -> v.drop(1) }, Map.empty, Map.empty)
+        val mine = st.updates.toSeq
+          .filter(b => WordsExt5.matchesBuilder(sel, b))
+          .map(b => b.copy(points = b.points.filter(p => p._1 >= start && p._1 <= stop)))
+          .filter(_.points.nonEmpty)
+        if (mine.isEmpty) hooked
+        else GtsFrame(mine.map(b => materialize(b).df)
+          .foldLeft(hooked.df)(_ unionByName _))
+      }
       // ACCEL.* directives -> Spark storage level for the fetched frame
       // (fn/ACCELCACHE.java family; see WordsExt5)
       if (st.accelCache || st.accelPersist) {

@@ -327,11 +327,11 @@ private[script] object WordsGts2 {
         }
         st.push(out)
 
-      // ---- sliding-window size constants
-      // (MaxTickSlidingWindow.java/MaxTimeSlidingWindow.java push
-      // Long.MAX_VALUE/2 as the "unbounded" window width)
-      case "max.tick.sliding.window" | "max.time.sliding.window" =>
-        st.push(Long.MaxValue / 2L)
+      // ---- sliding-window size constants: MaxTickSlidingWindow.java
+      // pushes Long.MAX_VALUE/2; MaxTimeSlidingWindow.java pushes
+      // Long.MIN_VALUE/2 (NEGATIVE — MAP's time-window convention)
+      case "max.tick.sliding.window" => st.push(Long.MaxValue / 2L)
+      case "max.time.sliding.window" => st.push(Long.MinValue / 2L)
 
       // ---- COUNTER words (fn/COUNTER.java AtomicLong family)
       case "COUNTER" => st.push(new java.util.concurrent.atomic.AtomicLong(0L))

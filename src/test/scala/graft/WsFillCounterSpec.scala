@@ -59,6 +59,8 @@ class WsFillCounterSpec extends SparkSpec {
 
   test("sliding window constants") {
     assert(top("max.tick.sliding.window") == Long.MaxValue / 2L)
-    assert(top("max.time.sliding.window") == Long.MaxValue / 2L)
+    // NEGATIVE: MaxTimeSlidingWindow.java pushes MIN_VALUE/2 (MAP's
+    // time-window widths are negative by convention)
+    assert(top("max.time.sliding.window") == Long.MinValue / 2L)
   }
 }
