@@ -105,6 +105,47 @@ object WsQueries3 {
         lit(out(2).asInstanceOf[Long]).as("n_set"),
         lit(out(3).toString).as("ticks_csv"))
     }),
+
+    // Python pickle codec (fn ->PICKLE / PICKLE->, TOPICKLE.java /
+    // PICKLETO.java; GTS shape of continuum/gts/GTSPickler.java).
+    // canon_hex: the codec's deterministic bytes for a mixed-type
+    // structure, validated against CPython's pickle.loads; fixedpoint /
+    // from_python: unpickle(→repickle) of both our bytes and CPython's
+    // own protocol-3 output (with its BINPUT memo opcodes) reach the
+    // same canonical encoding. The GTS leg pickles a fetched frame to
+    // the reference's per-series map shape and counts series/points
+    // against DuckDB.
+    "w90_ws_pickle" -> ((s, dir) => {
+      val e = engine(s, dir, cents = false)
+      val canon = "80035d284b01474004000000000000580600000068c3a96c6c6f884e5d" +
+        "284b034b04657d285801000000614b015801000000624b02754304deadbeef652e"
+      val pyHex = "80035d7100284b01474004000000000000580600000068c3a96c6c" +
+        "6f7101884e5d7102284b034b04657d71032858010000006171044b01580100000062" +
+        "71054b02754304deadbeef7106652e"
+      def hexOf(p: String) = e.run(p).head.asInstanceOf[String]
+      val mine = hexOf("[ 1 2.5 'héllo' true NULL [ 3 4 ] { 'a' 1 'b' 2 } " +
+        "'deadbeef' HEX-> ] ->PICKLE ->HEX")
+      val fixedpoint = hexOf(s"'$canon' HEX-> PICKLE-> ->PICKLE ->HEX")
+      val fromPython = hexOf(s"'$pyHex' HEX-> PICKLE-> ->PICKLE ->HEX")
+      val gl = e.run(s"[ '' 'events.click' { } 0 $LB ] FETCH ->PICKLE PICKLE->")
+        .head.asInstanceOf[Vector[Any]]
+      val maps = gl.map(_.asInstanceOf[Map[Any, Any]])
+      val nPoints = maps.map(
+        _("timestamps").asInstanceOf[Vector[Any]].size.toLong).sum
+      val shapeOk = maps.forall { m =>
+        m("classname") == "events.click" &&
+        m("labels").asInstanceOf[Map[Any, Any]].contains("user") &&
+        m("values").asInstanceOf[Vector[Any]].forall(_.isInstanceOf[Double]) &&
+        m("attributes") == Map.empty[Any, Any]
+      }
+      s.range(1).select(
+        lit(mine == canon).as("canon_match"),
+        lit(fixedpoint == canon).as("fixedpoint"),
+        lit(fromPython == canon).as("from_python"),
+        lit(gl.size.toLong).as("n_series"),
+        lit(nPoints).as("n_points"),
+        lit(shapeOk).as("gts_shape_ok"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -138,6 +179,14 @@ object WsQueries3 {
     "w89_ws_update_delete" ->
       """SELECT CAST(3 AS BIGINT) AS n_points, CAST(1 AS BIGINT) AS n_mfilter,
         |  CAST(2 AS BIGINT) AS n_set, '1000,3000,4000' AS ticks_csv""".stripMargin,
+
+    "w90_ws_pickle" ->
+      s"""SELECT true AS canon_match, true AS fixedpoint, true AS from_python,
+         |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+         |   WHERE event_type = 'click' AND epoch_us(ts) <= $LB) AS n_series,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM events
+         |   WHERE event_type = 'click' AND epoch_us(ts) <= $LB) AS n_points,
+         |  true AS gts_shape_ok""".stripMargin,
 
     "w88_ws_polyfunc" ->
       s"""WITH g AS ($EV)

@@ -421,6 +421,25 @@ private[script] object WordsExt5 {
           st.macroConfigDefaults.getOrElse(k,
             throw new IllegalArgumentException(s"MACROCONFIG: no value for '$k'"))))
 
+      // ---- Python pickle codec (fn ->PICKLE / PICKLE->: the reference
+      // wraps the razorvine pickle library, TOPICKLE.java:64-67 /
+      // PICKLETO.java:46-49; a GTS pickles as the map shape of
+      // continuum/gts/GTSPickler.java:52-105). PickleCodec emits the
+      // protocol opcodes directly — scalars/lists/maps/bytes round-trip;
+      // a frame on top pickles to a list of per-series GTS maps.
+      case "->PICKLE" => st.pop() match {
+        case f: graft.operators.GtsFrame =>
+          st.push(PickleCodec.pickle(frameToPickleMaps(f)))
+        case b: BucketedFrame =>
+          st.push(PickleCodec.pickle(frameToPickleMaps(b.frame)))
+        case o => st.push(PickleCodec.pickle(o))
+      }
+      case "PICKLE->" => st.push(PickleCodec.unpickle(st.pop() match {
+        case b: Array[Byte] => b
+        case o => throw new IllegalArgumentException(
+          s"PICKLE-> expects a byte array, got ${String.valueOf(o)}")
+      }))
+
       case _ => return false
     }
     true
@@ -482,5 +501,55 @@ private[script] object WordsExt5 {
       case b: BucketedFrame => st.push(b.copy(frame = overFrame(b.frame)))
       case n => st.push(p.value(en.asNum(n)))
     }
+  }
+
+  /** A frame as the reference's pickled-GTS shape: one map per series
+    * with classname/labels/attributes/timestamps/values, plus
+    * latitudes/longitudes (NaN for unlocated points) when any point has
+    * a location and elevations (Long.MIN_VALUE for missing) when any
+    * point has one — the exact key set and sentinel conventions of
+    * continuum/gts/GTSPickler.java:52-105. Driver-side collect, guarded
+    * by the same 1M-point accessor cap as the other inspection words. */
+  private def frameToPickleMaps(f: graft.operators.GtsFrame): Vector[Any] = {
+    import graft.model.GtsType
+    WordsGts.collectGuard(f.df, "->PICKLE")
+    f.df.select(col("class"), col("labels"), col("ts"), col("lat"),
+        col("lon"), col("elev"), col("vtype"), col("vlong"), col("vdouble"),
+        col("vbool"), col("vstring"), col("vbinary"))
+      .collect()
+      .groupBy(r => (r.getString(0), r.getMap[String, String](1).toMap))
+      .toVector
+      .sortBy { case ((c, l), _) => (c, l.toSeq.sorted.mkString(",")) }
+      .map { case ((cls, labels), rows) =>
+        val sorted = rows.sortBy(_.getLong(2))
+        val values: Vector[Any] = sorted.toVector.map { r =>
+          r.getByte(6) match {
+            case GtsType.LONG    => r.getLong(7)
+            case GtsType.DOUBLE  => r.getDouble(8)
+            case GtsType.BOOLEAN => r.getBoolean(9)
+            case GtsType.BINARY  => r.getAs[Array[Byte]](11)
+            case _               => r.getString(10)
+          }
+        }
+        val base = Map[Any, Any](
+          "classname" -> cls,
+          "labels" -> labels.asInstanceOf[Map[Any, Any]],
+          "attributes" -> Map.empty[Any, Any],
+          "timestamps" -> sorted.toVector.map(_.getLong(2): Any),
+          "values" -> values)
+        val withLoc =
+          if (sorted.exists(r => !r.isNullAt(3))) base ++ Map[Any, Any](
+            "latitudes" -> sorted.toVector.map(r =>
+              (if (r.isNullAt(3)) Double.NaN else r.getDouble(3)): Any),
+            "longitudes" -> sorted.toVector.map(r =>
+              (if (r.isNullAt(4)) Double.NaN else r.getDouble(4)): Any))
+          else base
+        val withElev =
+          if (sorted.exists(r => !r.isNullAt(5))) withLoc + ("elevations" ->
+            sorted.toVector.map(r =>
+              (if (r.isNullAt(5)) Long.MinValue else r.getLong(5)): Any))
+          else withLoc
+        withElev: Any
+      }
   }
 }
