@@ -66,7 +66,21 @@ object TextQueries4 {
     // the oracle REPLAYS (md5 row hashes, counter sums, min-of-rows) —
     // an approximate structure under the full hash gate, not rows-only
     "t31_cms_heavy_hitters" -> ((s, dir) =>
-      TextOps2.cmsHeavyHitters(docs(s, dir), 1024, 4, 100L))
+      TextOps2.cmsHeavyHitters(docs(s, dir), 1024, 4, 100L)),
+
+    // duplicate-span marking (shingle-window form of exact-substring
+    // dedup, Lee et al. 2021): 20-word windows occurring >1× anywhere
+    // in the corpus, with per-doc covered-word-position counts — the
+    // amount a span-removal pass would delete
+    "t33_dup_spans" -> ((s, dir) =>
+      graft.text.TextOps3.duplicateSpans(docs(s, dir), 20)),
+
+    // int8 embedding quantization + recall@5 of the quantized ranking
+    // vs full precision (cosine is scale-invariant, so the quantized
+    // ranking runs on raw integer dot products)
+    "t34_int8_recall" -> ((s, dir) =>
+      graft.text.TextOps3.int8Recall(
+        s.read.parquet(s"$dir/embeddings.parquet"), 50, 5))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -184,6 +198,61 @@ object TextQueries4 {
          |SELECT a.word, CAST(min(a.cnt) AS BIGINT) AS exact,
          |  CAST(min(c.c) AS BIGINT) AS est
          |FROM a JOIN c USING (i, b) GROUP BY 1""".stripMargin
-    }
+    },
+
+    "t33_dup_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        |             len(string_split(text, ' ')) AS n FROM documents),
+        |pos AS (SELECT doc_id, ws,
+        |          unnest(generate_series(0, n - 20)) AS p
+        |        FROM w WHERE n >= 20),
+        |sh AS (SELECT doc_id, p,
+        |         array_to_string(list_slice(ws, p + 1, p + 20), ' ') AS s
+        |       FROM pos),
+        |d AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1),
+        |m AS (SELECT sh.doc_id, sh.p FROM sh JOIN d USING (s)),
+        |cov AS (SELECT doc_id, count(DISTINCT i) AS c FROM
+        |          (SELECT doc_id, unnest(generate_series(p, p + 19)) AS i
+        |           FROM m) GROUP BY 1),
+        |nw AS (SELECT doc_id, count(*) AS nwin FROM sh GROUP BY 1),
+        |nd AS (SELECT doc_id, count(*) AS ndup FROM m GROUP BY 1)
+        |SELECT nw.doc_id, CAST(nwin AS BIGINT) AS n_windows,
+        |  CAST(coalesce(ndup, 0) AS BIGINT) AS n_dup,
+        |  CAST(coalesce(c, 0) AS BIGINT) AS n_covered
+        |FROM nw LEFT JOIN nd USING (doc_id)
+        |LEFT JOIN cov USING (doc_id)""".stripMargin,
+
+    "t34_int8_recall" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+        |  FROM embeddings),
+        |q8 AS (SELECT vec_id, v,
+        |    greatest(list_max(list_transform(v, x -> abs(x))), 1.0) AS maxabs
+        |  FROM e),
+        |qq AS (SELECT vec_id, v,
+        |    list_transform(v, x -> round(x * 127.0 / maxabs)) AS q FROM q8),
+        |p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |    round(list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) *
+        |       sqrt(list_dot_product(b.v, b.v))), 9) AS cos_full,
+        |    round(list_dot_product(a.q, b.q) /
+        |      (sqrt(list_dot_product(a.q, a.q)) *
+        |       sqrt(list_dot_product(b.q, b.q))), 9) AS cos_q
+        |  FROM qq a CROSS JOIN qq b
+        |  WHERE a.vec_id < 50 AND a.vec_id <> b.vec_id),
+        |rf AS (SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos_full DESC, nid) AS rk
+        |  FROM p),
+        |rq AS (SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos_q DESC, nid) AS rk
+        |  FROM p),
+        |ff AS (SELECT qid, list(nid ORDER BY rk) AS fids FROM rf
+        |       WHERE rk <= 5 GROUP BY qid),
+        |fq AS (SELECT qid, list(nid ORDER BY rk) AS qids FROM rq
+        |       WHERE rk <= 5 GROUP BY qid)
+        |SELECT ff.qid,
+        |  CAST(len(list_intersect(ff.fids, fq.qids)) AS DOUBLE) / 5 AS recall,
+        |  ff.fids[1] AS top1_full, fq.qids[1] AS top1_q
+        |FROM ff JOIN fq USING (qid)""".stripMargin
   )
 }

@@ -1,0 +1,128 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Third text-ops pack: duplicate-span marking (the shingle-window
+  * form of exact-substring dedup from Lee et al. 2021, "Deduplicating
+  * Training Data Makes Language Models Better") and int8 embedding
+  * quantization with recall measurement against the full-precision
+  * ranking — both staples of a 100 TB training-data pipeline.
+  *
+  * Everything here is declarative DataFrame algebra: the shingle pass
+  * shuffles once on the shingle string (same scale shape as MinHash
+  * banding — equality joins, no cross product), and the quantization
+  * pass is per-row expression work followed by a broadcastable
+  * small-side join for the query set.
+  */
+object TextOps3 {
+
+  /** Duplicate-span marking: every `w`-word window (stride 1) whose
+    * exact text occurs more than once in the corpus is a duplicated
+    * span. Returns per-doc window counts, duplicated-window counts and
+    * the number of word positions covered by at least one duplicated
+    * window — the quantity a span-removal pass would delete.
+    *
+    * At scale: one shuffle keyed by the window text (skew-safe — a
+    * window repeated k times contributes k rows to one group), then a
+    * semi-join back. No driver state; suffix-array construction is
+    * deliberately NOT used (it needs global order; the windowed form is
+    * the standard distributed approximation).
+    */
+  def duplicateSpans(docs: DataFrame, w: Int = 20): DataFrame = {
+    val words = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n", size(col("ws")))
+    // one row per window position; short docs (< w words) emit none
+    val wins = words
+      .filter(col("n") >= w)
+      .select(col("doc_id"), col("n"),
+        posexplode(expr(s"transform(sequence(0, n - $w), i -> " +
+          s"array_join(slice(ws, i + 1, $w), ' '))")))
+      .select(col("doc_id"), col("pos"), col("col").as("sh"))
+    val dup = wins.groupBy(col("sh"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > 1)
+      .select(col("sh"))
+    val marked = wins.join(dup, "sh").select(col("doc_id"), col("pos"))
+    val covered = marked
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${w - 1})")).as("i"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("i")).as("n_covered"))
+    val nWin = wins.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+    val nDup = marked.groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    nWin
+      .join(nDup, Seq("doc_id"), "left")
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+  }
+
+  /** Embeddings with the exact-integer scaling of [[BruteForceKnn]]
+    * (round(x*1000) — float→double noise removed before any math). */
+  private def scaled(embs: DataFrame): DataFrame =
+    embs.select(col("vec_id"),
+      transform(col("embedding"), x => round(x.cast(DoubleType) * 1000)).as("v"))
+
+  /** Per-vector symmetric int8 quantization: q_i = round(v_i * 127 /
+    * max|v|). Cosine is invariant under per-vector positive scaling, so
+    * the quantized ranking needs no dequantization — integer dot and
+    * norms only (each exact in a double: |q|≤127, 64 dims).
+    */
+  def quantizeInt8(embs: DataFrame): DataFrame =
+    scaled(embs)
+      .withColumn("maxabs",
+        greatest(array_max(transform(col("v"), x => abs(x))), lit(1.0)))
+      .withColumn("q",
+        transform(col("v"), x => round(x * lit(127.0) / col("maxabs"))))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def topk(pairs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Top-k recall of the int8-quantized ranking against the
+    * full-precision ranking, per query (vec_id < nQueries): both
+    * rankings brute-force, ties broken by nid, cosines rounded to 1e-9
+    * before ranking so the order is engine-independent. Output one row
+    * per query: recall@k plus both top-1 ids — the quantization-error
+    * telemetry a vector-store migration job reports.
+    */
+  def int8Recall(embs: DataFrame, nQueries: Int = 50, k: Int = 5): DataFrame = {
+    val e = quantizeInt8(embs)
+    val qs = broadcast(e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("q").as("qq")))
+    val pairs = qs.join(e.withColumnRenamed("vec_id", "nid"),
+        col("qid") =!= col("nid"))
+      .withColumn("cos_full", round(
+        dot(col("qv"), col("v")) /
+          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("v"), col("v")))), 9))
+      .withColumn("cos_q", round(
+        dot(col("qq"), col("q")) /
+          (sqrt(dot(col("qq"), col("qq"))) * sqrt(dot(col("q"), col("q")))), 9))
+      .select(col("qid"), col("nid"), col("cos_full"), col("cos_q"))
+    val full = topk(pairs.withColumn("cos", col("cos_full")), k)
+      .groupBy(col("qid"))
+      .agg(collect_list(struct(col("rk"), col("nid"))).as("l"))
+      .select(col("qid"),
+        expr("transform(array_sort(l), s -> s.nid)").as("full_ids"))
+    val quant = topk(pairs.withColumn("cos", col("cos_q")), k)
+      .groupBy(col("qid"))
+      .agg(collect_list(struct(col("rk"), col("nid"))).as("l"))
+      .select(col("qid"),
+        expr("transform(array_sort(l), s -> s.nid)").as("q_ids"))
+    full.join(quant, "qid")
+      .select(col("qid"),
+        (size(array_intersect(col("full_ids"), col("q_ids"))).cast(DoubleType)
+          / k).as("recall"),
+        col("full_ids").getItem(0).as("top1_full"),
+        col("q_ids").getItem(0).as("top1_q"))
+  }
+}
