@@ -146,6 +146,56 @@ object WsQueries3 {
         lit(nPoints).as("n_points"),
         lit(shapeOk).as("gts_shape_ok"))
     }),
+
+    // Processing rendering words (script/processing/*; clean-room
+    // java.awt canvas, AA off). Every expected value is independently
+    // derivable: rect fills cover exactly w×h pixel centers, the
+    // ellipse count follows the pixel-center insideness rule
+    // ((x+.5-cx)²/rx² + (y+.5-cy)²/ry² < 1 → 80 px for rx=6, ry=4),
+    // and the PNG data-URL round-trips through Pdecode pixel-exact.
+    "w91_ws_processing" -> ((s, dir) => {
+      val e = engine(s, dir, cents = false)
+      val out = e.run(
+        """64 48 '2D' PGraphics
+          |32 32 32 Pbackground
+          |PnoStroke 255 0 0 Pfill 8 8 16 12 Prect
+          |0 255 0 Pfill 'CENTER' PrectMode 48 12 8 8 Prect
+          |PpushMatrix 0 24 Ptranslate 0 0 255 Pfill 'CORNER' PrectMode
+          |4 4 10 6 Prect PpopMatrix
+          |255 255 0 Pfill 40 36 12 8 Pellipse
+          |10 10 Pget 'p_red' STORE
+          |48 12 Pget 'p_green' STORE
+          |5 29 Pget 'p_blue' STORE
+          |40 36 Pget 'p_yellow' STORE
+          |0 0 Pget 'p_bg' STORE
+          |Ppixels 'pxs' STORE
+          |Pencode 'url' STORE
+          |$url Pdecode 'img' STORE
+          |64 48 '2D' PGraphics $img 0 0 Pimage
+          |40 36 Pget 'rt_yellow' STORE 0 0 Pget 'rt_bg' STORE DROP
+          |10 10 '2D' PGraphics 5 0 10 0 100 Pmap 'pmap' STORE
+          |0 0 3 4 Pdist 'pdist' STORE DROP
+          |$p_bg $p_red $p_green $p_blue $p_yellow $pxs
+          |$url $rt_yellow $rt_bg $pmap $pdist""".stripMargin)
+      val Seq(pBg, pRed, pGreen, pBlue, pYellow) =
+        out.reverse.take(5).map(_.asInstanceOf[Long])
+      val pxs = out(5).asInstanceOf[Vector[Any]].map(_.asInstanceOf[Long])
+      val url = out(4).asInstanceOf[String]
+      val (rtY, rtBg) = (out(3).asInstanceOf[Long], out(2).asInstanceOf[Long])
+      s.range(1).select(
+        lit(pBg).as("p_bg"), lit(pRed).as("p_red"),
+        lit(pGreen).as("p_green"), lit(pBlue).as("p_blue"),
+        lit(pYellow).as("p_yellow"),
+        lit(pxs.count(_ == 0xffff0000L).toLong).as("n_red"),
+        lit(pxs.count(_ == 0xff00ff00L).toLong).as("n_green"),
+        lit(pxs.count(_ == 0xff0000ffL).toLong).as("n_blue"),
+        lit(pxs.count(_ == 0xffffff00L).toLong).as("n_yellow"),
+        lit(pxs.count(_ == 0xff202020L).toLong).as("n_bg"),
+        lit(url.startsWith("data:image/png;base64,")).as("png_url"),
+        lit(rtY == pYellow && rtBg == pBg).as("roundtrip_ok"),
+        lit(out(1).asInstanceOf[Double]).as("pmap"),
+        lit(out(0).asInstanceOf[Double]).as("pdist"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -179,6 +229,20 @@ object WsQueries3 {
     "w89_ws_update_delete" ->
       """SELECT CAST(3 AS BIGINT) AS n_points, CAST(1 AS BIGINT) AS n_mfilter,
         |  CAST(2 AS BIGINT) AS n_set, '1000,3000,4000' AS ticks_csv""".stripMargin,
+
+    // all literals independently derived: rect fills cover w×h pixel
+    // centers exactly; ellipse count 80 from the center-insideness rule
+    "w91_ws_processing" ->
+      """SELECT CAST(4280295456 AS BIGINT) AS p_bg,
+        |  CAST(4294901760 AS BIGINT) AS p_red,
+        |  CAST(4278255360 AS BIGINT) AS p_green,
+        |  CAST(4278190335 AS BIGINT) AS p_blue,
+        |  CAST(4294967040 AS BIGINT) AS p_yellow,
+        |  CAST(192 AS BIGINT) AS n_red, CAST(64 AS BIGINT) AS n_green,
+        |  CAST(60 AS BIGINT) AS n_blue, CAST(80 AS BIGINT) AS n_yellow,
+        |  CAST(2676 AS BIGINT) AS n_bg,
+        |  true AS png_url, true AS roundtrip_ok,
+        |  50.0 AS pmap, 5.0 AS pdist""".stripMargin,
 
     "w90_ws_pickle" ->
       s"""SELECT true AS canon_match, true AS fixedpoint, true AS from_python,

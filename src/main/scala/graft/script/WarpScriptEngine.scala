@@ -345,7 +345,8 @@ final class WarpScriptEngine(
           !WordsDebug.eval(other, st, this) &&
           !WordsGts2.eval(other, st, this) &&
           !WordsExt4.eval(other, st, this) &&
-          !WordsExt5.eval(other, st, this))
+          !WordsExt5.eval(other, st, this) &&
+          !WordsProcessing.eval(other, st, this))
         throw new IllegalArgumentException(s"unknown function '$other'")
   }
 

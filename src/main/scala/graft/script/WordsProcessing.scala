@@ -1,0 +1,334 @@
+package graft.script
+
+/** Processing (`P*`) rendering words over the clean-room [[WsCanvas]]
+  * java.awt canvas (reference: the ~100 words under
+  * script/processing/, each of which pops arguments until the
+  * PGraphics instance is found, applies the Processing call, and
+  * pushes the instance back — ProcessingUtil.parseParams:36-63; the
+  * same argument protocol is replicated here).
+  *
+  * Implemented: the 2D drawing core (shapes, color, transforms,
+  * style/matrix stacks, pixels, encode/decode, basic typography, the
+  * P-math scalars). Not implemented: the 3D surface (Pbox/Psphere/
+  * PGraphics '3D' — the reference builds those on OpenGL), bezier/
+  * curve words, blend modes, and font loading; those throw with a
+  * clear message rather than rendering wrongly.
+  *
+  * Detached images are [[WordsProcessing.WsImage]] wrappers so the
+  * until-canvas argument scan cannot mistake an image argument for
+  * the target canvas (the reference relies on PImage != PGraphics).
+  */
+private[script] object WordsProcessing {
+  import WarpScriptEngine._
+
+  /** A detached image (PtoImage / Pdecode / Pget-copy / Presize). */
+  final case class WsImage(c: WsCanvas)
+
+  private def num(v: Any): Double = v match {
+    case l: Long => l.toDouble
+    case d: Double => d
+    case i: Int => i.toDouble
+    case o => throw new IllegalArgumentException(s"expected a number, got $o")
+  }
+  private def colorInt(v: Any): Int = (num(v).toLong & 0xffffffffL).toInt
+
+  /** Pop args until the canvas (the reference's parseParams): returns
+    * (canvas, args in push order). */
+  private def params(st: State, word: String, arities: Int*): (WsCanvas, Vector[Any]) = {
+    val max = arities.max
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var canvas: WsCanvas = null
+    while (canvas == null && st.stack.nonEmpty && buf.length <= max) {
+      st.pop() match {
+        case c: WsCanvas => canvas = c
+        case o => buf += o
+      }
+    }
+    require(canvas != null, s"$word: no PGraphics instance on the stack")
+    require(arities.contains(buf.length),
+      s"$word: expected one of ${arities.mkString("/")} parameters, got ${buf.length}")
+    (canvas, buf.reverse.toVector)
+  }
+
+  /** Processing color(...) overloads: gray | gray,a | r,g,b | r,g,b,a;
+    * a 1-arg value with any alpha bits set is already a packed color. */
+  private def packColor(args: Vector[Any]): Int = args.map(num) match {
+    case Vector(g) =>
+      val l = g.toLong
+      if ((l & 0xff000000L) != 0) (l & 0xffffffffL).toInt
+      else WsCanvas.color(g, g, g)
+    case Vector(g, a) =>
+      val l = g.toLong
+      if ((l & 0xff000000L) != 0)
+        ((a.toLong.min(255).max(0) << 24) | (l & 0xffffffL)).toInt
+      else WsCanvas.color(g, g, g, a)
+    case Vector(r, gr, b) => WsCanvas.color(r, gr, b)
+    case Vector(r, gr, b, a) => WsCanvas.color(r, gr, b, a)
+    case other => throw new IllegalArgumentException(s"color args: $other")
+  }
+
+  def eval(w: String, st: State, en: WarpScriptEngine): Boolean = {
+    w match {
+      case "PGraphics" =>
+        val tpe = st.popStr()
+        val h = st.popLong().toInt
+        val wd = st.popLong().toInt
+        require(tpe.startsWith("2D"),
+          s"PGraphics: only the '2D' surface is supported (got '$tpe')")
+        st.push(new WsCanvas(wd, h))
+
+      case "Pencode" =>
+        var fmt = "png"
+        val img = st.pop() match {
+          case m: Map[Any @unchecked, Any @unchecked] =>
+            fmt = m.getOrElse("format", "png").toString match {
+              case "jpeg" | "jpg" => "jpeg"; case _ => "png"
+            }
+            st.pop()
+          case o => o
+        }
+        img match {
+          case c: WsCanvas => st.push(c.encode(fmt))
+          case WsImage(c) => st.push(c.encode(fmt))
+          case o => throw new IllegalArgumentException(s"Pencode: not an image: $o")
+        }
+
+      case "Pdecode" =>
+        val c = st.pop() match {
+          case b: Array[Byte] => WsCanvas.decode(b)
+          case s: String if s.startsWith("data:") => WsCanvas.decode(
+            java.util.Base64.getDecoder.decode(s.substring(s.indexOf(",") + 1)))
+          case s: String => WsCanvas.decode(java.util.Base64.getDecoder.decode(s))
+          case o => throw new IllegalArgumentException(s"Pdecode: $o")
+        }
+        st.push(WsImage(c))
+
+      // -------------------------------------------------------- color
+      case "Pbackground" =>
+        val (c, a) = params(st, w, 1, 2, 3, 4)
+        c.background(packColor(a)); st.push(c)
+      case "Pclear" =>
+        val (c, _) = params(st, w, 0); c.clear(); st.push(c)
+      case "Pfill" =>
+        val (c, a) = params(st, w, 1, 2, 3, 4)
+        c.fillColor = Some(packColor(a)); st.push(c)
+      case "PnoFill" =>
+        val (c, _) = params(st, w, 0); c.fillColor = None; st.push(c)
+      case "Pstroke" =>
+        val (c, a) = params(st, w, 1, 2, 3, 4)
+        c.strokeColor = Some(packColor(a)); st.push(c)
+      case "PnoStroke" =>
+        val (c, _) = params(st, w, 0); c.strokeColor = None; st.push(c)
+      case "PstrokeWeight" =>
+        val (c, a) = params(st, w, 1); c.strokeW = num(a(0)); st.push(c)
+      case "Pcolor" =>
+        val (c, a) = params(st, w, 1, 2, 3, 4)
+        st.push(c); st.push(packColor(a).toLong & 0xffffffffL)
+      case "Pred" | "Pgreen" | "Pblue" | "Palpha" =>
+        val (c, a) = params(st, w, 1)
+        val v = colorInt(a(0))
+        val shift = w match {
+          case "Pred" => 16; case "Pgreen" => 8; case "Pblue" => 0; case _ => 24
+        }
+        st.push(c); st.push(((v >>> shift) & 0xff).toDouble)
+      case "Phue" | "Psaturation" | "Pbrightness" =>
+        val (c, a) = params(st, w, 1)
+        val v = colorInt(a(0))
+        val hsb = java.awt.Color.RGBtoHSB(
+          (v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff, null)
+        val idx = w match {
+          case "Phue" => 0; case "Psaturation" => 1; case _ => 2
+        }
+        st.push(c); st.push(hsb(idx).toDouble * 255.0)
+      case "PlerpColor" =>
+        val (c, a) = params(st, w, 3)
+        val (c1, c2, t) = (colorInt(a(0)), colorInt(a(1)), num(a(2)))
+        def lerp(sh: Int) = math.round(
+          ((c1 >>> sh) & 0xff) + (((c2 >>> sh) & 0xff) - ((c1 >>> sh) & 0xff)) * t
+        ).toInt & 0xff
+        st.push(c)
+        st.push(((lerp(24) << 24) | (lerp(16) << 16) | (lerp(8) << 8) |
+          lerp(0)).toLong & 0xffffffffL)
+
+      // ------------------------------------------------------- shapes
+      case "Ppoint" =>
+        val (c, a) = params(st, w, 2)
+        c.point(num(a(0)), num(a(1))); st.push(c)
+      case "Pline" =>
+        val (c, a) = params(st, w, 4)
+        c.line(num(a(0)), num(a(1)), num(a(2)), num(a(3))); st.push(c)
+      case "Prect" =>
+        val (c, a) = params(st, w, 4)
+        c.rect(num(a(0)), num(a(1)), num(a(2)), num(a(3))); st.push(c)
+      case "Pellipse" =>
+        val (c, a) = params(st, w, 4)
+        c.ellipse(num(a(0)), num(a(1)), num(a(2)), num(a(3))); st.push(c)
+      case "Ptriangle" =>
+        val (c, a) = params(st, w, 6)
+        c.triangle(num(a(0)), num(a(1)), num(a(2)), num(a(3)),
+          num(a(4)), num(a(5))); st.push(c)
+      case "Pquad" =>
+        val (c, a) = params(st, w, 8)
+        c.quad(num(a(0)), num(a(1)), num(a(2)), num(a(3)),
+          num(a(4)), num(a(5)), num(a(6)), num(a(7))); st.push(c)
+      case "Parc" =>
+        val (c, a) = params(st, w, 6, 7)
+        val mode = if (a.length == 7) a(6).toString else "OPEN"
+        c.arc(num(a(0)), num(a(1)), num(a(2)), num(a(3)),
+          num(a(4)), num(a(5)), mode); st.push(c)
+      case "PbeginShape" =>
+        val (c, _) = params(st, w, 0); c.beginShape(); st.push(c)
+      case "Pvertex" =>
+        val (c, a) = params(st, w, 2)
+        c.vertex(num(a(0)), num(a(1))); st.push(c)
+      case "PendShape" =>
+        val (c, a) = params(st, w, 0, 1)
+        c.endShape(close = a.headOption.exists(_.toString == "CLOSE"))
+        st.push(c)
+      case "PbeginContour" =>
+        val (c, _) = params(st, w, 0); c.beginContour(); st.push(c)
+      case "PendContour" =>
+        val (c, _) = params(st, w, 0); c.endContour(); st.push(c)
+      case "PrectMode" =>
+        val (c, a) = params(st, w, 1); c.rectMode = a(0).toString; st.push(c)
+      case "PellipseMode" =>
+        val (c, a) = params(st, w, 1); c.ellipseMode = a(0).toString; st.push(c)
+
+      // --------------------------------------------------- transforms
+      case "Ptranslate" =>
+        val (c, a) = params(st, w, 2)
+        c.translate(num(a(0)), num(a(1))); st.push(c)
+      case "Protate" =>
+        val (c, a) = params(st, w, 1); c.rotate(num(a(0))); st.push(c)
+      case "Pscale" =>
+        val (c, a) = params(st, w, 1, 2)
+        if (a.length == 1) c.scale(num(a(0)), num(a(0)))
+        else c.scale(num(a(0)), num(a(1)))
+        st.push(c)
+      case "PshearX" =>
+        val (c, a) = params(st, w, 1); c.shearX(num(a(0))); st.push(c)
+      case "PshearY" =>
+        val (c, a) = params(st, w, 1); c.shearY(num(a(0))); st.push(c)
+      case "PpushMatrix" =>
+        val (c, _) = params(st, w, 0); c.pushMatrix(); st.push(c)
+      case "PpopMatrix" =>
+        val (c, _) = params(st, w, 0); c.popMatrix(); st.push(c)
+      case "PresetMatrix" =>
+        val (c, _) = params(st, w, 0); c.resetMatrix(); st.push(c)
+      case "PpushStyle" =>
+        val (c, _) = params(st, w, 0); c.pushStyle(); st.push(c)
+      case "PpopStyle" =>
+        val (c, _) = params(st, w, 0); c.popStyle(); st.push(c)
+
+      // ------------------------------------------------------- pixels
+      case "Pget" =>
+        val (c, a) = params(st, w, 0, 2, 4)
+        st.push(c)
+        a.length match {
+          case 0 => st.push(WsImage(c.copy()))
+          case 2 => st.push(
+            c.get(num(a(0)).toInt, num(a(1)).toInt).toLong & 0xffffffffL)
+          case _ => st.push(WsImage(c.copy(num(a(0)).toInt, num(a(1)).toInt,
+            num(a(2)).toInt, num(a(3)).toInt)))
+        }
+      case "Pset" =>
+        val (c, a) = params(st, w, 3)
+        c.set(num(a(0)).toInt, num(a(1)).toInt, colorInt(a(2))); st.push(c)
+      case "Ppixels" =>
+        val (c, _) = params(st, w, 0)
+        st.push(c); st.push(c.pixels().map(p => p: Any))
+      case "PupdatePixels" =>
+        val (c, a) = params(st, w, 0, 1)
+        a.headOption.foreach {
+          case v: Vector[Any @unchecked] => c.setPixels(v.map(x => num(x).toLong))
+          case o => throw new IllegalArgumentException(s"PupdatePixels: $o")
+        }
+        st.push(c)
+      case "PtoImage" =>
+        st.pop() match {
+          case c: WsCanvas => st.push(WsImage(c.copy()))
+          case i: WsImage => st.push(i)
+          case o => throw new IllegalArgumentException(s"PtoImage: $o")
+        }
+      case "Pimage" =>
+        val (c, a) = params(st, w, 3, 5)
+        val img = a(0) match {
+          case WsImage(i) => i
+          case o => throw new IllegalArgumentException(s"Pimage: not an image: $o")
+        }
+        if (a.length == 3) c.drawImage(img, num(a(1)), num(a(2)))
+        else c.drawImage(img, num(a(1)), num(a(2)), num(a(3)), num(a(4)))
+        st.push(c)
+      case "Presize" =>
+        val h = st.popLong().toInt
+        val wd = st.popLong().toInt
+        st.pop() match {
+          case WsImage(i) => st.push(WsImage(i.resized(wd, h)))
+          case c: WsCanvas => st.push(WsImage(c.resized(wd, h)))
+          case o => throw new IllegalArgumentException(s"Presize: $o")
+        }
+
+      // --------------------------------------------------------- math
+      case "Pconstrain" =>
+        val (c, a) = params(st, w, 3)
+        st.push(c)
+        st.push(math.max(num(a(1)), math.min(num(a(2)), num(a(0)))))
+      case "Pdist" =>
+        val (c, a) = params(st, w, 4, 6)
+        val d =
+          if (a.length == 4) math.hypot(num(a(2)) - num(a(0)), num(a(3)) - num(a(1)))
+          else math.sqrt(
+            math.pow(num(a(3)) - num(a(0)), 2) + math.pow(num(a(4)) - num(a(1)), 2) +
+            math.pow(num(a(5)) - num(a(2)), 2))
+        st.push(c); st.push(d)
+      case "Plerp" =>
+        val (c, a) = params(st, w, 3)
+        st.push(c)
+        st.push(num(a(0)) + (num(a(1)) - num(a(0))) * num(a(2)))
+      case "Pmag" =>
+        val (c, a) = params(st, w, 2, 3)
+        val m =
+          if (a.length == 2) math.hypot(num(a(0)), num(a(1)))
+          else math.sqrt(math.pow(num(a(0)), 2) + math.pow(num(a(1)), 2) +
+            math.pow(num(a(2)), 2))
+        st.push(c); st.push(m)
+      case "Pmap" =>
+        val (c, a) = params(st, w, 5)
+        st.push(c)
+        st.push(num(a(3)) + (num(a(4)) - num(a(3))) *
+          ((num(a(0)) - num(a(1))) / (num(a(2)) - num(a(1)))))
+      case "Pnorm" =>
+        val (c, a) = params(st, w, 3)
+        st.push(c)
+        st.push((num(a(0)) - num(a(1))) / (num(a(2)) - num(a(1))))
+
+      // --------------------------------------------------- typography
+      case "PtextSize" =>
+        val (c, a) = params(st, w, 1); c.textSize = num(a(0)); st.push(c)
+      case "Ptext" =>
+        val (c, a) = params(st, w, 3)
+        c.text(a(0).toString, num(a(1)), num(a(2))); st.push(c)
+      case "PtextWidth" =>
+        val (c, a) = params(st, w, 1)
+        st.push(c); st.push(c.textWidth(a(0).toString))
+
+      // unimplemented P-words fail loud rather than draw wrongly
+      case "Pbox" | "Psphere" | "PsphereDetail" | "Pbezier" | "Pcurve" |
+           "PbezierVertex" | "PcurveVertex" | "PquadraticVertex" |
+           "PblendMode" | "Pblend" | "Pfilter" | "Pmask" | "Ptint" |
+           "PnoTint" | "PshapeMode" | "Pshape" | "PloadShape" |
+           "PcreateFont" | "PtextFont" | "PtextMode" | "PtextAlign" |
+           "PtextLeading" | "PtextAscent" | "PtextDescent" |
+           "PcolorMode" | "Pclip" | "PnoClip" | "ProtateX" | "ProtateY" |
+           "ProtateZ" | "Pcopy" | "PimageMode" | "Psize" |
+           "PbezierDetail" | "PbezierPoint" | "PbezierTangent" |
+           "PcurveDetail" | "PcurvePoint" | "PcurveTangent" |
+           "PcurveTightness" =>
+        throw new UnsupportedOperationException(
+          s"$w: not implemented in the 2D java.awt rendering subset")
+
+      case _ => return false
+    }
+    true
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import graft.script.WarpScriptEngine
+
+/** Processing rendering words over the clean-room java.awt canvas
+  * (WsCanvas/WordsProcessing): deterministic pixel probes — AA is off,
+  * so interior pixels of fills are exact. */
+class WsProcessingSpec extends SparkSpec {
+
+  private def eng = new WarpScriptEngine(
+    fetch = (_, _, _, _) => throw new UnsupportedOperationException,
+    nowTs = 0L, session = Some(spark))
+
+  private def run1(p: String): Any = eng.run(p).head
+
+  test("Pcolor packs ARGB and the channel extractors invert it") {
+    val e = eng
+    assert(e.run("10 10 '2D' PGraphics 255 0 0 Pcolor").head ==
+      0xffff0000L)
+    assert(e.run("10 10 '2D' PGraphics 1 2 3 4 Pcolor").head ==
+      0x04010203L) // args r=1 g=2 b=3 a=4 -> packed a|r|g|b
+    assert(run1("10 10 '2D' PGraphics 128 Pcolor") == 0xff808080L)
+    assert(run1("10 10 '2D' PGraphics 255 128 64 32 Pcolor Pred") == 255.0)
+    assert(run1("10 10 '2D' PGraphics 255 128 64 32 Pcolor Pgreen") == 128.0)
+    assert(run1("10 10 '2D' PGraphics 255 128 64 32 Pcolor Pblue") == 64.0)
+    assert(run1("10 10 '2D' PGraphics 255 128 64 32 Pcolor Palpha") == 32.0)
+    // lerpColor midpoint of black and white opaque (colors must be
+    // stored — an inline chain would feed c1 into Pcolor's gray+alpha
+    // overload via the until-canvas argument scan, as in the reference)
+    assert(run1("""10 10 '2D' PGraphics 0 Pcolor 'c1' STORE 255 Pcolor
+      |'c2' STORE $c1 $c2 0.5 PlerpColor""".stripMargin) == 0xff808080L)
+  }
+
+  test("background + rect fill: interior pixels exact, exterior untouched") {
+    val px = run1("""40 30 '2D' PGraphics 200 200 200 Pbackground
+      |255 0 0 Pfill PnoStroke 10 5 8 6 Prect 12 7 Pget""".stripMargin)
+    assert(px == 0xffff0000L)
+    val out = run1("""40 30 '2D' PGraphics 200 200 200 Pbackground
+      |255 0 0 Pfill PnoStroke 10 5 8 6 Prect 2 2 Pget""".stripMargin)
+    assert(out == 0xffc8c8c8L)
+  }
+
+  test("rectMode CENTER and matrix push/translate/pop") {
+    // CENTER: rect(20,15,10,10) spans x 15..25, y 10..20
+    assert(run1("""40 30 '2D' PGraphics 'CENTER' PrectMode
+      |0 255 0 Pfill PnoStroke 20 15 10 10 Prect 20 15 Pget""".stripMargin)
+      == 0xff00ff00L)
+    // translate moves the rect; popMatrix restores
+    assert(run1("""40 30 '2D' PGraphics PnoStroke 0 0 255 Pfill
+      |PpushMatrix 10 10 Ptranslate 0 0 5 5 Prect PpopMatrix
+      |12 12 Pget""".stripMargin) == 0xff0000ffL)
+    assert(run1("""40 30 '2D' PGraphics 0 Pbackground PnoStroke
+      |0 0 255 Pfill PpushMatrix 10 10 Ptranslate PpopMatrix
+      |0 0 5 5 Prect 12 12 Pget""".stripMargin) == 0xff000000L)
+  }
+
+  test("triangle and begin/vertex/endShape fill their centroids") {
+    assert(run1("""40 40 '2D' PGraphics PnoStroke 255 255 0 Pfill
+      |5 5 35 5 20 35 Ptriangle 20 15 Pget""".stripMargin) == 0xffffff00L)
+    assert(run1("""40 40 '2D' PGraphics PnoStroke 0 255 255 Pfill
+      |PbeginShape 5 5 Pvertex 35 5 Pvertex 35 35 Pvertex 5 35 Pvertex
+      |'CLOSE' PendShape 20 20 Pget""".stripMargin) == 0xff00ffffL)
+  }
+
+  test("ellipse (CENTER mode default) covers its center") {
+    assert(run1("""40 40 '2D' PGraphics 0 Pbackground PnoStroke
+      |255 0 255 Pfill 20 20 16 10 Pellipse 20 20 Pget""".stripMargin)
+      == 0xffff00ffL)
+    assert(run1("""40 40 '2D' PGraphics 0 Pbackground PnoStroke
+      |255 0 255 Pfill 20 20 16 10 Pellipse 1 1 Pget""".stripMargin)
+      == 0xff000000L)
+  }
+
+  test("Pset/Pget roundtrip and Ppixels inventory") {
+    assert(run1("10 10 '2D' PGraphics 3 4 0xffdeadbe Pset 3 4 Pget")
+      == 0xffdeadbeL)
+    val pxs = run1("""4 3 '2D' PGraphics 255 0 0 Pbackground Ppixels""")
+      .asInstanceOf[Vector[Any]]
+    assert(pxs.length == 12 && pxs.forall(_ == 0xffff0000L))
+  }
+
+  test("Pencode emits a PNG data URL that Pdecode round-trips") {
+    val url = run1("""8 6 '2D' PGraphics 0 128 255 Pbackground
+      |Pencode""".stripMargin).asInstanceOf[String]
+    assert(url.startsWith("data:image/png;base64,"))
+    // decoded image blitted at (3,3) — probe inside it
+    val rt = run1(s"'$url' Pdecode 'img' STORE 20 20 '2D' PGraphics " +
+      "0 Pbackground $img 3 3 Pimage 4 4 Pget")
+    assert(rt == 0xff0080ffL)
+  }
+
+  test("Presize nearest-neighbor keeps solid colors solid") {
+    val px = run1("""4 4 '2D' PGraphics 10 200 30 Pbackground PtoImage
+      |8 8 Presize 'img' STORE 40 40 '2D' PGraphics
+      |$img 0 0 Pimage 7 7 Pget""".stripMargin)
+    assert(px == 0xff0ac81eL)
+  }
+
+  test("P-math scalars match Processing semantics") {
+    val e = eng
+    def v(p: String) = e.run(s"10 10 '2D' PGraphics $p").head
+    assert(v("5 0 10 Pconstrain") == 5.0)
+    assert(v("15 0 10 Pconstrain") == 10.0)
+    assert(v("0 0 3 4 Pdist") == 5.0)
+    assert(v("0 10 0.25 Plerp") == 2.5)
+    assert(v("3 4 Pmag") == 5.0)
+    assert(v("5 0 10 0 100 Pmap") == 50.0)
+    assert(v("5 0 10 Pnorm") == 0.5)
+  }
+
+  test("style stack isolates fill changes") {
+    assert(run1("""20 20 '2D' PGraphics PnoStroke 255 0 0 Pfill
+      |PpushStyle 0 255 0 Pfill PpopStyle 0 0 10 10 Prect
+      |5 5 Pget""".stripMargin) == 0xffff0000L)
+  }
+
+  test("3D surface and unimplemented words fail loud") {
+    intercept[Exception](run1("10 10 '3D' PGraphics"))
+    intercept[Exception](run1("10 10 '2D' PGraphics 1 2 3 PbezierVertex"))
+  }
+}
