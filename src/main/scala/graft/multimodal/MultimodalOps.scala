@@ -221,6 +221,107 @@ object MultimodalOps {
     spark.createDataFrame(rows, outSchema)
   }
 
+  // ---------------------------------------------------------------------
+  // REAL audio path — javax.sound.sampled (JDK built-in, no external deps)
+  // ---------------------------------------------------------------------
+
+  /** Deterministic REAL WAV per document: mono 16 kHz 16-bit PCM whose
+    * samples follow the exact-integer sawtooth
+    * `s(i) = ((i+1)·k mod 2048) − 1024` with `k = doc_id%7 + 1` and
+    * `n = 800 + (doc_id%5)·160` samples. The bytes are a valid RIFF/WAVE
+    * stream (44-byte canonical header), so [[audioFeatures]] exercises a
+    * real audio codec while the oracle can recompute the sample math
+    * directly — any corruption in the encode/decode layer shifts the
+    * integer sums and fails the hash. */
+  def wavMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("media", BinaryType, nullable = false),
+      StructField("mime", StringType, nullable = false)))
+    val rows = docs.select(col("doc_id")).repartition(col("doc_id"))
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val k = (id % 7 + 1).toInt
+          val n = (800 + (id % 5) * 160).toInt
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = (((i + 1).toLong * k) % 2048 - 1024).toShort
+            pcm(2 * i) = (s & 0xff).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          Row(id, wavBytes(pcm, 16000, 1), "audio/wav")
+        }
+      }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Canonical 44-byte PCM WAV container around little-endian samples. */
+  private def wavBytes(pcm: Array[Byte], rate: Int, channels: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + pcm.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + pcm.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * 2).putShort((channels * 2).toShort)
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(pcm.length)
+      .put(pcm)
+    bb.array()
+  }
+
+  /** Per-frame audio features over WAV payloads: decode through the
+    * real `javax.sound.sampled` codec, then exact integer aggregates
+    * per fixed-size frame — sample count, energy (Σs², exact in a
+    * long) and strict zero crossings (s·prev < 0). Partition-batched
+    * like every media transform; at 100 TB the WAV column rides the
+    * same binary-payload scan as images. */
+  def audioFeatures(media: DataFrame, frameSamples: Int): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("sumsq", LongType, nullable = false),
+      StructField("zerocross", LongType, nullable = false)))
+    val rows = media.select(col("media_id"), col("media")).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("media")))
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"audioFeatures expects mono 16-bit PCM, got $fmt")
+        val bytes = in.readAllBytes()
+        in.close()
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        val n = bytes.length / 2
+        (0 until n by frameSamples).map { start =>
+          val end = math.min(start + frameSamples, n)
+          var sumsq = 0L
+          var zc = 0L
+          var prev = 0
+          var i = start
+          while (i < end) {
+            val s = bb.getShort(2 * i).toInt
+            sumsq += s.toLong * s
+            if (i > start && s * prev < 0) zc += 1
+            prev = s
+            i += 1
+          }
+          Row(r.getLong(0), start / frameSamples, (end - start).toLong, sumsq, zc)
+        }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
   /** Frame sampling plumbing for video-like payloads: every `stride`-th
     * fixed-size chunk of the payload becomes a "frame" row (explode
     * shape — one input row → many frame rows). */

@@ -140,6 +140,16 @@ object MiscQueries {
       MultimodalOps.extractImageFeatures(
         MultimodalOps.resizeImages(media, 8, 6)
           .select(col("media_id"), col("media"), lit("image/png").as("mime")))
+    }),
+
+    // multimodal AUDIO: real WAV payloads (synthesized exact-integer
+    // sawtooth PCM) decoded through javax.sound.sampled, per-160-sample
+    // frame energy + zero crossings; the oracle recomputes the sample
+    // math symbolically — the codec layer must be byte-faithful to match
+    "m07_audio_features" -> ((s, dir) => {
+      val media = MultimodalOps.wavMediaFromDocuments(
+        s.read.parquet(s"$dir/documents.parquet"))
+      MultimodalOps.audioFeatures(media, 160)
     })
   )
 
@@ -225,6 +235,24 @@ object MiscQueries {
          |  CASE WHEN CAST(userid AS BIGINT) % 2 = 0
          |    THEN 'env=prod,n=' || npoints || ',tier=gold'
          |    ELSE 'drop=x,env=prod,n=' || npoints END AS attrs
-         |FROM m""".stripMargin
+         |FROM m""".stripMargin,
+
+    // symbolic replay of the sawtooth PCM: s(i) = ((i+1)·k mod 2048) −
+    // 1024, k = doc_id%7+1, n = 800 + (doc_id%5)·160, 160-sample frames
+    "m07_audio_features" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 7) + 1 AS k,
+        |             800 + (doc_id % 5) * 160 AS n FROM documents),
+        |s AS (SELECT doc_id, k, unnest(generate_series(0, n - 1)) AS i
+        |      FROM d),
+        |v AS (SELECT doc_id, i, CAST(i // 160 AS INT) AS frame_idx,
+        |        ((i + 1) * k) % 2048 - 1024 AS x FROM s),
+        |l AS (SELECT *, lag(x) OVER (PARTITION BY doc_id, frame_idx
+        |        ORDER BY i) AS prev FROM v)
+        |SELECT doc_id AS media_id, frame_idx,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(x * x) AS BIGINT) AS sumsq,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND x * prev < 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zerocross
+        |FROM l GROUP BY 1, 2""".stripMargin
   )
 }
