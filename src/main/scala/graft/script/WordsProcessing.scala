@@ -7,12 +7,13 @@ package graft.script
   * pushes the instance back — ProcessingUtil.parseParams:36-63; the
   * same argument protocol is replicated here).
   *
-  * Implemented: the 2D drawing core (shapes, color, transforms,
-  * style/matrix stacks, pixels, encode/decode, basic typography, the
-  * P-math scalars). Not implemented: the 3D surface (Pbox/Psphere/
-  * PGraphics '3D' — the reference builds those on OpenGL), bezier/
-  * curve words, blend modes, and font loading; those throw with a
-  * clear message rather than rendering wrongly.
+  * Implemented: the 2D drawing core (shapes incl. bezier/Catmull-Rom
+  * curves, color with RGB/HSB colorMode, transforms, style/matrix
+  * stacks, pixels, filters/tint/blend/mask/copy, encode/decode, basic
+  * typography, the P-math scalars). Not implemented: the 3D surface
+  * (Pbox/Psphere/PGraphics '3D' — the reference builds those on
+  * OpenGL), the global PblendMode, shape files, and font loading;
+  * those throw with a clear message rather than rendering wrongly.
   *
   * Detached images are [[WordsProcessing.WsImage]] wrappers so the
   * until-canvas argument scan cannot mistake an image argument for
@@ -50,22 +51,10 @@ private[script] object WordsProcessing {
     (canvas, buf.reverse.toVector)
   }
 
-  /** Processing color(...) overloads: gray | gray,a | r,g,b | r,g,b,a;
-    * a 1-arg value with any alpha bits set is already a packed color. */
-  private def packColor(args: Vector[Any]): Int = args.map(num) match {
-    case Vector(g) =>
-      val l = g.toLong
-      if ((l & 0xff000000L) != 0) (l & 0xffffffffL).toInt
-      else WsCanvas.color(g, g, g)
-    case Vector(g, a) =>
-      val l = g.toLong
-      if ((l & 0xff000000L) != 0)
-        ((a.toLong.min(255).max(0) << 24) | (l & 0xffffffL)).toInt
-      else WsCanvas.color(g, g, g, a)
-    case Vector(r, gr, b) => WsCanvas.color(r, gr, b)
-    case Vector(r, gr, b, a) => WsCanvas.color(r, gr, b, a)
-    case other => throw new IllegalArgumentException(s"color args: $other")
-  }
+  /** Processing color(...) overloads under the canvas' active
+    * colorMode (see WsCanvas.makeColor). */
+  private def packColor(c: WsCanvas, args: Vector[Any]): Int =
+    c.makeColor(args.map(num))
 
   def eval(w: String, st: State, en: WarpScriptEngine): Boolean = {
     w match {
@@ -106,24 +95,24 @@ private[script] object WordsProcessing {
       // -------------------------------------------------------- color
       case "Pbackground" =>
         val (c, a) = params(st, w, 1, 2, 3, 4)
-        c.background(packColor(a)); st.push(c)
+        c.background(packColor(c, a)); st.push(c)
       case "Pclear" =>
         val (c, _) = params(st, w, 0); c.clear(); st.push(c)
       case "Pfill" =>
         val (c, a) = params(st, w, 1, 2, 3, 4)
-        c.fillColor = Some(packColor(a)); st.push(c)
+        c.fillColor = Some(packColor(c, a)); st.push(c)
       case "PnoFill" =>
         val (c, _) = params(st, w, 0); c.fillColor = None; st.push(c)
       case "Pstroke" =>
         val (c, a) = params(st, w, 1, 2, 3, 4)
-        c.strokeColor = Some(packColor(a)); st.push(c)
+        c.strokeColor = Some(packColor(c, a)); st.push(c)
       case "PnoStroke" =>
         val (c, _) = params(st, w, 0); c.strokeColor = None; st.push(c)
       case "PstrokeWeight" =>
         val (c, a) = params(st, w, 1); c.strokeW = num(a(0)); st.push(c)
       case "Pcolor" =>
         val (c, a) = params(st, w, 1, 2, 3, 4)
-        st.push(c); st.push(packColor(a).toLong & 0xffffffffL)
+        st.push(c); st.push(packColor(c, a).toLong & 0xffffffffL)
       case "Pred" | "Pgreen" | "Pblue" | "Palpha" =>
         val (c, a) = params(st, w, 1)
         val v = colorInt(a(0))
@@ -312,18 +301,124 @@ private[script] object WordsProcessing {
         val (c, a) = params(st, w, 1)
         st.push(c); st.push(c.textWidth(a(0).toString))
 
+      // ------------------------------------------------ bezier / curve
+      case "Pbezier" =>
+        val (c, a) = params(st, w, 8)
+        c.bezier(num(a(0)), num(a(1)), num(a(2)), num(a(3)),
+          num(a(4)), num(a(5)), num(a(6)), num(a(7))); st.push(c)
+      case "PbezierVertex" =>
+        val (c, a) = params(st, w, 6)
+        c.bezierVertex(num(a(0)), num(a(1)), num(a(2)), num(a(3)),
+          num(a(4)), num(a(5))); st.push(c)
+      case "PquadraticVertex" =>
+        val (c, a) = params(st, w, 4)
+        c.quadraticVertex(num(a(0)), num(a(1)), num(a(2)), num(a(3)))
+        st.push(c)
+      case "Pcurve" =>
+        val (c, a) = params(st, w, 8)
+        c.curve(num(a(0)), num(a(1)), num(a(2)), num(a(3)),
+          num(a(4)), num(a(5)), num(a(6)), num(a(7))); st.push(c)
+      case "PcurveVertex" =>
+        val (c, a) = params(st, w, 2)
+        c.curveVertex(num(a(0)), num(a(1))); st.push(c)
+      case "PcurveTightness" =>
+        val (c, a) = params(st, w, 1)
+        c.curveTightnessV = num(a(0)); st.push(c)
+      case "PbezierDetail" | "PcurveDetail" =>
+        // Java2D flattens adaptively; detail hints are accepted no-ops
+        val (c, _) = params(st, w, 1); st.push(c)
+      // de Casteljau scalar forms (processing.org bezierPoint/...):
+      // exact closed-form doubles, ideal oracle material
+      case "PbezierPoint" | "PbezierTangent" | "PcurvePoint" | "PcurveTangent" =>
+        val (c, args) = params(st, w, 5)
+        val Vector(a, b, cc, d, t) = args.map(num)
+        val u = 1.0 - t
+        val v = w match {
+          case "PbezierPoint" =>
+            u * u * u * a + 3 * u * u * t * b + 3 * u * t * t * cc + t * t * t * d
+          case "PbezierTangent" =>
+            3 * u * u * (b - a) + 6 * u * t * (cc - b) + 3 * t * t * (d - cc)
+          case "PcurvePoint" =>
+            // hermite through b..c, tangents s(c−a) / s(d−b),
+            // s = (1−tightness)/2
+            val s = (1.0 - c.curveTightnessV) / 2.0
+            val (h00, h10, h01, h11) = (
+              2 * t * t * t - 3 * t * t + 1, t * t * t - 2 * t * t + t,
+              -2 * t * t * t + 3 * t * t, t * t * t - t * t)
+            h00 * b + h10 * s * (cc - a) + h01 * cc + h11 * s * (d - b)
+          case _ =>
+            val s = (1.0 - c.curveTightnessV) / 2.0
+            val (d00, d10, d01, d11) = (
+              6 * t * t - 6 * t, 3 * t * t - 4 * t + 1,
+              -6 * t * t + 6 * t, 3 * t * t - 2 * t)
+            d00 * b + d10 * s * (cc - a) + d01 * cc + d11 * s * (d - b)
+        }
+        st.push(c); st.push(v)
+
+      // ------------------------------------------------ image effects
+      case "Pfilter" =>
+        val (c, a) = params(st, w, 1, 2)
+        c.filter(a(0).toString,
+          if (a.length == 2) num(a(1)) else Double.NaN)
+        st.push(c)
+      case "Ptint" =>
+        val (c, a) = params(st, w, 1, 2, 3, 4)
+        c.tint = Some(packColor(c, a)); st.push(c)
+      case "PnoTint" =>
+        val (c, _) = params(st, w, 0); c.tint = None; st.push(c)
+      case "PimageMode" =>
+        val (c, a) = params(st, w, 1); c.imageMode = a(0).toString; st.push(c)
+      case "Pcopy" =>
+        val (c, a) = params(st, w, 8, 9)
+        val (src, off) = a(0) match {
+          case WsImage(i) => (i, 1)
+          case _ => (c, 0)
+        }
+        val n = a.drop(off).map(x => num(x).toInt)
+        c.copyRegion(src, n(0), n(1), n(2), n(3), n(4), n(5), n(6), n(7))
+        st.push(c)
+      case "Pblend" =>
+        val (c, a) = params(st, w, 9, 10)
+        val (src, off) = a(0) match {
+          case WsImage(i) => (i, 1)
+          case _ => (c, 0)
+        }
+        val n = a.slice(off, off + 8).map(x => num(x).toInt)
+        c.blendRegion(src, n(0), n(1), n(2), n(3), n(4), n(5), n(6), n(7),
+          a.last.toString)
+        st.push(c)
+      case "Pmask" =>
+        val mask = st.pop() match {
+          case WsImage(i) => i
+          case o => throw new IllegalArgumentException(s"Pmask: $o")
+        }
+        st.pop() match {
+          case WsImage(i) => i.maskWith(mask); st.push(WsImage(i))
+          case o => throw new IllegalArgumentException(s"Pmask: $o")
+        }
+      case "PcolorMode" =>
+        val (c, a) = params(st, w, 1, 2, 4, 5)
+        c.colorModeName = a(0).toString match {
+          case "HSB" => "HSB"
+          case _ => "RGB"
+        }
+        val ms = a.tail.map(num)
+        c.colorMax = ms.length match {
+          case 0 => c.colorMax
+          case 1 => (ms(0), ms(0), ms(0), ms(0))
+          case 3 => (ms(0), ms(1), ms(2), c.colorMax._4)
+          case _ => (ms(0), ms(1), ms(2), ms(3))
+        }
+        st.push(c)
+
       // unimplemented P-words fail loud rather than draw wrongly
-      case "Pbox" | "Psphere" | "PsphereDetail" | "Pbezier" | "Pcurve" |
-           "PbezierVertex" | "PcurveVertex" | "PquadraticVertex" |
-           "PblendMode" | "Pblend" | "Pfilter" | "Pmask" | "Ptint" |
-           "PnoTint" | "PshapeMode" | "Pshape" | "PloadShape" |
+      case "Pbox" | "Psphere" | "PsphereDetail" |
+           "PblendMode" |
+           "PshapeMode" | "Pshape" | "PloadShape" |
            "PcreateFont" | "PtextFont" | "PtextMode" | "PtextAlign" |
            "PtextLeading" | "PtextAscent" | "PtextDescent" |
-           "PcolorMode" | "Pclip" | "PnoClip" | "ProtateX" | "ProtateY" |
-           "ProtateZ" | "Pcopy" | "PimageMode" | "Psize" |
-           "PbezierDetail" | "PbezierPoint" | "PbezierTangent" |
-           "PcurveDetail" | "PcurvePoint" | "PcurveTangent" |
-           "PcurveTightness" =>
+           "Pclip" | "PnoClip" | "ProtateX" | "ProtateY" |
+           "ProtateZ" | "Psize" =>
         throw new UnsupportedOperationException(
           s"$w: not implemented in the 2D java.awt rendering subset")
 

@@ -40,13 +40,56 @@ final class WsCanvas(val width: Int, val height: Int) {
   var rectMode: String = "CORNER"
   var ellipseMode: String = "CENTER"
   var textSize: Double = 12.0
-  private var styleStack: List[(Option[Int], Option[Int], Double, String, String, Double)] = Nil
+  private final case class Style(fill: Option[Int], stroke: Option[Int],
+    sw: Double, rm: String, em: String, ts: Double, tnt: Option[Int],
+    im: String, ct: Double)
+  private var styleStack: List[Style] = Nil
   private var matrixStack: List[AffineTransform] = Nil
   // open shape under construction (beginShape/vertex/endShape)
   private var shape: Option[Path2D.Double] = None
   private var shapeStarted = false
 
   private def awt(argb: Int) = new Color(argb, true)
+
+  // ---- colorMode (processing.org colorMode: RGB or HSB with
+  // per-channel ranges; color args scale by their range)
+  var colorModeName: String = "RGB"
+  var colorMax: (Double, Double, Double, Double) = (255.0, 255.0, 255.0, 255.0)
+
+  /** The color(...) overload ladder under the active mode: gray |
+    * gray,a | c1,c2,c3 | c1,c2,c3,a. A 1-arg value with alpha bits set
+    * is already a packed ARGB color. */
+  def makeColor(args: Seq[Double]): Int = {
+    val (m1, m2, m3, mA) = colorMax
+    def unit(v: Double, m: Double) = math.max(0.0, math.min(1.0, v / m))
+    def c255(v: Double, m: Double) = math.round(unit(v, m) * 255).toInt
+    def packed(v: Double): Option[Int] = {
+      val l = v.toLong
+      if (v == l.toDouble && (l & 0xff000000L) != 0) Some((l & 0xffffffffL).toInt)
+      else None
+    }
+    def tri(c1: Double, c2: Double, c3: Double, a: Int): Int =
+      if (colorModeName == "HSB")
+        (a << 24) | (Color.HSBtoRGB(unit(c1, m1).toFloat,
+          unit(c2, m2).toFloat, unit(c3, m3).toFloat) & 0xffffff)
+      else
+        (a << 24) | (c255(c1, m1) << 16) | (c255(c2, m2) << 8) | c255(c3, m3)
+    args match {
+      case Seq(g) => packed(g).getOrElse {
+        val v = c255(g, if (colorModeName == "HSB") m3 else m1)
+        0xff000000 | (v << 16) | (v << 8) | v
+      }
+      case Seq(g, a) =>
+        val al = c255(a, mA)
+        packed(g).map(p => (al << 24) | (p & 0xffffff)).getOrElse {
+          val v = c255(g, if (colorModeName == "HSB") m3 else m1)
+          (al << 24) | (v << 16) | (v << 8) | v
+        }
+      case Seq(c1, c2, c3) => tri(c1, c2, c3, 255)
+      case Seq(c1, c2, c3, a) => tri(c1, c2, c3, c255(a, mA))
+      case other => throw new IllegalArgumentException(s"color args: $other")
+    }
+  }
 
   private def doFillStroke(s: java.awt.Shape): Unit = {
     fillColor.foreach { c => g.setColor(awt(c)); g.fill(s) }
@@ -156,6 +199,7 @@ final class WsCanvas(val width: Int, val height: Int) {
   def beginShape(): Unit = {
     shape = Some(new Path2D.Double(Path2D.WIND_EVEN_ODD))
     shapeStarted = false
+    curvePts = Nil
   }
 
   def vertex(x: Double, y: Double): Unit = shape.foreach { p =>
@@ -181,6 +225,56 @@ final class WsCanvas(val width: Int, val height: Int) {
     shape = None
   }
 
+  // ---- bezier / curve (Catmull-Rom with Processing's tightness basis)
+
+  var curveTightnessV: Double = 0.0
+  private var curvePts: List[(Double, Double)] = Nil
+
+  def bezier(x1: Double, y1: Double, cx1: Double, cy1: Double,
+             cx2: Double, cy2: Double, x2: Double, y2: Double): Unit = {
+    val p = new Path2D.Double()
+    p.moveTo(x1, y1)
+    p.curveTo(cx1, cy1, cx2, cy2, x2, y2)
+    doFillStroke(p)
+  }
+
+  def bezierVertex(cx1: Double, cy1: Double, cx2: Double, cy2: Double,
+                   x: Double, y: Double): Unit =
+    shape.foreach(_.curveTo(cx1, cy1, cx2, cy2, x, y))
+
+  def quadraticVertex(cx: Double, cy: Double, x: Double, y: Double): Unit =
+    shape.foreach(_.quadTo(cx, cy, x, y))
+
+  /** Catmull-Rom segment from p2 to p3 (p1/p4 are neighbors), converted
+    * to the equivalent cubic bezier with tangent scale s = (1−tightness)/2
+    * (Processing's curve basis): c1 = p2 + s(p3−p1)/3, c2 = p3 − s(p4−p2)/3. */
+  private def catmullToBezier(p1: (Double, Double), p2: (Double, Double),
+      p3: (Double, Double), p4: (Double, Double)): (Double, Double, Double, Double) = {
+    val s = (1.0 - curveTightnessV) / 2.0
+    (p2._1 + s * (p3._1 - p1._1) / 3.0, p2._2 + s * (p3._2 - p1._2) / 3.0,
+     p3._1 - s * (p4._1 - p2._1) / 3.0, p3._2 - s * (p4._2 - p2._2) / 3.0)
+  }
+
+  def curve(x1: Double, y1: Double, x2: Double, y2: Double,
+            x3: Double, y3: Double, x4: Double, y4: Double): Unit = {
+    val (c1x, c1y, c2x, c2y) =
+      catmullToBezier((x1, y1), (x2, y2), (x3, y3), (x4, y4))
+    val p = new Path2D.Double()
+    p.moveTo(x2, y2)
+    p.curveTo(c1x, c1y, c2x, c2y, x3, y3)
+    doFillStroke(p)
+  }
+
+  def curveVertex(x: Double, y: Double): Unit = shape.foreach { p =>
+    curvePts = curvePts :+ ((x, y))
+    if (curvePts.length >= 4) {
+      val Seq(p1, p2, p3, p4) = curvePts.takeRight(4)
+      if (!shapeStarted) { p.moveTo(p2._1, p2._2); shapeStarted = true }
+      val (c1x, c1y, c2x, c2y) = catmullToBezier(p1, p2, p3, p4)
+      p.curveTo(c1x, c1y, c2x, c2y, p3._1, p3._2)
+    }
+  }
+
   // ---------------------------------------------------------- transforms
 
   def translate(dx: Double, dy: Double): Unit = g.translate(dx, dy)
@@ -195,12 +289,13 @@ final class WsCanvas(val width: Int, val height: Int) {
   }
   def resetMatrix(): Unit = g.setTransform(new AffineTransform())
 
-  def pushStyle(): Unit = styleStack ::=
-    ((fillColor, strokeColor, strokeW, rectMode, ellipseMode, textSize))
+  def pushStyle(): Unit = styleStack ::= Style(fillColor, strokeColor,
+    strokeW, rectMode, ellipseMode, textSize, tint, imageMode, curveTightnessV)
   def popStyle(): Unit = styleStack match {
-    case (f, s, w, rm, em, ts) :: rest =>
-      fillColor = f; strokeColor = s; strokeW = w
-      rectMode = rm; ellipseMode = em; textSize = ts
+    case s :: rest =>
+      fillColor = s.fill; strokeColor = s.stroke; strokeW = s.sw
+      rectMode = s.rm; ellipseMode = s.em; textSize = s.ts
+      tint = s.tnt; imageMode = s.im; curveTightnessV = s.ct
       styleStack = rest
     case Nil => throw new IllegalStateException("PpopStyle: empty style stack")
   }
@@ -248,17 +343,41 @@ final class WsCanvas(val width: Int, val height: Int) {
     out
   }
 
-  /** Blit another canvas at (x, y), optionally scaled to (w, h) —
-    * nearest-neighbor when scaling so pixels stay deterministic. */
+  /** Blit another canvas at (x, y) under the active imageMode,
+    * optionally scaled to (w, h) — nearest-neighbor when scaling so
+    * pixels stay deterministic; a set tint multiplies each channel. */
   def drawImage(src: WsCanvas, x: Double, y: Double,
                 w: Double = -1, h: Double = -1): Unit = {
     val dw = if (w < 0) src.width.toDouble else w
     val dh = if (h < 0) src.height.toDouble else h
+    val (bx, by, bw, bh) = box(x, y, dw, dh, imageMode)
+    val pixels = tint match {
+      case None => src.image
+      case Some(t) =>
+        val out = new BufferedImage(src.width, src.height,
+          BufferedImage.TYPE_INT_ARGB)
+        def m(c: Int, f: Int) = c * f / 255
+        var yy = 0
+        while (yy < src.height) {
+          var xx = 0
+          while (xx < src.width) {
+            val p = src.image.getRGB(xx, yy)
+            out.setRGB(xx, yy,
+              (m((p >>> 24) & 0xff, (t >>> 24) & 0xff) << 24) |
+              (m((p >> 16) & 0xff, (t >> 16) & 0xff) << 16) |
+              (m((p >> 8) & 0xff, (t >> 8) & 0xff) << 8) |
+              m(p & 0xff, t & 0xff))
+            xx += 1
+          }
+          yy += 1
+        }
+        out
+    }
     val saved = g.getRenderingHint(RenderingHints.KEY_INTERPOLATION)
     g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
       RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
-    g.drawImage(src.image, new AffineTransform(
-      dw / src.width, 0, 0, dh / src.height, x, y), null)
+    g.drawImage(pixels, new AffineTransform(
+      bw / src.width, 0, 0, bh / src.height, bx, by), null)
     if (saved != null) g.setRenderingHint(RenderingHints.KEY_INTERPOLATION, saved)
   }
 
@@ -276,6 +395,127 @@ final class WsCanvas(val width: Int, val height: Int) {
       y += 1
     }
     out
+  }
+
+  // ---- pixel filters (PImage.filter semantics; GRAY uses the standard
+  // fixed-point luma (77r + 151g + 28b) >> 8)
+
+  var tint: Option[Int] = None
+  var imageMode: String = "CORNER"
+
+  def filter(kind: String, param: Double): Unit = {
+    def each(f: Int => Int): Unit = {
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { image.setRGB(x, y, f(image.getRGB(x, y))); x += 1 }
+        y += 1
+      }
+    }
+    kind match {
+      case "GRAY" => each { p =>
+        val lum = (77 * ((p >> 16) & 0xff) + 151 * ((p >> 8) & 0xff) +
+          28 * (p & 0xff)) >> 8
+        (p & 0xff000000) | (lum << 16) | (lum << 8) | lum
+      }
+      case "INVERT" => each { p =>
+        (p & 0xff000000) | (~p & 0x00ffffff)
+      }
+      case "OPAQUE" => each(_ | 0xff000000)
+      case "THRESHOLD" =>
+        val thr = (if (param.isNaN) 0.5 else param) * 255.0
+        each { p =>
+          val mx = math.max((p >> 16) & 0xff, math.max((p >> 8) & 0xff, p & 0xff))
+          if (mx >= thr) (p & 0xff000000) | 0xffffff else p & 0xff000000
+        }
+      case "POSTERIZE" =>
+        val n = param.toInt
+        require(n >= 2, "Pfilter POSTERIZE: levels must be >= 2")
+        def post(c: Int) = ((c * n) >> 8) * 255 / (n - 1)
+        each { p =>
+          (p & 0xff000000) | (post((p >> 16) & 0xff) << 16) |
+            (post((p >> 8) & 0xff) << 8) | post(p & 0xff)
+        }
+      case other => throw new UnsupportedOperationException(
+        s"Pfilter: kind '$other' not supported (BLUR/ERODE/DILATE omitted)")
+    }
+  }
+
+  /** Region blend (Pblend): Processing's per-channel blend formulas
+    * (publicly documented per mode on processing.org/reference/blend_)
+    * over a nearest-neighbor scaled source region. */
+  def blendRegion(src: WsCanvas, sx: Int, sy: Int, sw: Int, sh: Int,
+                  dx: Int, dy: Int, dw: Int, dh: Int, mode: String): Unit = {
+    val snap = src.copy(sx, sy, sw, sh)
+    def f(d: Int, s: Int): Int = mode match {
+      case "BLEND" => s
+      case "ADD" => math.min(d + s, 255)
+      case "SUBTRACT" => math.max(d - s, 0)
+      case "DARKEST" => math.min(d, s)
+      case "LIGHTEST" => math.max(d, s)
+      case "DIFFERENCE" => math.abs(d - s)
+      case "EXCLUSION" => d + s - 2 * d * s / 255
+      case "MULTIPLY" => d * s / 255
+      case "SCREEN" => 255 - (255 - d) * (255 - s) / 255
+      case "OVERLAY" =>
+        if (d < 128) 2 * d * s / 255 else 255 - 2 * (255 - d) * (255 - s) / 255
+      case "HARD_LIGHT" =>
+        if (s < 128) 2 * d * s / 255 else 255 - 2 * (255 - d) * (255 - s) / 255
+      case "DODGE" =>
+        if (s == 255) 255 else math.min(255, d * 255 / (255 - s))
+      case "BURN" =>
+        if (s == 0) 0 else 255 - math.min(255, (255 - d) * 255 / s)
+      case other => throw new UnsupportedOperationException(
+        s"Pblend: mode '$other' not supported")
+    }
+    var y = 0
+    while (y < dh) {
+      var x = 0
+      while (x < dw) {
+        val s = snap.get(x * sw / dw, y * sh / dh)
+        val d = get(dx + x, dy + y)
+        set(dx + x, dy + y, (d & 0xff000000) |
+          (f((d >> 16) & 0xff, (s >> 16) & 0xff) << 16) |
+          (f((d >> 8) & 0xff, (s >> 8) & 0xff) << 8) |
+          f(d & 0xff, s & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Alpha mask (PImage.mask contract): this image's alpha channel
+    * becomes the mask's blue channel; sizes must match. */
+  def maskWith(mask: WsCanvas): Unit = {
+    require(mask.width == width && mask.height == height,
+      "Pmask expects the two images to be of the same size")
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val p = image.getRGB(x, y)
+        image.setRGB(x, y, ((mask.get(x, y) & 0xff) << 24) | (p & 0xffffff))
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Region copy (Pcopy): nearest-neighbor from src (or this) into this. */
+  def copyRegion(src: WsCanvas, sx: Int, sy: Int, sw: Int, sh: Int,
+                 dx: Int, dy: Int, dw: Int, dh: Int): Unit = {
+    val snap = // self-copy must read pre-copy pixels
+      if (src eq this) src.copy(sx, sy, sw, sh)
+      else src.copy(sx, sy, sw, sh)
+    var y = 0
+    while (y < dh) {
+      var x = 0
+      while (x < dw) {
+        set(dx + x, dy + y, snap.get(x * sw / dw, y * sh / dh))
+        x += 1
+      }
+      y += 1
+    }
   }
 
   // ---------------------------------------------------------- typography
