@@ -147,6 +147,16 @@ object WsQueries3 {
         lit(shapeOk).as("gts_shape_ok"))
     }),
 
+    // WHIRLPOOL digest word (WarpScriptLib DIGEST/WhirlpoolDigest;
+    // clean-room ISO/IEC 10118-3 implementation, spec test vectors)
+    "w92_ws_whirlpool" -> ((s, dir) => {
+      val e = engine(s, dir, cents = false)
+      def hx(p: String) = e.run(p).head.asInstanceOf[String]
+      s.range(1).select(
+        lit(hx("'' 'UTF-8' ->BYTES WHIRLPOOL ->HEX")).as("wp_empty"),
+        lit(hx("'abc' 'UTF-8' ->BYTES WHIRLPOOL ->HEX")).as("wp_abc"))
+    }),
+
     // Processing rendering words (script/processing/*; clean-room
     // java.awt canvas, AA off). Every expected value is independently
     // derivable: rect fills cover exactly w×h pixel centers, the
@@ -229,6 +239,11 @@ object WsQueries3 {
     "w89_ws_update_delete" ->
       """SELECT CAST(3 AS BIGINT) AS n_points, CAST(1 AS BIGINT) AS n_mfilter,
         |  CAST(2 AS BIGINT) AS n_set, '1000,3000,4000' AS ticks_csv""".stripMargin,
+
+    "w92_ws_whirlpool" ->
+      """SELECT
+        |  '19fa61d75522a4669b44e39c1d2e1726c530232130d407f89afee0964997f7a73e83be698b288febcf88e3e03c4f0757ea8964e59b63d93708b138cc42a66eb3' AS wp_empty,
+        |  '4e2448a4c6f486bb16b6562c73b4020bf3043e3a731bce721ae1b303d97e6d4c7181eebdb6c57e277d0e34957114cbd6c797fc9d95d8b582d225292076d4eef5' AS wp_abc""".stripMargin,
 
     // all literals independently derived: rect fills cover w×h pixel
     // centers exactly; ellipse count 80 from the center-insideness rule

@@ -463,6 +463,7 @@ private[script] object WordsCrypto {
         st.push(keccak(en.popBytes(st), bits))
 
       case "MD4" => st.push(md4(en.popBytes(st)))
+      case "WHIRLPOOL" => st.push(Whirlpool.digest(en.popBytes(st)))
       case "RIPEMD160" => st.push(ripemd160(en.popBytes(st)))
       case "RIPEMD128" => st.push(ripemd128(en.popBytes(st)))
       case "RIPEMD256" => st.push(ripemd256(en.popBytes(st)))
