@@ -147,14 +147,18 @@ object WsQueries3 {
         lit(shapeOk).as("gts_shape_ok"))
     }),
 
-    // WHIRLPOOL digest word (WarpScriptLib DIGEST/WhirlpoolDigest;
-    // clean-room ISO/IEC 10118-3 implementation, spec test vectors)
+    // WHIRLPOOL + GOST digest words (WarpScriptLib DIGEST wrappers;
+    // clean-room ISO/IEC 10118-3 and RFC 5831/CryptoPro
+    // implementations, spec test vectors)
     "w92_ws_whirlpool" -> ((s, dir) => {
       val e = engine(s, dir, cents = false)
       def hx(p: String) = e.run(p).head.asInstanceOf[String]
       s.range(1).select(
         lit(hx("'' 'UTF-8' ->BYTES WHIRLPOOL ->HEX")).as("wp_empty"),
-        lit(hx("'abc' 'UTF-8' ->BYTES WHIRLPOOL ->HEX")).as("wp_abc"))
+        lit(hx("'abc' 'UTF-8' ->BYTES WHIRLPOOL ->HEX")).as("wp_abc"),
+        lit(hx("'' 'UTF-8' ->BYTES GOST ->HEX")).as("gost_empty"),
+        lit(hx("'The quick brown fox jumps over the lazy dog' " +
+          "'UTF-8' ->BYTES GOST ->HEX")).as("gost_fox"))
     }),
 
     // Processing rendering words (script/processing/*; clean-room
@@ -243,7 +247,9 @@ object WsQueries3 {
     "w92_ws_whirlpool" ->
       """SELECT
         |  '19fa61d75522a4669b44e39c1d2e1726c530232130d407f89afee0964997f7a73e83be698b288febcf88e3e03c4f0757ea8964e59b63d93708b138cc42a66eb3' AS wp_empty,
-        |  '4e2448a4c6f486bb16b6562c73b4020bf3043e3a731bce721ae1b303d97e6d4c7181eebdb6c57e277d0e34957114cbd6c797fc9d95d8b582d225292076d4eef5' AS wp_abc""".stripMargin,
+        |  '4e2448a4c6f486bb16b6562c73b4020bf3043e3a731bce721ae1b303d97e6d4c7181eebdb6c57e277d0e34957114cbd6c797fc9d95d8b582d225292076d4eef5' AS wp_abc,
+        |  '981e5f3ca30c841487830f84fb433e13ac1101569b9c13584ac483234cd656c0' AS gost_empty,
+        |  '9004294a361a508c586fe53d1f1b02746765e71b765472786e4770d565830a76' AS gost_fox""".stripMargin,
 
     // all literals independently derived: rect fills cover w×h pixel
     // centers exactly; ellipse count 80 from the center-insideness rule

@@ -464,6 +464,7 @@ private[script] object WordsCrypto {
 
       case "MD4" => st.push(md4(en.popBytes(st)))
       case "WHIRLPOOL" => st.push(Whirlpool.digest(en.popBytes(st)))
+      case "GOST" => st.push(Gost3411.digest(en.popBytes(st)))
       case "RIPEMD160" => st.push(ripemd160(en.popBytes(st)))
       case "RIPEMD128" => st.push(ripemd128(en.popBytes(st)))
       case "RIPEMD256" => st.push(ripemd256(en.popBytes(st)))
