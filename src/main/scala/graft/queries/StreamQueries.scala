@@ -139,6 +139,51 @@ object StreamQueries {
       releaseStreamingResources()
       s.read.parquet(outP)
     }),
+
+    // Streaming exact dedup (streaming/StreamingDedup.scala, the
+    // streaming face of t01): two ordered micro-batches (even doc_ids
+    // first, odd second); cross-batch flatMapGroupsWithState state
+    // means a digest first seen among the evens must NOT re-emit for a
+    // later odd duplicate — the batch twin encodes exactly that
+    // earlier-batch-wins, min-id-within-batch rule.
+    "s04_stream_dedup" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-s04-").toString
+      val in = s"$tmp/in"; val outP = s"$tmp/out"; val ck = s"$tmp/ck"
+      Files.createDirectories(java.nio.file.Paths.get(in))
+      // the corpus has no exact dups — PLANT cross-parity duplicates
+      // (doc_id < 50 re-emitted as doc_id + 1001, flipping parity) so
+      // the cross-batch state rule is genuinely exercised: the batch-0
+      // (even) occurrence must win over the batch-1 (odd) duplicate
+      val base = s.read.parquet(s"$dir/documents.parquet")
+      val src = base.select(col("doc_id"), md5(col("text")).as("digest"))
+        .unionAll(base.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 1001).as("doc_id"),
+            md5(col("text")).as("digest")))
+      def writeBatch(cond: Column, name: String, mtime: Long): Unit = {
+        val stage = s"$tmp/stage_$name"
+        src.filter(cond).coalesce(1).write.parquet(stage)
+        val part = Files.list(java.nio.file.Paths.get(stage)).toArray
+          .map(_.asInstanceOf[java.nio.file.Path])
+          .find(_.toString.endsWith(".parquet")).get
+        val dst = java.nio.file.Paths.get(in, s"$name.parquet")
+        Files.move(part, dst)
+        dst.toFile.setLastModified(mtime)
+      }
+      val now = System.currentTimeMillis()
+      writeBatch(col("doc_id") % 2 === 0, "b0", now - 60000)
+      writeBatch(col("doc_id") % 2 === 1, "b1", now - 30000)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("digest", StringType)))
+      val docsStream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val q = graft.streaming.StreamingDedup.firstSeen(docsStream)
+        .writeStream.format("parquet").option("path", outP)
+        .option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      releaseStreamingResources()
+      s.read.parquet(outP)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -161,6 +206,19 @@ object StreamQueries {
          |FROM g
          |WHERE (ts // $DAY) * $DAY + $DAY <= (SELECT wm FROM w1)
          |GROUP BY 1, 2""".stripMargin,
+
+    // earlier-batch-wins, min-doc_id-within-batch survivor rule of the
+    // two-micro-batch streaming dedup
+    "s04_stream_dedup" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS digest FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 1001, md5(text) FROM documents
+        |           WHERE doc_id < 50),
+        |s AS (SELECT digest,
+        |        min(CASE WHEN doc_id % 2 = 0 THEN doc_id END) AS mine,
+        |        min(CASE WHEN doc_id % 2 = 1 THEN doc_id END) AS mino
+        |      FROM d GROUP BY 1)
+        |SELECT coalesce(mine, mino) AS doc_id, digest FROM s""".stripMargin,
 
     // identical to g15: stateful sessionization == batch gap-cumsum
     "s02_stream_sessions" ->
