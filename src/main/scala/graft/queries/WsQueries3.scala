@@ -147,6 +147,24 @@ object WsQueries3 {
         lit(shapeOk).as("gts_shape_ok"))
     }),
 
+    // ARGON2 word (fn ARGON2 over BouncyCastle in the reference;
+    // clean-room RFC 9106 here): the RFC §5.3 Argon2id vector driven
+    // through the word's parameter-map contract, wide params admitted
+    // via the same capability names the reference gates on
+    "w93_ws_argon2" -> ((s, dir) => {
+      val e = engine(s, dir, cents = false)
+      val prog =
+        """'argon2.maxpar=4' CAPADD
+          |{ 'type' 'id' 'iterations' 3 'memory' 32 'parallelism' 4
+          |  'size' 32
+          |  'password' '0101010101010101010101010101010101010101010101010101010101010101' HEX->
+          |  'salt' '02020202020202020202020202020202' HEX->
+          |  'secret' '0303030303030303' HEX->
+          |  'additional' '040404040404040404040404' HEX-> } ARGON2 ->HEX""".stripMargin
+      s.range(1).select(
+        lit(e.run(prog).head.asInstanceOf[String]).as("argon2id_tag"))
+    }),
+
     // WHIRLPOOL + GOST digest words (WarpScriptLib DIGEST wrappers;
     // clean-room ISO/IEC 10118-3 and RFC 5831/CryptoPro
     // implementations, spec test vectors)
@@ -243,6 +261,9 @@ object WsQueries3 {
     "w89_ws_update_delete" ->
       """SELECT CAST(3 AS BIGINT) AS n_points, CAST(1 AS BIGINT) AS n_mfilter,
         |  CAST(2 AS BIGINT) AS n_set, '1000,3000,4000' AS ticks_csv""".stripMargin,
+
+    "w93_ws_argon2" ->
+      """SELECT '0d640df58d78766c08c037a34a8b53c9d01ef0452d75b65eb52520e96b01e659' AS argon2id_tag""".stripMargin,
 
     "w92_ws_whirlpool" ->
       """SELECT

@@ -465,6 +465,48 @@ private[script] object WordsCrypto {
       case "MD4" => st.push(md4(en.popBytes(st)))
       case "WHIRLPOOL" => st.push(Whirlpool.digest(en.popBytes(st)))
       case "GOST" => st.push(Gost3411.digest(en.popBytes(st)))
+
+      // ARGON2 (fn ARGON2, script/functions/ARGON2.java): parameter
+      // map {type/iterations/memory/parallelism/salt/secret/additional/
+      // size/password} → tag bytes; same capability-gated limits as the
+      // reference (argon2.maxiter/maxmem/maxpar/maxsize, defaults
+      // 3/32KB/1/32)
+      case "ARGON2" =>
+        val m = st.pop() match {
+          case mm: Map[Any @unchecked, Any @unchecked] => mm
+          case o => throw new IllegalArgumentException(s"ARGON2 expects a map: $o")
+        }
+        def bytesOf(k: String): Array[Byte] = m.get(k) match {
+          case Some(b: Array[Byte]) => b
+          case Some(s: String) => s.getBytes("UTF-8")
+          case _ => Array.emptyByteArray
+        }
+        def intOf(k: String, dflt: Int): Int = m.get(k) match {
+          case Some(l: Long) => l.toInt
+          case _ => dflt
+        }
+        def capGate(value: Int, dflt: Int, cap: String): Unit =
+          if (value > dflt) {
+            val limit = st.caps.getOrElse(cap, throw new IllegalArgumentException(
+              s"ARGON2 missing capability '$cap'."))
+            require(value <= limit.toLong,
+              s"ARGON2 parameter exceeds capability '$cap' value.")
+          }
+        val tpe = String.valueOf(m.getOrElse("type", "id")) match {
+          case "i" | "I" => Argon2.TypeI
+          case "d" | "D" => Argon2.TypeD
+          case _ => Argon2.TypeId
+        }
+        val iters = intOf("iterations", 3)
+        val memKb = intOf("memory", 32)
+        val par = intOf("parallelism", 1)
+        val size = intOf("size", 32)
+        capGate(iters, 3, "argon2.maxiter")
+        capGate(memKb, 32, "argon2.maxmem")
+        capGate(par, 1, "argon2.maxpar")
+        capGate(size, 32, "argon2.maxsize")
+        st.push(Argon2.hash(tpe, bytesOf("password"), bytesOf("salt"),
+          bytesOf("secret"), bytesOf("additional"), iters, memKb, par, size))
       case "RIPEMD160" => st.push(ripemd160(en.popBytes(st)))
       case "RIPEMD128" => st.push(ripemd128(en.popBytes(st)))
       case "RIPEMD256" => st.push(ripemd256(en.popBytes(st)))
