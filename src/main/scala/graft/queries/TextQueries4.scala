@@ -80,7 +80,14 @@ object TextQueries4 {
     // ranking runs on raw integer dot products)
     "t34_int8_recall" -> ((s, dir) =>
       graft.text.TextOps3.int8Recall(
-        s.read.parquet(s"$dir/embeddings.parquet"), 50, 5))
+        s.read.parquet(s"$dir/embeddings.parquet"), 50, 5)),
+
+    // Bloom-filter decontamination: benchmark 13-grams → 16384-bit/3-row
+    // Bloom filter (broadcast), candidates tested; the oracle replays
+    // the exact bit addressing so the sketch is hash-gated (flagged ⊇
+    // exact is the one-sided FP contract)
+    "t35_bloom_decontam" -> ((s, dir) =>
+      graft.text.TextOps3.bloomDecontam(docs(s, dir)))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -253,6 +260,37 @@ object TextQueries4 {
         |SELECT ff.qid,
         |  CAST(len(list_intersect(ff.fids, fq.qids)) AS DOUBLE) / 5 AS recall,
         |  ff.fids[1] AS top1_full, fq.qids[1] AS top1_q
-        |FROM ff JOIN fq USING (qid)""".stripMargin
+        |FROM ff JOIN fq USING (qid)""".stripMargin,
+
+    "t35_bloom_decontam" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        |             len(string_split(text, ' ')) AS n FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        array_to_string(list_slice(ws, p + 1, p + 13), ' ') AS gram
+        |      FROM (SELECT doc_id, ws,
+        |              unnest(generate_series(0, n - 13)) AS p
+        |            FROM w WHERE n >= 13)),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20),
+        |ix AS (SELECT unnest([0, 1, 2]) AS i),
+        |bits AS (SELECT DISTINCT
+        |    ('0x' || substring(md5(i::VARCHAR || gram), 1, 15))::BIGINT % 16384
+        |      AS b
+        |  FROM bench CROSS JOIN ix),
+        |cand AS (SELECT doc_id, gram FROM g WHERE doc_id >= 20),
+        |pos AS (SELECT doc_id, gram,
+        |    ('0x' || substring(md5(i::VARCHAR || gram), 1, 15))::BIGINT % 16384
+        |      AS b
+        |  FROM cand CROSS JOIN ix),
+        |fl AS (SELECT doc_id, count(*) AS n_flagged FROM (
+        |    SELECT doc_id, gram FROM pos JOIN bits USING (b)
+        |    GROUP BY 1, 2 HAVING count(*) = 3) GROUP BY 1),
+        |tr AS (SELECT doc_id, count(*) AS n_true
+        |       FROM cand JOIN bench USING (gram) GROUP BY 1),
+        |ng AS (SELECT doc_id, count(*) AS n_grams FROM cand GROUP BY 1)
+        |SELECT ng.doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |  CAST(coalesce(n_flagged, 0) AS BIGINT) AS n_flagged,
+        |  CAST(coalesce(n_true, 0) AS BIGINT) AS n_true
+        |FROM ng LEFT JOIN fl USING (doc_id)
+        |LEFT JOIN tr USING (doc_id)""".stripMargin
   )
 }

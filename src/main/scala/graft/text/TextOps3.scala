@@ -60,6 +60,53 @@ object TextOps3 {
         coalesce(col("n_covered"), lit(0L)).as("n_covered"))
   }
 
+  /** Bloom-filter decontamination: 13-gram shingles of the benchmark
+    * docs (doc_id < `benchDocs`) populate an `m`-bit Bloom filter with
+    * `k` md5-derived hash rows; every candidate doc's distinct shingles
+    * are tested against it. Returns per-doc distinct-gram counts,
+    * Bloom-positive counts and exact-match counts — the one-sided
+    * containment (flagged ⊇ true) is the sketch's contract, and the
+    * oracle REPLAYS the exact bit addressing, so this is hash-gated
+    * like the CMS row, not rows-only.
+    *
+    * At 100 TB the `bits` side is a few KB–MB of distinct positions —
+    * broadcast to every executor (the join below is broadcastable);
+    * the candidate side streams through without shuffling.
+    */
+  def bloomDecontam(docs: DataFrame, w: Int = 13, m: Int = 16384,
+                    k: Int = 3, benchDocs: Int = 20): DataFrame = {
+    val words = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n", size(col("ws")))
+    val grams = words.filter(col("n") >= w)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, n - $w), i -> " +
+          s"array_join(slice(ws, i + 1, $w), ' '))")).as("gram"))
+      .distinct()
+    val bench = grams.filter(col("doc_id") < benchDocs)
+      .select(col("gram")).distinct()
+    def bit(i: Int, g: Column): Column =
+      pmod(TextOps.hexHash60(concat(lit(i.toString), g)), lit(m.toLong))
+    val bits = bench
+      .select(explode(array((0 until k).map(i => bit(i, col("gram"))): _*))
+        .as("b")).distinct()
+    val cand = grams.filter(col("doc_id") >= benchDocs)
+    val pos = cand.select(col("doc_id"), col("gram"),
+      explode(array((0 until k).map(i => bit(i, col("gram"))): _*)).as("b"))
+    val flagged = pos.join(broadcast(bits), "b")
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("nbits"))
+      .filter(col("nbits") === k)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_flagged"))
+    val exact = cand.join(bench, "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_true"))
+    cand.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(flagged, Seq("doc_id"), "left")
+      .join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"))
+  }
+
   /** Embeddings with the exact-integer scaling of [[BruteForceKnn]]
     * (round(x*1000) — float→double noise removed before any math). */
   private def scaled(embs: DataFrame): DataFrame =
