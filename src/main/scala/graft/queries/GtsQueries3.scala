@@ -100,7 +100,48 @@ object GtsQueries3 {
           countDistinct(col("labels").getItem("user")).as("exact_users"))
         .select(col("class"), col("exact_users"),
           (abs(col("approx").cast("double") / col("exact_users") - lit(1.0)) < 0.05)
-            .as("within_bound")))
+            .as("within_bound"))),
+
+    // the /api/v0 HTTP façade driver-verified over REAL sockets
+    // (surface/RestFacade.scala; EgressFetchHandler/EgressExecHandler):
+    // a tsv fetch for one day of clicks is parsed back from the wire
+    // and hashed against DuckDB, and an exec POST must return the
+    // arithmetic result plus a FETCH SIZE equal to the fetched rows
+    "h03_http_facade" -> ((s, dir) => {
+      import java.net.{HttpURLConnection, URI}
+      import GtsQueries.{T0, DAY}
+      def hit(url: String, body: Option[String]): (Int, String) = {
+        val c = URI.create(url).toURL.openConnection()
+          .asInstanceOf[HttpURLConnection]
+        body.foreach { b =>
+          c.setRequestMethod("POST"); c.setDoOutput(true)
+          c.getOutputStream.write(b.getBytes("UTF-8"))
+        }
+        val code = c.getResponseCode
+        val is = if (code < 400) c.getInputStream else c.getErrorStream
+        (code, new String(is.readAllBytes(), "UTF-8"))
+      }
+      val base = graft.operators.GtsFrame(Gts.fromEvents(s, dir))
+      val facade = new graft.surface.RestFacade(base,
+        () => WsQueries.engine(s, dir, cents = false), maxRows = 1000000)
+      val port = facade.start(0)
+      try {
+        val (c1, tsv) = hit(s"http://127.0.0.1:$port/api/v0/fetch" +
+          s"?selector=events.click%7B%7D&start=$T0&stop=${T0 + DAY - 1}" +
+          "&format=tsv", None)
+        require(c1 == 200, s"fetch HTTP $c1: ${tsv.take(200)}")
+        val rows = tsv.split("\n").filter(_.nonEmpty).toSeq.map { ln =>
+          val Array(t, v) = ln.split("\t"); (t.toLong, v.toDouble)
+        }
+        val (c2, exec) = hit(s"http://127.0.0.1:$port/api/v0/exec", Some(
+          s"[ 'T' 'events.click' { } $T0 ${T0 + DAY - 1} ] FETCH SIZE 2 3 +"))
+        require(c2 == 200, s"exec HTTP $c2: ${exec.take(200)}")
+        val parts = exec.stripPrefix("[").stripSuffix("]").split(",")
+        val execOk = parts(0).trim == "5" && parts(1).trim.toLong == rows.size
+        import s.implicits._
+        rows.toDF("ts", "value").withColumn("exec_ok", lit(execOk))
+      } finally facade.stop()
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -112,6 +153,14 @@ object GtsQueries3 {
          |SELECT class, count(DISTINCT userid) AS exact_users,
          |       TRUE AS within_bound
          |FROM g GROUP BY 1""".stripMargin,
+
+    // what the wire-parsed tsv must contain: one day of clicks, all
+    // users, raw doubles (the text render round-trips bit-exactly)
+    "h03_http_facade" ->
+      s"""WITH g AS ($EV)
+         |SELECT ts, vdouble AS value, TRUE AS exec_ok FROM g
+         |WHERE class = 'events.click'
+         |  AND ts >= ${GtsQueries.T0} AND ts <= ${GtsQueries.T0 + GtsQueries.DAY - 1}""".stripMargin,
 
     "g41_bucketize_calendar" ->
       s"""WITH g AS ($EV)
