@@ -568,6 +568,12 @@ final class WarpScriptEngine(
 
 object WarpScriptEngine {
 
+  /** CALL subprogram pool, JVM-wide like the reference's static
+    * subprograms map (fn/CALL.java:208): one long-lived process per
+    * executable path, reaped by a shutdown hook. */
+  private[script] val callProcs =
+    mutable.Map.empty[String, (Process, java.io.BufferedReader)]
+
   /** The evaluation state: operand stack (head = top), symbol table,
     * and the reference's 256 numbered registers
     * (MemoryWarpScriptStack regs; POPR/PUSHR words). */

@@ -440,6 +440,48 @@ private[script] object WordsExt5 {
           s"PICKLE-> expects a byte array, got ${String.valueOf(o)}")
       }))
 
+      // ---- CALL (fn/CALL.java): invoke an external subprogram from
+      // the configured call directory over the reference's line
+      // protocol — on start the program prints its capacity; per call
+      // the URL-encoded argument line goes in, one line comes back,
+      // a leading space marking an error whose URL-encoded message
+      // follows. Directory from -Dgraft.call.directory or
+      // 'call.directory' SETMACROCONFIG (the reference reads
+      // warpscript.call.directory from WarpConfig).
+      case "CALL" =>
+        val name = st.popStr()
+        val args = st.popStr()
+        val dir = sys.props.get("graft.call.directory")
+          .orElse(st.macroConfig.get("call.directory").map(_.toString))
+          .getOrElse(throw new IllegalStateException(
+            "CALL: no call directory configured " +
+            "(-Dgraft.call.directory or 'call.directory' SETMACROCONFIG)"))
+        val exe = new java.io.File(dir, name)
+        require(exe.canExecute, s"CALL: no executable subprogram '$name' in $dir")
+        def spawn(): (Process, java.io.BufferedReader) = {
+          val p = new ProcessBuilder(exe.getAbsolutePath).start()
+          sys.addShutdownHook(p.destroy())
+          val r = new java.io.BufferedReader(
+            new java.io.InputStreamReader(p.getInputStream, "UTF-8"))
+          require(r.readLine() != null,
+            s"CALL: subprogram '$name' did not report its capacity")
+          (p, r)
+        }
+        var (proc, br) = WarpScriptEngine.callProcs.getOrElseUpdate(exe.getAbsolutePath, spawn())
+        if (!proc.isAlive) { // one respawn, like the reference's retry
+          WarpScriptEngine.callProcs.remove(exe.getAbsolutePath)
+          val pr = spawn(); WarpScriptEngine.callProcs(exe.getAbsolutePath) = pr
+          proc = pr._1; br = pr._2
+        }
+        proc.getOutputStream.write(
+          (java.net.URLEncoder.encode(args, "UTF-8") + "\n").getBytes("UTF-8"))
+        proc.getOutputStream.flush()
+        val ret = br.readLine()
+        require(ret != null, s"CALL: subprogram '$name' died unexpectedly")
+        if (ret.startsWith(" ")) throw new RuntimeException(
+          java.net.URLDecoder.decode(ret.substring(1), "UTF-8"))
+        st.push(java.net.URLDecoder.decode(ret, "UTF-8"))
+
       case _ => return false
     }
     true

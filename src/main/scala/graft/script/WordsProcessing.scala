@@ -300,6 +300,39 @@ private[script] object WordsProcessing {
       case "PtextWidth" =>
         val (c, a) = params(st, w, 1)
         st.push(c); st.push(c.textWidth(a(0).toString))
+      case "PtextAscent" =>
+        val (c, _) = params(st, w, 0); st.push(c); st.push(c.textAscent())
+      case "PtextDescent" =>
+        val (c, _) = params(st, w, 0); st.push(c); st.push(c.textDescent())
+      case "PtextLeading" =>
+        val (c, a) = params(st, w, 0, 1)
+        if (a.nonEmpty) { c.textLeadingV = num(a(0)); st.push(c) }
+        else { st.push(c); st.push(c.textLeading) }
+      case "PtextAlign" =>
+        val (c, a) = params(st, w, 1, 2) // vertical align accepted, ignored
+        c.textAlignH = a(0).toString; st.push(c)
+      case "PtextMode" => // MODEL is the only java2d-meaningful mode
+        val (c, a) = params(st, w, 1)
+        require(a(0).toString == "MODEL",
+          s"PtextMode: only MODEL is supported (got ${a(0)})")
+        st.push(c)
+      case "PcreateFont" =>
+        val (c, a) = params(st, w, 2)
+        st.push(c); st.push(c.createFont(a(0).toString, num(a(1))))
+      case "PtextFont" =>
+        val (c, a) = params(st, w, 1, 2)
+        a(0) match {
+          case f: java.awt.Font =>
+            c.setFont(f)
+            if (a.length == 2) c.textSize = num(a(1))
+          case o => throw new IllegalArgumentException(s"PtextFont: $o")
+        }
+        st.push(c)
+      case "Pclip" =>
+        val (c, a) = params(st, w, 4)
+        c.clip(num(a(0)), num(a(1)), num(a(2)), num(a(3))); st.push(c)
+      case "PnoClip" =>
+        val (c, _) = params(st, w, 0); c.noClip(); st.push(c)
 
       // ------------------------------------------------ bezier / curve
       case "Pbezier" =>
@@ -415,9 +448,7 @@ private[script] object WordsProcessing {
       case "Pbox" | "Psphere" | "PsphereDetail" |
            "PblendMode" |
            "PshapeMode" | "Pshape" | "PloadShape" |
-           "PcreateFont" | "PtextFont" | "PtextMode" | "PtextAlign" |
-           "PtextLeading" | "PtextAscent" | "PtextDescent" |
-           "Pclip" | "PnoClip" | "ProtateX" | "ProtateY" |
+           "ProtateX" | "ProtateY" |
            "ProtateZ" | "Psize" =>
         throw new UnsupportedOperationException(
           s"$w: not implemented in the 2D java.awt rendering subset")

@@ -520,17 +520,55 @@ final class WsCanvas(val width: Int, val height: Int) {
 
   // ---------------------------------------------------------- typography
 
+  var textAlignH: String = "LEFT" // LEFT | CENTER | RIGHT
+  var textLeadingV: Double = -1 // <0 → 1.25 × textSize (Processing default)
+  private var face: java.awt.Font = null
+
+  /** PcreateFont: resolve a logical/system font at a size. */
+  def createFont(name: String, size: Double): java.awt.Font =
+    new java.awt.Font(name, java.awt.Font.PLAIN, math.round(size).toInt)
+
+  def setFont(f: java.awt.Font): Unit = { face = f; textSize = f.getSize.toDouble }
+
+  private def activeFont: java.awt.Font = {
+    val base = if (face != null) face else g.getFont
+    base.deriveFont(textSize.toFloat)
+  }
+
   def text(s: String, x: Double, y: Double): Unit =
     fillColor.foreach { c =>
       g.setColor(awt(c))
-      g.setFont(g.getFont.deriveFont(textSize.toFloat))
-      g.drawString(s, x.toFloat, y.toFloat)
+      g.setFont(activeFont)
+      val dx = textAlignH match {
+        case "CENTER" => -g.getFontMetrics.stringWidth(s) / 2.0
+        case "RIGHT" => -g.getFontMetrics.stringWidth(s).toDouble
+        case _ => 0.0
+      }
+      g.drawString(s, (x + dx).toFloat, y.toFloat)
     }
 
   def textWidth(s: String): Double = {
-    g.setFont(g.getFont.deriveFont(textSize.toFloat))
+    g.setFont(activeFont)
     g.getFontMetrics.stringWidth(s).toDouble
   }
+
+  def textAscent(): Double = {
+    g.setFont(activeFont); g.getFontMetrics.getAscent.toDouble
+  }
+
+  def textDescent(): Double = {
+    g.setFont(activeFont); g.getFontMetrics.getDescent.toDouble
+  }
+
+  def textLeading: Double =
+    if (textLeadingV >= 0) textLeadingV else textSize * 1.25
+
+  // ---- clipping (Pclip/PnoClip): a rect clip under the active
+  // transform; subsequent draws are limited to it
+  def clip(x: Double, y: Double, w: Double, h: Double): Unit =
+    g.setClip(new Rectangle2D.Double(x, y, w, h))
+
+  def noClip(): Unit = g.setClip(null)
 
   // ------------------------------------------------------------ encoding
 

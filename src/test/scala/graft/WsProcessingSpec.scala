@@ -209,6 +209,60 @@ class WsProcessingSpec extends SparkSpec {
       |100 0 0 Pcolor""".stripMargin) == 0xffff0000L)
   }
 
+  test("Pclip restricts draws; PnoClip lifts it") {
+    val px = run1("""20 20 '2D' PGraphics 0 Pbackground PnoStroke
+      |255 0 0 Pfill 0 0 5 5 Pclip 0 0 20 20 Prect
+      |PnoClip 10 10 Pget""".stripMargin)
+    assert(px == 0xff000000L) // outside the clip: untouched
+    val in = run1("""20 20 '2D' PGraphics 0 Pbackground PnoStroke
+      |255 0 0 Pfill 0 0 5 5 Pclip 0 0 20 20 Prect
+      |PnoClip 2 2 Pget""".stripMargin)
+    assert(in == 0xffff0000L)
+  }
+
+  test("text metrics and fonts are live values") {
+    val e = eng
+    val asc = e.run("40 20 '2D' PGraphics 12 PtextSize PtextAscent")
+      .head.asInstanceOf[Double]
+    assert(asc > 0)
+    val wA = e.run("40 20 '2D' PGraphics 'Mono' 10 PcreateFont 'f' STORE " +
+      "$f PtextFont 'abc' PtextWidth").head.asInstanceOf[Double]
+    assert(wA > 0)
+    assert(e.run("40 20 '2D' PGraphics 10 PtextSize PtextLeading")
+      .head == 12.5)
+  }
+
+  test("CALL round-trips through a real subprocess") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-call-")
+    val script = dir.resolve("upper.sh")
+    java.nio.file.Files.writeString(script,
+      "#!/bin/sh\necho 1\nwhile read line; do echo \"OK%20$line\"; done\n")
+    script.toFile.setExecutable(true)
+    System.setProperty("graft.call.directory", dir.toString)
+    try {
+      val out = eng.run("'hello' 'upper.sh' CALL")
+      // we send URL-encoded 'hello'; script replies OK%20hello →
+      // decoded 'OK hello'
+      assert(out.head == "OK hello")
+      // second call reuses the SAME live process
+      assert(eng.run("'two' 'upper.sh' CALL 'one' 'upper.sh' CALL")
+        .reverse == List("OK two", "OK one"))
+    } finally System.clearProperty("graft.call.directory")
+  }
+
+  test("CALL surfaces subprogram errors (space-prefixed line)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-call-")
+    val script = dir.resolve("fail.sh")
+    java.nio.file.Files.writeString(script,
+      "#!/bin/sh\necho 1\nwhile read line; do echo \" boom%21\"; done\n")
+    script.toFile.setExecutable(true)
+    System.setProperty("graft.call.directory", dir.toString)
+    try {
+      val ex = intercept[Exception](eng.run("'x' 'fail.sh' CALL"))
+      assert(ex.getMessage.contains("boom!"))
+    } finally System.clearProperty("graft.call.directory")
+  }
+
   test("3D surface and unimplemented words fail loud") {
     intercept[Exception](run1("10 10 '3D' PGraphics"))
     intercept[Exception](run1("10 10 '2D' PGraphics 1 2 3 PbezierVertex"))
