@@ -39,6 +39,25 @@ object GeoFunctions {
     r
   }
 
+  /** [[toHHCode]] as a codegen'd Column expression (magic-number bit
+    * spreading instead of the scalar loop — same output bits). Null
+    * when either coordinate is null. */
+  def hhcodeCol(lat: Column, lon: Column): Column = {
+    def bits32(v: Column, off: Double, range: Double): Column =
+      least(greatest(floor((v + off) / range * lit(4294967296.0)).cast("long"),
+        lit(0L)), lit(4294967295L))
+    def spread(c: Column): Column = {
+      var x = c.bitwiseAND(lit(0xFFFFFFFFL))
+      x = x.bitwiseOR(shiftleft(x, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+      x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+      x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+      x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x3333333333333333L))
+      x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x5555555555555555L))
+    }
+    shiftleft(spread(bits32(lat, 90.0, 180.0)), 1)
+      .bitwiseOR(spread(bits32(lon, 180.0, 360.0)))
+  }
+
   private def deinterleave(x: Long): (Long, Long) = {
     var a = 0L; var b = 0L
     var i = 0

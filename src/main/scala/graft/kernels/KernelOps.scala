@@ -228,6 +228,43 @@ final class KernelOps(df: DataFrame) {
       }
     }.toDF("gtsid", "ts", "vdouble")
 
+  /** filler.newton over a bucket grid (script/filler/FillerNewton.java
+    * evaluated through the FILL word): the same divided-difference
+    * triangle as [[fillNewtonMidpoints]], Horner-evaluated at every
+    * missing grid index strictly inside [t₀, tₙ₋₁] (no extrapolation,
+    * matching the spline/akima grid fillers). Knot ticks keep their
+    * original values. */
+  def fillNewtonGrid(gridCount: Int): DataFrame =
+    perSeries[(Long, Long, Option[Double])] { (id, pts) =>
+      val n = pts.length
+      val xs = pts.map(_.ts.toDouble).toArray
+      val a = pts.map(_.v).toArray
+      if (n >= 2) {
+        var l = 1
+        while (l < n) {
+          var i = n - 1
+          while (i >= l) {
+            a(i) = (a(i) - a(i - 1)) / (xs(i) - xs(i - l))
+            i -= 1
+          }
+          l += 1
+        }
+      }
+      val knotVal = pts.iterator.map(p => p.ts -> p.v).toMap
+      (0L until gridCount.toLong).map { x =>
+        knotVal.get(x) match {
+          case Some(v) => (id, x, Some(v))
+          case None if n >= 2 && x > pts.head.ts && x < pts.last.ts =>
+            val td = x.toDouble
+            var r = a(n - 1)
+            var i = n - 2
+            while (i >= 0) { r = r * (td - xs(i)) + a(i); i -= 1 }
+            (id, x, Some(r))
+          case None => (id, x, None)
+        }
+      }
+    }.toDF("gtsid", "ts", "vdouble")
+
   /** FFT magnitude spectrum per series (continuum/gts/FFT.java). */
   def fftMag(): DataFrame =
     perSeries((id, pts) =>

@@ -244,7 +244,8 @@ final case class GtsFrame(df: DataFrame) {
     * `forbidNulls` to drop groups where some member is missing.
     */
   def reduce(agg: ValueAgg, byLabels: Seq[String],
-             forbidNulls: Boolean = false): DataFrame = {
+             forbidNulls: Boolean = false,
+             includeNullsCount: Boolean = false): DataFrame = {
     val keys = byLabels.map(l => col("labels").getItem(l).as(l))
     val nSeries = df.select(col("gtsid") +: keys: _*).distinct()
       .groupBy(byLabels.map(col): _*).agg(count(lit(1)).as("__nseries"))
@@ -255,12 +256,24 @@ final case class GtsFrame(df: DataFrame) {
       .agg(
         agg.column(col("vdouble"), col("ts")).as("vdouble"),
         count(col("gtsid")).as("__nmembers"))
-    val out =
-      if (forbidNulls)
-        grouped.join(nSeries, byLabels, "inner")
-          .filter(col("__nmembers") === col("__nseries"))
+    // nSeries is one row per label partition — always broadcastable
+    val out0 =
+      if (forbidNulls || includeNullsCount)
+        grouped.join(broadcast(nSeries), byLabels, "inner")
       else grouped
-    out.drop("__nmembers", "__nseries")
+    // forbid-nulls (aggregator null variants): the reference emits a
+    // null value when any aligned member is absent — a null-valued
+    // point does not exist, so dropping the group is equivalent
+    val out1 =
+      if (forbidNulls) out0.filter(col("__nmembers") === col("__nseries"))
+      else out0
+    // reducer.count default/include-nulls (Count.java, omitNulls=false):
+    // count EVERY aligned slot, i.e. the series count of the partition
+    val out2 =
+      if (includeNullsCount)
+        out1.withColumn("vdouble", col("__nseries"))
+      else out1
+    out2.drop("__nmembers", "__nseries")
   }
 
   // ---------------------------------------------------------------------
@@ -750,4 +763,144 @@ object GtsFrame {
   /** reducer.join — concatenate values (aggregator/Join.java). */
   def JoinAgg(sep: String): ValueAgg = simple(c =>
     array_join(array_sort(collect_list(c.cast(StringType))), sep))
+
+  /** bucketizer/mapper/reducer `.and`/`.or` (aggregator/And.java,
+    * Or.java): boolean AND/OR over the group, emitted as 1.0/0.0 in the
+    * double-typed frame (truthiness: value != 0). The reference's
+    * forbid-nulls default for reducer.and/or is handled by the REDUCE
+    * word via [[GtsFrame.reduce]]'s forbidNulls flag. */
+  val BoolAnd: ValueAgg = simple(c => min(when(c =!= 0.0, 1.0).otherwise(0.0)))
+  val BoolOr: ValueAgg  = simple(c => max(when(c =!= 0.0, 1.0).otherwise(0.0)))
+
+  /** mapper.product / reducer.product (aggregator/MapperProduct.java):
+    * product of the group's values — Spark's codegen'd PRODUCT agg. */
+  val ProductAgg: ValueAgg = simple(c => product(c))
+
+  /** reducer.shannonentropy.0/.1 (aggregator/ShannonEntropy.java):
+    * values are occurrence counts; H = −Σ (vᵢ/S)·ln(vᵢ/S) normalized by
+    * ln(n) over the n non-null values; n==1 → 0 (or 1 for the inverted
+    * `.1` form); zero counts skipped. The collected array is sorted so
+    * the fp summation order is deterministic under any partitioning. */
+  def Entropy(invert: Boolean): ValueAgg = simple { c =>
+    val xs = sort_array(collect_list(c))
+    val n = size(xs)
+    val s = aggregate(xs, lit(0.0), (a, x) => a + x)
+    val h = aggregate(xs, lit(0.0), (a, x) =>
+      a - when(x === 0.0, lit(0.0)).otherwise((x / s) * log(x / s)))
+    when(n === 1, lit(if (invert) 1.0 else 0.0))
+      .otherwise(h / log(n.cast(DoubleType)))
+  }
+
+  // ---- geo window aggregators (aggregator/HDist.java, VDist, HSpeed,
+  // VSpeed, TrueCourse) — they read the window's lat/lon/elev columns,
+  // so they collect the point structs ONCE (a single window/group
+  // aggregate) and post-process the array with codegen'd higher-order
+  // functions; sort_array makes the traversal order tick-ascending
+  // under any partitioning (groupBy collect order is not deterministic).
+
+  /** Rhumb-line distance in meters between two (lat,lon) columns — the
+    * Column twin of WordsExt4.loxodromic (R = 6378137 sphere, same as
+    * GeoXPLib.loxodromicDistance at aggregator/HDist.java:85). */
+  def loxodromicCol(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val toRad = lit(math.Pi / 180.0)
+    val phi1 = lat1 * toRad; val phi2 = lat2 * toRad
+    val dphi = phi2 - phi1
+    val dpsi = log(tan(lit(math.Pi / 4) + phi2 / 2) / tan(lit(math.Pi / 4) + phi1 / 2))
+    val q = when(abs(dpsi) > 1e-12, dphi / dpsi).otherwise(cos(phi1))
+    val dl0 = (lon2 - lon1) * toRad
+    val dlon = when(abs(dl0) > math.Pi,
+      when(dl0 > 0, dl0 - 2 * math.Pi).otherwise(dl0 + 2 * math.Pi)).otherwise(dl0)
+    lit(6378137.0) * sqrt(dphi * dphi + q * q * dlon * dlon)
+  }
+
+  private def pointStruct: Column =
+    struct(col("ts").as("ts"), col("lat").as("lat"),
+      col("lon").as("lon"), col("elev").as("elev"))
+
+  /** ValueAgg whose group/window aggregate is one sorted collect_list of
+    * point structs, post-processed by `post` (works in BOTH groupBy and
+    * window contexts — the collect is the single aggregate expression). */
+  private def arrayBased(post: Column => Column): ValueAgg = new ValueAgg {
+    def column(v: Column, ts: Column): Column =
+      post(sort_array(collect_list(pointStruct)))
+    override def over(v: Column, ts: Column,
+        w: org.apache.spark.sql.expressions.WindowSpec): Column =
+      post(sort_array(collect_list(pointStruct).over(w)))
+  }
+
+  private def chainDistance(pts: Column, keep: Column => Column,
+      dist: (Column, Column) => Column): Column = {
+    val sel = filter(pts, keep)
+    val zero = struct(lit(0.0).as("d"),
+      lit(null).cast(DoubleType).as("pa"), lit(null).cast(DoubleType).as("pb"))
+    aggregate(sel, zero, (a, p) => struct(
+      when(a.getField("pa").isNull, a.getField("d"))
+        .otherwise(a.getField("d") + dist(a, p)).as("d"),
+      keyA(p).as("pa"), keyB(p).as("pb"))).getField("d")
+  }
+  private def keyA(p: Column): Column = p.getField("lat")
+  private def keyB(p: Column): Column = p.getField("lon")
+
+  /** mapper.hdist: total rhumb-line distance in meters over the
+    * window's located points, in tick order (HDist.java:60-95). */
+  val Hdist: ValueAgg = arrayBased { pts =>
+    when(size(pts) > 0, hdistOf(pts))
+  }
+  private def hdistOf(pts: Column): Column =
+    chainDistance(pts,
+      p => p.getField("lat").isNotNull && p.getField("lon").isNotNull,
+      (a, p) => loxodromicCol(a.getField("pa"), a.getField("pb"),
+        p.getField("lat"), p.getField("lon")))
+
+  /** mapper.hspeed: hdist / window time span in seconds; 0.0 when the
+    * span is empty (HSpeed.java:139-143). */
+  val Hspeed: ValueAgg = arrayBased { pts =>
+    val span = (element_at(pts, size(pts)).getField("ts") -
+      element_at(pts, 1).getField("ts")).cast(DoubleType) / 1e6
+    when(size(pts) === 0, lit(null).cast(DoubleType))
+      .when(span === 0.0, lit(0.0))
+      .otherwise(hdistOf(pts) / span)
+  }
+
+  /** mapper.vdist: Σ|Δelev| over elevated points, in meters (elev is
+    * millimeters — VDist.java:108 divides by ELEVATION_UNITS_PER_M). */
+  val Vdist: ValueAgg = arrayBased { pts =>
+    when(size(pts) > 0, vdistOf(pts) / 1000.0)
+  }
+  private def vdistOf(pts: Column): Column = {
+    val sel = filter(pts, p => p.getField("elev").isNotNull)
+    val zero = struct(lit(0.0).as("d"), lit(null).cast(DoubleType).as("pe"))
+    aggregate(sel, zero, (a, p) => struct(
+      when(a.getField("pe").isNull, a.getField("d"))
+        .otherwise(a.getField("d") +
+          abs(a.getField("pe") - p.getField("elev").cast(DoubleType))).as("d"),
+      p.getField("elev").cast(DoubleType).as("pe"))).getField("d")
+  }
+
+  /** mapper.vspeed: vdist / time span between the first and last
+    * elevated points, m/s; 0.0 when that span is empty
+    * (VSpeed.java:76-84). */
+  val Vspeed: ValueAgg = arrayBased { pts =>
+    val el = filter(pts, p => p.getField("elev").isNotNull)
+    val span = (element_at(el, size(el)).getField("ts") -
+      element_at(el, 1).getField("ts")).cast(DoubleType) / 1e6
+    when(size(el) < 2, lit(null).cast(DoubleType))
+      .when(span === 0.0, lit(0.0))
+      .otherwise(vdistOf(pts) / 1000.0 / span)
+  }
+
+  /** mapper.truecourse: great-circle bearing in degrees from the
+    * window's FIRST point to its LAST point; null unless both are
+    * located (TrueCourse.java:60-95, aviation-formulary formula). */
+  val TrueCourse: ValueAgg = arrayBased { pts =>
+    val f = element_at(pts, 1); val l = element_at(pts, size(pts))
+    val la1 = radians(f.getField("lat")); val lo1 = radians(f.getField("lon"))
+    val la2 = radians(l.getField("lat")); val lo2 = radians(l.getField("lon"))
+    val tc = atan2(sin(lo1 - lo2) * cos(la2),
+      cos(la1) * sin(la2) - sin(la1) * cos(la2) * cos(lo1 - lo2))
+    when(size(pts) === 0 || f.getField("lat").isNull || f.getField("lon").isNull ||
+        l.getField("lat").isNull || l.getField("lon").isNull,
+      lit(null).cast(DoubleType))
+      .otherwise(degrees(when(tc < 0, tc + 2 * math.Pi).otherwise(tc)))
+  }
 }

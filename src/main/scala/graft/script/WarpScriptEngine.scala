@@ -128,7 +128,24 @@ final class WarpScriptEngine(
   private def evalWord(w: String, st: State): Unit = {
     st.ops += 1 // fn/OPS.java: operations performed so far
     if (st.defs.contains(w)) { evalMacro(st.defs(w), st); return }
-    evalWordDispatch(w, st)
+    try evalWordDispatch(w, st)
+    catch {
+      case e: IllegalArgumentException
+          if e.getMessage != null && e.getMessage.startsWith("unknown function") =>
+        // IMPORT alias rewrite (fn/IMPORT.java: longest alias wins) —
+        // resolves namespaced macro names through the rules table
+        val rewritten = st.importRules.toSeq.sortBy(-_._1.length).collectFirst {
+          case (alias, ns) if w.startsWith(alias) => ns + w.stripPrefix(alias)
+        }
+        rewritten match {
+          case Some(w2) if st.defs.contains(w2) => evalMacro(st.defs(w2), st)
+          // WSAUDITMODE (fn/WSAUDITMODE.java): collect instead of throw
+          case _ if st.flags("audit") =>
+            st.parseErrors += Map("type" -> "UNKNOWN", "line" -> 0L,
+              "position" -> 0L, "position.end" -> 0L, "statement" -> w)
+          case _ => throw e
+        }
+    }
   }
 
   private def evalWordDispatch(w: String, st: State): Unit = w match {
@@ -231,6 +248,9 @@ final class WarpScriptEngine(
     case "SQRT" => st.push(math.sqrt(st.popNum()))
     case "EXP" => st.push(math.exp(st.popNum()))
     case "LN" => st.push(math.log(st.popNum()))
+    // LOG is ALSO the natural log in the reference
+    // (WarpScriptLib.java:3011 NumericalUnaryFunction(LOG_, Math::log))
+    case "LOG" => st.push(math.log(st.popNum()))
     case "LOG10" => st.push(math.log10(st.popNum()))
     case "SIN" => st.push(math.sin(st.popNum()))
     case "COS" => st.push(math.cos(st.popNum()))
@@ -346,6 +366,7 @@ final class WarpScriptEngine(
           !WordsGts2.eval(other, st, this) &&
           !WordsExt4.eval(other, st, this) &&
           !WordsExt5.eval(other, st, this) &&
+          !WordsExt6.eval(other, st, this) &&
           !WordsProcessing.eval(other, st, this))
         throw new IllegalArgumentException(s"unknown function '$other'")
   }
@@ -620,6 +641,20 @@ object WarpScriptEngine {
     // through StoreClient; session state here, NEVER a data path — no
     // DataFrame-derived iterator may be stored)
     val kv = mutable.Map.empty[String, Any]
+    // generic stack attributes (EVERY/MACROTTL/RUNNERAT... — the
+    // reference's setAttribute surface for scheduling words)
+    val stackAttrs = mutable.Map.empty[String, Any]
+    // HEADER response headers (ATTRIBUTE_HEADERS)
+    val headers = mutable.Map.empty[String, String]
+    // IMPORT namespace alias rules (ATTRIBUTE_IMPORT_RULES)
+    val importRules = mutable.Map.empty[String, String]
+    // WSAUDITMODE parse-error records (ATTRIBUTE_PARSING_ERRORS)
+    val parseErrors = mutable.Buffer.empty[Map[String, Any]]
+    // GUARD nesting + CAPEXPORT export set (fn/GUARD.java, CAPEXPORT)
+    var guardDepth: Int = 0
+    val exportedCaps = mutable.Set.empty[String]
+    // WF.ADDREPO/WF.SETREPOS WarpFleet repository list
+    val wfRepos = mutable.Buffer.empty[String]
     def push(v: Any): Unit = stack.prepend(v)
     def pop(): Any =
       if (stack.isEmpty) throw new IllegalStateException("stack underflow")
@@ -720,7 +755,8 @@ object WarpScriptEngine {
   /** Named aggregator usable as bucketizer/windowed-mapper/reducer —
     * the three families share implementations, as in the reference
     * (script/aggregator classes). */
-  final case class AggVal(name: String, agg: ValueAgg)
+  final case class AggVal(name: String, agg: ValueAgg,
+      forbidNulls: Boolean = false, includeNulls: Boolean = false)
   /** Pointwise value mapper (mapper.abs etc.). */
   final case class MapperCol(name: String, f: Column => Column)
   /** Whole-frame mapper reading columns beyond vdouble (mapper.tick,
@@ -737,7 +773,34 @@ object WarpScriptEngine {
     "count" -> CountAgg, "sd" -> Sd, "sd.pop" -> SdPop, "var" -> Var,
     "mad" -> Mad,
     "var.pop" -> VarPop, "median" -> Median, "rms" -> Rms,
-    "first" -> First, "last" -> Last, "delta" -> Delta, "rate" -> Rate)
+    "first" -> First, "last" -> Last, "delta" -> Delta, "rate" -> Rate,
+    // boolean / product / entropy families (aggregator/And.java, Or,
+    // MapperProduct, ShannonEntropy)
+    "and" -> BoolAnd, "or" -> BoolOr, "product" -> ProductAgg,
+    "shannonentropy.0" -> Entropy(false), "shannonentropy.1" -> Entropy(true),
+    // geo window aggregators (aggregator/HDist.java family)
+    "hdist" -> Hdist, "vdist" -> Vdist, "hspeed" -> Hspeed,
+    "vspeed" -> Vspeed, "truecourse" -> TrueCourse)
+
+  /** Aggregator null-variant suffixes (WarpScriptLib.java:3295-3339
+    * registrations): `.forbid-nulls`/`.nonnull` null out the result
+    * when an aligned member is absent; `.exclude-nulls` skips them
+    * (Spark's default); `.include-nulls` (count only) counts every
+    * aligned slot. Plain reducer.and/or/count default to the strict
+    * side, matching their reference constructors. */
+  private def parseVariant(n0: String): (String, Boolean, Boolean) = {
+    val (base, variant) =
+      Seq(".exclude-nulls", ".include-nulls", ".forbid-nulls", ".nonnull")
+        .find(n0.endsWith) match {
+        case Some(v) => (n0.stripSuffix(v), v)
+        case None => (n0, "")
+      }
+    val forbid = variant == ".forbid-nulls" || variant == ".nonnull" ||
+      (variant.isEmpty && (base == "and" || base == "or"))
+    val includeNulls = base == "count" &&
+      (variant == ".include-nulls" || variant.isEmpty)
+    (base, forbid, includeNulls)
+  }
 
   object BucketizerName {
     def unapply(w: String): Option[AggVal] =
@@ -747,9 +810,11 @@ object WarpScriptEngine {
   }
   object ReducerName {
     def unapply(w: String): Option[AggVal] =
-      if (w.startsWith("reducer.")) aggByName.get(w.stripPrefix("reducer."))
-        .map(AggVal(w, _))
-      else None
+      if (!w.startsWith("reducer.")) None
+      else {
+        val (base, forbid, includeNulls) = parseVariant(w.stripPrefix("reducer."))
+        aggByName.get(base).map(AggVal(w, _, forbid, includeNulls))
+      }
   }
   object MapperName {
     private val pointwise: Map[String, Column => Column] = Map(
@@ -768,9 +833,12 @@ object WarpScriptEngine {
       }
   }
   /** mapper.<cmp>.<coord> names (MapperTickEQ/GE/... families):
-    * cmp ∈ eq/ne/gt/ge/lt/le, coord ∈ tick/lat/lon/elev. */
+    * cmp ∈ eq/ne/gt/ge/lt/le, coord ∈ tick/lat/lon/elev/hhcode. The
+    * hhcode coordinate compares the 64-bit interleaved cell id computed
+    * from lat/lon (MapperHhcodeGE-style families over
+    * GeoXPLib.toGeoXPPoint). */
   object CoordMapperName {
-    private val Pat = "^mapper\\.(eq|ne|gt|ge|lt|le)\\.(tick|lat|lon|elev)$".r
+    private val Pat = "^mapper\\.(eq|ne|gt|ge|lt|le)\\.(tick|lat|lon|elev|hhcode)$".r
     def unapply(w: String): Option[(String, String)] = w match {
       case Pat(cmp, coord) =>
         Some((if (coord == "tick") "ts" else coord, cmp))
@@ -779,11 +847,31 @@ object WarpScriptEngine {
   }
 
   object OpName {
+    private val dbl = org.apache.spark.sql.types.DoubleType
+    // boolean ops over the double-typed frame: truthiness = value != 0,
+    // result 1.0/0.0. Strict forms (op.and/op.or, OpBoolean forbidNulls
+    // = true) null out when an operand is absent — the explicit isNull
+    // guard matters because SQL's 3-valued `false AND null` is false.
+    private def strictAnd(a: Column, b: Column): Column =
+      when(a.isNull || b.isNull, lit(null).cast(dbl))
+        .otherwise(((a =!= 0.0) && (b =!= 0.0)).cast(dbl))
+    private def strictOr(a: Column, b: Column): Column =
+      when(a.isNull || b.isNull, lit(null).cast(dbl))
+        .otherwise(((a =!= 0.0) || (b =!= 0.0)).cast(dbl))
     private val ops: Map[String, (Column, Column) => Column] = Map(
       "add" -> (_ + _), "sub" -> (_ - _), "mul" -> (_ * _), "div" -> (_ / _),
       "eq" -> (_ === _), "ne" -> (_ =!= _), "gt" -> (_ > _), "ge" -> (_ >= _),
       "lt" -> (_ < _), "le" -> (_ <= _),
-      "mask" -> ((v, _) => v), "negmask" -> ((v, _) => v))
+      "mask" -> ((v, _) => v), "negmask" -> ((v, _) => v),
+      // `.ignore-nulls` variants (OpAdd/OpMul/OpBoolean with the
+      // ignore flag): absent operands contribute the op's identity
+      "add.ignore-nulls" -> ((a, b) => coalesce(a, lit(0.0)) + coalesce(b, lit(0.0))),
+      "mul.ignore-nulls" -> ((a, b) => coalesce(a, lit(1.0)) * coalesce(b, lit(1.0))),
+      "and" -> (strictAnd(_, _)), "or" -> (strictOr(_, _)),
+      "and.ignore-nulls" -> ((a, b) =>
+        ((coalesce(a, lit(1.0)) =!= 0.0) && (coalesce(b, lit(1.0)) =!= 0.0)).cast(dbl)),
+      "or.ignore-nulls" -> ((a, b) =>
+        ((coalesce(a, lit(0.0)) =!= 0.0) || (coalesce(b, lit(0.0)) =!= 0.0)).cast(dbl)))
     def unapply(w: String): Option[OpVal] =
       if (w.startsWith("op.")) ops.get(w.stripPrefix("op.")).map(OpVal(w, _))
       else None

@@ -129,8 +129,10 @@ private[script] object WordsControl {
         }
         val m = top.asInstanceOf[WsMacro]
         val snapshot = st.symbols.toMap
+        st.guardDepth += 1 // CAPEXPORT is only legal inside a GUARD
         try en.evalMacro(m, st)
         finally {
+          st.guardDepth -= 1
           val preserved = st.symbols.view.filterKeys(kept).toMap
           st.symbols.clear()
           st.symbols ++= snapshot ++ preserved

@@ -340,7 +340,7 @@ private[script] object WordsExt3 {
             s"BUCKETIZE.CALENDAR duration '$o' not supported (1h/1d/1w/1m/1y)")
         }
         val agg = args(n - 4) match {
-          case AggVal(_, a) => a
+          case av: AggVal => av.agg
           case o => throw new IllegalArgumentException(s"not a bucketizer: $o")
         }
         val f = en.framesOf(args.take(n - 4))

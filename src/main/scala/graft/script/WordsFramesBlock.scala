@@ -73,7 +73,7 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       val n = args.length
       val (count, span, lb) = (asLong(args(n - 1)), asLong(args(n - 2)), asLong(args(n - 3)))
       val agg = args(n - 4) match {
-        case AggVal(_, a) => a
+        case av: AggVal => av.agg
         case MacroAgg(_, tokens) =>
           st.push(GtsFrame(MacroKernel.macroBucketize(
             framesOf(args.take(n - 4)).df, tokens, lb, span)))
@@ -93,8 +93,8 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       val n = args.length
       val (occ, post, pre) = (asLong(args(n - 1)), asLong(args(n - 2)), asLong(args(n - 3)))
       args(n - 4) match {
-        case AggVal(_, a) =>
-          st.push(framesOf(args.take(n - 4)).mapWindow(a, pre, post, occurrences = occ))
+        case av: AggVal =>
+          st.push(framesOf(args.take(n - 4)).mapWindow(av.agg, pre, post, occurrences = occ))
         case MapperCol(_, f) =>
           val fr = framesOf(args.take(n - 4))
           // a mapper producing no value drops the tick (the reference's
@@ -126,9 +126,11 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       val args = st.pop().asInstanceOf[Vector[Any]]
       val labels = args(args.length - 2).asInstanceOf[Vector[Any]].map(_.toString)
       args.last match {
-        case AggVal(_, a) =>
-          // REDUCE emits the flattened shape (labels..., ts, vdouble)
-          st.push(GtsFrame(framesOf(args.take(args.length - 2)).reduce(a, labels.toSeq)))
+        case av: AggVal =>
+          // REDUCE emits the flattened shape (labels..., ts, vdouble);
+          // null-variant flags come from the reducer name (ReducerName)
+          st.push(GtsFrame(framesOf(args.take(args.length - 2))
+            .reduce(av.agg, labels.toSeq, av.forbidNulls, av.includeNulls)))
         case MacroAgg(_, tokens) =>
           st.push(GtsFrame(MacroKernel.macroReduce(
             framesOf(args.take(args.length - 2)).df, tokens, labels.toSeq)))
@@ -526,14 +528,24 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
     // families over tick/lat/lon/elev): keep the point when the
     // coordinate passes; null coordinates drop (SQL three-valued logic)
     case CoordMapperName(colName, cmp) =>
-      val k = st.popNum()
+      // pop the threshold type-faithfully: hhcode/tick/elev thresholds
+      // are 64-bit longs whose low bits a double round-trip would lose
+      val k: Column = st.pop() match {
+        case l: Long => lit(l)
+        case d: Double => lit(d)
+        case o => throw new IllegalArgumentException(s"$w threshold: $o")
+      }
+      val coord: Column =
+        if (colName == "hhcode")
+          graft.functions.GeoFunctions.hhcodeCol(col("lat"), col("lon"))
+        else col(colName)
       val cond: Column = cmp match {
-        case "eq" => col(colName) === k
-        case "ne" => col(colName) =!= k
-        case "gt" => col(colName) > k
-        case "ge" => col(colName) >= k
-        case "lt" => col(colName) < k
-        case _ => col(colName) <= k
+        case "eq" => coord === k
+        case "ne" => coord =!= k
+        case "gt" => coord > k
+        case "ge" => coord >= k
+        case "lt" => coord < k
+        case _ => coord <= k
       }
       st.push(MapperDf(w, df => df.filter(cond)))
     // geo mappers (script/mapper/MapperGeoWithin.java, MapperGeoOutside,
@@ -567,6 +579,53 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
         val aLon = pmod(cell, lit(n)).cast("double") / n * 360.0 - 180.0 + 180.0 / n
         df.withColumn("lat", when(col("lat").isNotNull, aLat))
           .withColumn("lon", when(col("lon").isNotNull, aLon))
+      }))
+    // coordinate-extraction mappers (script/mapper/MapperLatitude.java,
+    // MapperLongitude, MapperElevation): value := the coordinate;
+    // points without it are dropped (the reference emits null)
+    case "mapper.lat" | "mapper.lon" =>
+      val c = if (w endsWith "lat") "lat" else "lon"
+      st.push(MapperDf(w, df => df.filter(col(c).isNotNull)
+        .withColumn("vdouble", col(c))))
+    case "mapper.elev" =>
+      st.push(MapperDf(w, df => df.filter(col("elev").isNotNull)
+        .withColumn("vdouble", col("elev").cast(org.apache.spark.sql.types.DoubleType))))
+    // mapper.finite (script/mapper/MapperFinite.java): keep only finite
+    // values — NaN/±Inf produce null and the tick is dropped
+    case "mapper.finite" =>
+      st.push(MapperCol(w, c => when(!isnan(c) &&
+        abs(c) =!= lit(Double.PositiveInfinity), c)))
+    // type-cast mappers (MapperToBoolean/MapperToString): the frame is
+    // double-typed, so toboolean emits 1.0/0.0 truthiness and tostring
+    // writes the rendered value into vstring
+    case "mapper.toboolean" =>
+      st.push(MapperCol(w, c => (c =!= 0.0).cast(
+        org.apache.spark.sql.types.DoubleType)))
+    case "mapper.tostring" =>
+      st.push(MapperDf(w, df => df
+        .withColumn("vstring", col("vdouble").cast(org.apache.spark.sql.types.StringType))
+        .withColumn("vdouble", lit(null).cast(org.apache.spark.sql.types.DoubleType))
+        .withColumn("vtype", lit(graft.model.GtsType.STRING))))
+    // kernel-smoother builders (script/mapper/MapperKernel.java): pop
+    // window width in ticks (MUST be odd) and step, push a
+    // Nadaraya-Watson smoother over the per-series tick order. The
+    // KernelRegistry weight vector mirrors the reference's half-kernel
+    // (u = i/(len-1) over 1+width/2 entries); row offsets stand in for
+    // the reference's |Δt|/step index, identical on step-regular series
+    // (BUCKETIZE first, as the reference docs advise).
+    case w0 if w0.startsWith("mapper.kernel.") =>
+      val kname = w0.stripPrefix("mapper.kernel.")
+      require(graft.kernels.KernelRegistry.Names.contains(kname),
+        s"unknown kernel '$kname'")
+      val width = st.popLong().toInt
+      require(width % 2 == 1, s"$w0 window width MUST be odd")
+      st.popLong() // step: subsumed by the row-offset contract above
+      val half = width / 2
+      st.push(MapperDf(w0, df => {
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("gtsid")).orderBy(col("ts"), col("vdouble"))
+        df.withColumn("vdouble",
+          graft.kernels.KernelRegistry.smoothCol(kname, half, col("vdouble"), win))
       }))
     // selection mappers (script/mapper/MapperHighest.java, Lowest):
     // the k extreme values per series — the g25/r03 rank pattern

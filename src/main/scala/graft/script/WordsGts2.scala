@@ -269,7 +269,8 @@ private[script] object WordsGts2 {
       // word over a BUCKETIZE result. filler.value pops the value (or
       // the [lat lon elev value] list form, FillerValue.java:30-60).
       case "filler.previous" | "filler.next" | "filler.interpolate" |
-           "filler.linear" | "filler.trend" | "filler.spline" | "filler.akima" =>
+           "filler.linear" | "filler.trend" | "filler.spline" |
+           "filler.akima" | "filler.newton" =>
         st.push(FillerVal(w))
       case "filler.value" =>
         val v = st.pop() match {
@@ -319,6 +320,7 @@ private[script] object WordsGts2 {
             b.copy(frame = GtsFrame(b.frame.fillTrend(b.lastbucket, b.span, b.count)))
           case FillerVal("filler.spline", _) => b.copy(frame = grid(_.fillSplineGrid(_)))
           case FillerVal("filler.akima", _) => b.copy(frame = grid(_.fillAkimaGrid(_)))
+          case FillerVal("filler.newton", _) => b.copy(frame = grid(_.fillNewtonGrid(_)))
           // MACROFILLER (FILL.java:40-44: the macro gets the missing
           // tick, leaves the fill value) — executor-side ScalarEval
           case MacroAgg(_, tokens) =>

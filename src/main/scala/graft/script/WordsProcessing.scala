@@ -110,6 +110,28 @@ private[script] object WordsProcessing {
         val (c, _) = params(st, w, 0); c.strokeColor = None; st.push(c)
       case "PstrokeWeight" =>
         val (c, a) = params(st, w, 1); c.strokeW = num(a(0)); st.push(c)
+      // PstrokeCap/PstrokeJoin (processing/shape/PstrokeCap.java:45-55):
+      // Processing SQUARE = AWT butt end, PROJECT = AWT square
+      case "PstrokeCap" =>
+        val (c, a) = params(st, w, 1)
+        c.strokeCap = a(0).toString match {
+          case "SQUARE" => java.awt.BasicStroke.CAP_BUTT
+          case "PROJECT" => java.awt.BasicStroke.CAP_SQUARE
+          case "ROUND" => java.awt.BasicStroke.CAP_ROUND
+          case o => throw new IllegalArgumentException(
+            s"$w: invalid mode '$o' (SQUARE/PROJECT/ROUND)")
+        }
+        st.push(c)
+      case "PstrokeJoin" =>
+        val (c, a) = params(st, w, 1)
+        c.strokeJoin = a(0).toString match {
+          case "MITER" => java.awt.BasicStroke.JOIN_MITER
+          case "BEVEL" => java.awt.BasicStroke.JOIN_BEVEL
+          case "ROUND" => java.awt.BasicStroke.JOIN_ROUND
+          case o => throw new IllegalArgumentException(
+            s"$w: invalid mode '$o' (MITER/BEVEL/ROUND)")
+        }
+        st.push(c)
       case "Pcolor" =>
         val (c, a) = params(st, w, 1, 2, 3, 4)
         st.push(c); st.push(packColor(c, a).toLong & 0xffffffffL)

@@ -174,6 +174,9 @@ private[script] trait WordsStringsBlock { this: WarpScriptEngine =>
     case "s" => st.push(st.popLong() * 1000000L)
     case "ms" => st.push(st.popLong() * 1000L)
     case "us" => st.push(st.popLong())
+    // sub-STU units (unary/UNIT.java: tick = round(x·factor·units/ms))
+    case "ns" => st.push(math.round(st.popNum() * 0.001))
+    case "ps" => st.push(math.round(st.popNum() * 0.000001))
 
     // ---- collections
     case "SIZE" => st.pop() match {

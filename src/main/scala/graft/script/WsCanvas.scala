@@ -37,6 +37,14 @@ final class WsCanvas(val width: Int, val height: Int) {
   var fillColor: Option[Int] = Some(0xffffffff)
   var strokeColor: Option[Int] = Some(0xff000000)
   var strokeW: Double = 1.0
+  // PstrokeCap/PstrokeJoin (processing/shape/PstrokeCap.java): AWT
+  // defaults match the 1-arg BasicStroke previously used here
+  // (CAP_SQUARE, JOIN_MITER); Processing names map SQUARE→butt,
+  // PROJECT→square, ROUND→round.
+  var strokeCap: Int = BasicStroke.CAP_SQUARE
+  var strokeJoin: Int = BasicStroke.JOIN_MITER
+  private def strokeObj: BasicStroke =
+    new BasicStroke(strokeW.toFloat, strokeCap, strokeJoin)
   var rectMode: String = "CORNER"
   var ellipseMode: String = "CENTER"
   var textSize: Double = 12.0
@@ -95,7 +103,7 @@ final class WsCanvas(val width: Int, val height: Int) {
     fillColor.foreach { c => g.setColor(awt(c)); g.fill(s) }
     strokeColor.foreach { c =>
       g.setColor(awt(c))
-      g.setStroke(new BasicStroke(strokeW.toFloat))
+      g.setStroke(strokeObj)
       g.draw(s)
     }
   }
@@ -119,14 +127,14 @@ final class WsCanvas(val width: Int, val height: Int) {
   def point(x: Double, y: Double): Unit =
     strokeColor.foreach { c =>
       g.setColor(awt(c))
-      g.setStroke(new BasicStroke(strokeW.toFloat))
+      g.setStroke(strokeObj)
       g.draw(new Line2D.Double(x, y, x, y))
     }
 
   def line(x1: Double, y1: Double, x2: Double, y2: Double): Unit =
     strokeColor.foreach { c =>
       g.setColor(awt(c))
-      g.setStroke(new BasicStroke(strokeW.toFloat))
+      g.setStroke(strokeObj)
       g.draw(new Line2D.Double(x1, y1, x2, y2))
     }
 
@@ -173,7 +181,7 @@ final class WsCanvas(val width: Int, val height: Int) {
     }
     strokeColor.foreach { col =>
       g.setColor(awt(col))
-      g.setStroke(new BasicStroke(strokeW.toFloat))
+      g.setStroke(strokeObj)
       g.draw(new Arc2D.Double(x, y, w, h, startDeg, extentDeg, t))
     }
   }
@@ -217,7 +225,7 @@ final class WsCanvas(val width: Int, val height: Int) {
         fillColor.foreach { c => g.setColor(awt(c)); g.fill(p) }
         strokeColor.foreach { c =>
           g.setColor(awt(c))
-          g.setStroke(new BasicStroke(strokeW.toFloat))
+          g.setStroke(strokeObj)
           g.draw(p)
         }
       }
