@@ -85,6 +85,34 @@ object WsQueries4 {
           col("vdouble").as("smoothed"))
     }),
 
+    // PGP word family over the GnuPG cross-vectors (clean-room RFC 4880,
+    // script/OpenPgp.scala; external interop: gpg verifies/decrypts our
+    // artifacts — see WsPgpSpec + the PgpInterop tool). Deterministic:
+    // verification booleans, decrypted plaintext, ring key ids.
+    "w99_ws_pgp" -> ((s, dir) => {
+      import PgpVectors._
+      val e = engine(s, dir, cents = false)
+      val out = e.run(
+        s"""'$SEC' HEX-> PGPRING 0 GET 'ring' STORE
+           |'$PUB' HEX-> PGPRING 0 GET 'pub' STORE
+           |'$MSG' '$SIG' HEX-> $$pub 'FDDA1D005B9051CF' true PGPVERIFY
+           |'$ENC' HEX-> $$ring '036809140CD3F8EC' '' PGPDECRYPT 'UTF-8' BYTES->
+           |'$MSG'
+           |{ 'keyring' $$ring 'keyid' 'FDDA1D005B9051CF' 'passphrase' ''
+           |  'digest' 'SHA256' 'date' 1706659200000000 } PGPSIGN
+           |'ws' STORE
+           |'$MSG' $$ws $$pub 'FDDA1D005B9051CF' true PGPVERIFY
+           |'graft payload' { 'keyring' $$ring 'recipient' '036809140CD3F8EC' } PGPENCRYPT
+           |$$ring '036809140CD3F8EC' '' PGPDECRYPT 'UTF-8' BYTES->
+           |$$ring PGPPRIVATE ',' JOIN""".stripMargin)
+      s.range(1).select(
+        lit(out(0).toString).as("keyids"),
+        lit(out(1).toString).as("roundtrip_plain"),
+        lit(out(2).asInstanceOf[Boolean]).as("our_sig_ok"),
+        lit(out(3).toString).as("gpg_plain"),
+        lit(out(4).asInstanceOf[Boolean]).as("gpg_sig_ok"))
+    }),
+
     // geo window mappers over a literal located track (NEWGTS/ADDVALUE):
     // cumulative rhumb distance, speed, |Δelev|, and first→last true
     // course per expanding MAP window — the oracle replays the exact
@@ -184,6 +212,13 @@ object WsQueries4 {
          |FROM counts WHERE event_type = 'click'
          |WINDOW w AS (PARTITION BY u ORDER BY bts)""".stripMargin
     },
+
+    "w99_ws_pgp" ->
+      """SELECT 'FDDA1D005B9051CF,036809140CD3F8EC' AS keyids,
+        |  'graft payload' AS roundtrip_plain,
+        |  true AS our_sig_ok,
+        |  'The quick brown fox jumps over the lazy dog' AS gpg_plain,
+        |  true AS gpg_sig_ok""".stripMargin,
 
     "w98_ws_geo_window" -> {
       val leg = loxoSql("plat", "plon", "lat", "lon")

@@ -367,6 +367,7 @@ final class WarpScriptEngine(
           !WordsExt4.eval(other, st, this) &&
           !WordsExt5.eval(other, st, this) &&
           !WordsExt6.eval(other, st, this) &&
+          !WordsPgp.eval(other, st, this) &&
           !WordsProcessing.eval(other, st, this))
         throw new IllegalArgumentException(s"unknown function '$other'")
   }
