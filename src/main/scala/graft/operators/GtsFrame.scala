@@ -805,8 +805,17 @@ object GtsFrame {
     val toRad = lit(math.Pi / 180.0)
     val phi1 = lat1 * toRad; val phi2 = lat2 * toRad
     val dphi = phi2 - phi1
-    val dpsi = log(tan(lit(math.Pi / 4) + phi2 / 2) / tan(lit(math.Pi / 4) + phi1 / 2))
-    val q = when(abs(dpsi) > 1e-12, dphi / dpsi).otherwise(cos(phi1))
+    // Pole-safe: tan(π/4 + φ/2) is exactly 0 at lat = -90 (ANSI division
+    // would throw) and the ratio is 0/∞ at either pole — the reference's
+    // Java float math then has dpsi = ±Inf and q = dphi/±Inf = 0, which
+    // the first branch reproduces (Spark's log/try_divide return null
+    // for those inputs instead of ±Inf).
+    val ratio = try_divide(tan(lit(math.Pi / 4) + phi2 / 2),
+      tan(lit(math.Pi / 4) + phi1 / 2))
+    val dpsi = log(ratio)
+    val q = when(ratio.isNull || ratio === 0.0, lit(0.0))
+      .when(abs(dpsi) > 1e-12, dphi / dpsi)
+      .otherwise(cos(phi1))
     val dl0 = (lon2 - lon1) * toRad
     val dlon = when(abs(dl0) > math.Pi,
       when(dl0 > 0, dl0 - 2 * math.Pi).otherwise(dl0 + 2 * math.Pi)).otherwise(dl0)
