@@ -12,8 +12,9 @@ import graft.operators.GtsFrame._
   * MEMORY (series-dimension replication: each replica gets fresh user
   * labels, so series count ×10 at identical per-series length — the
   * shape a 100 TB corpus actually has). Probes the heavy operator
-  * families directly and prints 1× vs 10× wall times; results recorded
-  * in SCALE.md. Reads only; never writes testdata.
+  * families directly at 1×/10×/100× and prints wall times with
+  * per-decade ratios; results recorded in SCALE.md. Reads only; never
+  * writes testdata.
   *
   * Usage: runMain graft.ScaleProbe [sfDir]
   */
@@ -27,7 +28,8 @@ object ScaleProbe {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.driver.memory", "48g")
+      // driver heap comes from the launching JVM (-Xmx via sbt/java);
+      // setting spark.driver.memory here would be a no-op in local mode
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

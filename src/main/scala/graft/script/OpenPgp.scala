@@ -101,7 +101,7 @@ object OpenPgp {
   }
 
   /** New-format packet header. */
-  private def packet(tag: Int, body: Array[Byte]): Array[Byte] = {
+  private[script] def packet(tag: Int, body: Array[Byte]): Array[Byte] = {
     val len =
       if (body.length < 192) Array(body.length.toByte)
       else if (body.length < 8384) {
@@ -265,7 +265,8 @@ object OpenPgp {
   // ------------------------------------------------------- signatures
 
   private def hashName(algo: Int): String = algo match {
-    case 2 => "SHA-1"; case 8 => "SHA-256"; case 9 => "SHA-384"; case 10 => "SHA-512"
+    case 2 => "SHA-1"; case 8 => "SHA-256"; case 9 => "SHA-384"
+    case 10 => "SHA-512"; case 11 => "SHA-224"
     case o => throw new IllegalArgumentException(s"hash algo $o")
   }
   def hashAlgoId(name: String): Int = name.toUpperCase match {
@@ -282,6 +283,8 @@ object OpenPgp {
     case 8 => "3031300d060960864801650304020105000420"
     case 9 => "3041300d060960864801650304020205000430"
     case 10 => "3051300d060960864801650304020305000440"
+    case 11 => "302d300d06096086480165030402040500041c"
+    case o => throw new IllegalArgumentException(s"hash algo $o")
   }).grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
 
   private def emsaPkcs1(digest: Array[Byte], algo: Int, emLen: Int): BigInteger = {
@@ -387,9 +390,12 @@ object OpenPgp {
     def scan(area: Array[Byte]): Unit = {
       val s = new Reader(area)
       while (s.remaining > 0) {
+        // SUBPACKET lengths (RFC 4880 §5.2.3.1): 192..254 is the
+        // two-octet form, 255 the five-octet — NOT the packet-header
+        // ranges (no partials in subpackets)
         val l0 = s.u8()
         val len = if (l0 < 192) l0
-          else if (l0 <= 223) ((l0 - 192) << 8) + s.u8() + 192
+          else if (l0 < 255) ((l0 - 192) << 8) + s.u8() + 192
           else s.u32().toInt
         val tpe = s.u8() & 0x7f
         val bodyS = s.take(len - 1)
@@ -479,16 +485,21 @@ object OpenPgp {
     * literal payload (handles ZIP/ZLIB compressed bodies). */
   def decrypt(sec: SecMat, msg: Array[Byte]): Array[Byte] = {
     val pks = packets(msg)
-    val esk = pks.collectFirst {
-      case (1, body) =>
-        val r = new Reader(body)
-        require(r.u8() == 3, "PKESK version")
-        val kid = r.take(8).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
-        require(kid == 0L || kid == sec.pub.keyId,
-          f"message is for key $kid%016X, not ${sec.pub.keyId}%016X")
-        r.u8() // pubkey algo (RSA)
-        r.mpi()
-    }.getOrElse(throw new IllegalArgumentException("no PKESK packet"))
+    // a message may carry one PKESK per recipient — pick ours (exact
+    // key-id match first, anonymous 0-id as fallback)
+    val pkesks = pks.collect { case (1, body) =>
+      val r = new Reader(body)
+      require(r.u8() == 3, "PKESK version")
+      val kid = r.take(8).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+      r.u8() // pubkey algo (RSA)
+      (kid, r.mpi())
+    }
+    require(pkesks.nonEmpty, "no PKESK packet")
+    val esk = pkesks.collectFirst { case (kid, e) if kid == sec.pub.keyId => e }
+      .orElse(pkesks.collectFirst { case (0L, e) => e })
+      .getOrElse(throw new IllegalArgumentException(
+        f"message is for key(s) ${pkesks.map(p => f"${p._1}%016X").mkString(",")}, " +
+          f"not ${sec.pub.keyId}%016X"))
     val em = sec.privOp(esk)
     // EME-PKCS1 decode: skip 02, PS, 00
     val full = {
@@ -532,6 +543,9 @@ object OpenPgp {
         r.take(r.remaining)
       case Some((8, body)) => // compressed data
         val algo = body(0) & 0xff
+        if (algo == 0) return extractLiteral(body.drop(1)) // uncompressed
+        require(algo == 1 || algo == 2,
+          s"compression algo $algo unsupported (ZIP/ZLIB only)")
         val inflater = new java.util.zip.Inflater(algo == 1) // 1 = raw deflate (ZIP)
         inflater.setInput(body, 1, body.length - 1)
         val out = new java.io.ByteArrayOutputStream()

@@ -198,7 +198,10 @@ object ScalarEval extends Serializable {
     case "CBRT" => st.push(math.cbrt(st.popNum()))
     case "EXP" => st.push(math.exp(st.popNum()))
     case "LN" => st.push(math.log(st.popNum()))
-    case "LOG" => st.push(math.log10(st.popNum()))
+    // LOG is the NATURAL log in the reference (WarpScriptLib.java:3011
+    // Math::log); LOG10 is the decimal one
+    case "LOG" => st.push(math.log(st.popNum()))
+    case "LOG10" => st.push(math.log10(st.popNum()))
     case "FLOOR" => st.push(math.floor(st.popNum()).toLong)
     case "CEIL" => st.push(math.ceil(st.popNum()).toLong)
     case "ROUND" => st.push(math.round(st.popNum()))
@@ -303,7 +306,7 @@ object ScalarEval extends Serializable {
     "CONTINUE", "DUP", "DROP", "SWAP", "OVER", "ROT", "DEPTH", "CLEAR",
     "PICK", "+", "-", "*", "/", "%", "**", "==", "!=", "<", "<=", ">",
     ">=", "AND", "&&", "OR", "||", "NOT", "!", "ABS", "SQRT", "CBRT",
-    "EXP", "LN", "LOG", "FLOOR", "CEIL", "ROUND", "RINT", "SIN", "COS",
+    "EXP", "LN", "LOG", "LOG10", "FLOOR", "CEIL", "ROUND", "RINT", "SIN", "COS",
     "TAN", "ATAN", "TANH", "MIN", "MAX", "TODOUBLE", "TOLONG", "NaN",
     "ISNaN", "PI", "pi", "e", "NULL", "ISNULL", "[", "]", "GET",
     "REVERSE", "FLATTEN", "+!", "->LIST", "LIST->", "NAME", "LABELS",

@@ -201,6 +201,10 @@ final class WarpScriptEngine(
     case "CLEAR" => st.stack.clear()
     case "DEPTH" => st.push(st.stack.length.toLong)
     case "PICK" => val n = st.popLong().toInt; st.push(st.stack(n - 1))
+    // OVER: copy the second element to the top — not in the reference
+    // registry (use `2 PICK` there) but ScalarEval's macro interpreter
+    // supports it, and driver/executor word sets must agree
+    case "OVER" => st.push(st.stack(1))
     case "ROT" =>
       val a = st.pop(); val b = st.pop(); val c = st.pop()
       st.push(b); st.push(a); st.push(c)

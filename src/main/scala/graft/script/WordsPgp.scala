@@ -13,7 +13,7 @@ import OpenPgp._
   */
 object WordsPgp {
 
-  private def bytesOf(v: Any, utf8String: Boolean = true): Array[Byte] = v match {
+  private def bytesOf(v: Any): Array[Byte] = v match {
     case b: Array[Byte] => b
     case s: String => s.getBytes(StandardCharsets.UTF_8)
     case o => throw new IllegalArgumentException(s"expected STRING or BYTES, got $o")
@@ -61,12 +61,7 @@ object WordsPgp {
       case "PGPPUBLIC" => st.pop() match {
         case k: PubKey =>
           // armored serialization of the bare key packet
-          st.push(OpenPgp.armor("PUBLIC KEY BLOCK",
-            Array((0xc0 | 6).toByte) ++ // new-format tag 6
-              (if (k.body.length < 192) Array(k.body.length.toByte)
-               else Array(255.toByte, (k.body.length >> 24).toByte,
-                 (k.body.length >> 16).toByte, (k.body.length >> 8).toByte,
-                 k.body.length.toByte)) ++ k.body))
+          st.push(OpenPgp.armor("PUBLIC KEY BLOCK", OpenPgp.packet(6, k.body)))
         case r: SecRing => st.push(r.keys.map(_.pub.keyIdHex).map(identity[Any]))
         case r: PubRing => st.push(r.keys.map(_.keyIdHex).map(identity[Any]))
         // keyid + ring below → the key object (a hex STRING keyid is
@@ -196,7 +191,7 @@ object WordsPgp {
             val k = params.get("keyring") match {
               case Some(r: PubRing) => r.byId(id)
               case Some(r: SecRing) => r.pubById(id)
-              case _ => throw new IllegalArgumentException(s"$w missing PGP secret key ring.")
+              case _ => throw new IllegalArgumentException(s"$w missing PGP key ring.")
             }
             k.getOrElse(throw new IllegalArgumentException(
               f"$w key with id 0x$id%x not found."))

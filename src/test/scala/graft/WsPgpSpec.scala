@@ -131,6 +131,24 @@ class WsPgpSpec extends AnyFunSuite {
     assert(m.contains("FDDA1D005B9051CF"))
   }
 
+  test("a two-recipient gpg message decrypts when our PKESK is not first") {
+    val sr = OpenPgp.parseRings(hex(SEC)).head.asInstanceOf[OpenPgp.SecRing]
+    // locked@'s PKESK precedes ours (gpg -r locked -r graft)
+    val plain = OpenPgp.decrypt(sr.keys(1).unlock(""), hex(ENC2))
+    assert(new String(plain, StandardCharsets.UTF_8) == MSG)
+    // a key that matches NO pkesk reports all candidate ids
+    val err = intercept[IllegalArgumentException] {
+      OpenPgp.decrypt(sr.keys.head.unlock(""), hex(ENC2))
+    }
+    assert(err.getMessage.contains("message is for key"))
+  }
+
+  test("a gpg SHA-224 detached signature verifies") {
+    val pub = OpenPgp.parseRings(hex(PUB)).head.asInstanceOf[OpenPgp.PubRing].keys.head
+    assert(OpenPgp.verifyDetached(pub, MSG.getBytes(StandardCharsets.UTF_8), hex(SIG224)))
+    assert(!OpenPgp.verifyDetached(pub, (MSG + ".").getBytes(StandardCharsets.UTF_8), hex(SIG224)))
+  }
+
   test("armor encode/decode round-trips with CRC24") {
     val data = Array.tabulate[Byte](300)(i => (i * 7).toByte)
     val a = OpenPgp.armor("MESSAGE", data)
