@@ -87,7 +87,20 @@ object TextQueries4 {
     // the exact bit addressing so the sketch is hash-gated (flagged ⊇
     // exact is the one-sided FP contract)
     "t35_bloom_decontam" -> ((s, dir) =>
-      graft.text.TextOps3.bloomDecontam(docs(s, dir)))
+      graft.text.TextOps3.bloomDecontam(docs(s, dir))),
+
+    // linear quality-classifier inference (hashed bag-of-words ×
+    // broadcast dyadic weights — exact scores, zero-shuffle scoring)
+    "t36_quality_classifier" -> ((s, dir) =>
+      graft.text.TextOps3.linearQualityScore(docs(s, dir))
+        .select(col("doc_id"), col("source"), col("n_toks"),
+          col("score"), col("keep"))),
+
+    // per-label embedding centroid + mean pairwise dot via the
+    // (‖Σv‖² − Σ‖v‖²)/(n(n−1)) identity — no pairwise join
+    "t37_embedding_diversity" -> ((s, dir) =>
+      graft.text.TextOps3.embeddingDiversity(
+        s.read.parquet(s"$dir/embeddings.parquet")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -291,6 +304,41 @@ object TextQueries4 {
         |  CAST(coalesce(n_flagged, 0) AS BIGINT) AS n_flagged,
         |  CAST(coalesce(n_true, 0) AS BIGINT) AS n_true
         |FROM ng LEFT JOIN fl USING (doc_id)
-        |LEFT JOIN tr USING (doc_id)""".stripMargin
+        |LEFT JOIN tr USING (doc_id)""".stripMargin,
+
+    "t36_quality_classifier" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, t FROM (
+        |    SELECT doc_id, source,
+        |      unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |sc AS (
+        |  SELECT doc_id, count(*) AS n_toks,
+        |    sum((((('0x' || substring(md5(t), 1, 15))::BIGINT % 256)
+        |          * 31 + 7) % 97 - 48) / 512.0) AS score
+        |  FROM t GROUP BY 1)
+        |SELECT d.doc_id, d.source,
+        |  CAST(coalesce(sc.n_toks, 0) AS INTEGER) AS n_toks,
+        |  coalesce(sc.score, 0.0) AS score,
+        |  coalesce(sc.score, 0.0) > 0.0 AS keep
+        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+
+    "t37_embedding_diversity" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, pos - 1 AS pos, round(x * 1000) AS x
+        |  FROM (SELECT vec_id, label,
+        |          unnest(embedding) AS x,
+        |          generate_subscripts(embedding, 1) AS pos
+        |        FROM embeddings)),
+        |sq AS (SELECT label, CAST(count(DISTINCT vec_id) AS BIGINT) AS n,
+        |         sum(x * x) AS sum_sq
+        |       FROM v GROUP BY 1),
+        |ce AS (SELECT label, sum(sx * sx) AS centroid_sq FROM (
+        |         SELECT label, pos, sum(x) AS sx FROM v GROUP BY 1, 2)
+        |       GROUP BY 1)
+        |SELECT sq.label, sq.n, ce.centroid_sq, sq.sum_sq,
+        |  (ce.centroid_sq - sq.sum_sq) / CAST(sq.n * (sq.n - 1) AS DOUBLE)
+        |    AS mean_pair_dot
+        |FROM sq JOIN ce USING (label)""".stripMargin
   )
 }

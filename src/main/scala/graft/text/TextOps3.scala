@@ -172,4 +172,47 @@ object TextOps3 {
         col("full_ids").getItem(0).as("top1_full"),
         col("q_ids").getItem(0).as("top1_q"))
   }
+
+  /** Linear quality-classifier INFERENCE at corpus scale (the
+    * fastText-style stage every pretraining pipeline runs): hashed
+    * bag-of-words features × a broadcast weight vector, one codegen'd
+    * pass, zero shuffles beyond the input spread. Weights here are the
+    * closed-form dyadic family w(b) = ((31b+7) mod 97 − 48)/512 — a
+    * stand-in with the same plan shape as a learned vector (a real
+    * model would broadcast its array instead), chosen dyadic so every
+    * per-document score is an EXACT sum in any summation order and the
+    * DuckDB oracle reproduces it bit-for-bit. Tokens: lowercase
+    * alphabetic runs; feature id = portable-md5₆₀(token) mod dim.
+    * Returns (doc_id, source, n_toks, score, keep = score > 0). */
+  def linearQualityScore(docs: DataFrame, dim: Int = 256): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0)
+    def weight(t: Column): Column =
+      (pmod(pmod(TextOps.hexHash60(t), lit(dim.toLong)) * 31 + 7, lit(97L)) - 48)
+        .cast(DoubleType) / 512.0
+    TextOps.spread(docs).select(col("doc_id"), col("source"),
+        size(toks).as("n_toks"),
+        aggregate(toks, lit(0.0), (acc, t) => acc + weight(t)).as("score"))
+      .withColumn("keep", col("score") > 0.0)
+  }
+
+  /** Per-label embedding centroid/diversity report (the corpus-health
+    * telemetry an embedding-dedup or mixture job emits): for each
+    * label, n, the centroid norm² and the mean pairwise dot product
+    * via the closed form (‖Σv‖² − Σ‖v‖²)/(n(n−1)) — NO pairwise join,
+    * two aggregations total (one on (label, dim) for the vector sum,
+    * one on label), both shuffling tiny aggregates. On [[scaled]]
+    * exact-integer embeddings every sum is exact, so the report is
+    * engine-reproducible without rounding. */
+  def embeddingDiversity(embs: DataFrame): DataFrame = {
+    val e = scaled(embs).join(embs.select(col("vec_id"), col("label")), "vec_id")
+    val sumsq = e.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(dot(col("v"), col("v"))).as("sum_sq"))
+    val centroid = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos")).agg(sum(col("x")).as("sx"))
+      .groupBy(col("label")).agg(sum(col("sx") * col("sx")).as("centroid_sq"))
+    sumsq.join(centroid, "label")
+      .select(col("label"), col("n"), col("centroid_sq"), col("sum_sq"),
+        ((col("centroid_sq") - col("sum_sq")) /
+          (col("n") * (col("n") - 1)).cast(DoubleType)).as("mean_pair_dot"))
+  }
 }
