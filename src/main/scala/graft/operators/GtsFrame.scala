@@ -291,6 +291,29 @@ final case class GtsFrame(df: DataFrame) {
               byLabels: Seq[String], joinType: String = "full_outer"): DataFrame =
     applyOps(other, Seq("vdouble" -> op), byLabels, joinType)
 
+  /** N-ary APPLY (GTSHelper.applyNAryFunction:7610; op/OpAdd.java
+    * sums across the whole aligned value array): chain of full-outer
+    * joins on (partition-labels, tick), then a LEFT FOLD of the binary
+    * op column — for the associative-with-identity ops (add/mul/and/or
+    * and their ignore-nulls variants) the fold is exactly the
+    * reference's N-way evaluation, strict forms nulling out whenever
+    * any operand is absent. Join keys coalesce through the chain
+    * (USING-join), so the alignment stays one shuffle per operand. */
+  def applyOpN(others: Seq[GtsFrame], op: (Column, Column) => Column,
+               byLabels: Seq[String]): DataFrame = {
+    def side(d: DataFrame, v: String) =
+      d.select(byLabels.map(l => col("labels").getItem(l).as(l)) :+
+        col("ts") :+ col("vdouble").as(v): _*)
+    val sides = (this +: others).zipWithIndex.map { case (f, i) =>
+      side(f.df, s"__v$i")
+    }
+    val joined = sides.reduce((l, r) => l.join(r, byLabels :+ "ts", "full_outer"))
+    val folded = (1 until sides.size).foldLeft(col("__v0"): Column)(
+      (acc, i) => op(acc, col(s"__v$i")))
+    joined.withColumn("vdouble", folded)
+      .drop(sides.indices.map(i => s"__v$i"): _*)
+  }
+
   /** Multi-output APPLY: evaluate several ops over one tick alignment
     * (the reference evaluates op lists in one pass too). Comparison ops
     * op.eq/ne/gt/ge/lt/le emit null when an operand is absent

@@ -85,6 +85,19 @@ object WsQueries4 {
           col("vdouble").as("smoothed"))
     }),
 
+    // N-ary APPLY (GTSHelper.applyNAryFunction): op.add strict and
+    // .ignore-nulls folded over THREE aligned operand sets
+    "w100_ws_apply_nary" -> ((s, dir) => {
+      val e = engine(s, dir, cents = false)
+      def app(op: String, as: String) =
+        e.runToFrame(
+          s"[ ${bucketsOf("events.click")} ${bucketsOf("events.view")} " +
+            s"${bucketsOf("events.purchase")} [ 'user' ] $op ] APPLY")
+          .select(col("user"), col("ts"), col("vdouble").as(as))
+      app("op.add", "add_strict")
+        .join(app("op.add.ignore-nulls", "add_ignore"), Seq("user", "ts"))
+    }),
+
     // PGP word family over the GnuPG cross-vectors (clean-room RFC 4880,
     // script/OpenPgp.scala; external interop: gpg verifies/decrypts our
     // artifacts — see WsPgpSpec + the PgpInterop tool). Deterministic:
@@ -212,6 +225,24 @@ object WsQueries4 {
          |FROM counts WHERE event_type = 'click'
          |WINDOW w AS (PARTITION BY u ORDER BY bts)""".stripMargin
     },
+
+    "w100_ws_apply_nary" ->
+      s"""WITH $BUCKET_SQL,
+         |a AS (SELECT u, bts, c FROM counts WHERE event_type = 'click'),
+         |b AS (SELECT u, bts, c FROM counts WHERE event_type = 'view'),
+         |p AS (SELECT u, bts, c FROM counts WHERE event_type = 'purchase'),
+         |j AS (SELECT coalesce(a.u, b.u, p.u) AS u,
+         |        coalesce(a.bts, b.bts, p.bts) AS bts,
+         |        a.c AS ca, b.c AS cb, p.c AS cp
+         |      FROM a FULL OUTER JOIN b ON a.u = b.u AND a.bts = b.bts
+         |        FULL OUTER JOIN p
+         |          ON coalesce(a.u, b.u) = p.u AND coalesce(a.bts, b.bts) = p.bts)
+         |SELECT u AS "user", bts AS ts,
+         |  CAST(CASE WHEN ca IS NULL OR cb IS NULL OR cp IS NULL THEN NULL
+         |       ELSE ca + cb + cp END AS BIGINT) AS add_strict,
+         |  CAST(coalesce(ca, 0) + coalesce(cb, 0) + coalesce(cp, 0) AS DOUBLE)
+         |    AS add_ignore
+         |FROM j""".stripMargin,
 
     "w99_ws_pgp" ->
       """SELECT 'FDDA1D005B9051CF,036809140CD3F8EC' AS keyids,

@@ -149,7 +149,9 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
         case o => throw new IllegalArgumentException(s"not a filter: $o")
       }
 
-    // APPLY (fn/APPLY.java): [ [gts-a] [gts-b] [labels] op ]
+    // APPLY (fn/APPLY.java): [ [gts-a] [gts-b] ... [labels] op ] — two
+    // or more operand sets; N-ary evaluation for the ops whose
+    // reference implementations accept the whole aligned value array
     case "APPLY" =>
       val args = st.pop().asInstanceOf[Vector[Any]]
       val opv = args.last match {
@@ -157,12 +159,27 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
         case o => throw new IllegalArgumentException(s"not an op: $o")
       }
       val labels = args(args.length - 2).asInstanceOf[Vector[Any]].map(_.toString).toSeq
-      val b = toFrame(args(args.length - 3))
-      val a = toFrame(args(args.length - 4))
+      val operands = args.take(args.length - 2).map(toFrame)
+      require(operands.length >= 2, "APPLY needs at least two GTS operands")
+      val nAryOps = Set("op.add", "op.mul", "op.and", "op.or",
+        "op.add.ignore-nulls", "op.mul.ignore-nulls",
+        "op.and.ignore-nulls", "op.or.ignore-nulls")
       val out = opv.name match {
-        case "op.mask" => a.mask(b, labels)
-        case "op.negmask" => a.mask(b, labels, negate = true)
-        case _ => a.applyOp(b, opv.f, labels)
+        case "op.mask" =>
+          require(operands.length == 2, "op.mask takes exactly two operands")
+          operands(0).mask(operands(1), labels)
+        case "op.negmask" =>
+          require(operands.length == 2, "op.negmask takes exactly two operands")
+          operands(0).mask(operands(1), labels, negate = true)
+        case _ if operands.length == 2 =>
+          operands(0).applyOp(operands(1), opv.f, labels)
+        case n if nAryOps(n) =>
+          operands.head.applyOpN(operands.tail, opv.f, labels)
+        // the reference's binary-only ops emit null for every tick when
+        // given more operands (op/OpSub.java:40 commented-out throw) —
+        // an explicit error is the recognizable version of that
+        case n => throw new IllegalArgumentException(
+          s"$n can only be applied to two Geo Time Series")
       }
       // APPLY emits the flattened shape (labels..., ts, vdouble)
       st.push(GtsFrame(out))

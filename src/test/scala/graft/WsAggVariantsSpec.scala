@@ -119,6 +119,34 @@ class WsAggVariantsSpec extends SparkSpec {
       Map(1L -> Some(1.0), 2L -> Some(0.0), 3L -> Some(1.0), 4L -> Some(2.0)))
   }
 
+  test("N-ary APPLY folds associative ops over >2 operand sets") {
+    val three = mkFrame(Seq(
+      ("m", Map("u" -> "1", "h" -> "a"), 1L, 1.0, None, None, None),
+      ("m", Map("u" -> "1", "h" -> "a"), 2L, 2.0, None, None, None),
+      ("m", Map("u" -> "1", "h" -> "b"), 2L, 3.0, None, None, None),
+      ("m", Map("u" -> "1", "h" -> "b"), 3L, 4.0, None, None, None),
+      ("m", Map("u" -> "1", "h" -> "c"), 2L, 5.0, None, None, None),
+      ("m", Map("u" -> "1", "h" -> "c"), 3L, 6.0, None, None, None)))
+    val e = eng(three)
+    def sel(h: String) = s"[ $F [ ] { 'h' '$h' } filter.bylabels ] FILTER"
+    def applyOp3(op: String): Map[Long, Option[Double]] =
+      e.runToFrame(s"[ ${sel("a")} ${sel("b")} ${sel("c")} [ 'u' ] $op ] APPLY")
+        .select(col("ts"), col("vdouble").cast("double")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+    // strict add: only tick 2 has all three operands
+    assert(applyOp3("op.add") ==
+      Map(1L -> None, 2L -> Some(10.0), 3L -> None))
+    assert(applyOp3("op.add.ignore-nulls") ==
+      Map(1L -> Some(1.0), 2L -> Some(10.0), 3L -> Some(10.0)))
+    assert(applyOp3("op.mul.ignore-nulls") ==
+      Map(1L -> Some(1.0), 2L -> Some(30.0), 3L -> Some(24.0)))
+    assert(applyOp3("op.or.ignore-nulls") ==
+      Map(1L -> Some(1.0), 2L -> Some(1.0), 3L -> Some(1.0)))
+    // binary-only ops refuse >2 operands, as the reference's null path
+    intercept[Exception] { applyOp3("op.sub") }
+  }
+
   test("mapper.hdist accumulates rhumb distance over the window") {
     // 2 equator degrees: 2 · R·π/180 (loxodromic = arc along the equator)
     val vals = eng(geoSeries).runToFrame(s"[ $F mapper.hdist 10 0 0 ] MAP")
