@@ -85,6 +85,27 @@ object WsQueries4 {
           col("vdouble").as("smoothed"))
     }),
 
+    // MAP ticks override (list form, occurrences = LIST of output
+    // ticks — MAP.java:96, GTSHelper.java:6389): a 2-day look-back sum
+    // evaluated at three explicit ticks per click series
+    "w101_ws_map_ticks" -> ((s, dir) => {
+      val ticks = s"[ $LB ${LB - 5 * DAY} ${LB - 10 * DAY} ]"
+      engine(s, dir, cents = false).runToFrame(
+        s"[ ${bucketsOf("events.click")} mapper.sum ${-2 * DAY} 0 $ticks ] MAP")
+        .select(col("labels").getItem("user").as("u"), col("ts"),
+          col("vdouble").cast("long").as("win_sum"))
+    }),
+
+    // MAP dictionary form with step (MAP.java:39-44): 3-tick rolling
+    // sum emitted at every 2nd tick of each series
+    "w102_ws_map_dict_step" -> ((s, dir) => {
+      engine(s, dir, cents = false).runToFrame(
+        s"${bucketsOf("events.click")} " +
+          "{ 'mapper' mapper.sum 'pre' 2 'post' 0 'step' 2 } MAP")
+        .select(col("labels").getItem("user").as("u"), col("ts"),
+          col("vdouble").cast("long").as("win_sum"))
+    }),
+
     // N-ary APPLY (GTSHelper.applyNAryFunction): op.add strict and
     // .ignore-nulls folded over THREE aligned operand sets
     "w100_ws_apply_nary" -> ((s, dir) => {
@@ -225,6 +246,28 @@ object WsQueries4 {
          |FROM counts WHERE event_type = 'click'
          |WINDOW w AS (PARTITION BY u ORDER BY bts)""".stripMargin
     },
+
+    "w101_ws_map_ticks" ->
+      s"""WITH $BUCKET_SQL,
+         |cl AS (SELECT u, bts, c FROM counts WHERE event_type = 'click'),
+         |srs AS (SELECT DISTINCT u FROM cl),
+         |tk(t) AS (VALUES ($LB), (${LB - 5 * DAY}), (${LB - 10 * DAY})),
+         |grid AS (SELECT u, t FROM srs CROSS JOIN tk)
+         |SELECT g.u, g.t AS ts,
+         |  CAST(sum(cl.c) AS BIGINT) AS win_sum
+         |FROM grid g LEFT JOIN cl
+         |  ON cl.u = g.u AND cl.bts >= g.t - ${2 * DAY} AND cl.bts <= g.t
+         |GROUP BY g.u, g.t""".stripMargin,
+
+    "w102_ws_map_dict_step" ->
+      s"""WITH $BUCKET_SQL,
+         |cl AS (SELECT u, bts, c,
+         |         row_number() OVER (PARTITION BY u ORDER BY bts) AS rn,
+         |         sum(c) OVER (PARTITION BY u ORDER BY bts
+         |           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ws
+         |       FROM counts WHERE event_type = 'click')
+         |SELECT u, bts AS ts, CAST(ws AS BIGINT) AS win_sum
+         |FROM cl WHERE (rn - 1) % 2 = 0""".stripMargin,
 
     "w100_ws_apply_nary" ->
       s"""WITH $BUCKET_SQL,

@@ -86,39 +86,77 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       st.push(if (span > 0 && lb != 0) BucketedFrame(bucketed, lb, span, count)
         else bucketed)
 
-    // MAP (fn/MAP.java): [ gts mapper pre post occurrences ]; negative
-    // pre/post = time span, positive = tick count (GTSHelper.java:6440)
+    // MAP (fn/MAP.java): list form [ gts... mapper pre post occurrences
+    // [step] ] — negative pre/post = time span, positive = tick count
+    // (GTSHelper.java:6440); occurrences may be a LIST of output ticks
+    // (the ticks override, MAP.java:96); or the 2015 dictionary form
+    // { 'mapper' 'pre' 'post' 'occurrences' 'step' } over a GTS list
     case "MAP" =>
-      val args = st.pop().asInstanceOf[Vector[Any]]
-      val n = args.length
-      val (occ, post, pre) = (asLong(args(n - 1)), asLong(args(n - 2)), asLong(args(n - 3)))
-      args(n - 4) match {
-        case av: AggVal =>
-          st.push(framesOf(args.take(n - 4)).mapWindow(av.agg, pre, post, occurrences = occ))
-        case MapperCol(_, f) =>
-          val fr = framesOf(args.take(n - 4))
-          // a mapper producing no value drops the tick (the reference's
-          // comparison mappers MapperEQ/GT/... return null → no point)
-          st.push(GtsFrame(fr.df.withColumn("vdouble", f(col("vdouble")))
-            .filter(col("vdouble").isNotNull)))
-        case MapperDf(_, f) =>
-          st.push(GtsFrame(f(framesOf(args.take(n - 4)).df)))
-        // a 1D interpolant used as a mapper (INTERPOLATOR_1D.java's
-        // WarpScriptMapperFunction face): out-of-range → NaN, point kept
-        case i: WordsExt3.WsInterp =>
-          val fr = framesOf(args.take(n - 4))
-          st.push(GtsFrame(fr.df.withColumn("vdouble",
-            i.columnExpr(col("vdouble")))))
-        // POLYFUNC mapper face (fn/POLYFUNC.java apply(args): the
-        // polynomial is evaluated on the TICK) — a codegen'd Horner
-        case p: WordsExt5.WsPoly =>
-          val fr = framesOf(args.take(n - 4))
-          st.push(GtsFrame(fr.df.withColumn("vdouble",
-            p.columnExpr(col("ts").cast("double")))))
-        case MacroAgg(_, tokens) =>
-          val fr = framesOf(args.take(n - 4))
-          st.push(GtsFrame(MacroKernel.macroMap(fr.df, tokens, pre, post, occ)))
-        case o => throw new IllegalArgumentException(s"not a mapper: $o")
+      def isMapper(v: Any): Boolean = v match {
+        case _: AggVal | _: MapperCol | _: MapperDf | _: MacroAgg |
+             _: WordsExt3.WsInterp | _: WordsExt5.WsPoly => true
+        case _ => false
+      }
+      def evalMap(fr: GtsFrame, mapper: Any, pre: Long, post: Long,
+          occObj: Any, step: Int): Unit = {
+        require(step >= 1, "MAP expects a step parameter which is strictly positive.")
+        (mapper, occObj) match {
+          case (av: AggVal, ticks: Vector[Any @unchecked]) =>
+            // explicit output-tick list (GTSHelper.java:6389-6432)
+            st.push(GtsFrame(fr.mapWindowAtTicks(av.agg, pre,
+              ticks.map(asLong), dedup = true)))
+          case (_, _: Vector[_]) => throw new IllegalArgumentException(
+            "MAP ticks override needs a named aggregator mapper")
+          case (av: AggVal, occ) =>
+            st.push(fr.mapWindow(av.agg, pre, post, step, asLong(occ)))
+          case (m, occ) =>
+            require(step == 1,
+              s"MAP step is supported for aggregator mappers (got ${m.getClass.getSimpleName})")
+            m match {
+              case MapperCol(_, f) =>
+                // a mapper producing no value drops the tick (the
+                // comparison mappers MapperEQ/GT/... return null)
+                st.push(GtsFrame(fr.df.withColumn("vdouble", f(col("vdouble")))
+                  .filter(col("vdouble").isNotNull)))
+              case MapperDf(_, f) => st.push(GtsFrame(f(fr.df)))
+              // 1D interpolant as mapper (INTERPOLATOR_1D.java):
+              // out-of-range → NaN, point kept
+              case i: WordsExt3.WsInterp =>
+                st.push(GtsFrame(fr.df.withColumn("vdouble",
+                  i.columnExpr(col("vdouble")))))
+              // POLYFUNC mapper face: Horner on the TICK
+              case p: WordsExt5.WsPoly =>
+                st.push(GtsFrame(fr.df.withColumn("vdouble",
+                  p.columnExpr(col("ts").cast("double")))))
+              case MacroAgg(_, tokens) =>
+                st.push(GtsFrame(MacroKernel.macroMap(fr.df, tokens, pre,
+                  post, asLong(occ))))
+              case o => throw new IllegalArgumentException(s"not a mapper: $o")
+            }
+        }
+      }
+      st.pop() match {
+        case params: Map[Any, Any] @unchecked =>
+          val fr = framesOf(Seq(st.pop()))
+          val mapper = params.getOrElse("mapper",
+            throw new IllegalArgumentException("MAP Missing 'mapper' parameter."))
+          evalMap(fr, mapper,
+            asLong(params.getOrElse("pre", 0L)),
+            asLong(params.getOrElse("post", 0L)),
+            params.getOrElse("occurrences", 0L),
+            asLong(params.getOrElse("step", 1L)).toInt)
+        case args0: Vector[Any @unchecked] =>
+          val mi = args0.indexWhere(isMapper)
+          require(mi > 0, "MAP expects Geo Time Series then a mapper function.")
+          val tail = args0.drop(mi + 1)
+          require(tail.size >= 2 && tail.size <= 4,
+            "MAP expects [ gts... mapper pre post occurrences [step] ]")
+          evalMap(framesOf(args0.take(mi)), args0(mi),
+            asLong(tail(0)), asLong(tail(1)),
+            if (tail.size >= 3) tail(2) else 0L,
+            if (tail.size >= 4) asLong(tail(3)).toInt else 1)
+        case o => throw new IllegalArgumentException(
+          s"MAP expects a list as input or a map of parameters, got $o")
       }
 
     // REDUCE (fn/REDUCE.java): [ gts... [labels] reducer ]
