@@ -256,11 +256,14 @@ final case class GtsFrame(df: DataFrame) {
       .agg(
         agg.column(col("vdouble"), col("ts")).as("vdouble"),
         count(col("gtsid")).as("__nmembers"))
-    // nSeries is one row per label partition — always broadcastable
+    // nSeries is one row per label partition — always broadcastable.
+    // NULL/empty bylabels (one global partition, REDUCE.java:85) makes
+    // it a single row: a cross join, not a keyed join.
     val out0 =
-      if (forbidNulls || includeNullsCount)
-        grouped.join(broadcast(nSeries), byLabels, "inner")
-      else grouped
+      if (forbidNulls || includeNullsCount) {
+        if (byLabels.isEmpty) grouped.crossJoin(broadcast(nSeries))
+        else grouped.join(broadcast(nSeries), byLabels, "inner")
+      } else grouped
     // forbid-nulls (aggregator null variants): the reference emits a
     // null value when any aligned member is absent — a null-valued
     // point does not exist, so dropping the group is equivalent

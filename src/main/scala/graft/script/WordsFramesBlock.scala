@@ -159,10 +159,16 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
           s"MAP expects a list as input or a map of parameters, got $o")
       }
 
-    // REDUCE (fn/REDUCE.java): [ gts... [labels] reducer ]
+    // REDUCE (fn/REDUCE.java): [ gts... [labels] reducer ] — NULL
+    // labels = one global equivalence class (REDUCE.java:85)
     case "REDUCE" =>
       val args = st.pop().asInstanceOf[Vector[Any]]
-      val labels = args(args.length - 2).asInstanceOf[Vector[Any]].map(_.toString)
+      val labels = args(args.length - 2) match {
+        case null => Vector.empty[String]
+        case v: Vector[Any @unchecked] => v.map(_.toString)
+        case o => throw new IllegalArgumentException(
+          s"REDUCE expects a list of label names or null, got $o")
+      }
       args.last match {
         case av: AggVal =>
           // REDUCE emits the flattened shape (labels..., ts, vdouble);
@@ -196,7 +202,12 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
         case o: OpVal => o
         case o => throw new IllegalArgumentException(s"not an op: $o")
       }
-      val labels = args(args.length - 2).asInstanceOf[Vector[Any]].map(_.toString).toSeq
+      val labels = args(args.length - 2) match {
+        case null => Seq.empty[String] // one global partition
+        case v: Vector[Any @unchecked] => v.map(_.toString).toSeq
+        case o => throw new IllegalArgumentException(
+          s"APPLY expects a list of label names or null, got $o")
+      }
       val operands = args.take(args.length - 2).map(toFrame)
       require(operands.length >= 2, "APPLY needs at least two GTS operands")
       val nAryOps = Set("op.add", "op.mul", "op.and", "op.or",

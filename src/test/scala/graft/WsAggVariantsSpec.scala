@@ -83,6 +83,17 @@ class WsAggVariantsSpec extends SparkSpec {
       Map(1L -> Some(1.0), 2L -> Some(3.0), 3L -> Some(2.0), 4L -> Some(2.0)))
   }
 
+  test("NULL bylabels aligns ALL series in one partition (REDUCE and APPLY)") {
+    val e = eng(twoSeries)
+    val red = e.runToFrame("[ " + F + " NULL reducer.sum ] REDUCE")
+      .select(col("ts"), col("vdouble")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(red == Map(1L -> 1.0, 2L -> 3.0, 3L -> 2.0, 4L -> 2.0))
+    val forb = e.runToFrame("[ " + F + " NULL reducer.sum.forbid-nulls ] REDUCE")
+      .select(col("ts")).collect().map(_.getLong(0)).toSet
+    assert(forb == Set(2L, 3L)) // only fully-aligned ticks survive
+  }
+
   test("reducer.product multiplies aligned values") {
     assert(reduceVals("reducer.product") ==
       Map(1L -> Some(1.0), 2L -> Some(0.0), 3L -> Some(1.0), 4L -> Some(2.0)))
