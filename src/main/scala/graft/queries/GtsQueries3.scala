@@ -134,7 +134,7 @@ object GtsQueries3 {
           val Array(t, v) = ln.split("\t"); (t.toLong, v.toDouble)
         }
         val (c2, exec) = hit(s"http://127.0.0.1:$port/api/v0/exec", Some(
-          s"[ 'T' 'events.click' { } $T0 ${T0 + DAY - 1} ] FETCH SIZE 2 3 +"))
+          s"[ 'T' 'events.click' { } ${T0 + DAY - 1} $DAY ] FETCH SIZE 2 3 +"))
         require(c2 == 200, s"exec HTTP $c2: ${exec.take(200)}")
         val parts = exec.stripPrefix("[").stripSuffix("]").split(",")
         val execOk = parts(0).trim == "5" && parts(1).trim.toLong == rows.size

@@ -57,7 +57,7 @@ object WsQueries {
     "w01_ws_fetch" -> ((s, dir) => {
       val program =
         s"""// fetch one week of clicks and views
-           |[ 'TOKEN' '~events\\.(click|view)' { } $T0 ${T7 - 1} ] FETCH""".stripMargin
+           |[ 'TOKEN' '~events\\.(click|view)' { } ${T7 - 1} ${T7 - T0} ] FETCH""".stripMargin
       engine(s, dir, cents = false).runToFrame(program)
         .select(col("class"), userid, col("ts"), col("vdouble"))
     }),
@@ -66,7 +66,7 @@ object WsQueries {
     // BUCKETIZE word with a duration literal (1 h) ≡ g02
     "w02_ws_bucketize" -> ((s, dir) => {
       val program =
-        s"""[ [ '' '~events\\..*' { } 0 $LB ] FETCH
+        s"""[ [ '' '~events\\..*' { } $LB ${LB + 1} ] FETCH
            |  bucketizer.sum $LB 1 h 0 ] BUCKETIZE""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
         .select(col("class"), userid, col("ts"), col("vdouble").as("sum_cents"))
@@ -77,7 +77,7 @@ object WsQueries {
     // is computed ON STACK (0 1 h -) to exercise scalar arithmetic
     "w03_ws_map" -> ((s, dir) => {
       val program =
-        s"""[ [ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+        s"""[ [ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
            |  mapper.sum 0 1 h - 0 0 ] MAP""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
         .select(col("class"), userid, col("ts"), col("vdouble").as("wsum"))
@@ -88,7 +88,7 @@ object WsQueries {
     // the symbol table on the series list
     "w04_ws_reduce" -> ((s, dir) => {
       val program =
-        s"""<% [ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH %> 'fetchall' STORE
+        s"""<% [ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH %> 'fetchall' STORE
            |[ @fetchall [ 'user' ] reducer.sum ] REDUCE""".stripMargin
       // @name sugar is not in the subset: expand via $ + EVAL
       val expanded = program.replace("@fetchall", "$fetchall EVAL")
@@ -100,7 +100,7 @@ object WsQueries {
     // FILTER word with a parametric threshold filter ≡ g11
     "w05_ws_filter" -> ((s, dir) => {
       val program =
-        s"""[ [ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+        s"""[ [ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
            |  [ ] 90.0 filter.last.gt ] FILTER""".stripMargin
       engine(s, dir, cents = false).runToFrame(program)
         .select(col("class"), userid, col("ts"), col("vdouble"))
@@ -110,9 +110,9 @@ object WsQueries {
     // APPLY word with op.sub on bucketized operands ≡ g09
     "w06_ws_apply" -> ((s, dir) => {
       val program =
-        s"""[ [ '' 'events.click' { } 0 $LB ] FETCH
+        s"""[ [ '' 'events.click' { } $LB ${LB + 1} ] FETCH
            |    bucketizer.sum $LB 1 d 0 ] BUCKETIZE 'clicks' STORE
-           |[ [ '' 'events.view' { } 0 $LB ] FETCH
+           |[ [ '' 'events.view' { } $LB ${LB + 1} ] FETCH
            |    bucketizer.sum $LB 1 d 0 ] BUCKETIZE 'views' STORE
            |[ [ $$clicks ] [ $$views ] [ 'user' ] op.sub ] APPLY""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
@@ -124,7 +124,7 @@ object WsQueries {
     // identity-rewrite words with gtsid rehash ≡ plain SQL renames
     "w08_ws_rename" -> ((s, dir) => {
       val program =
-        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+        s"""[ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
            |'+.renamed' RENAME
            |{ 'env' 'prod' } RELABEL""".stripMargin
       engine(s, dir, cents = false).runToFrame(program)
@@ -176,7 +176,7 @@ object WsQueries {
     // compiles to StatOps.lowessFit(halfWidth 3)
     "w10_ws_lowess" -> ((s, dir) => {
       val program =
-        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+        s"""[ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
            |7 LOWESS""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
         .select(col("class"), userid, col("ts"),
@@ -188,7 +188,7 @@ object WsQueries {
     // lastbucket on stack, span via the duration word `1 d`
     "w11_ws_fft" -> ((s, dir) => {
       val program =
-        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+        s"""[ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
            |16 1 d $LB FFT""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
         .select(col("class"), userid, col("k"), col("re"), col("im"),
@@ -201,7 +201,7 @@ object WsQueries {
     // derives the 30-bucket count from the data extent (count 0)
     "w12_ws_fillprevious" -> ((s, dir) => {
       val program =
-        s"""[ [ '' '~events\\..*' { } 0 $LB ] FETCH
+        s"""[ [ '' '~events\\..*' { } $LB ${LB + 1} ] FETCH
            |  bucketizer.sum $LB 1 d 0 ] BUCKETIZE
            |FILLPREVIOUS""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
@@ -212,7 +212,7 @@ object WsQueries {
     // SINGLEEXPONENTIALSMOOTHING word ≡ g67 (general-alpha kernel)
     "w13_ws_ses" -> ((s, dir) => {
       val program =
-        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+        s"""[ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
            |0.25 SINGLEEXPONENTIALSMOOTHING""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
         .select(col("class"), col("labels").getItem("user").as("userid"),
@@ -223,7 +223,7 @@ object WsQueries {
     // LR word ≡ g89 (hourly-bucket least squares)
     "w15_ws_lr" -> ((s, dir) => {
       val program =
-        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+        s"""[ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
            |1 h $LB LR""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
         .select(col("class"), col("labels").getItem("user").as("userid"),
@@ -234,7 +234,7 @@ object WsQueries {
     // FDWT word ≡ g91 (3-level Haar over 8 daily buckets)
     "w16_ws_fdwt" -> ((s, dir) => {
       val program =
-        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+        s"""[ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
            |3 1 d $LB FDWT""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
         .select(col("class") +:
@@ -247,7 +247,7 @@ object WsQueries {
     // DISCORDS word ≡ g93 (window-5 rarest SAX words)
     "w17_ws_discords" -> ((s, dir) => {
       val program =
-        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+        s"""[ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
            |5 4 2 DISCORDS""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
         .select(col("word"), col("class"),
@@ -258,7 +258,7 @@ object WsQueries {
     // RANGECOMPACT word ≡ g105 (deadband kernel through the script path)
     "w18_ws_rangecompact" -> ((s, dir) => {
       val program =
-        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+        s"""[ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
            |5000.0 RANGECOMPACT""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
         .select(col("class"), col("labels").getItem("user").as("userid"),
@@ -269,7 +269,7 @@ object WsQueries {
     // structural words through the script path, each ≡ its native g-row
     "w19_ws_dedup" -> ((s, dir) => {
       val program =
-        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+        s"""[ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
            |25.0 QUANTIZE DEDUP""".stripMargin
       engine(s, dir, cents = false).runToFrame(program)
         .select(col("class"), userid, col("ts"), col("vdouble").as("qv"))
@@ -278,7 +278,7 @@ object WsQueries {
 
     "w20_ws_compact" -> ((s, dir) => {
       val program =
-        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+        s"""[ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
            |25.0 QUANTIZE COMPACT""".stripMargin
       engine(s, dir, cents = false).runToFrame(program)
         .select(col("class"), userid, col("ts"), col("vdouble").as("qv"))
@@ -287,7 +287,7 @@ object WsQueries {
 
     "w21_ws_integrate" -> ((s, dir) => {
       val program =
-        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+        s"""[ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
            |INTEGRATE""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
         .select(col("class"), userid, col("ts"), col("vdouble").as("cumsum"))
@@ -296,7 +296,7 @@ object WsQueries {
 
     "w22_ws_timesplit" -> ((s, dir) => {
       val program =
-        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+        s"""[ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
            |1 h TIMESPLIT""".stripMargin
       engine(s, dir, cents = false).runToFrame(program)
         .select(col("class"), userid, col("ts"), col("sessionid"))
@@ -305,7 +305,7 @@ object WsQueries {
 
     "w23_ws_chunk" -> ((s, dir) => {
       val program =
-        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+        s"""[ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
            |$LB 1 d CHUNK""".stripMargin
       engine(s, dir, cents = false).runToFrame(program)
         .select(col("class"), userid, col("ts"), col("chunkid"))
@@ -314,7 +314,7 @@ object WsQueries {
 
     "w24_ws_normalize" -> ((s, dir) => {
       val program =
-        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+        s"""[ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
            |NORMALIZE""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
         .select(col("class"), userid, col("ts"),
@@ -324,7 +324,7 @@ object WsQueries {
 
     "w25_ws_standardize" -> ((s, dir) => {
       val program =
-        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+        s"""[ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
            |STANDARDIZE""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
         .select(col("class"), userid, col("ts"),
@@ -334,7 +334,7 @@ object WsQueries {
 
     "w26_ws_timeshift" -> ((s, dir) => {
       val program =
-        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+        s"""[ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
            |1 d TIMESHIFT ${T0 + DAY} ${T7 + DAY - 1} TIMECLIP""".stripMargin
       engine(s, dir, cents = false).runToFrame(program)
         .select(col("class"), userid, col("ts"), col("vdouble"))
@@ -344,7 +344,7 @@ object WsQueries {
     // PIVOT word ≡ g37 (wide per-user daily table, one column per class)
     "w27_ws_pivot" -> ((s, dir) => {
       val program =
-        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+        s"""[ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
            |[ 'events.click' 'events.view' 'events.error'
            |  'events.purchase' 'events.signup' ]
            |'user' $LB 1 d PIVOT""".stripMargin
@@ -433,7 +433,7 @@ object WsQueries {
     // (script/aggregator/Percentile.Builder) ≡ g107's type-1 daily p90
     "w31_ws_percentile" -> ((s, dir) => {
       val program =
-        s"""[ [ '' '~events\\..*' { } 0 $LB ] FETCH
+        s"""[ [ '' '~events\\..*' { } $LB ${LB + 1} ] FETCH
            |  90.0 bucketizer.percentile $LB 1 d 0 ] BUCKETIZE""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
         .select(col("class"), userid, col("ts"), col("vdouble").as("p90_v"))
@@ -503,7 +503,7 @@ object WsQueries {
     // ticks (MapperGT semantics) — oracle is plain SQL arithmetic
     "w35_ws_param_mappers" -> ((s, dir) => {
       val program =
-        s"""[ [ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+        s"""[ [ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
            |  0.5 mapper.mul 0 0 0 ] MAP 'g' STORE
            |[ $$g 10.0 mapper.add 0 0 0 ] MAP 'g' STORE
            |[ $$g 50.0 mapper.gt 0 0 0 ] MAP""".stripMargin
@@ -516,7 +516,7 @@ object WsQueries {
     // (script/filter/FilterByClass.java, FilterByLabels.java)
     "w36_ws_meta_filters" -> ((s, dir) => {
       val program =
-        s"""[ [ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+        s"""[ [ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
            |  [ ] '~events\\.(click|view)' filter.byclass ] FILTER 'g' STORE
            |[ $$g [ ] { 'user' '~1.*' } filter.bylabels ] FILTER""".stripMargin
       engine(s, dir, cents = false).runToFrame(program)
@@ -528,7 +528,7 @@ object WsQueries {
     // (script/mapper/MapperDayOfWeek.java)
     "w37_ws_weekday_mapper" -> ((s, dir) => {
       val program =
-        s"""[ [ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+        s"""[ [ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
            |  mapper.weekday 0 0 0 ] MAP""".stripMargin
       engine(s, dir, cents = false).runToFrame(program)
         .select(col("class"), userid, col("ts"), col("vdouble").as("wd"))
@@ -580,7 +580,7 @@ object WsQueries {
     // two-phase join, via the single array aggregate
     "w40_ws_mad" -> ((s, dir) => {
       val program =
-        s"""[ [ '' '~events\\..*' { } 0 $LB ] FETCH
+        s"""[ [ '' '~events\\..*' { } $LB ${LB + 1} ] FETCH
            |  bucketizer.mad $LB ${LB + 1} 1 ] BUCKETIZE""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
         .select(col("class"), userid, col("vdouble").as("mad_v"))

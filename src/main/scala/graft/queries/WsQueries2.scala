@@ -76,9 +76,9 @@ object WsQueries2 {
     // every series labeled with user 1's click count at the same tick
     "w77_ws_pivotstrict" -> ((s, dir) => {
       val program =
-        s"""[ [ '' '~events\\..*' { } 0 $LB ] FETCH
+        s"""[ [ '' '~events\\..*' { } $LB ${LB + 1} ] FETCH
            |  bucketizer.count $LB $DAY 0 ] BUCKETIZE 'data' STORE
-           |[ [ '' 'events.click' { 'user' '1' } 0 $LB ] FETCH
+           |[ [ '' 'events.click' { 'user' '1' } $LB ${LB + 1} ] FETCH
            |  bucketizer.count $LB $DAY 0 ] BUCKETIZE 'phase' RENAME 'lab' STORE
            |[ $$data ] [ $$lab ] PIVOTSTRICT""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)

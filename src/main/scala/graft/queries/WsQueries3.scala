@@ -77,7 +77,7 @@ object WsQueries3 {
     // representable doubles (tick < 2^52), closed-form DuckDB twin
     "w88_ws_polyfunc" -> ((s, dir) => {
       val program =
-        s"""[ [ '' '~events\\..*' { } 0 $LB ] FETCH
+        s"""[ [ '' '~events\\..*' { } $LB ${LB + 1} ] FETCH
            |  bucketizer.count $LB $DAY 0 ] BUCKETIZE
            |[ 1.0 2.0 ] POLYFUNC EVAL""".stripMargin
       engine(s, dir, cents = false).runToFrame(program)
@@ -93,7 +93,7 @@ object WsQueries3 {
         """{ 'c' 'session.metric' 'l' { 'src' 'w89' }
           |  't' [ 1000 2000 3000 4000 ] 'v' [ 1.0 2.0 3.0 4.0 ] } MAKEGTS UPDATE
           |'tok' 'session.metric{}' 1500 2500 DELETE DROP
-          |[ '' 'session.metric' { } 0 100000 ] FETCH
+          |[ '' 'session.metric' { } 100000 100001 ] FETCH
           |DUP SIZE 'n' STORE TICKLIST ',' JOIN
           |( 'a' 'b' 'a' ) SIZE
           |{ 'x' 1 'y' 5 } <% DROP 'v' STORE DROP $v 2 > %> MFILTER SIZE
@@ -127,7 +127,7 @@ object WsQueries3 {
         "'deadbeef' HEX-> ] ->PICKLE ->HEX")
       val fixedpoint = hexOf(s"'$canon' HEX-> PICKLE-> ->PICKLE ->HEX")
       val fromPython = hexOf(s"'$pyHex' HEX-> PICKLE-> ->PICKLE ->HEX")
-      val gl = e.run(s"[ '' 'events.click' { } 0 $LB ] FETCH ->PICKLE PICKLE->")
+      val gl = e.run(s"[ '' 'events.click' { } $LB ${LB + 1} ] FETCH ->PICKLE PICKLE->")
         .head.asInstanceOf[Vector[Any]]
       val maps = gl.map(_.asInstanceOf[Map[Any, Any]])
       val nPoints = maps.map(

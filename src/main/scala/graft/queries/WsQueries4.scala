@@ -19,9 +19,9 @@ object WsQueries4 {
 
   /** Daily count buckets of every events.* series (exact longs). */
   private val BUCKETS =
-    s"[ [ '' '~events\\..*' { } 0 $LB ] FETCH bucketizer.count $LB $DAY 0 ] BUCKETIZE"
+    s"[ [ '' '~events\\..*' { } $LB ${LB + 1} ] FETCH bucketizer.count $LB $DAY 0 ] BUCKETIZE"
   private def bucketsOf(cls: String) =
-    s"[ [ '' '$cls' { } 0 $LB ] FETCH bucketizer.count $LB $DAY 0 ] BUCKETIZE"
+    s"[ [ '' '$cls' { } $LB ${LB + 1} ] FETCH bucketizer.count $LB $DAY 0 ] BUCKETIZE"
 
   /** DuckDB twin of the daily bucket grid: end-anchored bucket tick and
     * per-(user, class, bucket) exact counts. */

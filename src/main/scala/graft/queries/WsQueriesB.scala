@@ -41,7 +41,7 @@ object WsQueriesB {
     // the set-semantics pass-through)
     "w42_ws_commonticks" -> ((s, dir) => {
       val program =
-        s"""[ [ '' '~events\\.(click|view)' { 'user' '20' } 0 $LB ] FETCH
+        s"""[ [ '' '~events\\.(click|view)' { 'user' '20' } $LB ${LB + 1} ] FETCH
            |  bucketizer.sum $LB 1 d 0 ] BUCKETIZE
            |SORT COMMONTICKS""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
@@ -166,7 +166,7 @@ object WsQueriesB {
     // frame over coincident ticks)
     "w47_ws_monotonic" -> ((s, dir) => {
       val program =
-        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+        s"""[ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
            |false MONOTONIC""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
         .select(col("class"), userid, col("ts"), col("vdouble").as("mono"))
@@ -176,7 +176,7 @@ object WsQueriesB {
     // VALUEDEDUP word: keep the OLDEST point per duplicate value
     "w48_ws_valuededup" -> ((s, dir) => {
       val program =
-        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+        s"""[ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
            |true VALUEDEDUP""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
         .select(col("class"), userid, col("ts"), col("vdouble").as("cents"))
@@ -186,7 +186,7 @@ object WsQueriesB {
     // SHRINK word: the 5 most recent points per series (negative n)
     "w49_ws_shrink" -> ((s, dir) => {
       val program =
-        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+        s"""[ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
            |-5 SHRINK""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
         .select(col("class"), userid, col("ts"), col("vdouble").as("cents"))
@@ -255,7 +255,7 @@ object WsQueriesB {
       val program =
         s"""'POLYGON ((-100.137 -20.731, -30.421 -58.283, 40.618 -10.207, 25.314 35.941, -60.253 40.123, -100.137 -20.731))'
            |6 GEO.WKT 'p' STORE
-           |[ '' '~.*' { } 0 ${Long.MaxValue} ] FETCH $$p GEO.WITHIN""".stripMargin
+           |[ '' '~.*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH $$p GEO.WITHIN""".stripMargin
       en.runToFrame(program)
         .select(col("class"), userid, col("ts"), col("vdouble"))
     }),
@@ -291,7 +291,7 @@ object WsQueriesB {
     // decomposition, the three components stacked as suffixed classes
     "w54_ws_stl" -> ((s, dir) => {
       val program =
-        s"""[ [ '' '~events\\..*' { } 0 $LB ] FETCH
+        s"""[ [ '' '~events\\..*' { } $LB ${LB + 1} ] FETCH
            |  bucketizer.sum $LB 1 h 720 ] BUCKETIZE
            |[ 0.0 ] FILLVALUE
            |{ 'PERIOD' 24 'TREND.HALF' 12 } STL""".stripMargin
@@ -304,7 +304,7 @@ object WsQueriesB {
     // bit-exact re/im; the driver compare rounds to 1e-9)
     "w55_ws_fftap" -> ((s, dir) => {
       val program =
-        s"""[ '' '~events\\..*' { } 0 $LB ] FETCH
+        s"""[ '' '~events\\..*' { } $LB ${LB + 1} ] FETCH
            |${GtsQueries8.Bins} $DAY $LB FFTAP""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
         .select(col("class"), userid, col("k"), col("amp"), col("phase"))
@@ -318,7 +318,7 @@ object WsQueriesB {
     // a 0.5 rounding boundary sits 5e9 noise-widths away
     "w56_ws_ifft" -> ((s, dir) => {
       val program =
-        s"""[ '' '~events\\..*' { } 0 $LB ] FETCH
+        s"""[ '' '~events\\..*' { } $LB ${LB + 1} ] FETCH
            |${GtsQueries8.Bins} $DAY $LB FFT
            |${GtsQueries8.Bins} IFFT""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
@@ -331,7 +331,7 @@ object WsQueriesB {
     // values per series through the MAP word
     "w57_ws_mapper_highest" -> ((s, dir) => {
       val program =
-        s"""[ [ '' '~events\\..*' { } 0 $LB ] FETCH
+        s"""[ [ '' '~events\\..*' { } $LB ${LB + 1} ] FETCH
            |  3 mapper.highest 0 0 0 ] MAP""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
         .select(col("class"), userid, col("ts"), col("vdouble").as("cents"))
@@ -350,7 +350,7 @@ object WsQueriesB {
       val program =
         s"""'POLYGON ((-100.137 -20.731, -30.421 -58.283, 40.618 -10.207, 25.314 35.941, -60.253 40.123, -100.137 -20.731))'
            |6 GEO.WKT 'p' STORE
-           |[ [ '' '~.*' { } 0 ${Long.MaxValue} ] FETCH
+           |[ [ '' '~.*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
            |  $$p mapper.geo.within 0 0 0 ] MAP""".stripMargin
       en.runToFrame(program)
         .select(col("class"), userid, col("ts"), col("vdouble"))
@@ -405,7 +405,7 @@ object WsQueriesB {
     // histogram — two window counts, no driver state
     "w61_ws_prob" -> ((s, dir) => {
       val program =
-        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH PROB""".stripMargin
+        s"""[ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH PROB""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
         .select(col("class"), userid, col("ts"), col("vdouble").as("p"))
     }),
@@ -414,7 +414,7 @@ object WsQueriesB {
     // TICKINDEX word on unique daily buckets: ticks → 0..n-1
     "w62_ws_tickindex" -> ((s, dir) => {
       val program =
-        s"""[ [ '' '~events\\..*' { } 0 $LB ] FETCH
+        s"""[ [ '' '~events\\..*' { } $LB ${LB + 1} ] FETCH
            |  bucketizer.sum $LB 1 d 0 ] BUCKETIZE TICKINDEX""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
         .select(col("class"), userid, col("ts").as("idx"), col("vdouble"))
@@ -438,7 +438,7 @@ object WsQueriesB {
            |->WKB 6 GEO.WKB
            |->KML 6 GEO.KML
            |->GML 6 GEO.GML 'p' STORE
-           |[ '' '~.*' { } 0 ${Long.MaxValue} ] FETCH $$p GEO.WITHIN""".stripMargin
+           |[ '' '~.*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH $$p GEO.WITHIN""".stripMargin
       en.runToFrame(program)
         .select(col("class"), userid, col("ts"), col("vdouble"))
     }),
@@ -449,7 +449,7 @@ object WsQueriesB {
     // the raw-breakpoint letters are deterministic cross-engine
     "w65_ws_zpatterns" -> ((s, dir) => {
       val program =
-        s"""[ [ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+        s"""[ [ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
            |  7.0 mapper.mod 0 0 0 ] MAP 'g' STORE
            |[ $$g -3.0 mapper.add 0 0 0 ] MAP 'g' STORE
            |[ $$g 0.5 mapper.mul 0 0 0 ] MAP 5 4 2 ZPATTERNS""".stripMargin
@@ -459,7 +459,7 @@ object WsQueriesB {
 
     "w66_ws_zdiscords" -> ((s, dir) => {
       val program =
-        s"""[ [ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+        s"""[ [ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
            |  7.0 mapper.mod 0 0 0 ] MAP 'g' STORE
            |[ $$g -3.0 mapper.add 0 0 0 ] MAP 'g' STORE
            |[ $$g 0.5 mapper.mul 0 0 0 ] MAP 9 4 2 ZDISCORDS""".stripMargin
@@ -473,7 +473,7 @@ object WsQueriesB {
     // z-normalized SAX word is in the pattern list
     "w67_ws_patterndetect" -> ((s, dir) => {
       val program =
-        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+        s"""[ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
            |[ 'bbdbb' 'dbbbb' 'abbdb' ] 5 5 4 PATTERNDETECTION""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
         .select(col("class"), userid, col("ts"), col("vdouble"))
@@ -484,7 +484,7 @@ object WsQueriesB {
     // verbatim formula: 0.54 - 0.46 cos(2 pi n / (N-1)))
     "w68_ws_fftwindow" -> ((s, dir) => {
       val program =
-        s"""[ [ '' '~events\\..*' { } 0 $LB ] FETCH
+        s"""[ [ '' '~events\\..*' { } $LB ${LB + 1} ] FETCH
            |  bucketizer.sum $LB 1 d 0 ] BUCKETIZE
            |'hamming' FFTWINDOW""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
@@ -497,7 +497,7 @@ object WsQueriesB {
     // the oracle recomputes via DuckDB's own date_trunc
     "w72_ws_bucketize_calendar" -> ((s, dir) => {
       val program =
-        s"""[ [ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+        s"""[ [ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
            |  bucketizer.sum 0 '1m' 0 ] BUCKETIZE.CALENDAR""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
         .select(col("class"), userid, col("ts"), col("vdouble").as("msum"))
@@ -534,7 +534,7 @@ object WsQueriesB {
     // mapper.sum's g06 oracle byte-for-byte
     "w70_ws_macromapper" -> ((s, dir) => {
       val program =
-        s"""[ [ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+        s"""[ [ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
            |  <% 7 GET 0.0 SWAP <% + %> FOREACH %> MACROMAPPER
            |  0 1 h - 0 0 ] MAP""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
@@ -547,7 +547,7 @@ object WsQueriesB {
     // the interpolation from the knot literals alone (independent path)
     "w69_ws_interpolator" -> ((s, dir) => {
       val program =
-        s"""[ [ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+        s"""[ [ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
            |  [ 0.0 5.0 50.0 ] [ 0.0 100.0 -40.0 ] INTERPOLATOR.1D.LINEAR
            |  0 0 0 ] MAP""".stripMargin
       engine(s, dir, cents = false).runToFrame(program)
@@ -582,7 +582,7 @@ object WsQueriesB {
     // ESDTEST word ≡ g77 (mean/sd variant; k=3, alpha=0.05)
     "w14_ws_esdtest" -> ((s, dir) => {
       val program =
-        s"""[ '' '~events\\..*' { } 0 ${Long.MaxValue} ] FETCH
+        s"""[ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
            |3 false 0.05 ESDTEST""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
         .select(col("class"), col("labels").getItem("user").as("userid"),

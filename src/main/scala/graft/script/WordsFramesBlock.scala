@@ -26,15 +26,70 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
     // the auth token is accepted and ignored — storage ACLs are the
     // host's concern, not the algebra's)
     case "FETCH" =>
-      val args = st.pop().asInstanceOf[Vector[Any]]
-      val (cls, labels, start, stop) = args match {
-        case Vector(_: String, c: String, l: Map[_, _], a: Long, b: Long) =>
-          (c, l.asInstanceOf[Map[String, String]], a, b)
-        case Vector(c: String, l: Map[_, _], a: Long, b: Long) =>
-          (c, l.asInstanceOf[Map[String, String]], a, b)
-        case other => throw new IllegalArgumentException(s"FETCH args: $other")
+      // reference parameterization (fn/FETCH.java:195-218, 1290-1299,
+      // 1372): list form [ token class labels end timespan ] with LONG
+      // end/timespan → interval [end−timespan+1, end], NEGATIVE
+      // timespan = count of most-recent points; STRING 4th/5th = ISO8601
+      // (start, end). Map form accepts token/class/labels/start/end
+      // (LONG tick or ISO8601)/timespan/count.
+      def isoTick(s: String): Long = {
+        val zdt = java.time.ZonedDateTime.parse(s)
+        zdt.toInstant.getEpochSecond * 1000000L + zdt.getNano / 1000L
       }
-      val hooked = fetchPub(cls, labels, start, stop)
+      def tickOf(v: Any): Long = v match {
+        case l: Long => l
+        case s: String => isoTick(s)
+        case o => throw new IllegalArgumentException(s"FETCH timestamp: $o")
+      }
+      val (cls, labels, start, stop, countOpt) = st.pop() match {
+        case args: Vector[Any @unchecked] =>
+          val (c, l, e4, e5) = args match {
+            case Vector(_: String, c0: String, l0: Map[_, _], a, b) =>
+              (c0, l0.asInstanceOf[Map[String, String]], a, b)
+            case Vector(c0: String, l0: Map[_, _], a, b) =>
+              (c0, l0.asInstanceOf[Map[String, String]], a, b)
+            case other => throw new IllegalArgumentException(s"FETCH args: $other")
+          }
+          (e4, e5) match {
+            case (end: Long, ts: Long) if ts >= 0 =>
+              // [end − timespan + 1, end] (FETCH.java:1372), underflow-clamped
+              val s0 = BigInt(end) - BigInt(ts) + 1
+              (c, l, if (s0 < Long.MinValue) Long.MinValue else s0.toLong, end, None)
+            case (end: Long, ts: Long) => // negative timespan = count
+              (c, l, Long.MinValue, end, Some(-ts))
+            case (s0: String, e0: String) =>
+              (c, l, isoTick(s0), isoTick(e0), None)
+            case other => throw new IllegalArgumentException(
+              "FETCH expects 'start'/'end' Strings or 'end'/'timespan' Longs, got " + other)
+          }
+        case params: Map[Any, Any] @unchecked =>
+          val c = String.valueOf(params.getOrElse("class",
+            throw new IllegalArgumentException("FETCH missing 'class' parameter.")))
+          val l = params.getOrElse("labels", Map.empty[Any, Any])
+            .asInstanceOf[Map[Any, Any]]
+            .map { case (k, v) => k.toString -> String.valueOf(v) }
+          val end = tickOf(params.getOrElse("end", Long.MaxValue))
+          (params.get("start"), params.get("timespan"), params.get("count")) match {
+            case (Some(s0), None, None) => (c, l, tickOf(s0), end, None)
+            case (None, Some(ts: Long), None) if ts >= 0 =>
+              val s0 = BigInt(end) - BigInt(ts) + 1
+              (c, l, if (s0 < Long.MinValue) Long.MinValue else s0.toLong, end, None)
+            case (None, Some(ts: Long), None) => (c, l, Long.MinValue, end, Some(-ts))
+            case (None, None, Some(n: Long)) => (c, l, Long.MinValue, end, Some(n))
+            case (None, None, None) => (c, l, Long.MinValue, end, None)
+            case _ => throw new IllegalArgumentException(
+              "FETCH expects exactly one of 'start'/'timespan'/'count' with 'end'.")
+          }
+        case o => throw new IllegalArgumentException(
+          s"FETCH expects a map or a list as parameter, got $o")
+      }
+      val ranged = fetchPub(cls, labels, start, stop)
+      val hooked = countOpt match {
+        case Some(n) =>
+          require(n <= Int.MaxValue, "FETCH count too large")
+          ranged.lastN(n.toInt)
+        case None => ranged
+      }
       // merge session-store series written by UPDATE (fn/UPDATE.java —
       // the standalone reference reads back through its embedded store)
       val fetched = {

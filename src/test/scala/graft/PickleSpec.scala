@@ -101,7 +101,7 @@ class PickleSpec extends SparkSpec {
     val e = new WarpScriptEngine(
       fetch = (cls, labels, lo, hi) => f.select(cls, labels).timeclip(lo, hi),
       nowTs = 0L, session = Some(spark))
-    val out = e.run("[ '' 't.m' { } 0 100000 ] FETCH ->PICKLE PICKLE->")
+    val out = e.run("[ '' 't.m' { } 100000 100001 ] FETCH ->PICKLE PICKLE->")
       .head.asInstanceOf[Vector[Any]]
     assert(out.size == 2) // two series (u=0, u=1)
     val m = out.map(_.asInstanceOf[Map[Any, Any]])

@@ -77,7 +77,7 @@ class RestFacadeSpec extends SparkSpec {
     val port = facade.start()
     try {
       val (code, body) = post(s"http://127.0.0.1:$port/api/v0/exec",
-        "[ 'm.cpu' { } 0 1000 ] FETCH\n2 2 +")
+        "[ 'm.cpu' { } 1000 1001 ] FETCH\n2 2 +")
       assert(code == 200)
       assert(body.startsWith("[4,[")) // top of stack first: the scalar
       assert(body.contains("\"c\":\"m.cpu\""))

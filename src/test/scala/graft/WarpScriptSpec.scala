@@ -133,7 +133,7 @@ class WarpScriptSpec extends SparkSpec {
     // hourly max per host over the last day, keep series peaking > 50
     val out = e.runToFrame(
       """'sys.cpu' 'sel' STORE
-        |[ [ 'TOKEN' $sel { } 0 NOW ] FETCH
+        |[ [ 'TOKEN' $sel { } NOW NOW 1 + ] FETCH
         |  bucketizer.max NOW 1 h 0 ] BUCKETIZE
         |[ SWAP [ ] 50.0 filter.any.gt ] FILTER
         |""".stripMargin)
@@ -170,14 +170,14 @@ class WarpScriptSpec extends SparkSpec {
     val e = new WarpScriptEngine(
       fetch = (cls, ls, a, b) => frame.select(cls, ls).timeclip(a, b))
     val df = e.runToFrame(
-      "[ [ '' '~m\\..*' { } 0 9000000 ] FETCH [ 'user' ] reducer.sum ] REDUCE")
+      "[ [ '' '~m\\..*' { } 9000000 9000001 ] FETCH [ 'user' ] reducer.sum ] REDUCE")
     val got = df.select(col("user"), col("ts"), col("vdouble")).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == Set(("1", 1000000L, 1.0), ("1", 2000000L, 2.0), ("2", 2000000L, 10.0)))
 
     // accessor words are driver-side scalars
-    assert(e.run("[ '' '~m\\..*' { } 0 9000000 ] FETCH FIRSTTICK") == List(1000000L))
-    assert(e.run("[ '' '~m\\..*' { } 0 9000000 ] FETCH NAME") == List(Vector("m.cpu")))
+    assert(e.run("[ '' '~m\\..*' { } 9000000 9000001 ] FETCH FIRSTTICK") == List(1000000L))
+    assert(e.run("[ '' '~m\\..*' { } 9000000 9000001 ] FETCH NAME") == List(Vector("m.cpu")))
   }
   test("outlier/smoothing words: ESDTEST flags the spike; SES/DES smooth; RESETS rebuilds") {
     import spark.implicits._
@@ -198,18 +198,18 @@ class WarpScriptSpec extends SparkSpec {
     val e = new WarpScriptEngine(
       fetch = (cls, ls, a, b) => frame.select(cls, ls).timeclip(a, b))
     val esd = e.runToFrame(
-      "[ '' '~m\\..*' { } 0 99999999 ] FETCH 3 false 0.05 ESDTEST")
+      "[ '' '~m\\..*' { } 99999999 100000000 ] FETCH 3 false 0.05 ESDTEST")
       .select(col("ts"), col("vdouble")).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
     assert(esd.contains((10000000L, 9000.0)))
     val ses = e.runToFrame(
-      "[ '' '~m\\..*' { } 0 99999999 ] FETCH 0.5 SINGLEEXPONENTIALSMOOTHING")
+      "[ '' '~m\\..*' { } 99999999 100000000 ] FETCH 0.5 SINGLEEXPONENTIALSMOOTHING")
     assert(ses.count() === 10)
     val des = e.runToFrame(
-      "[ '' '~m\\..*' { } 0 99999999 ] FETCH 0.5 0.5 DOUBLEEXPONENTIALSMOOTHING")
+      "[ '' '~m\\..*' { } 99999999 100000000 ] FETCH 0.5 0.5 DOUBLEEXPONENTIALSMOOTHING")
     assert(des.count() === 10)
     val res = e.runToFrame(
-      "[ '' '~m\\..*' { } 0 99999999 ] FETCH RESETS")
+      "[ '' '~m\\..*' { } 99999999 100000000 ] FETCH RESETS")
     // compensated series is monotonically non-decreasing
     val rv = res.orderBy("ts").select("vdouble").collect().map(_.getDouble(0))
     assert(rv.zip(rv.tail).forall { case (a, b) => b >= a })
@@ -232,7 +232,7 @@ class WarpScriptSpec extends SparkSpec {
       ("m.w", "1", 1000L, 1.5), ("m.w", "1", 2000L, 2.5)))
     val e2 = new WarpScriptEngine(fetch = (cls, ls, a, b) => frame)
     val back = e2.runToFrame(
-      "[ '' '~m\\..*' { } 0 9999 ] FETCH WRAP UNWRAP")
+      "[ '' '~m\\..*' { } 9999 10000 ] FETCH WRAP UNWRAP")
     val got = back.select(col("ts"), col("vdouble")).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(got == Set((1000L, 1.5), (2000L, 2.5)))
@@ -293,9 +293,9 @@ class WarpScriptSpec extends SparkSpec {
   test("LABELS and CLONEEMPTY on a single-series frame") {
     val frame = graft.operators.GtsFrame(gtsOf(("m.w", "1", 1000L, 1.5)))
     val e2 = new WarpScriptEngine(fetch = (_, _, _, _) => frame)
-    assert(e2.run("[ '' 'm.w' { } 0 9999 ] FETCH LABELS").head ==
+    assert(e2.run("[ '' 'm.w' { } 9999 10000 ] FETCH LABELS").head ==
       Map("user" -> "1"))
-    assert(e2.run("[ '' 'm.w' { } 0 9999 ] FETCH CLONEEMPTY SIZE").head == 0L)
+    assert(e2.run("[ '' 'm.w' { } 9999 10000 ] FETCH CLONEEMPTY SIZE").head == 0L)
   }
 
   test("RSA encrypt/decrypt round-trips with the nonce stripped") {

@@ -297,54 +297,54 @@ class WarpScriptSpec2 extends SparkSpec {
 
   test("SHRINK keeps earliest (positive) / latest (negative) points") {
     val e = engWith(sampleFrame)
-    assert(e.run("[ '' '~.*' { } 0 100000000 ] FETCH 3 SHRINK SIZE").head == 3L)
-    assert(e.run("[ '' '~.*' { } 0 100000000 ] FETCH 3 SHRINK TICKS").head ==
+    assert(e.run("[ '' '~.*' { } 100000000 100000001 ] FETCH 3 SHRINK SIZE").head == 3L)
+    assert(e.run("[ '' '~.*' { } 100000000 100000001 ] FETCH 3 SHRINK TICKS").head ==
       Vector(0L, 1000000L, 2000000L))
-    assert(e.run("[ '' '~.*' { } 0 100000000 ] FETCH -2 SHRINK TICKS").head ==
+    assert(e.run("[ '' '~.*' { } 100000000 100000001 ] FETCH -2 SHRINK TICKS").head ==
       Vector(8000000L, 9000000L))
   }
 
   test("VALUES, VALUEHISTOGRAM, VALUEDEDUP") {
     val e = engWith(sampleFrame)
-    assert(e.run("[ '' '~.*' { } 0 100000000 ] FETCH VALUES SIZE").head == 10L)
-    assert(e.run("[ '' '~.*' { } 0 100000000 ] FETCH VALUEHISTOGRAM 0.0 GET")
+    assert(e.run("[ '' '~.*' { } 100000000 100000001 ] FETCH VALUES SIZE").head == 10L)
+    assert(e.run("[ '' '~.*' { } 100000000 100000001 ] FETCH VALUEHISTOGRAM 0.0 GET")
       .head == 3L) // values 0,4,8 → three 0.0
-    assert(e.run("[ '' '~.*' { } 0 100000000 ] FETCH true VALUEDEDUP SIZE")
+    assert(e.run("[ '' '~.*' { } 100000000 100000001 ] FETCH true VALUEDEDUP SIZE")
       .head == 4L)
-    assert(e.run("[ '' '~.*' { } 0 100000000 ] FETCH true VALUEDEDUP TICKS")
+    assert(e.run("[ '' '~.*' { } 100000000 100000001 ] FETCH true VALUEDEDUP TICKS")
       .head == Vector(0L, 1000000L, 2000000L, 3000000L))
   }
 
   test("MUSIGMA and NSUMSUMSQ scalars") {
     val e = engWith(sampleFrame)
-    val out = e.run("[ '' '~.*' { } 0 100000000 ] FETCH NSUMSUMSQ")
+    val out = e.run("[ '' '~.*' { } 100000000 100000001 ] FETCH NSUMSUMSQ")
     assert(out == List(29.0, 13.0, 10L)) // sumsq, sum, n (top first)
-    val ms = e.run("[ '' '~.*' { } 0 100000000 ] FETCH false MUSIGMA")
+    val ms = e.run("[ '' '~.*' { } 100000000 100000001 ] FETCH false MUSIGMA")
     assert(ms(1) == 1.3) // mu = 13/10
   }
 
   test("MONOTONIC running clamp") {
     val e = engWith(sampleFrame)
     // ascending clamp: values 0 1 2 3 0→3 1→3 2→3 3 0→3 1→3
-    assert(e.run("[ '' '~.*' { } 0 100000000 ] FETCH false MONOTONIC VALUES")
+    assert(e.run("[ '' '~.*' { } 100000000 100000001 ] FETCH false MONOTONIC VALUES")
       .head == Vector(0.0, 1.0, 2.0, 3.0, 3.0, 3.0, 3.0, 3.0, 3.0, 3.0))
   }
 
   test("CLIP, REMOVETICK, SETVALUE, ATTICK") {
     val e = engWith(sampleFrame)
     assert(e.run(
-      "[ '' '~.*' { } 0 100000000 ] FETCH [ [ 1000000 3000000 ] ] CLIP SIZE")
+      "[ '' '~.*' { } 100000000 100000001 ] FETCH [ [ 1000000 3000000 ] ] CLIP SIZE")
       .head == 3L)
-    assert(e.run("[ '' '~.*' { } 0 100000000 ] FETCH 0 REMOVETICK SIZE")
+    assert(e.run("[ '' '~.*' { } 100000000 100000001 ] FETCH 0 REMOVETICK SIZE")
       .head == 9L)
     assert(e.run(
-      "[ '' '~.*' { } 0 100000000 ] FETCH [ 500 99.0 ] SETVALUE 500 ATTICK 4 GET")
+      "[ '' '~.*' { } 100000000 100000001 ] FETCH [ 500 99.0 ] SETVALUE 500 ATTICK 4 GET")
       .head == 99.0)
   }
 
   test("THRESHOLDTEST and GRUBBSTEST flag shapes") {
     val e = engWith(sampleFrame)
-    assert(e.run("[ '' '~.*' { } 0 100000000 ] FETCH 3.0 THRESHOLDTEST SIZE")
+    assert(e.run("[ '' '~.*' { } 100000000 100000001 ] FETCH 3.0 THRESHOLDTEST SIZE")
       .head == 2L) // values >= 3: ticks 3,7
   }
 
@@ -364,10 +364,10 @@ class WarpScriptSpec2 extends SparkSpec {
       lit(null).cast("string").as("vstring"),
       lit(null).cast("binary").as("vbinary"))
     val e = engWith(graft.operators.GtsFrame(graft.model.Gts.canonicalRehash(df)))
-    assert(e.run("[ '' '~.*' { } 0 100000000 ] FETCH [ 'u' ] PARTITION SIZE")
+    assert(e.run("[ '' '~.*' { } 100000000 100000001 ] FETCH [ 'u' ] PARTITION SIZE")
       .head == 2L)
     assert(e.run(
-      """[ '' '~.*' { } 0 100000000 ] FETCH
+      """[ '' '~.*' { } 100000000 100000001 ] FETCH
         |<% LABELS 'u' GET '0' == %> FILTERBY SIZE""".stripMargin)
       .head == 3L)
   }
@@ -390,7 +390,7 @@ class WarpScriptSpec2 extends SparkSpec {
     val e = engWith(graft.operators.GtsFrame(graft.model.Gts.canonicalRehash(df)))
     // metadata-only macro → ScalarEval single-pass path; 3 user groups
     val m = e.run(
-      """[ '' '~.*' { } 0 100000000 ] FETCH
+      """[ '' '~.*' { } 100000000 100000001 ] FETCH
         |<% LABELS 'u' GET %> GROUPBY""".stripMargin)
       .head.asInstanceOf[Map[Any, Any]]
     assert(m.keySet == Set("0", "1", "2"))
@@ -398,7 +398,7 @@ class WarpScriptSpec2 extends SparkSpec {
     // outer-$var macro → engine fallback path, same grouping
     val m2 = e.run(
       """'u' 'k' STORE
-        |[ '' '~.*' { } 0 100000000 ] FETCH
+        |[ '' '~.*' { } 100000000 100000001 ] FETCH
         |<% LABELS $k GET %> GROUPBY""".stripMargin)
       .head.asInstanceOf[Map[Any, Any]]
     assert(m2.keySet == Set("0", "1", "2"))
@@ -415,7 +415,7 @@ class WarpScriptSpec2 extends SparkSpec {
 
   test("bucket metadata words") {
     val e = engWith(sampleFrame)
-    val prog = "[ [ '' '~.*' { } 0 100000000 ] FETCH bucketizer.sum 9000000 1 s 0 ] BUCKETIZE"
+    val prog = "[ [ '' '~.*' { } 100000000 100000001 ] FETCH bucketizer.sum 9000000 1 s 0 ] BUCKETIZE"
     assert(e.run(s"$prog LASTBUCKET").head == 9000000L)
     assert(e.run(s"$prog BUCKETSPAN").head == 1000000L)
     assert(e.run(s"$prog BUCKETCOUNT").head == 10L)

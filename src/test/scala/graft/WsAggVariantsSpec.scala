@@ -49,7 +49,7 @@ class WsAggVariantsSpec extends SparkSpec {
   private def eng(f: graft.operators.GtsFrame) = new WarpScriptEngine(
     fetch = (_, _, _, _) => f, nowTs = 0L, session = Some(spark))
 
-  private val F = "[ '' '~.*' { } 0 9999999999999999 ] FETCH"
+  private val F = "[ '' '~.*' { } 9999999999999999 10000000000000000 ] FETCH"
 
   private def reduceVals(reducer: String): Map[Long, Option[Double]] =
     eng(twoSeries).runToFrame(s"[ $F [ 'u' ] $reducer ] REDUCE")

@@ -73,21 +73,21 @@ class WsDigestProbSpec extends SparkSpec {
 
   test("PROB: value probability per series") {
     // values 1,2,1,3,1 → P(1)=0.6, P(2)=0.2, P(3)=0.2
-    val out = eng.run("[ '' '~.*' { } 0 100 ] FETCH PROB VALUES").head
+    val out = eng.run("[ '' '~.*' { } 100 101 ] FETCH PROB VALUES").head
     assert(out == Vector(0.6, 0.2, 0.6, 0.2, 0.6))
   }
 
   test("TICKINDEX remaps ticks to 0..n-1") {
-    assert(eng.run("[ '' '~.*' { } 0 100 ] FETCH TICKINDEX TICKS").head ==
+    assert(eng.run("[ '' '~.*' { } 100 101 ] FETCH TICKINDEX TICKS").head ==
       Vector(0L, 1L, 2L, 3L, 4L))
   }
 
   test("UPPERHULL / LOWERHULL monotone chains") {
     // points (0,1),(1,2),(2,1),(5,3),(9,1): upper hull (0,1),(1,2),(5,3),(9,1)
-    assert(eng.run("[ '' '~.*' { } 0 100 ] FETCH UPPERHULL TICKS").head ==
+    assert(eng.run("[ '' '~.*' { } 100 101 ] FETCH UPPERHULL TICKS").head ==
       Vector(0L, 1L, 5L, 9L))
     // (2,1) is collinear with (0,1)-(9,1) → excluded (strict hull)
-    assert(eng.run("[ '' '~.*' { } 0 100 ] FETCH LOWERHULL TICKS").head ==
+    assert(eng.run("[ '' '~.*' { } 100 101 ] FETCH LOWERHULL TICKS").head ==
       Vector(0L, 9L))
   }
 
@@ -108,7 +108,7 @@ class WsDigestProbSpec extends SparkSpec {
     val e = new WarpScriptEngine(fetch = (_, _, _, _) => f, nowTs = 0L,
       session = Some(spark))
     // P('a:x'|'a:') = 2/3; P('a:y'|'a:') = 1/3; P('b:x'|'b:') = 1
-    val out = e.run("[ '' '~.*' { } 0 100 ] FETCH ':' CPROB VALUES").head
+    val out = e.run("[ '' '~.*' { } 100 101 ] FETCH ':' CPROB VALUES").head
       .asInstanceOf[Vector[Any]].map(_.asInstanceOf[Double])
     assert(math.abs(out(0) - 2.0 / 3) < 1e-12)
     assert(math.abs(out(1) - 1.0 / 3) < 1e-12)

@@ -122,13 +122,13 @@ class WsExt5Spec extends SparkSpec {
     assert(l == Vector(2.0, 6.0, 12.0))
     // over a frame: vdouble = p(ts); ticks are 0,1000,...
     val df = e.runToFrame(
-      "[ '' '~.*' { } 0 100000000 ] FETCH [ 0.0 2.0 ] POLYFUNC EVAL")
+      "[ '' '~.*' { } 100000000 100000001 ] FETCH [ 0.0 2.0 ] POLYFUNC EVAL")
     val got = df.select("ts", "vdouble").collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toMap
     assert(got(3000L) == 6000.0)
     // mapper face under MAP
     val m = e.runToFrame(
-      "[ [ '' '~.*' { } 0 100000000 ] FETCH [ 0.0 1.0 ] POLYFUNC 0 0 0 ] MAP")
+      "[ [ '' '~.*' { } 100000000 100000001 ] FETCH [ 0.0 1.0 ] POLYFUNC 0 0 0 ] MAP")
     assert(m.select("ts", "vdouble").collect()
       .forall(r => r.getDouble(1) == r.getLong(0).toDouble))
   }
@@ -157,7 +157,7 @@ class WsExt5Spec extends SparkSpec {
   test("ATTRSKIP suppresses FINDSETS attribute sets") {
     val e = fixtureEngine
     val withAttrs = e.run(
-      """[ '' '~.*' { 'u' '1' } 0 100000000 ] FETCH { 'owner' 'ops' } SETATTRIBUTES DROP
+      """[ '' '~.*' { 'u' '1' } 100000000 100000001 ] FETCH { 'owner' 'ops' } SETATTRIBUTES DROP
         |true ATTRSKIP
         |[ '' '~.*' { } ] FINDSETS""".stripMargin)
     assert(withAttrs(0).asInstanceOf[Map[Any, Any]].isEmpty)
@@ -167,11 +167,11 @@ class WsExt5Spec extends SparkSpec {
 
   test("ACCEL.CACHE persists subsequent FETCHes at the requested level") {
     val e = fixtureEngine
-    val cached = e.runToFrame("ACCEL.CACHE [ '' '~.*' { } 0 100000000 ] FETCH")
+    val cached = e.runToFrame("ACCEL.CACHE [ '' '~.*' { } 100000000 100000001 ] FETCH")
     assert(cached.storageLevel.useMemory)
     cached.unpersist()
     val plain = e.runToFrame(
-      "ACCEL.CACHE ACCEL.NOCACHE [ '' '~.*' { } 0 100000000 ] FETCH")
+      "ACCEL.CACHE ACCEL.NOCACHE [ '' '~.*' { } 100000000 100000001 ] FETCH")
     assert(!plain.storageLevel.useMemory && !plain.storageLevel.useDisk)
     val rep = e.run("ACCEL.PERSIST ACCEL.REPORT").head.asInstanceOf[Map[Any, Any]]
     assert(rep("persist") == true && rep("accelerated") == true)

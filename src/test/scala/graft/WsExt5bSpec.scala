@@ -66,14 +66,14 @@ class WsExt5bSpec extends SparkSpec {
     val prog =
       """{ 'c' 'sensor.temp' 'l' { 'room' 'a' } 't' [ 1000 2000 3000 ]
         |  'v' [ 1.0 2.0 3.0 ] } MAKEGTS UPDATE
-        |[ '' 'sensor.temp' { 'room' 'a' } 0 10000 ] FETCH SIZE""".stripMargin
+        |[ '' 'sensor.temp' { 'room' 'a' } 10000 10001 ] FETCH SIZE""".stripMargin
     assert(e.run(prog).head == 3L)
     // time-ranged FETCH clips session points too
     val clipped =
       """NEWGTS 'sensor.hum' RENAME 'g' STORE
         |$g 1000 NaN NaN NULL 1.0 ADDVALUE
         |2000 NaN NaN NULL 2.0 ADDVALUE UPDATE
-        |[ '' 'sensor.hum' { } 0 1500 ] FETCH SIZE""".stripMargin
+        |[ '' 'sensor.hum' { } 1500 1501 ] FETCH SIZE""".stripMargin
     assert(eng.run(clipped).head == 1L)
     // DELETE removes a tick range and reports the touched series
     val deleted =
@@ -81,7 +81,7 @@ class WsExt5bSpec extends SparkSpec {
         |$g 1000 NaN NaN NULL 1.0 ADDVALUE
         |2000 NaN NaN NULL 2.0 ADDVALUE UPDATE
         |'tok' 'sensor.co2{}' 0 1500 DELETE
-        |[ '' 'sensor.co2' { } 0 100000 ] FETCH SIZE""".stripMargin
+        |[ '' 'sensor.co2' { } 100000 100001 ] FETCH SIZE""".stripMargin
     val out = eng.run(deleted)
     assert(out(0) == 1L) // one point remains
     assert(out(1) == 1L) // one series touched

@@ -29,7 +29,7 @@ class WsFillCounterSpec extends SparkSpec {
 
   private def top(p: String): Any = eng.run(p).head
 
-  private val B = "[ [ '' '~.*' { } 0 100 ] FETCH bucketizer.sum 40 10 4 ] BUCKETIZE"
+  private val B = "[ [ '' '~.*' { } 100 101 ] FETCH bucketizer.sum 40 10 4 ] BUCKETIZE"
 
   test("FILL with filler.previous / filler.value / filler.linear") {
     assert(top(s"$B filler.previous FILL VALUES") == Vector(1.0, 3.0, 3.0, 9.0))

@@ -49,13 +49,13 @@ class WsGeoWordsSpec extends SparkSpec {
     val e = eng
     // distance threshold 10km, time threshold huge: the 35° jump splits
     val out = e.run(
-      s"""[ '' '~.*' { } 0 100000000 ] FETCH
+      s"""[ '' '~.*' { } 100000000 100000001 ] FETCH
          |${Long.MaxValue} 10000.0 'split' MOTIONSPLIT
          |[ 'split' ] PARTITION SIZE""".stripMargin)
     assert(out.head == 2L)
     // huge distance threshold → one split id
     val one = e.run(
-      s"""[ '' '~.*' { } 0 100000000 ] FETCH
+      s"""[ '' '~.*' { } 100000000 100000001 ] FETCH
          |${Long.MaxValue} 1.0e12 'split' MOTIONSPLIT
          |[ 'split' ] PARTITION SIZE""".stripMargin)
     assert(one.head == 1L)
@@ -68,7 +68,7 @@ class WsGeoWordsSpec extends SparkSpec {
       s"""NEWGTS 'copy.t' RENAME
          |0 NaN NaN NULL 7.0 ADDVALUE
          |3000000 NaN NaN NULL 8.0 ADDVALUE
-         |[ '' '~.*' { } 0 100000000 ] FETCH
+         |[ '' '~.*' { } 100000000 100000001 ] FETCH
          |COPYGEO 'g' STORE
          |$$g LOCATIONS""".stripMargin)
     // LOCATIONS pushes lats then lons (lons on top)

@@ -29,7 +29,7 @@ class WsGtsMetaSpec extends SparkSpec {
 
   private def top(p: String): Any = eng.run(p).head
 
-  private val F = "[ '' '~.*' { } 0 100 ] FETCH"
+  private val F = "[ '' '~.*' { } 100 101 ] FETCH"
 
   test("ATBUCKET extracts the point at the Nth bucket") {
     // buckets of span 10 ending at 40, 5 buckets: idx 4 = tick 40

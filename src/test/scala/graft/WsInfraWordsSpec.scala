@@ -28,7 +28,7 @@ class WsInfraWordsSpec extends SparkSpec {
   private def eng = new WarpScriptEngine(
     fetch = (_, _, _, _) => modeFrame, nowTs = 0L, session = Some(spark))
 
-  private val F = "[ '' '~.*' { } 0 9999999999999999 ] FETCH"
+  private val F = "[ '' '~.*' { } 9999999999999999 10000000000000000 ] FETCH"
 
   test("BOOTSTRAP is a NOOP; EVERY runs the macro once") {
     assert(eng.run("1 BOOTSTRAP 2") == List(2L, 1L))

@@ -59,7 +59,7 @@ class WsInterpolatorSpec extends SparkSpec {
     val e = new WarpScriptEngine(fetch = (_, _, _, _) => f, nowTs = 0L,
       session = Some(spark))
     val out = e.run(
-      """[ [ '' '~.*' { } 0 100 ] FETCH
+      """[ [ '' '~.*' { } 100 101 ] FETCH
         |  [ 0.0 1.0 2.0 ] [ 0.0 10.0 0.0 ] INTERPOLATOR.1D.LINEAR
         |  0 0 0 ] MAP VALUES""".stripMargin).head.asInstanceOf[Vector[Any]]
     assert(out(0) == 2.5) // 0.25 -> 2.5

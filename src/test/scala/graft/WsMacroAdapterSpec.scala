@@ -37,7 +37,7 @@ class WsMacroAdapterSpec extends SparkSpec {
     val macroSum =
       """<% 7 GET 0.0 SWAP <% + %> FOREACH %> MACROMAPPER"""
     val out = e.run(
-      s"""[ [ '' '~.*' { } 0 100 ] FETCH $macroSum -2 0 0 ] MAP VALUES""")
+      s"""[ [ '' '~.*' { } 100 101 ] FETCH $macroSum -2 0 0 ] MAP VALUES""")
       .head.asInstanceOf[Vector[Any]]
     // time window [t-2, t]: sums 1 / 1+2 / 1+2+4 / 8
     assert(out == Vector(1.0, 3.0, 7.0, 8.0))
@@ -48,7 +48,7 @@ class WsMacroAdapterSpec extends SparkSpec {
     val e = eng(f)
     // [ tick value ] form: shift tick +10, value = 2x
     val df = e.runToFrame(
-      """[ [ '' '~.*' { } 0 100 ] FETCH
+      """[ [ '' '~.*' { } 100 101 ] FETCH
         |<% LIST-> DROP 'vs' STORE DROP DROP DROP DROP DROP 'ns' STORE 'tick' STORE
         |   [ $tick 10 + $vs 0 GET 2.0 * ] %> MACROMAPPER
         |0 0 0 ] MAP""".stripMargin)
@@ -61,7 +61,7 @@ class WsMacroAdapterSpec extends SparkSpec {
     val f = mkFrame(Seq(("a.b", "1", Seq(1L -> 1.0, 2L -> 5.0, 11L -> 3.0, 12L -> 2.0))))
     val e = eng(f)
     val out = e.run(
-      """[ [ '' '~.*' { } 0 100 ] FETCH
+      """[ [ '' '~.*' { } 100 101 ] FETCH
         |<% 7 GET DUP 0 GET SWAP <% MAX %> FOREACH %> MACROBUCKETIZER
         |20 10 0 ] BUCKETIZE VALUES""".stripMargin)
       .head.asInstanceOf[Vector[Any]]
@@ -74,7 +74,7 @@ class WsMacroAdapterSpec extends SparkSpec {
       ("a.c", "2", Seq(0L -> 3.0, 1L -> 5.0))))
     val e = eng(f)
     val df = e.runToFrame(
-      """[ [ '' '~.*' { } 0 100 ] FETCH [ ]
+      """[ [ '' '~.*' { } 100 101 ] FETCH [ ]
         |<% DUP 7 GET 0.0 SWAP <% + %> FOREACH SWAP 7 GET SIZE TODOUBLE / %>
         |MACROREDUCER ] REDUCE""".stripMargin)
     val rows = df.select("ts", "vdouble").collect()
@@ -88,7 +88,7 @@ class WsMacroAdapterSpec extends SparkSpec {
       ("a.c", "2", Seq(0L -> 2.0))))
     val e = eng(f)
     val df = e.runToFrame(
-      """[ [ '' '~.*' { } 0 100 ] FETCH [ ]
+      """[ [ '' '~.*' { } 100 101 ] FETCH [ ]
         |<% 0 GET NAME 'a.b' == %> MACROFILTER ] FILTER""".stripMargin)
     val classes = df.select("class").collect().map(_.getString(0)).toSet
     assert(classes == Set("a.b"))

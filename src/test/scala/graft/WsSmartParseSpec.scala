@@ -30,7 +30,7 @@ class WsSmartParseSpec extends SparkSpec {
     val e = new WarpScriptEngine(fetch = (_, _, _, _) => f, nowTs = 0L,
       session = Some(spark))
     val df = e.runToFrame(
-      """[ '' '~.*' { } 0 1000 ] FETCH
+      """[ '' '~.*' { } 1000 1001 ] FETCH
         |'lvl=(?<Llvl>\w+) cpu=(?<VLcpu>\d+) mem=(?<VDmem>[0-9.]+) at=(?<Ts>\d+)'
         |SMARTPARSE""".stripMargin)
     val rows = df.select(col("class"), col("labels").getItem("lvl").as("lvl"),
@@ -53,7 +53,7 @@ class WsSmartParseSpec extends SparkSpec {
     val e = new WarpScriptEngine(fetch = (_, _, _, _) => f, nowTs = 0L,
       session = Some(spark))
     val df = e.runToFrame(
-      """[ '' '~.*' { } 0 1000 ] FETCH
+      """[ '' '~.*' { } 1000 1001 ] FETCH
         |'cpu=(?<VLcpu>\d+) at=(?<Tus>\d+)'
         |SMARTPARSE""".stripMargin)
     val rows = df.select("ts", "vlong").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
@@ -65,7 +65,7 @@ class WsSmartParseSpec extends SparkSpec {
     val e = new WarpScriptEngine(fetch = (_, _, _, _) => f, nowTs = 0L,
       session = Some(spark))
     val df = e.runToFrame(
-      """[ '' '~.*' { } 0 1000 ] FETCH
+      """[ '' '~.*' { } 1000 1001 ] FETCH
         |'pos (?<lat>[0-9.-]+),(?<lon>[0-9.-]+) alt (?<elev>\d+) v=(?<VLv>\d+)'
         |SMARTPARSE""".stripMargin)
     val r = df.select("lat", "lon", "elev", "vlong").collect()(0)
@@ -77,8 +77,8 @@ class WsSmartParseSpec extends SparkSpec {
     val f = strFrame(Seq((1L, "x")))
     val e = new WarpScriptEngine(fetch = (_, _, _, _) => f, nowTs = 0L,
       session = Some(spark))
-    assert(e.run("[ '' '~.*' { } 0 10 ] FETCH 'log.line{h=web1}' METAMATCH").head == true)
-    assert(e.run("[ '' '~.*' { } 0 10 ] FETCH 'log.line{h=other}' METAMATCH").head == false)
-    assert(e.run("[ '' '~.*' { } 0 10 ] FETCH '~log\\..*{}' METAMATCH").head == true)
+    assert(e.run("[ '' '~.*' { } 10 11 ] FETCH 'log.line{h=web1}' METAMATCH").head == true)
+    assert(e.run("[ '' '~.*' { } 10 11 ] FETCH 'log.line{h=other}' METAMATCH").head == false)
+    assert(e.run("[ '' '~.*' { } 10 11 ] FETCH '~log\\..*{}' METAMATCH").head == true)
   }
 }

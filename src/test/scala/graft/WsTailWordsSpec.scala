@@ -32,7 +32,7 @@ class WsTailWordsSpec extends SparkSpec {
 
   private def top(p: String): Any = eng.run(p).head
 
-  private val F = "[ '' '~.*' { } 0 9999999999999999 ] FETCH"
+  private val F = "[ '' '~.*' { } 9999999999999999 10000000000000000 ] FETCH"
 
   test("BUCKETIZE.CALENDAR groups by calendar month") {
     val rows = eng.runToFrame(

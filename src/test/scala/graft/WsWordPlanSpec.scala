@@ -30,7 +30,7 @@ class WsWordPlanSpec extends SparkSpec {
   private def eng = new WarpScriptEngine(
     fetch = (_, _, _, _) => mkFrame, nowTs = 0L, session = Some(spark))
 
-  private val F = "[ '' '~.*' { } 0 1000 ] FETCH"
+  private val F = "[ '' '~.*' { } 1000 1001 ] FETCH"
 
   test("SMARTPARSE plans as regexp Columns: no UDF, no join, no cartesian") {
     val df = eng.runToFrame(s"$F 'cpu=(?<VLcpu>\\d+)' SMARTPARSE")

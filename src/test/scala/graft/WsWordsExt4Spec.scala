@@ -118,8 +118,8 @@ class WsWordsExt4Spec extends SparkSpec {
   }
 
   test("META and METADIFF validate and consume") {
-    assert(eng.run("[ '' '~.*' { } 0 100 ] FETCH 'tok' META").isEmpty)
-    assert(eng.run("[ '' '~.*' { } 0 100 ] FETCH 'tok' METADIFF").isEmpty)
+    assert(eng.run("[ '' '~.*' { } 100 101 ] FETCH 'tok' META").isEmpty)
+    assert(eng.run("[ '' '~.*' { } 100 101 ] FETCH 'tok' METADIFF").isEmpty)
   }
 
   test("KVSTORE / KVLOAD round-trip over the session store") {
