@@ -61,6 +61,15 @@ final case class GtsFrame(df: DataFrame) {
       .filter(col("__rn") <= count).drop("__rn"))
   }
 
+  /** FETCH boundary.post semantics: the EARLIEST `count` points per
+    * series (fn/FETCH.java boundary params — points just past the
+    * requested interval). */
+  def firstN(count: Int): GtsFrame = {
+    val w = Window.partitionBy(col("gtsid")).orderBy(col("ts").asc, col("vtype"))
+    GtsFrame(df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= count).drop("__rn"))
+  }
+
   // ---------------------------------------------------------------------
   // BUCKETIZE (GTSHelper.java:2261-2358; fn/BUCKETIZE.java)
   // ---------------------------------------------------------------------

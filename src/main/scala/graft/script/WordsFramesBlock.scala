@@ -41,7 +41,20 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
         case s: String => isoTick(s)
         case o => throw new IllegalArgumentException(s"FETCH timestamp: $o")
       }
-      val (cls, labels, start, stop, countOpt) = st.pop() match {
+      val popped = st.pop()
+      // boundary.pre/post (map form only, fn/FETCH.java:125-127): n
+      // points per series just OUTSIDE the requested interval;
+      // 'boundary' sets both
+      val (bPre, bPost) = popped match {
+        case params: Map[Any, Any] @unchecked =>
+          val both = params.get("boundary").collect { case n: Long => n }
+          (both.orElse(params.get("boundary.pre").collect { case n: Long => n })
+             .getOrElse(0L).toInt,
+           both.orElse(params.get("boundary.post").collect { case n: Long => n })
+             .getOrElse(0L).toInt)
+        case _ => (0, 0)
+      }
+      val (cls, labels, start, stop, countOpt) = popped match {
         case args: Vector[Any @unchecked] =>
           val (c, l, e4, e5) = args match {
             case Vector(_: String, c0: String, l0: Map[_, _], a, b) =>
@@ -84,11 +97,21 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
           s"FETCH expects a map or a list as parameter, got $o")
       }
       val ranged = fetchPub(cls, labels, start, stop)
-      val hooked = countOpt match {
+      val counted = countOpt match {
         case Some(n) =>
           require(n <= Int.MaxValue, "FETCH count too large")
           ranged.lastN(n.toInt)
         case None => ranged
+      }
+      val hooked = {
+        var acc = counted
+        if (bPre > 0 && start > Long.MinValue)
+          acc = GtsFrame(acc.df.unionByName(
+            fetchPub(cls, labels, Long.MinValue, start - 1).lastN(bPre).df))
+        if (bPost > 0 && stop < Long.MaxValue)
+          acc = GtsFrame(acc.df.unionByName(
+            fetchPub(cls, labels, stop + 1, Long.MaxValue).firstN(bPost).df))
+        acc
       }
       // merge session-store series written by UPDATE (fn/UPDATE.java —
       // the standalone reference reads back through its embedded store)

@@ -55,6 +55,15 @@ class WsFetchFormsSpec extends SparkSpec {
     assert(ticksOf(p) == Set(3000000L, 4000000L, 5000000L, 6000000L))
   }
 
+  test("map form boundary.pre/post adds points just outside the interval") {
+    assert(ticksOf(
+      "{ 'class' 'm.s' 'labels' { } 'start' 4000000 'end' 6000000 'boundary.pre' 2 } FETCH") ==
+      Set(2000000L, 3000000L, 4000000L, 5000000L, 6000000L))
+    assert(ticksOf(
+      "{ 'class' 'm.s' 'labels' { } 'start' 4000000 'end' 6000000 'boundary' 1 } FETCH") ==
+      Set(3000000L, 4000000L, 5000000L, 6000000L, 7000000L))
+  }
+
   test("map form: start/end, timespan, count") {
     assert(ticksOf("{ 'class' 'm.s' 'labels' { } 'start' 2000000 'end' 4000000 } FETCH") ==
       Set(2000000L, 3000000L, 4000000L))
