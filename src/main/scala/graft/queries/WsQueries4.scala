@@ -85,6 +85,17 @@ object WsQueries4 {
           col("vdouble").as("smoothed"))
     }),
 
+    // FETCH map form with boundary.pre/post (fn/FETCH.java:125-127):
+    // one day of clicks plus 2 points per series before and 1 after
+    "w103_ws_fetch_boundary" -> ((s, dir) => {
+      engine(s, dir, cents = false).runToFrame(
+        s"""{ 'class' 'events.click' 'labels' { }
+           |  'start' ${LB - 5 * DAY + 1} 'end' ${LB - 4 * DAY}
+           |  'boundary.pre' 2 'boundary.post' 1 } FETCH""".stripMargin)
+        .select(col("labels").getItem("user").as("u"), col("ts"),
+          col("vdouble").as("v"))
+    }),
+
     // MAP ticks override (list form, occurrences = LIST of output
     // ticks — MAP.java:96, GTSHelper.java:6389): a 2-day look-back sum
     // evaluated at three explicit ticks per click series
@@ -246,6 +257,24 @@ object WsQueries4 {
          |FROM counts WHERE event_type = 'click'
          |WINDOW w AS (PARTITION BY u ORDER BY bts)""".stripMargin
     },
+
+    "w103_ws_fetch_boundary" ->
+      s"""WITH g AS (
+         |  SELECT CAST(user_id AS VARCHAR) AS u, epoch_us(ts) AS tick, value AS v
+         |  FROM events WHERE event_type = 'click'),
+         |inr AS (SELECT u, tick, v FROM g
+         |        WHERE tick >= ${LB - 5 * DAY + 1} AND tick <= ${LB - 4 * DAY}),
+         |pre AS (SELECT u, tick, v FROM (
+         |          SELECT u, tick, v,
+         |            row_number() OVER (PARTITION BY u ORDER BY tick DESC) AS rn
+         |          FROM g WHERE tick < ${LB - 5 * DAY + 1}) WHERE rn <= 2),
+         |post AS (SELECT u, tick, v FROM (
+         |          SELECT u, tick, v,
+         |            row_number() OVER (PARTITION BY u ORDER BY tick ASC) AS rn
+         |          FROM g WHERE tick > ${LB - 4 * DAY}) WHERE rn <= 1)
+         |SELECT u, tick AS ts, v FROM inr
+         |UNION ALL SELECT u, tick AS ts, v FROM pre
+         |UNION ALL SELECT u, tick AS ts, v FROM post""".stripMargin,
 
     "w101_ws_map_ticks" ->
       s"""WITH $BUCKET_SQL,
