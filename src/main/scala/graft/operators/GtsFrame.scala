@@ -254,24 +254,33 @@ final case class GtsFrame(df: DataFrame) {
     */
   def reduce(agg: ValueAgg, byLabels: Seq[String],
              forbidNulls: Boolean = false,
-             includeNullsCount: Boolean = false): DataFrame = {
-    val keys = byLabels.map(l => col("labels").getItem(l).as(l))
+             includeNullsCount: Boolean = false,
+             byAllLabels: Boolean = false): DataFrame = {
+    // NULL bylabels in the reference (GTSHelper.partition: eqcls =
+    // ALL the series' labels) — partition identity is the full label
+    // set, keyed here by its canonical sorted rendering
+    val keyNames = if (byAllLabels) Seq("__lkey") else byLabels
+    val keys =
+      if (byAllLabels) Seq(GtsFrame.labelsKeyCol.as("__lkey"))
+      else byLabels.map(l => col("labels").getItem(l).as(l))
     val nSeries = df.select(col("gtsid") +: keys: _*).distinct()
-      .groupBy(byLabels.map(col): _*).agg(count(lit(1)).as("__nseries"))
+      .groupBy(keyNames.map(col): _*).agg(count(lit(1)).as("__nseries"))
+    val extra =
+      if (byAllLabels) Seq(first(col("labels")).as("labels")) else Seq.empty
     val grouped = df
       .select(col("gtsid") +: col("ts") +: col("vdouble") +: col("lat") +:
-        col("lon") +: col("elev") +: keys: _*)
-      .groupBy(byLabels.map(col) :+ col("ts"): _*)
+        col("lon") +: col("elev") +: col("labels").as("labels") +: keys: _*)
+      .groupBy(keyNames.map(col) :+ col("ts"): _*)
       .agg(
         agg.column(col("vdouble"), col("ts")).as("vdouble"),
-        count(col("gtsid")).as("__nmembers"))
+        (count(col("gtsid")).as("__nmembers") +: extra): _*)
     // nSeries is one row per label partition — always broadcastable.
     // NULL/empty bylabels (one global partition, REDUCE.java:85) makes
     // it a single row: a cross join, not a keyed join.
     val out0 =
       if (forbidNulls || includeNullsCount) {
-        if (byLabels.isEmpty) grouped.crossJoin(broadcast(nSeries))
-        else grouped.join(broadcast(nSeries), byLabels, "inner")
+        if (keyNames.isEmpty) grouped.crossJoin(broadcast(nSeries))
+        else grouped.join(broadcast(nSeries), keyNames, "inner")
       } else grouped
     // forbid-nulls (aggregator null variants): the reference emits a
     // null value when any aligned member is absent — a null-valued
@@ -285,7 +294,7 @@ final case class GtsFrame(df: DataFrame) {
       if (includeNullsCount)
         out1.withColumn("vdouble", col("__nseries"))
       else out1
-    out2.drop("__nmembers", "__nseries")
+    out2.drop("__nmembers", "__nseries", "__lkey")
   }
 
   // ---------------------------------------------------------------------
@@ -300,8 +309,9 @@ final case class GtsFrame(df: DataFrame) {
     * automatically when the single side is small.
     */
   def applyOp(other: GtsFrame, op: (Column, Column) => Column,
-              byLabels: Seq[String], joinType: String = "full_outer"): DataFrame =
-    applyOps(other, Seq("vdouble" -> op), byLabels, joinType)
+              byLabels: Seq[String], joinType: String = "full_outer",
+              byAllLabels: Boolean = false): DataFrame =
+    applyOps(other, Seq("vdouble" -> op), byLabels, joinType, byAllLabels)
 
   /** N-ary APPLY (GTSHelper.applyNAryFunction:7610; op/OpAdd.java
     * sums across the whole aligned value array): chain of full-outer
@@ -312,14 +322,25 @@ final case class GtsFrame(df: DataFrame) {
     * any operand is absent. Join keys coalesce through the chain
     * (USING-join), so the alignment stays one shuffle per operand. */
   def applyOpN(others: Seq[GtsFrame], op: (Column, Column) => Column,
-               byLabels: Seq[String]): DataFrame = {
+               sideAgg: Column => Column, byLabels: Seq[String],
+               byAllLabels: Boolean = false): DataFrame = {
+    val keyNames = if (byAllLabels) Seq("labelskey") else byLabels
+    def keys =
+      if (byAllLabels) Seq(GtsFrame.labelsKeyCol.as("labelskey"))
+      else byLabels.map(l => col("labels").getItem(l).as(l))
+    // a partition may hold SEVERAL series from one operand position —
+    // the reference's value array has one slot per member, and its
+    // N-ary ops are commutative folds over ALL slots (OpAdd.java), so
+    // an intra-side aggregate followed by the cross-side fold is the
+    // same evaluation. A non-aggregated join would multiply rows.
     def side(d: DataFrame, v: String) =
-      d.select(byLabels.map(l => col("labels").getItem(l).as(l)) :+
-        col("ts") :+ col("vdouble").as(v): _*)
+      d.select(keys :+ col("ts") :+ col("vdouble"): _*)
+        .groupBy(keyNames.map(col) :+ col("ts"): _*)
+        .agg(sideAgg(col("vdouble")).as(v))
     val sides = (this +: others).zipWithIndex.map { case (f, i) =>
       side(f.df, s"__v$i")
     }
-    val joined = sides.reduce((l, r) => l.join(r, byLabels :+ "ts", "full_outer"))
+    val joined = sides.reduce((l, r) => l.join(r, keyNames :+ "ts", "full_outer"))
     val folded = (1 until sides.size).foldLeft(col("__v0"): Column)(
       (acc, i) => op(acc, col(s"__v$i")))
     joined.withColumn("vdouble", folded)
@@ -333,13 +354,16 @@ final case class GtsFrame(df: DataFrame) {
     * substitute the op's identity — both are just Column functions here.
     */
   def applyOps(other: GtsFrame, ops: Seq[(String, (Column, Column) => Column)],
-               byLabels: Seq[String], joinType: String = "full_outer"): DataFrame = {
+               byLabels: Seq[String], joinType: String = "full_outer",
+               byAllLabels: Boolean = false): DataFrame = {
+    val keyNames = if (byAllLabels) Seq("labelskey") else byLabels
     def side(d: DataFrame, v: String) =
-      d.select(byLabels.map(l => col("labels").getItem(l).as(l)) :+
+      d.select((if (byAllLabels) Seq(GtsFrame.labelsKeyCol.as("labelskey"))
+        else byLabels.map(l => col("labels").getItem(l).as(l))) :+
         col("ts") :+ col("vdouble").as(v): _*)
     val l = side(df, "__vl")
     val r = side(other.df, "__vr")
-    val joined = l.join(r, byLabels :+ "ts", joinType)
+    val joined = l.join(r, keyNames :+ "ts", joinType)
     ops.foldLeft(joined) { case (d, (name, op)) =>
       d.withColumn(name, op(col("__vl"), col("__vr")))
     }.drop("__vl", "__vr")
@@ -832,6 +856,14 @@ object GtsFrame {
   // aggregate) and post-process the array with codegen'd higher-order
   // functions; sort_array makes the traversal order tick-ascending
   // under any partitioning (groupBy collect order is not deterministic).
+
+  /** Canonical sorted-labels rendering — the partition identity when
+    * bylabels is NULL (GTSHelper.partition: the equivalence class is
+    * the series' FULL label set). Control chars keep the key unambiguous
+    * for any printable label content. */
+  private[graft] def labelsKeyCol: Column =
+    concat_ws("", transform(array_sort(map_entries(col("labels"))),
+      e => concat_ws("", e.getField("key"), e.getField("value"))))
 
   /** Rhumb-line distance in meters between two (lat,lon) columns — the
     * Column twin of WordsExt4.loxodromic (R = 6378137 sphere, same as

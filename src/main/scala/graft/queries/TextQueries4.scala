@@ -337,8 +337,9 @@ object TextQueries4 {
         |         SELECT label, pos, sum(x) AS sx FROM v GROUP BY 1, 2)
         |       GROUP BY 1)
         |SELECT sq.label, sq.n, ce.centroid_sq, sq.sum_sq,
-        |  (ce.centroid_sq - sq.sum_sq) / CAST(sq.n * (sq.n - 1) AS DOUBLE)
-        |    AS mean_pair_dot
+        |  CASE WHEN sq.n > 1 THEN
+        |    (ce.centroid_sq - sq.sum_sq) / CAST(sq.n * (sq.n - 1) AS DOUBLE)
+        |  END AS mean_pair_dot
         |FROM sq JOIN ce USING (label)""".stripMargin
   )
 }

@@ -47,11 +47,13 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       // 'boundary' sets both
       val (bPre, bPost) = popped match {
         case params: Map[Any, Any] @unchecked =>
+          // the generic key seeds both sides, the SPECIFIC keys then
+          // override (FETCH.java:1461-1487 processing order)
           val both = params.get("boundary").collect { case n: Long => n }
-          (both.orElse(params.get("boundary.pre").collect { case n: Long => n })
-             .getOrElse(0L).toInt,
-           both.orElse(params.get("boundary.post").collect { case n: Long => n })
-             .getOrElse(0L).toInt)
+          (params.get("boundary.pre").collect { case n: Long => n }
+             .orElse(both).getOrElse(0L).toInt,
+           params.get("boundary.post").collect { case n: Long => n }
+             .orElse(both).getOrElse(0L).toInt)
         case _ => (0, 0)
       }
       val (cls, labels, start, stop, countOpt) = popped match {
@@ -69,7 +71,9 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
               val s0 = BigInt(end) - BigInt(ts) + 1
               (c, l, if (s0 < Long.MinValue) Long.MinValue else s0.toLong, end, None)
             case (end: Long, ts: Long) => // negative timespan = count
-              (c, l, Long.MinValue, end, Some(-ts))
+              // MIN_VALUE negates to itself — clamp like FETCH.java:1298
+              (c, l, Long.MinValue, end,
+                Some(if (ts == Long.MinValue) Long.MaxValue else -ts))
             case (s0: String, e0: String) =>
               (c, l, isoTick(s0), isoTick(e0), None)
             case other => throw new IllegalArgumentException(
@@ -87,8 +91,12 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
             case (None, Some(ts: Long), None) if ts >= 0 =>
               val s0 = BigInt(end) - BigInt(ts) + 1
               (c, l, if (s0 < Long.MinValue) Long.MinValue else s0.toLong, end, None)
-            case (None, Some(ts: Long), None) => (c, l, Long.MinValue, end, Some(-ts))
-            case (None, None, Some(n: Long)) => (c, l, Long.MinValue, end, Some(n))
+            case (None, Some(ts: Long), None) =>
+              (c, l, Long.MinValue, end,
+                Some(if (ts == Long.MinValue) Long.MaxValue else -ts))
+            case (None, None, Some(n: Long)) =>
+              require(n >= 0, s"FETCH 'count' must be >= 0, got $n")
+              (c, l, Long.MinValue, end, Some(n))
             case (None, None, None) => (c, l, Long.MinValue, end, None)
             case _ => throw new IllegalArgumentException(
               "FETCH expects exactly one of 'start'/'timespan'/'count' with 'end'.")
@@ -97,25 +105,11 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
           s"FETCH expects a map or a list as parameter, got $o")
       }
       val ranged = fetchPub(cls, labels, start, stop)
-      val counted = countOpt match {
-        case Some(n) =>
-          require(n <= Int.MaxValue, "FETCH count too large")
-          ranged.lastN(n.toInt)
-        case None => ranged
-      }
-      val hooked = {
-        var acc = counted
-        if (bPre > 0 && start > Long.MinValue)
-          acc = GtsFrame(acc.df.unionByName(
-            fetchPub(cls, labels, Long.MinValue, start - 1).lastN(bPre).df))
-        if (bPost > 0 && stop < Long.MaxValue)
-          acc = GtsFrame(acc.df.unionByName(
-            fetchPub(cls, labels, stop + 1, Long.MaxValue).firstN(bPost).df))
-        acc
-      }
       // merge session-store series written by UPDATE (fn/UPDATE.java —
       // the standalone reference reads back through its embedded store)
-      val fetched = {
+      // BEFORE count trimming, so `count` sees the whole store like the
+      // reference's unified StoreClient does
+      val merged = {
         val (ce, cr) =
           if (cls.startsWith("~")) (None, Some(cls.drop(1)))
           else if (cls.isEmpty) (None, Some(".*"))
@@ -128,9 +122,26 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
           .filter(b => WordsExt5.matchesBuilder(sel, b))
           .map(b => b.copy(points = b.points.filter(p => p._1 >= start && p._1 <= stop)))
           .filter(_.points.nonEmpty)
-        if (mine.isEmpty) hooked
+        if (mine.isEmpty) ranged
         else GtsFrame(mine.map(b => materialize(b).df)
-          .foldLeft(hooked.df)(_ unionByName _))
+          .foldLeft(ranged.df)(_ unionByName _))
+      }
+      val counted = countOpt match {
+        case Some(n) =>
+          merged.lastN(math.min(n, Int.MaxValue.toLong).toInt)
+        case None => merged
+      }
+      // boundary points come from storage complements (session-store
+      // points outside the interval are not boundary candidates)
+      val fetched = {
+        var acc = counted
+        if (bPre > 0 && start > Long.MinValue)
+          acc = GtsFrame(acc.df.unionByName(
+            fetchPub(cls, labels, Long.MinValue, start - 1).lastN(bPre).df))
+        if (bPost > 0 && stop < Long.MaxValue)
+          acc = GtsFrame(acc.df.unionByName(
+            fetchPub(cls, labels, stop + 1, Long.MaxValue).firstN(bPost).df))
+        acc
       }
       // ACCEL.* directives -> Spark storage level for the fetched frame
       // (fn/ACCELCACHE.java family; see WordsExt5)
@@ -180,7 +191,11 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
         require(step >= 1, "MAP expects a step parameter which is strictly positive.")
         (mapper, occObj) match {
           case (av: AggVal, ticks: Vector[Any @unchecked]) =>
-            // explicit output-tick list (GTSHelper.java:6389-6432)
+            // explicit output-tick list (GTSHelper.java:6389-6432);
+            // only the look-back half is implemented — refuse a post
+            // window instead of silently dropping it
+            require(post == 0,
+              "MAP ticks override supports pre windows only (post must be 0)")
             st.push(GtsFrame(fr.mapWindowAtTicks(av.agg, pre,
               ticks.map(asLong), dedup = true)))
           case (_, _: Vector[_]) => throw new IllegalArgumentException(
@@ -238,12 +253,14 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       }
 
     // REDUCE (fn/REDUCE.java): [ gts... [labels] reducer ] — NULL
-    // labels = one global equivalence class (REDUCE.java:85)
+    // labels partitions by the series' FULL label sets
+    // (GTSHelper.partition: eqcls.putAll(labels)); the EMPTY list is
+    // the one-global-class form
     case "REDUCE" =>
       val args = st.pop().asInstanceOf[Vector[Any]]
-      val labels = args(args.length - 2) match {
-        case null => Vector.empty[String]
-        case v: Vector[Any @unchecked] => v.map(_.toString)
+      val (labels, byAll) = args(args.length - 2) match {
+        case null => (Vector.empty[String], true)
+        case v: Vector[Any @unchecked] => (v.map(_.toString), false)
         case o => throw new IllegalArgumentException(
           s"REDUCE expects a list of label names or null, got $o")
       }
@@ -252,7 +269,8 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
           // REDUCE emits the flattened shape (labels..., ts, vdouble);
           // null-variant flags come from the reducer name (ReducerName)
           st.push(GtsFrame(framesOf(args.take(args.length - 2))
-            .reduce(av.agg, labels.toSeq, av.forbidNulls, av.includeNulls)))
+            .reduce(av.agg, labels.toSeq, av.forbidNulls, av.includeNulls,
+              byAllLabels = byAll)))
         case MacroAgg(_, tokens) =>
           st.push(GtsFrame(MacroKernel.macroReduce(
             framesOf(args.take(args.length - 2)).df, tokens, labels.toSeq)))
@@ -280,17 +298,23 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
         case o: OpVal => o
         case o => throw new IllegalArgumentException(s"not an op: $o")
       }
-      val labels = args(args.length - 2) match {
-        case null => Seq.empty[String] // one global partition
-        case v: Vector[Any @unchecked] => v.map(_.toString).toSeq
+      val (labels, byAll) = args(args.length - 2) match {
+        case null => (Seq.empty[String], true) // partition by FULL label sets
+        case v: Vector[Any @unchecked] => (v.map(_.toString).toSeq, false)
         case o => throw new IllegalArgumentException(
           s"APPLY expects a list of label names or null, got $o")
       }
       val operands = args.take(args.length - 2).map(toFrame)
       require(operands.length >= 2, "APPLY needs at least two GTS operands")
-      val nAryOps = Set("op.add", "op.mul", "op.and", "op.or",
-        "op.add.ignore-nulls", "op.mul.ignore-nulls",
-        "op.and.ignore-nulls", "op.or.ignore-nulls")
+      // intra-side aggregate per N-ary op (the reference's value array
+      // has a slot per member; its N-ary ops are commutative folds)
+      val nArySideAgg: Map[String, Column => Column] = Map(
+        "op.add" -> (c => sum(c)), "op.add.ignore-nulls" -> (c => sum(c)),
+        "op.mul" -> (c => product(c)), "op.mul.ignore-nulls" -> (c => product(c)),
+        "op.and" -> (c => min(when(c =!= 0.0, 1.0).otherwise(0.0))),
+        "op.and.ignore-nulls" -> (c => min(when(c =!= 0.0, 1.0).otherwise(0.0))),
+        "op.or" -> (c => max(when(c =!= 0.0, 1.0).otherwise(0.0))),
+        "op.or.ignore-nulls" -> (c => max(when(c =!= 0.0, 1.0).otherwise(0.0))))
       val out = opv.name match {
         case "op.mask" =>
           require(operands.length == 2, "op.mask takes exactly two operands")
@@ -298,10 +322,14 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
         case "op.negmask" =>
           require(operands.length == 2, "op.negmask takes exactly two operands")
           operands(0).mask(operands(1), labels, negate = true)
+        // N-ary-capable ops ALWAYS take the fold path — the reference
+        // evaluates them over every aligned member even with two
+        // operand sets (applyNAryFunction feeds OpAdd all slots)
+        case n if nArySideAgg.contains(n) =>
+          operands.head.applyOpN(operands.tail, opv.f, nArySideAgg(n),
+            labels, byAllLabels = byAll)
         case _ if operands.length == 2 =>
-          operands(0).applyOp(operands(1), opv.f, labels)
-        case n if nAryOps(n) =>
-          operands.head.applyOpN(operands.tail, opv.f, labels)
+          operands(0).applyOp(operands(1), opv.f, labels, byAllLabels = byAll)
         // the reference's binary-only ops emit null for every tick when
         // given more operands (op/OpSub.java:40 commented-out throw) —
         // an explicit error is the recognizable version of that

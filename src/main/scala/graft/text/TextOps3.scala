@@ -185,7 +185,10 @@ object TextOps3 {
     * alphabetic runs; feature id = portable-md5₆₀(token) mod dim.
     * Returns (doc_id, source, n_toks, score, keep = score > 0). */
   def linearQualityScore(docs: DataFrame, dim: Int = 256): DataFrame = {
-    val toks = filter(split(lower(col("text")), "[^a-z]+"), t => length(t) > 0)
+    // coalesce: a NULL text must score 0/keep=false like the oracle's
+    // left-join path, not propagate null through size()/aggregate()
+    val toks = filter(split(lower(coalesce(col("text"), lit(""))), "[^a-z]+"),
+      t => length(t) > 0)
     def weight(t: Column): Column =
       (pmod(pmod(TextOps.hexHash60(t), lit(dim.toLong)) * 31 + 7, lit(97L)) - 48)
         .cast(DoubleType) / 512.0
@@ -212,7 +215,9 @@ object TextOps3 {
       .groupBy(col("label")).agg(sum(col("sx") * col("sx")).as("centroid_sq"))
     sumsq.join(centroid, "label")
       .select(col("label"), col("n"), col("centroid_sq"), col("sum_sq"),
-        ((col("centroid_sq") - col("sum_sq")) /
+        // n == 1 has no pairs — explicit null (Spark would divide to
+        // null, DuckDB to ±inf; pin the same answer on both sides)
+        when(col("n") > 1, (col("centroid_sq") - col("sum_sq")) /
           (col("n") * (col("n") - 1)).cast(DoubleType)).as("mean_pair_dot"))
   }
 }

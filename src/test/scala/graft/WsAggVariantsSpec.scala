@@ -83,15 +83,40 @@ class WsAggVariantsSpec extends SparkSpec {
       Map(1L -> Some(1.0), 2L -> Some(3.0), 3L -> Some(2.0), 4L -> Some(2.0)))
   }
 
-  test("NULL bylabels aligns ALL series in one partition (REDUCE and APPLY)") {
+  test("NULL bylabels partitions by the FULL label set; [] is the global class") {
     val e = eng(twoSeries)
+    // GTSHelper.partition(null): eqcls = all labels — h=a and h=b stay
+    // separate classes, so NULL-sum reproduces each series unchanged
     val red = e.runToFrame("[ " + F + " NULL reducer.sum ] REDUCE")
+      .select(col("labels").getItem("h").as("h"), col("ts"), col("vdouble"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(red == Map(("a", 1L) -> 1.0, ("a", 2L) -> 0.0, ("a", 3L) -> 1.0,
+      ("b", 2L) -> 3.0, ("b", 3L) -> 1.0, ("b", 4L) -> 2.0))
+    // the EMPTY list is the one-global-class form
+    val glob = e.runToFrame("[ " + F + " [ ] reducer.sum ] REDUCE")
       .select(col("ts"), col("vdouble")).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(red == Map(1L -> 1.0, 2L -> 3.0, 3L -> 2.0, 4L -> 2.0))
-    val forb = e.runToFrame("[ " + F + " NULL reducer.sum.forbid-nulls ] REDUCE")
+    assert(glob == Map(1L -> 1.0, 2L -> 3.0, 3L -> 2.0, 4L -> 2.0))
+    val forb = e.runToFrame("[ " + F + " [ ] reducer.sum.forbid-nulls ] REDUCE")
       .select(col("ts")).collect().map(_.getLong(0)).toSet
     assert(forb == Set(2L, 3L)) // only fully-aligned ticks survive
+  }
+
+  test("APPLY aggregates multiple same-partition series per operand (no row blowup)") {
+    // operand A holds TWO series for user 1 at tick 2 (values 1 and 2),
+    // operand B one series (value 10): reference OpAdd sums every
+    // aligned slot → a single 13.0 point
+    val multi = mkFrame(Seq(
+      ("m", Map("u" -> "1", "h" -> "a1"), 2L, 1.0, None, None, None),
+      ("m", Map("u" -> "1", "h" -> "a2"), 2L, 2.0, None, None, None),
+      ("n", Map("u" -> "1", "h" -> "b"), 2L, 10.0, None, None, None)))
+    val e = eng(multi)
+    val out = e.runToFrame(
+      s"[ [ $F [ ] 'm' filter.byclass ] FILTER " +
+        s"[ $F [ ] 'n' filter.byclass ] FILTER [ 'u' ] op.add ] APPLY")
+      .select(col("ts"), col("vdouble")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(out.toSeq == Seq(2L -> 13.0))
   }
 
   test("reducer.product multiplies aligned values") {
