@@ -101,6 +101,49 @@ final class KernelOps(df: DataFrame) {
       }
     }.toDF("gtsid", "ts", "vdouble")
 
+  /** filler.lowess / filler.rlowess (script/filler/FillerLowess.java:
+    * 50-85, FillerRlowess.java:95-115): LOESS-smooth the series' knots
+    * — commons-math3 LoessInterpolator, the reference's own library,
+    * with bandwidthRatio = min(1, bandwidth/size + 1e-12) and
+    * `robustness` reweighting iterations (0 for filler.lowess) — then
+    * interpolate missing grid indexes on the natural cubic spline
+    * through the smoothed knots (LoessInterpolator.interpolate
+    * delegates to SplineInterpolator). Knots keep their ORIGINAL
+    * values; indexes outside the knot range fill nothing
+    * (PolynomialSplineFunction.isValidPoint); size 2 degrades to
+    * linear, size <2 fills nothing — all per the reference. Evaluation
+    * happens on grid indexes rather than raw ticks: LOESS fits and
+    * spline interpolation are invariant under the affine tick→index
+    * map, so the values agree with the tick-domain evaluation to fp
+    * rounding. */
+  def fillLowessGrid(gridCount: Int, bandwidth: Long, robustness: Int,
+                     accuracy: Double): DataFrame =
+    perSeries[(Long, Long, Option[Double])] { (id, pts) =>
+      val n = pts.length
+      val t = pts.map(_.ts.toDouble).toArray
+      val v = pts.map(_.v).toArray
+      val fn: Option[org.apache.commons.math3.analysis.polynomials.PolynomialSplineFunction] =
+        if (n > 2) {
+          val br = math.min(1.0, bandwidth.toDouble / n + 1e-12)
+          Some(new org.apache.commons.math3.analysis.interpolation.LoessInterpolator(
+            br, robustness, accuracy).interpolate(t, v))
+        } else if (n == 2) {
+          Some(new org.apache.commons.math3.analysis.interpolation.LinearInterpolator()
+            .interpolate(t, v))
+        } else None
+      val knotIdx = pts.iterator.zipWithIndex.map { case (p, i) => p.ts -> i }.toMap
+      (0L until gridCount.toLong).map { x =>
+        knotIdx.get(x) match {
+          case Some(i) => (id, x, Some(v(i)))
+          case None => fn match {
+            case Some(f) if f.isValidPoint(x.toDouble) =>
+              (id, x, Some(f.value(x.toDouble)))
+            case _ => (id, x, None)
+          }
+        }
+      }
+    }.toDF("gtsid", "ts", "vdouble")
+
   /** filler.spline (reference filler semantics): natural cubic spline
     * through each series' knots, evaluated at every grid index
     * 0..gridCount-1. Ticks MUST already be integer grid indexes. The

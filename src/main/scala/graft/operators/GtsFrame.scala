@@ -240,6 +240,88 @@ final case class GtsFrame(df: DataFrame) {
         max(col("dts") - col("uts")).as("max_latency"))
   }
 
+  /** The `filter.latencies` word (script/filter/LatencyFilter.java:
+    * 202-447): this frame is the uplink (one series), each element of
+    * `downlinks` one downlink series. Packet-payload hashes are the
+    * values; a downlink point matches an uplink point when the values
+    * are equal and `minLat <= dts - uts <= maxLat`. Emits one LONG
+    * output series per requested option, class-suffixed exactly like
+    * the reference (`:uplink.latency.min`, …); unmatched uplink ticks
+    * get -1 latencies / 0 counts (LatencyFilter.java:445-470). The
+    * value-equality key carries the shuffle; the latency band is a
+    * residual predicate — same scale shape as [[latencyMatch]]. The
+    * reference *consumes* each downlink point at most once
+    * (indices[i]++ per match); with unique payload hashes — the
+    * protocol's contract — the band join is identical. */
+  def latencyFilterSeries(downlinks: Seq[GtsFrame], minLat: Long,
+                          maxLat: Long, options: Seq[String]): DataFrame = {
+    // packet hashes may be LONG- or DOUBLE-typed points
+    val hash = coalesce(col("vdouble"), col("vlong").cast(DoubleType))
+    val u = df.select(col("class").as("__uc"), col("labels").as("__ul"),
+      col("ts").as("uts"), hash.as("uv"))
+    val d = downlinks.zipWithIndex.map { case (f, i) =>
+      f.df.select(lit(i).as("di"), col("class").as("__dc"),
+        col("labels").as("__dl"), col("ts").as("dts"), hash.as("dv"))
+    }.reduce(_ unionByName _)
+    val lat = col("dts") - col("uts")
+    val j = u.join(d, col("uv") === col("dv") &&
+      lat >= lit(minLat) && lat <= lit(maxLat), "left")
+    def canon(src: DataFrame, cls: Column, labels: Column, ts: Column,
+              v: Column): DataFrame =
+      src.select(cls.as("class"), labels.as("labels"),
+        Gts.gtsIdCol(cls, labels).as("gtsid"), ts.cast(LongType).as("ts"),
+        lit(null).cast(DoubleType).as("lat"), lit(null).cast(DoubleType).as("lon"),
+        lit(null).cast(LongType).as("elev"),
+        lit(graft.model.GtsType.LONG).as("vtype"),
+        v.cast(LongType).as("vlong"), v.cast(DoubleType).as("vdouble"),
+        lit(null).cast(BooleanType).as("vbool"),
+        lit(null).cast(StringType).as("vstring"),
+        lit(null).cast(BinaryType).as("vbinary"))
+    val perUp = j.groupBy(col("__uc"), col("__ul"), col("uts")).agg(
+      min(lat).as("__lmin"), max(lat).as("__lmax"),
+      count(col("dts")).as("__total"),
+      countDistinct(col("di")).as("__withm"),
+      coalesce(bit_or(expr("shiftleft(cast(1 as bigint), cast(di as int))")),
+        lit(0L)).as("__mask"))
+    val upOpt: Map[String, Column] = Map(
+      "uplink.latency.min" -> coalesce(col("__lmin"), lit(-1L)),
+      "uplink.latency.max" -> coalesce(col("__lmax"), lit(-1L)),
+      "downlinks.totalmatches" -> col("__total"),
+      "downlinks.withmatches" -> col("__withm"),
+      "downlinks.bitset" -> col("__mask"))
+    val upOuts = options.filter(upOpt.contains).map { o =>
+      canon(perUp, concat(col("__uc"), lit(":" + o)), col("__ul"),
+        col("uts"), upOpt(o))
+    }
+    val dOptNames = Seq("downlink.latency.min", "downlink.latency.max",
+      "downlink.matches")
+    val dOuts: Seq[DataFrame] =
+      if (!options.exists(dOptNames.contains)) Seq.empty
+      else {
+        val dmeta = d.groupBy(col("di")).agg(
+          first(col("__dc")).as("__dc"), first(col("__dl")).as("__dl"))
+        val dm = j.filter(col("di").isNotNull)
+          .groupBy(col("di"), col("uts")).agg(
+            min(lat).as("__dlmin"), max(lat).as("__dlmax"),
+            count(lit(1)).as("__dmatches"))
+        val crossed = u.select(col("uts")).crossJoin(broadcast(dmeta))
+          .join(dm, Seq("di", "uts"), "left")
+        val dOpt: Map[String, Column] = Map(
+          "downlink.latency.min" -> coalesce(col("__dlmin"), lit(-1L)),
+          "downlink.latency.max" -> coalesce(col("__dlmax"), lit(-1L)),
+          "downlink.matches" -> coalesce(col("__dmatches"), lit(0L)))
+        options.filter(dOpt.contains).map { o =>
+          canon(crossed, concat(col("__dc"), lit(":" + o)), col("__dl"),
+            col("uts"), dOpt(o))
+        }
+      }
+    val outs = upOuts ++ dOuts
+    require(outs.nonEmpty,
+      "filter.latencies: no supported option requested (" +
+        options.mkString(",") + ")")
+    outs.reduce(_ unionByName _)
+  }
+
   // ---------------------------------------------------------------------
   // REDUCE — n-way align on tick within label-equivalence classes
   // (GTSHelper.java:8147-8480; fn/REDUCE.java)
@@ -295,6 +377,36 @@ final case class GtsFrame(df: DataFrame) {
         out1.withColumn("vdouble", col("__nseries"))
       else out1
     out2.drop("__nmembers", "__nseries", "__lkey")
+  }
+
+  /** reducer.argmax / reducer.argmin (aggregator/Argminmax.java:
+    * 116-205): per aligned tick, the comma-joined URL-encoded values of
+    * `label` over the members attaining the extreme value, capped at
+    * `count` entries (0 = all). The reference reports ties in
+    * member-iteration order (unspecified — HashMap partition); here
+    * tied label values sort lexicographically so the result is
+    * deterministic under any partitioning. STRING-valued output. */
+  def reduceArg(label: String, count: Int, isArgmin: Boolean,
+                byLabels: Seq[String], byAllLabels: Boolean = false): DataFrame = {
+    val keyNames = if (byAllLabels) Seq("__lkey") else byLabels
+    val keys =
+      if (byAllLabels) Seq(GtsFrame.labelsKeyCol.as("__lkey"))
+      else byLabels.map(l => col("labels").getItem(l).as(l))
+    val collected = df
+      .select(col("ts") +: col("vdouble").as("__v") +:
+        col("labels").getItem(label).as("__lbl") +: keys: _*)
+      .groupBy(keyNames.map(col) :+ col("ts"): _*)
+      .agg(collect_list(struct(col("__v"), col("__lbl"))).as("__m"))
+    val extreme =
+      if (isArgmin) array_min(transform(col("__m"), e => e.getField("__v")))
+      else array_max(transform(col("__m"), e => e.getField("__v")))
+    val tied = array_sort(transform(
+      filter(col("__m"), e => e.getField("__v") === extreme),
+      e => url_encode(e.getField("__lbl"))))
+    val capped = if (count > 0) slice(tied, 1, count) else tied
+    collected
+      .withColumn("vstring", array_join(capped, ","))
+      .drop("__m", "__lkey")
   }
 
   // ---------------------------------------------------------------------
@@ -387,8 +499,16 @@ final case class GtsFrame(df: DataFrame) {
     * The aggregate table is tiny (one row per series) → broadcast
     * semi-join at scale.
     */
-  def filterSeries(pred: Column): GtsFrame = {
-    val keep = df.groupBy(col("gtsid")).agg(
+  def filterSeries(pred: Column): GtsFrame = filterSeries(pred, None, false)
+
+  /** `anyPred` is a per-POINT predicate: the series is retained when ANY
+    * point satisfies it (script/filter/FilterAny.java); `negate` flips
+    * retention to NO-point-satisfies, which is how the reference builds
+    * the `filter.all.*` family (FilterAny registered with the inverse
+    * comparator + complementSet=true, WarpScriptLib.java:2796-2801). */
+  def filterSeries(pred: Column, anyPred: Option[Column],
+                   negate: Boolean): GtsFrame = {
+    val baseAggs = Seq(
       max_by(col("vdouble"), col("ts")).as("last_v"),
       min(col("vdouble")).as("min_v"),
       max(col("vdouble")).as("max_v"),
@@ -398,7 +518,18 @@ final case class GtsFrame(df: DataFrame) {
       // constant per series, so first() is exact
       first(col("class")).as("class_v"),
       first(col("labels")).as("labels_v"))
-      .filter(pred).select(col("gtsid"))
+    val aggs = anyPred match {
+      case Some(p) => baseAggs :+
+        max(when(p, lit(1L)).otherwise(lit(0L))).as("any_v")
+      case None => baseAggs
+    }
+    val fullPred = anyPred match {
+      case Some(_) => pred && (if (negate) col("any_v") === 0L
+                               else col("any_v") === 1L)
+      case None => pred
+    }
+    val keep = df.groupBy(col("gtsid")).agg(aggs.head, aggs.tail: _*)
+      .filter(fullPred).select(col("gtsid"))
     GtsFrame(df.join(broadcast(keep), Seq("gtsid"), "left_semi"))
   }
 
@@ -819,9 +950,46 @@ object GtsFrame {
   def PercentileCont(p: Double): ValueAgg = simple(c => percentile(c, lit(p / 100.0)))
   /** Sketch percentile for huge groups (the 100 TB scale path; opt-in). */
   def PercentileApprox(p: Double): ValueAgg = simple(c => percentile_approx(c, lit(p / 100.0), lit(10000)))
-  /** reducer.join — concatenate values (aggregator/Join.java). */
-  def JoinAgg(sep: String): ValueAgg = simple(c =>
-    array_join(array_sort(collect_list(c.cast(StringType))), sep))
+  /** reducer.join — concatenate values (aggregator/Join.java). Values
+    * are sorted so the concatenation is deterministic under any
+    * partitioning (the reference joins in member-iteration order, which
+    * its own HashMap partition makes unspecified). `urlencode` is the
+    * `reducer.join.urlencoded` variant (Join.java registration with
+    * urlencode=true, nullString="" — absent-member "" entries don't
+    * materialize here because an absent member has no row; callers pin
+    * fixtures with all members present). */
+  def JoinAgg(sep: String, urlencode: Boolean = false): ValueAgg = simple { c =>
+    val s = c.cast(StringType)
+    array_join(array_sort(collect_list(if (urlencode) url_encode(s) else s)), sep)
+  }
+
+  /** bucketizer/mapper/reducer.mean.circular (aggregator/
+    * CircularMean.java:100-175): values map to angles v·2π/period, the
+    * mean is atan2(Σsin, Σcos) scaled back by period/2π — result in
+    * (-period/2, period/2]. Null members: the reference's forbidNulls
+    * flag rides on [[graft.script.WarpScriptEngine.AggVal]]. */
+  def CircularMeanAgg(period: Double): ValueAgg = simple { c =>
+    val ang = lit(math.Pi * 2.0) * (c / lit(period))
+    atan2(sum(sin(ang)), sum(cos(ang))) * lit(period) / lit(2.0 * math.Pi)
+  }
+
+  /** mapper.dotproduct[.sigmoid|.tanh|.positive] (mapper/
+    * MapperDotProduct.java:63-101): dot product of the window's values
+    * (tick order) with a constant ω vector; null unless the window has
+    * exactly |ω| values. All codegen'd higher-order functions — the
+    * collect is per window, bounded by |ω|. */
+  def DotProductAgg(omega: Seq[Double], act: Column => Column): ValueAgg =
+    new ValueAgg {
+      def column(v: Column, ts: Column): Column = {
+        val xs = transform(
+          array_sort(collect_list(struct(ts.as("t"), v.as("v")))),
+          e => e.getField("v"))
+        val om = array(omega.map(lit): _*)
+        val dot = aggregate(zip_with(xs, om, (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x)
+        when(size(xs) === omega.length, act(dot))
+      }
+    }
 
   /** bucketizer/mapper/reducer `.and`/`.or` (aggregator/And.java,
     * Or.java): boolean AND/OR over the group, emitted as 1.0/0.0 in the

@@ -752,8 +752,8 @@ object WarpScriptEngine {
     case _: WordsColl.WsVec => "VECTOR"
     case _: java.util.regex.Pattern => "MATCHER"
     case _: GtsFrame | _: BucketedFrame | _: GtsBuilder => "GTS"
-    case _: AggVal => "AGGREGATOR"
-    case _: FilterVal => "FILTER"
+    case _: AggVal | _: ArgMinMaxVal => "AGGREGATOR"
+    case _: FilterVal | _: LatencyFilterVal => "FILTER"
     case _ => "FUNCTION"
   }
 
@@ -770,13 +770,36 @@ object WarpScriptEngine {
   /** Tick-aligned binary op for APPLY (script/op/Op*.java). */
   final case class OpVal(name: String, f: (Column, Column) => Column)
   /** Whole-series filter predicate over the per-series aggregate row
-    * (last_v/min_v/max_v/size_v — see GtsFrame.filterSeries). */
-  final case class FilterVal(name: String, pred: Column)
+    * (last_v/min_v/max_v/size_v — see GtsFrame.filterSeries).
+    * `anyPred` is a per-POINT predicate (FilterAny.java): retain the
+    * series when ANY point satisfies it — or NO point, when `negate`
+    * (the reference's complementSet flag building filter.all.*). */
+  final case class FilterVal(name: String, pred: Column,
+      anyPred: Option[Column] = None, negate: Boolean = false)
+  /** reducer.argmax/argmin value (aggregator/Argminmax.java Builder:
+    * `'label' count reducer.argmax`). */
+  final case class ArgMinMaxVal(name: String, label: String, count: Int,
+      isArgmin: Boolean)
+  /** filter.latencies value (script/filter/LatencyFilter.java Builder:
+    * `minLat maxLat [ options ] filter.latencies`). */
+  final case class LatencyFilterVal(name: String, minLat: Long,
+      maxLat: Long, options: Vector[String])
+  /** filler.lowess / filler.rlowess value (script/filler/
+    * FillerLowess.java, FillerRlowess.java Builders: `bandwidth
+    * [robustness] [accuracy] filler.(r)lowess`). */
+  final case class LowessFillerVal(name: String, bandwidth: Long,
+      robustness: Int, accuracy: Double)
 
   private val aggByName: Map[String, ValueAgg] = Map(
     "sum" -> Sum, "mean" -> Mean, "min" -> Min, "max" -> Max,
     "count" -> CountAgg, "sd" -> Sd, "sd.pop" -> SdPop, "var" -> Var,
     "mad" -> Mad,
+    // Welford-accumulation variants (aggregator/Variance.Builder with
+    // useWelford=true, WarpScriptLib.java:3240,3270,3318-3325): same
+    // value as sd/var — Welford is an accumulation ORDER, not a
+    // different statistic; Spark's stddev/var aggregates are themselves
+    // numerically-stable merge formulas of the same family
+    "sd.welford" -> Sd, "var.welford" -> Var,
     "var.pop" -> VarPop, "median" -> Median, "rms" -> Rms,
     "first" -> First, "last" -> Last, "delta" -> Delta, "rate" -> Rate,
     // boolean / product / entropy families (aggregator/And.java, Or,

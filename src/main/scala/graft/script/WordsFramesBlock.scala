@@ -18,6 +18,34 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
   import WsToken._
   import WarpScriptEngine._
 
+  /** gtsid-membership predicate from the engine-side attribute store
+    * (SETATTRIBUTES — the authoritative attribute surface, see
+    * WordsExt4): series whose attributes satisfy the selector
+    * (''/'=' = key ABSENT; '=x'/bare = exact; '~re' = full regex).
+    * `matchOnly` disables absence handling (caller resolved it on the
+    * label side). The store is driver-resident session state, so the
+    * membership list is a tiny isin literal — never a data-path
+    * collect. */
+  private def attrStorePred(st: State, sel: Map[String, String],
+      matchOnly: Boolean = false): Column =
+    sel.map { case (k, s) =>
+      if (s.isEmpty || s == "=") {
+        if (matchOnly) lit(false)
+        else {
+          val has = st.attrs.collect { case (id, m) if m.contains(k) => id }.toSeq
+          if (has.isEmpty) lit(true) else !col("gtsid").isin(has: _*)
+        }
+      } else {
+        val p: String => Boolean =
+          if (s.startsWith("~")) {
+            val r = ("^(?:" + s.substring(1) + ")$").r
+            v => r.matches(v)
+          } else { val e = s.stripPrefix("="); v => v == e }
+        val ids = st.attrs.collect { case (id, m) if m.get(k).exists(p) => id }.toSeq
+        if (ids.isEmpty) lit(false) else col("gtsid").isin(ids: _*)
+      }
+    }.reduceOption(_ && _).getOrElse(lit(true))
+
   // scalastyle:off cyclomatic.complexity method.length
   private[script] def wordsFramesBlock(w: String, st: State): Boolean = {
     w match {
@@ -201,7 +229,13 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
           case (_, _: Vector[_]) => throw new IllegalArgumentException(
             "MAP ticks override needs a named aggregator mapper")
           case (av: AggVal, occ) =>
-            st.push(fr.mapWindow(av.agg, pre, post, step, asLong(occ)))
+            val mapped = fr.mapWindow(av.agg, pre, post, step, asLong(occ))
+            // a window mapper producing null drops the tick — only the
+            // dotproduct family can (|window| != |ω|,
+            // MapperDotProduct.java:70); named aggs never return null
+            st.push(if (av.name.startsWith("mapper.dotproduct"))
+              GtsFrame(mapped.df.filter(col("vdouble").isNotNull))
+            else mapped)
           case (m, occ) =>
             require(step == 1,
               s"MAP step is supported for aggregator mappers (got ${m.getClass.getSimpleName})")
@@ -271,6 +305,9 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
           st.push(GtsFrame(framesOf(args.take(args.length - 2))
             .reduce(av.agg, labels.toSeq, av.forbidNulls, av.includeNulls,
               byAllLabels = byAll)))
+        case ArgMinMaxVal(_, lbl, count, isArgmin) =>
+          st.push(GtsFrame(framesOf(args.take(args.length - 2))
+            .reduceArg(lbl, count, isArgmin, labels.toSeq, byAllLabels = byAll)))
         case MacroAgg(_, tokens) =>
           st.push(GtsFrame(MacroKernel.macroReduce(
             framesOf(args.take(args.length - 2)).df, tokens, labels.toSeq)))
@@ -281,8 +318,23 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
     case "FILTER" =>
       val args = st.pop().asInstanceOf[Vector[Any]]
       args.last match {
-        case FilterVal(_, pred) =>
-          st.push(framesOf(args.take(args.length - 2)).filterSeries(pred))
+        case fv: FilterVal =>
+          st.push(framesOf(args.take(args.length - 2))
+            .filterSeries(fv.pred, fv.anyPred, fv.negate))
+        // filter.latencies (LatencyFilter.java:202): the FIRST operand
+        // list is the uplink (exactly one series), the remaining
+        // operand lists are the downlinks, one per series in list order
+        case LatencyFilterVal(_, minLat, maxLat, options) =>
+          val operands = args.take(args.length - 2)
+          require(operands.length >= 2,
+            "filter.latencies expects [ [uplink] [downlink]... ]")
+          val up = toFrame(operands.head)
+          val downs = operands.tail.flatMap {
+            case v: Vector[Any @unchecked] => v.map(toFrame)
+            case o => Seq(toFrame(o))
+          }
+          st.push(GtsFrame(up.latencyFilterSeries(
+            downs.toSeq, minLat, maxLat, options)))
         case MacroAgg(_, tokens) =>
           st.push(GtsFrame(MacroKernel.filterSeries(
             framesOf(args.take(args.length - 2)).df, tokens)))
@@ -817,6 +869,141 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
     // the frame algebra is already typed)
     case "STRICTMAPPER" | "STRICTREDUCER" | "STRICTPARTITION" =>
       st.push(st.pop())
+    // join/percentile null variants (WarpScriptLib.java:3313-3336
+    // registrations; Join.Builder ignoreNulls=false → null result when
+    // an aligned member is absent ≡ AggVal.forbidNulls)
+    case "reducer.percentile.forbid-nulls" =>
+      st.push(AggVal(w, Percentile(st.popNum()), forbidNulls = true))
+    case "mapper.join" => st.push(AggVal(w, JoinAgg(st.popStr())))
+    case "reducer.join.forbid-nulls" | "reducer.join.nonnull" =>
+      st.push(AggVal(w, JoinAgg(st.popStr()), forbidNulls = true))
+    case "reducer.join.urlencoded" =>
+      st.push(AggVal(w, JoinAgg(st.popStr(), urlencode = true),
+        forbidNulls = true))
+    // circular mean (aggregator/CircularMean.java; Builder pops the
+    // period — `24.0 bucketizer.mean.circular`). Registered with
+    // forbidNulls=true except the .exclude-nulls reducer
+    // (WarpScriptLib.java:3237,3285,3337-3338)
+    case "bucketizer.mean.circular" | "mapper.mean.circular" |
+         "reducer.mean.circular" =>
+      st.push(AggVal(w, CircularMeanAgg(st.popNum()), forbidNulls = true))
+    case "reducer.mean.circular.exclude-nulls" =>
+      st.push(AggVal(w, CircularMeanAgg(st.popNum())))
+    // reducer.argmax/argmin (aggregator/Argminmax.java Builder:
+    // `'label' count reducer.argmax`; count 0 = report all ties)
+    case "reducer.argmax" | "reducer.argmin" =>
+      val count = st.popLong().toInt
+      val label = st.popStr()
+      st.push(ArgMinMaxVal(w, label, count, isArgmin = w.endsWith("argmin")))
+    // mapper.log (mapper/MapperLog.java): log in the constant base
+    // popped at build time — ln(v)/ln(base)
+    case "mapper.log" =>
+      val base = st.popNum()
+      st.push(MapperCol(w, c => log(c) / lit(math.log(base))))
+    // mapper.npdf (mapper/MapperNPDF.java:100-105): gaussian pdf with
+    // mu/sigma popped at build time (`mu sigma mapper.npdf`)
+    case "mapper.npdf" =>
+      val sigma = st.popNum()
+      require(sigma > 0, s"$w expects a positive standard deviation")
+      val mu = st.popNum()
+      st.push(MapperCol(w, c =>
+        lit(1.0 / (sigma * math.sqrt(2.0 * math.Pi))) *
+          exp(lit(-1.0) * (c - lit(mu)) * (c - lit(mu)) /
+            lit(2.0 * sigma * sigma))))
+    // mapper.min.x / mapper.max.x (mapper/MapperMinX.java, MapperMaxX):
+    // clamp against the constant popped at build time
+    case "mapper.min.x" =>
+      val k = st.popNum(); st.push(MapperCol(w, c => least(c, lit(k))))
+    case "mapper.max.x" =>
+      val k = st.popNum(); st.push(MapperCol(w, c => greatest(c, lit(k))))
+    // mapper.parsedouble (mapper/MapperParseDouble.java): parse STRING
+    // values as doubles under the popped IETF language tag's decimal/
+    // grouping separators (NumberFormat.getInstance(Locale))
+    case "mapper.parsedouble" =>
+      val tag = st.popStr()
+      val sym = java.text.DecimalFormatSymbols.getInstance(
+        java.util.Locale.forLanguageTag(tag))
+      val dec = sym.getDecimalSeparator.toString
+      val grp = sym.getGroupingSeparator.toString
+      st.push(MapperDf(w, df => df
+        .withColumn("vdouble",
+          translate(regexp_replace(col("vstring"),
+            java.util.regex.Pattern.quote(grp), ""), dec, ".")
+            .cast(org.apache.spark.sql.types.DoubleType))
+        .withColumn("vstring",
+          lit(null).cast(org.apache.spark.sql.types.StringType))
+        .withColumn("vtype", lit(graft.model.GtsType.DOUBLE))
+        .filter(col("vdouble").isNotNull)))
+    // mapper.replace (mapper/MapperReplace.java): every present tick's
+    // value := the constant popped at build time (NOT string-replace)
+    case "mapper.replace" =>
+      def clearVals(df: DataFrame): DataFrame = df
+        .withColumn("vlong", lit(null).cast(org.apache.spark.sql.types.LongType))
+        .withColumn("vdouble", lit(null).cast(org.apache.spark.sql.types.DoubleType))
+        .withColumn("vbool", lit(null).cast(org.apache.spark.sql.types.BooleanType))
+        .withColumn("vstring", lit(null).cast(org.apache.spark.sql.types.StringType))
+      st.pop() match {
+        case s: String => st.push(MapperDf(w, df => clearVals(df)
+          .withColumn("vstring", lit(s))
+          .withColumn("vtype", lit(graft.model.GtsType.STRING))))
+        case b: Boolean => st.push(MapperDf(w, df => clearVals(df)
+          .withColumn("vbool", lit(b))
+          .withColumn("vdouble", lit(if (b) 1.0 else 0.0))
+          .withColumn("vtype", lit(graft.model.GtsType.BOOLEAN))))
+        case l: Long => st.push(MapperDf(w, df => clearVals(df)
+          .withColumn("vlong", lit(l))
+          .withColumn("vdouble", lit(l.toDouble))
+          .withColumn("vtype", lit(graft.model.GtsType.LONG))))
+        case d: Double => st.push(MapperDf(w, df => clearVals(df)
+          .withColumn("vdouble", lit(d))
+          .withColumn("vtype", lit(graft.model.GtsType.DOUBLE))))
+        case o => throw new IllegalArgumentException(s"$w value: $o")
+      }
+    // mapper.regexp.match (mapper/MapperRegExpMatch.java): keep the
+    // STRING value when it FULLY matches (Matcher.matches), else the
+    // tick drops (null value)
+    case "mapper.regexp.match" =>
+      val re = st.popStr()
+      st.push(MapperDf(w, df =>
+        df.filter(col("vstring").rlike("^(?:" + re + ")$"))))
+    // mapper.regexp.replace (mapper/MapperRegExpReplace.java:
+    // `'regexp' 'replacement' mapper.regexp.replace`,
+    // Matcher.replaceAll)
+    case "mapper.regexp.replace" =>
+      val replacement = st.popStr()
+      val re = st.popStr()
+      st.push(MapperDf(w, df => df.withColumn("vstring",
+        regexp_replace(col("vstring"), re, replacement))))
+    // mapper.dotproduct[.sigmoid|.tanh|.positive] (mapper/
+    // MapperDotProduct*.java: `[ w1 w2 ... ] mapper.dotproduct`)
+    case "mapper.dotproduct" | "mapper.dotproduct.sigmoid" |
+         "mapper.dotproduct.tanh" | "mapper.dotproduct.positive" =>
+      val omega = st.pop() match {
+        case v: Vector[Any @unchecked] => v.map(asNum)
+        case o => throw new IllegalArgumentException(s"$w expects a list: $o")
+      }
+      val act: Column => Column = w.stripPrefix("mapper.dotproduct") match {
+        case ".sigmoid" => c => lit(1.0) / (lit(1.0) + exp(-c))
+        case ".tanh" => tanh
+        case ".positive" => c => greatest(lit(0.0), c)
+        case _ => identity
+      }
+      st.push(AggVal(w, DotProductAgg(omega, act)))
+    // mapper.geo.fence (mapper/MapperGeoFence.java): value := BOOLEAN
+    // point-in-shape; points without a location yield null (dropped)
+    case "mapper.geo.fence" =>
+      val g = st.pop() match {
+        case geo: WordsGeo.WsGeo => geo
+        case o => throw new IllegalArgumentException(s"$w expects a GEOSHAPE: $o")
+      }
+      val inside = g.shape match {
+        case Some(shape) => shape.containsCol(col("lat"), col("lon"))
+        case None => graft.functions.GeoCells.inCover(col("lat"), col("lon"), g.cells, g.res)
+      }
+      st.push(MapperDf(w, df => df.filter(col("lat").isNotNull)
+        .withColumn("vbool", inside)
+        .withColumn("vdouble", inside.cast(org.apache.spark.sql.types.DoubleType))
+        .withColumn("vtype", lit(graft.model.GtsType.BOOLEAN))))
     case BucketizerName(a) => st.push(a)
     case MapperName(m) => st.push(m)
     case ReducerName(a) => st.push(a)
@@ -850,6 +1037,137 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       st.push(FilterVal(w, pred))
     case "filter.any.gt" => st.push(FilterVal(w, col("max_v") > st.popNum()))
     case "filter.all.gt" => st.push(FilterVal(w, col("min_v") > st.popNum()))
+    case "filter.last.ne" => st.push(FilterVal(w, col("last_v") =!= st.popNum()))
+    // filter.any.* / filter.all.* (script/filter/FilterAny.java:98-160):
+    // retain the series when ANY point compares true against the popped
+    // threshold; the all.* family is the complement of the inverse
+    // comparator (registrations WarpScriptLib.java:2789-2801). STRING
+    // thresholds compare against STRING-valued points (vstring); the
+    // remaining comparators run on the numeric value.
+    case "filter.any.eq" | "filter.any.ne" | "filter.any.ge" |
+         "filter.any.le" | "filter.any.lt" |
+         "filter.all.eq" | "filter.all.ne" | "filter.all.ge" |
+         "filter.all.le" | "filter.all.lt" =>
+      val (vc, t): (Column, Column) = st.pop() match {
+        case s: String => (col("vstring"), lit(s))
+        case b: Boolean => (col("vbool"), lit(b))
+        case l: Long => (coalesce(col("vdouble"),
+          col("vlong").cast(org.apache.spark.sql.types.DoubleType)), lit(l.toDouble))
+        case d: Double => (coalesce(col("vdouble"),
+          col("vlong").cast(org.apache.spark.sql.types.DoubleType)), lit(d))
+        case o => throw new IllegalArgumentException(s"$w threshold: $o")
+      }
+      val isAll = w.startsWith("filter.all.")
+      // all.X ≡ NOT any(inverse-of-X) — the reference's complementSet
+      // construction: all.ne=¬any.eq, all.lt=¬any.ge, all.le=¬any.gt,
+      // all.gt=¬any.le, all.ge=¬any.lt, all.eq=¬any.ne
+      val probe = if (!isAll) w.stripPrefix("filter.any.")
+        else w.stripPrefix("filter.all.") match {
+          case "ne" => "eq"; case "lt" => "ge"; case "le" => "gt"
+          case "gt" => "le"; case "ge" => "lt"; case _ => "ne"
+        }
+      val p: Column = probe match {
+        case "eq" => vc === t
+        case "ne" => vc =!= t
+        case "ge" => vc >= t
+        case "le" => vc <= t
+        case "lt" => vc < t
+        case _ => vc > t
+      }
+      st.push(FilterVal(w, lit(true), anyPred = Some(p), negate = isAll))
+    // filter.bysize (script/filter/FilterBySize.java: `min max
+    // filter.bysize` retains size in [min, max])
+    case "filter.bysize" =>
+      val max = st.popLong(); val min = st.popLong()
+      st.push(FilterVal(w,
+        col("size_v") >= lit(min) && col("size_v") <= lit(max)))
+    // filter.byselector (script/filter/FilterBySelector.java): full
+    // `class{labels}{attrs}` selector against series metadata;
+    // attribute components consult the engine-side attribute store
+    // (SETATTRIBUTES) by gtsid
+    case "filter.byselector" =>
+      val s = graft.sources.Selector.parse(st.popStr())
+      val classPred = (s.classExact, s.classRegex) match {
+        case (Some(c), _) => col("class_v") === c
+        case (_, Some(r)) if r == ".*" => lit(true)
+        case (_, Some(r)) => col("class_v").rlike("^(?:" + r + ")$")
+        case _ => lit(true)
+      }
+      val lblPred = s.labelExact.foldLeft(classPred) { case (acc, (k, v)) =>
+        acc && col("labels_v").getItem(k) === v
+      }
+      val lblPred2 = s.labelRegex.foldLeft(lblPred) { case (acc, (k, v)) =>
+        acc && col("labels_v").getItem(k).rlike("^(?:" + v + ")$")
+      }
+      val attrPred = attrStorePred(st,
+        s.attrExact.map { case (k, v) => k -> ("=" + v) } ++
+          s.attrRegex.map { case (k, v) => k -> ("~" + v) })
+      st.push(FilterVal(w, lblPred2 && attrPred))
+    // filter.byattr / filter.bylabelsattr (script/filter/
+    // FilterByLabels.java Builder checkLabels/checkAttributes flags,
+    // registrations :2776-2777): selector map per key; a key matches on
+    // the label (bylabelsattr) or the attribute; ''/'=' selectors
+    // assert ABSENCE (Constants.ABSENT_LABEL_SUPPORT)
+    case "filter.byattr" | "filter.bylabelsattr" =>
+      val sel = st.pop().asInstanceOf[Map[Any, Any]]
+        .map { case (k, v) => k.toString -> String.valueOf(v) }
+      val checkLabels = w == "filter.bylabelsattr"
+      val pred = sel.map { case (k, s) =>
+        val attrP = attrStorePred(st, Map(k -> s))
+        if (!checkLabels) attrP
+        else if (s.isEmpty || s == "=")
+          // absence asserted on BOTH sides (FilterByLabels.java:118-125)
+          col("labels_v").getItem(k).isNull && attrP
+        else {
+          // the label takes PRIORITY: when the key exists as a label its
+          // value must match — the attribute is consulted only when the
+          // label is absent (FilterByLabels.java:131-155)
+          val lp =
+            if (s.startsWith("~"))
+              col("labels_v").getItem(k).rlike("^(?:" + s.substring(1) + ")$")
+            else col("labels_v").getItem(k) === s.stripPrefix("=")
+          when(col("labels_v").getItem(k).isNotNull, lp)
+            .otherwise(attrStorePred(st, Map(k -> s), matchOnly = true))
+        }
+      }.reduceOption(_ && _).getOrElse(lit(true))
+      st.push(FilterVal(w, pred))
+    // filter.bymetadata (script/filter/FilterByMetadata.java): pops a
+    // list of GTS; retains the series whose (class, labels) equal one
+    // of theirs — Metadata equality keyed on the canonical sorted
+    // label rendering (attributes excluded: list elements come from
+    // NEWGTS+RELABEL and carry none)
+    case "filter.bymetadata" =>
+      val metas: Seq[(String, String)] = st.pop() match {
+        case v: Vector[Any @unchecked] => v.map {
+          case b: GtsBuilder =>
+            (b.cls, b.labels.toSeq.sortBy(_._1)
+              .map { case (k, vv) => k + vv }.mkString)
+          case f: GtsFrame =>
+            val r = f.df.select(col("class"),
+              GtsFrame.labelsKeyCol.as("__lk")).distinct().limit(2).collect()
+            require(r.length == 1, "filter.bymetadata: multi-series element")
+            (r(0).getString(0), r(0).getString(1))
+          case o => throw new IllegalArgumentException(
+            s"filter.bymetadata element: $o")
+        }
+        case o => throw new IllegalArgumentException(s"$w expects a list: $o")
+      }
+      val lkey = concat_ws("", transform(
+        array_sort(map_entries(col("labels_v"))),
+        e => concat_ws("", e.getField("key"), e.getField("value"))))
+      val pred = metas.map { case (c, lk) =>
+        col("class_v") === c && lkey === lk
+      }.reduceOption(_ || _).getOrElse(lit(false))
+      st.push(FilterVal(w, pred))
+    // filter.latencies (script/filter/LatencyFilter.java Builder:
+    // `minLat maxLat [ options ] filter.latencies`)
+    case "filter.latencies" =>
+      val options = st.pop() match {
+        case v: Vector[Any @unchecked] => v.map(_.toString)
+        case o => throw new IllegalArgumentException(s"$w options: $o")
+      }
+      val maxLat = st.popLong(); val minLat = st.popLong()
+      st.push(LatencyFilterVal(w, minLat, maxLat, options))
       case _ => return false
     }
     true

@@ -278,6 +278,28 @@ private[script] object WordsGts2 {
           case n => en.asNum(n)
         }
         st.push(FillerVal(w, v))
+      // filler.lowess (FillerLowess.java Builder: `bandwidth [accuracy]
+      // filler.lowess` — a DOUBLE on top is the optional accuracy);
+      // filler.rlowess adds the robustness-iterations LONG in between
+      case "filler.lowess" =>
+        var acc = 1e-12 // LoessInterpolator.DEFAULT_ACCURACY
+        val bw = st.pop() match {
+          case d: Double => acc = d; st.popLong()
+          case l: Long => l
+          case o => throw new IllegalArgumentException(s"$w bandwidth: $o")
+        }
+        st.push(LowessFillerVal(w, bw, 0, acc))
+      case "filler.rlowess" =>
+        var acc = 1e-12
+        val rob = (st.pop() match {
+          case d: Double => acc = d; st.popLong()
+          case l: Long => l
+          case o => throw new IllegalArgumentException(s"$w robustness: $o")
+        }).toInt
+        require(rob > 0, s"$w expects a positive robustness")
+        val bw = st.popLong()
+        require(bw > 1, s"$w expects a bandwidth > 1")
+        st.push(LowessFillerVal(w, bw, rob, acc))
       case "MACROFILLER" =>
         val m = st.pop() match {
           case m: WsMacro => m
@@ -321,6 +343,8 @@ private[script] object WordsGts2 {
           case FillerVal("filler.spline", _) => b.copy(frame = grid(_.fillSplineGrid(_)))
           case FillerVal("filler.akima", _) => b.copy(frame = grid(_.fillAkimaGrid(_)))
           case FillerVal("filler.newton", _) => b.copy(frame = grid(_.fillNewtonGrid(_)))
+          case LowessFillerVal(_, bw, rob, acc) =>
+            b.copy(frame = grid(_.fillLowessGrid(_, bw, rob, acc)))
           // MACROFILLER (FILL.java:40-44: the macro gets the missing
           // tick, leaves the fill value) — executor-side ScalarEval
           case MacroAgg(_, tokens) =>
