@@ -980,15 +980,21 @@ object GtsFrame {
     * collect is per window, bounded by |ω|. */
   def DotProductAgg(omega: Seq[Double], act: Column => Column): ValueAgg =
     new ValueAgg {
-      def column(v: Column, ts: Column): Column = {
-        val xs = transform(
-          array_sort(collect_list(struct(ts.as("t"), v.as("v")))),
-          e => e.getField("v"))
+      private def post(collected: Column): Column = {
+        val xs = transform(array_sort(collected), e => e.getField("v"))
         val om = array(omega.map(lit): _*)
         val dot = aggregate(zip_with(xs, om, (a, b) => a * b),
           lit(0.0), (acc, x) => acc + x)
         when(size(xs) === omega.length, act(dot))
       }
+      def column(v: Column, ts: Column): Column =
+        post(collect_list(struct(ts.as("t"), v.as("v"))))
+      // the window spec must attach to the collect itself — the
+      // post-processing is scalar (default `over` would window the
+      // whole compound expression and lose the aggregate)
+      override def over(v: Column, ts: Column,
+          w: org.apache.spark.sql.expressions.WindowSpec): Column =
+        post(collect_list(struct(ts.as("t"), v.as("v"))).over(w))
     }
 
   /** bucketizer/mapper/reducer `.and`/`.or` (aggregator/And.java,

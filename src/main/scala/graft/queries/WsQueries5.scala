@@ -1,0 +1,483 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WarpScript front-end queries, part 5 (round-7: the Builder-pattern
+  * registry tail the round-6 extraction missed — see VERDICT r6 §1):
+  * FilterAny eq/complement forms, reducer.argmax, the Welford aliases,
+  * mapper.npdf/log/min.x/max.x, mapper.dotproduct windows,
+  * bucketizer.mean.circular, filler.lowess, the string mappers
+  * (regexp.match/replace, replace, parsedouble), the metadata filters
+  * (bysize/byselector/bymetadata/byattr) and the filter.latencies word.
+  * Every row runs a real WarpScript program through the engine and is
+  * hashed against an independent DuckDB derivation.
+  */
+object WsQueries5 {
+  import GtsQueries.{DAY, LB, EV}
+  import WsQueries.engine
+
+  private val userid = col("labels").getItem("user").as("userid")
+
+  private val FETCHALL = s"[ '' '~events\\..*' { } $LB ${LB + 1} ] FETCH"
+  private val BUCKETS =
+    s"[ $FETCHALL bucketizer.count $LB $DAY 0 ] BUCKETIZE"
+
+  /** DuckDB twin of the daily count-bucket grid (the WsQueries4
+    * BUCKET_SQL shape): end-anchored bucket tick, exact counts. */
+  private val BUCKET_SQL =
+    s"""pts AS (
+       |  SELECT event_type, CAST(user_id AS VARCHAR) AS u, epoch_us(ts) AS tick
+       |  FROM events WHERE epoch_us(ts) <= $LB),
+       |counts AS (
+       |  SELECT u, event_type,
+       |    $LB - (($LB - tick) // $DAY) * $DAY AS bts,
+       |    count(*) AS c
+       |  FROM pts GROUP BY 1, 2, 3)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // filter.any.eq / any.lt / all.ge (script/filter/FilterAny.java):
+    // per-point existential predicates; all.ge is the complement of
+    // any.lt (complementSet registration, WarpScriptLib.java:2796-2801)
+    "w104_ws_filter_anyall" -> ((s, dir) => {
+      val e = engine(s, dir, cents = true)
+      def run(word: String, thr: String, tag: String) =
+        e.runToFrame(s"[ $FETCHALL [ ] $thr $word ] FILTER")
+          .groupBy(col("class"), userid).agg(count(lit(1)).as("n"))
+          .withColumn("which", lit(tag))
+      run("filter.any.eq", "429", "any_eq")
+        .unionByName(run("filter.any.lt", "500", "any_lt"))
+        .unionByName(run("filter.all.ge", "500", "all_ge"))
+        .select(col("which"), col("class"), col("userid"), col("n"))
+    }),
+
+    // reducer.argmax (aggregator/Argminmax.java): per aligned day, the
+    // user label values of the series attaining the max daily count —
+    // ties sorted, comma-joined (count 0 = all)
+    "w105_ws_reduce_argmax" -> ((s, dir) =>
+      engine(s, dir, cents = false).runToFrame(
+        s"[ $BUCKETS [ ] 'user' 0 reducer.argmax ] REDUCE")
+        .select(col("ts"), col("vstring").as("argmax_user"))),
+
+    // bucketizer.sd.welford ≡ sd (aggregator/StandardDeviation.Builder
+    // useWelford=true — an accumulation order, not a different
+    // statistic); buckets of <2 points have no sample sd on either side
+    "w106_ws_bucketize_welford" -> ((s, dir) =>
+      engine(s, dir, cents = true).runToFrame(
+        s"[ $FETCHALL bucketizer.sd.welford $LB $DAY 0 ] BUCKETIZE")
+        .filter(col("vdouble").isNotNull && !isnan(col("vdouble")))
+        .select(col("class"), userid, col("ts"),
+          round(col("vdouble"), 6).as("sd"))),
+
+    // reducer.var.welford + .forbid-nulls (Variance.Builder welford
+    // variants): cross-series variance of the daily counts per user;
+    // the forbid face survives only when EVERY series has the bucket
+    "w107_ws_reduce_welford" -> ((s, dir) => {
+      val e = engine(s, dir, cents = false)
+      def red(r: String, as: String) =
+        e.runToFrame(s"[ $BUCKETS [ 'user' ] $r ] REDUCE")
+          .filter(col("vdouble").isNotNull && !isnan(col("vdouble")))
+          .select(col("user"), col("ts"), round(col("vdouble"), 6).as(as))
+      red("reducer.var.welford", "v_all")
+        .join(red("reducer.var.welford.forbid-nulls", "v_forbid"),
+          Seq("user", "ts"), "left")
+        .select(col("user"), col("ts"), col("v_all"), col("v_forbid"))
+    }),
+
+    // mapper builders npdf / log / max.x+min.x (MapperNPDF.java:100,
+    // MapperLog.java, MapperMinX/MaxX.java) — three MAP passes joined
+    "w108_ws_mapper_builders" -> ((s, dir) => {
+      val e = engine(s, dir, cents = true)
+      def mp(prog: String, as: String) =
+        e.runToFrame(prog)
+          .select(col("class"), userid, col("ts"), col("vdouble").as(as))
+      val npdf = mp(s"[ $FETCHALL 50.0 10.0 mapper.npdf 0 0 0 ] MAP", "npdf")
+      // log base 10 of max(1, cents): the max.x clamp keeps ln's domain
+      val lg = mp(s"[ [ $FETCHALL 1.0 mapper.max.x 0 0 0 ] MAP" +
+        " 10 mapper.log 0 0 0 ] MAP", "lg")
+      val clamped = mp(s"[ $FETCHALL 90.0 mapper.min.x 0 0 0 ] MAP", "clamped")
+      npdf.join(lg, Seq("class", "userid", "ts"))
+        .join(clamped, Seq("class", "userid", "ts"))
+        .select(col("class"), col("userid"), col("ts"),
+          col("npdf"), col("lg"), col("clamped"))
+    }),
+
+    // mapper.dotproduct[.sigmoid] (MapperDotProduct.java:63-101): ω
+    // against the 3-tick window in tick order; boundary windows (2
+    // values ≠ |ω|) yield null and the tick drops
+    "w109_ws_dotproduct" -> ((s, dir) => {
+      val e = engine(s, dir, cents = true)
+      def mp(m: String, as: String) =
+        e.runToFrame(s"[ $FETCHALL $m 1 1 0 ] MAP")
+          .select(col("class"), userid, col("ts"), col("vdouble").as(as))
+      mp("[ 0.25 0.5 0.25 ] mapper.dotproduct", "dot")
+        .join(mp("[ 0.001 0.001 0.001 ] mapper.dotproduct.sigmoid", "sig"),
+          Seq("class", "userid", "ts"))
+        .select(col("class"), col("userid"), col("ts"),
+          col("dot"), round(col("sig"), 9).as("sig"))
+    }),
+
+    // bucketizer.mean.circular (aggregator/CircularMean.java:100-175):
+    // circular mean of cents with period 100 per daily bucket;
+    // round(6) absorbs sin/cos/atan2 libm + sum-order ulps (w98 rule)
+    "w110_ws_mean_circular" -> ((s, dir) =>
+      engine(s, dir, cents = true).runToFrame(
+        s"[ $FETCHALL 100.0 bucketizer.mean.circular $LB $DAY 0 ] BUCKETIZE")
+        .select(col("class"), userid, col("ts"),
+          round(col("vdouble"), 6).as("circ"))),
+
+    // filler.lowess (script/filler/FillerLowess.java): LOESS-smooth the
+    // daily mean knots (bandwidth 40 ≥ any knot count → whole-window
+    // regression), natural cubic spline through the smoothed knots for
+    // the missing days; knots keep their ORIGINAL values. The oracle
+    // replays the weighted regression per knot and the g75 spline CTE.
+    "w111_ws_filler_lowess" -> ((s, dir) => {
+      val e = engine(s, dir, cents = true)
+      val prog =
+        s"""[ $FETCHALL bucketizer.mean $LB $DAY 0 ] BUCKETIZE
+           |40 filler.lowess FILL""".stripMargin
+      e.runToFrame(prog)
+        .select(col("class"), userid, col("ts"),
+          round(col("vdouble"), 6).as("filled"))
+    }),
+
+    // string mappers (MapperRegExpMatch/RegExpReplace/Replace/
+    // ParseDouble): NEWGTS string fixtures through the MAP word; the
+    // oracle re-derives each output from the same literals in SQL
+    "w112_ws_string_mappers" -> ((s, dir) => {
+      val e = engine(s, dir, cents = false)
+      val mkStr =
+        """NEWGTS 'strs' RENAME
+          |1 NaN NaN NULL 'ab12' ADDVALUE
+          |2 NaN NaN NULL 'x9' ADDVALUE
+          |3 NaN NaN NULL 'zz' ADDVALUE
+          |4 NaN NaN NULL 'a7b' ADDVALUE""".stripMargin
+      val mkFr =
+        """NEWGTS 'fr' RENAME
+          |1 NaN NaN NULL '3,5' ADDVALUE
+          |2 NaN NaN NULL '10,25' ADDVALUE""".stripMargin
+      def run(src: String, m: String, tag: String, outCol: org.apache.spark.sql.Column) =
+        e.runToFrame(s"[ $src $m 0 0 0 ] MAP")
+          .select(lit(tag).as("which"), col("ts"), outCol.as("outv"))
+      run(mkStr, "'[a-z]+[0-9]+' mapper.regexp.match", "match", col("vstring"))
+        .unionByName(run(mkStr, "'[0-9]+' '#' mapper.regexp.replace",
+          "replace", col("vstring")))
+        .unionByName(run(mkStr, "'K' mapper.replace", "const", col("vstring")))
+        .unionByName(run(mkFr, "'fr' mapper.parsedouble", "parsed",
+          col("vdouble").cast("string")))
+    }),
+
+    // metadata filters: bysize bounds, a full byselector, bymetadata
+    // against a NEWGTS-built identity, byattr against SETATTRIBUTES
+    // store state (FilterBySize/BySelector/ByMetadata/ByLabels.java)
+    "w113_ws_filter_meta" -> ((s, dir) => {
+      val e = engine(s, dir, cents = false)
+      def series(prog: String, tag: String) =
+        e.runToFrame(prog)
+          .select(col("class"), userid).distinct()
+          .withColumn("which", lit(tag))
+      val bysize = series(
+        s"[ $FETCHALL [ ] 5 100 filter.bysize ] FILTER", "bysize")
+      val bysel = series(
+        s"[ $FETCHALL [ ] 'events.click{user~1.*}' filter.byselector ] FILTER",
+        "bysel")
+      val bymeta = series(
+        s"[ $FETCHALL [ ] [ NEWGTS 'events.view' RENAME { 'user' '3' } RELABEL ]" +
+          " filter.bymetadata ] FILTER", "bymeta")
+      // tag the error-class series with an attribute, then select on it
+      val byattr = series(
+        s"""[ '' 'events.error' { } $LB ${LB + 1} ] FETCH
+           |{ 'dc' 'east' } SETATTRIBUTES DROP
+           |[ $FETCHALL [ ] { 'dc' 'east' } filter.byattr ] FILTER""".stripMargin,
+        "byattr")
+      bysize.unionByName(bysel).unionByName(bymeta).unionByName(byattr)
+        .select(col("which"), col("class"), col("userid"))
+    }),
+
+    // the filter.latencies word (script/filter/LatencyFilter.java):
+    // value-equality packet matching in a [min,max] latency band —
+    // every option face, LONG outputs, -1/0 no-match sentinels
+    "w114_ws_latencies_word" -> ((s, dir) => {
+      val e = engine(s, dir, cents = false)
+      val prog =
+        """{ 'c' 'up' 'l' { } 't' [ 1000 2000 3000 4000 ] 'v' [ 11 22 33 44 ] } MAKEGTS 'u' STORE
+          |{ 'c' 'd1' 'l' { } 't' [ 1100 2600 3050 ] 'v' [ 11 22 33 ] } MAKEGTS 'a' STORE
+          |{ 'c' 'd2' 'l' { } 't' [ 1200 4100 9000 ] 'v' [ 11 44 44 ] } MAKEGTS 'b' STORE
+          |[ [ $u ] [ $a ] [ $b ] [ ]
+          |  0 1000
+          |  [ 'uplink.latency.min' 'uplink.latency.max' 'downlinks.totalmatches'
+          |    'downlinks.withmatches' 'downlinks.bitset'
+          |    'downlink.latency.min' 'downlink.latency.max' 'downlink.matches' ]
+          |  filter.latencies ] FILTER""".stripMargin
+      e.runToFrame(prog)
+        .select(col("class"), col("ts"), col("vlong").as("v"))
+    }),
+
+    // reducer.join.urlencoded (aggregator/Join.java urlencode=true,
+    // ignoreNulls=false): sorted member count-strings joined '|',
+    // only full-member ticks survive (forbid-nulls face)
+    "w115_ws_join_urlencoded" -> ((s, dir) =>
+      engine(s, dir, cents = false).runToFrame(
+        s"[ $BUCKETS [ 'user' ] '|' reducer.join.urlencoded ] REDUCE")
+        .select(col("user"), col("ts"), col("vdouble").as("joined"))),
+  )
+
+  /** Loess smoothing CTE over the daily-mean knots: whole-window
+    * (bandwidth ≥ n) tricube-weighted linear regression per knot —
+    * LoessInterpolator.smooth's formula with robustness 0. The tricube
+    * weight expression is inlined into each weighted sum (no laterals /
+    * correlated subqueries), then the regression line is evaluated at
+    * the knot: v = β·t + (ȳ − β·x̄). */
+  private val LOESS_SM: String = {
+    val w = "CASE WHEN a.d > 0 AND abs(b.t - a.t)/a.d < 1.0 " +
+      "THEN power(1.0 - power(abs(b.t - a.t)/a.d, 3), 3) ELSE 0.0 END"
+    """den AS (SELECT class, userid, t, rawv, rn, n,
+      |         CAST(greatest(t - min(t) OVER ws, max(t) OVER ws - t) AS DOUBLE) AS d
+      |       FROM k WINDOW ws AS (PARTITION BY class, userid)),
+      |sums AS (
+      |  SELECT a.class, a.userid, a.t, a.rawv, a.rn, a.n,
+      |    sum(WEXPR) AS sw,
+      |    sum(b.t * WEXPR) AS sx,
+      |    sum(b.t * b.t * WEXPR) AS sxx,
+      |    sum(b.rawv * WEXPR) AS sy,
+      |    sum(b.rawv * b.t * WEXPR) AS sxy
+      |  FROM den a JOIN den b ON b.class = a.class AND b.userid = a.userid
+      |  GROUP BY 1, 2, 3, 4, 5, 6),
+      |sm AS (
+      |  SELECT class, userid, t, rawv, rn, n,
+      |    CASE WHEN n < 3 THEN rawv
+      |      WHEN sqrt(abs(sxx/sw - (sx/sw)*(sx/sw))) < 1e-12 THEN sy/sw
+      |      ELSE ((sxy/sw - (sx/sw)*(sy/sw)) / (sxx/sw - (sx/sw)*(sx/sw))) * t
+      |           + (sy/sw
+      |              - ((sxy/sw - (sx/sw)*(sy/sw)) / (sxx/sw - (sx/sw)*(sx/sw)))
+      |                * (sx/sw))
+      |    END AS v
+      |  FROM sums)""".stripMargin.replace("WEXPR", w)
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "w104_ws_filter_anyall" ->
+      s"""WITH g AS ($EV),
+         |a AS (SELECT class, userid, count(*) AS n,
+         |        max(CASE WHEN cents = 429 THEN 1 ELSE 0 END) AS eq429,
+         |        max(CASE WHEN cents < 500 THEN 1 ELSE 0 END) AS lt500
+         |      FROM g GROUP BY 1, 2)
+         |SELECT 'any_eq' AS which, class, userid, n FROM a WHERE eq429 = 1
+         |UNION ALL
+         |SELECT 'any_lt' AS which, class, userid, n FROM a WHERE lt500 = 1
+         |UNION ALL
+         |SELECT 'all_ge' AS which, class, userid, n FROM a WHERE lt500 = 0""".stripMargin,
+
+    "w105_ws_reduce_argmax" ->
+      s"""WITH $BUCKET_SQL,
+         |m AS (SELECT bts, u, c, max(c) OVER (PARTITION BY bts) AS mx FROM counts)
+         |SELECT bts AS ts, string_agg(u, ',' ORDER BY u) AS argmax_user
+         |FROM m WHERE c = mx GROUP BY bts""".stripMargin,
+
+    "w106_ws_bucketize_welford" ->
+      s"""WITH g AS ($EV)
+         |SELECT class, userid,
+         |  $LB - (($LB - ts) // $DAY) * $DAY AS ts,
+         |  round(stddev_samp(cents), 6) AS sd
+         |FROM g WHERE ts <= $LB GROUP BY 1, 2, 3 HAVING count(*) >= 2""".stripMargin,
+
+    "w107_ws_reduce_welford" ->
+      s"""WITH $BUCKET_SQL,
+         |nser AS (SELECT u, count(DISTINCT event_type) AS ns FROM pts GROUP BY 1),
+         |r AS (SELECT u, bts, round(var_samp(c), 6) AS v_all, count(*) AS m
+         |      FROM counts GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT r.u AS "user", r.bts AS ts, r.v_all,
+         |  CASE WHEN r.m = n.ns THEN r.v_all END AS v_forbid
+         |FROM r JOIN nser n USING (u)""".stripMargin,
+
+    "w108_ws_mapper_builders" ->
+      s"""WITH g AS ($EV)
+         |SELECT class, userid, ts,
+         |  (1.0/(10.0*sqrt(2.0*pi()))) *
+         |    exp(-1.0*(cents-50.0)*(cents-50.0)/200.0) AS npdf,
+         |  ln(greatest(cents, 1.0))/ln(10.0) AS lg,
+         |  least(cents, 90.0) AS clamped
+         |FROM g""".stripMargin,
+
+    "w109_ws_dotproduct" ->
+      s"""WITH g AS ($EV),
+         |w AS (SELECT class, userid, ts, cents,
+         |        lag(cents) OVER ww AS pv, lead(cents) OVER ww AS nv
+         |      FROM g WINDOW ww AS (PARTITION BY class, userid ORDER BY ts))
+         |SELECT class, userid, ts,
+         |  0.25*pv + 0.5*cents + 0.25*nv AS dot,
+         |  round(1.0/(1.0 + exp(-(0.001*pv + 0.001*cents + 0.001*nv))), 9) AS sig
+         |FROM w WHERE pv IS NOT NULL AND nv IS NOT NULL""".stripMargin,
+
+    "w110_ws_mean_circular" ->
+      s"""WITH g AS ($EV)
+         |SELECT class, userid,
+         |  $LB - (($LB - ts) // $DAY) * $DAY AS ts,
+         |  round(atan2(sum(sin(2.0*pi()*(cents/100.0))),
+         |              sum(cos(2.0*pi()*(cents/100.0)))) * 100.0 / (2.0*pi()),
+         |        6) AS circ
+         |FROM g WHERE ts <= $LB GROUP BY 1, 2, 3""".stripMargin,
+
+    "w111_ws_filler_lowess" -> {
+      val start = LB - 29 * DAY
+      val BUCKET_D = s"$LB - (($LB - ts) // $DAY) * $DAY"
+      s"""WITH RECURSIVE g AS ($EV),
+         |b AS (SELECT class, userid, (($BUCKET_D) - $start) // $DAY AS t,
+         |        avg(cents) AS rawv
+         |      FROM g WHERE ts <= $LB GROUP BY 1, 2, 3),
+         |k AS (SELECT class, userid, t, rawv,
+         |        row_number() OVER (PARTITION BY class, userid ORDER BY t) AS rn,
+         |        count(*) OVER (PARTITION BY class, userid) AS n
+         |      FROM b),
+         |$LOESS_SM,
+         |s AS (SELECT class, userid, t, v, rn, n,
+         |        CAST(t - lag(t) OVER w AS DOUBLE) AS hprev,
+         |        CAST(lead(t) OVER w - t AS DOUBLE) AS hcur,
+         |        (lead(v) OVER w - v) / CAST(lead(t) OVER w - t AS DOUBLE) AS slope
+         |      FROM sm WINDOW w AS (PARTITION BY class, userid ORDER BY t)),
+         |sd AS (SELECT *, 6.0 * (slope - lag(slope)
+         |         OVER (PARTITION BY class, userid ORDER BY t)) AS dd
+         |       FROM s),
+         |fwd AS (
+         |  SELECT class, userid, CAST(1 AS BIGINT) AS rn,
+         |    CAST(0 AS DOUBLE) AS cp, CAST(0 AS DOUBLE) AS dp
+         |  FROM k WHERE rn = 1 AND n >= 3
+         |  UNION ALL
+         |  SELECT x.class, x.userid, x.rn,
+         |    x.hcur / (2.0 * (x.hprev + x.hcur) - x.hprev * f.cp) AS cp,
+         |    (x.dd - x.hprev * f.dp)
+         |      / (2.0 * (x.hprev + x.hcur) - x.hprev * f.cp) AS dp
+         |  FROM fwd f JOIN sd x ON x.class = f.class AND x.userid = f.userid
+         |    AND x.rn = f.rn + 1
+         |  WHERE x.rn <= x.n - 1
+         |),
+         |bwd AS (
+         |  SELECT class, userid, CAST(n AS BIGINT) AS rn, CAST(0 AS DOUBLE) AS m
+         |  FROM k WHERE rn = 1 AND n >= 3
+         |  UNION ALL
+         |  SELECT w.class, w.userid, w.rn - 1, f.dp - f.cp * w.m
+         |  FROM bwd w JOIN fwd f ON f.class = w.class AND f.userid = w.userid
+         |    AND f.rn = w.rn - 1
+         |  WHERE w.rn >= 3
+         |),
+         |mm AS (SELECT sm.class, sm.userid, sm.t, coalesce(bwd.m, 0.0) AS m
+         |       FROM sm LEFT JOIN bwd ON bwd.class = sm.class
+         |         AND bwd.userid = sm.userid AND bwd.rn = sm.rn),
+         |series AS (SELECT DISTINCT class, userid FROM b),
+         |grid AS (SELECT s.class, s.userid, t.ts
+         |         FROM series s CROSS JOIN
+         |           (SELECT unnest(generate_series(0, 29)) AS ts) t),
+         |j AS (SELECT grid.class, grid.userid, grid.ts, sm.v, sm.rawv
+         |      FROM grid LEFT JOIN sm ON grid.class = sm.class
+         |        AND grid.userid = sm.userid AND grid.ts = sm.t),
+         |x AS (SELECT class, userid, ts, v, rawv,
+         |        last_value(v IGNORE NULLS) OVER wp AS pv,
+         |        last_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+         |          OVER wp AS pt,
+         |        first_value(v IGNORE NULLS) OVER wn AS nv,
+         |        first_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+         |          OVER wn AS nt
+         |      FROM j
+         |      WINDOW wp AS (PARTITION BY class, userid ORDER BY ts
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |        wn AS (PARTITION BY class, userid ORDER BY ts
+         |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+         |ev AS (SELECT x.class, x.userid, x.ts, x.v, x.rawv, x.pv, x.nv,
+         |         CAST(x.nt - x.pt AS DOUBLE) AS h,
+         |         CAST(x.nt - x.ts AS DOUBLE) AS u,
+         |         CAST(x.ts - x.pt AS DOUBLE) AS w2,
+         |         mp.m AS mi, mn2.m AS mn
+         |       FROM x
+         |       LEFT JOIN mm mp ON mp.class = x.class AND mp.userid = x.userid
+         |         AND mp.t = x.pt
+         |       LEFT JOIN mm mn2 ON mn2.class = x.class AND mn2.userid = x.userid
+         |         AND mn2.t = x.nt),
+         |res AS (SELECT class, userid, ts * $DAY + $start AS ts,
+         |  CASE WHEN rawv IS NOT NULL THEN rawv
+         |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+         |      (mi * u * u * u + mn * w2 * w2 * w2) / (6.0 * h)
+         |      + (pv / h - mi * h / 6.0) * u
+         |      + (nv / h - mn * h / 6.0) * w2
+         |  END AS filled
+         |FROM ev)
+         |SELECT class, userid, ts, round(filled, 6) AS filled
+         |FROM res WHERE filled IS NOT NULL""".stripMargin
+    },
+
+    "w112_ws_string_mappers" ->
+      """WITH src(ts, v) AS (VALUES (1, 'ab12'), (2, 'x9'), (3, 'zz'), (4, 'a7b')),
+        |fr(ts, v) AS (VALUES (1, '3,5'), (2, '10,25'))
+        |SELECT 'match' AS which, CAST(ts AS BIGINT) AS ts, v AS outv
+        |FROM src WHERE regexp_full_match(v, '[a-z]+[0-9]+')
+        |UNION ALL
+        |SELECT 'replace', CAST(ts AS BIGINT), regexp_replace(v, '[0-9]+', '#', 'g') FROM src
+        |UNION ALL
+        |SELECT 'const', CAST(ts AS BIGINT), 'K' FROM src
+        |UNION ALL
+        |SELECT 'parsed', CAST(ts AS BIGINT),
+        |  CAST(CAST(replace(v, ',', '.') AS DOUBLE) AS VARCHAR) FROM fr""".stripMargin,
+
+    "w113_ws_filter_meta" ->
+      s"""WITH g AS ($EV),
+         |ser AS (SELECT class, userid, count(*) AS n FROM g GROUP BY 1, 2)
+         |SELECT 'bysize' AS which, class, userid FROM ser WHERE n BETWEEN 5 AND 100
+         |UNION ALL
+         |SELECT 'bysel', class, userid FROM ser
+         |WHERE class = 'events.click' AND regexp_full_match(userid, '1.*')
+         |UNION ALL
+         |SELECT 'bymeta', class, userid FROM ser
+         |WHERE class = 'events.view' AND userid = '3'
+         |UNION ALL
+         |SELECT 'byattr', class, userid FROM ser WHERE class = 'events.error'""".stripMargin,
+
+    "w114_ws_latencies_word" ->
+      """WITH up(ts, v) AS (VALUES (1000, 11), (2000, 22), (3000, 33), (4000, 44)),
+        |d1(ts, v) AS (VALUES (1100, 11), (2600, 22), (3050, 33)),
+        |d2(ts, v) AS (VALUES (1200, 11), (4100, 44), (9000, 44)),
+        |d AS (SELECT 0 AS di, 'd1' AS cls, ts, v FROM d1
+        |      UNION ALL SELECT 1, 'd2', ts, v FROM d2),
+        |j AS (SELECT up.ts AS uts, d.di, d.ts - up.ts AS lat
+        |      FROM up LEFT JOIN d ON up.v = d.v
+        |        AND d.ts - up.ts BETWEEN 0 AND 1000),
+        |pu AS (SELECT uts, min(lat) AS mn, max(lat) AS mx,
+        |         count(lat) AS tot, count(DISTINCT di) AS wm,
+        |         coalesce(bit_or(CASE WHEN di IS NOT NULL
+        |           THEN CAST(1 AS BIGINT) << di END), 0) AS mask
+        |       FROM j GROUP BY 1),
+        |pd AS (SELECT di, uts, min(lat) AS mn, max(lat) AS mx,
+        |         count(*) AS c
+        |       FROM j WHERE di IS NOT NULL GROUP BY 1, 2),
+        |crossed AS (SELECT u.ts AS uts, dd.di, dd.cls
+        |            FROM up u CROSS JOIN (SELECT DISTINCT di, cls FROM d) dd)
+        |SELECT 'up:uplink.latency.min' AS class, CAST(uts AS BIGINT) AS ts,
+        |  CAST(coalesce(mn, -1) AS BIGINT) AS v FROM pu
+        |UNION ALL SELECT 'up:uplink.latency.max', CAST(uts AS BIGINT),
+        |  CAST(coalesce(mx, -1) AS BIGINT) FROM pu
+        |UNION ALL SELECT 'up:downlinks.totalmatches', CAST(uts AS BIGINT),
+        |  CAST(tot AS BIGINT) FROM pu
+        |UNION ALL SELECT 'up:downlinks.withmatches', CAST(uts AS BIGINT),
+        |  CAST(wm AS BIGINT) FROM pu
+        |UNION ALL SELECT 'up:downlinks.bitset', CAST(uts AS BIGINT),
+        |  CAST(mask AS BIGINT) FROM pu
+        |UNION ALL SELECT c.cls || ':downlink.latency.min', CAST(c.uts AS BIGINT),
+        |  CAST(coalesce(pd.mn, -1) AS BIGINT)
+        |FROM crossed c LEFT JOIN pd ON pd.di = c.di AND pd.uts = c.uts
+        |UNION ALL SELECT c.cls || ':downlink.latency.max', CAST(c.uts AS BIGINT),
+        |  CAST(coalesce(pd.mx, -1) AS BIGINT)
+        |FROM crossed c LEFT JOIN pd ON pd.di = c.di AND pd.uts = c.uts
+        |UNION ALL SELECT c.cls || ':downlink.matches', CAST(c.uts AS BIGINT),
+        |  CAST(coalesce(pd.c, 0) AS BIGINT)
+        |FROM crossed c LEFT JOIN pd ON pd.di = c.di AND pd.uts = c.uts""".stripMargin,
+
+    "w115_ws_join_urlencoded" ->
+      s"""WITH $BUCKET_SQL,
+         |nser AS (SELECT u, count(DISTINCT event_type) AS ns FROM pts GROUP BY 1),
+         |r AS (SELECT u, bts,
+         |        string_agg(CAST(c AS VARCHAR), '|'
+         |          ORDER BY CAST(c AS VARCHAR)) AS joined,
+         |        count(*) AS m
+         |      FROM counts GROUP BY 1, 2)
+         |SELECT r.u AS "user", r.bts AS ts, r.joined
+         |FROM r JOIN nser n USING (u) WHERE r.m = n.ns""".stripMargin,
+  )
+}
