@@ -220,6 +220,21 @@ object WsQueries5 {
       engine(s, dir, cents = false).runToFrame(
         s"[ $BUCKETS [ 'user' ] '|' reducer.join.urlencoded ] REDUCE")
         .select(col("user"), col("ts"), col("vdouble").as("joined"))),
+
+    // byte-compatible UNWRAP of a REFERENCE-wire GTSWrapper blob
+    // (sources/WrapperCodec.scala): the OPB64 literal below is the
+    // WrapperCodecSpec hand-assembled fixture — thrift-compact
+    // GTSWrapper{t.s, {u:1}} over a GTSEncoder stream with raw/delta/
+    // identical long and IEEE754 double points (GTSEncoder.java flag
+    // layout documented byte-by-byte in the spec)
+    "w116_ws_unwrap_refblob" -> ((s, dir) => {
+      val e = engine(s, dir, cents = false)
+      val blob = "60V2S1tn5k57.MJ0BF0c55k........2u4F8o.wJo.x.2........0N5.."
+      e.runToFrame(s"'$blob' UNWRAP")
+        .select(col("class"), col("labels").getItem("u").as("u"), col("ts"),
+          coalesce(col("vdouble"),
+            col("vlong").cast("double")).as("v"))
+    }),
   )
 
   /** Loess smoothing CTE over the daily-mean knots: whole-window
@@ -468,6 +483,10 @@ object WsQueries5 {
         |UNION ALL SELECT c.cls || ':downlink.matches', CAST(c.uts AS BIGINT),
         |  CAST(coalesce(pd.c, 0) AS BIGINT)
         |FROM crossed c LEFT JOIN pd ON pd.di = c.di AND pd.uts = c.uts""".stripMargin,
+
+    "w116_ws_unwrap_refblob" ->
+      """SELECT 't.s' AS class, '1' AS u, CAST(ts AS BIGINT) AS ts, v
+        |FROM (VALUES (1000, 42.0), (2000, 42.0), (3000, 3.5)) t(ts, v)""".stripMargin,
 
     "w115_ws_join_urlencoded" ->
       s"""WITH $BUCKET_SQL,

@@ -650,6 +650,16 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       case df: org.apache.spark.sql.DataFrame @unchecked
           if df.columns.contains("blob") =>
         st.push(GtsFrame(graft.sources.GtsCodec.unwrap(df)))
+      // reference wire format (fn/UNWRAP.java): OPB64 string or raw
+      // thrift bytes of a GTSWrapper — real Warp 10 WRAP exports load
+      // byte-compatibly (sources/WrapperCodec.scala)
+      case s: String => st.push(WordsFramesBlock.wrapperBuilder(
+        graft.sources.WrapperCodec.unwrapString(s)))
+      case b: Array[Byte] => st.push(WordsFramesBlock.wrapperBuilder(
+        graft.sources.WrapperCodec.unwrapBytes(b)))
+      case l: Vector[Any @unchecked] if l.forall(_.isInstanceOf[String]) =>
+        st.push(l.map(s => WordsFramesBlock.wrapperBuilder(
+          graft.sources.WrapperCodec.unwrapString(s.asInstanceOf[String])): Any))
       case o => throw new IllegalArgumentException(s"UNWRAP on $o")
     }
     // SNAPSHOT (fn/SNAPSHOT.java): render the top of the stack as a
@@ -1173,4 +1183,19 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
     true
   }
   // scalastyle:on cyclomatic.complexity method.length
+}
+
+private[script] object WordsFramesBlock {
+  /** Reference-wrapper decode → GtsBuilder: delete tombstones are
+    * skipped (a frame carries no deletions), GeoXPPoint locations
+    * resolve to cell-center lat/lon via GeoFunctions.fromHHCode. */
+  def wrapperBuilder(decoded: (graft.sources.WrapperCodec.Wrapper,
+      Vector[graft.sources.WrapperCodec.WPoint])): WarpScriptEngine.GtsBuilder = {
+    val (w, pts) = decoded
+    WarpScriptEngine.GtsBuilder(w.name, w.labels,
+      pts.filter(_.value != null).map { p =>
+        (p.ts, p.location.map(graft.functions.GeoFunctions.fromHHCode),
+          p.elevation, p.value)
+      })
+  }
 }

@@ -419,6 +419,10 @@ private[script] object WordsGts2 {
     case f: GtsFrame => graft.sources.GtsCodec.unwrap(f.df)
     case df: org.apache.spark.sql.DataFrame @unchecked if df.columns.contains("blob") =>
       graft.sources.GtsCodec.unwrap(df)
+    // reference OPB64 wrapper string (fn/UNWRAPSIZE.java operates on
+    // the same wire blobs as UNWRAP) — WrapperCodec byte-compat path
+    case s: String => en.materialize(WordsFramesBlock.wrapperBuilder(
+      graft.sources.WrapperCodec.unwrapString(s))).df
     case o => throw new IllegalArgumentException(s"unwrap on $o")
   }
 
