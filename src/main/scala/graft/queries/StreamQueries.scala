@@ -184,6 +184,55 @@ object StreamQueries {
       releaseStreamingResources()
       s.read.parquet(outP)
     }),
+
+    // s05: Plasma subscription (StandalonePlasmaHandler.java:153-180
+    // — a selector registered on the live point stream, every
+    // in-scope point delivered to the subscriber). A REAL AvailableNow
+    // run: line-protocol file stream → parseStream → subscribe's
+    // selector predicate → parquet sink, hash-matched against the
+    // batch selector filter over the same events.
+    "s05_stream_plasma" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-s05-").toString
+      val in = s"$tmp/in"; val outP = s"$tmp/out"; val ck = s"$tmp/ck"
+      val src = Gts.fromEvents(s, dir)
+      graft.sources.Formats.toGtsLines(src).coalesce(1).write.text(in)
+      val parsed = StreamingIngest.parseStream(s.readStream.text(in), now = 0L)
+      val sub = StreamingIngest.subscribe(parsed,
+        "~events\\.(click|view){user~1.*}")
+      val q = sub.writeStream.format("parquet").option("path", outP)
+        .option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      releaseStreamingResources()
+      s.read.parquet(outP)
+        .select(col("class"), userid, col("ts"), col("vdouble"))
+    }),
+
+    // s06: Mobius periodic query push (EgressMobiusHandler.java:78-140
+    // — a query re-executed per period, results pushed to the
+    // subscriber). The push callback IS the subscriber delivery
+    // surface, so its collect is the protocol, not a data path; one
+    // drained AvailableNow batch makes the pushed result the full
+    // per-class count, hash-matched against the batch aggregation.
+    "s06_stream_mobius" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-s06-").toString
+      val in = s"$tmp/in"; val ck = s"$tmp/ck"
+      val src = Gts.fromEvents(s, dir)
+      graft.sources.Formats.toGtsLines(src).coalesce(1).write.text(in)
+      val parsed = StreamingIngest.parseStream(s.readStream.text(in), now = 0L)
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      val q = StreamingIngest.mobius(parsed, "1 second",
+          df => df.groupBy(col("class")).agg(count(lit(1)).as("n"))) {
+          (res, _) =>
+            acc ++= res.collect().map(r => (r.getString(0), r.getLong(1)))
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      releaseStreamingResources()
+      import s.implicits._
+      acc.toSeq.toDF("class", "n")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -191,6 +240,18 @@ object StreamQueries {
     "s01_stream_ingest" ->
       s"""WITH g AS ($EV)
          |SELECT class, userid, ts, vdouble FROM g""".stripMargin,
+
+    // the subscription = the batch selector filter
+    "s05_stream_plasma" ->
+      s"""WITH g AS ($EV)
+         |SELECT class, userid, ts, vdouble FROM g
+         |WHERE regexp_full_match(class, 'events\\.(click|view)')
+         |  AND regexp_full_match(userid, '1.*')""".stripMargin,
+
+    // one drained batch → the pushed result is the full per-class count
+    "s06_stream_mobius" ->
+      s"""WITH g AS ($EV)
+         |SELECT class, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1""".stripMargin,
 
     // batch twin of the watermark rules (see s03 Scaladoc): the final
     // watermark derives from the FIRST batch only (even users), Spark
