@@ -153,6 +153,32 @@ object Bench {
     spark.stop()
   }
 
+  /** Boot identity: /proc/stat btime (epoch seconds). Host speed
+    * varies up to ~1.4x between firecracker boots on identical code
+    * (SCALE.md:145), so cross-artifact comparisons are only valid
+    * same-boot — the artifact now carries its own boot id. */
+  private def bootTime: Long =
+    try scala.io.Source.fromFile("/proc/stat").getLines()
+      .collectFirst { case l if l.startsWith("btime ") => l.drop(6).trim.toLong }
+      .getOrElse(-1L)
+    catch { case _: Throwable => -1L }
+
+  /** Calibration triplet: three timed runs of a fixed pure-CPU
+    * workload (SHA-256 over 32 MiB) — a Spark-free measure of this
+    * boot's host speed, so artifacts from different boots can be
+    * ratio-normalized without guessing. */
+  private def calibrate(): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val buf = new Array[Byte](1 << 20)
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 32) { md.update(buf); i += 1 }
+      md.digest()
+      (System.nanoTime() - t0) / 1e9
+    }
+  }
+
   private def printLine(results: Seq[(String, Double)]): Unit = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -160,9 +186,10 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val calib = calibrate().map(v => f"$v%.4f").mkString("[", ",", "]")
     // queries first, scalar summary last: harness log capture keeps the
     // TAIL of long lines, so the headline total must sit at the end
-    val line = s"""{"queries":$qs,"errors":$errs,"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir"}"""
+    val line = s"""{"queries":$qs,"errors":$errs,"btime":$bootTime,"calib":$calib,"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir"}"""
     println(line)
     // Also drop a machine-readable copy: the round-5 artifact stored
     // "parsed": null because sbt's [success] epilogue was the last line.

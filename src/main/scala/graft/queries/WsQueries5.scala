@@ -235,6 +235,16 @@ object WsQueries5 {
           coalesce(col("vdouble"),
             col("vlong").cast("double")).as("v"))
     }),
+
+    // WRAP word → reference-wire OPB64 strings → UNWRAP, end-to-end on
+    // fetched data (fn/WRAP.java stack contract: one string per
+    // series): the round-trip must reproduce the fetched points
+    "w117_ws_wrap_roundtrip" -> ((s, dir) => {
+      val e = engine(s, dir, cents = false)
+      e.runToFrame(
+        s"[ '' '~events\\..*' { 'user' '3' } $LB ${LB + 1} ] FETCH WRAP UNWRAP")
+        .select(col("class"), userid, col("ts"), col("vdouble"))
+    }),
   )
 
   /** Loess smoothing CTE over the daily-mean knots: whole-window
@@ -487,6 +497,10 @@ object WsQueries5 {
     "w116_ws_unwrap_refblob" ->
       """SELECT 't.s' AS class, '1' AS u, CAST(ts AS BIGINT) AS ts, v
         |FROM (VALUES (1000, 42.0), (2000, 42.0), (3000, 3.5)) t(ts, v)""".stripMargin,
+
+    "w117_ws_wrap_roundtrip" ->
+      s"""WITH g AS ($EV)
+         |SELECT class, userid, ts, vdouble FROM g WHERE userid = '3'""".stripMargin,
 
     "w115_ws_join_urlencoded" ->
       s"""WITH $BUCKET_SQL,

@@ -196,11 +196,12 @@ object WordsExt6 {
         }
 
       // ---- GOLDWRAP (fn/GOLDWRAP.java): canonical ("gold") wrapper —
-      // fullsorted, optimized encoding. Our WRAP already encodes the
-      // tick-sorted canonical stream (GtsCodec.wrap sort_array), so the
-      // gold form IS the wrap form here.
+      // fullsorted, optimized encoding. The WRAP emit path already
+      // sorts points and labels canonically, so the gold form IS the
+      // wrap form here — one deterministic OPB64 wire string.
       case "GOLDWRAP" =>
-        st.push(graft.sources.GtsCodec.wrap(en.toFrame(st.pop()).df))
+        st.push(WordsFramesBlock.wrapOf(st.pop(), raw = false, mv = false,
+          en.toFrame))
 
       case _ => return false
     }

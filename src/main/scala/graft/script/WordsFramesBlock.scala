@@ -642,9 +642,14 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       val nb = st.popLong().toInt; val lb = st.popLong(); val span = st.popLong()
       st.push(GtsFrame(graft.operators.StatOps.polyFit2(toFrame(st.pop()),
         span, lb, nb)))
-    // WRAP/UNWRAP (fn/WRAP.java, fn/UNWRAP.java): frame → per-series
-    // binary blobs and back (graft.sources.GtsCodec varint/delta codec)
-    case "WRAP" => st.push(graft.sources.GtsCodec.wrap(toFrame(st.pop()).df))
+    // WRAP/UNWRAP (fn/WRAP.java, fn/UNWRAP.java): the REFERENCE stack
+    // contract — one OPB64 wire-format wrapper string per series
+    // (sources/WrapperCodec.scala, byte-compatible), lists wrap
+    // element-wise. The whole series lands on the stack, so this is a
+    // bounded driver collect (accessor-cap contract); the distributed
+    // at-rest path stays graft.sources.GtsCodec.wrap over frames.
+    case "WRAP" =>
+      st.push(WordsFramesBlock.wrapOf(st.pop(), raw = false, mv = false, toFrame))
     case "UNWRAP" => st.pop() match {
       case f: GtsFrame => st.push(GtsFrame(graft.sources.GtsCodec.unwrap(f.df)))
       case df: org.apache.spark.sql.DataFrame @unchecked
@@ -1186,16 +1191,80 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
 }
 
 private[script] object WordsFramesBlock {
+  import graft.sources.WrapperCodec
+
   /** Reference-wrapper decode → GtsBuilder: delete tombstones are
     * skipped (a frame carries no deletions), GeoXPPoint locations
     * resolve to cell-center lat/lon via GeoFunctions.fromHHCode. */
-  def wrapperBuilder(decoded: (graft.sources.WrapperCodec.Wrapper,
-      Vector[graft.sources.WrapperCodec.WPoint])): WarpScriptEngine.GtsBuilder = {
+  def wrapperBuilder(decoded: (WrapperCodec.Wrapper,
+      Vector[WrapperCodec.WPoint])): WarpScriptEngine.GtsBuilder = {
     val (w, pts) = decoded
     WarpScriptEngine.GtsBuilder(w.name, w.labels,
       pts.filter(_.value != null).map { p =>
         (p.ts, p.location.map(graft.functions.GeoFunctions.fromHHCode),
           p.elevation, p.value)
       })
+  }
+
+  /** WRAP word emit path: collect the frame's series into
+    * (class, labels, points) triples for [[WrapperCodec]] — the
+    * reference stack contract puts the WHOLE series blob on the stack,
+    * so this is a driver collect with the accessor words' bounded-cap
+    * guard (WordsGts.collectGuard). Series and points sort
+    * canonically so the emitted strings are deterministic. */
+  def collectWrapSeries(df: org.apache.spark.sql.DataFrame)
+      : Vector[(String, Map[String, String], Vector[WrapperCodec.WPoint])] = {
+    import graft.model.GtsType
+    WordsGts.collectGuard(df, "WRAP")
+    val rows = df.select(col("class"), col("labels"), col("ts"),
+      col("lat"), col("lon"), col("elev"), col("vtype"), col("vlong"),
+      col("vdouble"), col("vbool"), col("vstring"), col("vbinary")).collect()
+    rows.toVector.map { r =>
+      val v: Any = r.getByte(6) match {
+        case GtsType.LONG => r.getLong(7)
+        case GtsType.DOUBLE => r.getDouble(8)
+        case GtsType.BOOLEAN => r.getBoolean(9)
+        case GtsType.STRING => r.getString(10)
+        case _ => r.getAs[Array[Byte]](11)
+      }
+      val loc = if (r.isNullAt(3) || r.isNullAt(4)) None
+        else Some(graft.functions.GeoFunctions.toHHCode(r.getDouble(3), r.getDouble(4)))
+      val elev = if (r.isNullAt(5)) None else Some(r.getLong(5))
+      val labels = r.getAs[Map[String, String]](1)
+      (r.getString(0), labels, WrapperCodec.WPoint(r.getLong(2), loc, elev, v))
+    }.groupBy(t => (t._1, t._2)).toVector
+      .map { case ((cls, labels), pts) =>
+        (cls, labels, pts.map(_._3).sortBy(p => (p.ts, String.valueOf(p.value))))
+      }
+      .sortBy { case (cls, labels, _) =>
+        (cls, labels.toSeq.sortBy(_._1).map { case (k, vv) => k + " " + vv }
+          .mkString(""))
+      }
+  }
+
+  /** One stack value per the reference WRAP contract: a single series
+    * → one string (or bytes), several series → a LIST. */
+  def wrapValue(series: Vector[(String, Map[String, String],
+      Vector[WrapperCodec.WPoint])], raw: Boolean, mv: Boolean): Any = {
+    val outs: Vector[Any] = series.map { case (cls, labels, pts) =>
+      val bytes = WrapperCodec.wrapBytes(cls, labels, pts, includeMeta = !mv)
+      if (raw) bytes else WrapperCodec.opb64Encode(bytes)
+    }
+    if (outs.length == 1) outs.head else outs
+  }
+
+  /** WRAP family dispatch on the stack value (fn/WRAP.java
+    * ElementStackFunction: element-wise on lists). */
+  def wrapOf(v: Any, raw: Boolean, mv: Boolean,
+      toFrame: Any => graft.operators.GtsFrame): Any = v match {
+    case b: WarpScriptEngine.GtsBuilder =>
+      wrapValue(Vector((b.cls, b.labels,
+        b.points.map { case (ts, loc, elev, value) =>
+          WrapperCodec.WPoint(ts,
+            loc.map { case (la, lo) => graft.functions.GeoFunctions.toHHCode(la, lo) },
+            elev, value)
+        })), raw, mv)
+    case l: Vector[Any @unchecked] => l.map(x => wrapOf(x, raw, mv, toFrame))
+    case other => wrapValue(collectWrapSeries(toFrame(other).df), raw, mv)
   }
 }

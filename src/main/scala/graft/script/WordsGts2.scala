@@ -111,12 +111,16 @@ private[script] object WordsGts2 {
         val data = en.popBytes(st)
         st.push(unpackBits(fmt, data))
 
-      // ---- WRAP variants (fn/WRAPFAST.java, WRAPOPT, WRAPRAW, WRAPMV:
-      // all produce the same self-describing blob in this codec — the
-      // options tune the reference's serializer, not the content)
+      // ---- WRAP variants (fn/WRAPFAST.java, WRAPOPT, WRAPRAW, WRAPMV):
+      // all emit the REFERENCE wire format (WrapperCodec); RAW forms
+      // push bytes, MV forms drop metadata+count (WRAP.java mv=true).
+      // The opt/fast distinction tunes the reference serializer's
+      // compression effort, not the decoded content.
       case "WRAPFAST" | "WRAPOPT" | "WRAPRAW" | "WRAPRAWOPT" | "WRAPMV" |
            "WRAPFASTRAW" | "WRAPMV!" =>
-        st.push(graft.sources.GtsCodec.wrap(en.toFrame(st.pop()).df))
+        st.push(WordsFramesBlock.wrapOf(st.pop(),
+          raw = w.contains("RAW"), mv = w.startsWith("WRAPMV"),
+          en.toFrame))
       // UNWRAPEMPTY: metadata only (an empty gts with the blob's meta);
       // UNWRAPSIZE: the number of points in the blob
       case "UNWRAPEMPTY" =>

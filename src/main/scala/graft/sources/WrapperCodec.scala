@@ -258,22 +258,26 @@ object WrapperCodec {
     }
   }
 
-  def writeWrapper(w: Wrapper): Array[Byte] = {
+  /** `includeMeta=false` is the WRAPMV form (fn/WRAP.java mv=true:
+    * wrapper.unsetMetadata + unsetCount before serializing). */
+  def writeWrapper(w: Wrapper, includeMeta: Boolean = true): Array[Byte] = {
     val out = new ByteArrayOutputStream
     val wr = new CompactWriter(out)
-    // field 1: Metadata struct
-    wr.field(1, 12)
-    val meta = new CompactWriter(out)
-    meta.field(1, 8); meta.str(w.name)
-    meta.strMap(2, w.labels)
-    if (w.attributes.nonEmpty) meta.strMap(5, w.attributes)
-    meta.stop()
+    if (includeMeta) {
+      // field 1: Metadata struct
+      wr.field(1, 12)
+      val meta = new CompactWriter(out)
+      meta.field(1, 8); meta.str(w.name)
+      meta.strMap(2, w.labels)
+      if (w.attributes.nonEmpty) meta.strMap(5, w.attributes)
+      meta.stop()
+    }
     if (w.lastbucket != 0) wr.i64(2, w.lastbucket)
     if (w.bucketspan != 0) wr.i64(3, w.bucketspan)
     if (w.bucketcount != 0) wr.i64(4, w.bucketcount)
     if (w.base != 0) wr.i64(6, w.base)
     wr.binary(7, w.encoded)
-    wr.i64(8, w.count)
+    if (includeMeta) wr.i64(8, w.count)
     if (w.compressed) wr.bool(9, true)
     if (w.compressionPasses > 1) wr.i32(10, w.compressionPasses)
     wr.stop()
@@ -572,10 +576,10 @@ object WrapperCodec {
     unwrapBytes(opb64Decode(opb64))
 
   /** Emit a reference-format wrapper (`WRAP` semantics: compress=true
-    * single pass when it helps). */
+    * single pass when it helps; `includeMeta=false` = WRAPMV). */
   def wrapBytes(name: String, labels: Map[String, String],
       points: Seq[WPoint], base: Long = 0L,
-      compress: Boolean = true): Array[Byte] = {
+      compress: Boolean = true, includeMeta: Boolean = true): Array[Byte] = {
     val encoded = encodePoints(points, base)
     val (body, compressed) =
       if (compress) {
@@ -583,7 +587,7 @@ object WrapperCodec {
         if (z.length < encoded.length) (z, true) else (encoded, false)
       } else (encoded, false)
     writeWrapper(Wrapper(name, labels, Map.empty, base, body,
-      points.length.toLong, compressed, 1, 0L, 0L, 0L))
+      points.length.toLong, compressed, 1, 0L, 0L, 0L), includeMeta)
   }
 
   def wrapString(name: String, labels: Map[String, String],

@@ -128,9 +128,13 @@ class WsInfraWordsSpec extends SparkSpec {
     assert(eng.run("<% 'cap' CAPEXPORT 1 %> [] GUARD") == List(1L))
   }
 
-  test("GOLDWRAP produces the canonical wrapper rows") {
+  test("GOLDWRAP produces a deterministic reference-wire wrapper string") {
     val out = eng.run(s"$F GOLDWRAP").head
-    val df = out.asInstanceOf[org.apache.spark.sql.DataFrame]
-    assert(df.count() == 1L && df.columns.contains("blob"))
+    val s1 = out.asInstanceOf[String]
+    // deterministic: re-running yields the identical string, and it
+    // decodes through the byte-compat codec
+    assert(eng.run(s"$F GOLDWRAP").head == s1)
+    val (w, pts) = graft.sources.WrapperCodec.unwrapString(s1)
+    assert(pts.nonEmpty && w.name.nonEmpty)
   }
 }
