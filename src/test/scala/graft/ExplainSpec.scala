@@ -175,4 +175,53 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  // ---- round-7 registry-tail operators ------------------------------
+
+  private def tinyGts = {
+    import spark.implicits._
+    graft.model.Gts.canonical((1 to 40).map { i =>
+      ("m" + (i % 3), (i % 5).toString, i.toLong, (i * 7 % 11).toDouble)
+    }.toDF("class", "user", "ts", "vdouble").select(
+      col("class"), map(lit("user"), col("user")).as("labels"), col("ts"),
+      lit(null).cast("double").as("lat"), lit(null).cast("double").as("lon"),
+      lit(null).cast("bigint").as("elev"),
+      lit(graft.model.GtsType.DOUBLE).cast("tinyint").as("vtype"),
+      lit(null).cast("bigint").as("vlong"), col("vdouble"),
+      lit(null).cast("boolean").as("vbool"),
+      lit(null).cast("string").as("vstring"),
+      lit(null).cast("binary").as("vbinary")))
+  }
+
+  test("filterSeries anyPred: one aggregation + broadcast semi-join, " +
+    "no cartesian (FilterAny at scale)") {
+    val f = graft.operators.GtsFrame(tinyGts)
+      .filterSeries(lit(true), Some(col("vdouble") > 5.0), negate = false)
+    val p = plan(f.toDF)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("reduceArg: a single hash aggregation, no window, no join") {
+    val df = graft.operators.GtsFrame(tinyGts)
+      .reduceArg("user", 0, isArgmin = false, Seq.empty)
+    val p = plan(df)
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"))
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+  }
+
+  test("latencyFilterSeries: value-equality keys carry the join — " +
+    "never a cartesian") {
+    val f = graft.operators.GtsFrame(tinyGts)
+    val up = graft.operators.GtsFrame(tinyGts.filter(col("class") === "m0"))
+    val d1 = graft.operators.GtsFrame(tinyGts.filter(col("class") === "m1"))
+    val out = up.latencyFilterSeries(Seq(d1), 0L, 1000L,
+      Seq("uplink.latency.min", "downlink.matches"))
+    val p = plan(out)
+    assert(!p.contains("CartesianProduct"))
+    // the only nested-loop allowed is the bounded downlink-meta cross
+    // (one row per downlink); the point-level join must be equality-keyed
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"))
+  }
+
 }
