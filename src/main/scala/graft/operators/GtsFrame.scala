@@ -277,7 +277,12 @@ final case class GtsFrame(df: DataFrame) {
         lit(null).cast(BooleanType).as("vbool"),
         lit(null).cast(StringType).as("vstring"),
         lit(null).cast(BinaryType).as("vbinary"))
-    val perUp = j.groupBy(col("__uc"), col("__ul"), col("uts")).agg(
+    // the uplink is ONE series (the reference returns null otherwise —
+    // enforced at the word branch), so class/labels are constants:
+    // group by the tick alone and carry them with first() — a MAP
+    // column must never be a grouping key
+    val perUp = j.groupBy(col("uts")).agg(
+      first(col("__uc")).as("__uc"), first(col("__ul")).as("__ul"),
       min(lat).as("__lmin"), max(lat).as("__lmax"),
       count(col("dts")).as("__total"),
       countDistinct(col("di")).as("__withm"),
@@ -895,6 +900,21 @@ object GtsFrame {
     def column(v: Column, ts: Column): Column = f(v)
   }
 
+  /** ValueAgg collecting the group's VALUES once, post-processed by a
+    * scalar expression — the collect is the SINGLE aggregate, so the
+    * window form attaches the spec to it directly. A compound
+    * expression relying on the default `over` would leave its inner
+    * aggregates outside the window (MISSING_GROUP_BY); every
+    * non-single-aggregate ValueAgg must route through this or define
+    * its own window form (the arrayBased/geo pattern below). */
+  private def valueArrayBased(post: Column => Column,
+      pre: Column => Column = identity): ValueAgg = new ValueAgg {
+    def column(v: Column, ts: Column): Column = post(collect_list(pre(v)))
+    override def over(v: Column, ts: Column,
+        w: org.apache.spark.sql.expressions.WindowSpec): Column =
+      post(collect_list(pre(v)).over(w))
+  }
+
   val Sum: ValueAgg     = simple(sum)
   val Mean: ValueAgg    = simple(avg)
   val Min: ValueAgg     = simple(min)
@@ -905,7 +925,12 @@ object GtsFrame {
   val Var: ValueAgg     = simple(var_samp)
   val VarPop: ValueAgg  = simple(var_pop)
   val Median: ValueAgg  = simple(c => median(c))
-  val Rms: ValueAgg     = simple(c => sqrt(avg(c * c)))
+  val Rms: ValueAgg = new ValueAgg {
+    def column(v: Column, ts: Column): Column = sqrt(avg(v * v))
+    override def over(v: Column, ts: Column,
+        w: org.apache.spark.sql.expressions.WindowSpec): Column =
+      sqrt(avg(v * v).over(w))
+  }
   val First: ValueAgg = new ValueAgg { // value at earliest tick (aggregator/First.java)
     def column(v: Column, ts: Column): Column = min_by(v, ts)
   }
@@ -914,19 +939,27 @@ object GtsFrame {
   }
   val Delta: ValueAgg = new ValueAgg { // last - first (aggregator/Delta.java)
     def column(v: Column, ts: Column): Column = max_by(v, ts) - min_by(v, ts)
+    override def over(v: Column, ts: Column,
+        w: org.apache.spark.sql.expressions.WindowSpec): Column =
+      max_by(v, ts).over(w) - min_by(v, ts).over(w)
   }
   val Rate: ValueAgg = new ValueAgg { // delta / Δt-seconds (aggregator/Rate.java)
     def column(v: Column, ts: Column): Column =
       when(max(ts) > min(ts),
         (max_by(v, ts) - min_by(v, ts)) / ((max(ts) - min(ts)) / lit(1000000.0)))
+    override def over(v: Column, ts: Column,
+        w: org.apache.spark.sql.expressions.WindowSpec): Column =
+      when(max(ts).over(w) > min(ts).over(w),
+        (max_by(v, ts).over(w) - min_by(v, ts).over(w)) /
+          ((max(ts).over(w) - min(ts).over(w)) / lit(1000000.0)))
   }
   /** aggregator/Percentile.java DEFAULT (Hyndman-Fan type 1, nearest
     * rank): the smallest value whose cumulative probability >= p/100 —
     * exact, like the reference. Collects the group into a sorted array,
     * so groups must be bounded (per-series buckets/windows are); for
     * huge unbounded groups use [[PercentileApprox]], the sketch path. */
-  def Percentile(p: Double): ValueAgg = simple { c =>
-    val xs = sort_array(collect_list(c))
+  def Percentile(p: Double): ValueAgg = valueArrayBased { arr =>
+    val xs = sort_array(arr)
     element_at(xs, greatest(ceil(lit(p / 100.0) * size(xs)), lit(1))
       .cast(org.apache.spark.sql.types.IntegerType))
   }
@@ -934,8 +967,8 @@ object GtsFrame {
     * (both medians interpolated, like g22's two-phase oracle), as a
     * SINGLE array-based exact aggregate — same bounded-group contract
     * as [[Percentile]]. */
-  val Mad: ValueAgg = simple { c =>
-    val xs = sort_array(collect_list(c))
+  val Mad: ValueAgg = valueArrayBased { arr =>
+    val xs = sort_array(arr)
     val n = size(xs)
     def idx(e: Column) = e.cast(org.apache.spark.sql.types.IntegerType)
     def med(arr: Column) =
@@ -958,19 +991,27 @@ object GtsFrame {
     * urlencode=true, nullString="" — absent-member "" entries don't
     * materialize here because an absent member has no row; callers pin
     * fixtures with all members present). */
-  def JoinAgg(sep: String, urlencode: Boolean = false): ValueAgg = simple { c =>
-    val s = c.cast(StringType)
-    array_join(array_sort(collect_list(if (urlencode) url_encode(s) else s)), sep)
-  }
+  def JoinAgg(sep: String, urlencode: Boolean = false): ValueAgg =
+    valueArrayBased(arr => array_join(array_sort(arr), sep),
+      pre = { c =>
+        val s = c.cast(StringType)
+        if (urlencode) url_encode(s) else s
+      })
 
   /** bucketizer/mapper/reducer.mean.circular (aggregator/
     * CircularMean.java:100-175): values map to angles v·2π/period, the
     * mean is atan2(Σsin, Σcos) scaled back by period/2π — result in
     * (-period/2, period/2]. Null members: the reference's forbidNulls
     * flag rides on [[graft.script.WarpScriptEngine.AggVal]]. */
-  def CircularMeanAgg(period: Double): ValueAgg = simple { c =>
-    val ang = lit(math.Pi * 2.0) * (c / lit(period))
-    atan2(sum(sin(ang)), sum(cos(ang))) * lit(period) / lit(2.0 * math.Pi)
+  def CircularMeanAgg(period: Double): ValueAgg = new ValueAgg {
+    private def ang(c: Column) = lit(math.Pi * 2.0) * (c / lit(period))
+    private def post(s: Column, co: Column) =
+      atan2(s, co) * lit(period) / lit(2.0 * math.Pi)
+    def column(v: Column, ts: Column): Column =
+      post(sum(sin(ang(v))), sum(cos(ang(v))))
+    override def over(v: Column, ts: Column,
+        w: org.apache.spark.sql.expressions.WindowSpec): Column =
+      post(sum(sin(ang(v))).over(w), sum(cos(ang(v))).over(w))
   }
 
   /** mapper.dotproduct[.sigmoid|.tanh|.positive] (mapper/
@@ -1014,8 +1055,8 @@ object GtsFrame {
     * ln(n) over the n non-null values; n==1 → 0 (or 1 for the inverted
     * `.1` form); zero counts skipped. The collected array is sorted so
     * the fp summation order is deterministic under any partitioning. */
-  def Entropy(invert: Boolean): ValueAgg = simple { c =>
-    val xs = sort_array(collect_list(c))
+  def Entropy(invert: Boolean): ValueAgg = valueArrayBased { arr =>
+    val xs = sort_array(arr)
     val n = size(xs)
     val s = aggregate(xs, lit(0.0), (a, x) => a + x)
     val h = aggregate(xs, lit(0.0), (a, x) =>

@@ -329,6 +329,10 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
           require(operands.length >= 2,
             "filter.latencies expects [ [uplink] [downlink]... ]")
           val up = toFrame(operands.head)
+          // LatencyFilter.java:209: the first operand list must hold
+          // exactly one series
+          require(up.df.select(col("gtsid")).distinct().limit(2).count() == 1,
+            "filter.latencies expects exactly one uplink series")
           val downs = operands.tail.flatMap {
             case v: Vector[Any @unchecked] => v.map(toFrame)
             case o => Seq(toFrame(o))

@@ -211,9 +211,10 @@ class ExplainSpec extends SparkSpec {
 
   test("latencyFilterSeries: value-equality keys carry the join — " +
     "never a cartesian") {
-    val f = graft.operators.GtsFrame(tinyGts)
-    val up = graft.operators.GtsFrame(tinyGts.filter(col("class") === "m0"))
-    val d1 = graft.operators.GtsFrame(tinyGts.filter(col("class") === "m1"))
+    val up = graft.operators.GtsFrame(tinyGts.filter(
+      col("class") === "m0" && col("labels").getItem("user") === "0"))
+    val d1 = graft.operators.GtsFrame(tinyGts.filter(
+      col("class") === "m1" && col("labels").getItem("user") === "1"))
     val out = up.latencyFilterSeries(Seq(d1), 0L, 1000L,
       Seq("uplink.latency.min", "downlink.matches"))
     val p = plan(out)

@@ -230,7 +230,10 @@ class WarpScriptSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val frame = graft.operators.GtsFrame(gtsOf(
       ("m.w", "1", 1000L, 1.5), ("m.w", "1", 2000L, 2.5)))
-    val e2 = new WarpScriptEngine(fetch = (cls, ls, a, b) => frame)
+    // UNWRAP of a reference wire string materializes a builder → needs
+    // the session (round-7 WRAP words emit the reference format)
+    val e2 = new WarpScriptEngine(fetch = (cls, ls, a, b) => frame,
+      session = Some(spark))
     val back = e2.runToFrame(
       "[ '' '~m\\..*' { } 9999 10000 ] FETCH WRAP UNWRAP")
     val got = back.select(col("ts"), col("vdouble")).collect()
