@@ -255,6 +255,8 @@ final case class GtsFrame(df: DataFrame) {
     * protocol's contract — the band join is identical. */
   def latencyFilterSeries(downlinks: Seq[GtsFrame], minLat: Long,
                           maxLat: Long, options: Seq[String]): DataFrame = {
+    require(downlinks.nonEmpty,
+      "filter.latencies expects at least one downlink series")
     // packet hashes may be LONG- or DOUBLE-typed points
     val hash = coalesce(col("vdouble"), col("vlong").cast(DoubleType))
     val u = df.select(col("class").as("__uc"), col("labels").as("__ul"),
@@ -397,9 +399,15 @@ final case class GtsFrame(df: DataFrame) {
     val keys =
       if (byAllLabels) Seq(GtsFrame.labelsKeyCol.as("__lkey"))
       else byLabels.map(l => col("labels").getItem(l).as(l))
+    // every member must carry the label (Argminmax.java:131-133 throws)
+    val lbl = when(col("labels").getItem(label).isNotNull,
+      col("labels").getItem(label))
+      .otherwise(raise_error(lit(
+        s"reducer.arg${if (isArgmin) "min" else "max"} expects all labels " +
+          s"to contain label '$label'")))
     val collected = df
       .select(col("ts") +: col("vdouble").as("__v") +:
-        col("labels").getItem(label).as("__lbl") +: keys: _*)
+        lbl.as("__lbl") +: keys: _*)
       .groupBy(keyNames.map(col) :+ col("ts"): _*)
       .agg(collect_list(struct(col("__v"), col("__lbl"))).as("__m"))
     val extreme =
@@ -407,7 +415,7 @@ final case class GtsFrame(df: DataFrame) {
       else array_max(transform(col("__m"), e => e.getField("__v")))
     val tied = array_sort(transform(
       filter(col("__m"), e => e.getField("__v") === extreme),
-      e => url_encode(e.getField("__lbl"))))
+      e => GtsFrame.warpUrlEncodeCol(e.getField("__lbl"))))
     val capped = if (count > 0) slice(tied, 1, count) else tied
     collected
       .withColumn("vstring", array_join(capped, ","))
@@ -983,6 +991,11 @@ object GtsFrame {
   def PercentileCont(p: Double): ValueAgg = simple(c => percentile(c, lit(p / 100.0)))
   /** Sketch percentile for huge groups (the 100 TB scale path; opt-in). */
   def PercentileApprox(p: Double): ValueAgg = simple(c => percentile_approx(c, lit(p / 100.0), lit(10000)))
+  /** WarpURLEncoder.java:42-53 semantics as a Column: standard URL
+    * form-encoding but with '+' (the space encoding) rewritten to %20. */
+  private[graft] def warpUrlEncodeCol(c: Column): Column =
+    regexp_replace(url_encode(c), "\\+", "%20")
+
   /** reducer.join — concatenate values (aggregator/Join.java). Values
     * are sorted so the concatenation is deterministic under any
     * partitioning (the reference joins in member-iteration order, which
@@ -995,7 +1008,7 @@ object GtsFrame {
     valueArrayBased(arr => array_join(array_sort(arr), sep),
       pre = { c =>
         val s = c.cast(StringType)
-        if (urlencode) url_encode(s) else s
+        if (urlencode) GtsFrame.warpUrlEncodeCol(s) else s
       })
 
   /** bucketizer/mapper/reducer.mean.circular (aggregator/

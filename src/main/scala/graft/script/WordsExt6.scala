@@ -201,7 +201,7 @@ object WordsExt6 {
       // wrap form here — one deterministic OPB64 wire string.
       case "GOLDWRAP" =>
         st.push(WordsFramesBlock.wrapOf(st.pop(), raw = false, mv = false,
-          en.toFrame))
+          compress = true, en.toFrame))
 
       case _ => return false
     }

@@ -46,6 +46,18 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       }
     }.reduceOption(_ && _).getOrElse(lit(true))
 
+  /** Reference-wrapper decode → stack value: a bucketized wrapper
+    * becomes a BucketedFrame (the fill words read the bucket fields),
+    * a plain one stays a lightweight GtsBuilder. */
+  private def unwrapRefBlob(decoded: (graft.sources.WrapperCodec.Wrapper,
+      Vector[graft.sources.WrapperCodec.WPoint])): Any = {
+    val b = WordsFramesBlock.wrapperBuilder(decoded)
+    val w = decoded._1
+    if (w.bucketspan != 0 && w.bucketcount != 0)
+      BucketedFrame(materialize(b), w.lastbucket, w.bucketspan, w.bucketcount)
+    else b
+  }
+
   // scalastyle:off cyclomatic.complexity method.length
   private[script] def wordsFramesBlock(w: String, st: State): Boolean = {
     w match {
@@ -653,22 +665,30 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
     // bounded driver collect (accessor-cap contract); the distributed
     // at-rest path stays graft.sources.GtsCodec.wrap over frames.
     case "WRAP" =>
-      st.push(WordsFramesBlock.wrapOf(st.pop(), raw = false, mv = false, toFrame))
+      st.push(WordsFramesBlock.wrapOf(st.pop(), raw = false, mv = false,
+        compress = true, toFrame))
     case "UNWRAP" => st.pop() match {
       case f: GtsFrame => st.push(GtsFrame(graft.sources.GtsCodec.unwrap(f.df)))
       case df: org.apache.spark.sql.DataFrame @unchecked
           if df.columns.contains("blob") =>
         st.push(GtsFrame(graft.sources.GtsCodec.unwrap(df)))
-      // reference wire format (fn/UNWRAP.java): OPB64 string or raw
-      // thrift bytes of a GTSWrapper — real Warp 10 WRAP exports load
-      // byte-compatibly (sources/WrapperCodec.scala)
-      case s: String => st.push(WordsFramesBlock.wrapperBuilder(
-        graft.sources.WrapperCodec.unwrapString(s)))
-      case b: Array[Byte] => st.push(WordsFramesBlock.wrapperBuilder(
-        graft.sources.WrapperCodec.unwrapBytes(b)))
-      case l: Vector[Any @unchecked] if l.forall(_.isInstanceOf[String]) =>
-        st.push(l.map(s => WordsFramesBlock.wrapperBuilder(
-          graft.sources.WrapperCodec.unwrapString(s.asInstanceOf[String])): Any))
+      // reference wire format (fn/UNWRAP.java:59 — a string, byte
+      // array, or list thereof): real Warp 10 WRAP exports load
+      // byte-compatibly (sources/WrapperCodec.scala); a bucketized
+      // wrapper restores its lastbucket/bucketspan/bucketcount so the
+      // fill words see a BUCKETIZE result
+      case s: String =>
+        st.push(unwrapRefBlob(graft.sources.WrapperCodec.unwrapString(s)))
+      case b: Array[Byte] =>
+        st.push(unwrapRefBlob(graft.sources.WrapperCodec.unwrapBytes(b)))
+      case l: Vector[Any @unchecked]
+          if l.forall(x => x.isInstanceOf[String] || x.isInstanceOf[Array[Byte]]) =>
+        st.push(l.map {
+          case s: String =>
+            unwrapRefBlob(graft.sources.WrapperCodec.unwrapString(s))
+          case b: Array[Byte] =>
+            unwrapRefBlob(graft.sources.WrapperCodec.unwrapBytes(b))
+        })
       case o => throw new IllegalArgumentException(s"UNWRAP on $o")
     }
     // SNAPSHOT (fn/SNAPSHOT.java): render the top of the stack as a
@@ -944,15 +964,20 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
         java.util.Locale.forLanguageTag(tag))
       val dec = sym.getDecimalSeparator.toString
       val grp = sym.getGroupingSeparator.toString
-      st.push(MapperDf(w, df => df
-        .withColumn("vdouble",
-          translate(regexp_replace(col("vstring"),
-            java.util.regex.Pattern.quote(grp), ""), dec, ".")
-            .cast(org.apache.spark.sql.types.DoubleType))
-        .withColumn("vstring",
-          lit(null).cast(org.apache.spark.sql.types.StringType))
-        .withColumn("vtype", lit(graft.model.GtsType.DOUBLE))
-        .filter(col("vdouble").isNotNull)))
+      st.push(MapperDf(w, df => {
+        // NumberFormat.parse semantics: the longest numeric PREFIX
+        // parses ("12,5°C" → 12.5 under fr); unparsable values drop
+        val cleaned = translate(regexp_replace(col("vstring"),
+          java.util.regex.Pattern.quote(grp), ""), dec, ".")
+        val prefix = regexp_extract(cleaned,
+          "^[+-]?(?:[0-9]+(?:\\.[0-9]*)?|\\.[0-9]+)", 0)
+        df.withColumn("vdouble",
+            prefix.cast(org.apache.spark.sql.types.DoubleType))
+          .withColumn("vstring",
+            lit(null).cast(org.apache.spark.sql.types.StringType))
+          .withColumn("vtype", lit(graft.model.GtsType.DOUBLE))
+          .filter(col("vdouble").isNotNull)
+      }))
     // mapper.replace (mapper/MapperReplace.java): every present tick's
     // value := the constant popped at build time (NOT string-replace)
     case "mapper.replace" =>
@@ -1067,11 +1092,18 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
          "filter.any.le" | "filter.any.lt" |
          "filter.all.eq" | "filter.all.ne" | "filter.all.ge" |
          "filter.all.le" | "filter.all.lt" =>
+      // threshold-typed comparison columns (FilterAny.java:119-140):
+      // LONG thresholds compare value.longValue() (doubles truncate,
+      // 64-bit exactness kept), DOUBLE thresholds value.doubleValue(),
+      // STRING thresholds val.toString() over EVERY value type
       val (vc, t): (Column, Column) = st.pop() match {
-        case s: String => (col("vstring"), lit(s))
+        case s: String => (coalesce(col("vstring"),
+          col("vlong").cast(org.apache.spark.sql.types.StringType),
+          col("vdouble").cast(org.apache.spark.sql.types.StringType),
+          col("vbool").cast(org.apache.spark.sql.types.StringType)), lit(s))
         case b: Boolean => (col("vbool"), lit(b))
-        case l: Long => (coalesce(col("vdouble"),
-          col("vlong").cast(org.apache.spark.sql.types.DoubleType)), lit(l.toDouble))
+        case l: Long => (coalesce(col("vlong"),
+          col("vdouble").cast(org.apache.spark.sql.types.LongType)), lit(l))
         case d: Double => (coalesce(col("vdouble"),
           col("vlong").cast(org.apache.spark.sql.types.DoubleType)), lit(d))
         case o => throw new IllegalArgumentException(s"$w threshold: $o")
@@ -1159,8 +1191,11 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       val metas: Seq[(String, String)] = st.pop() match {
         case v: Vector[Any @unchecked] => v.map {
           case b: GtsBuilder =>
+            // the driver-side twin of GtsFrame.labelsKeyCol's rendering
+            // (\u0001 between entries, \u0002 key/value separator —
+            // the control chars keep the key unambiguous)
             (b.cls, b.labels.toSeq.sortBy(_._1)
-              .map { case (k, vv) => k + vv }.mkString)
+              .map { case (k, vv) => k + "\u0002" + vv }.mkString("\u0001"))
           case f: GtsFrame =>
             val r = f.df.select(col("class"),
               GtsFrame.labelsKeyCol.as("__lk")).distinct().limit(2).collect()
@@ -1171,9 +1206,10 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
         }
         case o => throw new IllegalArgumentException(s"$w expects a list: $o")
       }
-      val lkey = concat_ws("", transform(
+      // the SAME canonical rendering over the aggregate row's labels
+      val lkey = concat_ws("\u0001", transform(
         array_sort(map_entries(col("labels_v"))),
-        e => concat_ws("", e.getField("key"), e.getField("value"))))
+        e => concat_ws("\u0002", e.getField("key"), e.getField("value"))))
       val pred = metas.map { case (c, lk) =>
         col("class_v") === c && lkey === lk
       }.reduceOption(_ || _).getOrElse(lit(false))
@@ -1241,25 +1277,40 @@ private[script] object WordsFramesBlock {
         (cls, labels, pts.map(_._3).sortBy(p => (p.ts, String.valueOf(p.value))))
       }
       .sortBy { case (cls, labels, _) =>
-        (cls, labels.toSeq.sortBy(_._1).map { case (k, vv) => k + " " + vv }
-          .mkString(""))
+        (cls, labels.toSeq.sortBy(_._1).map { case (k, vv) => k + "\u0002" + vv }
+          .mkString("\u0001"))
       }
   }
 
   /** One stack value per the reference WRAP contract: a single series
-    * → one string (or bytes), several series → a LIST. */
+    * → one string (or bytes), several series → a LIST. `buckets` are
+    * the (lastbucket, bucketspan, bucketcount) wrapper fields of a
+    * BUCKETIZE result (GTSWrapperHelper carries them). */
   def wrapValue(series: Vector[(String, Map[String, String],
-      Vector[WrapperCodec.WPoint])], raw: Boolean, mv: Boolean): Any = {
+      Vector[WrapperCodec.WPoint])], raw: Boolean, mv: Boolean,
+      compress: Boolean, buckets: (Long, Long, Long) = (0L, 0L, 0L)): Any = {
     val outs: Vector[Any] = series.map { case (cls, labels, pts) =>
-      val bytes = WrapperCodec.wrapBytes(cls, labels, pts, includeMeta = !mv)
+      val encoded = WrapperCodec.encodePoints(pts, 0L)
+      val (body, compressed) =
+        if (compress) {
+          val z = WrapperCodec.gzipPass(encoded)
+          if (z.length < encoded.length) (z, true) else (encoded, false)
+        } else (encoded, false)
+      val bytes = WrapperCodec.writeWrapper(WrapperCodec.Wrapper(
+        cls, labels, Map.empty, 0L, body, pts.length.toLong,
+        compressed, 1, buckets._1, buckets._2, buckets._3),
+        includeMeta = !mv)
       if (raw) bytes else WrapperCodec.opb64Encode(bytes)
     }
     if (outs.length == 1) outs.head else outs
   }
 
   /** WRAP family dispatch on the stack value (fn/WRAP.java
-    * ElementStackFunction: element-wise on lists). */
-  def wrapOf(v: Any, raw: Boolean, mv: Boolean,
+    * ElementStackFunction: element-wise on lists). Flags per the
+    * reference registrations (WarpScriptLib.java:2596-2606): raw =
+    * push bytes, mv = drop metadata+count, compress = gzip when it
+    * helps (WRAPFAST/WRAPMV! registered compress=false). */
+  def wrapOf(v: Any, raw: Boolean, mv: Boolean, compress: Boolean,
       toFrame: Any => graft.operators.GtsFrame): Any = v match {
     case b: WarpScriptEngine.GtsBuilder =>
       wrapValue(Vector((b.cls, b.labels,
@@ -1267,8 +1318,13 @@ private[script] object WordsFramesBlock {
           WrapperCodec.WPoint(ts,
             loc.map { case (la, lo) => graft.functions.GeoFunctions.toHHCode(la, lo) },
             elev, value)
-        })), raw, mv)
-    case l: Vector[Any @unchecked] => l.map(x => wrapOf(x, raw, mv, toFrame))
-    case other => wrapValue(collectWrapSeries(toFrame(other).df), raw, mv)
+        })), raw, mv, compress)
+    case bf: WarpScriptEngine.BucketedFrame =>
+      wrapValue(collectWrapSeries(bf.frame.df), raw, mv, compress,
+        buckets = (bf.lastbucket, bf.span, bf.count))
+    case l: Vector[Any @unchecked] =>
+      l.map(x => wrapOf(x, raw, mv, compress, toFrame))
+    case other => wrapValue(collectWrapSeries(toFrame(other).df), raw, mv,
+      compress)
   }
 }

@@ -118,8 +118,12 @@ private[script] object WordsGts2 {
       // compression effort, not the decoded content.
       case "WRAPFAST" | "WRAPOPT" | "WRAPRAW" | "WRAPRAWOPT" | "WRAPMV" |
            "WRAPFASTRAW" | "WRAPMV!" =>
+        // flags per WarpScriptLib.java:2596-2606: only WRAPOPT keeps
+        // the string form; the FAST forms and WRAPMV! skip compression
         st.push(WordsFramesBlock.wrapOf(st.pop(),
-          raw = w.contains("RAW"), mv = w.startsWith("WRAPMV"),
+          raw = w != "WRAPOPT",
+          mv = w.startsWith("WRAPMV"),
+          compress = !(w == "WRAPFAST" || w == "WRAPFASTRAW" || w == "WRAPMV!"),
           en.toFrame))
       // UNWRAPEMPTY: metadata only (an empty gts with the blob's meta);
       // UNWRAPSIZE: the number of points in the blob
@@ -292,6 +296,7 @@ private[script] object WordsGts2 {
           case l: Long => l
           case o => throw new IllegalArgumentException(s"$w bandwidth: $o")
         }
+        require(acc > 0, s"$w expects a positive accuracy, instead got $acc")
         st.push(LowessFillerVal(w, bw, 0, acc))
       case "filler.rlowess" =>
         var acc = 1e-12
@@ -423,10 +428,12 @@ private[script] object WordsGts2 {
     case f: GtsFrame => graft.sources.GtsCodec.unwrap(f.df)
     case df: org.apache.spark.sql.DataFrame @unchecked if df.columns.contains("blob") =>
       graft.sources.GtsCodec.unwrap(df)
-    // reference OPB64 wrapper string (fn/UNWRAPSIZE.java operates on
-    // the same wire blobs as UNWRAP) — WrapperCodec byte-compat path
+    // reference wire blobs — string, bytes, or list thereof
+    // (fn/UNWRAPSIZE.java operates on the same inputs as UNWRAP)
     case s: String => en.materialize(WordsFramesBlock.wrapperBuilder(
       graft.sources.WrapperCodec.unwrapString(s))).df
+    case b: Array[Byte] => en.materialize(WordsFramesBlock.wrapperBuilder(
+      graft.sources.WrapperCodec.unwrapBytes(b))).df
     case o => throw new IllegalArgumentException(s"unwrap on $o")
   }
 

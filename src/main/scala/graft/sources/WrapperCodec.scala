@@ -548,7 +548,7 @@ object WrapperCodec {
     cur
   }
 
-  private def gzipOnce(data: Array[Byte]): Array[Byte] = {
+  private[graft] def gzipPass(data: Array[Byte]): Array[Byte] = {
     val baos = new ByteArrayOutputStream
     val gz = new GZIPOutputStream(baos)
     gz.write(data); gz.close()
@@ -583,7 +583,7 @@ object WrapperCodec {
     val encoded = encodePoints(points, base)
     val (body, compressed) =
       if (compress) {
-        val z = gzipOnce(encoded)
+        val z = gzipPass(encoded)
         if (z.length < encoded.length) (z, true) else (encoded, false)
       } else (encoded, false)
     writeWrapper(Wrapper(name, labels, Map.empty, base, body,

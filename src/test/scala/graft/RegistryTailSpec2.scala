@@ -115,6 +115,32 @@ class RegistryTailSpec2 extends SparkSpec {
     assert(out == Map(1L -> true, 2L -> false)) // tick 3 dropped
   }
 
+  test("filter.any.eq STRING threshold compares every value type's " +
+    "rendering (FilterAny.java:136 val.toString)") {
+    // numeric-valued series: '30.0' must match the double rendering
+    val out = run(twoSeries,
+      s"[ $F [ ] '30.0' filter.any.eq ] FILTER")
+      .select(col("class")).distinct().collect().map(_.getString(0)).toSet
+    assert(out == Set("a", "b")) // both series contain value 30.0
+  }
+
+  test("WRAP round-trips bucketization; WRAPFAST pushes uncompressed " +
+    "bytes (WarpScriptLib.java:2596-2606 flags)") {
+    val f = GtsFrame(gtsOf(("m", "1", 10L, 1.0), ("m", "1", 30L, 3.0)))
+    val e = eng(f)
+    // BUCKETIZE → WRAP → UNWRAP → the fill words still see the bucket
+    // params (wrapper fields 2-4 carry them, GTSWrapperHelper)
+    val filled = e.runToFrame(
+      s"[ $F bucketizer.sum 30 10 3 ] BUCKETIZE WRAP UNWRAP 0.0 FILLVALUE")
+      .select(col("ts")).collect().map(_.getLong(0)).toSet
+    assert(filled == Set(10L, 20L, 30L)) // missing bucket 20 filled
+    val fast = e.run(s"$F WRAPFAST").head
+    assert(fast.isInstanceOf[Array[Byte]])
+    val (w2, _) = graft.sources.WrapperCodec.unwrapBytes(
+      fast.asInstanceOf[Array[Byte]])
+    assert(!w2.compressed)
+  }
+
   test("filter.bylabelsattr: the label takes priority over the " +
     "attribute (FilterByLabels.java:131-155)") {
     val f = twoSeries
