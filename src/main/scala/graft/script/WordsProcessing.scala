@@ -466,9 +466,20 @@ private[script] object WordsProcessing {
         }
         st.push(c)
 
-      // unimplemented P-words fail loud rather than draw wrongly
+      // PblendMode (processing/rendering/PblendMode.java): the global
+      // composite for every subsequent draw — Processing's documented
+      // per-channel formulas via a custom java.awt.Composite
+      case "PblendMode" =>
+        val (c, a) = params(st, w, 1)
+        c.setBlendMode(String.valueOf(a(0)))
+        st.push(c)
+
+      // unimplemented P-words fail loud rather than draw wrongly. The
+      // 3D words (Pbox/Psphere/ProtateX...) are live reference surface
+      // only under the '3D' PGraphics renderer; this engine implements
+      // the '2D' subset, where the reference's own 2D renderer rejects
+      // them too (processing.core.PGraphics depth warnings)
       case "Pbox" | "Psphere" | "PsphereDetail" |
-           "PblendMode" |
            "PshapeMode" | "Pshape" | "PloadShape" |
            "ProtateX" | "ProtateY" |
            "ProtateZ" | "Psize" =>

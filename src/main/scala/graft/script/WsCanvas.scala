@@ -449,6 +449,25 @@ final class WsCanvas(val width: Int, val height: Int) {
     }
   }
 
+  /** Global blend mode (processing/rendering/PblendMode.java: BLEND/
+    * ADD/SUBTRACT/DARKEST/LIGHTEST/DIFFERENCE/EXCLUSION/MULTIPLY/
+    * SCREEN/REPLACE) — every SUBSEQUENT draw composites with the
+    * Processing per-channel formula via a custom java.awt.Composite.
+    * The source channel scales by its coverage (src alpha) first, the
+    * formula then runs per channel — at full alpha this is exactly the
+    * [[blendRegion]] table. */
+  def setBlendMode(mode: String): Unit = mode match {
+    case "BLEND" => g.setComposite(java.awt.AlphaComposite.SrcOver)
+    case "REPLACE" => g.setComposite(java.awt.AlphaComposite.Src)
+    case "ADD" | "SUBTRACT" | "DARKEST" | "LIGHTEST" | "DIFFERENCE" |
+         "EXCLUSION" | "MULTIPLY" | "SCREEN" =>
+      g.setComposite(new WsCanvas.PComposite(mode))
+    case other => throw new IllegalArgumentException(
+      "PblendMode: invalid mode, should be 'BLEND', 'ADD', 'SUBTRACT', " +
+        "'DARKEST', 'LIGHTEST', 'DIFFERENCE', 'EXCLUSION', 'MULTIPLY', " +
+        "'SCREEN', or 'REPLACE'. Got '" + other + "'")
+  }
+
   /** Region blend (Pblend): Processing's per-channel blend formulas
     * (publicly documented per mode on processing.org/reference/blend_)
     * over a nearest-neighbor scaled source region. */
@@ -600,6 +619,62 @@ final class WsCanvas(val width: Int, val height: Int) {
 object WsCanvas {
   /** Reference default pixel cap (WarpScriptStack ATTRIBUTE_MAX_PIXELS). */
   val MaxPixels: Long = 1000000L
+
+  /** Per-channel blend formulas (processing.org/reference/blend_.html)
+    * shared by [[WsCanvas.blendRegion]] and the global-blendMode
+    * composite. */
+  private[script] def blendChannel(mode: String, d: Int, s: Int): Int =
+    mode match {
+      case "ADD" => math.min(d + s, 255)
+      case "SUBTRACT" => math.max(d - s, 0)
+      case "DARKEST" => math.min(d, s)
+      case "LIGHTEST" => math.max(d, s)
+      case "DIFFERENCE" => math.abs(d - s)
+      case "EXCLUSION" => d + s - 2 * d * s / 255
+      case "MULTIPLY" => d * s / 255
+      case "SCREEN" => 255 - (255 - d) * (255 - s) / 255
+      case other => throw new IllegalArgumentException(s"blend mode $other")
+    }
+
+  /** java.awt.Composite applying a Processing blend formula per channel
+    * for every draw (PblendMode); source channels scale by coverage
+    * (src alpha) first, destination alpha is kept. */
+  private[script] final class PComposite(mode: String)
+      extends java.awt.Composite {
+    def createContext(srcCM: java.awt.image.ColorModel,
+        dstCM: java.awt.image.ColorModel,
+        hints: java.awt.RenderingHints): java.awt.CompositeContext =
+      new java.awt.CompositeContext {
+        def dispose(): Unit = ()
+        def compose(src: java.awt.image.Raster,
+            dstIn: java.awt.image.Raster,
+            dstOut: java.awt.image.WritableRaster): Unit = {
+          val w = math.min(src.getWidth, dstIn.getWidth)
+          val h = math.min(src.getHeight, dstIn.getHeight)
+          val sp = new Array[Int](4)
+          val dp = new Array[Int](4)
+          val sb = src.getNumBands
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              src.getPixel(x, y, sp)
+              dstIn.getPixel(x, y, dp)
+              val sa = if (sb >= 4) sp(3) else 255
+              var i = 0
+              while (i < 3) {
+                val sv = sp(i) * sa / 255
+                dp(i) = blendChannel(mode, dp(i), sv)
+                i += 1
+              }
+              dstOut.setPixel(x, y, dp)
+              x += 1
+            }
+            y += 1
+          }
+        }
+      }
+  }
 
   private def headless(): Unit =
     if (System.getProperty("java.awt.headless") == null)

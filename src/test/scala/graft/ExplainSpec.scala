@@ -209,6 +209,17 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("Window"))
   }
 
+  test("PQ ADC serving path: codebooks and distance tables broadcast, " +
+    "the corpus side joins on (sid, cid) keys — no cartesian") {
+    import spark.implicits._
+    val embs = (0L until 40L).map { i =>
+      (i, (0 until 64).map(d => ((i * 37 + d * 13) % 200 - 100) / 100.0f).toArray)
+    }.toDF("vec_id", "embedding")
+    val p = plan(graft.text.PqIndex.adcTopK(embs, col("vec_id") < 5, 3))
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("latencyFilterSeries: value-equality keys carry the join — " +
     "never a cartesian") {
     val up = graft.operators.GtsFrame(tinyGts.filter(

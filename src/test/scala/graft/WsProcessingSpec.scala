@@ -267,4 +267,31 @@ class WsProcessingSpec extends SparkSpec {
     intercept[Exception](run1("10 10 '3D' PGraphics"))
     intercept[Exception](run1("10 10 '2D' PGraphics 1 2 3 PbezierVertex"))
   }
+
+  test("PblendMode: global composite applies the Processing formulas " +
+    "to subsequent draws (rendering/PblendMode.java)") {
+    // 100-gray background; ADD a 100-red rect: interior = (200,100,100)
+    val add = run1("""20 20 '2D' PGraphics 100 100 100 Pbackground
+      |'ADD' PblendMode 100 0 0 Pfill PnoStroke 5 5 10 10 Prect
+      |8 8 Pget""".stripMargin)
+    assert(add == 0xffc86464L, f"ADD got ${add.asInstanceOf[Long]}%x")
+    // MULTIPLY a 128-gray rect over 200-gray: 200*128/255 = 100
+    val mul = run1("""20 20 '2D' PGraphics 200 200 200 Pbackground
+      |'MULTIPLY' PblendMode 128 Pfill PnoStroke 5 5 10 10 Prect
+      |8 8 Pget""".stripMargin)
+    assert(mul == 0xff646464L, f"MULTIPLY got ${mul.asInstanceOf[Long]}%x")
+    // SUBTRACT then back to BLEND: the second rect paints over
+    val back = run1("""20 20 '2D' PGraphics 200 200 200 Pbackground
+      |'SUBTRACT' PblendMode 50 50 50 Pfill PnoStroke 0 0 20 20 Prect
+      |'BLEND' PblendMode 10 20 30 Pfill 5 5 10 10 Prect
+      |8 8 Pget""".stripMargin)
+    assert(back == 0xff0a141eL, f"BLEND-restore got ${back.asInstanceOf[Long]}%x")
+    // outside the second rect the SUBTRACT result remains: 200-50=150
+    val sub = run1("""20 20 '2D' PGraphics 200 200 200 Pbackground
+      |'SUBTRACT' PblendMode 50 50 50 Pfill PnoStroke 0 0 20 20 Prect
+      |1 1 Pget""".stripMargin)
+    assert(sub == 0xff969696L, f"SUBTRACT got ${sub.asInstanceOf[Long]}%x")
+    intercept[Exception](run1(
+      "10 10 '2D' PGraphics 'NOPE' PblendMode"))
+  }
 }
