@@ -150,6 +150,20 @@ object MiscQueries {
       val media = MultimodalOps.wavMediaFromDocuments(
         s.read.parquet(s"$dir/documents.parquet"))
       MultimodalOps.audioFeatures(media, 160)
+    }),
+
+    // multimodal VIDEO-shaped plumbing: every 2nd 32-byte "frame" of an
+    // opaque binary payload explodes into its own row (the real frame-
+    // sample shape — schema, partitioning, explode — with the payload
+    // the documents' own bytes so the oracle can slice them in SQL;
+    // the codec layer for real containers stays a documented stub)
+    "m08_video_frames" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val media = docs.select(col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("media"))
+      MultimodalOps.sampleFrames(media, frameBytes = 32, stride = 2)
+        .select(col("media_id"), col("frame_idx"),
+          md5(col("frame")).as("frame_digest"))
     })
   )
 
@@ -253,6 +267,16 @@ object MiscQueries {
         |  CAST(sum(x * x) AS BIGINT) AS sumsq,
         |  CAST(sum(CASE WHEN prev IS NOT NULL AND x * prev < 0
         |    THEN 1 ELSE 0 END) AS BIGINT) AS zerocross
-        |FROM l GROUP BY 1, 2""".stripMargin
+        |FROM l GROUP BY 1, 2""".stripMargin,
+
+    // frames are full 32-byte slices of the ASCII text (byte slicing ==
+    // char slicing there), every 2nd one, digested
+    "m08_video_frames" ->
+      """SELECT d.doc_id AS media_id, CAST(f.f AS INT) AS frame_idx,
+        |  md5(substr(d.text, CAST(f.f * 32 + 1 AS INT), 32)) AS frame_digest
+        |FROM documents d
+        |CROSS JOIN (SELECT unnest(generate_series(0,
+        |  (SELECT max(length(text)) // 32 FROM documents))) AS f) f
+        |WHERE f.f < length(d.text) // 32 AND f.f % 2 = 0""".stripMargin
   )
 }
