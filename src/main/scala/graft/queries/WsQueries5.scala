@@ -245,6 +245,31 @@ object WsQueries5 {
         s"[ '' '~events\\..*' { 'user' '3' } $LB ${LB + 1} ] FETCH WRAP UNWRAP")
         .select(col("class"), userid, col("ts"), col("vdouble"))
     }),
+
+    // reducer.argmin (Argminmax.java isArgmin=true) over the daily
+    // count buckets — w105's mirror face
+    "w118_ws_reduce_argmin" -> ((s, dir) =>
+      engine(s, dir, cents = false).runToFrame(
+        s"[ $BUCKETS [ ] 'user' 0 reducer.argmin ] REDUCE")
+        .select(col("ts"), col("vstring").as("argmin_user"))),
+
+    // mapper.geo.fence (MapperGeoFence.java): boolean point-in-shape
+    // over an NEWGTS fixture with locations; the rectangle makes the
+    // oracle's containment a BETWEEN pair
+    "w119_ws_geo_fence" -> ((s, dir) => {
+      val e = engine(s, dir, cents = false)
+      val prog =
+        """NEWGTS 'geo' RENAME
+          |1 0.5 0.5 NULL 1.0 ADDVALUE
+          |2 5.0 5.0 NULL 2.0 ADDVALUE
+          |3 1.9 0.1 NULL 3.0 ADDVALUE
+          |4 NaN NaN NULL 4.0 ADDVALUE
+          |'g' STORE
+          |[ $g 'POLYGON ((0 0, 0 2, 2 2, 2 0, 0 0))' 12 GEO.WKT
+          |  mapper.geo.fence 0 0 0 ] MAP""".stripMargin
+      e.runToFrame(prog)
+        .select(col("ts"), col("vbool").as("inside"))
+    }),
   )
 
   /** Loess smoothing CTE over the daily-mean knots: whole-window
@@ -501,6 +526,23 @@ object WsQueries5 {
     "w117_ws_wrap_roundtrip" ->
       s"""WITH g AS ($EV)
          |SELECT class, userid, ts, vdouble FROM g WHERE userid = '3'""".stripMargin,
+
+    "w118_ws_reduce_argmin" ->
+      s"""WITH $BUCKET_SQL,
+         |m AS (SELECT bts, u, c, min(c) OVER (PARTITION BY bts) AS mn FROM counts)
+         |SELECT bts AS ts, string_agg(u, ',' ORDER BY u) AS argmin_user
+         |FROM m WHERE c = mn GROUP BY bts""".stripMargin,
+
+    // the rectangle's WKT coords are (lon lat); containment of the
+    // axis-aligned box derives as a BETWEEN pair (no boundary points
+    // in the fixture — ray-cast edge conventions don't bite); the
+    // location-less tick 4 drops
+    "w119_ws_geo_fence" ->
+      """WITH pts(ts, lat, lon) AS (VALUES
+        |  (1, 0.5, 0.5), (2, 5.0, 5.0), (3, 1.9, 0.1))
+        |SELECT CAST(ts AS BIGINT) AS ts,
+        |  (lat BETWEEN 0 AND 2) AND (lon BETWEEN 0 AND 2) AS inside
+        |FROM pts""".stripMargin,
 
     "w115_ws_join_urlencoded" ->
       s"""WITH $BUCKET_SQL,
