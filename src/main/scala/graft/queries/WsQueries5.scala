@@ -118,13 +118,33 @@ object WsQueries5 {
     }),
 
     // bucketizer.mean.circular (aggregator/CircularMean.java:100-175):
-    // circular mean of cents with period 100 per daily bucket;
-    // round(6) absorbs sin/cos/atan2 libm + sum-order ulps (w98 rule)
-    "w110_ws_mean_circular" -> ((s, dir) =>
-      engine(s, dir, cents = true).runToFrame(
-        s"[ $FETCHALL 100.0 bucketizer.mean.circular $LB $DAY 0 ] BUCKETIZE")
-        .select(col("class"), userid, col("ts"),
-          round(col("vdouble"), 6).as("circ"))),
+    // circular mean of cents with period 100 per daily bucket. The raw
+    // angle is ill-conditioned two ways — near-zero resultants (R ~
+    // 1e-15 cancellation noise: atan2 of noise is an arbitrary angle)
+    // and exact branch-cut buckets (|circ| = 50.000000, sign decided by
+    // 1e-16 sin residue; integer cents make these common) — and both
+    // flipped under sum-order jitter in the r7 driver run. So the row
+    // compares the mean DIRECTION as a unit vector (cos/sin are
+    // continuous across the cut) and drops negligible resultants; the
+    // R > 1e-3 threshold sits in the empirical gap (noise < 2e-13,
+    // smallest genuine R = 0.036 at sf0.001/0.01/0.1).
+    "w110_ws_mean_circular" -> ((s, dir) => {
+      val e = engine(s, dir, cents = true)
+      val circ = e.runToFrame(
+          s"[ $FETCHALL 100.0 bucketizer.mean.circular $LB $DAY 0 ] BUCKETIZE")
+        .select(col("class"), userid, col("ts"), col("vdouble").as("circ"))
+      val theta = col("vdouble") * lit(2.0 * math.Pi) / lit(100.0)
+      val resultant = e.runToFrame(FETCHALL)
+        .groupBy(col("class"), userid,
+          expr(s"$LB - (($LB - ts) DIV $DAY) * $DAY").as("ts"))
+        .agg(sum(sin(theta)).as("ss"), sum(cos(theta)).as("sc"))
+        .where(sqrt(col("ss") * col("ss") + col("sc") * col("sc")) > 1e-3)
+        .select(col("class"), col("userid"), col("ts"))
+      val ang = col("circ") * lit(2.0 * math.Pi) / lit(100.0)
+      circ.join(resultant, Seq("class", "userid", "ts"))
+        .select(col("class"), col("userid"), col("ts"),
+          round(cos(ang), 6).as("cosm"), round(sin(ang), 6).as("sinm"))
+    }),
 
     // filler.lowess (script/filler/FillerLowess.java): LOESS-smooth the
     // daily mean knots (bandwidth 40 ≥ any knot count → whole-window
@@ -360,13 +380,16 @@ object WsQueries5 {
          |FROM w WHERE pv IS NOT NULL AND nv IS NOT NULL""".stripMargin,
 
     "w110_ws_mean_circular" ->
-      s"""WITH g AS ($EV)
-         |SELECT class, userid,
-         |  $LB - (($LB - ts) // $DAY) * $DAY AS ts,
-         |  round(atan2(sum(sin(2.0*pi()*(cents/100.0))),
-         |              sum(cos(2.0*pi()*(cents/100.0)))) * 100.0 / (2.0*pi()),
-         |        6) AS circ
-         |FROM g WHERE ts <= $LB GROUP BY 1, 2, 3""".stripMargin,
+      s"""WITH g AS ($EV),
+         |b AS (SELECT class, userid,
+         |        $LB - (($LB - ts) // $DAY) * $DAY AS ts,
+         |        sum(sin(2.0*pi()*(cents/100.0))) AS ss,
+         |        sum(cos(2.0*pi()*(cents/100.0))) AS sc
+         |      FROM g WHERE ts <= $LB GROUP BY 1, 2, 3)
+         |SELECT class, userid, ts,
+         |  round(sc / sqrt(ss*ss + sc*sc), 6) AS cosm,
+         |  round(ss / sqrt(ss*ss + sc*sc), 6) AS sinm
+         |FROM b WHERE sqrt(ss*ss + sc*sc) > 0.001""".stripMargin,
 
     "w111_ws_filler_lowess" -> {
       val start = LB - 29 * DAY
