@@ -7,6 +7,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
+import scala.jdk.CollectionConverters._
+
 import graft.model.Gts
 import graft.streaming.{StreamingIngest, StreamingState}
 
@@ -33,7 +35,7 @@ import graft.streaming.{StreamingIngest, StreamingState}
   * header for the maxpast/maxfuture semantics).
   */
 object StreamQueries {
-  import GtsQueries.{DAY, EV, HOUR}
+  import GtsQueries.{DAY, EV, HOUR, LB}
 
   private val userid = col("labels").getItem("user").as("userid")
 
@@ -185,55 +187,146 @@ object StreamQueries {
       s.read.parquet(outP)
     }),
 
-    // s05: Plasma subscription (StandalonePlasmaHandler.java:153-180
-    // — a selector registered on the live point stream, every
-    // in-scope point delivered to the subscriber). A REAL AvailableNow
-    // run: line-protocol file stream → parseStream → subscribe's
-    // selector predicate → parquet sink, hash-matched against the
-    // batch selector filter over the same events.
+    // s05: Plasma subscription (StandalonePlasmaHandler.java:153-180)
+    // over the REAL wire: an RFC 6455 loopback server
+    // (surface/WsServer), the JDK's independent WebSocket client
+    // SUBSCRIBEs a selector, an AvailableNow line-protocol stream
+    // dispatches each micro-batch through PlasmaEndpoint, and the
+    // TEXT-format push messages (`=`-continuation lines) are parsed
+    // BACK through LineProtocol into the result frame — so the row
+    // hash-checks handshake, framing, id-based subscription resolution
+    // and the push format against the batch selector filter.
     "s05_stream_plasma" -> ((s, dir) => {
       val tmp = Files.createTempDirectory("graft-s05-").toString
-      val in = s"$tmp/in"; val outP = s"$tmp/out"; val ck = s"$tmp/ck"
+      val in = s"$tmp/in"; val ck = s"$tmp/ck"
       val src = Gts.fromEvents(s, dir)
       graft.sources.Formats.toGtsLines(src).coalesce(1).write.text(in)
-      val parsed = StreamingIngest.parseStream(s.readStream.text(in), now = 0L)
-      val sub = StreamingIngest.subscribe(parsed,
-        "~events\\.(click|view){user~1.*}")
-      val q = sub.writeStream.format("parquet").option("path", outP)
-        .option("checkpointLocation", ck)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      releaseStreamingResources()
-      s.read.parquet(outP)
-        .select(col("class"), userid, col("ts"), col("vdouble"))
+      val directory = src.groupBy(col("gtsid"))
+        .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
+      val plasma = new graft.surface.PlasmaEndpoint(() => directory,
+        maxRowsPerBatch = 2000000)
+      val server = plasma.mount()
+      val port = server.start()
+      val messages = new java.util.concurrent.ConcurrentLinkedQueue[String]
+      val ws = wsClient(port, "/api/v0/plasma", messages)
+      try {
+        val selector = "~events\\.(click|view){user~1.*}"
+        ws.sendText(s"SUBSCRIBE tok $selector", true)
+          .get(30, java.util.concurrent.TimeUnit.SECONDS)
+        awaitCond(plasma.subscriptionCount > 0, "plasma subscription")
+        val q = StreamingIngest.parseStream(s.readStream.text(in), now = 0L)
+          .writeStream
+          .foreachBatch((b: DataFrame, _: Long) => plasma.dispatch(b))
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        releaseStreamingResources()
+        // delivery is async: the batch twin tells us how many points to
+        // await before decoding the messages
+        val expected = src
+          .filter(graft.sources.Selector.parse(selector).predicate).count()
+        awaitCond(
+          messages.iterator().asScala.map(_.count(_ == '\n')).sum == expected,
+          s"plasma delivery of $expected points")
+        val rows = messages.iterator().asScala.toVector.flatMap { msg =>
+          graft.sources.LineProtocol
+            .parseBatch(msg.linesIterator, now = 0L, None, None)
+            .map { p =>
+              org.apache.spark.sql.Row(p.cls, p.labels, 0L, p.ts,
+                p.lat.orNull, p.lon.orNull, p.elev.orNull, p.vtype,
+                p.vlong.orNull, p.vdouble.orNull, p.vbool.orNull,
+                p.vstring.orNull, p.vbinary.orNull)
+            }
+        }
+        val parsed = s.createDataFrame(
+          new java.util.ArrayList(rows.asJava), Gts.pointSchema)
+        Gts.canonicalRehash(parsed)
+          .select(col("class"), userid, col("ts"), col("vdouble"))
+      } finally {
+        try ws.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "done")
+        catch { case _: Exception => () }
+        server.stop()
+      }
     }),
 
-    // s06: Mobius periodic query push (EgressMobiusHandler.java:78-140
-    // — a query re-executed per period, results pushed to the
-    // subscriber). The push callback IS the subscriber delivery
-    // surface, so its collect is the protocol, not a data path; one
-    // drained AvailableNow batch makes the pushed result the full
-    // per-class count, hash-matched against the batch aggregation.
+    // s06: Mobius periodic push (EgressMobiusHandler.java:78-140) over
+    // the real wire: the JDK client submits a WarpScript program whose
+    // macro BUCKETIZEs per-series counts, the endpoint acks the parse,
+    // and an AvailableNow stream fires the period (tick → macro re-exec
+    // → stack-JSON push). The pushed JSON is read back with
+    // spark.read.json and hash-checked against the batch counts.
     "s06_stream_mobius" -> ((s, dir) => {
       val tmp = Files.createTempDirectory("graft-s06-").toString
       val in = s"$tmp/in"; val ck = s"$tmp/ck"
       val src = Gts.fromEvents(s, dir)
       graft.sources.Formats.toGtsLines(src).coalesce(1).write.text(in)
-      val parsed = StreamingIngest.parseStream(s.readStream.text(in), now = 0L)
-      val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-      val q = StreamingIngest.mobius(parsed, "1 second",
-          df => df.groupBy(col("class")).agg(count(lit(1)).as("n"))) {
-          (res, _) =>
-            acc ++= res.collect().map(r => (r.getString(0), r.getLong(1)))
-        }
-        .option("checkpointLocation", ck)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      releaseStreamingResources()
-      import s.implicits._
-      acc.toSeq.toDF("class", "n")
+      val mobius = new graft.surface.MobiusEndpoint(
+        () => WsQueries.engine(s, dir, cents = false), maxRows = 1000000)
+      val server = mobius.mount()
+      val port = server.start()
+      val messages = new java.util.concurrent.ConcurrentLinkedQueue[String]
+      val ws = wsClient(port, "/api/v0/mobius", messages)
+      try {
+        ws.sendText(
+          s"<% [ [ '' '~events\\..*' { } $LB ${LB + 1} ] FETCH " +
+            s"bucketizer.count $LB 0 1 ] BUCKETIZE %>", true)
+          .get(30, java.util.concurrent.TimeUnit.SECONDS)
+        awaitCond(!messages.isEmpty, "mobius parse ack")
+        messages.poll() // the post-parse ack (empty remaining stack)
+        awaitCond(mobius.hasMacros, "mobius macro registration")
+        val q = StreamingIngest.parseStream(s.readStream.text(in), now = 0L)
+          .writeStream
+          .foreachBatch((_: DataFrame, _: Long) => mobius.tick())
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        releaseStreamingResources()
+        awaitCond(!messages.isEmpty, "mobius period push")
+        import s.implicits._
+        // the push is the STACK array whose single value is the frame's
+        // row array: [[{"c",...},...]] — flatten one level
+        s.createDataset(Seq(messages.poll())).toDF("value")
+          .select(explode(flatten(from_json(col("value"),
+            org.apache.spark.sql.types.DataType.fromDDL(
+              "ARRAY<ARRAY<STRUCT<c: STRING, l: MAP<STRING,STRING>, " +
+                "t: BIGINT, v: DOUBLE>>>")
+              .asInstanceOf[org.apache.spark.sql.types.ArrayType])))
+            .as("p"))
+          .select(col("p.c").as("class"), col("p.l").getItem("user").as("userid"),
+            col("p.v").cast(LongType).as("n"))
+      } finally {
+        try ws.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "done")
+        catch { case _: Exception => () }
+        server.stop()
+      }
     }),
   )
+
+  /** JDK WebSocket client whose complete text messages land in `sink`
+    * (partial deliveries reassembled until `last`). */
+  private def wsClient(port: Int, path: String,
+      sink: java.util.concurrent.ConcurrentLinkedQueue[String])
+      : java.net.http.WebSocket = {
+    val partial = new StringBuilder
+    java.net.http.HttpClient.newHttpClient().newWebSocketBuilder()
+      .buildAsync(java.net.URI.create(s"ws://127.0.0.1:$port$path"),
+        new java.net.http.WebSocket.Listener {
+          override def onText(w: java.net.http.WebSocket,
+              data: CharSequence, last: Boolean)
+              : java.util.concurrent.CompletionStage[_] = {
+            partial.append(data)
+            if (last) { sink.add(partial.toString); partial.setLength(0) }
+            w.request(1); null
+          }
+        }).get(30, java.util.concurrent.TimeUnit.SECONDS)
+  }
+
+  private def awaitCond(cond: => Boolean, what: String,
+      timeoutMs: Long = 60000): Unit = {
+    val deadline = System.nanoTime + timeoutMs * 1000000
+    while (!cond && System.nanoTime < deadline) Thread.sleep(10)
+    require(cond, s"timed out waiting for $what")
+  }
 
   val oracleSql: Map[String, String] = Map(
     // identical to g62: streaming ingest must reproduce the raw table
@@ -248,10 +341,12 @@ object StreamQueries {
          |WHERE regexp_full_match(class, 'events\\.(click|view)')
          |  AND regexp_full_match(userid, '1.*')""".stripMargin,
 
-    // one drained batch → the pushed result is the full per-class count
+    // the macro BUCKETIZEs one count bucket per series → the pushed
+    // JSON is the per-(class, user) count of in-range points
     "s06_stream_mobius" ->
       s"""WITH g AS ($EV)
-         |SELECT class, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1""".stripMargin,
+         |SELECT class, userid, CAST(count(*) AS BIGINT) AS n FROM g
+         |WHERE ts <= $LB GROUP BY 1, 2""".stripMargin,
 
     // batch twin of the watermark rules (see s03 Scaladoc): the final
     // watermark derives from the FIRST batch only (even users), Spark

@@ -69,6 +69,16 @@ final class WarpScriptEngine(
     st.stack.toList
   }
 
+  /** Re-execute a captured macro on a fresh stack (the Mobius period
+    * fire, EgressMobiusHandler.java:415: `stack.exec(fmacro)` on a new
+    * MemoryWarpScriptStack); returns the final stack, top first. */
+  def runMacro(m: WsMacro): List[Any] = {
+    val st = new State
+    try evalMacro(m, st)
+    catch { case _: WsStopEx => }
+    st.stack.toList
+  }
+
   /** Run a program whose result (top of stack) is a GTS frame (or a
     * list of frames — merged). */
   def runToFrame(program: String): DataFrame =

@@ -1,0 +1,232 @@
+package graft.surface
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.model.GtsType
+import graft.sources.{Selector, WrapperCodec}
+
+import scala.collection.mutable
+
+/** The Plasma subscription endpoint over [[WsServer]] (reference:
+  * standalone/StandalonePlasmaHandler.java — WebSocket sessions send
+  * whitespace-separated commands, the handler resolves selectors
+  * against the directory at SUBSCRIBE time into a per-session set of
+  * GTS ids, and every stored batch is dispatched to the sessions
+  * subscribed to its series).
+  *
+  * Wire protocol (StandalonePlasmaHandler.java:173-330):
+  *  - `SUBSCRIBE <token> <selector>` / `UNSUBSCRIBE <token> <selector>`
+  *  - `SUBSCRIPTIONS` → one `SUB class{labels}` message per id (:541-553)
+  *  - `CLEAR`, `NOOP` (keep-alive), `SAMPLE <rate>` (0<rate≤1, else reset)
+  *  - `TEXT` / `FULLTEXT` / `JSON` / `WRAPPER` output formats; errors
+  *    are pushed as `KO <message>` strings.
+  *  - `RAW` needs the reference's metadata-encryption key registry
+  *    (dispatch:651-667 wraps thrift metadata with CryptoUtils) — this
+  *    tokenless facade answers `KO` rather than emit unencrypted
+  *    lookalikes.
+  *
+  * Push formats (dispatch:626-813, one message per GTS per batch,
+  * newline-terminated lines):
+  *  - TEXT: `ts/lat:lon/elev class{labels} value`, then
+  *    `=ts/lat:lon/elev value` continuations (the fetch text format —
+  *    round-trips through [[graft.sources.LineProtocol]]).
+  *  - FULLTEXT: every line carries the metadata.
+  *  - JSON: `[{"c","l","t","v"[,"lat","lon","elev"]},…]`.
+  *  - WRAPPER: OPB64 of the byte-compatible [[WrapperCodec]] envelope
+  *    (compressed, as GTSWrapperHelper.fromGTSEncoderToGTSWrapper).
+  *
+  * Subscription is ID-based exactly like the reference: the selector
+  * is resolved ONCE against the directory at SUBSCRIBE time; series
+  * created later do not join existing subscriptions. At scale the
+  * dispatch filter is a broadcast-able `gtsid` semi-join per batch and
+  * the per-session collect is the protocol delivery surface (the
+  * reference funnels the same rows through its frontend session).
+  */
+final class PlasmaEndpoint(directory: () => DataFrame,
+                           maxRowsPerBatch: Int = 100000) extends WsHandler {
+
+  private object Format extends Enumeration {
+    val Text, FullText, Json, Wrapper = Value
+  }
+
+  private final class PlasmaSession {
+    // id → (class, labels); insertion order keeps SUBSCRIPTIONS stable
+    val subs = mutable.LinkedHashMap.empty[Long, (String, Map[String, String])]
+    var format: Format.Value = Format.Text // default (:858-862)
+    var sampleRate: Double = 1.0
+    // the reference samples from an unseeded Random (:704); fixed seed
+    // keeps driver rows replayable, same convention as the engine PRNG
+    val rng = new java.util.Random(42L)
+  }
+
+  private def session(c: WsConnection): PlasmaSession =
+    c.attachment.asInstanceOf[PlasmaSession]
+
+  override def onOpen(c: WsConnection, path: String): Unit =
+    c.attachment = new PlasmaSession
+
+  override def onText(c: WsConnection, message: String): Unit = {
+    val s = session(c)
+    val tokens = message.trim.split("\\s+")
+    tokens(0) match {
+      case "SUBSCRIBE" | "UNSUBSCRIBE" =>
+        if (tokens.length < 3) { c.sendText("KO Invalid subscription selector."); return }
+        if (tokens(1).isEmpty) { c.sendText("KO Invalid token."); return }
+        val sel =
+          try Selector.parse(tokens(2))
+          catch { case _: Exception =>
+            c.sendText("KO Invalid subscription selector."); return }
+        val matched = directory().filter(sel.predicate)
+          .select(col("gtsid"), col("class"), col("labels")).collect()
+        s.synchronized {
+          if (tokens(0).charAt(0) == 'S')
+            matched.foreach { r =>
+              s.subs(r.getLong(0)) =
+                (r.getString(1), r.getAs[Map[String, String]](2))
+            }
+          else matched.foreach(r => s.subs.remove(r.getLong(0)))
+        }
+      case "SUBSCRIPTIONS" =>
+        s.synchronized {
+          s.subs.values.foreach { case (cls, labels) =>
+            c.sendText(s"SUB ${cls}${labelsStr(labels)}")
+          }
+        }
+      case "CLEAR" => s.synchronized(s.subs.clear())
+      case "TEXT" => s.format = Format.Text
+      case "FULLTEXT" => s.format = Format.FullText
+      case "JSON" => s.format = Format.Json
+      case "WRAPPER" => s.format = Format.Wrapper
+      case "RAW" => c.sendText("KO RAW needs the metadata encryption key registry.")
+      case "SAMPLE" =>
+        val rate = try tokens(1).toDouble catch { case _: Exception => -1.0 }
+        s.sampleRate = if (rate > 0.0 && rate <= 1.0) rate else 1.0
+      case "NOOP" | "" => ()
+      case other => c.sendText(s"KO Invalid verb '$other'.")
+    }
+  }
+
+  /** Number of ids the sessions hold (driver-row synchronization aid —
+    * the reference exposes the same via getSubscriptions():834). */
+  def subscriptionCount: Int =
+    server.map(_.openConnections.map(c =>
+      Option(c.attachment).map(_ => session(c).subs.size).getOrElse(0)).sum)
+      .getOrElse(0)
+
+  /** The server this endpoint is mounted on (set by [[mount]]). */
+  private var server: Option[WsServer] = None
+
+  def mount(): WsServer = {
+    val ws = new WsServer(this)
+    server = Some(ws)
+    ws
+  }
+
+  /** Dispatch one stored batch of canonical points to every session
+    * subscribed to their series (StandalonePlasmaHandler.dispatch). */
+  def dispatch(batch: DataFrame): Unit = {
+    val sessions = server.toSeq.flatMap(_.openConnections)
+      .filter(c => Option(c.attachment).exists(_ => session(c).subs.nonEmpty))
+    if (sessions.isEmpty) return
+    val allIds = sessions.flatMap(c => session(c).subs.keys).distinct
+    // small id sets inline into the scan filter; a huge subscription
+    // set would become a broadcast semi-join on gtsid instead
+    val rows = batch.filter(col("gtsid").isin(allIds: _*))
+      .select(col("gtsid"), col("ts"), col("lat"), col("lon"), col("elev"),
+        col("vtype"), col("vlong"), col("vdouble"), col("vbool"),
+        col("vstring"), col("vbinary"))
+      .orderBy(col("gtsid"), col("ts"))
+      .limit(maxRowsPerBatch).collect()
+    val byId = rows.groupBy(_.getLong(0))
+    for (c <- sessions; sess = session(c); (id, meta) <- sess.synchronized(sess.subs.toVector)) {
+      byId.get(id).foreach { pts =>
+        val sampled =
+          if (sess.sampleRate == 1.0) pts.toSeq
+          else pts.toSeq.filter(_ => sess.rng.nextDouble() <= sess.sampleRate)
+        if (sampled.nonEmpty) c.sendText(render(sess.format, meta, sampled))
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ rendering
+
+  private def labelsStr(labels: Map[String, String]): String =
+    labels.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString("{", ",", "}")
+
+  private def valueOf(r: org.apache.spark.sql.Row): Any = r.getByte(5) match {
+    case GtsType.LONG => r.getLong(6)
+    case GtsType.DOUBLE => r.getDouble(7)
+    case GtsType.BOOLEAN => r.getBoolean(8)
+    case GtsType.STRING => r.getString(9)
+    case _ => r.getAs[Array[Byte]](10)
+  }
+
+  /** Input-format value literal (GTSHelper.encodeValue): long/double
+    * plain, boolean T/F, string quoted, binary b64-prefixed. */
+  private def valueStr(v: Any): String = v match {
+    case b: Boolean => if (b) "T" else "F"
+    case s: String => "'" + s + "'"
+    case b: Array[Byte] => "b64:" + java.util.Base64.getEncoder.encodeToString(b)
+    case o => String.valueOf(o)
+  }
+
+  private def locElev(r: org.apache.spark.sql.Row): String = {
+    val loc = if (r.isNullAt(2) || r.isNullAt(3)) ""
+      else s"${r.getDouble(2)}:${r.getDouble(3)}"
+    val elev = if (r.isNullAt(4)) "" else r.getLong(4).toString
+    s"$loc/$elev"
+  }
+
+  private def render(format: Format.Value,
+                     meta: (String, Map[String, String]),
+                     pts: Seq[org.apache.spark.sql.Row]): String = {
+    val (cls, labels) = meta
+    format match {
+      case Format.Text | Format.FullText =>
+        val full = format == Format.FullText
+        val sb = new StringBuilder
+        var first = true
+        pts.foreach { r =>
+          if (!first && !full) sb.append('=')
+          sb.append(r.getLong(1)).append('/').append(locElev(r)).append(' ')
+          if (first || full)
+            sb.append(cls).append(labelsStr(labels)).append(' ')
+          sb.append(valueStr(valueOf(r))).append('\n')
+          first = false
+        }
+        sb.toString
+      case Format.Json =>
+        pts.map { r =>
+          val sb = new StringBuilder("{\"c\":\"")
+          sb.append(StackJson.escape(cls)).append("\",\"l\":{")
+          sb.append(labels.toSeq.sortBy(_._1).map { case (k, v) =>
+            "\"" + StackJson.escape(k) + "\":\"" + StackJson.escape(v) + "\""
+          }.mkString(","))
+          sb.append("},\"t\":").append(r.getLong(1))
+          sb.append(",\"v\":").append(valueOf(r) match {
+            case s: String => "\"" + StackJson.escape(s) + "\""
+            case b: Array[Byte] => "\"" +
+              java.util.Base64.getEncoder.encodeToString(b) + "\""
+            case o => String.valueOf(o)
+          })
+          if (!r.isNullAt(2) && !r.isNullAt(3))
+            sb.append(",\"lat\":").append(r.getDouble(2))
+              .append(",\"lon\":").append(r.getDouble(3))
+          if (!r.isNullAt(4)) sb.append(",\"elev\":").append(r.getLong(4))
+          sb.append('}').toString
+        }.mkString("[", ",", "]")
+      case Format.Wrapper =>
+        val wpts = pts.map { r =>
+          val loc = if (r.isNullAt(2) || r.isNullAt(3)) None
+            else Some(graft.functions.GeoFunctions.toHHCode(
+              r.getDouble(2), r.getDouble(3)))
+          val elev = if (r.isNullAt(4)) None else Some(r.getLong(4))
+          WrapperCodec.WPoint(r.getLong(1), loc, elev, valueOf(r))
+        }
+        WrapperCodec.opb64Encode(
+          WrapperCodec.wrapBytes(cls, labels, wpts, compress = true))
+    }
+  }
+}

@@ -69,33 +69,7 @@ final class RestFacade(
     df.limit(maxRows).collect().map(_.getString(0)).mkString("\n")
 
   /** Stack value → JSON (frames as row arrays, scalars as literals). */
-  private def renderJson(v: Any): String = v match {
-    case f: GtsFrame =>
-      Formats.toJsonRows(f.df).limit(maxRows).collect()
-        .map(_.getString(0)).mkString("[", ",", "]")
-    case df: DataFrame @unchecked =>
-      df.limit(maxRows).toJSON.collect().mkString("[", ",", "]")
-    case s: String => "\"" + escapeJson(s) + "\""
-    case l: Vector[Any] @unchecked => l.map(renderJson).mkString("[", ",", "]")
-    case null => "null"
-    case o => o.toString // Long/Double/Boolean JSON literals
-  }
-
-  /** RFC 8259 string escaping: backslash, quote, and all control chars
-    * (named escapes for the common ones, \u00XX for the rest). */
-  private def escapeJson(s: String): String = {
-    val sb = new StringBuilder(s.length + 8)
-    s.foreach {
-      case '\\' => sb.append("\\\\")
-      case '"' => sb.append("\\\"")
-      case '\n' => sb.append("\\n")
-      case '\r' => sb.append("\\r")
-      case '\t' => sb.append("\\t")
-      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
-      case c => sb.append(c)
-    }
-    sb.toString
-  }
+  private def renderJson(v: Any): String = StackJson.render(v, maxRows)
 
   private def query(ex: HttpExchange): Map[String, String] = {
     val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")

@@ -1,0 +1,181 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, WebSocket}
+import java.util.concurrent.{ConcurrentLinkedQueue, TimeUnit, CompletionStage}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.Gts
+import graft.operators.GtsFrame
+import graft.script.WarpScriptEngine
+import graft.sources.WrapperCodec
+import graft.surface.{MobiusEndpoint, PlasmaEndpoint}
+
+/** The Plasma and Mobius WebSocket endpoints driven end-to-end by the
+  * JDK client: subscribe→dispatch in every output format, the
+  * SUBSCRIPTIONS/CLEAR/SAMPLE/KO command surface, and the Mobius
+  * program-ack → periodic macro-push cycle. */
+class PlasmaMobiusSpec extends SparkSpec {
+
+  private def fixture = {
+    import spark.implicits._
+    GtsFrame(Gts.canonical(Seq(
+      ("m.cpu", Map("host" -> "a"), 100L, 1.5),
+      ("m.cpu", Map("host" -> "a"), 200L, 2.5),
+      ("m.cpu", Map("host" -> "b"), 150L, 7.0),
+      ("m.mem", Map("host" -> "a"), 300L, 3.0))
+      .toDF("class", "labels", "ts", "vdouble")
+      .withColumn("lat", lit(null).cast(DoubleType))
+      .withColumn("lon", lit(null).cast(DoubleType))
+      .withColumn("elev", lit(null).cast(LongType))
+      .withColumn("vtype", lit(graft.model.GtsType.DOUBLE).cast(ByteType))
+      .withColumn("vlong", lit(null).cast(LongType))
+      .withColumn("vbool", lit(null).cast(BooleanType))
+      .withColumn("vstring", lit(null).cast(StringType))
+      .withColumn("vbinary", lit(null).cast(BinaryType))))
+  }
+
+  private final class Client(port: Int, path: String) {
+    val texts = new ConcurrentLinkedQueue[String]
+    private val partial = new StringBuilder
+    val ws: WebSocket = HttpClient.newHttpClient().newWebSocketBuilder()
+      .buildAsync(URI.create(s"ws://127.0.0.1:$port$path"),
+        new WebSocket.Listener {
+          override def onText(w: WebSocket, data: CharSequence,
+              last: Boolean): CompletionStage[_] = {
+            partial.append(data)
+            if (last) { texts.add(partial.toString); partial.setLength(0) }
+            w.request(1); null
+          }
+        }).get(10, TimeUnit.SECONDS)
+
+    def send(m: String): Unit = ws.sendText(m, true).get(5, TimeUnit.SECONDS)
+
+    def awaitText(timeoutMs: Long = 10000): String = {
+      val deadline = System.nanoTime + timeoutMs * 1000000
+      while (texts.isEmpty && System.nanoTime < deadline) Thread.sleep(5)
+      val t = texts.poll()
+      assert(t != null, "no message within timeout")
+      t
+    }
+
+    def awaitTexts(n: Int, timeoutMs: Long = 10000): Seq[String] =
+      (1 to n).map(_ => awaitText(timeoutMs))
+  }
+
+  private def awaitSubs(p: PlasmaEndpoint, n: Int): Unit = {
+    val deadline = System.nanoTime + 10000L * 1000000
+    while (p.subscriptionCount != n && System.nanoTime < deadline) Thread.sleep(5)
+    assert(p.subscriptionCount == n)
+  }
+
+  test("plasma: subscribe, TEXT continuation push, list, unsubscribe, clear") {
+    val f = fixture
+    val dir = () => f.df.groupBy(col("gtsid"))
+      .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
+    val plasma = new PlasmaEndpoint(dir)
+    val server = plasma.mount()
+    val port = server.start()
+    try {
+      val c = new Client(port, "/api/v0/plasma")
+      c.send("SUBSCRIBE tok m.cpu{host=a}")
+      awaitSubs(plasma, 1)
+      plasma.dispatch(f.df)
+      // one message per GTS: first line full, then `=`-continuation
+      assert(c.awaitText() == "100// m.cpu{host=a} 1.5\n=200// 2.5\n")
+      c.send("SUBSCRIPTIONS")
+      assert(c.awaitText() == "SUB m.cpu{host=a}")
+      c.send("SUBSCRIBE tok m.mem{}")
+      awaitSubs(plasma, 2)
+      c.send("UNSUBSCRIBE tok m.cpu{host=a}")
+      awaitSubs(plasma, 1)
+      plasma.dispatch(f.df)
+      assert(c.awaitText() == "300// m.mem{host=a} 3.0\n")
+      c.send("CLEAR")
+      awaitSubs(plasma, 0)
+      c.send("SUBSCRIBE tok ~bogus{") // unparseable selector
+      assert(c.awaitText().startsWith("KO"))
+      c.send("RAW")
+      assert(c.awaitText().startsWith("KO"))
+      c.ws.sendClose(WebSocket.NORMAL_CLOSURE, "done")
+    } finally server.stop()
+  }
+
+  test("plasma: FULLTEXT, JSON and byte-compatible WRAPPER formats") {
+    val f = fixture
+    val dir = () => f.df.groupBy(col("gtsid"))
+      .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
+    val plasma = new PlasmaEndpoint(dir)
+    val server = plasma.mount()
+    val port = server.start()
+    try {
+      val c = new Client(port, "/api/v0/plasma")
+      c.send("SUBSCRIBE tok m.cpu{host=a}")
+      awaitSubs(plasma, 1)
+      c.send("FULLTEXT")
+      plasma.dispatch(f.df)
+      assert(c.awaitText() ==
+        "100// m.cpu{host=a} 1.5\n200// m.cpu{host=a} 2.5\n")
+      c.send("JSON")
+      plasma.dispatch(f.df)
+      assert(c.awaitText() ==
+        """[{"c":"m.cpu","l":{"host":"a"},"t":100,"v":1.5},""" +
+          """{"c":"m.cpu","l":{"host":"a"},"t":200,"v":2.5}]""")
+      c.send("WRAPPER")
+      plasma.dispatch(f.df)
+      val (w, pts) = WrapperCodec.unwrapString(c.awaitText())
+      assert(w.name == "m.cpu" && w.labels == Map("host" -> "a"))
+      assert(pts.map(p => (p.ts, p.value)) == Vector((100L, 1.5), (200L, 2.5)))
+      c.ws.sendClose(WebSocket.NORMAL_CLOSURE, "done")
+    } finally server.stop()
+  }
+
+  test("plasma: SAMPLE thins the push with the session's seeded PRNG") {
+    val f = fixture
+    val dir = () => f.df.groupBy(col("gtsid"))
+      .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
+    val plasma = new PlasmaEndpoint(dir)
+    val server = plasma.mount()
+    val port = server.start()
+    try {
+      val c = new Client(port, "/api/v0/plasma")
+      c.send("SUBSCRIBE tok m.cpu{host=a}")
+      awaitSubs(plasma, 1)
+      c.send("SAMPLE 0.5")
+      plasma.dispatch(f.df)
+      // replay the session PRNG: kept iff nextDouble() <= 0.5, 2 points
+      val rng = new java.util.Random(42L)
+      val kept = Seq((100L, 1.5), (200L, 2.5)).filter(_ => rng.nextDouble() <= 0.5)
+      if (kept.nonEmpty) {
+        val msg = c.awaitText()
+        assert(msg.count(_ == '\n') == kept.size)
+      } else assert(c.texts.isEmpty)
+      c.ws.sendClose(WebSocket.NORMAL_CLOSURE, "done")
+    } finally server.stop()
+  }
+
+  test("mobius: program ack, macro registered, tick pushes re-execution") {
+    val f = fixture
+    val engine = () => new WarpScriptEngine(
+      (cls, labels, a, b) => f.select(cls, labels).timeclip(a, b))
+    val mobius = new MobiusEndpoint(engine)
+    val server = mobius.mount()
+    val port = server.start()
+    try {
+      val c = new Client(port, "/api/v0/mobius")
+      c.send("7 8") // non-macro: stack JSON, nothing scheduled
+      assert(c.awaitText() == "[8,7]")
+      assert(!mobius.hasMacros)
+      c.send("'ack' <% 1 2 + %>") // macro on top: ack = remaining stack
+      assert(c.awaitText() == "[\"ack\"]")
+      assert(mobius.hasMacros)
+      mobius.tick()
+      assert(c.awaitText() == "[3]")
+      mobius.tick()
+      assert(c.awaitText() == "[3]")
+      c.ws.sendClose(WebSocket.NORMAL_CLOSURE, "done")
+    } finally server.stop()
+  }
+}
