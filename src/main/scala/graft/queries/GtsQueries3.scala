@@ -141,6 +141,67 @@ object GtsQueries3 {
         import s.implicits._
         rows.toDF("ts", "value").withColumn("exec_ok", lit(execOk))
       } finally facade.stop()
+    }),
+
+    // the /api/v0 update/meta/find/delete session surface over REAL
+    // sockets (surface/RestFacade.scala; StandaloneStreamUpdateHandler,
+    // fn/META.java delta attrs, EgressFindHandler text shape,
+    // StandaloneDeleteHandler touched-series response): write an
+    // overlay series, set+delta its attributes, delete a tick range,
+    // then prove via wire fetches that the overlay survived correctly
+    // AND the base table is untouched (hashed against DuckDB)
+    "h04_http_crud" -> ((s, dir) => {
+      import java.net.{HttpURLConnection, URI}
+      import GtsQueries.{T0, DAY}
+      def hit(url: String, body: Option[String]): (Int, String) = {
+        val c = URI.create(url).toURL.openConnection()
+          .asInstanceOf[HttpURLConnection]
+        body.foreach { b =>
+          c.setRequestMethod("POST"); c.setDoOutput(true)
+          c.getOutputStream.write(b.getBytes("UTF-8"))
+        }
+        val code = c.getResponseCode
+        val is = if (code < 400) c.getInputStream else c.getErrorStream
+        (code, new String(is.readAllBytes(), "UTF-8"))
+      }
+      val base = graft.operators.GtsFrame(Gts.fromEvents(s, dir))
+      val facade = new graft.surface.RestFacade(base,
+        () => WsQueries.engine(s, dir, cents = false), maxRows = 1000000)
+      val port = facade.start(0)
+      val api = s"http://127.0.0.1:$port/api/v0"
+      try {
+        val (cu, _) = hit(s"$api/update",
+          Some("1000// session.h04{src=crud} 1.5\n=2000// 2.5\n=3000// 3.5"))
+        require(cu == 200, s"update HTTP $cu")
+        val (cm, _) = hit(s"$api/meta",
+          Some("session.h04{src=crud}{unit=ms,owner=tmp}"))
+        require(cm == 200, s"meta HTTP $cm")
+        hit(s"$api/meta", Some("session.h04{src=crud}{owner=}"))
+        val (_, found) = hit(
+          s"$api/find?selector=session.h04%7B%7D", None)
+        val findOk = found.trim == "session.h04{src=crud}{unit=ms}"
+        val (cd, deleted) = hit(
+          s"$api/delete?selector=session.h04%7B%7D&start=2500&end=3500", None)
+        val delOk = cd == 200 && deleted.trim == "session.h04{src=crud}"
+        val (_, tsv) = hit(
+          s"$api/fetch?selector=session.h04%7B%7D&format=tsv", None)
+        val overlay = tsv.split("\n").filter(_.nonEmpty).toSeq.map { ln =>
+          val Array(t, v) = ln.split("\t"); (t.toLong, v.toDouble)
+        }
+        // the base table must be untouched by the overlay session ops
+        val (cb, btsv) = hit(s"$api/fetch" +
+          s"?selector=events.click%7B%7D&start=$T0&stop=${T0 + DAY - 1}" +
+          "&format=tsv", None)
+        require(cb == 200, s"base fetch HTTP $cb")
+        val baseRows = btsv.split("\n").filter(_.nonEmpty).toSeq.map { ln =>
+          val Array(t, v) = ln.split("\t"); (t.toLong, v.toDouble)
+        }
+        import s.implicits._
+        (overlay.map { case (t, v) => ("overlay", t, v) } ++
+          baseRows.map { case (t, v) => ("base", t, v) })
+          .toDF("part", "ts", "value")
+          .withColumn("crud_ok", lit(findOk && delOk))
+      } finally facade.stop()
     })
   )
 
@@ -159,6 +220,20 @@ object GtsQueries3 {
     "h03_http_facade" ->
       s"""WITH g AS ($EV)
          |SELECT ts, vdouble AS value, TRUE AS exec_ok FROM g
+         |WHERE class = 'events.click'
+         |  AND ts >= ${GtsQueries.T0} AND ts <= ${GtsQueries.T0 + GtsQueries.DAY - 1}""".stripMargin,
+
+    // overlay = the updated series minus the deleted range; base = one
+    // day of clicks, untouched by the session ops; crud_ok asserts the
+    // find/meta/delete wire responses matched the reference shapes
+    "h04_http_crud" ->
+      s"""WITH g AS ($EV)
+         |SELECT 'overlay' AS part, CAST(1000 AS BIGINT) AS ts,
+         |       1.5 AS value, TRUE AS crud_ok
+         |UNION ALL
+         |SELECT 'overlay', 2000, 2.5, TRUE
+         |UNION ALL
+         |SELECT 'base', ts, vdouble, TRUE FROM g
          |WHERE class = 'events.click'
          |  AND ts >= ${GtsQueries.T0} AND ts <= ${GtsQueries.T0 + GtsQueries.DAY - 1}""".stripMargin,
 

@@ -6,24 +6,44 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
 
+import graft.model.Gts
 import graft.operators.GtsFrame
 import graft.script.WarpScriptEngine
-import graft.sources.{Formats, Selector}
+import graft.sources.{Formats, LineProtocol, Selector}
 
-/** Thin HTTP façade over the engine — the reference's two analytics
-  * entry points re-expressed (EgressExecHandler.java:134 `/api/v0/exec`,
-  * EgressFetchHandler.java:153 `/api/v0/fetch`), built on the JDK's
-  * own `com.sun.net.httpserver` (zero new dependencies; a production
-  * deployment would front the same two calls with any server).
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Thin HTTP façade over the engine — the reference's `/api/v0` entry
+  * points re-expressed, built on the JDK's own `com.sun.net.httpserver`
+  * (zero new dependencies; a production deployment would front the same
+  * calls with any server).
   *
   * - `GET /api/v0/fetch?selector=<class{labels}>&start=<ts>&stop=<ts>
   *   [&format=text|json|tsv]` — selector-pruned scan rendered by
-  *   [[Formats]] (the reference's text/json/tsv fetch formats).
+  *   [[Formats]] (EgressFetchHandler.java:153's text/json/tsv formats).
   * - `POST /api/v0/exec` — body is a WarpScript program; the final
-  *   stack renders to a JSON array (frames as row-object arrays,
-  *   scalars as literals), like the reference's stack JSON.
+  *   stack renders to a JSON array (EgressExecHandler.java:134).
+  * - `POST /api/v0/update` — body is GTS line protocol, appended to the
+  *   session overlay that subsequent fetch/find/delete see
+  *   (StandaloneStreamUpdateHandler / ingress Ingress.java). The
+  *   DURABLE high-volume path is [[graft.streaming.StreamingIngest]]
+  *   into the lake; this endpoint is the reference's interactive write
+  *   surface, session-scoped exactly like the engine's UPDATE word.
+  * - `GET /api/v0/delete?selector=…[&start=…&end=…|&deleteall=true]` —
+  *   responds with one `class{labels}` line per touched series
+  *   (StandaloneDeleteHandler.java:461-471); the deletion itself is a
+  *   predicate the combined view applies (a lakehouse sink would run
+  *   the same predicate as a Delta DELETE / partition rewrite).
+  * - `POST /api/v0/meta` — body lines `class{labels}{attributes}`
+  *   upsert mutable attributes with fn/META.java's delta semantics
+  *   (empty value removes the key).
+  * - `GET /api/v0/find?selector=…` — one `class{labels}{attributes}`
+  *   line per matching series (EgressFindHandler.java:345-374 text
+  *   shape).
   *
   * The façade is a SURFACE, not an executor: every request compiles to
   * the same lazy Catalyst plans as the Scala API; `maxRows` caps what a
@@ -36,6 +56,54 @@ final class RestFacade(
 
   private var server: HttpServer = _
 
+  // ---- session overlay (UPDATE/DELETE/META between requests) ----
+  private val updates = mutable.ArrayBuffer.empty[Row]
+  private val deletes = mutable.ArrayBuffer.empty[(Selector, Long, Long)]
+  private val attrOverlay =
+    mutable.Map.empty[(String, Map[String, String]), Map[String, String]]
+
+  /** Base ∪ session updates, minus the recorded delete predicates —
+    * what fetch/find/delete resolve against. */
+  private def combined(): DataFrame = synchronized {
+    val base = frame.df
+    val withUpdates =
+      if (updates.isEmpty) base
+      else base.unionByName(Gts.canonicalRehash(
+        base.sparkSession.createDataFrame(
+          new java.util.ArrayList(updates.asJava), Gts.pointSchema)))
+    deletes.foldLeft(withUpdates) { case (df, (sel, lo, hi)) =>
+      df.filter(!(sel.predicate && col("ts").between(lo, hi)))
+    }
+  }
+
+  private def metaOf(points: DataFrame): DataFrame =
+    points.groupBy(col("gtsid"))
+      .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
+
+  private def labelsStr(labels: Map[String, String]): String =
+    labels.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString("{", ",", "}")
+
+  /** Parse `class{k=v,…}` (and an optional trailing `{attrs}` block)
+    * from a meta line — the unencoded convention of [[LineProtocol]]. */
+  private def parseMetaLine(line: String): (String, Map[String, String], Map[String, String]) = {
+    def block(s: String): Map[String, String] =
+      s.split(",").filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"bad label '$kv'")
+        kv.substring(0, i) -> kv.substring(i + 1)
+      }.toMap
+    val b1 = line.indexOf('{')
+    require(b1 > 0, s"meta line needs class{labels}{attributes}: $line")
+    val e1 = line.indexOf('}', b1)
+    val b2 = line.indexOf('{', e1)
+    val e2 = if (b2 < 0) -1 else line.indexOf('}', b2)
+    val labels = block(line.substring(b1 + 1, e1))
+    val attrs = if (b2 < 0) Map.empty[String, String]
+      else block(line.substring(b2 + 1, e2))
+    (line.substring(0, b1), labels, attrs)
+  }
+
   /** Start on `port` (0 = ephemeral); returns the bound port. */
   def start(port: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -44,8 +112,8 @@ final class RestFacade(
       val sel = Selector.parse(q.getOrElse("selector", "~.*"))
       val start = q.getOrElse("start", Long.MinValue.toString).toLong
       val stop = q.getOrElse("stop", Long.MaxValue.toString).toLong
-      val pts = frame.df.filter(sel.predicate)
-        .filter(org.apache.spark.sql.functions.col("ts").between(start, stop))
+      val pts = combined().filter(sel.predicate)
+        .filter(col("ts").between(start, stop))
       val body = q.getOrElse("format", "text") match {
         case "json" => lines(Formats.toJsonRows(pts))
         case "tsv" => lines(Formats.toTsv(pts)
@@ -58,6 +126,67 @@ final class RestFacade(
       val program = new String(ex.getRequestBody.readAllBytes(), UTF_8)
       val stack = engine().run(program)
       (200, stack.map(renderJson).mkString("[", ",", "]"))
+    })
+    server.createContext("/api/v0/update", (ex: HttpExchange) => safely(ex) {
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      val parsed = LineProtocol
+        .parseBatch(body.linesIterator, now = 0L, None, None)
+        .map { p =>
+          Row(p.cls, p.labels, 0L, p.ts,
+            p.lat.orNull, p.lon.orNull, p.elev.orNull, p.vtype,
+            p.vlong.orNull, p.vdouble.orNull, p.vbool.orNull,
+            p.vstring.orNull, p.vbinary.orNull)
+        }.toVector
+      synchronized { updates ++= parsed }
+      (200, "")
+    })
+    server.createContext("/api/v0/delete", (ex: HttpExchange) => safely(ex) {
+      val q = query(ex)
+      val selStr = q.getOrElse("selector",
+        throw new IllegalArgumentException("missing 'selector'"))
+      val sel = Selector.parse(selStr)
+      val (lo, hi) =
+        if (q.get("deleteall").contains("true")) (Long.MinValue, Long.MaxValue)
+        else (q.getOrElse("start",
+          throw new IllegalArgumentException("missing 'start'")).toLong,
+          q.getOrElse("end",
+            throw new IllegalArgumentException("missing 'end'")).toLong)
+      // report the touched series (StandaloneDeleteHandler:461-471),
+      // then record the predicate the combined view applies
+      val touched = metaOf(combined().filter(sel.predicate)
+          .filter(col("ts").between(lo, hi)))
+        .orderBy(col("class")).limit(maxRows).collect()
+        .map(r => r.getString(1) +
+          labelsStr(r.getAs[Map[String, String]](2)))
+      synchronized { deletes += ((sel, lo, hi)) }
+      (200, touched.mkString("", "\r\n", if (touched.isEmpty) "" else "\r\n"))
+    })
+    server.createContext("/api/v0/meta", (ex: HttpExchange) => safely(ex) {
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      body.linesIterator.filter(_.nonEmpty).foreach { line =>
+        val (cls, labels, attrs) = parseMetaLine(line)
+        synchronized {
+          val prev = attrOverlay.getOrElse((cls, labels), Map.empty)
+          // fn/META.java delta semantics: empty value removes the key
+          val merged = (prev ++ attrs).filter(_._2.nonEmpty)
+          attrOverlay((cls, labels)) = merged
+        }
+      }
+      (200, "")
+    })
+    server.createContext("/api/v0/find", (ex: HttpExchange) => safely(ex) {
+      val q = query(ex)
+      val sel = Selector.parse(q.getOrElse("selector", "~.*"))
+      val rows = metaOf(combined()).filter(sel.metaPredicate)
+        .orderBy(col("class")).limit(maxRows).collect()
+      val body = rows.map { r =>
+        val cls = r.getString(1)
+        val labels = r.getAs[Map[String, String]](2)
+        val attrs = synchronized(
+          attrOverlay.getOrElse((cls, labels), Map.empty))
+        cls + labelsStr(labels) + labelsStr(attrs)
+      }.mkString("\n")
+      (200, body)
     })
     server.start()
     server.getAddress.getPort

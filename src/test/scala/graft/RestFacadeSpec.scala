@@ -93,4 +93,51 @@ class RestFacadeSpec extends SparkSpec {
       assert(esc == "[\"line1\\nline2\"]")
     } finally facade.stop()
   }
+
+  test("update/delete/meta/find: session overlay over real HTTP") {
+    val f = fixture
+    val facade = new RestFacade(f,
+      () => new WarpScriptEngine(
+        (cls, labels, a, b) => f.select(cls, labels).timeclip(a, b)))
+    val port = facade.start()
+    try {
+      val base = s"http://127.0.0.1:$port/api/v0"
+      // update: session write shows up in subsequent fetches
+      val (cu, _) = post(s"$base/update",
+        "400// m.cpu{host=c} 9.0\n=500// 10.0")
+      assert(cu == 200)
+      val (_, t1) = get(s"$base/fetch?selector=m.cpu%7Bhost=c%7D&format=tsv")
+      assert(t1.split("\n").toSeq.sorted == Seq("400\t9.0", "500\t10.0"))
+      // find: one class{labels}{attributes} line per series
+      val (cf, found) = get(s"$base/find?selector=~m.cpu.*")
+      assert(cf == 200)
+      assert(found.split("\n").toSeq.sorted == Seq(
+        "m.cpu{host=a}{}", "m.cpu{host=b}{}", "m.cpu{host=c}{}"))
+      // meta: attribute upsert with delta semantics (empty removes)
+      val (cm, _) = post(s"$base/meta", "m.cpu{host=c}{unit=ms,owner=ops}")
+      assert(cm == 200)
+      val (_, f2) = get(s"$base/find?selector=m.cpu%7Bhost=c%7D")
+      assert(f2.trim == "m.cpu{host=c}{owner=ops,unit=ms}")
+      val (cm2, _) = post(s"$base/meta", "m.cpu{host=c}{owner=}")
+      assert(cm2 == 200)
+      val (_, f3) = get(s"$base/find?selector=m.cpu%7Bhost=c%7D")
+      assert(f3.trim == "m.cpu{host=c}{unit=ms}")
+      // delete: reports touched series, then the range is gone
+      val (cd, deleted) = get(
+        s"$base/delete?selector=m.cpu%7Bhost=c%7D&start=450&end=600")
+      assert(cd == 200 && deleted.trim == "m.cpu{host=c}")
+      val (_, t2) = get(s"$base/fetch?selector=m.cpu%7Bhost=c%7D&format=tsv")
+      assert(t2.split("\n").toSeq.filter(_.nonEmpty) == Seq("400\t9.0"))
+      // deleteall removes the series entirely → find no longer lists it
+      val (cd2, _) = get(
+        s"$base/delete?selector=m.cpu%7Bhost=c%7D&deleteall=true")
+      assert(cd2 == 200)
+      val (_, f4) = get(s"$base/find?selector=~m.cpu.*")
+      assert(f4.split("\n").toSeq.sorted ==
+        Seq("m.cpu{host=a}{}", "m.cpu{host=b}{}"))
+      // missing params → 400
+      val (ce, _) = get(s"$base/delete?selector=m.cpu%7Bhost=a%7D")
+      assert(ce == 400)
+    } finally facade.stop()
+  }
 }
