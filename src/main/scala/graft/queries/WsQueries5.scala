@@ -290,6 +290,42 @@ object WsQueries5 {
       e.runToFrame(prog)
         .select(col("ts"), col("vbool").as("inside"))
     }),
+
+    // PloadShape/PshapeMode/Pshape (processing/shape/PloadShape.java,
+    // Pshape.java, PshapeMode.java): an SVG string renders twice — a
+    // CORNER-fit 2x scale and a CENTER-placed natural draw — and exact
+    // pixel counts follow the center-insideness rule the w91 literals
+    // pinned (rect covers w*h pixel centers; circle r: centers with
+    // dx²+dy² < r²)
+    "w120_ws_shape" -> ((s, dir) => {
+      val e = engine(s, dir, cents = false)
+      val svg = "<svg width=\"10\" height=\"10\">" +
+        "<rect x=\"2\" y=\"2\" width=\"6\" height=\"6\" fill=\"#ff0000\"/>" +
+        "<circle cx=\"5\" cy=\"5\" r=\"2\" fill=\"#00ff00\"/></svg>"
+      val out = e.run(
+        s"""40 30 '2D' PGraphics 0 0 0 Pbackground
+           |'$svg' PloadShape 'sh' STORE
+           |$$sh 0 0 20 20 Pshape
+           |'CENTER' PshapeMode
+           |$$sh 30 8 10 10 Pshape
+           |10 10 Pget 'g1' STORE
+           |5 5 Pget 'r1' STORE
+           |30 8 Pget 'g2' STORE
+           |0 0 Pget 'bg' STORE
+           |Ppixels 'pxs' STORE
+           |Psize
+           |$$bg $$r1 $$g1 $$g2 $$pxs""".stripMargin)
+      val pxs = out.head.asInstanceOf[Vector[Any]].map(_.asInstanceOf[Long])
+      val Seq(g2, g1, r1, bg) = out.slice(1, 5).map(_.asInstanceOf[Long])
+      val Seq(h, wdt) = out.slice(5, 7).map(_.asInstanceOf[Long])
+      s.range(1).select(
+        lit(bg).as("p_bg"), lit(r1).as("p_red"),
+        lit(g1).as("p_green1"), lit(g2).as("p_green2"),
+        lit(pxs.count(_ == 0xffff0000L).toLong).as("n_red"),
+        lit(pxs.count(_ == 0xff00ff00L).toLong).as("n_green"),
+        lit(pxs.count(_ == 0xff000000L).toLong).as("n_bg"),
+        lit(wdt).as("cw"), lit(h).as("ch"))
+    }),
   )
 
   /** Loess smoothing CTE over the daily-mean knots: whole-window
@@ -577,5 +613,22 @@ object WsQueries5 {
          |      FROM counts GROUP BY 1, 2)
          |SELECT r.u AS "user", r.bts AS ts, r.joined
          |FROM r JOIN nser n USING (u) WHERE r.m = n.ns""".stripMargin,
+
+    // derived literals: CORNER fit doubles the SVG's user space (rect
+    // centers in [4,16)² = 144 px; the scaled circle rasterizes to 44
+    // px — shapes drawn under a Graphics2D transform go through path
+    // rasterization, which at r=4 is 8 px tighter on the cardinal rows
+    // than the untransformed-Ellipse2D center rule; deterministic,
+    // probe-pinned in WsShapeSpec); CENTER draw at (30,8) natural size
+    // (36-px rect, 12-px circle); n_red = (144-44)+(36-12),
+    // n_green = 44+12, n_bg = 1200-124-56
+    "w120_ws_shape" ->
+      """SELECT CAST(4278190080 AS BIGINT) AS p_bg,
+        |  CAST(4294901760 AS BIGINT) AS p_red,
+        |  CAST(4278255360 AS BIGINT) AS p_green1,
+        |  CAST(4278255360 AS BIGINT) AS p_green2,
+        |  CAST(124 AS BIGINT) AS n_red, CAST(56 AS BIGINT) AS n_green,
+        |  CAST(1020 AS BIGINT) AS n_bg,
+        |  CAST(40 AS BIGINT) AS cw, CAST(30 AS BIGINT) AS ch""".stripMargin,
   )
 }

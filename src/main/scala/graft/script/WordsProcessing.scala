@@ -474,15 +474,68 @@ private[script] object WordsProcessing {
         c.setBlendMode(String.valueOf(a(0)))
         st.push(c)
 
+      // PloadShape (processing/shape/PloadShape.java:39-55): pops an
+      // SVG XML string, pushes the parsed shape (the reference builds
+      // Processing's PShapeJava2D; WsShape is the clean-room parser of
+      // the same 2D SVG subset)
+      case "PloadShape" =>
+        st.push(WsShape.fromSvg(st.popStr()))
+
+      // PshapeMode (processing/shape/PshapeMode.java:47-53)
+      case "PshapeMode" =>
+        val (c, a) = params(st, w, 1)
+        a(0).toString match {
+          case m @ ("CORNER" | "CORNERS" | "CENTER") => c.shapeMode = m
+          case m => throw new IllegalArgumentException(s"$w: bad mode '$m'")
+        }
+        st.push(c)
+
+      // Pshape (processing/shape/Pshape.java:40-66): draw a loaded
+      // shape — bare (natural size at the origin), at (x, y), or
+      // fitted into the shapeMode-interpreted box (x, y, w, h)
+      case "Pshape" =>
+        val (c, a) = params(st, w, 1, 3, 5)
+        val sh = a(0) match {
+          case s: WsShape => s
+          case o => throw new IllegalArgumentException(s"$w: not a shape: $o")
+        }
+        val ns = a.tail.map(num)
+        val tx = new java.awt.geom.AffineTransform()
+        ns match {
+          case Vector() => ()
+          case Vector(x, y) =>
+            if (c.shapeMode == "CENTER")
+              tx.translate(x - sh.width / 2, y - sh.height / 2)
+            else tx.translate(x, y)
+          case Vector(p1, p2, p3, p4) =>
+            val (x, y, bw, bh) = c.shapeMode match {
+              case "CORNERS" => (p1, p2, p3 - p1, p4 - p2)
+              case "CENTER" => (p1 - p3 / 2, p2 - p4 / 2, p3, p4)
+              case _ => (p1, p2, p3, p4)
+            }
+            tx.translate(x, y)
+            tx.scale(bw / sh.width, bh / sh.height)
+          case _ => ()
+        }
+        c.drawWsShape(sh, tx)
+        st.push(c)
+
+      // Psize (processing/image/Psize.java:39-48): pixel dimensions of
+      // an image — pushes width then height
+      case "Psize" =>
+        st.pop() match {
+          case c: WsCanvas =>
+            st.push(c.width.toLong); st.push(c.height.toLong)
+          case o => throw new IllegalArgumentException(s"$w: not an image: $o")
+        }
+
       // unimplemented P-words fail loud rather than draw wrongly. The
       // 3D words (Pbox/Psphere/ProtateX...) are live reference surface
       // only under the '3D' PGraphics renderer; this engine implements
       // the '2D' subset, where the reference's own 2D renderer rejects
       // them too (processing.core.PGraphics depth warnings)
       case "Pbox" | "Psphere" | "PsphereDetail" |
-           "PshapeMode" | "Pshape" | "PloadShape" |
-           "ProtateX" | "ProtateY" |
-           "ProtateZ" | "Psize" =>
+           "ProtateX" | "ProtateY" | "ProtateZ" =>
         throw new UnsupportedOperationException(
           s"$w: not implemented in the 2D java.awt rendering subset")
 

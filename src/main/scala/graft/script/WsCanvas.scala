@@ -108,6 +108,30 @@ final class WsCanvas(val width: Int, val height: Int) {
     }
   }
 
+  // Pshape placement mode (processing/shape/PshapeMode.java:47-53)
+  var shapeMode: String = "CORNER"
+
+  /** Render a loaded [[WsShape]] under an extra placement transform;
+    * every node draws with ITS OWN SVG fill/stroke (Processing
+    * PShape's default style mode) and SVG stroke defaults (butt cap,
+    * miter join, SVG 1.1 §11.4). */
+  def drawWsShape(sh: WsShape, tx: AffineTransform): Unit = {
+    val saved = g.getTransform
+    val savedStroke = g.getStroke
+    g.transform(tx)
+    sh.nodes.foreach { n =>
+      n.fill.foreach { c => g.setColor(awt(c)); g.fill(n.shape) }
+      n.stroke.foreach { c =>
+        g.setColor(awt(c))
+        g.setStroke(new BasicStroke(n.strokeWidth.toFloat,
+          BasicStroke.CAP_BUTT, BasicStroke.JOIN_MITER))
+        g.draw(n.shape)
+      }
+    }
+    g.setStroke(savedStroke)
+    g.setTransform(saved)
+  }
+
   // -------------------------------------------------------------- color
 
   def background(argb: Int): Unit = {
