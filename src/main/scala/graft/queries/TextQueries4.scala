@@ -100,8 +100,26 @@ object TextQueries4 {
     // (‖Σv‖² − Σ‖v‖²)/(n(n−1)) identity — no pairwise join
     "t37_embedding_diversity" -> ((s, dir) =>
       graft.text.TextOps3.embeddingDiversity(
-        s.read.parquet(s"$dir/embeddings.parquet")))
+        s.read.parquet(s"$dir/embeddings.parquet"))),
+
+    // BPE-style pre-tokenization (the GPT-2 pre-tokenizer's regex
+    // family, simplified to the Java∩RE2 intersection — no lookahead):
+    // contraction suffixes, space-prefixed letter runs, digit runs,
+    // punctuation runs, whitespace. Token budgeting over a corpus =
+    // this count; zero-shuffle per-row expression work.
+    "t38_pretoken_count" -> ((s, dir) => {
+      val toks = regexp_extract_all(col("text"), lit(PretokenRegex), lit(0))
+      docs(s, dir).select(col("doc_id"),
+        size(toks).cast(LongType).as("n_pre"),
+        size(array_distinct(toks)).cast(LongType).as("n_uniq"),
+        round(col("n_chars").cast(DoubleType) / size(toks), 6)
+          .as("chars_per_tok"))
+    })
   )
+
+  /** GPT-2-ish pre-token pattern; kept inside Java∩RE2 like PiiRules. */
+  val PretokenRegex: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
 
   val oracleSql: Map[String, String] = Map(
     "t25_tfidf" ->
@@ -340,6 +358,16 @@ object TextQueries4 {
         |  CASE WHEN sq.n > 1 THEN
         |    (ce.centroid_sq - sq.sum_sq) / CAST(sq.n * (sq.n - 1) AS DOUBLE)
         |  END AS mean_pair_dot
-        |FROM sq JOIN ce USING (label)""".stripMargin
+        |FROM sq JOIN ce USING (label)""".stripMargin,
+
+    "t38_pretoken_count" ->
+      s"""WITH p AS (SELECT doc_id, n_chars,
+         |  regexp_extract_all(text,
+         |    '${PretokenRegex.replace("'", "''").replace("\\", "\\")}') AS toks
+         |  FROM documents)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_pre,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+         |  round(CAST(n_chars AS DOUBLE) / len(toks), 6) AS chars_per_tok
+         |FROM p""".stripMargin
   )
 }
