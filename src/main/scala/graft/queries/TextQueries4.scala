@@ -363,7 +363,7 @@ object TextQueries4 {
     "t38_pretoken_count" ->
       s"""WITH p AS (SELECT doc_id, n_chars,
          |  regexp_extract_all(text,
-         |    '${PretokenRegex.replace("'", "''").replace("\\", "\\")}') AS toks
+         |    '${PretokenRegex.replace("'", "''")}') AS toks
          |  FROM documents)
          |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_pre,
          |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,

@@ -239,6 +239,11 @@ object WsShape {
         val c = toks(i).head; i += 1; c
       } else if (lastCmd == 'M') 'L' // implicit lineto after moveto
       else if (lastCmd == 'm') 'l'
+      else if (lastCmd == 'Z' || lastCmd == 'z' || lastCmd == ' ')
+        // Z consumes no operands: a numeric token here would otherwise
+        // repeat closePath forever
+        throw new IllegalArgumentException(
+          s"path data: unexpected number '${toks(i)}' after '$lastCmd'")
       else lastCmd
       val rel = cmd0.isLower
       val cmd = cmd0.toUpper

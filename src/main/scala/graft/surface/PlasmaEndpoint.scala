@@ -90,7 +90,7 @@ final class PlasmaEndpoint(directory: () => DataFrame,
       case "SUBSCRIPTIONS" =>
         s.synchronized {
           s.subs.values.foreach { case (cls, labels) =>
-            c.sendText(s"SUB ${cls}${labelsStr(labels)}")
+            c.sendText(s"SUB ${cls}${Wire.labels(labels)}")
           }
         }
       case "CLEAR" => s.synchronized(s.subs.clear())
@@ -151,10 +151,6 @@ final class PlasmaEndpoint(directory: () => DataFrame,
 
   // ------------------------------------------------------------ rendering
 
-  private def labelsStr(labels: Map[String, String]): String =
-    labels.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"$k=$v" }.mkString("{", ",", "}")
-
   private def valueOf(r: org.apache.spark.sql.Row): Any = r.getByte(5) match {
     case GtsType.LONG => r.getLong(6)
     case GtsType.DOUBLE => r.getDouble(7)
@@ -192,7 +188,7 @@ final class PlasmaEndpoint(directory: () => DataFrame,
           if (!first && !full) sb.append('=')
           sb.append(r.getLong(1)).append('/').append(locElev(r)).append(' ')
           if (first || full)
-            sb.append(cls).append(labelsStr(labels)).append(' ')
+            sb.append(cls).append(Wire.labels(labels)).append(' ')
           sb.append(valueStr(valueOf(r))).append('\n')
           first = false
         }

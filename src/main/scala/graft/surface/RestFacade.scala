@@ -72,17 +72,17 @@ final class RestFacade(
         base.sparkSession.createDataFrame(
           new java.util.ArrayList(updates.asJava), Gts.pointSchema)))
     deletes.foldLeft(withUpdates) { case (df, (sel, lo, hi)) =>
-      df.filter(!(sel.predicate && col("ts").between(lo, hi)))
+      // coalesce: a NULL selector verdict (label absent on the row) is
+      // NOT a match — without it `!(NULL)` filters the row out and
+      // deletes series the selector never matched (SQL 3VL)
+      df.filter(!coalesce(sel.predicate && col("ts").between(lo, hi),
+        lit(false)))
     }
   }
 
   private def metaOf(points: DataFrame): DataFrame =
     points.groupBy(col("gtsid"))
       .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
-
-  private def labelsStr(labels: Map[String, String]): String =
-    labels.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"$k=$v" }.mkString("{", ",", "}")
 
   /** Parse `class{k=v,…}` (and an optional trailing `{attrs}` block)
     * from a meta line — the unencoded convention of [[LineProtocol]]. */
@@ -129,15 +129,26 @@ final class RestFacade(
     })
     server.createContext("/api/v0/update", (ex: HttpExchange) => safely(ex) {
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-      val parsed = LineProtocol
-        .parseBatch(body.linesIterator, now = 0L, None, None)
-        .map { p =>
-          Row(p.cls, p.labels, 0L, p.ts,
+      // strict per-line parse: a malformed line fails the WHOLE request
+      // (the reference update handler 500s with the offending line;
+      // silent drops would be invisible data loss)
+      var prev: Option[(String, Map[String, String])] = None
+      val parsed = Vector.newBuilder[Row]
+      body.linesIterator.map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("#")).foreach { line =>
+          val (p, id) =
+            try LineProtocol.parseLine(prev, line, now = 0L)
+            catch { case e: Exception =>
+              throw new IllegalArgumentException(
+                s"bad line protocol '$line': ${e.getMessage}") }
+          prev = Some(id)
+          parsed += Row(p.cls, p.labels, 0L, p.ts,
             p.lat.orNull, p.lon.orNull, p.elev.orNull, p.vtype,
             p.vlong.orNull, p.vdouble.orNull, p.vbool.orNull,
             p.vstring.orNull, p.vbinary.orNull)
-        }.toVector
-      synchronized { updates ++= parsed }
+        }
+      val rows = parsed.result()
+      synchronized { updates ++= rows }
       (200, "")
     })
     server.createContext("/api/v0/delete", (ex: HttpExchange) => safely(ex) {
@@ -157,7 +168,7 @@ final class RestFacade(
           .filter(col("ts").between(lo, hi)))
         .orderBy(col("class")).limit(maxRows).collect()
         .map(r => r.getString(1) +
-          labelsStr(r.getAs[Map[String, String]](2)))
+          Wire.labels(r.getAs[Map[String, String]](2)))
       synchronized { deletes += ((sel, lo, hi)) }
       (200, touched.mkString("", "\r\n", if (touched.isEmpty) "" else "\r\n"))
     })
@@ -177,14 +188,23 @@ final class RestFacade(
     server.createContext("/api/v0/find", (ex: HttpExchange) => safely(ex) {
       val q = query(ex)
       val sel = Selector.parse(q.getOrElse("selector", "~.*"))
-      val rows = metaOf(combined()).filter(sel.metaPredicate)
+      // class+label components prune in Spark; the selector's attribute
+      // components (metaPredicate's third block) filter against the
+      // session overlay, where attributes live on this facade
+      val rows = metaOf(combined()).filter(sel.predicate)
         .orderBy(col("class")).limit(maxRows).collect()
-      val body = rows.map { r =>
+      def attrMatch(attrs: Map[String, String]): Boolean =
+        sel.attrExact.forall { case (k, v) => attrs.get(k).contains(v) } &&
+          sel.attrRegex.forall { case (k, v) =>
+            attrs.get(k).exists(_.matches("^(?:" + v + ")$")) }
+      val body = rows.flatMap { r =>
         val cls = r.getString(1)
         val labels = r.getAs[Map[String, String]](2)
         val attrs = synchronized(
           attrOverlay.getOrElse((cls, labels), Map.empty))
-        cls + labelsStr(labels) + labelsStr(attrs)
+        if (attrMatch(attrs))
+          Some(cls + Wire.labels(labels) + Wire.labels(attrs))
+        else None
       }.mkString("\n")
       (200, body)
     })

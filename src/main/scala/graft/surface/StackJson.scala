@@ -18,6 +18,12 @@ object StackJson {
       df.limit(maxRows).toJSON.collect().mkString("[", ",", "]")
     case s: String => "\"" + escape(s) + "\""
     case l: Vector[Any] @unchecked => l.map(render(_, maxRows)).mkString("[", ",", "]")
+    case m: Map[Any, Any] @unchecked =>
+      m.map { case (k, v) =>
+        "\"" + escape(String.valueOf(k)) + "\":" + render(v, maxRows)
+      }.mkString("{", ",", "}")
+    case d: java.lang.Double if d.isNaN || d.isInfinite =>
+      "null" // RFC 8259 has no NaN/Infinity literal
     case null => "null"
     case o => o.toString // Long/Double/Boolean JSON literals
   }

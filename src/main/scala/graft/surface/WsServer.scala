@@ -93,6 +93,10 @@ final class WsServer(handler: WsHandler) {
   /** RFC 6455 §1.3 handshake GUID (a spec constant, not a secret). */
   private val AcceptGuid = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
+  /** Cap on a single frame AND a reassembled message (close 1002/1009
+    * beyond it) — bounds untrusted-peer memory. */
+  private val MaxMessageBytes = 16L << 20
+
   private var server: ServerSocket = _
   private val conns = mutable.Set.empty[WsConnection]
   @volatile private var running = false
@@ -216,7 +220,7 @@ final class WsServer(handler: WsHandler) {
         var i = 0
         while (i < 8) { len = (len << 8) | read8(in); i += 1 }
       }
-      if (!masked || len > (16L << 20)) { conn.close(1002); return }
+      if (!masked || len < 0 || len > MaxMessageBytes) { conn.close(1002); return }
       val mask = new Array[Byte](4)
       readFully(in, mask)
       val payload = new Array[Byte](len.toInt)
@@ -235,6 +239,11 @@ final class WsServer(handler: WsHandler) {
         case 0xA => () // unsolicited pong: ignore
         case 0x1 | 0x2 | 0x0 =>
           if (opcode != 0x0) messageOpcode = opcode
+          // total-message cap: per-frame checks alone would let a
+          // non-FIN fragment stream grow the buffer without bound
+          if (continuation.size.toLong + payload.length > MaxMessageBytes) {
+            conn.close(1009); return // RFC 6455 7.4.1: message too big
+          }
           continuation.write(payload)
           if (fin) {
             val whole = continuation.toByteArray

@@ -91,6 +91,12 @@ class RestFacadeSpec extends SparkSpec {
         s"'$b64' B64TO 'UTF-8' BYTES->")
       assert(c3 == 200)
       assert(esc == "[\"line1\\nline2\"]")
+      // maps render as JSON objects, non-finite doubles as null
+      val (c4, obj) = post(s"http://127.0.0.1:$port/api/v0/exec",
+        "{ 'a' 1 'b' 2.5 }")
+      assert(c4 == 200 && obj == "[{\"a\":1,\"b\":2.5}]")
+      val (c5, nan) = post(s"http://127.0.0.1:$port/api/v0/exec", "NaN")
+      assert(c5 == 200 && nan == "[null]")
     } finally facade.stop()
   }
 
@@ -138,6 +144,59 @@ class RestFacadeSpec extends SparkSpec {
       // missing params → 400
       val (ce, _) = get(s"$base/delete?selector=m.cpu%7Bhost=a%7D")
       assert(ce == 400)
+    } finally facade.stop()
+  }
+
+  test("delete on a label other series lack must not touch them (3VL)") {
+    val f = fixture
+    val facade = new RestFacade(f,
+      () => new WarpScriptEngine(
+        (cls, labels, a, b) => f.select(cls, labels).timeclip(a, b)))
+    val port = facade.start()
+    try {
+      val base = s"http://127.0.0.1:$port/api/v0"
+      post(s"$base/update", "700// m.usr{host=a,user=1} 4.0")
+      val (cd, deleted) = get(
+        s"$base/delete?selector=~.*%7Buser~1.*%7D&deleteall=true")
+      assert(cd == 200 && deleted.trim == "m.usr{host=a,user=1}")
+      // the base series have no 'user' label: the selector verdict is
+      // NULL for them and they must survive the delete
+      val (_, tsv) = get(s"$base/fetch?selector=~.*&format=tsv")
+      assert(tsv.split("\n").toSeq.sorted ==
+        Seq("100\t1.0", "200\t2.0", "300\t3.0"))
+    } finally facade.stop()
+  }
+
+  test("find with an attribute selector filters on overlay attributes") {
+    val f = fixture
+    val facade = new RestFacade(f,
+      () => new WarpScriptEngine(
+        (cls, labels, a, b) => f.select(cls, labels).timeclip(a, b)))
+    val port = facade.start()
+    try {
+      val base = s"http://127.0.0.1:$port/api/v0"
+      post(s"$base/meta", "m.cpu{host=a}{unit=ms}")
+      val (c1, hit) = get(s"$base/find?selector=~m.cpu.*%7B%7D%7Bunit=ms%7D")
+      assert(c1 == 200 && hit.trim == "m.cpu{host=a}{unit=ms}")
+      val (c2, miss) = get(s"$base/find?selector=~m.cpu.*%7B%7D%7Bunit=zz%7D")
+      assert(c2 == 200 && miss.trim.isEmpty)
+    } finally facade.stop()
+  }
+
+  test("update rejects malformed line protocol instead of dropping it") {
+    val f = fixture
+    val facade = new RestFacade(f,
+      () => new WarpScriptEngine(
+        (cls, labels, a, b) => f.select(cls, labels).timeclip(a, b)))
+    val port = facade.start()
+    try {
+      val base = s"http://127.0.0.1:$port/api/v0"
+      val (code, body) = post(s"$base/update",
+        "800// m.ok{h=a} 1.0\nthis is not line protocol")
+      assert(code == 400 && body.contains("bad line protocol"))
+      // the failed request must not have partially applied
+      val (_, tsv) = get(s"$base/fetch?selector=m.ok%7B%7D&format=tsv")
+      assert(tsv.trim.isEmpty)
     } finally facade.stop()
   }
 }

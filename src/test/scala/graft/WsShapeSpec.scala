@@ -78,6 +78,13 @@ class WsShapeSpec extends SparkSpec {
     assert(px4 == 0xffff0000L)
   }
 
+  test("path data with a stray number after Z errors instead of looping") {
+    val ex = intercept[IllegalArgumentException](
+      WsShape.fromSvg("<svg width=\"10\" height=\"10\">" +
+        "<path d=\"M 0 0 L 5 5 Z 3\"/></svg>"))
+    assert(ex.getMessage.contains("unexpected number"))
+  }
+
   test("Psize pushes width then height; 3D words still fail loud") {
     val e = eng
     val st = e.run("17 11 '2D' PGraphics Psize")
