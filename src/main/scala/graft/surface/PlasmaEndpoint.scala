@@ -102,7 +102,8 @@ final class PlasmaEndpoint(directory: () => DataFrame,
       case "SAMPLE" =>
         val rate = try tokens(1).toDouble catch { case _: Exception => -1.0 }
         s.sampleRate = if (rate > 0.0 && rate <= 1.0) rate else 1.0
-      case "NOOP" | "" => ()
+      // GEO is an accepted no-op stub in the reference too (:310-313)
+      case "GEO" | "NOOP" | "" => ()
       case other => c.sendText(s"KO Invalid verb '$other'.")
     }
   }
