@@ -51,7 +51,9 @@ object StreamQueries {
     StructField("gtsid", LongType), StructField("ts", LongType),
     StructField("vdouble", DoubleType)))
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] = queriesBase ++ queries2
+
+  private def queriesBase: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_stream_ingest" -> ((s, dir) => {
       val tmp = Files.createTempDirectory("graft-s01-").toString
       val in = s"$tmp/in"; val outP = s"$tmp/out"; val ck = s"$tmp/ck"
@@ -302,6 +304,50 @@ object StreamQueries {
     }),
   )
 
+  private def queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // s07: live line-protocol ingest over the REAL streamupdate
+    // WebSocket (StandaloneStreamUpdateHandler.java:142-465): the JDK
+    // client pushes every events line in chunked measurement messages,
+    // each acked `OK <seq> UPDATE <count> <nanos>`; the sink's rows
+    // must hash-match the batch events table (s01's oracle, over the
+    // wire instead of the file source).
+    "s07_stream_update_ws" -> ((s, dir) => {
+      val src = Gts.fromEvents(s, dir)
+      val lines = graft.sources.Formats.toGtsLines(src)
+        .collect().map(_.getString(0))
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[
+        org.apache.spark.sql.Row]
+      val su = new graft.surface.StreamUpdateEndpoint(
+        rows => rows.foreach(got.add))
+      val server = su.mount()
+      val port = server.start()
+      val acks = new java.util.concurrent.ConcurrentLinkedQueue[String]
+      val ws = wsClient(port, "/api/v0/streamupdate", acks)
+      try {
+        val chunks = lines.grouped(5000).toVector
+        chunks.foreach { chunk =>
+          ws.sendText(chunk.mkString("\n"), true)
+            .get(30, java.util.concurrent.TimeUnit.SECONDS)
+        }
+        awaitCond(acks.size == chunks.length, "streamupdate acks")
+        val seen = acks.iterator().asScala.toVector
+        require(seen.forall(_.contains(" UPDATE ")),
+          s"unexpected ack: ${seen.find(!_.contains(" UPDATE "))}")
+        require(got.size == lines.length,
+          s"sink rows ${got.size} != ${lines.length}")
+        val parsed = s.createDataFrame(
+          new java.util.ArrayList(got.iterator().asScala.toVector.asJava),
+          Gts.pointSchema)
+        Gts.canonicalRehash(parsed)
+          .select(col("class"), userid, col("ts"), col("vdouble"))
+      } finally {
+        try ws.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "done")
+        catch { case _: Exception => () }
+        server.stop()
+      }
+    }),
+  )
+
   /** JDK WebSocket client whose complete text messages land in `sink`
     * (partial deliveries reassembled until `last`). */
   private def wsClient(port: Int, path: String,
@@ -331,6 +377,11 @@ object StreamQueries {
   val oracleSql: Map[String, String] = Map(
     // identical to g62: streaming ingest must reproduce the raw table
     "s01_stream_ingest" ->
+      s"""WITH g AS ($EV)
+         |SELECT class, userid, ts, vdouble FROM g""".stripMargin,
+
+    // the wire-ingested rows must reproduce the same raw table
+    "s07_stream_update_ws" ->
       s"""WITH g AS ($EV)
          |SELECT class, userid, ts, vdouble FROM g""".stripMargin,
 

@@ -11,7 +11,7 @@ import graft.model.Gts
 import graft.operators.GtsFrame
 import graft.script.WarpScriptEngine
 import graft.sources.WrapperCodec
-import graft.surface.{MobiusEndpoint, PlasmaEndpoint}
+import graft.surface.{MobiusEndpoint, PlasmaEndpoint, StreamUpdateEndpoint}
 
 /** The Plasma and Mobius WebSocket endpoints driven end-to-end by the
   * JDK client: subscribe→dispatch in every output format, the
@@ -152,6 +152,36 @@ class PlasmaMobiusSpec extends SparkSpec {
         val msg = c.awaitText()
         assert(msg.count(_ == '\n') == kept.size)
       } else assert(c.texts.isEmpty)
+      c.ws.sendClose(WebSocket.NORMAL_CLOSURE, "done")
+    } finally server.stop()
+  }
+
+  test("streamupdate: verbs ack with seqnos, measurements land in the sink") {
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]
+    val su = new StreamUpdateEndpoint(rows => rows.foreach(got.add))
+    val server = su.mount()
+    val port = server.start()
+    try {
+      val c = new Client(port, "/api/v0/streamupdate")
+      c.send("TOKEN wtok")
+      assert(c.awaitText() == "OK 0 TOKEN")
+      c.send("NOOP")
+      assert(c.awaitText() == "OK 1 NOOP")
+      c.send("ONERROR message")
+      assert(c.awaitText() == "OK 2 ONERROR")
+      c.send("100// m.s{h=a} 1.5\n=200// 2.5")
+      val ack = c.awaitText()
+      assert(ack.startsWith("OK 3 UPDATE 2 "))
+      assert(got.size == 2)
+      val r = got.poll()
+      assert(r.getString(0) == "m.s" && r.getLong(3) == 100L)
+      // malformed measurement in message-mode answers ERROR, keeps the
+      // socket open, and applies nothing
+      c.send("garbage line")
+      assert(c.awaitText().startsWith("ERROR"))
+      assert(got.size == 1)
+      c.send("NOOP")
+      assert(c.awaitText() == "OK 4 NOOP")
       c.ws.sendClose(WebSocket.NORMAL_CLOSURE, "done")
     } finally server.stop()
   }
