@@ -36,15 +36,19 @@ object IvfIndex {
     TextOps.spreadBy(embs, "vec_id")
       .select(col("vec_id"), EmbeddingLSH.scaled(col("embedding")).as("v"))
 
-  /** Nearest-centroid assignment; ties break on cid (total order). The
-    * per-vector ranking window is over K rows. */
+  /** Nearest-centroid assignment; ties break on cid (total order).
+    * `min(struct(dist, cid))` hash-aggregation rather than a ranking
+    * window: partial aggregation collapses the K-expanded crossJoin
+    * back to one row per vector map-side, before any exchange — and
+    * lexicographic struct ordering preserves the cid tie-break exactly
+    * (distances are exact dyadic rationals). */
   def assign(vs: DataFrame, cents: DataFrame): DataFrame = {
     val dist = lit(-2.0) * dot(col("v"), col("c")) + dot(col("c"), col("c"))
     vs.crossJoin(broadcast(cents))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(dist.asc, col("cid").asc)))
-      .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("v"), col("cid"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"),
+        min(struct(dist.as("d"), col("cid").as("cid"))).as("__best"))
+      .select(col("vec_id"), col("v"), col("__best.cid").as("cid"))
   }
 
   /** Mean step with dyadic quantization: per-dimension averages via

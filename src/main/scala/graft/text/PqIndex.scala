@@ -47,15 +47,21 @@ object PqIndex {
       .select(col("vec_id"), col("sid"),
         slice(col("v"), col("sid") * lit(SubDim) + lit(1), lit(SubDim)).as("sv"))
 
-  /** Nearest codeword per (vector, subspace); K-row ranking windows. */
+  /** Nearest codeword per (vector, subspace). A hash-aggregation
+    * `min(struct(dist, cid))` instead of a row_number window: the
+    * window route sorts the K-expanded join output inside each
+    * partition, the agg route partial-aggregates it map-side back to
+    * one row per (vec_id, sid) before any exchange — and struct
+    * ordering is lexicographic, so the cid-ascending tie-break is
+    * preserved exactly (distances are exact dyadic rationals). */
   private def assign(sv: DataFrame, books: DataFrame): DataFrame = {
     val dist = lit(-2.0) * dot(col("sv"), col("c")) + dot(col("c"), col("c"))
     sv.join(broadcast(books), "sid")
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("vec_id"), col("sid"))
-          .orderBy(dist.asc, col("cid").asc)))
-      .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("sid"), col("sv"), col("cid"))
+      .groupBy(col("vec_id"), col("sid"))
+      .agg(first(col("sv")).as("sv"),
+        min(struct(dist.as("d"), col("cid").as("cid"))).as("__best"))
+      .select(col("vec_id"), col("sid"), col("sv"),
+        col("__best.cid").as("cid"))
   }
 
   /** Dyadic-quantized mean step per (subspace, codeword). */
