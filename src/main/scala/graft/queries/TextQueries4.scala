@@ -117,9 +117,13 @@ object TextQueries4 {
     })
   )
 
-  /** GPT-2-ish pre-token pattern; kept inside Java∩RE2 like PiiRules. */
+  /** GPT-2-ish pre-token pattern; kept inside Java∩RE2 like PiiRules.
+    * Whitespace is the EXPLICIT class [ \t\n\f\r] — Java's \s also
+    * matches vertical tab \x0B, RE2's does not, and t38 needs Spark
+    * and DuckDB to tokenize identically. */
   val PretokenRegex: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+" +
+      "| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+"
 
   val oracleSql: Map[String, String] = Map(
     "t25_tfidf" ->

@@ -80,6 +80,18 @@ final class RestFacade(
     }
   }
 
+  /** JVM-side class+label selector match (the Column predicate's twin,
+    * for overlay entries that never touch a DataFrame). */
+  private def selMatches(sel: Selector, cls: String,
+                         labels: Map[String, String]): Boolean = {
+    val clsOk = sel.classExact.forall(_ == cls) &&
+      sel.classRegex.forall(r => r == ".*" || cls.matches("^(?:" + r + ")$"))
+    clsOk &&
+      sel.labelExact.forall { case (k, v) => labels.get(k).contains(v) } &&
+      sel.labelRegex.forall { case (k, v) =>
+        labels.get(k).exists(_.matches("^(?:" + v + ")$")) }
+  }
+
   private def metaOf(points: DataFrame): DataFrame =
     points.groupBy(col("gtsid"))
       .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
@@ -140,7 +152,8 @@ final class RestFacade(
             try LineProtocol.parseLine(prev, line, now = 0L)
             catch { case e: Exception =>
               throw new IllegalArgumentException(
-                s"bad line protocol '$line': ${e.getMessage}") }
+                s"bad line protocol '$line': " +
+                  Option(e.getMessage).getOrElse(e.toString)) }
           prev = Some(id)
           parsed += Row(p.cls, p.labels, 0L, p.ts,
             p.lat.orNull, p.lon.orNull, p.elev.orNull, p.vtype,
@@ -188,24 +201,45 @@ final class RestFacade(
     server.createContext("/api/v0/find", (ex: HttpExchange) => safely(ex) {
       val q = query(ex)
       val sel = Selector.parse(q.getOrElse("selector", "~.*"))
-      // class+label components prune in Spark; the selector's attribute
-      // components (metaPredicate's third block) filter against the
-      // session overlay, where attributes live on this facade
-      val rows = metaOf(combined()).filter(sel.predicate)
-        .orderBy(col("class")).limit(maxRows).collect()
       def attrMatch(attrs: Map[String, String]): Boolean =
         sel.attrExact.forall { case (k, v) => attrs.get(k).contains(v) } &&
           sel.attrRegex.forall { case (k, v) =>
             attrs.get(k).exists(_.matches("^(?:" + v + ")$")) }
-      val body = rows.flatMap { r =>
-        val cls = r.getString(1)
-        val labels = r.getAs[Map[String, String]](2)
-        val attrs = synchronized(
-          attrOverlay.getOrElse((cls, labels), Map.empty))
-        if (attrMatch(attrs))
-          Some(cls + Wire.labels(labels) + Wire.labels(attrs))
-        else None
-      }.mkString("\n")
+      val body =
+        if (sel.attrExact.nonEmpty || sel.attrRegex.nonEmpty) {
+          // a non-empty attribute block can only match series that HAVE
+          // overlay attributes, so resolve overlay-first (bounded, in
+          // memory) and confirm liveness in Spark — filtering after a
+          // limit would silently drop attribute matches past maxRows
+          val cands = synchronized(attrOverlay.toVector).filter {
+            case ((cls, labels), attrs) =>
+              attrMatch(attrs) && selMatches(sel, cls, labels)
+          }
+          if (cands.isEmpty) ""
+          else {
+            val candClasses = cands.map(_._1._1).distinct
+            val live = metaOf(combined().filter(sel.predicate)
+                .filter(col("class").isin(candClasses: _*)))
+              .limit(maxRows).collect()
+              .map(r => (r.getString(1), r.getAs[Map[String, String]](2)))
+              .toSet
+            cands.filter(c => live(c._1))
+              .sortBy(_._1._1).take(maxRows)
+              .map { case ((cls, labels), attrs) =>
+                cls + Wire.labels(labels) + Wire.labels(attrs) }
+              .mkString("\n")
+          }
+        } else {
+          metaOf(combined()).filter(sel.predicate)
+            .orderBy(col("class")).limit(maxRows).collect()
+            .map { r =>
+              val cls = r.getString(1)
+              val labels = r.getAs[Map[String, String]](2)
+              val attrs = synchronized(
+                attrOverlay.getOrElse((cls, labels), Map.empty))
+              cls + Wire.labels(labels) + Wire.labels(attrs)
+            }.mkString("\n")
+        }
       (200, body)
     })
     server.start()

@@ -19,9 +19,13 @@ object StackJson {
     case s: String => "\"" + escape(s) + "\""
     case l: Vector[Any] @unchecked => l.map(render(_, maxRows)).mkString("[", ",", "]")
     case m: Map[Any, Any] @unchecked =>
-      m.map { case (k, v) =>
-        "\"" + escape(String.valueOf(k)) + "\":" + render(v, maxRows)
-      }.mkString("{", ",", "}")
+      // sorted keys: scala's immutable Map iterates in hash order for
+      // >4 entries, which would make the JSON nondeterministic across
+      // runs; sorting matches the Wire.labels convention
+      m.toSeq.sortBy { case (k, _) => String.valueOf(k) }
+        .map { case (k, v) =>
+          "\"" + escape(String.valueOf(k)) + "\":" + render(v, maxRows)
+        }.mkString("{", ",", "}")
     case d: java.lang.Double if d.isNaN || d.isInfinite =>
       "null" // RFC 8259 has no NaN/Infinity literal
     case null => "null"

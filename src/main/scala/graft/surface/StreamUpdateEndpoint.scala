@@ -51,6 +51,9 @@ final class StreamUpdateEndpoint(sink: Seq[Row] => Unit,
       s.seqno += 1
     }
     try {
+      // NOTE deliberately un-trimmed: the reference dispatches verbs
+      // with message.startsWith(...) (:156), so ' NOOP' is a
+      // measurement there too and must stay one here
       val verb = message.takeWhile(!_.isWhitespace)
       verb match {
         case "TOKEN" =>
@@ -87,7 +90,8 @@ final class StreamUpdateEndpoint(sink: Seq[Row] => Unit,
       }
     } catch {
       case e: Exception =>
-        if (s.errormsg) c.sendText(s"ERROR ${e.getMessage}")
+        if (s.errormsg)
+          c.sendText("ERROR " + Option(e.getMessage).getOrElse(e.toString))
         else c.close(1002)
     }
   }

@@ -230,6 +230,11 @@ final class WsServer(handler: WsHandler) {
         payload(i) = (payload(i) ^ mask(i & 3)).toByte
         i += 1
       }
+      // §5.5: control frames must not be fragmented and carry <=125
+      // bytes — anything else fails the connection
+      if (opcode >= 0x8 && (!fin || payload.length > 125)) {
+        conn.close(1002); return
+      }
       opcode match {
         case 0x8 => // close: echo and drop (§5.5.1)
           conn.close(if (payload.length >= 2)
@@ -237,6 +242,10 @@ final class WsServer(handler: WsHandler) {
           return
         case 0x9 => conn.sendPong(payload)
         case 0xA => () // unsolicited pong: ignore
+        case 0x0 if messageOpcode < 0 =>
+          conn.close(1002); return // continuation with nothing to continue
+        case 0x1 | 0x2 if messageOpcode >= 0 =>
+          conn.close(1002); return // new message inside a fragment train
         case 0x1 | 0x2 | 0x0 =>
           if (opcode != 0x0) messageOpcode = opcode
           // total-message cap: per-frame checks alone would let a

@@ -97,6 +97,12 @@ class RestFacadeSpec extends SparkSpec {
       assert(c4 == 200 && obj == "[{\"a\":1,\"b\":2.5}]")
       val (c5, nan) = post(s"http://127.0.0.1:$port/api/v0/exec", "NaN")
       assert(c5 == 200 && nan == "[null]")
+      // >4-entry maps render with SORTED keys (scala hash order is
+      // nondeterministic across JVMs at that size)
+      val (c6, big) = post(s"http://127.0.0.1:$port/api/v0/exec",
+        "{ 'e' 5 'a' 1 'c' 3 'b' 2 'd' 4 }")
+      assert(c6 == 200 &&
+        big == "[{\"a\":1,\"b\":2,\"c\":3,\"d\":4,\"e\":5}]")
     } finally facade.stop()
   }
 
@@ -180,6 +186,23 @@ class RestFacadeSpec extends SparkSpec {
       assert(c1 == 200 && hit.trim == "m.cpu{host=a}{unit=ms}")
       val (c2, miss) = get(s"$base/find?selector=~m.cpu.*%7B%7D%7Bunit=zz%7D")
       assert(c2 == 200 && miss.trim.isEmpty)
+    } finally facade.stop()
+  }
+
+  test("attribute matches past the maxRows class window still surface") {
+    val f = fixture
+    // maxRows=2: the class/label scan alone would truncate to the two
+    // m.cpu series and miss the attributed m.mem one
+    val facade = new RestFacade(f,
+      () => new WarpScriptEngine(
+        (cls, labels, a, b) => f.select(cls, labels).timeclip(a, b)),
+      maxRows = 2)
+    val port = facade.start()
+    try {
+      val base = s"http://127.0.0.1:$port/api/v0"
+      post(s"$base/meta", "m.mem{host=a}{unit=ms}")
+      val (c1, hit) = get(s"$base/find?selector=~.*%7B%7D%7Bunit=ms%7D")
+      assert(c1 == 200 && hit.trim == "m.mem{host=a}{unit=ms}")
     } finally facade.stop()
   }
 
