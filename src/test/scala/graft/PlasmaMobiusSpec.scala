@@ -156,6 +156,53 @@ class PlasmaMobiusSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("plasma TEXT push round-trips every value type through LineProtocol") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.{col, first}
+    import graft.model.GtsType
+    // one series carrying long, boolean, string, binary and a located
+    // double — the push must re-parse to the identical points
+    def pt(ts: Long, vt: Byte, vl: Any = null, vd: Any = null,
+           vb: Any = null, vs: Any = null, vbin: Any = null,
+           lat: Any = null, lon: Any = null, elev: Any = null): Row =
+      Row("m.mix", Map("host" -> "a"), 0L, ts, lat, lon, elev, vt,
+        vl, vd, vb, vs, vbin)
+    val rows = java.util.Arrays.asList(
+      pt(10L, GtsType.LONG, vl = 7L),
+      pt(20L, GtsType.BOOLEAN, vb = true),
+      pt(30L, GtsType.STRING, vs = "hi-there"),
+      pt(40L, GtsType.BINARY, vbin = Array[Byte](1, 2, 0xFF.toByte)),
+      pt(50L, GtsType.DOUBLE, vd = 2.5, lat = 48.5, lon = -3.25,
+        elev = 120L))
+    val df = Gts.canonicalRehash(
+      spark.createDataFrame(rows, Gts.pointSchema))
+    val dir = () => df.groupBy(col("gtsid"))
+      .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
+    val plasma = new PlasmaEndpoint(dir)
+    val server = plasma.mount()
+    val port = server.start()
+    try {
+      val c = new Client(port, "/api/v0/plasma")
+      c.send("SUBSCRIBE tok m.mix{}")
+      awaitSubs(plasma, 1)
+      plasma.dispatch(df)
+      val msg = c.awaitText()
+      val parsed = graft.sources.LineProtocol
+        .parseBatch(msg.linesIterator, now = 0L, None, None).toVector
+      assert(parsed.map(_.ts) == Vector(10L, 20L, 30L, 40L, 50L))
+      assert(parsed.forall(p => p.cls == "m.mix" &&
+        p.labels == Map("host" -> "a")))
+      assert(parsed(0).vlong.contains(7L))
+      assert(parsed(1).vbool.contains(true))
+      assert(parsed(2).vstring.contains("hi-there"))
+      assert(parsed(3).vbinary.exists(_.sameElements(Array[Byte](1, 2, 0xFF.toByte))))
+      assert(parsed(4).vdouble.contains(2.5))
+      assert(parsed(4).lat.contains(48.5) && parsed(4).lon.contains(-3.25))
+      assert(parsed(4).elev.contains(120L))
+      c.ws.sendClose(WebSocket.NORMAL_CLOSURE, "done")
+    } finally server.stop()
+  }
+
   test("streamupdate: verbs ack with seqnos, measurements land in the sink") {
     val got = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]
     val su = new StreamUpdateEndpoint(rows => rows.foreach(got.add))
