@@ -894,6 +894,20 @@ final case class GtsFrame(df: DataFrame) {
 
 object GtsFrame {
 
+  /** Java double division (the reference's op.div applies `/` on
+    * doubles, op/OpDiv.java): x/0 = ±Infinity, 0/0 = NaN. Spark's ANSI
+    * divide throws DIVIDE_BY_ZERO instead, so the zero-divisor branch
+    * is written out (a -0.0 divisor is treated as +0.0 — Spark's
+    * comparison normalizes signed zeros). */
+  def ieeeDiv(a: Column, b: Column): Column = {
+    val dbl = org.apache.spark.sql.types.DoubleType
+    when(a.isNull || b.isNull, lit(null).cast(dbl))
+      .when(b =!= 0.0, a / b)
+      .when(a > 0.0, lit(Double.PositiveInfinity))
+      .when(a < 0.0, lit(Double.NegativeInfinity))
+      .otherwise(lit(Double.NaN))
+  }
+
   /** A named value aggregation usable as bucketizer (§2.3), windowed
     * mapper (§2.4) or reducer (§2.5) — the three families share
     * implementations in the reference too (script/aggregator classes).

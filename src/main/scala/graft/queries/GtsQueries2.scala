@@ -155,7 +155,9 @@ object GtsQueries2 {
       val c = cents(s, dir)
       val clicks = GtsFrame(c.df.filter(col("class") === "events.click")).bucketize(Sum, LB, DAY)
       val views  = GtsFrame(c.df.filter(col("class") === "events.view")).bucketize(Sum, LB, DAY)
-      clicks.applyOp(views, (l, r) => round(l / r, 9), Seq("user"), "inner")
+      clicks.applyOp(views,
+        (l, r) => round(graft.operators.GtsFrame.ieeeDiv(l, r), 9),
+        Seq("user"), "inner")
         .withColumnRenamed("vdouble", "ratio")
         .select(col("user").as("userid"), col("ts"), col("ratio"))
     }),
@@ -381,7 +383,11 @@ object GtsQueries2 {
          |      FROM g WHERE class = 'events.click' AND ts <= $LB GROUP BY 1, 2),
          |v AS (SELECT userid, $BUCKET_D AS ts, sum(cents) AS v
          |      FROM g WHERE class = 'events.view' AND ts <= $LB GROUP BY 1, 2)
-         |SELECT c.userid, c.ts, round(c.v / v.v, 9) AS ratio
+         |SELECT c.userid, c.ts,
+         |  CASE WHEN v.v <> 0 THEN round(CAST(c.v AS DOUBLE) / v.v, 9)
+         |       WHEN c.v > 0 THEN 'infinity'::DOUBLE
+         |       WHEN c.v < 0 THEN '-infinity'::DOUBLE
+         |       ELSE 'nan'::DOUBLE END AS ratio
          |FROM c JOIN v ON c.userid = v.userid AND c.ts = v.ts""".stripMargin,
 
     "g36_counter_compensate" ->

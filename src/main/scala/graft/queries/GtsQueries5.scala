@@ -73,10 +73,13 @@ object GtsQueries5 {
       val f = cents(s, dir).df
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("gtsid")).orderBy(col("ts"), col("vdouble"))
+      // round(6): a raw weighted mean can straddle the gate's 1e-9
+      // canon boundary on a 1-ulp engine difference (seen at sf0.1) —
+      // the w98 rounding rule
       f.select(col("class"), userid, col("ts"),
-        graft.kernels.KernelRegistry.smoothCol("gaussian", 2, col("vdouble"), w).as("s_gaussian"),
-        graft.kernels.KernelRegistry.smoothCol("epanechnikov", 2, col("vdouble"), w).as("s_epan"),
-        graft.kernels.KernelRegistry.smoothCol("tricube", 2, col("vdouble"), w).as("s_tricube"))
+        round(graft.kernels.KernelRegistry.smoothCol("gaussian", 2, col("vdouble"), w), 6).as("s_gaussian"),
+        round(graft.kernels.KernelRegistry.smoothCol("epanechnikov", 2, col("vdouble"), w), 6).as("s_epan"),
+        round(graft.kernels.KernelRegistry.smoothCol("tricube", 2, col("vdouble"), w), 6).as("s_tricube"))
     }),
 
     // classical seasonal decomposition (SQL-expressible core of the STL
@@ -180,9 +183,9 @@ object GtsQueries5 {
       import graft.kernels.KernelRegistry.smoothSql
       s"""WITH g AS ($EV)
          |SELECT class, userid, ts,
-         |       ${smoothSql("gaussian", 2, "cents", "w")} AS s_gaussian,
-         |       ${smoothSql("epanechnikov", 2, "cents", "w")} AS s_epan,
-         |       ${smoothSql("tricube", 2, "cents", "w")} AS s_tricube
+         |       round(${smoothSql("gaussian", 2, "cents", "w")}, 6) AS s_gaussian,
+         |       round(${smoothSql("epanechnikov", 2, "cents", "w")}, 6) AS s_epan,
+         |       round(${smoothSql("tricube", 2, "cents", "w")}, 6) AS s_tricube
          |FROM g
          |WINDOW w AS (PARTITION BY class, userid ORDER BY ts, cents)""".stripMargin
     },

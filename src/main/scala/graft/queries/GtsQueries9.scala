@@ -222,7 +222,10 @@ object GtsQueries9 {
          |        sum(cents) AS sx, sum(cents * cents) AS sxx,
          |        CAST(sum(c * c * c) AS DOUBLE) AS sxxx,
          |        CAST(sum(c * c * (c * c)) AS DOUBLE) AS sxxxx
-         |      FROM (SELECT class, userid, cents, CAST(cents AS BIGINT) AS c
+         |      -- HUGEINT mirrors the engine's DECIMAL(38,0): BIGINT c*c
+         |      -- overflows INT64 once a cents value passes ~3e9 (seen at
+         |      -- sf0.1)
+         |      FROM (SELECT class, userid, cents, CAST(cents AS HUGEINT) AS c
          |            FROM g)
          |      GROUP BY 1, 2),
          |r AS (SELECT class, userid, n, sx, sxx,
@@ -345,21 +348,25 @@ object GtsQueries9 {
       val lams = StatOps.lambdasAt(0.05, Seq(214, 215, 216))
       val lam = StatOps.lambdaSqlCaseOf(lams, "n")
       def round(r: Int): String = {
+        // MATERIALIZED: each round references the previous round's CTEs
+        // several times; DuckDB re-evaluates plain CTEs per reference,
+        // which made the 3-round chain re-run the whole STL prefix
+        // exponentially often (OOM at sf0.1)
         val rem =
-          if (r == 1) "p1 AS (SELECT * FROM p)"
+          if (r == 1) "p1 AS MATERIALIZED (SELECT * FROM p)"
           else
-            s"""p$r AS (SELECT a.* FROM p${r - 1} a LEFT JOIN k${r - 1} k
+            s"""p$r AS MATERIALIZED (SELECT a.* FROM p${r - 1} a LEFT JOIN k${r - 1} k
                |  ON a.class = k.class AND a.userid = k.userid
                |    AND a.ts = k.ts AND a.v = k.v
                |  WHERE k.ts IS NULL)""".stripMargin
         s"""$rem,
-           |s$r AS (SELECT class, userid, CAST(count(*) AS DOUBLE) AS n,
+           |s$r AS MATERIALIZED (SELECT class, userid, CAST(count(*) AS DOUBLE) AS n,
            |  quantile_cont(v, 0.5) AS med FROM p$r GROUP BY 1, 2),
            |d$r AS (SELECT a.class, a.userid,
            |  quantile_cont(abs(a.v - s.med), 0.5) AS mad
            |  FROM p$r a JOIN s$r s ON a.class = s.class AND a.userid = s.userid
            |  GROUP BY 1, 2),
-           |k$r AS (SELECT class, userid, ts, v, n,
+           |k$r AS MATERIALIZED (SELECT class, userid, ts, v, n,
            |    abs(0.6745 * (v - med) / mad) AS z, $r AS round
            |  FROM (SELECT a.class, a.userid, a.ts, a.v, s.n, s.med, d.mad,
            |          row_number() OVER (PARTITION BY a.class, a.userid

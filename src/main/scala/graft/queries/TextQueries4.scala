@@ -347,7 +347,11 @@ object TextQueries4 {
 
     "t37_embedding_diversity" ->
       """WITH v AS (
-        |  SELECT vec_id, label, pos - 1 AS pos, round(x * 1000) AS x
+        |  -- CAST first: x is FLOAT and DuckDB would multiply in float,
+        |  -- while the engine quantizes in double (a half-ulp landed on
+        |  -- the wrong side of .5 at sf0.1)
+        |  SELECT vec_id, label, pos - 1 AS pos,
+        |    round(CAST(x AS DOUBLE) * 1000) AS x
         |  FROM (SELECT vec_id, label,
         |          unnest(embedding) AS x,
         |          generate_subscripts(embedding, 1) AS pos

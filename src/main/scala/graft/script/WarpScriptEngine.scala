@@ -897,7 +897,9 @@ object WarpScriptEngine {
       when(a.isNull || b.isNull, lit(null).cast(dbl))
         .otherwise(((a =!= 0.0) || (b =!= 0.0)).cast(dbl))
     private val ops: Map[String, (Column, Column) => Column] = Map(
-      "add" -> (_ + _), "sub" -> (_ - _), "mul" -> (_ * _), "div" -> (_ / _),
+      "add" -> (_ + _), "sub" -> (_ - _), "mul" -> (_ * _),
+      // Java semantics, not ANSI: ±Infinity / NaN on zero divisors
+      "div" -> (graft.operators.GtsFrame.ieeeDiv(_, _)),
       "eq" -> (_ === _), "ne" -> (_ =!= _), "gt" -> (_ > _), "ge" -> (_ >= _),
       "lt" -> (_ < _), "le" -> (_ <= _),
       "mask" -> ((v, _) => v), "negmask" -> ((v, _) => v),

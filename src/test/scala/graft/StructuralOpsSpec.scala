@@ -40,6 +40,22 @@ class StructuralOpsSpec extends SparkSpec {
     assert(out === Seq((1L, None), (2L, Some(12.0)), (3L, None)))
   }
 
+  test("ieeeDiv keeps Java division semantics under ANSI (op/OpDiv)") {
+    val a = GtsFrame(gtsOf(("x", "u", 1L, 5.0), ("x", "u", 2L, -5.0),
+      ("x", "u", 3L, 0.0), ("x", "u", 4L, 8.0), ("x", "u", 5L, 6.0)))
+    val b = GtsFrame(gtsOf(("y", "u", 1L, 0.0), ("y", "u", 2L, 0.0),
+      ("y", "u", 3L, 0.0), ("y", "u", 4L, 2.0)))
+    val out = a.applyOp(b, GtsFrame.ieeeDiv(_, _), Seq("user"))
+      .select(col("ts"), col("vdouble")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .sortBy(_._1).toSeq
+    assert(out(0) === (1L, Some(Double.PositiveInfinity))) // 5/0
+    assert(out(1) === (2L, Some(Double.NegativeInfinity))) // -5/0
+    assert(out(2)._2.exists(_.isNaN)) // 0/0
+    assert(out(3) === (4L, Some(4.0))) // plain division
+    assert(out(4) === (5L, None)) // absent operand stays null
+  }
+
   test("reduce aligns on tick across series (GTSHelper.java:8147)") {
     val g = GtsFrame(gtsOf(
       ("a", "u", 1L, 1.0), ("a", "u", 2L, 2.0),
