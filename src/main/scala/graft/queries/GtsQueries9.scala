@@ -224,7 +224,10 @@ object GtsQueries9 {
          |        CAST(sum(c * c * (c * c)) AS DOUBLE) AS sxxxx
          |      -- HUGEINT mirrors the engine's DECIMAL(38,0): BIGINT c*c
          |      -- overflows INT64 once a cents value passes ~3e9 (seen at
-         |      -- sf0.1)
+         |      -- sf0.1). Both representations share the ~1e38 ceiling on
+         |      -- sum(c^4) — beyond it (several ~3e9 points in one group)
+         |      -- BOTH sides fail loudly (DuckDB Out of Range, Spark ANSI
+         |      -- decimal overflow), never silently diverge
          |      FROM (SELECT class, userid, cents, CAST(cents AS HUGEINT) AS c
          |            FROM g)
          |      GROUP BY 1, 2),

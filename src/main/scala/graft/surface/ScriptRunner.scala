@@ -26,6 +26,7 @@ final class ScriptRunner(root: Path, engine: () => WarpScriptEngine,
                          minPeriodMs: Long = 0L,
                          runAtStartup: Boolean = true,
                          vars: Map[String, String] = Map.empty,
+                         scanPeriodMs: Long = 1000L,
                          onResult: (String, List[Any]) => Unit = (_, _) => (),
                          onError: (String, Throwable) => Unit = (_, _) => ()) {
 
@@ -33,22 +34,46 @@ final class ScriptRunner(root: Path, engine: () => WarpScriptEngine,
   private val lastRun = mutable.Map.empty[String, Long]
   private val lastDuration = mutable.Map.empty[String, Long]
   private val lastError = mutable.Map.empty[String, String]
+  private var lastScan: Map[String, Long] = Map.empty
+  private var lastScanAt = Long.MinValue
 
-  /** `script path → period ms`: every `*.mc2` under a numeric-named
-    * directory, periods below `minPeriodMs` ignored (:930-933). */
+  /** `script path → period ms`: every `*.mc2` under a positive
+    * numeric-named directory, periods below `minPeriodMs` ignored
+    * (:930-933). The walk stream is closed, and a failed walk (deleted
+    * or unreadable subtree mid-iteration) keeps the previous map
+    * instead of starving every script. */
   def scan(): Map[String, Long] =
     if (!Files.isDirectory(root)) Map.empty
-    else Files.walk(root).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".mc2"))
-      .flatMap { p =>
-        val period = p.getParent.getFileName.toString.toLongOption
-        period.filter(_ >= minPeriodMs).map(p.toString -> _)
-      }.toMap
+    else {
+      val stream = Files.walk(root)
+      try {
+        lastScan = stream.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".mc2"))
+          .flatMap { p =>
+            val period = p.getParent.getFileName.toString.toLongOption
+            period.filter(per => per > 0 && per >= minPeriodMs)
+              .map(p.toString -> _)
+          }.toMap
+        lastScan
+      } catch {
+        case _: Exception => lastScan
+      } finally stream.close()
+    }
+
+  /** The scan, re-run at most every `scanPeriodMs` (the reference
+    * separates its scan period from the 50 ms tick, :496 vs
+    * runner.scanperiod) — a 20 Hz full tree walk would be waste. */
+  private def cachedScan(nowMs: Long): Map[String, Long] = {
+    if (nowMs >= lastScanAt + scanPeriodMs || nowMs < lastScanAt) {
+      lastScanAt = nowMs
+      scan()
+    } else lastScan
+  }
 
   /** One scheduler tick: run every due script, reschedule, drop state
     * of deleted scripts; returns the paths run this tick. */
   def runDue(nowMs: Long): Seq[String] = synchronized {
-    val scripts = scan()
+    val scripts = cachedScan(nowMs)
     (nextRun.keySet -- scripts.keySet).foreach { gone =>
       nextRun.remove(gone); lastRun.remove(gone)
       lastDuration.remove(gone); lastError.remove(gone)
@@ -74,7 +99,9 @@ final class ScriptRunner(root: Path, engine: () => WarpScriptEngine,
         lastError.remove(path)
         onResult(path, stack)
       } catch {
-        case e: Exception =>
+        // Throwable: a StackOverflowError from a pathological script
+        // must surface in lasterror and not kill the runner
+        case e: Throwable =>
           lastError(path) = Option(e.getMessage).getOrElse(e.toString)
           onError(path, e)
       } finally {
@@ -86,15 +113,15 @@ final class ScriptRunner(root: Path, engine: () => WarpScriptEngine,
     due.map(_._1)
   }
 
-  /** Runner status keyed `group/period/name`, optionally filtered by a
-    * full-match regexp on that name (getScheduled, :986). */
+  /** Runner status keyed by the ROOT-RELATIVE path (`group/period/
+    * name` in the reference's fixed layout; deeper nestings stay
+    * unique instead of colliding on their last three components),
+    * optionally filtered by a full-match regexp (getScheduled, :986). */
   def getScheduled(regexp: Option[String] = None): Map[String, Map[String, Any]] =
     synchronized {
       val m = regexp.map(_.r)
       nextRun.keys.flatMap { path =>
-        val p = Path.of(path)
-        val n = p.getNameCount
-        val name = s"${p.getName(n - 3)}/${p.getName(n - 2)}/${p.getName(n - 1)}"
+        val name = root.relativize(Path.of(path)).toString
         if (m.exists(!_.matches(name))) None
         else Some(name -> Map[String, Any](
           "nextrun" -> nextRun(path),
@@ -105,16 +132,24 @@ final class ScriptRunner(root: Path, engine: () => WarpScriptEngine,
     }
 
   private def prologue(path: String, period: Long, nowMs: Long): String = {
+    // percent-encode the tokenizer's specials: WarpScript string
+    // literals %xx-decode (no backslash escapes), so ' and % in a path
+    // must arrive as %27 / %25
     val rel = root.relativize(Path.of(path)).toString
+      .replace("%", "%25").replace("'", "%27")
     s"$period 'runner.periodicity' STORE " +
       s"$nowMs 'runner.scheduledat' STORE " +
-      s"'${rel.replace("'", "\\'")}' 'runner.path' STORE\n"
+      s"'$rel' 'runner.path' STORE\n"
   }
 
-  /** `${var}` substitution from the configured vars (:645-680);
+  /** `${var}` substitution from the configured vars (:645-680) in a
+    * SINGLE pass (a sequential fold would re-substitute ${...}
+    * patterns inside substituted values in map-iteration order);
     * unknown vars are left verbatim. */
   private def substitute(script: String): String =
-    vars.foldLeft(script) { case (s, (k, v)) => s.replace("${" + k + "}", v) }
+    "\\$\\{([^}]*)\\}".r.replaceAllIn(script, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        vars.getOrElse(m.group(1), m.matched)))
 
   // ---------------------------------------------------------- scheduler
 
@@ -125,9 +160,15 @@ final class ScriptRunner(root: Path, engine: () => WarpScriptEngine,
     running = true
     val t = new Thread(() => {
       while (running) {
-        try runDue(System.currentTimeMillis())
-        catch { case _: Exception => () }
-        Thread.sleep(50L)
+        // Throwable: nothing from a tick may kill the scheduler; the
+        // sleep sits inside so an interrupt exits the loop cleanly
+        try {
+          runDue(System.currentTimeMillis())
+          Thread.sleep(50L)
+        } catch {
+          case _: InterruptedException => running = false
+          case _: Throwable => ()
+        }
       }
     }, "script-runner")
     t.setDaemon(true)

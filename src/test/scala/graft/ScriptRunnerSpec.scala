@@ -41,7 +41,7 @@ class ScriptRunnerSpec extends SparkSpec {
     val root = mkTree()
     val results = scala.collection.mutable.Map.empty[String, List[Any]]
     val r = new ScriptRunner(root, eng, vars = Map("who" -> "runners"),
-      onResult = (p, st) => results(p) = st)
+      scanPeriodMs = 0L, onResult = (p, st) => results(p) = st)
     // t=0: both run at startup
     assert(r.runDue(0L).size == 2)
     assert(results(root.resolve("grp/100/fast.mc2").toString) == List(200L))
@@ -58,7 +58,7 @@ class ScriptRunnerSpec extends SparkSpec {
   test("errors are captured per script; getScheduled reports the state") {
     val root = mkTree()
     Files.write(root.resolve("grp/100/bad.mc2"), "NOSUCHWORD".getBytes("UTF-8"))
-    val r = new ScriptRunner(root, eng)
+    val r = new ScriptRunner(root, eng, scanPeriodMs = 0L)
     r.runDue(0L)
     val st = r.getScheduled()
     assert(st.size == 3)
