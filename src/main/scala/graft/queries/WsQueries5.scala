@@ -127,7 +127,18 @@ object WsQueries5 {
     // compares the mean DIRECTION as a unit vector (cos/sin are
     // continuous across the cut) and drops negligible resultants; the
     // R > 1e-3 threshold sits in the empirical gap (noise < 2e-13,
-    // smallest genuine R = 0.036 at sf0.001/0.01/0.1).
+    // smallest genuine R = 0.036 at sf0.001/0.01/0.1). A THIRD
+    // instability remained (failed the r7 AND r8 driver runs while
+    // passing locally): round(cos,6)/round(sin,6) flip when the true
+    // value sits within ~1e-10 of a x.5e-7 decimal boundary and the two
+    // engines' sum orders differ. So the row also drops (on BOTH sides)
+    // ticks whose cos/sin lands inside a guard band around the 6-dp
+    // rounding boundary: with d(x) = |frac(x*1e6) - 0.5|, keep only
+    // d > 1.75e-4. The threshold sits in an empirical gap measured at
+    // sf0.001/0.01/0.1: boundary straddlers all have d <= 9.53e-5, the
+    // next genuine value is at d = 2.604e-4, so every row is >= 8e-5
+    // from the filter decision while cross-engine jitter in d is ~1e-9
+    // (ulp-level in x, x1e6). Drops 0/1/3 rows at the three SFs.
     "w110_ws_mean_circular" -> ((s, dir) => {
       val e = engine(s, dir, cents = true)
       val circ = e.runToFrame(
@@ -141,7 +152,10 @@ object WsQueries5 {
         .where(sqrt(col("ss") * col("ss") + col("sc") * col("sc")) > 1e-3)
         .select(col("class"), col("userid"), col("ts"))
       val ang = col("circ") * lit(2.0 * math.Pi) / lit(100.0)
+      def guardDist(x: org.apache.spark.sql.Column) =
+        abs(x * 1e6 - floor(x * 1e6) - 0.5)
       circ.join(resultant, Seq("class", "userid", "ts"))
+        .where(guardDist(cos(ang)) > 1.75e-4 && guardDist(sin(ang)) > 1.75e-4)
         .select(col("class"), col("userid"), col("ts"),
           round(cos(ang), 6).as("cosm"), round(sin(ang), 6).as("sinm"))
     }),
@@ -421,11 +435,15 @@ object WsQueries5 {
          |        $LB - (($LB - ts) // $DAY) * $DAY AS ts,
          |        sum(sin(2.0*pi()*(cents/100.0))) AS ss,
          |        sum(cos(2.0*pi()*(cents/100.0))) AS sc
-         |      FROM g WHERE ts <= $LB GROUP BY 1, 2, 3)
+         |      FROM g WHERE ts <= $LB GROUP BY 1, 2, 3),
+         |u AS (SELECT class, userid, ts,
+         |        sc / sqrt(ss*ss + sc*sc) AS c, ss / sqrt(ss*ss + sc*sc) AS s
+         |      FROM b WHERE sqrt(ss*ss + sc*sc) > 0.001)
          |SELECT class, userid, ts,
-         |  round(sc / sqrt(ss*ss + sc*sc), 6) AS cosm,
-         |  round(ss / sqrt(ss*ss + sc*sc), 6) AS sinm
-         |FROM b WHERE sqrt(ss*ss + sc*sc) > 0.001""".stripMargin,
+         |  round(c, 6) AS cosm, round(s, 6) AS sinm
+         |FROM u
+         |WHERE abs(c*1e6 - floor(c*1e6) - 0.5) > 1.75e-4
+         |  AND abs(s*1e6 - floor(s*1e6) - 0.5) > 1.75e-4""".stripMargin,
 
     "w111_ws_filler_lowess" -> {
       val start = LB - 29 * DAY
