@@ -206,8 +206,10 @@ object TextQueries2 {
          |sh AS (SELECT doc_id, unnest(grams) AS shingle FROM gr),
          |hh AS (SELECT doc_id, ('0x' || substring(md5(shingle),1,15))::BIGINT AS h60 FROM sh),
          |sz AS (SELECT doc_id, count(*) AS nsh FROM hh GROUP BY 1),
+         |rare AS (SELECT h60 FROM hh GROUP BY 1 HAVING count(*) <= 128),
+         |hc AS (SELECT doc_id, h60 FROM hh JOIN rare USING (h60)),
          |io AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter
-         |       FROM hh a JOIN hh b ON a.h60 = b.h60 AND a.doc_id < b.doc_id
+         |       FROM hc a JOIN hc b ON a.h60 = b.h60 AND a.doc_id < b.doc_id
          |       GROUP BY 1, 2 HAVING count(*) >= 2)
          |SELECT io.ida, io.idb, io.inter,
          |       round(CAST(io.inter AS DOUBLE) / (sa.nsh + sb.nsh - io.inter), 9) AS jaccard
@@ -316,12 +318,16 @@ object TextQueries2 {
 
   /** Verified near-dup edge set + its transitive closure, shared by the
     * t18/t19 oracles: exact 3-gram Jaccard ≥ 0.5 pairs (≥2 shared
-    * shingle hashes), symmetrized, then reachability via recursive CTE.
+    * shingle hashes, shingle df capped at 128 as in
+    * [[graft.text.TextOps.ngramJaccardPairs]]), symmetrized, then
+    * reachability via recursive CTE.
     * Assumes the `$SH` CTE prefix (w/gr/sh/hh) is already in scope. */
   private def jaccardEdgesDef: String =
     """sz AS (SELECT doc_id, count(*) AS nsh FROM hh GROUP BY 1),
+      |rare AS (SELECT h60 FROM hh GROUP BY 1 HAVING count(*) <= 128),
+      |hc AS (SELECT doc_id, h60 FROM hh JOIN rare USING (h60)),
       |io AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter
-      |       FROM hh a JOIN hh b ON a.h60 = b.h60 AND a.doc_id < b.doc_id
+      |       FROM hc a JOIN hc b ON a.h60 = b.h60 AND a.doc_id < b.doc_id
       |       GROUP BY 1, 2 HAVING count(*) >= 2),
       |je AS (SELECT ida, idb FROM io
       |       JOIN sz sa ON io.ida = sa.doc_id

@@ -139,9 +139,22 @@ object TextOps {
 
   /** Exact n-gram Jaccard for pairs sharing ≥ minIntersect shingles:
     * the verification stage after LSH candidates. Joins on the shingle
-    * HASH, not the shingle text. */
+    * HASH, not the shingle text.
+    *
+    * A shingle present in d documents contributes d² rows to the
+    * self-join, so one corpus-scale stop-phrase n-gram (d ~ 10⁶) would
+    * dominate the whole stage. `maxDf` drops such shingles from PAIR
+    * GENERATION before the join (Lee et al. 2021 §3 — every production
+    * dedup pipeline caps shingle document frequency); the per-doc
+    * shingle sizes stay uncapped so the Jaccard denominator is exact.
+    * The df pre-agg has a map-side partial combine (a hot shingle is 1
+    * row per input partition, never collected), and it shuffles on the
+    * same key `h` as the self-join, so the exchange is reused. The
+    * default 128 sits 5× above the largest genuine near-dup cluster
+    * observed at sf0.001/0.01/0.1 (max df 9/7/25) — it never binds on
+    * real duplicate content, only on boilerplate. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, n: Int,
-                        minIntersect: Long): DataFrame = {
+                        minIntersect: Long, maxDf: Long = 128L): DataFrame = {
     // three consumers (sizes + both self-join sides) would otherwise
     // re-run the explode+md5 scan three times — lazy persist doesn't
     // help because AQE materializes their query stages CONCURRENTLY and
@@ -152,8 +165,11 @@ object TextOps {
       .select(col("doc_id"), hexHash60(col("shingle")).as("h"))
       .localCheckpoint(true)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val inter = sh.select(col("doc_id").as("ida"), col("h"))
-      .join(sh.select(col("doc_id").as("idb"), col("h")), "h")
+    val rare = sh.groupBy(col("h")).agg(count(lit(1)).as("df_h"))
+      .filter(col("df_h") <= maxDf).select(col("h"))
+    val shc = sh.join(rare, "h")
+    val inter = shc.select(col("doc_id").as("ida"), col("h"))
+      .join(shc.select(col("doc_id").as("idb"), col("h")), "h")
       .filter(col("ida") < col("idb"))
       .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("inter"))
       .filter(col("inter") >= minIntersect)

@@ -38,4 +38,32 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1L) == ((4L, 0.666667, 1.0))) // top word 4/4
     assert(got(2L) == ((4L, 0.0, 0.25)))     // all bigrams distinct
   }
+
+  test("ngramJaccardPairs: df cap drops hot shingles from pair generation only") {
+    // "c o m" is boilerplate shared by ALL four docs (df=4); docs 1/2
+    // additionally share the rare "x y z"/"y z w" grams (df=2 each).
+    val d = docs(
+      1L -> "x y z w c o m",
+      2L -> "x y z w c o m",
+      3L -> "p q r s c o m",
+      4L -> "t u v a c o m")
+    // uncapped (maxDf beyond any df): boilerplate pairs all 6 doc pairs
+    val all = TextOps.ngramJaccardPairs(d, "text", 3, 1L, maxDf = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(all.size == 6 && all((1L, 2L)) == 5L)
+    // capped at 3: the df-4 boilerplate gram can no longer generate
+    // pairs; only the genuine near-dup pair (1,2) survives, its inter
+    // counting just the rare grams, its Jaccard denominator still the
+    // FULL uncapped shingle sizes (5 + 5 - 4)
+    val capped = TextOps.ngramJaccardPairs(d, "text", 3, 1L, maxDf = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3)))
+    assert(capped.toSeq == Seq((1L, 2L) -> ((4L, 4.0 / 6.0))))
+    // plan lock: the self-join consumes the df pre-aggregate (two
+    // hash aggregates on h feeding the equality join), so a regression
+    // back to the uncapped raw self-join is visible in the plan
+    val p = TextOps.ngramJaccardPairs(d, "text", 3, 1L)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("df_h"))
+  }
 }
