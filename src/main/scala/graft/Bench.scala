@@ -53,9 +53,11 @@ object Bench {
       case (n, j) if j % nShards == i => n
     }).filter(_.nonEmpty)
     val merged = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val shardWalls = scala.collection.mutable.ArrayBuffer[(Seq[String], Double)]()
     var forkFailed = false
     shards.foreach { shard =>
       if (!forkFailed) {
+        val tShard = System.nanoTime()
         val pb = new ProcessBuilder(
           (Seq(javaBin) ++ addOpens ++ Seq(
             s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
@@ -76,16 +78,24 @@ object Bench {
           val code = proc.waitFor()
           val line = out.reverseIterator.find(_.contains("\"queries\""))
           if (code != 0 || line.isEmpty) forkFailed = true
-          else parseQueries(line.get).foreach { case (k, v) => merged(k) = v }
+          else {
+            parseQueries(line.get).foreach { case (k, v) => merged(k) = v }
+            shardWalls += ((shard, (System.nanoTime() - tShard) / 1e9))
+          }
         } catch { case _: Throwable => forkFailed = true }
       }
     }
     if (forkFailed || merged.size != names.size) {
       // Fallback: never return an empty/partial bench — run everything
       // in this JVM (the r4 behavior) rather than lose the artifact.
+      // The artifact self-identifies ("forked": false) — the r6 and r8
+      // driver artifacts inflated shuffle-heavy queries 8-22x under
+      // contended windows and the JSON couldn't prove which path ran,
+      // costing a judge adjudication each time.
       System.err.println(s"[bench] fork failed or partial (${merged.size}/${names.size}); falling back in-process")
-      runInProcess(names)
-    } else printLine(names.map(n => n -> merged(n)))
+      runInProcess(names, forked = false)
+    } else printLine(names.map(n => n -> merged(n)), forked = true,
+      shards = shardWalls.toSeq)
   }
 
   /** Extract the {"name":sec,...} pairs from a child's JSON line. */
@@ -100,8 +110,11 @@ object Bench {
     }
   }
 
-  /** Single-JVM run (child shard, SPARK_GRAFT_NOFORK, or fallback). */
-  private def runInProcess(names: Seq[String]): Unit = {
+  /** Single-JVM run (child shard, SPARK_GRAFT_NOFORK, or fallback).
+    * `forked` is what the emitted artifact claims: true only inside a
+    * forked child (whose line the parent merges and re-stamps). */
+  private def runInProcess(names: Seq[String],
+                           forked: Boolean = sys.env.contains("SPARK_GRAFT_SHARD")): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -149,7 +162,7 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       name -> dt
     }
-    printLine(results)
+    printLine(results, forked = forked, shards = Seq.empty)
     spark.stop()
   }
 
@@ -179,7 +192,8 @@ object Bench {
     }
   }
 
-  private def printLine(results: Seq[(String, Double)]): Unit = {
+  private def printLine(results: Seq[(String, Double)], forked: Boolean,
+                        shards: Seq[(Seq[String], Double)]): Unit = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
@@ -187,9 +201,19 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val calib = calibrate().map(v => f"$v%.4f").mkString("[", ",", "]")
+    // Execution-mode self-identification (r8 verdict ask): which path
+    // produced these numbers, and — when forked — each child JVM's
+    // query list + wall seconds, so a contended window or a silent
+    // single-JVM fallback is visible in the artifact itself.
+    val shardJson =
+      if (shards.isEmpty) ""
+      else shards.map { case (names, wall) =>
+        val ns = names.map("\"" + _ + "\"").mkString("[", ",", "]")
+        f"""{"wall":$wall%.3f,"queries":$ns}"""
+      }.mkString(""","shards":[""", ",", "]")
     // queries first, scalar summary last: harness log capture keeps the
     // TAIL of long lines, so the headline total must sit at the end
-    val line = s"""{"queries":$qs,"errors":$errs,"btime":$bootTime,"calib":$calib,"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir"}"""
+    val line = s"""{"queries":$qs,"errors":$errs,"forked":$forked$shardJson,"btime":$bootTime,"calib":$calib,"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir"}"""
     println(line)
     // Also drop a machine-readable copy: the round-5 artifact stored
     // "parsed": null because sbt's [success] epilogue was the last line.

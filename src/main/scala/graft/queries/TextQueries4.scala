@@ -249,7 +249,9 @@ object TextQueries4 {
         |          unnest(generate_series(0, n - 20)) AS p
         |        FROM w WHERE n >= 20),
         |sh AS (SELECT doc_id, p,
-        |         array_to_string(list_slice(ws, p + 1, p + 20), ' ') AS s
+        |         ('0x' || substring(md5(
+        |           array_to_string(list_slice(ws, p + 1, p + 20), ' ')
+        |         ),1,15))::BIGINT AS s
         |       FROM pos),
         |d AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1),
         |m AS (SELECT sh.doc_id, sh.p FROM sh JOIN d USING (s)),

@@ -24,8 +24,13 @@ object TextOps3 {
     * the number of word positions covered by at least one duplicated
     * window — the quantity a span-removal pass would delete.
     *
-    * At scale: one shuffle keyed by the window text (skew-safe — a
-    * window repeated k times contributes k rows to one group), then a
+    * At scale: one shuffle keyed by the 60-bit md5 hash of the window
+    * text — NOT the raw ~20-word string, which would carry ~20× the
+    * corpus bytes through the exchange ("move hashes, not documents").
+    * Skew-safe (a window repeated k times contributes k rows to one
+    * group) and engine-portable (the oracle replays the same md5
+    * fold); a 60-bit collision needs ~2³⁰ distinct windows per false
+    * positive pair — negligible against > 1 true duplication. Then a
     * semi-join back. No driver state; suffix-array construction is
     * deliberately NOT used (it needs global order; the windowed form is
     * the standard distributed approximation).
@@ -39,7 +44,8 @@ object TextOps3 {
       .select(col("doc_id"), col("n"),
         posexplode(expr(s"transform(sequence(0, n - $w), i -> " +
           s"array_join(slice(ws, i + 1, $w), ' '))")))
-      .select(col("doc_id"), col("pos"), col("col").as("sh"))
+      .select(col("doc_id"), col("pos"),
+        TextOps.hexHash60(col("col")).as("sh"))
     val dup = wins.groupBy(col("sh"))
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ") > 1)
