@@ -70,6 +70,160 @@ final case class GtsFrame(df: DataFrame) {
       .filter(col("__rn") <= count).drop("__rn"))
   }
 
+  /** FETCH gskip/gcount — series-level pagination (fn/FETCH.java:325-331
+    * and :1561-1584): skip the first `gskip` matching series, keep the
+    * next `gcount`, in series-id order (the reference sorts metadatas by
+    * their (classId, labelsId) SipHash pair, MetadataIdComparator; our
+    * stable `gtsid` plays that role). Rank runs on the DISTINCT series
+    * ids — metadata-scale, range-partitioned via [[RankOps.globalRank]],
+    * never a single-partition global sort — then a semi-join prunes the
+    * point table. */
+  def seriesPage(gskip: Long, gcount: Long): GtsFrame = {
+    if (gskip <= 0 && gcount == Long.MaxValue) return this
+    val hi = if (gcount >= Long.MaxValue - gskip) Long.MaxValue else gskip + gcount
+    val keep = RankOps.globalRank(df.select(col("gtsid")).distinct(),
+        Seq(col("gtsid")))
+      .filter(col("rank") > gskip && col("rank") <= hi)
+      .select(col("gtsid"))
+    GtsFrame(df.join(keep, Seq("gtsid"), "left_semi"))
+  }
+
+  /** FETCH per-point post-filters skip/timestep/step/sample/count, in
+    * the reference's storage-scan order (StandaloneStoreClient.java:
+    * 398-487 — the store iterates each series NEWEST-first):
+    *
+    *  1. `skip`   — drop the `skip` most recent points (:404-407);
+    *  2. `timestep` — greedy thinning: accept the newest remaining
+    *     point, then only points at least `timestep` ticks older than
+    *     the last ACCEPTED one (:414-449). Sequential by nature, so it
+    *     runs as a per-series flatMapGroups kernel over (ts) only — two
+    *     longs per point — and semi-joins back;
+    *  3. `step`   — keep every `step`-th timestep-survivor (:455-462);
+    *     a later sample rejection does NOT refund the step slot;
+    *  4. `sample` — the reference draws an UNSEEDED Random per point
+    *     (:469), unreproducible by design; we keep each point iff
+    *     md5₆₀(class ∥ sorted-labels ∥ ts) mod 10⁶ < sample·10⁶ —
+    *     deterministic, engine-portable (the oracle replays the same
+    *     md5 fold), same 1-in-sample expectation;
+    *  5. `count`  — at most `count` accepted points per series,
+    *     newest-first (nvalues, :476).
+    */
+  def fetchPostFilters(skip: Long, step: Long, timestep: Long,
+                       sample: Double, count: Option[Long]): GtsFrame = {
+    val w = Window.partitionBy(col("gtsid")).orderBy(col("ts").desc, col("vtype"))
+    var d = df
+    if (skip > 0)
+      d = d.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") > skip).drop("__rn")
+    // __ti numbers the timestep-accepted sequence (newest = 0): the
+    // index `step` strides over
+    if (timestep > 1) {
+      val spark = d.sparkSession
+      import spark.implicits._
+      val accepted = d.select(col("gtsid"), col("ts")).as[(Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (id: Long, it: Iterator[(Long, Long)]) =>
+          val ticks = it.map(_._2).toArray
+          java.util.Arrays.sort(ticks)
+          val out = Vector.newBuilder[(Long, Long, Long)]
+          var i = ticks.length - 1 // newest first
+          var next = Long.MaxValue
+          var ti = 0L
+          while (i >= 0) {
+            val t = ticks(i)
+            if (t <= next) {
+              out += ((id, t, ti))
+              ti += 1
+              next = if (t < Long.MinValue + timestep) Long.MinValue
+                     else t - timestep
+            }
+            i -= 1
+          }
+          out.result()
+        }.toDF("gtsid", "ts", "__ti")
+      d = d.join(accepted, Seq("gtsid", "ts"))
+    } else {
+      d = d.withColumn("__ti", row_number().over(w).cast(LongType) - 1L)
+    }
+    if (step > 1) d = d.filter(col("__ti") % step === 0)
+    d = d.drop("__ti")
+    if (sample < 1.0) {
+      val key = concat(col("class"),
+        concat_ws("", transform(array_sort(map_entries(col("labels"))),
+          e => concat(e.getField("key"), e.getField("value")))),
+        col("ts").cast(StringType))
+      val h = graft.plans.Md5Hash60.md5Hash60(df.sparkSession, key)
+      d = d.filter(pmod(h, lit(1000000L)) < lit(math.round(sample * 1000000L)))
+    }
+    count.foreach { n =>
+      d = d.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= n).drop("__rn")
+    }
+    GtsFrame(d)
+  }
+
+  /** FETCH `type` — force every point to one value type with the
+    * reference's conversion rules (fn/FETCH.java:938-939 →
+    * GTSDecoder.decode(type) → GTSHelper.setValue:1578-1731):
+    * booleans print as "T"/"F", strings parse as long-then-double (or
+    * double-then-long) with 0 on failure, booleans from strings are
+    * `non-empty`, binary values convert through ISO-8859-1 text. */
+  def forceType(t: String): GtsFrame = {
+    import graft.model.GtsType
+    val asStr = when(col("vtype") === GtsType.BINARY,
+        decode(col("vbinary"), "ISO-8859-1"))
+      .otherwise(col("vstring"))
+    val base = df.withColumn("__s", asStr)
+    val nl = lit(null).cast(LongType)
+    val nd = lit(null).cast(DoubleType)
+    val nb = lit(null).cast(BooleanType)
+    val ns = lit(null).cast(StringType)
+    val nbin = lit(null).cast(BinaryType)
+    val out = t match {
+      case "long" =>
+        val v = when(col("vtype") === GtsType.LONG, col("vlong"))
+          .when(col("vtype") === GtsType.DOUBLE,
+            expr("try_cast(vdouble AS BIGINT)"))
+          .when(col("vtype") === GtsType.BOOLEAN,
+            when(col("vbool"), 1L).otherwise(0L))
+          .otherwise(coalesce(expr("try_cast(__s AS BIGINT)"),
+            expr("try_cast(try_cast(__s AS DOUBLE) AS BIGINT)"), lit(0L)))
+        base.withColumn("vlong", v).withColumn("vtype", lit(GtsType.LONG))
+          .withColumn("vdouble", nd).withColumn("vbool", nb)
+          .withColumn("vstring", ns).withColumn("vbinary", nbin)
+      case "double" =>
+        val v = when(col("vtype") === GtsType.LONG, col("vlong").cast(DoubleType))
+          .when(col("vtype") === GtsType.DOUBLE, col("vdouble"))
+          .when(col("vtype") === GtsType.BOOLEAN,
+            when(col("vbool"), 1.0).otherwise(0.0))
+          .otherwise(coalesce(expr("try_cast(__s AS DOUBLE)"), lit(0.0)))
+        base.withColumn("vdouble", v).withColumn("vtype", lit(GtsType.DOUBLE))
+          .withColumn("vlong", nl).withColumn("vbool", nb)
+          .withColumn("vstring", ns).withColumn("vbinary", nbin)
+      case "string" =>
+        val v = when(col("vtype") === GtsType.LONG, col("vlong").cast(StringType))
+          .when(col("vtype") === GtsType.DOUBLE, col("vdouble").cast(StringType))
+          .when(col("vtype") === GtsType.BOOLEAN,
+            when(col("vbool"), "T").otherwise("F"))
+          .otherwise(col("__s"))
+        base.withColumn("vstring", v).withColumn("vtype", lit(GtsType.STRING))
+          .withColumn("vlong", nl).withColumn("vdouble", nd)
+          .withColumn("vbool", nb).withColumn("vbinary", nbin)
+      case "boolean" =>
+        val v = when(col("vtype") === GtsType.LONG, col("vlong") =!= 0L)
+          .when(col("vtype") === GtsType.DOUBLE, col("vdouble") =!= 0.0)
+          .when(col("vtype") === GtsType.BOOLEAN, col("vbool"))
+          .otherwise(col("__s") =!= "")
+        base.withColumn("vbool", v).withColumn("vtype", lit(GtsType.BOOLEAN))
+          .withColumn("vlong", nl).withColumn("vdouble", nd)
+          .withColumn("vstring", ns).withColumn("vbinary", nbin)
+      case other =>
+        throw new IllegalArgumentException(
+          s"FETCH Invalid value for parameter 'type'. Got '$other'.")
+    }
+    GtsFrame(out.drop("__s").select(graft.model.Gts.columns.map(col): _*))
+  }
+
   // ---------------------------------------------------------------------
   // BUCKETIZE (GTSHelper.java:2261-2358; fn/BUCKETIZE.java)
   // ---------------------------------------------------------------------

@@ -340,6 +340,24 @@ object WsQueries5 {
         lit(pxs.count(_ == 0xff000000L).toLong).as("n_bg"),
         lit(wdt).as("cw"), lit(h).as("ch"))
     }),
+
+    // FETCH map params skip/timestep/sample (fn/FETCH.java:1489-1538;
+    // scan order StandaloneStoreClient.java:398-487, newest-first):
+    // drop the 2 newest points per series, greedy-thin to ≥1h spacing
+    // from the last ACCEPTED point, keep points whose md5-fold hash of
+    // (class ∥ sorted-labels ∥ ts) mod 10⁶ lands under 0.6·10⁶ (the
+    // deterministic stand-in for the reference's unseeded per-point
+    // Random, :469). The oracle replays skip as a desc row_number, the
+    // greedy thinning as a recursive CTE (next accepted = newest
+    // remaining tick at least 1h older than the previous accepted) and
+    // the identical md5 arithmetic.
+    "w121_ws_fetch_params" -> ((s, dir) => {
+      val e = engine(s, dir, cents = true)
+      e.runToFrame(
+        s"{ 'class' '~events\\..*' 'labels' {} 'end' $LB 'timespan' $LB " +
+          "'skip' 2 'timestep' 3600000000 'sample' 0.6 } FETCH")
+        .select(col("class"), userid, col("ts"), col("vdouble").as("cents"))
+    }),
   )
 
   /** Loess smoothing CTE over the daily-mean knots: whole-window
@@ -648,5 +666,29 @@ object WsQueries5 {
         |  CAST(124 AS BIGINT) AS n_red, CAST(56 AS BIGINT) AS n_green,
         |  CAST(1020 AS BIGINT) AS n_bg,
         |  CAST(40 AS BIGINT) AS cw, CAST(30 AS BIGINT) AS ch""".stripMargin,
+
+    "w121_ws_fetch_params" ->
+      s"""WITH RECURSIVE g AS ($EV),
+         |r AS (SELECT class, userid, ts,
+         |        row_number() OVER (PARTITION BY class, userid
+         |                           ORDER BY ts DESC) AS rn
+         |      FROM g WHERE ts <= $LB),
+         |post AS (SELECT class, userid, ts FROM r WHERE rn > 2),
+         |s0 AS (SELECT class, userid, max(ts) AS ts FROM post GROUP BY 1, 2),
+         |acc AS (
+         |  SELECT class, userid, ts FROM s0
+         |  UNION ALL
+         |  SELECT q.class, q.userid, q.nxt AS ts FROM (
+         |    SELECT a.class, a.userid,
+         |      (SELECT max(p.ts) FROM post p
+         |       WHERE p.class = a.class AND p.userid = a.userid
+         |         AND p.ts <= a.ts - 3600000000) AS nxt
+         |    FROM acc a) q
+         |  WHERE q.nxt IS NOT NULL),
+         |samp AS (SELECT class, userid, ts FROM acc
+         |  WHERE ('0x' || substring(md5(class || 'user' || userid ||
+         |          CAST(ts AS VARCHAR)), 1, 15))::BIGINT % 1000000 < 600000)
+         |SELECT g.class, g.userid, g.ts, g.cents
+         |FROM samp JOIN g USING (class, userid, ts)""".stripMargin,
   )
 }

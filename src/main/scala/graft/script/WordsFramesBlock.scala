@@ -96,6 +96,41 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
              .orElse(both).getOrElse(0L).toInt)
         case _ => (0, 0)
       }
+      // skip/step/timestep/sample/type/gskip/gcount (map form only;
+      // FETCH.java:1380-1394 type, :1489-1538 skip/step/timestep/sample,
+      // :1561-1584 gskip/gcount — validation bounds mirrored here)
+      val (pSkip, pStep, pTimestep, pSample, pType, pGskip, pGcount) =
+        popped match {
+          case params: Map[Any, Any] @unchecked =>
+            def longP(k: String, min: Long, default: Long): Long =
+              params.get(k) match {
+                case Some(n: Long) =>
+                  require(n >= min, s"FETCH Parameter '$k' must be >= $min.")
+                  n
+                case Some(o) => throw new IllegalArgumentException(
+                  s"FETCH Invalid type for parameter '$k': $o")
+                case None => default
+              }
+            val sample = params.get("sample") match {
+              case Some(d: Double) =>
+                require(d > 0.0 && d <= 1.0,
+                  "FETCH Parameter 'sample' must be in the range ( 0.0, 1.0 ].")
+                d
+              case Some(o) => throw new IllegalArgumentException(
+                s"FETCH Invalid type for parameter 'sample': $o")
+              case None => 1.0
+            }
+            val typ = params.get("type").map { o =>
+              val t = String.valueOf(o).toLowerCase
+              require(Set("long", "double", "string", "boolean")(t),
+                "FETCH Invalid value for parameter 'type'.")
+              t
+            }
+            (longP("skip", 0L, 0L), longP("step", 1L, 1L),
+              longP("timestep", 1L, 1L), sample, typ,
+              longP("gskip", 0L, 0L), longP("gcount", 0L, Long.MaxValue))
+          case _ => (0L, 1L, 1L, 1.0, None, 0L, Long.MaxValue)
+        }
       val (cls, labels, start, stop, countOpt) = popped match {
         case args: Vector[Any @unchecked] =>
           val (c, l, e4, e5) = args match {
@@ -166,22 +201,39 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
         else GtsFrame(mine.map(b => materialize(b).df)
           .foldLeft(ranged.df)(_ unionByName _))
       }
-      val counted = countOpt match {
-        case Some(n) =>
-          merged.lastN(math.min(n, Int.MaxValue.toLong).toInt)
-        case None => merged
-      }
+      // series pagination BEFORE per-point work (the reference selects
+      // the metadata page before scanning points, FETCH.java:325-331)
+      val paged =
+        if (pGskip > 0 || pGcount != Long.MaxValue)
+          merged.seriesPage(pGskip, pGcount)
+        else merged
+      val counted =
+        if (pSkip > 0 || pStep > 1 || pTimestep > 1 || pSample < 1.0)
+          paged.fetchPostFilters(pSkip, pStep, pTimestep, pSample, countOpt)
+        else countOpt match {
+          case Some(n) =>
+            paged.lastN(math.min(n, Int.MaxValue.toLong).toInt)
+          case None => paged
+        }
       // boundary points come from storage complements (session-store
-      // points outside the interval are not boundary candidates)
+      // points outside the interval are not boundary candidates); under
+      // gskip/gcount they cover only the paginated series
       val fetched = {
+        def pageBound(f: GtsFrame): GtsFrame =
+          if (pGskip > 0 || pGcount != Long.MaxValue)
+            GtsFrame(f.df.join(
+              paged.df.select(col("gtsid")).distinct(), Seq("gtsid"), "left_semi"))
+          else f
         var acc = counted
         if (bPre > 0 && start > Long.MinValue)
-          acc = GtsFrame(acc.df.unionByName(
-            fetchPub(cls, labels, Long.MinValue, start - 1).lastN(bPre).df))
+          acc = GtsFrame(acc.df.unionByName(pageBound(
+            fetchPub(cls, labels, Long.MinValue, start - 1)).lastN(bPre).df))
         if (bPost > 0 && stop < Long.MaxValue)
-          acc = GtsFrame(acc.df.unionByName(
-            fetchPub(cls, labels, stop + 1, Long.MaxValue).firstN(bPost).df))
-        acc
+          acc = GtsFrame(acc.df.unionByName(pageBound(
+            fetchPub(cls, labels, stop + 1, Long.MaxValue)).firstN(bPost).df))
+        // value-type forcing happens at decode time in the reference
+        // (GTSDecoder.decode(type)), i.e. AFTER boundary fetches
+        pType.map(acc.forceType).getOrElse(acc)
       }
       // ACCEL.* directives -> Spark storage level for the fetched frame
       // (fn/ACCELCACHE.java family; see WordsExt5)
