@@ -21,12 +21,23 @@ import scala.jdk.CollectionConverters._
   * ticks, the reference's cadence, :496). Per-script
   * lastrun/lastduration/lasterror state backs [[getScheduled]]
   * (:986-1030 — the RUNNERS introspection shape).
+  *
+  * Execution happens on a BOUNDED `nthreads` pool, never on the tick
+  * thread (reference :270-274 — `ThreadPoolExecutor(nthreads,
+  * nthreads, queue nthreads·256)`), so one slow script cannot starve
+  * its siblings' schedules. A script whose previous run is still in
+  * flight is NOT refired — the reference parks it with the `nextrun =
+  * -1` sentinel while queued/running (:485-487) and reschedules only
+  * when the run completes; a pool rejection reschedules for the next
+  * tick (:657-659). [[awaitQuiesce]] blocks until no run is in flight
+  * (determinism hook for specs and drivers).
   */
 final class ScriptRunner(root: Path, engine: () => WarpScriptEngine,
                          minPeriodMs: Long = 0L,
                          runAtStartup: Boolean = true,
                          vars: Map[String, String] = Map.empty,
                          scanPeriodMs: Long = 1000L,
+                         nthreads: Int = 4,
                          onResult: (String, List[Any]) => Unit = (_, _) => (),
                          onError: (String, Throwable) => Unit = (_, _) => ()) {
 
@@ -34,8 +45,24 @@ final class ScriptRunner(root: Path, engine: () => WarpScriptEngine,
   private val lastRun = mutable.Map.empty[String, Long]
   private val lastDuration = mutable.Map.empty[String, Long]
   private val lastError = mutable.Map.empty[String, String]
+  private val inFlight = mutable.Set.empty[String]
   private var lastScan: Map[String, Long] = Map.empty
   private var lastScanAt = Long.MinValue
+
+  private val pool = {
+    val tf = new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"script-runner-worker-${n.incrementAndGet()}")
+        t.setDaemon(true)
+        t
+      }
+    }
+    new java.util.concurrent.ThreadPoolExecutor(
+      nthreads, nthreads, 30000L, java.util.concurrent.TimeUnit.MILLISECONDS,
+      new java.util.concurrent.LinkedBlockingQueue[Runnable](nthreads * 256), tf)
+  }
+  pool.allowCoreThreadTimeOut(true)
 
   /** `script path → period ms`: every `*.mc2` under a positive
     * numeric-named directory, periods below `minPeriodMs` ignored
@@ -70,16 +97,18 @@ final class ScriptRunner(root: Path, engine: () => WarpScriptEngine,
     } else lastScan
   }
 
-  /** One scheduler tick: run every due script, reschedule, drop state
-    * of deleted scripts; returns the paths run this tick. */
+  /** One scheduler tick: SUBMIT every due script to the pool and
+    * reschedule, drop state of deleted scripts; returns the paths
+    * submitted this tick. The tick thread never executes a script. */
   def runDue(nowMs: Long): Seq[String] = synchronized {
     val scripts = cachedScan(nowMs)
-    (nextRun.keySet -- scripts.keySet).foreach { gone =>
+    (nextRun.keySet -- scripts.keySet -- inFlight).foreach { gone =>
       nextRun.remove(gone); lastRun.remove(gone)
       lastDuration.remove(gone); lastError.remove(gone)
     }
     val due = scripts.toSeq.sortBy(_._1).filter { case (path, period) =>
-      nextRun.get(path) match {
+      if (inFlight(path)) false // previous run still going: skip the firing
+      else nextRun.get(path) match {
         case None =>
           // first sighting: run now, or align to the period grid (:466-470)
           if (runAtStartup) true
@@ -90,27 +119,57 @@ final class ScriptRunner(root: Path, engine: () => WarpScriptEngine,
         case Some(at) => at <= nowMs
       }
     }
-    due.foreach { case (path, period) =>
-      val t0 = System.nanoTime
+    val submitted = due.filter { case (path, period) =>
+      inFlight += path
+      nextRun(path) = -1L // the reference's queued/running sentinel (:485)
       try {
-        val program = prologue(path, period, nowMs) + substitute(
-          new String(Files.readAllBytes(Path.of(path)), "UTF-8"))
-        val stack = engine().run(program)
-        lastError.remove(path)
-        onResult(path, stack)
+        pool.submit(new Runnable {
+          def run(): Unit = runOne(path, period, nowMs)
+        })
+        true
       } catch {
-        // Throwable: a StackOverflowError from a pathological script
-        // must surface in lasterror and not kill the runner
-        case e: Throwable =>
-          lastError(path) = Option(e.getMessage).getOrElse(e.toString)
-          onError(path, e)
-      } finally {
-        lastRun(path) = nowMs
-        lastDuration(path) = System.nanoTime - t0
-        nextRun(path) = nowMs + period
+        case _: java.util.concurrent.RejectedExecutionException =>
+          // saturated queue: retry at the next tick (:657-659)
+          inFlight -= path
+          nextRun(path) = nowMs
+          false
       }
     }
-    due.map(_._1)
+    notifyAll() // state changed: wake awaitQuiesce so it re-checks
+    submitted.map(_._1)
+  }
+
+  /** One script execution — pool-thread body. */
+  private def runOne(path: String, period: Long, nowMs: Long): Unit = {
+    val t0 = System.nanoTime
+    try {
+      val program = prologue(path, period, nowMs) + substitute(
+        new String(Files.readAllBytes(Path.of(path)), "UTF-8"))
+      val stack = engine().run(program)
+      synchronized { lastError.remove(path) }
+      onResult(path, stack)
+    } catch {
+      // Throwable: a StackOverflowError from a pathological script
+      // must surface in lasterror and not kill the worker
+      case e: Throwable =>
+        synchronized { lastError(path) = Option(e.getMessage).getOrElse(e.toString) }
+        onError(path, e)
+    } finally synchronized {
+      lastRun(path) = nowMs
+      lastDuration(path) = System.nanoTime - t0
+      nextRun(path) = nowMs + period
+      inFlight -= path
+      notifyAll()
+    }
+  }
+
+  /** Block until no script run is queued or executing (or the timeout
+    * elapses); returns whether quiescence was reached. */
+  def awaitQuiesce(timeoutMs: Long = 30000L): Boolean = synchronized {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (inFlight.nonEmpty && System.currentTimeMillis() < deadline)
+      wait(math.max(1L, deadline - System.currentTimeMillis()))
+    inFlight.isEmpty
   }
 
   /** Runner status keyed by the ROOT-RELATIVE path (`group/period/
@@ -124,7 +183,8 @@ final class ScriptRunner(root: Path, engine: () => WarpScriptEngine,
         val name = root.relativize(Path.of(path)).toString
         if (m.exists(!_.matches(name))) None
         else Some(name -> Map[String, Any](
-          "nextrun" -> nextRun(path),
+          // in-flight runs surface the reference's -1 sentinel (:485)
+          "nextrun" -> (if (inFlight(path)) -1L else nextRun(path)),
           "lastrun" -> lastRun.getOrElse(path, Long.MinValue),
           "lastduration" -> lastDuration.getOrElse(path, 0L),
           "lasterror" -> lastError.getOrElse(path, null)))

@@ -41,18 +41,24 @@ class ScriptRunnerSpec extends SparkSpec {
     val root = mkTree()
     val results = scala.collection.mutable.Map.empty[String, List[Any]]
     val r = new ScriptRunner(root, eng, vars = Map("who" -> "runners"),
-      scanPeriodMs = 0L, onResult = (p, st) => results(p) = st)
+      scanPeriodMs = 0L, onResult = (p, st) => results.synchronized {
+        results(p) = st })
     // t=0: both run at startup
     assert(r.runDue(0L).size == 2)
-    assert(results(root.resolve("grp/100/fast.mc2").toString) == List(200L))
-    assert(results(root.resolve("grp/250/slow.mc2").toString) ==
-      List("hello runners"))
+    assert(r.awaitQuiesce())
+    results.synchronized {
+      assert(results(root.resolve("grp/100/fast.mc2").toString) == List(200L))
+      assert(results(root.resolve("grp/250/slow.mc2").toString) ==
+        List("hello runners"))
+    }
     // t=120: only the 100ms script is due again
     assert(r.runDue(120L) == Seq(root.resolve("grp/100/fast.mc2").toString))
+    assert(r.awaitQuiesce())
     // t=130: nothing due (fast rescheduled to 220)
     assert(r.runDue(130L).isEmpty)
     // t=260: both due (fast at 220, slow at 250)
     assert(r.runDue(260L).size == 2)
+    assert(r.awaitQuiesce())
   }
 
   test("errors are captured per script; getScheduled reports the state") {
@@ -60,6 +66,7 @@ class ScriptRunnerSpec extends SparkSpec {
     Files.write(root.resolve("grp/100/bad.mc2"), "NOSUCHWORD".getBytes("UTF-8"))
     val r = new ScriptRunner(root, eng, scanPeriodMs = 0L)
     r.runDue(0L)
+    assert(r.awaitQuiesce())
     val st = r.getScheduled()
     assert(st.size == 3)
     val bad = st("grp/100/bad.mc2")
@@ -71,7 +78,46 @@ class ScriptRunnerSpec extends SparkSpec {
     // deleting a script drops its state on the next tick
     Files.delete(root.resolve("grp/100/bad.mc2"))
     r.runDue(500L)
+    assert(r.awaitQuiesce())
     assert(!r.getScheduled().contains("grp/100/bad.mc2"))
+  }
+
+  test("a sleeping script neither delays a sibling's schedule nor refires") {
+    val root = mkTree()
+    Files.write(root.resolve("grp/100/sleepy.mc2"),
+      "800 SLEEP 'woke'".getBytes("UTF-8"))
+    val runs = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    val r = new ScriptRunner(root, eng, scanPeriodMs = 0L,
+      onResult = (p, _) => runs.synchronized {
+        runs(p) = runs(p) + 1 })
+    val sleepy = root.resolve("grp/100/sleepy.mc2").toString
+    val fast = root.resolve("grp/100/fast.mc2").toString
+    val t0 = System.nanoTime
+    assert(r.runDue(0L).toSet.contains(sleepy))
+    // the tick returned while sleepy is still asleep: submission is
+    // asynchronous, so the TICK THREAD was never blocked by the sleep
+    assert((System.nanoTime - t0) / 1e6 < 500)
+    // wait for the QUICK scripts to finish (sleepy still in flight);
+    // nextrun flips from the -1 in-flight sentinel on completion
+    val deadline = System.currentTimeMillis() + 5000
+    while (r.getScheduled()("grp/100/fast.mc2")("nextrun") != 100L &&
+           System.currentTimeMillis() < deadline) Thread.sleep(5)
+    // sleepy is in flight: a due tick refires the sibling, NOT sleepy
+    // (the reference parks in-flight scripts with nextrun = -1)
+    val second = r.runDue(100L)
+    assert(second.contains(fast) && !second.contains(sleepy))
+    assert(r.getScheduled()("grp/100/sleepy.mc2")("nextrun") == -1L)
+    assert(r.awaitQuiesce(5000L))
+    runs.synchronized {
+      assert(runs(sleepy) == 1) // never refired while asleep
+      assert(runs(fast) == 2)   // sibling kept its schedule
+    }
+    // completion rescheduled sleepy off its SCHEDULING tick (0 + 100)
+    assert(r.getScheduled()("grp/100/sleepy.mc2")("nextrun") == 100L)
+    val third = r.runDue(200L)
+    assert(third.contains(sleepy))
+    assert(r.awaitQuiesce(5000L))
+    runs.synchronized { assert(runs(sleepy) == 2) }
   }
 
   test("runAtStartup=false aligns the first run to the period grid") {
