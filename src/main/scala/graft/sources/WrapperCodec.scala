@@ -258,6 +258,26 @@ object WrapperCodec {
     }
   }
 
+  /** Standalone thrift-compact Metadata struct (thrift :23-58) — the
+    * Plasma RAW format AES-wraps exactly this
+    * (StandalonePlasmaHandler.java:655-659 serializes the Metadata with
+    * the default compact-protocol TSerializer, ThriftUtils.java:28). */
+  def writeMetadata(name: String, labels: Map[String, String],
+      attrs: Map[String, String] = Map.empty): Array[Byte] = {
+    val out = new ByteArrayOutputStream
+    val meta = new CompactWriter(out)
+    meta.field(1, 8); meta.str(name)
+    meta.strMap(2, labels)
+    if (attrs.nonEmpty) meta.strMap(5, attrs)
+    meta.stop()
+    out.toByteArray
+  }
+
+  /** Parse a standalone thrift-compact Metadata struct. */
+  def readMetadataBytes(bytes: Array[Byte])
+      : (String, Map[String, String], Map[String, String]) =
+    readMetadata(new Cursor(bytes))
+
   /** `includeMeta=false` is the WRAPMV form (fn/WRAP.java mv=true:
     * wrapper.unsetMetadata + unsetCount before serializing). */
   def writeWrapper(w: Wrapper, includeMeta: Boolean = true): Array[Byte] = {

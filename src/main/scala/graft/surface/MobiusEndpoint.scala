@@ -50,7 +50,10 @@ final class MobiusEndpoint(engine: () => WarpScriptEngine,
         s.mac = Some(m)
         c.sendText(StackJson.render(stack.tail.toVector, maxRows))
       case _ =>
-        s.mac = None
+        // a non-macro result does NOT clear a previously registered
+        // macro: the reference only replaces the scheduled macro when a
+        // new one is produced (EgressMobiusHandler keeps the prior
+        // registration otherwise)
         c.sendText(StackJson.render(stack.toVector, maxRows))
     }
   }

@@ -21,10 +21,11 @@ import scala.collection.mutable
   *  - `CLEAR`, `NOOP` (keep-alive), `SAMPLE <rate>` (0<rate≤1, else reset)
   *  - `TEXT` / `FULLTEXT` / `JSON` / `WRAPPER` output formats; errors
   *    are pushed as `KO <message>` strings.
-  *  - `RAW` needs the reference's metadata-encryption key registry
-  *    (dispatch:651-667 wraps thrift metadata with CryptoUtils) — this
-  *    tokenless facade answers `KO` rather than emit unencrypted
-  *    lookalikes.
+  *  - `RAW` (dispatch:645-667): `<base>// OPB64(AES-keywrap(thrift
+  *    Metadata)):OPB64(GTSEncoder bytes)` — available when the facade
+  *    is constructed with a `metadataKey` (the reference reads its key
+  *    from the keystore registry); unconfigured it answers `KO` rather
+  *    than emit unencrypted lookalikes.
   *
   * Push formats (dispatch:626-813, one message per GTS per batch,
   * newline-terminated lines):
@@ -44,17 +45,22 @@ import scala.collection.mutable
   * reference funnels the same rows through its frontend session).
   */
 final class PlasmaEndpoint(directory: () => DataFrame,
-                           maxRowsPerBatch: Int = 100000) extends WsHandler {
+                           maxRowsPerBatch: Int = 100000,
+                           metadataKey: Option[Array[Byte]] = None)
+    extends WsHandler {
 
   private object Format extends Enumeration {
-    val Text, FullText, Json, Wrapper = Value
+    val Text, FullText, Json, Wrapper, Raw = Value
   }
 
   private final class PlasmaSession {
     // id → (class, labels); insertion order keeps SUBSCRIPTIONS stable
     val subs = mutable.LinkedHashMap.empty[Long, (String, Map[String, String])]
-    var format: Format.Value = Format.Text // default (:858-862)
-    var sampleRate: Double = 1.0
+    // format/sampleRate are written on the WS reader thread and read on
+    // the streaming dispatch thread — volatile so a switch is visible
+    // to an in-flight dispatch
+    @volatile var format: Format.Value = Format.Text // default (:858-862)
+    @volatile var sampleRate: Double = 1.0
     // the reference samples from an unseeded Random (:704); fixed seed
     // keeps driver rows replayable, same convention as the engine PRNG
     val rng = new java.util.Random(42L)
@@ -98,13 +104,20 @@ final class PlasmaEndpoint(directory: () => DataFrame,
       case "FULLTEXT" => s.format = Format.FullText
       case "JSON" => s.format = Format.Json
       case "WRAPPER" => s.format = Format.Wrapper
-      case "RAW" => c.sendText("KO RAW needs the metadata encryption key registry.")
+      case "RAW" =>
+        if (metadataKey.isDefined) s.format = Format.Raw
+        else c.sendText("KO RAW needs the metadata encryption key registry.")
       case "SAMPLE" =>
         val rate = try tokens(1).toDouble catch { case _: Exception => -1.0 }
         s.sampleRate = if (rate > 0.0 && rate <= 1.0) rate else 1.0
       // GEO is an accepted no-op stub in the reference too (:310-313)
       case "GEO" | "NOOP" | "" => ()
-      case other => c.sendText(s"KO Invalid verb '$other'.")
+      case other =>
+        // the reference fails the upgrade/session on an invalid verb
+        // (StandalonePlasmaHandler:331 throws): notify, then close with
+        // the protocol-error code rather than keep a broken session
+        c.sendText(s"KO Invalid verb '$other'.")
+        c.close(1002)
     }
   }
 
@@ -139,6 +152,11 @@ final class PlasmaEndpoint(directory: () => DataFrame,
         col("vstring"), col("vbinary"))
       .orderBy(col("gtsid"), col("ts"))
       .limit(maxRowsPerBatch).collect()
+    if (rows.length >= maxRowsPerBatch)
+      // dropped delivery must be observable, not silent: every session
+      // gets a KO notice that this batch was truncated at the cap
+      sessions.foreach(_.sendText(
+        s"KO Batch truncated at $maxRowsPerBatch rows; points beyond the cap were not delivered."))
     val byId = rows.groupBy(_.getLong(0))
     for (c <- sessions; sess = session(c); (id, meta) <- sess.synchronized(sess.subs.toVector)) {
       byId.get(id).foreach { pts =>
@@ -161,10 +179,14 @@ final class PlasmaEndpoint(directory: () => DataFrame,
   }
 
   /** Input-format value literal (GTSHelper.encodeValue): long/double
-    * plain, boolean T/F, string quoted, binary b64-prefixed. */
+    * plain, boolean T/F, string quoted — with the quote/percent/newline
+    * specials percent-encoded so the line survives the LineProtocol
+    * round-trip (the reference URL-encodes string values) — binary
+    * b64-prefixed. */
   private def valueStr(v: Any): String = v match {
     case b: Boolean => if (b) "T" else "F"
-    case s: String => "'" + s + "'"
+    case s: String => "'" + s.replace("%", "%25").replace("'", "%27")
+      .replace("\n", "%0A").replace("\r", "%0D") + "'"
     case b: Array[Byte] => "b64:" + java.util.Base64.getEncoder.encodeToString(b)
     case o => String.valueOf(o)
   }
@@ -215,15 +237,28 @@ final class PlasmaEndpoint(directory: () => DataFrame,
           sb.append('}').toString
         }.mkString("[", ",", "]")
       case Format.Wrapper =>
-        val wpts = pts.map { r =>
-          val loc = if (r.isNullAt(2) || r.isNullAt(3)) None
-            else Some(graft.functions.GeoFunctions.toHHCode(
-              r.getDouble(2), r.getDouble(3)))
-          val elev = if (r.isNullAt(4)) None else Some(r.getLong(4))
-          WrapperCodec.WPoint(r.getLong(1), loc, elev, valueOf(r))
-        }
         WrapperCodec.opb64Encode(
-          WrapperCodec.wrapBytes(cls, labels, wpts, compress = true))
+          WrapperCodec.wrapBytes(cls, labels, wpoints(pts), compress = true))
+      case Format.Raw =>
+        // StandalonePlasmaHandler.java:645-667: `<base>// ` + OPB64 of
+        // the AES-keywrapped thrift Metadata + ':' + OPB64 of the raw
+        // (uncompressed) GTSEncoder byte stream
+        val key = metadataKey.getOrElse(
+          throw new IllegalStateException("RAW without a metadata key"))
+        val base = pts.head.getLong(1)
+        val metaB64 = WrapperCodec.opb64Encode(
+          graft.sources.AesWrap.wrap(key, WrapperCodec.writeMetadata(cls, labels)))
+        s"$base// $metaB64:" +
+          WrapperCodec.opb64Encode(WrapperCodec.encodePoints(wpoints(pts), base))
     }
   }
+
+  private def wpoints(pts: Seq[org.apache.spark.sql.Row]): Seq[WrapperCodec.WPoint] =
+    pts.map { r =>
+      val loc = if (r.isNullAt(2) || r.isNullAt(3)) None
+        else Some(graft.functions.GeoFunctions.toHHCode(
+          r.getDouble(2), r.getDouble(3)))
+      val elev = if (r.isNullAt(4)) None else Some(r.getLong(4))
+      WrapperCodec.WPoint(r.getLong(1), loc, elev, valueOf(r))
+    }
 }

@@ -252,7 +252,55 @@ class PlasmaMobiusSpec extends SparkSpec {
       assert(c.awaitText() == "[3]")
       mobius.tick()
       assert(c.awaitText() == "[3]")
+      // a later NON-macro message keeps the registered macro scheduled
+      // (EgressMobiusHandler only replaces it when a new macro arrives)
+      c.send("9")
+      assert(c.awaitText() == "[9]")
+      assert(mobius.hasMacros)
+      mobius.tick()
+      assert(c.awaitText() == "[3]")
       c.ws.sendClose(WebSocket.NORMAL_CLOSURE, "done")
+    } finally server.stop()
+  }
+
+  test("plasma: RAW pushes AES-wrapped metadata : encoder bytes; invalid verb closes") {
+    val f = fixture
+    val dir = () => f.df.groupBy(col("gtsid"))
+      .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
+    val key = (0 until 16).map(_.toByte).toArray
+    val plasma = new PlasmaEndpoint(dir, metadataKey = Some(key))
+    val server = plasma.mount()
+    val port = server.start()
+    try {
+      val c = new Client(port, "/api/v0/plasma")
+      c.send("SUBSCRIBE tok m.cpu{host=a}")
+      awaitSubs(plasma, 1)
+      c.send("RAW") // key configured: switches the format, no KO
+      plasma.dispatch(f.df)
+      val msg = c.awaitText()
+      // <base>// OPB64(keywrap(thrift Metadata)):OPB64(encoder bytes)
+      val Array(baseStr, payload) = msg.split("// ", 2)
+      assert(baseStr.toLong == 100L)
+      val Array(metaB64, ptsB64) = payload.split(":", 2)
+      val metaBytes = graft.sources.AesWrap.unwrap(
+        key, WrapperCodec.opb64Decode(metaB64))
+      assert(metaBytes.isDefined) // integrity check passed
+      val (name, labels, _) = WrapperCodec.readMetadataBytes(metaBytes.get)
+      assert(name == "m.cpu" && labels == Map("host" -> "a"))
+      val pts = WrapperCodec.decodePoints(
+        WrapperCodec.opb64Decode(ptsB64), baseStr.toLong)
+      assert(pts.map(p => (p.ts, p.value)) == Vector((100L, 1.5), (200L, 2.5)))
+      // wrong key: integrity check fails, no plaintext lookalike
+      assert(graft.sources.AesWrap.unwrap(new Array[Byte](16),
+        WrapperCodec.opb64Decode(metaB64)).isEmpty)
+      // invalid verb: KO, then the session is CLOSED with 1002
+      // (the reference fails the session, StandalonePlasmaHandler:331)
+      c.send("BOGUSVERB")
+      assert(c.awaitText().startsWith("KO Invalid verb"))
+      val deadline = System.nanoTime + 10000L * 1000000
+      while (server.openConnections.nonEmpty && System.nanoTime < deadline)
+        Thread.sleep(5)
+      assert(server.openConnections.isEmpty)
     } finally server.stop()
   }
 }
