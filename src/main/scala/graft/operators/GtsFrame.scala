@@ -80,12 +80,8 @@ final case class GtsFrame(df: DataFrame) {
     * point table. */
   def seriesPage(gskip: Long, gcount: Long): GtsFrame = {
     if (gskip <= 0 && gcount == Long.MaxValue) return this
-    val hi = if (gcount >= Long.MaxValue - gskip) Long.MaxValue else gskip + gcount
-    val keep = RankOps.globalRank(df.select(col("gtsid")).distinct(),
-        Seq(col("gtsid")))
-      .filter(col("rank") > gskip && col("rank") <= hi)
-      .select(col("gtsid"))
-    GtsFrame(df.join(keep, Seq("gtsid"), "left_semi"))
+    GtsFrame(df.join(GtsFrame.pageIds(df, gskip, gcount),
+      Seq("gtsid"), "left_semi"))
   }
 
   /** FETCH per-point post-filters skip/timestep/step/sample/count, in
@@ -120,26 +116,30 @@ final case class GtsFrame(df: DataFrame) {
     if (timestep > 1) {
       val spark = d.sparkSession
       import spark.implicits._
+      // secondary sort, not a per-series collect: repartition on gtsid
+      // + sortWithinPartitions streams each series newest-first through
+      // a stateful iterator — O(1) task memory even for a single series
+      // with billions of ticks (no per-key array materialization)
       val accepted = d.select(col("gtsid"), col("ts")).as[(Long, Long)]
-        .groupByKey(_._1)
-        .flatMapGroups { (id: Long, it: Iterator[(Long, Long)]) =>
-          val ticks = it.map(_._2).toArray
-          java.util.Arrays.sort(ticks)
-          val out = Vector.newBuilder[(Long, Long, Long)]
-          var i = ticks.length - 1 // newest first
+        .repartition(col("gtsid"))
+        .sortWithinPartitions(col("gtsid"), col("ts").desc)
+        .mapPartitions { it =>
+          var curId = 0L
+          var started = false
           var next = Long.MaxValue
           var ti = 0L
-          while (i >= 0) {
-            val t = ticks(i)
+          it.flatMap { case (id, t) =>
+            if (!started || id != curId) {
+              curId = id; started = true; next = Long.MaxValue; ti = 0L
+            }
             if (t <= next) {
-              out += ((id, t, ti))
-              ti += 1
               next = if (t < Long.MinValue + timestep) Long.MinValue
                      else t - timestep
-            }
-            i -= 1
+              val idx = ti
+              ti += 1
+              Some((id, t, idx))
+            } else None
           }
-          out.result()
         }.toDF("gtsid", "ts", "__ti")
       d = d.join(accepted, Seq("gtsid", "ts"))
     } else {
@@ -181,9 +181,15 @@ final case class GtsFrame(df: DataFrame) {
     val nbin = lit(null).cast(BinaryType)
     val out = t match {
       case "long" =>
+        // Java (long) double semantics (Number.longValue): NaN → 0,
+        // out-of-range saturates to MIN/MAX — try_cast would NULL these
+        // and break the one-non-null-value-column invariant
+        val d2l = when(isnan(col("vdouble")), 0L)
+          .when(col("vdouble") >= Long.MaxValue.toDouble, Long.MaxValue)
+          .when(col("vdouble") <= Long.MinValue.toDouble, Long.MinValue)
+          .otherwise(expr("try_cast(vdouble AS BIGINT)"))
         val v = when(col("vtype") === GtsType.LONG, col("vlong"))
-          .when(col("vtype") === GtsType.DOUBLE,
-            expr("try_cast(vdouble AS BIGINT)"))
+          .when(col("vtype") === GtsType.DOUBLE, d2l)
           .when(col("vtype") === GtsType.BOOLEAN,
             when(col("vbool"), 1L).otherwise(0L))
           .otherwise(coalesce(expr("try_cast(__s AS BIGINT)"),
@@ -1047,6 +1053,20 @@ final case class GtsFrame(df: DataFrame) {
 }
 
 object GtsFrame {
+
+  /** The gskip/gcount id page over an arbitrary series frame (any frame
+    * with a `gtsid` column): range-partitioned rank on the DISTINCT
+    * ids, keep ranks (gskip, gskip+gcount]. Callers that must match the
+    * reference's DIRECTORY-level pagination (FETCH.java:325-331 pages
+    * the metadata match set before scanning points) pass the full
+    * selector match set here, not just the in-range rows. */
+  def pageIds(ids: org.apache.spark.sql.DataFrame, gskip: Long,
+              gcount: Long): org.apache.spark.sql.DataFrame = {
+    val hi = if (gcount >= Long.MaxValue - gskip) Long.MaxValue else gskip + gcount
+    RankOps.globalRank(ids.select(col("gtsid")).distinct(), Seq(col("gtsid")))
+      .filter(col("rank") > gskip && col("rank") <= hi)
+      .select(col("gtsid"))
+  }
 
   /** Java double division (the reference's op.div applies `/` on
     * doubles, op/OpDiv.java): x/0 = ±Infinity, 0/0 = NaN. Spark's ANSI

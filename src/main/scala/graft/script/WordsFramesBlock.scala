@@ -202,11 +202,23 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
           .foldLeft(ranged.df)(_ unionByName _))
       }
       // series pagination BEFORE per-point work (the reference selects
-      // the metadata page before scanning points, FETCH.java:325-331)
-      val paged =
-        if (pGskip > 0 || pGcount != Long.MaxValue)
-          merged.seriesPage(pGskip, pGcount)
-        else merged
+      // the metadata page before scanning points, FETCH.java:325-331).
+      // The page ranks over the DIRECTORY match set — the selector's
+      // all-time series (the FIND path's scan) plus the session
+      // overlay — NOT just the series with points in [start, stop]:
+      // a series that is empty in-range still occupies its page slot
+      // (its boundary points may be delivered) exactly like the
+      // reference's metadata-level pagination.
+      val pagedIds: Option[org.apache.spark.sql.DataFrame] =
+        if (pGskip > 0 || pGcount != Long.MaxValue) {
+          val directory = fetchPub(cls, labels, Long.MinValue, Long.MaxValue)
+            .df.select(col("gtsid"))
+            .unionByName(merged.df.select(col("gtsid")))
+          Some(GtsFrame.pageIds(directory, pGskip, pGcount))
+        } else None
+      val paged = pagedIds
+        .map(ids => GtsFrame(merged.df.join(ids, Seq("gtsid"), "left_semi")))
+        .getOrElse(merged)
       val counted =
         if (pSkip > 0 || pStep > 1 || pTimestep > 1 || pSample < 1.0)
           paged.fetchPostFilters(pSkip, pStep, pTimestep, pSample, countOpt)
@@ -219,11 +231,9 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       // points outside the interval are not boundary candidates); under
       // gskip/gcount they cover only the paginated series
       val fetched = {
-        def pageBound(f: GtsFrame): GtsFrame =
-          if (pGskip > 0 || pGcount != Long.MaxValue)
-            GtsFrame(f.df.join(
-              paged.df.select(col("gtsid")).distinct(), Seq("gtsid"), "left_semi"))
-          else f
+        def pageBound(f: GtsFrame): GtsFrame = pagedIds
+          .map(ids => GtsFrame(f.df.join(ids, Seq("gtsid"), "left_semi")))
+          .getOrElse(f)
         var acc = counted
         if (bPre > 0 && start > Long.MinValue)
           acc = GtsFrame(acc.df.unionByName(pageBound(

@@ -31,11 +31,20 @@ object AesWrap {
     while (i < 8) { b(off + i) = (v >>> (8 * (7 - i))).toByte; i += 1 }
   }
 
-  /** RFC 3394 §2.2.1 wrap of an 8-byte-multiple payload (≥ 16 bytes). */
+  /** RFC 3394 §2.2.1 wrap of an 8-byte-multiple payload. A single
+    * 8-byte block (n = 1, outside the RFC's n ≥ 2 algorithm) uses the
+    * one-AES-call shortcut the reference's BouncyCastle
+    * RFC3394WrapEngine applies: C = AES(K, IV ∥ P₁). */
   def wrapRaw(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
-    require(data.length >= 16 && data.length % 8 == 0,
-      s"AES key wrap needs >= 2 full 8-byte blocks, got ${data.length}")
+    require(data.length >= 8 && data.length % 8 == 0,
+      s"AES key wrap needs full 8-byte blocks, got ${data.length}")
     val enc = cipher(key, Cipher.ENCRYPT_MODE)
+    if (data.length == 8) {
+      val block = new Array[Byte](16)
+      putLong(block, 0, IV)
+      System.arraycopy(data, 0, block, 8, 8)
+      return enc.doFinal(block)
+    }
     val n = data.length / 8
     var a = IV
     val r = new Array[Long](n + 1) // 1-based
@@ -53,10 +62,16 @@ object AesWrap {
     out
   }
 
-  /** RFC 3394 §2.2.2 unwrap; None when the integrity check fails. */
+  /** RFC 3394 §2.2.2 unwrap; None when the integrity check fails.
+    * A 16-byte input is the n = 1 single-block shortcut. */
   def unwrapRaw(key: Array[Byte], data: Array[Byte]): Option[Array[Byte]] = {
-    if (data.length < 24 || data.length % 8 != 0) return None
+    if (data.length < 16 || data.length % 8 != 0) return None
     val dec = cipher(key, Cipher.DECRYPT_MODE)
+    if (data.length == 16) {
+      val b = dec.doFinal(data)
+      return if (getLong(b, 0) != IV) None
+        else Some(java.util.Arrays.copyOfRange(b, 8, 16))
+    }
     val n = data.length / 8 - 1
     var a = getLong(data, 0)
     val r = new Array[Long](n + 1)

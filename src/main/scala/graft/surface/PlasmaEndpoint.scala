@@ -151,13 +151,13 @@ final class PlasmaEndpoint(directory: () => DataFrame,
         col("vtype"), col("vlong"), col("vdouble"), col("vbool"),
         col("vstring"), col("vbinary"))
       .orderBy(col("gtsid"), col("ts"))
-      .limit(maxRowsPerBatch).collect()
-    if (rows.length >= maxRowsPerBatch)
+      .limit(maxRowsPerBatch + 1).collect() // +1: detect a real overflow
+    if (rows.length > maxRowsPerBatch)
       // dropped delivery must be observable, not silent: every session
       // gets a KO notice that this batch was truncated at the cap
       sessions.foreach(_.sendText(
         s"KO Batch truncated at $maxRowsPerBatch rows; points beyond the cap were not delivered."))
-    val byId = rows.groupBy(_.getLong(0))
+    val byId = rows.take(maxRowsPerBatch).groupBy(_.getLong(0))
     for (c <- sessions; sess = session(c); (id, meta) <- sess.synchronized(sess.subs.toVector)) {
       byId.get(id).foreach { pts =>
         val sampled =
@@ -185,8 +185,11 @@ final class PlasmaEndpoint(directory: () => DataFrame,
     * b64-prefixed. */
   private def valueStr(v: Any): String = v match {
     case b: Boolean => if (b) "T" else "F"
-    case s: String => "'" + s.replace("%", "%25").replace("'", "%27")
-      .replace("\n", "%0A").replace("\r", "%0D") + "'"
+    // '+' must escape too: the LineProtocol parser URL-decodes any
+    // token containing '%', and URLDecoder turns a literal '+' into a
+    // space — so '%' alongside '+' would corrupt the round-trip
+    case s: String => "'" + s.replace("%", "%25").replace("+", "%2B")
+      .replace("'", "%27").replace("\n", "%0A").replace("\r", "%0D") + "'"
     case b: Array[Byte] => "b64:" + java.util.Base64.getEncoder.encodeToString(b)
     case o => String.valueOf(o)
   }
@@ -243,14 +246,25 @@ final class PlasmaEndpoint(directory: () => DataFrame,
         // StandalonePlasmaHandler.java:645-667: `<base>// ` + OPB64 of
         // the AES-keywrapped thrift Metadata + ':' + OPB64 of the raw
         // (uncompressed) GTSEncoder byte stream
-        val key = metadataKey.getOrElse(
-          throw new IllegalStateException("RAW without a metadata key"))
         val base = pts.head.getLong(1)
-        val metaB64 = WrapperCodec.opb64Encode(
-          graft.sources.AesWrap.wrap(key, WrapperCodec.writeMetadata(cls, labels)))
-        s"$base// $metaB64:" +
+        s"$base// ${rawMetaB64(cls, labels)}:" +
           WrapperCodec.opb64Encode(WrapperCodec.encodePoints(wpoints(pts), base))
     }
+  }
+
+  // The wrapped metadata is constant per series for the endpoint's
+  // lifetime (the key is fixed at construction) — cache it so N
+  // sessions on a hot series don't pay N AES keywraps per micro-batch
+  private val rawMetaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Map[String, String]), String]
+  private def rawMetaB64(cls: String, labels: Map[String, String]): String = {
+    if (rawMetaCache.size > 10000) rawMetaCache.clear() // crude bound
+    rawMetaCache.computeIfAbsent((cls, labels), { k =>
+      val key = metadataKey.getOrElse(
+        throw new IllegalStateException("RAW without a metadata key"))
+      WrapperCodec.opb64Encode(
+        graft.sources.AesWrap.wrap(key, WrapperCodec.writeMetadata(k._1, k._2)))
+    })
   }
 
   private def wpoints(pts: Seq[org.apache.spark.sql.Row]): Seq[WrapperCodec.WPoint] =

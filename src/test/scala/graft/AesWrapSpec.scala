@@ -35,14 +35,22 @@ class AesWrapSpec extends AnyFunSuite {
     assert(AesWrap.unwrapRaw(kek, wrapped).map(toHex).contains(toHex(data)))
   }
 
-  test("PKCS7 envelope round-trips every length mod 8, incl. full-pad") {
+  test("PKCS7 envelope round-trips every length mod 8, incl. full-pad " +
+    "and the n=1 single-block shortcut (tiny metadata)") {
     val kek = hex("000102030405060708090A0B0C0D0E0F")
-    (9 to 24).foreach { n =>
+    (1 to 24).foreach { n =>
       val data = Array.tabulate(n)(i => (i * 7 + 3).toByte)
       val w = AesWrap.wrap(kek, data)
       assert(w.length == ((n / 8) + 2) * 8) // pad to next boundary + IV block
       assert(AesWrap.unwrap(kek, w).map(_.toSeq).contains(data.toSeq))
     }
+    // bare n=1 raw block (BouncyCastle RFC3394WrapEngine shortcut shape:
+    // one AES call, 16-byte output)
+    val one = hex("0011223344556677")
+    val w1 = AesWrap.wrapRaw(kek, one)
+    assert(w1.length == 16)
+    assert(AesWrap.unwrapRaw(kek, w1).map(toHex).contains(toHex(one)))
+    assert(AesWrap.unwrapRaw(hex("FF0102030405060708090A0B0C0D0E0F"), w1).isEmpty)
   }
 
   test("tampered ciphertext and wrong key fail the integrity check") {

@@ -62,6 +62,37 @@ class FetchParamsSpec extends SparkSpec {
     assert(ticks(big, "'sample' 0.2").toSet.subsetOf(once.toSet))
   }
 
+  test("gskip/gcount page over the DIRECTORY match set: a series with " +
+    "no in-range points still occupies its slot (FETCH.java:325-331)") {
+    // engine that respects the range, so in-range != all-time
+    def rangedEng(f: GtsFrame) = new WarpScriptEngine(
+      fetch = (cls, labels, a, b) => f.select(cls, labels).timeclip(a, b),
+      nowTs = 0L, session = Some(spark))
+    val multi = GtsFrame(gtsOf(
+      ("a", "u1", 10L, 1.0), ("a", "u2", 5000L, 2.0), ("a", "u3", 20L, 3.0)))
+    val byId = multi.df.select(col("gtsid"), col("labels").getItem("user"))
+      .distinct().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ordered = byId.keys.toSeq.sorted.map(byId) // users in gtsid order
+    def users(extra: String): Set[String] =
+      rangedEng(multi).runToFrame(fetchMap(extra))
+        .select(col("labels").getItem("user")).distinct().collect()
+        .map(_.getString(0)).toSet
+    // range [1,1000] excludes the ts=5000 series (u2), but the
+    // directory page 'gcount' 2 still spends a slot on it: only the
+    // in-range members of the first two slots come back (ranking over
+    // in-range ids instead would wrongly backfill the slot)
+    assert(users("'gcount' 2") == Set(ordered(0), ordered(1)) - "u2")
+    // the paged-out series' boundary.post points DO arrive when its
+    // slot is selected
+    val emptyUser = "u2"
+    val slotOfEmpty = ordered.indexOf(emptyUser)
+    val got = rangedEng(multi).runToFrame(
+        fetchMap(s"'gskip' $slotOfEmpty 'gcount' 1 'boundary.post' 1"))
+      .select(col("labels").getItem("user"), col("ts")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set((emptyUser, 5000L)))
+  }
+
   test("gskip/gcount paginate series in gtsid order") {
     val multi = GtsFrame(gtsOf(
       (1 to 4).flatMap(u => Seq(("a", u.toString, 1L, u.toDouble),
@@ -86,7 +117,8 @@ class FetchParamsSpec extends SparkSpec {
       ("a", 2L, graft.model.GtsType.DOUBLE, None, Some(2.9), None, None),
       ("a", 3L, graft.model.GtsType.BOOLEAN, None, None, Some(true), None),
       ("a", 4L, graft.model.GtsType.STRING, None, None, None, Some("12.5")),
-      ("a", 5L, graft.model.GtsType.STRING, None, None, None, Some("nope")))
+      ("a", 5L, graft.model.GtsType.STRING, None, None, None, Some("nope")),
+      ("a", 6L, graft.model.GtsType.DOUBLE, None, Some(Double.NaN), None, None))
       .toDF("class", "ts", "vtype", "vlong", "vdouble", "vbool", "vstring")
       .select(col("class"), map(lit("user"), lit("1")).as("labels"),
         col("ts"), lit(null).cast("double").as("lat"),
@@ -103,6 +135,7 @@ class FetchParamsSpec extends SparkSpec {
     assert(asLong(3L)._1.contains(1L))    // true → 1
     assert(asLong(4L)._1.contains(12L))   // parseLong fails → (long) parseDouble
     assert(asLong(5L)._1.contains(0L))    // unparseable → 0
+    assert(asLong(6L)._1.contains(0L))    // Java (long) NaN → 0, never null
     assert(asLong.values.forall(v => v._2.isEmpty && v._3.isEmpty && v._4.isEmpty))
     val asStr = forced("string")
     assert(asStr(3L)._4.contains("T"))    // boolean prints T, not "true"
