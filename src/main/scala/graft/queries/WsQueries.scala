@@ -565,13 +565,15 @@ object WsQueries {
           |'graft' 'UTF-8' ->BYTES SHA256 TOHEX
           |'abc' 'UTF-8' ->BYTES SHA1 TOHEX
           |'abc' 'UTF-8' ->BYTES SHA512 TOHEX
+          |'abc' 'UTF-8' ->BYTES TIGER TOHEX
           |""".stripMargin
       val stv = engine(s, dir, cents = false).run(program)
       s.range(1).select(
-        lit(stv(3).asInstanceOf[String]).as("v_md5"),
-        lit(stv(2).asInstanceOf[String]).as("v_sha256"),
-        lit(stv(1).asInstanceOf[String]).as("v_sha1"),
-        lit(stv(0).asInstanceOf[String]).as("v_sha512"))
+        lit(stv(4).asInstanceOf[String]).as("v_md5"),
+        lit(stv(3).asInstanceOf[String]).as("v_sha256"),
+        lit(stv(2).asInstanceOf[String]).as("v_sha1"),
+        lit(stv(1).asInstanceOf[String]).as("v_sha512"),
+        lit(stv(0).asInstanceOf[String]).as("v_tiger"))
     }),
 
 
@@ -731,11 +733,12 @@ object WsQueries {
         |  TRUE AS v_verified""".stripMargin,
 
     // DuckDB computes md5/sha256 itself; SHA1/SHA512 use the published
-    // FIPS 180 'abc' test vectors
+    // FIPS 180 'abc' test vectors, TIGER the FSE'96 paper's 'abc' vector
     "w39_ws_digests" ->
       """SELECT md5('graft') AS v_md5, sha256('graft') AS v_sha256,
         |  'a9993e364706816aba3e25717850c26c9cd0d89d' AS v_sha1,
-        |  'ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b55d39a2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f' AS v_sha512""".stripMargin,
+        |  'ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b55d39a2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f' AS v_sha512,
+        |  '2aab1484e8c158f2bfb8c5ff41b57a525129131c957b5f93' AS v_tiger""".stripMargin,
 
 
     // same numbers as g22's two-phase MAD (whole series = one bucket)

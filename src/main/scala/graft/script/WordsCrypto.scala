@@ -464,6 +464,7 @@ private[script] object WordsCrypto {
 
       case "MD4" => st.push(md4(en.popBytes(st)))
       case "WHIRLPOOL" => st.push(Whirlpool.digest(en.popBytes(st)))
+      case "TIGER" => st.push(Tiger.digest(en.popBytes(st)))
       case "GOST" => st.push(Gost3411.digest(en.popBytes(st)))
 
       // ARGON2 (fn ARGON2, script/functions/ARGON2.java): parameter
