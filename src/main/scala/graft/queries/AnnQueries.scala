@@ -39,7 +39,16 @@ object AnnQueries {
     // deterministic on scaled-int vectors, so the report itself is
     // oracle-verifiable; the exact side is query-bounded brute force)
     "i02_ivf_recall" -> ((s, dir) =>
-      graft.text.IvfIndex.recallVsExact(embs(s, dir), col("vec_id") < 20, 2, 3))
+      graft.text.IvfIndex.recallVsExact(embs(s, dir), col("vec_id") < 20, 2, 3)),
+
+    // SemDeDup (Abbas et al. 2023): cluster-scoped embedding near-dup
+    // pruning — IVF cells + greedy keep-farthest-from-centroid rule,
+    // exact-integer cosine threshold τ² = 49/400 (τ = 0.35; the
+    // synthetic embeddings are diffuse, max pairwise cos ≈ 0.6, so the
+    // "semantic" band is where a real drop set lives). Oracle replays
+    // the identical training + drop rule in SQL.
+    "t39_semdedup" -> ((s, dir) =>
+      graft.text.IvfIndex.semDeDup(embs(s, dir), 49L, 400L))
   )
 
   val MbBands = 4
@@ -59,20 +68,21 @@ object AnnQueries {
     s"(CASE WHEN list_dot_product(v, ${planeList(b * MbBits + j)}) > 0 THEN ${1L << j} ELSE 0 END)"
   }.mkString(" + ")
 
-  /** The full i01 oracle (also the inner query of the i02 recall
-    * report — DuckDB allows a WITH inside a subquery). */
-  private val i01Sql: String = {
-    def assignSql(cin: String, aout: String) =
-      s"""$aout AS (SELECT vec_id, v, cid FROM (
-         |  SELECT e.vec_id, e.v, c.cid,
-         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |      -2*list_dot_product(e.v, c.c) + list_dot_product(c.c, c.c), c.cid) AS rn
-         |  FROM e CROSS JOIN $cin c) WHERE rn = 1)""".stripMargin
-    def meanSql(ain: String, cout: String) =
-      s"""$cout AS (SELECT cid, list(m ORDER BY i) AS c FROM (
-         |  SELECT cid, i, floor(avg(v[i]) * 1024.0 + 0.5) / 1024.0 AS m
-         |  FROM $ain CROSS JOIN generate_series(1, ${IvfDims}) t(i)
-         |  GROUP BY cid, i) GROUP BY cid)""".stripMargin
+  private def assignSql(cin: String, aout: String) =
+    s"""$aout AS (SELECT vec_id, v, cid FROM (
+       |  SELECT e.vec_id, e.v, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      -2*list_dot_product(e.v, c.c) + list_dot_product(c.c, c.c), c.cid) AS rn
+       |  FROM e CROSS JOIN $cin c) WHERE rn = 1)""".stripMargin
+  private def meanSql(ain: String, cout: String) =
+    s"""$cout AS (SELECT cid, list(m ORDER BY i) AS c FROM (
+       |  SELECT cid, i, floor(avg(v[i]) * 1024.0 + 0.5) / 1024.0 AS m
+       |  FROM $ain CROSS JOIN generate_series(1, ${IvfDims}) t(i)
+       |  GROUP BY cid, i) GROUP BY cid)""".stripMargin
+
+  /** The shared IVF-training CTE prefix: scaled vectors `e`, two Lloyd
+    * iterations ending at centroids `c2` and final assignment `af`. */
+  private def trainCtes: String =
     s"""WITH e AS (SELECT vec_id,
        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
        |  FROM embeddings),
@@ -81,7 +91,12 @@ object AnnQueries {
        |${meanSql("a1", "c1")},
        |${assignSql("c1", "a2")},
        |${meanSql("a2", "c2")},
-       |${assignSql("c2", "af")},
+       |${assignSql("c2", "af")}""".stripMargin
+
+  /** The full i01 oracle (also the inner query of the i02 recall
+    * report — DuckDB allows a WITH inside a subquery). */
+  private val i01Sql: String = {
+    s"""$trainCtes,
        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
        |probe AS (SELECT qid, qv, cid FROM (
        |  SELECT q.qid, q.qv, c.cid,
@@ -157,6 +172,24 @@ object AnnQueries {
          |      GROUP BY 1)
          |SELECT q.qid, CAST(coalesce(m.n_match, 0) AS BIGINT) AS n_match,
          |  round(CAST(coalesce(m.n_match, 0) AS BIGINT) / 3.0, 6) AS recall
-         |FROM q LEFT JOIN m ON q.qid = m.qid""".stripMargin
+         |FROM q LEFT JOIN m ON q.qid = m.qid""".stripMargin,
+
+    // replay: same training CTEs, then the greedy drop rule — priority
+    // is (distance-to-centroid DESC, vec_id), threshold is the exact
+    // cross-multiplied τ²=49/400 test on int64s
+    "t39_semdedup" ->
+      s"""$trainCtes,
+         |m AS (SELECT a.vec_id, a.cid, a.v,
+         |    CAST(list_dot_product(a.v, a.v) AS BIGINT) AS vv,
+         |    list_dot_product(a.v, a.v) - 2*list_dot_product(a.v, c.c)
+         |      + list_dot_product(c.c, c.c) AS cdist
+         |  FROM af a JOIN c2 c ON a.cid = c.cid)
+         |SELECT x.vec_id, x.cid FROM m x
+         |WHERE EXISTS (SELECT 1 FROM m y WHERE y.cid = x.cid
+         |  AND (y.cdist > x.cdist OR (y.cdist = x.cdist AND y.vec_id < x.vec_id))
+         |  AND list_dot_product(x.v, y.v) > 0
+         |  AND 400 * CAST(list_dot_product(x.v, y.v) AS BIGINT)
+         |          * CAST(list_dot_product(x.v, y.v) AS BIGINT)
+         |      > 49 * x.vv * y.vv)""".stripMargin
   )
 }

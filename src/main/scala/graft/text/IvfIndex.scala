@@ -131,4 +131,46 @@ object IvfIndex {
         round(coalesce(col("n_match"), lit(0L)) / lit(k.toDouble), 6)
           .as("recall"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-level
+    * near-duplicate pruning scoped to k-means cells. Members of each
+    * IVF cell are ordered by distance-to-own-centroid DESC (the paper
+    * keeps each duplicate group's farthest-from-centroid "edge"
+    * example and drops the prototypical ones; vec_id breaks ties),
+    * and a member is dropped when a higher-priority cellmate sits
+    * above the cosine threshold τ. τ is passed as the exact rational
+    * τ² = tauSqNum/tauSqDen and the predicate cross-multiplies —
+    * `tauSqDen·dot² > tauSqNum·‖x‖²‖y‖²` on int64s over the scaled
+    * integer vectors — so the whole drop decision is exact integer
+    * arithmetic (no float-threshold drift between engines; with
+    * ‖v‖² ≤ ~1e6 on the 1000-scaled vectors the products stay ≤ ~1e15,
+    * well inside int64).
+    *
+    * Scale shape: the |cell|² pair join is the paper's own — at corpus
+    * scale K grows with N so cells stay ~constant-sized, the join
+    * shuffles on cid only, and the greedy per-pair rule needs no
+    * transitive closure. Returns the DROPPED (vec_id, cid) rows.
+    */
+  def semDeDup(embs: DataFrame, tauSqNum: Long, tauSqDen: Long): DataFrame = {
+    val vs = vecs(embs).localCheckpoint(true)
+    val cents = centroidsFrom(vs)
+    val m = assign(vs, cents).join(broadcast(cents), "cid")
+      .select(col("vec_id"), col("cid"), col("v"),
+        dot(col("v"), col("v")).cast(LongType).as("vv"),
+        (dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("c"))
+          + dot(col("c"), col("c"))).as("cdist"))
+      .localCheckpoint(true) // both sides of the pair join read it
+    val x = m.alias("x")
+    val y = m.select(col("cid").as("ycid"), col("vec_id").as("yid"),
+      col("v").as("yv"), col("vv").as("yvv"), col("cdist").as("ycdist"))
+    val pd = dot(col("v"), col("yv")).cast(LongType)
+    x.join(y,
+        col("cid") === col("ycid") &&
+          (col("ycdist") > col("cdist") ||
+            (col("ycdist") === col("cdist") && col("yid") < col("vec_id"))) &&
+          pd > lit(0L) &&
+          lit(tauSqDen) * pd * pd > lit(tauSqNum) * col("vv") * col("yvv"),
+        "leftsemi")
+      .select(col("vec_id"), col("cid"))
+  }
 }

@@ -108,6 +108,16 @@ class ExplainSpec extends SparkSpec {
     assert(!pairs.contains("BroadcastNestedLoopJoin") && !pairs.contains("CartesianProduct"))
   }
 
+  test("semDeDup: the pair join is a cid-keyed semi join, never cartesian") {
+    import spark.implicits._
+    val embs = (0 to 39).map(i =>
+      (i.toLong, Array.tabulate(64)(d => ((i * 31 + d * 7) % 13 - 6).toFloat)))
+      .toDF("vec_id", "embedding")
+    val p = plan(graft.text.IvfIndex.semDeDup(embs, 49L, 400L))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("LeftSemi"))
+  }
+
   test("globalRank with fewer rows than partitions still ranks densely") {
     import spark.implicits._
     val tiny = Seq((1L, 2.0), (2L, 9.0), (3L, 4.0)).toDF("id", "v")
