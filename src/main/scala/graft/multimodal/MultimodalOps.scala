@@ -82,7 +82,13 @@ object MultimodalOps {
         while (y < h) {
           var x = 0
           while (x < w) {
-            val v = (id * 2654435761L + x * 31 + y).toInt & 0xFFFFFF
+            // nonlinear in (id, x, y) so distinct docs yield genuinely
+            // dissimilar images (an affine pattern makes every image
+            // the same gradient and the near-dup family degenerate);
+            // Long wrap-around is mod 2⁶⁴, and 2²⁴ | 2⁶⁴, so the &
+            // matches the oracle's exact HUGEINT product mod 2²⁴
+            val s0 = id * 131071L + x * 31L + y * 977L + 7L
+            val v = ((s0 * s0 * 2654435761L + s0) & 0xFFFFFFL).toInt
             val i = (y * w + x) * 3
             data(i) = (v & 0xFF).toByte          // B
             data(i + 1) = ((v >> 8) & 0xFF).toByte  // G
@@ -339,6 +345,142 @@ object MultimodalOps {
           Row(r.getLong(0), f,
             java.util.Arrays.copyOfRange(bytes, f * frameBytes,
               math.min((f + 1) * frameBytes, bytes.length)))
+        }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  // ---------------------------------------------------------------------
+  // Perceptual hashing — image near-dup dedup over the REAL codec path
+  // ---------------------------------------------------------------------
+
+  /** Near-duplicate PNG variants of [[pngMediaFromDocuments]]: every
+    * `mod`-th document gains a clone (media_id = doc_id + idOffset)
+    * whose pixels flip the LOWEST BIT of the blue channel — a ±1 gray
+    * perturbation per pixel with no wrap-around, i.e. a visually
+    * identical image whose perceptual hash should land within a few
+    * bits of the original. Geometry and seed come from the BASE id so
+    * base and clone rasters align. Exists so the near-dup path has
+    * planted positives with an arithmetic oracle (the perturbation is
+    * part of the pixel formula, not post-hoc byte editing). */
+  def pngMediaClones(docs: DataFrame, mod: Int, idOffset: Long): DataFrame = {
+    val spark = docs.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val rows = docs.select(col("doc_id"))
+      .filter(col("doc_id") % mod === 0)
+      .repartition(parts).rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val w = 16 + (id % 32).toInt
+          val h = 16 + ((7 * id) % 32).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          val data = img.getRaster.getDataBuffer
+            .asInstanceOf[java.awt.image.DataBufferByte].getData
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val s0 = id * 131071L + x * 31L + y * 977L + 7L
+              val v = ((s0 * s0 * 2654435761L + s0) & 0xFFFFFFL).toInt
+              val i = (y * w + x) * 3
+              data(i) = ((v & 0xFF) ^ 1).toByte       // B, low bit flipped
+              data(i + 1) = ((v >> 8) & 0xFF).toByte  // G
+              data(i + 2) = ((v >> 16) & 0xFF).toByte // R
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Row(id + idOffset, bos.toByteArray, "image/png",
+            Map("origin" -> "synthetic-png-clone"))
+        }
+      }
+    spark.createDataFrame(rows, mediaSchema)
+  }
+
+  /** Quantized 32-point DCT-II basis, 16384·cos(π(2x+1)u/64) rounded
+    * to the nearest integer — the whole pHash below is exact int64
+    * arithmetic on top of it (max |coef| < 2⁴⁸), so two engines can
+    * agree bit-for-bit. Rounding safety: the minimum distance of any
+    * of the 256 scaled cos values to a .5 boundary is 0.0105, ~10⁹×
+    * the cross-engine libm ulp. */
+  private val Cq: Array[Array[Long]] = Array.tabulate(8, 32)((u, x) =>
+    math.floor(math.cos(math.Pi * (2 * x + 1) * u / 64.0) * 16384.0 + 0.5)
+      .toLong)
+
+  /** 64-bit perceptual hash over the REAL decode path (the classic
+    * pHash recipe made engine-exact): decode via ImageIO, sample a
+    * 32×32 grid by nearest neighbor (integer source coords x·w/32),
+    * gray = R+G+B (no division), separable integer DCT-II with the
+    * [[Cq]] basis, keep the 8×8 low-frequency block, threshold at the
+    * LOWER MEDIAN (sorted index 31 of 64 — no halving, stays integer),
+    * bit i = coef(u·8+v) > median. Every step is integer arithmetic,
+    * so the DuckDB oracle replays the hash from the pixel formula
+    * while the engine computes it from real decoded bytes — a
+    * content-level (not just geometry-level) codec fidelity check.
+    * Undecodable payloads are dropped. */
+  def pHash64(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = false)))
+    val rows = media.select(col("media_id"), col("media")).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val gray = Array.ofDim[Long](32, 32) // [y][x]
+          var y = 0
+          while (y < 32) {
+            var x = 0
+            while (x < 32) {
+              val rgb = img.getRGB(x * w / 32, y * h / 32)
+              gray(y)(x) = ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
+                (rgb & 0xFF)
+              x += 1
+            }
+            y += 1
+          }
+          val rs = Array.ofDim[Long](32, 8) // [y][u] row-transformed
+          y = 0
+          while (y < 32) {
+            var u = 0
+            while (u < 8) {
+              var s = 0L
+              var x = 0
+              while (x < 32) { s += gray(y)(x) * Cq(u)(x); x += 1 }
+              rs(y)(u) = s
+              u += 1
+            }
+            y += 1
+          }
+          val coef = new Array[Long](64)
+          var u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              var s = 0L
+              var yy = 0
+              while (yy < 32) { s += rs(yy)(u) * Cq(v)(yy); yy += 1 }
+              coef(u * 8 + v) = s
+              v += 1
+            }
+            u += 1
+          }
+          val med = coef.sorted.apply(31)
+          var hash = 0L
+          var i = 0
+          while (i < 64) {
+            if (coef(i) > med) hash |= (1L << i)
+            i += 1
+          }
+          Some(Row(r.getLong(0), hash))
         }
       }
     }

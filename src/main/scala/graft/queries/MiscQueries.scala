@@ -164,6 +164,23 @@ object MiscQueries {
       MultimodalOps.sampleFrames(media, frameBytes = 32, stride = 2)
         .select(col("media_id"), col("frame_idx"),
           md5(col("frame")).as("frame_digest"))
+    }),
+
+    // multimodal image NEAR-DUP dedup over the REAL codec path: base
+    // PNGs + planted low-bit-perturbed clones → exact-integer 64-bit
+    // pHash (32×32 NN sample, quantized-DCT, lower-median threshold)
+    // → the same pigeonhole banded join SimHash uses (hamming ≤ 3,
+    // complete by construction). The oracle replays the hash from the
+    // pixel FORMULA while the engine computes it from decoded bytes —
+    // a content-level codec fidelity check, and the image twin of the
+    // text near-dup family.
+    "m09_phash_neardup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val media = MultimodalOps.pngMediaFromDocuments(docs)
+        .unionByName(MultimodalOps.pngMediaClones(docs, 10, 10000000L))
+      val sig = MultimodalOps.pHash64(media)
+        .select(col("media_id").as("doc_id"), col("phash").as("simhash"))
+      graft.text.TextOps.simhashNearDupBanded(sig, 64, 3)
     })
   )
 
@@ -277,6 +294,59 @@ object MiscQueries {
         |FROM documents d
         |CROSS JOIN (SELECT unnest(generate_series(0,
         |  (SELECT max(length(text)) // 32 FROM documents))) AS f) f
-        |WHERE f.f < length(d.text) // 32 AND f.f % 2 = 0""".stripMargin
+        |WHERE f.f < length(d.text) // 32 AND f.f % 2 = 0""".stripMargin,
+
+    // pHash replayed from the pixel formula: NN 32×32 sample of the
+    // id-seeded raster (clones flip the blue low bit), gray = R+G+B,
+    // separable integer DCT with the 16384-quantized cos basis, lower
+    // median threshold, 16-bit pigeonhole bands, exact hamming ≤ 3
+    "m09_phash_neardup" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id, doc_id AS seed, FALSE AS fl FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, doc_id, TRUE FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |g AS (SELECT id, seed, fl, 16 + seed % 32 AS w,
+        |        16 + (7 * seed) % 32 AS h FROM ids),
+        |grid AS (SELECT unnest(generate_series(0, 31)) AS x),
+        |px AS (SELECT id, fl, x, y,
+        |    CAST((CAST(s AS HUGEINT) * s * 2654435761 + s) % 16777216
+        |      AS BIGINT) AS v
+        |  FROM (SELECT g.id, g.fl, gx.x, gy.x AS y,
+        |      g.seed * 131071 + ((gx.x * w) // 32) * 31
+        |        + ((gy.x * h) // 32) * 977 + 7 AS s
+        |    FROM g, grid gx, grid gy)),
+        |gr AS (SELECT id, x, y,
+        |    ((v // 65536) % 256) + ((v // 256) % 256)
+        |      + (CASE WHEN fl THEN xor(v % 256, 1) ELSE v % 256 END) AS gray
+        |  FROM px),
+        |ct AS (SELECT uu.u, gx.x,
+        |    CAST(floor(cos(pi() * (2 * gx.x + 1) * uu.u / 64.0) * 16384.0
+        |      + 0.5) AS BIGINT) AS c
+        |  FROM (SELECT unnest(generate_series(0, 7)) AS u) uu, grid gx),
+        |rs AS (SELECT gr.id, gr.y, ct.u, sum(gr.gray * ct.c) AS s
+        |  FROM gr JOIN ct ON ct.x = gr.x GROUP BY 1, 2, 3),
+        |cf AS (SELECT rs.id, rs.u, ct.u AS v2, sum(rs.s * ct.c) AS coef
+        |  FROM rs JOIN ct ON ct.x = rs.y GROUP BY 1, 2, 3),
+        |md AS (SELECT id, coef AS med FROM (
+        |    SELECT id, coef, row_number() OVER (PARTITION BY id
+        |      ORDER BY coef) AS rn FROM cf) WHERE rn = 32),
+        |bits AS (SELECT cf.id, cf.u * 8 + cf.v2 AS i,
+        |    CASE WHEN cf.coef > md.med THEN 1 ELSE 0 END AS bit
+        |  FROM cf JOIN md USING (id)),
+        |bands AS (SELECT id, i // 16 AS bi,
+        |    sum(bit * (1::BIGINT << (i % 16))) AS bv
+        |  FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.id AS ida, b.id AS idb
+        |  FROM bands a JOIN bands b
+        |    ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id),
+        |ham AS (SELECT c.ida, c.idb,
+        |    sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hd
+        |  FROM cand c
+        |  JOIN bits x ON x.id = c.ida
+        |  JOIN bits y ON y.id = c.idb AND y.i = x.i
+        |  GROUP BY 1, 2)
+        |SELECT ida, idb, CAST(hd AS INT) AS hdist
+        |FROM ham WHERE hd <= 3""".stripMargin
   )
 }
