@@ -121,7 +121,14 @@ object TextQueries4 {
     // slice; dyadic-quantized ln keeps the score engine-exact
     "t40_dsir_select" -> ((s, dir) =>
       graft.text.TextOps3.dsirSelect(docs(s, dir), col("lang") === "en",
-        1024, 100))
+        1024, 100)),
+
+    // BPE tokenizer training (Sennrich et al. 2016): first 8 merge
+    // rules learned from the corpus word-frequency table — one corpus
+    // scan, then iterations on the vocab aggregate only; the oracle
+    // replays greedy merge application in position space
+    "t41_bpe_train" -> ((s, dir) =>
+      graft.text.BpeTrain.train(docs(s, dir), 8))
   )
 
   /** GPT-2-ish pre-token pattern; kept inside Java∩RE2 like PiiRules.
@@ -132,7 +139,61 @@ object TextQueries4 {
     "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+" +
       "| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+"
 
+  /** t41 oracle: the 8 BPE merge rounds unrolled as generated CTEs —
+    * same scheme as the IVF trainer's unrolled Lloyd rounds. State is
+    * (word, freq, pos, sym) rows; each round computes the argmax pair,
+    * match positions, then the canonical greedy application via
+    * gaps-and-islands (keep even offsets per island — equivalent to
+    * the engine's left-to-right fold), and renumbers positions. */
+  private def bpeOracleSql(n: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w AS (SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE length(word) > 0 GROUP BY 1),
+        |s0 AS MATERIALIZED (SELECT word, freq, gs.i AS pos,
+        |    substr(word, CAST(gs.i AS INT), 1) AS sym
+        |  FROM w CROSS JOIN generate_series(1, 512) gs(i)
+        |  WHERE gs.i <= length(word))""".stripMargin)
+    for (k <- 1 to n) {
+      val p = s"s${k - 1}"
+      sb.append(s""",
+        |p$k AS MATERIALIZED (SELECT a.sym AS l, b.sym AS r, sum(a.freq) AS cnt
+        |  FROM $p a JOIN $p b ON a.word = b.word AND b.pos = a.pos + 1
+        |  GROUP BY 1, 2),
+        |b$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+        |m$k AS MATERIALIZED (SELECT a.word, a.pos FROM $p a
+        |  JOIN $p b ON a.word = b.word AND b.pos = a.pos + 1
+        |  CROSS JOIN b$k WHERE a.sym = b$k.l AND b.sym = b$k.r),
+        |k$k AS MATERIALIZED (SELECT word, pos FROM (
+        |    SELECT word, pos, min(pos) OVER (PARTITION BY word, isl) AS m0
+        |    FROM (SELECT word, pos,
+        |        pos - row_number() OVER (PARTITION BY word ORDER BY pos)
+        |          AS isl
+        |      FROM m$k) x)
+        |  WHERE (pos - m0) % 2 = 0),
+        |s$k AS MATERIALIZED (SELECT word, freq,
+        |    row_number() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
+        |  FROM (SELECT s.word, s.freq, s.pos,
+        |      CASE WHEN ka.pos IS NOT NULL
+        |        THEN (SELECT l || r FROM b$k) ELSE s.sym END AS sym
+        |    FROM $p s
+        |    LEFT JOIN k$k ka ON s.word = ka.word AND s.pos = ka.pos
+        |    LEFT JOIN k$k kb ON s.word = kb.word AND s.pos = kb.pos + 1
+        |    WHERE kb.pos IS NULL) t),
+        |t$k AS MATERIALIZED (SELECT sum(freq) AS toks FROM s$k)""".stripMargin)
+    }
+    sb.append("\n")
+    sb.append((1 to n).map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS step, l AS "left", r AS "right",
+         |  CAST(cnt AS BIGINT) AS pair_cnt,
+         |  CAST((SELECT toks FROM t$k) AS BIGINT) AS corpus_tokens
+         |FROM b$k""".stripMargin).mkString("\nUNION ALL\n"))
+    sb.toString
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "t41_bpe_train" -> bpeOracleSql(8),
     "t25_tfidf" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |           FROM documents),

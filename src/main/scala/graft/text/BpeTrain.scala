@@ -1,0 +1,97 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** BPE tokenizer training as corpus aggregation (Sennrich et al. 2016,
+  * arXiv:1508.07909): learn the first `n` merge rules from the corpus.
+  *
+  * Scale shape — the part that matters at 100 TB: the corpus is
+  * scanned ONCE, into the word-frequency table (the classic BPE
+  * training input). Every merge iteration then runs on that vocab
+  * table alone, whose size is the corpus' distinct-word count —
+  * millions of rows against terabytes of text — so the iterative part
+  * costs nothing corpus-shaped. The driver loop collects one argmax
+  * row per round (the merge rule — inherently sequential, exactly like
+  * the IVF trainer's Lloyd rounds), never data.
+  *
+  * Merge application is the canonical greedy left-to-right fold: a
+  * pair merges when the accumulator's LAST symbol is `l` and the
+  * incoming symbol is `r` — which resolves overlapping runs the way
+  * the reference BPE implementation does ("aaaa" + (a,a) → "aa aa",
+  * not "aa a a"; a plain string replace gets this wrong because the
+  * consumed delimiter breaks the following match). The fold stays
+  * correct for l=r runs because the merged symbol `lr` no longer
+  * equals `l`. The DuckDB oracle replays the same semantics in
+  * position space: match positions, gaps-and-islands, keep even
+  * offsets per island (equivalent to the fold — adjacent matches only
+  * arise for l=r runs).
+  *
+  * Ties in pair count break by (left, right) ascending — binary
+  * string order on both engines.
+  *
+  * Returns one row per learned merge:
+  * (step, left, right, pair_cnt, corpus_tokens) where corpus_tokens =
+  * Σ freq·|symbols| AFTER applying that round's merge — so the oracle
+  * checks rule application, not just pair counting.
+  */
+object BpeTrain {
+
+  def train(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    var vocab = TextOps.spread(docs)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      // split on the empty regex appends a trailing "" (Java limit -1
+      // semantics) — strip it; real characters are never empty
+      .select(col("freq"),
+        array_remove(split(col("word"), ""), "").as("syms"))
+      .localCheckpoint(true)
+
+    val steps = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var step = 1
+    var done = false
+    while (step <= nMerges && !done) {
+      val a = slice(col("syms"), lit(1), size(col("syms")) - 1)
+      val b = slice(col("syms"), lit(2), size(col("syms")) - 1)
+      val best = vocab
+        .select(col("freq"),
+          explode(zip_with(a, b, (x, y) =>
+            struct(x.as("l"), y.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(desc("cnt"), asc("l"), asc("r"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (l, r, cnt) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        val merged = l + r
+        // greedy left-to-right fold; acc rebuilt per element is fine —
+        // words are short, and this runs on the vocab table only
+        val folded = aggregate(col("syms"),
+          array().cast(ArrayType(StringType)),
+          (acc, x) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+            .otherwise(concat(acc, array(x))))
+        vocab = vocab.select(col("freq"), folded.as("syms"))
+          .localCheckpoint(true)
+        val toks = vocab
+          .agg(sum(col("freq") * size(col("syms")))).collect()(0).getLong(0)
+        steps += Row(step.toLong, l, r, cnt, toks)
+        step += 1
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(steps.toSeq, 1),
+      StructType(Seq(
+        StructField("step", LongType, nullable = false),
+        StructField("left", StringType, nullable = false),
+        StructField("right", StringType, nullable = false),
+        StructField("pair_cnt", LongType, nullable = false),
+        StructField("corpus_tokens", LongType, nullable = false))))
+  }
+}
