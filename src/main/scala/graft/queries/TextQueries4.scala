@@ -128,7 +128,13 @@ object TextQueries4 {
     // scan, then iterations on the vocab aggregate only; the oracle
     // replays greedy merge application in position space
     "t41_bpe_train" -> ((s, dir) =>
-      graft.text.BpeTrain.train(docs(s, dir), 8))
+      graft.text.BpeTrain.train(docs(s, dir), 8)),
+
+    // corpus segmentation under the learned merges (t41's serving
+    // pair): per-doc token counts via a broadcast (word → |tokens|)
+    // vocab join — the corpus is scanned once, merges never touch it
+    "t42_bpe_tokenize" -> ((s, dir) =>
+      graft.text.BpeTrain.tokenizeCounts(docs(s, dir), 8))
   )
 
   /** GPT-2-ish pre-token pattern; kept inside Java∩RE2 like PiiRules.
@@ -183,17 +189,34 @@ object TextQueries4 {
         |    WHERE kb.pos IS NULL) t),
         |t$k AS MATERIALIZED (SELECT sum(freq) AS toks FROM s$k)""".stripMargin)
     }
-    sb.append("\n")
-    sb.append((1 to n).map(k =>
-      s"""SELECT CAST($k AS BIGINT) AS step, l AS "left", r AS "right",
-         |  CAST(cnt AS BIGINT) AS pair_cnt,
-         |  CAST((SELECT toks FROM t$k) AS BIGINT) AS corpus_tokens
-         |FROM b$k""".stripMargin).mkString("\nUNION ALL\n"))
     sb.toString
   }
 
+  private def bpeTrainOracle(n: Int): String =
+    bpeOracleSql(n) + "\n" + (1 to n).map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS step, l AS "left", r AS "right",
+         |  CAST(cnt AS BIGINT) AS pair_cnt,
+         |  CAST((SELECT toks FROM t$k) AS BIGINT) AS corpus_tokens
+         |FROM b$k""".stripMargin).mkString("\nUNION ALL\n")
+
+  /** t42: same trained state, then per-doc token counts through the
+    * (word → |tokens|) table from the final symbolization s{n}. */
+  private def bpeTokenizeOracle(n: Int): String =
+    bpeOracleSql(n) + s""",
+      |wt AS MATERIALIZED (SELECT word, count(*) AS ntok
+      |  FROM s$n GROUP BY word),
+      |d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |  FROM documents)
+      |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |  CAST(sum(wt.ntok) AS BIGINT) AS n_tokens,
+      |  round(CAST(sum(length(d.word)) AS DOUBLE) / sum(wt.ntok), 6)
+      |    AS chars_per_tok
+      |FROM d JOIN wt USING (word)
+      |WHERE length(d.word) > 0 GROUP BY 1""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    "t41_bpe_train" -> bpeOracleSql(8),
+    "t41_bpe_train" -> bpeTrainOracle(8),
+    "t42_bpe_tokenize" -> bpeTokenizeOracle(8),
     "t25_tfidf" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |           FROM documents),

@@ -38,7 +38,13 @@ import org.apache.spark.sql.types._
   */
 object BpeTrain {
 
-  def train(docs: DataFrame, nMerges: Int): DataFrame = {
+  def train(docs: DataFrame, nMerges: Int): DataFrame =
+    trainState(docs, nMerges)._1
+
+  /** Trained state: (merge-rule DataFrame as in [[train]], final vocab
+    * symbolization (word, freq, syms)). The vocab side is the
+    * broadcastable artifact segmentation joins against. */
+  def trainState(docs: DataFrame, nMerges: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     var vocab = TextOps.spread(docs)
       .select(explode(split(col("text"), " ")).as("word"))
@@ -46,7 +52,7 @@ object BpeTrain {
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       // split on the empty regex appends a trailing "" (Java limit -1
       // semantics) — strip it; real characters are never empty
-      .select(col("freq"),
+      .select(col("word"), col("freq"),
         array_remove(split(col("word"), ""), "").as("syms"))
       .localCheckpoint(true)
 
@@ -77,7 +83,7 @@ object BpeTrain {
             size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
             concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
             .otherwise(concat(acc, array(x))))
-        vocab = vocab.select(col("freq"), folded.as("syms"))
+        vocab = vocab.select(col("word"), col("freq"), folded.as("syms"))
           .localCheckpoint(true)
         val toks = vocab
           .agg(sum(col("freq") * size(col("syms")))).collect()(0).getLong(0)
@@ -85,7 +91,7 @@ object BpeTrain {
         step += 1
       }
     }
-    spark.createDataFrame(
+    val merges = spark.createDataFrame(
       spark.sparkContext.parallelize(steps.toSeq, 1),
       StructType(Seq(
         StructField("step", LongType, nullable = false),
@@ -93,5 +99,26 @@ object BpeTrain {
         StructField("right", StringType, nullable = false),
         StructField("pair_cnt", LongType, nullable = false),
         StructField("corpus_tokens", LongType, nullable = false))))
+    (merges, vocab)
+  }
+
+  /** Corpus segmentation with the trained merges — the serving pair of
+    * [[train]]: per-doc token counts under the learned vocabulary.
+    * The trained symbolization is a (word → |tokens|) table the size
+    * of the vocab, BROADCAST back against one exploded corpus scan —
+    * no merge work ever touches the corpus itself. Returns
+    * (doc_id, n_words, n_tokens, chars_per_tok round 6). */
+  def tokenizeCounts(docs: DataFrame, nMerges: Int): DataFrame = {
+    val vocab = trainState(docs, nMerges)._2
+    val wt = vocab.select(col("word"),
+      size(col("syms")).cast(LongType).as("ntok"))
+    TextOps.spread(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(wt), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_tokens"),
+        round(sum(length(col("word"))).cast(DoubleType) /
+          sum(col("ntok")), 6).as("chars_per_tok"))
   }
 }

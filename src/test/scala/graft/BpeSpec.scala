@@ -43,6 +43,18 @@ class BpeSpec extends SparkSpec {
     assert(got(1)._5 == 4L) // aaaa→[aaaa], aaa→[aa,a]
   }
 
+  test("tokenizeCounts segments the corpus under the learned merges") {
+    // after merges lo, lo+w, e+s: low = [low], lowest = [low, es, t]
+    val got = BpeTrain.tokenizeCounts(docs("low low low lowest lowest"), 3)
+      .collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getAs[Long]("n_words") == 5L)
+    assert(r.getAs[Long]("n_tokens") == 3 * 1 + 2 * 3)
+    // 21 chars / 9 tokens
+    assert(r.getAs[Double]("chars_per_tok") == 2.333333)
+  }
+
   test("stops early when no pairs remain") {
     val got = rows(BpeTrain.train(docs("ab ab"), 5))
     assert(got.length == 1 && got(0)._2 == "a" && got(0)._3 == "b")
