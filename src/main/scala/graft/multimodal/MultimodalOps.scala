@@ -61,6 +61,42 @@ object MultimodalOps {
     * id-seeded pattern. This is a genuine encoder — the bytes are valid
     * PNG streams — so the decode below exercises a real codec, not the
     * stub. Runs partition-batched like any media transform. */
+  /** Shared raster synthesis for the base PNGs and their planted
+    * near-dup clones: geometry from the seed id, pixels from a pattern
+    * NONLINEAR in (id, x, y) so distinct docs yield genuinely
+    * dissimilar images (an affine pattern makes every image the same
+    * gradient and the near-dup family degenerate). Long wrap-around is
+    * mod 2⁶⁴, and 2²⁴ | 2⁶⁴, so the & matches the oracle's exact
+    * HUGEINT product mod 2²⁴. `flipMask` xors the blue channel —
+    * 0 for base images, a low bit for clones. */
+  private def pngFromPattern(id: Long, flipMask: Int): Array[Byte] = {
+    val w = 16 + (id % 32).toInt
+    val h = 16 + ((7 * id) % 32).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    // fill the raster's backing byte array directly — setRGB would
+    // run a colorspace conversion per pixel (the m04 hot spot)
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val s0 = id * 131071L + x * 31L + y * 977L + 7L
+        val v = ((s0 * s0 * 2654435761L + s0) & 0xFFFFFFL).toInt
+        val i = (y * w + x) * 3
+        data(i) = ((v & 0xFF) ^ flipMask).toByte // B
+        data(i + 1) = ((v >> 8) & 0xFF).toByte   // G
+        data(i + 2) = ((v >> 16) & 0xFF).toByte  // R
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   def pngMediaFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     // codec work is CPU-bound per row; the id list arrives in however
@@ -70,36 +106,7 @@ object MultimodalOps {
     val rows = docs.select(col("doc_id")).repartition(parts).rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
-        val w = 16 + (id % 32).toInt
-        val h = 16 + ((7 * id) % 32).toInt
-        val img = new java.awt.image.BufferedImage(w, h,
-          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-        // fill the raster's backing byte array directly — setRGB would
-        // run a colorspace conversion per pixel (the m04 hot spot)
-        val data = img.getRaster.getDataBuffer
-          .asInstanceOf[java.awt.image.DataBufferByte].getData
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            // nonlinear in (id, x, y) so distinct docs yield genuinely
-            // dissimilar images (an affine pattern makes every image
-            // the same gradient and the near-dup family degenerate);
-            // Long wrap-around is mod 2⁶⁴, and 2²⁴ | 2⁶⁴, so the &
-            // matches the oracle's exact HUGEINT product mod 2²⁴
-            val s0 = id * 131071L + x * 31L + y * 977L + 7L
-            val v = ((s0 * s0 * 2654435761L + s0) & 0xFFFFFFL).toInt
-            val i = (y * w + x) * 3
-            data(i) = (v & 0xFF).toByte          // B
-            data(i + 1) = ((v >> 8) & 0xFF).toByte  // G
-            data(i + 2) = ((v >> 16) & 0xFF).toByte // R
-            x += 1
-          }
-          y += 1
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        Row(id, bos.toByteArray, "image/png",
+        Row(id, pngFromPattern(id, 0), "image/png",
           Map("origin" -> "synthetic-png"))
       }
     }
@@ -357,13 +364,15 @@ object MultimodalOps {
 
   /** Near-duplicate PNG variants of [[pngMediaFromDocuments]]: every
     * `mod`-th document gains a clone (media_id = doc_id + idOffset)
-    * whose pixels flip the LOWEST BIT of the blue channel — a ±1 gray
-    * perturbation per pixel with no wrap-around, i.e. a visually
-    * identical image whose perceptual hash should land within a few
-    * bits of the original. Geometry and seed come from the BASE id so
-    * base and clone rasters align. Exists so the near-dup path has
-    * planted positives with an arithmetic oracle (the perturbation is
-    * part of the pixel formula, not post-hoc byte editing). */
+    * whose pixels xor bit 2 of the blue channel (±4 gray per pixel).
+    * Empirically (full integer replay over the 500-doc corpus) this
+    * lands clone pHashes at hamming 0 for ~2/3 of ids, hamming 2 for
+    * ~1/4, and hamming 4 for a few — so the near-dup radius (1..3) is
+    * genuinely exercised by positives AND the radius boundary drops
+    * some pairs, on both engines identically. Geometry and seed come
+    * from the BASE id so base and clone rasters align; the
+    * perturbation is part of the pixel formula (oracle-replayable),
+    * not post-hoc byte editing. */
   def pngMediaClones(docs: DataFrame, mod: Int, idOffset: Long): DataFrame = {
     val spark = docs.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
@@ -372,29 +381,7 @@ object MultimodalOps {
       .repartition(parts).rdd.mapPartitions { it =>
         it.map { r =>
           val id = r.getLong(0)
-          val w = 16 + (id % 32).toInt
-          val h = 16 + ((7 * id) % 32).toInt
-          val img = new java.awt.image.BufferedImage(w, h,
-            java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-          val data = img.getRaster.getDataBuffer
-            .asInstanceOf[java.awt.image.DataBufferByte].getData
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val s0 = id * 131071L + x * 31L + y * 977L + 7L
-              val v = ((s0 * s0 * 2654435761L + s0) & 0xFFFFFFL).toInt
-              val i = (y * w + x) * 3
-              data(i) = ((v & 0xFF) ^ 1).toByte       // B, low bit flipped
-              data(i + 1) = ((v >> 8) & 0xFF).toByte  // G
-              data(i + 2) = ((v >> 16) & 0xFF).toByte // R
-              x += 1
-            }
-            y += 1
-          }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
-          Row(id + idOffset, bos.toByteArray, "image/png",
+          Row(id + idOffset, pngFromPattern(id, 4), "image/png",
             Map("origin" -> "synthetic-png-clone"))
         }
       }

@@ -318,7 +318,7 @@ object MiscQueries {
         |    FROM g, grid gx, grid gy)),
         |gr AS (SELECT id, x, y,
         |    ((v // 65536) % 256) + ((v // 256) % 256)
-        |      + (CASE WHEN fl THEN xor(v % 256, 1) ELSE v % 256 END) AS gray
+        |      + (CASE WHEN fl THEN xor(v % 256, 4) ELSE v % 256 END) AS gray
         |  FROM px),
         |ct AS (SELECT uu.u, gx.x,
         |    CAST(floor(cos(pi() * (2 * gx.x + 1) * uu.u / 64.0) * 16384.0

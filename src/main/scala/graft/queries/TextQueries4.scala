@@ -156,7 +156,7 @@ object TextQueries4 {
     sb.append(
       """WITH w AS (SELECT word, count(*) AS freq FROM (
         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        |  WHERE length(word) > 0 GROUP BY 1),
+        |  WHERE length(word) > 0 AND length(word) <= 512 GROUP BY 1),
         |s0 AS MATERIALIZED (SELECT word, freq, gs.i AS pos,
         |    substr(word, CAST(gs.i AS INT), 1) AS sym
         |  FROM w CROSS JOIN generate_series(1, 512) gs(i)

@@ -38,6 +38,11 @@ import org.apache.spark.sql.types._
   */
 object BpeTrain {
 
+  /** Words longer than this are excluded from training and
+    * segmentation (both engine and oracle — a shared contract, not an
+    * oracle-side truncation). */
+  val MaxWordLen = 512
+
   def train(docs: DataFrame, nMerges: Int): DataFrame =
     trainState(docs, nMerges)._1
 
@@ -48,7 +53,12 @@ object BpeTrain {
     val spark = docs.sparkSession
     var vocab = TextOps.spread(docs)
       .select(explode(split(col("text"), " ")).as("word"))
-      .filter(length(col("word")) > 0)
+      // words over MaxWordLen chars are excluded from training AND
+      // segmentation (the usual BPE vocab hygiene for URL-ish junk
+      // tokens) — the oracle applies the same cap, so the contract is
+      // explicit rather than a silent oracle truncation
+      .filter(length(col("word")) > 0 &&
+        length(col("word")) <= MaxWordLen)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       // split on the empty regex appends a trailing "" (Java limit -1
       // semantics) — strip it; real characters are never empty
@@ -115,6 +125,8 @@ object BpeTrain {
     TextOps.spread(docs)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
+      // the vocab join drops >MaxWordLen words implicitly (they were
+      // never trained); the filter above only guards empties
       .join(broadcast(wt), "word")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_tokens"),

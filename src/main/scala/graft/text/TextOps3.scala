@@ -238,11 +238,16 @@ object TextOps3 {
         explode(split(col("text"), " ")).as("word"))
       .select(col("doc_id"), col("tgt"),
         pmod(TextOps.hexHash60(col("word")), lit(buckets.toLong)).as("b"))
-    val perDoc = words.groupBy(col("doc_id"), col("b"))
+    // ONE corpus explode+hash scan: the per-doc aggregate is pinned
+    // with localCheckpoint and both bag models derive from it (docs×B
+    // rows, corpus-independent) — without the pin, the model branches
+    // would re-run the scan and the md5 fold two more times
+    val perDoc = words.groupBy(col("doc_id"), col("tgt"), col("b"))
       .agg(count(lit(1)).as("c"))
-    val model = words.groupBy(col("b"))
-      .agg(count(lit(1)).as("nr"),
-        sum(when(col("tgt"), 1L).otherwise(0L)).as("nt"))
+      .localCheckpoint(true)
+    val model = perDoc.groupBy(col("b"))
+      .agg(sum(col("c")).as("nr"),
+        sum(when(col("tgt"), col("c")).otherwise(0L)).as("nt"))
     val tot = model.agg(sum(col("nr")).as("totr"), sum(col("nt")).as("tott"))
     val lr = model.crossJoin(broadcast(tot))
       .select(col("b"),

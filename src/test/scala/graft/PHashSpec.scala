@@ -20,7 +20,7 @@ class PHashSpec extends SparkSpec {
       val y = y32 * h / 32
       val s0 = id * 131071L + x * 31L + y * 977L + 7L
       val v = ((s0 * s0 * 2654435761L + s0) & 0xFFFFFFL).toInt
-      val b = (v & 0xFF) ^ (if (flip) 1 else 0)
+      val b = (v & 0xFF) ^ (if (flip) 4 else 0)
       ((v >> 16) & 0xFF) + ((v >> 8) & 0xFF) + b
     }
     val cq = Array.tabulate(8, 32)((u, x) =>
@@ -56,11 +56,20 @@ class PHashSpec extends SparkSpec {
     val got = MultimodalOps.pHash64(media)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
-    // every planted clone lands within the banded-match radius
+    // clone hashes are codec-faithful, and the perturbation produces
+    // BOTH exact matches and genuine nonzero-hamming near-dups (ids
+    // pinned from the full integer replay: 0/10 → 2 bits, 20/30 → 0)
     Seq(0L, 10L, 20L, 30L).foreach { id =>
-      assert(ham(got(id), got(id + 1000L)) <= 3, s"clone of $id")
       assert(got(id + 1000L) == replayHash(id, flip = true))
     }
+    assert(ham(got(0L), got(1000L)) == 2)
+    assert(ham(got(10L), got(1010L)) == 2)
+    assert(ham(got(20L), got(1020L)) == 0)
+    assert(ham(got(30L), got(1030L)) == 0)
+    // id 130's clone sits at hamming 4 — just past the radius, the
+    // boundary case the banded join must consistently drop
+    assert(java.lang.Long.bitCount(
+      replayHash(130L, flip = false) ^ replayHash(130L, flip = true)) == 4)
     // distinct base images are far apart (the nonlinear pattern works)
     val dists = for (a <- ids; b <- ids if a < b)
       yield ham(got(a), got(b))
