@@ -75,6 +75,15 @@ object TextQueries2 {
       TextOps.decontaminate(docs(s, dir), "text", 3,
         col("doc_id") % 97 === 0)),
 
+    // Fuzzy decontamination (document-level): corpus docs whose 3-gram
+    // Jaccard vs ANY benchmark doc reaches τ = 1/2 (exact cross-
+    // multiplied test); benchmark = every 31st doc (every 97th yields
+    // zero flagged pairs at sf0.01 — a degenerate demonstration);
+    // benchmark shingle set broadcast, no self-join
+    "t43_fuzzy_decontam" -> ((s, dir) =>
+      graft.text.TextOps3.fuzzyDecontam(docs(s, dir), "text", 3,
+        col("doc_id") % 31 === 0, 1L, 2L)),
+
     // Gopher-style repetition filters: duplicate-bigram fraction and
     // top-word share per doc (exact counts, two rounded divisions)
     "t17_repetition" -> ((s, dir) =>
@@ -256,6 +265,22 @@ object TextQueries2 {
          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hdist
          |FROM sg a JOIN sg b ON a.doc_id < b.doc_id AND a.doc_id < 500
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin,
+
+    // document-level fuzzy twin of t16: Jaccard vs any benchmark doc,
+    // τ as the exact cross-multiplied 2·inter ≥ union test
+    "t43_fuzzy_decontam" ->
+      s"""WITH $SH,
+         |sz AS (SELECT doc_id, count(*) AS nsh FROM hh GROUP BY 1),
+         |b AS (SELECT doc_id AS idb, h60 FROM hh WHERE doc_id % 31 = 0),
+         |c AS (SELECT doc_id AS ida, h60 FROM hh WHERE doc_id % 31 <> 0),
+         |i AS (SELECT c.ida, b.idb, count(*) AS inter
+         |      FROM c JOIN b USING (h60) GROUP BY 1, 2)
+         |SELECT i.ida, i.idb, CAST(i.inter AS BIGINT) AS inter,
+         |  round(CAST(i.inter AS DOUBLE) /
+         |    (sa.nsh + sb.nsh - i.inter), 6) AS jaccard
+         |FROM i JOIN sz sa ON sa.doc_id = i.ida
+         |JOIN sz sb ON sb.doc_id = i.idb
+         |WHERE 2 * i.inter >= (sa.nsh + sb.nsh - i.inter)""".stripMargin,
 
     "t16_decontamination" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),

@@ -204,6 +204,51 @@ object TextOps3 {
       .withColumn("keep", col("score") > 0.0)
   }
 
+  /** Fuzzy benchmark decontamination: corpus documents whose n-gram
+    * Jaccard similarity against ANY benchmark document reaches
+    * τ = tauNum/tauDen — the document-level overlap filter (the
+    * "remove training docs that look like eval" stage) complementing
+    * [[TextOps.decontaminate]]'s per-shingle membership ratio. The
+    * threshold test cross-multiplies (`tauDen·inter ≥ tauNum·union`) so
+    * the keep/flag decision is exact integer arithmetic.
+    *
+    * Scale shape: the benchmark side (eval suites) is tiny relative to
+    * the corpus — its shingle-hash set and sizes BROADCAST, so the
+    * corpus side is one explode+hash scan, a broadcast hash join, and
+    * a (corpus_doc, bench_doc) aggregation. No corpus self-join, no
+    * LSH needed: candidate volume is bounded by the benchmark's
+    * shingle multiplicity, not the corpus'.
+    *
+    * Returns flagged pairs (ida = corpus doc, idb = benchmark doc,
+    * inter, jaccard round 6).
+    */
+  def fuzzyDecontam(docs: DataFrame, textCol: String, n: Int,
+                    isBench: Column, tauNum: Long, tauDen: Long): DataFrame = {
+    val flagged = docs.select(col("doc_id"), isBench.as("__b"))
+    val sh = TextOps.shingles(docs, textCol, n)
+      .select(col("doc_id"), TextOps.hexHash60(col("shingle")).as("h"))
+      .join(flagged, "doc_id")
+      .localCheckpoint(true) // sizes + both join sides read it
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val bench = sh.filter(col("__b"))
+      .select(col("doc_id").as("idb"), col("h"))
+    val inter = sh.filter(!col("__b"))
+      .select(col("doc_id").as("ida"), col("h"))
+      .join(broadcast(bench), "h")
+      .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "ida", "nsh" -> "na")),
+        "ida")
+      .join(broadcast(
+        sizes.withColumnsRenamed(Map("doc_id" -> "idb", "nsh" -> "nb"))),
+        "idb")
+      .filter(lit(tauDen) * col("inter") >=
+        lit(tauNum) * (col("na") + col("nb") - col("inter")))
+      .select(col("ida"), col("idb"), col("inter"),
+        round(col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+  }
+
   /** DSIR data selection (Xie et al. 2023, arXiv:2302.03169): rank raw
     * documents by their importance weight under hashed-n-gram bag
     * models of a target distribution vs the raw corpus, and keep the
