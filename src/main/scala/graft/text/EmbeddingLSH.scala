@@ -60,8 +60,7 @@ object EmbeddingLSH {
       col("v").as("va"), col("nrm").as("na"))
     val r = b.select(col("vec_id").as("idb"), col("bucket"),
       col("v").as("vb"), col("nrm").as("nb"))
-    val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+    val dot = graft.plans.DotProduct.dot(col("va"), col("vb"))
     l.join(r, Seq("bucket")).filter(col("ida") < col("idb"))
       .withColumn("cos", dot / (col("na") * col("nb")))
       .filter(col("cos") > minCos)
@@ -84,8 +83,7 @@ object EmbeddingLSH {
     (0 until bits).map { j =>
       val w = array((0 until Dims).map(d =>
         lit(weight(planeOffset + j, d).toDouble)): _*)
-      val dot = aggregate(zip_with(v, w, (a, b) => a * b),
-        lit(0.0), (acc, x) => acc + x)
+      val dot = graft.plans.DotProduct.dot(v, w)
       when(dot > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
 
@@ -120,8 +118,7 @@ object EmbeddingLSH {
     val vecs = embs.select(col("vec_id"), scaled(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x),
         lit(0.0), (acc, x) => acc + x)))
-    val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+    val dot = graft.plans.DotProduct.dot(col("va"), col("vb"))
     cand
       .join(vecs.select(col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("na")), "ida")
       .join(vecs.select(col("vec_id").as("idb"), col("v").as("vb"), col("nrm").as("nb")), "idb")

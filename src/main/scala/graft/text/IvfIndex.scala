@@ -30,7 +30,7 @@ object IvfIndex {
   val Quant = 1024.0
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.plans.DotProduct.dot(a, b)
 
   def vecs(embs: DataFrame): DataFrame =
     TextOps.spreadBy(embs, "vec_id")
@@ -68,8 +68,8 @@ object IvfIndex {
     * centroids chain the full training lineage, and the final centroids
     * are consumed by both the assign and probe stages — eager
     * checkpoints (K-row frames) keep any of that from re-running. */
-  private def centroidsFrom(vs: DataFrame): DataFrame = {
-    var cents = vs.filter(col("vec_id") < K)
+  private def centroidsFrom(vs: DataFrame, k: Int = K): DataFrame = {
+    var cents = vs.filter(col("vec_id") < k)
       .select(col("vec_id").cast(IntegerType).as("cid"), col("v").as("c"))
     for (_ <- 1 to Iters) cents = means(assign(vs, cents)).localCheckpoint(true)
     cents
@@ -149,11 +149,18 @@ object IvfIndex {
     * Scale shape: the |cell|² pair join is the paper's own — at corpus
     * scale K grows with N so cells stay ~constant-sized, the join
     * shuffles on cid only, and the greedy per-pair rule needs no
-    * transitive closure. Returns the DROPPED (vec_id, cid) rows.
+    * transitive closure. `k` IS that knob: the default matches the
+    * oracle-pinned t39 configuration; a 100×-corpus probe with the
+    * default k=8 left 25k-member cells whose pair join blew past the
+    * shard budget, while k=800 (N/250) restored near-linear wall —
+    * measured in SCALE.md, which is why the paper's K ∝ N prescription
+    * is exposed as a parameter rather than prose. Returns the DROPPED
+    * (vec_id, cid) rows.
     */
-  def semDeDup(embs: DataFrame, tauSqNum: Long, tauSqDen: Long): DataFrame = {
+  def semDeDup(embs: DataFrame, tauSqNum: Long, tauSqDen: Long,
+               k: Int = K): DataFrame = {
     val vs = vecs(embs).localCheckpoint(true)
-    val cents = centroidsFrom(vs)
+    val cents = centroidsFrom(vs, k)
     val m = assign(vs, cents).join(broadcast(cents), "cid")
       .select(col("vec_id"), col("cid"), col("v"),
         dot(col("v"), col("v")).cast(LongType).as("vv"),

@@ -37,7 +37,7 @@ object PqIndex {
   val Quant = 1024.0
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.plans.DotProduct.dot(a, b)
 
   /** (vec_id, sid, sv): the M scaled-int subvectors of every vector. */
   def subvecs(embs: DataFrame): DataFrame =

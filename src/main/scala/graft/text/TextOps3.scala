@@ -132,7 +132,7 @@ object TextOps3 {
         transform(col("v"), x => round(x * lit(127.0) / col("maxabs"))))
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.plans.DotProduct.dot(a, b)
 
   private def topk(pairs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
