@@ -28,10 +28,9 @@ object EmbeddingLSH {
 
   /** Signature bucket id: bit j = sign of v · hyperplane_j. Input is
     * the scaled-integer embedding array (see TextQueries). Delegates to
-    * the folded form — the unrolled Bits·Dims scalar expression's
-    * codegen cost grows superlinearly with plane count (see
-    * [[bucketColAt]]); operands are exact integers, so the two
-    * summation orders produce identical values. */
+    * [[bucketColAt]], whose native dot keeps the plan small (the
+    * unrolled Bits·Dims scalar expression's codegen cost grows
+    * superlinearly with plane count). */
   def bucketCol(v: Column): Column = bucketColAt(v, 0, Bits)
 
   /** Scaled exact-integer embedding (bit-reproducible sums). */
@@ -53,8 +52,8 @@ object EmbeddingLSH {
     // checkpoint computes the Bits·Dims signature arithmetic once
     // (AQE runs the consumer stages concurrently — lazy caching races)
     val b = buckets(embs)
-      .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x),
-        lit(0.0), (acc, x) => acc + x)))
+      .withColumn("nrm",
+        sqrt(graft.plans.DotProduct.dot(col("v"), col("v"))))
       .localCheckpoint(true)
     val l = b.select(col("vec_id").as("ida"), col("bucket"),
       col("v").as("va"), col("nrm").as("na"))
@@ -73,12 +72,13 @@ object EmbeddingLSH {
 
   /** Signature over `bits` hyperplanes starting at global plane index
     * `planeOffset` — bands draw disjoint plane ranges so their
-    * signatures are independent. Each plane's dot product folds over a
-    * weight-array literal (zip_with/aggregate) instead of unrolling
-    * Dims·bits scalar terms: the unrolled form's codegen cost grows
-    * superlinearly with plane count (measured 18s vs 3s at 32 planes),
-    * while the fold keeps the plan small; operands are exact integers,
-    * so the summation order change is value-neutral. */
+    * signatures are independent. Each plane's dot product runs the
+    * native codegen'd [[graft.plans.DotProduct]] against a weight-array
+    * literal rather than unrolling Dims·bits scalar terms — the
+    * unrolled form's codegen cost grows superlinearly with plane count
+    * (measured 18s vs 3s at 32 planes when this was an aggregate/
+    * zip_with fold; the native loop keeps the same small plan shape and
+    * the same left-to-right summation, so values are unchanged). */
   def bucketColAt(v: Column, planeOffset: Int, bits: Int): Column =
     (0 until bits).map { j =>
       val w = array((0 until Dims).map(d =>
@@ -116,8 +116,8 @@ object EmbeddingLSH {
       .filter(col("ida") < col("idb"))
       .select(col("ida"), col("idb")).distinct()
     val vecs = embs.select(col("vec_id"), scaled(col("embedding")).as("v"))
-      .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x),
-        lit(0.0), (acc, x) => acc + x)))
+      .withColumn("nrm",
+        sqrt(graft.plans.DotProduct.dot(col("v"), col("v"))))
     val dot = graft.plans.DotProduct.dot(col("va"), col("vb"))
     cand
       .join(vecs.select(col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("na")), "ida")

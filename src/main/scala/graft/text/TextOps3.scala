@@ -213,11 +213,13 @@ object TextOps3 {
     * the keep/flag decision is exact integer arithmetic.
     *
     * Scale shape: the benchmark side (eval suites) is tiny relative to
-    * the corpus — its shingle-hash set and sizes BROADCAST, so the
-    * corpus side is one explode+hash scan, a broadcast hash join, and
-    * a (corpus_doc, bench_doc) aggregation. No corpus self-join, no
-    * LSH needed: candidate volume is bounded by the benchmark's
-    * shingle multiplicity, not the corpus'.
+    * the corpus — its shingle-hash set and its sizes BROADCAST, so the
+    * corpus side is one explode+hash scan, a broadcast hash join, a
+    * (corpus_doc, bench_doc) aggregation, and a shuffle join against
+    * the corpus-side sizes (which are corpus-cardinality and must
+    * never broadcast). No corpus self-join, no LSH needed: candidate
+    * volume is bounded by the benchmark's shingle multiplicity, not
+    * the corpus'.
     *
     * Returns flagged pairs (ida = corpus doc, idb = benchmark doc,
     * inter, jaccard round 6).
@@ -229,19 +231,24 @@ object TextOps3 {
       .select(col("doc_id"), TextOps.hexHash60(col("shingle")).as("h"))
       .join(flagged, "doc_id")
       .localCheckpoint(true) // sizes + both join sides read it
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val bench = sh.filter(col("__b"))
       .select(col("doc_id").as("idb"), col("h"))
     val inter = sh.filter(!col("__b"))
       .select(col("doc_id").as("ida"), col("h"))
       .join(broadcast(bench), "h")
       .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("inter"))
+    // only the BENCHMARK-side sizes broadcast (benchmark-cardinality);
+    // the corpus-side sizes join stays a shuffle join on ida — inter
+    // is bounded by the benchmark's shingle multiplicity, but the
+    // corpus sizes frame is corpus-cardinality and must never ship to
+    // the driver
+    val benchSizes = sh.filter(col("__b")).groupBy(col("doc_id").as("idb"))
+      .agg(count(lit(1)).as("nb"))
+    val corpusSizes = sh.filter(!col("__b")).groupBy(col("doc_id").as("ida"))
+      .agg(count(lit(1)).as("na"))
     inter
-      .join(sizes.withColumnsRenamed(Map("doc_id" -> "ida", "nsh" -> "na")),
-        "ida")
-      .join(broadcast(
-        sizes.withColumnsRenamed(Map("doc_id" -> "idb", "nsh" -> "nb"))),
-        "idb")
+      .join(corpusSizes, "ida")
+      .join(broadcast(benchSizes), "idb")
       .filter(lit(tauDen) * col("inter") >=
         lit(tauNum) * (col("na") + col("nb") - col("inter")))
       .select(col("ida"), col("idb"), col("inter"),

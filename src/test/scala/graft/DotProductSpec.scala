@@ -39,6 +39,15 @@ class DotProductSpec extends SparkSpec {
     assert(df(2L).isEmpty)
   }
 
+  test("a null ELEMENT nulls the product, like the HOF fold") {
+    DotProduct.register(spark)
+    val r = spark.sql(
+      """SELECT dot_product(array(1.0D, CAST(NULL AS DOUBLE)),
+        |                   array(1.0D, 1.0D)) AS d""".stripMargin)
+      .collect()(0)
+    assert(r.isNullAt(0))
+  }
+
   test("participates in whole-stage codegen") {
     // spark.range keeps a physical scan (a local Seq would fold into a
     // LocalTableScan and erase the codegen evidence)
