@@ -35,6 +35,35 @@ object WsQueries5 {
        |    count(*) AS c
        |  FROM pts GROUP BY 1, 2, 3)""".stripMargin
 
+  /** 3-dp-grid guard distance: |frac(x*1e3) - 0.5|, the distance of
+    * x*1000 from its rounding boundary (see the w110 comment). */
+  private def guardDist3(x: org.apache.spark.sql.Column) =
+    abs(x * 1e3 - floor(x * 1e3) - 0.5)
+
+  /** Shared pipeline of w110/w110b: per daily bucket the circular-mean
+    * DIRECTION (c, s) = (cos, sin) of the engine's
+    * bucketizer.mean.circular angle, restricted to buckets whose raw
+    * resultant R > 1e-3 (drops atan2-of-cancellation-noise buckets)
+    * and to directions outside the 3-dp rounding guard band. */
+  private def circularDirections(s: SparkSession, dir: String): DataFrame = {
+    val e = engine(s, dir, cents = true)
+    val circ = e.runToFrame(
+        s"[ $FETCHALL 100.0 bucketizer.mean.circular $LB $DAY 0 ] BUCKETIZE")
+      .select(col("class"), userid, col("ts"), col("vdouble").as("circ"))
+    val theta = col("vdouble") * lit(2.0 * math.Pi) / lit(100.0)
+    val resultant = e.runToFrame(FETCHALL)
+      .groupBy(col("class"), userid,
+        expr(s"$LB - (($LB - ts) DIV $DAY) * $DAY").as("ts"))
+      .agg(sum(sin(theta)).as("ss"), sum(cos(theta)).as("sc"))
+      .where(sqrt(col("ss") * col("ss") + col("sc") * col("sc")) > 1e-3)
+      .select(col("class"), col("userid"), col("ts"))
+    val ang = col("circ") * lit(2.0 * math.Pi) / lit(100.0)
+    circ.join(resultant, Seq("class", "userid", "ts"))
+      .where(guardDist3(cos(ang)) > 1e-4 && guardDist3(sin(ang)) > 1e-4)
+      .select(col("class"), col("userid"), col("ts"),
+        cos(ang).as("c"), sin(ang).as("s"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // filter.any.eq / any.lt / all.ge (script/filter/FilterAny.java):
     // per-point existential predicates; all.ge is the complement of
@@ -127,37 +156,49 @@ object WsQueries5 {
     // compares the mean DIRECTION as a unit vector (cos/sin are
     // continuous across the cut) and drops negligible resultants; the
     // R > 1e-3 threshold sits in the empirical gap (noise < 2e-13,
-    // smallest genuine R = 0.036 at sf0.001/0.01/0.1). A THIRD
-    // instability remained (failed the r7 AND r8 driver runs while
-    // passing locally): round(cos,6)/round(sin,6) flip when the true
-    // value sits within ~1e-10 of a x.5e-7 decimal boundary and the two
-    // engines' sum orders differ. So the row also drops (on BOTH sides)
-    // ticks whose cos/sin lands inside a guard band around the 6-dp
-    // rounding boundary: with d(x) = |frac(x*1e6) - 0.5|, keep only
-    // d > 1.75e-4. The threshold sits in an empirical gap measured at
-    // sf0.001/0.01/0.1: boundary straddlers all have d <= 9.53e-5, the
-    // next genuine value is at d = 2.604e-4, so every row is >= 8e-5
-    // from the filter decision while cross-engine jitter in d is ~1e-9
-    // (ulp-level in x, x1e6). Drops 0/1/3 rows at the three SFs.
+    // smallest genuine R = 0.036 at sf0.001/0.01/0.1).
+    //
+    // REPRESENTATION (round 10): the r7-r9 driver runs each failed this
+    // row at a 6-dp emission despite two empirically-gapped guard bands
+    // — the 6-dp grid leaves only ~1e-4 grid-units of margin around the
+    // rounding boundary, within reach of cross-engine sum-order jitter
+    // in SOME environment every round. The round-10 fix is a coarser
+    // REPRESENTATION, not another threshold: emit the direction at
+    // 3-dp. On the 3-dp grid (W110Probe at sf0.001/0.01/0.1) the guard
+    // distance d(x) = |frac(x*1e3) - 0.5| of every row sits >= 2.5e-5
+    // from the keep-only-d > 1e-4 decision (kept rows >= 4.2e-4, the
+    // one dropped row at 7.46e-5) while cross-engine jitter in d is
+    // ~1e-12 (ulp-level in x, x1e3) — a margin-to-jitter ratio of
+    // ~2.5e7 (was ~1e5 at 6-dp). Drops 0/0/1 rows at the three SFs.
+    // The w110b twin below emits the same buckets as pre-round scaled
+    // INTEGERS plus quantized guard distances so any future driver
+    // mismatch localizes the bucket.
     "w110_ws_mean_circular" -> ((s, dir) => {
-      val e = engine(s, dir, cents = true)
-      val circ = e.runToFrame(
-          s"[ $FETCHALL 100.0 bucketizer.mean.circular $LB $DAY 0 ] BUCKETIZE")
-        .select(col("class"), userid, col("ts"), col("vdouble").as("circ"))
-      val theta = col("vdouble") * lit(2.0 * math.Pi) / lit(100.0)
-      val resultant = e.runToFrame(FETCHALL)
-        .groupBy(col("class"), userid,
-          expr(s"$LB - (($LB - ts) DIV $DAY) * $DAY").as("ts"))
-        .agg(sum(sin(theta)).as("ss"), sum(cos(theta)).as("sc"))
-        .where(sqrt(col("ss") * col("ss") + col("sc") * col("sc")) > 1e-3)
-        .select(col("class"), col("userid"), col("ts"))
-      val ang = col("circ") * lit(2.0 * math.Pi) / lit(100.0)
-      def guardDist(x: org.apache.spark.sql.Column) =
-        abs(x * 1e6 - floor(x * 1e6) - 0.5)
-      circ.join(resultant, Seq("class", "userid", "ts"))
-        .where(guardDist(cos(ang)) > 1.75e-4 && guardDist(sin(ang)) > 1.75e-4)
-        .select(col("class"), col("userid"), col("ts"),
-          round(cos(ang), 6).as("cosm"), round(sin(ang), 6).as("sinm"))
+      val d = circularDirections(s, dir)
+      d.select(col("class"), col("userid"), col("ts"),
+        round(col("c"), 3).as("cosm"), round(col("s"), 3).as("sinm"))
+    }),
+
+    // Diagnostic twin of w110 (same FETCH/BUCKETIZE/guard pipeline):
+    // emits the PRE-ROUND scaled integers cosq/sinq = round(x*1e3) as
+    // BIGINT (exactly the 3-dp value x1000, integer-typed so the hash
+    // covers no double formatting at all) and the guard distances
+    // quantized to the 1/200 grid (gdc/gds in [0,100]). The K=200
+    // quantization has its own verified gap: min |frac(d*200) - 0.5|
+    // = 1.1e-4 at sf0.001/0.01/0.1 (W110Probe; K=100 and K=1000 are
+    // 10x worse at sf0.1) vs ~2e-10 jitter. If a
+    // driver run ever hash-fails w110 again, the twin's pass/fail plus
+    // these columns identify whether the divergence is a guard-filter
+    // membership flip (gdc/gds near 0) or a value flip (cosq/sinq),
+    // instead of costing another blind round.
+    "w110b_ws_mean_circular_diag" -> ((s, dir) => {
+      val d = circularDirections(s, dir)
+      def q(x: org.apache.spark.sql.Column) = round(x * 1e3).cast("long")
+      def g(x: org.apache.spark.sql.Column) =
+        round(guardDist3(x) * 200).cast("long")
+      d.select(col("class"), col("userid"), col("ts"),
+        q(col("c")).as("cosq"), q(col("s")).as("sinq"),
+        g(col("c")).as("gdc"), g(col("s")).as("gds"))
     }),
 
     // filler.lowess (script/filler/FillerLowess.java): LOESS-smooth the
@@ -393,6 +434,20 @@ object WsQueries5 {
       |  FROM sums)""".stripMargin.replace("WEXPR", w)
   }
 
+  /** DuckDB twin of [[circularDirections]] minus the guard filter
+    * (applied per-row in each consumer): daily resultant sums, kept
+    * buckets' unit direction (c, s). */
+  private val CIRC_DIR_SQL =
+    s"""g AS ($EV),
+       |b AS (SELECT class, userid,
+       |        $LB - (($LB - ts) // $DAY) * $DAY AS ts,
+       |        sum(sin(2.0*pi()*(cents/100.0))) AS ss,
+       |        sum(cos(2.0*pi()*(cents/100.0))) AS sc
+       |      FROM g WHERE ts <= $LB GROUP BY 1, 2, 3),
+       |u AS (SELECT class, userid, ts,
+       |        sc / sqrt(ss*ss + sc*sc) AS c, ss / sqrt(ss*ss + sc*sc) AS s
+       |      FROM b WHERE sqrt(ss*ss + sc*sc) > 0.001)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "w104_ws_filter_anyall" ->
       s"""WITH g AS ($EV),
@@ -448,20 +503,23 @@ object WsQueries5 {
          |FROM w WHERE pv IS NOT NULL AND nv IS NOT NULL""".stripMargin,
 
     "w110_ws_mean_circular" ->
-      s"""WITH g AS ($EV),
-         |b AS (SELECT class, userid,
-         |        $LB - (($LB - ts) // $DAY) * $DAY AS ts,
-         |        sum(sin(2.0*pi()*(cents/100.0))) AS ss,
-         |        sum(cos(2.0*pi()*(cents/100.0))) AS sc
-         |      FROM g WHERE ts <= $LB GROUP BY 1, 2, 3),
-         |u AS (SELECT class, userid, ts,
-         |        sc / sqrt(ss*ss + sc*sc) AS c, ss / sqrt(ss*ss + sc*sc) AS s
-         |      FROM b WHERE sqrt(ss*ss + sc*sc) > 0.001)
+      s"""WITH $CIRC_DIR_SQL
          |SELECT class, userid, ts,
-         |  round(c, 6) AS cosm, round(s, 6) AS sinm
+         |  round(c, 3) AS cosm, round(s, 3) AS sinm
          |FROM u
-         |WHERE abs(c*1e6 - floor(c*1e6) - 0.5) > 1.75e-4
-         |  AND abs(s*1e6 - floor(s*1e6) - 0.5) > 1.75e-4""".stripMargin,
+         |WHERE abs(c*1e3 - floor(c*1e3) - 0.5) > 1e-4
+         |  AND abs(s*1e3 - floor(s*1e3) - 0.5) > 1e-4""".stripMargin,
+
+    "w110b_ws_mean_circular_diag" ->
+      s"""WITH $CIRC_DIR_SQL
+         |SELECT class, userid, ts,
+         |  CAST(round(c*1e3) AS BIGINT) AS cosq,
+         |  CAST(round(s*1e3) AS BIGINT) AS sinq,
+         |  CAST(round(abs(c*1e3 - floor(c*1e3) - 0.5)*200.0) AS BIGINT) AS gdc,
+         |  CAST(round(abs(s*1e3 - floor(s*1e3) - 0.5)*200.0) AS BIGINT) AS gds
+         |FROM u
+         |WHERE abs(c*1e3 - floor(c*1e3) - 0.5) > 1e-4
+         |  AND abs(s*1e3 - floor(s*1e3) - 0.5) > 1e-4""".stripMargin,
 
     "w111_ws_filler_lowess" -> {
       val start = LB - 29 * DAY
