@@ -399,6 +399,68 @@ object WsQueries5 {
           "'skip' 2 'timestep' 3600000000 'sample' 0.6 } FETCH")
         .select(col("class"), userid, col("ts"), col("vdouble").as("cents"))
     }),
+
+    // FETCH multi-selector + activity map params (fn/FETCH.java:
+    // 1263-1284 'selectors'/'selpairs', :495-541 pair processing,
+    // :1443-1455 active.after/quiet.after). Four faces:
+    //  'multi'  — two OVERLAPPING selector strings; clicks of user 1
+    //             match both, so their points are delivered twice
+    //             (the directory emits per selector) — the oracle
+    //             replays the union-all;
+    //  'cover'  — 'selpairs' + gskip/gcount pages 0..2 (gcount 7 over
+    //             the 20 matched series) + an out-of-range page 3:
+    //             pages must PARTITION the directory (every series on
+    //             exactly one page, points identical to the unpaged
+    //             fetch), which is id-order independent and therefore
+    //             oracle-replayable even though the page RANKS hash on
+    //             gtsid (xxhash64, not reproducible in SQL);
+    //  'psize'  — the page-size histogram (7/7/6/absent), equally
+    //             order-independent;
+    //  'act'/'quiet' — series-level liveness gates at 24h before the
+    //             window end: act keeps series whose last stored tick
+    //             is within 24h of LB, quiet keeps the complement
+    //             (ms-resolution comparison, FETCH.java:1447,1454).
+    "w122_ws_fetch_selectors" -> ((s, dir) => {
+      val e = engine(s, dir, cents = true)
+      def agg(prog: String, tag: String) =
+        e.runToFrame(prog)
+          .groupBy(col("class"), userid)
+          .agg(count(lit(1)).as("n"), sum(col("vdouble")).cast("long").as("v"))
+          .withColumn("which", lit(tag))
+      val multi = agg(
+        s"""{ 'selectors' [ 'events.click{user~[0-9]}' '~events\\.(click|view){user~1}' ]
+           |  'end' $LB 'timespan' $LB } FETCH""".stripMargin, "multi")
+      // pages 0..3 over the 20 selpairs-matched series, each page a
+      // separate FETCH; npages per series must be exactly 1 and the
+      // union of pages must equal the unpaged fetch
+      val pages = (0 to 3).map { p =>
+        e.runToFrame(
+          s"""{ 'selpairs' [ [ 'events.click' { 'user' '~[0-9]' } ]
+             |               [ 'events.view' { 'user' '~[0-9]' } ] ]
+             |  'end' $LB 'timespan' $LB 'gskip' ${p * 7L} 'gcount' 7 } FETCH"""
+            .stripMargin)
+          .groupBy(col("class"), userid)
+          .agg(count(lit(1)).as("np"))
+          .withColumn("page", lit(p.toLong))
+      }.reduceLeft(_ unionByName _)
+      val cover = pages.groupBy(col("class"), col("userid"))
+        .agg(count(lit(1)).as("n"), sum(col("np")).as("v"))
+        .withColumn("which", lit("cover"))
+      val psize = pages.groupBy(col("page"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .select(lit("page").as("class"),
+          col("page").cast("string").as("userid"),
+          col("n"), lit(0L).as("v"), lit("psize").as("which"))
+      val cut = LB - 24L * 3600L * 1000000L
+      def act(key: String, tag: String) = agg(
+        s"""{ 'selector' '~events\\..*{user~[0-9]}'
+           |  'end' $LB 'timespan' $LB '$key' $cut } FETCH""".stripMargin, tag)
+      multi.unionByName(cover).unionByName(psize)
+        .unionByName(act("active.after", "act"))
+        .unionByName(act("quiet.after", "quiet"))
+        .select(col("which"), col("class"), col("userid"),
+          col("n"), col("v"))
+    }),
   )
 
   /** Loess smoothing CTE over the daily-mean knots: whole-window
@@ -724,6 +786,54 @@ object WsQueries5 {
         |  CAST(124 AS BIGINT) AS n_red, CAST(56 AS BIGINT) AS n_green,
         |  CAST(1020 AS BIGINT) AS n_bg,
         |  CAST(40 AS BIGINT) AS cw, CAST(30 AS BIGINT) AS ch""".stripMargin,
+
+    // Replays w122's faces: union-all of the two overlapping selectors
+    // (clicks of user 1 counted twice); coverage/page-size of the
+    // gskip/gcount partition — id-order independent (every matched
+    // series on exactly one page, sizes 7/7/6 over the 20 series, so
+    // ANY total order gives the same histogram even though the engine
+    // ranks on xxhash64 gtsids); last-full-history-tick liveness at
+    // ms resolution (// 1000 both sides, FETCH.java:1447,1454).
+    "w122_ws_fetch_selectors" ->
+      s"""WITH g AS ($EV),
+         |w AS (SELECT * FROM g WHERE ts <= $LB),
+         |multi AS (
+         |  SELECT class, userid, cents FROM w
+         |  WHERE class = 'events.click' AND regexp_full_match(userid, '[0-9]')
+         |  UNION ALL
+         |  SELECT class, userid, cents FROM w
+         |  WHERE regexp_full_match(class, 'events\\.(click|view)')
+         |    AND regexp_full_match(userid, '1')),
+         |sel2 AS (SELECT class, userid, cents FROM w
+         |  WHERE class IN ('events.click', 'events.view')
+         |    AND regexp_full_match(userid, '[0-9]')),
+         |ranked AS (SELECT class, userid, count(*) AS np,
+         |    row_number() OVER (ORDER BY class, userid) AS rn
+         |  FROM sel2 GROUP BY 1, 2),
+         |la AS (SELECT class, userid, count(*) AS n,
+         |    CAST(sum(cents) AS BIGINT) AS v
+         |  FROM w WHERE regexp_full_match(userid, '[0-9]') GROUP BY 1, 2),
+         |lact AS (SELECT class, userid, max(ts) AS full_last
+         |  FROM g WHERE regexp_full_match(userid, '[0-9]') GROUP BY 1, 2)
+         |SELECT 'multi' AS which, class, userid,
+         |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS v
+         |FROM multi GROUP BY 2, 3
+         |UNION ALL
+         |SELECT 'cover', class, userid, CAST(1 AS BIGINT), CAST(np AS BIGINT)
+         |FROM ranked
+         |UNION ALL
+         |SELECT 'psize', 'page', CAST((rn - 1) // 7 AS VARCHAR),
+         |  count(*), CAST(0 AS BIGINT)
+         |FROM ranked GROUP BY 3
+         |UNION ALL
+         |SELECT 'act', la.class, la.userid, la.n, la.v
+         |FROM la JOIN lact ON la.class = lact.class AND la.userid = lact.userid
+         |WHERE lact.full_last // 1000 >= ${(LB - 24L * 3600L * 1000000L) / 1000L}
+         |UNION ALL
+         |SELECT 'quiet', la.class, la.userid, la.n, la.v
+         |FROM la JOIN lact ON la.class = lact.class AND la.userid = lact.userid
+         |WHERE lact.full_last // 1000 < ${(LB - 24L * 3600L * 1000000L) / 1000L}"""
+        .stripMargin,
 
     "w121_ws_fetch_params" ->
       s"""WITH RECURSIVE g AS ($EV),

@@ -131,7 +131,27 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
               longP("gskip", 0L, 0L), longP("gcount", 0L, Long.MaxValue))
           case _ => (0L, 1L, 1L, 1.0, None, 0L, Long.MaxValue)
         }
-      val (cls, labels, start, stop, countOpt) = popped match {
+      // selector forms (FETCH.java:1263-1284 map parse; :495-541 pair
+      // processing): 'selectors' = list of full selector strings (each
+      // parsed like PARSESELECTOR), 'selpairs' = list of
+      // [ classSelector labelsMap ] pairs, 'selector' = one string, or
+      // 'class' + 'labels'. A multi-selector fetch is the UNION of the
+      // per-selector scans composed into ONE plan; a series matched by
+      // several selectors is delivered once per match (the reference
+      // directory emits per selector, StandaloneDirectoryClient.java:
+      // 594+, and the id-sorted merge then coalesces duplicates into
+      // one series carrying the points once per matching selector —
+      // which is exactly what the union of scans yields here).
+      def selToPair(sel: String): (String, Map[String, String]) = {
+        val s = graft.sources.Selector.parse(sel)
+        val c = s.classExact.getOrElse("~" + s.classRegex.getOrElse(".*"))
+        // exact label values stay BARE (the storage hook's convention —
+        // GtsFrame.select treats any non-'~' value as exact equality)
+        val l = s.labelExact ++
+          s.labelRegex.map { case (k, v) => k -> ("~" + v) }
+        (c, l)
+      }
+      val (selPairs, start, stop, countOpt) = popped match {
         case args: Vector[Any @unchecked] =>
           val (c, l, e4, e5) = args match {
             case Vector(_: String, c0: String, l0: Map[_, _], a, b) =>
@@ -144,47 +164,118 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
             case (end: Long, ts: Long) if ts >= 0 =>
               // [end − timespan + 1, end] (FETCH.java:1372), underflow-clamped
               val s0 = BigInt(end) - BigInt(ts) + 1
-              (c, l, if (s0 < Long.MinValue) Long.MinValue else s0.toLong, end, None)
+              (Seq((c, l)),
+                if (s0 < Long.MinValue) Long.MinValue else s0.toLong, end, None)
             case (end: Long, ts: Long) => // negative timespan = count
               // MIN_VALUE negates to itself — clamp like FETCH.java:1298
-              (c, l, Long.MinValue, end,
+              (Seq((c, l)), Long.MinValue, end,
                 Some(if (ts == Long.MinValue) Long.MaxValue else -ts))
             case (s0: String, e0: String) =>
-              (c, l, isoTick(s0), isoTick(e0), None)
+              (Seq((c, l)), isoTick(s0), isoTick(e0), None)
             case other => throw new IllegalArgumentException(
               "FETCH expects 'start'/'end' Strings or 'end'/'timespan' Longs, got " + other)
           }
         case params: Map[Any, Any] @unchecked =>
-          val c = String.valueOf(params.getOrElse("class",
-            throw new IllegalArgumentException("FETCH missing 'class' parameter.")))
-          val l = params.getOrElse("labels", Map.empty[Any, Any])
-            .asInstanceOf[Map[Any, Any]]
-            .map { case (k, v) => k.toString -> String.valueOf(v) }
+          // Keys whose reference semantics this at-rest engine cannot
+          // honor are rejected LOUDLY — silently returning different
+          // data is worse than an error (see COVERAGE.md "FETCH map
+          // parameters"). Genuinely unknown keys are ignored, like the
+          // reference's map parse; 'priority' only re-orders label
+          // resolution inside the reference directory (a lookup hint),
+          // a semantics-neutral no-op here.
+          val unsupported = Seq(
+            "metaset" -> params.contains("metaset"),
+            "gts" -> params.contains("gts"),
+            "extra" -> params.contains("extra"),
+            "encoders" -> (params.get("encoders") contains true),
+            "merge" -> (params.get("merge") contains false),
+            "keepempty" -> (params.get("keepempty") contains true),
+            "wtimestamp" -> (params.get("wtimestamp") contains true),
+            "ttl" -> (params.get("ttl") contains true),
+            "showuuid" -> (params.get("showuuid") contains true))
+            .collect { case (k, true) => k }
+          require(unsupported.isEmpty, "FETCH parameter(s) " +
+            unsupported.mkString("'", "', '", "'") +
+            " are not supported by this engine (see COVERAGE.md).")
+          val pairs: Seq[(String, Map[String, String])] =
+            (params.get("selectors"), params.get("selpairs"),
+              params.get("selector")) match {
+              case (Some(sels: Vector[Any @unchecked]), _, _) =>
+                require(sels.nonEmpty, "FETCH 'selectors' must be non-empty.")
+                sels.map(s => selToPair(String.valueOf(s)))
+              case (Some(o), _, _) => throw new IllegalArgumentException(
+                s"FETCH Invalid parameter 'selectors': $o")
+              case (None, Some(sp: Vector[Any @unchecked]), _) =>
+                require(sp.nonEmpty, "FETCH 'selpairs' must be non-empty.")
+                sp.map {
+                  case Vector(c, l: Map[Any, Any] @unchecked) =>
+                    (String.valueOf(c),
+                      l.map { case (k, v) => k.toString -> String.valueOf(v) })
+                  case o => throw new IllegalArgumentException(
+                    s"FETCH 'selpairs' entries must be [ class labels ], got $o")
+                }
+              case (None, Some(o), _) => throw new IllegalArgumentException(
+                s"FETCH Invalid parameter 'selpairs': $o")
+              case (None, None, Some(sel)) => Seq(selToPair(String.valueOf(sel)))
+              case (None, None, None) =>
+                val c = String.valueOf(params.getOrElse("class",
+                  throw new IllegalArgumentException("FETCH missing " +
+                    "'class'/'selector'/'selectors'/'selpairs' parameter.")))
+                val l = params.getOrElse("labels", Map.empty[Any, Any])
+                  .asInstanceOf[Map[Any, Any]]
+                  .map { case (k, v) => k.toString -> String.valueOf(v) }
+                Seq((c, l))
+            }
           val end = tickOf(params.getOrElse("end", Long.MaxValue))
           (params.get("start"), params.get("timespan"), params.get("count")) match {
-            case (Some(s0), None, None) => (c, l, tickOf(s0), end, None)
+            case (Some(s0), None, None) => (pairs, tickOf(s0), end, None)
             case (None, Some(ts: Long), None) if ts >= 0 =>
               val s0 = BigInt(end) - BigInt(ts) + 1
-              (c, l, if (s0 < Long.MinValue) Long.MinValue else s0.toLong, end, None)
+              (pairs,
+                if (s0 < Long.MinValue) Long.MinValue else s0.toLong, end, None)
             case (None, Some(ts: Long), None) =>
-              (c, l, Long.MinValue, end,
+              (pairs, Long.MinValue, end,
                 Some(if (ts == Long.MinValue) Long.MaxValue else -ts))
             case (None, None, Some(n: Long)) =>
               require(n >= 0, s"FETCH 'count' must be >= 0, got $n")
-              (c, l, Long.MinValue, end, Some(n))
-            case (None, None, None) => (c, l, Long.MinValue, end, None)
+              (pairs, Long.MinValue, end, Some(n))
+            case (None, None, None) => (pairs, Long.MinValue, end, None)
             case _ => throw new IllegalArgumentException(
               "FETCH expects exactly one of 'start'/'timespan'/'count' with 'end'.")
           }
         case o => throw new IllegalArgumentException(
           s"FETCH expects a map or a list as parameter, got $o")
       }
-      val ranged = fetchPub(cls, labels, start, stop)
-      // merge session-store series written by UPDATE (fn/UPDATE.java —
-      // the standalone reference reads back through its embedded store)
-      // BEFORE count trimming, so `count` sees the whole store like the
-      // reference's unified StoreClient does
-      val merged = {
+      // active.after / quiet.after (FETCH.java:1443-1455; directory
+      // check StandaloneDirectoryClient.java:604-609): series-level
+      // liveness gates on each series' LAST ACTIVITY. The reference
+      // tracks last activity as ms metadata maintained by ingress; the
+      // at-rest analog is the most recent stored tick (exactly the
+      // LASTACTIVITY word, fn/LASTACTIVITY.java). Both params arrive
+      // in time units and compare at ms resolution (TIME_UNITS_PER_MS
+      // division, FETCH.java:1447,1454): keep la >= active.after,
+      // keep la < quiet.after.
+      val (pActive, pQuiet) = popped match {
+        case params: Map[Any, Any] @unchecked =>
+          def lp(k: String) = params.get(k).map {
+            case n: Long => n
+            case _ => throw new IllegalArgumentException(
+              s"FETCH Invalid type for parameter '$k'.")
+          }
+          (lp("active.after"), lp("quiet.after"))
+        case _ => (None, None)
+      }
+      // union of the per-selector scans — one Spark plan, no barrier;
+      // with a single selector this is exactly the pre-round-10 path
+      def fetchUnion(a: Long, b: Long): GtsFrame =
+        GtsFrame(selPairs.map { case (c, l) => fetchPub(c, l, a, b).df }
+          .reduceLeft(_ unionByName _))
+      val ranged = fetchUnion(start, stop)
+      // session-store builders matched per selector (a builder matched
+      // by several selectors contributes once per match, like the
+      // storage side), UN-clipped — the activity gate below needs the
+      // full-history last tick
+      val overlayMatched = selPairs.flatMap { case (cls, labels) =>
         val (ce, cr) =
           if (cls.startsWith("~")) (None, Some(cls.drop(1)))
           else if (cls.isEmpty) (None, Some(".*"))
@@ -193,14 +284,43 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
         val sel = graft.sources.Selector(ce, cr,
           le.map { case (k, v) => k -> v.stripPrefix("=") },
           lr.map { case (k, v) => k -> v.drop(1) }, Map.empty, Map.empty)
-        val mine = st.updates.toSeq
-          .filter(b => WordsExt5.matchesBuilder(sel, b))
+        st.updates.toSeq.filter(b => WordsExt5.matchesBuilder(sel, b))
+      }
+      // merge session-store series written by UPDATE (fn/UPDATE.java —
+      // the standalone reference reads back through its embedded store)
+      // BEFORE count trimming, so `count` sees the whole store like the
+      // reference's unified StoreClient does
+      val merged = {
+        val mine = overlayMatched
           .map(b => b.copy(points = b.points.filter(p => p._1 >= start && p._1 <= stop)))
           .filter(_.points.nonEmpty)
         if (mine.isEmpty) ranged
         else GtsFrame(mine.map(b => materialize(b).df)
           .foldLeft(ranged.df)(_ unionByName _))
       }
+      // activity gate: the series page and the delivered points are
+      // restricted to series whose last stored tick (store + session
+      // overlay, full history) passes the ms-resolution liveness test —
+      // the directory-level filter of StandaloneDirectoryClient:604-609
+      val activityIds: Option[DataFrame] =
+        if (pActive.isEmpty && pQuiet.isEmpty) None
+        else {
+          val storeTicks = fetchUnion(Long.MinValue, Long.MaxValue)
+            .df.select(col("gtsid"), col("ts"))
+          val allTicks = overlayMatched
+            .map(b => materialize(b).df.select(col("gtsid"), col("ts")))
+            .foldLeft(storeTicks)(_ unionByName _)
+          val la = allTicks.groupBy(col("gtsid")).agg(max(col("ts")).as("la"))
+          val laMs = expr("la DIV 1000")
+          val cond = Seq(
+            pActive.map(a => laMs >= lit(a / 1000L)),
+            pQuiet.map(q => laMs < lit(q / 1000L))).flatten.reduce(_ && _)
+          Some(la.where(cond).select(col("gtsid")))
+        }
+      def activityBound(f: GtsFrame): GtsFrame = activityIds
+        .map(ids => GtsFrame(f.df.join(ids, Seq("gtsid"), "left_semi")))
+        .getOrElse(f)
+      val lively = activityBound(merged)
       // series pagination BEFORE per-point work (the reference selects
       // the metadata page before scanning points, FETCH.java:325-331).
       // The page ranks over the DIRECTORY match set — the selector's
@@ -211,14 +331,17 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       // reference's metadata-level pagination.
       val pagedIds: Option[org.apache.spark.sql.DataFrame] =
         if (pGskip > 0 || pGcount != Long.MaxValue) {
-          val directory = fetchPub(cls, labels, Long.MinValue, Long.MaxValue)
+          val directory = fetchUnion(Long.MinValue, Long.MaxValue)
             .df.select(col("gtsid"))
-            .unionByName(merged.df.select(col("gtsid")))
-          Some(GtsFrame.pageIds(directory, pGskip, pGcount))
+            .unionByName(lively.df.select(col("gtsid")))
+          val dir2 = activityIds
+            .map(ids => directory.join(ids, Seq("gtsid"), "left_semi"))
+            .getOrElse(directory)
+          Some(GtsFrame.pageIds(dir2, pGskip, pGcount))
         } else None
       val paged = pagedIds
-        .map(ids => GtsFrame(merged.df.join(ids, Seq("gtsid"), "left_semi")))
-        .getOrElse(merged)
+        .map(ids => GtsFrame(lively.df.join(ids, Seq("gtsid"), "left_semi")))
+        .getOrElse(lively)
       val counted =
         if (pSkip > 0 || pStep > 1 || pTimestep > 1 || pSample < 1.0)
           paged.fetchPostFilters(pSkip, pStep, pTimestep, pSample, countOpt)
@@ -236,11 +359,11 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
           .getOrElse(f)
         var acc = counted
         if (bPre > 0 && start > Long.MinValue)
-          acc = GtsFrame(acc.df.unionByName(pageBound(
-            fetchPub(cls, labels, Long.MinValue, start - 1)).lastN(bPre).df))
+          acc = GtsFrame(acc.df.unionByName(pageBound(activityBound(
+            fetchUnion(Long.MinValue, start - 1))).lastN(bPre).df))
         if (bPost > 0 && stop < Long.MaxValue)
-          acc = GtsFrame(acc.df.unionByName(pageBound(
-            fetchPub(cls, labels, stop + 1, Long.MaxValue)).firstN(bPost).df))
+          acc = GtsFrame(acc.df.unionByName(pageBound(activityBound(
+            fetchUnion(stop + 1, Long.MaxValue))).firstN(bPost).df))
         // value-type forcing happens at decode time in the reference
         // (GTSDecoder.decode(type)), i.e. AFTER boundary fetches
         pType.map(acc.forceType).getOrElse(acc)

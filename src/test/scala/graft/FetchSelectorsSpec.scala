@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.GtsFrame
+import graft.script.WarpScriptEngine
+
+/** FETCH selector forms and activity params — reference semantics from
+  * fn/FETCH.java:1263-1284 ('selectors'/'selpairs'/'selector' map
+  * parse), :495-541 (per-selector pair processing; the directory emits
+  * once per matching selector, StandaloneDirectoryClient.java:594+)
+  * and :1443-1455 (active.after/quiet.after, ms-resolution liveness on
+  * last activity — here the last stored tick, like LASTACTIVITY). */
+class FetchSelectorsSpec extends SparkSpec {
+
+  private def eng(f: GtsFrame) = new WarpScriptEngine(
+    fetch = (cls, labels, a, b) => f.select(cls, labels).timeclip(a, b),
+    nowTs = 0L, session = Some(spark))
+
+  /** Two classes x two users; u2's series stay live past the window. */
+  private def frame = GtsFrame(gtsOf(
+    ("a", "u1", 10L, 1.0), ("a", "u1", 20L, 2.0),
+    ("a", "u2", 30L, 3.0), ("a", "u2", 5000000L, 9.0),
+    ("b", "u1", 40L, 4.0), ("b", "u2", 50L, 5.0)))
+
+  private def rows(prog: String): Seq[(String, String, Long)] =
+    eng(frame).runToFrame(prog)
+      .select(col("class"), col("labels").getItem("user"), col("ts"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq
+
+  test("'selectors' unions per-selector scans; an overlap delivers " +
+    "the series once per matching selector") {
+    // selector 1 matches all of class a; selector 2 matches a{user~u2}
+    // → the a/u2 in-window point arrives twice
+    val got = rows(
+      "{ 'selectors' [ 'a{}' '~[ab]{user~u2}' ] 'end' 1000 'timespan' 1000 } FETCH")
+    assert(got == Seq(("a", "u1", 10L), ("a", "u1", 20L), ("a", "u2", 30L),
+      ("a", "u2", 30L), ("b", "u2", 50L)))
+  }
+
+  test("'selpairs' takes [ class labelsMap ] pairs; 'selector' takes one string") {
+    val viaPairs = rows(
+      "{ 'selpairs' [ [ 'a' { 'user' 'u1' } ] [ 'b' {} ] ] " +
+        "'end' 1000 'timespan' 1000 } FETCH")
+    assert(viaPairs == Seq(("a", "u1", 10L), ("a", "u1", 20L),
+      ("b", "u1", 40L), ("b", "u2", 50L)))
+    val viaSelector = rows(
+      "{ 'selector' '~.*{user~u1}' 'end' 1000 'timespan' 1000 } FETCH")
+    assert(viaSelector == Seq(("a", "u1", 10L), ("a", "u1", 20L),
+      ("b", "u1", 40L)))
+  }
+
+  test("active.after/quiet.after gate on the FULL-history last tick at " +
+    "ms resolution, independent of the fetch window") {
+    // last ticks (ms): a/u1 -> 0, a/u2 -> 5000, b/u1 -> 0, b/u2 -> 0.
+    // cut 3e6 time units = 3000 ms: only a/u2 is 'active'; its
+    // IN-WINDOW points are delivered even though the live tick is
+    // outside the window
+    val act = rows(
+      "{ 'class' '~.*' 'labels' {} 'end' 1000 'timespan' 1000 " +
+        "'active.after' 3000000 } FETCH")
+    assert(act == Seq(("a", "u2", 30L)))
+    val quiet = rows(
+      "{ 'class' '~.*' 'labels' {} 'end' 1000 'timespan' 1000 " +
+        "'quiet.after' 3000000 } FETCH")
+    assert(quiet == Seq(("a", "u1", 10L), ("a", "u1", 20L),
+      ("b", "u1", 40L), ("b", "u2", 50L)))
+  }
+
+  test("unsupported reference keys fail loudly; 'priority' and unknown " +
+    "keys are ignored like the reference's map parse") {
+    def prog(extra: String) =
+      s"{ 'class' '~.*' 'labels' {} 'end' 1000 'timespan' 1000 $extra } FETCH"
+    for (bad <- Seq("'encoders' true", "'keepempty' true", "'merge' false",
+        "'extra' [ 'c' ]", "'wtimestamp' true", "'ttl' true",
+        "'showuuid' true")) {
+      val ex = intercept[Exception](eng(frame).runToFrame(prog(bad)))
+      assert(ex.getMessage.contains("not supported"), s"for $bad: $ex")
+    }
+    // negated booleans are the reference defaults — accepted
+    assert(rows(prog("'merge' true 'keepempty' false 'encoders' false")).size == 5)
+    assert(rows(prog("'priority' [ 'user' ] 'some.unknown.key' 42")).size == 5)
+  }
+}
