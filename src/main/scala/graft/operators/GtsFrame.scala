@@ -1199,6 +1199,24 @@ object GtsFrame {
         if (urlencode) GtsFrame.warpUrlEncodeCol(s) else s
       })
 
+  /** The bucketizer/mapper faces of join (aggregator/Join.java:96-144
+    * appends values in ARGUMENT order, which for buckets and windows is
+    * tick order): collect (tick, string) structs and sort by tick, so
+    * the joined string reads chronologically — unlike the reducer faces
+    * above, whose cross-series member order has no reference-defined
+    * total order and is canonicalized by value sort instead. */
+  def JoinTickOrdered(sep: String): ValueAgg = new ValueAgg {
+    private def post(arr: Column): Column =
+      array_join(transform(array_sort(arr), e => e.getField("x")), sep)
+    private def tv(v: Column, ts: Column): Column =
+      struct(ts.as("t"), v.cast(StringType).as("x"))
+    def column(v: Column, ts: Column): Column =
+      post(collect_list(tv(v, ts)))
+    override def over(v: Column, ts: Column,
+        w: org.apache.spark.sql.expressions.WindowSpec): Column =
+      post(collect_list(tv(v, ts)).over(w))
+  }
+
   /** bucketizer/mapper/reducer.mean.circular (aggregator/
     * CircularMean.java:100-175): values map to angles v·2π/period, the
     * mean is atan2(Σsin, Σcos) scaled back by period/2π — result in

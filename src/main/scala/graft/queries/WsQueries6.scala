@@ -1,0 +1,404 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WarpScript front-end queries, part 6 (round-10: oracle rows for the
+  * aggregator/mapper/filter FACES the registry dispatches but no
+  * oracle row exercised — the r9 verdict's conformance-sampling ask).
+  * Every face here shares an implementation with an already-verified
+  * sibling (e.g. mapper.percentile with bucketizer.percentile), so
+  * these rows pin the FACE wiring (parameter pop order, window vs
+  * bucket vs cross-series application, null policy), not new math.
+  */
+object WsQueries6 {
+  import GtsQueries.{DAY, LB, EV}
+  import WsQueries.engine
+
+  private val userid = col("labels").getItem("user").as("userid")
+
+  private val FETCHALL = s"[ '' '~events\\..*' { } $LB ${LB + 1} ] FETCH"
+  private val BUCKETS =
+    s"[ $FETCHALL bucketizer.count $LB $DAY 0 ] BUCKETIZE"
+
+  /** DuckDB daily count-bucket grid (same shape as WsQueries5). */
+  private val BUCKET_SQL =
+    s"""pts AS (
+       |  SELECT event_type, CAST(user_id AS VARCHAR) AS u, epoch_us(ts) AS tick
+       |  FROM events WHERE epoch_us(ts) <= $LB),
+       |counts AS (
+       |  SELECT u, event_type,
+       |    $LB - (($LB - tick) // $DAY) * $DAY AS bts,
+       |    count(*) AS c
+       |  FROM pts GROUP BY 1, 2, 3)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // comparison / cast / arithmetic mapper faces (script/mapper/
+    // MapperEQ/NE/LT/LE.java keep the value when the predicate holds
+    // and drop the tick otherwise; MapperPow.java; MapperFinite.java
+    // drops NaN/±Inf; MapperToString/MapperToBoolean.java): each face
+    // one MAP pass, union-tagged. eq runs after a mod-100 chain so the
+    // equality actually fires; finite runs on a NEWGTS fixture whose
+    // pow(-1) produces a genuine Infinity to drop.
+    "w123_ws_mapper_compare_cast" -> ((s, dir) => {
+      val e = engine(s, dir, cents = true)
+      def mp(prog: String, tag: String,
+             nv: org.apache.spark.sql.Column = col("vdouble"),
+             sv: org.apache.spark.sql.Column = lit(null).cast("string")) =
+        e.runToFrame(prog)
+          .select(lit(tag).as("which"), col("class"), userid, col("ts"),
+            nv.as("nv"), sv.as("sv"))
+      val mkPow =
+        """NEWGTS 'f' RENAME
+          |1 NaN NaN NULL 0.0 ADDVALUE
+          |2 NaN NaN NULL 2.0 ADDVALUE
+          |3 NaN NaN NULL 4.0 ADDVALUE""".stripMargin
+      mp(s"[ [ $FETCHALL 100.0 mapper.mod 0 0 0 ] MAP 42.0 mapper.eq 0 0 0 ] MAP", "eq")
+        .unionByName(mp(s"[ $FETCHALL 500.0 mapper.ne 0 0 0 ] MAP", "ne"))
+        .unionByName(mp(s"[ $FETCHALL 500.0 mapper.lt 0 0 0 ] MAP", "lt"))
+        .unionByName(mp(s"[ $FETCHALL 500.0 mapper.le 0 0 0 ] MAP", "le"))
+        .unionByName(mp(s"[ $FETCHALL 2.0 mapper.pow 0 0 0 ] MAP", "pow"))
+        .unionByName(mp(
+          s"[ [ $mkPow -1.0 mapper.pow 0 0 0 ] MAP mapper.finite 0 0 0 ] MAP",
+          "finite"))
+        .unionByName(mp(s"[ $FETCHALL mapper.toboolean 0 0 0 ] MAP", "bool"))
+        .unionByName(mp(s"[ $FETCHALL mapper.tostring 0 0 0 ] MAP", "str",
+          nv = lit(null).cast("double"), sv = col("vstring")))
+    }),
+
+    // calendar / coordinate / selection / dot-activation mapper faces
+    // (MapperDayOfMonth/Month/Minute/Second.java — UTC fields of the
+    // tick; MapperLatitude/Longitude/Elevation.java — located ticks
+    // only; MapperLowest.java — the k smallest points per series;
+    // MapperDotProductPositive/Tanh.java — ω·window activations)
+    "w124_ws_mapper_calendar_geo" -> ((s, dir) => {
+      val e = engine(s, dir, cents = true)
+      def mp(prog: String, tag: String,
+             nv: org.apache.spark.sql.Column = col("vdouble")) =
+        e.runToFrame(prog)
+          .select(lit(tag).as("which"), col("class"), userid, col("ts"),
+            nv.as("nv"))
+      val mkGeo =
+        """NEWGTS 'g' RENAME
+          |1 48.5 -3.25 120 10.0 ADDVALUE
+          |2 -12.25 45.125 NULL 20.0 ADDVALUE
+          |3 NaN NaN 80 30.0 ADDVALUE""".stripMargin
+      mp(s"[ $FETCHALL mapper.day 0 0 0 ] MAP", "day")
+        .unionByName(mp(s"[ $FETCHALL mapper.month 0 0 0 ] MAP", "month"))
+        .unionByName(mp(s"[ $FETCHALL mapper.minute 0 0 0 ] MAP", "minute"))
+        .unionByName(mp(s"[ $FETCHALL mapper.second 0 0 0 ] MAP", "second"))
+        .unionByName(mp(s"[ $mkGeo mapper.lat 0 0 0 ] MAP", "lat"))
+        .unionByName(mp(s"[ $mkGeo mapper.lon 0 0 0 ] MAP", "lon"))
+        .unionByName(mp(s"[ $mkGeo mapper.elev 0 0 0 ] MAP", "elev"))
+        .unionByName(mp(s"[ $FETCHALL 3 mapper.lowest 0 0 0 ] MAP", "low3"))
+        .unionByName(mp(
+          s"[ $FETCHALL [ 0.25 0.5 0.25 ] mapper.dotproduct.positive 1 1 0 ] MAP",
+          "dotpos"))
+        // integer ω keep the dot an exact integer: tanh of an integer
+        // argument sits far from every 6-dp rounding boundary (checked
+        // for the whole non-saturated range 0..19; ≥20 saturates to
+        // 1.0 exactly at 6-dp), so the cross-engine tanh-algorithm
+        // difference (Math.tanh vs the oracle's exp form) cannot flip
+        // a digit
+        .unionByName(mp(
+          s"[ $FETCHALL [ 1.0 1.0 1.0 ] mapper.dotproduct.tanh 1 1 0 ] MAP",
+          "dottanh", nv = round(col("vdouble"), 6)))
+    }),
+
+    // the remaining filter faces (script/filter/FilterLastEQ/GE/LE/LT/
+    // NE.java on the series' LAST value; FilterAny.java complement set
+    // all.eq/le/lt/ne + any.ge/gt/le/ne; FilterBySize.java gt face;
+    // FilterByLabels.java checkLabels=true = bylabelsattr, label takes
+    // priority over the attribute) — a three-series MAKEGTS fixture
+    // with controlled last values/sizes for the exact faces, the
+    // events store for bylabelsattr (label side) + SETATTRIBUTES
+    // (attribute side)
+    "w125_ws_filter_faces" -> ((s, dir) => {
+      val e = engine(s, dir, cents = false)
+      val FIX =
+        """[ { 'c' 'fx' 'l' { 'user' 'a' } 't' [ 1 2 3 ] 'v' [ 7.0 7.0 50.0 ] } MAKEGTS
+          |  { 'c' 'fx' 'l' { 'user' 'b' } 't' [ 1 2 ] 'v' [ 30.0 30.0 ] } MAKEGTS
+          |  { 'c' 'fx' 'l' { 'user' 'c' } 't' [ 1 2 3 4 ] 'v' [ 7.0 7.0 7.0 7.0 ] } MAKEGTS ]"""
+          .stripMargin
+      def fix(pred: String, tag: String) =
+        e.runToFrame(s"[ $FIX [ ] $pred ] FILTER")
+          .select(col("class"), userid).distinct()
+          .select(lit(tag).as("which"), col("class"), col("userid"))
+      val store = e.runToFrame(
+        s"""[ '' 'events.error' { } $LB ${LB + 1} ] FETCH
+           |{ 'dc' 'east' } SETATTRIBUTES DROP
+           |[ $FETCHALL [ ] { 'user' '3' 'dc' 'east' } filter.bylabelsattr ] FILTER"""
+          .stripMargin)
+        .select(col("class"), userid).distinct()
+        .select(lit("bylabelsattr").as("which"), col("class"), col("userid"))
+      fix("50.0 filter.last.eq", "last_eq")
+        .unionByName(fix("30.0 filter.last.ge", "last_ge"))
+        .unionByName(fix("30.0 filter.last.le", "last_le"))
+        .unionByName(fix("30.0 filter.last.lt", "last_lt"))
+        .unionByName(fix("30.0 filter.last.ne", "last_ne"))
+        .unionByName(fix("7.0 filter.all.eq", "all_eq"))
+        .unionByName(fix("5.0 filter.all.gt", "all_gt"))
+        .unionByName(fix("30.0 filter.all.le", "all_le"))
+        .unionByName(fix("30.0 filter.all.lt", "all_lt"))
+        .unionByName(fix("30.0 filter.all.ne", "all_ne"))
+        .unionByName(fix("50.0 filter.any.ge", "any_ge"))
+        .unionByName(fix("29.0 filter.any.gt", "any_gt"))
+        .unionByName(fix("7.0 filter.any.le", "any_le"))
+        .unionByName(fix("7.0 filter.any.ne", "any_ne"))
+        .unionByName(fix("2 filter.bysize.gt", "bysize_gt"))
+        .unionByName(store)
+    }),
+
+    // join faces (aggregator/Join.java): bucketizer.join reads its
+    // bucket CHRONOLOGICALLY (the reference appends in argument order
+    // = tick order — GtsFrame.JoinTickOrdered), mapper.join joins its
+    // window likewise; reducer.join (ignoreNulls=true) joins the
+    // members present, .nonnull/.forbid-nulls (ignoreNulls=false) drop
+    // any tick with an absent member — member order canonicalized by
+    // value sort (no reference-defined cross-series order)
+    "w126_ws_join_faces" -> ((s, dir) => {
+      val e = engine(s, dir, cents = true)
+      val bj = e.runToFrame(
+          s"[ $FETCHALL '|' bucketizer.join $LB $DAY 0 ] BUCKETIZE")
+        .select(lit("bucket").as("which"),
+          concat(col("class"), lit("/"), userid).as("key"),
+          col("ts"), col("vdouble").cast("string").as("joined"))
+      // MAP surfaces the window aggregate under the vdouble slot
+      // whatever its runtime type (BUCKETIZE types its output — vstring)
+      val mj = e.runToFrame(s"[ $BUCKETS '-' mapper.join 1 1 0 ] MAP")
+        .select(lit("window").as("which"),
+          concat(col("class"), lit("/"), userid).as("key"),
+          col("ts"), col("vdouble").cast("string").as("joined"))
+      def red(r: String, tag: String) =
+        // REDUCE surfaces the aggregate under the vdouble slot whatever
+        // its runtime type — here the joined STRING
+        e.runToFrame(s"[ $BUCKETS [ 'user' ] '|' $r ] REDUCE")
+          .select(lit(tag).as("which"), col("user").as("key"),
+            col("ts"), col("vdouble").cast("string").as("joined"))
+      bj.unionByName(mj)
+        .unionByName(red("reducer.join", "red_ignore"))
+        .unionByName(red("reducer.join.nonnull", "red_nonnull"))
+        .unionByName(red("reducer.join.forbid-nulls", "red_forbid"))
+    }),
+
+    // percentile faces (aggregator/Percentile.java type-1 default and
+    // the interpolated .cont Builder face; forbid-nulls null policy):
+    // bucketizer.percentile.cont 75 on integer cents is EXACT (h
+    // lands on quarter fractions, dyadic arithmetic), the windowed
+    // mapper face replays type-1 over 5-point windows, and the
+    // reducer pair mirrors w107's all-vs-forbid join
+    "w127_ws_percentile_faces" -> ((s, dir) => {
+      val e = engine(s, dir, cents = true)
+      val cont = e.runToFrame(
+          s"[ $FETCHALL 75.0 bucketizer.percentile.cont $LB $DAY 0 ] BUCKETIZE")
+        .select(lit("cont75").as("which"),
+          concat(col("class"), lit("/"), userid).as("key"),
+          col("ts"), col("vdouble").as("pv"))
+      val mp = e.runToFrame(
+          s"[ $FETCHALL 90.0 mapper.percentile 2 2 0 ] MAP")
+        .select(lit("win90").as("which"),
+          concat(col("class"), lit("/"), userid).as("key"),
+          col("ts"), col("vdouble").as("pv"))
+      def red(r: String, tag: String) =
+        e.runToFrame(s"[ $BUCKETS [ 'user' ] $r ] REDUCE")
+          .select(lit(tag).as("which"), col("user").as("key"), col("ts"),
+            col("vdouble").cast("double").as("pv"))
+      cont.unionByName(mp)
+        .unionByName(red("50.0 reducer.percentile", "red50"))
+        .unionByName(red("50.0 reducer.percentile.forbid-nulls", "red50_forbid"))
+        .unionByName(red("50.0 reducer.percentile.cont", "red50_cont"))
+    }),
+
+    // circular-mean mapper/reducer faces (aggregator/CircularMean.java
+    // through the WINDOW and CROSS-SERIES application paths — the
+    // bucket face is w110): controlled fixtures whose two-value
+    // windows have |Δ| < period/2, so every circular mean is an exact
+    // interior midpoint — no branch cut, no resultant cancellation,
+    // and round(,6) sits ~0.5 grid-units from every boundary
+    "w128_ws_circular_window" -> ((s, dir) => {
+      val e = engine(s, dir, cents = false)
+      val M1 = "{ 'c' 'm1' 'l' { } 't' [ 1 2 3 4 ] 'v' [ 10.0 20.0 30.0 50.0 ] } MAKEGTS"
+      val RA = "{ 'c' 'ra' 'l' { 'user' 'a' } 't' [ 1 2 3 4 ] 'v' [ 10.0 30.0 20.0 30.0 ] } MAKEGTS"
+      val RB = "{ 'c' 'rb' 'l' { 'user' 'b' } 't' [ 1 2 3 ] 'v' [ 20.0 40.0 40.0 ] } MAKEGTS"
+      val win = e.runToFrame(
+          s"[ $M1 100.0 mapper.mean.circular 1 0 0 ] MAP")
+        .select(lit("window").as("which"), col("ts"),
+          round(col("vdouble"), 6).as("circ"))
+      def red(r: String, tag: String) =
+        e.runToFrame(s"[ [ $RA $RB ] [ ] 100.0 $r ] REDUCE")
+          .select(lit(tag).as("which"), col("ts"),
+            round(col("vdouble"), 6).as("circ"))
+      win.unionByName(red("reducer.mean.circular", "red_forbid"))
+        .unionByName(red("reducer.mean.circular.exclude-nulls", "red_excl"))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "w123_ws_mapper_compare_cast" ->
+      s"""WITH g AS (SELECT class, userid, ts, cents FROM ($EV) e
+         |           WHERE ts <= $LB)
+         |SELECT 'eq' AS which, class, userid, ts,
+         |  CAST(cents % 100 AS DOUBLE) AS nv, CAST(NULL AS VARCHAR) AS sv
+         |FROM g WHERE cents % 100 = 42
+         |UNION ALL
+         |SELECT 'ne', class, userid, ts, cents, NULL FROM g WHERE cents <> 500
+         |UNION ALL
+         |SELECT 'lt', class, userid, ts, cents, NULL FROM g WHERE cents < 500
+         |UNION ALL
+         |SELECT 'le', class, userid, ts, cents, NULL FROM g WHERE cents <= 500
+         |UNION ALL
+         |SELECT 'pow', class, userid, ts, cents * cents, NULL FROM g
+         |UNION ALL
+         |SELECT 'finite', 'f', NULL, v.ts, v.nv, NULL
+         |FROM (VALUES (2, 0.5), (3, 0.25)) v(ts, nv)
+         |UNION ALL
+         |SELECT 'bool', class, userid, ts,
+         |  CASE WHEN cents <> 0 THEN 1.0 ELSE 0.0 END, NULL FROM g
+         |UNION ALL
+         |SELECT 'str', class, userid, ts, NULL, CAST(cents AS VARCHAR)
+         |FROM g""".stripMargin,
+
+    "w124_ws_mapper_calendar_geo" ->
+      s"""WITH g AS (SELECT class, userid, ts, cents FROM ($EV) e
+         |           WHERE ts <= $LB),
+         |low AS (SELECT class, userid, ts, cents,
+         |    row_number() OVER (PARTITION BY class, userid
+         |                       ORDER BY cents, ts) AS rn
+         |  FROM g),
+         |w3 AS (SELECT class, userid, ts, cents,
+         |    lag(cents) OVER ww AS pv, lead(cents) OVER ww AS nv
+         |  FROM g WINDOW ww AS (PARTITION BY class, userid ORDER BY ts))
+         |SELECT 'day' AS which, class, userid, ts,
+         |  CAST(date_part('day', make_timestamp(ts)) AS DOUBLE) AS nv
+         |FROM g
+         |UNION ALL
+         |SELECT 'month', class, userid, ts,
+         |  CAST(date_part('month', make_timestamp(ts)) AS DOUBLE) FROM g
+         |UNION ALL
+         |SELECT 'minute', class, userid, ts,
+         |  CAST(date_part('minute', make_timestamp(ts)) AS DOUBLE) FROM g
+         |UNION ALL
+         |SELECT 'second', class, userid, ts,
+         |  CAST(date_part('second', make_timestamp(ts)) AS DOUBLE) FROM g
+         |UNION ALL
+         |SELECT 'lat', 'g', NULL, v.ts, v.nv
+         |FROM (VALUES (1, 48.5), (2, -12.25)) v(ts, nv)
+         |UNION ALL
+         |SELECT 'lon', 'g', NULL, v.ts, v.nv
+         |FROM (VALUES (1, -3.25), (2, 45.125)) v(ts, nv)
+         |UNION ALL
+         |SELECT 'elev', 'g', NULL, v.ts, v.nv
+         |FROM (VALUES (1, 120.0), (3, 80.0)) v(ts, nv)
+         |UNION ALL
+         |SELECT 'low3', class, userid, ts, cents FROM low WHERE rn <= 3
+         |UNION ALL
+         |SELECT 'dotpos', class, userid, ts,
+         |  CASE WHEN 0.25*pv + 0.5*cents + 0.25*nv > 0.0
+         |       THEN 0.25*pv + 0.5*cents + 0.25*nv ELSE 0.0 END
+         |FROM w3 WHERE pv IS NOT NULL AND nv IS NOT NULL
+         |UNION ALL
+         |SELECT 'dottanh', class, userid, ts,
+         |  round(1.0 - 2.0 / (exp(2.0*(pv + cents + nv)) + 1.0), 6)
+         |FROM w3 WHERE pv IS NOT NULL AND nv IS NOT NULL""".stripMargin,
+
+    // fixture faces derived by hand from the three series (last values
+    // 50/30/7, sizes 3/2/4, value sets {7,50}/{30}/{7}); bylabelsattr
+    // replays w113's store state (label user=3 matches, label dc absent
+    // → the dc attribute is consulted)
+    "w125_ws_filter_faces" ->
+      """SELECT v.which, v.class, v.userid
+        |FROM (VALUES
+        |  ('last_eq', 'fx', 'a'),
+        |  ('last_ge', 'fx', 'a'), ('last_ge', 'fx', 'b'),
+        |  ('last_le', 'fx', 'b'), ('last_le', 'fx', 'c'),
+        |  ('last_lt', 'fx', 'c'),
+        |  ('last_ne', 'fx', 'a'), ('last_ne', 'fx', 'c'),
+        |  ('all_eq', 'fx', 'c'),
+        |  ('all_gt', 'fx', 'a'), ('all_gt', 'fx', 'b'), ('all_gt', 'fx', 'c'),
+        |  ('all_le', 'fx', 'b'), ('all_le', 'fx', 'c'),
+        |  ('all_lt', 'fx', 'c'),
+        |  ('all_ne', 'fx', 'a'), ('all_ne', 'fx', 'c'),
+        |  ('any_ge', 'fx', 'a'),
+        |  ('any_gt', 'fx', 'a'), ('any_gt', 'fx', 'b'),
+        |  ('any_le', 'fx', 'a'), ('any_le', 'fx', 'c'),
+        |  ('any_ne', 'fx', 'a'), ('any_ne', 'fx', 'b'),
+        |  ('bysize_gt', 'fx', 'a'), ('bysize_gt', 'fx', 'c'),
+        |  ('bylabelsattr', 'events.error', '3')
+        |) v(which, class, userid)""".stripMargin,
+
+    "w126_ws_join_faces" ->
+      s"""WITH $BUCKET_SQL,
+         |g AS (SELECT class, userid, ts, cents FROM ($EV) e WHERE ts <= $LB),
+         |nser AS (SELECT u, count(DISTINCT event_type) AS ns FROM pts GROUP BY 1),
+         |wj AS (SELECT u, event_type, bts, CAST(c AS VARCHAR) AS cs,
+         |    lag(CAST(c AS VARCHAR)) OVER ww AS pv,
+         |    lead(CAST(c AS VARCHAR)) OVER ww AS nv
+         |  FROM counts WINDOW ww AS (PARTITION BY u, event_type ORDER BY bts)),
+         |rj AS (SELECT u, bts,
+         |    string_agg(CAST(c AS VARCHAR), '|'
+         |      ORDER BY CAST(c AS VARCHAR)) AS joined,
+         |    count(*) AS m
+         |  FROM counts GROUP BY 1, 2)
+         |SELECT 'bucket' AS which, class || '/' || userid AS key,
+         |  $LB - (($LB - ts) // $DAY) * $DAY AS ts,
+         |  string_agg(CAST(cents AS VARCHAR), '|'
+         |    ORDER BY ts, CAST(cents AS VARCHAR)) AS joined
+         |FROM g GROUP BY 2, 3
+         |UNION ALL
+         |SELECT 'window', 'events.' || event_type || '/' || u, bts,
+         |  concat_ws('-', pv, cs, nv)
+         |FROM wj
+         |UNION ALL
+         |SELECT 'red_ignore', u, bts, joined FROM rj
+         |UNION ALL
+         |SELECT 'red_nonnull', r.u, r.bts, r.joined
+         |FROM rj r JOIN nser n USING (u) WHERE r.m = n.ns
+         |UNION ALL
+         |SELECT 'red_forbid', r.u, r.bts, r.joined
+         |FROM rj r JOIN nser n USING (u) WHERE r.m = n.ns""".stripMargin,
+
+    "w127_ws_percentile_faces" ->
+      s"""WITH $BUCKET_SQL,
+         |g AS (SELECT class, userid, ts, cents FROM ($EV) e WHERE ts <= $LB),
+         |nser AS (SELECT u, count(DISTINCT event_type) AS ns FROM pts GROUP BY 1),
+         |win AS (SELECT class, userid, ts,
+         |    list_sort(list(cents) OVER (PARTITION BY class, userid
+         |      ORDER BY ts ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)) AS xs
+         |  FROM g),
+         |red AS (SELECT u, bts, count(*) AS m,
+         |    list_sort(list(c))[CAST(greatest(ceil(0.5 * count(*)), 1) AS BIGINT)] AS p50,
+         |    quantile_cont(c, 0.5) AS p50c
+         |  FROM counts GROUP BY 1, 2)
+         |SELECT 'cont75' AS which, class || '/' || userid AS key,
+         |  $LB - (($LB - ts) // $DAY) * $DAY AS ts,
+         |  quantile_cont(cents, 0.75) AS pv
+         |FROM g GROUP BY 2, 3
+         |UNION ALL
+         |SELECT 'win90', class || '/' || userid, ts,
+         |  xs[CAST(greatest(ceil(0.9 * len(xs)), 1) AS BIGINT)]
+         |FROM win
+         |UNION ALL
+         |SELECT 'red50', u, bts, CAST(p50 AS DOUBLE) FROM red
+         |UNION ALL
+         |SELECT 'red50_forbid', r.u, r.bts, CAST(r.p50 AS DOUBLE)
+         |FROM red r JOIN nser n USING (u) WHERE r.m = n.ns
+         |UNION ALL
+         |SELECT 'red50_cont', u, bts, p50c FROM red""".stripMargin,
+
+    // hand-derived interior midpoints: window face over m1
+    // (10,20,30,50 → self/15/25/40), reducer over ra×rb per tick
+    // ((10,20)→15, (30,40)→35, (20,40)→30; tick 4 has only ra=30 —
+    // dropped by the null-forbidding plain face, kept by exclude-nulls)
+    "w128_ws_circular_window" ->
+      """SELECT v.which, CAST(v.ts AS BIGINT) AS ts,
+        |  CAST(v.circ AS DOUBLE) AS circ
+        |FROM (VALUES
+        |  ('window', 1, 10.0), ('window', 2, 15.0),
+        |  ('window', 3, 25.0), ('window', 4, 40.0),
+        |  ('red_forbid', 1, 15.0), ('red_forbid', 2, 35.0),
+        |  ('red_forbid', 3, 30.0),
+        |  ('red_excl', 1, 15.0), ('red_excl', 2, 35.0),
+        |  ('red_excl', 3, 30.0), ('red_excl', 4, 30.0)
+        |) v(which, ts, circ)""".stripMargin,
+  )
+}

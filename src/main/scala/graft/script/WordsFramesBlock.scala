@@ -942,7 +942,13 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       st.push(AggVal(w, Percentile(st.popNum())))
     case "bucketizer.percentile.cont" | "reducer.percentile.cont" =>
       st.push(AggVal(w, PercentileCont(st.popNum())))
-    case "bucketizer.join" | "reducer.join" =>
+    // bucketizer.join reads chronologically (Join.java appends in
+    // argument order = tick order for a bucket); the reducer face
+    // canonicalizes its member order by value sort (no reference-
+    // defined cross-series order)
+    case "bucketizer.join" =>
+      st.push(AggVal(w, JoinTickOrdered(st.popStr())))
+    case "reducer.join" =>
       st.push(AggVal(w, JoinAgg(st.popStr())))
     // parameterized pointwise mappers (script/mapper/MapperAdd.java,
     // MapperMul, MapperMod, MapperPow; comparison mappers keep the
@@ -1098,7 +1104,9 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
     // an aligned member is absent ≡ AggVal.forbidNulls)
     case "reducer.percentile.forbid-nulls" =>
       st.push(AggVal(w, Percentile(st.popNum()), forbidNulls = true))
-    case "mapper.join" => st.push(AggVal(w, JoinAgg(st.popStr())))
+    // the mapper face joins its WINDOW chronologically, like the
+    // bucketizer face (tick order is the reference's argument order)
+    case "mapper.join" => st.push(AggVal(w, JoinTickOrdered(st.popStr())))
     case "reducer.join.forbid-nulls" | "reducer.join.nonnull" =>
       st.push(AggVal(w, JoinAgg(st.popStr()), forbidNulls = true))
     case "reducer.join.urlencoded" =>
