@@ -202,6 +202,64 @@ object GtsQueries3 {
           .toDF("part", "ts", "value")
           .withColumn("crud_ok", lit(findOk && delOk))
       } finally facade.stop()
+    }),
+
+    // the HTTP fetch's full reference parameter surface over REAL
+    // sockets (EgressFetchHandler.java:250-265 / store/Constants.java:
+    // 334-363): now+timespan ([now−timespan+1, now]), NEGATIVE timespan
+    // as per-series count, skip, gskip/gcount series pages (the three
+    // pages must PARTITION the directory — their union equals the
+    // unpaged fetch, id-order independent), boundary.pre/.post, and
+    // `dedup` with GTSDecoder.dedup:766-860 semantics (first of each
+    // identical run + the series' last point) on a session overlay
+    // series with engineered runs. Every face is fetched as text and
+    // parsed back through LineProtocol.
+    "h05_http_fetch_params" -> ((s, dir) => {
+      import java.net.{HttpURLConnection, URI, URLEncoder}
+      import GtsQueries.{LB, DAY}
+      def hit(url: String, body: Option[String] = None): (Int, String) = {
+        val c = URI.create(url).toURL.openConnection()
+          .asInstanceOf[HttpURLConnection]
+        body.foreach { b =>
+          c.setRequestMethod("POST"); c.setDoOutput(true)
+          c.getOutputStream.write(b.getBytes("UTF-8"))
+        }
+        val code = c.getResponseCode
+        val is = if (code < 400) c.getInputStream else c.getErrorStream
+        (code, new String(is.readAllBytes(), "UTF-8"))
+      }
+      val base = graft.operators.GtsFrame(Gts.fromEventsCents(s, dir))
+      val facade = new graft.surface.RestFacade(base,
+        () => WsQueries.engine(s, dir, cents = true), maxRows = 1000000)
+      val port = facade.start(0)
+      val api = s"http://127.0.0.1:$port/api/v0"
+      val SEL = URLEncoder.encode("events.click{user~[0-9]}", "UTF-8")
+      def rows(params: String, tag: String, sel: String = SEL) = {
+        val (c, txt) = hit(s"$api/fetch?selector=$sel&$params")
+        require(c == 200, s"$tag HTTP $c: ${txt.take(200)}")
+        graft.sources.LineProtocol
+          .parseBatch(txt.linesIterator, now = 0L, None, None)
+          .map(p => (tag, p.cls, p.labels.get("user").orNull, p.ts,
+            p.vdouble.getOrElse(Double.NaN))).toVector
+      }
+      try {
+        val span = rows(s"now=$LB&timespan=${7L * DAY}", "span")
+        val count3 = rows(s"now=$LB&timespan=-3", "count")
+        val skip2 = rows(s"start=${LB - 7L * DAY + 1}&stop=$LB&skip=2", "skip")
+        val pages = (0 to 2).flatMap(p =>
+          rows(s"start=0&stop=$LB&gskip=${p * 4}&gcount=4", "page")).toVector
+        val bounds = rows(s"start=${LB - 3L * DAY + 1}&stop=${LB - DAY}" +
+          "&boundary.pre=2&boundary.post=1", "bound")
+        val (cu, _) = hit(s"$api/update", Some(
+          "1// session.dd{} 1.5\n=2// 1.5\n=3// 1.5\n=4// 2.5\n=5// 2.5\n" +
+            "=6// 3.5\n=7// 3.5"))
+        require(cu == 200, s"update HTTP $cu")
+        val dd = rows("dedup=true", "dedup",
+          sel = URLEncoder.encode("session.dd{}", "UTF-8"))
+        import s.implicits._
+        (span ++ count3 ++ skip2 ++ pages ++ bounds ++ dd)
+          .toDF("which", "class", "userid", "ts", "v")
+      } finally facade.stop()
     })
   )
 
@@ -236,6 +294,50 @@ object GtsQueries3 {
          |SELECT 'base', ts, vdouble, TRUE FROM g
          |WHERE class = 'events.click'
          |  AND ts >= ${GtsQueries.T0} AND ts <= ${GtsQueries.T0 + GtsQueries.DAY - 1}""".stripMargin,
+
+    // every face re-derived: span/page windows, per-series desc-rank
+    // count and skip, boundary ranks outside the window, and the
+    // hand-derived dedup keeps (first-of-run 1,4,6 + trailing-dup 7)
+    "h05_http_fetch_params" -> {
+      val LB = GtsQueries.LB; val DAY = GtsQueries.DAY
+      s"""WITH g AS (SELECT class, userid, ts, cents FROM ($EV) e
+         |  WHERE class = 'events.click'
+         |    AND regexp_full_match(userid, '[0-9]')),
+         |r AS (SELECT class, userid, ts, cents,
+         |    row_number() OVER (PARTITION BY class, userid
+         |                       ORDER BY ts DESC) AS rnd
+         |  FROM g WHERE ts <= $LB),
+         |w AS (SELECT class, userid, ts, cents,
+         |    row_number() OVER (PARTITION BY class, userid
+         |                       ORDER BY ts DESC) AS rnd
+         |  FROM g WHERE ts BETWEEN ${LB - 7L * DAY + 1} AND $LB),
+         |pre AS (SELECT class, userid, ts, cents,
+         |    row_number() OVER (PARTITION BY class, userid
+         |                       ORDER BY ts DESC) AS rnd
+         |  FROM g WHERE ts < ${LB - 3L * DAY + 1}),
+         |post AS (SELECT class, userid, ts, cents,
+         |    row_number() OVER (PARTITION BY class, userid
+         |                       ORDER BY ts) AS rna
+         |  FROM g WHERE ts > ${LB - DAY})
+         |SELECT 'span' AS which, class, userid, ts, cents AS v FROM w
+         |UNION ALL
+         |SELECT 'count', class, userid, ts, cents FROM r WHERE rnd <= 3
+         |UNION ALL
+         |SELECT 'skip', class, userid, ts, cents FROM w WHERE rnd > 2
+         |UNION ALL
+         |SELECT 'page', class, userid, ts, cents FROM g WHERE ts <= $LB
+         |UNION ALL
+         |SELECT 'bound', class, userid, ts, cents FROM g
+         |WHERE ts BETWEEN ${LB - 3L * DAY + 1} AND ${LB - DAY}
+         |UNION ALL
+         |SELECT 'bound', class, userid, ts, cents FROM pre WHERE rnd <= 2
+         |UNION ALL
+         |SELECT 'bound', class, userid, ts, cents FROM post WHERE rna <= 1
+         |UNION ALL
+         |SELECT 'dedup', 'session.dd', NULL, v.ts, v.v
+         |FROM (VALUES (1, 1.5), (4, 2.5), (6, 3.5), (7, 3.5)) v(ts, v)"""
+        .stripMargin
+    },
 
     "g41_bucketize_calendar" ->
       s"""WITH g AS ($EV)

@@ -22,9 +22,16 @@ import scala.jdk.CollectionConverters._
   * (zero new dependencies; a production deployment would front the same
   * calls with any server).
   *
-  * - `GET /api/v0/fetch?selector=<class{labels}>&start=<ts>&stop=<ts>
-  *   [&format=text|json|tsv]` — selector-pruned scan rendered by
-  *   [[Formats]] (EgressFetchHandler.java:153's text/json/tsv formats).
+  * - `GET /api/v0/fetch?selector=<class{labels}>` with the reference's
+  *   full parameter surface (EgressFetchHandler.java:250-265; names
+  *   store/Constants.java:334-363): `start`+`stop` or
+  *   (`now`|`end`)+`timespan` (negative timespan = per-series count),
+  *   `count`, `skip`, `step`, `timestep`, `sample`, `gskip`/`gcount`
+  *   series pages, `boundary.pre`/`boundary.post`, `dedup`
+  *   (GTSDecoder.dedup run-collapse), `format=text|json|tsv` — a
+  *   selector-pruned scan rendered by [[Formats]]; every point filter
+  *   reuses the FETCH word's GtsFrame ops so the surface compiles to
+  *   the same plans.
   * - `POST /api/v0/exec` — body is a WarpScript program; the final
   *   stack renders to a JSON array (EgressExecHandler.java:134).
   * - `POST /api/v0/update` — body is GTS line protocol, appended to the
@@ -92,6 +99,26 @@ final class RestFacade(
         labels.get(k).exists(_.matches("^(?:" + v + ")$")) }
   }
 
+  /** The HTTP fetch's `dedup` (GTSDecoder.dedup:766-860 — NOT the
+    * DEDUP word): scanning in tick order, keep the FIRST point of each
+    * run of identical (value, location, elevation), and ALWAYS keep
+    * the series' last point (the reference appends it when the run
+    * ends at end-of-stream). Null-safe struct comparison so every
+    * value type participates. */
+  private def httpDedup(points: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gtsid")).orderBy(col("ts"))
+    val sig = struct(col("lat"), col("lon"), col("elev"), col("vtype"),
+      col("vlong"), col("vdouble"), col("vbool"), col("vstring"),
+      col("vbinary"))
+    points
+      .withColumn("__prev", lag(sig, 1).over(w))
+      .withColumn("__last", lead(col("ts"), 1).over(w).isNull)
+      .filter(col("__prev").isNull || !(col("__prev") <=> sig) ||
+        col("__last"))
+      .drop("__prev", "__last")
+  }
+
   private def metaOf(points: DataFrame): DataFrame =
     points.groupBy(col("gtsid"))
       .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
@@ -119,13 +146,76 @@ final class RestFacade(
   /** Start on `port` (0 = ephemeral); returns the bound port. */
   def start(port: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    // the reference fetch param surface (EgressFetchHandler.java:
+    // 250-265 param names from store/Constants.java:334-363; time
+    // range via FETCH.computeTimeRange — same [end−timespan+1, end] /
+    // negative-timespan-as-count semantics as the word):
+    //   selector, start+stop | (now|end)+timespan, count, skip, step,
+    //   timestep, sample, gskip, gcount, boundary.pre/.post, dedup,
+    //   format. All point filters reuse the WORD path's GtsFrame ops —
+    //   the surface compiles to the same plans.
     server.createContext("/api/v0/fetch", (ex: HttpExchange) => safely(ex) {
       val q = query(ex)
       val sel = Selector.parse(q.getOrElse("selector", "~.*"))
-      val start = q.getOrElse("start", Long.MinValue.toString).toLong
-      val stop = q.getOrElse("stop", Long.MaxValue.toString).toLong
-      val pts = combined().filter(sel.predicate)
-        .filter(col("ts").between(start, stop))
+      def tick(s: String): Long =
+        if (s.forall(c => c.isDigit || c == '-')) s.toLong
+        else {
+          val zdt = java.time.ZonedDateTime.parse(s)
+          zdt.toInstant.getEpochSecond * 1000000L + zdt.getNano / 1000L
+        }
+      val (start, stop, tsCount) =
+        (q.get("start"), q.get("stop"),
+          q.get("now").orElse(q.get("end")), q.get("timespan")) match {
+          case (Some(a), Some(b), _, _) => (tick(a), tick(b), None)
+          case (None, None, Some(n), Some(ts)) =>
+            val now = tick(n)
+            val span = ts.toLong
+            if (span >= 0) {
+              val s0 = BigInt(now) - BigInt(span) + 1
+              (if (s0 < Long.MinValue) Long.MinValue else s0.toLong, now, None)
+            } else (Long.MinValue, now,
+              Some(if (span == Long.MinValue) Long.MaxValue else -span))
+          case (None, None, None, None) =>
+            (Long.MinValue, Long.MaxValue, None)
+          case _ => throw new IllegalArgumentException(
+            "fetch expects 'start'+'stop' or ('now'|'end')+'timespan'")
+        }
+      val countOpt = q.get("count").map(_.toLong).orElse(tsCount)
+      val skip = q.getOrElse("skip", "0").toLong
+      val step = q.getOrElse("step", "1").toLong
+      val timestep = q.getOrElse("timestep", "1").toLong
+      val sample = q.getOrElse("sample", "1.0").toDouble
+      val gskip = q.getOrElse("gskip", "0").toLong
+      val gcount = q.get("gcount").map(_.toLong).getOrElse(Long.MaxValue)
+      val bPre = q.getOrElse("boundary.pre", "0").toInt
+      val bPost = q.getOrElse("boundary.post", "0").toInt
+      val all = combined().filter(sel.predicate)
+      val ranged = GtsFrame(all.filter(col("ts").between(start, stop)))
+      // series page over the whole directory match set, like the word
+      val pagedIds =
+        if (gskip > 0 || gcount != Long.MaxValue)
+          Some(GtsFrame.pageIds(all.select(col("gtsid")), gskip, gcount))
+        else None
+      def pageBound(f: GtsFrame): GtsFrame = pagedIds
+        .map(ids => GtsFrame(f.df.join(ids, Seq("gtsid"), "left_semi")))
+        .getOrElse(f)
+      val paged = pageBound(ranged)
+      val counted =
+        if (skip > 0 || step > 1 || timestep > 1 || sample < 1.0)
+          paged.fetchPostFilters(skip, step, timestep, sample, countOpt)
+        else countOpt match {
+          case Some(n) => paged.lastN(math.min(n, Int.MaxValue.toLong).toInt)
+          case None => paged
+        }
+      var acc = counted
+      if (bPre > 0 && start > Long.MinValue)
+        acc = GtsFrame(acc.df.unionByName(pageBound(
+          GtsFrame(all.filter(col("ts") < start))).lastN(bPre).df))
+      if (bPost > 0 && stop < Long.MaxValue)
+        acc = GtsFrame(acc.df.unionByName(pageBound(
+          GtsFrame(all.filter(col("ts") > stop))).firstN(bPost).df))
+      val pts =
+        if (q.contains("dedup")) httpDedup(acc.df) else acc.df
       val body = q.getOrElse("format", "text") match {
         case "json" => lines(Formats.toJsonRows(pts))
         case "tsv" => lines(Formats.toTsv(pts)
