@@ -112,7 +112,7 @@ object GeoQueries {
     })
   )
 
-  private val trackSql =
+  private[queries] val trackSql =
     s"""t AS (SELECT class, userid, ts, vdouble,
        |  CAST(userid AS BIGINT) % 120 - 60 + vdouble/100.0 AS lat,
        |  (ts % 360) - 180 + vdouble/100.0 AS lon FROM g)""".stripMargin

@@ -231,6 +231,57 @@ object WsQueries6 {
       win.unionByName(red("reducer.mean.circular", "red_forbid"))
         .unionByName(red("reducer.mean.circular.exclude-nulls", "red_excl"))
     }),
+
+    // the last uncovered faces: the non-lowess FILL fillers
+    // (script/filler/FillerPrevious/Next/Value/Interpolate.java —
+    // 'filler.linear' is the interpolate alias) over a 4-bucket grid
+    // with two interior gaps, filler.rlowess (FillerLowess.java
+    // robustness>0: bisquare-reweighted iterations) on an EXACT-LINE
+    // fixture where every reweighting iteration reproduces the line —
+    // the robust loop runs, the answer stays analytic — and
+    // mapper.geo.outside (MapperGeoOutside.java), the complement of
+    // w58's ray-cast polygon over the same synthetic track
+    "w129_ws_filler_geo_faces" -> ((s, dir) => {
+      val e = engine(s, dir, cents = false)
+      val FIXA =
+        """NEWGTS 'f' RENAME
+          |100 NaN NaN NULL 10.0 ADDVALUE
+          |400 NaN NaN NULL 40.0 ADDVALUE""".stripMargin
+      val FIXB =
+        """NEWGTS 'f' RENAME
+          |100 NaN NaN NULL 10.0 ADDVALUE
+          |200 NaN NaN NULL 20.0 ADDVALUE
+          |400 NaN NaN NULL 40.0 ADDVALUE
+          |500 NaN NaN NULL 50.0 ADDVALUE""".stripMargin
+      def fill(fix: String, lb: Long, filler: String, tag: String) =
+        e.runToFrame(
+            s"[ $fix bucketizer.mean $lb 100 0 ] BUCKETIZE $filler FILL")
+          .select(lit(tag).as("which"), col("class"),
+            lit(null).cast("string").as("userid"), col("ts"),
+            round(col("vdouble"), 6).as("nv"))
+      val geo = {
+        val f = graft.model.Gts.fromEvents(s, dir)
+        val uid = col("labels").getItem("user")
+          .cast(org.apache.spark.sql.types.LongType)
+        val track = f.withColumn("lat", uid % 120 - 60 + col("vdouble") / 100.0)
+          .withColumn("lon", (col("ts") % 360) - 180 + col("vdouble") / 100.0)
+        val en = new graft.script.WarpScriptEngine(
+          fetch = (_, _, _, _) => graft.operators.GtsFrame(track), nowTs = LB)
+        en.runToFrame(
+            s"""'POLYGON ((-100.137 -20.731, -30.421 -58.283, 40.618 -10.207, 25.314 35.941, -60.253 40.123, -100.137 -20.731))'
+               |6 GEO.WKT 'p' STORE
+               |[ [ '' '~.*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
+               |  $$p mapper.geo.outside 0 0 0 ] MAP""".stripMargin)
+          .select(lit("geo_out").as("which"), col("class"), userid,
+            col("ts"), round(col("vdouble"), 6).as("nv"))
+      }
+      fill(FIXA, 400, "filler.previous", "prev")
+        .unionByName(fill(FIXA, 400, "filler.next", "next"))
+        .unionByName(fill(FIXA, 400, "77.5 filler.value", "value"))
+        .unionByName(fill(FIXA, 400, "filler.linear", "linear"))
+        .unionByName(fill(FIXB, 500, "10 2 filler.rlowess", "rlowess"))
+        .unionByName(geo)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -400,5 +451,32 @@ object WsQueries6 {
         |  ('red_excl', 1, 15.0), ('red_excl', 2, 35.0),
         |  ('red_excl', 3, 30.0), ('red_excl', 4, 30.0)
         |) v(which, ts, circ)""".stripMargin,
+
+    // filler faces hand-derived on the 4/5-bucket grids (gaps at
+    // 200/300 resp. 300; the exact-line rlowess reproduces the line);
+    // geo_out = the complement of w58's ray-cast polygon membership
+    "w129_ws_filler_geo_faces" ->
+      s"""WITH g AS ($EV),
+         |${GeoQueries.trackSql}
+         |SELECT v.which, 'f' AS class, CAST(NULL AS VARCHAR) AS userid,
+         |  CAST(v.ts AS BIGINT) AS ts, CAST(v.nv AS DOUBLE) AS nv
+         |FROM (VALUES
+         |  ('prev', 100, 10.0), ('prev', 200, 10.0),
+         |  ('prev', 300, 10.0), ('prev', 400, 40.0),
+         |  ('next', 100, 10.0), ('next', 200, 40.0),
+         |  ('next', 300, 40.0), ('next', 400, 40.0),
+         |  ('value', 100, 10.0), ('value', 200, 77.5),
+         |  ('value', 300, 77.5), ('value', 400, 40.0),
+         |  ('linear', 100, 10.0), ('linear', 200, 20.0),
+         |  ('linear', 300, 30.0), ('linear', 400, 40.0),
+         |  ('rlowess', 100, 10.0), ('rlowess', 200, 20.0),
+         |  ('rlowess', 300, 30.0), ('rlowess', 400, 40.0),
+         |  ('rlowess', 500, 50.0)
+         |) v(which, ts, nv)
+         |UNION ALL
+         |SELECT 'geo_out', class, userid, ts, round(vdouble, 6)
+         |FROM t
+         |WHERE NOT (${GeoQueries.Pentagon.containsSql("lat", "lon")})"""
+        .stripMargin,
   )
 }
