@@ -246,4 +246,27 @@ class ExplainSpec extends SparkSpec {
       p.contains("ShuffledHashJoin"))
   }
 
+  test("FETCH multi-selector: one plan unioning per-selector filtered " +
+    "scans; the activity gate is a semi-join, never cartesian") {
+    import graft.script.WarpScriptEngine
+    val f = graft.operators.GtsFrame(gtsOf(
+      ("a", "u1", 10L, 1.0), ("b", "u2", 20L, 2.0), ("c", "u3", 30L, 3.0)))
+    val eng = new WarpScriptEngine(
+      fetch = (cls, labels, s, e) => f.select(cls, labels).timeclip(s, e),
+      nowTs = 0L, session = Some(spark))
+    val multi = eng.runToFrame(
+      "{ 'selectors' [ 'a{}' 'b{}' ] 'end' 1000 'timespan' 1000 } FETCH")
+    val p1 = plan(multi)
+    assert(p1.contains("Union"), p1)
+    assert(!p1.contains("CartesianProduct") &&
+      !p1.contains("BroadcastNestedLoopJoin"))
+    val active = eng.runToFrame(
+      "{ 'selector' '~.*{}' 'end' 1000 'timespan' 1000 " +
+        "'active.after' 15000 } FETCH")
+    val p2 = plan(active)
+    assert(p2.contains("LeftSemi"), p2) // liveness ids prune the scan
+    assert(!p2.contains("CartesianProduct") &&
+      !p2.contains("BroadcastNestedLoopJoin"))
+  }
+
 }
