@@ -33,14 +33,18 @@ final case class GtsFrame(df: DataFrame) {
     * is even pushed into parquet row-group stats).
     */
   def select(classSel: String, labelSels: Map[String, String] = Map.empty): GtsFrame = {
+    // '~' prefix = regex, '=' prefix = explicit exact (the reference's
+    // selector conventions, MetadataSelectorMatcher.java:42-110 — the
+    // '=' marker is how an exact value that itself starts with '~' is
+    // expressed), bare = exact
     val classPred =
       if (classSel == "~.*") lit(true) // match-all fast path (matcher :73)
       else if (classSel.startsWith("~")) col("class").rlike("^(?:" + classSel.drop(1) + ")$")
-      else col("class") === classSel
+      else col("class") === classSel.stripPrefix("=")
     val labelPred = labelSels.foldLeft(lit(true)) { case (acc, (k, v)) =>
       val p =
         if (v.startsWith("~")) col("labels").getItem(k).rlike("^(?:" + v.drop(1) + ")$")
-        else col("labels").getItem(k) === v
+        else col("labels").getItem(k) === v.stripPrefix("=")
       acc && p
     }
     GtsFrame(df.filter(classPred && labelPred))

@@ -72,10 +72,7 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       // timespan = count of most-recent points; STRING 4th/5th = ISO8601
       // (start, end). Map form accepts token/class/labels/start/end
       // (LONG tick or ISO8601)/timespan/count.
-      def isoTick(s: String): Long = {
-        val zdt = java.time.ZonedDateTime.parse(s)
-        zdt.toInstant.getEpochSecond * 1000000L + zdt.getNano / 1000L
-      }
+      def isoTick(s: String): Long = graft.sources.Formats.isoTick(s)
       def tickOf(v: Any): Long = v match {
         case l: Long => l
         case s: String => isoTick(s)
@@ -144,10 +141,20 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       // which is exactly what the union of scans yields here).
       def selToPair(sel: String): (String, Map[String, String]) = {
         val s = graft.sources.Selector.parse(sel)
-        val c = s.classExact.getOrElse("~" + s.classRegex.getOrElse(".*"))
-        // exact label values stay BARE (the storage hook's convention —
-        // GtsFrame.select treats any non-'~' value as exact equality)
-        val l = s.labelExact ++
+        // the reference FETCH rejects attribute blocks here too:
+        // PARSESELECTOR.parse's ^([^{]+)\{(.*)\}$ feeds "l}{attrs" into
+        // the labels parser, which throws (PARSESELECTOR.java:38,71-93)
+        require(s.attrExact.isEmpty && s.attrRegex.isEmpty,
+          s"FETCH selector '$sel' must not carry an attribute block " +
+            "(use filter.byattr / filter.bylabelsattr).")
+        // exact values whose literal begins with '~' or '=' need the
+        // explicit '=' exact marker or the storage hook would
+        // re-interpret them (GtsFrame.select's selector conventions)
+        def exact(v: String) =
+          if (v.startsWith("~") || v.startsWith("=")) "=" + v else v
+        val c = s.classExact.map(exact)
+          .getOrElse("~" + s.classRegex.getOrElse(".*"))
+        val l = s.labelExact.map { case (k, v) => k -> exact(v) } ++
           s.labelRegex.map { case (k, v) => k -> ("~" + v) }
         (c, l)
       }
@@ -267,37 +274,28 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       }
       // union of the per-selector scans — one Spark plan, no barrier;
       // with a single selector this is exactly the pre-round-10 path
-      def fetchUnion(a: Long, b: Long): GtsFrame =
-        GtsFrame(selPairs.map { case (c, l) => fetchPub(c, l, a, b).df }
-          .reduceLeft(_ unionByName _))
-      val ranged = fetchUnion(start, stop)
       // session-store builders matched per selector (a builder matched
       // by several selectors contributes once per match, like the
       // storage side), UN-clipped — the activity gate below needs the
       // full-history last tick
-      val overlayMatched = selPairs.flatMap { case (cls, labels) =>
-        val (ce, cr) =
-          if (cls.startsWith("~")) (None, Some(cls.drop(1)))
-          else if (cls.isEmpty) (None, Some(".*"))
-          else (Some(cls), None)
-        val (lr, le) = labels.partition(_._2.startsWith("~"))
-        val sel = graft.sources.Selector(ce, cr,
-          le.map { case (k, v) => k -> v.stripPrefix("=") },
-          lr.map { case (k, v) => k -> v.drop(1) }, Map.empty, Map.empty)
-        st.updates.toSeq.filter(b => WordsExt5.matchesBuilder(sel, b))
-      }
-      // merge session-store series written by UPDATE (fn/UPDATE.java —
-      // the standalone reference reads back through its embedded store)
-      // BEFORE count trimming, so `count` sees the whole store like the
-      // reference's unified StoreClient does
-      val merged = {
-        val mine = overlayMatched
-          .map(b => b.copy(points = b.points.filter(p => p._1 >= start && p._1 <= stop)))
-          .filter(_.points.nonEmpty)
-        if (mine.isEmpty) ranged
-        else GtsFrame(mine.map(b => materialize(b).df)
-          .foldLeft(ranged.df)(_ unionByName _))
-      }
+      val overlayByPair: Seq[Seq[WarpScriptEngine.GtsBuilder]] =
+        selPairs.map { case (cls, labels) =>
+          val (ce, cr) =
+            if (cls.startsWith("~")) (None, Some(cls.drop(1)))
+            else if (cls.isEmpty) (None, Some(".*"))
+            else (Some(cls), None)
+          val (lr, le) = labels.partition(_._2.startsWith("~"))
+          val sel = graft.sources.Selector(ce, cr,
+            le.map { case (k, v) => k -> v.stripPrefix("=") },
+            lr.map { case (k, v) => k -> v.drop(1) }, Map.empty, Map.empty)
+          st.updates.toSeq.filter(b => WordsExt5.matchesBuilder(sel, b))
+        }
+      // ONE all-time union subtree feeds both directory consumers
+      // (activity gate + pagination) instead of two independent scans
+      lazy val allTimeStore: DataFrame =
+        selPairs.map { case (c, l) =>
+          fetchPub(c, l, Long.MinValue, Long.MaxValue).df }
+          .reduceLeft(_ unionByName _)
       // activity gate: the series page and the delivered points are
       // restricted to series whose last stored tick (store + session
       // overlay, full history) passes the ms-resolution liveness test —
@@ -305,11 +303,10 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       val activityIds: Option[DataFrame] =
         if (pActive.isEmpty && pQuiet.isEmpty) None
         else {
-          val storeTicks = fetchUnion(Long.MinValue, Long.MaxValue)
-            .df.select(col("gtsid"), col("ts"))
-          val allTicks = overlayMatched
+          val allTicks = overlayByPair.flatten
             .map(b => materialize(b).df.select(col("gtsid"), col("ts")))
-            .foldLeft(storeTicks)(_ unionByName _)
+            .foldLeft(allTimeStore.select(col("gtsid"), col("ts")))(
+              _ unionByName _)
           val la = allTicks.groupBy(col("gtsid")).agg(max(col("ts")).as("la"))
           val laMs = expr("la DIV 1000")
           val cond = Seq(
@@ -320,7 +317,6 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       def activityBound(f: GtsFrame): GtsFrame = activityIds
         .map(ids => GtsFrame(f.df.join(ids, Seq("gtsid"), "left_semi")))
         .getOrElse(f)
-      val lively = activityBound(merged)
       // series pagination BEFORE per-point work (the reference selects
       // the metadata page before scanning points, FETCH.java:325-331).
       // The page ranks over the DIRECTORY match set — the selector's
@@ -331,42 +327,71 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       // reference's metadata-level pagination.
       val pagedIds: Option[org.apache.spark.sql.DataFrame] =
         if (pGskip > 0 || pGcount != Long.MaxValue) {
-          val directory = fetchUnion(Long.MinValue, Long.MaxValue)
-            .df.select(col("gtsid"))
-            .unionByName(lively.df.select(col("gtsid")))
+          val directory = overlayByPair.flatten
+            .map(b => materialize(b).df.select(col("gtsid")))
+            .foldLeft(allTimeStore.select(col("gtsid")))(_ unionByName _)
           val dir2 = activityIds
             .map(ids => directory.join(ids, Seq("gtsid"), "left_semi"))
             .getOrElse(directory)
           Some(GtsFrame.pageIds(dir2, pGskip, pGcount))
         } else None
-      val paged = pagedIds
-        .map(ids => GtsFrame(lively.df.join(ids, Seq("gtsid"), "left_semi")))
-        .getOrElse(lively)
-      val counted =
-        if (pSkip > 0 || pStep > 1 || pTimestep > 1 || pSample < 1.0)
-          paged.fetchPostFilters(pSkip, pStep, pTimestep, pSample, countOpt)
-        else countOpt match {
-          case Some(n) =>
-            paged.lastN(math.min(n, Int.MaxValue.toLong).toInt)
-          case None => paged
+      def pageBound(f: GtsFrame): GtsFrame = pagedIds
+        .map(ids => GtsFrame(f.df.join(ids, Seq("gtsid"), "left_semi")))
+        .getOrElse(f)
+      // EACH selector scan runs the whole per-point pipeline
+      // independently — the reference's storage streams one scan per
+      // directory match, so count/skip/step/timestep/sample and the
+      // boundary trims apply PER SELECTOR, not to the unioned rows
+      // (on the union, a series matched by two selectors would have
+      // its duplicate copies consume the rank slots). The directory-
+      // level gates (activity, pagination) stay global, like the
+      // reference's directory. Single-selector fetches compose the
+      // exact pre-round-10 plan.
+      def perSelector(pair: (String, Map[String, String]),
+                      overlayBs: Seq[WarpScriptEngine.GtsBuilder]): GtsFrame = {
+        val (cls, labels) = pair
+        val ranged = fetchPub(cls, labels, start, stop)
+        // merge session-store series written by UPDATE (fn/UPDATE.java —
+        // the standalone reference reads back through its embedded
+        // store) BEFORE count trimming, so `count` sees the whole store
+        // like the reference's unified StoreClient does
+        val merged = {
+          val mine = overlayBs
+            .map(b => b.copy(points = b.points.filter(
+              p => p._1 >= start && p._1 <= stop)))
+            .filter(_.points.nonEmpty)
+          if (mine.isEmpty) ranged
+          else GtsFrame(mine.map(b => materialize(b).df)
+            .foldLeft(ranged.df)(_ unionByName _))
         }
-      // boundary points come from storage complements (session-store
-      // points outside the interval are not boundary candidates); under
-      // gskip/gcount they cover only the paginated series
-      val fetched = {
-        def pageBound(f: GtsFrame): GtsFrame = pagedIds
-          .map(ids => GtsFrame(f.df.join(ids, Seq("gtsid"), "left_semi")))
-          .getOrElse(f)
+        val paged = pageBound(activityBound(merged))
+        val counted =
+          if (pSkip > 0 || pStep > 1 || pTimestep > 1 || pSample < 1.0)
+            paged.fetchPostFilters(pSkip, pStep, pTimestep, pSample, countOpt)
+          else countOpt match {
+            case Some(n) =>
+              paged.lastN(math.min(n, Int.MaxValue.toLong).toInt)
+            case None => paged
+          }
+        // boundary points come from storage complements (session-store
+        // points outside the interval are not boundary candidates);
+        // under gskip/gcount they cover only the paginated series
         var acc = counted
         if (bPre > 0 && start > Long.MinValue)
           acc = GtsFrame(acc.df.unionByName(pageBound(activityBound(
-            fetchUnion(Long.MinValue, start - 1))).lastN(bPre).df))
+            fetchPub(cls, labels, Long.MinValue, start - 1))).lastN(bPre).df))
         if (bPost > 0 && stop < Long.MaxValue)
           acc = GtsFrame(acc.df.unionByName(pageBound(activityBound(
-            fetchUnion(stop + 1, Long.MaxValue))).firstN(bPost).df))
+            fetchPub(cls, labels, stop + 1, Long.MaxValue))).firstN(bPost).df))
+        acc
+      }
+      val fetched = {
+        val unioned = GtsFrame(selPairs.zip(overlayByPair)
+          .map { case (p, o) => perSelector(p, o).df }
+          .reduceLeft(_ unionByName _))
         // value-type forcing happens at decode time in the reference
         // (GTSDecoder.decode(type)), i.e. AFTER boundary fetches
-        pType.map(acc.forceType).getOrElse(acc)
+        pType.map(unioned.forceType).getOrElse(unioned)
       }
       // ACCEL.* directives -> Spark storage level for the fetched frame
       // (fn/ACCELCACHE.java family; see WordsExt5)

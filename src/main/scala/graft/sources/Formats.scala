@@ -11,6 +11,22 @@ import org.apache.spark.sql.types._
   */
 object Formats {
 
+  /** ISO-8601 instant → platform tick (µs). Accepts the full
+    * zoned/offset form and the date-only form (midnight UTC), the two
+    * shapes the reference's fetch surfaces take (FETCH.java ISO8601
+    * start/end; EgressFetchHandler start/stop params). Shared by the
+    * FETCH word and the HTTP facade so the two surfaces cannot drift. */
+  def isoTick(s: String): Long = {
+    val instant =
+      try java.time.ZonedDateTime.parse(s).toInstant
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          java.time.LocalDate.parse(s)
+            .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+      }
+    instant.getEpochSecond * 1000000L + instant.getNano / 1000L
+  }
+
   private val valueStr: Column = {
     val quoted = concat(lit("'"), col("vstring"), lit("'"))
     coalesce(

@@ -158,11 +158,11 @@ final class RestFacade(
       val q = query(ex)
       val sel = Selector.parse(q.getOrElse("selector", "~.*"))
       def tick(s: String): Long =
-        if (s.forall(c => c.isDigit || c == '-')) s.toLong
-        else {
-          val zdt = java.time.ZonedDateTime.parse(s)
-          zdt.toInstant.getEpochSecond * 1000000L + zdt.getNano / 1000L
-        }
+        // a plain (optionally negative) integer is a tick; anything
+        // else goes through the shared ISO-8601 parse — the date-only
+        // form ("2024-01-01") is digits-and-dashes too, so the numeric
+        // fast path must be a strict integer match, not a charset test
+        if (s.matches("-?\\d+")) s.toLong else Formats.isoTick(s)
       val (start, stop, tsCount) =
         (q.get("start"), q.get("stop"),
           q.get("now").orElse(q.get("end")), q.get("timespan")) match {
@@ -214,6 +214,9 @@ final class RestFacade(
       if (bPost > 0 && stop < Long.MaxValue)
         acc = GtsFrame(acc.df.unionByName(pageBound(
           GtsFrame(all.filter(col("ts") > stop))).firstN(bPost).df))
+      // dedup is PRESENCE-based like the reference (`boolean dedup =
+      // null != dedupParam`, EgressFetchHandler.java:329) — `dedup=
+      // false` still dedups there, so it does here too
       val pts =
         if (q.contains("dedup")) httpDedup(acc.df) else acc.df
       val body = q.getOrElse("format", "text") match {

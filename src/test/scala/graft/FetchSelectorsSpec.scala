@@ -68,6 +68,41 @@ class FetchSelectorsSpec extends SparkSpec {
       ("b", "u1", 40L), ("b", "u2", 50L)))
   }
 
+  test("count/skip apply PER SELECTOR SCAN: an overlap delivers each " +
+    "matching selector's own trimmed stream, not rank-slots on the union") {
+    // a/u1 has 2 points, a/u2 has 2 in-window points; selector 2
+    // matches only a/u2 — with count 1, the reference streams one scan
+    // per directory match: u1's last point once, u2's last point TWICE
+    val got = rows(
+      "{ 'selectors' [ 'a{}' 'a{user~u2}' ] 'end' 1000 'count' 1 } FETCH")
+    assert(got == Seq(("a", "u1", 20L), ("a", "u2", 30L), ("a", "u2", 30L)))
+    // skip 1 drops each scan's newest point independently
+    val skipped = rows(
+      "{ 'selectors' [ 'a{}' 'a{user~u2}' ] 'end' 1000 'skip' 1 } FETCH")
+    assert(skipped == Seq(("a", "u1", 10L)))
+  }
+
+  test("an exact selector value that itself starts with '~' travels " +
+    "via the '=' exact marker, not as a regex") {
+    val f = GtsFrame(gtsOf(
+      ("a", "~prod", 10L, 1.0), ("a", "prod", 20L, 2.0)))
+    val e2 = new WarpScriptEngine(
+      fetch = (cls, labels, a, b) => f.select(cls, labels).timeclip(a, b),
+      nowTs = 0L, session = Some(spark))
+    val got = e2.runToFrame(
+      "{ 'selector' 'a{user=%7Eprod}' 'end' 1000 'timespan' 1000 } FETCH")
+      .select(col("labels").getItem("user"), col("ts")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("~prod", 10L)))
+  }
+
+  test("a selector string with an attribute block is rejected, like " +
+    "the reference's PARSESELECTOR grammar") {
+    val ex = intercept[Exception](eng(frame).runToFrame(
+      "{ 'selector' 'a{user=u1}{dc=east}' 'end' 1000 'timespan' 1000 } FETCH"))
+    assert(ex.getMessage.contains("attribute block"))
+  }
+
   test("unsupported reference keys fail loudly; 'priority' and unknown " +
     "keys are ignored like the reference's map parse") {
     def prog(extra: String) =
