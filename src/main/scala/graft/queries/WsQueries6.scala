@@ -282,6 +282,27 @@ object WsQueries6 {
         .unionByName(fill(FIXB, 500, "10 2 filler.rlowess", "rlowess"))
         .unionByName(geo)
     }),
+
+    // FETCH 'extra' (FETCH.java:653-672): companion classes fetched
+    // under the MATCHED series' labels — the self-class companion must
+    // NOT double (LinkedHashSet semantics), and per-series count
+    // trimming applies to companions like any other scan
+    "w130_ws_fetch_extra" -> ((s, dir) => {
+      val e = engine(s, dir, cents = true)
+      def agg(prog: String, tag: String) =
+        e.runToFrame(prog)
+          .groupBy(col("class"), userid)
+          .agg(count(lit(1)).as("n"), sum(col("vdouble")).cast("long").as("v"))
+          .withColumn("which", lit(tag))
+      agg(
+        s"""{ 'selector' 'events.click{user~[0-3]}' 'end' $LB 'timespan' $LB
+           |  'extra' [ 'events.view' 'events.click' ] } FETCH""".stripMargin,
+        "exp")
+        .unionByName(agg(
+          s"""{ 'selector' 'events.click{user~[0-3]}' 'end' $LB 'count' 2
+             |  'extra' [ 'events.view' ] } FETCH""".stripMargin, "cnt"))
+        .select(col("which"), col("class"), col("userid"), col("n"), col("v"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -478,5 +499,24 @@ object WsQueries6 {
          |FROM t
          |WHERE NOT (${GeoQueries.Pentagon.containsSql("lat", "lon")})"""
         .stripMargin,
+
+    // exp = clicks AND views of users 0-3 once each (the self-class
+    // companion dedups); cnt = each series' last 2 points, companions
+    // trimmed per scan like any other series
+    "w130_ws_fetch_extra" ->
+      s"""WITH g AS (SELECT class, userid, ts, cents FROM ($EV) e
+         |  WHERE class IN ('events.click', 'events.view')
+         |    AND regexp_full_match(userid, '[0-3]') AND ts <= $LB),
+         |r AS (SELECT class, userid, ts, cents,
+         |    row_number() OVER (PARTITION BY class, userid
+         |                       ORDER BY ts DESC) AS rnd
+         |  FROM g)
+         |SELECT 'exp' AS which, class, userid,
+         |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS v
+         |FROM g GROUP BY 2, 3
+         |UNION ALL
+         |SELECT 'cnt', class, userid,
+         |  count(*), CAST(sum(cents) AS BIGINT)
+         |FROM r WHERE rnd <= 2 GROUP BY 2, 3""".stripMargin,
   )
 }

@@ -193,7 +193,6 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
           val unsupported = Seq(
             "metaset" -> params.contains("metaset"),
             "gts" -> params.contains("gts"),
-            "extra" -> params.contains("extra"),
             "encoders" -> (params.get("encoders") contains true),
             "merge" -> (params.get("merge") contains false),
             "keepempty" -> (params.get("keepempty") contains true),
@@ -272,6 +271,25 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
           (lp("active.after"), lp("quiet.after"))
         case _ => (None, None)
       }
+      // extra (FETCH.java:1404-1426 validation; :653-672 expansion):
+      // for every series of the (activity-gated, paginated) match set,
+      // also fetch each extra CLASS under the SAME labels — a
+      // LinkedHashSet, so a companion that already matched is not
+      // doubled
+      val pExtra: Seq[String] = popped match {
+        case params: Map[Any, Any] @unchecked =>
+          params.get("extra") match {
+            case Some(l: Vector[Any @unchecked]) => l.map {
+              case s: String => s
+              case _ => throw new IllegalArgumentException(
+                "FETCH Invalid type for parameter 'extra'.")
+            }
+            case Some(_) => throw new IllegalArgumentException(
+              "FETCH Invalid type for parameter 'extra'.")
+            case None => Seq.empty
+          }
+        case _ => Seq.empty
+      }
       // union of the per-selector scans — one Spark plan, no barrier;
       // with a single selector this is exactly the pre-round-10 path
       // session-store builders matched per selector (a builder matched
@@ -347,10 +365,10 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       // level gates (activity, pagination) stay global, like the
       // reference's directory. Single-selector fetches compose the
       // exact pre-round-10 plan.
-      def perSelector(pair: (String, Map[String, String]),
-                      overlayBs: Seq[WarpScriptEngine.GtsBuilder]): GtsFrame = {
-        val (cls, labels) = pair
-        val ranged = fetchPub(cls, labels, start, stop)
+      def perScan(scan: (Long, Long) => GtsFrame,
+                  overlayBs: Seq[WarpScriptEngine.GtsBuilder],
+                  bound: GtsFrame => GtsFrame): GtsFrame = {
+        val ranged = scan(start, stop)
         // merge session-store series written by UPDATE (fn/UPDATE.java —
         // the standalone reference reads back through its embedded
         // store) BEFORE count trimming, so `count` sees the whole store
@@ -364,7 +382,7 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
           else GtsFrame(mine.map(b => materialize(b).df)
             .foldLeft(ranged.df)(_ unionByName _))
         }
-        val paged = pageBound(activityBound(merged))
+        val paged = bound(merged)
         val counted =
           if (pSkip > 0 || pStep > 1 || pTimestep > 1 || pSample < 1.0)
             paged.fetchPostFilters(pSkip, pStep, pTimestep, pSample, countOpt)
@@ -378,16 +396,55 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
         // under gskip/gcount they cover only the paginated series
         var acc = counted
         if (bPre > 0 && start > Long.MinValue)
-          acc = GtsFrame(acc.df.unionByName(pageBound(activityBound(
-            fetchPub(cls, labels, Long.MinValue, start - 1))).lastN(bPre).df))
+          acc = GtsFrame(acc.df.unionByName(bound(
+            scan(Long.MinValue, start - 1)).lastN(bPre).df))
         if (bPost > 0 && stop < Long.MaxValue)
-          acc = GtsFrame(acc.df.unionByName(pageBound(activityBound(
-            fetchPub(cls, labels, stop + 1, Long.MaxValue))).firstN(bPost).df))
+          acc = GtsFrame(acc.df.unionByName(bound(
+            scan(stop + 1, Long.MaxValue)).firstN(bPost).df))
         acc
       }
+      val selectorBound: GtsFrame => GtsFrame =
+        f => pageBound(activityBound(f))
+      val selectorFrames = selPairs.zip(overlayByPair).map { case ((c, l), o) =>
+        perScan((a, b) => fetchPub(c, l, a, b), o, selectorBound).df
+      }
+      // extra companions: derived from the DELIVERED match set (after
+      // the activity gate and the page, FETCH.java:653 runs on the
+      // iterated metadatas) — distinct companion gtsids = hash(extra
+      // class, matched labels) minus the already-matched ids, fetched
+      // as ONE ids-pruned match-all scan; the activity/page bounds do
+      // NOT re-apply to companions (they are additions, not matches)
+      val companionFrames: Seq[DataFrame] =
+        if (pExtra.isEmpty) Seq.empty
+        else {
+          val matchedMeta = overlayByPair.flatten
+            .map(b => materialize(b).df.select(col("gtsid"), col("labels")))
+            .foldLeft(allTimeStore.select(col("gtsid"), col("labels")))(
+              _ unionByName _)
+          // MAP columns cannot pass distinct(): groupBy(gtsid) instead
+          val matched = selectorBound(GtsFrame(matchedMeta))
+            .df.groupBy(col("gtsid"))
+            .agg(org.apache.spark.sql.functions.first(col("labels"))
+              .as("labels"))
+          val companionIds = pExtra.map { cls =>
+            matched.select(
+              graft.model.Gts.gtsIdCol(lit(cls), col("labels")).as("gtsid"))
+          }.reduceLeft(_ unionByName _)
+            .except(matched.select(col("gtsid"))) // the LinkedHashSet dedup
+          val overlayAll = st.updates.toSeq
+            .filter(b => pExtra.contains(b.cls))
+            .map(b => materialize(b).df)
+          def companionScan(a: Long, b: Long): GtsFrame = {
+            val base = overlayAll
+              .foldLeft(fetchPub("~.*", Map.empty, a, b).df)(_ unionByName _)
+              .filter(col("ts") >= a && col("ts") <= b)
+            GtsFrame(base.join(broadcast(companionIds), Seq("gtsid"),
+              "left_semi"))
+          }
+          Seq(perScan(companionScan, Seq.empty, identity).df)
+        }
       val fetched = {
-        val unioned = GtsFrame(selPairs.zip(overlayByPair)
-          .map { case (p, o) => perSelector(p, o).df }
+        val unioned = GtsFrame((selectorFrames ++ companionFrames)
           .reduceLeft(_ unionByName _))
         // value-type forcing happens at decode time in the reference
         // (GTSDecoder.decode(type)), i.e. AFTER boundary fetches

@@ -103,13 +103,26 @@ class FetchSelectorsSpec extends SparkSpec {
     assert(ex.getMessage.contains("attribute block"))
   }
 
+  test("'extra' fetches companion classes under the matched labels, " +
+    "set-deduped against the match set; per-scan count applies to them") {
+    // selector matches a{user=u1}; extra [ 'b' 'a' ]: companion b/u1
+    // joins, the 'a' companion is already matched (LinkedHashSet dedup)
+    val got = rows(
+      "{ 'selector' 'a{user~u1}' 'end' 1000 'timespan' 1000 " +
+        "'extra' [ 'b' 'a' ] } FETCH")
+    assert(got == Seq(("a", "u1", 10L), ("a", "u1", 20L), ("b", "u1", 40L)))
+    val counted = rows(
+      "{ 'selector' 'a{user~u1}' 'end' 1000 'count' 1 " +
+        "'extra' [ 'b' ] } FETCH")
+    assert(counted == Seq(("a", "u1", 20L), ("b", "u1", 40L)))
+  }
+
   test("unsupported reference keys fail loudly; 'priority' and unknown " +
     "keys are ignored like the reference's map parse") {
     def prog(extra: String) =
       s"{ 'class' '~.*' 'labels' {} 'end' 1000 'timespan' 1000 $extra } FETCH"
     for (bad <- Seq("'encoders' true", "'keepempty' true", "'merge' false",
-        "'extra' [ 'c' ]", "'wtimestamp' true", "'ttl' true",
-        "'showuuid' true")) {
+        "'wtimestamp' true", "'ttl' true", "'showuuid' true")) {
       val ex = intercept[Exception](eng(frame).runToFrame(prog(bad)))
       assert(ex.getMessage.contains("not supported"), s"for $bad: $ex")
     }
