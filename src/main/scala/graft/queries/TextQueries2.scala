@@ -45,6 +45,15 @@ object TextQueries2 {
           round(col("jaccard"), 9).as("jaccard"))),
 
     // LSH banding candidates (4 bands × 2 rows)
+    // Incremental near-dup (batch-vs-index): odd doc_ids are the NEW
+    // ingest batch, even ids the EXISTING corpus whose LSH band index
+    // sits at rest — band-key equality join, exact Jaccard >= 1/2
+    // verify on candidates only. The interleaved split guarantees the
+    // planted dup clusters straddle the boundary at every SF.
+    "t44_incremental_neardup" -> ((s, dir) =>
+      graft.text.TextOps3.incrementalNearDup(docs(s, dir), "text", 3,
+        col("doc_id") % 2 === 0, 1L, 2L)),
+
     "t13_lsh_candidates" -> ((s, dir) =>
       lshCandidates(docs(s, dir).filter(col("doc_id") < 1000), "text", 3)),
 
@@ -229,6 +238,37 @@ object TextQueries2 {
          |       round(CAST(io.inter AS DOUBLE) / (sa.nsh + sb.nsh - io.inter), 9) AS jaccard
          |FROM io JOIN sz sa ON io.ida = sa.doc_id
          |        JOIN sz sb ON io.idb = sb.doc_id""".stripMargin,
+
+    // band-collision candidates across the odd(new)/even(existing)
+    // split, exact-Jaccard verified at the cross-multiplied tau = 1/2
+    "t44_incremental_neardup" -> {
+      val bandSelects = (0 until NumPerms / 2).map { b =>
+        s"SELECT doc_id, $b AS bi, mh${2 * b} || '_' || mh${2 * b + 1} AS bk FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |gr AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words) - 2),
+         |         i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS grams
+         |       FROM w WHERE len(words) >= 3),
+         |sh AS (SELECT doc_id, unnest(grams) AS shingle FROM gr),
+         |hh AS (SELECT doc_id, ('0x' || substring(md5(shingle),1,15))::BIGINT AS h60 FROM sh),
+         |$SIG,
+         |e AS ($bandSelects),
+         |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         |  FROM e a JOIN e b ON a.bi = b.bi AND a.bk = b.bk
+         |  WHERE a.doc_id % 2 <> 0 AND b.doc_id % 2 = 0),
+         |io AS (SELECT ha.doc_id AS ida, hb.doc_id AS idb, count(*) AS inter
+         |  FROM hh ha JOIN hh hb ON ha.h60 = hb.h60
+         |  WHERE ha.doc_id % 2 <> 0 AND hb.doc_id % 2 = 0
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, count(*) AS nsh FROM hh GROUP BY 1)
+         |SELECT c.ida, c.idb, i.inter,
+         |  round(CAST(i.inter AS DOUBLE) / (sa.nsh + sb.nsh - i.inter), 6) AS jaccard
+         |FROM cand c
+         |JOIN io i ON i.ida = c.ida AND i.idb = c.idb
+         |JOIN sz sa ON sa.doc_id = c.ida
+         |JOIN sz sb ON sb.doc_id = c.idb
+         |WHERE 2 * i.inter >= 1 * (sa.nsh + sb.nsh - i.inter)""".stripMargin
+    },
 
     "t13_lsh_candidates" -> {
       val bandSelects = (0 until NumPerms / 2).map { b =>

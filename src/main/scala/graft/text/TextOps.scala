@@ -76,14 +76,22 @@ object TextOps {
   def lshCandidates(docs: DataFrame, textCol: String, n: Int): DataFrame =
     lshCandidatesFromSig(minhashSignatures(docs, textCol, n))
 
-  /** Band-collision candidate pairs from an existing signature frame
-    * (bands of 2 rows over the NumPerms-wide signature). */
-  def lshCandidatesFromSig(sig: DataFrame): DataFrame = {
+  /** (doc_id, bi, bk) band keys of a signature frame — the LSH index
+    * rows (bands of 2 over the NumPerms-wide signature); shared by the
+    * self-join candidates below and the incremental batch-vs-index
+    * join ([[TextOps3.incrementalNearDup]]). */
+  def bandKeys(sig: DataFrame): DataFrame = {
     val bands = array((0 until NumPerms / 2).map(b =>
       struct(lit(b).as("bi"),
         concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bk"))): _*)
-    val e = sig.select(col("doc_id"), explode(bands).as("band"))
+    sig.select(col("doc_id"), explode(bands).as("band"))
       .select(col("doc_id"), col("band.bi").as("bi"), col("band.bk").as("bk"))
+  }
+
+  /** Band-collision candidate pairs from an existing signature frame
+    * (bands of 2 rows over the NumPerms-wide signature). */
+  def lshCandidatesFromSig(sig: DataFrame): DataFrame = {
+    val e = bandKeys(sig)
     val l = e.select(col("doc_id").as("ida"), col("bi"), col("bk"))
     val r = e.select(col("doc_id").as("idb"), col("bi"), col("bk"))
     l.join(r, Seq("bi", "bk")).filter(col("ida") < col("idb"))

@@ -246,6 +246,20 @@ class ExplainSpec extends SparkSpec {
       p.contains("ShuffledHashJoin"))
   }
 
+  test("incrementalNearDup: batch-vs-index band-key equality joins, " +
+    "verify restricted to candidates — no cartesian anywhere") {
+    import spark.implicits._
+    val docs = (0L until 30L)
+      .map(i => (i, s"w${i % 7} w${(i + 1) % 7} w${(i + 2) % 7} w${i % 5} end"))
+      .toDF("doc_id", "text")
+    val out = graft.text.TextOps3.incrementalNearDup(
+      docs, "text", 3, col("doc_id") % 2 === 0, 1L, 2L)
+    val p = plan(out)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    out.count() // executes
+  }
+
   test("FETCH multi-selector: one plan unioning per-selector filtered " +
     "scans; the activity gate is a semi-join, never cartesian") {
     import graft.script.WarpScriptEngine
