@@ -36,8 +36,12 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     if (isChild || noFork) runInProcess(names)
     else {
+      // default 6 (was 4 at a 241-row board): with 325 rows a 4-way
+      // split leaves ~80 queries per JVM and the codegen-cache/GC
+      // pressure inflates neighbors again — measured 380.5 s at 4
+      // shards vs 344.7 s at 6 on the same boot/window (round 10)
       val nShards = math.max(1, math.min(names.size,
-        sys.env.getOrElse("SPARK_GRAFT_SHARDS", "4").toInt))
+        sys.env.getOrElse("SPARK_GRAFT_SHARDS", "6").toInt))
       runSharded(names, nShards)
     }
   }
