@@ -44,16 +44,21 @@ object TextQueries2 {
         .select(col("ida"), col("idb"), col("inter"),
           round(col("jaccard"), 9).as("jaccard"))),
 
-    // LSH banding candidates (4 bands × 2 rows)
     // Incremental near-dup (batch-vs-index): odd doc_ids are the NEW
     // ingest batch, even ids the EXISTING corpus whose LSH band index
-    // sits at rest — band-key equality join, exact Jaccard >= 1/2
-    // verify on candidates only. The interleaved split guarantees the
-    // planted dup clusters straddle the boundary at every SF.
-    "t44_incremental_neardup" -> ((s, dir) =>
-      graft.text.TextOps3.incrementalNearDup(docs(s, dir), "text", 3,
-        col("doc_id") % 2 === 0, 1L, 2L)),
+    // sits at rest (built once via buildNearDupIndex, the steady-state
+    // shape) — band-key equality join, exact Jaccard >= 1/2 verify on
+    // candidates only. The interleaved split guarantees the planted
+    // dup clusters straddle the boundary at every SF.
+    "t44_incremental_neardup" -> ((s, dir) => {
+      val all = docs(s, dir)
+      val idx = graft.text.TextOps3.buildNearDupIndex(
+        all.filter(col("doc_id") % 2 === 0), "text", 3)
+      graft.text.TextOps3.incrementalNearDup(
+        all.filter(col("doc_id") % 2 =!= 0), idx, "text", 3, 1L, 2L)
+    }),
 
+    // LSH banding candidates (4 bands × 2 rows)
     "t13_lsh_candidates" -> ((s, dir) =>
       lshCandidates(docs(s, dir).filter(col("doc_id") < 1000), "text", 3)),
 
@@ -245,12 +250,7 @@ object TextQueries2 {
       val bandSelects = (0 until NumPerms / 2).map { b =>
         s"SELECT doc_id, $b AS bi, mh${2 * b} || '_' || mh${2 * b + 1} AS bk FROM sig"
       }.mkString(" UNION ALL ")
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-         |gr AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(words) - 2),
-         |         i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS grams
-         |       FROM w WHERE len(words) >= 3),
-         |sh AS (SELECT doc_id, unnest(grams) AS shingle FROM gr),
-         |hh AS (SELECT doc_id, ('0x' || substring(md5(shingle),1,15))::BIGINT AS h60 FROM sh),
+      s"""WITH $SH,
          |$SIG,
          |e AS ($bandSelects),
          |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb

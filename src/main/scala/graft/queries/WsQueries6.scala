@@ -500,13 +500,20 @@ object WsQueries6 {
          |WHERE NOT (${GeoQueries.Pentagon.containsSql("lat", "lon")})"""
         .stripMargin,
 
-    // exp = clicks AND views of users 0-3 once each (the self-class
-    // companion dedups); cnt = each series' last 2 points, companions
-    // trimmed per scan like any other series
+    // exp = matched clicks plus view COMPANIONS — a view series is
+    // delivered only when a click series with the same labels MATCHED
+    // the selector (all-time directory match, so no ts filter on the
+    // click-existence test); the self-class companion dedups. cnt =
+    // each series' last 2 points, companions trimmed per scan like any
+    // other series.
     "w130_ws_fetch_extra" ->
-      s"""WITH g AS (SELECT class, userid, ts, cents FROM ($EV) e
-         |  WHERE class IN ('events.click', 'events.view')
-         |    AND regexp_full_match(userid, '[0-3]') AND ts <= $LB),
+      s"""WITH ev AS ($EV),
+         |cu AS (SELECT DISTINCT userid FROM ev
+         |  WHERE class = 'events.click' AND regexp_full_match(userid, '[0-3]')),
+         |g AS (SELECT class, userid, ts, cents FROM ev
+         |  WHERE ts <= $LB AND regexp_full_match(userid, '[0-3]')
+         |    AND (class = 'events.click'
+         |         OR (class = 'events.view' AND userid IN (SELECT userid FROM cu)))),
          |r AS (SELECT class, userid, ts, cents,
          |    row_number() OVER (PARTITION BY class, userid
          |                       ORDER BY ts DESC) AS rnd

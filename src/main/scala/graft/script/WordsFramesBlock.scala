@@ -367,19 +367,20 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       // exact pre-round-10 plan.
       def perScan(scan: (Long, Long) => GtsFrame,
                   overlayBs: Seq[WarpScriptEngine.GtsBuilder],
-                  bound: GtsFrame => GtsFrame): GtsFrame = {
+                  bound: GtsFrame => GtsFrame,
+                  extraRanged: Option[DataFrame] = None): GtsFrame = {
         val ranged = scan(start, stop)
         // merge session-store series written by UPDATE (fn/UPDATE.java —
         // the standalone reference reads back through its embedded
         // store) BEFORE count trimming, so `count` sees the whole store
-        // like the reference's unified StoreClient does
+        // like the reference's unified StoreClient does; `extraRanged`
+        // is the companion path's pre-clipped overlay frame
         val merged = {
           val mine = overlayBs
             .map(b => b.copy(points = b.points.filter(
               p => p._1 >= start && p._1 <= stop)))
             .filter(_.points.nonEmpty)
-          if (mine.isEmpty) ranged
-          else GtsFrame(mine.map(b => materialize(b).df)
+          GtsFrame((mine.map(b => materialize(b).df) ++ extraRanged.toSeq)
             .foldLeft(ranged.df)(_ unionByName _))
         }
         val paged = bound(merged)
@@ -431,17 +432,33 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
               graft.model.Gts.gtsIdCol(lit(cls), col("labels")).as("gtsid"))
           }.reduceLeft(_ unionByName _)
             .except(matched.select(col("gtsid"))) // the LinkedHashSet dedup
-          val overlayAll = st.updates.toSeq
-            .filter(b => pExtra.contains(b.cls))
-            .map(b => materialize(b).df)
+          // the companion classes are LITERAL names — push each down as
+          // an exact-class scan instead of a match-all scan, then prune
+          // by the broadcast id set ('~'/'='-prefixed names travel via
+          // the '=' exact marker)
+          def exactCls(cls: String) =
+            if (cls.startsWith("~") || cls.startsWith("=")) "=" + cls else cls
           def companionScan(a: Long, b: Long): GtsFrame = {
-            val base = overlayAll
-              .foldLeft(fetchPub("~.*", Map.empty, a, b).df)(_ unionByName _)
-              .filter(col("ts") >= a && col("ts") <= b)
+            val base = pExtra.map(c => fetchPub(exactCls(c), Map.empty, a, b).df)
+              .reduceLeft(_ unionByName _)
             GtsFrame(base.join(broadcast(companionIds), Seq("gtsid"),
               "left_semi"))
           }
-          Seq(perScan(companionScan, Seq.empty, identity).df)
+          // session overlay of companion classes participates in the
+          // RANGED window only, like the selector scans' overlay merge
+          // (boundary points come from storage complements on every
+          // path — the overlay is never a boundary candidate)
+          val overlayDf: Option[DataFrame] = {
+            val mine = st.updates.toSeq
+              .filter(b => pExtra.contains(b.cls))
+              .map(b => materialize(b).df)
+            if (mine.isEmpty) None
+            else Some(mine.reduceLeft(_ unionByName _)
+              .filter(col("ts") >= start && col("ts") <= stop)
+              .join(broadcast(companionIds), Seq("gtsid"), "left_semi"))
+          }
+          Seq(perScan(companionScan, Seq.empty, identity,
+            extraRanged = overlayDf).df)
         }
       val fetched = {
         val unioned = GtsFrame((selectorFrames ++ companionFrames)

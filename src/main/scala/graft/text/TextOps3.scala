@@ -337,49 +337,68 @@ object TextOps3 {
           (col("n") * (col("n") - 1)).cast(DoubleType)).as("mean_pair_dot"))
   }
 
+  /** The at-rest near-dup index of an existing corpus: the MinHash-LSH
+    * band keys plus the hashed distinct-shingle sets — exactly what a
+    * deployment PERSISTS alongside the corpus so ingest batches never
+    * rescan it ([[incrementalNearDup]] consumes it). */
+  final case class NearDupIndex(bands: DataFrame, shingles: DataFrame)
+
+  /** Build the [[NearDupIndex]] of an existing corpus (once, at corpus
+    * build time; incremental maintenance = append the new batch's own
+    * rows after dedup). */
+  def buildNearDupIndex(existing: DataFrame, textCol: String,
+      n: Int): NearDupIndex = {
+    import TextOps.{bandKeys, hexHash60, minhashSignatures, shingles}
+    NearDupIndex(
+      bands = bandKeys(minhashSignatures(existing, textCol, n)),
+      shingles = shingles(existing, textCol, n)
+        .select(col("doc_id"), hexHash60(col("shingle")).as("h60")))
+  }
+
   /** Incremental near-dup: check a NEW batch against the EXISTING
-    * corpus — the pipeline's steady state, where the existing corpus's
-    * MinHash-LSH band index sits at rest and each ingest batch joins
-    * against it, so the incremental cost is ∝ batch x selectivity,
-    * never corpus² (the batch-vs-index framing of MinHashLSH dedup —
-    * Broder '97 resemblance sketches; Lee et al. 2022 §4.1 NearDup —
-    * applied asymmetrically). Candidates = band-key equality join of
-    * the batch's band keys against the index side; verification =
-    * EXACT n-gram Jaccard on candidate docs only (shingle sets
-    * semi-joined down to candidates first, so the hot-shingle self-join
-    * hazard never arises), thresholded by the exact cross-multiplied
-    * test tauDen·inter >= tauNum·union.
+    * corpus's PRECOMPUTED index — the pipeline's steady state, where
+    * only the batch is shingled/hashed and the corpus side is read
+    * from the at-rest index, so the incremental cost is ∝ batch x
+    * selectivity, never corpus² (the batch-vs-index framing of
+    * MinHashLSH dedup — Broder '97 resemblance sketches; Lee et al.
+    * 2022 §4.1 NearDup — applied asymmetrically). Candidates =
+    * band-key equality join of the batch's band keys against the
+    * index; verification = EXACT n-gram Jaccard on candidate docs only
+    * (both shingle sets semi-joined down to candidates first, so the
+    * hot-shingle self-join hazard never arises), thresholded by the
+    * exact cross-multiplied test tauDen·inter >= tauNum·union.
     *
     * Returns (ida = new doc, idb = existing doc, inter, jaccard) for
     * verified collisions — the batch rows to drop or link.
     */
-  def incrementalNearDup(docs: DataFrame, textCol: String, n: Int,
-      isExisting: Column, tauNum: Long, tauDen: Long): DataFrame = {
+  def incrementalNearDup(batch: DataFrame, index: NearDupIndex,
+      textCol: String, n: Int, tauNum: Long, tauDen: Long): DataFrame = {
     import TextOps.{bandKeys, hexHash60, minhashSignatures, shingles}
-    val flags = docs.select(col("doc_id"), isExisting.as("__old"))
-    val keys = bandKeys(minhashSignatures(docs, textCol, n))
-      .join(flags, "doc_id")
-    val newK = keys.filter(!col("__old"))
+    val newK = bandKeys(minhashSignatures(batch, textCol, n))
       .select(col("doc_id").as("ida"), col("bi"), col("bk"))
-    val oldK = keys.filter(col("__old"))
+    val oldK = index.bands
       .select(col("doc_id").as("idb"), col("bi"), col("bk"))
     val cand = newK.join(oldK, Seq("bi", "bk"))
       .select(col("ida"), col("idb")).distinct()
     // exact verify on the candidate docs only
-    val hashed = shingles(docs, textCol, n)
+    val hashedNew = shingles(batch, textCol, n)
       .select(col("doc_id"), hexHash60(col("shingle")).as("h60"))
-    val shA = hashed.join(
+    val shA = hashedNew.join(
       cand.select(col("ida").as("doc_id")), Seq("doc_id"), "left_semi")
-    val shB = hashed.join(
+    val shB = index.shingles.join(
       cand.select(col("idb").as("doc_id")), Seq("doc_id"), "left_semi")
     val inter = shA.select(col("doc_id").as("ida"), col("h60"))
       .join(shB.select(col("doc_id").as("idb"), col("h60")), Seq("h60"))
       .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("inter"))
       .join(cand, Seq("ida", "idb"), "left_semi")
-    val sz = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    // sizes from the already candidate-restricted shingle frames (shA/
+    // shB carry each candidate doc's FULL distinct-shingle set) — a
+    // full-corpus size aggregate would defeat the candidate pruning
+    val szA = shA.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val szB = shB.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     inter
-      .join(sz.select(col("doc_id").as("ida"), col("nsh").as("sa")), "ida")
-      .join(sz.select(col("doc_id").as("idb"), col("nsh").as("sb")), "idb")
+      .join(szA.select(col("doc_id").as("ida"), col("nsh").as("sa")), "ida")
+      .join(szB.select(col("doc_id").as("idb"), col("nsh").as("sb")), "idb")
       .filter(lit(tauDen) * col("inter") >=
         lit(tauNum) * (col("sa") + col("sb") - col("inter")))
       .select(col("ida"), col("idb"), col("inter"),

@@ -252,8 +252,10 @@ class ExplainSpec extends SparkSpec {
     val docs = (0L until 30L)
       .map(i => (i, s"w${i % 7} w${(i + 1) % 7} w${(i + 2) % 7} w${i % 5} end"))
       .toDF("doc_id", "text")
+    val idx = graft.text.TextOps3.buildNearDupIndex(
+      docs.filter(col("doc_id") % 2 === 0), "text", 3)
     val out = graft.text.TextOps3.incrementalNearDup(
-      docs, "text", 3, col("doc_id") % 2 === 0, 1L, 2L)
+      docs.filter(col("doc_id") % 2 =!= 0), idx, "text", 3, 1L, 2L)
     val p = plan(out)
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
