@@ -173,10 +173,22 @@ object WsQueries5 {
     // The w110b twin below emits the same buckets as pre-round scaled
     // INTEGERS plus quantized guard distances so any future driver
     // mismatch localizes the bucket.
+    //
+    // TYPE (round 11): the r10 driver run hash-failed the 3-dp DOUBLE
+    // emission at equal row counts while the BIGINT twin w110b was
+    // GREEN in the SAME run — bucket membership, guard filter and the
+    // scaled integers all match; only the cross-engine encoding/hash
+    // of the identical 3-dp double diverges (Spark's round() lands the
+    // BigDecimal-exact nearest double; a different DuckDB build can be
+    // 1 ulp off or hash it differently). So the primary row now emits
+    // the direction as the EXACT scaled integers cosm = round(c*1e3)
+    // AS BIGINT (the twin's proven representation) — no double ever
+    // enters the hash. Guard band unchanged (it is proven).
     "w110_ws_mean_circular" -> ((s, dir) => {
       val d = circularDirections(s, dir)
+      def q(x: org.apache.spark.sql.Column) = round(x * 1e3).cast("long")
       d.select(col("class"), col("userid"), col("ts"),
-        round(col("c"), 3).as("cosm"), round(col("s"), 3).as("sinm"))
+        q(col("c")).as("cosm"), q(col("s")).as("sinm"))
     }),
 
     // Diagnostic twin of w110 (same FETCH/BUCKETIZE/guard pipeline):
@@ -404,9 +416,14 @@ object WsQueries5 {
     // 1263-1284 'selectors'/'selpairs', :495-541 pair processing,
     // :1443-1455 active.after/quiet.after). Four faces:
     //  'multi'  — two OVERLAPPING selector strings; clicks of user 1
-    //             match both, so their points are delivered twice
-    //             (the directory emits per selector) — the oracle
-    //             replays the union-all;
+    //             match both, but the reference directory dedups the
+    //             multi-selector match set at the series level
+    //             (LinkedHashSet<Metadata>, StandaloneDirectoryClient
+    //             .find(); iterator() falls back to find() for
+    //             multi-selector "since we cannot otherwise ensure
+    //             that we do not have duplicates"), so each matched
+    //             series is delivered ONCE — the oracle replays the
+    //             series-level union;
     //  'cover'  — 'selpairs' + gskip/gcount pages 0..2 (gcount 7 over
     //             the 20 matched series) + an out-of-range page 3:
     //             pages must PARTITION the directory (every series on
@@ -567,7 +584,8 @@ object WsQueries5 {
     "w110_ws_mean_circular" ->
       s"""WITH $CIRC_DIR_SQL
          |SELECT class, userid, ts,
-         |  round(c, 3) AS cosm, round(s, 3) AS sinm
+         |  CAST(round(c*1e3) AS BIGINT) AS cosm,
+         |  CAST(round(s*1e3) AS BIGINT) AS sinm
          |FROM u
          |WHERE abs(c*1e3 - floor(c*1e3) - 0.5) > 1e-4
          |  AND abs(s*1e3 - floor(s*1e3) - 0.5) > 1e-4""".stripMargin,
@@ -787,9 +805,12 @@ object WsQueries5 {
         |  CAST(1020 AS BIGINT) AS n_bg,
         |  CAST(40 AS BIGINT) AS cw, CAST(30 AS BIGINT) AS ch""".stripMargin,
 
-    // Replays w122's faces: union-all of the two overlapping selectors
-    // (clicks of user 1 counted twice); coverage/page-size of the
-    // gskip/gcount partition — id-order independent (every matched
+    // Replays w122's faces: series-level UNION of the two overlapping
+    // selectors (the reference directory dedups the multi-selector
+    // match set — LinkedHashSet<Metadata> in
+    // StandaloneDirectoryClient.find() — so user 1's clicks, matched
+    // by both selectors, are delivered ONCE); coverage/page-size of
+    // the gskip/gcount partition — id-order independent (every matched
     // series on exactly one page, sizes 7/7/6 over the 20 series, so
     // ANY total order gives the same histogram even though the engine
     // ranks on xxhash64 gtsids); last-full-history-tick liveness at
@@ -799,11 +820,9 @@ object WsQueries5 {
          |w AS (SELECT * FROM g WHERE ts <= $LB),
          |multi AS (
          |  SELECT class, userid, cents FROM w
-         |  WHERE class = 'events.click' AND regexp_full_match(userid, '[0-9]')
-         |  UNION ALL
-         |  SELECT class, userid, cents FROM w
-         |  WHERE regexp_full_match(class, 'events\\.(click|view)')
-         |    AND regexp_full_match(userid, '1')),
+         |  WHERE (class = 'events.click' AND regexp_full_match(userid, '[0-9]'))
+         |     OR (regexp_full_match(class, 'events\\.(click|view)')
+         |         AND regexp_full_match(userid, '1'))),
          |sel2 AS (SELECT class, userid, cents FROM w
          |  WHERE class IN ('events.click', 'events.view')
          |    AND regexp_full_match(userid, '[0-9]')),

@@ -133,12 +133,17 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       // parsed like PARSESELECTOR), 'selpairs' = list of
       // [ classSelector labelsMap ] pairs, 'selector' = one string, or
       // 'class' + 'labels'. A multi-selector fetch is the UNION of the
-      // per-selector scans composed into ONE plan; a series matched by
-      // several selectors is delivered once per match (the reference
-      // directory emits per selector, StandaloneDirectoryClient.java:
-      // 594+, and the id-sorted merge then coalesces duplicates into
-      // one series carrying the points once per matching selector —
-      // which is exactly what the union of scans yields here).
+      // per-selector scans composed into ONE plan, DEDUPED at the
+      // series level: StandaloneDirectoryClient.find() collects the
+      // multi-selector match set into a LinkedHashSet<Metadata> when
+      // classExpr.size() > 1, and iterator() explicitly falls back to
+      // find() for multi-selector requests "since we cannot otherwise
+      // ensure that we do not have duplicates" — a series matched by
+      // several selectors is fetched exactly ONCE. Here each series is
+      // assigned to its FIRST matching selector and that selector's
+      // scan is restricted to its owned ids, so the per-point pipeline
+      // (count/skip/step/timestep/sample, boundaries) runs once per
+      // series over a single delivery.
       def selToPair(sel: String): (String, Map[String, String]) = {
         val s = graft.sources.Selector.parse(sel)
         // the reference FETCH rejects attribute blocks here too:
@@ -169,8 +174,14 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
           }
           (e4, e5) match {
             case (end: Long, ts: Long) if ts >= 0 =>
-              // [end − timespan + 1, end] (FETCH.java:1372), underflow-clamped
+              // [end − timespan + 1, end] (FETCH.java:1372), underflow-
+              // clamped; the +1 can also OVERFLOW (timespan 0 at end
+              // MAX_VALUE) — the reference throws ("Cannot set
+              // timespan to 0 and end to MAX_VALUE") rather than wrap
+              // to a whole-history fetch
               val s0 = BigInt(end) - BigInt(ts) + 1
+              require(s0 <= Long.MaxValue,
+                s"FETCH Cannot set timespan to $ts with end $end.")
               (Seq((c, l)),
                 if (s0 < Long.MinValue) Long.MinValue else s0.toLong, end, None)
             case (end: Long, ts: Long) => // negative timespan = count
@@ -237,6 +248,8 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
             case (Some(s0), None, None) => (pairs, tickOf(s0), end, None)
             case (None, Some(ts: Long), None) if ts >= 0 =>
               val s0 = BigInt(end) - BigInt(ts) + 1
+              require(s0 <= Long.MaxValue, // overflow edge, like the list form
+                s"FETCH Cannot set timespan to $ts with end $end.")
               (pairs,
                 if (s0 < Long.MinValue) Long.MinValue else s0.toLong, end, None)
             case (None, Some(ts: Long), None) =>
@@ -296,18 +309,27 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       // by several selectors contributes once per match, like the
       // storage side), UN-clipped — the activity gate below needs the
       // full-history last tick
-      val overlayByPair: Seq[Seq[WarpScriptEngine.GtsBuilder]] =
-        selPairs.map { case (cls, labels) =>
+      val multiSel = selPairs.size > 1
+      val overlayByPair: Seq[Seq[WarpScriptEngine.GtsBuilder]] = {
+        val raw = selPairs.map { case (cls, labels) =>
           val (ce, cr) =
             if (cls.startsWith("~")) (None, Some(cls.drop(1)))
             else if (cls.isEmpty) (None, Some(".*"))
-            else (Some(cls), None)
+            // strip the '=' exact marker like the label branch below —
+            // a class literal starting with '~'/'=' travels as "=~foo"
+            else (Some(cls.stripPrefix("=")), None)
           val (lr, le) = labels.partition(_._2.startsWith("~"))
           val sel = graft.sources.Selector(ce, cr,
             le.map { case (k, v) => k -> v.stripPrefix("=") },
             lr.map { case (k, v) => k -> v.drop(1) }, Map.empty, Map.empty)
           st.updates.toSeq.filter(b => WordsExt5.matchesBuilder(sel, b))
         }
+        if (!multiSel) raw
+        else { // LinkedHashSet dedup: first matching selector owns it
+          val seen = scala.collection.mutable.HashSet[AnyRef]()
+          raw.map(_.filter(b => seen.add(b)))
+        }
+      }
       // ONE all-time union subtree feeds both directory consumers
       // (activity gate + pagination) instead of two independent scans
       lazy val allTimeStore: DataFrame =
@@ -406,8 +428,32 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       }
       val selectorBound: GtsFrame => GtsFrame =
         f => pageBound(activityBound(f))
-      val selectorFrames = selPairs.zip(overlayByPair).map { case ((c, l), o) =>
-        perScan((a, b) => fetchPub(c, l, a, b), o, selectorBound).df
+      // store-side LinkedHashSet dedup (multi-selector only): each
+      // gtsid is owned by the FIRST selector whose scan matches it —
+      // one metadata-level aggregate over the per-selector directory
+      // scans, then a broadcast semi-join prunes each point scan to
+      // its owned series. Single-selector fetches keep the exact
+      // pre-round-11 plan (no semi-join).
+      val ownedIds: Option[Seq[DataFrame]] =
+        if (!multiSel) None
+        else {
+          val dirAll = selPairs.zipWithIndex.map { case ((c, l), i) =>
+            fetchPub(c, l, Long.MinValue, Long.MaxValue).df
+              .select(col("gtsid")).withColumn("sidx", lit(i))
+          }.reduceLeft(_ unionByName _)
+          val first = dirAll.groupBy(col("gtsid"))
+            .agg(min(col("sidx")).as("sidx"))
+          Some(selPairs.indices.map(i =>
+            first.where(col("sidx") === i).select(col("gtsid"))))
+        }
+      val selectorFrames = selPairs.zip(overlayByPair).zipWithIndex.map {
+        case (((c, l), o), i) =>
+          val scan: (Long, Long) => GtsFrame = ownedIds match {
+            case Some(own) => (a, b) => GtsFrame(fetchPub(c, l, a, b).df
+              .join(broadcast(own(i)), Seq("gtsid"), "left_semi"))
+            case None => (a, b) => fetchPub(c, l, a, b)
+          }
+          perScan(scan, o, selectorBound).df
       }
       // extra companions: derived from the DELIVERED match set (after
       // the activity gate and the page, FETCH.java:653 runs on the

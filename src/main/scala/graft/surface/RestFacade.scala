@@ -158,28 +158,53 @@ final class RestFacade(
       val q = query(ex)
       val sel = Selector.parse(q.getOrElse("selector", "~.*"))
       def tick(s: String): Long =
-        // a plain (optionally negative) integer is a tick; anything
-        // else goes through the shared ISO-8601 parse — the date-only
-        // form ("2024-01-01") is digits-and-dashes too, so the numeric
-        // fast path must be a strict integer match, not a charset test
-        if (s.matches("-?\\d+")) s.toLong else Formats.isoTick(s)
+        // a plain (optionally negative) integer is a tick; the literal
+        // 'now' is the current time (the reference's 'now' alias);
+        // anything else goes through the shared ISO-8601 parse — the
+        // date-only form ("2024-01-01") is digits-and-dashes too, so
+        // the numeric fast path must be a strict integer match, not a
+        // charset test
+        if (s.matches("-?\\d+")) s.toLong
+        else if (s == "now") System.currentTimeMillis() * 1000L
+        else Formats.isoTick(s)
+      // timespan: integer time units, or an ISO-8601 duration
+      // ('P…'/'PT…' — the reference feeds it through DURATION's parse)
+      def span(s: String): Long =
+        if (s.matches("-?\\d+")) s.toLong
+        else java.time.Duration.parse(s).toNanos / 1000L
+      // stop/now/end are ALIASES for the range end (the reference
+      // accepts start+end and start+now, EgressFetchHandler's param
+      // handling feeding FETCH.computeTimeRange); inverted explicit
+      // bounds swap rather than 400.
+      val endParam = q.get("stop").orElse(q.get("now")).orElse(q.get("end"))
       val (start, stop, tsCount) =
-        (q.get("start"), q.get("stop"),
-          q.get("now").orElse(q.get("end")), q.get("timespan")) match {
-          case (Some(a), Some(b), _, _) => (tick(a), tick(b), None)
-          case (None, None, Some(n), Some(ts)) =>
+        (q.get("start"), endParam, q.get("timespan")) match {
+          case (Some(a), Some(b), None) =>
+            val (t1, t2) = (tick(a), tick(b))
+            (math.min(t1, t2), math.max(t1, t2), None)
+          case (None, Some(n), Some(ts)) =>
             val now = tick(n)
-            val span = ts.toLong
-            if (span >= 0) {
-              val s0 = BigInt(now) - BigInt(span) + 1
+            val sp = span(ts)
+            if (sp >= 0) {
+              // [end − timespan + 1, end] (FETCH.computeTimeRange);
+              // the +1 can also OVERFLOW (timespan 0 at end
+              // MAX_VALUE) — the reference throws for that edge
+              // rather than wrap to a whole-history fetch
+              val s0 = BigInt(now) - BigInt(sp) + 1
+              require(s0 <= Long.MaxValue,
+                s"Cannot set timespan to $sp with end $now.")
               (if (s0 < Long.MinValue) Long.MinValue else s0.toLong, now, None)
             } else (Long.MinValue, now,
-              Some(if (span == Long.MinValue) Long.MaxValue else -span))
-          case (None, None, None, None) =>
+              Some(if (sp == Long.MinValue) Long.MaxValue else -sp))
+          case (None, None, None) =>
             (Long.MinValue, Long.MaxValue, None)
           case _ => throw new IllegalArgumentException(
-            "fetch expects 'start'+'stop' or ('now'|'end')+'timespan'")
+            "fetch expects 'start'+('stop'|'now'|'end') or ('now'|'end')+'timespan'")
         }
+      // a negative timespan IS a count — combining it with an explicit
+      // count is contradictory and the reference rejects it
+      require(q.get("count").isEmpty || tsCount.isEmpty,
+        "fetch cannot combine 'count' with a negative 'timespan'")
       val countOpt = q.get("count").map(_.toLong).orElse(tsCount)
       val skip = q.getOrElse("skip", "0").toLong
       val step = q.getOrElse("step", "1").toLong

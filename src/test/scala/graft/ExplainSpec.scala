@@ -274,6 +274,9 @@ class ExplainSpec extends SparkSpec {
       "{ 'selectors' [ 'a{}' 'b{}' ] 'end' 1000 'timespan' 1000 } FETCH")
     val p1 = plan(multi)
     assert(p1.contains("Union"), p1)
+    // series-level LinkedHashSet dedup = broadcast semi-join of each
+    // scan against its first-matching-selector owned ids (r11)
+    assert(p1.contains("LeftSemi"), p1)
     assert(!p1.contains("CartesianProduct") &&
       !p1.contains("BroadcastNestedLoopJoin"))
     val active = eng.runToFrame(

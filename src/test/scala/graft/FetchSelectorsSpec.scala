@@ -7,8 +7,12 @@ import graft.script.WarpScriptEngine
 
 /** FETCH selector forms and activity params — reference semantics from
   * fn/FETCH.java:1263-1284 ('selectors'/'selpairs'/'selector' map
-  * parse), :495-541 (per-selector pair processing; the directory emits
-  * once per matching selector, StandaloneDirectoryClient.java:594+)
+  * parse), :495-541 (per-selector pair processing; the directory
+  * DEDUPS the multi-selector match set at the series level — a
+  * LinkedHashSet<Metadata> in StandaloneDirectoryClient.find(), and
+  * iterator() falls back to find() for multi-selector requests "since
+  * we cannot otherwise ensure that we do not have duplicates" — so a
+  * series matched by several selectors is fetched exactly once)
   * and :1443-1455 (active.after/quiet.after, ms-resolution liveness on
   * last activity — here the last stored tick, like LASTACTIVITY). */
 class FetchSelectorsSpec extends SparkSpec {
@@ -29,14 +33,15 @@ class FetchSelectorsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       .sorted.toSeq
 
-  test("'selectors' unions per-selector scans; an overlap delivers " +
-    "the series once per matching selector") {
-    // selector 1 matches all of class a; selector 2 matches a{user~u2}
-    // → the a/u2 in-window point arrives twice
+  test("'selectors' unions per-selector scans; an overlapped series is " +
+    "delivered ONCE (LinkedHashSet dedup of the directory match set)") {
+    // selector 1 matches all of class a; selector 2 matches
+    // [ab]{user~u2} → a/u2 matches both but is fetched once; b/u2
+    // matches only selector 2
     val got = rows(
       "{ 'selectors' [ 'a{}' '~[ab]{user~u2}' ] 'end' 1000 'timespan' 1000 } FETCH")
     assert(got == Seq(("a", "u1", 10L), ("a", "u1", 20L), ("a", "u2", 30L),
-      ("a", "u2", 30L), ("b", "u2", 50L)))
+      ("b", "u2", 50L)))
   }
 
   test("'selpairs' takes [ class labelsMap ] pairs; 'selector' takes one string") {
@@ -68,15 +73,15 @@ class FetchSelectorsSpec extends SparkSpec {
       ("b", "u1", 40L), ("b", "u2", 50L)))
   }
 
-  test("count/skip apply PER SELECTOR SCAN: an overlap delivers each " +
-    "matching selector's own trimmed stream, not rank-slots on the union") {
-    // a/u1 has 2 points, a/u2 has 2 in-window points; selector 2
-    // matches only a/u2 — with count 1, the reference streams one scan
-    // per directory match: u1's last point once, u2's last point TWICE
+  test("count/skip apply once per DEDUPED series: an overlapped series " +
+    "consumes its rank slots on a single delivery") {
+    // a/u1 has 2 points, a/u2 has 2 in-window points; a/u2 matches
+    // both selectors but is owned by the first — with count 1 each
+    // series delivers its last point exactly once
     val got = rows(
       "{ 'selectors' [ 'a{}' 'a{user~u2}' ] 'end' 1000 'count' 1 } FETCH")
-    assert(got == Seq(("a", "u1", 20L), ("a", "u2", 30L), ("a", "u2", 30L)))
-    // skip 1 drops each scan's newest point independently
+    assert(got == Seq(("a", "u1", 20L), ("a", "u2", 30L)))
+    // skip 1 drops each series' newest point exactly once
     val skipped = rows(
       "{ 'selectors' [ 'a{}' 'a{user~u2}' ] 'end' 1000 'skip' 1 } FETCH")
     assert(skipped == Seq(("a", "u1", 10L)))
@@ -115,6 +120,16 @@ class FetchSelectorsSpec extends SparkSpec {
       "{ 'selector' 'a{user~u1}' 'end' 1000 'count' 1 " +
         "'extra' [ 'b' ] } FETCH")
     assert(counted == Seq(("a", "u1", 20L), ("b", "u1", 40L)))
+  }
+
+  test("timespan 0 at end MAX_VALUE is rejected (start would overflow " +
+    "past MAX_VALUE), like the reference's computeTimeRange edge error") {
+    for (prog <- Seq(
+        s"{ 'class' '~.*' 'labels' {} 'end' ${Long.MaxValue} 'timespan' 0 } FETCH",
+        s"[ '~.*' {} ${Long.MaxValue} 0 ] FETCH")) {
+      val ex = intercept[Exception](eng(frame).runToFrame(prog))
+      assert(ex.getMessage.contains("Cannot set timespan"), s"for $prog: $ex")
+    }
   }
 
   test("unsupported reference keys fail loudly; 'priority' and unknown " +

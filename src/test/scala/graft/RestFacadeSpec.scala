@@ -69,6 +69,35 @@ class RestFacadeSpec extends SparkSpec {
     } finally facade.stop()
   }
 
+  test("fetch: stop/now/end alias the range end; inverted bounds swap; " +
+    "duration timespans parse; contradictory/overflow ranges 400") {
+    val f = fixture
+    val facade = new RestFacade(f,
+      () => new WarpScriptEngine(
+        (cls, labels, a, b) => f.select(cls, labels).timeclip(a, b)))
+    val port = facade.start()
+    val base = s"http://127.0.0.1:$port/api/v0/fetch"
+    try {
+      // start+end and start+now are aliases of start+stop
+      val (cA, viaEnd) = get(s"$base?selector=m.cpu%7Bhost=a%7D&start=0&end=1000")
+      assert(cA == 200 && viaEnd.trim == "100// m.cpu{host=a} 1.0")
+      val (cB, viaNow) = get(s"$base?selector=m.cpu%7Bhost=a%7D&start=0&now=1000")
+      assert(cB == 200 && viaNow.trim == viaEnd.trim)
+      // inverted explicit bounds swap (the reference normalizes, not 400s)
+      val (cC, swapped) = get(s"$base?selector=m.cpu%7Bhost=a%7D&start=1000&stop=0")
+      assert(cC == 200 && swapped.trim == viaEnd.trim)
+      // ISO-8601 duration timespan: PT1S = 1e6 time units back from end
+      val (cD, dur) = get(s"$base?selector=~m..*&end=300&timespan=PT1S")
+      assert(cD == 200 && dur.split("\n").length == 3)
+      // negative timespan IS a count — combining with count is rejected
+      val (cE, _) = get(s"$base?selector=~.*&end=1000&timespan=-2&count=1")
+      assert(cE == 400)
+      // timespan 0 at end MAX_VALUE would overflow start past MAX — 400
+      val (cF, _) = get(s"$base?selector=~.*&end=${Long.MaxValue}&timespan=0")
+      assert(cF == 400)
+    } finally facade.stop()
+  }
+
   test("exec: WarpScript program over real HTTP returns stack JSON") {
     val f = fixture
     val facade = new RestFacade(f,
