@@ -44,13 +44,26 @@ object WsQueries {
   }
 
   /** FETCH over the events table: selector + label selectors + range,
-    * exactly GtsFrame.select∘timeclip (the engine's storage hook). */
-  private[queries] def engine(s: SparkSession, dir: String, cents: Boolean) = {
+    * exactly GtsFrame.select∘timeclip (the engine's storage hook).
+    * `withMeta` additionally hands the engine an ingest-maintained
+    * directory table (one row per series with lastactivity, as the
+    * reference's ingress keeps it — StandaloneDirectoryClient.java:
+    * 604-609), built once and checkpointed like the at-rest table a
+    * real deployment reads from disk: FETCH activity gates then
+    * consult it instead of scanning point history. */
+  private[queries] def engine(s: SparkSession, dir: String, cents: Boolean,
+      withMeta: Boolean = false) = {
     val base = if (cents) Gts.fromEventsCents(s, dir) else Gts.fromEvents(s, dir)
+    val metaOpt =
+      if (!withMeta) None
+      else {
+        lazy val metaDf = Gts.metaTable(base).localCheckpoint()
+        Some(() => metaDf)
+      }
     new WarpScriptEngine(
       fetch = (cls, labels, start, stop) =>
         GtsFrame(base).select(cls, labels).timeclip(start, stop),
-      nowTs = LB, session = Some(s))
+      nowTs = LB, session = Some(s), meta = metaOpt)
   }
   private val queriesA: Map[String, (SparkSession, String) => DataFrame] = Map(
     // FETCH word (fn/FETCH.java list form, token ignored) ≡ g01

@@ -469,9 +469,19 @@ object WsQueries5 {
           col("page").cast("string").as("userid"),
           col("n"), lit(0L).as("v"), lit("psize").as("which"))
       val cut = LB - 24L * 3600L * 1000000L
-      def act(key: String, tag: String) = agg(
-        s"""{ 'selector' '~events\\..*{user~[0-9]}'
-           |  'end' $LB 'timespan' $LB '$key' $cut } FETCH""".stripMargin, tag)
+      // the activity faces run against an engine with the INGEST-
+      // MAINTAINED directory (r11): the gate reads the one-row-per-
+      // series lastactivity table instead of aggregating point history
+      val eMeta = engine(s, dir, cents = true, withMeta = true)
+      def act(key: String, tag: String) = {
+        val prog =
+          s"""{ 'selector' '~events\\..*{user~[0-9]}'
+             |  'end' $LB 'timespan' $LB '$key' $cut } FETCH""".stripMargin
+        eMeta.runToFrame(prog)
+          .groupBy(col("class"), userid)
+          .agg(count(lit(1)).as("n"), sum(col("vdouble")).cast("long").as("v"))
+          .withColumn("which", lit(tag))
+      }
       multi.unionByName(cover).unionByName(psize)
         .unionByName(act("active.after", "act"))
         .unionByName(act("quiet.after", "quiet"))

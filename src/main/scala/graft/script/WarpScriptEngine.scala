@@ -27,11 +27,21 @@ import graft.operators.GtsFrame._
   *               LongTable scan, a parquet dir, a test fixture...).
   * @param nowTs  the tick NOW pushes (fn/NOW.java) — injected for
   *               determinism.
+  * @param meta   optional INGEST-MAINTAINED directory table with at
+  *               least (gtsid, lastactivity) — the reference keeps
+  *               per-series activity in directory Metadata, updated by
+  *               ingress on every write (StandaloneDirectoryClient
+  *               .java:604-609). When supplied, FETCH's active.after/
+  *               quiet.after gates consult it instead of scanning the
+  *               full point history for max(ts); when absent, the
+  *               scan fallback keeps the gate correct for stores
+  *               without a maintained directory.
   */
 final class WarpScriptEngine(
     fetch: (String, Map[String, String], Long, Long) => GtsFrame,
     nowTs: Long = 0L,
-    session: Option[org.apache.spark.sql.SparkSession] = None)
+    session: Option[org.apache.spark.sql.SparkSession] = None,
+    meta: Option[() => DataFrame] = None)
     extends WordsStringsBlock with WordsFramesBlock {
 
   import WsToken._
@@ -59,6 +69,7 @@ final class WarpScriptEngine(
   private[script] def evalWordPub(w: String, st: State): Unit = evalWord(w, st)
   private[script] def fetchPub(cls: String, labels: Map[String, String],
       start: Long, stop: Long): GtsFrame = fetch(cls, labels, start, stop)
+  private[script] def metaPub: Option[() => DataFrame] = meta
 
   /** Run a program over an initially empty stack; returns the final
     * stack, top first. */

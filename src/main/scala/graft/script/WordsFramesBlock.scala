@@ -337,16 +337,28 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
           fetchPub(c, l, Long.MinValue, Long.MaxValue).df }
           .reduceLeft(_ unionByName _)
       // activity gate: the series page and the delivered points are
-      // restricted to series whose last stored tick (store + session
-      // overlay, full history) passes the ms-resolution liveness test —
-      // the directory-level filter of StandaloneDirectoryClient:604-609
+      // restricted to series whose LAST ACTIVITY passes the
+      // ms-resolution liveness test — the directory-level filter of
+      // StandaloneDirectoryClient:604-609. The reference keeps last
+      // activity as directory metadata maintained by ingress on every
+      // write; when the host supplies that table (engine `meta`
+      // param), the gate reads it directly — the tiny one-row-per-
+      // series directory, no point-history scan. Session-overlay
+      // builders (UPDATE) contribute their in-memory last ticks on
+      // both paths, exactly like ingress bumping the metadata. The
+      // full-history max(ts) aggregate remains the FALLBACK for
+      // stores without a maintained directory.
       val activityIds: Option[DataFrame] =
         if (pActive.isEmpty && pQuiet.isEmpty) None
         else {
-          val allTicks = overlayByPair.flatten
+          val overlayTicks = overlayByPair.flatten
             .map(b => materialize(b).df.select(col("gtsid"), col("ts")))
-            .foldLeft(allTimeStore.select(col("gtsid"), col("ts")))(
-              _ unionByName _)
+          val baseTicks = metaPub match {
+            case Some(m) => m().select(
+              col("gtsid"), col("lastactivity").as("ts"))
+            case None => allTimeStore.select(col("gtsid"), col("ts"))
+          }
+          val allTicks = overlayTicks.foldLeft(baseTicks)(_ unionByName _)
           val la = allTicks.groupBy(col("gtsid")).agg(max(col("ts")).as("la"))
           val laMs = expr("la DIV 1000")
           val cond = Seq(

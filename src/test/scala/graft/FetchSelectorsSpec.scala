@@ -122,6 +122,69 @@ class FetchSelectorsSpec extends SparkSpec {
     assert(counted == Seq(("a", "u1", 20L), ("b", "u1", 40L)))
   }
 
+  test("with an ingest-maintained directory the activity gate reads " +
+    "lastactivity metadata — no full-history storage scan is issued") {
+    val f = frame
+    val ranges = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val metaDf = graft.model.Gts.metaTable(f.df)
+    val e2 = new WarpScriptEngine(
+      fetch = (cls, labels, a, b) => {
+        ranges += ((a, b)); f.select(cls, labels).timeclip(a, b) },
+      nowTs = 0L, session = Some(spark), meta = Some(() => metaDf))
+    def run(key: String) = e2.runToFrame(
+      s"{ 'class' '~.*' 'labels' {} 'end' 1000 'timespan' 1000 '$key' 3000000 } FETCH")
+      .select(col("class"), col("labels").getItem("user"), col("ts"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(run("active.after") == Seq(("a", "u2", 30L)))
+    assert(run("quiet.after") == Seq(("a", "u1", 10L), ("a", "u1", 20L),
+      ("b", "u1", 40L), ("b", "u2", 50L)))
+    // the directory answered the liveness question: the storage hook
+    // was never asked for the (MinValue, MaxValue) full history the
+    // fallback max(ts) path scans
+    assert(!ranges.exists { case (a, b) =>
+      a == Long.MinValue && b == Long.MaxValue }, ranges)
+  }
+
+  test("a session UPDATE bumps activity on the metadata-backed gate, " +
+    "like ingress maintaining the directory") {
+    val f = frame
+    val metaDf = graft.model.Gts.metaTable(f.df)
+    val e2 = new WarpScriptEngine(
+      fetch = (cls, labels, a, b) => f.select(cls, labels).timeclip(a, b),
+      nowTs = 0L, session = Some(spark), meta = Some(() => metaDf))
+    // b/u1's stored last tick is 40 (not active past 3000 ms); a session
+    // write at tick 6e6 makes it live — the overlay contributes its
+    // in-memory last tick exactly like ingress bumping the metadata
+    val got = e2.runToFrame(
+      "NEWGTS 'b' RENAME { 'user' 'u1' } RELABEL 6000000 NaN NaN NULL 7.0 ADDVALUE UPDATE " +
+        "{ 'class' '~.*' 'labels' {} 'end' 1000 'timespan' 1000 'active.after' 3000000 } FETCH")
+      .select(col("class"), col("labels").getItem("user"), col("ts"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(got.contains(("a", "u2", 30L)) && got.contains(("b", "u1", 40L)), got)
+  }
+
+  test("upsertMeta maintains the directory incrementally at ingest: " +
+    "max lastactivity, summed npoints, attributes preserved") {
+    import graft.model.Gts
+    val m0 = Gts.metaTable(gtsOf(
+      ("a", "u1", 10L, 1.0), ("a", "u1", 20L, 2.0), ("b", "u2", 50L, 5.0)))
+      .withColumn("attributes", map(lit("dc"), lit("east")))
+    // batch: an older + a newer point for a/u1, plus a brand-new series
+    val m1 = Gts.upsertMeta(m0, gtsOf(
+      ("a", "u1", 5L, 0.5), ("a", "u1", 99L, 9.9), ("c", "u3", 7L, 0.7)))
+    val got = m1.select(col("class"), col("labels").getItem("user"),
+        col("lastactivity"), col("npoints"),
+        col("attributes").getItem("dc"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).sorted.toSeq
+    assert(got == Seq(
+      ("a", "u1", 99L, 4L, "east"),   // bumped activity, 2+2 points
+      ("b", "u2", 50L, 1L, "east"),   // untouched by the batch
+      ("c", "u3", 7L, 1L, null)))     // new series from the batch
+  }
+
   test("timespan 0 at end MAX_VALUE is rejected (start would overflow " +
     "past MAX_VALUE), like the reference's computeTimeRange edge error") {
     for (prog <- Seq(
