@@ -32,23 +32,8 @@ final case class GtsFrame(df: DataFrame) {
     * predicate is a plain Column so it reaches the scan (class equality
     * is even pushed into parquet row-group stats).
     */
-  def select(classSel: String, labelSels: Map[String, String] = Map.empty): GtsFrame = {
-    // '~' prefix = regex, '=' prefix = explicit exact (the reference's
-    // selector conventions, MetadataSelectorMatcher.java:42-110 — the
-    // '=' marker is how an exact value that itself starts with '~' is
-    // expressed), bare = exact
-    val classPred =
-      if (classSel == "~.*") lit(true) // match-all fast path (matcher :73)
-      else if (classSel.startsWith("~")) col("class").rlike("^(?:" + classSel.drop(1) + ")$")
-      else col("class") === classSel.stripPrefix("=")
-    val labelPred = labelSels.foldLeft(lit(true)) { case (acc, (k, v)) =>
-      val p =
-        if (v.startsWith("~")) col("labels").getItem(k).rlike("^(?:" + v.drop(1) + ")$")
-        else col("labels").getItem(k) === v.stripPrefix("=")
-      acc && p
-    }
-    GtsFrame(df.filter(classPred && labelPred))
-  }
+  def select(classSel: String, labelSels: Map[String, String] = Map.empty): GtsFrame =
+    GtsFrame(df.filter(GtsFrame.selectorPredicate(classSel, labelSels)))
 
   /** TIMECLIP — crop to [start, end] inclusive ticks (fn/TIMECLIP.java).
     * Plain range filter → parquet partition pruning at scale. */
@@ -1057,6 +1042,27 @@ final case class GtsFrame(df: DataFrame) {
 }
 
 object GtsFrame {
+
+  /** Selector-pair predicate over (class, labels) columns — '~' prefix
+    * = regex, '=' prefix = explicit exact (the reference's selector
+    * conventions, MetadataSelectorMatcher.java:42-110 — the '=' marker
+    * is how an exact value that itself starts with '~' is expressed),
+    * bare = exact. Shared by [[GtsFrame.select]] (point scans) and the
+    * FETCH directory consumers matching against a maintained metadata
+    * table. */
+  def selectorPredicate(classSel: String,
+      labelSels: Map[String, String] = Map.empty): Column = {
+    val classPred =
+      if (classSel == "~.*") lit(true) // match-all fast path (matcher :73)
+      else if (classSel.startsWith("~")) col("class").rlike("^(?:" + classSel.drop(1) + ")$")
+      else col("class") === classSel.stripPrefix("=")
+    labelSels.foldLeft(classPred) { case (acc, (k, v)) =>
+      val p =
+        if (v.startsWith("~")) col("labels").getItem(k).rlike("^(?:" + v.drop(1) + ")$")
+        else col("labels").getItem(k) === v.stripPrefix("=")
+      acc && p
+    }
+  }
 
   /** The gskip/gcount id page over an arbitrary series frame (any frame
     * with a `gtsid` column): range-partitioned rank on the DISTINCT

@@ -58,6 +58,23 @@ object TextQueries2 {
         all.filter(col("doc_id") % 2 =!= 0), idx, "text", 3, 1L, 2L)
     }),
 
+    // Steady-state twin of t44 (r11): the index a real pipeline reads
+    // from at-rest storage is PRE-MATERIALIZED here (localCheckpoint —
+    // the one-time build cost SCALE.md measures separately), so this
+    // row times what the operator actually claims at steady state:
+    // batch shingling + the band-key join + candidate-only verify.
+    // Output — and oracle — identical to t44.
+    "t44b_incremental_neardup_steady" -> ((s, dir) => {
+      val all = docs(s, dir)
+      val built = graft.text.TextOps3.buildNearDupIndex(
+        all.filter(col("doc_id") % 2 === 0), "text", 3)
+      val idx = built.copy(
+        bands = built.bands.localCheckpoint(),
+        shingles = built.shingles.localCheckpoint())
+      graft.text.TextOps3.incrementalNearDup(
+        all.filter(col("doc_id") % 2 =!= 0), idx, "text", 3, 1L, 2L)
+    }),
+
     // LSH banding candidates (4 bands × 2 rows)
     "t13_lsh_candidates" -> ((s, dir) =>
       lshCandidates(docs(s, dir).filter(col("doc_id") < 1000), "text", 3)),
@@ -172,6 +189,32 @@ object TextQueries2 {
     s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)"
   }.mkString(" + ")
 
+  /** Shared by t44 and its steady-state twin t44b (identical output —
+    * the twin changes only when the index is materialized). */
+  private lazy val T44_SQL: String = {
+    val bandSelects = (0 until NumPerms / 2).map { b =>
+      s"SELECT doc_id, $b AS bi, mh${2 * b} || '_' || mh${2 * b + 1} AS bk FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH $SH,
+       |$SIG,
+       |e AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |  FROM e a JOIN e b ON a.bi = b.bi AND a.bk = b.bk
+       |  WHERE a.doc_id % 2 <> 0 AND b.doc_id % 2 = 0),
+       |io AS (SELECT ha.doc_id AS ida, hb.doc_id AS idb, count(*) AS inter
+       |  FROM hh ha JOIN hh hb ON ha.h60 = hb.h60
+       |  WHERE ha.doc_id % 2 <> 0 AND hb.doc_id % 2 = 0
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, count(*) AS nsh FROM hh GROUP BY 1)
+       |SELECT c.ida, c.idb, i.inter,
+       |  round(CAST(i.inter AS DOUBLE) / (sa.nsh + sb.nsh - i.inter), 6) AS jaccard
+       |FROM cand c
+       |JOIN io i ON i.ida = c.ida AND i.idb = c.idb
+       |JOIN sz sa ON sa.doc_id = c.ida
+       |JOIN sz sb ON sb.doc_id = c.idb
+       |WHERE 2 * i.inter >= 1 * (sa.nsh + sb.nsh - i.inter)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "t09_minhash_signature" ->
       s"""WITH $SH
@@ -246,29 +289,11 @@ object TextQueries2 {
 
     // band-collision candidates across the odd(new)/even(existing)
     // split, exact-Jaccard verified at the cross-multiplied tau = 1/2
-    "t44_incremental_neardup" -> {
-      val bandSelects = (0 until NumPerms / 2).map { b =>
-        s"SELECT doc_id, $b AS bi, mh${2 * b} || '_' || mh${2 * b + 1} AS bk FROM sig"
-      }.mkString(" UNION ALL ")
-      s"""WITH $SH,
-         |$SIG,
-         |e AS ($bandSelects),
-         |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-         |  FROM e a JOIN e b ON a.bi = b.bi AND a.bk = b.bk
-         |  WHERE a.doc_id % 2 <> 0 AND b.doc_id % 2 = 0),
-         |io AS (SELECT ha.doc_id AS ida, hb.doc_id AS idb, count(*) AS inter
-         |  FROM hh ha JOIN hh hb ON ha.h60 = hb.h60
-         |  WHERE ha.doc_id % 2 <> 0 AND hb.doc_id % 2 = 0
-         |  GROUP BY 1, 2),
-         |sz AS (SELECT doc_id, count(*) AS nsh FROM hh GROUP BY 1)
-         |SELECT c.ida, c.idb, i.inter,
-         |  round(CAST(i.inter AS DOUBLE) / (sa.nsh + sb.nsh - i.inter), 6) AS jaccard
-         |FROM cand c
-         |JOIN io i ON i.ida = c.ida AND i.idb = c.idb
-         |JOIN sz sa ON sa.doc_id = c.ida
-         |JOIN sz sb ON sb.doc_id = c.idb
-         |WHERE 2 * i.inter >= 1 * (sa.nsh + sb.nsh - i.inter)""".stripMargin
-    },
+    "t44_incremental_neardup" -> T44_SQL,
+
+    // identical semantics (and SQL) — the twin differs only in WHEN
+    // the engine materializes the index (pre-built at steady state)
+    "t44b_incremental_neardup_steady" -> T44_SQL,
 
     "t13_lsh_candidates" -> {
       val bandSelects = (0 until NumPerms / 2).map { b =>

@@ -438,53 +438,57 @@ object WsQueries5 {
     //             is within 24h of LB, quiet keeps the complement
     //             (ms-resolution comparison, FETCH.java:1447,1454).
     "w122_ws_fetch_selectors" -> ((s, dir) => {
-      val e = engine(s, dir, cents = true)
-      def agg(prog: String, tag: String) =
-        e.runToFrame(prog)
-          .groupBy(col("class"), userid)
-          .agg(count(lit(1)).as("n"), sum(col("vdouble")).cast("long").as("v"))
-          .withColumn("which", lit(tag))
-      val multi = agg(
+      // ALL faces run on the INGEST-MAINTAINED-directory engine (r11):
+      // every directory consumer — multi-selector ownership, the
+      // gskip/gcount page ranks, the activity gates — filters the
+      // one-row-per-series meta table instead of aggregating point
+      // history (4 full-scan directory aggregates and the activity
+      // max(ts) gone from the row). Each face keeps its own engine
+      // program, but per-face aggregates are hoisted into ONE tagged
+      // groupBy per output shape (7 tiny shuffle piles → 2).
+      val e = engine(s, dir, cents = true, withMeta = true)
+      val cut = LB - 24L * 3600L * 1000000L
+      def run(prog: String, tag: String) = e.runToFrame(prog)
+        .select(lit(tag).as("tag"), col("class"), userid, col("vdouble"))
+      val multi = run(
         s"""{ 'selectors' [ 'events.click{user~[0-9]}' '~events\\.(click|view){user~1}' ]
            |  'end' $LB 'timespan' $LB } FETCH""".stripMargin, "multi")
-      // pages 0..3 over the 20 selpairs-matched series, each page a
-      // separate FETCH; npages per series must be exactly 1 and the
-      // union of pages must equal the unpaged fetch
-      val pages = (0 to 3).map { p =>
-        e.runToFrame(
-          s"""{ 'selpairs' [ [ 'events.click' { 'user' '~[0-9]' } ]
-             |               [ 'events.view' { 'user' '~[0-9]' } ] ]
-             |  'end' $LB 'timespan' $LB 'gskip' ${p * 7L} 'gcount' 7 } FETCH"""
-            .stripMargin)
-          .groupBy(col("class"), userid)
-          .agg(count(lit(1)).as("np"))
-          .withColumn("page", lit(p.toLong))
-      }.reduceLeft(_ unionByName _)
+      // pages 0..3 over the 20 selpairs-matched series: npages per
+      // series must be exactly 1 and the union of pages must equal
+      // the unpaged fetch
+      val pageFs = (0 to 3).map { p =>
+        run(s"""{ 'selpairs' [ [ 'events.click' { 'user' '~[0-9]' } ]
+           |               [ 'events.view' { 'user' '~[0-9]' } ] ]
+           |  'end' $LB 'timespan' $LB 'gskip' ${p * 7L} 'gcount' 7 } FETCH"""
+          .stripMargin, s"p$p")
+      }
+      def act(key: String, tag: String) = run(
+        s"""{ 'selector' '~events\\..*{user~[0-9]}'
+           |  'end' $LB 'timespan' $LB '$key' $cut } FETCH""".stripMargin, tag)
+      val all = (Seq(multi) ++ pageFs ++
+        Seq(act("active.after", "act"), act("quiet.after", "quiet")))
+        .reduceLeft(_ unionByName _)
+      val nv = all.filter(col("tag").isin("multi", "act", "quiet"))
+        .groupBy(col("tag"), col("class"), col("userid"))
+        .agg(count(lit(1)).as("n"), sum(col("vdouble")).cast("long").as("v"))
+        .select(col("tag").as("which"), col("class"), col("userid"),
+          col("n"), col("v"))
+      // page stays a STRING ('0'..'3'): a long cast would be hoisted
+      // above the tag filter by projection collapse and throw under
+      // ANSI on the non-page tags
+      val pages = all.filter(col("tag").startsWith("p"))
+        .groupBy(col("class"), col("userid"), col("tag"))
+        .agg(count(lit(1)).as("np"))
+        .withColumn("page", substring(col("tag"), 2, 1))
       val cover = pages.groupBy(col("class"), col("userid"))
         .agg(count(lit(1)).as("n"), sum(col("np")).as("v"))
-        .withColumn("which", lit("cover"))
+        .select(lit("cover").as("which"), col("class"), col("userid"),
+          col("n"), col("v"))
       val psize = pages.groupBy(col("page"))
         .agg(count(lit(1)).cast("long").as("n"))
-        .select(lit("page").as("class"),
-          col("page").cast("string").as("userid"),
-          col("n"), lit(0L).as("v"), lit("psize").as("which"))
-      val cut = LB - 24L * 3600L * 1000000L
-      // the activity faces run against an engine with the INGEST-
-      // MAINTAINED directory (r11): the gate reads the one-row-per-
-      // series lastactivity table instead of aggregating point history
-      val eMeta = engine(s, dir, cents = true, withMeta = true)
-      def act(key: String, tag: String) = {
-        val prog =
-          s"""{ 'selector' '~events\\..*{user~[0-9]}'
-             |  'end' $LB 'timespan' $LB '$key' $cut } FETCH""".stripMargin
-        eMeta.runToFrame(prog)
-          .groupBy(col("class"), userid)
-          .agg(count(lit(1)).as("n"), sum(col("vdouble")).cast("long").as("v"))
-          .withColumn("which", lit(tag))
-      }
-      multi.unionByName(cover).unionByName(psize)
-        .unionByName(act("active.after", "act"))
-        .unionByName(act("quiet.after", "quiet"))
+        .select(lit("psize").as("which"), lit("page").as("class"),
+          col("page").as("userid"), col("n"), lit(0L).as("v"))
+      nv.unionByName(cover).unionByName(psize)
         .select(col("which"), col("class"), col("userid"),
           col("n"), col("v"))
     }),

@@ -120,17 +120,21 @@ object WsQueries6 {
           |  { 'c' 'fx' 'l' { 'user' 'b' } 't' [ 1 2 ] 'v' [ 30.0 30.0 ] } MAKEGTS
           |  { 'c' 'fx' 'l' { 'user' 'c' } 't' [ 1 2 3 4 ] 'v' [ 7.0 7.0 7.0 7.0 ] } MAKEGTS ]"""
           .stripMargin
+      // each face keeps its own engine program (the registry word must
+      // actually run), but the per-face distinct is hoisted: one
+      // distinct over the tagged union replaces 16 tiny shuffle
+      // stages (r11 — the per-leg distincts were ~2/3 of the row's
+      // 6.2 s isolated cost; tags are lit() columns so no leg pays a
+      // gtsid rehash)
       def fix(pred: String, tag: String) =
         e.runToFrame(s"[ $FIX [ ] $pred ] FILTER")
-          .select(col("class"), userid).distinct()
-          .select(lit(tag).as("which"), col("class"), col("userid"))
+          .select(lit(tag).as("which"), col("class"), userid)
       val store = e.runToFrame(
         s"""[ '' 'events.error' { } $LB ${LB + 1} ] FETCH
            |{ 'dc' 'east' } SETATTRIBUTES DROP
            |[ $FETCHALL [ ] { 'user' '3' 'dc' 'east' } filter.bylabelsattr ] FILTER"""
           .stripMargin)
-        .select(col("class"), userid).distinct()
-        .select(lit("bylabelsattr").as("which"), col("class"), col("userid"))
+        .select(lit("bylabelsattr").as("which"), col("class"), userid)
       fix("50.0 filter.last.eq", "last_eq")
         .unionByName(fix("30.0 filter.last.ge", "last_ge"))
         .unionByName(fix("30.0 filter.last.le", "last_le"))
@@ -147,6 +151,7 @@ object WsQueries6 {
         .unionByName(fix("7.0 filter.any.ne", "any_ne"))
         .unionByName(fix("2 filter.bysize.gt", "bysize_gt"))
         .unionByName(store)
+        .distinct()
     }),
 
     // join faces (aggregator/Join.java): bucketizer.join reads its

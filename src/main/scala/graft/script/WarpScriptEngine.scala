@@ -576,7 +576,22 @@ final class WarpScriptEngine(
 
   /** NEWGTS builder → one-series canonical frame (needs the session
     * the engine was constructed with). */
+  /** Builder→frame memo: programs routinely reference the same stored
+    * builder many times ($fix in N FILTER calls, the session-overlay
+    * merge per selector) — materializing once per OBJECT keeps the
+    * plan subtree shared instead of re-created. Identity-keyed:
+    * builders are immutable (every mutation is a copy()). */
+  private val materializeCache = new java.util.IdentityHashMap[GtsBuilder, GtsFrame]()
+
   private[script] def materialize(b: GtsBuilder): GtsFrame = {
+    val cached = materializeCache.get(b)
+    if (cached != null) return cached
+    val f = doMaterialize(b)
+    materializeCache.put(b, f)
+    f
+  }
+
+  private def doMaterialize(b: GtsBuilder): GtsFrame = {
     val spark = session.getOrElse(throw new IllegalStateException(
       "NEWGTS requires a WarpScriptEngine constructed with a session"))
     val schema = graft.model.Gts.pointSchema
@@ -595,8 +610,13 @@ final class WarpScriptEngine(
         loc.map(_._1).map(Double.box).orNull, loc.map(_._2).map(Double.box).orNull,
         elev.map(Long.box).orNull, vt, vl, vd, vb, vs, vbin)
     }
+    // LocalRelation, NOT an RDD: parallelize() makes every literal
+    // builder a distributed scan (a real job per 3-row fixture, no
+    // constant folding, no auto-broadcast stats) — driver-local rows
+    // keep tiny fixtures in the optimizer's hands
+    import scala.jdk.CollectionConverters._
     GtsFrame(graft.model.Gts.canonicalRehash(
-      spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq), schema)))
+      spark.createDataFrame(rows.toSeq.asJava, schema)))
   }
 
   /** Merge any frames found in a (possibly nested) list into one frame. */

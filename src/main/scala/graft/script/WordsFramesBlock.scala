@@ -330,12 +330,27 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
           raw.map(_.filter(b => seen.add(b)))
         }
       }
-      // ONE all-time union subtree feeds both directory consumers
-      // (activity gate + pagination) instead of two independent scans
+      // ONE all-time union subtree feeds the directory consumers'
+      // FALLBACK paths (no maintained metadata) instead of N scans
       lazy val allTimeStore: DataFrame =
         selPairs.map { case (c, l) =>
           fetchPub(c, l, Long.MinValue, Long.MaxValue).df }
           .reduceLeft(_ unionByName _)
+      // directory view of one selector pair: (gtsid, labels) of the
+      // matching series. With a maintained metadata table (engine
+      // `meta` param) this is a FILTER over the one-row-per-series
+      // directory — the reference's directory lookup — and never
+      // touches point storage; without one it falls back to the
+      // all-time scan. Feeds pagination, multi-selector ownership and
+      // companion expansion.
+      def dirMeta(c: String, l: Map[String, String]): DataFrame =
+        metaPub match {
+          case Some(m) => m()
+            .filter(GtsFrame.selectorPredicate(c, l))
+            .select(col("gtsid"), col("labels"))
+          case None => fetchPub(c, l, Long.MinValue, Long.MaxValue).df
+            .select(col("gtsid"), col("labels"))
+        }
       // activity gate: the series page and the delivered points are
       // restricted to series whose LAST ACTIVITY passes the
       // ms-resolution liveness test — the directory-level filter of
@@ -379,9 +394,12 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       // reference's metadata-level pagination.
       val pagedIds: Option[org.apache.spark.sql.DataFrame] =
         if (pGskip > 0 || pGcount != Long.MaxValue) {
+          val storeIds = selPairs
+            .map { case (c, l) => dirMeta(c, l).select(col("gtsid")) }
+            .reduceLeft(_ unionByName _)
           val directory = overlayByPair.flatten
             .map(b => materialize(b).df.select(col("gtsid")))
-            .foldLeft(allTimeStore.select(col("gtsid")))(_ unionByName _)
+            .foldLeft(storeIds)(_ unionByName _)
           val dir2 = activityIds
             .map(ids => directory.join(ids, Seq("gtsid"), "left_semi"))
             .getOrElse(directory)
@@ -450,8 +468,7 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
         if (!multiSel) None
         else {
           val dirAll = selPairs.zipWithIndex.map { case ((c, l), i) =>
-            fetchPub(c, l, Long.MinValue, Long.MaxValue).df
-              .select(col("gtsid")).withColumn("sidx", lit(i))
+            dirMeta(c, l).select(col("gtsid")).withColumn("sidx", lit(i))
           }.reduceLeft(_ unionByName _)
           val first = dirAll.groupBy(col("gtsid"))
             .agg(min(col("sidx")).as("sidx"))
@@ -476,10 +493,12 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       val companionFrames: Seq[DataFrame] =
         if (pExtra.isEmpty) Seq.empty
         else {
+          val storeMeta = selPairs
+            .map { case (c, l) => dirMeta(c, l) }
+            .reduceLeft(_ unionByName _)
           val matchedMeta = overlayByPair.flatten
             .map(b => materialize(b).df.select(col("gtsid"), col("labels")))
-            .foldLeft(allTimeStore.select(col("gtsid"), col("labels")))(
-              _ unionByName _)
+            .foldLeft(storeMeta)(_ unionByName _)
           // MAP columns cannot pass distinct(): groupBy(gtsid) instead
           val matched = selectorBound(GtsFrame(matchedMeta))
             .df.groupBy(col("gtsid"))
