@@ -59,10 +59,12 @@ object TextQueries2 {
     }),
 
     // Steady-state twin of t44 (r11): the index a real pipeline reads
-    // from at-rest storage is PRE-MATERIALIZED here (localCheckpoint —
-    // the one-time build cost SCALE.md measures separately), so this
-    // row times what the operator actually claims at steady state:
-    // batch shingling + the band-key join + candidate-only verify.
+    // from at-rest storage is PRE-MATERIALIZED here (localCheckpoint),
+    // correctness-locking the read-from-at-rest-index path — the batch
+    // join runs against a plan with NO lineage into the corpus
+    // shingling. NOTE the bench row still times build+join in one
+    // closure (the harness times the whole query fn); the join-only
+    // steady-state number is SCALE.md's index-table measurement.
     // Output — and oracle — identical to t44.
     "t44b_incremental_neardup_steady" -> ((s, dir) => {
       val all = docs(s, dir)
