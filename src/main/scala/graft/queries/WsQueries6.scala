@@ -308,6 +308,31 @@ object WsQueries6 {
              |  'extra' [ 'events.view' ] } FETCH""".stripMargin, "cnt"))
         .select(col("which"), col("class"), col("userid"), col("n"), col("v"))
     }),
+
+    // computeTimeRange conformance (fn/FETCH.java:1607-1740 + the
+    // negative-timespan-as-count alias :1292-1303), five faces:
+    //  'fwd'    — start + timespan: end = start + timespan − 1;
+    //  'swap'   — inverted explicit bounds swap, never error;
+    //  'dur'    — ISO-8601 duration timespan ('P3D'), the same window
+    //             as 'fwd' reached backwards from its end;
+    //  'cnt'    — negative Long timespan = count of newest points;
+    //  'nowlit' — the literal 'now' timestamp (getTimestamp,
+    //             FETCH.java:1752) with an explicit count.
+    "w131_ws_fetch_timerange" -> ((s, dir) => {
+      val e = engine(s, dir, cents = true)
+      def run(prog: String, tag: String) = e.runToFrame(prog)
+        .select(lit(tag).as("which"), col("class"), userid, col("vdouble"))
+      val CL = "'class' '~events\\..*' 'labels' { }"
+      Seq(
+        (s"{ $CL 'start' ${GtsQueries.T0} 'timespan' ${3 * DAY} } FETCH", "fwd"),
+        (s"{ $CL 'start' $LB 'end' ${GtsQueries.T0} } FETCH", "swap"),
+        (s"{ $CL 'end' ${GtsQueries.T0 + 3 * DAY - 1} 'timespan' 'P3D' } FETCH", "dur"),
+        (s"{ $CL 'end' $LB 'timespan' -3 } FETCH", "cnt"),
+        (s"{ $CL 'end' 'now' 'count' 2 } FETCH", "nowlit"))
+        .map { case (p, t) => run(p, t) }.reduceLeft(_ unionByName _)
+        .groupBy(col("which"), col("class"), col("userid"))
+        .agg(count(lit(1)).as("n"), sum(col("vdouble")).cast("long").as("v"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -530,5 +555,34 @@ object WsQueries6 {
          |SELECT 'cnt', class, userid,
          |  count(*), CAST(sum(cents) AS BIGINT)
          |FROM r WHERE rnd <= 2 GROUP BY 2, 3""".stripMargin,
+
+    // w131 faces: 'fwd' and 'dur' are the same 3-day window from
+    // opposite directions; 'swap' is the whole history (bounds
+    // normalized); 'cnt'/'nowlit' rank newest-first at end = LB (the
+    // engine's injected now)
+    "w131_ws_fetch_timerange" -> {
+      val t0 = GtsQueries.T0
+      val w3 = GtsQueries.T0 + 3 * DAY - 1
+      s"""WITH g AS ($EV),
+         |r AS (SELECT class, userid, ts, cents,
+         |    row_number() OVER (PARTITION BY class, userid
+         |                       ORDER BY ts DESC) AS rn
+         |  FROM g WHERE ts <= $LB)
+         |SELECT 'fwd' AS which, class, userid,
+         |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS v
+         |FROM g WHERE ts BETWEEN $t0 AND $w3 GROUP BY 2, 3
+         |UNION ALL
+         |SELECT 'dur', class, userid, count(*), CAST(sum(cents) AS BIGINT)
+         |FROM g WHERE ts BETWEEN $t0 AND $w3 GROUP BY 2, 3
+         |UNION ALL
+         |SELECT 'swap', class, userid, count(*), CAST(sum(cents) AS BIGINT)
+         |FROM g WHERE ts BETWEEN $t0 AND $LB GROUP BY 2, 3
+         |UNION ALL
+         |SELECT 'cnt', class, userid, count(*), CAST(sum(cents) AS BIGINT)
+         |FROM r WHERE rn <= 3 GROUP BY 2, 3
+         |UNION ALL
+         |SELECT 'nowlit', class, userid, count(*), CAST(sum(cents) AS BIGINT)
+         |FROM r WHERE rn <= 2 GROUP BY 2, 3""".stripMargin
+    },
   )
 }

@@ -27,15 +27,18 @@ import graft.operators.GtsFrame._
   *               LongTable scan, a parquet dir, a test fixture...).
   * @param nowTs  the tick NOW pushes (fn/NOW.java) — injected for
   *               determinism.
-  * @param meta   optional INGEST-MAINTAINED directory table with at
-  *               least (gtsid, lastactivity) — the reference keeps
-  *               per-series activity in directory Metadata, updated by
-  *               ingress on every write (StandaloneDirectoryClient
-  *               .java:604-609). When supplied, FETCH's active.after/
-  *               quiet.after gates consult it instead of scanning the
-  *               full point history for max(ts); when absent, the
-  *               scan fallback keeps the gate correct for stores
-  *               without a maintained directory.
+  * @param meta   optional INGEST-MAINTAINED directory table with
+  *               (gtsid, class, labels, lastactivity) columns — the
+  *               [[graft.model.Gts.metaTable]] / upsertMeta schema.
+  *               The reference keeps per-series activity in directory
+  *               Metadata, updated by ingress on every write
+  *               (StandaloneDirectoryClient.java:604-609). When
+  *               supplied, FETCH's directory consumers (active.after/
+  *               quiet.after gates, gskip/gcount pagination,
+  *               multi-selector ownership, 'extra' companion match
+  *               set) consult it instead of scanning point history;
+  *               when absent, scan fallbacks keep every consumer
+  *               correct for stores without a maintained directory.
   */
 final class WarpScriptEngine(
     fetch: (String, Map[String, String], Long, Long) => GtsFrame,

@@ -73,10 +73,86 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       // (start, end). Map form accepts token/class/labels/start/end
       // (LONG tick or ISO8601)/timespan/count.
       def isoTick(s: String): Long = graft.sources.Formats.isoTick(s)
+      // getTimestamp (FETCH.java:1742-1770): Long tick, the literal
+      // 'now', a Long string, or ISO-8601
       def tickOf(v: Any): Long = v match {
         case l: Long => l
+        case "now" => nowTick
+        case s: String if s.matches("-?\\d+") => s.toLong
         case s: String => isoTick(s)
         case o => throw new IllegalArgumentException(s"FETCH timestamp: $o")
+      }
+      // timespan value (computeTimeRange, FETCH.java:1644-1688): Long,
+      // Long string, or ISO-8601 duration ('P…'; ambiguous months/
+      // years rejected — java.time.Duration shares that restriction)
+      def spanOf(v: Any): Long = v match {
+        case l: Long => l
+        case s: String if s.nonEmpty && s.charAt(0) == 'P' =>
+          java.time.Duration.parse(s).toNanos / 1000L
+        case s: String if s.matches("-?\\d+") => s.toLong
+        case o => throw new IllegalArgumentException(
+          s"FETCH Invalid format for parameter 'timespan': $o")
+      }
+      /** computeTimeRange mirror (FETCH.java:1607-1740 plus the
+        * negative-Long-timespan-as-count alias :1292-1303): returns
+        * (start, stop, countOpt). Faithful to the reference's edge
+        * errors — start/end swap when inverted, 'start'+'end'+
+        * 'timespan' all defined rejected, timespan-0 at the open end
+        * rejected (the +1/−1 would overflow), 'end' alone without
+        * 'count' rejected. */
+      def computeRange(startRaw: Option[Any], endRaw: Option[Any],
+          tsRaw0: Option[Any], cntRaw0: Option[Any]): (Long, Long, Option[Long]) = {
+        val (tsRaw, cntRaw) = tsRaw0 match {
+          case Some(t: Long) if t < 0 =>
+            require(cntRaw0.isEmpty,
+              "FETCH cannot be given both 'count' and negative 'timespan'.")
+            // MIN_VALUE negates to itself — bump by one like the
+            // reference (FETCH.java:1297-1299)
+            val t2 = if (t == Long.MinValue) t + 1 else t
+            (None, Some(-t2): Option[Any])
+          case _ => (tsRaw0, cntRaw0)
+        }
+        val count: Option[Long] = cntRaw.map {
+          case n: Long =>
+            require(n >= 0, s"FETCH 'count' must be >= 0, got $n"); n
+          case o => throw new IllegalArgumentException(
+            s"FETCH Invalid type for parameter 'count': $o")
+        }
+        var sOpt = startRaw.map(tickOf)
+        var eOpt = endRaw.map(tickOf)
+        require(sOpt.nonEmpty || eOpt.nonEmpty,
+          "FETCH Missing either 'start' or 'end' parameter.")
+        if (sOpt.nonEmpty && eOpt.nonEmpty && sOpt.get > eOpt.get) {
+          val t = sOpt; sOpt = eOpt; eOpt = t
+        }
+        tsRaw.foreach { t =>
+          require(sOpt.isEmpty || eOpt.isEmpty, "FETCH Invalid time " +
+            "range specification: 'start', 'end' and 'timespan' " +
+            "cannot all be defined. Only 2 out of those 3 parameters " +
+            "should be defined.")
+          val ts = spanOf(t)
+          require(ts >= 0, "FETCH 'timespan' cannot be negative.")
+          if (eOpt.nonEmpty) {
+            require(ts != 0L || eOpt.get != Long.MaxValue,
+              "FETCH Cannot set timespan to 0 and end to MAX_VALUE.")
+            val s0 = BigInt(eOpt.get) - BigInt(ts) + 1
+            sOpt = Some(if (s0 < Long.MinValue) Long.MinValue else s0.toLong)
+          } else {
+            require(ts != 0L || sOpt.get != Long.MinValue,
+              "FETCH Cannot set timespan to 0 and start to MIN_VALUE.")
+            val e0 = BigInt(sOpt.get) + BigInt(ts) - 1
+            eOpt = Some(if (e0 > Long.MaxValue) Long.MaxValue else e0.toLong)
+          }
+        }
+        require(eOpt.nonEmpty,
+          "FETCH Missing 'end' or 'start' and 'timespan' parameter.")
+        if (sOpt.isEmpty) {
+          require(count.nonEmpty, "FETCH Invalid time range " +
+            "specification: 'count' is mandatory if 'start' and " +
+            "'timespan' are not specified.")
+          sOpt = Some(Long.MinValue)
+        }
+        (sOpt.get, eOpt.get, count)
       }
       val popped = st.pop()
       // boundary.pre/post (map form only, fn/FETCH.java:125-127): n
@@ -173,23 +249,14 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
             case other => throw new IllegalArgumentException(s"FETCH args: $other")
           }
           (e4, e5) match {
-            case (end: Long, ts: Long) if ts >= 0 =>
-              // [end − timespan + 1, end] (FETCH.java:1372), underflow-
-              // clamped; the +1 can also OVERFLOW (timespan 0 at end
-              // MAX_VALUE) — the reference throws ("Cannot set
-              // timespan to 0 and end to MAX_VALUE") rather than wrap
-              // to a whole-history fetch
-              val s0 = BigInt(end) - BigInt(ts) + 1
-              require(s0 <= Long.MaxValue,
-                s"FETCH Cannot set timespan to $ts with end $end.")
-              (Seq((c, l)),
-                if (s0 < Long.MinValue) Long.MinValue else s0.toLong, end, None)
-            case (end: Long, ts: Long) => // negative timespan = count
-              // MIN_VALUE negates to itself — clamp like FETCH.java:1298
-              (Seq((c, l)), Long.MinValue, end,
-                Some(if (ts == Long.MinValue) Long.MaxValue else -ts))
+            case (end: Long, ts: Long) => // [end − timespan + 1, end];
+              // negative timespan = count (FETCH.java:206-207 routes
+              // the list form through the same map machinery)
+              val (s1, e1, c1) = computeRange(None, Some(end), Some(ts), None)
+              (Seq((c, l)), s1, e1, c1)
             case (s0: String, e0: String) =>
-              (Seq((c, l)), isoTick(s0), isoTick(e0), None)
+              val (s1, e1, c1) = computeRange(Some(s0), Some(e0), None, None)
+              (Seq((c, l)), s1, e1, c1)
             case other => throw new IllegalArgumentException(
               "FETCH expects 'start'/'end' Strings or 'end'/'timespan' Longs, got " + other)
           }
@@ -243,25 +310,9 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
                   .map { case (k, v) => k.toString -> String.valueOf(v) }
                 Seq((c, l))
             }
-          val end = tickOf(params.getOrElse("end", Long.MaxValue))
-          (params.get("start"), params.get("timespan"), params.get("count")) match {
-            case (Some(s0), None, None) => (pairs, tickOf(s0), end, None)
-            case (None, Some(ts: Long), None) if ts >= 0 =>
-              val s0 = BigInt(end) - BigInt(ts) + 1
-              require(s0 <= Long.MaxValue, // overflow edge, like the list form
-                s"FETCH Cannot set timespan to $ts with end $end.")
-              (pairs,
-                if (s0 < Long.MinValue) Long.MinValue else s0.toLong, end, None)
-            case (None, Some(ts: Long), None) =>
-              (pairs, Long.MinValue, end,
-                Some(if (ts == Long.MinValue) Long.MaxValue else -ts))
-            case (None, None, Some(n: Long)) =>
-              require(n >= 0, s"FETCH 'count' must be >= 0, got $n")
-              (pairs, Long.MinValue, end, Some(n))
-            case (None, None, None) => (pairs, Long.MinValue, end, None)
-            case _ => throw new IllegalArgumentException(
-              "FETCH expects exactly one of 'start'/'timespan'/'count' with 'end'.")
-          }
+          val (s1, e1, c1) = computeRange(params.get("start"),
+            params.get("end"), params.get("timespan"), params.get("count"))
+          (pairs, s1, e1, c1)
         case o => throw new IllegalArgumentException(
           s"FETCH expects a map or a list as parameter, got $o")
       }
@@ -310,8 +361,8 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       // storage side), UN-clipped — the activity gate below needs the
       // full-history last tick
       val multiSel = selPairs.size > 1
-      val overlayByPair: Seq[Seq[WarpScriptEngine.GtsBuilder]] = {
-        val raw = selPairs.map { case (cls, labels) =>
+      val overlaySelectors: Seq[graft.sources.Selector] =
+        selPairs.map { case (cls, labels) =>
           val (ce, cr) =
             if (cls.startsWith("~")) (None, Some(cls.drop(1)))
             else if (cls.isEmpty) (None, Some(".*"))
@@ -319,19 +370,28 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
             // a class literal starting with '~'/'=' travels as "=~foo"
             else (Some(cls.stripPrefix("=")), None)
           val (lr, le) = labels.partition(_._2.startsWith("~"))
-          val sel = graft.sources.Selector(ce, cr,
+          graft.sources.Selector(ce, cr,
             le.map { case (k, v) => k -> v.stripPrefix("=") },
             lr.map { case (k, v) => k -> v.drop(1) }, Map.empty, Map.empty)
-          st.updates.toSeq.filter(b => WordsExt5.matchesBuilder(sel, b))
         }
-        if (!multiSel) raw
-        else { // LinkedHashSet dedup: first matching selector owns it
-          val seen = scala.collection.mutable.HashSet[AnyRef]()
-          raw.map(_.filter(b => seen.add(b)))
+      // LinkedHashSet series dedup on the overlay: the FIRST matching
+      // selector owns a builder's series, and EVERY builder of that
+      // series delivers there (assignment is by selector predicate,
+      // not by builder equality — two UPDATEs of the same series stay
+      // two point sets, and multiplicity cannot differ between
+      // single- and multi-selector fetches)
+      val overlayByPair: Seq[Seq[WarpScriptEngine.GtsBuilder]] =
+        overlaySelectors.zipWithIndex.map { case (sel, i) =>
+          st.updates.toSeq.filter { b =>
+            WordsExt5.matchesBuilder(sel, b) &&
+              !overlaySelectors.take(i).exists(
+                s2 => WordsExt5.matchesBuilder(s2, b))
+          }
         }
-      }
-      // ONE all-time union subtree feeds the directory consumers'
-      // FALLBACK paths (no maintained metadata) instead of N scans
+      // all-time union subtree: the ACTIVITY-GATE fallback (no
+      // maintained metadata) — liveness genuinely needs the
+      // full-history last tick. The other directory consumers go
+      // through dirMeta below.
       lazy val allTimeStore: DataFrame =
         selPairs.map { case (c, l) =>
           fetchPub(c, l, Long.MinValue, Long.MaxValue).df }
@@ -340,9 +400,10 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       // matching series. With a maintained metadata table (engine
       // `meta` param) this is a FILTER over the one-row-per-series
       // directory — the reference's directory lookup — and never
-      // touches point storage; without one it falls back to the
-      // all-time scan. Feeds pagination, multi-selector ownership and
-      // companion expansion.
+      // touches point storage; without one it falls back to a
+      // full-history scan (pagination and companion expansion are
+      // directory-semantics consumers: a series with no in-range
+      // points still occupies its page slot / companion labels).
       def dirMeta(c: String, l: Map[String, String]): DataFrame =
         metaPub match {
           case Some(m) => m()
@@ -467,8 +528,20 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       val ownedIds: Option[Seq[DataFrame]] =
         if (!multiSel) None
         else {
+          // ownership needs only the series that can deliver points
+          // from the ranges perScan actually reads — [start, stop]
+          // plus the boundary complements when requested. Identical
+          // per-selector row sets mean identical min-selector
+          // assignment, so the meta-less fallback stays time-pruned
+          // instead of paying a full-history scan per selector.
+          val (oStart, oStop) = (
+            if (bPre > 0) Long.MinValue else start,
+            if (bPost > 0) Long.MaxValue else stop)
           val dirAll = selPairs.zipWithIndex.map { case ((c, l), i) =>
-            dirMeta(c, l).select(col("gtsid")).withColumn("sidx", lit(i))
+            (metaPub match {
+              case Some(m) => m().filter(GtsFrame.selectorPredicate(c, l))
+              case None => fetchPub(c, l, oStart, oStop).df
+            }).select(col("gtsid")).withColumn("sidx", lit(i))
           }.reduceLeft(_ unionByName _)
           val first = dirAll.groupBy(col("gtsid"))
             .agg(min(col("sidx")).as("sidx"))

@@ -182,6 +182,20 @@ final class RestFacade(
           case (Some(a), Some(b), None) =>
             val (t1, t2) = (tick(a), tick(b))
             (math.min(t1, t2), math.max(t1, t2), None)
+          case (Some(a), None, Some(ts)) =>
+            // start + timespan: end = start + timespan − 1
+            // (FETCH.computeTimeRange's start-defined branch; a
+            // negative timespan is count-with-end semantics and is
+            // meaningless with only a start — falls to the 400 arm
+            // via the require below)
+            val s0 = tick(a)
+            val sp = span(ts)
+            require(sp >= 0,
+              "fetch cannot combine 'start' with a negative 'timespan'")
+            require(sp != 0L || s0 != Long.MinValue,
+              s"Cannot set timespan to 0 and start to MIN_VALUE.")
+            val e0 = BigInt(s0) + BigInt(sp) - 1
+            (s0, if (e0 > Long.MaxValue) Long.MaxValue else e0.toLong, None)
           case (None, Some(n), Some(ts)) =>
             val now = tick(n)
             val sp = span(ts)

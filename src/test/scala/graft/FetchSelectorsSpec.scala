@@ -81,9 +81,10 @@ class FetchSelectorsSpec extends SparkSpec {
     val got = rows(
       "{ 'selectors' [ 'a{}' 'a{user~u2}' ] 'end' 1000 'count' 1 } FETCH")
     assert(got == Seq(("a", "u1", 20L), ("a", "u2", 30L)))
-    // skip 1 drops each series' newest point exactly once
+    // skip 1 drops each series' newest point exactly once ('start'
+    // supplied: end-without-count is a reference error, computeTimeRange)
     val skipped = rows(
-      "{ 'selectors' [ 'a{}' 'a{user~u2}' ] 'end' 1000 'skip' 1 } FETCH")
+      "{ 'selectors' [ 'a{}' 'a{user~u2}' ] 'start' 0 'end' 1000 'skip' 1 } FETCH")
     assert(skipped == Seq(("a", "u1", 10L)))
   }
 

@@ -89,6 +89,9 @@ class RestFacadeSpec extends SparkSpec {
       // ISO-8601 duration timespan: PT1S = 1e6 time units back from end
       val (cD, dur) = get(s"$base?selector=~m..*&end=300&timespan=PT1S")
       assert(cD == 200 && dur.split("\n").length == 3)
+      // start + timespan: end = start + timespan - 1 (computeTimeRange)
+      val (cD2, fwd) = get(s"$base?selector=m.cpu%7Bhost=a%7D&start=0&timespan=1001")
+      assert(cD2 == 200 && fwd.trim == viaEnd.trim)
       // negative timespan IS a count — combining with count is rejected
       val (cE, _) = get(s"$base?selector=~.*&end=1000&timespan=-2&count=1")
       assert(cE == 400)

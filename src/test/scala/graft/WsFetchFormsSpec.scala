@@ -71,10 +71,38 @@ class WsFetchFormsSpec extends SparkSpec {
       Set(8000000L, 9000000L))
     assert(ticksOf("{ 'class' 'm.s' 'labels' { } 'end' 9000000 'count' 2 } FETCH") ==
       Set(8000000L, 9000000L))
-    assert(ticksOf("{ 'class' 'm.s' 'labels' { } 'end' '1970-01-01T00:00:02Z' } FETCH") ==
+    // 'end' alone needs 'count' (computeTimeRange: "'count' is
+    // mandatory if 'start' and 'timespan' are not specified")
+    assert(ticksOf("{ 'class' 'm.s' 'labels' { } 'end' '1970-01-01T00:00:02Z' 'count' 2 } FETCH") ==
       Set(1000000L, 2000000L))
     intercept[Exception] {
+      eng.run("{ 'class' 'm.s' 'labels' { } 'end' '1970-01-01T00:00:02Z' } FETCH")
+    }
+    intercept[Exception] { // start alone: no end and no timespan
       eng.run("{ 'class' 'm.s' 'start' 1 'count' 2 } FETCH")
     }
+  }
+
+  test("computeTimeRange conformance: start+timespan, swapped bounds, " +
+    "duration timespans, 2-of-3 rule (FETCH.java:1607-1740)") {
+    // start + timespan: end = start + timespan - 1
+    assert(ticksOf("{ 'class' 'm.s' 'labels' { } 'start' 2000000 'timespan' 2000000 } FETCH") ==
+      Set(2000000L, 3000000L))
+    // inverted explicit bounds swap rather than error
+    assert(ticksOf("{ 'class' 'm.s' 'labels' { } 'start' 4000000 'end' 2000000 } FETCH") ==
+      Set(2000000L, 3000000L, 4000000L))
+    // ISO-8601 duration timespan: PT2S back from end
+    assert(ticksOf("{ 'class' 'm.s' 'labels' { } 'end' 9000000 'timespan' 'PT2S' } FETCH") ==
+      Set(8000000L, 9000000L))
+    // all three of start/end/timespan: "Only 2 out of those 3"
+    val ex = intercept[Exception](eng.run(
+      "{ 'class' 'm.s' 'labels' { } 'start' 1 'end' 2 'timespan' 3 } FETCH"))
+    assert(ex.getMessage.contains("2 out of those 3"), ex.getMessage)
+    // timespan 0 at start MIN_VALUE: the -1/+1 edge, like the end side
+    intercept[Exception](eng.run(
+      s"{ 'class' 'm.s' 'labels' { } 'start' ${Long.MinValue} 'timespan' 0 } FETCH"))
+    // count + negative timespan is contradictory (FETCH.java:1293)
+    intercept[Exception](eng.run(
+      "{ 'class' 'm.s' 'labels' { } 'end' 9000000 'timespan' -2 'count' 1 } FETCH"))
   }
 }
