@@ -183,8 +183,10 @@ object GtsQueries3 {
         val (cd, deleted) = hit(
           s"$api/delete?selector=session.h04%7B%7D&start=2500&end=3500", None)
         val delOk = cd == 200 && deleted.trim == "session.h04{src=crud}"
+        // a range is mandatory since the computeTimeRange alignment
+        // (r11): [0, 5000] covers the three session ticks
         val (_, tsv) = hit(
-          s"$api/fetch?selector=session.h04%7B%7D&format=tsv", None)
+          s"$api/fetch?selector=session.h04%7B%7D&start=0&stop=5000&format=tsv", None)
         val overlay = tsv.split("\n").filter(_.nonEmpty).toSeq.map { ln =>
           val Array(t, v) = ln.split("\t"); (t.toLong, v.toDouble)
         }
@@ -254,7 +256,9 @@ object GtsQueries3 {
           "1// session.dd{} 1.5\n=2// 1.5\n=3// 1.5\n=4// 2.5\n=5// 2.5\n" +
             "=6// 3.5\n=7// 3.5"))
         require(cu == 200, s"update HTTP $cu")
-        val dd = rows("dedup=true", "dedup",
+        // a range is mandatory since the computeTimeRange alignment
+        // (r11): [0, 100] covers the 7 session ticks
+        val dd = rows("start=0&stop=100&dedup=true", "dedup",
           sel = URLEncoder.encode("session.dd{}", "UTF-8"))
         import s.implicits._
         (span ++ count3 ++ skip2 ++ pages ++ bounds ++ dd)

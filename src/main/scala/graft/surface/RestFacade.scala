@@ -174,9 +174,16 @@ final class RestFacade(
         else java.time.Duration.parse(s).toNanos / 1000L
       // stop/now/end are ALIASES for the range end (the reference
       // accepts start+end and start+now, EgressFetchHandler's param
-      // handling feeding FETCH.computeTimeRange); inverted explicit
-      // bounds swap rather than 400.
-      val endParam = q.get("stop").orElse(q.get("now")).orElse(q.get("end"))
+      // handling feeding FETCH.computeTimeRange) — but giving TWO of
+      // them is rejected ("Cannot specify both", EgressFetchHandler:
+      // 355-369); inverted explicit bounds swap rather than 400.
+      val endAliases = Seq("stop", "now", "end").flatMap(q.get)
+      require(endAliases.size <= 1,
+        "fetch cannot specify more than one of 'stop'/'now'/'end'")
+      val endParam = endAliases.headOption
+      // computeTimeRange: at least one bound is mandatory
+      require(q.contains("start") || endParam.nonEmpty,
+        "fetch missing either 'start' or 'stop'/'now'/'end' parameter")
       val (start, stop, tsCount) =
         (q.get("start"), endParam, q.get("timespan")) match {
           case (Some(a), Some(b), None) =>
@@ -210,10 +217,17 @@ final class RestFacade(
               (if (s0 < Long.MinValue) Long.MinValue else s0.toLong, now, None)
             } else (Long.MinValue, now,
               Some(if (sp == Long.MinValue) Long.MaxValue else -sp))
-          case (None, None, None) =>
-            (Long.MinValue, Long.MaxValue, None)
+          case (None, Some(n), None) =>
+            // end alone: count is mandatory (computeTimeRange's
+            // "'count' is mandatory if 'start' and 'timespan' are
+            // not specified")
+            require(q.contains("count"), "fetch: 'count' is mandatory " +
+              "if 'start' and 'timespan' are not specified")
+            (Long.MinValue, tick(n), None)
           case _ => throw new IllegalArgumentException(
-            "fetch expects 'start'+('stop'|'now'|'end') or ('now'|'end')+'timespan'")
+            "fetch expects 'start'+('stop'|'now'|'end'), " +
+              "('stop'|'now'|'end')+'timespan', 'start'+'timespan', " +
+              "or ('stop'|'now'|'end')+'count'")
         }
       // a negative timespan IS a count — combining it with an explicit
       // count is contradictory and the reference rejects it

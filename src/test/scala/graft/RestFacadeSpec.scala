@@ -63,8 +63,21 @@ class RestFacadeSpec extends SparkSpec {
         "?selector=~m..*&start=150&stop=1000&format=json")
       assert(json.split("\n").length == 2 && json.contains("\"m.mem\""))
       val (_, tsv) = get(s"http://127.0.0.1:$port/api/v0/fetch" +
-        "?selector=~.*&format=tsv")
+        "?selector=~.*&start=0&stop=1000&format=tsv")
       assert(tsv.split("\n").toSeq.sorted ==
+        Seq("100\t1.0", "200\t2.0", "300\t3.0"))
+      // a range is mandatory (computeTimeRange: missing start/end)
+      val (cNoRange, _) = get(s"http://127.0.0.1:$port/api/v0/fetch" +
+        "?selector=~.*&format=tsv")
+      assert(cNoRange == 400)
+      // two end aliases at once are rejected (EgressFetchHandler:355-369)
+      val (cTwoEnds, _) = get(s"http://127.0.0.1:$port/api/v0/fetch" +
+        "?selector=~.*&start=0&stop=1000&end=1000")
+      assert(cTwoEnds == 400)
+      // end+count without start/timespan is valid (count mandatory rule)
+      val (cEndCount, ec) = get(s"http://127.0.0.1:$port/api/v0/fetch" +
+        "?selector=~.*&end=1000&count=1&format=tsv")
+      assert(cEndCount == 200 && ec.split("\n").toSeq.sorted ==
         Seq("100\t1.0", "200\t2.0", "300\t3.0"))
     } finally facade.stop()
   }
@@ -150,7 +163,7 @@ class RestFacadeSpec extends SparkSpec {
       val (cu, _) = post(s"$base/update",
         "400// m.cpu{host=c} 9.0\n=500// 10.0")
       assert(cu == 200)
-      val (_, t1) = get(s"$base/fetch?selector=m.cpu%7Bhost=c%7D&format=tsv")
+      val (_, t1) = get(s"$base/fetch?selector=m.cpu%7Bhost=c%7D&start=0&stop=1000&format=tsv")
       assert(t1.split("\n").toSeq.sorted == Seq("400\t9.0", "500\t10.0"))
       // find: one class{labels}{attributes} line per series
       val (cf, found) = get(s"$base/find?selector=~m.cpu.*")
@@ -170,7 +183,7 @@ class RestFacadeSpec extends SparkSpec {
       val (cd, deleted) = get(
         s"$base/delete?selector=m.cpu%7Bhost=c%7D&start=450&end=600")
       assert(cd == 200 && deleted.trim == "m.cpu{host=c}")
-      val (_, t2) = get(s"$base/fetch?selector=m.cpu%7Bhost=c%7D&format=tsv")
+      val (_, t2) = get(s"$base/fetch?selector=m.cpu%7Bhost=c%7D&start=0&stop=1000&format=tsv")
       assert(t2.split("\n").toSeq.filter(_.nonEmpty) == Seq("400\t9.0"))
       // deleteall removes the series entirely → find no longer lists it
       val (cd2, _) = get(
@@ -199,7 +212,7 @@ class RestFacadeSpec extends SparkSpec {
       assert(cd == 200 && deleted.trim == "m.usr{host=a,user=1}")
       // the base series have no 'user' label: the selector verdict is
       // NULL for them and they must survive the delete
-      val (_, tsv) = get(s"$base/fetch?selector=~.*&format=tsv")
+      val (_, tsv) = get(s"$base/fetch?selector=~.*&start=0&stop=1000&format=tsv")
       assert(tsv.split("\n").toSeq.sorted ==
         Seq("100\t1.0", "200\t2.0", "300\t3.0"))
     } finally facade.stop()
@@ -250,7 +263,7 @@ class RestFacadeSpec extends SparkSpec {
         "800// m.ok{h=a} 1.0\nthis is not line protocol")
       assert(code == 400 && body.contains("bad line protocol"))
       // the failed request must not have partially applied
-      val (_, tsv) = get(s"$base/fetch?selector=m.ok%7B%7D&format=tsv")
+      val (_, tsv) = get(s"$base/fetch?selector=m.ok%7B%7D&start=0&stop=1000&format=tsv")
       assert(tsv.trim.isEmpty)
     } finally facade.stop()
   }
