@@ -147,6 +147,35 @@ class FetchSelectorsSpec extends SparkSpec {
       a == Long.MinValue && b == Long.MaxValue }, ranges)
   }
 
+  test("with a maintained directory, pagination and multi-selector " +
+    "ownership also read metadata — every storage scan stays ranged") {
+    val f = frame
+    val ranges = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val metaDf = graft.model.Gts.metaTable(f.df)
+    val e2 = new WarpScriptEngine(
+      fetch = (cls, labels, a, b) => {
+        ranges += ((a, b)); f.select(cls, labels).timeclip(a, b) },
+      nowTs = 0L, session = Some(spark), meta = Some(() => metaDf))
+    // multi-selector (ownership) + gskip/gcount (pagination) together:
+    // 4 series paged 2+2; the union of pages must equal the unpaged set
+    val pages = (0 to 1).map { p =>
+      e2.runToFrame(
+        s"{ 'selectors' [ '~[ab]{}' 'a{user~u2}' ] 'start' 0 'end' 1000 " +
+          s"'gskip' ${p * 2} 'gcount' 2 } FETCH")
+        .select(col("class"), col("labels").getItem("user"), col("ts"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSeq
+    }
+    assert(pages(0).toSet.intersect(pages(1).toSet).isEmpty)
+    assert((pages(0) ++ pages(1)).sorted == Seq(
+      ("a", "u1", 10L), ("a", "u1", 20L), ("a", "u2", 30L), ("b", "u1", 40L),
+      ("b", "u2", 50L)))
+    // the directory answered ownership AND the page ranks: the storage
+    // hook was only ever asked for ranges within the request (the
+    // boundary-free request reads [0,1000] and nothing else)
+    assert(ranges.forall { case (a, b) => a >= 0L && b <= 1000L }, ranges)
+  }
+
   test("a session UPDATE bumps activity on the metadata-backed gate, " +
     "like ingress maintaining the directory") {
     val f = frame
