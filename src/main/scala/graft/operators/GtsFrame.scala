@@ -232,14 +232,21 @@ final case class GtsFrame(df: DataFrame) {
   def bucketize(agg: ValueAgg, lastbucket: Long, bucketspan: Long,
                 bucketcount: Long = 0L): GtsFrame = {
     require(bucketspan > 0, "bucketize with auto-params: use bucketizeAuto")
-    val inWindow =
-      if (bucketcount > 0)
-        col("ts") > lastbucket - bucketcount * bucketspan && col("ts") <= lastbucket
-      else col("ts") <= lastbucket
+    bucketizeCols(df, agg, lit(lastbucket), lit(bucketspan),
+      if (bucketcount > 0) Some(lit(bucketcount)) else None)
+  }
+
+  /** Bucketize with per-row parameter COLUMNS (the auto-param path
+    * joins each series' own resolved lastbucket/span/count). */
+  private def bucketizeCols(d: DataFrame, agg: ValueAgg, lastbucket: Column,
+      bucketspan: Column, bucketcount: Option[Column]): GtsFrame = {
+    val inWindow = bucketcount
+      .map(c => col("ts") > lastbucket - c * bucketspan && col("ts") <= lastbucket)
+      .getOrElse(col("ts") <= lastbucket)
     // native codegen'd expression; exact long arithmetic (plans/BucketEnd)
-    val bucketEnd = graft.plans.BucketEnd.bucketEnd(df.sparkSession,
-      col("ts"), lit(lastbucket), lit(bucketspan))
-    val grouped = df.filter(inWindow)
+    val bucketEnd = graft.plans.BucketEnd.bucketEnd(d.sparkSession,
+      col("ts"), lastbucket, bucketspan)
+    val grouped = d.filter(inWindow)
       .withColumn("__bucket", bucketEnd)
       .groupBy(col("gtsid"), col("__bucket"))
       .agg(
@@ -260,23 +267,76 @@ final case class GtsFrame(df: DataFrame) {
       .withColumn("vbinary", lit(null).cast(BinaryType))))
   }
 
-  /** Auto-parameter resolution per GTSHelper.java:2261-2358: when 0,
-    * lastbucket ← last tick, span ← ⌈(lastbucket−firsttick+1)/count⌉,
-    * count ← 1+(lastbucket−firsttick)/span. Computed per the GLOBAL tick
-    * extent of the frame (one tiny agg, broadcast back as literals).
+  /** Exact integer floor-division as a Column. floor(a/b) on doubles
+    * is correctly rounded for |a| ≤ 2^51 and b ≥ 1 (half-ulp of the
+    * quotient is < 1/(4b), smaller than the 1/b gap to the next
+    * integer) — tick extents (~2^50 µs epochs) sit inside that. */
+  private def idiv(a: Column, b: Column): Column =
+    floor(a / b).cast(LongType)
+
+  /** Auto-parameter resolution per GTSHelper.java:2261-2358, PER GTS —
+    * the reference bucketizes each series against ITS OWN tick extent:
+    *  - lastbucket 0 → that series' last tick;
+    *  - bucketspan 0 → q = ⌊(lastbucket−firsttick+1)/count⌋, bumped by
+    *    one unless it divides the delta exactly (:2294-2312 — NOT a
+    *    plain ceil: a q that divides the delta stays, even when count·q
+    *    undershoots the extent and the oldest ticks drop);
+    *  - bucketspan −1 → same with delta = lastbucket−firsttick over
+    *    count−1 (delta itself for count 1);
+    *  - bucketcount 0 → 1 if the span covers the extent, else
+    *    1+⌊(lastbucket−firsttick)/span⌋ (:2325-2335);
+    *  - when BOTH lastbucket and bucketcount were 0, lastbucket is
+    *    aligned UP to the next span boundary and the count grows by one
+    *    if the widened window still reaches firsttick (:2341-2349).
+    * Resolved params are per-series COLUMNS (one series-cardinality
+    * aggregate joined back), so a frame of series with different
+    * extents buckets exactly like the reference's per-GTS loop.
     */
   def bucketizeAuto(agg: ValueAgg, lastbucket: Long, bucketspan: Long,
                     bucketcount: Long): GtsFrame = {
-    if (bucketspan > 0 && lastbucket != 0) return bucketize(agg, lastbucket, bucketspan, bucketcount)
-    val r = df.agg(min(col("ts")), max(col("ts"))).head()
-    val (firsttick, lasttick) = (r.getLong(0), r.getLong(1))
-    val lb = if (lastbucket != 0) lastbucket else lasttick
-    val span =
-      if (bucketspan > 0) bucketspan
-      else if (bucketcount > 0) Math.ceil((lb - firsttick + 1).toDouble / bucketcount).toLong
-      else throw new IllegalArgumentException("bucketspan and bucketcount both 0")
-    val cnt = if (bucketcount > 0) bucketcount else 1 + (lb - firsttick) / span
-    bucketize(agg, lb, span, cnt)
+    if (bucketspan > 0 && lastbucket != 0)
+      return bucketize(agg, lastbucket, bucketspan, bucketcount)
+    require(bucketspan > 0 || bucketspan == 0 || bucketspan == -1,
+      s"BUCKETIZE invalid bucketspan $bucketspan")
+    val ext = df.groupBy(col("gtsid"))
+      .agg(min(col("ts")).as("__ft"), max(col("ts")).as("__lt"))
+    val ft = col("__ft")
+    val lb0 = if (lastbucket != 0) lit(lastbucket) else col("__lt")
+    val span0: Column =
+      if (bucketspan > 0) lit(bucketspan)
+      else {
+        require(bucketcount > 0,
+          "One of bucketspan or bucketcount must be different from zero.")
+        val delta = if (bucketspan == 0L) lb0 - ft + 1 else lb0 - ft
+        val q =
+          if (bucketspan == 0L) idiv(delta, lit(bucketcount))
+          else if (bucketcount == 1L) delta
+          else idiv(delta, lit(bucketcount - 1))
+        when(lb0 >= ft,
+          when(q === 0 || delta % q =!= 0, q + 1).otherwise(q))
+          .otherwise(lit(0L))
+      }
+    // undefined span (explicit lastbucket older than a series' first
+    // tick) is the reference's hard error, not a silent drop
+    val span = when(span0 > 0, span0).otherwise(expr(
+      "raise_error('BUCKETIZE Undefined bucket span, check your GTS timestamps.')")
+      .cast(LongType))
+    val cnt0: Column =
+      if (bucketcount > 0) lit(bucketcount)
+      else {
+        val d2 = lb0 - ft
+        when(lb0 >= ft,
+          when(d2 < span, lit(1L)).otherwise(lit(1L) + idiv(d2, span)))
+          .otherwise(lit(0L))
+      }
+    val (lbF, cntF) =
+      if (lastbucket == 0L && bucketcount == 0L) {
+        val rem = lb0 % span
+        val lbA = when(rem =!= 0, lb0 - rem + span).otherwise(lb0)
+        (lbA, when(rem =!= 0 && lbA - cnt0 * span >= ft, cnt0 + 1)
+          .otherwise(cnt0))
+      } else (lb0, cnt0)
+    bucketizeCols(df.join(ext, Seq("gtsid")), agg, lbF, span, Some(cntF))
   }
 
   // ---------------------------------------------------------------------

@@ -333,6 +333,29 @@ object WsQueries6 {
         .groupBy(col("which"), col("class"), col("userid"))
         .agg(count(lit(1)).as("n"), sum(col("vdouble")).cast("long").as("v"))
     }),
+
+    // BUCKETIZE auto-parameter conformance (GTSHelper.java:2261-2358,
+    // re-derived round 11 — resolution is PER GTS against each series'
+    // own extent). Three faces:
+    //  'autocnt'  — lastbucket 0 + count 0: lastbucket ← the series'
+    //               last tick aligned UP to the next span boundary
+    //               (count grows by one only if the widened window
+    //               still reaches firsttick);
+    //  'autospan' — span 0: q = ⌊(lastbucket−firsttick+1)/count⌋ kept
+    //               when it divides the delta exactly (oldest ticks
+    //               DROP), else bumped — floor-then-bump, not ceil;
+    //  'neg1'     — span −1: the open delta over count−1 spans.
+    "w132_ws_bucketize_auto" -> ((s, dir) => {
+      val e = engine(s, dir, cents = true)
+      def run(prog: String, tag: String) = e.runToFrame(prog)
+        .select(lit(tag).as("which"), col("class"), userid, col("ts"),
+          col("vdouble").cast("long").as("v"))
+      run(s"[ $FETCHALL bucketizer.sum 0 $DAY 0 ] BUCKETIZE", "autocnt")
+        .unionByName(
+          run(s"[ $FETCHALL bucketizer.sum $LB 0 20 ] BUCKETIZE", "autospan"))
+        .unionByName(
+          run(s"[ $FETCHALL bucketizer.sum $LB -1 20 ] BUCKETIZE", "neg1"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -584,5 +607,55 @@ object WsQueries6 {
          |SELECT 'nowlit', class, userid, count(*), CAST(sum(cents) AS BIGINT)
          |FROM r WHERE rn <= 2 GROUP BY 2, 3""".stripMargin
     },
+
+    // replays the per-series auto-parameter arithmetic exactly:
+    // floor divisions (// on non-negative operands = floorDiv), the
+    // divides-exactly span rule, and the both-zero lastbucket
+    // alignment
+    "w132_ws_bucketize_auto" ->
+      s"""WITH g AS ($EV),
+         |ext AS (SELECT class, userid, min(ts) AS ft, max(ts) AS lt
+         |        FROM g WHERE ts <= $LB GROUP BY 1, 2),
+         |ac0 AS (SELECT class, userid, ft, lt,
+         |          CASE WHEN lt - ft < $DAY THEN 1
+         |               ELSE 1 + (lt - ft) // $DAY END AS cnt0,
+         |          lt % $DAY AS rem
+         |        FROM ext),
+         |ac AS (SELECT class, userid, ft,
+         |         CASE WHEN rem <> 0 THEN lt - rem + $DAY ELSE lt END AS lb,
+         |         CASE WHEN rem <> 0
+         |               AND (CASE WHEN rem <> 0 THEN lt - rem + $DAY
+         |                         ELSE lt END) - cnt0 * $DAY >= ft
+         |              THEN cnt0 + 1 ELSE cnt0 END AS cnt
+         |       FROM ac0),
+         |f1 AS (SELECT 'autocnt' AS which, g.class, g.userid,
+         |         p.lb - ((p.lb - g.ts) // $DAY) * $DAY AS ts, g.cents
+         |       FROM g JOIN ac p ON g.class = p.class AND g.userid = p.userid
+         |       WHERE g.ts > p.lb - p.cnt * ${DAY}::BIGINT
+         |         AND g.ts <= p.lb),
+         |sp0 AS (SELECT class, userid, ft,
+         |          ($LB - ft + 1) // 20 AS q, $LB - ft + 1 AS delta
+         |        FROM ext),
+         |sp AS (SELECT class, userid,
+         |         CASE WHEN q = 0 OR delta % q <> 0 THEN q + 1 ELSE q END AS span
+         |       FROM sp0),
+         |f2 AS (SELECT 'autospan' AS which, g.class, g.userid,
+         |         $LB - (($LB - g.ts) // p.span) * p.span AS ts, g.cents
+         |       FROM g JOIN sp p ON g.class = p.class AND g.userid = p.userid
+         |       WHERE g.ts > $LB - 20 * p.span AND g.ts <= $LB),
+         |n10 AS (SELECT class, userid, ft,
+         |          ($LB - ft) // 19 AS q, $LB - ft AS delta
+         |        FROM ext),
+         |n1 AS (SELECT class, userid,
+         |         CASE WHEN q = 0 OR delta % q <> 0 THEN q + 1 ELSE q END AS span
+         |       FROM n10),
+         |f3 AS (SELECT 'neg1' AS which, g.class, g.userid,
+         |         $LB - (($LB - g.ts) // p.span) * p.span AS ts, g.cents
+         |       FROM g JOIN n1 p ON g.class = p.class AND g.userid = p.userid
+         |       WHERE g.ts > $LB - 20 * p.span AND g.ts <= $LB),
+         |u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+         |      UNION ALL SELECT * FROM f3)
+         |SELECT which, class, userid, ts, CAST(sum(cents) AS BIGINT) AS v
+         |FROM u GROUP BY 1, 2, 3, 4""".stripMargin,
   )
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.GtsFrame
 import graft.operators.GtsFrame._
 
@@ -41,12 +43,51 @@ class BucketizeSpec extends SparkSpec {
     assert(out === Seq((2L, 2.0), (4L, 2.0), (6L, 2.0), (8L, 2.0), (10L, 2.0)))
   }
 
-  test("auto count from span") {
-    // ticks 1..10, span=3, lastbucket←10 → count = 1+(10-1)/3 = 4
-    // buckets: (7,10] sum 3, (4,7] sum 3, (1,4] sum 3, (-2,1] sum 1
+  test("auto count from span aligns lastbucket UP to a span boundary " +
+    "(GTSHelper.java:2341-2349, zeroLastBucket && zeroBucketcount)") {
+    // ticks 1..10, span=3: lastbucket←10, count←1+(10-1)/3=4, then the
+    // both-were-zero alignment bumps lastbucket to 12 (10%3=1≠0); the
+    // widened window's oldest edge 12-4·3=0 < firsttick 1, so the
+    // count stays 4. Buckets end 12,9,6,3.
     val g = GtsFrame(gtsOf((1L to 10L).map(t => ("m", "u", t, 1.0)): _*))
     val out = tsv(g.bucketizeAuto(Sum, 0L, 3L, 0L).df)
+    assert(out === Seq((3L, 3.0), (6L, 3.0), (9L, 3.0), (12L, 1.0)))
+  }
+
+  test("auto span that divides the delta exactly STAYS, dropping the " +
+    "oldest ticks (GTSHelper.java:2294-2312 — floor-then-bump, not ceil)") {
+    // ticks 1..12, lastbucket=12, count=5: delta=12, q=⌊12/5⌋=2 and
+    // 12%2==0 so span stays 2 — count·span=10 < 12, ticks 1,2 drop
+    val g = GtsFrame(gtsOf((1L to 12L).map(t => ("m", "u", t, 1.0)): _*))
+    val out = tsv(g.bucketizeAuto(Sum, 12L, 0L, 5L).df)
+    assert(out === Seq((4L, 2.0), (6L, 2.0), (8L, 2.0), (10L, 2.0), (12L, 2.0)))
+  }
+
+  test("bucketspan -1 spreads count-1 spans over the OPEN delta " +
+    "(GTSHelper.java:2295-2305)") {
+    // ticks 1..10, lastbucket=10, count=4, span=-1: delta=10-1=9,
+    // q=⌊9/3⌋=3 divides → span 3; buckets end 10,7,4,1
+    val g = GtsFrame(gtsOf((1L to 10L).map(t => ("m", "u", t, 1.0)): _*))
+    val out = tsv(g.bucketizeAuto(Sum, 10L, -1L, 4L).df)
     assert(out === Seq((1L, 1.0), (4L, 3.0), (7L, 3.0), (10L, 3.0)))
+    // span=0 same setup: delta=10, q=⌊10/4⌋=2 divides → span 2,
+    // window (2,10], ticks 1-2 drop — the two forms genuinely differ
+    val out0 = tsv(g.bucketizeAuto(Sum, 10L, 0L, 4L).df)
+    assert(out0 === Seq((4L, 2.0), (6L, 2.0), (8L, 2.0), (10L, 2.0)))
+  }
+
+  test("auto params resolve PER GTS, each against its own extent " +
+    "(the reference bucketizes one series at a time)") {
+    val g = GtsFrame(gtsOf(
+      ((1L to 4L).map(t => ("m", "u1", t, 1.0)) ++
+        (11L to 14L).map(t => ("m", "u2", t, 1.0))): _*))
+    val out = g.bucketizeAuto(Sum, 0L, 0L, 2L).df
+      .select(col("labels").getItem("user"), col("ts"), col("vdouble"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sorted
+    // u1: lb=4, delta=4, span=⌊4/2⌋=2 → buckets 2,4; u2: lb=14 → 12,14
+    assert(out === Seq(("u1", 2L, 2.0), ("u1", 4L, 2.0),
+      ("u2", 12L, 2.0), ("u2", 14L, 2.0)))
   }
 
   test("mean/min/max/first/last/delta bucketizers") {
