@@ -44,6 +44,14 @@ final class KernelOps(df: DataFrame) {
     perSeries((id, pts) => SeriesKernels.lttbExact(pts, threshold).map(p => (id, p.ts, p.v)))
       .toDF("gtsid", "ts", "vdouble")
 
+  /** The reference's own LTTB arithmetic (LTTB/TLTTB words) — see
+    * [[SeriesKernels.lttbReference]]. */
+  def lttbRef(threshold: Int, timebased: Boolean): DataFrame =
+    perSeries((id, pts) =>
+      SeriesKernels.lttbReference(pts, threshold, timebased)
+        .map(p => (id, p.ts, p.v)))
+      .toDF("gtsid", "ts", "vdouble")
+
   /** filler.akima (reference filler semantics): Akima sub-spline
     * through each series' knots on grid indexes 0..gridCount-1. Akima
     * derivatives are LOCAL (four surrounding slopes, boundary slopes

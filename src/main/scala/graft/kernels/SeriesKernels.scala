@@ -72,6 +72,101 @@ object SeriesKernels {
     out.result()
   }
 
+  /** The reference's OWN LTTB arithmetic (GTSHelper.java:12319-12485),
+    * re-derived with its quirks intact — it differs from Steinarsson's
+    * canonical formulation (and from [[lttbExact]]):
+    *  - bucketsize = n/(threshold−1), index ranges
+    *    [1+⌊i·bs⌋, 1+⌊(i+1)·bs⌋) with end clamps;
+    *  - the lookahead average divides by (last−first+1) although the
+    *    sum spans [first, last) — an off-by-one the reference ships;
+    *  - the triangle's reference point is ALWAYS the first point
+    *    (refidx is initialized to 0 and never reassigned, :12387);
+    *  - `timebased` (TLTTB) derives per-series time buckets of width
+    *    ⌈(lastTick−firstTick−2)/(threshold−2)⌉, collects non-empty
+    *    bucket boundaries, and resets threshold to their count;
+    *  - a bucket whose scan selects nothing (clamped-empty range)
+    *    contributes no point; GTS with ≤ threshold−2 values return
+    *    unchanged; threshold < 3 errors.
+    * Ties break to the EARLIEST index (strict `>`), so the argmax is
+    * deterministic on exact-integer fixtures. */
+  def lttbReference(pts: IndexedSeq[Pt], threshold0: Int,
+      timebased: Boolean): IndexedSeq[Pt] = {
+    val n = pts.length
+    if (n <= threshold0 - 2) return pts
+    require(threshold0 >= 3, "Threshold MUST be >= 3.")
+    val ticks = pts.map(_.ts)
+    val vals = pts.map(_.v)
+    val bucketsize = n.toDouble / (threshold0 - 1).toDouble
+    var threshold = threshold0
+    var buckets: IndexedSeq[Int] = null
+    if (timebased) {
+      val timebucket = math.ceil(
+        (ticks(n - 1) - ticks(0) - 2).toDouble / (threshold0 - 2).toDouble).toLong
+      val b = IndexedSeq.newBuilder[Int]
+      val lowerts = ticks(0) + 1
+      b += 0
+      var lastbucket = 0L
+      var i = 1
+      while (i < n - 1) {
+        val bucket = 1 + (ticks(i) - lowerts) / timebucket
+        if (bucket != lastbucket) { b += (i - 1); b += i; lastbucket = bucket }
+        i += 1
+      }
+      b += (n - 2); b += (n - 1); b += (n - 1)
+      buckets = b.result()
+      threshold = buckets.size / 2
+    }
+    val out = IndexedSeq.newBuilder[Pt]
+    out += pts(0)
+    val refvalue = vals(0)
+    val reftick = ticks(0).toDouble
+    var i = 0
+    while (i < threshold - 2) {
+      // lookahead ("third point") average range
+      var first = 0
+      var last = 0
+      if (timebased) {
+        first = buckets(2 * (i + 2))
+        last = buckets(2 * (i + 2) + 1) + 1
+      } else {
+        first = 1 + math.floor((i + 1) * bucketsize).toInt
+        last = 1 + math.floor((i + 2) * bucketsize).toInt
+        if (first >= n) first = n - 1
+        if (last >= n) last = n - 1
+      }
+      var ticksum = 0.0
+      var valuesum = 0.0
+      var j = first
+      while (j < last) { ticksum += ticks(j); valuesum += vals(j); j += 1 }
+      val tickavg = ticksum / (last - first + 1)
+      val valueavg = valuesum / (last - first + 1)
+      // current bucket scan
+      if (timebased) {
+        first = buckets(2 * (i + 1))
+        last = buckets(2 * (i + 1) + 1) + 1
+      } else {
+        first = 1 + math.floor(i * bucketsize).toInt
+        last = 1 + math.floor((i + 1) * bucketsize).toInt
+        if (first >= n - 1) first = n - 2
+        if (last >= n - 1) last = n - 1
+      }
+      var maxarea = -1.0
+      var nextref = -1
+      var k = first
+      while (k < last) {
+        val area = 0.5 * math.abs(
+          (reftick - tickavg) * (vals(k) - refvalue) -
+            (reftick - ticks(k)) * (valueavg - refvalue))
+        if (area > maxarea) { maxarea = area; nextref = k }
+        k += 1
+      }
+      if (nextref != -1) out += pts(nextref)
+      i += 1
+    }
+    out += pts(n - 1)
+    out.result()
+  }
+
   /** Largest-Triangle-Three-Buckets downsampling to `threshold` points
     * (Steinarsson 2013, the public algorithm behind fn/LTTB.java). */
   def lttb(pts: IndexedSeq[Pt], threshold: Int): IndexedSeq[Pt] = {

@@ -790,6 +790,50 @@ final case class GtsFrame(df: DataFrame) {
     df.filter(col("ts") <= lastchunk).withColumn("chunkid", chunkEnd)
   }
 
+  /** The CHUNK word's semantics (fn/CHUNK.java; GTSHelper.chunk:
+    * 9599-9800, non-bucketized, overlap 0): each point joins the chunk
+    * ENDING at lastchunk − i·width that contains it, and the chunk id
+    * becomes a NEW LABEL (`chunklabel` → chunkend rendered as a Long
+    * string) — a new series identity per chunk, the frame form of the
+    * reference's list of chunk GTS. lastchunk 0 resolves PER SERIES to
+    * the last tick aligned UP to a width boundary (:9671-9681); under
+    * keepempty=false — the only mode a points-frame can represent — an
+    * explicit lastchunk beyond a series' last tick shifts down to the
+    * chunk containing it and a nonzero chunkcount shrinks by the
+    * skipped empty chunks (:9689-9699); a pre-existing `chunklabel`
+    * label is the reference's hard error (:9615-9616). */
+  def chunkRef(lastchunk: Long, width: Long, count: Long,
+               chunklabel: String): GtsFrame = {
+    require(width > 0, "CHUNK chunkwidth must be > 0")
+    val ext = df.groupBy(col("gtsid")).agg(max(col("ts")).as("__lt"))
+    val lt = col("__lt")
+    val lc0: Column =
+      if (lastchunk != 0) lit(lastchunk)
+      else when(lt % width =!= 0, lt - (lt % width) + width).otherwise(lt)
+    val skipped = when(lc0 > lt, idiv(lc0 - lt, lit(width))).otherwise(lit(0L))
+    val lc = lc0 - lit(width) * skipped
+    val cntOpt: Option[Column] =
+      if (count > 0) Some(lit(count) - skipped) else None
+    val inWindow = cntOpt
+      .map(c => col("ts") > lc - c * lit(width) && col("ts") <= lc)
+      .getOrElse(col("ts") <= lc)
+    val chunkEnd0 = graft.plans.BucketEnd.bucketEnd(df.sparkSession,
+      col("ts"), lc, lit(width))
+    // the error branch carries the output type so the optimizer cannot
+    // null-propagate the check away
+    val chunkEnd = when(map_contains_key(col("labels"), lit(chunklabel)),
+      raise_error(lit("CHUNK Cannot operate on Geo Time Series which " +
+        s"already have a label named '$chunklabel'")).cast(LongType))
+      .otherwise(chunkEnd0)
+    val labels2 = map_concat(col("labels"),
+      map(lit(chunklabel), chunkEnd.cast(StringType)))
+    GtsFrame(df.join(ext, Seq("gtsid"))
+      .filter(inWindow)
+      .withColumn("labels", labels2)
+      .withColumn("gtsid", Gts.gtsIdCol(col("class"), col("labels")))
+      .drop("__lt"))
+  }
+
   /** TIMESPLIT (fn/TIMESPLIT.java) — split a series on quiet periods
     * longer than `quiet` µs; emits a session id per sub-series via the
     * classic gap-cumsum. */

@@ -328,12 +328,19 @@ object WsQueries {
     }),
 
 
+    // CHUNK's 5-parameter reference form (fn/CHUNK.java; corrected
+    // r11): the chunk id arrives as a NEW LABEL. keepempty=false with
+    // an explicit lastchunk beyond a series' last tick shifts that
+    // series' grid down to the chunk CONTAINING its last tick
+    // (GTSHelper.chunk:9689-9699) — so the chunk ends are per-series,
+    // unlike g16's fixed grid.
     "w23_ws_chunk" -> ((s, dir) => {
       val program =
         s"""[ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
-           |$LB 1 d CHUNK""".stripMargin
+           |$LB 1 d 0 'chunk' false CHUNK""".stripMargin
       engine(s, dir, cents = false).runToFrame(program)
-        .select(col("class"), userid, col("ts"), col("chunkid"))
+        .select(col("class"), userid, col("ts"),
+          col("labels").getItem("chunk").cast("long").as("chunkid"))
     }),
 
 
@@ -670,7 +677,18 @@ object WsQueries {
 
     "w22_ws_timesplit" -> GtsQueries.oracleSql("g15_timesplit"),
 
-    "w23_ws_chunk" -> GtsQueries.oracleSql("g16_chunk"),
+    // per-series chunk grid: lastchunk LB shifts down to the chunk
+    // containing each series' last tick (keepempty=false adjustment)
+    "w23_ws_chunk" ->
+      s"""WITH g AS ($EV),
+         |ext AS (SELECT class, userid, max(ts) AS lt FROM g GROUP BY 1, 2),
+         |p AS (SELECT class, userid,
+         |        $LB - $DAY * (($LB - lt) // $DAY) AS lc
+         |      FROM ext)
+         |SELECT g.class, g.userid, g.ts,
+         |  p.lc - ((p.lc - g.ts) // $DAY) * $DAY AS chunkid
+         |FROM g JOIN p ON g.class = p.class AND g.userid = p.userid
+         |WHERE g.ts <= p.lc""".stripMargin,
 
     "w24_ws_normalize" -> GtsQueries.oracleSql("g18_normalize"),
 

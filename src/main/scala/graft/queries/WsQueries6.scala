@@ -356,6 +356,30 @@ object WsQueries6 {
         .unionByName(
           run(s"[ $FETCHALL bucketizer.sum $LB -1 20 ] BUCKETIZE", "neg1"))
     }),
+
+    // LTTB / TLTTB words (GTSHelper.lttb:12319-12485, re-derived round
+    // 11): the reference's own arithmetic — bucketsize n/(threshold−1),
+    // the lookahead average's off-by-one denominator, a triangle
+    // anchor FIXED at the first point, and TLTTB's per-series TIME
+    // buckets of width ceil((last−first−2)/(threshold−2)) with the
+    // threshold re-set to the non-empty bucket count (TLTTB pops a
+    // THRESHOLD like LTTB, not a timespan). Hand-derived expectations
+    // (each bucket's argmax traced by hand in KernelsSpec) over exact
+    // integer fixtures, so every area/average is cross-engine
+    // deterministic.
+    "w133_ws_lttb_words" -> ((s, dir) => {
+      val e = engine(s, dir, cents = false)
+      val L = "{ 'c' 'fx' 'l' { } 't' [ 0 1 2 3 4 5 6 7 8 9 ] " +
+        "'v' [ 0.0 10.0 0.0 0.0 50.0 0.0 0.0 20.0 0.0 5.0 ] } MAKEGTS"
+      val T = "{ 'c' 'fx' 'l' { } 't' [ 0 1 2 3 10 11 12 13 ] " +
+        "'v' [ 0.0 5.0 1.0 1.0 9.0 2.0 2.0 7.0 ] } MAKEGTS"
+      e.runToFrame(s"$L 5 LTTB")
+        .select(lit("lttb").as("which"), col("ts"),
+          col("vdouble").cast("long").as("v"))
+        .unionByName(e.runToFrame(s"$T 4 TLTTB")
+          .select(lit("tlttb").as("which"), col("ts"),
+            col("vdouble").cast("long").as("v")))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -657,5 +681,15 @@ object WsQueries6 {
          |      UNION ALL SELECT * FROM f3)
          |SELECT which, class, userid, ts, CAST(sum(cents) AS BIGINT) AS v
          |FROM u GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // hand-derived goldens (the bucket-by-bucket trace lives in
+    // KernelsSpec): LTTB 5 over ticks 0..9 keeps 0,2,4,7,9; TLTTB 4
+    // over the two time-clusters keeps 0,1,12,13
+    "w133_ws_lttb_words" ->
+      """SELECT * FROM (VALUES
+        |  ('lttb', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('lttb', 2, 0), ('lttb', 4, 50), ('lttb', 7, 20), ('lttb', 9, 5),
+        |  ('tlttb', 0, 0), ('tlttb', 1, 5), ('tlttb', 12, 2),
+        |  ('tlttb', 13, 7)) AS t(which, ts, v)""".stripMargin,
   )
 }

@@ -954,11 +954,13 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       val b = toFrame(args(args.length - 2))
       val a = toFrame(args(args.length - 3))
       st.push(GtsFrame(graft.operators.StatOps.correlate(a, b, labels)))
-    // LTTB (fn/LTTB.java): gts threshold LTTB — exact-area variant
+    // LTTB (fn/LTTB.java, GTSHelper.lttb:12319-12485): gts threshold
+    // LTTB — the reference's own bucket/average/anchor arithmetic
+    // (SeriesKernels.lttbReference), quirks included
     case "LTTB" =>
       val thr = st.popLong().toInt
       val f = toFrame(st.pop())
-      val sel = new graft.kernels.KernelOps(f.df).lttbExact(thr)
+      val sel = new graft.kernels.KernelOps(f.df).lttbRef(thr, timebased = false)
       val meta = f.df.groupBy(col("gtsid"))
         .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
       st.push(GtsFrame(sel.join(meta, "gtsid")))
@@ -1140,9 +1142,21 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       st.push(toFrame(st.pop()).timemodulo(mod, lbl))
     case "TIMESPLIT" =>
       val quiet = st.popLong(); st.push(GtsFrame(toFrame(st.pop()).timesplit(quiet)))
+    // CHUNK (fn/CHUNK.java): gts lastchunk chunkwidth chunkcount
+    // chunklabel keepempty CHUNK — the 5-parameter reference form
+    // (corrected round 11; the chunk id becomes a label = new series
+    // per chunk, GtsFrame.chunkRef). keepempty=true would require
+    // empty-series rows a points-frame cannot carry — rejected loudly
+    // like FETCH's keepempty (see COVERAGE.md).
     case "CHUNK" =>
-      val width = st.popLong(); val lastchunk = st.popLong()
-      st.push(GtsFrame(toFrame(st.pop()).chunk(lastchunk, width)))
+      val keepempty = st.popBool()
+      val chunklabel = st.popStr()
+      val count = st.popLong()
+      val width = st.popLong()
+      val lastchunk = st.popLong()
+      require(!keepempty, "CHUNK 'keepempty' true is not supported by " +
+        "this engine (a points-frame has no empty-series rows; see COVERAGE.md).")
+      st.push(toFrame(st.pop()).chunkRef(lastchunk, width, count, chunklabel))
     case "NORMALIZE" => st.push(toFrame(st.pop()).normalize())
     case "STANDARDIZE" => st.push(toFrame(st.pop()).standardize())
     // COMMONTICKS (fn/COMMONTICKS.java): keep only ticks present in

@@ -274,15 +274,15 @@ private[script] object WordsGts {
           else max(col("vdouble")).over(cum)
         st.push(GtsFrame(f.df.withColumn("vdouble", clamped)))
 
-      // TLTTB (fn/TLTTB.java): LTTB with the bucket count derived from
-      // a timespan (2-value driver agg for the extent, as bucketizeAuto)
+      // TLTTB (fn/LTTB.java registered timebased=true,
+      // WarpScriptLib:2528): SAME threshold parameter as LTTB — the
+      // 'T' selects TIME-based buckets of per-series width
+      // ceil((last−first−2)/(threshold−2)), not a timespan argument
+      // (corrected round 11; SeriesKernels.lttbReference)
       case "TLTTB" =>
-        val span = st.popLong()
-        require(span > 0, "TLTTB expects a positive timespan")
+        val thr = st.popLong().toInt
         val f = en.toFrame(st.pop())
-        val ext = f.df.agg(min(col("ts")), max(col("ts"))).head()
-        val n = ((ext.getLong(1) - ext.getLong(0)) / span + 1).toInt
-        val sel = new graft.kernels.KernelOps(f.df).lttbExact(math.max(n, 2))
+        val sel = new graft.kernels.KernelOps(f.df).lttbRef(thr, timebased = true)
         st.push(GtsFrame(sel.join(en.metaOf(f), "gtsid")))
 
       // ---- series grouping (fn/PARTITION.java: [gts] [labels] →

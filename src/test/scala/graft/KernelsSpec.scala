@@ -14,6 +14,41 @@ class KernelsSpec extends SparkSpec {
     assert(out.map(_.ts) === out.map(_.ts).sorted) // chronological
   }
 
+  test("lttbReference replays GTSHelper.lttb's exact arithmetic " +
+    "(bucketsize n/(t-1), off-by-one average, fixed first-point anchor)") {
+    // hand-derived: n=10, threshold=5 → bucketsize 2.5.
+    //  i=0: lookahead j=3..5 avg over denom 4 → (3.0, 12.5); current
+    //       j∈{1,2}: areas 8.75 vs 12.5 → pick idx 2;
+    //  i=1: lookahead j=6..7 denom 3 → (13/3, 20/3); current j=3..5:
+    //       areas 10, 95, 16.7 → idx 4;
+    //  i=2: lookahead j=8 denom 2 → (4.0, 0.0); current j∈{6,7}:
+    //       areas 0, 40 → idx 7. Output ticks 0,2,4,7,9.
+    val vals = IndexedSeq(0.0, 10.0, 0.0, 0.0, 50.0, 0.0, 0.0, 20.0, 0.0, 5.0)
+    val pts = vals.zipWithIndex.map { case (v, i) => Pt(i.toLong, v) }
+    val out = SeriesKernels.lttbReference(pts, 5, timebased = false)
+    assert(out.map(_.ts) === IndexedSeq(0L, 2L, 4L, 7L, 9L))
+    // values <= threshold-2 returns the GTS unchanged (:12324)
+    assert(SeriesKernels.lttbReference(pts.take(3), 5, timebased = false)
+      === pts.take(3))
+    intercept[IllegalArgumentException](
+      SeriesKernels.lttbReference(pts, 2, timebased = false))
+  }
+
+  test("lttbReference timebased (TLTTB) buckets by per-series TIME " +
+    "width ceil((last-first-2)/(threshold-2)) and re-sets the count") {
+    // hand-derived: ticks 0..3 then 10..13, threshold 4 → timebucket
+    // ceil(11/2)=6; boundary pairs (0,0)(1,3)(4,6)(7,7) → threshold 4.
+    //  i=0: lookahead j=4..6 denom 4 → (8.25, 3.25); current j=1..3:
+    //       areas 19, 0.875, 0.75 → idx 1;
+    //  i=1: lookahead j=7 denom 2 → (6.5, 3.5); current j=4..6:
+    //       areas 11.75, 12.75, 14.5 → idx 6. Output ticks 0,1,12,13.
+    val ticks = IndexedSeq(0L, 1L, 2L, 3L, 10L, 11L, 12L, 13L)
+    val vals = IndexedSeq(0.0, 5.0, 1.0, 1.0, 9.0, 2.0, 2.0, 7.0)
+    val pts = ticks.zip(vals).map { case (t, v) => Pt(t, v) }
+    val out = SeriesKernels.lttbReference(pts, 4, timebased = true)
+    assert(out.map(_.ts) === IndexedSeq(0L, 1L, 12L, 13L))
+  }
+
   test("single exp smoothing recurrence") {
     val out = singleExpSmoothing(IndexedSeq(Pt(1, 10), Pt(2, 20), Pt(3, 30)), 0.5)
     assert(out.map(_.v) === IndexedSeq(10.0, 15.0, 22.5))
