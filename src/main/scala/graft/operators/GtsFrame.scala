@@ -835,8 +835,10 @@ final case class GtsFrame(df: DataFrame) {
   }
 
   /** TIMESPLIT (fn/TIMESPLIT.java) — split a series on quiet periods
-    * longer than `quiet` µs; emits a session id per sub-series via the
-    * classic gap-cumsum. */
+    * of AT LEAST `quiet` µs (GTSHelper.timesplit:6090 splits when
+    * `tick − lasttick >= quietperiod`; `>` was an off-by-one fixed in
+    * round 11); emits a session id per sub-series via the classic
+    * gap-cumsum. */
   def timesplit(quiet: Long): DataFrame = {
     // vdouble tiebreaker: duplicate ticks otherwise make lag()/cumsum
     // order engine-dependent (the reference's sorted GTS has a stable
@@ -844,10 +846,30 @@ final case class GtsFrame(df: DataFrame) {
     val w = Window.partitionBy(col("gtsid")).orderBy(col("ts"), col("vdouble"))
     val gap = col("ts") - lag(col("ts"), 1).over(w)
     df.withColumn("__newsess",
-        when(gap.isNull || gap > quiet, 1L).otherwise(0L))
+        when(gap.isNull || gap >= quiet, 1L).otherwise(0L))
       .withColumn("sessionid", sum(col("__newsess"))
         .over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .drop("__newsess")
+  }
+
+  /** The TIMESPLIT word's semantics (fn/TIMESPLIT.java; GTSHelper
+    * .timesplit:6042-6117): split each series on gaps >= quietperiod
+    * into sub-series labeled `labelname` → "1","2",… in tick order,
+    * DROPPING sub-series with fewer than `minvalues` points; a series
+    * that ALREADY carries `labelname` passes through unchanged —
+    * not an error, unlike CHUNK's chunklabel. */
+  def timesplitRef(quiet: Long, minvalues: Long, label: String): GtsFrame = {
+    val has = map_contains_key(col("labels"), lit(label))
+    val keep = df.filter(has)
+    val w = Window.partitionBy(col("gtsid"), col("sessionid"))
+    val split = GtsFrame(df.filter(!has)).timesplit(quiet)
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") >= minvalues)
+      .withColumn("labels", map_concat(col("labels"),
+        map(lit(label), col("sessionid").cast(StringType))))
+      .withColumn("gtsid", Gts.gtsIdCol(col("class"), col("labels")))
+      .drop("sessionid", "__n")
+    GtsFrame(keep.unionByName(split))
   }
 
   /** RENAME (fn/RENAME.java): set the class name; a `+`-prefixed name

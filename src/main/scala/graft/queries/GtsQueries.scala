@@ -273,7 +273,7 @@ object GtsQueries {
          |        ts - lag(ts) OVER (PARTITION BY class, userid ORDER BY ts, vdouble) AS gap
          |      FROM g)
          |SELECT class, userid, ts,
-         |       CAST(sum(CASE WHEN gap IS NULL OR gap > $HOUR THEN 1 ELSE 0 END)
+         |       CAST(sum(CASE WHEN gap IS NULL OR gap >= $HOUR THEN 1 ELSE 0 END)
          |         OVER (PARTITION BY class, userid ORDER BY ts
          |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sessionid
          |FROM l""".stripMargin,

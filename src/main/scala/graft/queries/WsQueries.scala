@@ -319,12 +319,15 @@ object WsQueries {
     }),
 
 
+    // TIMESPLIT's 3-parameter reference form (corrected r11): the
+    // session id arrives as a label; minvalues 1 keeps every sub-series
     "w22_ws_timesplit" -> ((s, dir) => {
       val program =
         s"""[ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
-           |1 h TIMESPLIT""".stripMargin
+           |1 h 1 'session' TIMESPLIT""".stripMargin
       engine(s, dir, cents = false).runToFrame(program)
-        .select(col("class"), userid, col("ts"), col("sessionid"))
+        .select(col("class"), userid, col("ts"),
+          col("labels").getItem("session").cast("long").as("sessionid"))
     }),
 
 

@@ -1140,8 +1140,15 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
     case "TIMEMODULO" =>
       val lbl = st.popStr(); val mod = st.popLong()
       st.push(toFrame(st.pop()).timemodulo(mod, lbl))
+    // TIMESPLIT (fn/TIMESPLIT.java): gts quietperiod minvalues label
+    // TIMESPLIT — the 3-parameter reference form (corrected r11; the
+    // split id becomes a label, sub-series under minvalues drop, a
+    // series already carrying the label passes through unchanged)
     case "TIMESPLIT" =>
-      val quiet = st.popLong(); st.push(GtsFrame(toFrame(st.pop()).timesplit(quiet)))
+      val label = st.popStr()
+      val minvalues = st.popLong()
+      val quiet = st.popLong()
+      st.push(toFrame(st.pop()).timesplitRef(quiet, minvalues, label))
     // CHUNK (fn/CHUNK.java): gts lastchunk chunkwidth chunkcount
     // chunklabel keepempty CHUNK — the 5-parameter reference form
     // (corrected round 11; the chunk id becomes a label = new series

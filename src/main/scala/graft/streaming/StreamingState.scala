@@ -45,7 +45,8 @@ object StreamingState {
 
   /** Streaming TIMESPLIT (fn/TIMESPLIT.java semantics): per series,
     * assign a new session id whenever the gap to the previous tick
-    * exceeds `quiet` µs — the batch GtsFrame.timesplit gap-cumsum, with
+    * reaches `quiet` µs (>= — GTSHelper.timesplit:6090, aligned with
+    * the batch op in r11) — the batch GtsFrame.timesplit gap-cumsum, with
     * the (lastTs, session) carry in stream state so sessions continue
     * across micro-batches. Assumes per-key event-time ordered arrival
     * across batches (guard upstream with a watermark + sort within the
@@ -64,7 +65,7 @@ object StreamingState {
           var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
           val out = rows.toSeq.sortBy(r => (r._2, r._3)).map { case (_, ts, v) =>
             val newSession =
-              if (st.lastTs != Long.MinValue && ts - st.lastTs > quiet)
+              if (st.lastTs != Long.MinValue && ts - st.lastTs >= quiet)
                 st.session + 1
               else st.session
             st = SessionState(ts, newSession)
