@@ -917,8 +917,74 @@ final case class GtsFrame(df: DataFrame) {
       .withColumn("gtsid", Gts.gtsIdCol(col("class"), col("labels"))))
 
   /** QUANTIZE (fn/QUANTIZE.java) — snap values to level boundaries. */
+  /** Library helper: coarsen values onto a step grid. NOT the QUANTIZE
+    * word (that is [[quantizeRef]]) — used as fixture preprocessing by
+    * the dedup/compact rows. */
   def quantize(step: Double): GtsFrame =
     GtsFrame(df.withColumn("vdouble", floor(col("vdouble") / step) * step))
+
+  /** QUANTIZE word (fn/QUANTIZE.java; GTSHelper.quantize:10384-10420):
+    * bucket each NUMERIC value against strictly increasing finite
+    * `bounds` — bucket = #{bounds < v}, so a value equal to a bound
+    * falls in that bound's own bucket (binarySearch exact hit) — and
+    * emit the bucket index as a LONG, or `targets(bucket)` when the
+    * rank-to-value list is given (any value type per rank). A
+    * non-numeric series is the reference's hard error. */
+  def quantizeRef(bounds: Seq[Double], targets: Option[Seq[Any]]): GtsFrame = {
+    import graft.model.GtsType
+    val numeric = col("vtype") === GtsType.LONG || col("vtype") === GtsType.DOUBLE
+    val v = when(numeric,
+        coalesce(col("vdouble"), col("vlong").cast(DoubleType)))
+      .otherwise(raise_error(
+        lit("QUANTIZE Can only quantify numeric Geo Time Series."))
+        .cast(DoubleType))
+    val bucket0 = bounds.foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(v > lit(b), 1L).otherwise(0L)
+    }
+    // materialize the bucket BEFORE any value slot is overwritten —
+    // the bucket expression reads the original vdouble/vlong
+    val dfB = df.withColumn("__bucket", bucket0)
+    val bucket = col("__bucket")
+    val nl = lit(null).cast(LongType)
+    val nd = lit(null).cast(DoubleType)
+    val nb = lit(null).cast(BooleanType)
+    val ns = lit(null).cast(StringType)
+    val nbin = lit(null).cast(BinaryType)
+    val out = targets match {
+      case None =>
+        dfB.withColumn("vlong", bucket)
+          .withColumn("vtype", lit(GtsType.LONG).cast(ByteType))
+          .withColumn("vdouble", nd).withColumn("vbool", nb)
+          .withColumn("vstring", ns).withColumn("vbinary", nbin)
+      case Some(ts) =>
+        // per-rank typed literal chains: each rank carries its own
+        // value TYPE, like the reference's Object[] rank table
+        def chain(dflt: Column)(pick: PartialFunction[Any, Column]): Column =
+          ts.zipWithIndex.foldLeft(dflt) { case (acc, (t, k)) =>
+            when(bucket === k.toLong, pick.applyOrElse(t, (_: Any) => dflt))
+              .otherwise(acc)
+          }
+        val vt = ts.zipWithIndex.foldLeft(lit(GtsType.LONG).cast(ByteType)) {
+          case (acc, (t, k)) =>
+            val ty = t match {
+              case _: Long => GtsType.LONG
+              case _: Double => GtsType.DOUBLE
+              case _: Boolean => GtsType.BOOLEAN
+              case _: String => GtsType.STRING
+              case o => throw new IllegalArgumentException(
+                s"QUANTIZE unsupported rank value: $o")
+            }
+            when(bucket === k.toLong, lit(ty).cast(ByteType)).otherwise(acc)
+        }
+        dfB.withColumn("vlong", chain(nl) { case l: Long => lit(l) })
+          .withColumn("vdouble", chain(nd) { case d: Double => lit(d) })
+          .withColumn("vbool", chain(nb) { case b: Boolean => lit(b) })
+          .withColumn("vstring", chain(ns) { case s: String => lit(s) })
+          .withColumn("vtype", vt)
+          .withColumn("vbinary", nbin)
+    }
+    GtsFrame(out.drop("__bucket"))
+  }
 
   /** NORMALIZE — per-series min-max scale to [0,1] (fn/NORMALIZE.java). */
   def normalize(): GtsFrame = {
@@ -940,10 +1006,30 @@ final case class GtsFrame(df: DataFrame) {
   }
 
   /** INTEGRATE — running sum per series (fn/INTEGRATE.java). */
-  def integrate(): GtsFrame = {
-    val w = Window.partitionBy(col("gtsid")).orderBy(col("ts"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    GtsFrame(df.withColumn("vdouble", sum(col("vdouble")).over(w)))
+  /** INTEGRATE (fn/INTEGRATE.java; GTSHelper.integrate:9515-9539,
+    * corrected round 11 — the old op was a plain value cumsum): values
+    * are RATES per second, left-rectangle integrated over time —
+    * out(t₀) = initialValue, out(tᵢ) = out(tᵢ₋₁) + v(tᵢ₋₁)·Δt/1e6.
+    * The accumulation is a SEQUENTIAL left fold (Spark's running-frame
+    * window sum adds row by row in frame order — the reference loop's
+    * association), with the Δt/1e6 division per step like the
+    * reference; the g14/w21 oracles replay the identical fold with a
+    * recursive CTE, so the doubles agree bitwise at any magnitude
+    * (an association-free exact-sum formulation was tried first and
+    * broke past 2^53 — r11). The one deliberate deviation: the
+    * initial value is ADDED AFTER the fold (init + Σ) instead of
+    * seeding it, so a non-zero init costs at most 1 ulp vs the
+    * reference's (init + c₁) + c₂ … ordering. */
+  def integrate(initial: Double = 0.0): GtsFrame = {
+    val w = Window.partitionBy(col("gtsid")).orderBy(col("ts"), col("vdouble"))
+    val prevTs = lag(col("ts"), 1).over(w)
+    val prevV = lag(col("vdouble"), 1).over(w)
+    val contrib = when(prevTs.isNull, lit(0.0))
+      .otherwise(prevV * ((col("ts") - prevTs).cast(DoubleType) / lit(1e6)))
+    val cum = sum(contrib).over(
+      Window.partitionBy(col("gtsid")).orderBy(col("ts"), col("vdouble"))
+        .rowsBetween(Window.unboundedPreceding, 0))
+    GtsFrame(df.withColumn("vdouble", lit(initial) + cum))
   }
 
   /** FILLPREVIOUS over a bucket grid: generate the full bucket tick grid

@@ -124,9 +124,12 @@ object GtsQueries {
         col("class"), userid, col("ts"), col("vdouble").as("qv"))),
 
     // INTEGRATE — per-series running sum (fn/INTEGRATE.java)
+    // INTEGRATE (fn/INTEGRATE.java, corrected r11): rates/second
+    // left-rectangle time integral from an initial value — NOT a
+    // value cumsum
     "g14_integrate" -> ((s, dir) =>
-      out(cents(s, dir).integrate().df,
-        col("class"), userid, col("ts"), col("vdouble").as("cumsum"))),
+      out(cents(s, dir).integrate(0.0).df,
+        col("class"), userid, col("ts"), col("vdouble").as("integ"))),
 
     // TIMESPLIT on 1h quiet periods (fn/TIMESPLIT.java)
     "g15_timesplit" -> ((s, dir) =>
@@ -162,6 +165,26 @@ object GtsQueries {
       out(gts(s, dir).timeshift(DAY).timeclip(T0 + DAY, T7 + DAY - 1).df,
         col("class"), userid, col("ts"), col("vdouble")))
   )
+
+  /** Recursive-CTE replay of [[GtsFrame.integrate]]'s sequential fold
+    * (see the operator's Scaladoc): acc₁ = 0; accᵢ = accᵢ₋₁ +
+    * pv·(Δt/1e6); emitted as init + acc. Shared by g14 and w21. */
+  private[queries] def integrateSql(init: Double): String =
+    s"""WITH RECURSIVE g AS ($EV),
+       |o AS (SELECT class, userid, ts, cents,
+       |        row_number() OVER w AS rn,
+       |        lag(ts) OVER w AS pts, lag(cents) OVER w AS pv
+       |      FROM g
+       |      WINDOW w AS (PARTITION BY class, userid ORDER BY ts, cents)),
+       |r AS (
+       |  SELECT class, userid, ts, rn, CAST(0.0 AS DOUBLE) AS acc
+       |  FROM o WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.class, o.userid, o.ts, o.rn,
+       |    r.acc + o.pv * (CAST(o.ts - o.pts AS DOUBLE) / 1000000.0)
+       |  FROM r JOIN o ON o.class = r.class AND o.userid = r.userid
+       |               AND o.rn = r.rn + 1)
+       |SELECT class, userid, ts, $init + acc AS integ FROM r""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "g01_fetch_selector" ->
@@ -257,12 +280,11 @@ object GtsQueries {
          |SELECT class, userid, ts, qv FROM l
          |WHERE pv IS NULL OR nv IS NULL OR pv <> qv OR nv <> qv""".stripMargin,
 
-    "g14_integrate" ->
-      s"""WITH g AS ($EV)
-         |SELECT class, userid, ts,
-         |       sum(cents) OVER (PARTITION BY class, userid ORDER BY ts
-         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumsum
-         |FROM g""".stripMargin,
+    // recursive CTE = the engine's SEQUENTIAL left fold replayed
+    // step for step (per-step Δt/1e6 like the reference's loop) —
+    // past 2^53 a window sum's association is engine-dependent, so
+    // the fold itself is the only bit-stable formulation
+    "g14_integrate" -> GtsQueries.integrateSql(0.0),
 
     // sessionid CAST to BIGINT: DuckDB's sum(INTEGER) yields HUGEINT,
     // which the driver's hasher does not normalize to int64 (the round-1

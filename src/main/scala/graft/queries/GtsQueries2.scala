@@ -163,9 +163,17 @@ object GtsQueries2 {
     }),
 
     // COUNTERDELTA/RESETS (fn/COUNTERDELTA.java): compensate resets of a
-    // synthetic sawtooth counter (value mod 50 of the running sum)
+    // synthetic sawtooth counter (value mod 50 of the running value
+    // cumsum — an inline fixture window, NOT the INTEGRATE word, which
+    // is a rates/second time integral since r11)
     "g36_counter_compensate" -> ((s, dir) => {
-      val base = cents(s, dir).integrate()
+      val base = {
+        val c = cents(s, dir)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("gtsid")).orderBy(col("ts"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        GtsFrame(c.df.withColumn("vdouble", sum(col("vdouble")).over(w)))
+      }
       val saw = GtsFrame(base.df.withColumn("vdouble", pmod(col("vdouble"), lit(5000.0))))
       saw.compensateResets()
         .df.select(col("class"), userid, col("ts"), col("vdouble").as("comp_v"))

@@ -43,14 +43,6 @@ object WsQueries {
        |SELECT $outCols FROM a WHERE $cond""".stripMargin
   }
 
-  /** FETCH over the events table: selector + label selectors + range,
-    * exactly GtsFrame.select∘timeclip (the engine's storage hook).
-    * `withMeta` additionally hands the engine an ingest-maintained
-    * directory table (one row per series with lastactivity, as the
-    * reference's ingress keeps it — StandaloneDirectoryClient.java:
-    * 604-609), built once and checkpointed like the at-rest table a
-    * real deployment reads from disk: FETCH activity gates then
-    * consult it instead of scanning point history. */
   /** Per-JVM memo of the maintained-directory stand-in, keyed by
     * (session, dir, cents): repeated engine() calls in one process
     * share ONE persisted table instead of leaking a checkpoint per
@@ -61,6 +53,14 @@ object WsQueries {
   private val metaCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** FETCH over the events table: selector + label selectors + range,
+    * exactly GtsFrame.select∘timeclip (the engine's storage hook).
+    * `withMeta` additionally hands the engine an ingest-maintained
+    * directory table (one row per series with lastactivity, as the
+    * reference's ingress keeps it — StandaloneDirectoryClient.java:
+    * 604-609), built once per JVM and persisted like the at-rest table
+    * a real deployment reads from disk: FETCH directory consumers then
+    * consult it instead of scanning point history. */
   private[queries] def engine(s: SparkSession, dir: String, cents: Boolean,
       withMeta: Boolean = false) = {
     val base = if (cents) Gts.fromEventsCents(s, dir) else Gts.fromEvents(s, dir)
@@ -291,11 +291,17 @@ object WsQueries {
     }),
 
 
-    // structural words through the script path, each ≡ its native g-row
+    // structural words through the script path, each ≡ its native
+    // g-row. The 25-step coarsening runs as a MACROMAPPER (the
+    // QUANTIZE word is the reference's bounds/targets form since r11
+    // and has no step face) — floor(v/25)·25 in the executor-side
+    // macro interpreter, the identical IEEE arithmetic of the g12/g13
+    // fixtures' GtsFrame.quantize helper.
     "w19_ws_dedup" -> ((s, dir) => {
       val program =
-        s"""[ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
-           |25.0 QUANTIZE DEDUP""".stripMargin
+        s"""[ [ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
+           |<% 7 GET 0 GET 25.0 / FLOOR 25.0 * %> MACROMAPPER 0 0 0 ] MAP
+           |DEDUP""".stripMargin
       engine(s, dir, cents = false).runToFrame(program)
         .select(col("class"), userid, col("ts"), col("vdouble").as("qv"))
     }),
@@ -303,19 +309,22 @@ object WsQueries {
 
     "w20_ws_compact" -> ((s, dir) => {
       val program =
-        s"""[ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
-           |25.0 QUANTIZE COMPACT""".stripMargin
+        s"""[ [ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
+           |<% 7 GET 0 GET 25.0 / FLOOR 25.0 * %> MACROMAPPER 0 0 0 ] MAP
+           |COMPACT""".stripMargin
       engine(s, dir, cents = false).runToFrame(program)
         .select(col("class"), userid, col("ts"), col("vdouble").as("qv"))
     }),
 
 
+    // INTEGRATE's reference form (r11): a numeric initial value on the
+    // stack, rates/second left-rectangle integral
     "w21_ws_integrate" -> ((s, dir) => {
       val program =
         s"""[ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
-           |INTEGRATE""".stripMargin
+           |2.5 INTEGRATE""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
-        .select(col("class"), userid, col("ts"), col("vdouble").as("cumsum"))
+        .select(col("class"), userid, col("ts"), col("vdouble").as("integ"))
     }),
 
 
@@ -367,10 +376,12 @@ object WsQueries {
     }),
 
 
+    // TIMECLIP in the reference's now+duration form (r11): the window
+    // [T0+1d, T7+1d−1] expressed as now = T7+1d−1, duration = T7−T0
     "w26_ws_timeshift" -> ((s, dir) => {
       val program =
         s"""[ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
-           |1 d TIMESHIFT ${T0 + DAY} ${T7 + DAY - 1} TIMECLIP""".stripMargin
+           |1 d TIMESHIFT ${T7 + DAY - 1} ${T7 - T0} TIMECLIP""".stripMargin
       engine(s, dir, cents = false).runToFrame(program)
         .select(col("class"), userid, col("ts"), col("vdouble"))
     }),
@@ -676,7 +687,9 @@ object WsQueries {
 
     "w20_ws_compact" -> GtsQueries.oracleSql("g13_compact"),
 
-    "w21_ws_integrate" -> GtsQueries.oracleSql("g14_integrate"),
+    // g14's sequential-fold integral shifted by the word's 2.5 initial
+    // value (the + is the final op on both sides, bitwise-identical)
+    "w21_ws_integrate" -> GtsQueries.integrateSql(2.5),
 
     "w22_ws_timesplit" -> GtsQueries.oracleSql("g15_timesplit"),
 

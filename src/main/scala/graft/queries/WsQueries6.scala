@@ -380,6 +380,28 @@ object WsQueries6 {
           .select(lit("tlttb").as("which"), col("ts"),
             col("vdouble").cast("long").as("v")))
     }),
+
+    // QUANTIZE (fn/QUANTIZE.java; GTSHelper.quantize:10384-10420,
+    // corrected r11 — the reference form takes a bounds list + a
+    // rank-to-value list, not a scalar step): bucket = #{bounds < v}
+    // (a value equal to a bound stays in that bound's bucket — the
+    // binarySearch exact hit), emitting the bucket INDEX when the
+    // target list is empty, or the rank's value (any type, here
+    // strings) when given. Two faces over the integer-cents store.
+    "w134_ws_quantize" -> ((s, dir) => {
+      val e = engine(s, dir, cents = true)
+      val idx = e.runToFrame(
+        s"""[ '' '~events\\..*' { } $LB ${LB + 1} ] FETCH
+           |[ 100.0 300.0 600.0 ] [ ] QUANTIZE""".stripMargin)
+        .select(lit("idx").as("which"), col("class"), userid, col("ts"),
+          col("vlong").cast("string").as("q"))
+      val lab = e.runToFrame(
+        s"""[ '' '~events\\..*' { } $LB ${LB + 1} ] FETCH
+           |[ 100.0 300.0 600.0 ] [ 'low' 'mid' 'high' 'top' ] QUANTIZE""".stripMargin)
+        .select(lit("lab").as("which"), col("class"), userid, col("ts"),
+          col("vstring").as("q"))
+      idx.unionByName(lab)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -691,5 +713,22 @@ object WsQueries6 {
         |  ('lttb', 2, 0), ('lttb', 4, 50), ('lttb', 7, 20), ('lttb', 9, 5),
         |  ('tlttb', 0, 0), ('tlttb', 1, 5), ('tlttb', 12, 2),
         |  ('tlttb', 13, 7)) AS t(which, ts, v)""".stripMargin,
+
+    // bucket = count of bounds strictly below the value; equality with
+    // a bound keeps the lower bucket (the reference's exact-hit index)
+    "w134_ws_quantize" ->
+      s"""WITH g AS ($EV),
+         |b AS (SELECT class, userid, ts,
+         |        (CASE WHEN cents > 100 THEN 1 ELSE 0 END +
+         |         CASE WHEN cents > 300 THEN 1 ELSE 0 END +
+         |         CASE WHEN cents > 600 THEN 1 ELSE 0 END) AS bk
+         |      FROM g WHERE ts <= $LB)
+         |SELECT 'idx' AS which, class, userid, ts,
+         |       CAST(bk AS VARCHAR) AS q FROM b
+         |UNION ALL
+         |SELECT 'lab', class, userid, ts,
+         |  CASE bk WHEN 0 THEN 'low' WHEN 1 THEN 'mid'
+         |          WHEN 2 THEN 'high' ELSE 'top' END
+         |FROM b""".stripMargin,
   )
 }

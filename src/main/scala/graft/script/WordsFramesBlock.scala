@@ -1130,11 +1130,55 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
     // SNAPSHOT (fn/SNAPSHOT.java): render the top of the stack as a
     // re-evaluable WarpScript literal (driver-side scalar)
     case "SNAPSHOT" => st.push(graft.sources.Snapshot.render(st.pop()))
-    case "QUANTIZE" => // our quantize(step): [ gts step ] form
-      val step = st.popNum(); st.push(toFrame(st.pop()).quantize(step))
-    case "TIMECLIP" => // fn/TIMECLIP.java: gts end span | gts start end here
-      val b = st.popLong(); val a = st.popLong()
-      st.push(toFrame(st.pop()).timeclip(a, b))
+    // QUANTIZE (fn/QUANTIZE.java): gts bounds targets QUANTIZE — the
+    // reference form (corrected r11; the old word took a scalar step,
+    // a form the reference never had): strictly increasing finite
+    // bounds, targets empty (emit the bucket index) or bounds+1 long
+    case "QUANTIZE" =>
+      val targets = st.pop() match {
+        case v: Vector[Any @unchecked] => v
+        case o => throw new IllegalArgumentException(
+          s"QUANTIZE expects a list of target values on top of the stack, got $o")
+      }
+      val bounds = st.pop() match {
+        case v: Vector[Any @unchecked] => v.map {
+          case l: Long => l.toDouble
+          case d: Double => d
+          case o => throw new IllegalArgumentException(
+            s"QUANTIZE expects numeric bounds, got $o")
+        }
+        case o => throw new IllegalArgumentException(
+          s"QUANTIZE expects a list of bounds under the top of the stack, got $o")
+      }
+      require(bounds.forall(b => !b.isNaN && !b.isInfinite),
+        "QUANTIZE expects the bounds to be finite.")
+      require(bounds.zip(bounds.drop(1)).forall { case (a, b) => a < b },
+        "QUANTIZE identified unordered or duplicate bounds.")
+      require(targets.isEmpty || targets.size == bounds.size + 1,
+        s"QUANTIZE expected ${bounds.size + 1} values but got ${targets.size}")
+      st.push(toFrame(st.pop()).quantizeRef(bounds,
+        if (targets.isEmpty) None else Some(targets)))
+    // TIMECLIP (fn/TIMECLIP.java, corrected r11): the TOP is a Long
+    // DURATION → [now − duration + 1, now], or an ISO-8601 string →
+    // the absolute origin; under it 'now' (Long tick or ISO-8601).
+    // The old word read a plain [start, end] pair — a form the
+    // reference never had.
+    case "TIMECLIP" =>
+      val (isoStart, topVal) = st.pop() match {
+        case s: String => (true, graft.sources.Formats.isoTick(s))
+        case l: Long => (false, l)
+        case o => throw new IllegalArgumentException(
+          s"TIMECLIP expects either an ISO8601 timestamp as the origin timestamp or a duration, got $o")
+      }
+      val end = st.pop() match {
+        case s: String => graft.sources.Formats.isoTick(s)
+        case l: Long => l
+        case o => throw new IllegalArgumentException(
+          s"TIMECLIP expects either an ISO8601 timestamp or a delta since Unix Epoch as 'now' parameter, got $o")
+      }
+      // Long-wrapping arithmetic like the reference's raw Java math
+      val start = if (isoStart) topVal else end - topVal + 1
+      st.push(toFrame(st.pop()).timeclip(start, end))
     case "TIMESHIFT" => val d = st.popLong(); st.push(toFrame(st.pop()).timeshift(d))
     case "TIMESCALE" => val k = st.popNum(); st.push(toFrame(st.pop()).timescale(k))
     case "TIMEMODULO" =>
@@ -1183,7 +1227,12 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
     // every order-sensitive operator sorts internally, so these accept
     // and pass the frame through unchanged
     case "SORT" | "RSORT" | "FULLSORT" => st.push(toFrame(st.pop()))
-    case "INTEGRATE" => st.push(toFrame(st.pop()).integrate())
+    // INTEGRATE (fn/INTEGRATE.java): gts initialValue INTEGRATE —
+    // values are rates/second, left-rectangle time integral (r11: the
+    // word now pops the reference's numeric initial value)
+    case "INTEGRATE" =>
+      val initial = st.popNum()
+      st.push(toFrame(st.pop()).integrate(initial))
     // PIVOT (frame word over the native groupBy().pivot() path — the
     // wide-table view the reference builds via per-class FETCH+APPLY):
     // gts [ classes ] labelkey lastbucket span PIVOT → one row per

@@ -101,7 +101,7 @@ class WarpScriptSpec extends SparkSpec {
         |100 NaN NaN NULL 1.5 ADDVALUE
         |200 NaN NaN NULL 2.5 ADDVALUE
         |300 NaN NaN NULL 4.0 ADDVALUE
-        |0 300 TIMECLIP""".stripMargin)
+        |300 301 TIMECLIP""".stripMargin) // now=300, duration=301 → [0,300]
     val got = df.select("class", "ts", "vdouble").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._2)
     assert(got.toSeq == Seq(("script.made", 100L, 1.5),

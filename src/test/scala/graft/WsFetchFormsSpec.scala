@@ -83,6 +83,17 @@ class WsFetchFormsSpec extends SparkSpec {
     }
   }
 
+  test("TIMECLIP: top of stack is a DURATION (now-duration+1 .. now) " +
+    "or an ISO-8601 origin (fn/TIMECLIP.java, corrected r11)") {
+    // fixture ticks are 1e6..9e6 (seconds 1..9)
+    assert(ticksOf("{ 'class' 'm.s' 'labels' { } 'end' 9000000 'count' 9 } FETCH " +
+      "4000000 2000000 TIMECLIP") == Set(3000000L, 4000000L))
+    // ISO origin form: absolute start, 'now' under it
+    assert(ticksOf("{ 'class' 'm.s' 'labels' { } 'end' 9000000 'count' 9 } FETCH " +
+      "4000000 '1970-01-01T00:00:03Z' TIMECLIP") ==
+      Set(3000000L, 4000000L))
+  }
+
   test("computeTimeRange conformance: start+timespan, swapped bounds, " +
     "duration timespans, 2-of-3 rule (FETCH.java:1607-1740)") {
     // start + timespan: end = start + timespan - 1
