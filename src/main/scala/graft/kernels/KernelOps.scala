@@ -344,6 +344,18 @@ final class KernelOps(df: DataFrame) {
     perSeries((id, pts) => esd(pts, k, alpha).map(p => (id, p.ts, p.v)))
       .toDF("gtsid", "ts", "vdouble")
 
+  /** DISCORDS/ZDISCORDS — the reference's HOTSAX-style discord search
+    * (continuum/gts/DISCORDS.java:158-516), parallel across series,
+    * faithful and sequential within one. Returns the union of discord
+    * windows' points. */
+  def discords(windowLen: Int, wordLen: Int, alphabetSize: Int, count: Int,
+               mayOverlap: Boolean, distRatio: Double,
+               standardizePAA: Boolean): DataFrame =
+    perSeries((id, pts) =>
+      SeriesKernels.discords(pts, windowLen, wordLen, alphabetSize, count,
+        mayOverlap, distRatio, standardizePAA).map(p => (id, p.ts, p.v)))
+      .toDF("gtsid", "ts", "vdouble")
+
   /** SAX words per fixed-count window (script/SAXUtils.java; PATTERNS). */
   def saxWords(window: Int, wordLen: Int, alphabet: Int): DataFrame =
     perSeries { (id, pts) =>

@@ -312,17 +312,24 @@ object SeriesKernels {
   def zscoreOutliers(pts: IndexedSeq[Pt], threshold: Double, useMad: Boolean): IndexedSeq[Pt] = {
     if (pts.isEmpty) return IndexedSeq.empty
     val v = pts.map(_.v)
-    if (useMad) {
-      val med = median(v)
-      val m = median(v.map(x => math.abs(x - med)))
-      if (m == 0.0) return IndexedSeq.empty
-      pts.filter(p => math.abs(0.6745 * (p.v - med) / m) > threshold)
-    } else {
-      val mu = v.sum / v.length
-      val sd = math.sqrt(v.map(x => (x - mu) * (x - mu)).sum / v.length)
-      if (sd == 0.0) return IndexedSeq.empty
-      pts.filter(p => math.abs((p.v - mu) / sd) > threshold)
+    val n = v.length
+    // Bessel-corrected sd via the reference's naive-then-correct form
+    // (GTSHelper.musigma bessel=true — madsigma's non-median branch and
+    // the median branch's MAD=0 fallback, GTSOutliersHelper:115-134)
+    def besselSd: Double = {
+      val sum = v.sum; val sumsq = v.map(x => x * x).sum
+      val naive = sumsq / n - (sum * sum) / (n.toDouble * n)
+      math.sqrt(if (n > 1) naive * n / (n - 1.0) else naive)
     }
+    val (m, std) =
+      if (useMad) {
+        val med = median(v)
+        val mad = median(v.map(x => math.abs(x - med)))
+        (med, if (mad != 0.0) mad / 0.6745 else besselSd)
+      } else (v.sum / n, besselSd)
+    if (std == 0.0) return IndexedSeq.empty
+    // flag |z| >= d (GTSOutliersHelper.zScoreTest:227-246)
+    pts.filter(p => math.abs((p.v - m) / std) >= threshold)
   }
 
   /** Grubbs' test (GTSOutliersHelper grubbstest): is the most extreme
@@ -505,5 +512,188 @@ object SeriesKernels {
     val s = v.sorted
     val n = s.length
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  /** The bSAX word of the `windowLen` points starting at index `start`
+    * — GTSHelper.bSAX's per-window body (GTSHelper.java:9027-9085):
+    * PAA segment sums → means, optional standardization of the MEANS
+    * with Bessel's correction over `wordLen` (sigma == 0 ⇒ subtract
+    * the mean only), SaxCodec quantization + bit-interleave + OPB64. */
+  private def bsaxWordAt(values: IndexedSeq[Double], start: Int,
+                         windowLen: Int, wordLen: Int, levels: Int,
+                         standardizePAA: Boolean): String = {
+    val paaLen = windowLen / wordLen
+    val means = new Array[Double](wordLen)
+    var sum = 0.0; var sumsq = 0.0
+    var w = 0
+    while (w < wordLen) {
+      var s = 0.0
+      var k = 0
+      while (k < paaLen) { s += values(start + w * paaLen + k); k += 1 }
+      val mean = s / paaLen
+      means(w) = mean
+      sum += mean; sumsq += mean * mean
+      w += 1
+    }
+    val symbols = new Array[Int](wordLen)
+    if (standardizePAA) {
+      val mu = sum / wordLen
+      var variance = sumsq / wordLen - (sum * sum) / (wordLen.toDouble * wordLen)
+      if (wordLen > 1) variance = variance * wordLen / (wordLen - 1.0)
+      val sigma = math.sqrt(variance)
+      var i = 0
+      while (i < wordLen) {
+        val z = if (sigma != 0.0) (means(i) - mu) / sigma else means(i) - mu
+        symbols(i) = SaxCodec.sax(levels, z)
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < wordLen) { symbols(i) = SaxCodec.sax(levels, means(i)); i += 1 }
+    }
+    SaxCodec.bsaxWord(levels, symbols)
+  }
+
+  /** DISCORDS / ZDISCORDS (continuum/gts/DISCORDS.java:158-516) — the
+    * reference's HOTSAX-style discord search, replayed decision for
+    * decision. Per series, in RAM, like every sequential kernel here
+    * (the reference's own shape; parallelism is across series).
+    *
+    * Faithfully kept quirks: the "symbols after the current one"
+    * neighbour scan is DEAD CODE in the reference (DISCORDS.java:373
+    * initializes idx2 = rawSymbols.length + 1, so the while(idx2 <
+    * rawSymbols.length) loop never runs) — candidates whose symbol has
+    * no same-or-earlier-symbol neighbour keep nndist = +∞; the
+    * overlap sweep double-decrements after a removal (skipping one
+    * comparison, DISCORDS.java:445-451); candidate re-sort/trim runs
+    * after EVERY insertion. One divergence: the reference's distRatio
+    * purge (DISCORDS.java:464-471) loops forever when the tail
+    * candidate fails the ratio test — we break instead of hanging.
+    *
+    * Returns the deduplicated union of the discord windows' points
+    * (GTSHelper.dedup of windowLen points per discord).
+    */
+  def discords(pts: IndexedSeq[Pt], windowLen: Int, wordLen: Int,
+               alphabetSize: Int, count: Int, mayOverlap: Boolean,
+               distRatio: Double, standardizePAA: Boolean): IndexedSeq[Pt] = {
+    val levels = SaxCodec.levelsOf(alphabetSize)
+    require(wordLen >= 1 && windowLen % wordLen == 0,
+      "expects pattern length to divide detection window length")
+    val n = pts.length
+    if (n < windowLen || count <= 0) return IndexedSeq.empty
+    val values = pts.map(_.v)
+
+    // word at every window start; location lists in lexicographic word
+    // order (the reference's TreeMap), then occurrence-sorted (stable,
+    // so ties stay lexicographic — Collections.sort on the keySet copy)
+    val wordAt = Array.tabulate(n - windowLen + 1)(i =>
+      bsaxWordAt(values, i, windowLen, wordLen, levels, standardizePAA))
+    val locations: Map[String, Array[Int]] =
+      wordAt.zipWithIndex.groupMap(_._1)(_._2).view.mapValues(_.sorted).toMap
+    val rawSymbols = locations.keys.toArray.sorted
+    val byOccurrence = rawSymbols.sortBy(s => locations(s).length)
+
+    final case class Candidate(symbol: String, location: Int, nndist: Double)
+    val found = scala.collection.mutable.ArrayBuffer[Candidate]()
+    var worstNNDist = 0.0
+
+    def windowDist(i: Int, j: Int): Double = {
+      var d = 0.0
+      var k = 0
+      while (k < windowLen) {
+        d += math.pow(values(i + k) - values(j + k), 2.0)
+        k += 1
+      }
+      d
+    }
+
+    var si = 0
+    var done = false
+    while (si < byOccurrence.length && !done) {
+      val symbol = byOccurrence(si)
+      val symbolLocations = locations(symbol)
+      if (found.size >= count && symbolLocations.length > count + windowLen) {
+        done = true
+      } else {
+        var i = 0
+        while (i < symbolLocations.length) {
+          var nndist = Double.PositiveInfinity
+          var skip = false
+          // nearest same-symbol neighbour outside the window
+          var j = 0
+          var innerBreak = false
+          while (j < symbolLocations.length && !innerBreak) {
+            if (math.abs(symbolLocations(i) - symbolLocations(j)) >= windowLen) {
+              val dist = windowDist(symbolLocations(i), symbolLocations(j))
+              if (dist < nndist) nndist = dist
+              if (found.size == count && nndist < worstNNDist) innerBreak = true
+            }
+            j += 1
+          }
+          if (found.size == count && nndist < worstNNDist) skip = true
+          if (!skip) {
+            // neighbours under lexicographically-PRECEDING symbols, one
+            // symbol at a time until any finite distance is known
+            var idx2 = java.util.Arrays.binarySearch(
+              rawSymbols.asInstanceOf[Array[AnyRef]], symbol) - 1
+            var outerBreak = false
+            while (idx2 >= 0 && !outerBreak) {
+              val locs2 = locations(rawSymbols(idx2))
+              var j2 = 0
+              var brk = false
+              while (j2 < locs2.length && !brk) {
+                if (math.abs(symbolLocations(i) - locs2(j2)) >= windowLen) {
+                  val dist = windowDist(symbolLocations(i), locs2(j2))
+                  if (dist < nndist) nndist = dist
+                  if (found.size == count && nndist < worstNNDist) brk = true
+                }
+                j2 += 1
+              }
+              if (!nndist.isPosInfinity) outerBreak = true
+              idx2 -= 1
+            }
+            // (the reference's following-symbols scan never executes —
+            // see the Scaladoc)
+            if (!(found.size == count && nndist < worstNNDist)) {
+              found += Candidate(symbol, symbolLocations(i), nndist)
+              // re-sort by decreasing nndist after every insertion
+              // (signum comparator: stable on exact ties)
+              val sorted = found.sortBy(c => -c.nndist)
+              found.clear(); found ++= sorted
+              if (!mayOverlap) {
+                var h = found.size - 1
+                while (h > 0) {
+                  if (math.abs(found(h).location - found(h - 1).location) < windowLen) {
+                    found.remove(h)
+                    h -= 1 // the reference's double decrement
+                  }
+                  h -= 1
+                }
+              }
+              while (found.size > count) found.remove(count)
+              if (distRatio != 0.0) {
+                var brk2 = false
+                while (found.size > 1 && !brk2) {
+                  if (found.last.nndist * distRatio < found.head.nndist)
+                    found.remove(found.size - 1)
+                  else brk2 = true // reference spins forever here
+                }
+              }
+              worstNNDist = found.last.nndist
+            }
+          }
+          i += 1
+        }
+      }
+      si += 1
+    }
+
+    // union of discord windows, one point per tick (GTSHelper.dedup)
+    val seen = scala.collection.mutable.LinkedHashMap[Long, Pt]()
+    for (c <- found; k <- 0 until windowLen) {
+      val p = pts(c.location + k)
+      if (!seen.contains(p.ts)) seen(p.ts) = p
+    }
+    seen.values.toIndexedSeq
   }
 }

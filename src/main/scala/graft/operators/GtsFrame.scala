@@ -883,15 +883,18 @@ final case class GtsFrame(df: DataFrame) {
       .withColumn("gtsid", Gts.gtsIdCol(col("class"), col("labels"))))
   }
 
-  /** RELABEL (fn/RELABEL.java): merge the given labels over the current
-    * ones; an empty-string value REMOVES that label. Identity changes ⇒
+  /** RELABEL (fn/RELABEL.java; GTSHelper.relabel:6713-6734): merge the
+    * given labels over the current ones; an empty-string (or null)
+    * value REMOVES that label, and a NULL KEY in the map means the
+    * existing labels are DROPPED first (`reset`). Identity changes ⇒
     * gtsid rehash. */
-  def relabel(labels: Map[String, String]): GtsFrame = {
+  def relabel(labels: Map[String, String], reset: Boolean = false): GtsFrame = {
     val (removes, sets) = labels.partition(_._2.isEmpty)
+    val base = if (reset) typedlit(Map.empty[String, String]) else col("labels")
     val merged =
-      if (sets.isEmpty) col("labels")
+      if (sets.isEmpty) base
       else map_concat(
-        map_filter(col("labels"), (k, _) => !k.isin(sets.keys.toSeq.map(lit): _*)),
+        map_filter(base, (k, _) => !k.isin(sets.keys.toSeq.map(lit): _*)),
         typedlit(sets))
     val cleaned =
       if (removes.isEmpty) merged
@@ -986,23 +989,42 @@ final case class GtsFrame(df: DataFrame) {
     GtsFrame(out.drop("__bucket"))
   }
 
-  /** NORMALIZE — per-series min-max scale to [0,1] (fn/NORMALIZE.java). */
+  /** NORMALIZE — per-series min-max scale to [0,1] (fn/NORMALIZE.java,
+    * GTSHelper.normalize:8743-8812): a CONSTANT series maps to 1.0. */
   def normalize(): GtsFrame = {
     val w = Window.partitionBy(col("gtsid"))
     val mn = min(col("vdouble")).over(w)
     val mx = max(col("vdouble")).over(w)
     GtsFrame(df.withColumn("vdouble",
-      when(mx === mn, lit(0.0)).otherwise((col("vdouble") - mn) / (mx - mn))))
+      when(mx === mn, lit(1.0)).otherwise((col("vdouble") - mn) / (mx - mn))))
   }
 
-  /** STANDARDIZE — per-series z-score (fn/STANDARDIZE.java; population
-    * sddev like the reference's musigma w/ bessel=false). */
+  /** ISONORMALIZE (fn/ISONORMALIZE.java, GTSHelper.isonormalize:8819-
+    * 8893): (x − mean)/(max − min); a CONSTANT series maps to 1.0. */
+  def isonormalize(): GtsFrame = {
+    val w = Window.partitionBy(col("gtsid"))
+    val mn = min(col("vdouble")).over(w)
+    val mx = max(col("vdouble")).over(w)
+    val mu = avg(col("vdouble")).over(w)
+    GtsFrame(df.withColumn("vdouble",
+      when(mx === mn, lit(1.0)).otherwise((col("vdouble") - mu) / (mx - mn))))
+  }
+
+  /** STANDARDIZE — per-series z-score (fn/STANDARDIZE.java; GTSHelper
+    * .standardize:8902-8963: naive sumsq/n − (sum/n)² variance with
+    * Bessel's correction when n > 1; sd == 0 ⇒ subtract the mean only
+    * — mirrored term for term, not Spark's Welford stddev_samp). */
   def standardize(): GtsFrame = {
     val w = Window.partitionBy(col("gtsid"))
-    val mu = avg(col("vdouble")).over(w)
-    val sd = stddev_pop(col("vdouble")).over(w)
+    val n = count(lit(1)).over(w).cast(DoubleType)
+    val s = sum(col("vdouble")).over(w)
+    val sq = sum(col("vdouble") * col("vdouble")).over(w)
+    val mu = s / n
+    val varNaive = sq / n - (s * s) / (n * n)
+    val variance = when(n > 1.0, varNaive * n / (n - 1.0)).otherwise(varNaive)
+    val sd = sqrt(variance)
     GtsFrame(df.withColumn("vdouble",
-      when(sd === 0.0, lit(0.0)).otherwise((col("vdouble") - mu) / sd)))
+      when(sd === 0.0, col("vdouble") - mu).otherwise((col("vdouble") - mu) / sd)))
   }
 
   /** INTEGRATE — running sum per series (fn/INTEGRATE.java). */
@@ -1221,14 +1243,20 @@ final case class GtsFrame(df: DataFrame) {
   }
 
   /** COUNTERDELTA/RESETS compensation (fn/COUNTERDELTA.java,
-    * fn/RESETS.java): rebuild a monotonic counter from a gauge that
-    * resets — compensated[i] = compensated[i−1] + (Δ ≥ 0 ? Δ : v[i]).
+    * fn/RESETS.java; GTSHelper.compensateResets:5960-6020): rebuild a
+    * monotonic counter from a gauge that resets. A reset is a STRICT
+    * move against the counter's direction (value < last for an
+    * increasing counter, value > last when `resethigher`); on a reset
+    * the reference adds the previous RAW value to a running offset,
+    * which telescopes to compensated[i] = compensated[i−1] +
+    * (reset ? v[i] : Δ).
     */
-  def compensateResets(): GtsFrame = {
+  def compensateResets(resethigher: Boolean = false): GtsFrame = {
     val w = Window.partitionBy(col("gtsid")).orderBy(col("ts"))
     val delta = col("vdouble") - lag(col("vdouble"), 1).over(w)
+    val keep = if (resethigher) delta <= 0 else delta >= 0
     val inc = when(delta.isNull, col("vdouble"))
-      .when(delta >= 0, delta).otherwise(col("vdouble"))
+      .when(keep, delta).otherwise(col("vdouble"))
     GtsFrame(df.withColumn("vdouble",
       sum(inc).over(w.rowsBetween(Window.unboundedPreceding, 0))))
   }

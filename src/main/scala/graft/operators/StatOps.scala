@@ -46,23 +46,78 @@ object StatOps {
           (sqrt(dx) * sqrt(dy))).as("corr"): _*)
   }
 
-  /** ZSCORETEST (GTSOutliersHelper zscoretest semantics): flag points
-    * with |z| > threshold per series. z = (n·x − Σx)/√(n·Σx²−(Σx)²) —
-    * the numerator is an exact integer, the denominator one sqrt of an
-    * exact integer, so the flagged set is engine-independent. The
-    * per-series aggregate is one tiny row; Spark broadcasts it back.
+  /** Per-series (m, std) per GTSOutliersHelper.madsigma:115-134 —
+    * useMedian=false: mean + BESSEL-corrected sd (musigma bessel=true);
+    * useMedian=true: exact median + MAD/0.6745, falling back to the
+    * Bessel sd when the MAD is 0. One or two tiny per-series aggregates,
+    * broadcast back. std is NULL when it is 0 (no flags / caller error).
     */
-  def zscoreFlag(frame: GtsFrame, threshold: Double): DataFrame = {
-    val stats = frame.df.groupBy(col("gtsid").as("__g")).agg(
+  private def madsigma(df: DataFrame, useMedian: Boolean): DataFrame = {
+    val base = df.groupBy(col("gtsid").as("__g")).agg(
       count(lit(1)).cast("double").as("n"),
       sum(col("vdouble")).as("sx"),
       sum(col("vdouble") * col("vdouble")).as("sxx"))
-    val d = col("n") * col("sxx") - col("sx") * col("sx")
-    frame.df.join(broadcast(stats), col("gtsid") === col("__g"))
-      .withColumn("z", when(d > 0,
-        (col("n") * col("vdouble") - col("sx")) / sqrt(d))) // NULL if sd=0
-      .filter(col("z").isNotNull && abs(col("z")) > threshold)
-      .drop("__g", "n", "sx", "sxx")
+    val stats = base.withColumn("__d",
+      col("n") * col("sxx") - col("sx") * col("sx"))
+    if (!useMedian) stats
+    else {
+      // exact median per the reference's Arrays.sort midpoint — Spark's
+      // exact `percentile` (and DuckDB's quantile_cont) share that
+      // definition (even n ⇒ midpoint average); two tiny aggregates
+      val med = df.groupBy(col("gtsid").as("__g2")).agg(
+        expr("percentile(vdouble, 0.5)").as("med"))
+      val withMed = df.join(broadcast(med), col("gtsid") === col("__g2"))
+      val mad = withMed.groupBy(col("gtsid").as("__g3")).agg(
+        expr("percentile(abs(vdouble - med), 0.5)").as("mad"),
+        first(col("med")).as("med"))
+      stats.join(broadcast(mad), col("__g") === col("__g3")).drop("__g3")
+    }
+  }
+
+  /** ZSCORETEST (fn/ZSCORETEST.java; GTSOutliersHelper.zScoreTest:
+    * 227-246): flag points with |z| >= threshold per series. Mean path:
+    * z = (n·x − Σx)/√((n·Σx²−(Σx)²)·n/(n−1)) — Bessel-corrected sd with
+    * an exact-integer numerator. Median path: z = (x − med)/(MAD/0.6745)
+    * with the reference's Bessel-sd fallback when MAD = 0. The
+    * per-series aggregate is one tiny row; Spark broadcasts it back.
+    */
+  def zscoreFlag(frame: GtsFrame, threshold: Double,
+                 useMedian: Boolean = false): DataFrame = {
+    val stats = madsigma(frame.df, useMedian)
+    val joined = frame.df.join(broadcast(stats), col("gtsid") === col("__g"))
+    val besselZ = when(col("__d") > 0 && col("n") > 1,
+      (col("n") * col("vdouble") - col("sx")) /
+        sqrt(col("__d") * col("n") / (col("n") - 1.0)))
+    val z =
+      if (!useMedian) besselZ
+      else when(col("mad") > 0,
+        (col("vdouble") - col("med")) / (col("mad") / 0.6745)).otherwise(besselZ)
+    joined.withColumn("z", z)
+      .filter(col("z").isNotNull && abs(col("z")) >= threshold)
+      .drop("__g", "n", "sx", "sxx", "__d", "med", "mad")
+  }
+
+  /** ZSCORE (fn/ZSCORE.java; GTSOutliersHelper.zScore:148-166): replace
+    * every value with (x − m)/std — mean/Bessel-sd, or median/(MAD/
+    * 0.6745) when useMedian (Bessel-sd fallback at MAD = 0). A zero
+    * deviation is an error in the reference; the driver-side guard
+    * mirrors it (one tiny aggregate action on the word path). */
+  def zscore(frame: GtsFrame, useMedian: Boolean): DataFrame = {
+    val stats = madsigma(frame.df, useMedian)
+    val mean = col("sx") / col("n")
+    val varNaive = col("sxx") / col("n") - (col("sx") * col("sx")) / (col("n") * col("n"))
+    val besselSd = sqrt(when(col("n") > 1.0,
+      varNaive * col("n") / (col("n") - 1.0)).otherwise(varNaive))
+    val (m, sd) =
+      if (!useMedian) (mean, besselSd)
+      else (col("med"), when(col("mad") > 0, col("mad") / 0.6745).otherwise(besselSd))
+    val checked = stats.withColumn("__m", m).withColumn("__sd", sd)
+    if (checked.filter(col("__sd") === 0.0 || col("__sd").isNull).limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        (if (useMedian) "Median Absolute" else "Standard") + " Deviation is null")
+    frame.df.join(broadcast(checked), col("gtsid") === col("__g"))
+      .withColumn("vdouble", (col("vdouble") - col("__m")) / col("__sd"))
+      .drop("__g", "n", "sx", "sxx", "__d", "med", "mad", "__m", "__sd")
   }
 
   /** Generalized ESD outlier test (GTSOutliersHelper.ESDTest:329-415,
@@ -821,5 +876,115 @@ object StatOps {
         array_join(transform(array_sort(collect_list(struct(col("w"), col("__letter")))),
           e => e.getField("__letter")), "").as("word"))
       .drop("__g")
+  }
+
+  // ---------------------------------------------------------------------
+  // Faithful binary-SAX words (GTSHelper.bSAX:8977-9095) — what the
+  // reference's PATTERNS/ZPATTERNS/PATTERNDETECTION/DISCORDS actually
+  // emit and match on. Unlike the letter-string miners above (engine
+  // extensions for cross-series motif mining), these produce the
+  // reference's OPB64-encoded wire words via graft.kernels.SaxCodec.
+  // ---------------------------------------------------------------------
+
+  /** The per-window bSAX word as a Column on every window-START row
+    * (null once fewer than `windowLen` points remain). Faithful to
+    * GTSHelper.bSAX: per-window PAA to `wordLen` segment means of
+    * `paaLen` points, optional standardization of the SEGMENT MEANS
+    * with Bessel's correction (GTSHelper.java:9055-9075), sigma == 0 ⇒
+    * mean-subtraction only, quantization by SaxCodec's Acklam bounds
+    * (upper bound included), bit-interleaved pack + OPB64.
+    *
+    * Whole-stage-codegen path: the symbol vector folds to its
+    * base-`alphabet` integer and the word is an `element_at` into the
+    * driver-computed [[graft.kernels.SaxCodec.wordTable]] literal —
+    * no UDF for any vocabulary ≤ 65536 words (a Scala UDF assembles
+    * the word beyond that, off the fast path).
+    */
+  private def bsaxWordCol(df: DataFrame, alphabetSize: Int, wordLen: Int,
+                          windowLen: Int, standardizePAA: Boolean): DataFrame = {
+    val levels = graft.kernels.SaxCodec.levelsOf(alphabetSize)
+    require(wordLen >= 1 && windowLen % wordLen == 0,
+      "Wordlen MUST divide windowlen.")
+    val paaLen = windowLen / wordLen
+    val bounds = graft.kernels.SaxCodec.boundsForLevels(levels)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gtsid")).orderBy(col("ts"), col("vdouble"))
+    val x0 = coalesce(col("vdouble"), col("vlong").cast(DoubleType))
+    val xs = (0 until windowLen).map(o =>
+      if (o == 0) x0 else lead(x0, o).over(w))
+    // segment means in the reference's add order (paaSum then /paaLen)
+    val means = (0 until wordLen).map { seg =>
+      xs.slice(seg * paaLen, (seg + 1) * paaLen).reduce(_ + _) / lit(paaLen.toDouble)
+    }
+    val zs =
+      if (!standardizePAA) means
+      else {
+        val sum = means.reduce(_ + _)
+        val sumsq = means.map(m => m * m).reduce(_ + _)
+        val mu = sum / lit(wordLen.toDouble)
+        val varNaive = sumsq / lit(wordLen.toDouble) -
+          (sum * sum) / lit(wordLen.toDouble * wordLen.toDouble)
+        val variance =
+          if (wordLen > 1) varNaive * lit(wordLen.toDouble) / lit(wordLen - 1.0)
+          else varNaive
+        val sigma = sqrt(variance)
+        means.map(m => when(sigma =!= 0.0, (m - mu) / sigma).otherwise(m - mu))
+      }
+    // symbol = first i with z <= bounds(i), else |bounds| (SAXUtils.SAX
+    // binarySearch: exact bound match maps INTO that bound's interval)
+    def symbol(z: Column): Column =
+      bounds.zipWithIndex.reverse.foldLeft(lit(bounds.length.toLong)) {
+        case (acc, (bp, i)) => when(z <= bp, lit(i.toLong)).otherwise(acc)
+      }
+    val vocab = math.pow(alphabetSize, wordLen)
+    val wordExpr =
+      if (vocab <= 65536) {
+        val table = graft.kernels.SaxCodec.wordTable(levels, wordLen)
+        val v = zs.map(symbol).reduce((acc, s) => acc * alphabetSize + s)
+        element_at(array(table.map(lit): _*), (v + 1L).cast(IntegerType))
+      } else {
+        val wordUdf = udf((syms: Seq[Long]) =>
+          graft.kernels.SaxCodec.bsaxWord(levels, syms.map(_.toInt).toArray))
+        wordUdf(array(zs.map(symbol): _*))
+      }
+    df.withColumn("__word", when(xs.last.isNotNull, wordExpr))
+  }
+
+  /** PATTERNS / ZPATTERNS (fn/PATTERNS.java → GTSHelper.bSAX): replace
+    * each series by the STRING GTS of its per-window bSAX words — one
+    * word at every window-start tick, byte-identical to the reference's
+    * OPB64 wire words. */
+  def bsax(frame: GtsFrame, alphabetSize: Int, wordLen: Int,
+           windowLen: Int, standardizePAA: Boolean): DataFrame =
+    bsaxWordCol(frame.df, alphabetSize, wordLen, windowLen, standardizePAA)
+      .filter(col("__word").isNotNull)
+      .withColumn("vstring", col("__word"))
+      .withColumn("vtype", lit(graft.model.GtsType.STRING))
+      .withColumn("vlong", lit(null).cast(LongType))
+      .withColumn("vdouble", lit(null).cast(DoubleType))
+      .withColumn("vbool", lit(null).cast(BooleanType))
+      .withColumn("vbinary", lit(null).cast(BinaryType))
+      .drop("__word")
+
+  /** PATTERNDETECTION / ZPATTERNDETECTION (GTSHelper.detect:9293-9334):
+    * keep every point covered by at least one `windowLen`-point window
+    * whose bSAX word is in `patterns`, original values/locations, each
+    * tick once. Distributed form: the window word lives on its start
+    * row, so a point is covered iff any of the `windowLen`
+    * preceding-or-current rows carries a matching word — one rolling
+    * max, no join, no driver collect. */
+  def bsaxDetect(frame: GtsFrame, patterns: Seq[String], alphabetSize: Int,
+                 wordLen: Int, windowLen: Int,
+                 standardizePAA: Boolean): DataFrame = {
+    val withWords =
+      bsaxWordCol(frame.df, alphabetSize, wordLen, windowLen, standardizePAA)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gtsid")).orderBy(col("ts"), col("vdouble"))
+      .rowsBetween(-(windowLen - 1), 0)
+    withWords
+      .withColumn("__hit",
+        max(when(col("__word").isin(patterns: _*), 1).otherwise(0)).over(w))
+      .filter(col("__hit") === 1)
+      .drop("__word", "__hit")
   }
 }

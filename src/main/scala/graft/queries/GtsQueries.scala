@@ -328,17 +328,25 @@ object GtsQueries {
          |        min(cents) OVER (PARTITION BY class, userid) AS mn,
          |        max(cents) OVER (PARTITION BY class, userid) AS mx FROM g)
          |SELECT class, userid, ts,
-         |       round(CASE WHEN mx = mn THEN 0.0 ELSE (cents - mn)/(mx - mn) END, 9) AS norm_v
+         |       round(CASE WHEN mx = mn THEN 1.0 ELSE (cents - mn)/(mx - mn) END, 9) AS norm_v
          |FROM m""".stripMargin,
 
+    // Bessel-corrected sd via the reference's naive sumsq/n − (sum/n)²
+    // form (GTSHelper.standardize:8902-8963) — replayed term for term
     "g19_standardize" ->
       s"""WITH g AS ($EV),
          |m AS (SELECT class, userid, ts, cents,
-         |        avg(cents) OVER (PARTITION BY class, userid) AS mu,
-         |        stddev_pop(cents) OVER (PARTITION BY class, userid) AS sd FROM g)
+         |        CAST(count(*) OVER (PARTITION BY class, userid) AS DOUBLE) AS n,
+         |        sum(cents) OVER (PARTITION BY class, userid) AS sx,
+         |        sum(cents*cents) OVER (PARTITION BY class, userid) AS sxx FROM g),
+         |v AS (SELECT class, userid, ts, cents, n, sx / n AS mu,
+         |        CASE WHEN n > 1.0 THEN (sxx / n - (sx * sx) / (n * n)) * n / (n - 1.0)
+         |             ELSE sxx / n - (sx * sx) / (n * n) END AS variance
+         |      FROM m)
          |SELECT class, userid, ts,
-         |       round(CASE WHEN sd = 0.0 THEN 0.0 ELSE (cents - mu)/sd END, 6) AS z_v
-         |FROM m""".stripMargin,
+         |       round(CASE WHEN sqrt(variance) = 0.0 THEN cents - mu
+         |             ELSE (cents - mu)/sqrt(variance) END, 6) AS z_v
+         |FROM v""".stripMargin,
 
     "g20_timeshift" ->
       s"""WITH g AS ($EV)

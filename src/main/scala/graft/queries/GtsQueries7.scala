@@ -35,9 +35,10 @@ object GtsQueries7 {
         .select(col("user").as("userid"), col("n"), col("corr"))
     }),
 
-    // ZSCORETEST (GTSOutliersHelper zscoretest): flag |z| > 1.5 per
-    // series; z's numerator n·x−Σx is an exact integer, the denominator
-    // one sqrt of an exact integer — no rounding anywhere in the output
+    // ZSCORETEST (GTSOutliersHelper.zScoreTest:227-246): flag |z| >= 1.5
+    // per series with the BESSEL-corrected sd; z's numerator n·x−Σx is
+    // an exact integer and the denominator a single identically-shaped
+    // float expression on both engines — no rounding anywhere else
     "g70_zscore_outliers" -> ((s, dir) =>
       StatOps.zscoreFlag(cents(s, dir), 1.5)
         .select(col("class"), userid, col("ts"),
@@ -220,10 +221,12 @@ object GtsQueries7 {
          |        sum(cents) AS sx, sum(cents*cents) AS sxx
          |      FROM g GROUP BY 1, 2)
          |SELECT g.class, g.userid, g.ts, g.cents,
-         |       (m.n * g.cents - m.sx) / sqrt(m.n * m.sxx - m.sx * m.sx) AS z
+         |       (m.n * g.cents - m.sx)
+         |         / sqrt((m.n * m.sxx - m.sx * m.sx) * m.n / (m.n - 1.0)) AS z
          |FROM g JOIN m ON g.class = m.class AND g.userid = m.userid
-         |WHERE m.n * m.sxx - m.sx * m.sx > 0
-         |  AND abs((m.n * g.cents - m.sx) / sqrt(m.n * m.sxx - m.sx * m.sx)) > 1.5""".stripMargin,
+         |WHERE m.n * m.sxx - m.sx * m.sx > 0 AND m.n > 1
+         |  AND abs((m.n * g.cents - m.sx)
+         |        / sqrt((m.n * m.sxx - m.sx * m.sx) * m.n / (m.n - 1.0))) >= 1.5""".stripMargin,
 
     "g73_snapshot_roundtrip" ->
       s"""WITH g AS ($EV)

@@ -107,6 +107,26 @@ final class WarpScriptEngine(
     f.df.groupBy(col("gtsid"))
       .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
 
+  /** Shared DISCORDS/ZDISCORDS parameter pop + kernel dispatch
+    * (continuum/gts/DISCORDS.java:82-146 retrieveParameters): gts
+    * windowLen wordLen alphabetSize count overlap distratio. */
+  private[script] def popDiscords(st: State, standardizePAA: Boolean): GtsFrame = {
+    val distRatio = st.popNum()
+    require(distRatio >= 0.0, "DISCORDS expects a positive distance ratio")
+    val overlap = st.popBool()
+    val count = st.popLong().toInt
+    val alphabet = st.popLong().toInt
+    val wordLen = st.popLong().toInt
+    val windowLen = st.popLong().toInt
+    require(windowLen % wordLen == 0,
+      "DISCORDS expects pattern length to divide detection window length")
+    val f = toFrame(st.pop())
+    GtsFrame(new graft.kernels.KernelOps(f.df)
+      .discords(windowLen, wordLen, alphabet, count, overlap, distRatio,
+        standardizePAA)
+      .join(metaOf(f), "gtsid"))
+  }
+
   private def exec(tokens: Vector[WsToken], st: State): Unit = {
     var i = 0
     var macroDepth = 0

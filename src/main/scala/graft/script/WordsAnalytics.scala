@@ -188,32 +188,28 @@ private[script] object WordsAnalytics {
 
       // ---- Z-word family (WarpScriptLib.java:2508-2509, 2574-2575:
       // PATTERNS/DISCORDS with standardizePAA=false — input already
-      // z-normalized, window values hit the breakpoints raw)
+      // z-normalized, PAA means hit the quantization bounds raw)
       case "ZPATTERNS" =>
-        val minSeries = st.popLong().toInt; val alphabet = st.popLong().toInt
-        val win = st.popLong().toInt
-        st.push(GtsFrame(StatOps.saxMotifs(en.toFrame(st.pop()),
-          win, alphabet, minSeries, standardize = false)))
+        val alphabet = st.popLong().toInt
+        val wordLen = st.popLong().toInt
+        val windowLen = st.popLong().toInt
+        st.push(GtsFrame(StatOps.bsax(en.toFrame(st.pop()),
+          alphabet, wordLen, windowLen, standardizePAA = false)))
       case "ZDISCORDS" =>
-        val maxOcc = st.popLong().toInt; val alphabet = st.popLong().toInt
-        val win = st.popLong().toInt
-        st.push(GtsFrame(StatOps.saxDiscords(en.toFrame(st.pop()),
-          win, alphabet, maxOcc, standardize = false)))
+        st.push(en.popDiscords(st, standardizePAA = false))
 
-      // PATTERNDETECTION / ZPATTERNDETECTION (fn/PATTERNDETECTION.java:
-      // gts patterns windowLen wordLen alphabet → points covered by a
-      // matching window; wordLen==windowLen in this engine's 1-point-PAA
-      // SAX frame, as in PATTERNS)
+      // PATTERNDETECTION / ZPATTERNDETECTION (fn/PATTERNDETECTION.java
+      // → GTSHelper.detect:9293-9334): gts patterns windowLen wordLen
+      // alphabet → the points covered by a window whose bSAX word is in
+      // the pattern list, each tick once, original values
       case "PATTERNDETECTION" | "ZPATTERNDETECTION" =>
         val alphabet = st.popLong().toInt
         val wordLen = st.popLong().toInt
         val windowLen = st.popLong().toInt
-        require(wordLen == windowLen,
-          s"$w: this engine's SAX words are 1-point-PAA (wordLen == windowLen)")
         val patterns = st.pop().asInstanceOf[Vector[Any]].map(_.asInstanceOf[String])
-        st.push(GtsFrame(StatOps.patternDetect(en.toFrame(st.pop()),
-          patterns, windowLen, alphabet,
-          standardize = w == "PATTERNDETECTION")))
+        st.push(GtsFrame(StatOps.bsaxDetect(en.toFrame(st.pop()),
+          patterns, alphabet, wordLen, windowLen,
+          standardizePAA = w == "PATTERNDETECTION")))
 
       // ---- FFTWINDOW (fn/FFTWINDOW.java): multiply each series by a
       // named windowing function of the point's rank — pure Column

@@ -864,7 +864,7 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       st.push(b.copy(frame = GtsFrame(b.frame.fillLinear(b.lastbucket, b.span, b.count))))
     case "DEDUP" => st.push(toFrame(st.pop()).dedup())
     case "COMPACT" => st.push(toFrame(st.pop()).compact())
-    case "NORMALIZE0" | "ISONORMALIZE" => st.push(toFrame(st.pop()).normalize())
+    case "ISONORMALIZE" => st.push(toFrame(st.pop()).isonormalize())
     // RENAME / RELABEL (fn/RENAME.java, fn/RELABEL.java) — also valid
     // on a NEWGTS builder before materialization
     case "RENAME" => val n = st.popStr(); st.pop() match {
@@ -873,13 +873,18 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       case f => st.push(toFrame(f).rename(n))
     }
     case "RELABEL" =>
-      val m = st.pop().asInstanceOf[Map[Any, Any]]
-        .map { case (k, v) => k.toString -> (if (v == null) "" else v.toString) }
+      // a NULL KEY means "drop the existing labels first"; a null or
+      // empty value removes that label (GTSHelper.relabel:6713-6734)
+      val raw = st.pop().asInstanceOf[Map[Any, Any]]
+      val reset = raw.keys.exists(_ == null)
+      val m = raw.collect { case (k, v) if k != null =>
+        k.toString -> (if (v == null) "" else v.toString) }
       st.pop() match {
         case b: GtsBuilder =>
           val (removes, sets) = m.partition(_._2.isEmpty)
-          st.push(b.copy(labels = (b.labels ++ sets) -- removes.keys))
-        case f => st.push(toFrame(f).relabel(m))
+          val base = if (reset) Map.empty[String, String] else b.labels
+          st.push(b.copy(labels = (base ++ sets) -- removes.keys))
+        case f => st.push(toFrame(f).relabel(m, reset))
       }
     // NEWGTS / ADDVALUE (fn/NEWGTS.java, fn/ADDVALUE.java): build a GTS
     // from literals on the stack; materializes into a one-series frame
@@ -1017,13 +1022,15 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       val kept = if (count > 0) hits.take(count) else hits
       st.push(kept.map { case (i, d) => Vector[Any](i, d) }.toVector)
 
-    // PATTERNS/PATTERNDETECTION (fn/PATTERNS.java): gts win alphabet
-    // minseries PATTERNS → motif table (word, n_series, n_occ)
+    // PATTERNS (fn/PATTERNS.java → GTSHelper.bSAX): gts windowLen
+    // wordLen alphabetSize PATTERNS → STRING GTS of the reference's
+    // OPB64-encoded bSAX word at every window-start tick
     case "PATTERNS" =>
-      val minSeries = st.popLong().toInt; val alphabet = st.popLong().toInt
-      val win = st.popLong().toInt
-      st.push(GtsFrame(graft.operators.StatOps.saxMotifs(toFrame(st.pop()),
-        win, alphabet, minSeries)))
+      val alphabet = st.popLong().toInt
+      val wordLen = st.popLong().toInt
+      val windowLen = st.popLong().toInt
+      st.push(GtsFrame(graft.operators.StatOps.bsax(toFrame(st.pop()),
+        alphabet, wordLen, windowLen, standardizePAA = true)))
     // SINGLEEXPONENTIALSMOOTHING (fn/SINGLEEXPONENTIALSMOOTHING.java):
     // gts alpha → smoothed gts (general-alpha sequential kernel)
     case "SINGLEEXPONENTIALSMOOTHING" =>
@@ -1039,11 +1046,11 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       st.push(GtsFrame(new graft.kernels.KernelOps(f.df).expSmooth(alpha, Some(beta))
         .join(metaOf(f), "gtsid")))
     // ZSCORETEST (fn/ZSCORETEST.java): gts useMedian threshold → flagged
-    // points (mean/sd z-score; the modified-z variant is ESDTEST's MAD path)
+    // points; useMedian selects median/MAD (modified z), else mean with
+    // Bessel sd (GTSOutliersHelper.zScoreTest:227-246)
     case "ZSCORETEST" =>
       val thr = st.popNum(); val useMedian = st.popBool()
-      require(!useMedian, "ZSCORETEST: modified z-score not wired; use ESDTEST true")
-      st.push(GtsFrame(graft.operators.StatOps.zscoreFlag(toFrame(st.pop()), thr)))
+      st.push(GtsFrame(graft.operators.StatOps.zscoreFlag(toFrame(st.pop()), thr, useMedian)))
     // ESDTEST (fn/ESDTEST.java): gts k useMedian alpha → flagged outlier
     // rounds (mean/sd or median/MAD per the flag)
     case "ESDTEST" =>
@@ -1054,8 +1061,16 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
         if (useMedian) graft.operators.StatOps.esdMadFlag(f, k, alpha)
         else graft.operators.StatOps.esdFlag(f, k, alpha)
       st.push(GtsFrame(flagged.join(metaOf(f), "gtsid")))
-    // RESETS compensation (COUNTERDELTA family, GTSHelper compensateResets)
-    case "RESETS" => st.push(toFrame(st.pop()).compensateResets())
+    // RESETS (fn/RESETS.java): gts decreasing:BOOLEAN RESETS — the flag
+    // selects the counter direction (true = decreasing counter, a
+    // reset is an upward jump; GTSHelper.compensateResets:5960-6020)
+    case "RESETS" =>
+      val resethigher = st.pop() match {
+        case b: Boolean => b
+        case o => throw new IllegalArgumentException(
+          s"RESETS expects a boolean as parameter, got $o")
+      }
+      st.push(toFrame(st.pop()).compensateResets(resethigher))
     // RANGECOMPACT (fn/RANGECOMPACT.java): gts delta RANGECOMPACT
     case "RANGECOMPACT" =>
       val delta = st.popNum()
@@ -1083,12 +1098,11 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       val lv = st.popLong().toInt
       require(lv >= 1 && lv <= 20, s"IDWT levels must be in [1, 20]: $lv")
       st.push(GtsFrame(graft.operators.StatOps.haarIdwt(toFrame(st.pop()).df, lv)))
-    // DISCORDS (continuum/gts/DISCORDS.java): gts win alphabet maxocc
+    // DISCORDS (continuum/gts/DISCORDS.java): gts windowLen wordLen
+    // alphabetSize count overlap distratio DISCORDS → the HOTSAX-style
+    // discord windows' points (faithful sequential kernel per series)
     case "DISCORDS" =>
-      val maxOcc = st.popLong().toInt; val alphabet = st.popLong().toInt
-      val win = st.popLong().toInt
-      st.push(GtsFrame(graft.operators.StatOps.saxDiscords(toFrame(st.pop()),
-        win, alphabet, maxOcc)))
+      st.push(popDiscords(st, standardizePAA = true))
     // POLYFIT degree 2 (fn/POLYFIT.java): gts span lastbucket buckets
     case "POLYFIT" =>
       val nb = st.popLong().toInt; val lb = st.popLong(); val span = st.popLong()

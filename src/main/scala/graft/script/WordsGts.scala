@@ -227,10 +227,13 @@ private[script] object WordsGts {
         val r = df.agg(count(lit(1)), sum(col("vdouble")),
           sum(col("vdouble") * col("vdouble"))).head()
         st.push(r.getLong(0)); st.push(r.getDouble(1)); st.push(r.getDouble(2))
-      // ZSCORE (fn/ZSCORE.java): (v - mu)/sigma per point — the
-      // frame's standardize (population sigma, like the reference's
-      // useBessel=false default)
-      case "ZSCORE" => st.push(en.toFrame(st.pop()).standardize())
+      // ZSCORE (fn/ZSCORE.java): (v − m)/std per point; the boolean
+      // flag selects median/MAD (modified z) vs mean/Bessel-sd; a zero
+      // deviation errors (GTSOutliersHelper.zScore:148-166)
+      case "ZSCORE" =>
+        val useMedian = st.popBool()
+        st.push(GtsFrame(
+          graft.operators.StatOps.zscore(en.toFrame(st.pop()), useMedian)))
 
       // ---- value-keyed words (fn/VALUEHISTOGRAM.java, VALUEDEDUP)
       case "VALUEHISTOGRAM" =>

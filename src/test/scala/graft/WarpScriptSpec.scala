@@ -209,7 +209,7 @@ class WarpScriptSpec extends SparkSpec {
       "[ '' '~m\\..*' { } 99999999 100000000 ] FETCH 0.5 0.5 DOUBLEEXPONENTIALSMOOTHING")
     assert(des.count() === 10)
     val res = e.runToFrame(
-      "[ '' '~m\\..*' { } 99999999 100000000 ] FETCH RESETS")
+      "[ '' '~m\\..*' { } 99999999 100000000 ] FETCH false RESETS")
     // compensated series is monotonically non-decreasing
     val rv = res.orderBy("ts").select("vdouble").collect().map(_.getDouble(0))
     assert(rv.zip(rv.tail).forall { case (a, b) => b >= a })
