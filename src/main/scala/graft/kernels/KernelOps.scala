@@ -229,13 +229,23 @@ final class KernelOps(df: DataFrame) {
     }.toDF("gtsid", "ts", "vdouble")
 
   def expSmooth(alpha: Double, beta: Option[Double] = None): DataFrame =
+    beta match {
+      case Some(b) =>
+        holtSmooth(alpha, b).filter(col("which") === "s").drop("which")
+      case None =>
+        perSeries((id, pts) =>
+          singleExpSmoothing(pts, alpha).map(p => (id, p.ts, p.v)))
+          .toDF("gtsid", "ts", "vdouble")
+    }
+
+  /** The reference's full DOUBLEEXPONENTIALSMOOTHING result — the
+    * (level 's', best-estimate 'b') pair, tagged, one kernel pass
+    * (GTSHelper.doubleExponentialSmoothing:9162-9223). */
+  def holtSmooth(alpha: Double, beta: Double): DataFrame =
     perSeries { (id, pts) =>
-      val out = beta match {
-        case Some(b) => doubleExpSmoothing(pts, alpha, b)
-        case None    => singleExpSmoothing(pts, alpha)
-      }
-      out.map(p => (id, p.ts, p.v))
-    }.toDF("gtsid", "ts", "vdouble")
+      val (s, b) = doubleExpSmoothing(pts, alpha, beta)
+      s.map(p => (id, p.ts, p.v, "s")) ++ b.map(p => (id, p.ts, p.v, "b"))
+    }.toDF("gtsid", "ts", "vdouble", "which")
 
   /** filler.newton (script/filler/FillerNewton.java — the reference
     * precomputes a divided-difference Newton polynomial through ALL

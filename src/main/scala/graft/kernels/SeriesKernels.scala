@@ -217,21 +217,34 @@ object SeriesKernels {
     }.updated(0, pts.head)
   }
 
-  /** Holt double exponential smoothing (level+trend), the public
-    * recurrence behind fn/DOUBLEEXPONENTIALSMOOTHING.java. */
-  def doubleExpSmoothing(pts: IndexedSeq[Pt], alpha: Double, beta: Double): IndexedSeq[Pt] = {
-    if (pts.length < 2) return pts
-    var s = pts(0).v
-    var b = pts(1).v - pts(0).v
-    pts.zipWithIndex.map { case (p, i) =>
-      if (i == 0) Pt(p.ts, s)
-      else {
-        val sPrev = s
-        s = alpha * p.v + (1 - alpha) * (s + b)
-        b = beta * (s - sPrev) + (1 - beta) * b
-        Pt(p.ts, s)
-      }
+  /** Holt double exponential smoothing — the reference's exact trace
+    * (GTSHelper.doubleExponentialSmoothing:9162-9223): returns the
+    * (level, best-estimate) PAIR of series, both starting at tick[1]
+    * with s = v[1], b = v[1] − v[0]; from i = 2:
+    * s' = α·v + (1−α)(s+b), then b' = β(s'−s) + (1−β)b. The reference
+    * rejects series with fewer than two values — the kernel SKIPS them
+    * (empty pair), callers with the word contract validate α/β. */
+  def doubleExpSmoothing(pts: IndexedSeq[Pt], alpha: Double,
+                         beta: Double): (IndexedSeq[Pt], IndexedSeq[Pt]) = {
+    if (pts.length < 2) return (IndexedSeq.empty, IndexedSeq.empty)
+    val oneminusalpha = 1.0 - alpha
+    val oneminusbeta = 1.0 - beta
+    var smoothed = pts(1).v
+    var bestestimate = smoothed - pts(0).v
+    val s = IndexedSeq.newBuilder[Pt]
+    val b = IndexedSeq.newBuilder[Pt]
+    s += Pt(pts(1).ts, smoothed)
+    b += Pt(pts(1).ts, bestestimate)
+    var i = 2
+    while (i < pts.length) {
+      val newsmoothed = alpha * pts(i).v + oneminusalpha * (smoothed + bestestimate)
+      bestestimate = beta * (newsmoothed - smoothed) + oneminusbeta * bestestimate
+      smoothed = newsmoothed
+      s += Pt(pts(i).ts, smoothed)
+      b += Pt(pts(i).ts, bestestimate)
+      i += 1
     }
+    (s.result(), b.result())
   }
 
   /** FFT magnitude spectrum (radix-2, zero-padded) — commons-math3
@@ -433,40 +446,30 @@ object SeriesKernels {
     prev(m)
   }
 
-  /** SAX word (script/SAXUtils.java public algorithm): z-normalize, PAA
-    * to `wordLen` segments, quantize by N(0,1) breakpoints into an
-    * `alphabet`-letter word. */
+  /** SAX letter word (engine-extension twin of StatOps.saxWords —
+    * STANDARDIZE's Bessel z per GTSHelper.standardize:8902 + the
+    * reference's Acklam bounds via SaxCodec.getBounds): z-normalize,
+    * PAA to `wordLen` segments, quantize into an `alphabet`-letter
+    * word. */
   def saxWord(values: IndexedSeq[Double], wordLen: Int, alphabet: Int): String = {
-    require(alphabet >= 2 && alphabet <= 10)
+    require(alphabet >= 2 && alphabet <= 64)
     if (values.isEmpty) return ""
-    val mu = values.sum / values.length
-    val sd = math.sqrt(values.map(x => (x - mu) * (x - mu)).sum / values.length)
+    val n = values.length
+    val mu = values.sum / n
+    val varPop = values.map(x => (x - mu) * (x - mu)).sum / n
+    val sd = math.sqrt(if (n > 1) varPop * n / (n - 1.0) else varPop)
     val z = if (sd == 0) values.map(_ => 0.0) else values.map(x => (x - mu) / sd)
-    val n = z.length
     val paa = Array.tabulate(wordLen) { w =>
       val from = w * n / wordLen
       val to = math.max((w + 1) * n / wordLen, from + 1)
       z.slice(from, to).sum / (to - from)
     }
-    val bps = saxBreakpoints(alphabet)
+    val bps = SaxCodec.getBounds(alphabet)
     paa.map { x =>
       var idx = 0
       while (idx < bps.length && x > bps(idx)) idx += 1
       ('a' + idx).toChar
     }.mkString
-  }
-
-  private def saxBreakpoints(a: Int): Array[Double] = a match {
-    // standard N(0,1) equiprobable breakpoints (Lin et al. 2003)
-    case 2 => Array(0.0)
-    case 3 => Array(-0.43, 0.43)
-    case 4 => Array(-0.67, 0.0, 0.67)
-    case 5 => Array(-0.84, -0.25, 0.25, 0.84)
-    case 6 => Array(-0.97, -0.43, 0.0, 0.43, 0.97)
-    case 7 => Array(-1.07, -0.57, -0.18, 0.18, 0.57, 1.07)
-    case 8 => Array(-1.15, -0.67, -0.32, 0.0, 0.32, 0.67, 1.15)
-    case 9 => Array(-1.22, -0.76, -0.43, -0.14, 0.14, 0.43, 0.76, 1.22)
-    case _ => Array(-1.28, -0.84, -0.52, -0.25, 0.0, 0.25, 0.52, 0.84, 1.28)
   }
 
   /** Pearson cross-correlation at integer lags (continuum/gts/CORRELATE.java

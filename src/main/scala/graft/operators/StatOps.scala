@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DoubleType, IntegerType, LongType}
 
 /** Whole-series statistics as DECLARATIVE aggregates over exact integer
   * sums — the 100 TB shapes for the reference's per-GTS statistical
@@ -519,8 +520,13 @@ object StatOps {
       .select(col("word"), col("class"), col("labels"), col("n_occ"))
   }
 
-  /** Shared windowed-SAX-word builder for [[saxMotifs]]/[[saxDiscords]]:
-    * one row per `win`-point window with its z-normalized SAX word. */
+  /** Shared windowed-SAX-word builder for [[saxMotifs]]/[[saxDiscords]]
+    * (letter-string ENGINE EXTENSIONS — the faithful wire-word ops are
+    * [[bsax]]/[[bsaxDetect]] below): one row per `win`-point window
+    * with its z-normalized letter word. The z matches the reference's
+    * per-window standardization — BESSEL-corrected sd
+    * (GTSHelper.bSAX:9055-9075): z = (win·x − Σx)/√(det·win/(win−1)),
+    * exact integer numerator and radicand on cents inputs. */
   private[operators] def saxWindowWords(frame: GtsFrame, win: Int,
                                         alphabet: Int,
                                         standardize: Boolean = true,
@@ -533,13 +539,13 @@ object StatOps {
     val sx = xs.reduce(_ + _)
     val sxx = xs.map(x => x * x).reduce(_ + _)
     val det = lit(win.toDouble) * sxx - sx * sx
+    // Bessel factor as ONE shared literal (oracle embeds the same)
+    val bessel = if (win > 1) win / (win - 1.0) else 1.0
     def letter(x: Column) = {
-      // standardize=false is the Z-word family (ZPATTERNS/ZDISCORDS —
-      // GTSHelper.bSAX with standardizePAA false: the caller already
-      // z-normalized, values hit the N(0,1) breakpoints raw)
       val z =
         if (standardize)
-          when(det === 0.0, 0.0).otherwise((lit(win.toDouble) * x - sx) / sqrt(det))
+          when(det === 0.0, 0.0)
+            .otherwise((lit(win.toDouble) * x - sx) / sqrt(det * lit(bessel)))
         else x
       bps.zipWithIndex.reverse.foldLeft(lit(('a' + bps.length).toChar.toString)) {
         case (acc, (bp, idx)) => when(z <= bp, lit(('a' + idx).toChar.toString)).otherwise(acc)
@@ -635,16 +641,13 @@ object StatOps {
       s"WHEN $nExpr = ${n.toDouble} THEN $l"
     }.mkString("CASE ", " ", s" ELSE ${Double.MaxValue} END")
 
-  /** N(0,1) equiprobable SAX breakpoints (Lin et al. 2003 table —
-    * SAXUtils.java uses the same published constants). Shared literals
-    * with the oracle SQL. */
-  def saxBreakpoints(alphabet: Int): Seq[Double] = alphabet match {
-    case 2 => Seq(0.0)
-    case 3 => Seq(-0.43, 0.43)
-    case 4 => Seq(-0.67, 0.0, 0.67)
-    case 5 => Seq(-0.84, -0.25, 0.25, 0.84)
-    case a => throw new IllegalArgumentException(s"alphabet $a not tabled here")
-  }
+  /** N(0,1) equiprobable SAX breakpoints — the reference's own Acklam
+    * inverse-CDF bounds (SAXUtils.getBounds:342-355 via
+    * [[graft.kernels.SaxCodec.getBounds]]), NOT the rounded Lin et al.
+    * table (alphabet 4 is ±0.674489750196…, not ±0.67). Shared
+    * literals with the oracle SQL. */
+  def saxBreakpoints(alphabet: Int): Seq[Double] =
+    graft.kernels.SaxCodec.getBounds(alphabet).toSeq
 
   /** FFT surface (continuum/gts/FFT.java semantics — magnitude spectrum
     * of an equally-spaced series): DFT over `bins` end-anchored buckets
@@ -823,12 +826,14 @@ object StatOps {
       .drop("word", "__hit")
   }
 
-  /** mapper.sax (script/SAXUtils.java semantics): z-normalize each
-    * series, PAA to `wordLen` segments, quantize by the breakpoint
-    * table into letters, concatenate. Declarative twin of
-    * SeriesKernels.saxWord with closed-form sd: segment w covers
-    * 0-based ranks [w·n/wordLen, max((w+1)·n/wordLen, from+1)) in
-    * (ts, value) order; PAA_w = Σ_seg(n·x−Σx) / (len·√(n·Σx²−(Σx)²)),
+  /** Whole-series SAX letter word (ENGINE EXTENSION composing the
+    * reference's STANDARDIZE + SAXUtils quantization — GTSHelper.
+    * standardize:8902 z with Bessel sd, SAXUtils.getBounds bounds):
+    * z-normalize each series, PAA to `wordLen` segments, quantize into
+    * letters, concatenate. Declarative twin of SeriesKernels.saxWord
+    * with closed-form sd: segment w covers 0-based ranks
+    * [w·n/wordLen, max((w+1)·n/wordLen, from+1)) in (ts, value) order;
+    * PAA_w = Σ_seg(n·x−Σx) / (len·√((n·Σx²−(Σx)²)·n/(n−1))),
     * exact-integer numerator. Returns (class, labels-id columns..,
     * word). Degenerate sd ⇒ all-zero z (kernel branch) ⇒ middle letter.
     */
@@ -862,8 +867,11 @@ object StatOps {
         sum(col("n") * col("vdouble") - col("sx")).as("znum"),
         count(lit(1)).as("len"))
     val det = col("n").cast("double") * col("sxx") - col("sx") * col("sx")
+    // Bessel-corrected sd (GTSHelper.standardize:8902-8963): the whole-
+    // series z divides by √(det·n/(n−1)); n>1 whenever det≠0
     val paa = when(det === 0.0, 0.0)
-      .otherwise(col("znum") / (col("len") * sqrt(det)))
+      .otherwise(col("znum") /
+        (col("len") * sqrt(det * (col("n") / (col("n") - 1.0)))))
     // letter = first i with paa <= bps(i), else the last letter; fold
     // DESCENDING so the smallest breakpoint is the outermost test
     val letter = bps.zipWithIndex.reverse.foldLeft(

@@ -252,7 +252,8 @@ object GtsQueries6 {
       s"""WITH RECURSIVE g AS ($EV),
          |o AS (SELECT class, userid, ts, cents,
          |    row_number() OVER (PARTITION BY class, userid ORDER BY ts, cents) AS rn
-         |  FROM g),
+         |  FROM g
+         |  QUALIFY count(*) OVER (PARTITION BY class, userid) >= 2),
          |r AS (
          |  SELECT class, userid, ts, rn, CAST(cents AS DOUBLE) AS s
          |  FROM o WHERE rn = 1
@@ -263,18 +264,22 @@ object GtsQueries6 {
          |)
          |SELECT class, userid, ts, round(s, 6) AS ses FROM r""".stripMargin,
 
+    // the faithful Holt trace (GTSHelper.doubleExponentialSmoothing:
+    // 9162-9223): both state series start at the SECOND point with
+    // s = v2, b = v2 − v1; output begins there too
     "g68_holt_general" ->
       s"""WITH RECURSIVE g AS ($EV),
          |o AS (SELECT class, userid, ts, cents,
          |    row_number() OVER (PARTITION BY class, userid ORDER BY ts, cents) AS rn
-         |  FROM g),
+         |  FROM g
+         |  QUALIFY count(*) OVER (PARTITION BY class, userid) >= 2),
          |r AS (
-         |  SELECT o1.class, o1.userid, o1.ts, o1.rn,
-         |    CAST(o1.cents AS DOUBLE) AS s,
-         |    coalesce(o2.cents - o1.cents, 0.0) AS b
-         |  FROM o o1 LEFT JOIN o o2 ON o1.class = o2.class
-         |    AND o1.userid = o2.userid AND o2.rn = 2
-         |  WHERE o1.rn = 1
+         |  SELECT o2.class, o2.userid, o2.ts, o2.rn,
+         |    CAST(o2.cents AS DOUBLE) AS s,
+         |    CAST(o2.cents AS DOUBLE) - o1.cents AS b
+         |  FROM o o2 JOIN o o1 ON o1.class = o2.class
+         |    AND o1.userid = o2.userid AND o1.rn = 1
+         |  WHERE o2.rn = 2
          |  UNION ALL
          |  SELECT o.class, o.userid, o.ts, o.rn,
          |    0.25 * o.cents + 0.75 * (r.s + r.b) AS s,

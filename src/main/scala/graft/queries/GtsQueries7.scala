@@ -644,13 +644,14 @@ object GtsQueries7 {
          |        FROM m, (SELECT unnest(generate_series(0, 3)) AS w) w),
          |p AS (SELECT seg.class, seg.userid, seg.w,
          |        sum(seg.n * r.cents - seg.sx) AS znum, count(*) AS len,
+         |        any_value(seg.n) AS n,
          |        any_value(CAST(seg.n AS DOUBLE) * seg.sxx - seg.sx * seg.sx) AS det
          |      FROM seg JOIN r ON r.class = seg.class AND r.userid = seg.userid
          |        AND r.j >= seg.f AND r.j < seg.t
          |      GROUP BY 1, 2, 3),
          |l AS (SELECT class, userid, w,
          |        CASE WHEN det = 0 THEN 0.0
-         |             ELSE znum / (len * sqrt(det)) END AS paa
+         |             ELSE znum / (len * sqrt(det * (n / (n - 1.0)))) END AS paa
          |      FROM p)
          |SELECT class, userid,
          |  string_agg(CASE WHEN paa <= ${BPS(0)} THEN 'a'

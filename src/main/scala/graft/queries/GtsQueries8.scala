@@ -214,15 +214,17 @@ object GtsQueries8 {
        |SELECT userid, d8_8 AS dtw FROM r8""".stripMargin
   }
 
-  /** letter(x) as ordered CASE — identical fold to the Spark side. */
-  private def saxLetter(x: String): String =
-    s"""CASE WHEN (CASE WHEN det = 0 THEN 0.0E0
-       | ELSE (4.0E0 * $x - sx) / sqrt(det) END) <= -0.67E0 THEN 'a'
-       | WHEN (CASE WHEN det = 0 THEN 0.0E0
-       | ELSE (4.0E0 * $x - sx) / sqrt(det) END) <= 0.0E0 THEN 'b'
-       | WHEN (CASE WHEN det = 0 THEN 0.0E0
-       | ELSE (4.0E0 * $x - sx) / sqrt(det) END) <= 0.67E0 THEN 'c'
-       | ELSE 'd' END""".stripMargin.replace("\n", "")
+  /** letter(x) as ordered CASE — identical fold to the Spark side:
+    * Bessel z = (4x − Σx)/√(det·4/3) against the shared full-precision
+    * Acklam bounds (StatOps.saxBreakpoints). */
+  private def saxLetter(x: String): String = {
+    val bps = graft.operators.StatOps.saxBreakpoints(4)
+    val z = s"(CASE WHEN det = 0 THEN 0.0E0 ELSE (4.0E0 * $x - sx)" +
+      s" / sqrt(det * ${4 / 3.0}) END)"
+    bps.zipWithIndex.map { case (b, i) =>
+      s"WHEN $z <= $b THEN '${('a' + i).toChar}'"
+    }.mkString("CASE ", " ", s" ELSE '${('a' + bps.length).toChar}' END")
+  }
 
   val oracleSql: Map[String, String] = Map(
     "g81_dft" ->

@@ -190,16 +190,17 @@ object GtsQueries9 {
   private def haarBucketSql(i: Int): String =
     s"coalesce(sum(CASE WHEN 7 - ($LB - ts) // $DAY = $i THEN cents END), 0.0) AS x$i"
 
-  /** letter(x) CASE for the discords oracle — identical fold to Spark
-    * (win is the z-normalization count factor). */
-  private def saxLetter(x: String, win: Int): String =
-    s"""CASE WHEN (CASE WHEN det = 0 THEN 0.0E0
-       | ELSE ($win.0E0 * $x - sx) / sqrt(det) END) <= -0.67E0 THEN 'a'
-       | WHEN (CASE WHEN det = 0 THEN 0.0E0
-       | ELSE ($win.0E0 * $x - sx) / sqrt(det) END) <= 0.0E0 THEN 'b'
-       | WHEN (CASE WHEN det = 0 THEN 0.0E0
-       | ELSE ($win.0E0 * $x - sx) / sqrt(det) END) <= 0.67E0 THEN 'c'
-       | ELSE 'd' END""".stripMargin.replace("\n", "")
+  /** letter(x) CASE for the discords oracle — identical fold to Spark:
+    * Bessel z = (win·x − Σx)/√(det·win/(win−1)) against the shared
+    * full-precision Acklam bounds (StatOps.saxBreakpoints). */
+  private def saxLetter(x: String, win: Int): String = {
+    val bps = graft.operators.StatOps.saxBreakpoints(4)
+    val z = s"(CASE WHEN det = 0 THEN 0.0E0 ELSE ($win.0E0 * $x - sx)" +
+      s" / sqrt(det * ${win / (win - 1.0)}) END)"
+    bps.zipWithIndex.map { case (b, i) =>
+      s"WHEN $z <= $b THEN '${('a' + i).toChar}'"
+    }.mkString("CASE ", " ", s" ELSE '${('a' + bps.length).toChar}' END")
+  }
 
   val oracleSql: Map[String, String] = Map(
     "g89_linreg" ->

@@ -21,27 +21,6 @@ object WsQueries {
 
   private val userid = col("labels").getItem("user").as("userid")
 
-  /** Z-word-family oracle (ZPATTERNS/ZDISCORDS): the exact mapped value
-    * (cents % 7 - 3) * 0.5 hits the alphabet-4 breakpoints raw. */
-  private[queries] def zWordSql(win: Int, outCols: String, cond: String): String = {
-    val xs = (0 until win).map(i => s"x$i")
-    val leads = (1 until win).map(i => s"lead(x, $i) OVER w AS x$i").mkString(", ")
-    def zl(x: String) =
-      s"CASE WHEN $x <= -0.67E0 THEN 'a' WHEN $x <= 0.0E0 THEN 'b' " +
-        s"WHEN $x <= 0.67E0 THEN 'c' ELSE 'd' END"
-    s"""WITH g AS ($EV),
-       |v AS (SELECT class, userid, ts, (cents % 7 - 3) * 0.5 AS x FROM g),
-       |o AS (SELECT class, userid, x AS x0, $leads
-       |      FROM v WINDOW w AS (PARTITION BY class, userid ORDER BY ts, x)),
-       |w8 AS (SELECT class, userid, ${xs.map(zl).mkString(" || ")} AS word
-       |      FROM o WHERE x${win - 1} IS NOT NULL),
-       |pw AS (SELECT word, class, userid, count(*) AS n_occ
-       |       FROM w8 GROUP BY 1, 2, 3),
-       |a AS (SELECT word, count(*) AS n_series, min(class) AS class,
-       |        min(userid) AS userid, CAST(sum(n_occ) AS BIGINT) AS n_occ
-       |      FROM pw GROUP BY 1)
-       |SELECT $outCols FROM a WHERE $cond""".stripMargin
-  }
 
   /** Per-JVM memo of the maintained-directory stand-in, keyed by
     * (session, dir, cents): repeated engine() calls in one process
@@ -269,14 +248,21 @@ object WsQueries {
     }),
 
 
-    // DISCORDS word ≡ g93 (window-5 rarest SAX words)
+    // DISCORDS (faithful r11 — continuum/gts/DISCORDS.java HOTSAX
+    // search per series): 8 FILLVALUE'd daily buckets, windowLen 4,
+    // wordLen 4, count 1, overlap tolerated. Interior windows keep
+    // nndist=+inf (no far neighbour), so the winner is the first +inf
+    // candidate in the reference's (occurrence, lex, location)
+    // processing order — the closed form the oracle replays
     "w17_ws_discords" -> ((s, dir) => {
       val program =
-        s"""[ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
-           |5 4 2 DISCORDS""".stripMargin
+        s"""[ [ '' '~events\\..*' { } $LB ${LB + 1} ] FETCH
+           |  bucketizer.sum $LB 1 d 8 ] BUCKETIZE
+           |[ 0 0 0 0.0 ] FILLVALUE
+           |4 4 4 1 true 0.0 DISCORDS""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
-        .select(col("word"), col("class"),
-          col("labels").getItem("user").as("userid"), col("n_occ"))
+        .select(col("class"), col("labels").getItem("user").as("userid"),
+          col("ts"), col("vdouble"))
     }),
 
 
@@ -679,7 +665,49 @@ object WsQueries {
 
     "w16_ws_fdwt" -> GtsQueries9.oracleSql("g91_haar_dwt"),
 
-    "w17_ws_discords" -> GtsQueries9.oracleSql("g93_sax_discords"),
+    // the 8-bucket DISCORDS closed form (see the query comment): words
+    // from Bessel-standardized 4-point windows via the shared vocab
+    // table, +inf pool winner, its 4 points. Series with NO point in
+    // the bucket grid are excluded: the reference retains empty GTS
+    // objects (zero-filled by FILLVALUE), a row store has no rows to
+    // carry them — the documented empty-series representation limit
+    "w17_ws_discords" -> {
+      val means = (i: String) => (0 until 4).map(k => s"xs[$i + ${k + 1}]")
+      val word = (i: String) => SaxOracle.wordSql(
+        SaxOracle.besselZSql(means(i)).map(z => SaxOracle.symbolSql(z, 4)), 4, 4)
+      s"""WITH g AS ($EV),
+         |b AS (SELECT class, userid, ($LB - ts) // $DAY AS k, sum(cents) AS s
+         |      FROM g WHERE ts <= $LB AND ($LB - ts) // $DAY < 8
+         |      GROUP BY 1, 2, 3),
+         |ser AS (SELECT DISTINCT class, userid FROM g
+         |        WHERE ts <= $LB AND ($LB - ts) // $DAY < 8),
+         |grid AS (SELECT ser.class, ser.userid, r.j,
+         |           $LB - (7 - r.j) * $DAY AS bts,
+         |           CAST(coalesce(b.s, 0) AS DOUBLE) AS x
+         |         FROM ser CROSS JOIN (SELECT unnest(range(8)) AS j) r
+         |         LEFT JOIN b ON b.class = ser.class AND b.userid = ser.userid
+         |           AND b.k = 7 - r.j),
+         |p AS (SELECT class, userid, list(x ORDER BY j) AS xs,
+         |        list(bts ORDER BY j) AS bt FROM grid GROUP BY 1, 2),
+         |wrd AS (SELECT class, userid, xs, bt, w.i, ${word("w.i")} AS word
+         |        FROM p CROSS JOIN (SELECT unnest(range(5)) AS i) w),
+         |occ AS (SELECT *, count(*) OVER (PARTITION BY class, userid, word)
+         |          AS n_occ FROM wrd),
+         |w04 AS (SELECT class, userid,
+         |          max(CASE WHEN i = 0 THEN word END) AS w0,
+         |          max(CASE WHEN i = 4 THEN word END) AS w4
+         |        FROM wrd GROUP BY 1, 2),
+         |pool AS (SELECT o.* FROM occ o JOIN w04
+         |           ON o.class = w04.class AND o.userid = w04.userid
+         |         WHERE o.i IN (1, 2, 3) OR (o.i = 0 AND w04.w4 > w04.w0)
+         |            OR (o.i = 4 AND w04.w0 > w04.w4)),
+         |win AS (SELECT *, row_number() OVER (PARTITION BY class, userid
+         |          ORDER BY n_occ, word, i) AS rk FROM pool)
+         |SELECT w.class, w.userid, w.bt[w.i + kk + 1] AS ts,
+         |  w.xs[w.i + kk + 1] AS vdouble
+         |FROM win w CROSS JOIN (SELECT unnest(range(4)) AS kk) k4
+         |WHERE w.rk = 1""".stripMargin
+    },
 
     "w18_ws_rangecompact" -> GtsQueries10.oracleSql("g105_rangecompact"),
 

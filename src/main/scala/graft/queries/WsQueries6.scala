@@ -402,6 +402,18 @@ object WsQueries6 {
           col("vstring").as("q"))
       idx.unionByName(lab)
     }),
+
+    // PATTERNS (fn/PATTERNS.java → GTSHelper.bSAX, faithful r11): the
+    // STRING GTS of OPB64-encoded bSAX words at every window-start
+    // tick — Bessel-standardized 5-point windows quantized against the
+    // Acklam bounds, words byte-identical to the reference's wire form
+    "w135_ws_patterns" -> ((s, dir) => {
+      val program =
+        s"""[ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
+           |5 5 4 PATTERNS""".stripMargin
+      engine(s, dir, cents = true).runToFrame(program)
+        .select(col("class"), userid, col("ts"), col("vstring").as("word"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -730,5 +742,20 @@ object WsQueries6 {
          |  CASE bk WHEN 0 THEN 'low' WHEN 1 THEN 'mid'
          |          WHEN 2 THEN 'high' ELSE 'top' END
          |FROM b""".stripMargin,
+
+    // faithful bSAX per window start: Bessel z over the 5 raw cents,
+    // shared Acklam bound literals, shared 1024-word vocabulary table
+    "w135_ws_patterns" -> {
+      val xs = (0 until 5).map(i => s"x$i")
+      val leads = (1 until 5).map(i => s"lead(x, $i) OVER w AS x$i").mkString(", ")
+      val zs = SaxOracle.besselZSql(xs.map(x => s"($x)"))
+      val word = SaxOracle.wordSql(zs.map(z => SaxOracle.symbolSql(z, 4)), 4, 5)
+      s"""WITH g AS ($EV),
+         |v AS (SELECT class, userid, ts, CAST(cents AS DOUBLE) AS x FROM g),
+         |o AS (SELECT class, userid, ts, x AS x0, $leads
+         |      FROM v WINDOW w AS (PARTITION BY class, userid ORDER BY ts, x))
+         |SELECT class, userid, ts, $word AS word
+         |FROM o WHERE x4 IS NOT NULL""".stripMargin
+    },
   )
 }

@@ -15,9 +15,18 @@ import graft.script.WarpScriptEngine
   */
 object WsQueriesB {
   import GtsQueries.{T0, T7, LB, HOUR, DAY, EV}
-  import WsQueries.{engine, zWordSql}
+  import WsQueries.engine
 
   private val userid = col("labels").getItem("user").as("userid")
+
+  /** w67 pattern list — real bSAX wire words (levels 2, wordLen 5);
+    * the symbol vectors are noted inline. Chosen for stable nonempty
+    * hits across sf0.001–0.1. */
+  private[queries] val DetectPatterns: Seq[String] = Seq(
+    Array(1, 1, 3, 1, 1), // one high spike mid-window
+    Array(3, 1, 1, 1, 1), // leading spike
+    Array(0, 1, 1, 3, 1)  // dip then spike
+  ).map(graft.kernels.SaxCodec.bsaxWord(2, _))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -444,37 +453,50 @@ object WsQueriesB {
     }),
 
 
-    // Z-word family: values mapped to an EXACT small range by
-    // parameterized mappers ((cents % 7 - 3) * 0.5 — binary-exact), so
-    // the raw-breakpoint letters are deterministic cross-engine
+    // ZPATTERNS (faithful r11 — fn/PATTERNS.java standardizePAA=false
+    // → GTSHelper.bSAX): the exact mapped values ((cents%7−3)·0.5,
+    // binary-exact) hit the Acklam quantization bounds raw; the result
+    // is the STRING GTS of OPB64-encoded bSAX words at window-start
+    // ticks, byte-identical to the reference's wire words
     "w65_ws_zpatterns" -> ((s, dir) => {
       val program =
         s"""[ [ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
            |  7.0 mapper.mod 0 0 0 ] MAP 'g' STORE
            |[ $$g -3.0 mapper.add 0 0 0 ] MAP 'g' STORE
-           |[ $$g 0.5 mapper.mul 0 0 0 ] MAP 5 4 2 ZPATTERNS""".stripMargin
+           |[ $$g 0.5 mapper.mul 0 0 0 ] MAP 5 5 4 ZPATTERNS""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
-        .select(col("word"), col("n_series"), col("n_occ"))
+        .select(col("class"), userid, col("ts"), col("vstring").as("word"))
     }),
 
+    // ZDISCORDS (faithful r11 — continuum/gts/DISCORDS.java over a
+    // FILLVALUE'd 8-bucket grid): windowLen 4, wordLen 2 (a REAL 2-point
+    // PAA), count 1, overlap tolerated, no distance-ratio purge. With 5
+    // windows per series only the (0,4) window pair is >= windowLen
+    // apart, so interior windows keep nndist=+inf and the winner is the
+    // first +inf candidate in the reference's (occurrence, lex,
+    // location) processing order — a closed form the oracle replays
     "w66_ws_zdiscords" -> ((s, dir) => {
       val program =
-        s"""[ [ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
-           |  7.0 mapper.mod 0 0 0 ] MAP 'g' STORE
+        s"""[ [ '' '~events\\..*' { } $LB ${LB + 1} ] FETCH
+           |  bucketizer.sum $LB 1 d 8 ] BUCKETIZE
+           |[ 0 0 0 0.0 ] FILLVALUE 'b' STORE
+           |[ $$b 7.0 mapper.mod 0 0 0 ] MAP 'g' STORE
            |[ $$g -3.0 mapper.add 0 0 0 ] MAP 'g' STORE
-           |[ $$g 0.5 mapper.mul 0 0 0 ] MAP 9 4 2 ZDISCORDS""".stripMargin
+           |[ $$g 0.5 mapper.mul 0 0 0 ] MAP
+           |4 2 4 1 true 0.0 ZDISCORDS""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
-        .select(col("word"), col("class"),
-          col("labels").getItem("user").as("userid"), col("n_occ"))
+        .select(col("class"), userid, col("ts"), col("vdouble"))
     }),
 
 
-    // PATTERNDETECTION: union of all 5-point windows whose
-    // z-normalized SAX word is in the pattern list
+    // PATTERNDETECTION (faithful r11 — GTSHelper.detect over bSAX
+    // words): union of all 5-point windows whose Bessel-standardized
+    // bSAX word is in the pattern list, original points, each tick once
     "w67_ws_patterndetect" -> ((s, dir) => {
       val program =
         s"""[ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
-           |[ 'bbdbb' 'dbbbb' 'abbdb' ] 5 5 4 PATTERNDETECTION""".stripMargin
+           |[ ${WsQueriesB.DetectPatterns.map(p => s"'$p'").mkString(" ")} ]
+           |5 5 4 PATTERNDETECTION""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
         .select(col("class"), userid, col("ts"), col("vdouble"))
     }),
@@ -779,44 +801,86 @@ object WsQueriesB {
          |FROM g""".stripMargin,
 
 
-    "w65_ws_zpatterns" -> zWordSql(5, "a.word, a.n_series, a.n_occ",
-      "n_series >= 2"),
+    // faithful bSAX word at every window start: symbols from the exact
+    // mapped values against the full-precision Acklam bounds, word via
+    // the shared 1024-entry vocabulary table
+    "w65_ws_zpatterns" -> {
+      val xs = (0 until 5).map(i => s"x$i")
+      val leads = (1 until 5).map(i => s"lead(x, $i) OVER w AS x$i").mkString(", ")
+      val syms = xs.map(x => SaxOracle.symbolSql(x, 4))
+      s"""WITH g AS ($EV),
+         |v AS (SELECT class, userid, ts, (cents % 7 - 3) * 0.5 AS x FROM g),
+         |o AS (SELECT class, userid, ts, x AS x0, $leads
+         |      FROM v WINDOW w AS (PARTITION BY class, userid ORDER BY ts, x))
+         |SELECT class, userid, ts, ${SaxOracle.wordSql(syms, 4, 5)} AS word
+         |FROM o WHERE x4 IS NOT NULL""".stripMargin
+    },
 
-    "w66_ws_zdiscords" -> zWordSql(9, "a.word, a.class, a.userid, a.n_occ",
-      "n_series = 1 AND n_occ <= 2"),
+    // the 8-bucket ZDISCORDS closed form: words (2-point PAA means, raw
+    // quantization), per-series occurrence counts, the +inf candidate
+    // pool {1,2,3} ∪ {0 if w4>w0} ∪ {4 if w0>w4}, winner = first in
+    // (occurrence, lex word, location) order, output = its 4 points
+    "w66_ws_zdiscords" -> {
+      def m(a: String, b: String) = s"(($a) + ($b)) / 2.0"
+      val means = (i: String) => Seq(
+        m(s"xs[$i + 1]", s"xs[$i + 2]"), m(s"xs[$i + 3]", s"xs[$i + 4]"))
+      val word = (i: String) =>
+        SaxOracle.wordSql(means(i).map(x => SaxOracle.symbolSql(x, 4)), 4, 2)
+      s"""WITH g AS ($EV),
+         |b AS (SELECT class, userid, ($LB - ts) // $DAY AS k, sum(cents) AS s
+         |      FROM g WHERE ts <= $LB AND ($LB - ts) // $DAY < 8
+         |      GROUP BY 1, 2, 3),
+         |ser AS (SELECT DISTINCT class, userid FROM g
+         |        WHERE ts <= $LB AND ($LB - ts) // $DAY < 8),
+         |grid AS (SELECT ser.class, ser.userid, r.j,
+         |           $LB - (7 - r.j) * $DAY AS bts,
+         |           ((coalesce(b.s, 0) % 7) - 3) * 0.5 AS x
+         |         FROM ser CROSS JOIN (SELECT unnest(range(8)) AS j) r
+         |         LEFT JOIN b ON b.class = ser.class AND b.userid = ser.userid
+         |           AND b.k = 7 - r.j),
+         |p AS (SELECT class, userid, list(x ORDER BY j) AS xs,
+         |        list(bts ORDER BY j) AS bt FROM grid GROUP BY 1, 2),
+         |wrd AS (SELECT class, userid, xs, bt, w.i, ${word("w.i")} AS word
+         |        FROM p CROSS JOIN (SELECT unnest(range(5)) AS i) w),
+         |occ AS (SELECT *, count(*) OVER (PARTITION BY class, userid, word)
+         |          AS n_occ FROM wrd),
+         |w04 AS (SELECT class, userid,
+         |          max(CASE WHEN i = 0 THEN word END) AS w0,
+         |          max(CASE WHEN i = 4 THEN word END) AS w4
+         |        FROM wrd GROUP BY 1, 2),
+         |pool AS (SELECT o.* FROM occ o JOIN w04
+         |           ON o.class = w04.class AND o.userid = w04.userid
+         |         WHERE o.i IN (1, 2, 3) OR (o.i = 0 AND w04.w4 > w04.w0)
+         |            OR (o.i = 4 AND w04.w0 > w04.w4)),
+         |win AS (SELECT *, row_number() OVER (PARTITION BY class, userid
+         |          ORDER BY n_occ, word, i) AS rk FROM pool)
+         |SELECT w.class, w.userid, w.bt[w.i + kk + 1] AS ts,
+         |  w.xs[w.i + kk + 1] AS vdouble
+         |FROM win w CROSS JOIN (SELECT unnest(range(4)) AS kk) k4
+         |WHERE w.rk = 1""".stripMargin
+    },
 
 
     "w67_ws_patterndetect" -> {
-      val win = 5
-      val xs = (0 until win).map(i => s"x$i")
-      val leads = (1 until win)
-        .map(i => s"lead(cents, $i) OVER w AS x$i").mkString(", ")
-      val sxE = xs.mkString(" + ")
-      val sxxE = xs.map(x => s"$x * $x").mkString(" + ")
-      def zl(x: String) = {
-        val z = s"(CASE WHEN det = 0 THEN 0.0E0 ELSE ($win.0E0 * $x - sx) / sqrt(det) END)"
-        s"CASE WHEN $z <= -0.67E0 THEN 'a' WHEN $z <= 0.0E0 THEN 'b' " +
-          s"WHEN $z <= 0.67E0 THEN 'c' ELSE 'd' END"
-      }
+      val xs = (0 until 5).map(i => s"x$i")
+      val leads = (1 until 5)
+        .map(i => s"lead(x, $i) OVER w AS x$i").mkString(", ")
+      val zs = SaxOracle.besselZSql(xs.map(x => s"($x)"))
+      val word = SaxOracle.wordSql(zs.map(z => SaxOracle.symbolSql(z, 4)), 4, 5)
+      val pats = DetectPatterns.map(p => s"'$p'").mkString(", ")
       s"""WITH g AS ($EV),
-         |o AS (SELECT class, userid, ts, cents, $leads
-         |      FROM g WINDOW w AS (PARTITION BY class, userid
-         |        ORDER BY ts, cents)),
-         |z AS (SELECT class, userid, ts, cents, x0, ${xs.tail.mkString(", ")},
-         |        $sxE AS sx,
-         |        $win.0E0 * ($sxxE) - ($sxE) * ($sxE) AS det
-         |      FROM (SELECT *, cents AS x0 FROM o)),
-         |ww AS (SELECT class, userid, ts, cents,
-         |        CASE WHEN x${win - 1} IS NOT NULL
-         |          THEN ${xs.map(zl).mkString(" || ")} END AS word
-         |      FROM z),
-         |h AS (SELECT class, userid, ts, cents,
-         |        max(CASE WHEN word IN ('bbdbb', 'dbbbb', 'abbdb')
-         |          THEN 1 ELSE 0 END)
-         |          OVER (PARTITION BY class, userid ORDER BY ts, cents
-         |            ROWS BETWEEN ${win - 1} PRECEDING AND CURRENT ROW) AS hit
+         |v AS (SELECT class, userid, ts, CAST(cents AS DOUBLE) AS x FROM g),
+         |o AS (SELECT class, userid, ts, x, x AS x0, $leads
+         |      FROM v WINDOW w AS (PARTITION BY class, userid ORDER BY ts, x)),
+         |ww AS (SELECT class, userid, ts, x,
+         |        CASE WHEN x4 IS NOT NULL THEN $word END AS word
+         |      FROM o),
+         |h AS (SELECT class, userid, ts, x,
+         |        max(CASE WHEN word IN ($pats) THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY class, userid ORDER BY ts, x
+         |            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS hit
          |      FROM ww)
-         |SELECT class, userid, ts, CAST(cents AS DOUBLE) AS vdouble
+         |SELECT class, userid, ts, x AS vdouble
          |FROM h WHERE hit = 1""".stripMargin
     },
 

@@ -1031,20 +1031,36 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       val windowLen = st.popLong().toInt
       st.push(GtsFrame(graft.operators.StatOps.bsax(toFrame(st.pop()),
         alphabet, wordLen, windowLen, standardizePAA = true)))
-    // SINGLEEXPONENTIALSMOOTHING (fn/SINGLEEXPONENTIALSMOOTHING.java):
-    // gts alpha → smoothed gts (general-alpha sequential kernel)
+    // SINGLEEXPONENTIALSMOOTHING (fn/SINGLEEXPONENTIALSMOOTHING.java →
+    // GTSHelper.singleExponentialSmoothing:9112-9160): gts alpha →
+    // smoothed gts; 0 < α < 1 enforced like the reference (sub-2-point
+    // series are skipped by the kernel — documented divergence from
+    // the reference's per-GTS rejection)
     case "SINGLEEXPONENTIALSMOOTHING" =>
       val alpha = st.popNum()
+      require(alpha > 0.0 && alpha < 1.0,
+        "The smoothing factor must be in 0 < alpha < 1.")
       val f = toFrame(st.pop())
       st.push(GtsFrame(new graft.kernels.KernelOps(f.df).expSmooth(alpha)
         .join(metaOf(f), "gtsid")))
-    // DOUBLEEXPONENTIALSMOOTHING (fn/DOUBLEEXPONENTIALSMOOTHING.java):
-    // gts alpha beta → Holt level series
+    // DOUBLEEXPONENTIALSMOOTHING (fn/DOUBLEEXPONENTIALSMOOTHING.java →
+    // GTSHelper.doubleExponentialSmoothing:9162-9223, faithful r11):
+    // gts alpha beta → [ level-GTS best-estimate-GTS ] — the reference
+    // returns the PAIR, both starting at tick[1]
     case "DOUBLEEXPONENTIALSMOOTHING" =>
       val beta = st.popNum(); val alpha = st.popNum()
+      require(alpha > 0.0 && alpha < 1.0,
+        "The data smoothing factor must be in 0 < alpha < 1.")
+      require(beta > 0.0 && beta < 1.0,
+        "The trend smoothing factor must be in 0 < beta < 1.")
       val f = toFrame(st.pop())
-      st.push(GtsFrame(new graft.kernels.KernelOps(f.df).expSmooth(alpha, Some(beta))
-        .join(metaOf(f), "gtsid")))
+      val tagged = new graft.kernels.KernelOps(f.df).holtSmooth(alpha, beta)
+      val meta = metaOf(f)
+      st.push(Vector[Any](
+        GtsFrame(tagged.filter(col("which") === "s").drop("which")
+          .join(meta, "gtsid")),
+        GtsFrame(tagged.filter(col("which") === "b").drop("which")
+          .join(meta, "gtsid"))))
     // ZSCORETEST (fn/ZSCORETEST.java): gts useMedian threshold → flagged
     // points; useMedian selects median/MAD (modified z), else mean with
     // Bessel sd (GTSOutliersHelper.zScoreTest:227-246)

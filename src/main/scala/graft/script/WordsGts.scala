@@ -39,6 +39,37 @@ private[script] object WordsGts {
 
   private[script] def tickWindow = Window.partitionBy(col("gtsid")).orderBy(col("ts"))
 
+  /** Exact (n, Σx, Σx²) in BigDecimal — the MUSIGMA/NSUMSUMSQ numeric
+    * contract (fn/MUSIGMA.java:69-85: BigDecimal.valueOf of each
+    * value's double, exact decimal adds). Per-partition decimal folds
+    * reduced on the driver: exact addition is associative, so the
+    * distributed order is immaterial. LONG-typed values go through the
+    * vlong slot like the reference's TYPE.LONG branch. */
+  private[script] def exactNSumSumsq(
+      df: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = df
+      .select(coalesce(col("vdouble"), col("vlong").cast("double")).as("v"))
+      .as[Double]
+      .mapPartitions { it =>
+        var n = 0L
+        var s = java.math.BigDecimal.ZERO
+        var q = java.math.BigDecimal.ZERO
+        it.foreach { v =>
+          n += 1
+          val bd = java.math.BigDecimal.valueOf(v)
+          s = s.add(bd); q = q.add(bd.multiply(bd))
+        }
+        Iterator.single((n, s.toString, q.toString))
+      }.collect()
+    parts.foldLeft((0L, java.math.BigDecimal.ZERO, java.math.BigDecimal.ZERO)) {
+      case ((n, s, q), (pn, ps, pq)) =>
+        (n + pn, s.add(new java.math.BigDecimal(ps)),
+          q.add(new java.math.BigDecimal(pq)))
+    }
+  }
+
   /** Collect (ts → typed value) rows, preserving scala-side types
     * (the typed-column dispatch of GTSHelper.valueAtIndex). */
   private def typedRows(df: DataFrame): Array[(Long, Any)] = {
@@ -213,20 +244,28 @@ private[script] object WordsGts {
         val tick = st.popLong()
         st.push(GtsFrame(en.toFrame(st.pop()).df.filter(col("ts") =!= tick)))
 
-      // ---- per-series statistics scalars (fn/MUSIGMA.java: mu then
-      // sigma, bessel per the flag; fn/NSUMSUMSQ.java: n, sum, sumsq)
+      // ---- per-series statistics scalars (fn/MUSIGMA.java,
+      // fn/NSUMSUMSQ.java — both accumulate in EXACT BigDecimal "to
+      // prevent overflowing for long series"; decimal addition is
+      // exact hence order-independent, so the distributed per-partition
+      // fold below is faithful to the reference's sequential loop)
       case "MUSIGMA" =>
         val bessel = st.popBool()
-        val df = singleSeries(en.toFrame(st.pop()), w)
-        val r = df.agg(avg(col("vdouble")),
-          if (bessel) stddev_samp(col("vdouble")) else stddev_pop(col("vdouble")))
-          .head()
-        st.push(r.getDouble(0)); st.push(r.getDouble(1))
+        val (n, s, q) = exactNSumSumsq(singleSeries(en.toFrame(st.pop()), w))
+        require(n > 0, s"$w can only compute mu and sigma for non empty series.")
+        val bdn = java.math.BigDecimal.valueOf(n)
+        // the reference's exact divide-with-HALF_UP forms and its
+        // variance * (n / (n - 1.0)) Bessel order (MUSIGMA.java:89-101
+        // — NOT GTSHelper.musigma's (var * n) / (n - 1))
+        st.push(s.divide(bdn, java.math.RoundingMode.HALF_UP).doubleValue())
+        var variance = q.divide(bdn, java.math.RoundingMode.HALF_UP)
+          .subtract(s.multiply(s).divide(bdn.multiply(bdn),
+            java.math.RoundingMode.HALF_UP)).doubleValue()
+        if (bessel && n > 1) variance = variance * (n / (n - 1.0))
+        st.push(math.sqrt(variance))
       case "NSUMSUMSQ" =>
-        val df = singleSeries(en.toFrame(st.pop()), w)
-        val r = df.agg(count(lit(1)), sum(col("vdouble")),
-          sum(col("vdouble") * col("vdouble"))).head()
-        st.push(r.getLong(0)); st.push(r.getDouble(1)); st.push(r.getDouble(2))
+        val (n, s, q) = exactNSumSumsq(singleSeries(en.toFrame(st.pop()), w))
+        st.push(n); st.push(s.doubleValue()); st.push(q.doubleValue())
       // ZSCORE (fn/ZSCORE.java): (v − m)/std per point; the boolean
       // flag selects median/MAD (modified z) vs mean/Bessel-sd; a zero
       // deviation errors (GTSOutliersHelper.zScore:148-166)

@@ -56,11 +56,16 @@ class KernelsSpec extends SparkSpec {
 
   test("double exp smoothing tracks a linear trend exactly") {
     val pts = (1 to 10).map(i => Pt(i.toLong, 2.0 * i))
-    val out = doubleExpSmoothing(pts, 0.5, 0.5)
-    // level+trend model fits a perfect line: forecast equals the data
-    out.drop(1).zip(pts.drop(1)).foreach { case (o, p) =>
+    val (level, trend) = doubleExpSmoothing(pts, 0.5, 0.5)
+    // the faithful trace starts at tick[1] with s=v1, b=v1-v0
+    // (GTSHelper.doubleExponentialSmoothing): a perfect line is
+    // tracked exactly — level equals the data, trend equals the slope
+    assert(level.length === 9 && trend.length === 9)
+    assert(level.head === Pt(2L, 4.0) && trend.head === Pt(2L, 2.0))
+    level.zip(pts.drop(1)).foreach { case (o, p) =>
       assert(math.abs(o.v - p.v) < 1e-9)
     }
+    trend.foreach(t => assert(math.abs(t.v - 2.0) < 1e-9))
   }
 
   test("fft magnitude finds a pure tone") {

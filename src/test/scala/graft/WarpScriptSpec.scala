@@ -205,9 +205,11 @@ class WarpScriptSpec extends SparkSpec {
     val ses = e.runToFrame(
       "[ '' '~m\\..*' { } 99999999 100000000 ] FETCH 0.5 SINGLEEXPONENTIALSMOOTHING")
     assert(ses.count() === 10)
+    // faithful DES returns the [level, best-estimate] PAIR, both from
+    // tick[1]: 9 + 9 rows after the list merge
     val des = e.runToFrame(
       "[ '' '~m\\..*' { } 99999999 100000000 ] FETCH 0.5 0.5 DOUBLEEXPONENTIALSMOOTHING")
-    assert(des.count() === 10)
+    assert(des.count() === 18)
     val res = e.runToFrame(
       "[ '' '~m\\..*' { } 99999999 100000000 ] FETCH false RESETS")
     // compensated series is monotonically non-decreasing

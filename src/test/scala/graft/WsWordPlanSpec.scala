@@ -62,9 +62,12 @@ class WsWordPlanSpec extends SparkSpec {
   }
 
   test("PATTERNDETECTION plans one window pass: no join of any kind") {
-    val df = graft.operators.StatOps.patternDetect(mkFrame,
-      Seq("abcd"), 4, 4)
+    val df = graft.operators.StatOps.bsaxDetect(mkFrame,
+      Seq(graft.kernels.SaxCodec.bsaxWord(2, Array(0, 1, 2, 3))), 4, 4, 4,
+      standardizePAA = true)
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("Join") && !p.contains("CartesianProduct"))
+    // word assembly is a table lookup, not a UDF
+    assert(!p.toLowerCase.contains("scalaudf"))
   }
 }
