@@ -209,13 +209,14 @@ final class KernelOps(df: DataFrame) {
       }
     }.toDF("gtsid", "ts", "vdouble")
 
-  /** Single (beta=None) or Holt double exponential smoothing. */
-  /** RANGECOMPACT (fn/RANGECOMPACT.java — deadband compression): keep
-    * the first point, then every point whose value deviates from the
-    * LAST KEPT value by more than `delta`. Sequentially dependent on
-    * the kept set, so it runs as a per-series kernel; with integer
-    * values and an integer delta every comparison is exact — the
-    * DuckDB oracle replays the recursion verbatim (g105). */
+  /** Deadband compression (ENGINE EXTENSION, g105 — the reference's
+    * RANGECOMPACT word is parameterless GTSHelper.compact
+    * preserveRanges=true, now on GtsFrame.compact): keep the first
+    * point, then every point whose value deviates from the LAST KEPT
+    * value by more than `delta`. Sequentially dependent on the kept
+    * set, so it runs as a per-series kernel; with integer values and
+    * an integer delta every comparison is exact — the DuckDB oracle
+    * replays the recursion verbatim (g105). */
   def rangeCompact(delta: Double): DataFrame =
     perSeries { (id, pts) =>
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]

@@ -771,14 +771,28 @@ final case class GtsFrame(df: DataFrame) {
 
   /** COMPACT (fn/COMPACT.java) — remove interior ticks of constant-value
     * runs, keeping each run's first and last tick. */
-  def compact(): GtsFrame = {
+  def compact(): GtsFrame = compact(preserveRanges = true)
+
+  /** COMPACT / RANGECOMPACT (fn/COMPACT.java, fn/RANGECOMPACT.java →
+    * GTSHelper.compact:8615-8713): drop points whose value AND
+    * location AND elevation equal the previous point's. COMPACT
+    * (preserveRanges = false) keeps each run's FIRST point plus the
+    * series' last point (the reference's loop never compares against
+    * the final index, so the last point always survives);
+    * RANGECOMPACT (preserveRanges = true) keeps each run's first AND
+    * last point. Equality is across every typed slot, null-safe. */
+  def compact(preserveRanges: Boolean): GtsFrame = {
     val w = Window.partitionBy(col("gtsid")).orderBy(col("ts"))
-    GtsFrame(df
-      .withColumn("__prev", lag(col("vdouble"), 1).over(w))
-      .withColumn("__next", lead(col("vdouble"), 1).over(w))
-      .filter(col("__prev").isNull || col("__next").isNull ||
-        col("__prev") =!= col("vdouble") || col("__next") =!= col("vdouble"))
-      .drop("__prev", "__next"))
+    val slots = Seq("vlong", "vdouble", "vbool", "vstring", "vbinary",
+      "lat", "lon", "elev").filter(df.columns.contains)
+    val samePrev = slots.map(c => col(c) <=> lag(col(c), 1).over(w)).reduce(_ && _) &&
+      lag(col("ts"), 1).over(w).isNotNull
+    val sameNext = slots.map(c => col(c) <=> lead(col(c), 1).over(w)).reduce(_ && _) &&
+      lead(col("ts"), 1).over(w).isNotNull
+    val isLast = lead(col("ts"), 1).over(w).isNull
+    val keep = if (preserveRanges) !samePrev || !sameNext else !samePrev || isLast
+    // window exprs may not appear in a filter directly
+    GtsFrame(df.withColumn("__keep", keep).filter(col("__keep")).drop("__keep"))
   }
 
   /** CHUNK (fn/CHUNK.java) — split each series into fixed-width chunks

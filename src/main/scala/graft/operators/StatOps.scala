@@ -22,8 +22,9 @@ import org.apache.spark.sql.types.{BinaryType, BooleanType, DoubleType, IntegerT
   */
 object StatOps {
 
-  /** CORRELATE (fn/CORRELATE.java semantics): Pearson correlation of two
-    * frames aligned on tick within `byLabels` equivalence classes.
+  /** Tick-aligned Pearson correlation within `byLabels` equivalence
+    * classes (ENGINE EXTENSION, g69 — the reference's CORRELATE word is
+    * the lag cross-correlation implemented by [[crossCorrelate]]).
     * One shuffle per side for the join, one aggregation — n, Σx, Σy,
     * Σxy, Σx², Σy² are exact for integer-valued inputs.
     * Returns (byLabels..., n, corr); corr is NULL for degenerate series.
@@ -45,6 +46,88 @@ object StatOps {
       when(dx > 0 && dy > 0,
         (col("n") * col("sxy") - col("sx") * col("sy")) /
           (sqrt(dx) * sqrt(dy))).as("corr"): _*)
+  }
+
+  /** CORRELATE (continuum/gts/CORRELATE.java:92-232, faithful r11):
+    * sliding-lag cross-correlation of ONE base series against each
+    * series of `others` at the given offsets. Per (series, offset):
+    * find the first aligned tick pair (tsA + offset == tsB), clip A to
+    * [firstA, end] and B to [firstA+offset, end+offset] with
+    * end = min(lastA, lastB − offset), STANDARDIZE each clipped
+    * segment (GTSHelper.standardize — naive variance, Bessel when
+    * n > 1, sd == 0 ⇒ mean-subtraction only), pair by RANK (the
+    * reference advances both indexes together) and emit
+    * Σ zA·zB / (n−1) (…/n at n = 1, 0.0 when nothing aligns).
+    * Output: one row per (series, offset) carrying the OTHER series'
+    * identity, ts = the offset.
+    *
+    * Scale shape: per offset — one broadcast of the tiny per-series
+    * alignment row, two windowed standardizations, one rank join; the
+    * offsets are a word-argument literal list so the union is bounded.
+    */
+  def crossCorrelate(base: GtsFrame, others: GtsFrame,
+                     offsets: Seq[Long]): DataFrame = {
+    val spark = base.df.sparkSession
+    import spark.implicits._
+    val av = coalesce(col("vdouble"), col("vlong").cast(DoubleType))
+    val a = base.df.select(col("ts").as("ta"), av.as("va"))
+      .withColumn("lastA",
+        max(col("ta")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+    val b = others.df.select(col("gtsid"), col("ts").as("tb"), av.as("vb"))
+    val bMeta = others.df.groupBy(col("gtsid").as("__g"))
+      .agg(first(col("class")).as("class"), first(col("labels")).as("labels"),
+        max(col("ts")).as("lastB"))
+
+    def standardized(df: DataFrame, t: String, v: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gtsid"))
+      val n = count(lit(1)).over(w).cast(DoubleType)
+      val s = sum(col(v)).over(w)
+      val sq = sum(col(v) * col(v)).over(w)
+      val mu = s / n
+      val varNaive = sq / n - (s * s) / (n * n)
+      val sd = sqrt(when(n > 1.0, varNaive * n / (n - 1.0)).otherwise(varNaive))
+      val rw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("gtsid")).orderBy(col(t), col(v))
+      df.withColumn("__z",
+          when(sd === 0.0, col(v) - mu).otherwise((col(v) - mu) / sd))
+        .withColumn("__rn", row_number().over(rw))
+    }
+
+    val perOffset = offsets.map { o =>
+      // first aligned pair + clip end, one tiny row per series
+      val align = b.join(a, col("tb") === col("ta") + o)
+        .groupBy(col("gtsid").as("__ag"))
+        .agg(min(col("ta")).as("startA"), first(col("lastA")).as("lastA"))
+        .join(bMeta.select(col("__g"), col("lastB")), col("__ag") === col("__g"))
+        .withColumn("end", least(col("lastA"), col("lastB") - o))
+        .select(col("__ag"), col("startA"), col("end"))
+      val clipA = a.join(broadcast(align),
+          col("ta") >= col("startA") && col("ta") <= col("end"))
+        .select(col("__ag").as("gtsid"), col("ta"), col("va"))
+      val clipB = b.join(broadcast(align), col("gtsid") === col("__ag") &&
+          col("tb") >= col("startA") + o && col("tb") <= col("end") + o)
+        .select(col("gtsid"), col("tb"), col("vb"))
+      val za = standardized(clipA, "ta", "va")
+        .select(col("gtsid").as("__ga"), col("__rn").as("__ra"), col("__z").as("za"))
+      val zb = standardized(clipB, "tb", "vb")
+        .select(col("gtsid"), col("__rn"), col("__z").as("zb"))
+      zb.join(za, col("gtsid") === col("__ga") && col("__rn") === col("__ra"))
+        .groupBy(col("gtsid").as("__cg"))
+        .agg(sum(col("za") * col("zb")).as("__s"), count(lit(1)).as("__n"))
+        .select(col("__cg"), lit(o).as("ts"),
+          when(col("__n") > 1, col("__s") / (col("__n") - 1).cast(DoubleType))
+            .when(col("__n") > 0, col("__s") / col("__n").cast(DoubleType))
+            .otherwise(0.0).as("vdouble"))
+    }
+    val correlated = perOffset.reduce(_ unionByName _)
+    // every (series, offset) gets a row — 0.0 where nothing aligned
+    val grid = bMeta.select(col("__g"), col("class"), col("labels"))
+      .crossJoin(offsets.toDF("ts"))
+    grid.join(correlated,
+        grid("__g") === correlated("__cg") && grid("ts") === correlated("ts"),
+        "left")
+      .select(grid("__g").as("gtsid"), col("class"), col("labels"),
+        grid("ts"), coalesce(col("vdouble"), lit(0.0)).as("vdouble"))
   }
 
   /** Per-series (m, std) per GTSOutliersHelper.madsigma:115-134 —

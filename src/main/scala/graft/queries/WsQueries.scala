@@ -266,14 +266,18 @@ object WsQueries {
     }),
 
 
-    // RANGECOMPACT word ≡ g105 (deadband kernel through the script path)
+    // RANGECOMPACT (faithful r11 — fn/RANGECOMPACT.java has NO
+    // parameter: GTSHelper.compact preserveRanges=true, first + last
+    // point of each constant run) over the 25-step coarsened values —
+    // the same fixture as g13, whose oracle it reuses
     "w18_ws_rangecompact" -> ((s, dir) => {
       val program =
-        s"""[ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
-           |5000.0 RANGECOMPACT""".stripMargin
-      engine(s, dir, cents = true).runToFrame(program)
+        s"""[ [ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
+           |<% 7 GET 0 GET 25.0 / FLOOR 25.0 * %> MACROMAPPER 0 0 0 ] MAP
+           |RANGECOMPACT""".stripMargin
+      engine(s, dir, cents = false).runToFrame(program)
         .select(col("class"), col("labels").getItem("user").as("userid"),
-          col("ts"), col("vdouble").as("cents"))
+          col("ts"), col("vdouble").as("qv"))
     }),
 
 
@@ -709,11 +713,20 @@ object WsQueries {
          |WHERE w.rk = 1""".stripMargin
     },
 
-    "w18_ws_rangecompact" -> GtsQueries10.oracleSql("g105_rangecompact"),
+    "w18_ws_rangecompact" -> GtsQueries.oracleSql("g13_compact"),
 
     "w19_ws_dedup" -> GtsQueries.oracleSql("g12_dedup"),
 
-    "w20_ws_compact" -> GtsQueries.oracleSql("g13_compact"),
+    // faithful COMPACT: run STARTS plus the series' literal last point
+    // (the reference's loop never compares against the final index)
+    "w20_ws_compact" ->
+      s"""WITH g AS ($EV),
+         |q AS (SELECT class, userid, ts, floor(vdouble/25.0)*25.0 AS qv FROM g),
+         |l AS (SELECT class, userid, ts, qv,
+         |        lag(qv) OVER (PARTITION BY class, userid ORDER BY ts) AS pv,
+         |        lead(ts) OVER (PARTITION BY class, userid ORDER BY ts) AS nt FROM q)
+         |SELECT class, userid, ts, qv FROM l
+         |WHERE pv IS NULL OR pv <> qv OR nt IS NULL""".stripMargin,
 
     // g14's sequential-fold integral shifted by the word's 2.5 initial
     // value (the + is the final op on both sides, bitwise-identical)

@@ -403,6 +403,25 @@ object WsQueries6 {
       idx.unionByName(lab)
     }),
 
+    // CORRELATE (continuum/gts/CORRELATE.java, faithful r11): base-gts
+    // [gts...] [offsets] CORRELATE → one lag-cross-correlation GTS per
+    // input series over 8 FILLVALUE'd daily buckets; user 20's clicks
+    // against users 20/21's views at lags −2d/0/+1d. Standardization
+    // is per CLIPPED segment (Bessel), pairing by rank, Σ zA·zB/(n−1)
+    "w136_ws_correlate" -> ((s, dir) => {
+      val program =
+        s"""[ [ '' 'events.click' { 'user' '20' } $LB ${LB + 1} ] FETCH
+           |  bucketizer.sum $LB 1 d 8 ] BUCKETIZE
+           |[ 0 0 0 0.0 ] FILLVALUE 'base' STORE
+           |[ [ '' 'events.view' { 'user' '~(20|21)' } $LB ${LB + 1} ] FETCH
+           |  bucketizer.sum $LB 1 d 8 ] BUCKETIZE
+           |[ 0 0 0 0.0 ] FILLVALUE 'vs' STORE
+           |$$base $$vs [ -2 d 0 1 d ] CORRELATE""".stripMargin
+      engine(s, dir, cents = true).runToFrame(program)
+        .select(col("class"), userid, col("ts"),
+          round(col("vdouble"), 6).as("xcorr"))
+    }),
+
     // PATTERNS (fn/PATTERNS.java → GTSHelper.bSAX, faithful r11): the
     // STRING GTS of OPB64-encoded bSAX words at every window-start
     // tick — Bessel-standardized 5-point windows quantized against the
@@ -742,6 +761,47 @@ object WsQueries6 {
          |  CASE bk WHEN 0 THEN 'low' WHEN 1 THEN 'mid'
          |          WHEN 2 THEN 'high' ELSE 'top' END
          |FROM b""".stripMargin,
+
+    // CORRELATE closed form over the filled 8-bucket arrays: per lag k
+    // the clip is xs[1..8−k] × ys[1+k..8] (k ≥ 0; mirrored below 0),
+    // each slice standardized with the shared Bessel form, rank-paired
+    // dot product / (n−1); round 6 absorbs sum-association noise
+    "w136_ws_correlate" -> {
+      def corr(k: Int): String = {
+        val n = 8 - math.abs(k)
+        val aIdx = if (k >= 0) (1 to 8 - k) else (1 + (-k) to 8)
+        val bIdx = if (k >= 0) (1 + k to 8) else (1 to 8 + k)
+        val za = SaxOracle.besselZSql(aIdx.map(i => s"xs[$i]"))
+        val zb = SaxOracle.besselZSql(bIdx.map(i => s"ys[$i]"))
+        val dot = za.zip(zb).map { case (a, b) => s"($a) * ($b)" }
+          .reduce((x, y) => s"($x) + ($y)")
+        s"round(($dot) / ${n - 1}.0, 6)"
+      }
+      val lags = Seq(-2, 0, 1)
+      val faces = lags.map { k =>
+        s"""SELECT 'events.view' AS class, userid,
+           |  CAST(${k.toLong * GtsQueries.DAY} AS BIGINT) AS ts,
+           |  ${corr(k)} AS xcorr FROM c""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH g AS ($EV),
+         |bb AS (SELECT ($LB - ts) // $DAY AS k, sum(cents) AS s
+         |       FROM g WHERE class = 'events.click' AND userid = '20'
+         |         AND ts <= $LB AND ($LB - ts) // $DAY < 8 GROUP BY 1),
+         |bx AS (SELECT r.j, CAST(coalesce(bb.s, 0) AS DOUBLE) AS v
+         |       FROM (SELECT unnest(range(8)) AS j) r
+         |       LEFT JOIN bb ON bb.k = 7 - r.j),
+         |bxa AS (SELECT list(v ORDER BY j) AS xs FROM bx),
+         |vv AS (SELECT userid, ($LB - ts) // $DAY AS k, sum(cents) AS s
+         |       FROM g WHERE class = 'events.view' AND userid IN ('20', '21')
+         |         AND ts <= $LB AND ($LB - ts) // $DAY < 8 GROUP BY 1, 2),
+         |vser AS (SELECT DISTINCT userid FROM vv),
+         |vx AS (SELECT vser.userid, r.j, CAST(coalesce(vv.s, 0) AS DOUBLE) AS v
+         |       FROM vser CROSS JOIN (SELECT unnest(range(8)) AS j) r
+         |       LEFT JOIN vv ON vv.userid = vser.userid AND vv.k = 7 - r.j),
+         |vxa AS (SELECT userid, list(v ORDER BY j) AS ys FROM vx GROUP BY 1),
+         |c AS (SELECT userid, xs, ys FROM vxa CROSS JOIN bxa)
+         |$faces""".stripMargin
+    },
 
     // faithful bSAX per window start: Bessel z over the 5 raw cents,
     // shared Acklam bound literals, shared 1024-word vocabulary table

@@ -863,7 +863,9 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       val b = toBucketed(st.pop())
       st.push(b.copy(frame = GtsFrame(b.frame.fillLinear(b.lastbucket, b.span, b.count))))
     case "DEDUP" => st.push(toFrame(st.pop()).dedup())
-    case "COMPACT" => st.push(toFrame(st.pop()).compact())
+    // COMPACT (fn/COMPACT.java → GTSHelper.compact preserveRanges
+    // false): run starts + the series' last point
+    case "COMPACT" => st.push(toFrame(st.pop()).compact(preserveRanges = false))
     case "ISONORMALIZE" => st.push(toFrame(st.pop()).isonormalize())
     // RENAME / RELABEL (fn/RENAME.java, fn/RELABEL.java) — also valid
     // on a NEWGTS builder before materialization
@@ -952,13 +954,25 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
     case "TICKLIST" =>
       st.push(toFrame(st.pop()).df.select(col("ts")).distinct()
         .collect().map(_.getLong(0)).sorted.toVector)
-    // CORRELATE (fn/CORRELATE.java): [ [gts-a] [gts-b] [labels] ] CORRELATE
+    // CORRELATE (continuum/gts/CORRELATE.java, faithful r11): base-gts
+    // [gts...] [offsets] CORRELATE → per input series a lag cross-
+    // correlation GTS (ticks = offsets); operands must share the
+    // bucketspan and offsets must be multiples of it — validated when
+    // both operands carry BUCKETIZE metadata
     case "CORRELATE" =>
-      val args = st.pop().asInstanceOf[Vector[Any]]
-      val labels = args(args.length - 1).asInstanceOf[Vector[Any]].map(_.toString).toSeq
-      val b = toFrame(args(args.length - 2))
-      val a = toFrame(args(args.length - 3))
-      st.push(GtsFrame(graft.operators.StatOps.correlate(a, b, labels)))
+      val offsets = st.pop().asInstanceOf[Vector[Any]].map(asLong)
+      val othersObj = st.pop(); val baseObj = st.pop()
+      (baseObj, othersObj) match {
+        case (b1: BucketedFrame, b2: BucketedFrame) =>
+          require(b1.span == b2.span,
+            "CORRELATE operates on bucketized Geo Time Series with all " +
+              s"the same bucketspan. The expected bucketspan is ${b1.span}")
+          offsets.foreach(o => require(o % b1.span == 0,
+            s"CORRELATE expects offsets to be multiples of the bucketspan (${b1.span})."))
+        case _ => ()
+      }
+      st.push(GtsFrame(graft.operators.StatOps.crossCorrelate(
+        toFrame(baseObj), toFrame(othersObj), offsets)))
     // LTTB (fn/LTTB.java, GTSHelper.lttb:12319-12485): gts threshold
     // LTTB — the reference's own bucket/average/anchor arithmetic
     // (SeriesKernels.lttbReference), quirks included
@@ -1087,12 +1101,11 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
           s"RESETS expects a boolean as parameter, got $o")
       }
       st.push(toFrame(st.pop()).compensateResets(resethigher))
-    // RANGECOMPACT (fn/RANGECOMPACT.java): gts delta RANGECOMPACT
+    // RANGECOMPACT (fn/RANGECOMPACT.java → GTSHelper.compact
+    // preserveRanges true, faithful r11): NO parameter — each constant
+    // value/location/elevation run collapses to its first + last point
     case "RANGECOMPACT" =>
-      val delta = st.popNum()
-      val f = toFrame(st.pop())
-      st.push(GtsFrame(new graft.kernels.KernelOps(f.df).rangeCompact(delta)
-        .join(metaOf(f), "gtsid")))
+      st.push(toFrame(st.pop()).compact(preserveRanges = true))
     // LR (fn/LR.java): gts span lastbucket LR → per-series regression
     case "LR" =>
       val lb = st.popLong(); val span = st.popLong()

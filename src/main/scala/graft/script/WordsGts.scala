@@ -275,11 +275,34 @@ private[script] object WordsGts {
           graft.operators.StatOps.zscore(en.toFrame(st.pop()), useMedian)))
 
       // ---- value-keyed words (fn/VALUEHISTOGRAM.java, VALUEDEDUP)
+      // VALUEHISTOGRAM (GTSHelper.valueHistogram:9227-9259): occurrence
+      // count per TYPED value; a bucketized input additionally counts
+      // its empty buckets under the null key
       case "VALUEHISTOGRAM" =>
-        val df = singleSeries(en.toFrame(st.pop()), w)
-        val hist = df.groupBy(col("vdouble")).agg(count(lit(1)).as("n"))
+        val popped = st.pop()
+        val df = singleSeries(en.toFrame(popped), w)
+        val hist = df.groupBy(col("vtype"), col("vlong"), col("vdouble"),
+            col("vbool"), col("vstring")).agg(count(lit(1)).as("n"))
         collectGuard(hist, w)
-        st.push(hist.collect().map(r => (r.get(0): Any) -> (r.getLong(1): Any)).toMap)
+        val rows = hist.collect()
+        import graft.model.GtsType
+        val base: Map[Any, Any] = rows.map { r =>
+          val v: Any = r.getByte(0) match {
+            case GtsType.LONG    => r.getLong(1)
+            case GtsType.DOUBLE  => r.getDouble(2)
+            case GtsType.BOOLEAN => r.getBoolean(3)
+            case _               => r.getString(4)
+          }
+          v -> (r.getLong(5): Any)
+        }.toMap
+        val withNull = popped match {
+          case b: BucketedFrame if b.count > 0 =>
+            val nvalues = rows.map(_.getLong(5)).sum
+            if (b.count > nvalues) base + ((null: Any) -> (b.count - nvalues))
+            else base
+          case _ => base
+        }
+        st.push(withNull)
       // VALUEDEDUP: boolean = keep the OLDEST point per duplicate
       // value (true) or the most recent (false)
       case "VALUEDEDUP" =>
