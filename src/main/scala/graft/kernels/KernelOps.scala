@@ -355,6 +355,42 @@ final class KernelOps(df: DataFrame) {
     perSeries((id, pts) => esd(pts, k, alpha).map(p => (id, p.ts, p.v)))
       .toDF("gtsid", "ts", "vdouble")
 
+  /** LOWESS/RLOWESS — the reference's own robust locally weighted
+    * regression per series (StlKernel.rlowess — GTSHelper.rlowess:
+    * 10795-11218), with the d-skipping walk and bisquare robustness
+    * iterations. `bucket` carries BUCKETIZE metadata; estimates then
+    * cover every bucket tick. */
+  def rlowessSmooth(q: Int, r: Int, d: Long, p: Int,
+                    bucket: Option[(Long, Long, Long)]): DataFrame =
+    perSeries { (id, pts) =>
+      if (pts.isEmpty) Iterator.empty
+      else {
+        val out = StlKernel.rlowess(
+          StlKernel.ofPoints(pts.map(_.ts).toArray, pts.map(_.v).toArray, bucket),
+          q, r, d, p)
+        (0 until out.values).map(i => (id, out.ticks(i), out.vals(i)))
+      }
+    }.toDF("gtsid", "ts", "vdouble")
+
+  /** STL — the reference's full Seasonal-Trend decomposition based on
+    * LOWESS per series (StlKernel.stl — GTSHelper.stl:11357-11765),
+    * tagged rows ('seasonal' | 'trend'), one kernel pass. */
+  def stlDecompose(bucket: (Long, Long, Long), bpp: Int, inner: Int,
+                   outer: Int, ns: Int, ds: Int, js: Int,
+                   nl: Int, dl: Int, jl: Int, nt: Int, dt: Int, jt: Int,
+                   np: Int, dp: Int, jp: Int): DataFrame =
+    perSeries { (id, pts) =>
+      if (pts.isEmpty) Iterator.empty
+      else {
+        val (s, t) = StlKernel.stl(
+          StlKernel.ofPoints(pts.map(_.ts).toArray, pts.map(_.v).toArray,
+            Some(bucket)),
+          bpp, inner, outer, ns, ds, js, nl, dl, jl, nt, dt, jt, np, dp, jp)
+        (0 until s.values).map(i => (id, "seasonal", s.ticks(i), s.vals(i))) ++
+          (0 until t.values).map(i => (id, "trend", t.ticks(i), t.vals(i)))
+      }
+    }.toDF("gtsid", "which", "ts", "vdouble")
+
   /** DISCORDS/ZDISCORDS — the reference's HOTSAX-style discord search
     * (continuum/gts/DISCORDS.java:158-516), parallel across series,
     * faithful and sequential within one. Returns the union of discord

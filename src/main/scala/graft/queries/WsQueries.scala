@@ -176,15 +176,20 @@ object WsQueries {
     }),
 
 
-    // LOWESS word (fn/LOWESS.java) ≡ g83 — the odd neighborhood size 7
-    // compiles to StatOps.lowessFit(halfWidth 3)
+    // LOWESS word (fn/LOWESS.java → GTSHelper.rlowess(gts, 7, 0, 0, 1),
+    // faithful r11): the reference's pointwise locally weighted
+    // regression over a FILLVALUE'd 240-bucket hourly grid — on a
+    // regular grid the 7-nearest window is the clamped centered window
+    // and every weight/centroid/fit term is a fixed scalar tree the
+    // oracle replays verbatim (no rounding needed)
     "w10_ws_lowess" -> ((s, dir) => {
       val program =
-        s"""[ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
+        s"""[ [ '' '~events\\..*' { } $LB ${LB + 1} ] FETCH
+           |  bucketizer.sum $LB 1 h 240 ] BUCKETIZE
+           |[ 0 0 0 0.0 ] FILLVALUE
            |7 LOWESS""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
-        .select(col("class"), userid, col("ts"),
-          round(col("vdouble"), 6).as("fit"))
+        .select(col("class"), userid, col("ts"), col("vdouble").as("fit"))
     }),
 
 
@@ -657,7 +662,68 @@ object WsQueries {
         |FROM (VALUES (2000000, 5.0), (4000000, 25.0), (6000000, 61.0))
         |  v(ts, bsum)""".stripMargin,
 
-    "w10_ws_lowess" -> GtsQueries8.oracleSql("g83_lowess"),
+    // faithful pointwise_lowess replay on the regular 240-bucket grid:
+    // window = the clamped centered 7-window (== the reference's
+    // two-pointer nearest selection on a regular grid), maxdist = the
+    // farther window edge, tricube-cubed weights, weighted degree-1
+    // fit over raw microsecond ticks — every term a fixed scalar tree
+    // in the kernel's own fold order, so the match is bit-exact
+    "w10_ws_lowess" -> {
+      val HOUR = GtsQueries.HOUR
+      // k-th window member weight: tricube then CUBED — the reference's
+      // w = 1−u³ followed by w = 1·w·w·w (left-assoc)
+      def w(k: Int) =
+        s"(CASE WHEN u$k >= 1.0 THEN 0.0 ELSE " +
+          s"((1.0 - u$k * u$k * u$k) * (1.0 - u$k * u$k * u$k))" +
+          s" * (1.0 - u$k * u$k * u$k) END)"
+      val terms = (0 until 7)
+      val wsum = terms.map(k => s"w$k").reduce((a, b) => s"($a) + ($b)")
+      val ctick = terms.map(k => s"w$k * t$k").reduce((a, b) => s"($a) + ($b)")
+      val cval = terms.map(k => s"w$k * x$k").reduce((a, b) => s"($a) + ($b)")
+      val covar = terms.map(k => s"w$k * (t$k - ct) * (x$k - cv)")
+        .reduce((a, b) => s"($a) + ($b)")
+      val varr = terms.map(k => s"w$k * (t$k - ct) * (t$k - ct)")
+        .reduce((a, b) => s"($a) + ($b)")
+      s"""WITH g AS ($EV),
+         |b AS (SELECT class, userid, ($LB - ts) // $HOUR AS k, sum(cents) AS s
+         |      FROM g WHERE ts <= $LB AND ($LB - ts) // $HOUR < 240
+         |      GROUP BY 1, 2, 3),
+         |ser AS (SELECT DISTINCT class, userid FROM g
+         |        WHERE ts <= $LB AND ($LB - ts) // $HOUR < 240),
+         |grid AS (SELECT ser.class, ser.userid, r.j,
+         |           CAST(coalesce(b.s, 0) AS DOUBLE) AS x
+         |         FROM ser CROSS JOIN (SELECT unnest(range(240)) AS j) r
+         |         LEFT JOIN b ON b.class = ser.class AND b.userid = ser.userid
+         |           AND b.k = 239 - r.j),
+         |p AS (SELECT class, userid, list(x ORDER BY j) AS xs
+         |      FROM grid GROUP BY 1, 2),
+         |e0 AS (SELECT p.class, p.userid, p.xs, r.j AS r,
+         |         LEAST(GREATEST(r.j - 3, 0), 233) AS lo
+         |       FROM p CROSS JOIN (SELECT unnest(range(240)) AS j) r),
+         |e1 AS (SELECT *,
+         |         CAST(GREATEST(r - lo, lo + 6 - r) * $HOUR AS DOUBLE) AS maxd,
+         |         ${terms.map(k =>
+                      s"CAST(($LB - CAST((239 - (lo + $k)) AS BIGINT) * $HOUR) AS DOUBLE) AS t$k").mkString(", ")},
+         |         ${terms.map(k => s"xs[lo + $k + 1] AS x$k").mkString(", ")}
+         |       FROM e0),
+         |e2 AS (SELECT *,
+         |         ${terms.map(k =>
+                      s"CAST(abs(lo + $k - r) * $HOUR AS DOUBLE) / maxd AS u$k").mkString(", ")}
+         |       FROM e1),
+         |e3 AS (SELECT *, ${terms.map(k => s"${w(k)} AS w$k").mkString(", ")}
+         |       FROM e2),
+         |e4 AS (SELECT *, ($wsum) AS wsum FROM e3),
+         |e5 AS (SELECT *, ($ctick) / wsum AS ct, ($cval) / wsum AS cv FROM e4),
+         |e6 AS (SELECT *, ($covar) / wsum AS covar, ($varr) / wsum AS varr
+         |       FROM e5),
+         |e7 AS (SELECT class, userid,
+         |         $LB - (239 - r) * $HOUR AS ts,
+         |         (cv - ct * (CASE WHEN varr = 0.0 THEN 0.0 ELSE covar / varr END))
+         |           + CAST(($LB - (239 - r) * $HOUR) AS DOUBLE)
+         |             * (CASE WHEN varr = 0.0 THEN 0.0 ELSE covar / varr END) AS fit
+         |       FROM e6)
+         |SELECT class, userid, ts, fit FROM e7""".stripMargin
+    },
 
     "w11_ws_fft" -> GtsQueries8.oracleSql("g81_dft"),
 

@@ -296,16 +296,25 @@ object WsQueriesB {
     }),
 
 
-    // STL word (fn/STL.java param-map form) ≡ g57's classical
-    // decomposition, the three components stacked as suffixed classes
+    // STL word (fn/STL.java → GTSHelper.stl, faithful r11): the REAL
+    // Cleveland STL loop driven through SQL-replayable parameters —
+    // BANDWIDTH_S −1 degrades the cycle smoothing to cycle MEANS
+    // (lowess_stl's documented negative-bandwidth face) and
+    // BANDWIDTH_L/T 1 make the low-pass/trend rlowess passes exact
+    // identities on the filled grid, so the oracle can replay the
+    // cycle-subseries extension + triple-moving-average cascade of
+    // both inner iterations in closed form. Output is the reference's
+    // [seasonal, trend] pair under _suffixed class names.
     "w54_ws_stl" -> ((s, dir) => {
       val program =
         s"""[ [ '' '~events\\..*' { } $LB ${LB + 1} ] FETCH
            |  bucketizer.sum $LB 1 h 720 ] BUCKETIZE
-           |[ 0.0 ] FILLVALUE
-           |{ 'PERIOD' 24 'TREND.HALF' 12 } STL""".stripMargin
+           |[ 0 0 0 0.0 ] FILLVALUE
+           |{ 'PERIOD' 24 'BANDWIDTH_S' -1 'BANDWIDTH_L' 1 'BANDWIDTH_T' 1
+           |  'SPEED' 0 } STL""".stripMargin
       engine(s, dir, cents = true).runToFrame(program)
-        .select(col("class"), userid, col("ts"), col("vdouble"))
+        .select(col("class"), userid, col("ts"),
+          round(col("vdouble"), 6).as("v"))
     }),
 
 
@@ -682,42 +691,64 @@ object WsQueriesB {
         |  CAST(528 AS BIGINT) AS v_cell""".stripMargin,
 
 
-    // STL word: g57's decomposition SQL, the three components stacked
-    // under suffixed class names (exact integer sums, /25.0 shared)
+    // faithful-STL closed form (see the query comment): two inner
+    // iterations of cycle-MEAN seasonal smoothing over the ±1-period
+    // extended grid, the reference's MA(24)->MA(24)->MA(3) low-pass
+    // cascade, identity trend smoothing; round 6 absorbs the kernel's
+    // running-sum vs SQL-avg association noise
     "w54_ws_stl" -> {
       val HOUR = GtsQueries.HOUR
+      // one inner iteration: detrended input column `det` (over grid
+      // j/x/cyc) -> seasonal component column of that round
+      def round(n: Int, det: String, src: String): String =
+        s"""cm$n AS (SELECT class, userid, cyc, avg($det) AS m
+           |       FROM $src GROUP BY 1, 2, 3),
+           |ext$n AS (SELECT g0.class, g0.userid, r.idx,
+           |         cm$n.m AS v
+           |       FROM (SELECT DISTINCT class, userid FROM grid) g0
+           |       CROSS JOIN (SELECT unnest(range(768)) AS idx) r
+           |       JOIN cm$n ON cm$n.class = g0.class AND cm$n.userid = g0.userid
+           |         AND cm$n.cyc = ((743 - r.idx) % 24 + 24) % 24),
+           |ma1_$n AS (SELECT class, userid, idx, avg(v)
+           |         OVER (PARTITION BY class, userid ORDER BY idx
+           |           ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING) AS v
+           |       FROM ext$n QUALIFY idx <= 744),
+           |ma2_$n AS (SELECT class, userid, idx, avg(v)
+           |         OVER (PARTITION BY class, userid ORDER BY idx
+           |           ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING) AS v
+           |       FROM ma1_$n QUALIFY idx <= 721),
+           |ma3_$n AS (SELECT class, userid, idx, avg(v)
+           |         OVER (PARTITION BY class, userid ORDER BY idx
+           |           ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS v
+           |       FROM ma2_$n QUALIFY idx <= 719),
+           |seas$n AS (SELECT g.class, g.userid, g.j, g.x, g.cyc,
+           |         cm$n.m - ma3_$n.v AS s
+           |       FROM grid g
+           |       JOIN cm$n ON cm$n.class = g.class AND cm$n.userid = g.userid
+           |         AND cm$n.cyc = g.cyc
+           |       JOIN ma3_$n ON ma3_$n.class = g.class
+           |         AND ma3_$n.userid = g.userid AND ma3_$n.idx = g.j)"""
       s"""WITH g AS ($EV),
-         |b AS (SELECT class, userid, $LB - (($LB - ts) // $HOUR) * $HOUR AS ts,
-         |             sum(cents) AS v
-         |      FROM g WHERE ts > ${LB - 720 * HOUR} AND ts <= $LB GROUP BY 1, 2, 3),
-         |series AS (SELECT DISTINCT class, userid FROM b),
-         |grid AS (SELECT s.class, s.userid, t.ts
-         |         FROM series s CROSS JOIN
-         |           (SELECT unnest(generate_series(${LB - 719 * HOUR}, $LB, $HOUR)) AS ts) t),
-         |d AS (SELECT grid.class, grid.userid, grid.ts, coalesce(b.v, 0.0) AS v
-         |      FROM grid LEFT JOIN b ON grid.class = b.class
-         |        AND grid.userid = b.userid AND grid.ts = b.ts),
-         |t AS (SELECT class, userid, ts, v,
-         |        sum(v) OVER w AS tsum, count(*) OVER w AS tn
-         |      FROM d
-         |      WINDOW w AS (PARTITION BY class, userid ORDER BY ts
-         |        ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
-         |f AS (SELECT class, userid, ts, v, tsum,
-         |        25 * v - tsum AS detr, (ts % ${24 * HOUR}) // $HOUR AS phase
-         |      FROM t WHERE tn = 25),
-         |se AS (SELECT class, userid, phase, sum(detr) AS ssum, count(*) AS scnt
-         |       FROM f GROUP BY 1, 2, 3),
-         |sel AS (SELECT f.class, f.userid, f.ts,
-         |        f.tsum / 25.0 AS trend,
-         |        se.ssum / (25.0 * se.scnt) AS seasonal,
-         |        f.v - f.tsum / 25.0 - se.ssum / (25.0 * se.scnt) AS resid
-         |        FROM f JOIN se ON f.class = se.class AND f.userid = se.userid
-         |          AND f.phase = se.phase)
-         |SELECT class || '.trend' AS class, userid, ts, trend AS vdouble FROM sel
+         |b AS (SELECT class, userid, ($LB - ts) // $HOUR AS k, sum(cents) AS sv
+         |      FROM g WHERE ts <= $LB AND ($LB - ts) // $HOUR < 720
+         |      GROUP BY 1, 2, 3),
+         |ser AS (SELECT DISTINCT class, userid FROM g
+         |        WHERE ts <= $LB AND ($LB - ts) // $HOUR < 720),
+         |grid AS (SELECT ser.class, ser.userid, r.j,
+         |           CAST(coalesce(b.sv, 0) AS DOUBLE) AS x,
+         |           (719 - r.j) % 24 AS cyc
+         |         FROM ser CROSS JOIN (SELECT unnest(range(720)) AS j) r
+         |         LEFT JOIN b ON b.class = ser.class AND b.userid = ser.userid
+         |           AND b.k = 719 - r.j),
+         |${round(1, "x", "grid")},
+         |${round(2, "s", "seas1")},
+         |out AS (SELECT class, userid, $LB - (719 - j) * $HOUR AS ts,
+         |          s AS seasonal, x - s AS trend
+         |        FROM seas2)
+         |SELECT class || '_seasonal' AS class, userid, ts, round(seasonal, 6) AS v
+         |FROM out
          |UNION ALL
-         |SELECT class || '.seasonal' AS class, userid, ts, seasonal AS vdouble FROM sel
-         |UNION ALL
-         |SELECT class || '.resid' AS class, userid, ts, resid AS vdouble FROM sel""".stripMargin
+         |SELECT class || '_trend', userid, ts, round(trend, 6) FROM out""".stripMargin
     },
 
     // FFTAP: g81's spectrum CTE + amplitude/phase (atan2 rounds away

@@ -107,6 +107,22 @@ final class WarpScriptEngine(
     f.df.groupBy(col("gtsid"))
       .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
 
+  /** LOWESS/RLOWESS dispatch: run the faithful rlowess kernel over a
+    * plain or bucketized operand; a bucketized input estimates every
+    * bucket tick and keeps its BUCKETIZE metadata (the reference
+    * returns the smoothed GTS with bucket parameters intact). */
+  private[script] def runRlowess(obj: Any, q: Int, r: Int, d: Long,
+                                 p: Int): Any = obj match {
+    case b: BucketedFrame =>
+      val sm = new graft.kernels.KernelOps(b.frame.df).rlowessSmooth(
+        q, r, d, p, Some((b.lastbucket, b.span, b.count)))
+      b.copy(frame = GtsFrame(sm.join(metaOf(b.frame), "gtsid")))
+    case o =>
+      val f = toFrame(o)
+      GtsFrame(new graft.kernels.KernelOps(f.df)
+        .rlowessSmooth(q, r, d, p, None).join(metaOf(f), "gtsid"))
+  }
+
   /** Shared DISCORDS/ZDISCORDS parameter pop + kernel dispatch
     * (continuum/gts/DISCORDS.java:82-146 retrieveParameters): gts
     * windowLen wordLen alphabetSize count overlap distratio. */

@@ -988,11 +988,20 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
     case "FFT" =>
       val lb = st.popLong(); val span = st.popLong(); val bins = st.popLong().toInt
       st.push(GtsFrame(graft.operators.StatOps.dft(toFrame(st.pop()), bins, span, lb)))
-    // LOWESS (fn/LOWESS.java): gts q LOWESS, q = odd neighborhood size
-    case "LOWESS" | "RLOWESS" =>
+    // LOWESS (fn/LOWESS.java, faithful r11): gts q LOWESS ≡
+    // GTSHelper.rlowess(gts, q, 0, 0, 1) — the reference's own
+    // pointwise locally weighted regression kernel
+    case "LOWESS" =>
       val q = st.popLong().toInt
-      require(q >= 3 && q % 2 == 1, s"LOWESS neighborhood must be odd >= 3: $q")
-      st.push(GtsFrame(graft.operators.StatOps.lowessFit(toFrame(st.pop()), (q - 1) / 2)))
+      st.push(runRlowess(st.pop(), q, 0, 0L, 1))
+    // RLOWESS (fn/RLOWESS.java, faithful r11): gts q r d p RLOWESS —
+    // robustness iterations r, skip distance d, polynomial degree p
+    case "RLOWESS" =>
+      val p = st.popLong().toInt
+      val d = st.popLong()
+      val r = st.popLong().toInt
+      val q = st.popLong().toInt
+      st.push(runRlowess(st.pop(), q, r, d, p))
     // DTW (fn/DTW.java lifted to frames, the CORRELATE list shape):
     // [ a b [ labels ] bins span lastbucket ] DTW → (labels..., dtw)
     case "DTW" =>
