@@ -391,6 +391,21 @@ final class KernelOps(df: DataFrame) {
       }
     }.toDF("gtsid", "which", "ts", "vdouble")
 
+  /** HYBRIDTEST/HYBRIDTEST2 — the reference's piecewise seasonal-hybrid
+    * ESD per series (StlKernel.hybridTest); returns the anomalous
+    * (gtsid, ts) pairs. */
+  def hybridFlags(bucket: (Long, Long, Long), bpp: Int, ppp: Int, k: Int,
+                  alpha: Double, entropy: Boolean,
+                  stl16: Option[(Int, Int, Int, Int, Int, Int, Int, Int,
+                    Int, Int, Int, Int, Int, Int)]): DataFrame =
+    perSeries { (id, pts) =>
+      if (pts.isEmpty) Iterator.empty
+      else StlKernel.hybridTest(
+        StlKernel.ofPoints(pts.map(_.ts).toArray, pts.map(_.v).toArray,
+          Some(bucket)),
+        bpp, ppp, k, alpha, entropy, stl16).map(t => (id, t))
+    }.toDF("gtsid", "ts")
+
   /** DISCORDS/ZDISCORDS — the reference's HOTSAX-style discord search
     * (continuum/gts/DISCORDS.java:158-516), parallel across series,
     * faithful and sequential within one. Returns the union of discord

@@ -78,10 +78,23 @@ object StlKernel {
   }
 
   /** GTSHelper.setValue(…, overwrite): overwrite an existing tick's
-    * value or append (appending clears the sorted flag). */
+    * value or append (appending clears the sorted flag). Like the
+    * reference, an unsorted body is probed LINEARLY instead of
+    * re-sorting on every write — lowess_stl's per-tick writes after
+    * the first extension append would otherwise sort the whole body
+    * per call (measured 60 s → ~2 s on the w54 fixture). */
   private def setValue(g: Sgts, tick: Long, v: Double): Unit = {
-    sortByTick(g)
-    val i = binarySearch(g.ticks, 0, g.values, tick)
+    val i =
+      if (g.sorted) binarySearch(g.ticks, 0, g.values, tick)
+      else {
+        var j = 0
+        var found = -1
+        while (j < g.values && found < 0) {
+          if (g.ticks(j) == tick) found = j
+          j += 1
+        }
+        found
+      }
     if (i >= 0) g.vals(i) = v
     else {
       if (g.values == g.ticks.length) {
@@ -670,5 +683,181 @@ object StlKernel {
       else seasonal
 
     (seasonalOut, trend)
+  }
+
+  private def sortedMedian(v: Array[Double], n: Int): Double = {
+    val s = java.util.Arrays.copyOf(v, n)
+    java.util.Arrays.sort(s)
+    if (n % 2 == 0) (s(n / 2) + s(n / 2 - 1)) / 2 else s(n / 2)
+  }
+
+  /** GTSHelper.musigma (double path, bessel flag) — the entropy test's
+    * per-cycle moments (GTSHelper.java:10349-10382). */
+  private def musigma(v: Array[Double], n: Int, bessel: Boolean): (Double, Double) = {
+    var sum = 0.0; var sumsq = 0.0
+    var i = 0
+    while (i < n) { sum += v(i); sumsq += v(i) * v(i); i += 1 }
+    val mu = sum / n
+    var variance = (sumsq / n) - (sum * sum / (n.toDouble * n))
+    if (bessel && n > 1) variance = variance * n / (n - 1.0)
+    (mu, math.sqrt(variance))
+  }
+
+  /** GTSOutliersHelper.ESDTest:329-415 — the generalized ESD trace with
+    * the reference's swap-with-last removal and its strict-> argmax in
+    * ARRAY order (history-dependent after swaps, so replayed verbatim).
+    * Returns the anomalous ticks, most extreme first. */
+  def esdTest(ticks0: Array[Long], vals0: Array[Double], n0: Int, k: Int,
+              useMedian: Boolean, alpha: Double): Seq[Long] = {
+    val ticks = java.util.Arrays.copyOf(ticks0, n0)
+    val vals = java.util.Arrays.copyOf(vals0, n0)
+    var values = n0
+    var greatestJPassed = -1
+    var j = 0
+    var break = false
+    while (j < k && !break) {
+      val n = values
+      if (n < 3) break = true
+      else {
+        // madsigma (GTSOutliersHelper:115-134): mean+Bessel sd, or
+        // median + MAD/0.6745 with the Bessel-sd fallback at MAD 0
+        val (m, std) = {
+          if (!useMedian) musigma(vals, n, bessel = true)
+          else {
+            val med = sortedMedian(vals, n)
+            val dev = Array.tabulate(n)(i => math.abs(vals(i) - med))
+            val mad = sortedMedian(dev, n)
+            if (mad != 0.0) (med, mad / 0.6745)
+            else (med, musigma(vals, n, bessel = true)._2)
+          }
+        }
+        if (std == 0.0) break = true
+        else {
+          var max = Double.NegativeInfinity
+          var suspicious = 0
+          var i = 0
+          while (i < n) {
+            val z = math.abs((vals(i) - m) / std)
+            if (z > max) { max = z; suspicious = i }
+            i += 1
+          }
+          val p = 1 - alpha / (2 * n)
+          val t = new org.apache.commons.math3.distribution.TDistribution(
+            null, n - 2.0).inverseCumulativeProbability(p)
+          val lambda = (n - 1) * t / math.sqrt((n - 2 + t * t) * n)
+          if (max > lambda) greatestJPassed = j
+          values -= 1
+          val tmpTick = ticks(suspicious)
+          ticks(suspicious) = ticks(values)
+          ticks(values) = tmpTick
+          vals(suspicious) = vals(values)
+          j += 1
+        }
+      }
+    }
+    (0 to greatestJPassed).map(jj => ticks(n0 - 1 - jj))
+  }
+
+  /** GTSOutliersHelper.hybridTest:524-626 / entropyHybridTest:639-757 —
+    * piecewise seasonal-hybrid ESD (Twitter SH-ESD). Per piece of
+    * periodsPerPiece·bpp buckets: seasonal via the REAL stl (negative
+    * BANDWIDTH_S default ⇒ cycle means) or via the entropy softmax
+    * factoring; remainder = y − seasonal − median(piece); then the
+    * MEDIAN-variant ESD. Returns the anomalous ticks of all pieces. */
+  def hybridTest(g: Sgts, bpp: Int, periodsPerPiece: Int, k: Int,
+                 alpha: Double, entropy: Boolean,
+                 stl16: Option[(Int, Int, Int, Int, Int, Int, Int, Int,
+                   Int, Int, Int, Int, Int, Int)]): Seq[Long] = {
+    require(g.bucketized, "GTS must be bucketized")
+    require(k < periodsPerPiece * bpp / 2,
+      "Upper bound of number of outliers must be less than half of the number of observations per piece")
+    require(g.bucketcount / bpp >= 1,
+      "Not enough buckets to make up at least one seasonal period.")
+    sortByTick(g)
+    val pieces = g.bucketcount / bpp / periodsPerPiece
+    require(pieces > 0,
+      "Not enough seasonal periods to make up at least one piece. Please use a lower number of periods per piece.")
+    val bpp2 = periodsPerPiece * bpp
+    val lb = g.lastbucket
+    val bs = g.bucketspan
+
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    var u = 0
+    while (u < pieces) {
+      val start = lb - bs * ((pieces - u).toLong * bpp2 - 1)
+      val stop = lb - bs * (pieces - u - 1).toLong * bpp2
+      // subSerie: the points within [start, stop], piece bucket params
+      val lo = {
+        var i = 0; while (i < g.values && g.ticks(i) < start) i += 1; i
+      }
+      val hi = {
+        var i = lo; while (i < g.values && g.ticks(i) <= stop) i += 1; i
+      }
+      val sub = new Sgts(
+        java.util.Arrays.copyOfRange(g.ticks, lo, hi),
+        java.util.Arrays.copyOfRange(g.vals, lo, hi),
+        hi - lo, stop, bs, bpp2)
+
+      val seasonal: Sgts =
+        if (!entropy) {
+          val (ns, ds, js, nl, dl, jl, nt, dt, jt, np, dp, jp, inner, outer) =
+            stl16.get
+          stl(sub, bpp, inner, outer, ns, ds, js, nl, dl, jl, nt, dt, jt,
+            np, dp, jp)._1
+        } else {
+          // entropy seasonal extraction (entropyHybridTest:697-736):
+          // |z| → exp(√·) softmax → normalized entropy; the cycle's
+          // seasonal value is entropy·mu
+          val se = new Sgts(new Array[Long](bpp2), new Array[Double](bpp2),
+            0, stop, bs, bpp2)
+          var v = 0
+          while (v < bpp) {
+            val sub2 = subCycleSerie(sub, stop - v.toLong * bs, bpp)
+            if (sub2.values > 0) {
+              val (mu, sigma) = musigma(sub2.vals, sub2.values, bessel = true)
+              var sum = 0.0
+              var w = 0
+              while (w < sub2.values) {
+                val z = if (sigma != 0.0) math.abs((sub2.vals(w) - mu) / sigma) else 1.0
+                sub2.vals(w) = math.exp(math.sqrt(z))
+                sum += sub2.vals(w)
+                w += 1
+              }
+              var ent = 0.0
+              w = 0
+              while (w < sub2.values) {
+                sub2.vals(w) /= sum
+                val tmp = sub2.vals(w)
+                if (tmp != 0.0) ent -= tmp * math.log(tmp)
+                w += 1
+              }
+              ent = if (ent != 0.0) ent / math.log(sub2.values.toDouble) else 1.0
+              w = 0
+              while (w < sub2.values) {
+                setValue(se, sub2.ticks(w), ent * mu)
+                w += 1
+              }
+            }
+            v += 1
+          }
+          sortByTick(se)
+          se
+        }
+
+      sortByTick(seasonal)
+      val m = sortedMedian(sub.vals, sub.values)
+      var idx = 0
+      var i = 0
+      while (i < sub.values) {
+        idx = binarySearch(seasonal.ticks, idx, seasonal.values, sub.ticks(i))
+        require(idx >= 0, "Internal bug method hybridTest: can't find tick " +
+          sub.ticks(i) + " in seasonal.ticks")
+        sub.vals(i) -= (seasonal.vals(idx) + m)
+        i += 1
+      }
+      out ++= esdTest(sub.ticks, sub.vals, sub.values, k, useMedian = true, alpha)
+      u += 1
+    }
+    out.toSeq
   }
 }

@@ -6,10 +6,9 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
 
 import graft.operators.{GtsFrame, StatOps}
 
-/** Analytics word tail: seasonal decomposition (fn/STL.java over the
-  * classical-decompose kernel), hybrid outlier tests
-  * (fn/STLESDTEST.java, HYBRIDTEST/HYBRIDTEST2 —
-  * GTSOutliersHelper.stlESDTest/hybridTest), DTW variants
+/** Analytics word tail: the faithful STL family (fn/STL.java →
+  * StlKernel.stl), the hybrid outlier tests (fn/STLESDTEST.java,
+  * HYBRIDTEST/HYBRIDTEST2 — GTSOutliersHelper verbatim), DTW variants
   * (fn/RAWDTW.java, ZDTW), inverse/amplitude-phase DFT surfaces
   * (fn/IFFT.java, FFTAP), DWT level splitting (fn/DWTSPLIT.java),
   * histogram bounds (fn/LBOUNDS.java, NBOUNDS) and typed FETCH
@@ -17,13 +16,6 @@ import graft.operators.{GtsFrame, StatOps}
   */
 private[script] object WordsAnalytics {
   import WarpScriptEngine._
-
-  /** Classical seasonal decomposition of a BUCKETIZE result; returns
-    * the full (trend, seasonal, resid) table keyed like the frame. */
-  private def decompose(b: BucketedFrame, period: Int,
-      halfTrend: Int): DataFrame =
-    graft.operators.SeasonalOps.classicalDecompose(
-      b.frame.df, b.span, period, halfTrend)
 
   def eval(w: String, st: State, en: WarpScriptEngine): Boolean = {
     w match {
@@ -37,12 +29,22 @@ private[script] object WordsAnalytics {
       case "STL" =>
         val raw = st.pop().asInstanceOf[Map[Any, Any]]
           .map { case (k, v) => k.toString -> v }
-        val b = en.toBucketed(st.pop())
+        val b0 = en.toBucketed(st.pop())
         val p = StlParams.resolve(raw)
+        // persist both the (small, post-BUCKETIZE) input frame and the
+        // kernel output: the [seasonal, trend] pair and its meta join
+        // would otherwise re-run the whole FETCH→BUCKETIZE→FILL
+        // pipeline per component (lineage intact — a host's unpersist
+        // sweep merely costs a recompute)
+        val b = b0.copy(frame = GtsFrame(b0.frame.df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
         val tagged = new graft.kernels.KernelOps(b.frame.df).stlDecompose(
           (b.lastbucket, b.span, b.count), p.bpp, p.inner, p.outer,
           p.ns, p.ds, p.js, p.nl, p.dl, p.jl, p.nt, p.dt, p.jt,
           p.np, p.dp, p.jp)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        tagged.count() // materialize once — the pair's branches run
+                       // concurrently and would otherwise race the cache
         val meta = en.metaOf(b.frame)
         def component(which: String): GtsFrame = {
           val renamed = tagged.filter(col("which") === which).drop("which")
@@ -112,33 +114,49 @@ private[script] object WordsAnalytics {
           StatOps.esdMadFlagAt(remFrame.df, k, StatOps.lambdasAt(alpha, ns))
             .join(en.metaOf(remFrame), "gtsid")))
 
-      // ---- hybrid outlier tests (piecewise STL/entropy remainder +
-      // ESD): the classical-decomposition composition remains the
-      // documented engine approximation for these two — the reference's
-      // piecewise SH-ESD (hybridTest:524-626) is next on the
-      // conformance list
+      // HYBRIDTEST / HYBRIDTEST2 (fn/HYBRIDTEST.java, HYBRIDTEST2.java →
+      // GTSOutliersHelper.hybridTest:524-626 / entropyHybridTest:
+      // 639-757, faithful r11): gts bpp ppp k [alpha] [stl-params-map
+      // — HYBRIDTEST only] — Twitter SH-ESD: per piece of ppp·bpp
+      // buckets, seasonal via the REAL STL (BANDWIDTH_S defaulting to
+      // −1) or the entropy softmax factoring, remainder = y − seasonal
+      // − median(piece), MEDIAN-variant ESD. Flagged POINTS surface as
+      // a frame (this engine's uniform outlier representation).
       case "HYBRIDTEST" | "HYBRIDTEST2" =>
-        val alpha = st.popNum()
-        val k = st.popLong().toInt
-        val period = st.popLong().toInt
+        var top = st.pop()
+        val userParams: Map[String, Any] =
+          if (w == "HYBRIDTEST") top match {
+            case m: Map[Any, Any] @unchecked =>
+              val r = m.map { case (k2, v) => k2.toString -> v }
+              top = st.pop(); r
+            case _ => Map.empty
+          } else Map.empty
+        val alpha = top match {
+          case d: Double => top = st.pop(); d
+          case _ => 0.05
+        }
+        val k = en.asLong(top).toInt
+        val ppp = st.popLong().toInt
+        val bpp = st.popLong().toInt
         val b = en.toBucketed(st.pop())
-        val resid = decompose(b, period, period / 2)
-          .select(col("class"), col("labels"), col("ts"),
-            col("resid").as("vdouble"))
-        val residFrame = GtsFrame(graft.model.Gts.canonicalRehash(
-          resid.select(col("class"), col("labels"), lit(0L).as("gtsid"),
-            col("ts"),
-            lit(null).cast("double").as("lat"), lit(null).cast("double").as("lon"),
-            lit(null).cast("long").as("elev"),
-            lit(graft.model.GtsType.DOUBLE).as("vtype"),
-            lit(null).cast("long").as("vlong"), col("vdouble"),
-            lit(null).cast("boolean").as("vbool"),
-            lit(null).cast("string").as("vstring"),
-            lit(null).cast("binary").as("vbinary"))))
-        val flagged =
-          if (w == "HYBRIDTEST2") StatOps.esdMadFlag(residFrame, k, alpha)
-          else StatOps.esdFlag(residFrame, k, alpha)
-        st.push(GtsFrame(flagged.join(en.metaOf(residFrame), "gtsid")))
+        val stl16 =
+          if (w == "HYBRIDTEST2") None
+          else {
+            userParams.get("PERIOD").foreach(pv => require(
+              en.asLong(pv).toInt == bpp,
+              "Incoherence between PERIOD parameter of test and PERIOD parameter of STL"))
+            var merged = userParams
+            if (!merged.contains("PERIOD")) merged += ("PERIOD" -> bpp.toLong)
+            if (!merged.contains("BANDWIDTH_S")) merged += ("BANDWIDTH_S" -> -1L)
+            if (!merged.contains("ROBUST")) merged += ("ROBUST" -> false)
+            val p = StlParams.resolve(merged)
+            Some((p.ns, p.ds, p.js, p.nl, p.dl, p.jl, p.nt, p.dt, p.jt,
+              p.np, p.dp, p.jp, p.inner, p.outer))
+          }
+        val flags = new graft.kernels.KernelOps(b.frame.df).hybridFlags(
+          (b.lastbucket, b.span, b.count), bpp, ppp, k, alpha,
+          entropy = w == "HYBRIDTEST2", stl16)
+        st.push(GtsFrame(b.frame.df.join(flags, Seq("gtsid", "ts"))))
 
       // ---- DTW variants (fn/RAWDTW.java = the DTW word's raw-value
       // form; fn/ZDTW.java z-normalizes each series first). Same list

@@ -1077,7 +1077,10 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       require(beta > 0.0 && beta < 1.0,
         "The trend smoothing factor must be in 0 < beta < 1.")
       val f = toFrame(st.pop())
+      // persist: both faces of the [level, best-estimate] pair read one
+      // kernel pass
       val tagged = new graft.kernels.KernelOps(f.df).holtSmooth(alpha, beta)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val meta = metaOf(f)
       st.push(Vector[Any](
         GtsFrame(tagged.filter(col("which") === "s").drop("which")

@@ -177,6 +177,59 @@ class StlKernelSpec extends SparkSpec {
          |12 2 0.05 { 'PERIOD' 24 } STLESDTEST""".stripMargin))
   }
 
+  test("HYBRIDTEST / HYBRIDTEST2: piecewise SH-ESD flags a spike per piece") {
+    import spark.implicits._
+    val span = 100L
+    val lb = 9600L
+    val n = 96 // 2 pieces of 4 periods x 12 buckets
+    val rows = (0 until n).map { j =>
+      val t = lb - (n - 1 - j) * span
+      val phase = ((lb - t) / span) % 12
+      val base = (if (phase < 6) 40.0 else -40.0) + 0.3 * j +
+        (if (j % 7 == 0) 0.6 else -0.1)
+      val v = if (j == 20) base + 400.0 else if (j == 70) base - 400.0 else base
+      ("m.x", Map("user" -> "1"), t, v)
+    }
+    val pts = rows.toDF("class", "labels", "ts", "vdouble")
+      .withColumn("lat", lit(null).cast(DoubleType))
+      .withColumn("lon", lit(null).cast(DoubleType))
+      .withColumn("elev", lit(null).cast(LongType))
+      .withColumn("vtype", lit(graft.model.GtsType.DOUBLE).cast(ByteType))
+      .withColumn("vlong", lit(null).cast(LongType))
+      .withColumn("vbool", lit(null).cast(BooleanType))
+      .withColumn("vstring", lit(null).cast(StringType))
+      .withColumn("vbinary", lit(null).cast(BinaryType))
+    val frame = GtsFrame(Gts.canonical(pts))
+    val e = new WarpScriptEngine(
+      fetch = (cls, ls, a, b) => frame.select(cls, ls).timeclip(a, b),
+      nowTs = 0L, session = Some(spark))
+    def ticksOf(word: String): Set[Long] = e.runToFrame(
+      s"""[ [ '' '~m\\..*' { } $lb ${lb + 1} ] FETCH
+         |  bucketizer.mean $lb $span $n ] BUCKETIZE
+         |12 4 2 $word""".stripMargin)
+      .select(col("ts")).collect().map(_.getLong(0)).toSet
+    val spike1 = lb - (n - 1 - 20) * span
+    val spike2 = lb - (n - 1 - 70) * span
+    val h1 = ticksOf("HYBRIDTEST")
+    assert(h1.contains(spike1) && h1.contains(spike2), s"HYBRIDTEST got $h1")
+    assert(h1.size <= 4)
+    val h2 = ticksOf("HYBRIDTEST2")
+    assert(h2.contains(spike1) && h2.contains(spike2), s"HYBRIDTEST2 got $h2")
+    // the optional alpha + STL-params-map arity (HYBRIDTEST only)
+    val h3 = e.runToFrame(
+      s"""[ [ '' '~m\\..*' { } $lb ${lb + 1} ] FETCH
+         |  bucketizer.mean $lb $span $n ] BUCKETIZE
+         |12 4 2 0.05 { 'BANDWIDTH_L' 1 'BANDWIDTH_T' 1 'SPEED' 0 }
+         |HYBRIDTEST""".stripMargin)
+      .select(col("ts")).collect().map(_.getLong(0)).toSet
+    assert(h3.contains(spike1) && h3.contains(spike2))
+    // PERIOD mismatch in the map is rejected
+    intercept[Exception](e.run(
+      s"""[ [ '' '~m\\..*' { } $lb ${lb + 1} ] FETCH
+         |  bucketizer.mean $lb $span $n ] BUCKETIZE
+         |12 4 2 0.05 { 'PERIOD' 24 } HYBRIDTEST""".stripMargin))
+  }
+
   test("StlParams: R-style defaults with the reference's nextOdd quirk") {
     val p = StlParams.resolve(Map("PERIOD" -> 24L))
     assert(p.inner === 2 && p.outer === 0)
