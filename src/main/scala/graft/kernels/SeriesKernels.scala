@@ -517,6 +517,95 @@ object SeriesKernels {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  /** DoubleUtils.muvar:23-59, replayed verbatim INCLUDING its quirks:
+    * the "shift" selection loop runs while shift is NON-zero (so it
+    * lands on the first ZERO value, or the last value when none is
+    * zero), and the returned mean adds shift/n instead of shift —
+    * both kept because ZDTW normalizes with exactly these numbers. */
+  def muvarReference(values: Array[Double]): (Double, Double) = {
+    val n = values.length
+    var shift = values(0)
+    var i = 0
+    while (shift != 0.0 && i < n) { shift = values(i); i += 1 }
+    var sum = 0.0
+    var sumsq = 0.0
+    i = 0
+    while (i < n) {
+      val term = values(i) - shift
+      sum += term
+      sumsq += term * term
+      i += 1
+    }
+    val mean = sum / n
+    val varr = (sumsq / n) - (mean * mean)
+    (mean + (shift / n), varr)
+  }
+
+  /** DoubleUtils.musigma — muvar + optional Bessel, then sqrt. */
+  def musigmaReference(values: Array[Double], bessel: Boolean): (Double, Double) = {
+    val (mu, v0) = muvarReference(values)
+    val n = values.length
+    val v = if (bessel && n > 1) v0 * n / (n - 1) else v0
+    (mu, math.sqrt(v))
+  }
+
+  /** fn/DTW.java compute:371-505 — the reference's windowed DTW DP on
+    * 1-dimensional value sequences, replayed verbatim: values1 swapped
+    * to the shorter side, the Sakoe window clamped to
+    * [len2−len1, len2−1], the left/bottom window-edge validity rules,
+    * and the threshold early-exit returning −1. `dist` is manhattan,
+    * euclidean or squaredeuclidean (the geo distances need locations,
+    * which this path does not carry). */
+  def dtwReference(v1in: Array[Double], v2in: Array[Double], window0: Int,
+                   threshold: Double, dist: String): Double = {
+    var v1 = v1in
+    var v2 = v2in
+    if (v1.length > v2.length) { val t = v1; v1 = v2; v2 = t }
+    val len1 = v1.length
+    val len2 = v2.length
+    val measure: (Double, Double) => Double = dist match {
+      case "manhattan" => (a, b) => math.abs(a - b)
+      case "euclidean" => (a, b) => math.sqrt((a - b) * (a - b))
+      case "squaredeuclidean" => (a, b) => (a - b) * (a - b)
+      case d => throw new IllegalArgumentException(
+        s"DTW distance '$d' needs locations — not carried on this path")
+    }
+    val window = math.max(math.min(window0, len2 - 1), len2 - len1)
+    var a = new Array[Double](len1)
+    var b = new Array[Double](len1)
+    // the reference declares this ONCE and never resets it per column
+    // (fn/DTW.java:429) — once any cell dips below the threshold the
+    // column early-exit can never fire again; kept verbatim
+    var belowThreshold = false
+    var i = 0
+    while (i < len2) {
+      val maxWindow =
+        try math.addExact(i + 1, window)
+        catch { case _: ArithmeticException => Int.MaxValue }
+      var j = math.max(0, i - window)
+      val jEnd = math.min(len1, maxWindow)
+      while (j < jEnd) {
+        val bestPrev =
+          if (i == 0 && j == 0) 0.0
+          else {
+            val left = if (i > 0 && (i + window) != j) a(j) else Double.PositiveInfinity
+            val bottom = if (j > 0 && (i - window) != j) b(j - 1) else Double.PositiveInfinity
+            val bottomLeft = if (j > 0) a(j - 1) else Double.PositiveInfinity
+            math.min(left, math.min(bottom, bottomLeft))
+          }
+        if (threshold >= bestPrev) {
+          b(j) = measure(v1(j), v2(i)) + bestPrev
+          if (!belowThreshold && b(j) <= threshold) belowThreshold = true
+        } else b(j) = Double.PositiveInfinity
+        j += 1
+      }
+      if (!belowThreshold) return -1.0
+      val tmp = a; a = b; b = tmp
+      i += 1
+    }
+    if (a(len1 - 1) <= threshold) a(len1 - 1) else -1.0
+  }
+
   /** The bSAX word of the `windowLen` points starting at index `start`
     * — GTSHelper.bSAX's per-window body (GTSHelper.java:9027-9085):
     * PAA segment sums → means, optional standardization of the MEANS

@@ -123,6 +123,95 @@ final class WarpScriptEngine(
         .rlowessSmooth(q, r, d, p, None).join(metaOf(f), "gtsid"))
   }
 
+  /** DTW/ZDTW/RAWDTW (fn/DTW.java:59-228, faithful r11): gts2 gts1
+    * [window:LONG] threshold:NUMBER [distance:STRING]
+    * [characteristic:STRING] → the scalar DTW pseudo-distance, −1 when
+    * over the threshold (≤ 0 ⇒ no threshold). Characteristics values
+    * (default) and timestamps are carried; locations/elevations need
+    * geo this path drops — rejected loudly. Normalization per word:
+    * DTW min-max 0-1 (constant GTS ⇒ error), ZDTW the reference's
+    * ASYMMETRIC pair — gts1 by musigma(bessel) sd, gts2 by muvar's
+    * VARIANCE, quirks kept verbatim — RAWDTW none. Both series collect
+    * to the driver: the reference's own in-RAM contract. */
+  private[script] def runDtw(st: State, normalize: Boolean,
+                             znormalize: Boolean): Unit = {
+    var top = st.pop()
+    var characteristic = "values"
+    top match {
+      case s: String =>
+        characteristic = s.toLowerCase
+        require(Set("values", "locations", "elevations", "timestamps")
+          .contains(characteristic),
+          "DTW expects the characteristic of the GTS to compute the DTW " +
+            "on to be values, locations, elevations or timestamps.")
+        top = st.pop()
+      case _ =>
+    }
+    var dist = "manhattan"
+    top match {
+      case s: String =>
+        dist = s.toLowerCase
+        require(Set("manhattan", "euclidean", "squaredeuclidean",
+          "loxodromic", "orthodromic").contains(dist),
+          "DTW expects the distance to use in the DTW to be manhattan, " +
+            "euclidean, loxodromic or orthodromic.")
+        top = st.pop()
+      case _ =>
+    }
+    var threshold = top match {
+      case d: Double => d
+      case l: Long => l.toDouble
+      case o => throw new IllegalArgumentException(
+        s"DTW expects a numeric threshold on top of the stack, got $o")
+    }
+    if (threshold <= 0.0) threshold = Double.PositiveInfinity
+    top = st.pop()
+    var window = Int.MaxValue
+    top match {
+      case l: Long =>
+        window = math.min(Int.MaxValue.toLong, l).toInt
+        if (window < 0) window = Int.MaxValue
+        top = st.pop()
+      case _ =>
+    }
+    require(characteristic == "values" || characteristic == "timestamps",
+      s"DTW on $characteristic needs locations/elevations, which the " +
+        "frame path does not carry")
+    def seriesValues(o: Any): Array[Double] = {
+      val df = WordsGts.singleSeries(toFrame(o), "DTW")
+      val rows = df.select(col("ts"),
+          coalesce(col("vdouble"), col("vlong").cast("double")).as("v"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(t => (t._1, t._2))
+      if (characteristic == "timestamps") rows.map(_._1.toDouble)
+      else rows.map(_._2)
+    }
+    val v1 = seriesValues(top)
+    val v2 = seriesValues(st.pop())
+    def normalized(v: Array[Double], first: Boolean): Array[Double] =
+      if (!normalize) v
+      else if (znormalize) {
+        if (first) {
+          val (mu, sd) = graft.kernels.SeriesKernels.musigmaReference(v, bessel = true)
+          v.map(x => (x - mu) / sd)
+        } else {
+          // the reference normalizes the SECOND operand by muvar's
+          // VARIANCE, not its sd (fn/DTW.java:299-303) — kept verbatim
+          val (mu, varr) = graft.kernels.SeriesKernels.muvarReference(v)
+          v.map(x => (x - mu) / varr)
+        }
+      } else {
+        var mn = Double.PositiveInfinity
+        var mx = Double.NegativeInfinity
+        v.foreach { x => if (x < mn) mn = x; if (x > mx) mx = x }
+        val range = mx - mn
+        require(range != 0.0, "DTW cannot normalize a constant GTS.")
+        v.map(x => (x - mn) / range)
+      }
+    st.push(graft.kernels.SeriesKernels.dtwReference(
+      normalized(v1, first = true), normalized(v2, first = false),
+      window, threshold, dist))
+  }
+
   /** Shared DISCORDS/ZDISCORDS parameter pop + kernel dispatch
     * (continuum/gts/DISCORDS.java:82-146 retrieveParameters): gts
     * windowLen wordLen alphabetSize count overlap distratio. */

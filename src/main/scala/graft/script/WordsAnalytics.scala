@@ -158,18 +158,13 @@ private[script] object WordsAnalytics {
           entropy = w == "HYBRIDTEST2", stl16)
         st.push(GtsFrame(b.frame.df.join(flags, Seq("gtsid", "ts"))))
 
-      // ---- DTW variants (fn/RAWDTW.java = the DTW word's raw-value
-      // form; fn/ZDTW.java z-normalizes each series first). Same list
-      // shape as DTW: [ a b [labels] bins span lastbucket ]
-      case "RAWDTW" | "ZDTW" =>
-        val args = st.pop().asInstanceOf[Vector[Any]]
-        val n = args.length
-        val (lb, span, bins) =
-          (en.asLong(args(n - 1)), en.asLong(args(n - 2)), en.asLong(args(n - 3)).toInt)
-        val labels = args(n - 4).asInstanceOf[Vector[Any]].map(_.toString).toSeq
-        var b = en.toFrame(args(n - 5)); var a = en.toFrame(args(n - 6))
-        if (w == "ZDTW") { a = a.standardize(); b = b.standardize() }
-        st.push(GtsFrame(StatOps.dtwPairs(a, b, labels, bins, span, lb)))
+      // ---- DTW variants (fn/DTW.java registry flags, faithful r11):
+      // RAWDTW = no normalization; ZDTW = the reference's asymmetric
+      // z-normalization (musigma bessel sd for gts1, muvar VARIANCE for
+      // gts2 — quirk kept); same optional window/threshold/distance/
+      // characteristic arity as DTW
+      case "RAWDTW" => en.runDtw(st, normalize = false, znormalize = false)
+      case "ZDTW" => en.runDtw(st, normalize = true, znormalize = true)
 
       // ---- FFTAP (fn/FFTAP.java): the FFT surface emitting
       // amplitude/phase instead of re/im

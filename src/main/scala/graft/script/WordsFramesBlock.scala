@@ -1002,15 +1002,11 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       val r = st.popLong().toInt
       val q = st.popLong().toInt
       st.push(runRlowess(st.pop(), q, r, d, p))
-    // DTW (fn/DTW.java lifted to frames, the CORRELATE list shape):
-    // [ a b [ labels ] bins span lastbucket ] DTW → (labels..., dtw)
-    case "DTW" =>
-      val args = st.pop().asInstanceOf[Vector[Any]]
-      val n = args.length
-      val (lb, span, bins) = (asLong(args(n - 1)), asLong(args(n - 2)), asLong(args(n - 3)).toInt)
-      val labels = args(n - 4).asInstanceOf[Vector[Any]].map(_.toString).toSeq
-      val b = toFrame(args(n - 5)); val a = toFrame(args(n - 6))
-      st.push(GtsFrame(graft.operators.StatOps.dtwPairs(a, b, labels, bins, span, lb)))
+    // DTW (fn/DTW.java, faithful r11): gts2 gts1 [window] threshold
+    // [distance] [characteristic] DTW → scalar pseudo-distance with
+    // 0-1 min-max normalization (the frame-pair composition lives on
+    // as StatOps.dtwPairs, the g82 extension)
+    case "DTW" => runDtw(st, normalize = true, znormalize = false)
     // OPTDTW (fn/OPTDTW.java): sequence query [window] count OPTDTW →
     // top-`count` [start-index, distance] pairs from sliding the
     // z-normalized query over every |query|-length subsequence with

@@ -82,6 +82,61 @@ class FaithfulWordsSpec extends SparkSpec {
     assert(bucketized(5.0) === 2L && bucketized(7.0) === 1L)
   }
 
+  test("DTW/RAWDTW/ZDTW: scalar lag distance with the reference's arity and quirks") {
+    val a = mkFrame(Seq(10L -> 0.0, 20L -> 10.0), "m.a")
+    val b = mkFrame(Seq(10L -> 0.0, 20L -> 10.0), "m.b")
+    def e2 = {
+      val merged = GtsFrame(a.df.unionByName(b.df))
+      new WarpScriptEngine(
+        fetch = (cls, ls, s2, t2) => merged.select(cls, ls).timeclip(s2, t2),
+        nowTs = 0L, session = Some(spark))
+    }
+    // RAWDTW of identical series = 0; with a tiny threshold → -1
+    val raw = e2.run(
+      "[ '' 'm.a' { } 99 100 ] FETCH [ '' 'm.b' { } 99 100 ] FETCH 0 RAWDTW")
+    assert(raw.head === 0.0)
+    // a single trailing string is the CHARACTERISTIC (the reference
+    // pops it first) — distance needs the characteristic above it
+    val rawThr = e2.run(
+      "[ '' 'm.a' { } 99 100 ] FETCH [ '' 'm.b' { } 99 100 ] FETCH " +
+        "0 'euclidean' 'values' RAWDTW")
+    assert(rawThr.head === 0.0)
+    intercept[Exception](e2.run(
+      "[ '' 'm.a' { } 99 100 ] FETCH [ '' 'm.b' { } 99 100 ] FETCH 0 'euclidean' RAWDTW"))
+    // DTW (0-1 normalized) of identical non-constant series = 0
+    val norm = e2.run(
+      "[ '' 'm.a' { } 99 100 ] FETCH [ '' 'm.b' { } 99 100 ] FETCH 0 DTW")
+    assert(norm.head === 0.0)
+    // ZDTW of IDENTICAL series is NONZERO: the reference normalizes the
+    // second operand by muvar's VARIANCE instead of its sd — quirk-locked
+    val z = e2.run(
+      "[ '' 'm.a' { } 99 100 ] FETCH [ '' 'm.b' { } 99 100 ] FETCH 0 ZDTW")
+      .head.asInstanceOf[Double]
+    val (mu1, sd1) = graft.kernels.SeriesKernels.musigmaReference(
+      Array(0.0, 10.0), bessel = true)
+    val (mu2, var2) = graft.kernels.SeriesKernels.muvarReference(Array(0.0, 10.0))
+    val expected = math.abs((0.0 - mu1) / sd1 - (0.0 - mu2) / var2) +
+      math.abs((10.0 - mu1) / sd1 - (10.0 - mu2) / var2)
+    assert(math.abs(z - expected) < 1e-12 && z > 0.5)
+    // a constant series cannot be min-max normalized
+    val c = mkFrame(Seq(10L -> 5.0, 20L -> 5.0), "m.c")
+    val e3 = {
+      val merged = GtsFrame(a.df.unionByName(c.df))
+      new WarpScriptEngine(
+        fetch = (cls, ls, s2, t2) => merged.select(cls, ls).timeclip(s2, t2),
+        nowTs = 0L, session = Some(spark))
+    }
+    intercept[Exception](e3.run(
+      "[ '' 'm.a' { } 99 100 ] FETCH [ '' 'm.c' { } 99 100 ] FETCH 0 DTW"))
+    // hand-traced RAWDTW: [0,0] vs [1,1] manhattan = 2
+    assert(graft.kernels.SeriesKernels.dtwReference(
+      Array(0.0, 0.0), Array(1.0, 1.0), Int.MaxValue,
+      Double.PositiveInfinity, "manhattan") === 2.0)
+    // threshold early-exit returns the reference's -1
+    assert(graft.kernels.SeriesKernels.dtwReference(
+      Array(0.0, 0.0), Array(1.0, 1.0), Int.MaxValue, 0.5, "manhattan") === -1.0)
+  }
+
   test("MUSIGMA replays the reference's scale-limited BigDecimal divides") {
     val f = mkFrame(Seq(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
     val e = engineOf(f)
