@@ -391,6 +391,44 @@ final class KernelOps(df: DataFrame) {
       }
     }.toDF("gtsid", "which", "ts", "vdouble")
 
+  /** STL with class/labels carried THROUGH the kernel (r12): the word
+    * path's [seasonal, trend] pair needs the series metadata back, and
+    * a post-kernel metaOf join re-reads (or re-executes, under cache
+    * eviction — the r11 driver run payed 163 s for that) the whole
+    * FETCH→BUCKETIZE→FILL prefix. Grouping the canonical frame by
+    * gtsid already co-locates class/labels with the points, so emit
+    * them from the group head instead: one pass, zero joins, the
+    * prefix consumed exactly once. Output is PACKED — one
+    * (ticks[], vals[]) row per (series, component), 2 rows per series —
+    * so the word path materializes a few hundred array rows instead of
+    * count×2 points; callers posexplode.
+    */
+  def stlDecomposeTagged(bucket: (Long, Long, Long), bpp: Int, inner: Int,
+                         outer: Int, ns: Int, ds: Int, js: Int,
+                         nl: Int, dl: Int, jl: Int, nt: Int, dt: Int, jt: Int,
+                         np: Int, dp: Int, jp: Int): DataFrame =
+    // Pack each series FIRST with a codegen'd aggregate (sort_array on
+    // struct(ts, v) is the same (ts, v) total order perSeries uses):
+    // the Dataset encoder then decodes one (class, labels-map, points)
+    // row per SERIES instead of per point — at w54's 5.4M-point prefix
+    // that is 7 500 map decodes, not 5.4M.
+    df.groupBy(col("gtsid"))
+      .agg(first(col("class")).as("class"), first(col("labels")).as("labels"),
+        sort_array(collect_list(struct(col("ts"), col("vdouble")))).as("pts"))
+      .as[(Long, String, Map[String, String], Array[(Long, Double)])]
+      .flatMap { case (id, cls, lbl, pts) =>
+        if (pts.isEmpty) Iterator.empty
+        else {
+          val (s, t) = StlKernel.stl(
+            StlKernel.ofPoints(pts.map(_._1), pts.map(_._2), Some(bucket)),
+            bpp, inner, outer, ns, ds, js, nl, dl, jl, nt, dt, jt, np, dp, jp)
+          Iterator((id, cls, lbl, "seasonal",
+              s.ticks.take(s.values), s.vals.take(s.values)),
+            (id, cls, lbl, "trend",
+              t.ticks.take(t.values), t.vals.take(t.values)))
+        }
+      }.toDF("gtsid", "class", "labels", "which", "ticks", "vals")
+
   /** HYBRIDTEST/HYBRIDTEST2 — the reference's piecewise seasonal-hybrid
     * ESD per series (StlKernel.hybridTest); returns the anomalous
     * (gtsid, ts) pairs. */

@@ -29,37 +29,42 @@ private[script] object WordsAnalytics {
       case "STL" =>
         val raw = st.pop().asInstanceOf[Map[Any, Any]]
           .map { case (k, v) => k.toString -> v }
-        val b0 = en.toBucketed(st.pop())
+        val b = en.toBucketed(st.pop())
         val p = StlParams.resolve(raw)
-        // persist both the (small, post-BUCKETIZE) input frame and the
-        // kernel output: the [seasonal, trend] pair and its meta join
-        // would otherwise re-run the whole FETCH→BUCKETIZE→FILL
-        // pipeline per component (lineage intact — a host's unpersist
-        // sweep merely costs a recompute)
-        val b = b0.copy(frame = GtsFrame(b0.frame.df.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
-        val tagged = new graft.kernels.KernelOps(b.frame.df).stlDecompose(
-          (b.lastbucket, b.span, b.count), p.bpp, p.inner, p.outer,
-          p.ns, p.ds, p.js, p.nl, p.dl, p.jl, p.nt, p.dt, p.jt,
-          p.np, p.dp, p.jp)
+        // One kernel pass carrying class/labels through the group
+        // (zero meta joins — the r11 join topology re-executed the
+        // whole FETCH→BUCKETIZE→FILL prefix per component under cache
+        // eviction: 13.6 s isolated, 163 s in the r11 driver run) and
+        // emitting PACKED (ticks[], vals[]) rows — 2 per series — so
+        // the single materialization (disk-backed persist + count)
+        // stores a few hundred array rows, not count×2 points. The
+        // [seasonal, trend] branches then posexplode the tiny cached
+        // frame; an eviction costs one linear-chain recompute, never
+        // the r11 join-cascade re-execution.
+        val packed = new graft.kernels.KernelOps(b.frame.df)
+          .stlDecomposeTagged(
+            (b.lastbucket, b.span, b.count), p.bpp, p.inner, p.outer,
+            p.ns, p.ds, p.js, p.nl, p.dl, p.jl, p.nt, p.dt, p.jt,
+            p.np, p.dp, p.jp)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        tagged.count() // materialize once — the pair's branches run
-                       // concurrently and would otherwise race the cache
-        val meta = en.metaOf(b.frame)
+        packed.count() // materialize once — the pair's branches would
+                       // otherwise race the cache and double the kernel
         def component(which: String): GtsFrame = {
-          val renamed = tagged.filter(col("which") === which).drop("which")
-            .join(meta, "gtsid")
+          val renamed = packed.filter(col("which") === which).drop("which")
             .withColumn("class",
               when(length(col("class")) === 0, lit(which))
                 .otherwise(concat(col("class"), lit("_" + which))))
+            .select(col("class"), col("labels"),
+              explode(arrays_zip(col("ticks"), col("vals"))).as("p"))
           GtsFrame(graft.model.Gts.canonicalRehash(
             renamed.select(col("class"), col("labels"),
-              lit(0L).as("gtsid"), col("ts"),
+              lit(0L).as("gtsid"), col("p.ticks").as("ts"),
               lit(null).cast("double").as("lat"),
               lit(null).cast("double").as("lon"),
               lit(null).cast("long").as("elev"),
               lit(graft.model.GtsType.DOUBLE).as("vtype"),
-              lit(null).cast("long").as("vlong"), col("vdouble"),
+              lit(null).cast("long").as("vlong"),
+              col("p.vals").as("vdouble"),
               lit(null).cast("boolean").as("vbool"),
               lit(null).cast("string").as("vstring"),
               lit(null).cast("binary").as("vbinary"))))
