@@ -30,11 +30,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     GtsQueries.queries ++ GtsQueries2.queries ++ GtsQueries3.queries ++ GtsQueries4.queries ++ RelationalQueries.queries ++
-      TextQueries.queries ++ TextQueries2.queries ++ TextQueries3.queries ++ TextQueries4.queries ++ MiscQueries.queries ++ AnnQueries.queries ++ PqQueries.queries ++ GeoQueries.queries ++ GtsQueries5.queries ++ GtsQueries6.queries ++ WsQueries.queries ++ WsQueries2.queries ++ WsQueries3.queries ++ WsQueries4.queries ++ WsQueries5.queries ++ WsQueries6.queries ++ GtsQueries7.queries ++ GtsQueries8.queries ++ GtsQueries9.queries ++ GtsQueries10.queries ++ StreamQueries.queries
+      TextQueries.queries ++ TextQueries2.queries ++ TextQueries3.queries ++ TextQueries4.queries ++ MiscQueries.queries ++ AnnQueries.queries ++ PqQueries.queries ++ GeoQueries.queries ++ GtsQueries5.queries ++ GtsQueries6.queries ++ WsQueries.queries ++ WsQueries2.queries ++ WsQueries3.queries ++ WsQueries4.queries ++ WsQueries5.queries ++ WsQueries6.queries ++ WsQueries7.queries ++ GtsQueries7.queries ++ GtsQueries8.queries ++ GtsQueries9.queries ++ GtsQueries10.queries ++ StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     GtsQueries.oracleSql ++ GtsQueries2.oracleSql ++ GtsQueries3.oracleSql ++ GtsQueries4.oracleSql ++ RelationalQueries.oracleSql ++
-      TextQueries.oracleSql ++ TextQueries2.oracleSql ++ TextQueries3.oracleSql ++ TextQueries4.oracleSql ++ MiscQueries.oracleSql ++ AnnQueries.oracleSql ++ PqQueries.oracleSql ++ GeoQueries.oracleSql ++ GtsQueries5.oracleSql ++ GtsQueries6.oracleSql ++ WsQueries.oracleSql ++ WsQueries2.oracleSql ++ WsQueries3.oracleSql ++ WsQueries4.oracleSql ++ WsQueries5.oracleSql ++ WsQueries6.oracleSql ++ GtsQueries7.oracleSql ++ GtsQueries8.oracleSql ++ GtsQueries9.oracleSql ++ GtsQueries10.oracleSql ++ StreamQueries.oracleSql
+      TextQueries.oracleSql ++ TextQueries2.oracleSql ++ TextQueries3.oracleSql ++ TextQueries4.oracleSql ++ MiscQueries.oracleSql ++ AnnQueries.oracleSql ++ PqQueries.oracleSql ++ GeoQueries.oracleSql ++ GtsQueries5.oracleSql ++ GtsQueries6.oracleSql ++ WsQueries.oracleSql ++ WsQueries2.oracleSql ++ WsQueries3.oracleSql ++ WsQueries4.oracleSql ++ WsQueries5.oracleSql ++ WsQueries6.oracleSql ++ WsQueries7.oracleSql ++ GtsQueries7.oracleSql ++ GtsQueries8.oracleSql ++ GtsQueries9.oracleSql ++ GtsQueries10.oracleSql ++ StreamQueries.oracleSql
 }

@@ -1,0 +1,338 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** WarpScript front-end queries, part 7 (round 12): oracle rows for the
+  * faithful outlier/DTW word kernels that were previously only
+  * spec-locked — the Twitter SH-ESD words HYBRIDTEST (per-piece STL
+  * seasonal, GTSOutliersHelper.hybridTest:524-626) and HYBRIDTEST2
+  * (entropy seasonal, entropyHybridTest:639-757), both driving the
+  * exact ESDTest trace (GTSOutliersHelper.ESDTest:329-415) per piece,
+  * and the RAWDTW/ZDTW/DTW word faces (fn/DTW.java:60-505 with the
+  * DoubleUtils.muvar shift/mu quirks).
+  *
+  * The HYBRIDTEST rows reuse the w54 trick: BANDWIDTH_L/T 1 + SPEED 0
+  * (BANDWIDTH_S −1 is the word's own default) degrade the per-piece
+  * Cleveland loop to cycle means + the triple-moving-average low-pass,
+  * a closed form DuckDB replays per piece; the per-piece MEDIAN-ESD
+  * rounds then follow g99's quantile_cont round replay, extended with
+  * the reference's Bessel-sd fallback at MAD 0.
+  */
+object WsQueries7 {
+  import GtsQueries.{HOUR, LB, EV}
+  import WsQueries.engine
+
+  private val userid = col("labels").getItem("user").as("userid")
+
+  // HYBRIDTEST shape: 144 hourly buckets = 2 pieces x (3 periods x 24)
+  private val NGRID = 144
+  private val BPP = 24
+  private val PPP = 3
+  private val PIECE = BPP * PPP // 72
+  private val K = 5
+  private val PREFIX =
+    s"""[ [ '' '~events\\..*' { } $LB ${LB + 1} ] FETCH
+       |  bucketizer.sum $LB 1 h $NGRID ] BUCKETIZE
+       |[ 0 0 0 0.0 ] FILLVALUE""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // HYBRIDTEST (fn/HYBRIDTEST.java → GTSOutliersHelper.hybridTest):
+    // gts bpp ppp k alpha stl-params HYBRIDTEST — per piece of
+    // ppp·bpp buckets, seasonal via the REAL STL (BANDWIDTH_S −1
+    // default ⇒ cycle means; L/T 1 + SPEED 0 ⇒ the w54 closed form),
+    // remainder = y − seasonal − median(piece), then the MEDIAN/MAD
+    // generalized ESD trace (swap-with-last removal, strict-> argmax,
+    // all removed points up to the last passing round)
+    "w137_ws_hybridtest" -> ((s, dir) => {
+      val program =
+        s"""$PREFIX
+           |$BPP $PPP $K 0.05
+           |{ 'BANDWIDTH_L' 1 'BANDWIDTH_T' 1 'SPEED' 0 } HYBRIDTEST""".stripMargin
+      engine(s, dir, cents = true).runToFrame(program)
+        .select(col("class"), userid, col("ts"),
+          col("vdouble").cast(LongType).as("v"))
+    }),
+
+    // HYBRIDTEST2 (fn/HYBRIDTEST2.java → entropyHybridTest): same
+    // piecewise MEDIAN-ESD but the seasonal is the entropy softmax
+    // factoring — per cycle subseries (3 values here), z against the
+    // subcycle's musigma, exp(√z) softmax, normalized entropy, the
+    // subcycle's seasonal value = entropy·mu
+    "w138_ws_hybridtest2" -> ((s, dir) => {
+      val program = s"$PREFIX\n$BPP $PPP $K 0.05 HYBRIDTEST2"
+      engine(s, dir, cents = true).runToFrame(program)
+        .select(col("class"), userid, col("ts"),
+          col("vdouble").cast(LongType).as("v"))
+    }),
+
+    // DTW word faces (fn/DTW.java; WarpScriptLib RAWDTW/ZDTW flags):
+    // fixed fixtures, hand-traced DP oracle (mirrored from
+    // fn/DTW.java:371-505 + DoubleUtils.muvar with its verbatim
+    // quirks: shift = first ZERO else last scanned value, and
+    // mu = mean + shift/n). Faces: plain manhattan, explicit
+    // squaredeuclidean + characteristic, exceeded threshold → −1,
+    // 'timestamps' characteristic, ZDTW's asymmetric z-normalization
+    // (musigma bessel sd for gts1 = TOP operand, muvar VARIANCE for
+    // gts2), DTW's min-max normalization, and a Sakoe window that
+    // genuinely constrains the path (second fixture: w2 18 vs full 17)
+    "w139_ws_dtw_words" -> ((s, dir) => {
+      val program =
+        s"""{ 'c' 'fa' 'l' { } 't' [ 0 1 2 3 4 5 6 7 ]
+           |  'v' [ 3.0 1.0 4.0 1.0 5.0 9.0 2.0 6.0 ] } MAKEGTS 'a' STORE
+           |{ 'c' 'fb' 'l' { } 't' [ 0 1 2 3 4 5 ]
+           |  'v' [ 2.0 8.0 1.0 7.0 3.0 4.0 ] } MAKEGTS 'b' STORE
+           |{ 'c' 'fa2' 'l' { } 't' [ 0 1 2 3 4 5 6 7 ]
+           |  'v' [ 5.0 2.0 6.0 0.0 1.0 8.0 1.0 5.0 ] } MAKEGTS 'a2' STORE
+           |{ 'c' 'fb2' 'l' { } 't' [ 0 1 2 3 4 5 ]
+           |  'v' [ 9.0 0.0 8.0 3.0 0.0 1.0 ] } MAKEGTS 'b2' STORE
+           |$$a $$b 0 RAWDTW
+           |$$a $$b 0 'squaredeuclidean' 'values' RAWDTW
+           |$$a $$b 11.5 RAWDTW
+           |$$a $$b 0 'timestamps' RAWDTW
+           |$$a $$b 0 ZDTW
+           |$$a $$b 0 DTW
+           |$$a2 $$b2 2 0 RAWDTW
+           |$$a2 $$b2 0 RAWDTW""".stripMargin
+      val v = engine(s, dir, cents = false).run(program)
+      def d(i: Int): Double = v(i).asInstanceOf[Double]
+      s.range(1).select(
+        lit(d(7)).as("dtw_raw"),
+        lit(d(6)).as("dtw_sqeucl"),
+        lit(d(5)).as("dtw_thr"),
+        lit(d(4)).as("dtw_ts"),
+        round(lit(d(3)), 6).as("dtw_z"),
+        round(lit(d(2)), 6).as("dtw_minmax"),
+        lit(d(1)).as("dtw_w2"),
+        lit(d(0)).as("dtw_full2"))
+    })
+  )
+
+  // ------------------------------------------------------------ oracle
+
+  /** One STL inner iteration per piece, the w54 closed form on the
+    * piece-local grid (N=72, P=24, ext 120): cycle means of the
+    * detrended column `det`, periodic ±1-period extension, MA(24) x2 +
+    * MA(3) low-pass, seasonal = cycle mean − low-pass at grid j.
+    *
+    * Every mean is a list_sum over an ORDERED list slice, not a window
+    * avg: same-phase zero buckets tie BIT-exactly in the kernel (its
+    * per-window sums are sequential), and DuckDB's segment-tree window
+    * aggregation broke those ties by 1 ulp, flipping the ESD argmax on
+    * 9 series at sf0.01. list_sum folds the slice left-to-right — the
+    * kernel's own association. */
+  private def stlRound(n: Int, det: String, src: String): String =
+    s"""cm$n AS (SELECT class, userid, p, cyc,
+       |       list_sum(list($det ORDER BY j DESC)) / count(*) AS m
+       |       FROM $src GROUP BY 1, 2, 3, 4),
+       |ext$n AS (SELECT g0.class, g0.userid, g0.p, r.idx, cm$n.m AS v
+       |       FROM (SELECT DISTINCT class, userid, p FROM grid) g0
+       |       CROSS JOIN (SELECT unnest(range(${PIECE + 2 * BPP})) AS idx) r
+       |       JOIN cm$n ON cm$n.class = g0.class AND cm$n.userid = g0.userid
+       |         AND cm$n.p = g0.p
+       |         AND cm$n.cyc = ((${PIECE + BPP - 1} - r.idx) % $BPP + $BPP) % $BPP),
+       |extl$n AS (SELECT class, userid, p, list(v ORDER BY idx) AS e
+       |       FROM ext$n GROUP BY 1, 2, 3),
+       |ma1_$n AS (SELECT class, userid, p, r.i AS idx,
+       |         list_sum(e[r.i + 1 : r.i + $BPP]) / $BPP.0 AS v
+       |       FROM extl$n
+       |       CROSS JOIN (SELECT unnest(range(${PIECE + BPP + 1})) AS i) r),
+       |ma1l_$n AS (SELECT class, userid, p, list(v ORDER BY idx) AS e
+       |       FROM ma1_$n GROUP BY 1, 2, 3),
+       |ma2_$n AS (SELECT class, userid, p, r.i AS idx,
+       |         list_sum(e[r.i + 1 : r.i + $BPP]) / $BPP.0 AS v
+       |       FROM ma1l_$n
+       |       CROSS JOIN (SELECT unnest(range(${PIECE + 2})) AS i) r),
+       |ma2l_$n AS (SELECT class, userid, p, list(v ORDER BY idx) AS e
+       |       FROM ma2_$n GROUP BY 1, 2, 3),
+       |ma3_$n AS (SELECT class, userid, p, r.i AS idx,
+       |         list_sum(e[r.i + 1 : r.i + 3]) / 3.0 AS v
+       |       FROM ma2l_$n
+       |       CROSS JOIN (SELECT unnest(range($PIECE)) AS i) r),
+       |seas$n AS (SELECT g.class, g.userid, g.p, g.j, g.x, g.cyc, g.ts,
+       |         cm$n.m - ma3_$n.v AS s
+       |       FROM grid g
+       |       JOIN cm$n ON cm$n.class = g.class AND cm$n.userid = g.userid
+       |         AND cm$n.p = g.p AND cm$n.cyc = g.cyc
+       |       JOIN ma3_$n ON ma3_$n.class = g.class
+       |         AND ma3_$n.userid = g.userid AND ma3_$n.p = g.p
+       |         AND ma3_$n.idx = g.j)""".stripMargin
+
+  /** The 144-bucket filled grid: piece p (0 = newest), piece-local
+    * oldest-first index j, cycle phase, integer-cents x. */
+  private val gridSql =
+    s"""b AS (SELECT class, userid, ($LB - ts) // $HOUR AS d, sum(cents) AS sv
+       |      FROM g WHERE ts <= $LB AND ($LB - ts) // $HOUR < $NGRID
+       |      GROUP BY 1, 2, 3),
+       |ser AS (SELECT DISTINCT class, userid FROM g
+       |        WHERE ts <= $LB AND ($LB - ts) // $HOUR < $NGRID),
+       |grid AS (SELECT ser.class, ser.userid, r.d // $PIECE AS p,
+       |           ${PIECE - 1} - (r.d % $PIECE) AS j,
+       |           r.d % $BPP AS cyc,
+       |           CAST(coalesce(b.sv, 0) AS DOUBLE) AS x,
+       |           $LB - r.d * $HOUR AS ts
+       |         FROM ser CROSS JOIN (SELECT unnest(range($NGRID)) AS d) r
+       |         LEFT JOIN b ON b.class = ser.class AND b.userid = ser.userid
+       |           AND b.d = r.d)""".stripMargin
+
+  /** K MEDIAN-ESD rounds per (class, userid, piece) over the remainder
+    * table `rem(class, userid, p, ts, x, v)` — g99's quantile_cont
+    * round replay plus the reference's Bessel-sd fallback when MAD is
+    * 0 (GTSOutliersHelper.madsigma:115-134); std == 0 ends the trace.
+    *
+    * Tie-break fidelity: the kernel's strict-> argmax scans the
+    * backing ARRAY, whose order after each swap-with-last removal is
+    * no longer tick order (GTSOutliersHelper.ESDTest:395-400). Zero
+    * buckets in one phase share a remainder exactly, so ties are
+    * COMMON (39 divergent rows at sf0.01 under a ts tie-break), and a
+    * tie straddling the last passing round changes the output SET.
+    * The replay therefore carries each element's array position `pos`:
+    * round r picks min pos among max |z|, and the element holding the
+    * current max pos inherits the removed slot's pos — exactly the
+    * swap. Output: the flagged points (all removed up to the last
+    * passing round), no round column — the word surfaces the SET. */
+  private def esdRoundsSql(k: Int): String = {
+    val lams = graft.operators.StatOps.lambdasAt(0.05, (PIECE - k + 1) to PIECE)
+    val lam = graft.operators.StatOps.lambdaSqlCaseOf(lams, "n")
+    def round(r: Int): String = {
+      val rem =
+        if (r == 1)
+          """p1 AS MATERIALIZED (SELECT *,
+            |  row_number() OVER (PARTITION BY class, userid, p
+            |    ORDER BY ts ASC) - 1 AS pos FROM rem)""".stripMargin
+        else
+          s"""m${r - 1} AS (SELECT class, userid, p, max(pos) AS maxpos
+             |  FROM p${r - 1} GROUP BY 1, 2, 3),
+             |p$r AS MATERIALIZED (SELECT a.class, a.userid, a.p, a.ts, a.x,
+             |    a.v,
+             |    CASE WHEN k.ts IS NOT NULL AND a.pos = m.maxpos THEN k.pos
+             |         ELSE a.pos END AS pos
+             |  FROM p${r - 1} a
+             |  LEFT JOIN k${r - 1} k ON a.class = k.class
+             |    AND a.userid = k.userid AND a.p = k.p
+             |  LEFT JOIN m${r - 1} m ON a.class = m.class
+             |    AND a.userid = m.userid AND a.p = m.p
+             |  WHERE k.ts IS NULL OR a.ts <> k.ts)""".stripMargin
+      s"""$rem,
+         |s$r AS MATERIALIZED (SELECT class, userid, p,
+         |  CAST(count(*) AS DOUBLE) AS n, quantile_cont(v, 0.5) AS med,
+         |  sum(v) AS sv, sum(v * v) AS svv FROM p$r GROUP BY 1, 2, 3),
+         |d$r AS (SELECT a.class, a.userid, a.p,
+         |  quantile_cont(abs(a.v - s.med), 0.5) AS mad
+         |  FROM p$r a JOIN s$r s ON a.class = s.class AND a.userid = s.userid
+         |    AND a.p = s.p
+         |  GROUP BY 1, 2, 3),
+         |t$r AS (SELECT s.class, s.userid, s.p, s.n, s.med,
+         |  CASE WHEN d.mad <> 0 THEN d.mad / 0.6745
+         |       ELSE sqrt(greatest(((s.svv / s.n) - (s.sv * s.sv / (s.n * s.n)))
+         |                            * s.n / (s.n - 1), 0)) END AS std
+         |  FROM s$r s JOIN d$r d ON s.class = d.class AND s.userid = d.userid
+         |    AND s.p = d.p),
+         |k$r AS MATERIALIZED (SELECT class, userid, p, ts, x, v, n, pos,
+         |    z, $r AS round
+         |  FROM (SELECT a.class, a.userid, a.p, a.ts, a.x, a.v, a.pos, t.n,
+         |          abs((a.v - t.med) / t.std) AS z,
+         |          row_number() OVER (PARTITION BY a.class, a.userid, a.p
+         |            ORDER BY abs((a.v - t.med) / t.std) DESC, a.pos ASC) AS rk
+         |        FROM p$r a
+         |        JOIN t$r t ON a.class = t.class AND a.userid = t.userid
+         |          AND a.p = t.p
+         |        WHERE t.n >= 3 AND t.std > 0)
+         |  WHERE rk = 1)""".stripMargin
+    }
+    val rounds = (1 to k).map(round).mkString(",\n")
+    val unions = (1 to k).map(r => s"SELECT * FROM k$r")
+      .mkString(" UNION ALL ")
+    s"""$rounds,
+       |allr AS (SELECT class, userid, p, ts, x, round, z > ($lam) AS passed
+       |         FROM ($unions)),
+       |fin AS (SELECT *, max(CASE WHEN passed THEN round END)
+       |          OVER (PARTITION BY class, userid, p) AS lastp FROM allr)
+       |SELECT class, userid, ts, CAST(x AS BIGINT) AS v
+       |FROM fin WHERE round <= lastp""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    // per-piece w54 closed form (2 inner iterations: det2 = seasonal1,
+    // since the identity trend makes trend1 = x − s1), remainder
+    // = x − s − median(piece), then the per-piece MEDIAN-ESD rounds
+    "w137_ws_hybridtest" ->
+      s"""WITH g AS ($EV),
+         |$gridSql,
+         |${stlRound(1, "x", "grid")},
+         |${stlRound(2, "s", "seas1")},
+         |med AS (SELECT class, userid, p, quantile_cont(x, 0.5) AS m
+         |        FROM grid GROUP BY 1, 2, 3),
+         |rem AS MATERIALIZED (SELECT s2.class, s2.userid, s2.p, s2.ts, s2.x,
+         |        s2.x - (s2.s + med.m) AS v
+         |      FROM seas2 s2 JOIN med ON med.class = s2.class
+         |        AND med.userid = s2.userid AND med.p = s2.p),
+         |${esdRoundsSql(K)}""".stripMargin,
+
+    // entropy seasonal: per (piece, phase) the 3 integer-cents values
+    // give exact sums, so mu/sigma replay the kernel's closed form
+    // (GTSHelper.musigma: var = sumsq/n − sum²/n², Bessel, sqrt);
+    // z = |x−mu|/sigma (1.0 when sigma = 0), softmax of exp(√z),
+    // normalized entropy, seasonal = entropy·mu per phase
+    "w138_ws_hybridtest2" ->
+      s"""WITH g AS ($EV),
+         |$gridSql,
+         |ph AS (SELECT class, userid, p, cyc,
+         |         CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+         |         sum(x * x) AS sxx
+         |       FROM grid GROUP BY 1, 2, 3, 4),
+         |ms AS (SELECT class, userid, p, cyc, n, sx / n AS mu,
+         |         sqrt(((sxx / n) - (sx * sx / (n * n))) * n / (n - 1)) AS sigma
+         |       FROM ph),
+         |zw AS (SELECT g.class, g.userid, g.p, g.cyc, g.ts, ms.mu,
+         |         exp(sqrt(CASE WHEN ms.sigma <> 0
+         |                       THEN abs((g.x - ms.mu) / ms.sigma)
+         |                       ELSE 1.0 END)) AS w
+         |       FROM grid g JOIN ms ON ms.class = g.class
+         |         AND ms.userid = g.userid AND ms.p = g.p AND ms.cyc = g.cyc),
+         |zwl AS (SELECT class, userid, p, cyc, any_value(mu) AS mu,
+         |          list(w ORDER BY ts ASC) AS ws
+         |        FROM zw GROUP BY 1, 2, 3, 4),
+         |ent AS (SELECT class, userid, p, cyc, mu,
+         |          -((CASE WHEN ws[1] / (ws[1] + ws[2] + ws[3]) <> 0
+         |              THEN (ws[1] / (ws[1] + ws[2] + ws[3]))
+         |                * ln(ws[1] / (ws[1] + ws[2] + ws[3])) ELSE 0 END)
+         |          + (CASE WHEN ws[2] / (ws[1] + ws[2] + ws[3]) <> 0
+         |              THEN (ws[2] / (ws[1] + ws[2] + ws[3]))
+         |                * ln(ws[2] / (ws[1] + ws[2] + ws[3])) ELSE 0 END)
+         |          + (CASE WHEN ws[3] / (ws[1] + ws[2] + ws[3]) <> 0
+         |              THEN (ws[3] / (ws[1] + ws[2] + ws[3]))
+         |                * ln(ws[3] / (ws[1] + ws[2] + ws[3])) ELSE 0 END)) AS e0
+         |        FROM zwl),
+         |seas AS (SELECT class, userid, p, cyc,
+         |           (CASE WHEN e0 <> 0 THEN e0 / ln(3.0) ELSE 1.0 END) * mu AS s
+         |         FROM ent),
+         |med AS (SELECT class, userid, p, quantile_cont(x, 0.5) AS m
+         |        FROM grid GROUP BY 1, 2, 3),
+         |rem AS MATERIALIZED (SELECT g.class, g.userid, g.p, g.ts, g.x,
+         |        g.x - (seas.s + med.m) AS v
+         |      FROM grid g
+         |      JOIN seas ON seas.class = g.class AND seas.userid = g.userid
+         |        AND seas.p = g.p AND seas.cyc = g.cyc
+         |      JOIN med ON med.class = g.class AND med.userid = g.userid
+         |        AND med.p = g.p),
+         |${esdRoundsSql(K)}""".stripMargin,
+
+    // hand-traced constants (mirror of fn/DTW.java:371-505 +
+    // DoubleUtils.muvar quirks, traced in FaithfulWordsSpec):
+    // manhattan full 12; squaredeuclidean 26; threshold 11.5 → −1;
+    // timestamps 3; ZDTW 2.238814 (buggy-mu z-norms: gts1 musigma sd,
+    // gts2 muvar VARIANCE); DTW min-max 1.482143; second fixture
+    // window 2 → 18 vs unwindowed 17
+    "w139_ws_dtw_words" ->
+      """SELECT CAST(12.0 AS DOUBLE) AS dtw_raw,
+        |  CAST(26.0 AS DOUBLE) AS dtw_sqeucl,
+        |  CAST(-1.0 AS DOUBLE) AS dtw_thr,
+        |  CAST(3.0 AS DOUBLE) AS dtw_ts,
+        |  CAST(2.238814 AS DOUBLE) AS dtw_z,
+        |  CAST(1.482143 AS DOUBLE) AS dtw_minmax,
+        |  CAST(18.0 AS DOUBLE) AS dtw_w2,
+        |  CAST(17.0 AS DOUBLE) AS dtw_full2""".stripMargin
+  )
+}
