@@ -47,9 +47,17 @@ object WsQueries {
       if (!withMeta) None
       else {
         val key = s"${System.identityHashCode(s)}|$dir|$cents"
-        Some(() => metaCache.computeIfAbsent(key, _ =>
-          Gts.metaTable(base).persist(
-            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+        Some(() => {
+          val df = metaCache.computeIfAbsent(key, _ => Gts.metaTable(base))
+          // Re-persist when a host cache sweep dropped it: the FETCH
+          // plan references the directory MANY times (per-selector
+          // dirMeta, page ranks, ownership), and an uncached directory
+          // re-executes its full-events groupBy per reference — one
+          // swept w122 page face re-ran 42 parquet scans (r12).
+          if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+            df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          df
+        })
       }
     new WarpScriptEngine(
       fetch = (cls, labels, start, stop) =>

@@ -442,8 +442,15 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
             pQuiet.map(q => laMs < lit(q / 1000L))).flatten.reduce(_ && _)
           Some(la.where(cond).select(col("gtsid")))
         }
+      // both directory-derived id sets are metadata-sized (one row per
+      // matched series — the reference's directory fits its Directory
+      // service), so the point-scan prunes are BROADCAST semi-joins:
+      // without the hint Spark cannot size the window-over-aggregate
+      // build side and plans sort-merge joins, adding two exchanges +
+      // sorts per selector scan (w122 paid ~6 extra stages per page)
       def activityBound(f: GtsFrame): GtsFrame = activityIds
-        .map(ids => GtsFrame(f.df.join(ids, Seq("gtsid"), "left_semi")))
+        .map(ids => GtsFrame(f.df.join(broadcast(ids), Seq("gtsid"),
+          "left_semi")))
         .getOrElse(f)
       // series pagination BEFORE per-point work (the reference selects
       // the metadata page before scanning points, FETCH.java:325-331).
@@ -462,12 +469,14 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
             .map(b => materialize(b).df.select(col("gtsid")))
             .foldLeft(storeIds)(_ unionByName _)
           val dir2 = activityIds
-            .map(ids => directory.join(ids, Seq("gtsid"), "left_semi"))
+            .map(ids => directory.join(broadcast(ids), Seq("gtsid"),
+              "left_semi"))
             .getOrElse(directory)
           Some(GtsFrame.pageIds(dir2, pGskip, pGcount))
         } else None
       def pageBound(f: GtsFrame): GtsFrame = pagedIds
-        .map(ids => GtsFrame(f.df.join(ids, Seq("gtsid"), "left_semi")))
+        .map(ids => GtsFrame(f.df.join(broadcast(ids), Seq("gtsid"),
+          "left_semi")))
         .getOrElse(f)
       // EACH selector scan runs the whole per-point pipeline
       // independently — the reference's storage streams one scan per
