@@ -18,6 +18,40 @@ object TextQueries2 {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** Per-JVM at-rest near-dup index for the steady-state twin (t44b):
+    * built once per corpus dir and WRITTEN TO PARQUET, then read back —
+    * the real pipeline's shape (the index lives in storage, the batch
+    * join's plan has no lineage into corpus shingling) and sweep-proof
+    * (a host's cache sweep cannot strand a reader the way a memoized
+    * localCheckpoint would). The bench prewarms this untimed via
+    * [[prewarm]], so the t44b row times the JOIN against the at-rest
+    * index — the steady-state number SCALE.md previously measured only
+    * out-of-band; Verify builds it lazily inside the query (same
+    * result either way). */
+  private val t44IndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def t44AtRestIndex(s: SparkSession, dir: String)
+      : graft.text.TextOps3.NearDupIndex = {
+    val (bp, sp) = t44IndexMemo.computeIfAbsent(dir, _ => {
+      val built = graft.text.TextOps3.buildNearDupIndex(
+        docs(s, dir).filter(col("doc_id") % 2 === 0), "text", 3)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_t44b_index_").toString
+      built.bands.write.mode("overwrite").parquet(s"$base/bands")
+      built.shingles.write.mode("overwrite").parquet(s"$base/shingles")
+      (s"$base/bands", s"$base/shingles")
+    })
+    graft.text.TextOps3.NearDupIndex(
+      bands = s.read.parquet(bp), shingles = s.read.parquet(sp))
+  }
+
+  /** Untimed one-time setup the bench runs before timing a row (the
+    * steady-state rows' at-rest artifacts). */
+  val prewarm: Map[String, (SparkSession, String) => Unit] = Map(
+    "t44b_incremental_neardup_steady" ->
+      ((s, dir) => { t44AtRestIndex(s, dir); () }))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MinHash signatures (8 perms over word-3-gram shingles)
     "t09_minhash_signature" -> ((s, dir) =>
@@ -58,24 +92,18 @@ object TextQueries2 {
         all.filter(col("doc_id") % 2 =!= 0), idx, "text", 3, 1L, 2L)
     }),
 
-    // Steady-state twin of t44 (r11): the index a real pipeline reads
-    // from at-rest storage is PRE-MATERIALIZED here (localCheckpoint),
-    // correctness-locking the read-from-at-rest-index path — the batch
-    // join runs against a plan with NO lineage into the corpus
-    // shingling. NOTE the bench row still times build+join in one
-    // closure (the harness times the whole query fn); the join-only
-    // steady-state number is SCALE.md's index-table measurement.
-    // Output — and oracle — identical to t44.
-    "t44b_incremental_neardup_steady" -> ((s, dir) => {
-      val all = docs(s, dir)
-      val built = graft.text.TextOps3.buildNearDupIndex(
-        all.filter(col("doc_id") % 2 === 0), "text", 3)
-      val idx = built.copy(
-        bands = built.bands.localCheckpoint(),
-        shingles = built.shingles.localCheckpoint())
+    // Steady-state twin of t44 (r11, reworked r12): the index a real
+    // pipeline reads from at-rest storage is an actual PARQUET
+    // ARTIFACT (built once per JVM+dir, written, read back), so the
+    // batch join runs against a plan with NO lineage into the corpus
+    // shingling. The bench prewarms the index build UNTIMED (declared
+    // in SparkEntry.prewarm and listed in the artifact), making the
+    // t44b row the measured steady-state JOIN cost; t44 keeps timing
+    // build+join. Output — and oracle — identical to t44.
+    "t44b_incremental_neardup_steady" -> ((s, dir) =>
       graft.text.TextOps3.incrementalNearDup(
-        all.filter(col("doc_id") % 2 =!= 0), idx, "text", 3, 1L, 2L)
-    }),
+        docs(s, dir).filter(col("doc_id") % 2 =!= 0),
+        t44AtRestIndex(s, dir), "text", 3, 1L, 2L)),
 
     // LSH banding candidates (4 bands × 2 rows)
     "t13_lsh_candidates" -> ((s, dir) =>
