@@ -140,9 +140,18 @@ object Bench {
           System.err.println(s"[bench] retry fork failed for ${batch.mkString(",")}; keeping prior timings")
       }
       suspects.grouped(5).foreach(retryBatch)
+      // second chance, singleton fresh JVM: rows whose attempts still
+      // disagree >1.5x (one of them was contended), or whose best
+      // attempt is so far above the board median that a contended
+      // window could be hiding under BOTH measurements (r12 board:
+      // w122 read [18.5, 28.9] — batch retry also contended — vs
+      // 8.3 s isolated; 1.56x disagreement, so the old 2x gate missed
+      // it). Bounded: a handful of rows, one JVM each.
       val unstable = suspects.filter { n =>
         val as = attempts(n)
-        as.min >= threshold && as.max / math.max(as.min, 1e-9) > 2.0
+        as.min >= threshold &&
+          (as.max / math.max(as.min, 1e-9) > 1.5 ||
+            as.min >= math.max(10.0, 10.0 * median))
       }
       unstable.foreach(n => retryBatch(Seq(n)))
       attempts.foreach { case (n, as) => merged(n) = as.min }
