@@ -106,6 +106,55 @@ object WsQueries7 {
         round(lit(d(2)), 6).as("dtw_minmax"),
         lit(d(1)).as("dtw_w2"),
         lit(d(0)).as("dtw_full2"))
+    }),
+
+    // MODE + CLIP faithful faces (r12 conformance mining). MODE
+    // (fn/MODE.java:59) compares boxed values by JAVA OBJECT IDENTITY,
+    // so run lengths are detected only for autobox-cached values
+    // (LONGs in [-128,127], BOOLEANs): m1 = small-long tie → the two
+    // real modes; m2 = values 200 box fresh per read, so the 3-run of
+    // 5s wins alone; m3 = DOUBLE GTS → every value-sorted value comes
+    // back, duplicates included. CLIP (fn/CLIP.java:61): an inverted
+    // pair is swapped (not empty) and the output is one timeclip PER
+    // pair — overlapping ranges duplicate the shared points.
+    "w140_ws_mode_clip" -> ((s, dir) => {
+      val e = engine(s, dir, cents = false)
+      val v = e.run(
+        s"""<'
+           |1// m.a{} 1
+           |2// m.a{} 1
+           |3// m.a{} 2
+           |4// m.a{} 2
+           |5// m.a{} 3
+           |'>
+           |PARSE MODE
+           |<'
+           |1// m.b{} 5
+           |2// m.b{} 5
+           |3// m.b{} 5
+           |4// m.b{} 200
+           |5// m.b{} 200
+           |'>
+           |PARSE MODE
+           |{ 'c' 'm.c' 'l' { } 't' [ 1 2 3 ]
+           |  'v' [ 4.0 4.0 9.0 ] } MAKEGTS MODE""".stripMargin)
+      def modeRows(which: String, m: Any): Seq[(String, Long, Double)] =
+        m.asInstanceOf[Vector[Any]].zipWithIndex.map { case (x, i) =>
+          (which, i.toLong, x match {
+            case l: Long => l.toDouble
+            case d: Double => d
+          })
+        }
+      import s.implicits._
+      val modes = (modeRows("m1", v(2)) ++ modeRows("m2", v(1)) ++
+        modeRows("m3", v(0))).toDF("which", "i", "v")
+      val clip = e.runToFrame(
+        s"""{ 'c' 'cf' 'l' { } 't' [ 1 2 3 4 5 ]
+           |  'v' [ 10.0 20.0 30.0 40.0 50.0 ] } MAKEGTS
+           |[ [ 2 4 ] [ 4 2 ] [ 5 5 ] ] CLIP""".stripMargin)
+        .select(lit("clip").as("which"), col("ts").as("i"),
+          col("vdouble").as("v"))
+      modes.unionByName(clip)
     })
   )
 
@@ -333,6 +382,20 @@ object WsQueries7 {
         |  CAST(2.238814 AS DOUBLE) AS dtw_z,
         |  CAST(1.482143 AS DOUBLE) AS dtw_minmax,
         |  CAST(18.0 AS DOUBLE) AS dtw_w2,
-        |  CAST(17.0 AS DOUBLE) AS dtw_full2""".stripMargin
+        |  CAST(17.0 AS DOUBLE) AS dtw_full2""".stripMargin,
+
+    // hand-traced constants: m1 [1,2] (cached-long runs counted),
+    // m2 [5] (200s box fresh, never form a run), m3 [4,4,9] (doubles
+    // never compare identity-equal → all values); clip = [2,4] ∪
+    // swapped [4,2] ∪ [5,5] with per-pair duplication
+    "w140_ws_mode_clip" ->
+      """SELECT which, CAST(i AS BIGINT) AS i, CAST(v AS DOUBLE) AS v
+        |FROM (VALUES
+        |  ('m1', 0, 1.0), ('m1', 1, 2.0),
+        |  ('m2', 0, 5.0),
+        |  ('m3', 0, 4.0), ('m3', 1, 4.0), ('m3', 2, 9.0),
+        |  ('clip', 2, 20.0), ('clip', 3, 30.0), ('clip', 4, 40.0),
+        |  ('clip', 2, 20.0), ('clip', 3, 30.0), ('clip', 4, 40.0),
+        |  ('clip', 5, 50.0)) AS t(which, i, v)""".stripMargin
   )
 }

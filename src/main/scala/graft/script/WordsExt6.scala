@@ -47,17 +47,69 @@ object WordsExt6 {
         val doc = st.pop().asInstanceOf[Map[Any, Any]]
         if (st.flags("info")) { st.push(doc); throw new WsStopEx }
 
-      // ---- MODE (fn/MODE.java): the statistical mode(s) of a single
-      // GTS — all values attaining the max occurrence count, in value
-      // order. Distributed: one groupBy(value) count + max filter.
+      // ---- MODE (fn/MODE.java, faithful r12): valueSort (value asc,
+      // tick asc — GTSHelper.quicksortByValue's tie rule) then the
+      // reference's run-length loop VERBATIM, including its boxed-
+      // object-identity comparison `lastValue != value`
+      // (MODE.java:59): GTSHelper.valueAtIndex autoboxes per call, so
+      // runs are detected ONLY for values Java caches — LONGs in
+      // [-128, 127] and BOOLEANs. DOUBLEs, STRINGs and out-of-cache
+      // LONGs compare reference-unequal every time, making every run
+      // length 1 and the output the whole value-sorted value list
+      // (duplicates included) — kept decision-for-decision.
       case "MODE" =>
         val df = WordsGts.singleSeries(en.toFrame(st.pop()), w)
-        val counts = df.groupBy(col("vdouble")).agg(count(lit(1)).as("n"))
-        val rows = counts.agg(max(col("n")).as("m")).crossJoin(counts)
-          .filter(col("n") === col("m"))
-          .select(col("vdouble")).orderBy(col("vdouble"))
-          .collect().map(_.getDouble(0))
-        st.push(rows.toVector.map(identity[Any]))
+        val rows = df.select(col("ts"), col("vtype"), col("vlong"),
+            col("vdouble"), col("vbool"), col("vstring")).collect()
+        val typed: Seq[(Long, Any)] = rows.toSeq.map { r =>
+          val v: Any =
+            if (!r.isNullAt(2)) r.getLong(2)
+            else if (!r.isNullAt(3)) r.getDouble(3)
+            else if (!r.isNullAt(4)) r.getBoolean(4)
+            else if (!r.isNullAt(5)) r.getString(5)
+            else null
+          (r.getLong(0), v)
+        }
+        def valueLt(a: Any, b: Any): Boolean = (a, b) match {
+          case (x: Long, y: Long) => x < y
+          case (x: Double, y: Double) => x < y
+          case (x: String, y: String) => x < y
+          case (x: Boolean, y: Boolean) => !x && y
+          case _ => false
+        }
+        val sorted = typed.sortWith { case ((ta, va), (tb, vb)) =>
+          valueLt(va, vb) || (va == vb && ta < tb)
+        }
+        // Java's autobox caches: Long.valueOf in [-128,127], Boolean
+        // always; everything else boxes fresh per valueAtIndex call
+        def idEq(a: Any, b: Any): Boolean = (a, b) match {
+          case (x: Long, y: Long) => x == y && x >= -128 && x <= 127
+          case (x: Boolean, y: Boolean) => x == y
+          case _ => false
+        }
+        val modes = scala.collection.mutable.ArrayBuffer.empty[Any]
+        var count = 0
+        var modeCount = 0
+        var lastValue: Any = null
+        val n = sorted.length
+        var i = 0
+        while (i < n) {
+          val value = sorted(i)._2
+          if (lastValue == null) { count = 1; lastValue = value }
+          else if (!idEq(lastValue, value)) {
+            if (count > modeCount) {
+              modeCount = count; modes.clear(); modes += lastValue
+            } else if (count == modeCount) modes += lastValue
+            count = 1; lastValue = value
+          } else count += 1
+          if (i == n - 1) {
+            if (count > modeCount) {
+              modeCount = count; modes.clear(); modes += lastValue
+            } else if (count == modeCount) modes += lastValue
+          }
+          i += 1
+        }
+        st.push(modes.toVector)
 
       // ---- REPORT (fn/REPORT.java): capability-gated runtime report
       case "REPORT" =>

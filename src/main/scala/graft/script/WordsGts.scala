@@ -123,15 +123,23 @@ private[script] object WordsGts {
 
       // ---- structural trims
       // CLIP (fn/CLIP.java): gts [ [from to] ... ] → union of clips
+      // CLIP (fn/CLIP.java, faithful r12): an INVERTED pair is SWAPPED
+      // (CLIP.java:61-63), not empty; and the output is one timeclip
+      // PER PAIR — overlapping ranges DUPLICATE the shared points
+      // (the reference returns a list of clipped copies), so the
+      // frame is the union of per-range filters, not an OR-predicate
       case "CLIP" =>
         val ranges = st.pop().asInstanceOf[Vector[Any]].map {
-          case r: Vector[Any @unchecked] => (en.asLong(r(0)), en.asLong(r(1)))
+          case r: Vector[Any @unchecked] =>
+            val a = en.asLong(r(0)); val b = en.asLong(r(1))
+            if (a > b) (b, a) else (a, b)
           case o => throw new IllegalArgumentException(s"CLIP range: $o")
         }
         val f = en.toFrame(st.pop())
-        val pred = ranges.map { case (a, b) => col("ts") >= a && col("ts") <= b }
-          .reduceOption(_ || _).getOrElse(lit(false))
-        st.push(GtsFrame(f.df.filter(pred)))
+        val legs = ranges.map { case (a, b) =>
+          f.df.filter(col("ts") >= a && col("ts") <= b) }
+        st.push(GtsFrame(legs.reduceOption(_ unionByName _)
+          .getOrElse(f.df.limit(0))))
       // SHRINK (fn/SHRINK.java): n > 0 keeps the n earliest points per
       // series, n < 0 the n most recent (distributed rank, no collect)
       case "SHRINK" =>

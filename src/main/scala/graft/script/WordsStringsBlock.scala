@@ -310,12 +310,25 @@ private[script] trait WordsStringsBlock { this: WarpScriptEngine =>
       st.push((0 until len).toVector.map(i =>
         meta.map(l => if (l.size == 1) l.head else l(i))))
     // SORTBY (fn/SORTBY.java): stable sort of a list by the key the
-    // macro computes for each element
+    // macro computes for each element; the MAP form (SORTBY.java:
+    // 92-110) pushes key AND value to the macro and re-emits the
+    // entries in sorted order (an insertion-ordered map, like the
+    // reference's LinkedHashMap rebuild)
     case "SORTBY" =>
       val m = st.pop().asInstanceOf[WsMacro]
-      val l = st.pop().asInstanceOf[Vector[Any]]
-      val keyed = l.map { e => st.push(e); evalMacro(m, st); (st.pop(), e) }
-      st.push(keyed.sortWith((a, b) => wsLt(a._1, b._1)).map(_._2))
+      st.pop() match {
+        case l: Vector[Any @unchecked] =>
+          val keyed = l.map { e => st.push(e); evalMacro(m, st); (st.pop(), e) }
+          st.push(keyed.sortWith((a, b) => wsLt(a._1, b._1)).map(_._2))
+        case mp: Map[Any @unchecked, Any @unchecked] =>
+          val keyed = mp.toVector.map { case (k, v) =>
+            st.push(k); st.push(v); evalMacro(m, st); (st.pop(), k, v) }
+          st.push(scala.collection.immutable.ListMap(
+            keyed.sortWith((a, b) => wsLt(a._1, b._1))
+              .map(t => t._2 -> t._3): _*): Map[Any, Any])
+        case o => throw new IllegalArgumentException(
+          s"SORTBY operates on a list or a map, got $o")
+      }
     // STRINGFORMAT (fn/STRINGFORMAT.java): fmt [ args ] [locale]
     // STRINGFORMAT — Locale.ROOT by default for determinism (the
     // reference falls back to the JVM default locale)

@@ -48,13 +48,28 @@ class WsInfraWordsSpec extends SparkSpec {
     assert(out == List(Map("name" -> "m"))) // 7 never executes
   }
 
-  test("MODE returns all maximally-frequent values in value order") {
-    assert(eng.run(s"$F MODE").head == Vector(5.0))
-    // drop one 5.0 → tie between 3.0 and 5.0
+  test("MODE replays the reference's boxed-identity run detection") {
+    // DOUBLE GTS: MODE.java:59 compares boxed values by object
+    // identity and valueAtIndex boxes doubles fresh per call, so every
+    // run has length 1 → the whole value-sorted value list comes back
+    assert(eng.run(s"$F MODE").head ==
+      Vector(2.0, 3.0, 3.0, 5.0, 5.0, 5.0))
     val e2 = new WarpScriptEngine(
       fetch = (_, _, _, _) => graft.operators.GtsFrame(
         modeFrame.df.filter(col("ts") =!= 6L)), nowTs = 0L, session = Some(spark))
-    assert(e2.run(s"$F MODE").head == Vector(3.0, 5.0))
+    assert(e2.run(s"$F MODE").head == Vector(2.0, 3.0, 3.0, 5.0, 5.0))
+    // LONG GTS in the Long.valueOf cache range [-128,127]: runs ARE
+    // detected (the cached boxes are identity-equal) → true modes,
+    // tie kept in value order
+    val longFrame = graft.operators.GtsFrame(graft.model.Gts.canonicalRehash(
+      modeFrame.df
+        .withColumn("vlong", col("vdouble").cast("long"))
+        .withColumn("vdouble", lit(null).cast("double"))
+        .withColumn("vtype", lit(graft.model.GtsType.LONG))))
+    val e3 = new WarpScriptEngine(
+      fetch = (_, _, _, _) => graft.operators.GtsFrame(
+        longFrame.df.filter(col("ts") =!= 6L)), nowTs = 0L, session = Some(spark))
+    assert(e3.run(s"$F MODE").head == Vector(3L, 5L))
   }
 
   test("REPORT requires the report capability") {
