@@ -759,14 +759,24 @@ final case class GtsFrame(df: DataFrame) {
   // Structural ops
   // ---------------------------------------------------------------------
 
-  /** DEDUP — drop consecutive points with identical value
-    * (GTSHelper.java:7198). */
+  /** DEDUP (fn/DEDUP.java → GTSHelper.dedup:7198, corrected r12 — the
+    * earlier consecutive-equal-VALUE form was an invented semantic):
+    * remove duplicate TICKS, keeping one point per (series, tick).
+    * The reference keeps the LAST occurrence in backing-array
+    * (ingestion) order — an order an unordered distributed frame does
+    * not carry — so this engine keeps the deterministic canonical
+    * maximum of the duplicate rows' typed value/location/elevation
+    * tuple; ticks occurring once pass through untouched on both
+    * engines, and the pick only differs where the reference's own
+    * answer depends on ingestion order. */
   def dedup(): GtsFrame = {
-    val w = Window.partitionBy(col("gtsid")).orderBy(col("ts"))
-    GtsFrame(df.withColumn("__prev", lag(col("vdouble"), 1).over(w))
-      .filter(col("__prev").isNull || col("__prev") =!= col("vdouble") ||
-        col("vdouble").isNull && col("__prev").isNotNull)
-      .drop("__prev"))
+    val w = Window.partitionBy(col("gtsid"), col("ts")).orderBy(
+      col("vlong").desc_nulls_last, col("vdouble").desc_nulls_last,
+      col("vstring").desc_nulls_last, col("vbool").desc_nulls_last,
+      col("lat").desc_nulls_last, col("lon").desc_nulls_last,
+      col("elev").desc_nulls_last)
+    GtsFrame(df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn"))
   }
 
   /** COMPACT (fn/COMPACT.java) — remove interior ticks of constant-value

@@ -112,11 +112,17 @@ object GtsQueries {
       out(gts(s, dir).filterSeries(col("last_v") > 90.0).df,
         col("class"), userid, col("ts"), col("vdouble"))),
 
-    // DEDUP of consecutive duplicate values after quantization
-    // (GTSHelper.java:7198; fn/QUANTIZE.java)
-    "g12_dedup" -> ((s, dir) =>
-      out(gts(s, dir).quantize(25.0).dedup().df,
-        col("class"), userid, col("ts"), col("vdouble").as("qv"))),
+    // DEDUP (fn/DEDUP.java → GTSHelper.dedup:7198, corrected r12):
+    // duplicate-TICK removal. Duplicates are constructed (raw ∪
+    // value-doubled copy at the same ticks) so the row genuinely
+    // exercises the collapse; the engine's deterministic canonical-max
+    // pick makes the oracle a per-tick max over the union
+    "g12_dedup" -> ((s, dir) => {
+      val f = gts(s, dir)
+      val doubled = f.df.withColumn("vdouble", col("vdouble") * 2)
+      out(GtsFrame(f.df.unionByName(doubled)).dedup().df,
+        col("class"), userid, col("ts"), col("vdouble").as("v"))
+    }),
 
     // COMPACT — keep only edges of constant-value runs (fn/COMPACT.java)
     "g13_compact" -> ((s, dir) =>
@@ -266,10 +272,9 @@ object GtsQueries {
 
     "g12_dedup" ->
       s"""WITH g AS ($EV),
-         |q AS (SELECT class, userid, ts, floor(vdouble/25.0)*25.0 AS qv FROM g),
-         |l AS (SELECT class, userid, ts, qv,
-         |        lag(qv) OVER (PARTITION BY class, userid ORDER BY ts) AS pv FROM q)
-         |SELECT class, userid, ts, qv FROM l WHERE pv IS NULL OR pv <> qv""".stripMargin,
+         |u AS (SELECT class, userid, ts, vdouble AS v FROM g
+         |      UNION ALL SELECT class, userid, ts, vdouble * 2 FROM g)
+         |SELECT class, userid, ts, max(v) AS v FROM u GROUP BY 1, 2, 3""".stripMargin,
 
     "g13_compact" ->
       s"""WITH g AS ($EV),

@@ -300,13 +300,18 @@ object WsQueries {
     // and has no step face) — floor(v/25)·25 in the executor-side
     // macro interpreter, the identical IEEE arithmetic of the g12/g13
     // fixtures' GtsFrame.quantize helper.
+    // DEDUP word (fn/DEDUP.java, corrected r12 — duplicate-TICK
+    // removal): duplicates constructed through the word path (MERGE of
+    // the fetch with its mapper.mul-doubled copy), then DEDUP keeps
+    // one point per tick — the per-tick max under the engine's
+    // canonical pick (g12's oracle, same construction)
     "w19_ws_dedup" -> ((s, dir) => {
       val program =
-        s"""[ [ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
-           |<% 7 GET 0 GET 25.0 / FLOOR 25.0 * %> MACROMAPPER 0 0 0 ] MAP
+        s"""[ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH 'a' STORE
+           |[ $$a [ $$a 2.0 mapper.mul 0 0 0 ] MAP ] MERGE
            |DEDUP""".stripMargin
       engine(s, dir, cents = false).runToFrame(program)
-        .select(col("class"), userid, col("ts"), col("vdouble").as("qv"))
+        .select(col("class"), userid, col("ts"), col("vdouble").as("v"))
     }),
 
 

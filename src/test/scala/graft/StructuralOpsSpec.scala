@@ -6,11 +6,13 @@ import graft.operators.GtsFrame._
 
 class StructuralOpsSpec extends SparkSpec {
 
-  test("dedup drops consecutive duplicate values (GTSHelper.java:7198)") {
+  test("dedup removes duplicate TICKS, canonical-max pick (GTSHelper.java:7198)") {
+    // same-value duplicates collapse; distinct ticks pass through
     val g = GtsFrame(gtsOf(
-      ("m", "u", 1L, 5.0), ("m", "u", 2L, 5.0), ("m", "u", 3L, 5.0),
-      ("m", "u", 4L, 6.0), ("m", "u", 5L, 5.0)))
-    assert(tsv(g.dedup().df) === Seq((1L, 5.0), (4L, 6.0), (5L, 5.0)))
+      ("m", "u", 1L, 5.0), ("m", "u", 1L, 5.0), ("m", "u", 2L, 5.0),
+      ("m", "u", 3L, 6.0), ("m", "u", 3L, 9.0), ("m", "u", 4L, 5.0)))
+    assert(tsv(g.dedup().df) ===
+      Seq((1L, 5.0), (2L, 5.0), (3L, 9.0), (4L, 5.0)))
   }
 
   test("compact keeps run edges (fn/COMPACT.java)") {
