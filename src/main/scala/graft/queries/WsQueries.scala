@@ -857,9 +857,11 @@ object WsQueries {
     // sum 10 + removed 99 + nested GET 4 = 113; URL round-trip;
     // 2024-01-01T00:00:00.123456Z in Europe/Paris = 01:00 CET, ISO
     // Monday week 1
+    // v_enc: WarpURLEncoder renders the space %20, never '+'
+    // (WarpURLEncoder.java:42-53; faithful r12)
     "w30_ws_collwords" ->
       """SELECT CAST(113 AS BIGINT) AS v_long,
-        |  'a+b%26c%3Dd' AS v_enc, 'a b&c=d' AS v_dec,
+        |  'a%20b%26c%3Dd' AS v_enc, 'a b&c=d' AS v_dec,
         |  '2024,1,1,1,0,0,123456,1,1,1' AS v_ts""".stripMargin,
 
     "w31_ws_percentile" -> GtsQueries10.oracleSql("g107_percentile_type1"),

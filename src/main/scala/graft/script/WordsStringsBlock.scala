@@ -19,6 +19,20 @@ private[script] trait WordsStringsBlock { this: WarpScriptEngine =>
   import WsToken._
   import WarpScriptEngine._
 
+  /** WarpURLEncoder.encode (WarpURLEncoder.java): java URLEncoder,
+    * then every '+' output (a space) rewritten %20. */
+  private def warpUrlEncode(s: String): String =
+    java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+      .replace("+", "%20")
+
+  /** WarpURLDecoder.decode (WarpURLDecoder.java): a %-free input is
+    * returned AS IS (a bare '+' survives undecoded); otherwise literal
+    * '+' is protected as %2B before URLDecoder runs. */
+  private def warpUrlDecode(s: String): String =
+    if (!s.contains("%")) s
+    else java.net.URLDecoder.decode(s.replace("+", "%2B"),
+      java.nio.charset.StandardCharsets.UTF_8)
+
   // scalastyle:off cyclomatic.complexity method.length
   private[script] def wordsStringsBlock(w: String, st: State): Boolean = {
     w match {
@@ -78,11 +92,11 @@ private[script] trait WordsStringsBlock { this: WarpScriptEngine =>
           Math.floorDiv(t, 1000000L), Math.floorMod(t, 1000000L) * 1000L)
         .toString)
     case "TRIM" => st.push(st.popStr().trim)
-    // URLENCODE/URLDECODE (fn/URLENCODE.java, fn/URLDECODE.java)
-    case "URLENCODE" => st.push(java.net.URLEncoder.encode(
-      st.popStr(), java.nio.charset.StandardCharsets.UTF_8))
-    case "URLDECODE" => st.push(java.net.URLDecoder.decode(
-      st.popStr(), java.nio.charset.StandardCharsets.UTF_8))
+    // URLENCODE/URLDECODE (fn/URLENCODE.java, fn/URLDECODE.java —
+    // WarpURLEncoder/Decoder, faithful r12: spaces encode to %20, not
+    // '+'; decode is a NO-OP on %-free input, so a bare '+' survives)
+    case "URLENCODE" => st.push(warpUrlEncode(st.popStr()))
+    case "URLDECODE" => st.push(warpUrlDecode(st.popStr()))
     case "SUBSTRING" => // str start [len] — 2-arg form: str start
       val b = st.pop(); val a = st.pop()
       (a, b) match {
@@ -106,23 +120,71 @@ private[script] trait WordsStringsBlock { this: WarpScriptEngine =>
       case l: Vector[_] => st.push(l.contains(n))
       case o => throw new IllegalArgumentException(s"CONTAINS on $o")
     }
-    // selector words (fn/TOSELECTOR.java, PARSESELECTOR.java)
+    // selector words, faithful r12 (fn/TOSELECTOR.java → GTSHelper.
+    // buildSelector:9414 forSearch=true; fn/PARSESELECTOR.java →
+    // GTSHelper.parseLabelsSelectors:4149). TOSELECTOR operates on a
+    // GTS (or list) — the earlier class+labels-strings arity was
+    // invented: the name gets the '='-prefix guard when it starts
+    // with '='/'~', names/values are WarpURLEncoder-encoded, labels
+    // render key-sorted (the reference's TreeMap), and an EMPTY label
+    // value renders '~$' (absent-label support defaults off). A
+    // multi-series frame pushes the sorted selector LIST (the
+    // element-or-list analog); one series pushes the string.
     case "TOSELECTOR" =>
-      val labels = st.pop().asInstanceOf[Map[Any, Any]]
-      val cls = st.popStr()
-      val l = labels.map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(",")
-      st.push(s"$cls{$l}")
+      def build(cls: String, labels: Map[String, String]): String = {
+        val sb = new StringBuilder
+        if (cls.nonEmpty && (cls(0) == '=' || cls(0) == '~')) sb.append('=')
+        sb.append(warpUrlEncode(cls)).append('{')
+        labels.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((k, v), i) =>
+          if (i > 0) sb.append(',')
+          sb.append(warpUrlEncode(k))
+          if (v == "") sb.append("~$")
+          else sb.append('=').append(warpUrlEncode(v))
+        }
+        sb.append('}').toString
+      }
+      def ofAny(o: Any): Vector[String] = o match {
+        case b: GtsBuilder => Vector(build(b.cls, b.labels))
+        case v: Vector[Any @unchecked] => v.flatMap(ofAny)
+        case other =>
+          val df = toFrame(other).df
+          val meta = df.groupBy(col("gtsid")).agg(
+            first(col("class")).as("c"), first(col("labels")).as("l"))
+          WordsGts.collectGuard(meta, "TOSELECTOR")
+          meta.collect().toVector
+            .map(r => build(r.getString(1),
+              r.getMap[String, String](2).toMap)).sorted
+      }
+      val sels = ofAny(st.pop())
+      st.push(if (sels.size == 1) sels.head else sels)
+    // PARSESELECTOR: the selector MUST carry a labels block
+    // (^([^{]+)\{(.*)\}$ — a brace-less string is an error); the class
+    // and every label name/value are WarpURLDecoder-decoded; each
+    // label token splits on '=' (exact) FIRST, else '~' (regex) —
+    // so 'a~b=c' parses as exact with name 'a~b' — and the kept value
+    // is the SECOND split token only ('a=b=c' ⇒ value 'b'); result
+    // values carry their '='/'~' marker prefix, insertion-ordered
     case "PARSESELECTOR" =>
       val sel = st.popStr()
-      val i = sel.indexOf('{')
-      if (i < 0) { st.push(sel); st.push(Map.empty[Any, Any]) }
-      else {
-        val cls = sel.substring(0, i)
-        val body = sel.substring(i + 1, sel.lastIndexOf('}'))
-        val m: Map[Any, Any] = body.split(",").filter(_.nonEmpty).map { kv =>
-          val Array(k, v) = kv.split("=", 2); (k: Any) -> (v: Any)
-        }.toMap
-        st.push(cls); st.push(m)
+      val re = "^([^{]+)\\{(.*)\\}$".r
+      sel match {
+        case re(clsEnc, body) =>
+          val cls = warpUrlDecode(clsEnc)
+          val entries = body.split(",", -1).toSeq.map(_.trim)
+            .filter(_.nonEmpty).map { token =>
+              val (exact, parts) =
+                if (token.contains("=")) (true, token.split("=", -1))
+                else if (token.contains("~")) (false, token.split("~", -1))
+                else throw new IllegalArgumentException(
+                  s"PARSESELECTOR could not parse input: $token")
+              val name = warpUrlDecode(parts(0))
+              val value = warpUrlDecode(if (parts.length > 1) parts(1) else "")
+              (name: Any) -> (((if (exact) "=" else "~") + value): Any)
+            }
+          st.push(cls)
+          st.push(scala.collection.immutable.ListMap(entries: _*): Map[Any, Any])
+        case _ => throw new IllegalArgumentException(
+          "PARSESELECTOR could not parse input.")
       }
 
     // ---- comparison / boolean (fn/EQ.java family)

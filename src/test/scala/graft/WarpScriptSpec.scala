@@ -87,9 +87,14 @@ class WarpScriptSpec extends SparkSpec {
     assert(top("'hello' 'l' 'L' REPLACE") == "heLLo")
     assert(top("'abc123' '[a-z]+[0-9]+' MATCHES") == true)
     assert(top("'abcdef' 1 3 SUBSTRING") == "bcd")
-    assert(eng.run("'cpu{host=a,dc=b}' PARSESELECTOR") ==
-      List(Map("host" -> "a", "dc" -> "b"), "cpu"))
-    assert(top("'cpu' { 'host' 'a' } TOSELECTOR") == "cpu{host=a}")
+    // faithful r12: label selector values carry their '='/'~' marker
+    // (GTSHelper.parseLabelsSelectors:4149)
+    assert(eng.run("'cpu{host=a,dc~b.*}' PARSESELECTOR") ==
+      List(Map("host" -> "=a", "dc" -> "~b.*"), "cpu"))
+    // TOSELECTOR operates on a GTS (fn/TOSELECTOR.java); an empty
+    // label value renders '~$', spaces render %20
+    assert(top("{ 'c' 'cpu u' 'l' { 'host' 'a' 'dc' '' } 't' [ 1 ] " +
+      "'v' [ 1.0 ] } MAKEGTS TOSELECTOR") == "cpu%20u{dc~$,host=a}")
   }
 
   test("NEWGTS/ADDVALUE builds a series from literals, frame words consume it") {
