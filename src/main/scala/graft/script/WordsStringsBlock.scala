@@ -97,20 +97,72 @@ private[script] trait WordsStringsBlock { this: WarpScriptEngine =>
     // '+'; decode is a NO-OP on %-free input, so a bare '+' survives)
     case "URLENCODE" => st.push(warpUrlEncode(st.popStr()))
     case "URLDECODE" => st.push(warpUrlDecode(st.popStr()))
-    case "SUBSTRING" => // str start [len] — 2-arg form: str start
-      val b = st.pop(); val a = st.pop()
-      (a, b) match {
-        case (s: String, from: Long) => st.push(s.substring(from.toInt))
-        case (from: Long, len: Long) =>
-          val s = st.popStr(); st.push(s.substring(from.toInt, (from + len).toInt))
-        case other => throw new IllegalArgumentException(s"SUBSTRING args: $other")
+    // SUBSTRING (fn/SUBSTRING.java, faithful r12): str|bytes start
+    // [len] — negative indexes wrap from the end (GET.
+    // computeAndCheckIndex), the 3-arg form CLAMPS start+len to the
+    // size, and byte arrays slice like strings
+    case "SUBSTRING" =>
+      def ck(index: Int, size: Int): Int = {
+        var i = index
+        if (i < 0) i += size
+        else if (i >= size) throw new IllegalArgumentException(
+          s"Index out of bound, $i >= $size")
+        if (i < 0) throw new IllegalArgumentException(
+          s"Index out of bound, ${i - size} < -$size")
+        i
       }
-    case "SPLIT" => val sep = st.popStr(); val s = st.popStr()
-      st.push(s.split(java.util.regex.Pattern.quote(sep), -1).toVector)
+      val n = st.pop() match {
+        case l: Long => l.toInt
+        case o => throw new IllegalArgumentException(
+          s"SUBSTRING expects a numeric length or start index, got $o")
+      }
+      st.pop() match {
+        case s: String => st.push(s.substring(ck(n, s.length)))
+        case bs: Array[Byte] => st.push(
+          java.util.Arrays.copyOfRange(bs, ck(n, bs.length), bs.length))
+        case idxL: Long =>
+          val i0 = idxL.toInt
+          st.pop() match {
+            case s: String =>
+              val i = ck(i0, s.length)
+              st.push(s.substring(i, math.min(n + i, s.length)))
+            case bs: Array[Byte] =>
+              val i = ck(i0, bs.length)
+              st.push(java.util.Arrays.copyOfRange(bs, i,
+                math.min(n + i, bs.length)))
+            case o => throw new IllegalArgumentException(
+              s"SUBSTRING can only operate on strings or byte arrays, got $o")
+          }
+        case o => throw new IllegalArgumentException(
+          s"SUBSTRING can only operate on strings or byte arrays, got $o")
+      }
+    // SPLIT (fn/SPLIT.java, faithful r12): single-CHAR delimiter only,
+    // optional strictly-positive limit on top (at most limit−1 splits,
+    // remainder kept whole); trailing empties are kept
+    case "SPLIT" =>
+      var top = st.pop()
+      var limit = Int.MaxValue
+      top match {
+        case l: Long =>
+          require(l > 0,
+            "SPLIT expects the limit to be a strictly positive integer.")
+          limit = java.lang.Math.toIntExact(l)
+          top = st.pop()
+        case _ =>
+      }
+      val sep = top match {
+        case s2: String if s2.length == 1 => s2
+        case _ => throw new IllegalArgumentException(
+          "SPLIT expects a string delimiter of length 1.")
+      }
+      val s = st.popStr()
+      st.push(s.split(java.util.regex.Pattern.quote(sep), limit).toVector)
     case "JOIN" => val sep = st.popStr()
       st.push(st.pop().asInstanceOf[Vector[Any]].map(String.valueOf).mkString(sep))
+    // REPLACE is regex replaceFIRST (fn/REPLACE.java all=false,
+    // faithful r12 — the earlier literal replace-all was wrong twice)
     case "REPLACE" => val r = st.popStr(); val p = st.popStr(); val s = st.popStr()
-      st.push(s.replace(p, r))
+      st.push(s.replaceFirst(p, r))
     case "REPLACEALL" => val r = st.popStr(); val p = st.popStr(); val s = st.popStr()
       st.push(s.replaceAll(p, r))
     case "MATCHES" => val p = st.popStr(); val s = st.popStr()
@@ -316,18 +368,101 @@ private[script] trait WordsStringsBlock { this: WarpScriptEngine =>
     // SUBLIST (fn/SUBLIST.java:48-130, indices-list form): 2 indices =
     // inclusive range lesser→bigger; >2 = elements at those indices
     // (duplicates allowed); negative indices count from the end.
+    // SUBLIST (fn/SUBLIST.java, faithful r12): THREE faces — a
+    // 2-index range list (wrap, swap, clamp), an individual-indices
+    // list, and the numeric `start [end [step]]` form the earlier
+    // word lacked entirely (default end = max(size−1, start), default
+    // step −1 when start > end, nearestValidBound alignment of an
+    // out-of-range start, silent stop on index overflow)
     case "SUBLIST" =>
-      val idx = st.pop().asInstanceOf[Vector[Any]].map(asLong)
-      val l = st.pop().asInstanceOf[Vector[Any]]
-      val n = l.size
-      def at(i: Long): Int = (if (i < 0) i + n else i).toInt
-      val out =
-        if (idx.length == 2) {
-          val a = at(idx(0)); val b = at(idx(1))
-          val (lo, hi) = (math.min(a, b), math.max(a, b))
-          l.slice(math.max(lo, 0), math.min(hi, n - 1) + 1)
-        } else idx.map(i => l(at(i)))
-      st.push(out)
+      var indices: Vector[Any] = null
+      var elements: Vector[Any] = null
+      val longParams = scala.collection.mutable.ArrayBuffer[Long]()
+      var pi = 0
+      var done = false
+      while (pi < 4 && !done) {
+        st.pop() match {
+          case lst: Vector[Any @unchecked] =>
+            if (pi == 0) {
+              indices = lst
+              st.pop() match {
+                case e: Vector[Any @unchecked] => elements = e
+                case o => throw new IllegalArgumentException(
+                  s"SUBLIST expects a list of indices on top of the " +
+                    s"stack and will operate on the list below it, got $o")
+              }
+            } else elements = lst
+            done = true
+          case nmb: Long => longParams.prepend(nmb)
+          case d: Double => longParams.prepend(d.toLong)
+          case o => throw new IllegalArgumentException(
+            s"SUBLIST expects a list of indices or start end step, got $o")
+        }
+        pi += 1
+      }
+      if (elements == null) throw new IllegalArgumentException(
+        "SUBLIST expects a list of indices or start end step above a list.")
+      val n = elements.size
+      def nearestValidBound(bound: Long, step: Long, size: Int): Long =
+        if (bound >= size) ((bound - size) % step) - math.abs(step) + size
+        else if (bound < 0) ((bound + 1) % step) + math.abs(step) - 1
+        else bound
+      val out = scala.collection.mutable.ArrayBuffer[Any]()
+      if (indices == null) {
+        var start = longParams(0)
+        var end = if (longParams.size > 1) longParams(1)
+                  else math.max(n - 1, start).toLong
+        if (start < 0) start += n
+        if (end < 0) end += n
+        if (!(start < 0 && end < 0 || start >= n && end >= n)) {
+          val step =
+            if (longParams.size > 2) longParams(2)
+            else if (start > end) -1L else 1L
+          require(step != 0,
+            "SUBLIST expects the step parameter to be a strictly positive or negative number.")
+          if (step > 0) require(start <= end,
+            "SUBLIST expects start to be before end when step is positive.")
+          else require(end <= start,
+            "SUBLIST expects start to be after end when step is negative.")
+          start = nearestValidBound(start, step, n)
+          try {
+            if (step > 0) {
+              val e2 = math.min(end, n - 1L)
+              var i = start
+              while (i <= e2) {
+                out += elements(java.lang.Math.toIntExact(i))
+                i = java.lang.Math.addExact(i, step)
+              }
+            } else {
+              val e2 = math.max(end, 0L)
+              var i = start
+              while (i >= e2) {
+                out += elements(java.lang.Math.toIntExact(i))
+                i = java.lang.Math.addExact(i, step)
+              }
+            }
+          } catch { case _: ArithmeticException => }
+        }
+      } else if (indices.size == 2) {
+        var bmin = asLong(indices(0)).toInt
+        var bmax = asLong(indices(1)).toInt
+        if (bmin < 0) bmin += n
+        if (bmax < 0) bmax += n
+        if (bmin > bmax) { val t = bmax; bmax = bmin; bmin = t }
+        if (!((bmin < 0 && bmax < 0) || (n <= bmin && n <= bmax))) {
+          var i = math.max(0, bmin)
+          val e2 = math.min(n - 1, bmax)
+          while (i <= e2) { out += elements(i); i += 1 }
+        }
+      } else {
+        indices.foreach { ix =>
+          val idx = asLong(ix).toInt
+          require(idx < n && idx >= -n,
+            "SUBLIST reported an out of bound index.")
+          out += (if (idx >= 0) elements(idx) else elements(n + idx))
+        }
+      }
+      st.push(out.toVector)
     // LMAP (fn/LMAP.java:75-95): macro called per element with the
     // element then (unless the optional boolean says otherwise) its
     // index on the stack; result of each call collected into a list.

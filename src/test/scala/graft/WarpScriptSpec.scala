@@ -84,9 +84,16 @@ class WarpScriptSpec extends SparkSpec {
     assert(top("'a-b-c' '-' SPLIT") == Vector("a", "b", "c"))
     assert(top("[ 'x' 'y' ] '/' JOIN") == "x/y")
     assert(top("'Hello' TOUPPER") == "HELLO")
-    assert(top("'hello' 'l' 'L' REPLACE") == "heLLo")
+    // REPLACE is regex replaceFirst (fn/REPLACE.java all=false)
+    assert(top("'hello' 'l' 'L' REPLACE") == "heLlo")
+    assert(top("'a-b-c' '-' 2 SPLIT") == Vector("a", "b-c"))
+    assert(top("'a--' '-' SPLIT") == Vector("a", "", ""))
     assert(top("'abc123' '[a-z]+[0-9]+' MATCHES") == true)
     assert(top("'abcdef' 1 3 SUBSTRING") == "bcd")
+    // negative start wraps from the end; the 3-arg form clamps
+    // start+len to the size (fn/SUBSTRING.java + computeAndCheckIndex)
+    assert(top("'abcdef' -2 SUBSTRING") == "ef")
+    assert(top("'abcdef' 4 10 SUBSTRING") == "ef")
     // faithful r12: label selector values carry their '='/'~' marker
     // (GTSHelper.parseLabelsSelectors:4149)
     assert(eng.run("'cpu{host=a,dc~b.*}' PARSESELECTOR") ==
@@ -261,6 +268,13 @@ class WarpScriptSpec extends SparkSpec {
     assert(top("[ 10 20 30 40 ] [ 1 2 ] SUBLIST") == Vector(20L, 30L))
     // >2 indices = element picks with duplicates; negatives from the end
     assert(top("[ 10 20 30 40 ] [ 0 0 -1 ] SUBLIST") == Vector(10L, 10L, 40L))
+    // numeric start/end/step faces (fn/SUBLIST.java, faithful r12):
+    // start>end defaults step -1 (reverse); explicit step strides;
+    // bare start runs to the end; negative bounds wrap
+    assert(top("[ 10 20 30 40 ] 2 1 SUBLIST") == Vector(30L, 20L))
+    assert(top("[ 10 20 30 40 50 ] 0 4 2 SUBLIST") == Vector(10L, 30L, 50L))
+    assert(top("[ 10 20 30 40 ] 2 SUBLIST") == Vector(30L, 40L))
+    assert(top("[ 10 20 30 40 ] -2 -1 SUBLIST") == Vector(30L, 40L))
     // LMAP pushes element then index; macro here uses both: v*10 + i
     assert(top("[ 7 8 9 ] <% 'i' STORE 10 * $i + %> LMAP") ==
       Vector(70L, 81L, 92L))
