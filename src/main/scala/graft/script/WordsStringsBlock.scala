@@ -167,10 +167,15 @@ private[script] trait WordsStringsBlock { this: WarpScriptEngine =>
       st.push(s.replaceAll(p, r))
     case "MATCHES" => val p = st.popStr(); val s = st.popStr()
       st.push(s.matches(p))
-    case "CONTAINS" => val n = st.pop(); st.pop() match {
-      case s: String => st.push(s.contains(String.valueOf(n)))
+    // CONTAINS (fn/CONTAINS.java, faithful r12): on a collection the
+    // operand PEEKS — the list stays under the boolean; only the
+    // STRING face pops it
+    case "CONTAINS" => val n = st.pop(); st.stack.head match {
       case l: Vector[_] => st.push(l.contains(n))
-      case o => throw new IllegalArgumentException(s"CONTAINS on $o")
+      case s: String if n.isInstanceOf[String] =>
+        st.pop(); st.push(s.contains(n.asInstanceOf[String]))
+      case o => throw new IllegalArgumentException(
+        s"CONTAINS operates on a list, set or STRING, got $o")
     }
     // selector words, faithful r12 (fn/TOSELECTOR.java → GTSHelper.
     // buildSelector:9414 forSearch=true; fn/PARSESELECTOR.java →
@@ -315,6 +320,14 @@ private[script] trait WordsStringsBlock { this: WarpScriptEngine =>
           val raw = asLong(key).toInt
           v(if (raw < 0) raw + v.size else raw)
         case m: Map[Any @unchecked, _] => m.getOrElse(key, null)
+        // GET on a STRING / byte array indexes one element, negative
+        // indexes wrapping (GET.java:86-107)
+        case s: String =>
+          val raw = asLong(key).toInt
+          String.valueOf(s.charAt(if (raw < 0) raw + s.length else raw))
+        case bs: Array[Byte] =>
+          val raw = asLong(key).toInt
+          (bs(if (raw < 0) raw + bs.length else raw).toLong & 0xFFL): java.lang.Long
         case o => throw new IllegalArgumentException(s"GET on $o")
       }
       (k, cont) match {
@@ -323,7 +336,14 @@ private[script] trait WordsStringsBlock { this: WarpScriptEngine =>
           st.push(path.foldLeft(cont)(get1))
         case _ => st.push(get1(cont, k))
       }
-    case "REVERSE" => st.push(st.pop().asInstanceOf[Vector[Any]].reverse)
+    // REVERSE (fn/REVERSE.java): list, STRING or byte array
+    case "REVERSE" => st.pop() match {
+      case v: Vector[Any @unchecked] => st.push(v.reverse)
+      case s: String => st.push(s.reverse)
+      case bs: Array[Byte] => st.push(bs.reverse)
+      case o => throw new IllegalArgumentException(
+        s"REVERSE operates on a list, byte array or String, got $o")
+    }
     case "FLATTEN" => st.push(flatten(st.pop().asInstanceOf[Vector[Any]]))
     // RANGE (fn/RANGE.java): [ stop ] | [ start stop ] | [ start stop
     // step ] → list of longs (stop exclusive, as the reference)
