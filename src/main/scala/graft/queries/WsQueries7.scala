@@ -155,6 +155,27 @@ object WsQueries7 {
         .select(lit("clip").as("which"), col("ts").as("i"),
           col("vdouble").as("v"))
       modes.unionByName(clip)
+    }),
+
+    // unary math words applied DIRECTLY to a GTS operand (r12: the
+    // NumericalUnaryFunction family is ListRecursive over GTS — the
+    // words previously only took scalars). SQRT/FLOOR emit DOUBLEs
+    // (opL null — FLOOR of a GTS is a DOUBLE gts); ROUND emits LONGs
+    // via Math.round = floor(x+0.5) at these magnitudes; ABS
+    // preserves the DOUBLE type. java.lang.Math runs on the executors,
+    // so sqrt/floor are IEEE-exact against DuckDB's libm
+    "w141_ws_unary_math" -> ((s, dir) => {
+      val e = engine(s, dir, cents = false)
+      def face(word: String, tag: String, fromLong: Boolean) = e.runToFrame(
+        s"""[ '' '~events\\..*' { } ${Long.MaxValue} ${Long.MaxValue} ] FETCH
+           |$word""".stripMargin)
+        .select(lit(tag).as("which"), col("class"), userid, col("ts"),
+          (if (fromLong) col("vlong").cast("double")
+           else col("vdouble")).as("v"))
+      face("SQRT", "sqrt", fromLong = false)
+        .unionByName(face("FLOOR", "floor", fromLong = false))
+        .unionByName(face("ROUND", "round", fromLong = true))
+        .unionByName(face("ABS", "abs", fromLong = false))
     })
   )
 
@@ -396,6 +417,19 @@ object WsQueries7 {
         |  ('m3', 0, 4.0), ('m3', 1, 4.0), ('m3', 2, 9.0),
         |  ('clip', 2, 20.0), ('clip', 3, 30.0), ('clip', 4, 40.0),
         |  ('clip', 2, 20.0), ('clip', 3, 30.0), ('clip', 4, 40.0),
-        |  ('clip', 5, 50.0)) AS t(which, i, v)""".stripMargin
+        |  ('clip', 5, 50.0)) AS t(which, i, v)""".stripMargin,
+
+    // sqrt/floor are IEEE-exact cross-engine; Math.round = floor(x+0.5)
+    // at these magnitudes; abs of a positive double is itself
+    "w141_ws_unary_math" ->
+      s"""WITH g AS ($EV)
+         |SELECT 'sqrt' AS which, class, userid, ts, sqrt(vdouble) AS v FROM g
+         |UNION ALL
+         |SELECT 'floor', class, userid, ts, floor(vdouble) FROM g
+         |UNION ALL
+         |SELECT 'round', class, userid, ts,
+         |  CAST(CAST(floor(vdouble + 0.5) AS BIGINT) AS DOUBLE) FROM g
+         |UNION ALL
+         |SELECT 'abs', class, userid, ts, abs(vdouble) FROM g""".stripMargin
   )
 }

@@ -202,9 +202,15 @@ object ScalarEval extends Serializable {
     // Math::log); LOG10 is the decimal one
     case "LOG" => st.push(math.log(st.popNum()))
     case "LOG10" => st.push(math.log10(st.popNum()))
-    case "FLOOR" => st.push(math.floor(st.popNum()).toLong)
-    case "CEIL" => st.push(math.ceil(st.popNum()).toLong)
-    case "ROUND" => st.push(math.round(st.popNum()))
+    // FLOOR/CEIL return DOUBLEs (NumericalUnaryFunction, opL null);
+    // ROUND is long-identity / Math.round (WarpScriptLib.java:3000)
+    case "FLOOR" => st.push(math.floor(st.popNum()))
+    case "CEIL" => st.push(math.ceil(st.popNum()))
+    case "ROUND" => st.pop() match {
+      case l: Long => st.push(l)
+      case d: Double => st.push(math.round(d))
+      case o => throw new IllegalArgumentException(s"ROUND on $o")
+    }
     case "RINT" => st.push(math.rint(st.popNum()))
     case "SIN" => st.push(math.sin(st.popNum()))
     case "COS" => st.push(math.cos(st.popNum()))

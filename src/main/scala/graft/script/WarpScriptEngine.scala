@@ -297,7 +297,95 @@ final class WarpScriptEngine(
     }
   }
 
+  /** The NumericalUnaryFunction family (WarpScriptLib.java:2996-3030),
+    * faithful r12: operator selection follows the reference — a LONG
+    * falls to the long op only when one is registered, so FLOOR/CEIL/
+    * SIGNUM return DOUBLEs even for LONG input, ROUND is long-identity
+    * / Math.round (not rint), and the EXACT family truncates a DOUBLE
+    * to its longValue. The words are ListRecursiveStackFunctions: they
+    * apply DIRECTLY to GTS operands (and lists mixing scalars and GTS)
+    * elementwise on the typed value slot — java.lang.Math itself runs
+    * on the executors (a udf per cold face; none of these sit on a
+    * plan-locked hot path). Non-numeric points pass through unchanged
+    * (the reference throws on non-numeric GTS; a frame carries the
+    * type per row, so the numeric rows are the op's domain). */
+  private def unaryMathWord(st: State,
+      spec: (Option[Long => Long], Option[Double => Double],
+        Option[Double => Long])): Unit = {
+    val (opL, opD, opDL) = spec
+    def applyDf(df: DataFrame): DataFrame = {
+      import org.apache.spark.sql.functions.{udf => sudf}
+      val isNum = col("vlong").isNotNull || col("vdouble").isNotNull
+      if (opL.isDefined) {
+        val uL = sudf(opL.get)
+        val base = df.withColumn("vlong",
+          when(col("vlong").isNotNull, uL(col("vlong")))
+            .otherwise(col("vlong")))
+        (opD, opDL) match {
+          case (Some(f), _) =>
+            val uD = sudf(f)
+            base.withColumn("vdouble",
+              when(col("vdouble").isNotNull, uD(col("vdouble")))
+                .otherwise(col("vdouble")))
+          case (_, Some(f)) =>
+            val uDL = sudf(f)
+            base
+              .withColumn("vlong",
+                when(col("vdouble").isNotNull, uDL(col("vdouble")))
+                  .otherwise(col("vlong")))
+              .withColumn("vtype",
+                when(col("vdouble").isNotNull,
+                  lit(graft.model.GtsType.LONG)).otherwise(col("vtype")))
+              .withColumn("vdouble", lit(null).cast("double"))
+          case _ => base
+        }
+      } else {
+        val v = coalesce(col("vdouble"), col("vlong").cast("double"))
+        if (opD.isDefined) {
+          val uD = sudf(opD.get)
+          df.withColumn("__v", when(isNum, uD(v)))
+            .withColumn("vtype",
+              when(isNum, lit(graft.model.GtsType.DOUBLE))
+                .otherwise(col("vtype")))
+            .withColumn("vlong",
+              when(isNum, lit(null).cast("long")).otherwise(col("vlong")))
+            .withColumn("vdouble", when(isNum, col("__v"))
+              .otherwise(col("vdouble")))
+            .drop("__v")
+        } else {
+          val uDL = sudf(opDL.get)
+          df.withColumn("__v", when(isNum, uDL(v)))
+            .withColumn("vtype",
+              when(isNum, lit(graft.model.GtsType.LONG))
+                .otherwise(col("vtype")))
+            .withColumn("vdouble",
+              when(isNum, lit(null).cast("double")).otherwise(col("vdouble")))
+            .withColumn("vlong", when(isNum, col("__v"))
+              .otherwise(col("vlong")))
+            .drop("__v")
+        }
+      }
+    }
+    def applyAny(x: Any): Any = x match {
+      case l: Long =>
+        if (opD.isDefined && opL.isEmpty) opD.get(l.toDouble)
+        else if (opDL.isDefined && opL.isEmpty) opDL.get(l.toDouble)
+        else opL.get(l)
+      case d: Double =>
+        if (opD.isDefined) opD.get(d)
+        else if (opDL.isDefined) opDL.get(d)
+        else opL.get(d.toLong)
+      case v: Vector[Any @unchecked] => v.map(applyAny)
+      case BucketedFrame(f, lb, sp, c) =>
+        BucketedFrame(GtsFrame(applyDf(f.df)), lb, sp, c)
+      case other => GtsFrame(applyDf(toFrame(other).df))
+    }
+    st.push(applyAny(st.pop()))
+  }
+
   private def evalWordDispatch(w: String, st: State): Unit = w match {
+    case u if WarpScriptEngine.unaryOps.contains(u) =>
+      unaryMathWord(st, WarpScriptEngine.unaryOps(u))
     // ---- structure: lists and maps (MemoryWarpScriptStack MARK/ENDLIST)
     case "[" => st.push(ListMark)
     case "]" =>
@@ -393,51 +481,19 @@ final class WarpScriptEngine(
       case _ => throw new IllegalArgumentException("% expects longs")
     }
     case "**" => val b = st.popNum(); val a = st.popNum(); st.push(math.pow(a, b))
-    case "ABS" => st.pop() match {
-      case l: Long => st.push(math.abs(l))
-      case d: Double => st.push(math.abs(d))
-      case o => throw new IllegalArgumentException(s"ABS on $o")
-    }
-    case "SQRT" => st.push(math.sqrt(st.popNum()))
-    case "EXP" => st.push(math.exp(st.popNum()))
-    case "LN" => st.push(math.log(st.popNum()))
-    // LOG is ALSO the natural log in the reference
-    // (WarpScriptLib.java:3011 NumericalUnaryFunction(LOG_, Math::log))
-    case "LOG" => st.push(math.log(st.popNum()))
-    case "LOG10" => st.push(math.log10(st.popNum()))
-    case "SIN" => st.push(math.sin(st.popNum()))
-    case "COS" => st.push(math.cos(st.popNum()))
-    case "TAN" => st.push(math.tan(st.popNum()))
-    case "ASIN" => st.push(math.asin(st.popNum()))
-    case "ACOS" => st.push(math.acos(st.popNum()))
-    case "ATAN" => st.push(math.atan(st.popNum()))
     case "PI" => st.push(math.Pi)
     case "E" => st.push(math.E)
-    // java.lang.Math tail (WarpScriptLib registrations: CBRT, SIGNUM,
-    // SINH/COSH/TANH, TORADIANS/TODEGREES, ATAN2, HYPOT, EXPM1, LOG1P,
-    // IEEEREMAINDER, COPYSIGN, NEXTAFTER, RINT, FLOORDIV, FLOORMOD)
-    case "CBRT" => st.push(math.cbrt(st.popNum()))
-    case "SIGNUM" => st.pop() match {
-      case l: Long => st.push(java.lang.Long.signum(l).toLong)
-      case d: Double => st.push(math.signum(d))
-      case o => throw new IllegalArgumentException(s"SIGNUM on $o")
-    }
-    case "SINH" => st.push(math.sinh(st.popNum()))
-    case "COSH" => st.push(math.cosh(st.popNum()))
-    case "TANH" => st.push(math.tanh(st.popNum()))
-    case "TORADIANS" => st.push(math.toRadians(st.popNum()))
-    case "TODEGREES" => st.push(math.toDegrees(st.popNum()))
+    // java.lang.Math BINARY tail (the unary family dispatches through
+    // unaryMathWord above): ATAN2, HYPOT, IEEEREMAINDER, COPYSIGN,
+    // NEXTAFTER, FLOORDIV, FLOORMOD
     case "ATAN2" => val x = st.popNum(); val y = st.popNum(); st.push(math.atan2(y, x))
     case "HYPOT" => val y = st.popNum(); val x = st.popNum(); st.push(math.hypot(x, y))
-    case "EXPM1" => st.push(math.expm1(st.popNum()))
-    case "LOG1P" => st.push(math.log1p(st.popNum()))
     case "IEEEREMAINDER" => val y = st.popNum(); val x = st.popNum()
       st.push(math.IEEEremainder(x, y))
     case "COPYSIGN" => val sign = st.popNum(); val mag = st.popNum()
       st.push(math.copySign(mag, sign))
     case "NEXTAFTER" => val dir = st.popNum(); val start = st.popNum()
       st.push(math.nextAfter(start, dir))
-    case "RINT" => st.push(math.rint(st.popNum()))
     case "FLOORDIV" => val b = st.popLong(); val a = st.popLong()
       st.push(Math.floorDiv(a, b))
     case "FLOORMOD" => val b = st.popLong(); val a = st.popLong()
@@ -460,9 +516,6 @@ final class WarpScriptEngine(
         math.cos(lat1 * toRad) * math.cos(lat2 * toRad) *
           math.pow(math.sin((lon2 - lon1) * toRad / 2), 2)
       st.push(2.0 * 6378137.0 * math.asin(math.sqrt(a)))
-    case "FLOOR" => st.push(math.floor(st.popNum()).toLong)
-    case "CEIL" => st.push(math.ceil(st.popNum()).toLong)
-    case "ROUND" => st.push(math.rint(st.popNum()).toLong)
     case "MIN" => binNum(st, math.min, math.min)
     case "MAX" => binNum(st, math.max, math.max)
     case "TODOUBLE" => st.push(st.popNum())
@@ -762,6 +815,41 @@ final class WarpScriptEngine(
 }
 
 object WarpScriptEngine {
+
+  /** NumericalUnaryFunction registrations (WarpScriptLib.java:
+    * 2996-3030): (longOp, doubleOp, doubleToLongOp) — exactly the
+    * reference's operator triples, incl. ROUND's long-identity and the
+    * EXACT family's long-only faces. */
+  private[script] val unaryOps: Map[String,
+      (Option[Long => Long], Option[Double => Double],
+        Option[Double => Long])] = {
+    def d(f: Double => Double) = (None, Some(f), None)
+    Map(
+      "ABS" -> ((Some((l: Long) => math.abs(l)),
+        Some((x: Double) => math.abs(x)), None)),
+      "COS" -> d(math.cos), "COSH" -> d(math.cosh), "ACOS" -> d(math.acos),
+      "SIN" -> d(math.sin), "SINH" -> d(math.sinh), "ASIN" -> d(math.asin),
+      "TAN" -> d(math.tan), "TANH" -> d(math.tanh), "ATAN" -> d(math.atan),
+      "SIGNUM" -> d(math.signum),
+      "FLOOR" -> d(math.floor), "CEIL" -> d(math.ceil),
+      "ROUND" -> ((Some((l: Long) => l), None,
+        Some((x: Double) => math.round(x)))),
+      "RINT" -> d(math.rint), "ULP" -> d(Math.ulp),
+      "NEXTUP" -> d(Math.nextUp), "NEXTDOWN" -> d(Math.nextDown),
+      "SQRT" -> d(math.sqrt), "CBRT" -> d(math.cbrt),
+      "EXP" -> d(math.exp), "EXPM1" -> d(math.expm1),
+      "LN" -> d(math.log), "LOG" -> d(math.log), "LOG10" -> d(math.log10),
+      "LOG1P" -> d(math.log1p),
+      "TORADIANS" -> d(math.toRadians), "TODEGREES" -> d(math.toDegrees),
+      "INCREMENTEXACT" -> ((Some((l: Long) => Math.incrementExact(l)),
+        None, None)),
+      "DECREMENTEXACT" -> ((Some((l: Long) => Math.decrementExact(l)),
+        None, None)),
+      "NEGATEEXACT" -> ((Some((l: Long) => Math.negateExact(l)),
+        None, None)),
+      "TOINTEXACT" -> ((Some((l: Long) => Math.toIntExact(l).toLong),
+        None, None)))
+  }
 
   /** CALL subprogram pool, JVM-wide like the reference's static
     * subprograms map (fn/CALL.java:208): one long-lived process per

@@ -128,16 +128,12 @@ private[script] object WordsScalar {
       case "ADDEXACT" => val b = st.popLong(); st.push(Math.addExact(st.popLong(), b))
       case "SUBTRACTEXACT" => val b = st.popLong(); st.push(Math.subtractExact(st.popLong(), b))
       case "MULTIPLYEXACT" => val b = st.popLong(); st.push(Math.multiplyExact(st.popLong(), b))
-      case "INCREMENTEXACT" => st.push(Math.incrementExact(st.popLong()))
       case "DECREMENTEXACT" => st.push(Math.decrementExact(st.popLong()))
       case "NEGATEEXACT" => st.push(Math.negateExact(st.popLong()))
       case "TOINTEXACT" => st.push(Math.toIntExact(st.popLong()).toLong)
 
       // ---- IEEE-754 neighborhood (fn/NEXTUP.java, ULP, GETEXPONENT,
       // SCALB)
-      case "NEXTUP" => st.push(Math.nextUp(st.popNum()))
-      case "NEXTDOWN" => st.push(Math.nextDown(st.popNum()))
-      case "ULP" => st.push(Math.ulp(st.popNum()))
       case "GETEXPONENT" => st.push(Math.getExponent(st.popNum()).toLong)
       case "SCALB" =>
         val n = st.popLong().toInt; st.push(Math.scalb(st.popNum(), n))
