@@ -375,6 +375,13 @@ final class WarpScriptEngine(
         if (opD.isDefined) opD.get(d)
         else if (opDL.isDefined) opDL.get(d)
         else opL.get(d.toLong)
+      // a BigDecimal operand forces the double face like a Double
+      // (NumericalUnaryFunction.java:80-82); long-only ops truncate
+      // via Number.longValue
+      case bd: java.math.BigDecimal =>
+        if (opD.isDefined) opD.get(bd.doubleValue)
+        else if (opDL.isDefined) opDL.get(bd.doubleValue)
+        else opL.get(bd.longValue)
       case v: Vector[Any @unchecked] => v.map(applyAny)
       case BucketedFrame(f, lb, sp, c) =>
         BucketedFrame(GtsFrame(applyDf(f.df)), lb, sp, c)
@@ -383,9 +390,140 @@ final class WarpScriptEngine(
     st.push(applyAny(st.pop()))
   }
 
+  /** The NumericalBinaryFunction family (WarpScriptLib.java:3032-3046),
+    * faithful r12 — every operand shape the reference accepts:
+    * scalar×scalar (long face only when both are LONGs and a long op
+    * exists — `2 3 **` is 8 LONG via the truncated (long) Math.pow),
+    * scalar-atop-list / list-atop-scalar (elementwise, the SCALAR is
+    * the op's left operand when it sits BELOW the list and the right
+    * operand when it sits on top — the reference's own asymmetry),
+    * scalar×GTS in either order (elementwise on the typed slot), and —
+    * for the applyOnSingleList words MIN/MAX/ADDEXACT/SUBTRACTEXACT/
+    * MULTIPLYEXACT — a SINGLE list or single-series GTS folds its
+    * values left-to-right to one scalar. */
+  private def binaryMathWord(st: State, spec: (Option[(Long, Long) => Long],
+      Option[(Double, Double) => Double], Boolean)): Unit = {
+    val (opL, opD, inList) = spec
+    // a Double OR BigDecimal operand forces the double face
+    // (NumericalBinaryFunction.java:122, `op0 instanceof BigDecimal`)
+    def isD(x: Any) = x.isInstanceOf[Double] ||
+      x.isInstanceOf[java.math.BigDecimal]
+    def toD(x: Any): Double = x match {
+      case l: Long => l.toDouble; case d: Double => d
+      case bd: java.math.BigDecimal => bd.doubleValue
+      case o => throw new IllegalArgumentException(s"not numeric: $o")
+    }
+    def toL(x: Any): Long = x match {
+      case l: Long => l; case d: Double => d.toLong
+      case bd: java.math.BigDecimal => bd.longValue
+      case o => throw new IllegalArgumentException(s"not numeric: $o")
+    }
+    def scalarOp(a: Any, b: Any): Any =
+      if (opD.isDefined && (opL.isEmpty || isD(a) || isD(b)))
+        opD.get(toD(a), toD(b))
+      else opL.get(toL(a), toL(b))
+    def gtsOp(x: Any, c: Any, scalarLeft: Boolean): Any = {
+      def applyDf(df: DataFrame): DataFrame = {
+        import org.apache.spark.sql.functions.{udf => sudf}
+        val isNum = col("vlong").isNotNull || col("vdouble").isNotNull
+        val uD = opD.map { f =>
+          val cD = toD(c)
+          if (scalarLeft) sudf((v: Double) => f(cD, v))
+          else sudf((v: Double) => f(v, cD))
+        }
+        val uL = opL.map { f =>
+          val cL = toL(c)
+          if (scalarLeft) sudf((v: Long) => f(cL, v))
+          else sudf((v: Long) => f(v, cL))
+        }
+        // the double face wins per the reference's per-row rule unless
+        // a long op exists AND both the scalar and the row are LONGs
+        val vD = coalesce(col("vdouble"), col("vlong").cast("double"))
+        val rowLong = col("vlong").isNotNull && lit(opL.isDefined && !isD(c))
+        (uL, uD) match {
+          case (Some(fl), Some(fd)) =>
+            df.withColumn("__vl", when(rowLong, fl(col("vlong"))))
+              .withColumn("__vd", when(isNum && !rowLong, fd(vD)))
+              .withColumn("vtype",
+                when(isNum && !rowLong, lit(graft.model.GtsType.DOUBLE))
+                  .otherwise(col("vtype")))
+              .withColumn("vlong", when(rowLong, col("__vl")))
+              .withColumn("vdouble", when(isNum && !rowLong, col("__vd")))
+              .drop("__vl", "__vd")
+          case (Some(fl), None) =>
+            df.withColumn("__vl", when(isNum, fl(coalesce(col("vlong"),
+                col("vdouble").cast("long")))))
+              .withColumn("vtype",
+                when(isNum, lit(graft.model.GtsType.LONG))
+                  .otherwise(col("vtype")))
+              .withColumn("vdouble", lit(null).cast("double"))
+              .withColumn("vlong", when(isNum, col("__vl")))
+              .drop("__vl")
+          case (None, Some(fd)) =>
+            df.withColumn("__vd", when(isNum, fd(vD)))
+              .withColumn("vtype",
+                when(isNum, lit(graft.model.GtsType.DOUBLE))
+                  .otherwise(col("vtype")))
+              .withColumn("vlong", lit(null).cast("long"))
+              .withColumn("vdouble", when(isNum, col("__vd")))
+              .drop("__vd")
+          case _ => df
+        }
+      }
+      x match {
+        case BucketedFrame(f, lb, sp, cc) =>
+          BucketedFrame(GtsFrame(applyDf(f.df)), lb, sp, cc)
+        case other => GtsFrame(applyDf(toFrame(other).df))
+      }
+    }
+    val op0 = st.pop()
+    op0 match {
+      case _: Long | _: Double | _: java.math.BigDecimal =>
+        st.pop() match {
+          case n1 @ (_: Long | _: Double | _: java.math.BigDecimal) =>
+            st.push(scalarOp(n1, op0))
+          case l: Vector[Any @unchecked] => st.push(l.map(e => scalarOp(e, op0)))
+          case g @ (_: GtsFrame | _: BucketedFrame | _: GtsBuilder) =>
+            st.push(gtsOp(g, op0, scalarLeft = false))
+          case o => throw new IllegalArgumentException(
+            s"binary numeric word cannot operate on $o")
+        }
+      case l: Vector[Any @unchecked] if inList =>
+        st.push(l.reduceLeft(scalarOp))
+      case l: Vector[Any @unchecked] =>
+        st.pop() match {
+          case n1 @ (_: Long | _: Double | _: java.math.BigDecimal) =>
+            st.push(l.map(e => scalarOp(n1, e)))
+          case o => throw new IllegalArgumentException(
+            s"binary numeric word cannot operate on $o")
+        }
+      case g @ (_: GtsFrame | _: BucketedFrame | _: GtsBuilder) if inList =>
+        // fold the single series' values in tick order (the reference
+        // folds one GTS's value array)
+        val df = WordsGts.singleSeries(toFrame(g), "fold")
+        val rows = df.select(col("ts"), col("vlong"), col("vdouble"))
+          .collect().sortBy(_.getLong(0))
+          .map(r => if (!r.isNullAt(1)) (r.getLong(1): Any)
+                    else (r.getDouble(2): Any))
+        require(rows.nonEmpty, "cannot fold an empty GTS")
+        st.push(rows.reduceLeft(scalarOp))
+      case g @ (_: GtsFrame | _: BucketedFrame | _: GtsBuilder) =>
+        st.pop() match {
+          case n1 @ (_: Long | _: Double | _: java.math.BigDecimal) =>
+            st.push(gtsOp(g, n1, scalarLeft = true))
+          case o => throw new IllegalArgumentException(
+            s"binary numeric word cannot operate on $o")
+        }
+      case o => throw new IllegalArgumentException(
+        s"binary numeric word cannot operate on $o")
+    }
+  }
+
   private def evalWordDispatch(w: String, st: State): Unit = w match {
     case u if WarpScriptEngine.unaryOps.contains(u) =>
       unaryMathWord(st, WarpScriptEngine.unaryOps(u))
+    case u if WarpScriptEngine.binaryOps.contains(u) =>
+      binaryMathWord(st, WarpScriptEngine.binaryOps(u))
     // ---- structure: lists and maps (MemoryWarpScriptStack MARK/ENDLIST)
     case "[" => st.push(ListMark)
     case "]" =>
@@ -480,24 +618,11 @@ final class WarpScriptEngine(
       case (x: Long, y: Long) => st.push(x % y)
       case _ => throw new IllegalArgumentException("% expects longs")
     }
-    case "**" => val b = st.popNum(); val a = st.popNum(); st.push(math.pow(a, b))
     case "PI" => st.push(math.Pi)
     case "E" => st.push(math.E)
     // java.lang.Math BINARY tail (the unary family dispatches through
     // unaryMathWord above): ATAN2, HYPOT, IEEEREMAINDER, COPYSIGN,
     // NEXTAFTER, FLOORDIV, FLOORMOD
-    case "ATAN2" => val x = st.popNum(); val y = st.popNum(); st.push(math.atan2(y, x))
-    case "HYPOT" => val y = st.popNum(); val x = st.popNum(); st.push(math.hypot(x, y))
-    case "IEEEREMAINDER" => val y = st.popNum(); val x = st.popNum()
-      st.push(math.IEEEremainder(x, y))
-    case "COPYSIGN" => val sign = st.popNum(); val mag = st.popNum()
-      st.push(math.copySign(mag, sign))
-    case "NEXTAFTER" => val dir = st.popNum(); val start = st.popNum()
-      st.push(math.nextAfter(start, dir))
-    case "FLOORDIV" => val b = st.popLong(); val a = st.popLong()
-      st.push(Math.floorDiv(a, b))
-    case "FLOORMOD" => val b = st.popLong(); val a = st.popLong()
-      st.push(Math.floorMod(a, b))
     // TOGEOHASH (fn/TOGEOHASH.java lat/lon form): lat lon → max-
     // precision geohash text; GEOHASHTO decodes to the cell CENTER
     // (lat then lon — the reference's HHCode form is toHHCode)
@@ -516,8 +641,6 @@ final class WarpScriptEngine(
         math.cos(lat1 * toRad) * math.cos(lat2 * toRad) *
           math.pow(math.sin((lon2 - lon1) * toRad / 2), 2)
       st.push(2.0 * 6378137.0 * math.asin(math.sqrt(a)))
-    case "MIN" => binNum(st, math.min, math.min)
-    case "MAX" => binNum(st, math.max, math.max)
     case "TODOUBLE" => st.push(st.popNum())
     case "TOLONG" => st.push(st.popNum().toLong)
     case "TOSTRING" => st.push(String.valueOf(st.pop()))
@@ -850,6 +973,41 @@ object WarpScriptEngine {
       "TOINTEXACT" -> ((Some((l: Long) => Math.toIntExact(l).toLong),
         None, None)))
   }
+
+  /** NumericalBinaryFunction registrations (WarpScriptLib.java:
+    * 3032-3046): (longOp, doubleOp, applyOnSingleList). `**` on two
+    * LONGs is the reference's truncated (long) Math.pow; MIN/MAX and
+    * the EXACT arithmetic also FOLD a single list or a GTS's values
+    * (applyOnSingleList). */
+  private[script] val binaryOps: Map[String,
+      (Option[(Long, Long) => Long], Option[(Double, Double) => Double],
+        Boolean)] = Map(
+    "**" -> ((Some((a: Long, b: Long) => math.pow(a.toDouble, b.toDouble).toLong),
+      Some((a: Double, b: Double) => math.pow(a, b)), false)),
+    "MAX" -> ((Some((a: Long, b: Long) => math.max(a, b)),
+      Some((a: Double, b: Double) => math.max(a, b)), true)),
+    "MIN" -> ((Some((a: Long, b: Long) => math.min(a, b)),
+      Some((a: Double, b: Double) => math.min(a, b)), true)),
+    "COPYSIGN" -> ((None,
+      Some((a: Double, b: Double) => math.copySign(a, b)), false)),
+    "HYPOT" -> ((None,
+      Some((a: Double, b: Double) => math.hypot(a, b)), false)),
+    "IEEEREMAINDER" -> ((None,
+      Some((a: Double, b: Double) => math.IEEEremainder(a, b)), false)),
+    "NEXTAFTER" -> ((None,
+      Some((a: Double, b: Double) => math.nextAfter(a, b)), false)),
+    "ATAN2" -> ((None,
+      Some((a: Double, b: Double) => math.atan2(a, b)), false)),
+    "FLOORDIV" -> ((Some((a: Long, b: Long) => Math.floorDiv(a, b)),
+      None, false)),
+    "FLOORMOD" -> ((Some((a: Long, b: Long) => Math.floorMod(a, b)),
+      None, false)),
+    "ADDEXACT" -> ((Some((a: Long, b: Long) => Math.addExact(a, b)),
+      None, true)),
+    "SUBTRACTEXACT" -> ((Some((a: Long, b: Long) => Math.subtractExact(a, b)),
+      None, true)),
+    "MULTIPLYEXACT" -> ((Some((a: Long, b: Long) => Math.multiplyExact(a, b)),
+      None, true)))
 
   /** CALL subprogram pool, JVM-wide like the reference's static
     * subprograms map (fn/CALL.java:208): one long-lived process per

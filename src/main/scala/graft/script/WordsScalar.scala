@@ -125,9 +125,6 @@ private[script] object WordsScalar {
     w match {
       // ---- exact long arithmetic (fn/ADDEXACT.java family:
       // java.lang.Math exact ops, overflow throws)
-      case "ADDEXACT" => val b = st.popLong(); st.push(Math.addExact(st.popLong(), b))
-      case "SUBTRACTEXACT" => val b = st.popLong(); st.push(Math.subtractExact(st.popLong(), b))
-      case "MULTIPLYEXACT" => val b = st.popLong(); st.push(Math.multiplyExact(st.popLong(), b))
       case "DECREMENTEXACT" => st.push(Math.decrementExact(st.popLong()))
       case "NEGATEEXACT" => st.push(Math.negateExact(st.popLong()))
       case "TOINTEXACT" => st.push(Math.toIntExact(st.popLong()).toLong)

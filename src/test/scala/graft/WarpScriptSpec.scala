@@ -94,6 +94,44 @@ class WarpScriptSpec extends SparkSpec {
     // start+len to the size (fn/SUBSTRING.java + computeAndCheckIndex)
     assert(top("'abcdef' -2 SUBSTRING") == "ef")
     assert(top("'abcdef' 4 10 SUBSTRING") == "ef")
+  }
+
+  test("NumericalUnary/BinaryFunction type rules and list/fold faces (r12)") {
+    // FLOOR/CEIL/SIGNUM have no long op: LONG input yields a DOUBLE
+    assert(top("7 FLOOR") == 7.0)
+    assert(top("2.5 CEIL") == 3.0)
+    assert(top("-3 SIGNUM") == -1.0)
+    // ROUND: long-identity, Math.round (floor(x+0.5)) for doubles
+    assert(top("5 ROUND") == 5L)
+    assert(top("2.5 ROUND") == 3L)
+    assert(top("-2.5 ROUND") == -2L)
+    // ** on two LONGs is the truncated (long) Math.pow
+    assert(top("2 10 **") == 1024L)
+    assert(top("2.0 10 **") == 1024.0)
+    // a BigDecimal operand forces the double face (reference
+    // `instanceof BigDecimal` checks); long-only ops truncate it
+    assert(top("'2.5' TOBD 2 **") == 6.25)
+    assert(top("'2.5' TOBD ABS") == 2.5)
+    assert(top("7 '2.9' TOBD FLOORDIV") == 3L)
+    // applyOnSingleList folds: one list or one GTS reduces to a scalar
+    assert(top("[ 3 9 2 ] MAX") == 9L)
+    assert(top("[ 3 9.0 2 ] MIN") == 2.0)
+    assert(top("[ 1 2 3 4 ] ADDEXACT") == 10L)
+    // scalar-list elementwise keeps the reference's operand order
+    assert(top("[ 1 4 ] 2 **") == Vector(1L, 16L))
+    // unary words apply DIRECTLY to GTS operands, elementwise
+    val sEng = new WarpScriptEngine(
+      fetch = (_, _, _, _) => throw new UnsupportedOperationException,
+      nowTs = 42L, session = Some(spark))
+    val g = "{ 'c' 'm' 'l' { } 't' [ 1 2 ] 'v' [ 4.0 9.0 ] } MAKEGTS"
+    assert(sEng.runToFrame(s"$g SQRT").select("vdouble")
+      .collect().map(_.getDouble(0)).sorted.toSeq == Seq(2.0, 3.0))
+    // binary scalar x GTS: the scalar below the GTS is the LEFT operand
+    assert(sEng.runToFrame(s"100.0 $g ATAN2").select("vdouble")
+      .collect().map(_.getDouble(0)).sorted.toSeq ==
+      Seq(math.atan2(100.0, 4.0), math.atan2(100.0, 9.0)).sorted)
+    // GTS fold via applyOnSingleList
+    assert(sEng.run(s"$g MAX").head == 9.0)
     // faithful r12: label selector values carry their '='/'~' marker
     // (GTSHelper.parseLabelsSelectors:4149)
     assert(eng.run("'cpu{host=a,dc~b.*}' PARSESELECTOR") ==
