@@ -64,6 +64,20 @@ object WsQueries {
         GtsFrame(base).select(cls, labels).timeclip(start, stop),
       nowTs = LB, session = Some(s), meta = metaOpt)
   }
+
+  /** Materialize the shared persisted directory NOW (one tiny job):
+    * callers that fan FETCH faces out as concurrent jobs warm it first
+    * so the racing jobs reuse cached blocks instead of duplicating the
+    * full-events directory build. */
+  private[queries] def warmMeta(s: SparkSession, dir: String,
+      cents: Boolean): Unit = {
+    val base = if (cents) Gts.fromEventsCents(s, dir) else Gts.fromEvents(s, dir)
+    val key = s"${System.identityHashCode(s)}|$dir|$cents"
+    val df = metaCache.computeIfAbsent(key, _ => Gts.metaTable(base))
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df.count()
+  }
   private val queriesA: Map[String, (SparkSession, String) => DataFrame] = Map(
     // FETCH word (fn/FETCH.java list form, token ignored) ≡ g01
     "w01_ws_fetch" -> ((s, dir) => {
