@@ -121,11 +121,11 @@ object WsQueries6 {
           |  { 'c' 'fx' 'l' { 'user' 'c' } 't' [ 1 2 3 4 ] 'v' [ 7.0 7.0 7.0 7.0 ] } MAKEGTS ]"""
           .stripMargin
       // each face keeps its own engine program (the registry word must
-      // actually run), but the per-face distinct is hoisted: one
-      // distinct over the tagged union replaces 16 tiny shuffle
-      // stages (r11 — the per-leg distincts were ~2/3 of the row's
-      // 6.2 s isolated cost; tags are lit() columns so no leg pays a
-      // gtsid rehash)
+      // actually run), but the faces are INDEPENDENT fixture-sized
+      // jobs, so they run CONCURRENTLY and the dedup happens on the
+      // driver over ≤3 rows per face (r12 — the 16-branch union +
+      // distinct serialized ~16 tiny shuffle stages and owned most of
+      // the row's 5.3 s isolated cost; same pattern as w122)
       def fix(pred: String, tag: String) =
         e.runToFrame(s"[ $FIX [ ] $pred ] FILTER")
           .select(lit(tag).as("which"), col("class"), userid)
@@ -135,23 +135,32 @@ object WsQueries6 {
            |[ $FETCHALL [ ] { 'user' '3' 'dc' 'east' } filter.bylabelsattr ] FILTER"""
           .stripMargin)
         .select(lit("bylabelsattr").as("which"), col("class"), userid)
-      fix("50.0 filter.last.eq", "last_eq")
-        .unionByName(fix("30.0 filter.last.ge", "last_ge"))
-        .unionByName(fix("30.0 filter.last.le", "last_le"))
-        .unionByName(fix("30.0 filter.last.lt", "last_lt"))
-        .unionByName(fix("30.0 filter.last.ne", "last_ne"))
-        .unionByName(fix("7.0 filter.all.eq", "all_eq"))
-        .unionByName(fix("5.0 filter.all.gt", "all_gt"))
-        .unionByName(fix("30.0 filter.all.le", "all_le"))
-        .unionByName(fix("30.0 filter.all.lt", "all_lt"))
-        .unionByName(fix("30.0 filter.all.ne", "all_ne"))
-        .unionByName(fix("50.0 filter.any.ge", "any_ge"))
-        .unionByName(fix("29.0 filter.any.gt", "any_gt"))
-        .unionByName(fix("7.0 filter.any.le", "any_le"))
-        .unionByName(fix("7.0 filter.any.ne", "any_ne"))
-        .unionByName(fix("2 filter.bysize.gt", "bysize_gt"))
-        .unionByName(store)
-        .distinct()
+      val faces = Seq(
+        fix("50.0 filter.last.eq", "last_eq"),
+        fix("30.0 filter.last.ge", "last_ge"),
+        fix("30.0 filter.last.le", "last_le"),
+        fix("30.0 filter.last.lt", "last_lt"),
+        fix("30.0 filter.last.ne", "last_ne"),
+        fix("7.0 filter.all.eq", "all_eq"),
+        fix("5.0 filter.all.gt", "all_gt"),
+        fix("30.0 filter.all.le", "all_le"),
+        fix("30.0 filter.all.lt", "all_lt"),
+        fix("30.0 filter.all.ne", "all_ne"),
+        fix("50.0 filter.any.ge", "any_ge"),
+        fix("29.0 filter.any.gt", "any_gt"),
+        fix("7.0 filter.any.le", "any_le"),
+        fix("7.0 filter.any.ne", "any_ne"),
+        fix("2 filter.bysize.gt", "bysize_gt"),
+        store)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val collected = Await.result(Future.sequence(faces.map(f =>
+        Future(f.collect().toSeq.map(r =>
+          (r.getString(0), r.getString(1), r.getString(2)))))), Duration.Inf)
+      import s.implicits._
+      collected.flatten.distinct.toDF("which", "class", "userid")
     }),
 
     // join faces (aggregator/Join.java): bucketizer.join reads its
