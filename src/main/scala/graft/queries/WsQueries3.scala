@@ -90,8 +90,8 @@ object WsQueries3 {
     "w89_ws_update_delete" -> ((s, dir) => {
       val e = engine(s, dir, cents = false)
       val prog =
-        """{ 'c' 'session.metric' 'l' { 'src' 'w89' }
-          |  't' [ 1000 2000 3000 4000 ] 'v' [ 1.0 2.0 3.0 4.0 ] } MAKEGTS UPDATE
+        """[ 1000 2000 3000 4000 ] [ ] [ ] [ ] [ 1.0 2.0 3.0 4.0 ] MAKEGTS
+          |'session.metric' RENAME { 'src' 'w89' } RELABEL UPDATE
           |'tok' 'session.metric{}' 1500 2500 DELETE DROP
           |[ '' 'session.metric' { } 100000 100001 ] FETCH
           |DUP SIZE 'n' STORE TICKLIST ',' JOIN

@@ -287,9 +287,9 @@ object WsQueries5 {
     "w114_ws_latencies_word" -> ((s, dir) => {
       val e = engine(s, dir, cents = false)
       val prog =
-        """{ 'c' 'up' 'l' { } 't' [ 1000 2000 3000 4000 ] 'v' [ 11 22 33 44 ] } MAKEGTS 'u' STORE
-          |{ 'c' 'd1' 'l' { } 't' [ 1100 2600 3050 ] 'v' [ 11 22 33 ] } MAKEGTS 'a' STORE
-          |{ 'c' 'd2' 'l' { } 't' [ 1200 4100 9000 ] 'v' [ 11 44 44 ] } MAKEGTS 'b' STORE
+        """[ 1000 2000 3000 4000 ] [ ] [ ] [ ] [ 11 22 33 44 ] MAKEGTS 'up' RENAME 'u' STORE
+          |[ 1100 2600 3050 ] [ ] [ ] [ ] [ 11 22 33 ] MAKEGTS 'd1' RENAME 'a' STORE
+          |[ 1200 4100 9000 ] [ ] [ ] [ ] [ 11 44 44 ] MAKEGTS 'd2' RENAME 'b' STORE
           |[ [ $u ] [ $a ] [ $b ] [ ]
           |  0 1000
           |  [ 'uplink.latency.min' 'uplink.latency.max' 'downlinks.totalmatches'

@@ -116,9 +116,9 @@ object WsQueries6 {
     "w125_ws_filter_faces" -> ((s, dir) => {
       val e = engine(s, dir, cents = false)
       val FIX =
-        """[ { 'c' 'fx' 'l' { 'user' 'a' } 't' [ 1 2 3 ] 'v' [ 7.0 7.0 50.0 ] } MAKEGTS
-          |  { 'c' 'fx' 'l' { 'user' 'b' } 't' [ 1 2 ] 'v' [ 30.0 30.0 ] } MAKEGTS
-          |  { 'c' 'fx' 'l' { 'user' 'c' } 't' [ 1 2 3 4 ] 'v' [ 7.0 7.0 7.0 7.0 ] } MAKEGTS ]"""
+        """[ [ 1 2 3 ] [ ] [ ] [ ] [ 7.0 7.0 50.0 ] MAKEGTS 'fx' RENAME { 'user' 'a' } RELABEL
+          |  [ 1 2 ] [ ] [ ] [ ] [ 30.0 30.0 ] MAKEGTS 'fx' RENAME { 'user' 'b' } RELABEL
+          |  [ 1 2 3 4 ] [ ] [ ] [ ] [ 7.0 7.0 7.0 7.0 ] MAKEGTS 'fx' RENAME { 'user' 'c' } RELABEL ]"""
           .stripMargin
       // each face keeps its own engine program (the registry word must
       // actually run), but the faces are INDEPENDENT fixture-sized
@@ -231,9 +231,11 @@ object WsQueries6 {
     // and round(,6) sits ~0.5 grid-units from every boundary
     "w128_ws_circular_window" -> ((s, dir) => {
       val e = engine(s, dir, cents = false)
-      val M1 = "{ 'c' 'm1' 'l' { } 't' [ 1 2 3 4 ] 'v' [ 10.0 20.0 30.0 50.0 ] } MAKEGTS"
-      val RA = "{ 'c' 'ra' 'l' { 'user' 'a' } 't' [ 1 2 3 4 ] 'v' [ 10.0 30.0 20.0 30.0 ] } MAKEGTS"
-      val RB = "{ 'c' 'rb' 'l' { 'user' 'b' } 't' [ 1 2 3 ] 'v' [ 20.0 40.0 40.0 ] } MAKEGTS"
+      val M1 = "[ 1 2 3 4 ] [ ] [ ] [ ] [ 10.0 20.0 30.0 50.0 ] MAKEGTS 'm1' RENAME"
+      val RA = "[ 1 2 3 4 ] [ ] [ ] [ ] [ 10.0 30.0 20.0 30.0 ] MAKEGTS " +
+        "'ra' RENAME { 'user' 'a' } RELABEL"
+      val RB = "[ 1 2 3 ] [ ] [ ] [ ] [ 20.0 40.0 40.0 ] MAKEGTS " +
+        "'rb' RENAME { 'user' 'b' } RELABEL"
       val win = e.runToFrame(
           s"[ $M1 100.0 mapper.mean.circular 1 0 0 ] MAP")
         .select(lit("window").as("which"), col("ts"),
@@ -378,10 +380,10 @@ object WsQueries6 {
     // deterministic.
     "w133_ws_lttb_words" -> ((s, dir) => {
       val e = engine(s, dir, cents = false)
-      val L = "{ 'c' 'fx' 'l' { } 't' [ 0 1 2 3 4 5 6 7 8 9 ] " +
-        "'v' [ 0.0 10.0 0.0 0.0 50.0 0.0 0.0 20.0 0.0 5.0 ] } MAKEGTS"
-      val T = "{ 'c' 'fx' 'l' { } 't' [ 0 1 2 3 10 11 12 13 ] " +
-        "'v' [ 0.0 5.0 1.0 1.0 9.0 2.0 2.0 7.0 ] } MAKEGTS"
+      val L = "[ 0 1 2 3 4 5 6 7 8 9 ] [ ] [ ] [ ] " +
+        "[ 0.0 10.0 0.0 0.0 50.0 0.0 0.0 20.0 0.0 5.0 ] MAKEGTS 'fx' RENAME"
+      val T = "[ 0 1 2 3 10 11 12 13 ] [ ] [ ] [ ] " +
+        "[ 0.0 5.0 1.0 1.0 9.0 2.0 2.0 7.0 ] MAKEGTS 'fx' RENAME"
       e.runToFrame(s"$L 5 LTTB")
         .select(lit("lttb").as("which"), col("ts"),
           col("vdouble").cast("long").as("v"))

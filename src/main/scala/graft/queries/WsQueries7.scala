@@ -79,14 +79,14 @@ object WsQueries7 {
     // genuinely constrains the path (second fixture: w2 18 vs full 17)
     "w139_ws_dtw_words" -> ((s, dir) => {
       val program =
-        s"""{ 'c' 'fa' 'l' { } 't' [ 0 1 2 3 4 5 6 7 ]
-           |  'v' [ 3.0 1.0 4.0 1.0 5.0 9.0 2.0 6.0 ] } MAKEGTS 'a' STORE
-           |{ 'c' 'fb' 'l' { } 't' [ 0 1 2 3 4 5 ]
-           |  'v' [ 2.0 8.0 1.0 7.0 3.0 4.0 ] } MAKEGTS 'b' STORE
-           |{ 'c' 'fa2' 'l' { } 't' [ 0 1 2 3 4 5 6 7 ]
-           |  'v' [ 5.0 2.0 6.0 0.0 1.0 8.0 1.0 5.0 ] } MAKEGTS 'a2' STORE
-           |{ 'c' 'fb2' 'l' { } 't' [ 0 1 2 3 4 5 ]
-           |  'v' [ 9.0 0.0 8.0 3.0 0.0 1.0 ] } MAKEGTS 'b2' STORE
+        s"""[ 0 1 2 3 4 5 6 7 ] [ ] [ ] [ ]
+           |  [ 3.0 1.0 4.0 1.0 5.0 9.0 2.0 6.0 ] MAKEGTS 'fa' RENAME 'a' STORE
+           |[ 0 1 2 3 4 5 ] [ ] [ ] [ ]
+           |  [ 2.0 8.0 1.0 7.0 3.0 4.0 ] MAKEGTS 'fb' RENAME 'b' STORE
+           |[ 0 1 2 3 4 5 6 7 ] [ ] [ ] [ ]
+           |  [ 5.0 2.0 6.0 0.0 1.0 8.0 1.0 5.0 ] MAKEGTS 'fa2' RENAME 'a2' STORE
+           |[ 0 1 2 3 4 5 ] [ ] [ ] [ ]
+           |  [ 9.0 0.0 8.0 3.0 0.0 1.0 ] MAKEGTS 'fb2' RENAME 'b2' STORE
            |$$a $$b 0 RAWDTW
            |$$a $$b 0 'squaredeuclidean' 'values' RAWDTW
            |$$a $$b 11.5 RAWDTW
@@ -136,8 +136,8 @@ object WsQueries7 {
            |5// m.b{} 200
            |'>
            |PARSE MODE
-           |{ 'c' 'm.c' 'l' { } 't' [ 1 2 3 ]
-           |  'v' [ 4.0 4.0 9.0 ] } MAKEGTS MODE""".stripMargin)
+           |[ 1 2 3 ] [ ] [ ] [ ]
+           |  [ 4.0 4.0 9.0 ] MAKEGTS 'm.c' RENAME MODE""".stripMargin)
       def modeRows(which: String, m: Any): Seq[(String, Long, Double)] =
         m.asInstanceOf[Vector[Any]].zipWithIndex.map { case (x, i) =>
           (which, i.toLong, x match {
@@ -149,8 +149,8 @@ object WsQueries7 {
       val modes = (modeRows("m1", v(2)) ++ modeRows("m2", v(1)) ++
         modeRows("m3", v(0))).toDF("which", "i", "v")
       val clip = e.runToFrame(
-        s"""{ 'c' 'cf' 'l' { } 't' [ 1 2 3 4 5 ]
-           |  'v' [ 10.0 20.0 30.0 40.0 50.0 ] } MAKEGTS
+        s"""[ 1 2 3 4 5 ] [ ] [ ] [ ]
+           |  [ 10.0 20.0 30.0 40.0 50.0 ] MAKEGTS 'cf' RENAME
            |[ [ 2 4 ] [ 4 2 ] [ 5 5 ] ] CLIP""".stripMargin)
         .select(lit("clip").as("which"), col("ts").as("i"),
           col("vdouble").as("v"))
@@ -176,6 +176,42 @@ object WsQueries7 {
         .unionByName(face("FLOOR", "floor", fromLong = false))
         .unionByName(face("ROUND", "round", fromLong = true))
         .unionByName(face("ABS", "abs", fromLong = false))
+    }),
+
+    // the binary operator family's GTS faces (binary/ADD.java, SUB,
+    // MUL, ComparisonOperation, BitwiseOperation — r12): two
+    // single-series daily-bucketized frames drive GTS×GTS `+` (inner
+    // tick join, metadata-free result, merged bucketization), scalar
+    // `*` and scalar-LEFT `-` (elementwise, metadata kept), the `<`
+    // comparison FILTER (keeps gts1's points where it holds), and the
+    // LONG-GTS `&` mask after a mapper.tolong cast. All values are
+    // exact integer cents, so every face hashes as BIGINT.
+    "w142_ws_binary_gts" -> ((s, dir) => {
+      val e = engine(s, dir, cents = true, withMeta = false)
+      val DAYx = GtsQueries.DAY
+      def bkt(cls: String) =
+        s"""[ [ '' 'events.$cls' { 'user' '1' } $LB ${LB + 1} ] FETCH
+           |  bucketizer.sum $LB $DAYx 0 ] BUCKETIZE""".stripMargin
+      val prog =
+        s"""${bkt("click")} 'c' STORE
+           |${bkt("view")} 'v' STORE
+           |$$c $$v +
+           |$$c 2 *
+           |10000000 $$c -
+           |$$c $$v <
+           |[ 1 2 3 4 5 ] [ ] [ ] [ ] [ 1023 512 255 170 85 ] MAKEGTS 240 &
+           |[ 1 2 3 ] [ ] [ ] [ ] [ 12 10 6 ] MAKEGTS
+           |[ 2 3 4 ] [ ] [ ] [ ] [ 10 5 1 ] MAKEGTS ^""".stripMargin
+      val out = e.run(prog)
+      def frame(x: Any, tag: String, long: Boolean) =
+        e.frameOf(x).select(lit(tag).as("which"), col("ts"),
+          (if (long) col("vlong") else col("vdouble").cast("long")).as("v"))
+      frame(out(5), "sum", long = false)
+        .unionByName(frame(out(4), "scale", long = false))
+        .unionByName(frame(out(3), "sub", long = false))
+        .unionByName(frame(out(2), "lt", long = false))
+        .unionByName(frame(out(1), "mask", long = true))
+        .unionByName(frame(out(0), "xor", long = true))
     })
   )
 
@@ -430,6 +466,40 @@ object WsQueries7 {
          |SELECT 'round', class, userid, ts,
          |  CAST(CAST(floor(vdouble + 0.5) AS BIGINT) AS DOUBLE) FROM g
          |UNION ALL
-         |SELECT 'abs', class, userid, ts, abs(vdouble) FROM g""".stripMargin
+         |SELECT 'abs', class, userid, ts, abs(vdouble) FROM g""".stripMargin,
+
+    // daily end-anchored bucket sums of user 1's clicks/views; the
+    // GTS faces replay as: inner ts join (+ and the < filter), plain
+    // column arithmetic (scalar * and scalar-left -), and a bitwise
+    // mask on the BIGINT cents. All sums are exact integer cents.
+    "w142_ws_binary_gts" -> {
+      val DAYx = GtsQueries.DAY
+      s"""WITH g AS ($EV),
+         |c AS (SELECT $LB - (($LB - ts) // $DAYx) * $DAYx AS ts,
+         |        sum(cents) AS v
+         |      FROM g WHERE class = 'events.click' AND userid = '1'
+         |        AND ts <= $LB GROUP BY 1),
+         |w AS (SELECT $LB - (($LB - ts) // $DAYx) * $DAYx AS ts,
+         |        sum(cents) AS v
+         |      FROM g WHERE class = 'events.view' AND userid = '1'
+         |        AND ts <= $LB GROUP BY 1)
+         |SELECT 'sum' AS which, c.ts, CAST(c.v + w.v AS BIGINT) AS v
+         |FROM c JOIN w USING (ts)
+         |UNION ALL
+         |SELECT 'scale', ts, CAST(2 * v AS BIGINT) FROM c
+         |UNION ALL
+         |SELECT 'sub', ts, CAST(10000000 - v AS BIGINT) FROM c
+         |UNION ALL
+         |SELECT 'lt', c.ts, CAST(c.v AS BIGINT)
+         |FROM c JOIN w USING (ts) WHERE c.v < w.v
+         |UNION ALL
+         |SELECT 'mask', ts, v & 240 FROM (VALUES
+         |  (CAST(1 AS BIGINT), CAST(1023 AS BIGINT)), (2, 512), (3, 255),
+         |  (4, 170), (5, 85)) AS m(ts, v)
+         |UNION ALL
+         |SELECT 'xor', ts, v FROM (VALUES
+         |  (CAST(2 AS BIGINT), CAST(0 AS BIGINT)), (3, 3)) AS x(ts, v)"""
+        .stripMargin
+    }
   )
 }

@@ -99,6 +99,10 @@ final class WarpScriptEngine(
     toFrame(run(program).headOption.getOrElse(
       throw new IllegalStateException("empty stack after program"))).df
 
+  /** Public face of [[toFrame]] for callers that keep several frames
+    * on the stack (items of a run() result). */
+  def frameOf(v: Any): DataFrame = toFrame(v).df
+
   // ---------------------------------------------------------------- core
 
   /** (gtsid → class, labels) side table for kernel words that return
@@ -605,19 +609,11 @@ final class WarpScriptEngine(
     // DEFINED (fn/DEFINED.java): symbol-table membership
     case "DEFINED" => st.push(st.symbols.contains(st.popStr()))
 
-    // ---- scalar arithmetic (fn/ADD.java promotion: long+long stays
-    // long; matrix/vector overloads like the binary op matrix forms)
-    case "+" =>
-      if (!matBin(st, "+")) binNum(st, _ + _, _ + _, Some(_ + _))
-    case "-" =>
-      if (!matBin(st, "-")) binNum(st, _ - _, _ - _)
-    case "*" =>
-      if (!matBin(st, "*")) binNum(st, _ * _, _ * _)
-    case "/" => binNum(st, _ / _, _ / _) // long/long stays long (binary/DIV.java:71)
-    case "%" => val b = st.pop(); val a = st.pop(); (a, b) match {
-      case (x: Long, y: Long) => st.push(x % y)
-      case _ => throw new IllegalArgumentException("% expects longs")
-    }
+    // ---- the binary operator family (binary/ADD.java, SUB, MUL,
+    // DIV, MOD): every face — BigDecimal-exact numbers, ADD's
+    // list/set/macro appends, matrix/vector forms, GTS×GTS tick
+    // joins, GTS×scalar — lives in WordsBinaryOps
+    case "+" | "-" | "*" | "/" | "%" => WordsBinaryOps.arith(w, st, this)
     case "PI" => st.push(math.Pi)
     case "E" => st.push(math.E)
     // java.lang.Math BINARY tail (the unary family dispatches through
@@ -702,47 +698,6 @@ final class WarpScriptEngine(
   }
 
   // ---------------------------------------------------------------- helpers
-
-  /** Matrix/vector overloads of + - * (reference binary ADD/SUB/MUL
-    * RealMatrix/RealVector branches); false = not a matrix operand,
-    * caller falls through to scalar arithmetic. */
-  private def matBin(st: State, op: String): Boolean = {
-    import WordsColl.{WsMat, WsVec}
-    val isMatV = st.stack.length >= 2 &&
-      (st.stack(0).isInstanceOf[WsMat] || st.stack(0).isInstanceOf[WsVec] ||
-        st.stack(1).isInstanceOf[WsMat] || st.stack(1).isInstanceOf[WsVec])
-    if (!isMatV) return false
-    val b = st.pop(); val a = st.pop()
-    def ew(x: Array[Double], y: Array[Double], f: (Double, Double) => Double) = {
-      require(x.length == y.length, s"dimension mismatch: ${x.length} vs ${y.length}")
-      Array.tabulate(x.length)(i => f(x(i), y(i)))
-    }
-    val out: Any = (a, b, op) match {
-      case (WsMat(x), WsMat(y), "+") => WsMat(x.zip(y).map { case (r, s) => ew(r, s, _ + _) })
-      case (WsMat(x), WsMat(y), "-") => WsMat(x.zip(y).map { case (r, s) => ew(r, s, _ - _) })
-      case (WsMat(x), WsMat(y), "*") => // matrix product
-        val k = y.length
-        require(x(0).length == k, s"inner dimension mismatch: ${x(0).length} vs $k")
-        WsMat(Array.tabulate(x.length, y(0).length)((i, j) =>
-          (0 until k).map(t => x(i)(t) * y(t)(j)).sum))
-      case (WsMat(x), WsVec(v), "*") =>
-        WsVec(x.map(row => ew(row, v, _ * _).sum))
-      case (WsVec(x), WsVec(y), "+") => WsVec(ew(x, y, _ + _))
-      case (WsVec(x), WsVec(y), "-") => WsVec(ew(x, y, _ - _))
-      case (WsVec(x), WsVec(y), "*") => ew(x, y, _ * _).sum // dot product
-      case (WsMat(x), k: Long, "*") => WsMat(x.map(_.map(_ * k)))
-      case (WsMat(x), k: Double, "*") => WsMat(x.map(_.map(_ * k)))
-      case (WsVec(x), k: Long, "*") => WsVec(x.map(_ * k))
-      case (WsVec(x), k: Double, "*") => WsVec(x.map(_ * k))
-      case (k: Long, WsMat(x), "*") => WsMat(x.map(_.map(_ * k)))
-      case (k: Double, WsMat(x), "*") => WsMat(x.map(_.map(_ * k)))
-      case (k: Long, WsVec(x), "*") => WsVec(x.map(_ * k))
-      case (k: Double, WsVec(x), "*") => WsVec(x.map(_ * k))
-      case _ => throw new IllegalArgumentException(s"$op on $a, $b")
-    }
-    st.push(out)
-    true
-  }
 
   private[script] def binNum(st: State, fl: (Long, Long) => Long, fd: (Double, Double) => Double,
                      fs: Option[(String, String) => String] = None): Unit = {

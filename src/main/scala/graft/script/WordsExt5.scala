@@ -140,21 +140,12 @@ private[script] object WordsExt5 {
   // scalastyle:off cyclomatic.complexity method.length
   def eval(w: String, st: State, en: WarpScriptEngine): Boolean = {
     w match {
-      // ---- bitwise (binary/BitwiseAND.java, BitwiseOR, BitwiseXOR:
-      // LONG operands; unary/COMPLEMENT.java)
-      case "&" | "|" | "^" =>
-        val b = st.popLong(); val a = st.popLong()
-        st.push(w match {
-          case "&" => a & b
-          case "|" => a | b
-          case _   => a ^ b
-        })
+      // ---- bitwise + shifts (binary/BitwiseOperation.java incl.
+      // SHIFTLEFT/SHIFTRIGHT — LONGs, BIGDECIMAL combos, LONG GTS
+      // faces); `~` is unary/COMPLEMENT.java, LONG only
+      case "&" | "|" | "^" | "<<" | ">>" | ">>>" =>
+        WordsBinaryOps.bitwise(w, st, en)
       case "~" => st.push(~st.popLong())
-      // shifts (binary/SHIFTLEFT.java, SHIFTRIGHT.java: >> arithmetic,
-      // >>> logical)
-      case "<<" => val n = st.popLong(); st.push(st.popLong() << n)
-      case ">>" => val n = st.popLong(); st.push(st.popLong() >> n)
-      case ">>>" => val n = st.popLong(); st.push(st.popLong() >>> n)
 
       // ---- ALMOSTEQ (fn/ALMOSTEQ.java): a b lambda ~= -> |a-b| <= |lambda|;
       // NaN ~= NaN is true

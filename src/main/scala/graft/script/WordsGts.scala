@@ -413,19 +413,39 @@ private[script] object WordsGts {
             (k: Any) -> (subFrame(ids.map(_._2)): Any)
           }.toMap)
 
-      // ---- construction (fn/MAKEGTS.java: { 'c' class 'l' labels
-      // 't' [ticks] 'v' [values] } → GTS; fn/PARSE.java: GTS input
+      // ---- construction (fn/MAKEGTS.java: `[ticks] [lats] [lons]
+      // [elevs] [values] MAKEGTS`, r12 faithful form — len is the MAX
+      // list size, a short values/elevations list pads with its LAST
+      // element / no-elevation, geo only while BOTH lat and lon lists
+      // reach i, a missing tick auto-increments from the last explicit
+      // one (starting at 0), value TYPES are preserved, and the result
+      // carries an EMPTY name and no labels; fn/PARSE.java: GTS input
       // format text → frame via the LineProtocol grammar)
       case "MAKEGTS" =>
-        val m = st.pop().asInstanceOf[Map[Any, Any]]
-        val cls = m.get("c").map(_.toString).getOrElse("")
-        val labels = m.get("l").map(_.asInstanceOf[Map[Any, Any]]
-          .map { case (k, v) => k.toString -> v.toString }).getOrElse(Map.empty)
-        val ticks = m("t").asInstanceOf[Vector[Any]].map(en.asLong)
-        val values = m("v").asInstanceOf[Vector[Any]].map(en.asNum)
-        require(ticks.size == values.size, "MAKEGTS: ticks and values differ in size")
-        st.push(GtsBuilder(cls, labels,
-          ticks.zip(values).map { case (t, v) => (t, None, None, v) }))
+        def lst(what: String): Vector[Any] = st.pop() match {
+          case v: Vector[Any @unchecked] => v
+          case o => throw new IllegalArgumentException(
+            s"MAKEGTS expects a list of $what, got $o")
+        }
+        val values = lst("values")
+        val elevs = lst("elevations")
+        val lons = lst("longitudes")
+        val lats = lst("latitudes")
+        val ticks = lst("ticks")
+        val len = Seq(values, elevs, lons, lats, ticks).map(_.size).max
+        require(len == 0 || values.nonEmpty,
+          "MAKEGTS needs at least one value")
+        var lasttick = -1L
+        val pts = (0 until len).toVector.map { i =>
+          val v = if (i < values.size) values(i) else values.last
+          val e = if (i < elevs.size) Some(en.asLong(elevs(i))) else None
+          val loc = if (i < lats.size && i < lons.size)
+            Some((en.asNum(lats(i)), en.asNum(lons(i)))) else None
+          val t = if (i < ticks.size) { lasttick = en.asLong(ticks(i)); lasttick }
+                  else { lasttick += 1; lasttick }
+          (t, loc, e, v)
+        }
+        st.push(GtsBuilder("", Map.empty, pts))
       case "PARSE" =>
         val text = st.popStr()
         val spark = en.sparkSessionOpt.getOrElse(

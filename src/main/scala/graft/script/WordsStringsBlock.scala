@@ -244,16 +244,14 @@ private[script] trait WordsStringsBlock { this: WarpScriptEngine =>
           "PARSESELECTOR could not parse input.")
       }
 
-    // ---- comparison / boolean (fn/EQ.java family)
-    case "==" => val b = st.pop(); val a = st.pop(); st.push(numEq(a, b))
-    case "!=" => val b = st.pop(); val a = st.pop(); st.push(!numEq(a, b))
-    case "<" => cmp(st, _ < 0)
-    case ">" => cmp(st, _ > 0)
-    case "<=" => cmp(st, _ <= 0)
-    case ">=" => cmp(st, _ >= 0)
-    case "AND" | "&&" => val b = st.pop(); val a = st.pop(); st.push(bool(a) && bool(b))
-    case "OR" | "||" => val b = st.pop(); val a = st.pop(); st.push(bool(a) || bool(b))
-    case "NOT" | "!" => st.push(!bool(st.pop()))
+    // ---- comparison / boolean (binary/ComparisonOperation.java,
+    // EQ/NE, CondShortCircuit — full faces incl. exact EQ.compare,
+    // NaN flags, GTS filter semantics, list short-circuit)
+    case "==" | "!=" => WordsBinaryOps.equality(w, st, this)
+    case "<" | ">" | "<=" | ">=" => WordsBinaryOps.comparison(w, st, this)
+    case "AND" | "&&" | "OR" | "||" =>
+      WordsBinaryOps.condShortCircuit(w, st, this)
+    case "NOT" | "!" => WordsBinaryOps.booleanNot(st, this)
     case "ISNULL" => st.push(st.pop() == null)
     case "NULL" => st.push(null)
     case "NaN" => st.push(Double.NaN) // fn/NaN.java (WarpScriptLib.java:1226)

@@ -123,7 +123,7 @@ class WarpScriptSpec extends SparkSpec {
     val sEng = new WarpScriptEngine(
       fetch = (_, _, _, _) => throw new UnsupportedOperationException,
       nowTs = 42L, session = Some(spark))
-    val g = "{ 'c' 'm' 'l' { } 't' [ 1 2 ] 'v' [ 4.0 9.0 ] } MAKEGTS"
+    val g = "[ 1 2 ] [ ] [ ] [ ] [ 4.0 9.0 ] MAKEGTS 'm' RENAME"
     assert(sEng.runToFrame(s"$g SQRT").select("vdouble")
       .collect().map(_.getDouble(0)).sorted.toSeq == Seq(2.0, 3.0))
     // binary scalar x GTS: the scalar below the GTS is the LEFT operand
@@ -137,9 +137,115 @@ class WarpScriptSpec extends SparkSpec {
     assert(eng.run("'cpu{host=a,dc~b.*}' PARSESELECTOR") ==
       List(Map("host" -> "=a", "dc" -> "~b.*"), "cpu"))
     // TOSELECTOR operates on a GTS (fn/TOSELECTOR.java); an empty
-    // label value renders '~$', spaces render %20
-    assert(top("{ 'c' 'cpu u' 'l' { 'host' 'a' 'dc' '' } 't' [ 1 ] " +
-      "'v' [ 1.0 ] } MAKEGTS TOSELECTOR") == "cpu%20u{dc~$,host=a}")
+    // label value renders '~$', spaces render %20 (the empty-valued
+    // label comes in through the line protocol — RELABEL faithfully
+    // REMOVES empty values, so MAKEGTS+RELABEL cannot build one)
+    val pEng = new WarpScriptEngine(
+      fetch = (_, _, _, _) => throw new UnsupportedOperationException,
+      nowTs = 42L, session = Some(spark))
+    assert(pEng.run("<'\n1000// cpu%20u{host=a,dc=} 1.0\n'>\nPARSE TOSELECTOR")
+      .head == "cpu%20u{dc~$,host=a}")
+  }
+
+  test("binary operator faces: BigDecimal, collections, GTS (r12)") {
+    // BigDecimal-exact arithmetic on either operand (ADD.java:77-79)
+    assert(top("'0.1' TOBD '0.2' TOBD +").toString == "0.3")
+    assert(top("'2.5' TOBD 2 *").toString == "5.0")
+    assert(top("7.5 '2' TOBD %").toString == "1.5")
+    // MOD doubles face (MOD.java:47) — the old word was longs-only
+    assert(top("7.5 2.0 %") == 1.5)
+    // list/set append faces: the TOP operand is appended WHOLE
+    assert(top("[ 1 2 ] 3 +") == Vector(1L, 2L, 3L))
+    assert(top("[ 1 2 ] [ 3 4 ] +") == Vector(1L, 2L, Vector(3L, 4L)))
+    // macro concatenation
+    assert(eng.run("<% 1 %> <% 2 + %> + EVAL") == List(3L))
+    // bitwise BigDecimal faces go through exact BigIntegers
+    assert(top("'12' TOBD 10 &").toString == "8")
+    assert(top("1 '10' TOBD <<").toString == "1024")
+    // GTS faces need a session-backed engine
+    val sEng = new WarpScriptEngine(
+      fetch = (_, _, _, _) => throw new UnsupportedOperationException,
+      nowTs = 42L, session = Some(spark))
+    // 5-list MAKEGTS preserves LONG values (the reference's setValue
+    // keeps the raw type)
+    val gA = "[ 1 2 3 ] [ ] [ ] [ ] [ 10 20 30 ] MAKEGTS 'a' RENAME"
+    val gB = "[ 2 3 4 ] [ ] [ ] [ ] [ 5 6 7 ] MAKEGTS 'b' RENAME"
+    // GTS×GTS: common ticks only, LONG iff both LONG, NO metadata
+    val sum = sEng.runToFrame(s"$gA $gB +")
+    assert(sum.select("ts", "vlong").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((2L, 25L), (3L, 36L)))
+    assert(sum.select("class").head().getString(0) == "")
+    // GTS×scalar keeps metadata; scalar below is the LEFT operand
+    val sc = sEng.runToFrame(s"100 $gA -")
+    assert(sc.select("class").head().getString(0) == "a")
+    assert(sc.select("ts", "vlong").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((1L, 90L), (2L, 80L), (3L, 70L)))
+    // double promotion when either side is DOUBLE
+    assert(sEng.runToFrame(s"$gA 2.0 /").select("vdouble").collect()
+      .map(_.getDouble(0)).sorted.toSeq == Seq(5.0, 10.0, 15.0))
+    // ADD string face concatenates in stack order
+    assert(sEng.runToFrame(s"$gA '!' +").select("vstring").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("10!", "20!", "30!"))
+    // bitwise GTS faces: LONG gts below, mask on top; GTS×GTS join
+    assert(sEng.runToFrame(s"$gA 6 &").select("vlong").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(2L, 4L, 6L))
+    assert(sEng.runToFrame(s"$gA $gB ^").select("ts", "vlong").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((2L, 20L ^ 5L), (3L, 30L ^ 6L)))
+  }
+
+  test("comparison operator faces: NaN flags, exact compare, GTS filters (r12)") {
+    // NaN flag semantics (EQ (false,true), NE (true,false), LE/GE
+    // (false,true), LT/GT (false,false))
+    assert(top("NaN NaN ==") == true)
+    assert(top("NaN NaN <=") == true)
+    assert(top("NaN NaN <") == false)
+    assert(top("0.0 NaN !=") == true)
+    assert(top("0.0 NaN ==") == false)
+    assert(top("NaN NaN !=") == false)
+    // exact EQ.compare: mixed long/double pairs go through EXACT
+    // BigDecimals — big longs never lose precision
+    assert(top("10 10.0 ==") == true)
+    assert(top("10 10.0 >=") == true)
+    assert(top("10000000000000001 1.0E16 ==") == false)
+    assert(top("10000000000000001 1.0E16 >") == true)
+    // strings compare lexicographically; byte arrays unsigned
+    assert(top("'abc' 'abd' <") == true)
+    assert(top("'ff' HEX-> '01' HEX-> >") == true)
+    // equals fallback for lists/maps/booleans
+    assert(top("[ 1 2 ] [ 1 2 ] ==") == true)
+    assert(top("true false !=") == true)
+    // GTS comparisons are FILTERS keeping the holding points
+    val sEng = new WarpScriptEngine(
+      fetch = (_, _, _, _) => throw new UnsupportedOperationException,
+      nowTs = 42L, session = Some(spark))
+    val gA = "[ 1 2 3 ] [ ] [ ] [ ] [ 10 20 30 ] MAKEGTS 'a' RENAME"
+    val gB = "[ 1 2 3 ] [ ] [ ] [ ] [ 15 20 25 ] MAKEGTS 'b' RENAME"
+    assert(sEng.runToFrame(s"$gA $gB <").select("ts", "vlong").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == Seq((1L, 10L)))
+    // GTS vs scalar keeps metadata; scalar BELOW flips the order
+    val gt20 = sEng.runToFrame(s"$gA 20 >=")
+    assert(gt20.select("class").head().getString(0) == "a")
+    assert(gt20.select("vlong").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(20L, 30L))
+    assert(sEng.runToFrame(s"25 $gA <").select("vlong").collect()
+      .map(_.getLong(0)).toSeq == Seq(30L))
+    // AND/OR list short-circuit with macros
+    assert(top("[ true <% false %> ] AND") == false)
+    assert(top("[ false <% true %> false ] OR") == true)
+    assert(top("true true AND") == true)
+    // NOT negates a BOOLEAN GTS in place (unary/NOT.java GTS face);
+    // AND/OR tick-join two boolean GTS
+    val boolG = "[ 1 2 ] [ ] [ ] [ ] [ true false ] MAKEGTS"
+    val boolH = "[ 1 2 ] [ ] [ ] [ ] [ true true ] MAKEGTS"
+    assert(sEng.runToFrame(s"$boolG !").select("ts", "vbool").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).sorted.toSeq ==
+      Seq((1L, false), (2L, true)))
+    assert(sEng.runToFrame(s"$boolG $boolH AND").select("ts", "vbool")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).sorted.toSeq ==
+      Seq((1L, true), (2L, false)))
   }
 
   test("NEWGTS/ADDVALUE builds a series from literals, frame words consume it") {

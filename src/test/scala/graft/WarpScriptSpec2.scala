@@ -217,10 +217,13 @@ class WarpScriptSpec2 extends SparkSpec {
     // inverse times original = identity
     assert(top("""[ [ 4.0 7.0 ] [ 2.0 6.0 ] ] ->MAT DUP INV * MAT->
                   0 GET 0 GET 100 * ROUND""") == 100L)
-    // mat-vec and dot product
+    // mat·vec (operate) and vecᵀ·mat (preMultiply); the reference has
+    // NO vec·vec dot face on `*` (binary/MUL.java matrix branch set)
     assert(top("[ [ 1.0 2.0 ] [ 3.0 4.0 ] ] ->MAT [ 1.0 1.0 ] ->VEC * VEC->") ==
       Vector(3.0, 7.0))
-    assert(top("[ 1.0 2.0 ] ->VEC [ 3.0 4.0 ] ->VEC *") == 11.0)
+    assert(top("[ 1.0 1.0 ] ->VEC [ [ 1.0 2.0 ] [ 3.0 4.0 ] ] ->MAT * VEC->") ==
+      Vector(4.0, 6.0))
+    assertThrows[Exception](top("[ 1.0 2.0 ] ->VEC [ 3.0 4.0 ] ->VEC *"))
     assert(top("[ 1.0 2.0 ] ->VEC TYPEOF") == "VECTOR")
   }
 
@@ -407,8 +410,16 @@ class WarpScriptSpec2 extends SparkSpec {
   test("MAKEGTS and PARSE construct frames") {
     val e = engWith(sampleFrame)
     assert(e.run(
-      "{ 'c' 'made' 'l' { 'x' '1' } 't' [ 1 2 ] 'v' [ 10.0 20.0 ] } MAKEGTS SIZE")
+      "[ 1 2 ] [ ] [ ] [ ] [ 10.0 20.0 ] MAKEGTS " +
+        "'made' RENAME { 'x' '1' } RELABEL SIZE")
       .head == 2L)
+    // reference padding rules (fn/MAKEGTS.java:89-108): a short values
+    // list repeats its LAST element; missing ticks auto-increment from
+    // the last explicit one; value types are preserved
+    assert(e.run("[ 5 ] [ ] [ ] [ ] [ 7 8 ] MAKEGTS TICKLIST").head ==
+      Vector(5L, 6L))
+    assert(e.run("[ 1 2 3 ] [ ] [ ] [ ] [ 9 ] MAKEGTS VALUES").head ==
+      Vector(9L, 9L, 9L))
     assert(e.run("<'\n1000// p.q{a=b} 42.0\n2000// p.q{a=b} 43.0\n'>\nPARSE SIZE")
       .head == 2L)
   }

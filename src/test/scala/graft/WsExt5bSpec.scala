@@ -64,8 +64,8 @@ class WsExt5bSpec extends SparkSpec {
   test("UPDATE feeds subsequent FETCH; DELETE removes from the session store") {
     val e = eng
     val prog =
-      """{ 'c' 'sensor.temp' 'l' { 'room' 'a' } 't' [ 1000 2000 3000 ]
-        |  'v' [ 1.0 2.0 3.0 ] } MAKEGTS UPDATE
+      """[ 1000 2000 3000 ] [ ] [ ] [ ] [ 1.0 2.0 3.0 ] MAKEGTS
+        |'sensor.temp' RENAME { 'room' 'a' } RELABEL UPDATE
         |[ '' 'sensor.temp' { 'room' 'a' } 10000 10001 ] FETCH SIZE""".stripMargin
     assert(e.run(prog).head == 3L)
     // time-ranged FETCH clips session points too
