@@ -453,6 +453,43 @@ private[script] object WordsBinaryOps {
     }
   }
 
+  private[script] def isGtsOperand(x: Any): Boolean = isGts(x)
+
+  /** APPEND's GTS face (fn/APPEND.java → GTSHelper.merge:4398): the
+    * BASE (below) keeps its metadata; the top GTS's points are
+    * appended to it, restamped with the base's identity. An empty top
+    * returns the base unchanged; an empty base adopts the top's
+    * points (under the base's metadata when the base is a literal
+    * builder that still carries one). Types must match otherwise. */
+  private[script] def gtsAppend(base: Any, add: Any,
+      en: WarpScriptEngine): Any = {
+    val fb = en.toFrame(base).df
+    val fg = en.toFrame(add).df
+    val tb = gtsType(fb, "APPEND"); val tg = gtsType(fg, "APPEND")
+    if (tg.isEmpty) return base
+    require(tb.isEmpty || tb == tg,
+      "APPEND can only merge GTS of matching types")
+    val valueCols = Seq("ts", "lat", "lon", "elev", "vtype", "vlong",
+      "vdouble", "vbool", "vstring", "vbinary")
+    val restamped: DataFrame =
+      if (tb.isEmpty) base match {
+        case b: GtsBuilder =>
+          fg.select(Seq(lit(b.cls).as("class"), typedLit(b.labels).as("labels"),
+            lit(0L).as("gtsid")) ++ valueCols.map(col): _*)
+        case _ => fg // empty frame carries no metadata to keep
+      } else {
+        val m = fb.select(col("class"), col("labels")).head()
+        fg.select(Seq(lit(m.getString(0)).as("class"),
+          typedLit(m.getMap[String, String](1).toMap).as("labels"),
+          lit(0L).as("gtsid")) ++ valueCols.map(col): _*)
+      }
+    GtsFrame(Gts.canonicalRehash(
+      if (tb.isEmpty) restamped
+      else fb.select(Seq(col("class"), col("labels"),
+        lit(0L).as("gtsid")) ++ valueCols.map(col): _*)
+        .unionByName(restamped)))
+  }
+
   /** unary/NOT.java: a boolean, or a BOOLEAN GTS negated in place
     * (metadata, geo and bucket parameters kept). */
   def booleanNot(st: State, en: WarpScriptEngine): Unit = st.pop() match {

@@ -564,13 +564,28 @@ private[script] trait WordsStringsBlock { this: WarpScriptEngine =>
     // LSORT (fn/LSORT.java): natural-order in-place sort
     case "LSORT" =>
       st.push(st.pop().asInstanceOf[Vector[Any]].sortWith(wsLt))
-    // APPEND (fn/APPEND.java): list+list concat or map+map merge
+    // APPEND (fn/APPEND.java): two collections (LIST/SET — addAll on
+    // the one below), two maps (putAll), or two GTS
+    // (GTSHelper.merge:4398 — the BASE below keeps its metadata and
+    // the top GTS's points are appended to it; types must match
+    // unless the base is empty). Set elements splice into a list in
+    // wsLt order (the reference's HashSet order is an accident).
     case "APPEND" =>
       val b = st.pop(); val a = st.pop()
       (a, b) match {
-        case (x: Vector[_], y: Vector[_]) => st.push(x ++ y)
+        case (x: Vector[Any @unchecked], y: Vector[Any @unchecked]) =>
+          st.push(x ++ y)
+        case (x: Vector[Any @unchecked], y: Set[Any @unchecked]) =>
+          st.push(x ++ y.toVector.sortWith(wsLt))
+        case (x: Set[Any @unchecked], y: Vector[Any @unchecked]) =>
+          st.push(x ++ y)
+        case (x: Set[Any @unchecked], y: Set[Any @unchecked]) =>
+          st.push(x ++ y)
         case (x: Map[Any @unchecked, Any @unchecked],
               y: Map[Any @unchecked, Any @unchecked]) => st.push(x ++ y)
+        case _ if WordsBinaryOps.isGtsOperand(a) &&
+            WordsBinaryOps.isGtsOperand(b) =>
+          st.push(WordsBinaryOps.gtsAppend(a, b, this))
         case o => throw new IllegalArgumentException(s"APPEND on $o")
       }
     // KEYLIST / VALUELIST (fn/KEYLIST.java, fn/VALUELIST.java) — sorted

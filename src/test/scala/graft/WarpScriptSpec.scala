@@ -246,6 +246,14 @@ class WarpScriptSpec extends SparkSpec {
     assert(sEng.runToFrame(s"$boolG $boolH AND").select("ts", "vbool")
       .collect().map(r => (r.getLong(0), r.getBoolean(1))).sorted.toSeq ==
       Seq((1L, true), (2L, false)))
+    // APPEND's GTS face: the base below keeps its metadata, the top
+    // GTS's points are restamped onto it (GTSHelper.merge)
+    val app = sEng.runToFrame(s"$gA $gB APPEND")
+    assert(app.select("class").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("a"))
+    assert(app.select("ts", "vlong").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((1L, 10L), (1L, 15L), (2L, 20L), (2L, 20L), (3L, 25L), (3L, 30L)))
   }
 
   test("NEWGTS/ADDVALUE builds a series from literals, frame words consume it") {
