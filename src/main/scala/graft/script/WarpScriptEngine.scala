@@ -103,6 +103,16 @@ final class WarpScriptEngine(
     * on the stack (items of a run() result). */
   def frameOf(v: Any): DataFrame = toFrame(v).df
 
+  /** Apply a frame→frame word while PRESERVING the operand's
+    * bucketization — GeoTimeSerie.cloneEmpty copies the bucket fields
+    * (GeoTimeSerie.java:369-375), so the reference's structural GTS
+    * words (DEDUP, COMPACT, NORMALIZE…) keep lastbucket/span/count. */
+  private[script] def keepBuckets(v: Any)(f: GtsFrame => GtsFrame): Any =
+    v match {
+      case BucketedFrame(fr, lb, sp, cc) => BucketedFrame(f(fr), lb, sp, cc)
+      case other => f(toFrame(other))
+    }
+
   // ---------------------------------------------------------------- core
 
   /** (gtsid → class, labels) side table for kernel words that return
@@ -554,12 +564,21 @@ final class WarpScriptEngine(
       case name: String => st.symbols(name) = st.pop()
       case r: Long => st.regs(r.toInt) = st.pop()
       case names: Vector[Any @unchecked] =>
-        names.reverse.foreach {
-          case null => st.pop()
-          case s: String => st.symbols(s) = st.pop()
-          case r: Long => st.regs(r.toInt) = st.pop()
-          case o => throw new IllegalArgumentException(s"STORE name: $o")
+        // bind FIRST→LAST reading by depth, so a duplicated name ends
+        // holding the value nearest the top — the reference's own
+        // documented order: `1 2 3 [ 'a' 'b' 'b' ] STORE $b` is 3
+        // (fn/STORE.java:60-76); nulls skip the binding but still
+        // consume their slot (the trailing dropn drops count values)
+        val count = names.size
+        require(st.stack.length >= count,
+          s"STORE expects $count elements on the stack")
+        names.zipWithIndex.foreach {
+          case (null, _) =>
+          case (s: String, i) => st.symbols(s) = st.stack(count - 1 - i)
+          case (r: Long, i) => st.regs(r.toInt) = st.stack(count - 1 - i)
+          case (o, _) => throw new IllegalArgumentException(s"STORE name: $o")
         }
+        (0 until count).foreach(_ => st.pop())
       case o => throw new IllegalArgumentException(s"STORE name: $o")
     }
     case "LOAD" => st.pop() match {
@@ -659,16 +678,48 @@ final class WarpScriptEngine(
       if (bool(st.pop())) evalMacro(mt, st) else evalMacro(mf, st)
     // FOREACH (fn/FOREACH.java): list pushes the element, map pushes
     // key then value; BREAK/CONTINUE honored per-iteration
+    // FOREACH (fn/FOREACH.java, faithful r12): optional boolean on
+    // top pushes the element INDEX after the element(s); iterates a
+    // list, a map (key then value), a STRING (one character at a
+    // time), or a GTS — each point as [ tick lat lon elev value ]
+    // with NaN geo/elevation sentinels, in tick order
     case "FOREACH" =>
-      val m = st.pop().asInstanceOf[WsMacro]
+      var top = st.pop(); var pushIndex = false
+      top match {
+        case b: Boolean => pushIndex = b; top = st.pop()
+        case _ =>
+      }
+      val m = top.asInstanceOf[WsMacro]
+      var index = 0L
       val items: Iterable[() => Unit] = st.pop() match {
         case l: Vector[Any @unchecked] => l.map(v => () => st.push(v))
         case mp: Map[Any @unchecked, Any @unchecked] =>
           mp.map { case (k, v) => () => { st.push(k); st.push(v) } }
+        case s: String =>
+          s.toSeq.map(c => () => st.push(c.toString))
+        case g @ (_: GtsFrame | _: BucketedFrame | _: GtsBuilder) =>
+          val rows = toFrame(g).df.select(col("ts"), col("lat"),
+            col("lon"), col("elev"), col("vtype"), col("vlong"),
+            col("vdouble"), col("vbool"), col("vstring")).collect()
+            .sortBy(_.getLong(0)).toSeq
+          rows.map(r => () => {
+            val v: Any = r.getByte(4) match {
+              case graft.model.GtsType.LONG => r.getLong(5)
+              case graft.model.GtsType.DOUBLE => r.getDouble(6)
+              case graft.model.GtsType.BOOLEAN => r.getBoolean(7)
+              case _ => r.getString(8)
+            }
+            st.push(Vector[Any](r.getLong(0),
+              if (r.isNullAt(1)) Double.NaN else r.getDouble(1),
+              if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
+              if (r.isNullAt(3)) Double.NaN else r.getLong(3),
+              v))
+          })
         case o => throw new IllegalArgumentException(s"FOREACH on $o")
       }
       try items.foreach { pushArgs =>
         pushArgs()
+        if (pushIndex) { st.push(index); index += 1 }
         try evalMacro(m, st) catch { case _: WsContinueEx => }
       } catch { case _: WsBreakEx => }
 

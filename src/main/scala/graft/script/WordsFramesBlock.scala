@@ -871,16 +871,20 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
     case "INTERPOLATE" =>
       val b = toBucketed(st.pop())
       st.push(b.copy(frame = GtsFrame(b.frame.fillLinear(b.lastbucket, b.span, b.count))))
-    case "DEDUP" => st.push(toFrame(st.pop()).dedup())
+    case "DEDUP" => st.push(keepBuckets(st.pop())(_.dedup()))
     // COMPACT (fn/COMPACT.java → GTSHelper.compact preserveRanges
     // false): run starts + the series' last point
-    case "COMPACT" => st.push(toFrame(st.pop()).compact(preserveRanges = false))
-    case "ISONORMALIZE" => st.push(toFrame(st.pop()).isonormalize())
+    case "COMPACT" => st.push(keepBuckets(st.pop())(_.compact(preserveRanges = false)))
+    case "ISONORMALIZE" => st.push(keepBuckets(st.pop())(_.isonormalize()))
     // RENAME / RELABEL (fn/RENAME.java, fn/RELABEL.java) — also valid
     // on a NEWGTS builder before materialization
     case "RENAME" => val n = st.popStr(); st.pop() match {
       case b: GtsBuilder =>
         st.push(b.copy(cls = if (n.startsWith("+")) b.cls + n.substring(1) else n))
+      // metadata-only op: bucketization survives (the reference
+      // mutates the GTS's Metadata, bucket fields untouched)
+      case bf @ BucketedFrame(f, _, _, _) =>
+        st.push(bf.copy(frame = f.rename(n)))
       case f => st.push(toFrame(f).rename(n))
     }
     case "RELABEL" =>
@@ -895,6 +899,9 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
           val (removes, sets) = m.partition(_._2.isEmpty)
           val base = if (reset) Map.empty[String, String] else b.labels
           st.push(b.copy(labels = (base ++ sets) -- removes.keys))
+        // metadata-only op: bucketization survives
+        case bf @ BucketedFrame(f, _, _, _) =>
+          st.push(bf.copy(frame = f.relabel(m, reset)))
         case f => st.push(toFrame(f).relabel(m, reset))
       }
     // NEWGTS / ADDVALUE (fn/NEWGTS.java, fn/ADDVALUE.java): build a GTS
@@ -1122,7 +1129,7 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
     // preserveRanges true, faithful r11): NO parameter — each constant
     // value/location/elevation run collapses to its first + last point
     case "RANGECOMPACT" =>
-      st.push(toFrame(st.pop()).compact(preserveRanges = true))
+      st.push(keepBuckets(st.pop())(_.compact(preserveRanges = true)))
     // LR (fn/LR.java): gts span lastbucket LR → per-series regression
     case "LR" =>
       val lb = st.popLong(); val span = st.popLong()
@@ -1239,7 +1246,14 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       // Long-wrapping arithmetic like the reference's raw Java math
       val start = if (isoStart) topVal else end - topVal + 1
       st.push(toFrame(st.pop()).timeclip(start, end))
-    case "TIMESHIFT" => val d = st.popLong(); st.push(toFrame(st.pop()).timeshift(d))
+    case "TIMESHIFT" => val d = st.popLong()
+      // GTSHelper.timeshift clones (bucket fields kept) and shifts
+      // lastbucket along with the ticks
+      st.push(st.pop() match {
+        case BucketedFrame(fr, lb, sp, cc) =>
+          BucketedFrame(fr.timeshift(d), lb + d, sp, cc)
+        case other => toFrame(other).timeshift(d)
+      })
     case "TIMESCALE" => val k = st.popNum(); st.push(toFrame(st.pop()).timescale(k))
     case "TIMEMODULO" =>
       val lbl = st.popStr(); val mod = st.popLong()
@@ -1268,8 +1282,8 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       require(!keepempty, "CHUNK 'keepempty' true is not supported by " +
         "this engine (a points-frame has no empty-series rows; see COVERAGE.md).")
       st.push(toFrame(st.pop()).chunkRef(lastchunk, width, count, chunklabel))
-    case "NORMALIZE" => st.push(toFrame(st.pop()).normalize())
-    case "STANDARDIZE" => st.push(toFrame(st.pop()).standardize())
+    case "NORMALIZE" => st.push(keepBuckets(st.pop())(_.normalize()))
+    case "STANDARDIZE" => st.push(keepBuckets(st.pop())(_.standardize()))
     // COMMONTICKS (fn/COMMONTICKS.java): keep only ticks present in
     // EVERY series of the frame/list — fully lazy: per-tick distinct
     // series count equi-joined against the broadcast 1-row total

@@ -199,7 +199,7 @@ private[script] object WordsGts {
         val tick = st.popLong()
         val df = singleSeries(en.toFrame(st.pop()), w)
         val rows = df.filter(col("ts") === tick)
-          .select(col("ts"), col("lat"), col("lon"), col("elev"), col("vdouble"))
+          .select(pointCols: _*)
           .collect()
         st.push(pointList(rows.headOption, tick))
       case "ATINDEX" =>
@@ -207,7 +207,7 @@ private[script] object WordsGts {
         val df = singleSeries(en.toFrame(st.pop()), w)
         val rows = df.withColumn("__rn", row_number().over(tickWindow))
           .filter(col("__rn") === idx + 1)
-          .select(col("ts"), col("lat"), col("lon"), col("elev"), col("vdouble"))
+          .select(pointCols: _*)
           .collect()
         require(rows.nonEmpty, s"ATINDEX: no point at index $idx")
         st.push(pointList(rows.headOption, 0L))
@@ -216,7 +216,13 @@ private[script] object WordsGts {
       case "SETVALUE" =>
         val p = st.pop().asInstanceOf[Vector[Any]]
         val tick = en.asLong(p(0))
-        val value = en.asNum(p(p.size - 1))
+        // the value keeps its runtime type (GTSHelper.setValue accepts
+        // LONG/DOUBLE/BOOLEAN/STRING; the old asNum coerced to double)
+        val value: Any = p(p.size - 1) match {
+          case l: Long => l; case d: Double => d
+          case b: Boolean => b; case s: String => s
+          case o => throw new IllegalArgumentException(s"SETVALUE value: $o")
+        }
         st.pop() match {
           case b: GtsBuilder =>
             val loc = if (p.size >= 4)
@@ -234,16 +240,23 @@ private[script] object WordsGts {
             val meta = df.limit(1)
               .select(col("class"), col("labels"), col("gtsid")).collect()(0)
             val spark = df.sparkSession
+            import graft.model.GtsType
+            val (vt, vl, vd, vb, vs) = value match {
+              case l: Long => (GtsType.LONG, lit(l), lit(null), lit(null), lit(null))
+              case d: Double => (GtsType.DOUBLE, lit(null), lit(d), lit(null), lit(null))
+              case b2: Boolean => (GtsType.BOOLEAN, lit(null), lit(null), lit(b2), lit(null))
+              case s2: String => (GtsType.STRING, lit(null), lit(null), lit(null), lit(s2))
+            }
             val point = spark.range(1).select(
               lit(meta.getString(0)).as("class"),
               typedLit(meta.getMap[String, String](1).toMap).as("labels"),
               lit(meta.getLong(2)).as("gtsid"), lit(tick).as("ts"),
               lit(null).cast("double").as("lat"), lit(null).cast("double").as("lon"),
               lit(null).cast("long").as("elev"),
-              lit(graft.model.GtsType.DOUBLE).as("vtype"),
-              lit(null).cast("long").as("vlong"), lit(value).as("vdouble"),
-              lit(null).cast("boolean").as("vbool"),
-              lit(null).cast("string").as("vstring"),
+              lit(vt).as("vtype"),
+              vl.cast("long").as("vlong"), vd.cast("double").as("vdouble"),
+              vb.cast("boolean").as("vbool"),
+              vs.cast("string").as("vstring"),
               lit(null).cast("binary").as("vbinary"))
             st.push(GtsFrame(df.filter(col("ts") =!= tick)
               .unionByName(point.select(df.columns.map(col).toSeq: _*))))
@@ -315,11 +328,11 @@ private[script] object WordsGts {
       // value (true) or the most recent (false)
       case "VALUEDEDUP" =>
         val keepFirst = st.popBool()
-        val f = en.toFrame(st.pop())
         val win = Window.partitionBy(col("gtsid"), col("vdouble"))
           .orderBy(if (keepFirst) col("ts").asc else col("ts").desc)
-        st.push(GtsFrame(f.df.withColumn("__rn", row_number().over(win))
-          .filter(col("__rn") === 1).drop("__rn")))
+        st.push(en.keepBuckets(st.pop())(f => GtsFrame(
+          f.df.withColumn("__rn", row_number().over(win))
+            .filter(col("__rn") === 1).drop("__rn"))))
 
       // ---- outlier tests beyond ESDTEST (fn/THRESHOLDTEST.java:
       // v >= t flags; fn/GRUBBSTEST.java = one-round ESD)
@@ -575,14 +588,28 @@ private[script] object WordsGts {
     true
   }
 
+  /** Columns for a point tuple read: ts, geo, then the typed slots —
+    * a point's value keeps its runtime type (ATTICK of a LONG GTS
+    * pushes a LONG, like GTSHelper.valueAtIndex). */
+  private[script] val pointCols = Seq(col("ts"), col("lat"), col("lon"),
+    col("elev"), col("vtype"), col("vlong"), col("vdouble"),
+    col("vbool"), col("vstring"))
+
   private[script] def pointList(row: Option[org.apache.spark.sql.Row], tick: Long): Vector[Any] =
     row match {
       case None => Vector[Any](tick, Double.NaN, Double.NaN, null, null)
-      case Some(r) => Vector[Any](
-        r.getLong(0),
-        if (r.isNullAt(1)) Double.NaN else r.getDouble(1),
-        if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
-        if (r.isNullAt(3)) null else r.getLong(3),
-        r.get(4))
+      case Some(r) =>
+        val v: Any = r.getByte(4) match {
+          case graft.model.GtsType.LONG => r.getLong(5)
+          case graft.model.GtsType.DOUBLE => r.getDouble(6)
+          case graft.model.GtsType.BOOLEAN => r.getBoolean(7)
+          case _ => r.getString(8)
+        }
+        Vector[Any](
+          r.getLong(0),
+          if (r.isNullAt(1)) Double.NaN else r.getDouble(1),
+          if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
+          if (r.isNullAt(3)) null else r.getLong(3),
+          v)
     }
 }

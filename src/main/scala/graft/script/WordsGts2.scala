@@ -24,7 +24,7 @@ private[script] object WordsGts2 {
         val tick = b.lastbucket - (b.count - 1 - idx) * b.span
         val df = singleSeries(b.frame, w)
         val rows = df.filter(col("ts") === tick)
-          .select(col("ts"), col("lat"), col("lon"), col("elev"), col("vdouble"))
+          .select(WordsGts.pointCols: _*)
           .collect()
         st.push(pointList(rows.headOption, tick))
 
@@ -36,7 +36,8 @@ private[script] object WordsGts2 {
       case "SETATTRIBUTES" | "ATTRDELTA" =>
         val m = st.pop().asInstanceOf[Map[Any, Any]]
           .map { case (k, v) => k.toString -> (if (v == null) "" else v.toString) }
-        val f = en.toFrame(st.pop())
+        val operand = st.pop()
+        val f = en.toFrame(operand)
         val ids = f.df.select(col("gtsid")).distinct().collect().map(_.getLong(0))
         ids.foreach { id =>
           val cur = st.attrs.getOrElse(id, Map.empty)
@@ -45,7 +46,11 @@ private[script] object WordsGts2 {
             else (cur ++ m).filter(_._2.nonEmpty)
           st.attrs(id) = merged
         }
-        st.push(f)
+        // metadata-only op: a bucketized operand keeps its params
+        st.push(operand match {
+          case bf: WarpScriptEngine.BucketedFrame => bf
+          case _ => f
+        })
       case "ATTRIBUTES" =>
         val df = singleSeries(en.toFrame(st.pop()), w)
         val id = df.select(col("gtsid")).limit(1).collect()(0).getLong(0)

@@ -121,6 +121,40 @@ private[script] object WordsScalar {
     }
   }
 
+  /** The reference's OWN leap-year rule in the ADD*-list faces
+    * (ADDDAYS.java:103, ADDMONTHS.java:115, ADDYEARS.java:101):
+    * `year % 4 == 0 && year % 100 != 0` — century years NEVER leap
+    * there (no 400 rule); reproduced verbatim. */
+  private def refLeap(year: Int): Boolean = year % 4 == 0 && year % 100 != 0
+
+  /** ADDDAYS' day-walk over a TSELEMENTS list (ADDDAYS.java:88-134):
+    * one day at a time with per-month lengths under [[refLeap]]. */
+  private def walkDays(y0: Int, m0: Int, d0: Int, n0: Int): (Int, Int, Int) = {
+    var (year, month, day, days) = (y0, m0, d0, n0)
+    def len31(m: Int) = m == 1 || m == 3 || m == 5 || m == 7 || m == 8 ||
+      m == 10 || m == 12
+    while (days < 0) {
+      days += 1; day -= 1
+      if (day < 1) {
+        month -= 1
+        if (month < 1) { year -= 1; month = 12 }
+        day = if (len31(month)) 31
+          else if (month != 2) 30
+          else if (refLeap(year)) 29 else 28
+      }
+    }
+    while (days > 0) {
+      days -= 1; day += 1
+      val over = (len31(month) && day > 31) ||
+        (!len31(month) && month != 2 && day > 30) ||
+        (month == 2 && !refLeap(year) && day > 28) ||
+        (month == 2 && day > 29)
+      if (over) { month += 1; day = 1 }
+      if (month > 12) { month = 1; year += 1 }
+    }
+    (year, month, day)
+  }
+
   def eval(w: String, st: State, en: WarpScriptEngine): Boolean = {
     w match {
       // ---- exact long arithmetic (fn/ADDEXACT.java family:
@@ -306,33 +340,119 @@ private[script] object WordsScalar {
       case "TOTIMESTAMP" =>
         val zdt = java.time.ZonedDateTime.parse(st.popStr())
         st.push(zdt.toInstant.getEpochSecond * US_PER_S + zdt.getNano / 1000L)
-      case "ADDDAYS" =>
-        val (ts, tz, n) = popTsTzN(st)
-        st.push(calendarAdd(ts, tz, n, (z, k) => z.plusDays(k)))
-      case "ADDMONTHS" =>
-        val (ts, tz, n) = popTsTzN(st)
-        st.push(calendarAdd(ts, tz, n, (z, k) => z.plusMonths(k)))
-      case "ADDYEARS" =>
-        val (ts, tz, n) = popTsTzN(st)
-        st.push(calendarAdd(ts, tz, n, (z, k) => z.plusYears(k)))
-      // ADDDURATION: ts [tz] iso-duration → shifted ts (calendar part
-      // applied in tz, sub-day part added as exact µs)
+      // each ADD* also takes a TSELEMENTS list below the count
+      // (ADDDAYS.java:60-140 and siblings): element arithmetic with
+      // the reference's own no-400 leap rule, day clamped after a
+      // month/year move
+      case "ADDDAYS" => st.stack(1) match {
+        case _: Vector[_] =>
+          val n = st.popLong().toInt
+          val elts = st.pop().asInstanceOf[Vector[Any]]
+          val (y, m, d) = walkDays(en.asLong(elts(0)).toInt,
+            en.asLong(elts(1)).toInt, en.asLong(elts(2)).toInt, n)
+          st.push(elts.updated(0, y.toLong).updated(1, m.toLong)
+            .updated(2, d.toLong))
+        case _ =>
+          val (ts, tz, n) = popTsTzN(st)
+          st.push(calendarAdd(ts, tz, n, (z, k) => z.plusDays(k)))
+      }
+      case "ADDMONTHS" => st.stack(1) match {
+        case _: Vector[_] =>
+          val n = st.popLong().toInt
+          val elts = st.pop().asInstanceOf[Vector[Any]]
+          var year = en.asLong(elts(0)).toInt
+          var month = en.asLong(elts(1)).toInt
+          var k = n
+          while (k < 0) { k += 1; month -= 1
+            if (month < 1) { month = 12; year -= 1 } }
+          while (k > 0) { k -= 1; month += 1
+            if (month > 12) { month = 1; year += 1 } }
+          var out = elts.updated(0, year.toLong).updated(1, month.toLong)
+          if (elts.size > 2) {
+            val day = en.asLong(elts(2)).toInt
+            if (month == 2 && day > 28)
+              out = out.updated(2, (if (refLeap(year)) 29L else 28L))
+            else if (day > 30 && (month == 4 || month == 6 || month == 9 ||
+                month == 11))
+              out = out.updated(2, 30L)
+          }
+          st.push(out)
+        case _ =>
+          val (ts, tz, n) = popTsTzN(st)
+          st.push(calendarAdd(ts, tz, n, (z, k) => z.plusMonths(k)))
+      }
+      case "ADDYEARS" => st.stack(1) match {
+        case _: Vector[_] =>
+          val n = st.popLong().toInt
+          val elts = st.pop().asInstanceOf[Vector[Any]]
+          val year = en.asLong(elts(0)).toInt + n
+          var out = elts.updated(0, year.toLong)
+          if (elts.size > 2) {
+            val month = en.asLong(elts(1)).toInt
+            val day = en.asLong(elts(2)).toInt
+            if (month == 2 && day > 28 && !refLeap(year))
+              out = out.updated(2, 28L)
+          }
+          st.push(out)
+        case _ =>
+          val (ts, tz, n) = popTsTzN(st)
+          st.push(calendarAdd(ts, tz, n, (z, k) => z.plusYears(k)))
+      }
+      // ADDDURATION (fn/ADDDURATION.java, faithful r12): optional
+      // LONG count of durations on top, then the ISO-8601 duration,
+      // then [tz] and a timestamp OR a TSELEMENTS list (converted,
+      // shifted, converted back — both legs in UTC like the
+      // reference's FROMTSELEMENTS/TSELEMENTS calls after the tz was
+      // consumed). Calendar part applied N times in tz, sub-day part
+      // added as exact µs × N.
       case "ADDDURATION" =>
-        val iso = st.popStr()
+        var top = st.pop()
+        var nTimes = 1L
+        top match {
+          case l: Long => nTimes = l; top = st.pop()
+          case _ =>
+        }
+        val iso = top match {
+          case s: String => s
+          case o => throw new IllegalArgumentException(
+            s"ADDDURATION expects an ISO8601 duration, got $o")
+        }
         val neg = iso.startsWith("-")
         val body = if (neg) iso.substring(1) else iso
         val (periodPart, durPart) = splitIsoDuration(body)
         val sign = if (neg) -1L else 1L
+        def shift(ts: Long, tz: String): Long = {
+          val p = periodPart.multipliedBy(
+            java.lang.Math.toIntExact(sign * nTimes))
+          calendarAdd(ts, tz, 1L, (z, _) => z.plus(p)) +
+            sign * durPart * nTimes
+        }
         st.pop() match {
-          case tz: String =>
-            val ts = st.popLong()
-            val shifted = calendarAdd(ts, tz, sign,
-              (z, s) => if (s > 0) z.plus(periodPart) else z.minus(periodPart))
-            st.push(shifted + sign * durPart)
-          case ts: Long =>
-            val shifted = calendarAdd(ts, "UTC", sign,
-              (z, s) => if (s > 0) z.plus(periodPart) else z.minus(periodPart))
-            st.push(shifted + sign * durPart)
+          case tz: String => st.push(shift(st.popLong(), tz))
+          case ts: Long => st.push(shift(ts, "UTC"))
+          case elts: Vector[Any @unchecked] =>
+            // FROMTSELEMENTS (UTC) → shift → TSELEMENTS (UTC)
+            def at(i: Int, dflt: Long): Long =
+              if (i < elts.size) en.asLong(elts(i)) else dflt
+            val us = at(6, 0)
+            val zdt = java.time.ZonedDateTime.of(at(0, 0).toInt,
+              at(1, 1).toInt, at(2, 1).toInt, at(3, 0).toInt,
+              at(4, 0).toInt, at(5, 0).toInt, 0, java.time.ZoneId.of("UTC"))
+            val ts = zdt.toInstant.getEpochSecond * US_PER_S + us
+            val out = shift(ts, "UTC")
+            // render back to TSELEMENTS (UTC), mirroring the
+            // TSELEMENTS word's element list
+            val outMs = Math.floorDiv(out, 1000L)
+            val z2 = java.time.Instant.ofEpochMilli(outMs)
+              .atZone(java.time.ZoneId.of("UTC"))
+            val micros = z2.getLong(
+              java.time.temporal.ChronoField.MILLI_OF_SECOND) * 1000L +
+              (out - outMs * 1000L)
+            st.push(Vector[Any](z2.getYear.toLong, z2.getMonthValue.toLong,
+              z2.getDayOfMonth.toLong, z2.getHour.toLong,
+              z2.getMinute.toLong, z2.getSecond.toLong, micros,
+              z2.getDayOfYear.toLong, z2.getDayOfWeek.getValue.toLong,
+              z2.get(java.time.temporal.IsoFields.WEEK_OF_WEEK_BASED_YEAR).toLong))
           case o => throw new IllegalArgumentException(s"ADDDURATION ts: $o")
         }
       case "AGO" => st.push(en.nowTick - st.popLong())

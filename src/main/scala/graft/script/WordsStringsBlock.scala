@@ -305,6 +305,8 @@ private[script] trait WordsStringsBlock { this: WarpScriptEngine =>
       case f: GtsFrame => st.push(f.df.count())
       case BucketedFrame(f, _, _, _) => st.push(f.df.count())
       case b: GtsBuilder => st.push(b.points.size.toLong)
+      // a GEOSHAPE's size is its CELL count (SIZE.java:60-61)
+      case g: WordsGeo.WsGeo => st.push(g.cells.size.toLong)
       // Macro.size() — statement count (WarpScriptStack.java:404)
       case m: WsMacro => st.push(m.tokens.length.toLong)
       case o => throw new IllegalArgumentException(s"SIZE on $o")

@@ -246,6 +246,28 @@ class WarpScriptSpec extends SparkSpec {
     assert(sEng.runToFrame(s"$boolG $boolH AND").select("ts", "vbool")
       .collect().map(r => (r.getLong(0), r.getBoolean(1))).sorted.toSeq ==
       Seq((1L, true), (2L, false)))
+    // ADD* words over a TSELEMENTS list (fn/ADDDAYS.java:60-140 etc.):
+    // element arithmetic with the reference's own NO-400 leap rule —
+    // year 2000 is NOT a leap year there
+    assert(top("[ 2024 2 28 ] 1 ADDDAYS") == Vector(2024L, 2L, 29L))
+    assert(top("[ 2000 2 28 ] 1 ADDDAYS") == Vector(2000L, 3L, 1L))
+    assert(top("[ 2024 1 31 ] 1 ADDMONTHS") == Vector(2024L, 2L, 29L))
+    assert(top("[ 2023 3 1 ] -1 ADDDAYS") == Vector(2023L, 2L, 28L))
+    assert(top("[ 2024 2 29 ] 1 ADDYEARS") == Vector(2025L, 2L, 28L))
+    // ADDDURATION: optional count of durations on top; tselements face
+    assert(top("0 'PT1H' 3 ADDDURATION") == 3L * 3600000000L)
+    assert(top("[ 2024 1 31 23 0 0 0 ] 'PT2H' ADDDURATION")
+      .asInstanceOf[Vector[Any]].take(4) == Vector(2024L, 2L, 1L, 1L))
+    // STORE list face binds FIRST->LAST: a duplicated name ends with
+    // the value nearest the TOP (fn/STORE.java's own doc example)
+    assert(top("1 2 3 [ 'a' 'b' 'b' ] STORE $b") == 3L)
+    assert(top("1 2 3 [ 'x' NULL 'z' ] STORE $x 10 * $z +") == 13L)
+    // FOREACH faces (fn/FOREACH.java): boolean pushIndex on top,
+    // STRING iterates characters, a GTS pushes [ts lat lon elev value]
+    assert(sEng.run("0 'abc' <% DROP 1 + %> FOREACH") == List(3L))
+    assert(sEng.run("0 [ 10 20 ] <% + + %> true FOREACH") == List(31L))
+    assert(sEng.run(s"$gA <% 4 GET %> FOREACH DEPTH").head == 3L)
+    assert(sEng.run(s"0 $gA <% 4 GET + %> FOREACH") == List(60L))
     // APPEND's GTS face: the base below keeps its metadata, the top
     // GTS's points are restamped onto it (GTSHelper.merge)
     val app = sEng.runToFrame(s"$gA $gB APPEND")
