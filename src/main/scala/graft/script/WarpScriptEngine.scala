@@ -647,15 +647,16 @@ final class WarpScriptEngine(
     case "GEOHASHTO" =>
       val (la, lo) = graft.functions.GeoHash.decodeScalar(st.popStr())
       st.push(la); st.push(lo)
-    // HAVERSINE (fn/HAVERSINE.java): lat1 lon1 lat2 lon2 → meters
+    // HAVERSINE (fn/HAVERSINE.java): lat1 lon1 lat2 lon2 → meters on
+    // the reference's MEAN Earth radius 6371000 (not the WGS84
+    // equatorial radius), Math.toRadians conversions
     case "HAVERSINE" =>
       val lon2 = st.popNum(); val lat2 = st.popNum()
       val lon1 = st.popNum(); val lat1 = st.popNum()
-      val toRad = math.Pi / 180.0
-      val a = math.pow(math.sin((lat2 - lat1) * toRad / 2), 2) +
-        math.cos(lat1 * toRad) * math.cos(lat2 * toRad) *
-          math.pow(math.sin((lon2 - lon1) * toRad / 2), 2)
-      st.push(2.0 * 6378137.0 * math.asin(math.sqrt(a)))
+      val a = math.pow(math.sin((math.toRadians(lat2) - math.toRadians(lat1)) / 2), 2) +
+        math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+          math.pow(math.sin((math.toRadians(lon2) - math.toRadians(lon1)) / 2), 2)
+      st.push(2.0 * 6371000.0 * math.asin(math.sqrt(a)))
     case "TODOUBLE" => st.push(st.popNum())
     case "TOLONG" => st.push(st.popNum().toLong)
     case "TOSTRING" => st.push(String.valueOf(st.pop()))

@@ -128,7 +128,13 @@ private[script] object WordsColl {
         st.push(m.view.filterKeys(keys.contains).toMap)
       // MSORT sorts a map by key; our Map is unordered so this is the
       // canonicalization point before MAP->/SNAPSHOT render sorted
-      case "MSORT" => st.push(st.pop().asInstanceOf[Map[Any, Any]])
+      // MSORT (fn/MSORT.java): reorder the map's entries by natural
+      // key order (the reference rebuilds the LinkedHashMap in sorted
+      // insertion order — here an insertion-ordered ListMap)
+      case "MSORT" =>
+        val mp = st.pop().asInstanceOf[Map[Any, Any]]
+        st.push(scala.collection.immutable.ListMap(
+          mp.toVector.sortWith((a, b) => en.wsLt(a._1, b._1)): _*): Map[Any, Any])
 
       // ---- list tail (fn/NONNULL.java, NONEMPTY on GTS lists is a
       // frame FILTER — list form here; SHUFFLE uses the engine PRNG)
@@ -139,14 +145,26 @@ private[script] object WordsColl {
         st.pop().asInstanceOf[Vector[Any]].foreach(l.add)
         java.util.Collections.shuffle(l, en.prng)
         st.push(Vector.from(l.toArray))
-      // SORTWITH (fn/SORTWITH.java): comparator macro returns a LONG
+      // SORTWITH (fn/SORTWITH.java): comparator macro returns a LONG;
+      // the MAP face sorts ENTRIES (k1 v1 k2 v2 on the stack) and
+      // rebuilds the map in the sorted insertion order
       case "SORTWITH" =>
         val m = st.pop().asInstanceOf[WsMacro]
-        val l = st.pop().asInstanceOf[Vector[Any]]
-        st.push(l.sortWith { (a, b) =>
-          st.push(a); st.push(b); en.evalMacro(m, st)
-          st.popLong() < 0
-        })
+        st.pop() match {
+          case l: Vector[Any @unchecked] =>
+            st.push(l.sortWith { (a, b) =>
+              st.push(a); st.push(b); en.evalMacro(m, st)
+              st.popLong() < 0
+            })
+          case mp: Map[Any @unchecked, Any @unchecked] =>
+            val sorted = mp.toVector.sortWith { case ((k1, v1), (k2, v2)) =>
+              st.push(k1); st.push(v1); st.push(k2); st.push(v2)
+              en.evalMacro(m, st)
+              st.popLong() < 0
+            }
+            st.push(scala.collection.immutable.ListMap(sorted: _*): Map[Any, Any])
+          case o => throw new IllegalArgumentException(s"SORTWITH on $o")
+        }
       // LFILTER (fn/LFILTER.java): element [index] macro → boolean
       case "LFILTER" =>
         var top = st.pop(); var pushIndex = true

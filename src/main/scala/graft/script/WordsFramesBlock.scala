@@ -1254,7 +1254,13 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
           BucketedFrame(fr.timeshift(d), lb + d, sp, cc)
         case other => toFrame(other).timeshift(d)
       })
-    case "TIMESCALE" => val k = st.popNum(); st.push(toFrame(st.pop()).timescale(k))
+    case "TIMESCALE" => val k = st.popNum()
+      st.pop() match {
+        // GTSHelper.timescale:10247 rejects bucketized operands
+        case _: BucketedFrame => throw new IllegalArgumentException(
+          "Cannot apply timescale on a bucketized GTS. Unbucketize it first.")
+        case other => st.push(toFrame(other).timescale(k))
+      }
     case "TIMEMODULO" =>
       val lbl = st.popStr(); val mod = st.popLong()
       st.push(toFrame(st.pop()).timemodulo(mod, lbl))
