@@ -212,6 +212,31 @@ object WsQueries7 {
         .unionByName(frame(out(2), "lt", long = false))
         .unionByName(frame(out(1), "mask", long = true))
         .unionByName(frame(out(0), "xor", long = true))
+    }),
+
+    // FOREACH's GTS face (fn/FOREACH.java:144-176 — each point as a
+    // [ts lat lon elev value] tuple), STORE's first-to-last list
+    // binding (fn/STORE.java:60-76), and the ADD*-over-TSELEMENTS
+    // calendar faces with the reference's own no-400 leap rule
+    // (ADDDAYS.java:103 — year 2000 is NOT leap there), all driven
+    // end-to-end: the FOREACH loop folds the fetched series' cents
+    // into an accumulator the oracle recomputes as a SQL sum.
+    "w143_ws_foreach_store" -> ((s, dir) => {
+      val program =
+        s"""0 'acc' STORE
+           |[ '' 'events.click' { 'user' '1' } $LB ${LB + 1} ] FETCH
+           |<% 4 GET $$acc + 'acc' STORE %> FOREACH
+           |1 2 3 [ 'a' 'b' 'b' ] STORE
+           |[ 2000 2 28 ] 1 ADDDAYS ',' JOIN
+           |[ 2024 1 31 ] 1 ADDMONTHS ',' JOIN
+           |$$acc $$a $$b""".stripMargin
+      val v = engine(s, dir, cents = true).run(program)
+      s.range(1).select(
+        lit(v(0).asInstanceOf[Long]).as("v_b"),
+        lit(v(1).asInstanceOf[Long]).as("v_a"),
+        lit(v(2).asInstanceOf[Double]).cast("long").as("v_sum"),
+        lit(v(3).asInstanceOf[String]).as("v_addmonths"),
+        lit(v(4).asInstanceOf[String]).as("v_adddays"))
     })
   )
 
@@ -500,6 +525,16 @@ object WsQueries7 {
          |SELECT 'xor', ts, v FROM (VALUES
          |  (CAST(2 AS BIGINT), CAST(0 AS BIGINT)), (3, 3)) AS x(ts, v)"""
         .stripMargin
-    }
+    },
+
+    // the FOREACH fold is the series' cents sum; STORE's doc example
+    // and the calendar faces are engine-computed literals
+    "w143_ws_foreach_store" ->
+      s"""WITH g AS ($EV)
+         |SELECT CAST(3 AS BIGINT) AS v_b, CAST(1 AS BIGINT) AS v_a,
+         |  CAST(sum(cents) AS BIGINT) AS v_sum,
+         |  '2024,2,29' AS v_addmonths, '2000,3,1' AS v_adddays
+         |FROM g WHERE class = 'events.click' AND userid = '1'
+         |  AND ts <= $LB""".stripMargin
   )
 }
