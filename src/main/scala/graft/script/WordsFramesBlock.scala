@@ -937,13 +937,26 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
     // the frame — tiny aggs, same contract as GtsFrame auto-params
     // GtsBuilder fast-paths: driver-side metadata (NEWGTS results, FIND
     // results) answers accessor words with zero Spark actions
+    // a BUCKETIZED operand answers from its bucket fields
+    // (GTSHelper.firsttick:6882-6885, lasttick:6913-6915); an empty
+    // unbucketized one returns the reference's MAX/MIN sentinels
     case "FIRSTTICK" => st.pop() match {
-      case b: GtsBuilder if b.points.nonEmpty => st.push(b.points.map(_._1).min)
-      case o => st.push(toFrame(o).df.agg(min(col("ts"))).head().getLong(0))
+      case b: GtsBuilder =>
+        st.push(if (b.points.isEmpty) Long.MaxValue else b.points.map(_._1).min)
+      case bf: BucketedFrame =>
+        val c = toBucketed(bf)
+        st.push(c.lastbucket - (c.count - 1) * c.span)
+      case o =>
+        val r = toFrame(o).df.agg(min(col("ts"))).head()
+        st.push(if (r.isNullAt(0)) Long.MaxValue else r.getLong(0))
     }
     case "LASTTICK" => st.pop() match {
-      case b: GtsBuilder if b.points.nonEmpty => st.push(b.points.map(_._1).max)
-      case o => st.push(toFrame(o).df.agg(max(col("ts"))).head().getLong(0))
+      case b: GtsBuilder =>
+        st.push(if (b.points.isEmpty) Long.MinValue else b.points.map(_._1).max)
+      case BucketedFrame(_, lb, _, _) => st.push(lb)
+      case o =>
+        val r = toFrame(o).df.agg(max(col("ts"))).head()
+        st.push(if (r.isNullAt(0)) Long.MinValue else r.getLong(0))
     }
     case "NAME" => st.pop() match {
       case b: GtsBuilder => st.push(Vector(b.cls: Any))
@@ -966,7 +979,9 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
         }
     }
     // CLONEEMPTY (fn/CLONEEMPTY.java): same shape, zero points
-    case "CLONEEMPTY" => st.push(GtsFrame(toFrame(st.pop()).df.limit(0)))
+    // cloneEmpty COPIES the bucket fields (GeoTimeSerie.java:369-375)
+    case "CLONEEMPTY" => st.push(keepBuckets(st.pop())(f =>
+      GtsFrame(f.df.limit(0))))
     case "TICKLIST" =>
       st.push(toFrame(st.pop()).df.select(col("ts")).distinct()
         .collect().map(_.getLong(0)).sorted.toVector)

@@ -268,6 +268,20 @@ class WarpScriptSpec extends SparkSpec {
     assert(sEng.run("0 [ 10 20 ] <% + + %> true FOREACH") == List(31L))
     assert(sEng.run(s"$gA <% 4 GET %> FOREACH DEPTH").head == 3L)
     assert(sEng.run(s"0 $gA <% 4 GET + %> FOREACH") == List(60L))
+    // FIRSTTICK/LASTTICK answer from bucket fields on a bucketized
+    // operand (GTSHelper.firsttick:6882) and return the MAX/MIN
+    // sentinels on an empty unbucketized one
+    assert(sEng.run(s"[ $gA bucketizer.sum 10 2 5 ] BUCKETIZE " +
+      "DUP FIRSTTICK SWAP LASTTICK") == List(10L, 2L))
+    assert(top("NEWGTS FIRSTTICK") == Long.MaxValue)
+    assert(top("NEWGTS LASTTICK") == Long.MinValue)
+    // CLONEEMPTY keeps bucket fields (GeoTimeSerie.cloneEmpty)
+    assert(sEng.run(s"[ $gA bucketizer.sum 10 2 5 ] BUCKETIZE " +
+      "CLONEEMPTY BUCKETSPAN") == List(2L))
+    // metadata-only words keep bucketization: RENAME then FILLVALUE
+    // still sees the bucket grid
+    assert(sEng.runToFrame(s"[ $gA bucketizer.sum 10 2 5 ] BUCKETIZE " +
+      "'rn' RENAME [ NaN NaN NaN 0.0 ] FILLVALUE").count() == 5L)
     // APPEND's GTS face: the base below keeps its metadata, the top
     // GTS's points are restamped onto it (GTSHelper.merge)
     val app = sEng.runToFrame(s"$gA $gB APPEND")
