@@ -94,11 +94,34 @@ object ScalarEval extends Serializable {
     case o => throw new IllegalArgumentException(s"arith on $o")
   }
 
+  /** EQ.compare for the executor subset: java-equals short circuit,
+    * typed fast paths, exact BigDecimal comparison for mixed
+    * long/double pairs — identical to WordsBinaryOps.refCompare so a
+    * macro mapper's `==` agrees with the driver-side word. */
   private def cmp(a: Any, b: Any): Int = (a, b) match {
     case (x: String, y: String) => x.compareTo(y)
     case (x: Boolean, y: Boolean) => x.compareTo(y)
-    case _ => java.lang.Double.compare(toD(a), toD(b))
+    case _ if a.asInstanceOf[AnyRef].equals(b.asInstanceOf[AnyRef]) => 0
+    case (x: Double, y: Double) => x.compareTo(y)
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case _ =>
+      def bd(v: Any): java.math.BigDecimal = v match {
+        case d: Double => new java.math.BigDecimal(d)
+        case l: Long => new java.math.BigDecimal(l)
+        case o => throw new IllegalArgumentException(s"cannot compare $o")
+      }
+      bd(a).compareTo(bd(b))
   }
+
+  private def isNaNv(x: Any) =
+    x.isInstanceOf[Double] && x.asInstanceOf[Double].isNaN
+
+  /** Comparison with the reference's per-operator NaN flags. */
+  private def cmpNaN(a: Any, b: Any, op: Int => Boolean,
+      oneNaN: Boolean, twoNaN: Boolean): Boolean =
+    if (isNaNv(a) && isNaNv(b)) twoNaN
+    else if (isNaNv(a) || isNaNv(b)) oneNaN
+    else op(cmp(a, b))
 
   private def toD(v: Any): Double = v match {
     case l: Long => l.toDouble
@@ -177,13 +200,23 @@ object ScalarEval extends Serializable {
     }
     case "**" => val b = st.popNum(); val a = st.popNum(); st.push(math.pow(a, b))
 
-    // comparison / logic
-    case "==" => val (a, b) = num2(st); st.push(a == b || cmpEq(a, b))
-    case "!=" => val (a, b) = num2(st); st.push(!(a == b || cmpEq(a, b)))
-    case "<" => val (a, b) = num2(st); st.push(cmp(a, b) < 0)
-    case "<=" => val (a, b) = num2(st); st.push(cmp(a, b) <= 0)
-    case ">" => val (a, b) = num2(st); st.push(cmp(a, b) > 0)
-    case ">=" => val (a, b) = num2(st); st.push(cmp(a, b) >= 0)
+    // comparison / logic — NaN flags per operator (EQ (false,true),
+    // NE (true,false), LE/GE (false,true), LT/GT (false,false)) and
+    // the exact EQ.compare via cmp
+    case "==" => val (a, b) = num2(st)
+      st.push(if (a.isInstanceOf[String] || a.isInstanceOf[Boolean])
+        a == b else cmpNaN(a, b, _ == 0, oneNaN = false, twoNaN = true))
+    case "!=" => val (a, b) = num2(st)
+      st.push(if (a.isInstanceOf[String] || a.isInstanceOf[Boolean])
+        a != b else cmpNaN(a, b, _ != 0, oneNaN = true, twoNaN = false))
+    case "<" => val (a, b) = num2(st)
+      st.push(cmpNaN(a, b, _ < 0, oneNaN = false, twoNaN = false))
+    case "<=" => val (a, b) = num2(st)
+      st.push(cmpNaN(a, b, _ <= 0, oneNaN = false, twoNaN = true))
+    case ">" => val (a, b) = num2(st)
+      st.push(cmpNaN(a, b, _ > 0, oneNaN = false, twoNaN = false))
+    case ">=" => val (a, b) = num2(st)
+      st.push(cmpNaN(a, b, _ >= 0, oneNaN = false, twoNaN = true))
     case "AND" | "&&" => val b = st.popBool(); st.push(st.popBool() && b)
     case "OR" | "||" => val b = st.popBool(); st.push(st.popBool() || b)
     case "NOT" | "!" => st.push(!st.popBool())
@@ -291,12 +324,6 @@ object ScalarEval extends Serializable {
         "(MACROMAPPER family interprets a scalar subset)")
   }
   // scalastyle:on cyclomatic.complexity method.length
-
-  private def cmpEq(a: Any, b: Any): Boolean = (a, b) match {
-    case (x: Long, y: Double) => x.toDouble == y
-    case (x: Double, y: Long) => x == y.toDouble
-    case _ => false
-  }
 
   private object ListMarker extends Serializable
 
