@@ -203,15 +203,27 @@ object WsQueries7 {
            |[ 1 2 3 ] [ ] [ ] [ ] [ 12 10 6 ] MAKEGTS
            |[ 2 3 4 ] [ ] [ ] [ ] [ 10 5 1 ] MAKEGTS ^""".stripMargin
       val out = e.run(prog)
-      def frame(x: Any, tag: String, long: Boolean) =
+      def face(x: Any, tag: String, long: Boolean) =
         e.frameOf(x).select(lit(tag).as("which"), col("ts"),
           (if (long) col("vlong") else col("vdouble").cast("long")).as("v"))
-      frame(out(5), "sum", long = false)
-        .unionByName(frame(out(4), "scale", long = false))
-        .unionByName(frame(out(3), "sub", long = false))
-        .unionByName(frame(out(2), "lt", long = false))
-        .unionByName(frame(out(1), "mask", long = true))
-        .unionByName(frame(out(0), "xor", long = true))
+      // six independent bucket-sized faces: run the jobs CONCURRENTLY
+      // and assemble the ≤10-row results on the driver (the w122/w125
+      // pattern — a 6-branch union serialized ~30 tiny stages)
+      val faces = Seq(face(out(5), "sum", long = false),
+        face(out(4), "scale", long = false),
+        face(out(3), "sub", long = false),
+        face(out(2), "lt", long = false),
+        face(out(1), "mask", long = true),
+        face(out(0), "xor", long = true))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val collected = Await.result(Future.sequence(faces.map(f =>
+        Future(f.collect().toSeq.map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2)))))), Duration.Inf)
+      import s.implicits._
+      collected.flatten.toDF("which", "ts", "v")
     }),
 
     // FOREACH's GTS face (fn/FOREACH.java:144-176 — each point as a
