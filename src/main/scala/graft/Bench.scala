@@ -126,19 +126,51 @@ object Bench {
       // ("total_single_pass" vs the headline "value") so the guard's
       // one-sided-min bias is quantified in the artifact itself.
       val firstTotal = merged.values.filter(_ >= 0).sum
+      // Emit the merged single-pass board IMMEDIATELY (r12: the harness
+      // timeout killed the run during the retry phase and forfeited a
+      // COMPLETED first pass — BENCH_r12.json held only sbt startup.
+      // A partial-confidence board is infinitely better than none).
+      // The refined line below supersedes it when the retries finish:
+      // the harness keeps the TAIL of the log, so the last parseable
+      // line wins, and each line self-identifies via "phase".
+      printLine(names.map(n => n -> merged(n)), forked = true,
+        shards = shardWalls.toSeq, retried = Seq.empty,
+        firstPassTotal = Some(firstTotal), phase = Some("single-pass"))
       val okTimes = merged.values.filter(_ >= 0).toSeq.sorted
       val median = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.size / 2)
-      val threshold = math.max(1.0, 3.0 * median)
+      // r13: max(1s, 3x median) flagged 50/339 rows on a board whose
+      // median is ~1 s — a threshold problem, not contention (~13 extra
+      // JVMs pushed the r12 driver run past the harness cap).
+      // max(2.5s, 4x median) keeps the rows where a contended window
+      // can actually hide multiples of the true cost.
+      val threshold = math.max(2.5, 4.0 * median)
       val suspects = names.filter(n => merged(n) >= threshold)
       val attempts = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+      // singleton fresh-JVM measurements: the canonical isolated number
+      // for a row, published as "isolated" so verdicts can cite it
+      // without a re-run (r12 stretch ask)
+      val isolated = scala.collection.mutable.LinkedHashMap[String, Double]()
       suspects.foreach(n => attempts(n) = Vector(merged(n)))
-      def retryBatch(batch: Seq[String]): Unit = runChild(batch) match {
-        case Some((retry, _)) => retry.foreach { case (n, t2) =>
-          if (t2 >= 0 && attempts.contains(n)) attempts(n) :+= t2
+      // Bounded retry phase (r12: unbounded retries are what the
+      // timeout actually killed): wall budget = 25% of the first-pass
+      // shard wall, floor 120 s so a fast board still affords one
+      // batch. When exhausted, stop forking — first-pass numbers stand.
+      val firstPassWall = shardWalls.map(_._2).sum
+      val retryDeadline = System.nanoTime() +
+        (math.max(120.0, 0.25 * firstPassWall) * 1e9).toLong
+      def retryBatch(batch: Seq[String]): Unit =
+        if (System.nanoTime() >= retryDeadline)
+          System.err.println(s"[bench] retry budget exhausted; skipping ${batch.mkString(",")}")
+        else runChild(batch) match {
+          case Some((retry, _)) =>
+            retry.foreach { case (n, t2) =>
+              if (t2 >= 0 && attempts.contains(n)) attempts(n) :+= t2
+            }
+            if (batch.size == 1)
+              retry.collect { case (n, t2) if t2 >= 0 => isolated(n) = t2 }
+          case None =>
+            System.err.println(s"[bench] retry fork failed for ${batch.mkString(",")}; keeping prior timings")
         }
-        case None =>
-          System.err.println(s"[bench] retry fork failed for ${batch.mkString(",")}; keeping prior timings")
-      }
       suspects.grouped(5).foreach(retryBatch)
       // second chance, singleton fresh JVM: rows whose attempts still
       // disagree >1.5x (one of them was contended), or whose best
@@ -146,7 +178,7 @@ object Bench {
       // window could be hiding under BOTH measurements (r12 board:
       // w122 read [18.5, 28.9] — batch retry also contended — vs
       // 8.3 s isolated; 1.56x disagreement, so the old 2x gate missed
-      // it). Bounded: a handful of rows, one JVM each.
+      // it). Bounded: a handful of rows, one JVM each, same deadline.
       val unstable = suspects.filter { n =>
         val as = attempts(n)
         as.min >= threshold &&
@@ -158,7 +190,8 @@ object Bench {
       printLine(names.map(n => n -> merged(n)), forked = true,
         shards = shardWalls.toSeq,
         retried = attempts.toSeq.map { case (n, as) => (n, as) },
-        firstPassTotal = Some(firstTotal))
+        firstPassTotal = Some(firstTotal), phase = Some("final"),
+        isolatedTimes = isolated.toSeq)
     }
   }
 
@@ -299,7 +332,9 @@ object Bench {
   private def printLine(results: Seq[(String, Double)], forked: Boolean,
                         shards: Seq[(Seq[String], Double, Double)],
                         retried: Seq[(String, Seq[Double])],
-                        firstPassTotal: Option[Double] = None): Unit = {
+                        firstPassTotal: Option[Double] = None,
+                        phase: Option[String] = None,
+                        isolatedTimes: Seq[(String, Double)] = Seq.empty): Unit = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
@@ -337,14 +372,24 @@ object Bench {
       if (prewarmed.isEmpty) ""
       else prewarmed.map("\"" + _ + "\"")
         .mkString(""","prewarmed":[""", ",", "]")
+    val phaseJson = phase.map(p => s""","phase":"$p"""").getOrElse("")
+    // canonical fresh-JVM singleton measurements (r12 stretch ask)
+    val isoJson =
+      if (isolatedTimes.isEmpty) ""
+      else isolatedTimes.map { case (n, t) => f""""$n":$t%.3f""" }
+        .mkString(""","isolated":{""", ",", "}")
     // queries first, scalar summary last: harness log capture keeps the
     // TAIL of long lines, so the headline total must sit at the end
-    val line = s"""{"queries":$qs,"errors":$errs,"forked":$forked$shardJson$retriedJson,"btime":$bootTime,"calib":$calib$fpJson$pwJson,"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir"}"""
+    val line = s"""{"queries":$qs,"errors":$errs,"forked":$forked$shardJson$retriedJson$isoJson,"btime":$bootTime,"calib":$calib$fpJson$pwJson$phaseJson,"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir"}"""
     println(line)
     // Also drop a machine-readable copy: the round-5 artifact stored
     // "parsed": null because sbt's [success] epilogue was the last line.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/bench_last.json"), line + "\n")
-    catch { case _: Throwable => }
+    // Child shards skip the file write (forked children would clobber
+    // the parent's single-pass copy mid-run); the parent and the
+    // un-forked fallback own bench_last.json.
+    if (!(forked && sys.env.contains("SPARK_GRAFT_SHARD")))
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/root/repo/bench_last.json"), line + "\n")
+      catch { case _: Throwable => }
   }
 }
