@@ -1329,15 +1329,25 @@ object GtsFrame {
   }
 
   /** The gskip/gcount id page over an arbitrary series frame (any frame
-    * with a `gtsid` column): range-partitioned rank on the DISTINCT
-    * ids, keep ranks (gskip, gskip+gcount]. Callers that must match the
-    * reference's DIRECTORY-level pagination (FETCH.java:325-331 pages
-    * the metadata match set before scanning points) pass the full
-    * selector match set here, not just the in-range rows. */
+    * with a `gtsid` column): rank the DISTINCT ids, keep ranks
+    * (gskip, gskip+gcount]. Callers that must match the reference's
+    * DIRECTORY-level pagination (FETCH.java:325-331 pages the metadata
+    * match set before scanning points) pass the full selector match set
+    * here, not just the in-range rows.
+    *
+    * The rank is a single-partition window: the input is DIRECTORY
+    * cardinality (one row per matched series — the reference serves it
+    * from one in-memory Directory service), so even at 100 TB of point
+    * history the match set is metadata-sized and a one-partition sort
+    * is cheaper than RankOps.globalRank's range-repartition (whose
+    * bounds SAMPLING job + persist cost ~4 extra stages per paged
+    * fetch; ranks are identical — both order by gtsid). */
   def pageIds(ids: org.apache.spark.sql.DataFrame, gskip: Long,
               gcount: Long): org.apache.spark.sql.DataFrame = {
     val hi = if (gcount >= Long.MaxValue - gskip) Long.MaxValue else gskip + gcount
-    RankOps.globalRank(ids.select(col("gtsid")).distinct(), Seq(col("gtsid")))
+    val rk = org.apache.spark.sql.expressions.Window.orderBy(col("gtsid"))
+    ids.select(col("gtsid")).distinct()
+      .withColumn("rank", row_number().over(rk))
       .filter(col("rank") > gskip && col("rank") <= hi)
       .select(col("gtsid"))
   }

@@ -451,41 +451,73 @@ object WsQueries5 {
       // at sf0.1) while each face alone costs 0.3-1.3 s — on a real
       // cluster concurrent job submission over a shared scheduler is
       // exactly how a multi-tenant FETCH front end behaves.
-      val e = engine(s, dir, cents = true, withMeta = true)
       val cut = LB - 24L * 3600L * 1000000L
-      def face(prog: String): DataFrame = e.runToFrame(prog)
-        .select(col("class"), userid, col("vdouble"))
-        .groupBy(col("class"), col("userid"))
-        .agg(count(lit(1)).as("n"), sum(col("vdouble")).cast("long").as("v"))
-      val multiF = face(
+      // one engine PER face: each program interprets on its own engine
+      // instance (fresh State per run; no shared prng/lastError), so
+      // the seven driver-side interpretations can run concurrently.
+      // The persisted directory is still shared — the engines' meta
+      // closures all resolve through WsQueries.metaCache.
+      def face(prog: String): DataFrame =
+        engine(s, dir, cents = true, withMeta = true).runToFrame(prog)
+          .select(col("class"), userid, col("vdouble"))
+          .groupBy(col("class"), col("userid"))
+          .agg(count(lit(1)).as("n"), sum(col("vdouble")).cast("long").as("v"))
+      val multiProg =
         s"""{ 'selectors' [ 'events.click{user~[0-9]}' '~events\\.(click|view){user~1}' ]
-           |  'end' $LB 'timespan' $LB } FETCH""".stripMargin)
+           |  'end' $LB 'timespan' $LB } FETCH""".stripMargin
       // pages 0..3 over the 20 selpairs-matched series: npages per
       // series must be exactly 1 and the union of pages must equal
       // the unpaged fetch
-      val pageFs = (0 to 3).map { p =>
-        face(s"""{ 'selpairs' [ [ 'events.click' { 'user' '~[0-9]' } ]
+      val pageProgs = (0 to 3).map { p =>
+        s"""{ 'selpairs' [ [ 'events.click' { 'user' '~[0-9]' } ]
            |               [ 'events.view' { 'user' '~[0-9]' } ] ]
            |  'end' $LB 'timespan' $LB 'gskip' ${p * 7L} 'gcount' 7 } FETCH"""
-          .stripMargin)
+          .stripMargin
       }
-      def actF(key: String) = face(
+      def actProg(key: String) =
         s"""{ 'selector' '~events\\..*{user~[0-9]}'
-           |  'end' $LB 'timespan' $LB '$key' $cut } FETCH""".stripMargin)
+           |  'end' $LB 'timespan' $LB '$key' $cut } FETCH""".stripMargin
       def rows(df: DataFrame): Seq[(String, String, Long, Long)] =
         df.collect().toSeq.map(r =>
           (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
-      // warm the persisted shared directory with one tiny count so the
-      // concurrent faces reuse cached blocks instead of racing 7
-      // duplicate directory builds, then run ALL seven face jobs at once
-      WsQueries.warmMeta(s, dir, cents = true)
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.global
-      val rest = Await.result(Future.sequence(
-        (Seq(multiF, actF("active.after"), actF("quiet.after")) ++ pageFs)
-          .map(f => Future(rows(f)))), Duration.Inf)
+      // Three overlapped phases (r13 — the serial version paid
+      // interpret(1.3s) + warm(1.0s) + jobs(2.7s) end to end):
+      // 1. the directory warm-up count is a CLUSTER job — kick it off
+      //    first so it overlaps the driver-side work;
+      // 2. the seven program interpretations are DRIVER-side (tokenize
+      //    + Catalyst plan assembly) — run them concurrently under the
+      //    warm-up's shadow;
+      // 3. await the warm so the seven collect jobs reuse cached
+      //    directory blocks instead of racing duplicate builds, then
+      //    submit all seven jobs at once (multi-tenant front-end shape).
+      // The faces are tiny-stage-count-bound, not data-bound (the
+      // whole directory is metadata-sized, the point sets aggregate to
+      // per-series rows), so per-exchange AQE re-planning latency is
+      // pure overhead here — plan the seven faces with AQE off and
+      // small shuffles, restoring the session confs after. At 100 TB
+      // the same front-end request mix stays directory/aggregate-
+      // bound: the per-request constants are the cost that matters.
+      val __aqe = s.conf.get("spark.sql.adaptive.enabled", "true")
+      val __sp = s.conf.get("spark.sql.shuffle.partitions", "32")
+      val rest = try {
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val warmF = Future(WsQueries.warmMeta(s, dir, cents = true))
+        val progs = Seq(multiProg, actProg("active.after"),
+          actProg("quiet.after")) ++ pageProgs
+        val plans = Await.result(
+          Future.sequence(progs.map(p => Future(face(p)))), Duration.Inf)
+        Await.result(warmF, Duration.Inf)
+        Await.result(
+          Future.sequence(plans.map(f => Future(rows(f)))), Duration.Inf)
+      } finally {
+        s.conf.set("spark.sql.adaptive.enabled", __aqe)
+        s.conf.set("spark.sql.shuffle.partitions", __sp)
+      }
       val (multiRows, actRows, quietRows, pageRows) =
         (rest(0), rest(1), rest(2), rest.drop(3))
       val nv = multiRows.map(t => ("multi", t._1, t._2, t._3, t._4)) ++
