@@ -38,7 +38,7 @@ object SparkEntry {
     * per-query timing. The bench lists prewarmed rows in its artifact;
     * Verify ignores this (the queries build lazily on their own). */
   def prewarm: Map[String, (SparkSession, String) => Unit] =
-    TextQueries2.prewarm
+    TextQueries2.prewarm ++ StreamQueries.prewarm
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
