@@ -871,7 +871,22 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
     case "INTERPOLATE" =>
       val b = toBucketed(st.pop())
       st.push(b.copy(frame = GtsFrame(b.frame.fillLinear(b.lastbucket, b.span, b.count))))
-    case "DEDUP" => st.push(keepBuckets(st.pop())(_.dedup()))
+    // DEDUP (fn/DEDUP.java → GTSHelper.dedup:7193-7216): keep ONE point
+    // per tick — the reference keeps "the last value found for a given
+    // timestamp" in backing-array (append) order. A stack-built series
+    // still CARRIES that order (GtsBuilder.points is the append
+    // vector), so dedup it exactly: last occurrence per tick, original
+    // order otherwise. Storage-backed frames have no append order (the
+    // long table is ts-keyed, where the two rules coincide) and use
+    // GtsFrame.dedup's canonical-max determinization — see COVERAGE.md.
+    case "DEDUP" => st.pop() match {
+      case b: WarpScriptEngine.GtsBuilder =>
+        val lastIdx = b.points.zipWithIndex
+          .groupBy(_._1._1).map { case (ts, ps) => (ts, ps.last._2) }
+        st.push(b.copy(points = b.points.zipWithIndex
+          .filter { case (p, i) => lastIdx(p._1) == i }.map(_._1)))
+      case other => st.push(keepBuckets(other)(_.dedup()))
+    }
     // COMPACT (fn/COMPACT.java → GTSHelper.compact preserveRanges
     // false): run starts + the series' last point
     case "COMPACT" => st.push(keepBuckets(st.pop())(_.compact(preserveRanges = false)))

@@ -310,6 +310,25 @@ class WarpScriptSpec extends SparkSpec {
     assert(labels("src") == "stack")
   }
 
+  test("DEDUP on a stack-built series keeps the LAST appended duplicate tick") {
+    // GTSHelper.dedup:7193-7216 keeps "the last value found for a given
+    // timestamp" in append order — observable only on a stack-built
+    // series, where conflicting values share a tick and the LOWER one
+    // arrives last (the storage path's canonical-max pick would differ).
+    val e = new WarpScriptEngine(
+      fetch = (_, _, _, _) => throw new UnsupportedOperationException,
+      nowTs = 0L, session = Some(spark))
+    val df = e.runToFrame(
+      """NEWGTS 'script.dup' RENAME
+        |100 NaN NaN NULL 9.0 ADDVALUE
+        |100 NaN NaN NULL 1.5 ADDVALUE
+        |200 NaN NaN NULL 2.5 ADDVALUE
+        |DEDUP""".stripMargin)
+    val got = df.select("ts", "vdouble").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(got.toSeq == Seq((100L, 1.5), (200L, 2.5)))
+  }
+
   test("a realistic monitoring script end-to-end") {
     import spark.implicits._
     import org.apache.spark.sql.types._
