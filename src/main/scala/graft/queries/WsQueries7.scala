@@ -178,6 +178,35 @@ object WsQueries7 {
         .unionByName(face("ABS", "abs", fromLong = false))
     }),
 
+    // DEDUP's two documented tie-break faces (GTSHelper.dedup:
+    // 7193-7216 keeps "the last value found for a given timestamp" in
+    // append order; COVERAGE.md §2.2): a STACK-BUILT series carries
+    // append order in GtsBuilder.points and keeps the LAST appended
+    // duplicate (r13); a storage/overlay-backed frame carries no
+    // append order (the long table is ts-keyed) and keeps the
+    // documented deterministic canonical MAXIMUM — the overlay face
+    // plants conflicting duplicate ticks through MAKEGTS+UPDATE and
+    // fetches them back, pinning that determinization in the gate.
+    "w144_ws_dedup_ties" -> ((s, dir) => {
+      val e = engine(s, dir, cents = false)
+      val stackFace = e.runToFrame(
+        """NEWGTS 'script.dup' RENAME
+          |100 NaN NaN NULL 9 ADDVALUE
+          |100 NaN NaN NULL 15 ADDVALUE
+          |200 NaN NaN NULL 25 ADDVALUE
+          |200 NaN NaN NULL 7 ADDVALUE
+          |300 NaN NaN NULL 3 ADDVALUE
+          |DEDUP""".stripMargin)
+      val overlayFace = e.runToFrame(
+        """[ 1000 1000 2000 ] [ ] [ ] [ ] [ 5 9 3 ] MAKEGTS
+          |'script.dup2' RENAME UPDATE
+          |[ '' 'script.dup2' { } 100000 100001 ] FETCH DEDUP""".stripMargin)
+      def face(df: DataFrame, tag: String) =
+        df.select(lit(tag).as("which"), col("ts"),
+          coalesce(col("vlong"), col("vdouble").cast(LongType)).as("v"))
+      face(stackFace, "stack").unionByName(face(overlayFace, "overlay"))
+    }),
+
     // the binary operator family's GTS faces (binary/ADD.java, SUB,
     // MUL, ComparisonOperation, BitwiseOperation — r12): two
     // single-series daily-bucketized frames drive GTS×GTS `+` (inner
@@ -504,6 +533,17 @@ object WsQueries7 {
          |  CAST(CAST(floor(vdouble + 0.5) AS BIGINT) AS DOUBLE) FROM g
          |UNION ALL
          |SELECT 'abs', class, userid, ts, abs(vdouble) FROM g""".stripMargin,
+
+    // hand-derived (VALUES) oracle — both faces are determinized
+    // semantics over literal inputs: last-appended for the stack face,
+    // canonical max for the overlay face
+    "w144_ws_dedup_ties" ->
+      """SELECT 'stack' AS which, CAST(ts AS BIGINT) AS ts,
+        |  CAST(v AS BIGINT) AS v
+        |FROM (VALUES (100, 15), (200, 7), (300, 3)) t(ts, v)
+        |UNION ALL
+        |SELECT 'overlay', CAST(ts AS BIGINT), CAST(v AS BIGINT)
+        |FROM (VALUES (1000, 9), (2000, 3)) t(ts, v)""".stripMargin,
 
     // daily end-anchored bucket sums of user 1's clicks/views; the
     // GTS faces replay as: inner ts join (+ and the < filter), plain
