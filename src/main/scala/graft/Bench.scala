@@ -171,7 +171,11 @@ object Bench {
           case None =>
             System.err.println(s"[bench] retry fork failed for ${batch.mkString(",")}; keeping prior timings")
         }
-      suspects.grouped(5).foreach(retryBatch)
+      // Most-suspicious first: the wall budget may expire before every
+      // batch runs (r13 board: 23 suspects, budget covered ~3 of 5
+      // batches and the ones skipped were simply last alphabetically),
+      // so spend it on the rows a contended window inflates the most.
+      suspects.sortBy(n => -merged(n)).grouped(5).foreach(retryBatch)
       // second chance, singleton fresh JVM: rows whose attempts still
       // disagree >1.5x (one of them was contended), or whose best
       // attempt is so far above the board median that a contended
