@@ -198,7 +198,7 @@ object WsQueries7 {
           |300 NaN NaN NULL 3 ADDVALUE
           |DEDUP""".stripMargin)
       val overlayFace = e.runToFrame(
-        """[ 1000 1000 2000 ] [ ] [ ] [ ] [ 5 9 3 ] MAKEGTS
+        """[ 1000 1000 2000 ] [ ] [ ] [ ] [ 9 5 3 ] MAKEGTS
           |'script.dup2' RENAME UPDATE
           |[ '' 'script.dup2' { } 100000 100001 ] FETCH DEDUP""".stripMargin)
       def face(df: DataFrame, tag: String) =
