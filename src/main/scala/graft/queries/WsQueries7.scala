@@ -207,6 +207,44 @@ object WsQueries7 {
       face(stackFace, "stack").unionByName(face(overlayFace, "overlay"))
     }),
 
+    // the order-word family on stack-built series (faithful r13
+    // audit): CLONEREVERSE is list REVERSE(stable=false)
+    // (WarpScriptLib.java:2042), TICKLIST is per-point current-order
+    // ticks with duplicates (GTSHelper.tickList:1310), VALUESORT
+    // reorders by (value, tick) observably via VALUES' current-order
+    // read, ATINDEX wraps negative indexes
+    // (GET.computeAndCheckIndex:111), LASTSORT orders a GTS list by
+    // newest-tick value with empties last, and METASORT consumes its
+    // mandatory fields list (the old binding left it on the stack)
+    "w145_ws_order_words" -> ((s, dir) => {
+      val e = engine(s, dir, cents = false)
+      val dup = """NEWGTS 'g' RENAME
+                  |300 NaN NaN NULL 7 ADDVALUE
+                  |100 NaN NaN NULL 9 ADDVALUE
+                  |100 NaN NaN NULL 5 ADDVALUE""".stripMargin
+      def csv(prog: String) = e.run(prog).head
+        .asInstanceOf[Vector[Any]].mkString(",")
+      val lastsort = e.run(
+        """[ NEWGTS 'a' RENAME 10 NaN NaN NULL 9 ADDVALUE
+          |  NEWGTS 'b' RENAME 20 NaN NaN NULL 2 ADDVALUE
+          |  NEWGTS 'c' RENAME ] LASTSORT""".stripMargin).head
+        .asInstanceOf[Vector[graft.script.WarpScriptEngine.GtsBuilder]]
+      val metasort = e.run(
+        """[ NEWGTS 'x' RENAME { 'u' '2' } RELABEL
+          |  NEWGTS 'y' RENAME { 'u' '1' } RELABEL ] [ 'u' ] METASORT
+          |DEPTH""".stripMargin)
+      s.range(1).select(
+        lit(csv("[ 1 2 3 ] CLONEREVERSE")).as("clonerev"),
+        lit(csv(s"$dup TICKLIST")).as("ticklist"),
+        lit(csv(s"$dup VALUESORT VALUES")).as("vsort"),
+        lit(csv(s"$dup RVALUESORT VALUES")).as("rvsort"),
+        lit(e.run(s"$dup -1 ATINDEX 4 GET").head.asInstanceOf[Long]).as("at_neg1"),
+        lit(lastsort.map(_.cls).mkString(",")).as("lastsort"),
+        lit(metasort.head.asInstanceOf[Long]).as("metasort_depth"),
+        lit(metasort(1).asInstanceOf[Vector[graft.script.WarpScriptEngine.GtsBuilder]]
+          .map(_.cls).mkString(",")).as("metasort"))
+    }),
+
     // the binary operator family's GTS faces (binary/ADD.java, SUB,
     // MUL, ComparisonOperation, BitwiseOperation — r12): two
     // single-series daily-bucketized frames drive GTS×GTS `+` (inner
@@ -533,6 +571,15 @@ object WsQueries7 {
          |  CAST(CAST(floor(vdouble + 0.5) AS BIGINT) AS DOUBLE) FROM g
          |UNION ALL
          |SELECT 'abs', class, userid, ts, abs(vdouble) FROM g""".stripMargin,
+
+    // hand-derived literal oracle — every face is a determinized
+    // semantic over literal stack inputs (reference traces in the
+    // query's Scaladoc)
+    "w145_ws_order_words" ->
+      """SELECT '3,2,1' AS clonerev, '300,100,100' AS ticklist,
+        |  '5,7,9' AS vsort, '9,7,5' AS rvsort,
+        |  CAST(5 AS BIGINT) AS at_neg1, 'b,a,c' AS lastsort,
+        |  CAST(1 AS BIGINT) AS metasort_depth, 'y,x' AS metasort""".stripMargin,
 
     // hand-derived (VALUES) oracle — both faces are determinized
     // semantics over literal inputs: last-appended for the stack face,

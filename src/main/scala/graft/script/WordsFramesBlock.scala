@@ -997,9 +997,16 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
     // cloneEmpty COPIES the bucket fields (GeoTimeSerie.java:369-375)
     case "CLONEEMPTY" => st.push(keepBuckets(st.pop())(f =>
       GtsFrame(f.df.limit(0))))
-    case "TICKLIST" =>
-      st.push(toFrame(st.pop()).df.select(col("ts")).distinct()
+    // TICKLIST (GTSHelper.tickList:1310-1318): one entry PER POINT in
+    // the CURRENT order — no dedup, no sort (TICKS is the set+sort
+    // word). Builder: append order; frame: canonical tick order with
+    // duplicates kept (the old distinct() dropped duplicate ticks)
+    case "TICKLIST" => st.pop() match {
+      case b: WarpScriptEngine.GtsBuilder =>
+        st.push(b.points.map(_._1).toVector)
+      case o => st.push(toFrame(o).df.select(col("ts"))
         .collect().map(_.getLong(0)).sorted.toVector)
+    }
     // CORRELATE (continuum/gts/CORRELATE.java, faithful r11): base-gts
     // [gts...] [offsets] CORRELATE → per input series a lag cross-
     // correlation GTS (ticks = offsets); operands must share the

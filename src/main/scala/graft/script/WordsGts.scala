@@ -157,12 +157,68 @@ private[script] object WordsGts {
             .filter(col("__rn") <= math.abs(n)).drop("__rn")))
         }
 
-      // order-rewriting words: the frame is a SET of points — every
-      // order-sensitive consumer sorts internally, so these pass
-      // through (same contract as SORT/RSORT)
-      case "CLONEREVERSE" | "VALUESORT" | "RVALUESORT" | "LASTSORT" |
-           "METASORT" =>
-        st.push(st.pop())
+      // ---- order words (faithful r13 audit). The reference's GTS
+      // carries ARRAY ORDER as state; a stack-built GtsBuilder carries
+      // the same (its append vector), so order words act on it
+      // exactly. A storage frame remains a canonical point SET whose
+      // order-sensitive consumers sort internally — the documented
+      // determinization (same argument as DEDUP, COVERAGE.md §2.2).
+      // CLONEREVERSE (WarpScriptLib.java:2042 registers it as
+      // `new REVERSE(name, stable=false)`) is NOT a GTS word at all —
+      // it copy-reverses a LIST, STRING or byte array; the old binding
+      // passed lists through UNreversed.
+      case "CLONEREVERSE" => st.pop() match {
+        case v: Vector[Any @unchecked] => st.push(v.reverse)
+        case s: String => st.push(s.reverse)
+        case bs: Array[Byte] => st.push(bs.reverse)
+        case o => throw new IllegalArgumentException(
+          s"CLONEREVERSE operates on a list, byte array or String, got $o")
+      }
+      // VALUESORT/RVALUESORT (GTSHelper.valueSort → quicksortByValue:
+      // 735-935): reorder each series' points by (value, tick), BOTH
+      // reversed for R; boolean series sort false-block-then-true
+      // (booleanGTSSplit:706-733), which the same comparator yields
+      case "VALUESORT" | "RVALUESORT" => st.pop() match {
+        case b: GtsBuilder => st.push(valueSortBuilder(b, w == "RVALUESORT"))
+        case v: Vector[Any @unchecked] => st.push(v.map {
+          case b: GtsBuilder => valueSortBuilder(b, w == "RVALUESORT")
+          case o => o
+        })
+        case o => st.push(o)
+      }
+      // LASTSORT (fn/LASTSORT.java LAST_COMPARATOR): sort a LIST of
+      // series by the value at their newest tick — empty series last,
+      // ties broken newer-tick-first, then metadata text order
+      case "LASTSORT" => st.pop() match {
+        case v: Vector[Any @unchecked] =>
+          st.push(v.sortWith((a, b) => lastCompare(a, b, en) < 0))
+        case o => st.push(o)
+      }
+      // METASORT (fn/METASORT.java): [gts...] [fields] (attrFlag?)
+      // METASORT — pops the optional boolean and the MANDATORY fields
+      // list (the old binding consumed neither: an arity bug), then
+      // sorts the list by MetadataTextComparator — no fields: name,
+      // interleaved sorted label (k,v) pairs, label count; with
+      // fields: each field's label value (null field = the name),
+      // nulls first (MetadataTextComparator.java:105-139)
+      case "METASORT" =>
+        val fields = st.pop() match {
+          case _: Boolean => st.pop() match {
+            case fs: Vector[Any @unchecked] => fs
+            case o => throw new IllegalArgumentException(
+              s"METASORT expects a list of fields, got $o")
+          }
+          case fs: Vector[Any @unchecked] => fs
+          case o => throw new IllegalArgumentException(
+            s"METASORT expects a list of fields on top of the stack, got $o")
+        }
+        val fs = fields.map(f => if (f == null) null else f.toString)
+        st.pop() match {
+          case v: Vector[Any @unchecked] =>
+            st.push(v.sortWith((a, b) =>
+              metaCompare(metaOf(a, en), metaOf(b, en), fs) < 0))
+          case o => st.push(o)
+        }
       // FUSE (fn/FUSE.java): merge the chunks of a GTS list
       case "FUSE" => st.push(en.toFrame(st.pop()))
       // NONEMPTY on GTS lists: an empty series has no rows in the
@@ -176,23 +232,39 @@ private[script] object WordsGts {
         collectGuard(f.df, w)
         st.push(f.df.select(col("ts")).distinct()
           .collect().map(_.getLong(0)).sorted.toVector)
-      case "VALUES" =>
-        val df = singleSeries(en.toFrame(st.pop()), w)
-        collectGuard(df, w)
-        st.push(typedRows(df).map(_._2: Any).toVector)
-      case "LOCATIONS" =>
-        val df = singleSeries(en.toFrame(st.pop()), w)
-        collectGuard(df, w)
-        val rows = df.select(col("ts"), col("lat"), col("lon")).collect()
-          .sortBy(_.getLong(0))
-        st.push(rows.map(r => if (r.isNullAt(1)) Double.NaN else r.getDouble(1): Any).toVector)
-        st.push(rows.map(r => if (r.isNullAt(2)) Double.NaN else r.getDouble(2): Any).toVector)
-      case "ELEVATIONS" =>
-        val df = singleSeries(en.toFrame(st.pop()), w)
-        collectGuard(df, w)
-        st.push(df.select(col("ts"), col("elev")).collect()
-          .sortBy(_.getLong(0))
-          .map(r => if (r.isNullAt(1)) null else r.getLong(1): Any).toVector)
+      // VALUES/LOCATIONS/ELEVATIONS read the CURRENT point order
+      // (fn/VALUES.java loops valueAtIndex 0..n — no sort): a builder
+      // answers in its own order (append, or post-VALUESORT); a frame
+      // answers in canonical tick order (the at-rest order)
+      case "VALUES" => st.pop() match {
+        case b: GtsBuilder => st.push(b.points.map(_._4).toVector)
+        case o =>
+          val df = singleSeries(en.toFrame(o), w)
+          collectGuard(df, w)
+          st.push(typedRows(df).map(_._2: Any).toVector)
+      }
+      case "LOCATIONS" => st.pop() match {
+        case b: GtsBuilder =>
+          st.push(b.points.map(p => p._2.map(_._1).getOrElse(Double.NaN): Any).toVector)
+          st.push(b.points.map(p => p._2.map(_._2).getOrElse(Double.NaN): Any).toVector)
+        case o =>
+          val df = singleSeries(en.toFrame(o), w)
+          collectGuard(df, w)
+          val rows = df.select(col("ts"), col("lat"), col("lon")).collect()
+            .sortBy(_.getLong(0))
+          st.push(rows.map(r => if (r.isNullAt(1)) Double.NaN else r.getDouble(1): Any).toVector)
+          st.push(rows.map(r => if (r.isNullAt(2)) Double.NaN else r.getDouble(2): Any).toVector)
+      }
+      case "ELEVATIONS" => st.pop() match {
+        case b: GtsBuilder =>
+          st.push(b.points.map(p => p._3.getOrElse(null): Any).toVector)
+        case o =>
+          val df = singleSeries(en.toFrame(o), w)
+          collectGuard(df, w)
+          st.push(df.select(col("ts"), col("elev")).collect()
+            .sortBy(_.getLong(0))
+            .map(r => if (r.isNullAt(1)) null else r.getLong(1): Any).toVector)
+      }
       // ATTICK / ATINDEX (fn/ATTICK.java, ATINDEX: [ tick lat lon
       // elev value ] of the point at a tick / at tick-order index)
       case "ATTICK" =>
@@ -202,15 +274,30 @@ private[script] object WordsGts {
           .select(pointCols: _*)
           .collect()
         st.push(pointList(rows.headOption, tick))
+      // ATINDEX indexes the CURRENT order with python-style negative
+      // wrap and an out-of-bounds error (ATINDEX.java:49 →
+      // GET.computeAndCheckIndex:111-122): builder = its own order;
+      // frame = canonical tick order
       case "ATINDEX" =>
-        val idx = st.popLong()
-        val df = singleSeries(en.toFrame(st.pop()), w)
-        val rows = df.withColumn("__rn", row_number().over(tickWindow))
-          .filter(col("__rn") === idx + 1)
-          .select(pointCols: _*)
-          .collect()
-        require(rows.nonEmpty, s"ATINDEX: no point at index $idx")
-        st.push(pointList(rows.headOption, 0L))
+        val idx0 = st.popLong()
+        st.pop() match {
+          case b: GtsBuilder =>
+            val idx = checkIndex(idx0, b.points.length.toLong)
+            val (ts, loc, elev, v) = b.points(idx.toInt)
+            st.push(Vector[Any](ts,
+              loc.map(_._1).getOrElse(Double.NaN),
+              loc.map(_._2).getOrElse(Double.NaN),
+              elev.map(_.asInstanceOf[Any]).orNull, v))
+          case o =>
+            val df = singleSeries(en.toFrame(o), w)
+            val idx = if (idx0 >= 0) idx0 else checkIndex(idx0, df.count())
+            val rows = df.withColumn("__rn", row_number().over(tickWindow))
+              .filter(col("__rn") === idx + 1)
+              .select(pointCols: _*)
+              .collect()
+            require(rows.nonEmpty, s"Index out of bound, $idx0 >= ${df.count()}")
+            st.push(pointList(rows.headOption, 0L))
+        }
 
       // ---- point editors (fn/SETVALUE.java, REMOVETICK)
       case "SETVALUE" =>
@@ -611,5 +698,120 @@ private[script] object WordsGts {
           if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
           if (r.isNullAt(3)) null else r.getLong(3),
           v)
+    }
+
+  // ---- order-word helpers (faithful r13 audit)
+
+  /** GET.computeAndCheckIndex:111-122 — negative wraps once, then both
+    * bounds throw with the reference's message shapes. */
+  private def checkIndex(index: Long, size: Long): Long = {
+    var idx = index
+    if (idx < 0) idx += size
+    else require(idx < size, s"Index out of bound, $idx >= $size")
+    require(idx >= 0, s"Index out of bound, ${idx - size} < -$size")
+    idx
+  }
+
+  /** LASTSORT's mixed-type value chain (fn/LASTSORT.java:45-60); for
+    * VALUESORT the comparator is per-type (a GTS is single-type) and
+    * this chain restricted to one type is identical. */
+  private def cmpValues(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      java.lang.Double.compare(x.doubleValue, y.doubleValue)
+    case _ => String.valueOf(a).compareTo(String.valueOf(b))
+  }
+
+  /** quicksortByValue's order — (value, tick) ascending, both reversed
+    * for RVALUESORT — applied to the builder's append vector. */
+  private def valueSortBuilder(b: GtsBuilder, rev: Boolean): GtsBuilder = {
+    val ord = new Ordering[(Long, Option[(Double, Double)], Option[Long], Any)] {
+      def compare(p: (Long, Option[(Double, Double)], Option[Long], Any),
+                  q: (Long, Option[(Double, Double)], Option[Long], Any)): Int = {
+        val c = cmpValues(p._4, q._4)
+        if (c != 0) c else java.lang.Long.compare(p._1, q._1)
+      }
+    }
+    b.copy(points = b.points.sorted(if (rev) ord.reverse else ord))
+  }
+
+  /** The element's newest point (tick, typed value) — builder: max
+    * tick, last-appended among equal max ticks; frame: the max-ts row
+    * (one-row collect). None when empty. */
+  private def lastPoint(x: Any, en: WarpScriptEngine): Option[(Long, Any)] = x match {
+    case b: GtsBuilder =>
+      if (b.points.isEmpty) None
+      else {
+        val mt = b.points.iterator.map(_._1).max
+        b.points.reverseIterator.find(_._1 == mt).map(p => (p._1, p._4))
+      }
+    case o =>
+      typedRows(en.toFrame(o).df.orderBy(col("ts").desc).limit(1)).headOption
+  }
+
+  /** The element's (class, labels) metadata. */
+  private def metaOf(x: Any, en: WarpScriptEngine): (String, Map[String, String]) =
+    x match {
+      case b: GtsBuilder => (b.cls, b.labels)
+      case o =>
+        val r = en.toFrame(o).df.select(col("class"), col("labels"))
+          .limit(1).collect()
+        if (r.isEmpty) ("", Map.empty)
+        else (r(0).getString(0), r(0).getMap[String, String](1).toMap)
+    }
+
+  /** MetadataTextComparator mirror (MetadataTextComparator.java:27-139;
+    * our elements carry no attributes at this surface, so the
+    * attribute legs compare equal). `fields` empty → the no-fields
+    * form: name, zero-label rule, interleaved sorted label (k,v)
+    * pairs, label count. Non-empty → per-field label value (null
+    * field = the name), nulls first. */
+  private def metaCompare(m1: (String, Map[String, String]),
+                          m2: (String, Map[String, String]),
+                          fields: Vector[String]): Int = {
+    val ((n1, l1), (n2, l2)) = (m1, m2)
+    if (fields.nonEmpty) {
+      fields.foreach { f =>
+        val s1 = if (f == null) n1 else l1.get(f).orNull
+        val s2 = if (f == null) n2 else l2.get(f).orNull
+        if (s1 == null && s2 != null) return -1
+        if (s2 == null && s1 != null) return 1
+        if (s1 != null) {
+          val c = s1.compareTo(s2)
+          if (c != 0) return c
+        }
+      }
+      0
+    } else {
+      val c = n1.compareTo(n2)
+      if (c != 0) return c
+      if (l1.isEmpty && l2.nonEmpty) return -1
+      if (l2.isEmpty && l1.nonEmpty) return 1
+      val k1 = l1.keys.toVector.sorted; val k2 = l2.keys.toVector.sorted
+      var i = 0
+      while (i < k1.size && i < k2.size) {
+        val ck = k1(i).compareTo(k2(i)); if (ck != 0) return ck
+        val cv = l1(k1(i)).compareTo(l2(k2(i))); if (cv != 0) return cv
+        i += 1
+      }
+      Integer.compare(l1.size, l2.size)
+    }
+  }
+
+  /** LAST_COMPARATOR mirror (fn/LASTSORT.java:31-75). */
+  private def lastCompare(a: Any, b: Any, en: WarpScriptEngine): Int =
+    (lastPoint(a, en), lastPoint(b, en)) match {
+      case (None, None) => metaCompare(metaOf(a, en), metaOf(b, en), Vector.empty)
+      case (None, _) => 1
+      case (_, None) => -1
+      case (Some((ta, va)), Some((tb, vb))) =>
+        val c = cmpValues(va, vb)
+        if (c != 0) c
+        else if (ta > tb) -1
+        else if (ta < tb) 1
+        else metaCompare(metaOf(a, en), metaOf(b, en), Vector.empty)
     }
 }

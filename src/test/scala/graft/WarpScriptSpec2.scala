@@ -424,6 +424,52 @@ class WarpScriptSpec2 extends SparkSpec {
       .head == 2L)
   }
 
+  test("order words on stack-built series (faithful r13 audit)") {
+    // CLONEREVERSE = REVERSE(stable=false): a LIST word, not a GTS one
+    // (WarpScriptLib.java:2042)
+    assert(top("[ 1 2 3 ] CLONEREVERSE") == Vector(3L, 2L, 1L))
+    assert(top("'abc' CLONEREVERSE") == "cba")
+    val dup = """NEWGTS 'g' RENAME
+                |300 NaN NaN NULL 7 ADDVALUE
+                |100 NaN NaN NULL 9 ADDVALUE
+                |100 NaN NaN NULL 5 ADDVALUE""".stripMargin
+    // TICKLIST: one entry per point, CURRENT order, duplicates kept
+    // (GTSHelper.tickList:1310); TICKS is the set+sort word
+    assert(top(s"$dup TICKLIST") == Vector(300L, 100L, 100L))
+    // VALUESORT reorders by (value, tick) — observable via VALUES
+    // (current-order read, fn/VALUES.java); RVALUESORT reverses both
+    assert(top(s"$dup VALUESORT VALUES") == Vector(5L, 7L, 9L))
+    assert(top(s"$dup RVALUESORT VALUES") == Vector(9L, 7L, 5L))
+    // ATINDEX: current order, python-style negative wrap, OOB throws
+    // (GET.computeAndCheckIndex:111-122)
+    def tsAndValue(p: Any) = {
+      val v = p.asInstanceOf[Vector[Any]]
+      assert(v(1).asInstanceOf[Double].isNaN && v(3) == null)
+      (v(0), v(4))
+    }
+    assert(tsAndValue(top(s"$dup -1 ATINDEX")) == ((100L, 5L)))
+    assert(tsAndValue(top(s"$dup VALUESORT 0 ATINDEX")) == ((100L, 5L)))
+    intercept[Exception](top(s"$dup 3 ATINDEX"))
+    // LASTSORT: by value at the newest tick, empty series last
+    // (fn/LASTSORT.java LAST_COMPARATOR)
+    val g1 = "NEWGTS 'a' RENAME 10 NaN NaN NULL 9 ADDVALUE"
+    val g2 = "NEWGTS 'b' RENAME 20 NaN NaN NULL 2 ADDVALUE"
+    val g3 = "NEWGTS 'c' RENAME"
+    val ls = eng.run(s"[ $g1 $g2 $g3 ] LASTSORT").head
+      .asInstanceOf[Vector[WarpScriptEngine.GtsBuilder]]
+    assert(ls.map(_.cls) == Vector("b", "a", "c"))
+    // METASORT consumes its fields list (the old binding left it on
+    // the stack) and sorts by name / by a label field, nulls first
+    val ms = eng.run(s"[ $g2 $g1 ] [ ] METASORT").head
+      .asInstanceOf[Vector[WarpScriptEngine.GtsBuilder]]
+    assert(ms.map(_.cls) == Vector("a", "b"))
+    val byLabel = eng.run(
+      s"""[ NEWGTS 'x' RENAME { 'u' '2' } RELABEL
+         |  NEWGTS 'y' RENAME { 'u' '1' } RELABEL ] [ 'u' ] METASORT"""
+        .stripMargin).head.asInstanceOf[Vector[WarpScriptEngine.GtsBuilder]]
+    assert(byLabel.map(_.cls) == Vector("y", "x"))
+  }
+
   test("bucket metadata words") {
     val e = engWith(sampleFrame)
     val prog = "[ [ '' '~.*' { } 100000000 100000001 ] FETCH bucketizer.sum 9000000 1 s 0 ] BUCKETIZE"
