@@ -242,7 +242,16 @@ object WsQueries7 {
         lit(lastsort.map(_.cls).mkString(",")).as("lastsort"),
         lit(metasort.head.asInstanceOf[Long]).as("metasort_depth"),
         lit(metasort(1).asInstanceOf[Vector[graft.script.WarpScriptEngine.GtsBuilder]]
-          .map(_.cls).mkString(",")).as("metasort"))
+          .map(_.cls).mkString(",")).as("metasort"),
+        // SORT/RSORT/FULLSORT on the order-carrying builder
+        // (GTSHelper.sort / fullsort:282-331), SETVALUE's in-place
+        // first-occurrence replace (setValue:1596-1615) and
+        // REMOVETICK's collection face (REMOVETICK.java:9-28)
+        lit(csv(s"$dup SORT VALUES")).as("sort_vals"),
+        lit(csv(s"$dup RSORT TICKLIST")).as("rsort_ticks"),
+        lit(csv(s"$dup FULLSORT VALUES")).as("fullsort_vals"),
+        lit(csv(s"$dup [ 100 NaN NaN NULL 42 ] SETVALUE VALUES")).as("setvalue"),
+        lit(csv(s"$dup [ 100 ] REMOVETICK TICKLIST")).as("removetick"))
     }),
 
     // the binary operator family's GTS faces (binary/ADD.java, SUB,
@@ -579,7 +588,10 @@ object WsQueries7 {
       """SELECT '3,2,1' AS clonerev, '300,100,100' AS ticklist,
         |  '5,7,9' AS vsort, '9,7,5' AS rvsort,
         |  CAST(5 AS BIGINT) AS at_neg1, 'b,a,c' AS lastsort,
-        |  CAST(1 AS BIGINT) AS metasort_depth, 'y,x' AS metasort""".stripMargin,
+        |  CAST(1 AS BIGINT) AS metasort_depth, 'y,x' AS metasort,
+        |  '9,5,7' AS sort_vals, '300,100,100' AS rsort_ticks,
+        |  '5,9,7' AS fullsort_vals, '7,42,5' AS setvalue,
+        |  '300' AS removetick""".stripMargin,
 
     // hand-derived (VALUES) oracle — both faces are determinized
     // semantics over literal inputs: last-appended for the stack face,

@@ -1049,6 +1049,10 @@ object WarpScriptEngine {
     val attrs = mutable.Map.empty[Long, Map[String, String]]
     // ATTRSKIP flag (fn/ATTRSKIP.java): FINDSETS omits attribute sets
     var attrSkip = false
+    // ATTRDELTA stack mode (fn/ATTRDELTA.java →
+    // ATTRIBUTE_ATTRIBUTES_DELTA): META/UPDATE attribute handling
+    // becomes a delta merge while set; NULL ATTRDELTA reads it back
+    var attrDeltaMode = false
     // UPDATE/DELETE session point store (fn/UPDATE.java, DELETE.java):
     // the standalone reference writes through its embedded store;
     // here session-scope series that FETCH merges with the fetch hook.

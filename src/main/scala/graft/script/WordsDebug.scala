@@ -212,13 +212,8 @@ private[script] object WordsDebug {
           case _ => null
         })
 
-      // EMPTY / NONEMPTY (fn/EMPTY.java: split off series with no
-      // values — a point-row frame has no empty series, so EMPTY is the
-      // empty frame and NONEMPTY the identity)
-      case "EMPTY" =>
-        val f = en.toFrame(st.pop())
-        st.push(graft.operators.GtsFrame(f.df.limit(0)))
-      case "NONEMPTY" => st.push(en.toFrame(st.pop()))
+      // EMPTY / NONEMPTY moved to WordsGts (faithful list-filter
+      // faces, r13 audit) — WordsGts is consulted first in the chain
 
       // SET (fn/SET.java): list value idx SET → updated list (negative
       // from end; nested index path as a list)

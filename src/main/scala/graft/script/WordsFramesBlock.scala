@@ -925,7 +925,17 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
     // — NaN lat/lon and NULL elev mean absent, as in the reference.
     case "NEWGTS" | "NEWENCODER" => st.push(GtsBuilder("", Map.empty, Vector.empty))
     case "ADDVALUE" =>
-      val v: Any = st.pop() match {
+      // reference arities (ADDVALUE.java:14-56): five scalars
+      // `ts lat lon elev value`, or ONE [ts lat lon elev value] tuple
+      // (the mapper-result shape)
+      val (ts, lat, lon, elevRaw, rawV) = st.pop() match {
+        case tup: Vector[Any @unchecked] if tup.size == 5 =>
+          (asLong(tup(0)), asNum(tup(1)), asNum(tup(2)), tup(3), tup(4))
+        case value =>
+          val elev = st.pop(); val lon = st.popNum(); val lat = st.popNum()
+          (st.popLong(), lat, lon, elev, value)
+      }
+      val v: Any = rawV match {
         case l: Long => l
         case d: Double => d
         case b: Boolean => b
@@ -933,14 +943,12 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
         case bin: Array[Byte] => bin
         case o => throw new IllegalArgumentException(s"ADDVALUE value: $o")
       }
-      val elev = st.pop() match {
+      val elev = elevRaw match {
         case null => None
         case l: Long => Some(l)
         case d: Double if !d.isNaN => Some(d.toLong)
         case _ => None
       }
-      val lon = st.popNum(); val lat = st.popNum()
-      val ts = st.popLong()
       st.pop() match {
         case b: GtsBuilder =>
           val loc = if (lat.isNaN || lon.isNaN) None else Some((lat, lon))
@@ -1343,7 +1351,26 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
     // materialized point list; the frame algebra is set-semantic and
     // every order-sensitive operator sorts internally, so these accept
     // and pass the frame through unchanged
-    case "SORT" | "RSORT" | "FULLSORT" => st.push(toFrame(st.pop()))
+    // SORT/RSORT = GTSHelper.sort(gts, reversed) by tick; FULLSORT =
+    // fullsort:282-331 by (tick, value, location, elevation). A
+    // stack-built series keeps its order state (builder vector, stable
+    // among equal keys — the reference's quicksort leaves ties
+    // arbitrary; stability is the determinization); a frame stays the
+    // canonical point set (order-sensitive consumers sort internally)
+    case "SORT" | "RSORT" | "FULLSORT" => st.pop() match {
+      case b: WarpScriptEngine.GtsBuilder =>
+        val sorted = w match {
+          case "RSORT" => b.points.sortBy(_._1)(Ordering[Long].reverse)
+          case "SORT" => b.points.sortBy(_._1)
+          case _ => b.points.sortBy(p => (p._1,
+            WordsGts.valueSortKey(p._4),
+            p._2.map(_._1).getOrElse(Double.NaN),
+            p._2.map(_._2).getOrElse(Double.NaN),
+            p._3.getOrElse(Long.MinValue)))
+        }
+        st.push(b.copy(points = sorted))
+      case o => st.push(toFrame(o))
+    }
     // INTEGRATE (fn/INTEGRATE.java): gts initialValue INTEGRATE —
     // values are rates/second, left-rectangle time integral (r11: the
     // word now pops the reference's numeric initial value)

@@ -221,9 +221,29 @@ private[script] object WordsGts {
         }
       // FUSE (fn/FUSE.java): merge the chunks of a GTS list
       case "FUSE" => st.push(en.toFrame(st.pop()))
-      // NONEMPTY on GTS lists: an empty series has no rows in the
-      // frame encoding, so the merged frame is already the answer
-      case "NONEMPTY" => st.push(en.toFrame(st.pop()))
+      // EMPTY / NONEMPTY (fn/EMPTY.java, NONEMPTY.java — faithful r13
+      // audit): FILTER a list of series (flattened one level) into the
+      // empty / non-empty subset — the old NONEMPTY binding merged the
+      // list into one frame. Single-frame face: a point-row frame has
+      // no empty series, so EMPTY is the empty frame and NONEMPTY the
+      // identity (documented encoding)
+      case "EMPTY" | "NONEMPTY" =>
+        def isEmptySeries(x: Any): Boolean = x match {
+          case b: GtsBuilder => b.points.isEmpty
+          case o => en.toFrame(o).df.limit(1).count() == 0
+        }
+        st.pop() match {
+          case v: Vector[Any @unchecked] =>
+            val flat = v.flatMap {
+              case inner: Vector[Any @unchecked] => inner
+              case x => Vector(x)
+            }
+            st.push(flat.filter(x =>
+              if (w == "EMPTY") isEmptySeries(x) else !isEmptySeries(x)))
+          case o =>
+            if (w == "EMPTY") st.push(GtsFrame(en.toFrame(o).df.limit(0)))
+            else st.push(en.toFrame(o))
+        }
 
       // ---- point accessors (fn/TICKS.java, VALUES, LOCATIONS,
       // ELEVATIONS — single-series, tick-ordered, driver-bounded)
@@ -287,7 +307,7 @@ private[script] object WordsGts {
             st.push(Vector[Any](ts,
               loc.map(_._1).getOrElse(Double.NaN),
               loc.map(_._2).getOrElse(Double.NaN),
-              elev.map(_.asInstanceOf[Any]).orNull, v))
+              elev.map(_.asInstanceOf[Any]).getOrElse(Double.NaN), v))
           case o =>
             val df = singleSeries(en.toFrame(o), w)
             val idx = if (idx0 >= 0) idx0 else checkIndex(idx0, df.count())
@@ -301,7 +321,15 @@ private[script] object WordsGts {
 
       // ---- point editors (fn/SETVALUE.java, REMOVETICK)
       case "SETVALUE" =>
-        val p = st.pop().asInstanceOf[Vector[Any]]
+        // both reference arities (ADDVALUE.java:14-56, registered with
+        // overwrite=true as SETVALUE): a [ts lat lon elev value] tuple
+        // OR the five scalars `ts lat lon elev value` on the stack
+        val p: Vector[Any] = st.pop() match {
+          case v: Vector[Any @unchecked] => v
+          case value =>
+            val elev = st.pop(); val lon = st.pop(); val lat = st.pop()
+            Vector(st.pop(), lat, lon, elev, value)
+        }
         val tick = en.asLong(p(0))
         // the value keeps its runtime type (GTSHelper.setValue accepts
         // LONG/DOUBLE/BOOLEAN/STRING; the old asNum coerced to double)
@@ -319,8 +347,14 @@ private[script] object WordsGts {
               case l: Long => Some(l)
               case _ => None
             } else None
+            // overwrite=true replaces the FIRST point at the tick IN
+            // PLACE and leaves any other duplicates (GTSHelper
+            // .setValue:1596-1615 scans for the first match); only
+            // when absent does it append
+            val i = b.points.indexWhere(_._1 == tick)
             st.push(b.copy(points =
-              b.points.filterNot(_._1 == tick) :+ (tick, loc, elev, value)))
+              if (i >= 0) b.points.updated(i, (tick, loc, elev, value))
+              else b.points :+ (tick, loc, elev, value)))
           case other =>
             val f = en.toFrame(other)
             val df = singleSeries(f, w)
@@ -348,9 +382,22 @@ private[script] object WordsGts {
             st.push(GtsFrame(df.filter(col("ts") =!= tick)
               .unionByName(point.select(df.columns.map(col).toSeq: _*))))
         }
+      // REMOVETICK (fn/REMOVETICK.java:9-28): a tick OR a collection
+      // of ticks; prunes every point at those ticks. A builder keeps
+      // its remaining points' order (cloneEmpty + ordered re-add)
       case "REMOVETICK" =>
-        val tick = st.popLong()
-        st.push(GtsFrame(en.toFrame(st.pop()).df.filter(col("ts") =!= tick)))
+        val ticks: Set[Long] = st.pop() match {
+          case l: Long => Set(l)
+          case v: Vector[Any @unchecked] => v.map(en.asLong).toSet
+          case o => throw new IllegalArgumentException(
+            s"REMOVETICK expects a tick (LONG) or a collection thereof, got $o")
+        }
+        st.pop() match {
+          case b: GtsBuilder =>
+            st.push(b.copy(points = b.points.filterNot(p => ticks(p._1))))
+          case o => st.push(GtsFrame(
+            en.toFrame(o).df.filter(!col("ts").isInCollection(ticks))))
+        }
 
       // ---- per-series statistics scalars (fn/MUSIGMA.java,
       // fn/NSUMSUMSQ.java — both accumulate in EXACT BigDecimal "to
@@ -682,9 +729,13 @@ private[script] object WordsGts {
     col("elev"), col("vtype"), col("vlong"), col("vdouble"),
     col("vbool"), col("vstring"))
 
+  /** The reference's point tuple (ATINDEX.getTupleAtIndex:24-53, r13
+    * audit): an ABSENT point is [NaN NaN NaN NaN null] (no tick echo),
+    * and an absent elevation slot is Double.NaN, not null — the same
+    * convention FOREACH's GTS face already used. */
   private[script] def pointList(row: Option[org.apache.spark.sql.Row], tick: Long): Vector[Any] =
     row match {
-      case None => Vector[Any](tick, Double.NaN, Double.NaN, null, null)
+      case None => Vector[Any](Double.NaN, Double.NaN, Double.NaN, Double.NaN, null)
       case Some(r) =>
         val v: Any = r.getByte(4) match {
           case graft.model.GtsType.LONG => r.getLong(5)
@@ -696,7 +747,7 @@ private[script] object WordsGts {
           r.getLong(0),
           if (r.isNullAt(1)) Double.NaN else r.getDouble(1),
           if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
-          if (r.isNullAt(3)) null else r.getLong(3),
+          if (r.isNullAt(3)) Double.NaN else r.getLong(3),
           v)
     }
 
@@ -710,6 +761,18 @@ private[script] object WordsGts {
     else require(idx < size, s"Index out of bound, $idx >= $size")
     require(idx >= 0, s"Index out of bound, ${idx - size} < -$size")
     idx
+  }
+
+  /** Sortable key over a point's typed value for FULLSORT's
+    * (tick, value, location, elevation) order — per-type like the
+    * reference's fullquicksort (a GTS is single-type; the type rank
+    * only determinizes our mixed-builder artifact). */
+  private[script] def valueSortKey(v: Any): (Int, Double, String) = v match {
+    case l: Long => (0, l.toDouble, "")
+    case d: Double => (0, d, "")
+    case b: Boolean => (1, if (b) 1.0 else 0.0, "")
+    case s: String => (2, 0.0, s)
+    case o => (3, 0.0, String.valueOf(o))
   }
 
   /** LASTSORT's mixed-type value chain (fn/LASTSORT.java:45-60); for

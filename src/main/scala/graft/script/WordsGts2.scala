@@ -33,24 +33,39 @@ private[script] object WordsGts2 {
       // engine-side per-gtsid store (the distributed attribute pipeline
       // is MetaOps.metaUpsert, the m06 path; these words are the stack
       // surface). Empty value removes (ATTRDELTA semantics).
-      case "SETATTRIBUTES" | "ATTRDELTA" =>
-        val m = st.pop().asInstanceOf[Map[Any, Any]]
-          .map { case (k, v) => k.toString -> (if (v == null) "" else v.toString) }
+      // SETATTRIBUTES (SETATTRIBUTES.java updateAttribute:84-106,
+      // faithful r13 audit): merge ONTO the existing attributes — an
+      // EMPTY update map keeps them all (the old binding cleared); a
+      // NULL KEY in the map drops the existing set first (the RELABEL
+      // reset marker); a null or '' value removes that key
+      case "SETATTRIBUTES" =>
+        val raw = st.pop().asInstanceOf[Map[Any, Any]]
+        val reset = raw.keys.exists(_ == null)
+        val m = raw.collect { case (k, v) if k != null =>
+          k.toString -> (if (v == null) "" else v.toString) }
         val operand = st.pop()
         val f = en.toFrame(operand)
         val ids = f.df.select(col("gtsid")).distinct().collect().map(_.getLong(0))
         ids.foreach { id =>
-          val cur = st.attrs.getOrElse(id, Map.empty)
-          val merged =
-            if (w == "SETATTRIBUTES" && m.isEmpty) Map.empty[String, String]
-            else (cur ++ m).filter(_._2.nonEmpty)
-          st.attrs(id) = merged
+          val base = if (reset) Map.empty[String, String]
+                     else st.attrs.getOrElse(id, Map.empty)
+          st.attrs(id) = (base ++ m).filter(_._2.nonEmpty)
         }
         // metadata-only op: a bucketized operand keeps its params
         st.push(operand match {
           case bf: WarpScriptEngine.BucketedFrame => bf
           case _ => f
         })
+      // ATTRDELTA (fn/ATTRDELTA.java, faithful r13 audit — the old
+      // binding invented a per-GTS merge word): a STACK-MODE toggle.
+      // BOOLEAN sets the delta-attributes mode (UPDATE/META attribute
+      // handling becomes a delta merge); NULL pushes the current mode
+      case "ATTRDELTA" => st.pop() match {
+        case b: Boolean => st.attrDeltaMode = b
+        case null => st.push(st.attrDeltaMode)
+        case o => throw new IllegalArgumentException(
+          s"ATTRDELTA invalid parameter, expected a BOOLEAN or NULL, got $o")
+      }
       case "ATTRIBUTES" =>
         val df = singleSeries(en.toFrame(st.pop()), w)
         val id = df.select(col("gtsid")).limit(1).collect()(0).getLong(0)

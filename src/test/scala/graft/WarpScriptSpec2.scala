@@ -442,9 +442,11 @@ class WarpScriptSpec2 extends SparkSpec {
     assert(top(s"$dup RVALUESORT VALUES") == Vector(9L, 7L, 5L))
     // ATINDEX: current order, python-style negative wrap, OOB throws
     // (GET.computeAndCheckIndex:111-122)
+    // absent lat/elev slots are Double.NaN (ATINDEX.getTupleAtIndex)
     def tsAndValue(p: Any) = {
       val v = p.asInstanceOf[Vector[Any]]
-      assert(v(1).asInstanceOf[Double].isNaN && v(3) == null)
+      assert(v(1).asInstanceOf[Double].isNaN &&
+        v(3).asInstanceOf[Double].isNaN)
       (v(0), v(4))
     }
     assert(tsAndValue(top(s"$dup -1 ATINDEX")) == ((100L, 5L)))
@@ -468,6 +470,46 @@ class WarpScriptSpec2 extends SparkSpec {
          |  NEWGTS 'y' RENAME { 'u' '1' } RELABEL ] [ 'u' ] METASORT"""
         .stripMargin).head.asInstanceOf[Vector[WarpScriptEngine.GtsBuilder]]
     assert(byLabel.map(_.cls) == Vector("y", "x"))
+  }
+
+  test("SORT/SETVALUE/ADDVALUE/REMOVETICK faithful faces (r13 audit)") {
+    val dup = """NEWGTS 'g' RENAME
+                |300 NaN NaN NULL 7 ADDVALUE
+                |100 NaN NaN NULL 9 ADDVALUE
+                |100 NaN NaN NULL 5 ADDVALUE""".stripMargin
+    // SORT by tick (stable among equal ticks), RSORT reversed,
+    // FULLSORT by (tick, value) — GTSHelper.sort / fullsort:282-331
+    assert(top(s"$dup SORT TICKLIST") == Vector(100L, 100L, 300L))
+    assert(top(s"$dup SORT VALUES") == Vector(9L, 5L, 7L))
+    assert(top(s"$dup RSORT TICKLIST") == Vector(300L, 100L, 100L))
+    assert(top(s"$dup FULLSORT VALUES") == Vector(5L, 9L, 7L))
+    // SETVALUE (= ADDVALUE overwrite=true): replaces the FIRST point
+    // at the tick IN PLACE, keeps other duplicates; appends if absent
+    assert(top(s"$dup [ 100 NaN NaN NULL 42 ] SETVALUE VALUES") ==
+      Vector(7L, 42L, 5L))
+    // the five-scalar reference arity (ADDVALUE.java:30-56)
+    assert(top(s"$dup 100 NaN NaN NULL 42 SETVALUE VALUES") ==
+      Vector(7L, 42L, 5L))
+    assert(top(s"$dup 500 NaN NaN NULL 1 SETVALUE TICKLIST") ==
+      Vector(300L, 100L, 100L, 500L))
+    // ADDVALUE's tuple arity (the mapper-result shape)
+    assert(top(s"$dup [ 400 NaN NaN NULL 1 ] ADDVALUE TICKLIST") ==
+      Vector(300L, 100L, 100L, 400L))
+    // REMOVETICK takes a tick or a collection (REMOVETICK.java:9-28)
+    assert(top(s"$dup [ 100 ] REMOVETICK TICKLIST") == Vector(300L))
+    assert(top(s"$dup 300 REMOVETICK TICKLIST") == Vector(100L, 100L))
+  }
+
+  test("EMPTY/NONEMPTY filter GTS lists (r13 audit)") {
+    // fn/EMPTY.java / NONEMPTY.java: both FILTER a list of series
+    // (flattened one level) — the old NONEMPTY merged into one frame
+    val lst = """[ NEWGTS 'a' RENAME 1 NaN NaN NULL 1 ADDVALUE
+                |  [ NEWGTS 'b' RENAME 2 NaN NaN NULL 2 ADDVALUE
+                |    NEWGTS 'c' RENAME ] ]""".stripMargin
+    def classes(x: Any) = x.asInstanceOf[Vector[WarpScriptEngine.GtsBuilder]]
+      .map(_.cls)
+    assert(classes(top(s"$lst NONEMPTY")) == Vector("a", "b"))
+    assert(classes(top(s"$lst EMPTY")) == Vector("c"))
   }
 
   test("bucket metadata words") {

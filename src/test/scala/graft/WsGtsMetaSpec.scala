@@ -40,10 +40,21 @@ class WsGtsMetaSpec extends SparkSpec {
 
   test("SETATTRIBUTES / ATTRIBUTES / ATTRDELTA engine-side store") {
     val e = eng
+    // SETATTRIBUTES MERGES (updateAttribute:84-106): '' value removes,
+    // an EMPTY update map keeps everything, a NULL key resets first
     val out = e.run(
       s"""$F { 'k1' 'v1' 'k2' 'v2' } SETATTRIBUTES
-         |{ 'k2' '' 'k3' 'v3' } ATTRDELTA ATTRIBUTES""".stripMargin)
+         |{ 'k2' '' 'k3' 'v3' } SETATTRIBUTES
+         |{ } SETATTRIBUTES ATTRIBUTES""".stripMargin)
     assert(out.head == Map("k1" -> "v1", "k3" -> "v3"))
+    val reset = e.run(
+      s"""$F { 'k1' 'v1' } SETATTRIBUTES
+         |{ NULL 'x' 'k9' 'v9' } SETATTRIBUTES ATTRIBUTES""".stripMargin)
+    assert(reset.head == Map("k9" -> "v9"))
+    // ATTRDELTA (fn/ATTRDELTA.java) is the stack delta-mode toggle:
+    // BOOLEAN sets it, NULL reads it back
+    assert(e.run("NULL ATTRDELTA true ATTRDELTA NULL ATTRDELTA")
+      == List(true, false))
   }
 
   test("LOCSTRINGS and LASTACTIVITY") {
