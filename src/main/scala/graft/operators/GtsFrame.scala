@@ -1322,7 +1322,11 @@ object GtsFrame {
       else col("class") === classSel.stripPrefix("=")
     labelSels.foldLeft(classPred) { case (acc, (k, v)) =>
       val p =
-        if (v.startsWith("~")) col("labels").getItem(k).rlike("^(?:" + v.drop(1) + ")$")
+        if (v.isEmpty || v == "=")
+          // `k=` asserts the label is ABSENT
+          // (Constants.ABSENT_LABEL_SUPPORT, matcher:103-108)
+          col("labels").getItem(k).isNull
+        else if (v.startsWith("~")) col("labels").getItem(k).rlike("^(?:" + v.drop(1) + ")$")
         else col("labels").getItem(k) === v.stripPrefix("=")
       acc && p
     }

@@ -225,7 +225,7 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
         // the reference FETCH rejects attribute blocks here too:
         // PARSESELECTOR.parse's ^([^{]+)\{(.*)\}$ feeds "l}{attrs" into
         // the labels parser, which throws (PARSESELECTOR.java:38,71-93)
-        require(s.attrExact.isEmpty && s.attrRegex.isEmpty,
+        require(!s.extended,
           s"FETCH selector '$sel' must not carry an attribute block " +
             "(use filter.byattr / filter.bylabelsattr).")
         // exact values whose literal begins with '~' or '=' need the
@@ -236,7 +236,10 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
         val c = s.classExact.map(exact)
           .getOrElse("~" + s.classRegex.getOrElse(".*"))
         val l = s.labelExact.map { case (k, v) => k -> exact(v) } ++
-          s.labelRegex.map { case (k, v) => k -> ("~" + v) }
+          s.labelRegex.map { case (k, v) => k -> ("~" + v) } ++
+          // absent assertions travel as the empty value, the
+          // selectorPredicate convention for `k=`
+          s.labelAbsent.map(k => k -> "").toMap
         (c, l)
       }
       val (selPairs, start, stop, countOpt) = popped match {
@@ -1788,10 +1791,15 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
       val max = st.popLong(); val min = st.popLong()
       st.push(FilterVal(w,
         col("size_v") >= lit(min) && col("size_v") <= lit(max)))
-    // filter.byselector (script/filter/FilterBySelector.java): full
-    // `class{labels}{attrs}` selector against series metadata;
-    // attribute components consult the engine-side attribute store
-    // (SETATTRIBUTES) by gtsid
+    // filter.byselector (script/filter/FilterBySelector.java →
+    // MetadataSelectorMatcher, faithful r13 — mined from the
+    // reference's own MetadataSelectorMatcherTest): the STANDARD
+    // one-map form matches each component against the label IF
+    // PRESENT, else the attribute (matcher:217-245); only the
+    // EXTENDED `class{labels}{attrs}` form checks the two maps
+    // strictly (:183-215); `k=` components assert ABSENCE. Attribute
+    // components consult the engine-side store (SETATTRIBUTES) by
+    // gtsid
     case "filter.byselector" =>
       val s = graft.sources.Selector.parse(st.popStr())
       val classPred = (s.classExact, s.classRegex) match {
@@ -1800,16 +1808,37 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
         case (_, Some(r)) => col("class_v").rlike("^(?:" + r + ")$")
         case _ => lit(true)
       }
-      val lblPred = s.labelExact.foldLeft(classPred) { case (acc, (k, v)) =>
-        acc && col("labels_v").getItem(k) === v
-      }
-      val lblPred2 = s.labelRegex.foldLeft(lblPred) { case (acc, (k, v)) =>
-        acc && col("labels_v").getItem(k).rlike("^(?:" + v + ")$")
-      }
-      val attrPred = attrStorePred(st,
-        s.attrExact.map { case (k, v) => k -> ("=" + v) } ++
-          s.attrRegex.map { case (k, v) => k -> ("~" + v) })
-      st.push(FilterVal(w, lblPred2 && attrPred))
+      val pred =
+        if (s.extended) {
+          val la = s.labelAbsent.foldLeft(classPred)((acc, k) =>
+            acc && col("labels_v").getItem(k).isNull)
+          val le = s.labelExact.foldLeft(la) { case (acc, (k, v)) =>
+            acc && col("labels_v").getItem(k) === v
+          }
+          val lr = s.labelRegex.foldLeft(le) { case (acc, (k, v)) =>
+            acc && col("labels_v").getItem(k).rlike("^(?:" + v + ")$")
+          }
+          lr && attrStorePred(st,
+            s.attrExact.map { case (k, v) => k -> ("=" + v) } ++
+              s.attrRegex.map { case (k, v) => k -> ("~" + v) } ++
+              s.attrAbsent.map(k => k -> "=").toMap)
+        } else {
+          val comps: Map[String, String] =
+            s.labelExact.map { case (k, v) => k -> ("=" + v) } ++
+              s.labelRegex.map { case (k, v) => k -> ("~" + v) }
+          val base = s.labelAbsent.foldLeft(classPred)((acc, k) =>
+            acc && col("labels_v").getItem(k).isNull &&
+              attrStorePred(st, Map(k -> "=")))
+          comps.foldLeft(base) { case (acc, (k, v)) =>
+            val lp =
+              if (v.startsWith("~"))
+                col("labels_v").getItem(k).rlike("^(?:" + v.substring(1) + ")$")
+              else col("labels_v").getItem(k) === v.stripPrefix("=")
+            acc && when(col("labels_v").getItem(k).isNotNull, lp)
+              .otherwise(attrStorePred(st, Map(k -> v), matchOnly = true))
+          }
+        }
+      st.push(FilterVal(w, pred))
     // filter.byattr / filter.bylabelsattr (script/filter/
     // FilterByLabels.java Builder checkLabels/checkAttributes flags,
     // registrations :2776-2777): selector map per key; a key matches on

@@ -193,15 +193,33 @@ private[script] object WordsGts2 {
       // series match? single-series → BOOLEAN, multi-series frame →
       // per-series boolean list (class,labels order)
       case "METAMATCH" =>
+        // faithful r13 (mined from the reference's own
+        // MetadataSelectorMatcherTest): Selector.matches mirrors
+        // MetadataSelectorMatcher.matches — standard-form
+        // label-then-attribute fallback, extended-form strict maps,
+        // `k=` absence, bare `=`/`~` empty-name classes; attributes
+        // come from the engine-side SETATTRIBUTES store
         val sel = graft.sources.Selector.parse(st.popStr())
-        val f = en.toFrame(st.pop())
-        val matches = f.df.groupBy(col("gtsid"))
-          .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
-          .withColumn("__m", sel.predicate)
-          .select(col("class"), col("labels"), col("__m"))
-          .collect().sortBy(r => (r.getString(0), r.getMap[String, String](1).toString))
-        if (matches.length == 1) st.push(matches(0).getBoolean(2))
-        else st.push(matches.map(_.getBoolean(2): Any).toVector)
+        st.pop() match {
+          // builder face: metadata is on the stack — an EMPTY series
+          // still matches (`={}` matches the empty-name metadata in
+          // the reference test), which a zero-row frame cannot express
+          case b: WarpScriptEngine.GtsBuilder =>
+            st.push(sel.matches(b.cls, b.labels, Map.empty))
+          case o =>
+            val f = en.toFrame(o)
+            val matches = f.df.groupBy(col("gtsid"))
+              .agg(first(col("class")).as("class"), first(col("labels")).as("labels"))
+              .collect()
+              .map(r => (r.getLong(0), r.getString(1),
+                r.getMap[String, String](2).toMap))
+              .sortBy(t => (t._2, t._3.toString))
+              .map { case (id, c, l) =>
+                sel.matches(c, l, st.attrs.getOrElse(id, Map.empty))
+              }
+            if (matches.length == 1) st.push(matches(0))
+            else st.push(matches.map(x => x: Any).toVector)
+        }
 
       // ---- SMARTPARSE (fn/SMARTPARSE.java:88-230): named regexp
       // groups over a STRING GTS — (?<VDname>…)/VL/VB/VS value groups

@@ -57,6 +57,45 @@ class WsGtsMetaSpec extends SparkSpec {
       == List(true, false))
   }
 
+  test("METAMATCH replays the reference's MetadataSelectorMatcherTest") {
+    // every assertion of the reference's OWN test
+    // (continuum/gts/MetadataSelectorMatcherTest.java:33-95), driven
+    // through SETATTRIBUTES + METAMATCH:
+    // test = temperature{sensor=23} attrs {room:A}
+    val t = """NEWGTS 'temperature' RENAME { 'sensor' '23' } RELABEL
+              |1 NaN NaN NULL 1 ADDVALUE
+              |{ 'room' 'A' } SETATTRIBUTES""".stripMargin
+    // testemptyclassname = ''{sensor=23} attrs {attr:yes, attr2:...}
+    val t0 = """NEWGTS { 'sensor' '23' } RELABEL
+               |1 NaN NaN NULL 1 ADDVALUE
+               |{ 'attr' 'yes' 'attr2' 'afalse detection failure' }
+               |SETATTRIBUTES""".stripMargin
+    val e = eng
+    def m(fix: String, sel: String) =
+      e.run(s"$fix '$sel' METAMATCH").head.asInstanceOf[Boolean]
+    // no such label or attributes
+    assert(!m(t, "~.*{toto~tata.*}{attr=yes,attr2~.false.*}"))
+    // there IS a room attribute, but room=A (extended + standard)
+    assert(!m(t, "~temp.*{sensor~(23|22),room=B}{}"))
+    assert(!m(t, "~temp.*{sensor~(23|22),room=B}"))
+    // ...and the standard form DOES match through the attribute
+    assert(m(t, "~temp.*{sensor~(23|22),room=A}"))
+    // bare '=' class = exact empty name; attributes via fallback
+    assert(m(t0, "={attr=yes,attr2~.false.*}"))
+    assert(!m(t, "={attr=yes,attr2~.false.*}"))
+    // bare '~' class = empty-name regex
+    assert(m(t0, "~{attr=yes,attr2~.false.*}"))
+    assert(!m(t, "~{attr=yes,attr2~.false.*}"))
+    // '={}' matches only empty classnames — incl. an EMPTY series
+    assert(m("NEWGTS", "={}"))
+    assert(!m("NEWGTS 'temperature' RENAME", "={}"))
+    // absent-key assertion (Constants.ABSENT_LABEL_SUPPORT): matches
+    // only when neither label nor attribute carries the key
+    assert(m(t, "~temp.*{nosuch=}"))
+    assert(!m(t, "~temp.*{room=}"))
+    assert(!m(t, "~temp.*{sensor=}"))
+  }
+
   test("LOCSTRINGS and LASTACTIVITY") {
     val locs = top(s"$F LOCSTRINGS").asInstanceOf[Vector[Any]]
     assert(locs.length == 4 && locs.distinct.size == 1)
