@@ -416,7 +416,6 @@ object WrapperCodec {
     * identical/delta/zigzag value forms chosen with the same tests. */
   def encodePoints(points: Seq[WPoint], base: Long): Array[Byte] = {
     val out = new ByteArrayOutputStream
-    var first = true
     var lastTs = 0L
     var lastLong = 0L; var validLastLong = false
     var lastDouble = 0.0d; var validLastDouble = false
@@ -425,17 +424,20 @@ object WrapperCodec {
     var lastElev = 0L; var validElev = false
     for (p <- points) {
       var flags = 0
-      // timestamp mode
+      // timestamp mode — a FRESH encoder delta-encodes the first point
+      // against base too (GTSEncoder.addValue:313-345:
+      // noDeltaMetaTimestamp defaults false; only safeDelta() forces
+      // the raw-absolute first point — r13, caught by the reference's
+      // own GTSEncoderTest.testEncoding vectors). The lastTs == 0
+      // sentinel quirk (`0L != lastTimestamp`) is the reference's own.
       val tsMode: Int =
-        if (first) 0x60
-        else if (p.ts == base) 0x20
+        if (p.ts == base) 0x20
         else if (lastTs != 0L) {
           val dBase = math.abs(p.ts - base); val dLast = math.abs(p.ts - lastTs)
           if (dBase < dLast) { if (dBase < (1L << 48)) 0x40 else 0x60 }
           else { if (dLast < (1L << 48)) 0x00 else 0x60 }
         } else if (math.abs(p.ts - base) < (1L << 48)) 0x40
         else 0x60
-      first = false
       flags |= tsMode
       // value mode
       var longDelta = false; var longZigzag = false

@@ -16,6 +16,38 @@ import graft.sources.WrapperCodec.WPoint
   */
 class WrapperCodecSpec extends AnyFunSuite {
 
+  test("encodePoints matches the reference's own GTSEncoderTest.testEncoding vectors") {
+    // every hex vector of GTSEncoderTest.testEncoding:309-394 (r13 —
+    // these caught a real divergence: a fresh encoder delta-encodes
+    // its FIRST point against base; only safeDelta() forces raw)
+    def hex(points: Seq[WPoint], base: Long = 0L) =
+      WrapperCodec.encodePoints(points, base).map(b => f"$b%02x").mkString
+    def p(ts: Long, v: Any) = WPoint(ts, None, None, v)
+    assert(hex(Seq(p(0, 1L))) == "2c02")
+    assert(hex(Seq(p(0x0123456789abcdefL, 1L))) == "6c0123456789abcdef02")
+    assert(hex(Seq(p((1L << 48) - 1, 1L))) == "4cfeffffffffff7f02")
+    assert(hex(Seq(p(0, 1L), p(1, 2L))) == "2c024e0202")
+    assert(hex(Seq(p(0, 1L), p(1, 1L))) == "2c024902")
+    assert(hex(Seq(p(0, Double.NaN))) == "347ff8000000000000")
+    // the BigDecimal scaled form is decode-side for us (our encoder
+    // IEEE754s plain doubles): the reference's "300002" is 1.0 at 0
+    val dec = WrapperCodec.decodePoints(
+      Array(0x30, 0x00, 0x02).map(_.toByte), 0L)
+    assert(dec == Vector(WPoint(0L, None, None, 1.0)))
+    assert(hex(Seq(
+      WPoint(0, Some(0xb000000000000001L), None, 0L),
+      WPoint(1, Some(0xb000000000000002L), None, 1L)))
+      == "ac40b00000000000000100cc60020202")
+    assert(hex(Seq(
+      WPoint(0, None, Some(0x7000000000000001L), 0L),
+      WPoint(1, None, Some(0x7000000000000002L), 1L)))
+      == "ac08700000000000000100cc0e020202")
+    assert(hex(Seq(
+      WPoint(0, Some(0xb000000000000001L), Some(0x7000000000000001L), 0L),
+      WPoint(1, Some(0xb000000000000002L), Some(0x7000000000000002L), 1L)))
+      == "ac48b000000000000001700000000000000100cc6e02020202")
+  }
+
   /** GTSWrapper{ metadata{name:"t.s", labels:{u:1}}, encoded, count:3 }
     * with three points (1000, 42L), (2000, 42L), (3000, 3.5):
     *
@@ -60,13 +92,26 @@ class WrapperCodecSpec extends AnyFunSuite {
       WPoint(3000L, None, None, 3.5d)))
   }
 
-  test("our emit of the same series reproduces the hand-built bytes") {
-    // same flag-selection logic → byte-identical stream and envelope
+  test("our emit of the same series reproduces the reference encoding") {
+    // the reference's FRESH encoder delta-encodes p1 against base too
+    // (GTSEncoderTest.testEncoding vectors, r13) — so its stream for
+    // this series is `4C D0 0F 54` (ZIGZAG_DELTA_BASE) where the
+    // hand-built DECODE fixture above deliberately uses the
+    // raw-absolute form (both are valid wire; the decoder must accept
+    // both, the encoder must emit the reference's choice)
     val blob = WrapperCodec.wrapBytes("t.s", Map("u" -> "1"),
       Seq(WPoint(1000L, None, None, 42L), WPoint(2000L, None, None, 42L),
         WPoint(3000L, None, None, 3.5d)),
       compress = false)
-    assert(blob.toSeq == handBuilt.toSeq)
+    val expected: Array[Byte] = Array(
+      0x1C, 0x18, 0x03, 0x74, 0x2E, 0x73,
+      0x1B, 0x01, 0x88, 0x01, 0x75, 0x01, 0x31, 0x00,
+      0x68, 0x12,
+      0x4C, 0xD0, 0x0F, 0x54,
+      0x09, 0xD0, 0x0F,
+      0x14, 0xD0, 0x0F, 0x40, 0x0C, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00,
+      0x16, 0x06, 0x00).map(_.toByte)
+    assert(blob.toSeq == expected.toSeq)
   }
 
   private val mixed = Vector(

@@ -96,6 +96,22 @@ class WsGtsMetaSpec extends SparkSpec {
     assert(!m(t, "~temp.*{sensor=}"))
   }
 
+  test("TIMECLIP replays the reference's SubSerieTest semantics") {
+    // continuum/gts/SubSerieTest.java: inclusive [from,to] bounds,
+    // DUPLICATE ticks all kept (testDuplicates: 3 copies per tick),
+    // out-of-range / inverted clips empty. TIMECLIP's long form is
+    // (end, timespan) → [end−timespan+1, end].
+    val dup3 = (1 to 3).map(_ =>
+      """0 NaN NaN NULL 0 ADDVALUE
+        |1 NaN NaN NULL 1 ADDVALUE
+        |2 NaN NaN NULL 2 ADDVALUE""".stripMargin)
+      .mkString("NEWGTS 'g' RENAME\n", "\n", "")
+    assert(top(s"$dup3 1 2 TIMECLIP SIZE") == 6L) // [0,1] → 2 ticks × 3
+    assert(top(s"$dup3 1 1 TIMECLIP SIZE") == 3L) // [1,1] → 1 tick × 3
+    assert(top(s"$dup3 2 3 TIMECLIP SIZE") == 9L) // [0,2] → everything
+    assert(top(s"$dup3 10 5 TIMECLIP SIZE") == 0L) // [6,10] → empty
+  }
+
   test("LOCSTRINGS and LASTACTIVITY") {
     val locs = top(s"$F LOCSTRINGS").asInstanceOf[Vector[Any]]
     assert(locs.length == 4 && locs.distinct.size == 1)
