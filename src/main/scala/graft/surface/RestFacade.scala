@@ -273,7 +273,7 @@ final class RestFacade(
       val pts =
         if (q.contains("dedup")) httpDedup(acc.df) else acc.df
       val body = q.getOrElse("format", "text") match {
-        case "json" => lines(Formats.toJsonRows(pts))
+        case "json" => jsonDump(pts)
         case "tsv" => lines(Formats.toTsv(pts)
           .selectExpr("concat(cast(ts as string), '\t', value) as value"))
         case _ => lines(Formats.toGtsLines(pts))
@@ -396,6 +396,71 @@ final class RestFacade(
 
   private def lines(df: DataFrame): String =
     df.limit(maxRows).collect().map(_.getString(0)).mkString("\n")
+
+  /** The reference fetch `format=json` shape
+    * (EgressFetchHandler.jsonDump:1611-1815, pinned by the reference's
+    * own EgressFetchHandlerTest fixtures — r13): a JSON ARRAY of
+    * series objects `{"c","l","a","i","la","v":[[ts(,lat,lon)(,elev),
+    * value],…]}` with VARIABLE-ARITY point tuples (lat/lon only when
+    * located, elev only when present), attributes from the meta
+    * overlay, `la` the directory lastactivity (0 when untracked at
+    * this surface, the Metadata default) and `i` the series id under
+    * a request mask — the reference masks with Math.random()
+    * (:1630); a seeded mask keeps responses replayable. */
+  private def jsonDump(pts: DataFrame): String = {
+    import graft.model.GtsType
+    def js(s: String) = "\"" + StackJson.escape(s) + "\""
+    val rows = pts.limit(maxRows).select(col("class"), col("labels"),
+      col("gtsid"), col("ts"), col("lat"), col("lon"), col("elev"),
+      col("vtype"), col("vlong"), col("vdouble"), col("vbool"),
+      col("vstring"), col("vbinary")).collect()
+    val mask = new java.util.Random(42L).nextLong() & Long.MaxValue
+    val series = rows
+      .groupBy(r => (r.getString(0), r.getMap[String, String](1).toMap,
+        r.getLong(2)))
+      .toSeq
+      .sortBy { case ((c, l, _), _) => (c, l.toSeq.sorted.mkString(",")) }
+    val sb = new StringBuilder("[")
+    var firstGts = true
+    series.foreach { case ((cls, labels, gtsid), srows) =>
+      if (srows.nonEmpty) {
+        if (!firstGts) sb.append("]},")
+        firstGts = false
+        sb.append("{\"c\":").append(js(cls)).append(",\"l\":{")
+        sb.append(labels.toSeq.sorted.map { case (k, v) =>
+          js(k) + ":" + js(v) }.mkString(","))
+        sb.append("},\"a\":{")
+        sb.append(attrOverlay.getOrElse((cls, labels), Map.empty)
+          .toSeq.sorted.map { case (k, v) => js(k) + ":" + js(v) }
+          .mkString(","))
+        sb.append("},\"i\":\"").append(gtsid & mask)
+        sb.append("\",\"la\":0,\"v\":[")
+        var firstPt = true
+        srows.sortBy(_.getLong(3)).foreach { r =>
+          if (!firstPt) sb.append(",")
+          firstPt = false
+          sb.append("[").append(r.getLong(3))
+          if (!r.isNullAt(4) && !r.isNullAt(5))
+            sb.append(",").append(r.getDouble(4))
+              .append(",").append(r.getDouble(5))
+          if (!r.isNullAt(6)) sb.append(",").append(r.getLong(6))
+          sb.append(",")
+          sb.append(r.getByte(7) match {
+            case GtsType.LONG => r.getLong(8).toString
+            case GtsType.DOUBLE => r.getDouble(9).toString
+            case GtsType.BOOLEAN => if (r.getBoolean(10)) "true" else "false"
+            case GtsType.BINARY => js(new String(r.getAs[Array[Byte]](12),
+              java.nio.charset.StandardCharsets.ISO_8859_1))
+            case _ => js(r.getString(11))
+          })
+          sb.append("]")
+        }
+      }
+    }
+    if (!firstGts) sb.append("]}")
+    sb.append("]")
+    sb.toString
+  }
 
   /** Stack value → JSON (frames as row arrays, scalars as literals). */
   private def renderJson(v: Any): String = StackJson.render(v, maxRows)

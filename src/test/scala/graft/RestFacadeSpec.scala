@@ -59,9 +59,18 @@ class RestFacadeSpec extends SparkSpec {
         "?selector=m.cpu%7Bhost=a%7D&start=0&stop=1000")
       assert(c1 == 200)
       assert(text.trim == "100// m.cpu{host=a} 1.0")
+      // format=json is the reference jsonDump shape (EgressFetchHandler
+      // .jsonDump, pinned by EgressFetchHandlerTest's fixtures): a JSON
+      // array of series objects with variable-arity point tuples —
+      // an unlocated, unelevated point is [ts,value]
       val (_, json) = get(s"http://127.0.0.1:$port/api/v0/fetch" +
         "?selector=~m..*&start=150&stop=1000&format=json")
-      assert(json.split("\n").length == 2 && json.contains("\"m.mem\""))
+      assert(json.startsWith("[{") && json.endsWith("]}]"))
+      assert(json.contains("\"c\":\"m.cpu\"") && json.contains("\"c\":\"m.mem\""))
+      assert(json.contains("\"l\":{\"host\":\"b\"}"))
+      assert(json.contains("\"a\":{}") && json.contains("\"la\":0"))
+      assert(json.contains("\"v\":[[200,2.0]]"))
+      assert(json.contains("\"v\":[[300,3.0]]"))
       val (_, tsv) = get(s"http://127.0.0.1:$port/api/v0/fetch" +
         "?selector=~.*&start=0&stop=1000&format=tsv")
       assert(tsv.split("\n").toSeq.sorted ==

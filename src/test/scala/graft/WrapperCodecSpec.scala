@@ -48,6 +48,36 @@ class WrapperCodecSpec extends AnyFunSuite {
       == "ac48b000000000000001700000000000000100cc6e02020202")
   }
 
+  test("OPB64 matches the reference's own OrderPreservingBase64Test") {
+    // crypto/OrderPreservingBase64Test.java:34-60 vectors + the
+    // :661-677 order-preservation property (seeded here)
+    def enc(bs: Array[Byte]) = WrapperCodec.opb64Encode(bs)
+    assert(enc(Array(-1)) == "zk")
+    assert(enc(Array(-1, -1)) == "zzw")
+    assert(enc(Array(-1, -1, -1)) == "zzzz")
+    assert(enc(Array(-1, -1, -1, -1)) == "zzzzzk")
+    assert(enc(Array(-1, -1, -1, -1, -1)) == "zzzzzzw")
+    assert(WrapperCodec.opb64Decode("zzzzzk").toSeq == Seq[Byte](-1, -1, -1, -1))
+    assert(WrapperCodec.opb64Decode("zzw").toSeq == Seq[Byte](-1, -1))
+    val rand = new scala.util.Random(7)
+    def cmp(x: Array[Byte], y: Array[Byte]): Int = {
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+    for (_ <- 1 to 2000) {
+      val a = Array.fill(rand.nextInt(16))(rand.nextInt().toByte)
+      val b = Array.fill(rand.nextInt(16))(rand.nextInt().toByte)
+      val bc = cmp(a, b); val sc = enc(a).compareTo(enc(b))
+      assert((bc == 0 && sc == 0) || bc.toLong * sc > 0)
+    }
+  }
+
   /** GTSWrapper{ metadata{name:"t.s", labels:{u:1}}, encoded, count:3 }
     * with three points (1000, 42L), (2000, 42L), (3000, 3.5):
     *
