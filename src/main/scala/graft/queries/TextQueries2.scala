@@ -88,8 +88,15 @@ object TextQueries2 {
       val all = docs(s, dir)
       val idx = graft.text.TextOps3.buildNearDupIndex(
         all.filter(col("doc_id") % 2 === 0), "text", 3)
+      // build the index ONCE inside the run (what a real pipeline
+      // does — t44b is the at-rest-parquet proof of the same shape):
+      // without the persist the band and shingle sides each re-expand
+      // the even-half shingling per reference (r13 plan audit)
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val once = graft.text.TextOps3.NearDupIndex(
+        bands = idx.bands.persist(lvl), shingles = idx.shingles.persist(lvl))
       graft.text.TextOps3.incrementalNearDup(
-        all.filter(col("doc_id") % 2 =!= 0), idx, "text", 3, 1L, 2L)
+        all.filter(col("doc_id") % 2 =!= 0), once, "text", 3, 1L, 2L)
     }),
 
     // Steady-state twin of t44 (r11, reworked r12): the index a real

@@ -378,15 +378,31 @@ object TextOps3 {
       .select(col("doc_id").as("ida"), col("bi"), col("bk"))
     val oldK = index.bands
       .select(col("doc_id").as("idb"), col("bi"), col("bk"))
+    // `cand` is referenced 3x below (two semi-joins + the inter gate)
+    // and `shA`/`shB` twice each (inter + size aggregates); without a
+    // lineage cut every reference re-expands the FULL two-sided
+    // minhash/shingling subtree — the t44 plan scanned documents 28
+    // times in a 915-line physical plan whose one-time planning +
+    // codegen cost dominated fresh-JVM runs (53.9 s first run vs
+    // 4.3 s repeat, r13). Lazy persists truncate each re-reference at
+    // an InMemoryRelation (eager localCheckpoints were tried and
+    // regressed the steady-state twin 3.5→9.8 s: three serialized
+    // materialization jobs cost more than they saved). All three
+    // frames are candidate-bounded — `cand` is the pair list, shA/shB
+    // hold only candidate docs' shingle sets (∝ selectivity, never
+    // corpus-sized) — so the cache is small at any SF.
     val cand = newK.join(oldK, Seq("bi", "bk"))
       .select(col("ida"), col("idb")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact verify on the candidate docs only
     val hashedNew = shingles(batch, textCol, n)
       .select(col("doc_id"), hexHash60(col("shingle")).as("h60"))
     val shA = hashedNew.join(
       cand.select(col("ida").as("doc_id")), Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shB = index.shingles.join(
       cand.select(col("idb").as("doc_id")), Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inter = shA.select(col("doc_id").as("ida"), col("h60"))
       .join(shB.select(col("doc_id").as("idb"), col("h60")), Seq("h60"))
       .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("inter"))
