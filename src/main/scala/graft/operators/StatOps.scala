@@ -69,14 +69,25 @@ object StatOps {
                      offsets: Seq[Long]): DataFrame = {
     val spark = base.df.sparkSession
     import spark.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val av = coalesce(col("vdouble"), col("vlong").cast(DoubleType))
+    // a/b/bMeta are referenced by EVERY per-offset branch (align,
+    // clipA, clipB) plus the final grid join — without a lineage cut
+    // each reference re-expands the operands' whole upstream plan
+    // (w136: FETCH→BUCKETIZE→FILLVALUE ×3 offsets ⇒ 62 parquet scans,
+    // 104 Exchanges, 2,142 plan lines; the one-time planning/codegen
+    // cost dominated fresh-JVM runs). All three are word-operand-
+    // sized (bucketized series), so lazy persists are cheap at any SF.
     val a = base.df.select(col("ts").as("ta"), av.as("va"))
       .withColumn("lastA",
         max(col("ta")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .persist(lvl)
     val b = others.df.select(col("gtsid"), col("ts").as("tb"), av.as("vb"))
+      .persist(lvl)
     val bMeta = others.df.groupBy(col("gtsid").as("__g"))
       .agg(first(col("class")).as("class"), first(col("labels")).as("labels"),
         max(col("ts")).as("lastB"))
+      .persist(lvl)
 
     def standardized(df: DataFrame, t: String, v: String): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gtsid"))
@@ -101,6 +112,7 @@ object StatOps {
         .join(bMeta.select(col("__g"), col("lastB")), col("__ag") === col("__g"))
         .withColumn("end", least(col("lastA"), col("lastB") - o))
         .select(col("__ag"), col("startA"), col("end"))
+        .persist(lvl) // one tiny row per series, referenced by both clips
       val clipA = a.join(broadcast(align),
           col("ta") >= col("startA") && col("ta") <= col("end"))
         .select(col("__ag").as("gtsid"), col("ta"), col("va"))
