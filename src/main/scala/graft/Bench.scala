@@ -231,6 +231,20 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing floor (r13, guide §2.2/§2.5): the default 1 MB
+      // minPartitionSize coalesces small-BYTE shuffles to one
+      // partition even when they are CPU-heavy — post-aggregation
+      // kernel stages (per-series ESD/SAX/window work) are series-
+      // count-sized at ANY corpus scale, and their heavy stage ran as
+      // ONE task on 32 cores (g94 profile: 4.6 s single-task stage;
+      // steady-state 4.7 → 1.6 s with the floor lowered). With
+      // parallelismFirst (default on) the target stays
+      // max(bytes/parallelism, this), so at real scale, byte-sized
+      // stages coalesce exactly as before — the floor only stops
+      // degenerate serialization of tiny-byte CPU-bound stages.
+      // Parameterised for cluster profiles; local default 1k.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "1k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.maxResultSize", "2g")

@@ -23,6 +23,17 @@ object StlKernel {
       var bucketcount: Int,
       var sorted: Boolean = true) {
 
+    /** Length of the sorted prefix of an UNSORTED body (r13): the
+      * only operation that ever unsorts a body is setValue's APPEND,
+      * so an unsorted body is always "sorted prefix + appended tail".
+      * Probes binary-search the prefix and scan only the tail —
+      * setValue's former full-body linear fallback made every
+      * lowess_stl write O(values), i.e. O(n²) per smoothing pass
+      * (2.5 ms/series on the w54 fixture, the kernel stage's
+      * dominant cost). Maintained in setValue; meaningless while
+      * `sorted` is true. */
+    var sortedPrefix: Int = 0
+
     def bucketized: Boolean = bucketspan > 0 && bucketcount > 0
 
     def copyShape(sizehint: Int): Sgts =
@@ -43,12 +54,66 @@ object StlKernel {
 
   private def sortByTick(g: Sgts): Unit = {
     if (!g.sorted) {
-      val idx = (0 until g.values).sortBy(g.ticks(_))
-      val t = idx.map(g.ticks(_)).toArray
-      val v = idx.map(g.vals(_)).toArray
-      System.arraycopy(t, 0, g.ticks, 0, g.values)
-      System.arraycopy(v, 0, g.vals, 0, g.values)
+      // the kernel's dominant mutation pattern is "sorted body + a few
+      // extension appends" (lowess_stl appends ~2 ticks per cycle,
+      // then the next subCycleSerie re-sorts): binary-insert a small
+      // unsorted tail in place instead of the generic boxed sortBy —
+      // the 48 full sorts per w54 series were the kernel's hot spot
+      var p = 1
+      while (p < g.values && g.ticks(p - 1) <= g.ticks(p)) p += 1
+      if (p < g.values && g.values - p <= 64) {
+        var i = p
+        while (i < g.values) {
+          val t = g.ticks(i); val v = g.vals(i)
+          // stable upper bound: first slot in [0, i) with tick > t
+          var lo = 0; var hi = i
+          while (lo < hi) {
+            val m = (lo + hi) >>> 1
+            if (g.ticks(m) <= t) lo = m + 1 else hi = m
+          }
+          System.arraycopy(g.ticks, lo, g.ticks, lo + 1, i - lo)
+          System.arraycopy(g.vals, lo, g.vals, lo + 1, i - lo)
+          g.ticks(lo) = t; g.vals(lo) = v
+          i += 1
+        }
+      } else if (p < g.values) {
+        val idx = (0 until g.values).sortBy(g.ticks(_))
+        val t = idx.map(g.ticks(_)).toArray
+        val v = idx.map(g.vals(_)).toArray
+        System.arraycopy(t, 0, g.ticks, 0, g.values)
+        System.arraycopy(v, 0, g.vals, 0, g.values)
+      }
       g.sorted = true
+    }
+  }
+
+  /** Advancing cursor over a sorted body for ASCENDING tick probes:
+    * each `valueAt` tick must be >= the previous call's — replaces a
+    * binary search per probe with one forward walk (value-identical
+    * lookups; the STL step-3/4 probe streams are ascending grids). */
+  private final class AscProbe(g: Sgts) {
+    private var i = 0
+    def valueAt(tick: Long): Option[Double] = {
+      while (i < g.values && g.ticks(i) < tick) i += 1
+      if (i < g.values && g.ticks(i) == tick) Some(g.vals(i)) else None
+    }
+  }
+
+  /** Probe an UNSORTED body: binary search over the sorted prefix,
+    * linear scan over the (small) appended tail — first match, like
+    * the reference's scan. */
+  private def probeUnsorted(g: Sgts, tick: Long): Int = {
+    val p = math.min(g.sortedPrefix, g.values)
+    val i0 = if (p > 0) binarySearch(g.ticks, 0, p, tick) else -1
+    if (i0 >= 0) i0
+    else {
+      var j = p
+      var found = -1
+      while (j < g.values && found < 0) {
+        if (g.ticks(j) == tick) found = j
+        j += 1
+      }
+      found
     }
   }
 
@@ -72,9 +137,16 @@ object StlKernel {
     java.util.Arrays.binarySearch(ticks, from, to, key)
 
   private def valueAtTick(g: Sgts, tick: Long): Option[Double] = {
-    sortByTick(g)
-    val i = binarySearch(g.ticks, 0, g.values, tick)
-    if (i >= 0) Some(g.vals(i)) else None
+    if (g.sorted) {
+      val i = binarySearch(g.ticks, 0, g.values, tick)
+      if (i >= 0) Some(g.vals(i)) else None
+    } else {
+      // prefix-probe instead of force-sorting the body per lookup
+      // (lowess_stl's interpolation loop probes once per skipped
+      // bucket on jump>0 paths)
+      val i = probeUnsorted(g, tick)
+      if (i >= 0) Some(g.vals(i)) else None
+    }
   }
 
   /** GTSHelper.setValue(…, overwrite): overwrite an existing tick's
@@ -86,15 +158,7 @@ object StlKernel {
   private def setValue(g: Sgts, tick: Long, v: Double): Unit = {
     val i =
       if (g.sorted) binarySearch(g.ticks, 0, g.values, tick)
-      else {
-        var j = 0
-        var found = -1
-        while (j < g.values && found < 0) {
-          if (g.ticks(j) == tick) found = j
-          j += 1
-        }
-        found
-      }
+      else probeUnsorted(g, tick)
     if (i >= 0) g.vals(i) = v
     else {
       if (g.values == g.ticks.length) {
@@ -102,6 +166,9 @@ object StlKernel {
         g.ticks = java.util.Arrays.copyOf(g.ticks, n)
         g.vals = java.util.Arrays.copyOf(g.vals, n)
       }
+      // the first append on a sorted body starts the appended tail —
+      // everything before this slot stays binary-searchable
+      if (g.sorted) g.sortedPrefix = g.values
       g.ticks(g.values) = tick
       g.vals(g.values) = v
       g.values += 1
@@ -531,11 +598,18 @@ object StlKernel {
         sortByTick(seasonal)
         val firstbucket = seasonal.lastbucket - (seasonal.bucketcount - 1) * seasonal.bucketspan
 
+        // the three probe streams below ask for ascending ticks only —
+        // advancing cursors replace a binary search per probe (r13;
+        // lookups value-identical, the body is sorted and frozen here)
+        val probeA = new AscProbe(seasonal)
+        val probeFirst = new AscProbe(seasonal)
+        val probeNext = new AscProbe(seasonal)
+
         var sum = 0.0
         var count = 0
         var rr = 0
         while (rr < bpp) {
-          valueAtTick(seasonal, firstbucket + rr * seasonal.bucketspan).foreach { v =>
+          probeA.valueAt(firstbucket + rr * seasonal.bucketspan).foreach { v =>
             count += 1; sum += v
           }
           rr += 1
@@ -545,8 +619,8 @@ object StlKernel {
 
         rr = 1
         while (rr < seasonal.bucketcount - bpp + 1) {
-          val firstVal = valueAtTick(seasonal, firstbucket + (rr - 1) * seasonal.bucketspan)
-          val nextVal = valueAtTick(seasonal, firstbucket + (rr + bpp - 1) * seasonal.bucketspan)
+          val firstVal = probeFirst.valueAt(firstbucket + (rr - 1) * seasonal.bucketspan)
+          val nextVal = probeNext.valueAt(firstbucket + (rr + bpp - 1) * seasonal.bucketspan)
           if (firstVal.isEmpty) {
             if (nextVal.isEmpty) lowpassed.vals(rr) = lowpassed.vals(rr - 1)
             else {
@@ -607,10 +681,16 @@ object StlKernel {
         require(seasonal.bucketcount == lowpassed.values,
           s"stl impl error #1: ${seasonal.values} vs ${lowpassed.values}")
 
+        // ascending probes again; reads stay strictly ahead of the
+        // in-place writes (read slot rr+bpp > write slot id <= rr on
+        // the gap-free extended grid), which the advancing cursor
+        // makes explicit — the former full-body binary search probed
+        // an array whose prefix it was itself overwriting
+        val probeD = new AscProbe(seasonal)
         var id = 0
         rr = 0
         while (rr < seasonal.bucketcount) {
-          val v = valueAtTick(seasonal, firstbucket + (rr + bpp) * seasonal.bucketspan)
+          val v = probeD.valueAt(firstbucket + (rr + bpp) * seasonal.bucketspan)
           if (v.isDefined) {
             seasonal.vals(id) = v.get - lowpassed.vals(rr)
             seasonal.ticks(id) = lowpassed.ticks(rr)
