@@ -26,12 +26,23 @@ final class KernelOps(df: DataFrame) {
 
   private def perSeries[T: org.apache.spark.sql.Encoder](
       f: (Long, IndexedSeq[Pt]) => IterableOnce[T]): Dataset[T] =
-    series.groupByKey(_._1).flatMapGroups { (id, it) =>
-      // (ts, v) total order: duplicate ticks would otherwise make every
-      // sequential kernel (SES/Holt/LTTB/LOWESS...) engine-dependent
-      val pts = it.map(t => Pt(t._2, t._3)).toIndexedSeq.sortBy(p => (p.ts, p.v))
-      f(id, pts).iterator
-    }
+    // pack each series with a codegen'd aggregate and decode TWO
+    // PRIMITIVE ARRAYS per series (r13, guide §4): the former
+    // groupByKey over Dataset[(Long, Long, Double)] decoded a boxed
+    // 3-tuple per POINT and boxed-sorted every group; sort_array on
+    // struct(ts, vdouble) is the same (ts, v) total order (duplicate
+    // ticks would otherwise make every sequential kernel — SES/Holt/
+    // LTTB/LOWESS... — engine-dependent; Spark and Scala both order
+    // NaN last among doubles)
+    df.groupBy(col("gtsid"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("vdouble")))).as("pts"))
+      .select(col("gtsid"), col("pts.ts").as("ticks"),
+        col("pts.vdouble").as("vals"))
+      .as[(Long, Array[Long], Array[Double])]
+      .flatMap { case (id, ticks, vals) =>
+        f(id, IndexedSeq.tabulate(ticks.length)(i => Pt(ticks(i), vals(i))))
+          .iterator
+      }
 
   /** LTTB downsampling to ≤ threshold points per series (fn/LTTB.java). */
   def lttb(threshold: Int): DataFrame =

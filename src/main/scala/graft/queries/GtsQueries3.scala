@@ -245,13 +245,26 @@ object GtsQueries3 {
             p.vdouble.getOrElse(Double.NaN))).toVector
       }
       try {
-        val span = rows(s"now=$LB&timespan=${7L * DAY}", "span")
-        val count3 = rows(s"now=$LB&timespan=-3", "count")
-        val skip2 = rows(s"start=${LB - 7L * DAY + 1}&stop=$LB&skip=2", "skip")
-        val pages = (0 to 2).flatMap(p =>
-          rows(s"start=0&stop=$LB&gskip=${p * 4}&gcount=4", "page")).toVector
-        val bounds = rows(s"start=${LB - 3L * DAY + 1}&stop=${LB - DAY}" +
-          "&boundary.pre=2&boundary.post=1", "bound")
+        // the seven read-only faces are independent requests against
+        // the same facade — issue them concurrently like a real
+        // multi-tenant front end (guide §2.6: overlap independent
+        // jobs; the later jobs' tasks back-fill the earlier jobs'
+        // stragglers). Output order is irrelevant: rows are tagged
+        // and the driver compare canonicalizes.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val faces = Seq(
+          Future(rows(s"now=$LB&timespan=${7L * DAY}", "span")),
+          Future(rows(s"now=$LB&timespan=-3", "count")),
+          Future(rows(s"start=${LB - 7L * DAY + 1}&stop=$LB&skip=2", "skip")),
+          Future.traverse((0 to 2).toVector)(p => Future(
+            rows(s"start=0&stop=$LB&gskip=${p * 4}&gcount=4", "page")))
+            .map(_.flatten),
+          Future(rows(s"start=${LB - 3L * DAY + 1}&stop=${LB - DAY}" +
+            "&boundary.pre=2&boundary.post=1", "bound")))
+        val Seq(span, count3, skip2, pages, bounds) =
+          faces.map(Await.result(_, Duration.Inf))
         val (cu, _) = hit(s"$api/update", Some(
           "1// session.dd{} 1.5\n=2// 1.5\n=3// 1.5\n=4// 2.5\n=5// 2.5\n" +
             "=6// 3.5\n=7// 3.5"))
