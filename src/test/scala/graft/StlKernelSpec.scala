@@ -230,6 +230,47 @@ class StlKernelSpec extends SparkSpec {
          |12 4 2 0.05 { 'PERIOD' 24 } HYBRIDTEST""".stripMargin))
   }
 
+  test("r13 probe/sort internals: unsorted bodies smooth identically to sorted ones") {
+    // the r13 optimization replaced the full boxed re-sort and the
+    // full-body linear probe with tail insertion + sorted-prefix
+    // probing — pin behavior-invariance on both the small-tail
+    // (binary-insert) and large-tail (generic sort fallback) paths
+    val rnd = new java.util.Random(7)
+    val n = 100
+    val base = (0 until n).map(i => (i.toLong * 10, rnd.nextInt(500).toDouble))
+    def run(g: Sgts) = StlKernel.rlowess(g, q = 7, r = 2, d = 25L, p = 1)
+    val sortedOut = run(sgts(base))
+    // small unsorted tail: sorted prefix + last 8 points appended out
+    // of order (what lowess_stl's extension appends produce)
+    val smallTail = base.take(n - 8) ++ base.takeRight(8).reverse
+    val g1 = sgts(smallTail); g1.sorted = false; g1.sortedPrefix = n - 8
+    val smallOut = run(g1)
+    // large unsorted tail (> 64): falls back to the generic sort
+    val bigTail = base.take(20) ++ base.drop(20).reverse
+    val g2 = sgts(bigTail); g2.sorted = false; g2.sortedPrefix = 20
+    val bigOut = run(g2)
+    assert(sortedOut.values === smallOut.values)
+    assert(sortedOut.values === bigOut.values)
+    (0 until sortedOut.values).foreach { i =>
+      assert(sortedOut.ticks(i) === smallOut.ticks(i))
+      assert(sortedOut.vals(i) === smallOut.vals(i))
+      assert(sortedOut.ticks(i) === bigOut.ticks(i))
+      assert(sortedOut.vals(i) === bigOut.vals(i))
+    }
+    // jump path (SPEED > 0): interpolation probes via valueAtTick on a
+    // body with appended extensions — bucketized stl must stay finite
+    // and bucket-grid-shaped with the prefix-probe machinery
+    val bn = 96
+    val bpts = (0 until bn).map(i => (i.toLong * 100, (i % 12).toDouble + rnd.nextDouble()))
+    val bg = sgts(bpts, Some(((bn - 1).toLong * 100, 100L, bn)))
+    val (seas, tr) = StlKernel.stl(bg, 12, 2, 0, 7, 1, 2, 13, 1, 2, 23, 1, 3, 0, 2, 0)
+    assert(seas.values === bn && tr.values === bn)
+    (0 until bn).foreach { i =>
+      assert(!seas.vals(i).isNaN && !tr.vals(i).isNaN)
+      assert(seas.ticks(i) === i.toLong * 100)
+    }
+  }
+
   test("StlParams: R-style defaults with the reference's nextOdd quirk") {
     val p = StlParams.resolve(Map("PERIOD" -> 24L))
     assert(p.inner === 2 && p.outer === 0)
