@@ -54,7 +54,7 @@ object EmbeddingLSH {
     val b = buckets(embs)
       .withColumn("nrm",
         sqrt(graft.plans.DotProduct.dot(col("v"), col("v"))))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = b.select(col("vec_id").as("ida"), col("bucket"),
       col("v").as("va"), col("nrm").as("na"))
     val r = b.select(col("vec_id").as("idb"), col("bucket"),
@@ -109,7 +109,7 @@ object EmbeddingLSH {
   def annPairsMulti(embs: DataFrame, minCos: Double,
                     bands: Int, bits: Int): DataFrame = {
     // self-joined twice — materialize the bands·bits signature work once
-    val k = multiBuckets(embs, bands, bits).localCheckpoint(true)
+    val k = multiBuckets(embs, bands, bits).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = k.select(col("vec_id").as("ida"), col("band"), col("bucket"))
       .join(k.select(col("vec_id").as("idb"), col("band"), col("bucket")),
         Seq("band", "bucket"))

@@ -62,7 +62,7 @@ object IvfIndex {
         s => s.getField("m")).as("c"))
 
   def centroids(embs: DataFrame): DataFrame =
-    centroidsFrom(vecs(embs).localCheckpoint(true))
+    centroidsFrom(vecs(embs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Lloyd's over an ALREADY-materialized vector frame: each iteration's
     * centroids chain the full training lineage, and the final centroids
@@ -71,7 +71,7 @@ object IvfIndex {
   private def centroidsFrom(vs: DataFrame, k: Int = K): DataFrame = {
     var cents = vs.filter(col("vec_id") < k)
       .select(col("vec_id").cast(IntegerType).as("cid"), col("v").as("c"))
-    for (_ <- 1 to Iters) cents = means(assign(vs, cents)).localCheckpoint(true)
+    for (_ <- 1 to Iters) cents = means(assign(vs, cents)).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cents
   }
 
@@ -79,7 +79,7 @@ object IvfIndex {
     * ranking of those cells' members only. Ranking windows partition
     * by query id — bounded by cell population, never global. */
   def topK(embs: DataFrame, queryPred: Column, probes: Int, k: Int): DataFrame = {
-    val vs = vecs(embs).localCheckpoint(true)
+    val vs = vecs(embs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = centroidsFrom(vs)
     val assigned = assign(vs, cents).select(col("vec_id"), col("cid"))
     val queries = vs.filter(queryPred)
@@ -111,7 +111,7 @@ object IvfIndex {
     * Returns (qid, n_match, recall). */
   def recallVsExact(embs: DataFrame, queryPred: Column, probes: Int,
                     k: Int): DataFrame = {
-    val vs = vecs(embs).localCheckpoint(true)
+    val vs = vecs(embs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = vs.filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val cdist = dot(col("qv"), col("qv")) -
@@ -159,14 +159,14 @@ object IvfIndex {
     */
   def semDeDup(embs: DataFrame, tauSqNum: Long, tauSqDen: Long,
                k: Int = K): DataFrame = {
-    val vs = vecs(embs).localCheckpoint(true)
+    val vs = vecs(embs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = centroidsFrom(vs, k)
     val m = assign(vs, cents).join(broadcast(cents), "cid")
       .select(col("vec_id"), col("cid"), col("v"),
         dot(col("v"), col("v")).cast(LongType).as("vv"),
         (dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("c"))
           + dot(col("c"), col("c"))).as("cdist"))
-      .localCheckpoint(true) // both sides of the pair join read it
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // both sides of the pair join read it
     val x = m.alias("x")
     val y = m.select(col("cid").as("ycid"), col("vec_id").as("yid"),
       col("v").as("yv"), col("vv").as("yvv"), col("cdist").as("ycdist"))

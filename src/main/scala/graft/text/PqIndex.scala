@@ -80,7 +80,7 @@ object PqIndex {
       .select(col("sid"), col("vec_id").cast(IntegerType).as("cid"),
         col("sv").as("c"))
     for (_ <- 1 to Iters)
-      books = means(assign(sv, books)).localCheckpoint(true)
+      books = means(assign(sv, books)).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     books
   }
 
@@ -92,7 +92,7 @@ object PqIndex {
     * = Σ over subspaces of table[sid, code] — the corpus side touches
     * only its codes. Returns (qid, cand_id, rk, score). */
   def adcTopK(embs: DataFrame, queryPred: Column, k: Int): DataFrame = {
-    val sv = subvecs(embs).localCheckpoint(true)
+    val sv = subvecs(embs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val books = codebooks(sv)
     val codes = encode(sv, books)
     val q = sv.filter(queryPred)
@@ -120,7 +120,7 @@ object PqIndex {
     * distances touch `shortlist` rows per query). */
   def refinedTopK(embs: DataFrame, queryPred: Column, shortlist: Int,
                   k: Int): DataFrame = {
-    val vs = IvfIndex.vecs(embs).localCheckpoint(true)
+    val vs = IvfIndex.vecs(embs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = adcTopK(embs, queryPred, shortlist)
       .select(col("qid"), col("cand_id"))
     val q = vs.filter(queryPred)
@@ -147,7 +147,7 @@ object PqIndex {
     * refinement is what the serving path uses. */
   def recallVsExact(embs: DataFrame, queryPred: Column, shortlist: Int,
                     k: Int): DataFrame = {
-    val vs = IvfIndex.vecs(embs).localCheckpoint(true)
+    val vs = IvfIndex.vecs(embs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = vs.filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val cdist = dot(col("qv"), col("qv")) -
