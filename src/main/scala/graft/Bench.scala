@@ -400,6 +400,21 @@ object Bench {
     // TAIL of long lines, so the headline total must sit at the end
     val line = s"""{"queries":$qs,"errors":$errs,"forked":$forked$shardJson$retriedJson$isoJson,"btime":$bootTime,"calib":$calib$fpJson$pwJson$phaseJson,"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir"}"""
     println(line)
+    // Compact summary line, printed AFTER the full line so it is the
+    // LAST stdout line (r13 verdict item 2): the full line carries all
+    // ~341 per-query entries (~25 KB) and the driver's log capture
+    // keeps only the TAIL of long lines, so BOTH the r12 and r13
+    // driver artifacts recorded "parsed": null. This line has NO
+    // per-query map — short enough to survive any tail capture — and
+    // self-identifies via "phase"; the full board lives in the line
+    // above and in bench_last.json. Child shards skip it (the parent
+    // parses their full line and must not mistake a compact line for
+    // a board).
+    if (!sys.env.contains("SPARK_GRAFT_SHARD")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val compact = f"""{"phase":"${phase.getOrElse("final")}","metric":"total","value":$total%.3f${firstPassTotal.map(t => f""","total_single_pass":$t%.3f""").getOrElse("")},"unit":"sec","n":${results.size},"errors":$errs,"cpus":$cpus,"btime":$bootTime,"sf":"$sfDir"}"""
+      println(compact)
+    }
     // Also drop a machine-readable copy: the round-5 artifact stored
     // "parsed": null because sbt's [success] epilogue was the last line.
     // Child shards skip the file write (forked children would clobber

@@ -36,6 +36,14 @@ object Verify {
         println(s"[verify] FAIL $name: $msg")
         System.err.println(s"[verify] FAIL $name: $msg")
       }
+      // Same per-query sweep the bench uses (r14): the query paths'
+      // lazy persists register with the CacheManager and are never
+      // unpersisted by their owners, so a 341-query single-JVM run
+      // otherwise accumulates cached frames for its whole life —
+      // MEMORY_AND_DISK spills rather than OOMs, but the pressure
+      // grows unboundedly and taxes later queries.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -16,13 +16,24 @@ import SeriesKernels._
   * series are assumed to fit an executor (same contract as the
   * reference, which materializes each GTS in RAM).
   */
-final class KernelOps(df: DataFrame) {
+final class KernelOps(df: DataFrame,
+                      gridFill: Option[KernelOps.GridFill] = None) {
 
   private val spark = df.sparkSession
   import spark.implicits._
 
   private def series: Dataset[(Long, Long, Double)] =
     df.select(col("gtsid"), col("ts"), col("vdouble")).as[(Long, Long, Double)]
+
+  /** The packed-points aggregate input: with a [[KernelOps.GridFill]],
+    * the df is the SPARSE pre-FILLVALUE frame and null values pack as
+    * nothing (collect_list skips null elements) — fillValue's grid
+    * left-join + coalesce treats a null sparse value as absent too. */
+  private def packedPts: org.apache.spark.sql.Column = {
+    val s = struct(col("ts"), col("vdouble"))
+    sort_array(collect_list(
+      if (gridFill.isEmpty) s else when(col("vdouble").isNotNull, s)))
+  }
 
   private def perSeries[T: org.apache.spark.sql.Encoder](
       f: (Long, IndexedSeq[Pt]) => IterableOnce[T]): Dataset[T] =
@@ -34,15 +45,19 @@ final class KernelOps(df: DataFrame) {
     // ticks would otherwise make every sequential kernel — SES/Holt/
     // LTTB/LOWESS... — engine-dependent; Spark and Scala both order
     // NaN last among doubles)
-    df.groupBy(col("gtsid"))
-      .agg(sort_array(collect_list(struct(col("ts"), col("vdouble")))).as("pts"))
-      .select(col("gtsid"), col("pts.ts").as("ticks"),
-        col("pts.vdouble").as("vals"))
-      .as[(Long, Array[Long], Array[Double])]
-      .flatMap { case (id, ticks, vals) =>
-        f(id, IndexedSeq.tabulate(ticks.length)(i => Pt(ticks(i), vals(i))))
-          .iterator
-      }
+    {
+      val gf = gridFill // capture the value, never `this` (serialization)
+      df.groupBy(col("gtsid"))
+        .agg(packedPts.as("pts"))
+        .select(col("gtsid"), col("pts.ts").as("ticks"),
+          col("pts.vdouble").as("vals"))
+        .as[(Long, Array[Long], Array[Double])]
+        .flatMap { case (id, ticks0, vals0) =>
+          val (ticks, vals) = KernelOps.densify(ticks0, vals0, gf)
+          f(id, IndexedSeq.tabulate(ticks.length)(i => Pt(ticks(i), vals(i))))
+            .iterator
+        }
+    }
 
   /** LTTB downsampling to ≤ threshold points per series (fn/LTTB.java). */
   def lttb(threshold: Int): DataFrame =
@@ -417,7 +432,8 @@ final class KernelOps(df: DataFrame) {
   def stlDecomposeTagged(bucket: (Long, Long, Long), bpp: Int, inner: Int,
                          outer: Int, ns: Int, ds: Int, js: Int,
                          nl: Int, dl: Int, jl: Int, nt: Int, dt: Int, jt: Int,
-                         np: Int, dp: Int, jp: Int): DataFrame =
+                         np: Int, dp: Int, jp: Int): DataFrame = {
+    val gf = gridFill // capture the value, never `this` (serialization)
     // Pack each series FIRST with a codegen'd aggregate (sort_array on
     // struct(ts, v) is the same (ts, v) total order perSeries uses):
     // the Dataset encoder then decodes one (class, labels-map, points)
@@ -425,7 +441,7 @@ final class KernelOps(df: DataFrame) {
     // that is 7 500 map decodes, not 5.4M.
     df.groupBy(col("gtsid"))
       .agg(first(col("class")).as("class"), first(col("labels")).as("labels"),
-        sort_array(collect_list(struct(col("ts"), col("vdouble")))).as("pts"))
+        packedPts.as("pts"))
       // decode the packed points as two PRIMITIVE arrays, not
       // Array[(Long, Double)] — the tuple encoder boxes every point
       // (r13 profile: the kernel stage burned 219 exec-seconds for
@@ -433,7 +449,8 @@ final class KernelOps(df: DataFrame) {
       .select(col("gtsid"), col("class"), col("labels"),
         col("pts.ts").as("ticks"), col("pts.vdouble").as("vals"))
       .as[(Long, String, Map[String, String], Array[Long], Array[Double])]
-      .flatMap { case (id, cls, lbl, ticks, vals) =>
+      .flatMap { case (id, cls, lbl, ticks0, vals0) =>
+        val (ticks, vals) = KernelOps.densify(ticks0, vals0, gf)
         if (ticks.isEmpty) Iterator.empty
         else {
           val (s, t) = StlKernel.stl(
@@ -445,6 +462,7 @@ final class KernelOps(df: DataFrame) {
               t.ticks.take(t.values), t.vals.take(t.values)))
         }
       }.toDF("gtsid", "class", "labels", "which", "ticks", "vals")
+  }
 
   /** HYBRIDTEST/HYBRIDTEST2 — the reference's piecewise seasonal-hybrid
     * ESD per series (StlKernel.hybridTest); returns the anomalous
@@ -497,6 +515,44 @@ final class KernelOps(df: DataFrame) {
 
 object KernelOps {
   def apply(df: DataFrame): KernelOps = new KernelOps(df)
+
+  /** A FILLVALUE grid fused into the kernel pack (r14): the KernelOps
+    * input is the SPARSE pre-fill frame; every kernel sees the dense
+    * (lastbucket, span, count) grid with `value` at absent buckets,
+    * synthesized per series after the pack shuffle — the grid rows are
+    * never materialized pre-shuffle (guide §2.3). */
+  final case class GridFill(lastbucket: Long, span: Long, count: Int,
+                            value: Double)
+
+  /** Synthesize the dense FILLVALUE grid from packed sparse points
+    * (r14, guide §2.3 — shrink data before the exchange): one linear
+    * merge per series AFTER the pack shuffle, so the count×series grid
+    * rows never exist pre-shuffle (w54 at sf0.1: 99k sparse cells
+    * shuffled instead of 5.4M grid rows, and the grid-explode + grid
+    * left-join exchanges disappear entirely). Off-grid sparse ticks
+    * are skipped — exactly what fillValue's grid-sided left join does.
+    * Static so kernel closures capture only the GridFill value. */
+  private[kernels] def densify(ticks: Array[Long], vals: Array[Double],
+      gf: Option[GridFill]): (Array[Long], Array[Double]) = gf match {
+    case None => (ticks, vals)
+    case Some(g) =>
+      val n = g.count
+      val first = g.lastbucket - (n - 1).toLong * g.span
+      val dt = new Array[Long](n)
+      val dv = new Array[Double](n)
+      var i = 0
+      var j = 0
+      while (i < n) {
+        val t = first + i.toLong * g.span
+        dt(i) = t
+        while (j < ticks.length && ticks(j) < t) j += 1
+        dv(i) =
+          if (j < ticks.length && ticks(j) == t) { val v = vals(j); j += 1; v }
+          else g.value
+        i += 1
+      }
+      (dt, dv)
+  }
 
   /** DTW distance between the two sides' series matched on `byLabel`
     * (fn/DTW.java): inputs are two canonical frames; output one distance

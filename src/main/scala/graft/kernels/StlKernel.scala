@@ -100,8 +100,13 @@ object StlKernel {
   }
 
   /** Probe an UNSORTED body: binary search over the sorted prefix,
-    * linear scan over the (small) appended tail — first match, like
-    * the reference's scan. */
+    * linear scan over the (small) appended tail. NOTE: on duplicate
+    * ticks, binarySearch returns an ARBITRARY matching index, unlike
+    * the reference's linear scan (first match). Safe on the current
+    * call paths only because their bodies are duplicate-free —
+    * setValue never appends an existing tick and rlowess rejects
+    * duplicate ticks; a new caller with duplicate ticks would silently
+    * diverge from the reference here. */
   private def probeUnsorted(g: Sgts, tick: Long): Int = {
     val p = math.min(g.sortedPrefix, g.values)
     val i0 = if (p > 0) binarySearch(g.ticks, 0, p, tick) else -1

@@ -1339,21 +1339,35 @@ object GtsFrame {
     * match set before scanning points) pass the full selector match set
     * here, not just the in-range rows.
     *
-    * The rank is a single-partition window: the input is DIRECTORY
-    * cardinality (one row per matched series — the reference serves it
-    * from one in-memory Directory service), so even at 100 TB of point
-    * history the match set is metadata-sized and a one-partition sort
-    * is cheaper than RankOps.globalRank's range-repartition (whose
-    * bounds SAMPLING job + persist cost ~4 extra stages per paged
-    * fetch; ranks are identical — both order by gtsid). */
+    * Scale guard (r14): the page only needs the first gskip+gcount ids
+    * in gtsid order. When that extent is bounded (the reference caps a
+    * request's series via its MAXGTS limit; every declared query's
+    * page extent is tiny), an ordered LIMIT computes the candidate set
+    * as a distributed top-K (TakeOrderedAndProject — partial top-K per
+    * partition, merge of K rows) and the rank window runs over at most
+    * gskip+gcount rows: the single-partition work is bounded by the
+    * REQUEST, not by the match-set size, even for a `~.*` selector
+    * over an unboundedly churning 100 TB corpus. An unbounded extent
+    * (gcount defaulted to MaxValue with only a skip) cannot be
+    * limited, so it falls back to RankOps.globalRank's
+    * range-partitioned rank. Ranks are identical on every path — all
+    * order the distinct ids by gtsid. */
+  val PageExtentCap = 1000000L
   def pageIds(ids: org.apache.spark.sql.DataFrame, gskip: Long,
               gcount: Long): org.apache.spark.sql.DataFrame = {
     val hi = if (gcount >= Long.MaxValue - gskip) Long.MaxValue else gskip + gcount
-    val rk = org.apache.spark.sql.expressions.Window.orderBy(col("gtsid"))
-    ids.select(col("gtsid")).distinct()
-      .withColumn("rank", row_number().over(rk))
-      .filter(col("rank") > gskip && col("rank") <= hi)
-      .select(col("gtsid"))
+    val distinctIds = ids.select(col("gtsid")).distinct()
+    if (hi <= PageExtentCap) {
+      val rk = org.apache.spark.sql.expressions.Window.orderBy(col("gtsid"))
+      distinctIds.orderBy(col("gtsid")).limit(hi.toInt)
+        .withColumn("rank", row_number().over(rk))
+        .filter(col("rank") > gskip)
+        .select(col("gtsid"))
+    } else
+      graft.operators.RankOps
+        .globalRank(distinctIds, Seq(col("gtsid")))
+        .filter(col("rank") > gskip && col("rank") <= hi)
+        .select(col("gtsid"))
   }
 
   /** Java double division (the reference's op.div applies `/` on

@@ -51,32 +51,45 @@ object StreamQueries {
     StructField("gtsid", LongType), StructField("ts", LongType),
     StructField("vdouble", DoubleType)))
 
-  /** At-rest streaming inputs (r13): a real pipeline's stream reads
-    * files (or Kafka) that already exist — synthesizing the input
-    * corpus from the batch tables is test scaffolding, not stream
-    * cost. Build each input ONCE under a deterministic directory keyed
-    * by (key, sf dir) and reuse it across runs; the bench prewarms the
-    * build untimed (the t44b at-rest-index precedent) and lists the
-    * rows under "prewarmed" in the artifact. Query lambdas call the
-    * same builder (a no-op once built), so Verify and direct calls
-    * stay self-contained. Returns the directory the stream reads. */
+  /** At-rest streaming inputs (r13, re-scoped r14): a real pipeline's
+    * stream reads files (or Kafka) that already exist — synthesizing
+    * the input corpus from the batch tables is test scaffolding, not
+    * stream cost. Build each input ONCE PER RUN (per JVM) under a
+    * directory keyed by (run token, key, sf dir); the bench prewarms
+    * the build untimed (the t44b at-rest-index precedent) and lists
+    * the rows under "prewarmed" in the artifact. Query lambdas call
+    * the same builder (a no-op once built in this JVM), so Verify and
+    * direct calls stay self-contained. The r13 version keyed only on
+    * (key, sf dir) and reused the files ACROSS runs via a _DONE
+    * marker — per-run intermediates persisted across invocations,
+    * which the rules forbid and which contaminated the r13 c8 scaling
+    * board (it consumed inputs built during the c32 run). The run
+    * token makes every invocation build its own inputs; a shutdown
+    * hook deletes them so /tmp does not accumulate. Returns the
+    * directory the stream reads. */
+  private val runToken: String =
+    java.lang.ProcessHandle.current().pid().toString + "-" +
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
   private def atRestInput(key: String, dir: String)
       (build: String => Unit): String = {
     val root = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-stream-in",
-      s"$key-${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
+      s"run-$runToken", s"$key-${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
     val done = root.resolve("_DONE")
     val data = root.resolve("data")
+    def deleteTree(p: java.nio.file.Path): Unit =
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => Files.deleteIfExists(q))
     this.synchronized {
       if (!Files.exists(done)) {
         // wipe any partial build, then write fresh + mark complete
-        if (Files.exists(root)) {
-          Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => Files.deleteIfExists(p))
-        }
+        deleteTree(root)
         Files.createDirectories(root)
         build(data.toString)
         Files.createFile(done)
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          try deleteTree(root.getParent) catch { case _: Throwable => }))
       }
     }
     data.toString

@@ -128,9 +128,13 @@ final class WarpScriptEngine(
   private[script] def runRlowess(obj: Any, q: Int, r: Int, d: Long,
                                  p: Int): Any = obj match {
     case b: BucketedFrame =>
-      val sm = new graft.kernels.KernelOps(b.frame.df).rlowessSmooth(
+      // FILLVALUE fusion (r14): pack the sparse twin, synthesize the
+      // grid in the kernel; meta comes from the sparse twin too (same
+      // series set, no grid plan behind it)
+      val (ops, metaSrc) = kernelOpsFor(b.frame)
+      val sm = ops.rlowessSmooth(
         q, r, d, p, Some((b.lastbucket, b.span, b.count)))
-      b.copy(frame = GtsFrame(sm.join(metaOf(b.frame), "gtsid")))
+      b.copy(frame = GtsFrame(sm.join(metaOf(metaSrc), "gtsid")))
     case o =>
       val f = toFrame(o)
       GtsFrame(new graft.kernels.KernelOps(f.df)
@@ -893,6 +897,37 @@ final class WarpScriptEngine(
     * plan subtree shared instead of re-created. Identity-keyed:
     * builders are immutable (every mutation is a copy()). */
   private val materializeCache = new java.util.IdentityHashMap[GtsBuilder, GtsFrame]()
+
+  /** FILLVALUE provenance for kernel fusion (r14, guide §2.3): filled
+    * frame instance → (sparse pre-fill frame, grid spec, fill value).
+    * Kernel words consuming a FILLVALUE result hand the kernel the
+    * SPARSE frame + grid spec so the dense grid is synthesized per
+    * series AFTER the pack shuffle — count×series grid rows never
+    * exist pre-shuffle (w54: 99k sparse cells packed instead of 5.4M
+    * grid rows through a grid-explode + left-join + pack cascade).
+    * Identity-keyed like [[materializeCache]]: frames are immutable,
+    * and any word that rebuilds the frame (rename, filter, …) misses
+    * the map and falls back to the materialized dense plan — results
+    * are identical either way. */
+  private val fillValueOrigin =
+    new java.util.IdentityHashMap[GtsFrame, (GtsFrame, Long, Long, Long, Double)]()
+
+  private[script] def recordFillValue(filled: GtsFrame, sparse: GtsFrame,
+      lastbucket: Long, span: Long, count: Long, value: Double): Unit =
+    fillValueOrigin.put(filled, (sparse, lastbucket, span, count, value))
+
+  /** KernelOps over a bucketized frame, honoring FILLVALUE provenance:
+    * returns the kernel wrapper plus the frame kernels should read
+    * series METADATA from (the sparse twin when fused — same series
+    * set, no grid plan behind it). */
+  private[script] def kernelOpsFor(f: GtsFrame)
+      : (graft.kernels.KernelOps, GtsFrame) = {
+    val o = fillValueOrigin.get(f)
+    if (o != null && o._4 > 0 && o._4 <= Int.MaxValue.toLong)
+      (new graft.kernels.KernelOps(o._1.df, Some(
+        graft.kernels.KernelOps.GridFill(o._2, o._3, o._4.toInt, o._5))), o._1)
+    else (new graft.kernels.KernelOps(f.df), f)
+  }
 
   private[script] def materialize(b: GtsBuilder): GtsFrame = {
     val cached = materializeCache.get(b)

@@ -41,7 +41,11 @@ private[script] object WordsAnalytics {
         // [seasonal, trend] branches then posexplode the tiny cached
         // frame; an eviction costs one linear-chain recompute, never
         // the r11 join-cascade re-execution.
-        val packed = new graft.kernels.KernelOps(b.frame.df)
+        // FILLVALUE fusion (r14): when the input is a FILLVALUE
+        // result, pack the SPARSE pre-fill frame and synthesize the
+        // dense grid inside the kernel decode — the grid rows never
+        // cross the pack exchange (guide §2.3; w54 5.4M → 99k rows)
+        val packed = en.kernelOpsFor(b.frame)._1
           .stlDecomposeTagged(
             (b.lastbucket, b.span, b.count), p.bpp, p.inner, p.outer,
             p.ns, p.ds, p.js, p.nl, p.dl, p.jl, p.nt, p.dt, p.jt,
@@ -99,7 +103,11 @@ private[script] object WordsAnalytics {
         if (!merged.contains("BANDWIDTH_S")) merged += ("BANDWIDTH_S" -> -1L)
         if (!merged.contains("ROBUST")) merged += ("ROBUST" -> false)
         val pr = StlParams.resolve(merged)
-        val tagged = new graft.kernels.KernelOps(b.frame.df).stlDecompose(
+        // kernel-side FILLVALUE fusion only: the remainder join below
+        // still reads the materialized filled frame (it needs the
+        // original dense values), but the kernel input no longer
+        // re-executes that dense plan a second time
+        val tagged = en.kernelOpsFor(b.frame)._1.stlDecompose(
           (b.lastbucket, b.span, b.count), pr.bpp, pr.inner, pr.outer,
           pr.ns, pr.ds, pr.js, pr.nl, pr.dl, pr.jl, pr.nt, pr.dt, pr.jt,
           pr.np, pr.dp, pr.jp)
@@ -158,7 +166,9 @@ private[script] object WordsAnalytics {
             Some((p.ns, p.ds, p.js, p.nl, p.dl, p.jl, p.nt, p.dt, p.jt,
               p.np, p.dp, p.jp, p.inner, p.outer))
           }
-        val flags = new graft.kernels.KernelOps(b.frame.df).hybridFlags(
+        // kernel-side FILLVALUE fusion only (flag join keeps the
+        // filled frame — output rows carry the dense values)
+        val flags = en.kernelOpsFor(b.frame)._1.hybridFlags(
           (b.lastbucket, b.span, b.count), bpp, ppp, k, alpha,
           entropy = w == "HYBRIDTEST2", stl16)
         st.push(GtsFrame(b.frame.df.join(flags, Seq("gtsid", "ts"))))

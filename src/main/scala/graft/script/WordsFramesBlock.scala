@@ -870,7 +870,10 @@ private[script] trait WordsFramesBlock { this: WarpScriptEngine =>
         case n => asNum(n)
       }
       val b = toBucketed(st.pop())
-      st.push(b.copy(frame = GtsFrame(b.frame.fillValue(b.lastbucket, b.span, b.count, v))))
+      val filled = GtsFrame(b.frame.fillValue(b.lastbucket, b.span, b.count, v))
+      // kernel words can fuse the constant grid into their pack (r14)
+      recordFillValue(filled, b.frame, b.lastbucket, b.span, b.count, v)
+      st.push(b.copy(frame = filled))
     case "INTERPOLATE" =>
       val b = toBucketed(st.pop())
       st.push(b.copy(frame = GtsFrame(b.frame.fillLinear(b.lastbucket, b.span, b.count))))

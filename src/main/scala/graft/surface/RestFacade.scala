@@ -146,6 +146,14 @@ final class RestFacade(
   /** Start on `port` (0 = ephemeral); returns the bound port. */
   def start(port: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    // Without an executor the JDK HttpServer runs EVERY handler on its
+    // single dispatcher thread — concurrent clients (h05's independent
+    // fetch faces, guide §2.6) serialize server-side and their Spark
+    // jobs cannot overlap. A small pool is enough: requests are
+    // Spark-job-bound, and the session overlay is already guarded
+    // (writes and combined()/find reads all under `synchronized`).
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8,
+      r => { val t = new Thread(r, "rest-facade"); t.setDaemon(true); t }))
     // the reference fetch param surface (EgressFetchHandler.java:
     // 250-265 param names from store/Constants.java:334-363; time
     // range via FETCH.computeTimeRange — same [end−timespan+1, end] /
@@ -392,7 +400,13 @@ final class RestFacade(
     server.getAddress.getPort
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = if (server != null) {
+    server.stop(0)
+    server.getExecutor match {
+      case es: java.util.concurrent.ExecutorService => es.shutdown()
+      case _ =>
+    }
+  }
 
   private def lines(df: DataFrame): String =
     df.limit(maxRows).collect().map(_.getString(0)).mkString("\n")

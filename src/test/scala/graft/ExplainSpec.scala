@@ -10,7 +10,32 @@ import graft.operators.RankOps
   */
 class ExplainSpec extends SparkSpec {
 
-  private def plan(df: org.apache.spark.sql.DataFrame): String =
+  /** Executed-plan text with InMemoryRelation cached subtrees elided.
+    * A lazy persist() reprints its cached CHILD plan under the
+    * InMemoryRelation node — operators in that reprint (e.g. a bounded
+    * broadcast-K crossJoin inside an ANN index build) are not what
+    * executes at this node, so shape assertions must not match them. */
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    val full = df.queryExecution.executedPlan.toString
+    def depth(l: String): Int = l.indexWhere(c => c.isLetter || c.isDigit)
+    val out = new StringBuilder
+    var skipBelow = -1
+    full.linesIterator.foreach { l =>
+      val d = depth(l)
+      if (skipBelow >= 0 && d >= 0 && d <= skipBelow) skipBelow = -1
+      if (skipBelow < 0) {
+        out.append(l).append('\n')
+        if (l.contains("InMemoryRelation")) skipBelow = d
+      }
+    }
+    out.toString
+  }
+
+  /** Full executed-plan text INCLUDING cached subtrees — for positive
+    * assertions about operators that live under a persist (globalRank's
+    * range exchange); the cached plan does execute, once, to populate
+    * the cache. */
+  private def fullPlan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
   private def sample = {
@@ -32,7 +57,7 @@ class ExplainSpec extends SparkSpec {
 
   test("globalRank ranges-partitions the sort and matches a local sort") {
     val df = RankOps.globalRank(sample, Seq(col("v").desc, col("id")), numParts = 7)
-    assert(plan(df).toLowerCase.contains("rangepartitioning"))
+    assert(fullPlan(df).toLowerCase.contains("rangepartitioning"))
     val got = df.select("id", "rank").collect()
       .map(r => (r.getLong(0), r.getInt(1))).toMap
     val truth = sample.collect().map(r => (r.getLong(0), r.getDouble(1)))
@@ -116,6 +141,24 @@ class ExplainSpec extends SparkSpec {
     val p = plan(graft.text.IvfIndex.semDeDup(embs, 49L, 400L))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
     assert(p.contains("LeftSemi"))
+  }
+
+  test("pageIds: bounded page extent is a distributed top-K; unbounded falls back to globalRank") {
+    import spark.implicits._
+    val ids = (1 to 100).map(i => ((i * 37L) % 101, i)).toDF("gtsid", "x")
+    // bounded extent: candidate set computed as TakeOrderedAndProject,
+    // never a global-window rank over the whole match set
+    val bounded = graft.operators.GtsFrame.pageIds(ids, 3, 4)
+    assert(plan(bounded).contains("TakeOrderedAndProject"))
+    val got = bounded.collect().map(_.getLong(0)).sorted
+    val truth = (1 to 100).map(i => (i * 37L) % 101).distinct.sorted
+      .slice(3, 7).toArray
+    assert(got.toSeq == truth.toSeq)
+    // unbounded extent (gskip-only page): range-partitioned globalRank
+    val unbounded = graft.operators.GtsFrame.pageIds(ids, 95, Long.MaxValue)
+    assert(fullPlan(unbounded).toLowerCase.contains("rangepartitioning"))
+    assert(unbounded.collect().map(_.getLong(0)).sorted.toSeq ==
+      (1 to 100).map(i => (i * 37L) % 101).distinct.sorted.drop(95))
   }
 
   test("globalRank with fewer rows than partitions still ranks densely") {
