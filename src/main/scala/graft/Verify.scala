@@ -14,6 +14,10 @@ object Verify {
       // CPU-heavy stages keep their parallelism (results unaffected)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "1k"))
+      // same checkpoint-checksum setting as the bench (r14): the
+      // oracle must gate the configuration the bench measures
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_CHECKSUM", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -242,23 +242,24 @@ private[script] object WordsExt5 {
         val meta = en.metaOf(en.fetchPub(cls, labels, Long.MinValue, Long.MaxValue))
           .cache()
         try {
-          val head = meta.agg(
-            count(lit(1)).as("gts"),
-            countDistinct(col("class")).as("classes")).head()
+          // TWO jobs, not four (r14, guide §1.2): the per-class and
+          // per-label collects are directory-cardinality, and the
+          // global stats are exact derivations of them — gts = Σ
+          // per-class counts, classes = #classes, labelnames =
+          // #label keys, labelvalues = countDistinct(k, v) = Σ over k
+          // of per-key distinct values. The dropped global-agg jobs
+          // each carried their own codegen + scheduling cost.
           val perClass = meta.groupBy(col("class")).count().collect()
             .map(r => (r.getString(0): Any) -> (r.getLong(1): Any)).toMap
           val lab = meta.select(explode(col("labels")).as(Seq("__k", "__v")))
-          val labHead = lab.agg(
-            countDistinct(col("__k")).as("names"),
-            countDistinct(col("__k"), col("__v")).as("values")).head()
           val perLabel = lab.groupBy(col("__k"))
             .agg(countDistinct(col("__v")).as("n")).collect()
             .map(r => (r.getString(0): Any) -> (r.getLong(1): Any)).toMap
           st.push(Map[Any, Any](
-            "gts.estimate" -> head.getLong(0),
-            "classes.estimate" -> head.getLong(1),
-            "labelnames.estimate" -> labHead.getLong(0),
-            "labelvalues.estimate" -> labHead.getLong(1),
+            "gts.estimate" -> perClass.values.map(_.asInstanceOf[Long]).sum,
+            "classes.estimate" -> perClass.size.toLong,
+            "labelnames.estimate" -> perLabel.size.toLong,
+            "labelvalues.estimate" -> perLabel.values.map(_.asInstanceOf[Long]).sum,
             "per.class.estimate" -> perClass,
             "per.label.value.estimate" -> perLabel,
             "error.rate" -> 0.0))

@@ -66,20 +66,41 @@ object BpeTrain {
         array_remove(split(col("word"), ""), "").as("syms"))
       .localCheckpoint(true)
 
+    // One aggregate job per ROUND, not two (r14, guide §1.2): toks =
+    // Σ freq·|syms| = Σ_pairs freq + Σ_words freq (each word has
+    // |syms|−1 pairs), and Σ_words freq (W) is round-invariant — the
+    // fold never adds or drops vocab rows. So round k+1's pair job
+    // observes Σ_pairs freq over the post-merge-k vocab, which IS
+    // merge k's corpus_tokens; only the LAST round needs a dedicated
+    // toks job. Values are exact integer sums — identical arithmetic
+    // to the per-round aggregate this replaces.
+    val W = Option(vocab.agg(sum(col("freq"))).collect()(0).get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     val steps = scala.collection.mutable.ArrayBuffer.empty[Row]
+    // merge rule of the round whose corpus_tokens is not yet known
+    var pending: Option[(Long, String, String, Long)] = None
     var step = 1
     var done = false
     while (step <= nMerges && !done) {
       val a = slice(col("syms"), lit(1), size(col("syms")) - 1)
       val b = slice(col("syms"), lit(2), size(col("syms")) - 1)
+      val obs = org.apache.spark.sql.Observation()
       val best = vocab
         .select(col("freq"),
           explode(zip_with(a, b, (x, y) =>
             struct(x.as("l"), y.as("r")))).as("p"))
+        .observe(obs, sum(col("freq")).as("psum"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(desc("cnt"), asc("l"), asc("r"))
         .limit(1).collect()
+      val toksBefore = // Σ freq·|syms| of the CURRENT vocab
+        W + obs.get.get("psum").flatMap(Option(_))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+      pending.foreach { case (s, l, r, cnt) =>
+        steps += Row(s, l, r, cnt, toksBefore)
+      }
+      pending = None
       if (best.isEmpty) done = true
       else {
         val (l, r, cnt) = (best(0).getString(0), best(0).getString(1),
@@ -95,11 +116,15 @@ object BpeTrain {
             .otherwise(concat(acc, array(x))))
         vocab = vocab.select(col("word"), col("freq"), folded.as("syms"))
           .localCheckpoint(true)
-        val toks = vocab
-          .agg(sum(col("freq") * size(col("syms")))).collect()(0).getLong(0)
-        steps += Row(step.toLong, l, r, cnt, toks)
+        pending = Some((step.toLong, l, r, cnt))
         step += 1
       }
+    }
+    // the final round's corpus_tokens: no later pair job observed it
+    pending.foreach { case (s, l, r, cnt) =>
+      val toks = vocab
+        .agg(sum(col("freq") * size(col("syms")))).collect()(0).getLong(0)
+      steps += Row(s, l, r, cnt, toks)
     }
     val merges = spark.createDataFrame(
       spark.sparkContext.parallelize(steps.toSeq, 1),
